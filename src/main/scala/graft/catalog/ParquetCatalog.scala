@@ -1,0 +1,97 @@
+package graft.catalog
+
+import java.io.File
+
+import graft.core.{ColumnMeta, ColumnRef, TableMeta}
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** Catalog source over a directory of parquet tables ("file lake").
+  *
+  * Re-expresses the reference's catalog scans (S1-S5:
+  * bigquery_connector.py:63-240, bq_cli_connector.py:50-243) for a
+  * parquet-on-object-store lake: the table list is a directory listing, the
+  * schema comes from the parquet FOOTER only (no data pages read — the
+  * metadata-only access path the reference gets from the BigQuery API), and
+  * numRows/numBytes come from footer row-group metadata.
+  *
+  * Scale note: footer reads are O(#tables) driver-side metadata operations,
+  * not data scans — same cost profile at 100 TB as at 1 GB. The resulting
+  * catalog is a small Dataset, so every downstream analysis (key
+  * classification, relationship detection) is a Spark job over catalog rows
+  * and broadcast-joins for free.
+  */
+object ParquetCatalog {
+
+  /** S1: enumerate tables in a directory (one `<name>.parquet` file or
+    * directory per table), bounded like the reference's MAX_RESULTS
+    * (config.py:45).
+    */
+  def listTables(dir: String, maxResults: Int = 1000): Seq[String] =
+    new File(dir)
+      .listFiles()
+      .toSeq
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .sorted
+      .take(maxResults)
+
+  /** S2+S3: schema + stats for one table, footer-only. */
+  def tableMeta(spark: SparkSession, dir: String, name: String): TableMeta = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    val (rows, bytes) = footerStats(path)
+    TableMeta(name, path, "TABLE", toColumnMeta(schema), rows, bytes)
+  }
+
+  private def toColumnMeta(schema: StructType): Seq[ColumnMeta] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val (tpe, isArray) = f.dataType match {
+        case ArrayType(et, _) => (et.typeName, true)
+        case dt               => (dt.typeName, false)
+      }
+      ColumnMeta(f.name, tpe, f.nullable, isArray, i)
+    }.toSeq
+
+  /** Row count + byte size from parquet footers; no data pages are read. */
+  private def footerStats(path: String): (Long, Long) = {
+    val f = new File(path)
+    val files =
+      if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(f)
+    val conf = new Configuration()
+    var rows = 0L
+    var bytes = 0L
+    files.foreach { part =>
+      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(part.getPath), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        rows += reader.getRecordCount
+        bytes += part.length()
+      } finally reader.close()
+    }
+    (rows, bytes)
+  }
+
+  /** S4: all table schemas as a catalog Dataset. */
+  def catalog(spark: SparkSession, dir: String, maxResults: Int = 1000): Dataset[TableMeta] = {
+    import spark.implicits._
+    val metas = listTables(dir, maxResults).map(tableMeta(spark, dir, _))
+    spark.createDataset(metas)
+  }
+
+  /** Explode the catalog into one row per (table, column) — the input shape
+    * for key classification and relationship detection (SURVEY §2.2 P1).
+    */
+  def columnRefs(catalog: Dataset[TableMeta]): Dataset[ColumnRef] = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog.flatMap { t =>
+      t.columns.map(c =>
+        ColumnRef(t.tableName, c.name, c.dataType, c.nullable, c.isArray, c.ordinal, t.numRows))
+    }
+  }
+}

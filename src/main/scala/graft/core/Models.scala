@@ -1,0 +1,138 @@
+package graft.core
+
+/** Core data model for the schema-analytics engine.
+  *
+  * Mirrors the semantics of the reference's pydantic models
+  * (reference: bigquery-to-erd/src/bigquery_to_erd/models.py:33-173) but as
+  * Scala case classes with Spark `Encoder`s, so catalogs and relationship sets
+  * are `Dataset`s and every analysis step is a distributed Spark job.
+  */
+
+/** One column of one table (reference ColumnInfo, models.py:33-51).
+  *
+  * `mode` semantics: REQUIRED -> nullable=false, REPEATED -> isArray=true.
+  * REPEATED columns are never key candidates (models.py:48,
+  * schema_analyzer.py:178-179).
+  */
+case class ColumnMeta(
+    name: String,
+    dataType: String, // canonical lowercase Spark typeName, e.g. "bigint"
+    nullable: Boolean,
+    isArray: Boolean,
+    ordinal: Int)
+
+/** One table of the catalog (reference TableSchema, models.py:54-81). */
+case class TableMeta(
+    tableName: String,
+    path: String,
+    tableType: String, // TABLE | VIEW | EXTERNAL
+    columns: Seq[ColumnMeta],
+    numRows: Long,
+    numBytes: Long)
+
+/** Flattened (table, column) row — the unit of key analysis and relationship
+  * detection. The whole catalog explodes into a Dataset[ColumnRef] so the
+  * detection strategies are joins, not loops.
+  */
+case class ColumnRef(
+    tableName: String,
+    columnName: String,
+    dataType: String,
+    nullable: Boolean,
+    isArray: Boolean,
+    ordinal: Int,
+    numRows: Long)
+
+/** A detected or declared relationship edge
+  * (reference Relationship, models.py:84-103).
+  */
+case class Relationship(
+    sourceTable: String,
+    sourceColumn: String,
+    targetTable: String,
+    targetColumn: String,
+    relationshipType: String, // one_to_one | one_to_many | many_to_one | many_to_many
+    confidence: Double,
+    detectionMethod: String,
+    isCustom: Boolean)
+
+object RelationshipType {
+  val OneToOne = "one_to_one"
+  val OneToMany = "one_to_many"
+  val ManyToOne = "many_to_one"
+  val ManyToMany = "many_to_many"
+  val All: Set[String] = Set(OneToOne, OneToMany, ManyToOne, ManyToMany)
+}
+
+/** User-declared explicit edge (reference CustomRelationshipRule,
+  * models.py:153-160; examples/relationship_rules.json).
+  */
+case class CustomRule(
+    sourceTable: String,
+    sourceColumn: String,
+    targetTable: String,
+    targetColumn: String,
+    relationshipType: String = RelationshipType.ManyToOne,
+    confidence: Double = 0.9)
+
+/** Regex naming pattern rule (reference NamingPattern, models.py:163-168):
+  * a column matching `pattern` (with one capture group) points at table
+  * `group(1) + targetSuffix`.
+  */
+case class NamingRule(pattern: String, targetSuffix: String, confidence: Double = 0.8)
+
+/** Result of validating a relationship against actual data
+  * (reference DataTestResult, data_relationship_tester.py:15-24).
+  */
+case class DataTestResult(
+    sourceTable: String,
+    sourceColumn: String,
+    targetTable: String,
+    targetColumn: String,
+    referentialIntegrity: Double,
+    typeCompatibility: Double,
+    distributionSimilarity: Double,
+    overallConfidence: Double,
+    sampleSize: Long,
+    orphanCount: Long,
+    totalSourceRecords: Long)
+
+/** Detection tuning knobs (reference pattern_config.py:10-65 +
+  * config/relationship_patterns.json defaults).
+  */
+case class DetectionConfig(
+    minConfidence: Double = 0.5,
+    maxRelationshipsPerTable: Int = 3,
+    // Regex stripped from a column name to obtain its base name. TPC-H style
+    // tables prefix every column with 1-2 letters ("o_", "l_"); warehouse
+    // style uses no prefix. Both are handled by one optional-prefix regex.
+    prefixStripRegex: String = "^[a-z]{1,2}_(?=.)",
+    keySuffixRegex: String = "_?(id|key|fk|pk|hk|hash_key|sk)$",
+    pkNameRegex: String = "^(id|key)$|_?(id|key|pk|sk|hash_key|hk)$|key$",
+    keyDataTypes: Set[String] = Set("integer", "bigint", "string", "binary"),
+    dataTestPassThreshold: Double = 0.7,
+    dataTestBoost: Double = 0.2,
+    dataTestPenalty: Double = 0.3)
+
+object DetectionMethod {
+  val ExactMatch = "exact_match" // confidence 0.95
+  val EnhancedPkFk = "enhanced_pk_fk" // 0.9
+  val DataVault = "data_vault_pattern" // 0.9
+  val ForeignKey = "foreign_key" // 0.8
+  val NamingPattern = "naming_pattern" // 0.6-0.7
+  val TypeCompat = "type_compatibility" // 0.4
+  val CustomRule = "custom_rule"
+
+  /** Priority used when the same edge is found by several methods; mirrors the
+    * reference's strategy cascade (relationship_detector.py:221-258) but as a
+    * rank so it is order-independent in a distributed setting (SURVEY §7.4.3).
+    */
+  val priority: Map[String, Int] = Map(
+    CustomRule -> 0,
+    ExactMatch -> 1,
+    EnhancedPkFk -> 2,
+    DataVault -> 3,
+    ForeignKey -> 4,
+    NamingPattern -> 5,
+    TypeCompat -> 6)
+}
