@@ -25,7 +25,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ catalogQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -216,10 +219,204 @@ object SparkEntry {
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     })
 
+  // --------------------------------------------------------------------
+  // Catalog-analytics queries: the reference's actual domain (schema scans,
+  // key classification, relationship detection, data testing). Schema-level
+  // results are oracle-checked against golden VALUES (the schemas are static
+  // facts of the testdata); data-level metrics are recomputed by DuckDB from
+  // the same parquet.
+  // --------------------------------------------------------------------
+  import graft.analyze.KeyClassifier
+  import graft.catalog.ParquetCatalog
+  import graft.core.CustomRule
+  import graft.datatest.DataTester
+  import graft.detect.RelationshipDetector
+
+  /** Explicit edge the lake's config declares (FIXTURES.md: the
+    * events.user_id → customer edge, exercising J6 + data testing).
+    */
+  private val lakeCustomRules =
+    Seq(CustomRule("events", "user_id", "customer", "c_custkey"))
+
+  private def classifiedCols(s: SparkSession, dir: String): DataFrame =
+    KeyClassifier.classify(ParquetCatalog.columnRefs(ParquetCatalog.catalog(s, dir)).toDF())
+
+  /** The detected edges the datatest queries validate (kept in sync with
+    * q15's golden output).
+    */
+  private val detectedEdges = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey", 0.95),
+    ("events", "user_id", "customer", "c_custkey", 0.9),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", 0.95),
+    ("lineitem", "l_partkey", "part", "p_partkey", 0.95),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", 0.95),
+    ("nation", "n_regionkey", "region", "r_regionkey", 0.95),
+    ("orders", "o_custkey", "customer", "c_custkey", 0.95),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", 0.95))
+
+  private def catalogQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2/S4 + A5: whole-catalog schema scan → per-table complexity metrics
+    // (schema_analyzer.py:306-326, fixing its missing-return bug). Schema
+    // facts come from parquet footers only; row counts from footer metadata.
+    "q13_catalog_summary" -> { (s, dir) =>
+      classifiedCols(s, dir)
+        .groupBy(col("tableName").as("table_name"))
+        .agg(
+          count(lit(1)).as("n_columns"),
+          sum(when(col("is_pk_candidate"), 1L).otherwise(0L)).as("n_pk_candidates"),
+          sum(when(col("is_fk_candidate"), 1L).otherwise(0L)).as("n_fk_candidates"),
+          sum(when(col("isArray"), 1L).otherwise(0L)).as("n_array_columns"),
+          countDistinct(col("dataType")).as("n_distinct_types"),
+          max(col("numRows")).as("num_rows"))
+    },
+    // P1-P7: key-candidate classification — regex/pattern rules compiled to
+    // Catalyst boolean exprs (schema_analyzer.py:109-218).
+    "q14_key_classification" -> { (s, dir) =>
+      classifiedCols(s, dir)
+        .filter(col("is_pk_candidate") || col("is_fk_candidate"))
+        .select(
+          col("tableName").as("table_name"),
+          col("columnName").as("column_name"),
+          col("dataType").as("data_type"),
+          col("base_name"), col("key_stem"),
+          col("is_pk_candidate"), col("is_fk_candidate"))
+    },
+    // J1-J8 + A6 + W1: the full relationship-detection pipeline.
+    "q15_detect_relationships" -> { (s, dir) =>
+      RelationshipDetector.detect(classifiedCols(s, dir), lakeCustomRules)
+    },
+    // J9/J10/A4/A9: data-level validation of every detected edge — RI
+    // overlap, distribution similarity, weighted confidence, adjustment.
+    "q16_datatest_metrics" -> { (s, dir) =>
+      detectedEdges
+        .map { case (st, sc, tt, tc, conf) =>
+          DataTester
+            .testRelationship(s, dir, st, sc, tt, tc)
+            .withColumn("confidence", lit(conf))
+        }
+        .reduce(_ unionByName _)
+        .transform(DataTester.adjustConfidence(_))
+        .select(
+          col("source_table"), col("source_column"),
+          col("target_table"), col("target_column"),
+          col("ri_ratio"), col("type_compatibility"), col("dist_similarity"),
+          col("overall_confidence"), col("orphan_values"), col("total_src"),
+          col("confidence"), col("data_validated"), col("adjusted_confidence"))
+    })
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ catalogOracleSql
+
+  /** Golden oracle for q13 (static schema facts × live row counts). */
+  private def catalogOracleSql: Map[String, String] = Map(
+    "q13_catalog_summary" ->
+      """WITH s(table_name, n_columns, n_pk_candidates, n_fk_candidates, n_array_columns, n_distinct_types) AS (VALUES
+        | ('region',2,1,0,0,2),('nation',3,1,1,0,2),('customer',5,1,1,0,4),
+        | ('supplier',4,1,1,0,4),('part',6,1,0,0,4),('orders',6,1,1,0,4),
+        | ('lineitem',11,0,3,0,5),('events',6,1,1,0,3),('documents',5,1,0,0,2),
+        | ('embeddings',3,0,1,1,3)),
+        |c(table_name, num_rows) AS (
+        | SELECT 'region', COUNT(*) FROM region UNION ALL
+        | SELECT 'nation', COUNT(*) FROM nation UNION ALL
+        | SELECT 'customer', COUNT(*) FROM customer UNION ALL
+        | SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+        | SELECT 'part', COUNT(*) FROM part UNION ALL
+        | SELECT 'orders', COUNT(*) FROM orders UNION ALL
+        | SELECT 'lineitem', COUNT(*) FROM lineitem UNION ALL
+        | SELECT 'events', COUNT(*) FROM events UNION ALL
+        | SELECT 'documents', COUNT(*) FROM documents UNION ALL
+        | SELECT 'embeddings', COUNT(*) FROM embeddings)
+        |SELECT s.table_name, CAST(n_columns AS BIGINT) AS n_columns,
+        |       CAST(n_pk_candidates AS BIGINT) AS n_pk_candidates,
+        |       CAST(n_fk_candidates AS BIGINT) AS n_fk_candidates,
+        |       CAST(n_array_columns AS BIGINT) AS n_array_columns,
+        |       CAST(n_distinct_types AS BIGINT) AS n_distinct_types,
+        |       c.num_rows
+        |FROM s JOIN c USING (table_name)""".stripMargin,
+    "q14_key_classification" ->
+      """SELECT * FROM (VALUES
+        | ('region','r_regionkey','integer','regionkey','region',true,false),
+        | ('nation','n_nationkey','integer','nationkey','nation',true,false),
+        | ('nation','n_regionkey','integer','regionkey','region',false,true),
+        | ('customer','c_custkey','bigint','custkey','cust',true,false),
+        | ('customer','c_nationkey','integer','nationkey','nation',false,true),
+        | ('supplier','s_suppkey','bigint','suppkey','supp',true,false),
+        | ('supplier','s_nationkey','integer','nationkey','nation',false,true),
+        | ('part','p_partkey','bigint','partkey','part',true,false),
+        | ('orders','o_orderkey','bigint','orderkey','order',true,false),
+        | ('orders','o_custkey','bigint','custkey','cust',false,true),
+        | ('lineitem','l_orderkey','bigint','orderkey','order',false,true),
+        | ('lineitem','l_partkey','bigint','partkey','part',false,true),
+        | ('lineitem','l_suppkey','bigint','suppkey','supp',false,true),
+        | ('events','event_id','bigint','event_id','event',true,false),
+        | ('events','user_id','bigint','user_id','user',false,true),
+        | ('documents','doc_id','bigint','doc_id','doc',true,false),
+        | ('embeddings','vec_id','bigint','vec_id','vec',false,true)
+        |) AS t(table_name, column_name, data_type, base_name, key_stem,
+        |       is_pk_candidate, is_fk_candidate)""".stripMargin,
+    "q15_detect_relationships" ->
+      """SELECT source_table, source_column, target_table, target_column,
+        |       relationship_type, CAST(confidence AS DOUBLE) AS confidence,
+        |       detection_method, is_custom
+        |FROM (VALUES
+        | ('customer','c_nationkey','nation','n_nationkey','many_to_one',0.95,'exact_match',false),
+        | ('events','user_id','customer','c_custkey','many_to_one',0.9,'custom_rule',true),
+        | ('lineitem','l_orderkey','orders','o_orderkey','many_to_one',0.95,'exact_match',false),
+        | ('lineitem','l_partkey','part','p_partkey','many_to_one',0.95,'exact_match',false),
+        | ('lineitem','l_suppkey','supplier','s_suppkey','many_to_one',0.95,'exact_match',false),
+        | ('nation','n_regionkey','region','r_regionkey','many_to_one',0.95,'exact_match',false),
+        | ('orders','o_custkey','customer','c_custkey','many_to_one',0.95,'exact_match',false),
+        | ('supplier','s_nationkey','nation','n_nationkey','many_to_one',0.95,'exact_match',false)
+        |) AS t(source_table, source_column, target_table, target_column,
+        |       relationship_type, confidence, detection_method, is_custom)""".stripMargin,
+    "q16_datatest_metrics" -> datatestOracle)
+
+  /** DuckDB recomputation of q16's metrics per edge — same integer-exact
+    * formulation as DataTester (counts and delta sums are exact integers;
+    * the few final double ops are written in the same order as the Spark
+    * expressions, so results are bit-identical).
+    */
+  private def datatestOracle: String = {
+    val ctes = detectedEdges.zipWithIndex.map { case ((st, sc, tt, tc, _), i) =>
+      s"""a$i AS (SELECT $sc AS v, COUNT(*) AS cnt FROM $st WHERE $sc IS NOT NULL GROUP BY 1),
+         |b$i AS (SELECT $tc AS v, COUNT(*) AS cnt FROM $tt WHERE $tc IS NOT NULL GROUP BY 1),
+         |ta$i AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot_a, COUNT(*) AS n_src FROM a$i),
+         |tb$i AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot_b FROM b$i),
+         |j$i AS (SELECT CAST(SUM(ABS(a$i.cnt*tot_b - b$i.cnt*tot_a)) AS BIGINT) AS delta_sum,
+         |             COUNT(*) AS common
+         |      FROM a$i JOIN b$i USING (v), ta$i, tb$i),
+         |ri$i AS (SELECT COUNT(*) AS matched FROM a$i WHERE v IN (SELECT v FROM b$i))""".stripMargin
+    }
+    val branches = detectedEdges.zipWithIndex.map { case ((st, sc, tt, tc, conf), i) =>
+      s"""SELECT '$st' AS source_table, '$sc' AS source_column,
+         |       '$tt' AS target_table, '$tc' AS target_column,
+         |       CAST(matched AS DOUBLE) / n_src AS ri_ratio,
+         |       CAST(1.0 AS DOUBLE) AS type_compatibility,
+         |       CASE WHEN common = 0 OR n_src = 0 THEN 0.0
+         |            ELSE (1.0 - CAST(delta_sum AS DOUBLE) / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)) / common)
+         |                 * (CAST(common AS DOUBLE) / n_src) END AS dist_similarity,
+         |       LEAST(GREATEST((CAST(matched AS DOUBLE) / n_src) * 0.5 + CAST(1.0 AS DOUBLE) * 0.3 +
+         |             (CASE WHEN common = 0 OR n_src = 0 THEN 0.0
+         |                   ELSE (1.0 - CAST(delta_sum AS DOUBLE) / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)) / common)
+         |                        * (CAST(common AS DOUBLE) / n_src) END) * 0.2, 0.0), 1.0) AS overall_confidence,
+         |       n_src - matched AS orphan_values,
+         |       n_src AS total_src,
+         |       CAST($conf AS DOUBLE) AS confidence
+         |FROM j$i, ri$i, ta$i, tb$i""".stripMargin
+    }
+    ctes.mkString("WITH ", ",\n", ",\n") +
+      branches.mkString("m AS (\n", "\nUNION ALL\n", s"""
+        |)
+        |SELECT *,
+        |  overall_confidence >= 0.7 AS data_validated,
+        |  CASE WHEN overall_confidence >= 0.7 THEN LEAST(confidence + 0.2, 1.0)
+        |       ELSE GREATEST(confidence - 0.3, 0.1) END AS adjusted_confidence
+        |FROM m""".stripMargin)
+  }
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

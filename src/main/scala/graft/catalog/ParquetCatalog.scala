@@ -47,11 +47,23 @@ object ParquetCatalog {
     TableMeta(name, path, "TABLE", toColumnMeta(schema), rows, bytes)
   }
 
+  /** Canonical type names: NTZ/LTZ timestamps collapse to "timestamp",
+    * decimals lose their precision suffix — key analysis cares about type
+    * GROUPS (relationship_detector.py:929-935), not physical variants.
+    */
+  private def canonType(name: String): String = name match {
+    case "long"                         => "bigint"
+    case t if t.startsWith("timestamp") => "timestamp"
+    case t if t.startsWith("decimal")   => "decimal"
+    case t if t.startsWith("varchar") || t == "char" => "string"
+    case t => t
+  }
+
   private def toColumnMeta(schema: StructType): Seq[ColumnMeta] =
     schema.fields.zipWithIndex.map { case (f, i) =>
       val (tpe, isArray) = f.dataType match {
-        case ArrayType(et, _) => (et.typeName, true)
-        case dt               => (dt.typeName, false)
+        case ArrayType(et, _) => (canonType(et.typeName), true)
+        case dt               => (canonType(dt.typeName), false)
       }
       ColumnMeta(f.name, tpe, f.nullable, isArray, i)
     }.toSeq

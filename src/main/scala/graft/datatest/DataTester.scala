@@ -1,0 +1,160 @@
+package graft.datatest
+
+import graft.core.DetectionConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-level relationship validation (SURVEY §2.4 A1-A4, A9-A10; §2.3
+  * J9-J10) — the reference's DataRelationshipTester
+  * (data_relationship_tester.py:42-387) re-expressed as Spark jobs.
+  *
+  * Scale notes (SURVEY §7.4.4): the reference samples each endpoint with a
+  * per-pair `LIMIT n` SQL query. A LIMIT at 100 TB reads one partition's
+  * skew; we use `sample(fraction)` (uniform across partitions) or the full
+  * column — and the distinct-before-join shrinks every shuffle to key
+  * cardinality. Exact distinct can be swapped for HLL
+  * (`approx_count_distinct`) above a cardinality threshold without changing
+  * the interface.
+  */
+object DataTester {
+
+  /** J9 — referential integrity: |distinct src ∩ distinct tgt| /
+    * |distinct src|, orphan values via anti-join
+    * (data_relationship_tester.py:153-177, 91).
+    */
+  def referentialIntegrity(
+      src: DataFrame, srcCol: String,
+      tgt: DataFrame, tgtCol: String): DataFrame = {
+    val s = src.select(col(srcCol).as("v")).where(col("v").isNotNull).distinct()
+    val t = tgt.select(col(tgtCol).as("v")).where(col("v").isNotNull).distinct()
+    val counts = s.join(t, Seq("v"), "left_semi").agg(count(lit(1)).as("matched"))
+      .crossJoin(s.agg(count(lit(1)).as("total_src")))
+    counts.select(
+      when(col("total_src") === 0, 0.0)
+        .otherwise(col("matched").cast("double") / col("total_src")).as("ri_ratio"),
+      (col("total_src") - col("matched")).as("orphan_values"),
+      col("total_src"))
+  }
+
+  /** A1 — per-value relative frequency of one column. The total comes from a
+    * broadcast single-row aggregate, not a global window — no single-partition
+    * stage at scale.
+    */
+  def valueFrequency(df: DataFrame, c: String): DataFrame = {
+    val freq = df.select(col(c).as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    freq.crossJoin(broadcast(freq.agg(sum("cnt").as("total"))))
+      .select(col("v"), col("cnt"), (col("cnt").cast("double") / col("total")).as("p"))
+  }
+
+  /** J10 — distribution similarity: inner-join the two frequency tables on
+    * value; similarity = avg(1 − |p_src − p_tgt|) × common-value coverage
+    * (data_relationship_tester.py:243-284).
+    *
+    * Numerically order-independent: rather than summing per-value double
+    * deltas (whose result depends on partition order), the delta sum is the
+    * exact integer Σ|cntA·totB − cntB·totA| and the final similarity is a
+    * handful of double ops over exact integers — bit-identical on any
+    * cluster and in the DuckDB oracle.
+    */
+  def distributionSimilarity(
+      src: DataFrame, srcCol: String,
+      tgt: DataFrame, tgtCol: String): DataFrame = {
+    def freq(df: DataFrame, c: String) =
+      df.select(col(c).as("v")).where(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val a = freq(src, srcCol)
+    val b = freq(tgt, tgtCol)
+    val ta = broadcast(a.agg(sum("cnt").as("tot_a"), count(lit(1)).as("n_src")))
+    val tb = broadcast(b.agg(sum("cnt").as("tot_b")))
+    a.join(b.withColumnRenamed("cnt", "cnt_b"), Seq("v"))
+      .crossJoin(ta).crossJoin(tb)
+      .agg(
+        sum(abs(col("cnt") * col("tot_b") - col("cnt_b") * col("tot_a"))).as("delta_sum"),
+        count(lit(1)).as("common"),
+        first("tot_a").as("tot_a"), first("tot_b").as("tot_b"),
+        first("n_src").as("n_src"))
+      .select(
+        when(col("common") === 0 || col("n_src") === 0, lit(0.0))
+          .otherwise(
+            (lit(1.0) - col("delta_sum").cast("double") /
+              (col("tot_a").cast("double") * col("tot_b").cast("double")) / col("common")) *
+              (col("common").cast("double") / col("n_src")))
+          .as("dist_similarity"),
+        col("common"), col("n_src"))
+  }
+
+  /** A4 — weighted overall confidence: 0.5·RI + 0.3·type + 0.2·distribution,
+    * clamped to [0,1] (data_relationship_tester.py:300-326).
+    */
+  def overallConfidence(ri: org.apache.spark.sql.Column,
+      typeCompat: org.apache.spark.sql.Column,
+      distSim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(greatest(ri * 0.5 + typeCompat * 0.3 + distSim * 0.2, lit(0.0)), lit(1.0))
+
+  /** A9 — post-test confidence adjustment: pass → min(1, c+boost);
+    * fail → max(0.1, c−penalty) (enhanced_relationship_detector.py:184-195).
+    * Kept as a separate boolean `data_validated` column instead of mutating
+    * relationship_type (the reference's type-unsoundness, SURVEY §2.11).
+    */
+  def adjustConfidence(rels: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame =
+    rels
+      .withColumn("data_validated", col("overall_confidence") >= cfg.dataTestPassThreshold)
+      .withColumn(
+        "adjusted_confidence",
+        when(col("data_validated"), least(col("confidence") + cfg.dataTestBoost, lit(1.0)))
+          .otherwise(greatest(col("confidence") - cfg.dataTestPenalty, lit(0.1))))
+
+  /** A10 — Cochran sample size: n0 = z²·p(1−p)/moe², with finite-population
+    * correction (data_relationship_tester.py:360-387). Pure driver math.
+    */
+  def cochranSampleSize(
+      populationSize: Long,
+      confidenceLevel: Double = 0.95,
+      marginOfError: Double = 0.05): Long = {
+    val z = confidenceLevel match {
+      case cl if cl >= 0.99 => 2.576
+      case cl if cl >= 0.95 => 1.96
+      case _                => 1.645
+    }
+    val p = 0.5
+    val n0 = z * z * p * (1 - p) / (marginOfError * marginOfError)
+    val n = if (populationSize > 0) n0 / (1 + (n0 - 1) / populationSize.toDouble) else n0
+    math.max(1L, math.ceil(n).toLong)
+  }
+
+  /** Test one relationship end-to-end against data: RI + type compatibility
+    * (from the catalog type groups, both endpoints already validated equal)
+    * + distribution similarity → overall confidence.
+    *
+    * `sampleFraction < 1` samples both endpoints uniformly — the scale path
+    * replacing the reference's LIMIT-based sampling.
+    */
+  def testRelationship(
+      spark: SparkSession, dir: String,
+      sourceTable: String, sourceColumn: String,
+      targetTable: String, targetColumn: String,
+      typeCompatible: Boolean = true,
+      sampleFraction: Double = 1.0): DataFrame = {
+    def load(t: String) = {
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      if (sampleFraction < 1.0) df.sample(sampleFraction, seed = 42) else df
+    }
+    val src = load(sourceTable)
+    val tgt = load(targetTable)
+    val ri = referentialIntegrity(src, sourceColumn, tgt, targetColumn)
+    val ds = distributionSimilarity(src, sourceColumn, tgt, targetColumn)
+      .select("dist_similarity")
+    val tc = if (typeCompatible) 1.0 else 0.0
+    ri.crossJoin(ds).select(
+      lit(sourceTable).as("source_table"), lit(sourceColumn).as("source_column"),
+      lit(targetTable).as("target_table"), lit(targetColumn).as("target_column"),
+      col("ri_ratio"),
+      lit(tc).as("type_compatibility"),
+      col("dist_similarity"),
+      overallConfidence(col("ri_ratio"), lit(tc), col("dist_similarity"))
+        .as("overall_confidence"),
+      col("orphan_values"), col("total_src"))
+  }
+}

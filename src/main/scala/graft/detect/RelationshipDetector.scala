@@ -1,0 +1,278 @@
+package graft.detect
+
+import graft.core.{CustomRule, DetectionConfig, DetectionMethod => M, NamingRule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-table relationship detection (SURVEY §2.3 J1-J8).
+  *
+  * The reference detects relationships with five sequential strategies over
+  * Python dicts (relationship_detector.py:39-717). Here each strategy is a
+  * relational join over the classified column catalog, the union of their
+  * outputs is conflict-resolved by a windowed argmax, and the priority
+  * cascade becomes a method-priority rank — order-independent and therefore
+  * deterministic under any partitioning (SURVEY §7.4.2-3).
+  *
+  * Scale: the column catalog is tiny relative to data (even a 10k-table lake
+  * is ~1M rows), so every join here is broadcast-able; Spark's planner picks
+  * BroadcastHashJoin automatically. Nothing in this module touches table
+  * DATA — that's datatest's job.
+  *
+  * Output schema (all strategies):
+  *   source_table, source_column, target_table, target_column,
+  *   relationship_type, confidence, detection_method, is_custom.
+  */
+object RelationshipDetector {
+
+  private val outCols = Seq(
+    "source_table", "source_column", "target_table", "target_column",
+    "relationship_type", "confidence", "detection_method", "is_custom")
+
+  /** Strategy 1 — exact base-name match (J1/J2a analog, confidence 0.95):
+    * an FK-candidate column joins a PK-candidate column in another table on
+    * equal base name + compatible type group: `l_orderkey`(orderkey) →
+    * `o_orderkey`(orderkey). Equi-join on (base_name, type_group) — the
+    * reference's "group by data type first" trick (relationship_detector
+    * .py:444-449) IS this join's hash partitioning.
+    */
+  def exactBaseMatch(cols: DataFrame): DataFrame = {
+    val fk = cols.filter(col("is_fk_candidate"))
+      .select(
+        col("tableName").as("source_table"), col("columnName").as("source_column"),
+        col("base_name"), col("type_group"))
+    val pk = cols.filter(col("is_pk_candidate"))
+      .select(
+        col("tableName").as("target_table"), col("columnName").as("target_column"),
+        col("base_name"), col("type_group"))
+    fk.join(pk, Seq("base_name", "type_group"))
+      .filter(col("source_table") =!= col("target_table"))
+      .withColumn("relationship_type", lit("many_to_one"))
+      .withColumn("confidence", lit(0.95))
+      .withColumn("detection_method", lit(M.ExactMatch))
+      .withColumn("is_custom", lit(false))
+      .select(outCols.map(col): _*)
+  }
+
+  /** Strategy 2 — FK suffix → table-name resolution (J1/J4, confidence 0.8):
+    * strip the key suffix, explode the candidate target-table names
+    * ({stem, stem+s, stem+es, stem-minus-s}), equi-join against the table
+    * catalog, and take the PK (or best-scored key column) of the hit table
+    * (relationship_detector.py:88-120, 535-614).
+    */
+  def suffixTableMatch(cols: DataFrame): DataFrame = {
+    val fk = cols.filter(col("is_fk_candidate") && length(col("key_stem")) >= 2)
+      .select(
+        col("tableName").as("source_table"), col("columnName").as("source_column"),
+        col("key_stem"), col("type_group").as("src_type_group"))
+      .withColumn(
+        "candidate",
+        explode(array_distinct(array(
+          col("key_stem"),
+          concat(col("key_stem"), lit("s")),
+          concat(col("key_stem"), lit("es")),
+          regexp_replace(col("key_stem"), "s$", "")))))
+    // Best key column per target table: PK first, then id/key-named,
+    // REQUIRED breaks ties (J11, relationship_detector.py:583-614).
+    val wBest = Window.partitionBy(col("tableName")).orderBy(
+      col("is_pk_candidate").desc,
+      col("base_name").isin("id", "key").desc,
+      (!col("nullable")).desc,
+      col("ordinal").asc)
+    val targets = cols
+      .filter(col("is_pk_candidate") || col("is_fk_candidate"))
+      .withColumn("best_rk", row_number().over(wBest))
+      .filter(col("best_rk") === 1)
+      .select(
+        col("table_base").as("candidate"),
+        col("tableName").as("target_table"), col("columnName").as("target_column"),
+        col("type_group").as("tgt_type_group"))
+    fk.join(targets, Seq("candidate"))
+      .filter(col("source_table") =!= col("target_table") &&
+        col("src_type_group") === col("tgt_type_group"))
+      .withColumn("relationship_type", lit("many_to_one"))
+      .withColumn("confidence", lit(0.8))
+      .withColumn("detection_method", lit(M.ForeignKey))
+      .withColumn("is_custom", lit(false))
+      .select(outCols.map(col): _*)
+  }
+
+  /** Strategy 3 — data-vault / warehouse prefix patterns (J2, confidence
+    * 0.9): a hub/dim/link column whose stem equals another warehouse table's
+    * base entity (`customer_hk` in `l_order` → `dim_customer`/`h_customer`),
+    * keyed on the `h_/dim_/l_/ref_` prefix vocabulary
+    * (schema_analyzer.py:328-447, relationship_detector.py:260-332).
+    */
+  def dataVaultMatch(cols: DataFrame): DataFrame = {
+    val dvTable = col("tableName").rlike("^(h_|dim_|l_|ref_|fact_|bridge_)")
+    val fk = cols.filter(col("is_fk_candidate")).filter(dvTable)
+      .select(
+        col("tableName").as("source_table"), col("columnName").as("source_column"),
+        col("key_stem"), col("type_group").as("src_type_group"))
+    val pk = cols.filter(col("is_pk_candidate")).filter(dvTable)
+      .select(
+        col("table_base").as("key_stem"),
+        col("tableName").as("target_table"), col("columnName").as("target_column"),
+        col("type_group").as("tgt_type_group"))
+    fk.join(pk, Seq("key_stem"))
+      .filter(col("source_table") =!= col("target_table") &&
+        col("src_type_group") === col("tgt_type_group"))
+      .withColumn("relationship_type", lit("many_to_one"))
+      .withColumn("confidence", lit(0.9))
+      .withColumn("detection_method", lit(M.DataVault))
+      .withColumn("is_custom", lit(false))
+      .select(outCols.map(col): _*)
+  }
+
+  /** Strategy 4 — user naming rules (J7, configured confidence): regex with
+    * capture group 1 + target suffix names the target table
+    * (relationship_detector.py:677-717).
+    */
+  def namingRuleMatch(cols: DataFrame, rules: Seq[NamingRule]): DataFrame = {
+    // Rules are config known at plan time, so each compiles to literal regex
+    // expressions (codegen-friendly, no UDF, no non-literal regexp pattern).
+    val candidates = rules
+      .map { r =>
+        cols.filter(col("is_fk_candidate"))
+          .filter(lower(col("columnName")).rlike(r.pattern))
+          .withColumn(
+            "candidate",
+            concat(regexp_extract(lower(col("columnName")), r.pattern, 1), lit(r.targetSuffix)))
+          .withColumn("rule_confidence", lit(r.confidence))
+      }
+      .reduce(_ unionByName _)
+      .select(
+        col("tableName").as("source_table"), col("columnName").as("source_column"),
+        col("candidate"), col("type_group").as("src_type_group"), col("rule_confidence"))
+    val pk = cols.filter(col("is_pk_candidate"))
+      .select(
+        col("tableName").as("candidate"), col("tableName").as("target_table"),
+        col("columnName").as("target_column"), col("type_group").as("tgt_type_group"))
+    candidates.join(pk, Seq("candidate"))
+      .filter(col("source_table") =!= col("target_table") &&
+        col("src_type_group") === col("tgt_type_group"))
+      .withColumn("relationship_type", lit("many_to_one"))
+      .withColumn("confidence", col("rule_confidence"))
+      .withColumn("detection_method", lit(M.NamingPattern))
+      .withColumn("is_custom", lit(false))
+      .select(outCols.map(col): _*)
+  }
+
+  /** Strategy 5 — explicit custom rules (J6): user-declared edges validated
+    * against the catalog with an inner join to BOTH endpoints
+    * (relationship_detector.py:484-533).
+    */
+  def customRuleMatch(cols: DataFrame, rules: Seq[CustomRule]): DataFrame = {
+    val spark = cols.sparkSession
+    import spark.implicits._
+    val ruleDf = spark.createDataset(rules).toDF()
+    val ends = cols.select(col("tableName"), col("columnName"))
+    ruleDf
+      .join(ends,
+        ruleDf("sourceTable") === ends("tableName") &&
+          ruleDf("sourceColumn") === ends("columnName"), "left_semi")
+      .join(ends,
+        ruleDf("targetTable") === ends("tableName") &&
+          ruleDf("targetColumn") === ends("columnName"), "left_semi")
+      .select(
+        col("sourceTable").as("source_table"), col("sourceColumn").as("source_column"),
+        col("targetTable").as("target_table"), col("targetColumn").as("target_column"),
+        col("relationshipType").as("relationship_type"),
+        col("confidence"),
+        lit(M.CustomRule).as("detection_method"),
+        lit(true).as("is_custom"))
+  }
+
+  /** Strategy 6 — type-compatibility fallback (J5, confidence 0.4): same
+    * type group, both key-named, ≥1 REQUIRED side, across tables. Kept below
+    * min_confidence by default (0.4 < 0.5) exactly as the reference's
+    * filtering drops it unless the threshold is lowered.
+    */
+  def typeCompatMatch(cols: DataFrame): DataFrame = {
+    val keyed = cols.filter(col("is_pk_candidate") || col("is_fk_candidate"))
+    val a = keyed.select(
+      col("tableName").as("source_table"), col("columnName").as("source_column"),
+      col("base_name").as("a_base"), col("type_group"), col("nullable").as("a_null"))
+    val b = keyed.filter(col("is_pk_candidate")).select(
+      col("tableName").as("target_table"), col("columnName").as("target_column"),
+      col("base_name").as("b_base"), col("type_group"), col("nullable").as("b_null"))
+    a.join(b, Seq("type_group"))
+      .filter(col("source_table") =!= col("target_table") &&
+        (col("a_base") === col("b_base") || col("a_base") === lit("id") ||
+          col("b_base") === lit("id")) &&
+        (!col("a_null") || !col("b_null")))
+      .withColumn("relationship_type", lit("many_to_many"))
+      .withColumn("confidence", lit(0.4))
+      .withColumn("detection_method", lit(M.TypeCompat))
+      .withColumn("is_custom", lit(false))
+      .select(outCols.map(col): _*)
+  }
+
+  /** A6 — conflict resolution: one row per (src,srcCol,tgt,tgtCol), keeping
+    * max confidence, custom first on ties (relationship_detector.py:734-761),
+    * with method priority as the final deterministic tie-break.
+    */
+  def resolveConflicts(rels: DataFrame): DataFrame = {
+    val methodRank = M.priority.foldLeft(lit(99)) { case (acc, (m, p)) =>
+      when(col("detection_method") === m, p).otherwise(acc)
+    }
+    val w = Window
+      .partitionBy("source_table", "source_column", "target_table", "target_column")
+      .orderBy(col("confidence").desc, col("is_custom").desc, methodRank.asc)
+    rels.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+  }
+
+  /** W1 — per-source-table top-k by (confidence, method priority), plus the
+    * min-confidence threshold (relationship_detector.py:763-830).
+    */
+  def filterTopK(rels: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
+    val w = Window.partitionBy("source_table").orderBy(
+      col("confidence").desc, col("source_column").asc,
+      col("target_table").asc, col("target_column").asc)
+    rels
+      .filter(col("confidence") >= cfg.minConfidence)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cfg.maxRelationshipsPerTable)
+      .drop("rk")
+  }
+
+  /** Full pipeline: all strategies ∪ → validate → resolve → threshold+top-k.
+    * `cols` must be a KeyClassifier.classify output.
+    */
+  def detect(
+      cols: DataFrame,
+      customRules: Seq[CustomRule] = Nil,
+      namingRules: Seq[NamingRule] = Nil,
+      cfg: DetectionConfig = DetectionConfig()): DataFrame = {
+    var all = exactBaseMatch(cols)
+      .unionByName(suffixTableMatch(cols))
+      .unionByName(dataVaultMatch(cols))
+      .unionByName(typeCompatMatch(cols))
+    if (namingRules.nonEmpty) all = all.unionByName(namingRuleMatch(cols, namingRules))
+    if (customRules.nonEmpty) all = all.unionByName(customRuleMatch(cols, customRules))
+    filterTopK(resolveConflicts(validate(all, cols)), cfg)
+  }
+
+  /** J8 — relationship validation: both endpoints must exist in the catalog
+    * and their type groups must be compatible (relationship_detector
+    * .py:833-941) — two semi-joins against the column catalog.
+    */
+  def validate(rels: DataFrame, cols: DataFrame): DataFrame = {
+    val ends = cols.select(
+      col("tableName"), col("columnName"), col("type_group"))
+    val src = ends
+      .withColumnRenamed("type_group", "src_tg")
+    val tgt = ends
+      .withColumnRenamed("type_group", "tgt_tg")
+    rels
+      .join(src,
+        rels("source_table") === src("tableName") &&
+          rels("source_column") === src("columnName"))
+      .drop("tableName", "columnName")
+      .join(tgt,
+        rels("target_table") === tgt("tableName") &&
+          rels("target_column") === tgt("columnName"))
+      .filter(col("src_tg") === col("tgt_tg"))
+      .select(outCols.map(col): _*)
+  }
+}
