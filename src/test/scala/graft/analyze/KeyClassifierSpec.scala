@@ -1,0 +1,73 @@
+package graft.analyze
+
+import graft.SparkSpec
+import graft.core.ColumnRef
+import org.apache.spark.sql.functions.col
+
+/** Fixtures from FIXTURES.md §1-2 (the reference's de-facto behavioral
+  * spec: test_enhanced_features.py:123-142, test_config.py:22-29).
+  */
+class KeyClassifierSpec extends SparkSpec {
+
+  private def refs(rows: (String, String, String)*): Seq[ColumnRef] =
+    rows.zipWithIndex.map { case ((t, c, dt), i) =>
+      ColumnRef(t, c, dt, nullable = true, isArray = false, ordinal = i, numRows = 100L)
+    }
+
+  private def classify(rows: Seq[ColumnRef]) = {
+    import spark.implicits._
+    KeyClassifier.classify(spark.createDataset(rows).toDF()).cache()
+  }
+
+  test("data-vault fixture: h_customer/dim_customer PKs detected") {
+    val out = classify(refs(
+      ("h_customer", "id", "string"),
+      ("h_customer", "business_key", "string"),
+      ("dim_customer", "customer_id", "string"),
+      ("dim_customer", "name", "string"),
+      ("l_order", "customer_hk", "string"),
+      ("l_order", "order_id", "string")))
+    val pks = out.filter(col("is_pk_candidate"))
+      .select("tableName", "columnName").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pks.contains(("h_customer", "id")))
+    assert(pks.contains(("dim_customer", "customer_id")))
+    assert(pks.contains(("l_order", "order_id"))) // order_id stems l_order's base
+    val fks = out.filter(col("is_fk_candidate"))
+      .select("tableName", "columnName").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fks.contains(("l_order", "customer_hk")))
+    assert(!fks.contains(("dim_customer", "name")))
+  }
+
+  test("e-commerce fixture: users.id PK, orders.customer_id FK") {
+    val out = classify(refs(
+      ("users", "id", "bigint"),
+      ("users", "name", "string"),
+      ("orders", "id", "bigint"),
+      ("orders", "customer_id", "bigint")))
+    assert(out.filter(col("is_pk_candidate")).count() === 2) // both `id`s
+    val fks = out.filter(col("is_fk_candidate"))
+      .select("columnName").collect().map(_.getString(0)).toSet
+    assert(fks === Set("customer_id"))
+  }
+
+  test("REPEATED (array) columns are never key candidates") {
+    import spark.implicits._
+    val rows = Seq(
+      ColumnRef("t", "tag_ids", "bigint", nullable = true, isArray = true, 0, 10L))
+    val out = KeyClassifier.classify(spark.createDataset(rows).toDF())
+    assert(out.filter(col("is_pk_candidate") || col("is_fk_candidate")).count() === 0)
+  }
+
+  test("non-key types are never key candidates") {
+    val out = classify(refs(("t", "amount_id", "double")))
+    assert(out.filter(col("is_pk_candidate") || col("is_fk_candidate")).count() === 0)
+  }
+
+  test("TPC-H style prefixes: o_custkey bases to custkey, stems to cust") {
+    val out = classify(refs(("orders", "o_custkey", "bigint")))
+    val r = out.select("base_name", "key_stem", "is_fk_candidate").collect().head
+    assert(r.getString(0) === "custkey")
+    assert(r.getString(1) === "cust")
+    assert(r.getBoolean(2))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.detect
+
+import graft.SparkSpec
+import graft.analyze.KeyClassifier
+import graft.catalog.ParquetCatalog
+import graft.core.{ColumnRef, CustomRule, DetectionConfig, NamingRule}
+import org.apache.spark.sql.functions.col
+
+class RelationshipDetectorSpec extends SparkSpec {
+
+  private def classified(rows: Seq[ColumnRef]) = {
+    import spark.implicits._
+    KeyClassifier.classify(spark.createDataset(rows).toDF())
+  }
+
+  private def refs(rows: (String, String, String)*): Seq[ColumnRef] =
+    rows.zipWithIndex.map { case ((t, c, dt), i) =>
+      ColumnRef(t, c, dt, nullable = true, isArray = false, ordinal = i, numRows = 100L)
+    }
+
+  private def edges(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+    df.select("source_table", "source_column", "target_table", "target_column")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+  test("end-to-end on sf0.001: the seven TPC-H edges + custom rule") {
+    val cols = KeyClassifier.classify(
+      ParquetCatalog.columnRefs(ParquetCatalog.catalog(spark, sf0001)).toDF())
+    val out = RelationshipDetector.detect(
+      cols, customRules = Seq(CustomRule("events", "user_id", "customer", "c_custkey")))
+    assert(edges(out) === Set(
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("events", "user_id", "customer", "c_custkey")))
+  }
+
+  test("data-vault strategy: link column resolves to hub/dim") {
+    val cols = classified(refs(
+      ("h_customer", "id", "string"),
+      ("dim_customer", "customer_id", "string"),
+      ("l_order", "customer_hk", "string"),
+      ("l_order", "order_id", "string")))
+    val out = RelationshipDetector.dataVaultMatch(cols)
+    val found = edges(out)
+    assert(found.contains(("l_order", "customer_hk", "dim_customer", "customer_id")))
+    assert(found.contains(("l_order", "customer_hk", "h_customer", "id")))
+  }
+
+  test("naming rule: (.+)_id with suffix s resolves orders.customer_id") {
+    val cols = classified(refs(
+      ("customers", "customer_id", "bigint"), // customers PK
+      ("orders", "customer_id", "bigint"),
+      ("orders", "order_id", "bigint")))
+    val out = RelationshipDetector.namingRuleMatch(
+      cols, Seq(NamingRule("^(.+)_id$", "s", 0.8)))
+    assert(edges(out).contains(("orders", "customer_id", "customers", "customer_id")))
+  }
+
+  test("conflict resolution keeps max confidence, custom wins ties") {
+    import spark.implicits._
+    val rels = Seq(
+      ("a", "x", "b", "y", "many_to_one", 0.8, "foreign_key", false),
+      ("a", "x", "b", "y", "many_to_one", 0.95, "exact_match", false),
+      ("a", "x", "b", "y", "many_to_one", 0.95, "custom_rule", true))
+      .toDF("source_table", "source_column", "target_table", "target_column",
+        "relationship_type", "confidence", "detection_method", "is_custom")
+    val out = RelationshipDetector.resolveConflicts(rels).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("detection_method") === "custom_rule")
+  }
+
+  test("top-k caps relationships per source table and applies threshold") {
+    import spark.implicits._
+    val rels = (1 to 5).map(i =>
+      ("src", s"c$i", s"t$i", "id", "many_to_one", 0.5 + i * 0.05, "exact_match", false))
+      .toDF("source_table", "source_column", "target_table", "target_column",
+        "relationship_type", "confidence", "detection_method", "is_custom")
+    val out = RelationshipDetector.filterTopK(rels, DetectionConfig(maxRelationshipsPerTable = 3))
+    assert(out.count() === 3)
+    assert(out.agg(org.apache.spark.sql.functions.min("confidence")).head.getDouble(0) >= 0.6)
+  }
+
+  test("validation drops edges with incompatible endpoint types") {
+    import spark.implicits._
+    val cols = classified(refs(("a", "b_id", "string"), ("b", "b_id", "bigint")))
+    val rels = Seq(("a", "b_id", "b", "b_id", "many_to_one", 0.9, "exact_match", false))
+      .toDF("source_table", "source_column", "target_table", "target_column",
+        "relationship_type", "confidence", "detection_method", "is_custom")
+    assert(RelationshipDetector.validate(rels, cols).count() === 0)
+  }
+}
