@@ -26,7 +26,96 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ catalogQueries
+    coreQueries ++ catalogQueries ++ extQueries
+
+  // --------------------------------------------------------------------
+  // North-star extension queries: text analysis, dedup, similarity search,
+  // event analytics (SURVEY §7.1 ext/). All stay inside WholeStageCodegen
+  // (built-in expressions only) and shuffle digests/keys, never raw text.
+  // --------------------------------------------------------------------
+  private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + quality scoring over documents (length/punct/stopword
+    // heuristics; integer-exact arithmetic → engine-portable).
+    "q17_text_stats" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      TextAnalysis.withQualityMetrics(Tables.documents(s, dir))
+        .select(
+          col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("avg_token_len"), col("alpha_ratio"), col("stopword_ratio"),
+          col("quality_score"))
+    },
+    // Language-ID by marker-token scores, argmax with deterministic ties.
+    "q18_langid" -> { (s, dir) =>
+      import graft.ext.TextAnalysis._
+      val d = Tables.documents(s, dir)
+      val scoreCols = langMarkers.map { case (l, ms) =>
+        langScore(col("text"), ms).as(s"score_$l")
+      }
+      d.select((col("doc_id") +: scoreCols :+ langId(col("text")).as("lang_pred")): _*)
+    },
+    // Content fingerprinting (normalized digest).
+    "q19_fingerprint" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+    // MinHash signatures (4 portable hash functions over 3-shingles) — the
+    // signature stage of minhash-LSH near-dup detection.
+    "q20_minhash_signatures" -> { (s, dir) =>
+      import graft.ext.Dedup
+      Dedup.minhashSignatures(Tables.documents(s, dir), numHashes = 4)
+    },
+    // Exact n-gram Jaccard similarity across a bounded doc slice: the
+    // verify stage of near-dup detection (shingle equi-join, no cross
+    // product).
+    "q21_ngram_jaccard" -> { (s, dir) =>
+      import graft.ext.Dedup
+      Dedup.ngramJaccard(
+        Tables.documents(s, dir).filter(col("doc_id") < 50))
+    },
+    // Embedding near-dup pairs above a cosine threshold.
+    "q22_cosine_pairs" -> { (s, dir) =>
+      import graft.ext.Similarity
+      Similarity.cosinePairsAbove(Tables.embeddings(s, dir), 0.35)
+    },
+    // Brute-force cosine top-k for a probe set (broadcast queries; corpus
+    // streams map-side).
+    "q23_cosine_topk" -> { (s, dir) =>
+      import graft.ext.Similarity
+      val emb = Tables.embeddings(s, dir)
+      Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    },
+    // Tumbling-window event aggregation (hour × event_type).
+    "q24_events_hourly" -> { (s, dir) =>
+      graft.streaming.Sessions.hourlyAgg(Tables.events(s, dir))
+    },
+    // Sessionization: inactivity-gap sessions per user.
+    "q25_sessionize" -> { (s, dir) =>
+      graft.streaming.Sessions.sessionize(Tables.events(s, dir))
+        .select("user_id", "session_idx", "session_start_us", "session_end_us",
+          "n_events", "duration_us")
+    },
+    // Semi-structured extraction: JSON prop aggregated per event type.
+    "q26_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    },
+    // Multi-level aggregation: ROLLUP over status × priority (A7's
+    // quality-report shape).
+    "q27_rollup_report" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+    })
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
@@ -307,7 +396,139 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = coreOracleSql ++ catalogOracleSql
+  def oracleSql: Map[String, String] = coreOracleSql ++ catalogOracleSql ++ extOracleSql
+
+  // ---- ext oracle helpers (DuckDB dialect mirrors of the ext operators) ----
+
+  /** Marker-occurrence count in DuckDB: same length arithmetic as
+    * TextAnalysis.countOccurrences over the space-padded lowered text.
+    */
+  private def dkCount(marker: String): String = {
+    val needle = s" $marker "
+    s"(length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', '$needle', ''))) / ${needle.length}"
+  }
+
+  private def dkLangScore(lang: String): String =
+    graft.ext.TextAnalysis.langMarkers.toMap
+      .apply(lang).map(dkCount).mkString("(", " + ", ")")
+
+  private val dkAllStops: String =
+    graft.ext.TextAnalysis.langMarkers.flatMap(_._2).map(dkCount).mkString("(", " + ", ")")
+
+  /** DuckDB 3-shingle list of `text` split on spaces (distinct), matching
+    * Dedup.shingles(k=3): whole text when under 3 tokens.
+    */
+  private val dkShingles: String =
+    """CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+      |     ELSE list_distinct(list_transform(range(1, len(l)-1),
+      |                                       i -> array_to_string(l[i:i+2], ' ')))
+      |END""".stripMargin
+
+  /** DuckDB portable 60-bit hash matching Dedup.stableHash(seed). */
+  private def dkHash(expr: String, seed: Int): String =
+    s"CAST(('0x'||substr(md5($expr||'#$seed'),1,15)) AS BIGINT)"
+
+  private val dkDot: String =
+    "list_sum(list_transform(list_zip(%A.embedding, %B.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+
+  private def dkNorm(t: String): String =
+    s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+
+  private def dkCosine(a: String, b: String): String =
+    dkDot.replace("%A", a).replace("%B", b) + s" / (${dkNorm(a)} * ${dkNorm(b)})"
+
+  private def extOracleSql: Map[String, String] = Map(
+    "q17_text_stats" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""SELECT doc_id,
+         |  CAST($nt AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - ($nt - 1) AS DOUBLE) / $nt AS avg_token_len,
+         |  CAST($alpha AS DOUBLE) / length(text) AS alpha_ratio,
+         |  $dkAllStops / $nt AS stopword_ratio,
+         |  LEAST(GREATEST(
+         |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0) AS quality_score
+         |FROM documents""".stripMargin
+    },
+    "q18_langid" -> {
+      val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
+      val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")
+      val best = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  CASE $cases ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  $scoreDefs,
+         |  $best AS best
+         |FROM documents)""".stripMargin
+    },
+    "q19_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(text),'[^a-z0-9]','','g')) AS fp FROM documents",
+    "q20_minhash_signatures" -> {
+      val mins = (0 until 4).map(i => s"MIN(${dkHash("shingle", i)}) AS mh$i").mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |s AS (SELECT doc_id, $dkShingles AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s)
+         |SELECT doc_id,
+         |  $mins
+         |FROM e GROUP BY doc_id""".stripMargin
+    },
+    "q21_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 50),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+         |c AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+         |      FROM s a JOIN s b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+         |       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+         |FROM c JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b""".stripMargin,
+    "q22_cosine_pairs" ->
+      s"""SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ROUND(${dkCosine("a", "b")}, 4) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.35""".stripMargin,
+    "q23_cosine_topk" ->
+      s"""SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dkCosine("q", "c")} AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY ${dkCosine("q", "c")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |WHERE rank <= 5""".stripMargin,
+    "q24_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q25_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+        |w AS (SELECT user_id, event_id, tus,
+        |        CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |                  OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |                     > 1800000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, tus,
+        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM w)
+        |SELECT user_id, session_idx, MIN(tus) AS session_start_us,
+        |       MAX(tus) AS session_end_us, COUNT(*) AS n_events,
+        |       MAX(tus) - MIN(tus) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q26_json_extract" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q27_rollup_report" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
 
   /** Golden oracle for q13 (static schema facts × live row counts). */
   private def catalogOracleSql: Map[String, String] = Map(

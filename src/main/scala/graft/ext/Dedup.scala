@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension): exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Scale design:
+  *   - exact dedup shuffles a 16-byte digest, never the document text;
+  *   - MinHash shuffles (doc, band) keys — H·|docs| small rows — and only
+  *     brute-forces WITHIN an LSH bucket (shingle→minhash→band→bucket-join,
+  *     the standard shuffle-light near-dup layout);
+  *   - all hashing is md5-prefix based, so signatures are reproducible in
+  *     any engine (portable oracle), at the cost of ~2× vs xxhash64 — a
+  *     `portableHash=false` switch drops to xxhash64 for production runs.
+  */
+object Dedup {
+
+  /** 60-bit stable hash from the md5 hex prefix — engine-portable
+    * (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT)).
+    */
+  def stableHash(c: Column, seed: Int, portable: Boolean = true): Column =
+    if (portable)
+      conv(substr(md5(concat_ws("#", c, lit(seed))), lit(1), lit(15)), 16, 10).cast("long")
+    else xxhash64(c, lit(seed))
+
+  /** Exact dedup: group by content digest, keep the lowest id
+    * (hash-groupBy; one shuffle of (digest, id) pairs only).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles of a document as a distinct array. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) < k, array(array_join(toks, " ")))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  /** MinHash signatures: explode shingles, one min-aggregate per hash seed.
+    * One shuffle keyed by doc id; H mins computed map-side first.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      shingleK: Int = 3,
+      portable: Boolean = true): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(stableHash(col("shingle"), i, portable)).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
+    * band, and emit (id, band_idx, band_hash) bucket keys.
+    */
+  def lshBuckets(sigs: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", parts: _*)).as("band_hash"))
+    }
+    sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs: docs sharing ≥1 LSH bucket.
+    * The self-join is on (band_idx, band_hash) — only same-bucket docs ever
+    * meet, so the candidate space is bucket-local, not O(n²).
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 3,
+      portable: Boolean = true): DataFrame = {
+    val buckets =
+      lshBuckets(minhashSignatures(docs, textCol, idCol, numHashes, shingleK, portable),
+        idCol, numHashes, rowsPerBand)
+    val a = buckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate (or all) pairs:
+    * |A∩B| / (|A|+|B|−|A∩B|) computed by a shingle-key equi-join — the
+    * shingle join is the hash-partitioned intersection, no cross product.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      minJaccard: Double = 0.0,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = {
+      val joined = sh.select(col("id").as("id_a"), col("shingle"))
+        .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+      val filtered = candidates match {
+        case Some(c) => joined.join(c, Seq("id_a", "id_b"), "left_semi")
+        case None    => joined
+      }
+      filtered.groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    }
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash near-dup end to end: LSH candidates verified by exact Jaccard.
+    * At scale the verify join touches only candidate pairs.
+    */
+  def nearDuplicates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.7): DataFrame = {
+    val cand = minhashCandidates(docs, textCol, idCol)
+    ngramJaccard(docs, textCol, idCol, 3, minJaccard, Some(cand))
+  }
+
+  /** SimHash: 64-bit signature where bit b is the sign of Σ±1 over token
+    * hashes' bit b. Computed as one explode + one aggregation of 64 integer
+    * sums (map-side combined); near-dups are pairs within a Hamming radius.
+    */
+  def simhash(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      portable: Boolean = true): DataFrame = {
+    val toks = docs.select(
+      col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val h = stableHash(col("tok"), 0, portable)
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60)
+      .map(b => when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce((a, c) => a.bitwiseOR(c))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension, SURVEY §0/§7.1 ext/): language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-in expressions (split/regexp/
+  * length arithmetic) — no UDFs — so the whole stage stays inside
+  * WholeStageCodegen and runs at scan speed on 100 TB of documents. All
+  * counting is integer-exact, so results are engine-portable (DuckDB oracle
+  * matches bit-for-bit).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Occurrences of `needle` in `hay` via length arithmetic — integer-exact
+    * and identical in any engine (plain string replace, no regex dialect
+    * drift).
+    */
+  def countOccurrences(hay: Column, needle: String): Column =
+    (length(hay) - length(call_function("replace", hay, lit(needle), lit("")))) /
+      needle.length
+
+  /** Marker vocabulary per language for the n-gram/stopword language-ID
+    * heuristic. Counting is over space-padded text so only whole tokens hit.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Per-language marker-hit score. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m => countOccurrences(padded, s" $m ")).reduce(_ + _)
+  }
+
+  /** Language-ID: argmax of marker scores, "und" (undetermined) when all
+    * zero. Deterministic tie-break by the declaration order of langMarkers.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, l).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: char/token counts, average token length, alphabetic
+    * ratio, stopword ratio — the length/punct/stopword heuristics used to
+    * score web-scraped training text.
+    */
+  def withQualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTokens = tokenCount(t)
+    val nChars = length(t)
+    val alpha = length(regexp_replace(lower(t), "[^a-z]", ""))
+    val stop = langScore(t, langMarkers.flatMap(_._2))
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_chars_measured", nChars)
+      // chars minus separating spaces, over tokens: integer-exact mean len
+      .withColumn(
+        "avg_token_len",
+        (nChars - (nTokens - 1)).cast("double") / nTokens)
+      .withColumn("alpha_ratio", alpha.cast("double") / nChars)
+      .withColumn("stopword_ratio", stop.cast("double") / nTokens)
+      .withColumn(
+        "quality_score",
+        least(
+          greatest(
+            (alpha.cast("double") / nChars) * 0.5 +
+              least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.3 +
+              least(stop.cast("double") / nTokens * 10.0, lit(1.0)) * 0.2,
+            lit(0.0)),
+          lit(1.0)))
+  }
+
+  /** Content fingerprint: digest of the casefolded, alphanumeric-only text —
+    * robust to whitespace/punctuation edits (the "rolling hash" document
+    * fingerprint, portable across engines via md5).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+}
