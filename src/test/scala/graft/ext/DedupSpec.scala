@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = "the quick brown fox jumps over the lazy dog and runs far away home today"
+    val other = "completely different content about spark engines and catalyst optimizers instead"
+    val other2 = "unrelated words describing parquet files and shuffle partitions in clusters"
+    Seq((0L, base), (1L, nearDup), (2L, other), (3L, other2), (4L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 4) // 0 and 4 collapse
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash-LSH finds near-duplicates and skips unrelated docs") {
+    val pairs = Dedup.nearDuplicates(docs, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // identical
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L))) // near-dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(2L) && Set(a, b).contains(3L) })
+  }
+
+  test("ngram jaccard is 1.0 for identical docs, 0 for disjoint") {
+    val j = Dedup.ngramJaccard(docs)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 4L)) === 1.0)
+    assert(!j.contains((2L, 3L))) // no shared shingles -> no joined row
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)))
+  }
+
+  test("minhash signature approximates jaccard (identical docs share all mins)") {
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
+    assert(sigs(0L) === sigs(4L))
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree01 > agree02)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("dot/cosine on known vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(2.0f, 0.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).collect().head
+    assert(r.getDouble(0) === 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: self excluded, ranks deterministic, k respected") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length === 3)
+      assert(!rows.exists(r => r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+      // ranks 1..3 with non-increasing cosine
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recalls a majority of brute-force top-3 neighbours") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val exact = Similarity.bruteForceTopK(emb, emb, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // On near-orthogonal random vectors, collision prob per table is
+    // (1-θ/π)^planes ≈ 0.13 at 4 planes; 8 tables lifts recall past half.
+    val approx = Similarity.lshTopK(emb, k = 3, numPlanes = 4, numTables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("cosinePairsAbove is symmetric-free (a<b) and thresholded") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Similarity.cosinePairsAbove(emb, 0.35).collect()
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(rows.forall(r => r.getAs[Double]("cosine") >= 0.35))
+  }
+}
