@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SparkEntry {
 
+  import graft.analyze.KeyClassifier
+  import graft.catalog.ParquetCatalog
+  import graft.core.CustomRule
+  import graft.datatest.DataTester
+  import graft.detect.RelationshipDetector
+
   /** Exact, order-independent sum of a double column, returned as double. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
@@ -115,6 +121,48 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+    },
+    // F5/S9: incremental change-detection checksums — md5 over the canonical
+    // schema string per table (engine-portable; the anti-join against stored
+    // state is tested in IncrementalStateSpec).
+    "q28_schema_checksums" -> { (s, dir) =>
+      graft.state.IncrementalState.schemaChecksums(ParquetCatalog.catalog(s, dir))
+    },
+    // F10/S11: ERD rendering — mermaid over a 3-table slice of the detected
+    // graph, returned as a single (format, erd) row and golden-checked.
+    "q29_render_mermaid" -> { (s, dir) =>
+      import graft.render.ErdRenderer
+      val scope = Set("region", "nation", "customer")
+      val cat = ParquetCatalog.catalog(s, dir).collect().filter(t => scope(t.tableName))
+      val cols = classifiedCols(s, dir)
+        .filter(col("tableName").isin(scope.toSeq: _*)).cache()
+      def keySet(flag: String) = cols.filter(col(flag))
+        .select("tableName", "columnName").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val rels = RelationshipDetector.detect(cols)
+        .filter(col("source_table").isin(scope.toSeq: _*) &&
+          col("target_table").isin(scope.toSeq: _*))
+        .collect().map(r => graft.core.Relationship(
+          r.getAs[String]("source_table"), r.getAs[String]("source_column"),
+          r.getAs[String]("target_table"), r.getAs[String]("target_column"),
+          r.getAs[String]("relationship_type"), r.getAs[Double]("confidence"),
+          r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
+      val erd = ErdRenderer.mermaid(cat.toSeq, rels.toSeq, keySet("is_pk_candidate"),
+        keySet("is_fk_candidate"))
+      import s.implicits._
+      Seq(("mermaid", erd)).toDF("format", "erd")
+    },
+    // Multimodal: binary asset columns with digest facts + STUB decode
+    // features (deterministic digest-derived pseudo-dimensions).
+    "q30_multimodal_features" -> { (s, dir) =>
+      import graft.ext.Multimodal
+      Multimodal.fakeDecodedFeatures(
+        Multimodal.withContentFacts(
+          Multimodal.documentsAsAssets(Tables.documents(s, dir))))
+        .select(
+          col("asset_id"), col("n_bytes"), col("content_digest"),
+          col("width").cast("int").as("width"), col("height").cast("int").as("height"),
+          col("sharpness"))
     })
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -315,12 +363,6 @@ object SparkEntry {
   // facts of the testdata); data-level metrics are recomputed by DuckDB from
   // the same parquet.
   // --------------------------------------------------------------------
-  import graft.analyze.KeyClassifier
-  import graft.catalog.ParquetCatalog
-  import graft.core.CustomRule
-  import graft.datatest.DataTester
-  import graft.detect.RelationshipDetector
-
   /** Explicit edge the lake's config declares (FIXTURES.md: the
     * events.user_id → customer edge, exercising J6 + data testing).
     */
@@ -528,7 +570,52 @@ object SparkEntry {
     "q27_rollup_report" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q28_schema_checksums" ->
+      """SELECT table_name, md5(canon) AS schema_hash FROM (VALUES
+        | ('region','region|r_regionkey:integer:opt,r_name:string:opt'),
+        | ('nation','nation|n_nationkey:integer:opt,n_name:string:opt,n_regionkey:integer:opt'),
+        | ('customer','customer|c_custkey:bigint:opt,c_name:string:opt,c_nationkey:integer:opt,c_acctbal:double:opt,c_mktsegment:string:opt'),
+        | ('supplier','supplier|s_suppkey:bigint:opt,s_name:string:opt,s_nationkey:integer:opt,s_acctbal:double:opt'),
+        | ('part','part|p_partkey:bigint:opt,p_name:string:opt,p_brand:string:opt,p_type:string:opt,p_size:integer:opt,p_retailprice:double:opt'),
+        | ('orders','orders|o_orderkey:bigint:opt,o_custkey:bigint:opt,o_orderstatus:string:opt,o_totalprice:double:opt,o_orderdate:timestamp:opt,o_orderpriority:string:opt'),
+        | ('lineitem','lineitem|l_orderkey:bigint:opt,l_partkey:bigint:opt,l_suppkey:bigint:opt,l_linenumber:integer:opt,l_quantity:double:opt,l_extendedprice:double:opt,l_discount:double:opt,l_tax:double:opt,l_returnflag:string:opt,l_linestatus:string:opt,l_shipdate:timestamp:opt'),
+        | ('events','events|event_id:bigint:opt,ts:bigint:opt,user_id:bigint:opt,event_type:string:opt,value:double:opt,props:string:opt'),
+        | ('documents','documents|doc_id:bigint:opt,text:string:opt,lang:string:opt,source:string:opt,n_chars:bigint:opt'),
+        | ('embeddings','embeddings|vec_id:bigint:opt,embedding:array<float>:opt,label:integer:opt')
+        |) AS t(table_name, canon)""".stripMargin,
+    "q29_render_mermaid" -> {
+      val erd =
+        """erDiagram
+          |    customer {
+          |        bigint c_custkey PK
+          |        string c_name
+          |        integer c_nationkey FK
+          |        double c_acctbal
+          |        string c_mktsegment
+          |    }
+          |    nation {
+          |        integer n_nationkey PK
+          |        string n_name
+          |        integer n_regionkey FK
+          |    }
+          |    region {
+          |        integer r_regionkey PK
+          |        string r_name
+          |    }
+          |    customer }o--|| nation : "c_nationkey"
+          |    nation }o--|| region : "n_regionkey"
+          |""".stripMargin
+      s"SELECT 'mermaid' AS format, '${erd.replace("'", "''")}' AS erd"
+    },
+    "q30_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_digest,
+        |       CAST(CAST(('0x'||substr(md5(text),1,4)) AS BIGINT) % 1920 + 1 AS INT) AS width,
+        |       CAST(CAST(('0x'||substr(md5(text),5,4)) AS BIGINT) % 1080 + 1 AS INT) AS height,
+        |       CAST(CAST(('0x'||substr(md5(text),9,8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS sharpness
+        |FROM documents""".stripMargin)
 
   /** Golden oracle for q13 (static schema facts × live row counts). */
   private def catalogOracleSql: Map[String, String] = Map(

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.8 idiomatic extension): the
+  * incremental twin of Sessions' batch aggregations — `readStream` over the
+  * events layout, watermarked tumbling windows, and a
+  * mapGroupsWithState-based sessionizer.
+  *
+  * The batch and streaming forms share the same event-time semantics, so the
+  * memory-sink smoke test asserts stream output == batch output on the same
+  * files (processAllAvailable drains the source synchronously).
+  */
+object EventStream {
+
+  /** Events schema as stored (ts is int64 nanos via nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      // glob (not the bare file) so FileStreamSource's basePath is the
+      // directory; in production this is the landing directory itself.
+      .parquet(s"$dir/events.parque*")
+
+  /** Watermarked tumbling-window aggregation: count + sum(value) per
+    * (1 hour window, event_type). Late events beyond 2 hours are dropped at
+    * the state store — bounded state at 100 TB/day rates.
+    */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", Sessions.nsToTimestamp(col("ts")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a streaming aggregation into a named memory sink and drain it. */
+  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(userId: Long, sessionStartUs: Long, sessionEndUs: Long, nEvents: Long)
+
+  /** Stateful sessionization with mapGroupsWithState: per-user session
+    * accumulator keyed by user, closing a session when the inactivity gap
+    * exceeds `gapMinutes` (processing-time flavour of Sessions.sessionize;
+    * emits the LAST open session per user per batch — the demo shape for
+    * KeyValueGroupedDataset state).
+    */
+  def sessionizeStream(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+    events
+      .withColumn("ts_us", Sessions.nsToUs(col("ts")))
+      .select($"user_id", $"ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(sorted.head, sorted.head, 0))
+          sorted.foreach { t =>
+            st =
+              if (st.n == 0L) SessionState(t, t, 1)
+              else if (t - st.end > gapUs) SessionState(t, t, 1) // new session
+              else st.copy(end = t, n = st.n + 1)
+          }
+          state.update(st)
+          SessionOut(user, st.start, st.end, st.n)
+      }
+      .toDF()
+  }
+}
