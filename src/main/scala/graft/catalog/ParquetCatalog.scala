@@ -88,10 +88,18 @@ object ParquetCatalog {
     (rows, bytes)
   }
 
+  // Footer metadata is immutable for a given snapshot directory; memoize
+  // per-dir so repeated catalog queries in one session skip re-reading
+  // footers (the reference's S10 in-memory cache analog for metadata).
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[TableMeta]]()
+
   /** S4: all table schemas as a catalog Dataset. */
   def catalog(spark: SparkSession, dir: String, maxResults: Int = 1000): Dataset[TableMeta] = {
     import spark.implicits._
-    val metas = listTables(dir, maxResults).map(tableMeta(spark, dir, _))
+    val metas = metaCache.computeIfAbsent(
+      s"$dir#$maxResults",
+      _ => listTables(dir, maxResults).map(tableMeta(spark, dir, _)))
     spark.createDataset(metas)
   }
 

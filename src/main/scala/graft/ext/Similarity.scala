@@ -27,6 +27,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Project (id, vector, norm) once per row, so the pairwise stage does ONE
+    * native dot product per pair instead of recomputing casts and norms —
+    * the quadratic inner loop is a codegen'd primitive loop
+    * (graft.functions.DotProduct), no per-pair allocation. The cosine value
+    * (dot / (normA·normB)) is bit-identical to the higher-order
+    * formulation: same element order, same double accumulation.
+    */
+  private def prepared(df: DataFrame, idCol: String, vecCol: String,
+      idAlias: String, vecAlias: String, nrmAlias: String): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col(idCol).as(idAlias), col(vecCol).as(vecAlias))
+      .withColumn(nrmAlias,
+        sqrt(graft.functions.VectorFunctions.dotNative(spark, col(vecAlias), col(vecAlias))))
+  }
+
   /** Exact brute-force top-k neighbours for each query vector.
     *
     * The query side is expected to be small (a probe set) and is broadcast;
@@ -40,13 +55,16 @@ object Similarity {
       k: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = broadcast(prepared(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm"))
+    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_nrm")
+      .repartition(col("neighbor_id")) // spread the stream side across cores
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        (graft.functions.VectorFunctions.dotNative(
+          corpus.sparkSession, col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -122,11 +140,17 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.crossJoin(b)
+    val a = prepared(corpus, idCol, vecCol, "id_a", "v_a", "n_a")
+      .repartition(col("id_a")) // spread the stream side of the BNLJ
+    val b = prepared(corpus, idCol, vecCol, "id_b", "v_b", "n_b")
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("cosine"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(
+          graft.functions.VectorFunctions.dotNative(
+            corpus.sparkSession, col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
