@@ -152,6 +152,40 @@ object SparkEntry {
       import s.implicits._
       Seq(("mermaid", erd)).toDF("format", "erd")
     },
+    // F10 variant: PlantUML dialect over the same 3-table slice.
+    "q31_render_plantuml" -> { (s, dir) =>
+      import graft.render.ErdRenderer
+      val scope = Set("region", "nation", "customer")
+      val cat = ParquetCatalog.catalog(s, dir).collect().filter(t => scope(t.tableName))
+      val cols = classifiedCols(s, dir)
+        .filter(col("tableName").isin(scope.toSeq: _*)).cache()
+      val pks = cols.filter(col("is_pk_candidate"))
+        .select("tableName", "columnName").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val rels = RelationshipDetector.detect(cols)
+        .collect().map(r => graft.core.Relationship(
+          r.getAs[String]("source_table"), r.getAs[String]("source_column"),
+          r.getAs[String]("target_table"), r.getAs[String]("target_column"),
+          r.getAs[String]("relationship_type"), r.getAs[Double]("confidence"),
+          r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
+      import s.implicits._
+      Seq(("plantuml", ErdRenderer.plantUml(cat.toSeq, rels.toSeq, pks)))
+        .toDF("format", "erd")
+    },
+    // SimHash signatures: 60-bit sign-aggregated token hashes (one explode +
+    // one 60-sum aggregation; near-dup = small hamming distance).
+    "q32_simhash" -> { (s, dir) =>
+      import graft.ext.Dedup
+      Dedup.simhash(Tables.documents(s, dir))
+    },
+    // §3.2: the ENHANCED pipeline end-to-end — detect, data-test every edge,
+    // adjust confidence, re-filter on the adjusted value.
+    "q33_enhanced_detect" -> { (s, dir) =>
+      new graft.GraftEngine(s, dir, customRules = lakeCustomRules)
+        .enhancedRelationships()
+        .select("source_table", "source_column", "target_table", "target_column",
+          "detection_method", "data_validated", "adjusted_confidence")
+    },
     // Multimodal: binary asset columns with digest facts + STUB decode
     // features (deterministic digest-derived pseudo-dimensions).
     "q30_multimodal_features" -> { (s, dir) =>
@@ -608,6 +642,70 @@ object SparkEntry {
           |""".stripMargin
       s"SELECT 'mermaid' AS format, '${erd.replace("'", "''")}' AS erd"
     },
+    "q31_render_plantuml" -> {
+      val erd =
+        """@startuml
+          |hide circle
+          |skinparam linetype ortho
+          |
+          |entity customer {
+          |  * c_custkey : bigint
+          |  --
+          |  c_name : string
+          |  c_nationkey : integer
+          |  c_acctbal : double
+          |  c_mktsegment : string
+          |}
+          |
+          |entity nation {
+          |  * n_nationkey : integer
+          |  --
+          |  n_name : string
+          |  n_regionkey : integer
+          |}
+          |
+          |entity region {
+          |  * r_regionkey : integer
+          |  --
+          |  r_name : string
+          |}
+          |
+          |customer }o--|| nation : c_nationkey
+          |nation }o--|| region : n_regionkey
+          |@enduml
+          |""".stripMargin
+      s"SELECT 'plantuml' AS format, '${erd.replace("'", "''")}' AS erd"
+    },
+    "q32_simhash" -> {
+      val sums = (0 until 60)
+        .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val bits = (0 until 60)
+        .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+         |           FROM documents),
+         |h AS (SELECT doc_id, ${dkHash("tok", 0)} AS hv FROM t),
+         |s AS (SELECT doc_id,
+         |    $sums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM s""".stripMargin
+    },
+    "q33_enhanced_detect" ->
+      """SELECT source_table, source_column, target_table, target_column,
+        |       detection_method, is_valid AS data_validated,
+        |       CAST(adj AS DOUBLE) AS adjusted_confidence
+        |FROM (VALUES
+        | ('customer','c_nationkey','nation','n_nationkey','exact_match',true,1.0),
+        | ('events','user_id','customer','c_custkey','custom_rule',true,1.0),
+        | ('lineitem','l_orderkey','orders','o_orderkey','exact_match',true,1.0),
+        | ('lineitem','l_partkey','part','p_partkey','exact_match',true,1.0),
+        | ('lineitem','l_suppkey','supplier','s_suppkey','exact_match',true,1.0),
+        | ('nation','n_regionkey','region','r_regionkey','exact_match',true,1.0),
+        | ('orders','o_custkey','customer','c_custkey','exact_match',true,1.0),
+        | ('supplier','s_nationkey','nation','n_nationkey','exact_match',true,1.0)
+        |) AS t(source_table, source_column, target_table, target_column,
+        |       detection_method, is_valid, adj)""".stripMargin,
     "q30_multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
