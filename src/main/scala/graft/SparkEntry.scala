@@ -186,6 +186,30 @@ object SparkEntry {
         .select("source_table", "source_column", "target_table", "target_column",
           "detection_method", "data_validated", "adjusted_confidence")
     },
+    // W6: analytic window frames — per-customer running order total and
+    // order sequence (rowsBetween frame + lag), deterministic total order.
+    "q34_running_totals" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 100)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          row_number().over(w).as("order_seq"),
+          sum($"o_totalprice".cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_total"),
+          lag($"o_orderkey", 1).over(w).as("prev_orderkey"))
+    },
+    // A7 full shape: CUBE over two dimensions — all four grouping sets in
+    // one pass (the quality report's method × band breakdowns).
+    "q35_cube_report" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+    },
     // Multimodal: binary asset columns with digest facts + STUB decode
     // features (deterministic digest-derived pseudo-dimensions).
     "q30_multimodal_features" -> { (s, dir) =>
@@ -706,6 +730,19 @@ object SparkEntry {
         | ('supplier','s_nationkey','nation','n_nationkey','exact_match',true,1.0)
         |) AS t(source_table, source_column, target_table, target_column,
         |       detection_method, is_valid, adj)""".stripMargin,
+    "q34_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+        |       ROW_NUMBER() OVER w AS order_seq,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |       LAG(o_orderkey, 1) OVER w AS prev_orderkey
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q35_cube_report" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q30_multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
