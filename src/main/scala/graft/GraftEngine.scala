@@ -98,6 +98,20 @@ class GraftEngine(
     IncrementalState.saveState(
       IncrementalState.schemaChecksums(catalog),
       IncrementalState.loadState(spark, statePath), statePath, nowMs)
+
+  /** SQL surface: register every catalog table as a temp view and run ANSI
+    * SQL against the lake — the `spark.sql` face of the engine (views are
+    * lazy; Catalyst still sees the parquet scans for pushdown/pruning).
+    */
+  def sql(query: String): DataFrame = {
+    registerViews()
+    spark.sql(query)
+  }
+
+  def registerViews(): Unit =
+    catalog.collect().foreach { t =>
+      spark.read.parquet(t.path).createOrReplaceTempView(t.tableName)
+    }
 }
 
 /** CLI mirroring the reference's entry point options (main.py:119-151):

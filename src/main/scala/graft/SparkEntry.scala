@@ -210,6 +210,17 @@ object SparkEntry {
         .cube($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
     },
+    // SQL surface: ANSI SQL through GraftEngine.sql over registered lake
+    // views — Catalyst still sees the parquet scans (pushdown intact).
+    "q36_sql_surface" -> { (s, dir) =>
+      new graft.GraftEngine(s, dir).sql(
+        """SELECT c_mktsegment,
+          |       COUNT(*) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON o_custkey = c_custkey
+          |WHERE o_orderstatus <> 'F'
+          |GROUP BY c_mktsegment""".stripMargin)
+    },
     // Multimodal: binary asset columns with digest facts + STUB decode
     // features (deterministic digest-derived pseudo-dimensions).
     "q30_multimodal_features" -> { (s, dir) =>
@@ -743,6 +754,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q36_sql_surface" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin,
     "q30_multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -21,6 +21,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the 2h bound in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String, Double)]
+    val df = source.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+    val agg = EventStream.hourlyAggStream(df)
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("wm_test").start()
+    try {
+      def ns(hour: Long) = hour * 3600L * 1000000000L
+      // batch 1: events at hour 0 and hour 10 -> watermark advances to 8h
+      source.addData((1L, ns(0), "click", 1.0), (2L, ns(10), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event at hour 1 (< watermark) must be dropped;
+      // hour 0's window is already finalized and emitted.
+      source.addData((3L, ns(1), "click", 99.0))
+      q.processAllAvailable()
+      source.addData((4L, ns(20), "click", 1.0)) // push watermark, flush windows
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("hour").getTime / 3600000,
+          r.getAs[Long]("n_events"))).toMap
+      assert(rows.get(0L) === Some(1L)) // late hour-1 event did not resurrect h0..h1 state
+      assert(!rows.contains(1L)) // the late event's own window was never emitted
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits per-user session summaries") {
     import spark.implicits._
     val events = Tables.events(spark, sf0001)
