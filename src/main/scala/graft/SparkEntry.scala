@@ -210,6 +210,16 @@ object SparkEntry {
         .cube($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
     },
+    // W3/W4: ordered limit — compiles to TakeOrderedAndProject (per-partition
+    // top-N + driver merge, no global sort shuffle). Unique sort key keeps
+    // the row set deterministic for the oracle.
+    "q37_ordered_limit" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(20)
+    },
     // SQL surface: ANSI SQL through GraftEngine.sql over registered lake
     // views — Catalyst still sees the parquet scans (pushdown intact).
     "q36_sql_surface" -> { (s, dir) =>
@@ -754,6 +764,9 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q37_ordered_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "q36_sql_surface" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
