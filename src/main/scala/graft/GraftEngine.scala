@@ -29,8 +29,8 @@ class GraftEngine(
 
   lazy val catalog = ParquetCatalog.catalog(spark, dir)
 
-  lazy val classifiedColumns: DataFrame =
-    KeyClassifier.classify(ParquetCatalog.columnRefs(catalog).toDF(), cfg)
+  lazy val classifiedColumns: DataFrame = ParquetCatalog.localized(
+    KeyClassifier.classify(ParquetCatalog.columnRefs(catalog).toDF(), cfg))
 
   /** Name-based detection only (RelationshipDetector path, §3.1 step 4). */
   lazy val relationships: DataFrame =

@@ -231,6 +231,56 @@ object SparkEntry {
           |WHERE o_orderstatus <> 'F'
           |GROUP BY c_mktsegment""".stripMargin)
     },
+    // MinHash+LSH near-dup END TO END: shingle → 16-hash minhash signature →
+    // 4-band LSH → bucket equi-join → candidate pairs → exact-Jaccard verify.
+    // Only same-bucket docs ever meet (no O(n²) pair space), and the verify
+    // join touches candidate pairs only — the 100 TB near-dup layout.
+    "q38_near_dups" -> { (s, dir) =>
+      import graft.ext.Dedup
+      Dedup.nearDuplicates(Tables.documents(s, dir), minJaccard = 0.5)
+    },
+    // F10 variant 3: draw.io mxfile XML over the same 3-table slice.
+    "q39_render_drawio" -> { (s, dir) =>
+      import graft.render.ErdRenderer
+      val scope = Set("region", "nation", "customer")
+      val cat = ParquetCatalog.catalog(s, dir).collect().filter(t => scope(t.tableName))
+      val cols = classifiedCols(s, dir)
+        .filter(col("tableName").isin(scope.toSeq: _*))
+      val rels = RelationshipDetector.detect(cols)
+        .filter(col("source_table").isin(scope.toSeq: _*) &&
+          col("target_table").isin(scope.toSeq: _*))
+        .collect().map(r => graft.core.Relationship(
+          r.getAs[String]("source_table"), r.getAs[String]("source_column"),
+          r.getAs[String]("target_table"), r.getAs[String]("target_column"),
+          r.getAs[String]("relationship_type"), r.getAs[Double]("confidence"),
+          r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
+      import s.implicits._
+      Seq(("drawio", ErdRenderer.drawio(cat.toSeq, rels.toSeq))).toDF("format", "erd")
+    },
+    // ANN scale path: random-hyperplane LSH buckets, brute force WITHIN
+    // buckets only, 2 tables for recall (rows-only check: the plane weights
+    // are engine-side; AnnRecallSpec asserts recall vs exact top-k).
+    "q40_ann_lsh" -> { (s, dir) =>
+      import graft.ext.Similarity
+      Similarity.lshTopK(Tables.embeddings(s, dir), k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    },
+    // BPE-ish pre-tokenization counts next to whitespace counts.
+    "q41_bpe_tokens" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+    },
+    // Order-sensitive polynomial rolling hash (exact-sequence fingerprint).
+    "q42_rolling_fingerprint" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+    },
     // Multimodal: binary asset columns with digest facts + STUB decode
     // features (deterministic digest-derived pseudo-dimensions).
     "q30_multimodal_features" -> { (s, dir) =>
@@ -448,8 +498,17 @@ object SparkEntry {
   private val lakeCustomRules =
     Seq(CustomRule("events", "user_id", "customer", "c_custkey"))
 
+  // Memoized per (session, dir): the classified column catalog feeds many
+  // queries (q13-q16, q29, q31, q33, q39); classification itself is pure
+  // metadata work, so one computed LocalRelation serves them all.
+  private val classifiedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def classifiedCols(s: SparkSession, dir: String): DataFrame =
-    KeyClassifier.classify(ParquetCatalog.columnRefs(ParquetCatalog.catalog(s, dir)).toDF())
+    classifiedCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}#$dir",
+      _ => ParquetCatalog.localized(KeyClassifier.classify(
+        ParquetCatalog.columnRefs(ParquetCatalog.catalog(s, dir)).toDF())))
 
   /** The detected edges the datatest queries validate (kept in sync with
     * q15's golden output).
@@ -558,7 +617,48 @@ object SparkEntry {
   private def dkCosine(a: String, b: String): String =
     dkDot.replace("%A", a).replace("%B", b) + s" / (${dkNorm(a)} * ${dkNorm(b)})"
 
+  /** DuckDB mirror of the q38 near-dup pipeline: same portable hashes, same
+    * 16-hash/4-band layout, same candidate semi-join before the Jaccard
+    * verify.
+    */
+  private def nearDupOracle: String = {
+    val mins = (0 until 16).map(i => s"MIN(${dkHash("shingle", i)}) AS mh$i").mkString(",\n  ")
+    val bandUnion = (0 until 4).map { b =>
+      s"SELECT id, $b AS band_idx, md5(concat_ws('|', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})) AS band_hash FROM mh"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+       |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+       |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+       |mh AS (SELECT id, $mins FROM s GROUP BY id),
+       |bands AS ($bandUnion),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+       |          AND a.band_hash = b.band_hash AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+       |c AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+       |      FROM s a JOIN s b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),
+       |cc AS (SELECT c.* FROM c SEMI JOIN cand USING (id_a, id_b))
+       |SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+       |       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+       |FROM cc JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+       |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5""".stripMargin
+  }
+
   private def extOracleSql: Map[String, String] = Map(
+    "q38_near_dups" -> nearDupOracle,
+    "q41_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+    "q42_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(('0x'||substr(md5(t||'#0'),1,15)) AS BIGINT) % 1000000007)),
+        |    (a, x) -> (a * 1000003 + x) % 1000000007) AS rolling_hash
+        |FROM documents""".stripMargin,
     "q17_text_stats" -> {
       val nt = "len(string_split(text,' '))"
       val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"

@@ -103,15 +103,31 @@ object ParquetCatalog {
     spark.createDataset(metas)
   }
 
+  /** Materialize a small metadata frame into a LocalRelation: catalog-scale
+    * results (classified columns, detected edges) are a few hundred rows, so
+    * pinning them local removes re-execution of their derivation from every
+    * downstream plan that references them more than once.
+    */
+  def localized(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   /** Explode the catalog into one row per (table, column) — the input shape
     * for key classification and relationship detection (SURVEY §2.2 P1).
     */
   def columnRefs(catalog: Dataset[TableMeta]): Dataset[ColumnRef] = {
     val spark = catalog.sparkSession
     import spark.implicits._
-    catalog.flatMap { t =>
+    // The catalog is driver-resident metadata (a LocalRelation over memoized
+    // footer reads) — explode it driver-side into a new LocalRelation rather
+    // than a typed flatMap, so downstream plans see a plain local scan
+    // instead of 12 repeated Deserialize→MapPartitions→Serialize pipelines
+    // (the detect pipeline references this frame from every strategy).
+    val refs = catalog.collect().toSeq.flatMap { t =>
       t.columns.map(c =>
         ColumnRef(t.tableName, c.name, c.dataType, c.nullable, c.isArray, c.ordinal, t.numRows))
     }
+    spark.createDataset(refs)
   }
 }

@@ -91,4 +91,30 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks over casefolded text (the GPT-2 pre-tokenizer shape,
+    * minus byte-level merges). Pure regex → stays in WholeStageCodegen; the
+    * pattern uses only constructs with identical semantics in Java regex and
+    * RE2, so the DuckDB oracle tokenizes identically.
+    */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Order-sensitive polynomial rolling hash over whitespace tokens:
+    * h_i = (h_{i-1}·B + stableHash(tok_i) mod P) mod P. Unlike the set-based
+    * minhash/fingerprint, token *reordering* changes this value — the
+    * document-fingerprinting primitive for exact-sequence dedup. Bounds:
+    * acc < P ≈ 1e9 and B ≈ 1e6 keep acc·B + h < 2^63 (no overflow).
+    */
+  def rollingHash(
+      text: Column, b: Long = 1000003L, p: Long = 1000000007L): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * b + pmod(Dedup.stableHash(t, 0), lit(p)), lit(p)))
 }
