@@ -29,12 +29,27 @@ class GraftEngine(
 
   lazy val catalog = ParquetCatalog.catalog(spark, dir)
 
-  lazy val classifiedColumns: DataFrame = ParquetCatalog.localized(
-    KeyClassifier.classify(ParquetCatalog.columnRefs(catalog).toDF(), cfg))
+  private def memoKey(kind: String): String =
+    s"$kind#${System.identityHashCode(spark)}#$dir#$customRules#$namingRules#$cfg"
 
-  /** Name-based detection only (RelationshipDetector path, §3.1 step 4). */
+  lazy val classifiedColumns: DataFrame =
+    GraftEngine.memo(memoKey("classify")) {
+      ParquetCatalog.localized(
+        KeyClassifier.classify(ParquetCatalog.columnRefs(catalog).toDF(), cfg))
+    }
+
+  /** Name-based detection only (RelationshipDetector path, §3.1 step 4).
+    * Memoized per (session, dir, config) and pinned local — the in-memory
+    * tier of the reference's relationship cache (relationship_cache.py:36-68
+    * keeps a memory map in front of the disk files; its ENHANCED_FEATURES.md
+    * advertises 50-90% faster subsequent runs). Detection is pure
+    * catalog-metadata work, so the result is a few hundred rows at most.
+    */
   lazy val relationships: DataFrame =
-    RelationshipDetector.detect(classifiedColumns, customRules, namingRules, cfg)
+    GraftEngine.memo(memoKey("detect")) {
+      ParquetCatalog.localized(
+        RelationshipDetector.detect(classifiedColumns, customRules, namingRules, cfg))
+    }
 
   /** Enhanced path (§3.2): detection + per-edge data testing + confidence
     * adjustment, keeping edges that survive the threshold on ADJUSTED
@@ -43,20 +58,28 @@ class GraftEngine(
   def enhancedRelationships(sampleFraction: Double = 1.0): DataFrame = {
     val edges = relationships.collect() // post-top-k: tiny
     if (edges.isEmpty) return relationships
-    val tested = edges.toSeq.map { r =>
-      DataTester.testRelationship(
-        spark, dir,
+    import spark.implicits._
+    val metrics = DataTester.testRelationships(
+      spark, dir,
+      edges.toSeq.map(r => (
+        r.getAs[String]("source_table"), r.getAs[String]("source_column"),
+        r.getAs[String]("target_table"), r.getAs[String]("target_column"))),
+      sampleFraction = sampleFraction)
+    val meta = org.apache.spark.sql.functions.broadcast(
+      edges.toSeq.map(r => (
         r.getAs[String]("source_table"), r.getAs[String]("source_column"),
         r.getAs[String]("target_table"), r.getAs[String]("target_column"),
-        typeCompatible = true, sampleFraction)
-        .withColumn("confidence", org.apache.spark.sql.functions.lit(r.getAs[Double]("confidence")))
-        .withColumn("relationship_type",
-          org.apache.spark.sql.functions.lit(r.getAs[String]("relationship_type")))
-        .withColumn("detection_method",
-          org.apache.spark.sql.functions.lit(r.getAs[String]("detection_method")))
-        .withColumn("is_custom",
-          org.apache.spark.sql.functions.lit(r.getAs[Boolean]("is_custom")))
-    }.reduce(_ unionByName _)
+        r.getAs[Double]("confidence"), r.getAs[String]("relationship_type"),
+        r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
+        .toDF("source_table", "source_column", "target_table", "target_column",
+          "confidence", "relationship_type", "detection_method", "is_custom"))
+    // Pin the per-edge metric rows local before the adjust/filter expressions:
+    // the result is ≤ one row per post-top-k edge, and filtering on the
+    // derived confidence over the live plan makes Catalyst inline the whole
+    // metric expression tree into the pushed-down predicate (multi-second
+    // optimizer blow-up for zero runtime benefit).
+    val tested = ParquetCatalog.localized(metrics.join(
+      meta, Seq("source_table", "source_column", "target_table", "target_column")))
     DataTester.adjustConfidence(tested, cfg)
       .filter(col("adjusted_confidence") >= cfg.minConfidence)
   }
@@ -112,6 +135,17 @@ class GraftEngine(
     catalog.collect().foreach { t =>
       spark.read.parquet(t.path).createOrReplaceTempView(t.tableName)
     }
+}
+
+object GraftEngine {
+  // Session-scoped memo for catalog-derived frames (classified columns,
+  // detected edges): the in-memory cache tier of S10. Values are
+  // LocalRelations, so memory cost is bounded by catalog size, not data.
+  private val memoMap =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def memo(key: String)(build: => DataFrame): DataFrame =
+    memoMap.computeIfAbsent(key, _ => build)
 }
 
 /** CLI mirroring the reference's entry point options (main.py:119-151):

@@ -557,13 +557,15 @@ object SparkEntry {
     // J9/J10/A4/A9: data-level validation of every detected edge — RI
     // overlap, distribution similarity, weighted confidence, adjustment.
     "q16_datatest_metrics" -> { (s, dir) =>
-      detectedEdges
-        .map { case (st, sc, tt, tc, conf) =>
-          DataTester
-            .testRelationship(s, dir, st, sc, tt, tc)
-            .withColumn("confidence", lit(conf))
-        }
-        .reduce(_ unionByName _)
+      import s.implicits._
+      val conf = broadcast(detectedEdges
+        .toDF("source_table", "source_column", "target_table", "target_column",
+          "confidence"))
+      DataTester.testRelationships(
+          s, dir,
+          detectedEdges.map { case (st, sc, tt, tc, _) => (st, sc, tt, tc) })
+        .join(conf,
+          Seq("source_table", "source_column", "target_table", "target_column"))
         .transform(DataTester.adjustConfidence(_))
         .select(
           col("source_table"), col("source_column"),
@@ -608,6 +610,15 @@ object SparkEntry {
   private def dkHash(expr: String, seed: Int): String =
     s"CAST(('0x'||substr(md5($expr||'#$seed'),1,15)) AS BIGINT)"
 
+  /** DuckDB mirror of Dedup's universal-hash minhash: same base hash, same
+    * (a_i, b_i) coefficients, same modulus — identical signatures by
+    * construction. `base` must be an expression already reduced mod HashP.
+    */
+  private def dkMinhash(base: String, i: Int): String = {
+    val (a, b) = (graft.ext.Dedup.hashCoeffA(i), graft.ext.Dedup.hashCoeffB(i))
+    s"(($base * $a + $b) % ${graft.ext.Dedup.HashP})"
+  }
+
   private val dkDot: String =
     "list_sum(list_transform(list_zip(%A.embedding, %B.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
 
@@ -622,14 +633,15 @@ object SparkEntry {
     * verify.
     */
   private def nearDupOracle: String = {
-    val mins = (0 until 16).map(i => s"MIN(${dkHash("shingle", i)}) AS mh$i").mkString(",\n  ")
+    val mins = (0 until 16).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
     val bandUnion = (0 until 4).map { b =>
       s"SELECT id, $b AS band_idx, md5(concat_ws('|', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})) AS band_hash FROM mh"
     }.mkString("\n    UNION ALL ")
     s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
        |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
        |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
-       |mh AS (SELECT id, $mins FROM s GROUP BY id),
+       |hb AS (SELECT id, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM s),
+       |mh AS (SELECT id, $mins FROM hb GROUP BY id),
        |bands AS ($bandUnion),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx
@@ -688,13 +700,14 @@ object SparkEntry {
     "q19_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text),'[^a-z0-9]','','g')) AS fp FROM documents",
     "q20_minhash_signatures" -> {
-      val mins = (0 until 4).map(i => s"MIN(${dkHash("shingle", i)}) AS mh$i").mkString(",\n  ")
+      val mins = (0 until 4).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
          |s AS (SELECT doc_id, $dkShingles AS sh FROM t),
-         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s)
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |hb AS (SELECT doc_id, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM e)
          |SELECT doc_id,
          |  $mins
-         |FROM e GROUP BY doc_id""".stripMargin
+         |FROM hb GROUP BY doc_id""".stripMargin
     },
     "q21_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 50),

@@ -148,64 +148,116 @@ object DataTester {
     math.max(1L, math.ceil(n).toLong)
   }
 
-  /** Test one relationship end-to-end against data: RI + type compatibility
-    * (from the catalog type groups, both endpoints already validated equal)
-    * + distribution similarity → overall confidence.
+  /** Data-test a SET of relationships as ONE Spark plan (SURVEY §7.4.4).
     *
-    * One shared plan serves BOTH metrics: the per-value frequency tables of
-    * the two endpoints are aggregated once each, and their inner join yields
-    * `common` — which IS the referential-integrity intersection
-    * |distinct(src) ∩ distinct(tgt)| — alongside the distribution delta sum.
-    * Versus computing RI and similarity independently (2 distincts + a
-    * semi-join + 2 groupBys + a second join), this halves the shuffle/stage
-    * count per tested edge; at thousands of candidate edges on a cluster
-    * that's the difference between one pass and two over every endpoint.
+    * The reference issues one sampling SQL query per relationship endpoint
+    * (data_relationship_tester.py:115-121) — at thousands of candidate edges
+    * over 100 TB that re-reads the same fact table once per edge. Here:
     *
-    * `sampleFraction < 1` samples both endpoints uniformly — the scale path
-    * replacing the reference's LIMIT-based sampling.
+    *   1. every distinct table is scanned ONCE, projected to just its tested
+    *      columns, stacked into (table, column, value) rows, and aggregated
+    *      into per-column frequency tables in a single shuffle keyed
+    *      (t, c, v) — values cast to string for the heterogeneous stack (the
+    *      cast is injective per column, so per-edge counts are unchanged);
+    *   2. a broadcast edges table routes each frequency row to the edges
+    *      using it as source (a-side) / target (b-side);
+    *   3. ONE (edge_id, v) equi-join + ONE groupBy(edge_id) yields, per edge,
+    *      `common` = |distinct src ∩ distinct tgt| (the referential-integrity
+    *      intersection, J9) AND the exact-integer distribution delta sum
+    *      (J10) in the same pass.
+    *
+    * Shuffle count is CONSTANT in the number of edges (~5), versus ~4 per
+    * edge for naive per-pair testing — the difference between one pass and
+    * thousands over every endpoint on a cluster.
+    *
+    * `sampleFraction < 1` samples every endpoint uniformly — the scale path
+    * replacing the reference's LIMIT-based sampling (partition-skew-free).
+    *
+    * Numerics: counts and delta sums are exact integers; the few final
+    * double ops are written in the same order as the DuckDB oracle, so
+    * results are bit-identical on any cluster.
     */
+  def testRelationships(
+      spark: SparkSession, dir: String,
+      edges: Seq[(String, String, String, String)],
+      typeCompatible: Boolean = true,
+      sampleFraction: Double = 1.0): DataFrame = {
+    require(edges.nonEmpty, "testRelationships needs at least one edge")
+    import spark.implicits._
+    val edgeDf = edges.zipWithIndex.map { case ((st, sc, tt, tc), i) =>
+      (i, st, sc, tt, tc)
+    }.toDF("edge_id", "source_table", "source_column", "target_table", "target_column")
+
+    val needed: Map[String, Seq[String]] = edges
+      .flatMap { case (st, sc, tt, tc) => Seq(st -> sc, tt -> tc) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+
+    // 1. one scan per table → (t, c, v, cnt) for every tested column
+    val stacked = needed.map { case (t, cols0) =>
+      val df0 = spark.read.parquet(s"$dir/$t.parquet")
+      val df = if (sampleFraction < 1.0) df0.sample(sampleFraction, seed = 42) else df0
+      val pairs = cols0.map(c => struct(lit(c).as("c"), col(c).cast("string").as("v")))
+      df.select(explode(array(pairs: _*)).as("p"))
+        .select(lit(t).as("t"), col("p.c").as("c"), col("p.v").as("v"))
+        .where(col("v").isNotNull)
+        .groupBy("t", "c", "v").agg(count(lit(1)).as("cnt"))
+    }.reduce(_ unionByName _)
+
+    // 2. route frequency rows to the edges that use them
+    val aSide = stacked.join(
+        broadcast(edgeDf),
+        col("t") === col("source_table") && col("c") === col("source_column"))
+      .select(col("edge_id"), col("v"), col("cnt").as("cnt_a"))
+    val bSide = stacked.join(
+        broadcast(edgeDf),
+        col("t") === col("target_table") && col("c") === col("target_column"))
+      .select(col("edge_id"), col("v"), col("cnt").as("cnt_b"))
+
+    val aTot = aSide.groupBy("edge_id")
+      .agg(sum("cnt_a").as("tot_a"), count(lit(1)).as("n_src"))
+    val bTot = bSide.groupBy("edge_id").agg(sum("cnt_b").as("tot_b"))
+
+    // 3. one value join + one per-edge aggregate → RI ∩ and delta sum
+    val overlap = aSide.join(bSide, Seq("edge_id", "v"))
+      .join(broadcast(aTot.select(col("edge_id"), col("tot_a"))), Seq("edge_id"))
+      .join(broadcast(bTot), Seq("edge_id"))
+      .groupBy("edge_id")
+      .agg(
+        count(lit(1)).as("common"),
+        sum(abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))).as("delta_sum"))
+
+    val tc = lit(if (typeCompatible) 1.0 else 0.0)
+    val base = broadcast(edgeDf)
+      .join(aTot, Seq("edge_id"), "left")
+      .join(bTot, Seq("edge_id"), "left")
+      .join(overlap, Seq("edge_id"), "left")
+      .na.fill(0L, Seq("n_src", "common", "delta_sum", "tot_a", "tot_b"))
+    val ri = when(col("n_src") === 0, 0.0)
+      .otherwise(col("common").cast("double") / col("n_src"))
+    val distSim = when(col("common") === 0 || col("n_src") === 0, lit(0.0))
+      .otherwise(
+        (lit(1.0) - col("delta_sum").cast("double") /
+          (col("tot_a").cast("double") * col("tot_b").cast("double")) / col("common")) *
+          (col("common").cast("double") / col("n_src")))
+    base.select(
+      col("source_table"), col("source_column"),
+      col("target_table"), col("target_column"),
+      ri.as("ri_ratio"),
+      tc.as("type_compatibility"),
+      distSim.as("dist_similarity"),
+      overallConfidence(ri, tc, distSim).as("overall_confidence"),
+      (col("n_src") - col("common")).as("orphan_values"),
+      col("n_src").as("total_src"))
+  }
+
+  /** Single-edge convenience wrapper over the batched plan. */
   def testRelationship(
       spark: SparkSession, dir: String,
       sourceTable: String, sourceColumn: String,
       targetTable: String, targetColumn: String,
       typeCompatible: Boolean = true,
-      sampleFraction: Double = 1.0): DataFrame = {
-    def load(t: String) = {
-      val df = spark.read.parquet(s"$dir/$t.parquet")
-      if (sampleFraction < 1.0) df.sample(sampleFraction, seed = 42) else df
-    }
-    def freq(df: DataFrame, c: String, cnt: String) =
-      df.select(col(c).as("v")).where(col("v").isNotNull)
-        .groupBy("v").agg(count(lit(1)).as(cnt))
-    val a = freq(load(sourceTable), sourceColumn, "cnt_a")
-    val b = freq(load(targetTable), targetColumn, "cnt_b")
-    val ta = broadcast(a.agg(sum("cnt_a").as("tot_a"), count(lit(1)).as("n_src")))
-    val tb = broadcast(b.agg(sum("cnt_b").as("tot_b")))
-    val joined = a.join(b, Seq("v"))
-      .crossJoin(ta).crossJoin(tb)
-      .agg(
-        count(lit(1)).as("common"), // = |distinct src ∩ distinct tgt|
-        sum(abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))).as("delta_sum"),
-        first("tot_a").as("tot_a"), first("tot_b").as("tot_b"),
-        first("n_src").as("n_src"))
-      // outer-join shape when the intersection is empty: keep totals
-      .crossJoin(broadcast(ta.select(col("n_src").as("n_src_all"))))
-    val tc = if (typeCompatible) 1.0 else 0.0
-    val ri = when(col("n_src_all") === 0, 0.0)
-      .otherwise(col("common").cast("double") / col("n_src_all"))
-    val distSim = when(col("common") === 0 || col("n_src_all") === 0, lit(0.0))
-      .otherwise(
-        (lit(1.0) - col("delta_sum").cast("double") /
-          (col("tot_a").cast("double") * col("tot_b").cast("double")) / col("common")) *
-          (col("common").cast("double") / col("n_src_all")))
-    joined.select(
-      lit(sourceTable).as("source_table"), lit(sourceColumn).as("source_column"),
-      lit(targetTable).as("target_table"), lit(targetColumn).as("target_column"),
-      ri.as("ri_ratio"),
-      lit(tc).as("type_compatibility"),
-      distSim.as("dist_similarity"),
-      overallConfidence(ri, lit(tc), distSim).as("overall_confidence"),
-      (col("n_src_all") - col("common")).as("orphan_values"),
-      col("n_src_all").as("total_src"))
-  }
+      sampleFraction: Double = 1.0): DataFrame =
+    testRelationships(
+      spark, dir, Seq((sourceTable, sourceColumn, targetTable, targetColumn)),
+      typeCompatible, sampleFraction)
 }

@@ -43,8 +43,19 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(k)), " "))))
   }
 
-  /** MinHash signatures: explode shingles, one min-aggregate per hash seed.
-    * One shuffle keyed by doc id; H mins computed map-side first.
+  /** Universal-hash family over one base hash: h_i(x) = (a_i·(base(x) mod P)
+    * + b_i) mod P. One md5 per shingle instead of `numHashes` md5s — the
+    * standard minhash trick; at 100 TB the signature stage is hash-bound, so
+    * this is a ~H× cut in per-shingle CPU. Coefficients are deterministic
+    * functions of i, shared verbatim with the DuckDB oracle.
+    */
+  val HashP = 1000000007L
+  def hashCoeffA(i: Int): Long = ((i + 1L) * 2654435761L) % HashP
+  def hashCoeffB(i: Int): Long = ((i + 1L) * 40503L * 65537L) % HashP
+
+  /** MinHash signatures: explode shingles, one base hash per shingle, H
+    * derived universal hashes, one min-aggregate per hash index. One shuffle
+    * keyed by doc id; H mins computed map-side first.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -55,8 +66,9 @@ object Dedup {
       portable: Boolean = true): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("shingle"))
+      .select(col(idCol), pmod(stableHash(col("shingle"), 0, portable), lit(HashP)).as("hb"))
     val mins = (0 until numHashes).map(i =>
-      min(stableHash(col("shingle"), i, portable)).as(s"mh$i"))
+      min(pmod(col("hb") * hashCoeffA(i) + hashCoeffB(i), lit(HashP))).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -107,28 +119,46 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 3,
       minJaccard: Double = 0.0,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = {
-      val joined = sh.select(col("id").as("id_a"), col("shingle"))
+      candidates: Option[DataFrame] = None): DataFrame = candidates match {
+    case Some(cand) =>
+      // Candidate-verify path: join each candidate pair to the two docs'
+      // shingle ARRAYS and intersect per pair. Cost is O(|candidates|·|doc
+      // shingles|) — never the global pair space, so a hot shingle shared by
+      // 10k docs costs nothing unless LSH already bucketed those docs
+      // together. This is what makes verify affordable after LSH at 100 TB.
+      val arrays = docs.select(
+        col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      val a = arrays.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = arrays.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
+          size(col("sh_a")).cast("long").as("n_a"),
+          size(col("sh_b")).cast("long").as("n_b"))
+        .withColumn(
+          "jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+    case None =>
+      // All-pairs path (small scopes): the shingle equi-join IS the
+      // hash-partitioned intersection — pairs sharing no shingle never meet.
+      val sh = docs
+        .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("shingle"))
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val common = sh.select(col("id").as("id_a"), col("shingle"))
         .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
-      val filtered = candidates match {
-        case Some(c) => joined.join(c, Seq("id_a", "id_b"), "left_semi")
-        case None    => joined
-      }
-      filtered.groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    }
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+        .withColumn(
+          "jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
   /** MinHash near-dup end to end: LSH candidates verified by exact Jaccard.
