@@ -266,6 +266,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     },
+    // ANN scale path 2: inverted-file (IVF) — deterministic coarse
+    // quantizer, nearest-cell assignment, nprobe-cell search (rows-only
+    // check: centroids are engine-side; SimilaritySpec asserts recall).
+    "q43_ann_ivf" -> { (s, dir) =>
+      import graft.ext.Similarity
+      Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    },
     // BPE-ish pre-tokenization counts next to whitespace counts.
     "q41_bpe_tokens" -> { (s, dir) =>
       import graft.ext.TextAnalysis

@@ -112,7 +112,14 @@ case class DetectionConfig(
     keyDataTypes: Set[String] = Set("integer", "bigint", "string", "binary"),
     dataTestPassThreshold: Double = 0.7,
     dataTestBoost: Double = 0.2,
-    dataTestPenalty: Double = 0.3)
+    dataTestPenalty: Double = 0.3,
+    // W1 filter semantics (relationship_detector.py:763-830 +
+    // relationship_patterns.json:254-261): "meaningful" = preferred method OR
+    // confidence ≥ 0.5 (the 0.5 is hardcoded in the reference); tables left
+    // with < backfillMin meaningful edges are backfilled from the
+    // ≥ minConfidence remainder in confidence order.
+    preferredMethods: Seq[String] = Seq("enhanced_pk_fk", "data_vault_pattern"),
+    backfillMin: Int = 2)
 
 object DetectionMethod {
   val ExactMatch = "exact_match" // confidence 0.95

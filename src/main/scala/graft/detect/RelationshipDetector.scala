@@ -222,18 +222,47 @@ object RelationshipDetector {
     rels.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
   }
 
-  /** W1 — per-source-table top-k by (confidence, method priority), plus the
-    * min-confidence threshold (relationship_detector.py:763-830).
+  /** W1+W2 — the reference's full filter (relationship_detector.py:763-830),
+    * set-oriented and deterministic (SURVEY §7.4.2: Python list order becomes
+    * an explicit total order — confidence desc, then name asc):
+    *
+    *   1. rank edges per source table; keep the top `maxRelationshipsPerTable`
+    *      that clear `minConfidence` AND are "meaningful" (preferred detection
+    *      method, or confidence ≥ 0.5 — the 0.5 is hardcoded in the
+    *      reference at :806-808);
+    *   2. backfill tables left with < `backfillMin` meaningful edges from the
+    *      ≥ minConfidence remainder, in rank order (:811-816);
+    *   3. keep the first edge per (source_table, target_table) pair (:822-828).
     */
   def filterTopK(rels: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
-    val w = Window.partitionBy("source_table").orderBy(
+    val order = Seq(
       col("confidence").desc, col("source_column").asc,
       col("target_table").asc, col("target_column").asc)
-    rels
+    val wTable = Window.partitionBy("source_table").orderBy(order: _*)
+    val ranked = rels
       .filter(col("confidence") >= cfg.minConfidence)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= cfg.maxRelationshipsPerTable)
-      .drop("rk")
+      .withColumn("rk", row_number().over(wTable))
+    val isMeaningful =
+      col("detection_method").isin(cfg.preferredMethods: _*) || col("confidence") >= 0.5
+    val meaningful = ranked
+      .filter(col("rk") <= cfg.maxRelationshipsPerTable && isMeaningful)
+    // 2. backfill: tables with < backfillMin meaningful edges take the best
+    // remaining threshold-clearing edges until they reach backfillMin.
+    val counts = meaningful.groupBy("source_table").agg(count(lit(1)).as("n_kept"))
+    val edgeKey = Seq("source_table", "source_column", "target_table", "target_column")
+    val remainder = ranked
+      .join(meaningful.select(edgeKey.map(col): _*), edgeKey, "left_anti")
+      .withColumn("brk",
+        row_number().over(Window.partitionBy("source_table").orderBy(order: _*)))
+      .join(counts, Seq("source_table"), "left")
+      .na.fill(0, Seq("n_kept"))
+      .filter(col("n_kept") + col("brk") <= cfg.backfillMin)
+      .drop("brk", "n_kept")
+    val kept = meaningful.drop("rk").unionByName(remainder.drop("rk"))
+    // 3. W2 — first edge per (source, target) pair in the same total order.
+    val wPair = Window.partitionBy("source_table", "target_table").orderBy(order: _*)
+    kept.withColumn("prk", row_number().over(wPair))
+      .filter(col("prk") === 1).drop("prk")
   }
 
   /** Full pipeline: all strategies ∪ → validate → resolve → threshold+top-k.

