@@ -132,44 +132,17 @@ object SparkEntry {
     // graph, returned as a single (format, erd) row and golden-checked.
     "q29_render_mermaid" -> { (s, dir) =>
       import graft.render.ErdRenderer
-      val scope = Set("region", "nation", "customer")
-      val cat = ParquetCatalog.catalog(s, dir).collect().filter(t => scope(t.tableName))
-      val cols = classifiedCols(s, dir)
-        .filter(col("tableName").isin(scope.toSeq: _*)).cache()
-      def keySet(flag: String) = cols.filter(col(flag))
-        .select("tableName", "columnName").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-      val rels = RelationshipDetector.detect(cols)
-        .filter(col("source_table").isin(scope.toSeq: _*) &&
-          col("target_table").isin(scope.toSeq: _*))
-        .collect().map(r => graft.core.Relationship(
-          r.getAs[String]("source_table"), r.getAs[String]("source_column"),
-          r.getAs[String]("target_table"), r.getAs[String]("target_column"),
-          r.getAs[String]("relationship_type"), r.getAs[Double]("confidence"),
-          r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
-      val erd = ErdRenderer.mermaid(cat.toSeq, rels.toSeq, keySet("is_pk_candidate"),
-        keySet("is_fk_candidate"))
+      val m = renderModel(s, dir)
       import s.implicits._
-      Seq(("mermaid", erd)).toDF("format", "erd")
+      Seq(("mermaid", ErdRenderer.mermaid(m.tables, m.rels, m.pks, m.fks)))
+        .toDF("format", "erd")
     },
     // F10 variant: PlantUML dialect over the same 3-table slice.
     "q31_render_plantuml" -> { (s, dir) =>
       import graft.render.ErdRenderer
-      val scope = Set("region", "nation", "customer")
-      val cat = ParquetCatalog.catalog(s, dir).collect().filter(t => scope(t.tableName))
-      val cols = classifiedCols(s, dir)
-        .filter(col("tableName").isin(scope.toSeq: _*)).cache()
-      val pks = cols.filter(col("is_pk_candidate"))
-        .select("tableName", "columnName").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-      val rels = RelationshipDetector.detect(cols)
-        .collect().map(r => graft.core.Relationship(
-          r.getAs[String]("source_table"), r.getAs[String]("source_column"),
-          r.getAs[String]("target_table"), r.getAs[String]("target_column"),
-          r.getAs[String]("relationship_type"), r.getAs[Double]("confidence"),
-          r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
+      val m = renderModel(s, dir)
       import s.implicits._
-      Seq(("plantuml", ErdRenderer.plantUml(cat.toSeq, rels.toSeq, pks)))
+      Seq(("plantuml", ErdRenderer.plantUml(m.tables, m.rels, m.pks)))
         .toDF("format", "erd")
     },
     // SimHash signatures: 60-bit sign-aggregated token hashes (one explode +
@@ -242,20 +215,9 @@ object SparkEntry {
     // F10 variant 3: draw.io mxfile XML over the same 3-table slice.
     "q39_render_drawio" -> { (s, dir) =>
       import graft.render.ErdRenderer
-      val scope = Set("region", "nation", "customer")
-      val cat = ParquetCatalog.catalog(s, dir).collect().filter(t => scope(t.tableName))
-      val cols = classifiedCols(s, dir)
-        .filter(col("tableName").isin(scope.toSeq: _*))
-      val rels = RelationshipDetector.detect(cols)
-        .filter(col("source_table").isin(scope.toSeq: _*) &&
-          col("target_table").isin(scope.toSeq: _*))
-        .collect().map(r => graft.core.Relationship(
-          r.getAs[String]("source_table"), r.getAs[String]("source_column"),
-          r.getAs[String]("target_table"), r.getAs[String]("target_column"),
-          r.getAs[String]("relationship_type"), r.getAs[Double]("confidence"),
-          r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
+      val m = renderModel(s, dir)
       import s.implicits._
-      Seq(("drawio", ErdRenderer.drawio(cat.toSeq, rels.toSeq))).toDF("format", "erd")
+      Seq(("drawio", ErdRenderer.drawio(m.tables, m.rels))).toDF("format", "erd")
     },
     // ANN scale path: random-hyperplane LSH buckets, brute force WITHIN
     // buckets only, 2 tables for recall (rows-only check: the plane weights
@@ -514,10 +476,47 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def classifiedCols(s: SparkSession, dir: String): DataFrame =
-    classifiedCache.computeIfAbsent(
+    classifiedCache.compute(
+      s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}#$dir",
+      (_, cached) =>
+        if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+        else ParquetCatalog.localized(KeyClassifier.classify(
+          ParquetCatalog.columnRefs(ParquetCatalog.catalog(s, dir)).toDF())))
+
+  /** Shared render-model slice for q29/q31/q39: the three ERD dialects render
+    * the SAME detected subgraph, so the scoped detect runs once per
+    * (session, dir) — mirroring the engine's renderErd path, where one
+    * collect feeds all driver-side formatters (SURVEY §3.1 steps 5-6).
+    */
+  private case class RenderModel(
+      tables: Seq[graft.core.TableMeta], rels: Seq[graft.core.Relationship],
+      pks: Set[(String, String)], fks: Set[(String, String)])
+
+  private val renderModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, RenderModel]()
+
+  private def renderModel(s: SparkSession, dir: String): RenderModel =
+    renderModelCache.computeIfAbsent(
       s"${System.identityHashCode(s)}#$dir",
-      _ => ParquetCatalog.localized(KeyClassifier.classify(
-        ParquetCatalog.columnRefs(ParquetCatalog.catalog(s, dir)).toDF())))
+      _ => {
+        val scope = Set("region", "nation", "customer")
+        val cat = ParquetCatalog.catalog(s, dir).collect().toSeq
+          .filter(t => scope(t.tableName))
+        val cols = ParquetCatalog.localized(
+          classifiedCols(s, dir).filter(col("tableName").isin(scope.toSeq: _*)))
+        def keySet(flag: String) = cols.filter(col(flag))
+          .select("tableName", "columnName").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        val rels = RelationshipDetector.detect(cols)
+          .filter(col("source_table").isin(scope.toSeq: _*) &&
+            col("target_table").isin(scope.toSeq: _*))
+          .collect().toSeq.map(r => graft.core.Relationship(
+            r.getAs[String]("source_table"), r.getAs[String]("source_column"),
+            r.getAs[String]("target_table"), r.getAs[String]("target_column"),
+            r.getAs[String]("relationship_type"), r.getAs[Double]("confidence"),
+            r.getAs[String]("detection_method"), r.getAs[Boolean]("is_custom")))
+        RenderModel(cat, rels, keySet("is_pk_candidate"), keySet("is_fk_candidate"))
+      })
 
   /** The detected edges the datatest queries validate (kept in sync with
     * q15's golden output).
