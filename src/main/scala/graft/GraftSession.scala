@@ -19,6 +19,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Catalyst extensions: approx-distinct rewrite rule (off unless
+      // spark.graft.approxDistinct.enabled) + graft_dot SQL function.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // testdata events.ts is parquet timestamp[ns], which Spark refuses by
       // default; read as long (nanos) and convert explicitly where needed.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -50,4 +50,37 @@ class PlanSpec extends SparkSpec {
     val p = plan("q15_detect_relationships")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q16: batched data test scans each table once, no cartesian products") {
+    val p = plan("q16_datatest_metrics")
+    // 8 distinct tables feed the 8 detected edges. The stacked frequency
+    // subtree appears under several consumers in the STATIC explain (runtime
+    // exchange reuse dedupes it), so count unique scan paths, not scan nodes:
+    // a 9th path would mean a per-edge read crept back in (SURVEY §7.4.4).
+    val paths = "file:[^\\]]*/(\\w+)\\.parquet".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(paths.size <= 8, s"expected ≤8 distinct tables scanned, saw $paths")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"), "frequency aggregation lost map-side combine")
+  }
+
+  test("q38: near-dup verify never joins the global shingle stream") {
+    val p = plan("q38_near_dups")
+    // candidate generation joins on (band_idx, band_hash); the verify join is
+    // on candidate pair ids + shingle ARRAYS. A join keyed on an exploded
+    // `shingle` column would be the quadratic all-pairs path coming back.
+    assert(!p.contains("hashpartitioning(shingle"),
+      "verify stage shuffles the exploded shingle stream")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q40/q43: ANN paths precompute norms before the pair stage") {
+    Seq("q40_ann_lsh", "q43_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("dotproduct") || p.contains("DotProduct") || p.contains("graft_dot"),
+        s"$q: native dot product missing")
+      assert(!p.contains("zip_with"), s"$q: higher-order fold in the pair loop")
+    }
+  }
 }
