@@ -228,6 +228,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     },
+    // Duplicate-cluster resolution: connected components over the near-dup
+    // pair graph; every clustered doc maps to the min reachable doc id (the
+    // "keep one per cluster" step of a dedup pipeline).
+    "q44_dedup_clusters" -> { (s, dir) =>
+      import graft.ext.Dedup
+      val pairs = Dedup.nearDuplicates(Tables.documents(s, dir), minJaccard = 0.5)
+        .select("id_a", "id_b")
+      Dedup.dedupClusters(pairs)
+        .select(col("id").as("doc_id"), col("canonical_id"))
+    },
     // ANN scale path 2: inverted-file (IVF) — deterministic coarse
     // quantizer, nearest-cell assignment, nprobe-cell search (rows-only
     // check: centroids are engine-side; SimilaritySpec asserts recall).
@@ -664,8 +674,24 @@ object SparkEntry {
        |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5""".stripMargin
   }
 
+  /** DuckDB mirror of q44: the same near-dup pairs, then connected
+    * components as a recursive transitive closure — min reachable id per
+    * node IS what min-label propagation converges to.
+    */
+  private def dedupClusterOracle: String =
+    s"""WITH RECURSIVE np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM np
+       |          UNION ALL SELECT id_b, id_a FROM np),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+       |SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
+
   private def extOracleSql: Map[String, String] = Map(
     "q38_near_dups" -> nearDupOracle,
+    "q44_dedup_clusters" -> dedupClusterOracle,
     "q41_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,

@@ -173,6 +173,52 @@ object Dedup {
     ngramJaccard(docs, textCol, idCol, 3, minJaccard, Some(cand))
   }
 
+  /** Connected components over near-duplicate pairs: every document gets the
+    * MINIMUM doc id reachable through the pair graph as its canonical id —
+    * the "keep one per duplicate cluster" step after pair detection.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins current
+    * labels across the (undirected) edge set and keeps the per-node min;
+    * convergence is checked with one tiny aggregate per round. Near-dup
+    * graphs are overwhelmingly small star/chain clusters (diameter ≤ 3-4 in
+    * practice), so rounds stay in single digits; `maxIters` bounds
+    * pathological chains. At cluster scale each round is one shuffle keyed
+    * by node id over the PAIR set (≪ corpus — only docs with a near-dup
+    * enter), the standard large-graph CC layout.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("canonical_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v_id"), col("v") === col("v_id"))
+        .groupBy(col("u").as("id"))
+        .agg(min("canonical_id").as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
+            .as("canonical_id"))
+      // truncate lineage each round (the classic iterative-algorithm trap:
+      // an unbroken chain of N self-joins re-executes from the source every
+      // round and the plan grows without bound); localCheckpoint keeps the
+      // label set distributed on executors
+      val pinned = next.localCheckpoint(true)
+      // one count per round: rows whose label still shrinks
+      val changed = pinned
+        .join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
+        .filter(col("canonical_id") < col("prev")).limit(1).count()
+      labels = pinned
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash: 64-bit signature where bit b is the sign of Σ±1 over token
     * hashes' bit b. Computed as one explode + one aggregation of 64 integer
     * sums (map-side combined); near-dups are pairs within a Hamming radius.

@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)))
   }
 
+  test("dedup clusters: chain and isolated pair resolve to min reachable id") {
+    import spark.implicits._
+    // chain 1-2-3 (transitively one cluster) + isolated pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("minhash signature approximates jaccard (identical docs share all mins)") {
     val sigs = Dedup.minhashSignatures(docs, numHashes = 8).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
