@@ -60,6 +60,21 @@ object EventStream {
     q
   }
 
+  /** Streaming exact dedup — the incremental twin of Dedup.exact: drop
+    * re-deliveries of the same content digest, with the digest store bounded
+    * by the watermark (state for a digest expires once the watermark passes
+    * its event time — at 100 TB/day the state never grows past one
+    * watermark-window of distinct digests).
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", Sessions.nsToTimestamp(col("ts")))
+      .withColumn(
+        "content_digest",
+        md5(concat_ws("#", col("user_id"), col("event_type"), col("props"))))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_digest")
+
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(userId: Long, sessionStartUs: Long, sessionEndUs: Long, nEvents: Long)
 
@@ -90,6 +105,41 @@ object EventStream {
           }
           state.update(st)
           SessionOut(user, st.start, st.end, st.n)
+      }
+      .toDF()
+  }
+
+  /** CLOSED sessions via flatMapGroupsWithState: a session is emitted the
+    * moment a larger inactivity gap arrives (0..n outputs per user per
+    * batch — the flatMap shape); the still-open tail stays in state. This is
+    * the production form of streaming sessionization: output rows are final,
+    * never revised.
+    */
+  def closedSessionsStream(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+    events
+      .withColumn("ts_us", Sessions.nsToUs(col("ts")))
+      .select($"user_id", $"ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          val closed = Seq.newBuilder[SessionOut]
+          var st = state.getOption.orNull
+          sorted.foreach { t =>
+            st =
+              if (st == null) SessionState(t, t, 1)
+              else if (t - st.end > gapUs) {
+                closed += SessionOut(user, st.start, st.end, st.n)
+                SessionState(t, t, 1)
+              } else st.copy(end = t, n = st.n + 1)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
       }
       .toDF()
   }

@@ -52,6 +52,57 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered digests, keeps distinct ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Long, String, String)]
+    val df = source.toDF().toDF("event_id", "ts", "user_id", "event_type", "props")
+      .withColumn("value", lit(1.0))
+    val q = EventStream.dedupStream(df).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("dedup_test").start()
+    try {
+      // stay clear of epoch 0: the initial watermark is 0, and a row whose
+      // event time equals the watermark is dropped as late
+      def ns(hour: Long) = (100 + hour) * 3600L * 1000000000L
+      // same (user, type, props) delivered three times + one distinct event
+      source.addData(
+        (1L, ns(0), 7L, "click", "{}"),
+        (2L, ns(0), 7L, "click", "{}"),
+        (3L, ns(0), 8L, "view", "{}"))
+      q.processAllAvailable()
+      source.addData((4L, ns(1), 7L, "click", "{}")) // redelivery within watermark
+      q.processAllAvailable()
+      val kept = spark.table("dedup_test").collect()
+      assert(kept.length === 2, s"expected 2 unique digests, got ${kept.length}")
+      assert(kept.map(_.getAs[Long]("user_id")).toSet === Set(7L, 8L))
+    } finally q.stop()
+  }
+
+  test("closed sessions stream emits only gap-terminated sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long)]
+    val df = source.toDF().toDF("user_id", "ts")
+    val q = EventStream.closedSessionsStream(spark, df, gapMinutes = 30).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("closed_test").start()
+    try {
+      def ns(min: Long) = min * 60L * 1000000000L
+      // user 1: burst at 0-10 min, then a 2h gap burst → first session closes
+      source.addData((1L, ns(0)), (1L, ns(10)), (1L, ns(130)))
+      q.processAllAvailable()
+      val closed = spark.table("closed_test").collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.getAs[Long]("userId") === 1L)
+      assert(s.getAs[Long]("nEvents") === 2L) // the 0..10min burst
+      // the 130-min event stays open in state, not emitted
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits per-user session summaries") {
     import spark.implicits._
     val events = Tables.events(spark, sf0001)
