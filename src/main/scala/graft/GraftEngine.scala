@@ -157,10 +157,20 @@ object GraftEngine {
   private val memoMap =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def memo(key: String)(build: => DataFrame): DataFrame =
-    memoMap.compute(key, (_, cached) =>
-      if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-      else build)
+  // get-then-put, NOT computeIfAbsent: a build can memo() again (enhanced →
+  // relationships), and a nested compute on the same ConcurrentHashMap
+  // throws "Recursive update" whenever both keys share a hash bin. The
+  // benign race (two threads building the same value once each) is fine —
+  // the frames are immutable and derivation is deterministic.
+  private[graft] def memo(key: String)(build: => DataFrame): DataFrame = {
+    val cached = memoMap.get(key)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      val built = build
+      memoMap.put(key, built)
+      built
+    }
+  }
 }
 
 /** CLI mirroring the reference's entry point options (main.py:119-151):

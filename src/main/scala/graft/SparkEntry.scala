@@ -228,6 +228,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     },
+    // A7: relationship quality report over the detected edge set — counts
+    // per confidence band / detection method / relationship type + totals.
+    "q45_quality_report" -> { (s, dir) =>
+      RelationshipDetector.qualityReport(
+        RelationshipDetector.detect(classifiedCols(s, dir),
+          customRules = lakeCustomRules))
+    },
     // Duplicate-cluster resolution: connected components over the near-dup
     // pair graph; every clustered doc maps to the min reachable doc id (the
     // "keep one per cluster" step of a dedup pipeline).
@@ -991,7 +998,28 @@ object SparkEntry {
         | ('supplier','s_nationkey','nation','n_nationkey','many_to_one',0.95,'exact_match',false)
         |) AS t(source_table, source_column, target_table, target_column,
         |       relationship_type, confidence, detection_method, is_custom)""".stripMargin,
-    "q16_datatest_metrics" -> datatestOracle)
+    "q16_datatest_metrics" -> datatestOracle,
+    "q45_quality_report" ->
+      """WITH rels(confidence, detection_method, relationship_type) AS (VALUES
+        | (0.95,'exact_match','many_to_one'), (0.9,'custom_rule','many_to_one'),
+        | (0.95,'exact_match','many_to_one'), (0.95,'exact_match','many_to_one'),
+        | (0.95,'exact_match','many_to_one'), (0.95,'exact_match','many_to_one'),
+        | (0.95,'exact_match','many_to_one'), (0.95,'exact_match','many_to_one'))
+        |SELECT 'confidence_distribution' AS dimension,
+        |       CASE WHEN confidence >= 0.8 THEN 'high_confidence'
+        |            WHEN confidence >= 0.5 THEN 'medium_confidence'
+        |            ELSE 'low_confidence' END AS key,
+        |       COUNT(*) AS n_edges
+        |FROM rels GROUP BY 2
+        |UNION ALL
+        |SELECT 'by_detection_method', detection_method, COUNT(*) FROM rels GROUP BY 2
+        |UNION ALL
+        |SELECT 'by_relationship_type', relationship_type, COUNT(*) FROM rels GROUP BY 2
+        |UNION ALL
+        |SELECT 'total', 'total_relationships', COUNT(*) FROM rels
+        |UNION ALL
+        |SELECT 'total', 'avg_confidence_x1000',
+        |       CAST(round(AVG(confidence) * 1000) AS BIGINT) FROM rels""".stripMargin)
 
   /** DuckDB recomputation of q16's metrics per edge — same integer-exact
     * formulation as DataTester (counts and delta sums are exact integers;

@@ -17,11 +17,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // one retry per query: a transient failure (timeout, race) must not
+      // zero a round's correctness entry for an otherwise-green query
+      val ok = (1 to 2).exists { attempt =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] $name attempt $attempt failed: $e")
+            e.printStackTrace()
+            false
+        }
       }
+      if (!ok) System.err.println(s"[verify] $name FAILED after retries")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

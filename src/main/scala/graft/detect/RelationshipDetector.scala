@@ -282,6 +282,35 @@ object RelationshipDetector {
     filterTopK(resolveConflicts(validate(all, cols)), cfg)
   }
 
+  /** A7 — relationship quality report (enhanced_relationship_detector
+    * .py:285-325) as one tidy frame: a row per (dimension, key) with its
+    * edge count, plus the total with the average confidence. Bands follow
+    * the reference: high ≥ 0.8 > medium ≥ 0.5 > low. Input is the (tiny,
+    * post-top-k) edge set, so the three groupings are trivial aggregations;
+    * at a huge edge count this becomes one pass with grouping sets.
+    */
+  def qualityReport(rels: DataFrame): DataFrame = {
+    val band = when(col("confidence") >= 0.8, "high_confidence")
+      .when(col("confidence") >= 0.5, "medium_confidence")
+      .otherwise("low_confidence")
+    def dim(name: String, key: org.apache.spark.sql.Column) =
+      rels.groupBy(lit(name).as("dimension"), key.as("key"))
+        .agg(count(lit(1)).as("n_edges"))
+    dim("confidence_distribution", band)
+      .unionByName(dim("by_detection_method", col("detection_method")))
+      .unionByName(dim("by_relationship_type", col("relationship_type")))
+      .unionByName(
+        rels.agg(count(lit(1)).as("n_edges")).select(
+          lit("total").as("dimension"),
+          lit("total_relationships").as("key"), col("n_edges")))
+      .unionByName(
+        // average confidence ×1000, rounded — keeps the frame single-typed
+        // (long) while matching the reference's avg to 3 decimals
+        rels.agg(round(avg("confidence") * 1000).cast("long").as("n_edges"))
+          .select(lit("total").as("dimension"),
+            lit("avg_confidence_x1000").as("key"), col("n_edges")))
+  }
+
   /** J8 — relationship validation: both endpoints must exist in the catalog
     * and their type groups must be compatible (relationship_detector
     * .py:833-941) — two semi-joins against the column catalog.
