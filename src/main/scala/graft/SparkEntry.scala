@@ -228,6 +228,25 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     },
+    // As-of join (union+window, zero joins): every purchase event picks up
+    // the same user's latest click at or before it — the feature-lookup /
+    // backfill primitive. Clicks pre-aggregated to one per (user, ts) for
+    // deterministic tie-breaks; DuckDB's native ASOF JOIN is the oracle.
+    "q46_asof_join" -> { (s, dir) =>
+      import graft.ops.AsOfJoin
+      import graft.streaming.Sessions
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts", Seq("click_id", "ts"))
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          Sessions.nsToTimestamp(col("ts")).as("purchase_ts"),
+          col("asof_click_id").as("last_click_id"),
+          Sessions.nsToTimestamp(col("asof_ts")).as("last_click_ts"))
+    },
     // A7: relationship quality report over the detected edge set — counts
     // per confidence band / detection method / relationship type + totals.
     "q45_quality_report" -> { (s, dir) =>
@@ -698,6 +717,15 @@ object SparkEntry {
 
   private def extOracleSql: Map[String, String] = Map(
     "q38_near_dups" -> nearDupOracle,
+    "q46_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       c.click_id AS last_click_id, c.ts AS last_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
     "q44_dedup_clusters" -> dedupClusterOracle,
     "q41_bpe_tokens" ->
       """SELECT doc_id,
