@@ -250,9 +250,11 @@ object SparkEntry {
     // A7: relationship quality report over the detected edge set — counts
     // per confidence band / detection method / relationship type + totals.
     "q45_quality_report" -> { (s, dir) =>
-      RelationshipDetector.qualityReport(
+      // the report reads the edge set five times (3 dims + 2 totals): pin
+      // the post-top-k edges local instead of re-deriving detect per read
+      RelationshipDetector.qualityReport(ParquetCatalog.localized(
         RelationshipDetector.detect(classifiedCols(s, dir),
-          customRules = lakeCustomRules))
+          customRules = lakeCustomRules)))
     },
     // Duplicate-cluster resolution: connected components over the near-dup
     // pair graph; every clustered doc maps to the min reachable doc id (the

@@ -187,9 +187,13 @@ object Dedup {
     * enter), the standard large-graph CC layout.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // pin the pair set first: `pairs` is typically the output of the whole
+    // near-dup pipeline, and every CC round references the edge set — an
+    // unpinned plan re-runs shingling+LSH+verify once per round
+    val p = pairs.localCheckpoint(true)
     // undirected edges, both directions
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("canonical_id", col("id"))
     var converged = false
