@@ -247,6 +247,28 @@ object SparkEntry {
           col("asof_click_id").as("last_click_id"),
           Sessions.nsToTimestamp(col("asof_ts")).as("last_click_ts"))
     },
+    // Range join (bucketed, no equi key): assign every event to the
+    // "busy windows" containing it — intervals spanning [busiest hour −30min,
+    // +90min), derived from the data itself so both engines agree. Interval
+    // bucketing turns the inequality join into an equi-join on bucket id.
+    "q47_range_join" -> { (s, dir) =>
+      import graft.ops.RangeJoin
+      val hourNs = 3600L * 1000000000L
+      val ev = Tables.events(s, dir)
+      val windows = ev
+        .groupBy(expr(s"ts div $hourNs").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("hour_bucket").asc)
+        .limit(5)
+        .select(
+          col("hour_bucket").as("win_id"),
+          (col("hour_bucket") * hourNs - hourNs / 2).as("win_start"),
+          (col("hour_bucket") * hourNs + hourNs * 3 / 2).as("win_end"))
+      RangeJoin.pointInInterval(
+          ev.select("event_id", "ts"), windows, "ts", "win_start", "win_end",
+          bucketWidth = hourNs)
+        .select(col("event_id"), col("win_id"))
+    },
     // A7: relationship quality report over the detected edge set — counts
     // per confidence band / detection method / relationship type + totals.
     "q45_quality_report" -> { (s, dir) =>
@@ -719,6 +741,19 @@ object SparkEntry {
 
   private def extOracleSql: Map[String, String] = Map(
     "q38_near_dups" -> nearDupOracle,
+    "q47_range_join" -> {
+      val hourNs = 3600L * 1000000000L
+      s"""WITH e AS (SELECT event_id, epoch_ns(ts) AS ts_ns FROM events),
+         |counts AS (SELECT ts_ns // $hourNs AS hour_bucket, COUNT(*) AS n
+         |           FROM e GROUP BY 1),
+         |wins AS (SELECT hour_bucket AS win_id,
+         |                hour_bucket * $hourNs - ${hourNs / 2} AS win_start,
+         |                hour_bucket * $hourNs + ${hourNs * 3 / 2} AS win_end
+         |         FROM counts ORDER BY n DESC, hour_bucket ASC LIMIT 5)
+         |SELECT e.event_id, w.win_id
+         |FROM e JOIN wins w
+         |  ON e.ts_ns >= w.win_start AND e.ts_ns < w.win_end""".stripMargin
+    },
     "q46_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
