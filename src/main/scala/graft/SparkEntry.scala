@@ -247,6 +247,23 @@ object SparkEntry {
           col("asof_click_id").as("last_click_id"),
           Sessions.nsToTimestamp(col("asof_ts")).as("last_click_ts"))
     },
+    // Corpus-level stats for a training-data pipeline: exact interpolated
+    // token-length percentiles + means over the whole documents table (one
+    // aggregation pass; percentile() is exact, matching DuckDB's
+    // quantile_cont definition).
+    "q48_corpus_stats" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      Tables.documents(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).cast("double").as("n_tokens"),
+          length(col("text")).cast("double").as("n_chars"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_tokens"), 6).as("avg_tokens"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"),
+          round(expr("percentile(n_tokens, 0.99)"), 6).as("p99_tokens"))
+    },
     // Range join (bucketed, no equi key): assign every event to the
     // "busy windows" containing it — intervals spanning [busiest hour −30min,
     // +90min), derived from the data itself so both engines agree. Interval
@@ -741,6 +758,17 @@ object SparkEntry {
 
   private def extOracleSql: Map[String, String] = Map(
     "q38_near_dups" -> nearDupOracle,
+    "q48_corpus_stats" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        |                  CAST(length(text) AS DOUBLE) AS n_chars
+        |           FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |       round(AVG(n_tokens), 6) AS avg_tokens,
+        |       round(AVG(n_chars), 6) AS avg_chars,
+        |       round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+        |       round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+        |       round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+        |FROM t""".stripMargin,
     "q47_range_join" -> {
       val hourNs = 3600L * 1000000000L
       s"""WITH e AS (SELECT event_id, epoch_ns(ts) AS ts_ns FROM events),
