@@ -247,6 +247,20 @@ object SparkEntry {
           col("asof_click_id").as("last_click_id"),
           Sessions.nsToTimestamp(col("asof_ts")).as("last_click_ts"))
     },
+    // Curriculum selection: top-3 documents per predicted language by
+    // quality score (language-ID × quality scoring × per-group top-k —
+    // the "pick the best docs per language bucket" step of corpus curation).
+    "q49_best_docs_per_lang" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      val scored = TextAnalysis
+        .withQualityMetrics(Tables.documents(s, dir))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      val w = Window.partitionBy("lang_pred")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("lang_pred"), col("rk"), col("doc_id"),
+          round(col("quality_score"), 6).as("quality_score"))
+    },
     // Corpus-level stats for a training-data pipeline: exact interpolated
     // token-length percentiles + means over the whole documents table (one
     // aggregation pass; percentile() is exact, matching DuckDB's
@@ -758,6 +772,30 @@ object SparkEntry {
 
   private def extOracleSql: Map[String, String] = Map(
     "q38_near_dups" -> nearDupOracle,
+    "q49_best_docs_per_lang" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
+      val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")
+      val best = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT doc_id,
+         |  LEAST(GREATEST(
+         |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0) AS quality_score,
+         |  $scoreDefs,
+         |  $best AS best
+         |FROM documents),
+         |lang AS (SELECT doc_id, quality_score,
+         |  CASE $cases ELSE 'und' END AS lang_pred FROM scored),
+         |ranked AS (SELECT lang_pred, doc_id, quality_score,
+         |  ROW_NUMBER() OVER (PARTITION BY lang_pred
+         |                     ORDER BY quality_score DESC, doc_id ASC) AS rk
+         |FROM lang)
+         |SELECT lang_pred, rk, doc_id, round(quality_score, 6) AS quality_score
+         |FROM ranked WHERE rk <= 3""".stripMargin
+    },
     "q48_corpus_stats" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
         |                  CAST(length(text) AS DOUBLE) AS n_chars
