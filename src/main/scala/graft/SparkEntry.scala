@@ -247,6 +247,16 @@ object SparkEntry {
           col("asof_click_id").as("last_click_id"),
           Sessions.nsToTimestamp(col("asof_ts")).as("last_click_ts"))
     },
+    // Corpus balancing: expected ≤100 docs per predicted language via
+    // per-stratum Bernoulli sampling (rows-only: Spark's seeded RNG is
+    // engine-specific; SamplingSpec asserts the per-stratum contract).
+    "q50_balanced_sample" -> { (s, dir) =>
+      import graft.ext.{Sampling, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+      Sampling.balanced(docs, "lang", targetPerStratum = 100L)
+        .select("doc_id", "lang")
+    },
     // Curriculum selection: top-3 documents per predicted language by
     // quality score (language-ID × quality scoring × per-group top-k —
     // the "pick the best docs per language bucket" step of corpus curation).

@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratified sampling respects per-stratum fractions (±tolerance)") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = full.keySet.toSeq
+    val half = Sampling.stratified(docs, "lang", langs.map(_ -> 0.5).toMap)
+    val got = half.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langs.foreach { l =>
+      val expected = full(l) * 0.5
+      assert(math.abs(got.getOrElse(l, 0L) - expected) <= full(l) * 0.35 + 3,
+        s"stratum $l: got ${got.getOrElse(l, 0L)}, expected ≈ $expected")
+    }
+  }
+
+  test("balanced sampling caps large strata and passes small ones through") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = 5L
+    val out = Sampling.balanced(docs, "lang", target)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (l, n) =>
+      if (n <= target) assert(got.getOrElse(l, 0L) === n, s"small stratum $l must pass whole")
+      else assert(got.getOrElse(l, 0L) <= n, s"stratum $l not downsampled")
+    }
+    // overall shrink happened
+    assert(got.values.sum < full.values.sum)
+  }
+}
