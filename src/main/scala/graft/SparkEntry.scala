@@ -247,6 +247,16 @@ object SparkEntry {
           col("asof_click_id").as("last_click_id"),
           Sessions.nsToTimestamp(col("asof_ts")).as("last_click_ts"))
     },
+    // Embedding-cosine near-dup clusters: cosine pairs above threshold →
+    // connected components → canonical vector per cluster (the embedding
+    // flavour of q44's text-shingle cluster dedup).
+    "q51_embedding_dedup_clusters" -> { (s, dir) =>
+      import graft.ext.{Dedup, Similarity}
+      val pairs = Similarity.cosinePairsAbove(Tables.embeddings(s, dir), 0.35)
+        .select("id_a", "id_b")
+      Dedup.dedupClusters(pairs)
+        .select(col("id").as("vec_id"), col("canonical_id"))
+    },
     // Corpus balancing: expected ≤100 docs per predicted language via
     // per-stratum Bernoulli sampling (rows-only: Spark's seeded RNG is
     // engine-specific; SamplingSpec asserts the per-stratum contract).
@@ -907,6 +917,21 @@ object SparkEntry {
          |         ROUND(${dkCosine("a", "b")}, 4) AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.35""".stripMargin,
+    "q51_embedding_dedup_clusters" ->
+      s"""WITH RECURSIVE np AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |           ROUND(${dkCosine("a", "b")}, 4) AS cosine
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |  WHERE cosine >= 0.35),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM np
+         |          UNION ALL SELECT id_b, id_a FROM np),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+         |SELECT id AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
     "q23_cosine_topk" ->
       s"""SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
