@@ -247,6 +247,12 @@ object SparkEntry {
           col("asof_click_id").as("last_click_id"),
           Sessions.nsToTimestamp(col("asof_ts")).as("last_click_ts"))
     },
+    // Vocabulary building: top-20 unigrams and bigrams by corpus frequency
+    // (the tokenizer-training primitive; deterministic ties by gram asc).
+    "q52_vocabulary" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      TextAnalysis.vocabulary(Tables.documents(s, dir), maxN = 2, topK = 20)
+    },
     // Embedding-cosine near-dup clusters: cosine pairs above threshold →
     // connected components → canonical vector per cluster (the embedding
     // flavour of q44's text-shingle cluster dedup).
@@ -917,6 +923,21 @@ object SparkEntry {
          |         ROUND(${dkCosine("a", "b")}, 4) AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.35""".stripMargin,
+    "q52_vocabulary" ->
+      """WITH toks AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+        |uni AS (SELECT 1 AS n, unnest(l) AS gram FROM toks),
+        |bi AS (SELECT 2 AS n,
+        |              unnest(list_transform(generate_series(1, len(l) - 1),
+        |                     i -> l[i] || ' ' || l[i + 1])) AS gram
+        |       FROM toks WHERE len(l) >= 2),
+        |counts AS (SELECT n, gram, COUNT(*) AS count
+        |           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |           GROUP BY 1, 2),
+        |ranked AS (SELECT n, gram, count,
+        |                  ROW_NUMBER() OVER (PARTITION BY n
+        |                    ORDER BY count DESC, gram ASC) AS rank
+        |           FROM counts)
+        |SELECT n, gram, count, rank FROM ranked WHERE rank <= 20""".stripMargin,
     "q51_embedding_dedup_clusters" ->
       s"""WITH RECURSIVE np AS (
          |  SELECT id_a, id_b FROM (

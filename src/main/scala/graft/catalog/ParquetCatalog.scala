@@ -59,14 +59,30 @@ object ParquetCatalog {
     case t => t
   }
 
-  private def toColumnMeta(schema: StructType): Seq[ColumnMeta] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
-      val (tpe, isArray) = f.dataType match {
-        case ArrayType(et, _) => (canonType(et.typeName), true)
-        case dt               => (canonType(dt.typeName), false)
+  /** Flatten a schema into leaf columns with dotted paths: nested STRUCT
+    * fields become `parent.child` entries so key analysis sees them — the
+    * nested-fields support the reference lists as a future enhancement
+    * (README.md:186; its connector reads only top-level fields,
+    * bigquery_connector.py:121-131). A field anywhere under an array keeps
+    * isArray=true, preserving the REPEATED-disqualifies-keys rule
+    * (schema_analyzer.py:178-179).
+    */
+  private def toColumnMeta(schema: StructType): Seq[ColumnMeta] = {
+    def leaves(prefix: String, st: StructType, inArray: Boolean): Seq[(String, String, Boolean, Boolean)] =
+      st.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case nested: StructType => leaves(path, nested, inArray)
+          case ArrayType(nested: StructType, _) => leaves(path, nested, inArray = true)
+          case ArrayType(et, _) => Seq((path, canonType(et.typeName), f.nullable, true))
+          case dt => Seq((path, canonType(dt.typeName), f.nullable, inArray))
+        }
       }
-      ColumnMeta(f.name, tpe, f.nullable, isArray, i)
-    }.toSeq
+    leaves("", schema, inArray = false).zipWithIndex.map {
+      case ((name, tpe, nullable, isArray), i) =>
+        ColumnMeta(name, tpe, nullable, isArray, i)
+    }
+  }
 
   /** Row count + byte size from parquet footers; no data pages are read. */
   private def footerStats(path: String): (Long, Long) = {

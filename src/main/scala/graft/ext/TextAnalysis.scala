@@ -85,6 +85,32 @@ object TextAnalysis {
           lit(1.0)))
   }
 
+  /** Vocabulary building: global n-gram frequency counts, the tokenizer-
+    * training / corpus-statistics primitive. One explode + one hash
+    * aggregation per n — the shuffle carries (gram, partial count) pairs,
+    * map-side combined, so cost is O(distinct grams) not O(corpus).
+    */
+  def vocabulary(
+      docs: DataFrame, textCol: String = "text",
+      maxN: Int = 2, topK: Int = 20): DataFrame = {
+    val grams = (1 to maxN).map { n =>
+      val toks = tokens(lower(col(textCol)))
+      val gram =
+        if (n == 1) explode(toks)
+        else explode(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      docs.select(lit(n).as("n"), gram.as("gram"))
+        .where(size(tokens(col(textCol))) >= n)
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy(col("count").desc, col("gram").asc)
+    grams.groupBy("n", "gram").agg(count(lit(1)).as("count"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Content fingerprint: digest of the casefolded, alphanumeric-only text —
     * robust to whitespace/punctuation edits (the "rolling hash" document
     * fingerprint, portable across engines via md5).
