@@ -177,14 +177,18 @@ object Dedup {
     * MINIMUM doc id reachable through the pair graph as its canonical id —
     * the "keep one per duplicate cluster" step after pair detection.
     *
-    * Algorithm: iterative min-label propagation. Each round joins current
-    * labels across the (undirected) edge set and keeps the per-node min;
-    * convergence is checked with one tiny aggregate per round. Near-dup
-    * graphs are overwhelmingly small star/chain clusters (diameter ≤ 3-4 in
-    * practice), so rounds stay in single digits; `maxIters` bounds
-    * pathological chains. At cluster scale each round is one shuffle keyed
-    * by node id over the PAIR set (≪ corpus — only docs with a near-dup
-    * enter), the standard large-graph CC layout.
+    * Algorithm: iterative min-label propagation WITH pointer jumping. Each
+    * round takes, per node, the min over (own label, neighbours' labels,
+    * label-of-own-label) — the pointer-jumping hop halves the distance to
+    * the component minimum every round, so convergence needs
+    * O(log(diameter)) rounds, not O(diameter): a 1M-node chain converges in
+    * ~20 rounds instead of 1M. Convergence is checked with one tiny
+    * aggregate per round; if `maxIters` is ever exceeded the method THROWS
+    * rather than silently returning partially-merged clusters (a wrong
+    * canonical map is worse than a failed job). At cluster scale each round
+    * is a constant number of shuffles keyed by node/label over the PAIR set
+    * (≪ corpus — only docs with a near-dup enter), the standard
+    * large-graph CC layout.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // pin the pair set first: `pairs` is typically the output of the whole
@@ -203,9 +207,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v_id"), col("v") === col("v_id"))
         .groupBy(col("u").as("id"))
         .agg(min("canonical_id").as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // pointer jump: the label of my current label (labels only ever
+      // shrink toward the component min, and every label is itself a
+      // component member, so hopping through it is reachability-safe)
+      val labelOfLabel = labels
+        .join(
+          labels.select(col("id").as("l_id"), col("canonical_id").as("jump")),
+          col("canonical_id") === col("l_id"))
+        .select(col("id"), col("jump"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(labelOfLabel, Seq("id"), "left")
         .select(col("id"),
-          least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
+          least(
+            col("canonical_id"),
+            coalesce(col("nbr_min"), col("canonical_id")),
+            coalesce(col("jump"), col("canonical_id")))
             .as("canonical_id"))
       // truncate lineage each round (the classic iterative-algorithm trap:
       // an unbroken chain of N self-joins re-executes from the source every
@@ -220,6 +237,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters rounds — with pointer " +
+          s"jumping this needs a component of diameter > 2^$maxIters; " +
+          "raise maxIters or inspect the pair graph")
     labels
   }
 

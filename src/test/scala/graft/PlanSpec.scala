@@ -46,6 +46,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"))
   }
 
+  test("q22/q51: cosine pair generation is bucketed — no cross join, no full-corpus broadcast") {
+    Seq("q22_cosine_pairs", "q51_embedding_dedup_clusters").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian pair space")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: corpus-broadcast BNLJ")
+    }
+  }
+
   test("q15: detection joins stay broadcast at catalog scale") {
     val p = plan("q15_detect_relationships")
     assert(p.contains("BroadcastHashJoin"))

@@ -55,6 +55,17 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("dedup clusters: long chain converges via pointer jumping within maxIters") {
+    import spark.implicits._
+    // a 40-edge chain has diameter 40 — min-label propagation alone would
+    // need 40 rounds; pointer jumping needs ~log2(40) ≈ 6
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(chain, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 41)
+    assert(out.values.toSet === Set(0L))
+  }
+
   test("minhash signature approximates jaccard (identical docs share all mins)") {
     val sigs = Dedup.minhashSignatures(docs, numHashes = 8).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap

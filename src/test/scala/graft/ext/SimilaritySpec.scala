@@ -80,4 +80,13 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(rows.forall(r => r.getAs[Double]("cosine") >= 0.35))
   }
+
+  test("LSH pair path equals the exact cross-product path at threshold 0.35") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine"))
+    val exact = Similarity.cosinePairsAbove(emb, 0.35).collect().map(key).toSet
+    val lsh = Similarity.cosinePairsAboveLsh(emb, 0.35).collect().map(key).toSet
+    assert(lsh === exact) // precision exact by construction; recall tuned to 1.0
+  }
 }
