@@ -27,7 +27,8 @@ class GraftEngine(
     val namingRules: Seq[NamingRule] = Nil,
     val cfg: DetectionConfig = DetectionConfig()) {
 
-  lazy val catalog = ParquetCatalog.catalog(spark, dir)
+  lazy val catalog = ParquetCatalog.catalog(spark, dir,
+    includeViews = cfg.includeViews, includeExternal = cfg.includeExternal)
 
   private def memoKey(kind: String): String =
     s"$kind#${spark.sparkContext.applicationId}#${System.identityHashCode(spark)}" +
@@ -183,21 +184,32 @@ object Main {
     if (args.isEmpty) {
       System.err.println(
         "usage: graft.Main <dataDir> [--format mermaid|plantuml|drawio] " +
-          "[--out FILE] [--min-confidence X] [--max-per-table K] [--enhanced] [--state PATH]")
+          "[--out FILE] [--min-confidence X] [--max-per-table K] [--enhanced] [--state PATH] " +
+          "[--patterns relationship_patterns.json] [--rules relationship_rules.json]")
       sys.exit(2)
     }
     val dir = args(0)
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val format = opt("--format").getOrElse("mermaid")
-    val cfg = DetectionConfig(
-      minConfidence = opt("--min-confidence").map(_.toDouble).getOrElse(0.5),
-      maxRelationshipsPerTable = opt("--max-per-table").map(_.toInt).getOrElse(3))
+    // config precedence mirrors the reference (config.py:60-64): defaults,
+    // then the pattern-config file, then explicit CLI flags on top
+    val fileCfg = opt("--patterns")
+      .map(p => ConfigLoader.loadPatternConfig(p))
+      .getOrElse(DetectionConfig())
+    val cfg = fileCfg.copy(
+      minConfidence = opt("--min-confidence").map(_.toDouble).getOrElse(fileCfg.minConfidence),
+      maxRelationshipsPerTable =
+        opt("--max-per-table").map(_.toInt).getOrElse(fileCfg.maxRelationshipsPerTable),
+      includeViews = args.contains("--include-views") || fileCfg.includeViews,
+      includeExternal = args.contains("--include-external") || fileCfg.includeExternal)
+    val (customRules, namingRules) =
+      opt("--rules").map(ConfigLoader.loadCustomRules).getOrElse((Nil, Nil))
 
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val engine = new GraftEngine(spark, dir, cfg = cfg)
+      val engine = new GraftEngine(spark, dir, customRules, namingRules, cfg)
       val rels =
         if (args.contains("--enhanced")) engine.enhancedRelationships()
         else engine.relationships

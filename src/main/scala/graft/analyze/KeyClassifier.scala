@@ -64,13 +64,21 @@ object KeyClassifier {
       (length(col("key_stem")) >= 3 && col("table_base").startsWith(col("key_stem"))) ||
         col("key_stem") === col("table_base") ||
         col("key_stem") === regexp_replace(col("table_base"), "s$", "")
-    val isPk = !col("isArray") && keyTyped && hasKeySuffix &&
-      (col("base_name").isin("id", "key") || stemNamesTable)
+    // Configured indicators (P6/P7): wildcard-derived anchored regexes from
+    // ConfigLoader extend the built-in heuristics; empty lists fold to false
+    // and leave behavior untouched.
+    def indicatorHit(regexes: Seq[String]): Column =
+      regexes.foldLeft(lit(false))((acc, p) => acc || col("columnName").rlike(p))
+
+    val isPk = !col("isArray") && ((keyTyped && hasKeySuffix &&
+      (col("base_name").isin("id", "key") || stemNamesTable)) ||
+      indicatorHit(cfg.pkIndicatorRegexes))
 
     val flagged = withNames.withColumn("is_pk_candidate", isPk)
     // FK: key-suffixed, key-typed, not its own table's PK.
     flagged.withColumn(
       "is_fk_candidate",
-      !col("isArray") && keyTyped && hasKeySuffix && !col("is_pk_candidate"))
+      !col("isArray") && !col("is_pk_candidate") &&
+        ((keyTyped && hasKeySuffix) || indicatorHit(cfg.fkIndicatorRegexes)))
   }
 }

@@ -39,12 +39,33 @@ object ParquetCatalog {
       .sorted
       .take(maxResults)
 
+  /** P8: table types from an optional `_tabletypes.json` sidecar in the data
+    * directory (`{"name": "VIEW" | "EXTERNAL", ...}`) — the parquet-lake
+    * stand-in for the table_type field the reference reads off the BigQuery
+    * API (bigquery_connector.py:222-233). Absent sidecar / absent entry →
+    * "TABLE".
+    */
+  def tableTypes(dir: String): Map[String, String] = {
+    val f = new File(dir, "_tabletypes.json")
+    if (!f.exists()) Map.empty
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(f.toPath)) match {
+        case JObject(fields) =>
+          fields.collect { case (k, JString(v)) => k -> v.toUpperCase }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
   /** S2+S3: schema + stats for one table, footer-only. */
   def tableMeta(spark: SparkSession, dir: String, name: String): TableMeta = {
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
     val (rows, bytes) = footerStats(path)
-    TableMeta(name, path, "TABLE", toColumnMeta(schema), rows, bytes)
+    TableMeta(name, path, tableTypes(dir).getOrElse(name, "TABLE"),
+      toColumnMeta(schema), rows, bytes)
   }
 
   /** Canonical type names: NTZ/LTZ timestamps collapse to "timestamp",
@@ -110,13 +131,28 @@ object ParquetCatalog {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[TableMeta]]()
 
-  /** S4: all table schemas as a catalog Dataset. */
-  def catalog(spark: SparkSession, dir: String, maxResults: Int = 1000): Dataset[TableMeta] = {
+  /** S4: all table schemas as a catalog Dataset. VIEW/EXTERNAL tables (per
+    * the `_tabletypes.json` sidecar) are excluded unless requested —
+    * reference include_views/include_external semantics
+    * (bigquery_connector.py:222-233, both default false).
+    */
+  def catalog(
+      spark: SparkSession,
+      dir: String,
+      maxResults: Int = 1000,
+      includeViews: Boolean = false,
+      includeExternal: Boolean = false): Dataset[TableMeta] = {
     import spark.implicits._
     val metas = metaCache.computeIfAbsent(
       s"$dir#$maxResults",
       _ => listTables(dir, maxResults).map(tableMeta(spark, dir, _)))
-    spark.createDataset(metas)
+    val kept = metas.filter(t =>
+      t.tableType match {
+        case "VIEW" => includeViews
+        case "EXTERNAL" => includeExternal
+        case _ => true
+      })
+    spark.createDataset(kept)
   }
 
   /** Materialize a small metadata frame into a LocalRelation: catalog-scale

@@ -119,7 +119,25 @@ case class DetectionConfig(
     // with < backfillMin meaningful edges are backfilled from the
     // ≥ minConfidence remainder in confidence order.
     preferredMethods: Seq[String] = Seq("enhanced_pk_fk", "data_vault_pattern"),
-    backfillMin: Int = 2)
+    backfillMin: Int = 2,
+    // Enhanced-cascade strategy 3 (relationship_detector.py:246-257): if no
+    // name-directed target exists, take the FIRST other table with a
+    // type/mode-compatible likely-PK, still at confidence 0.9. On catalogs
+    // where many tables carry `*_id` primary keys this emits one
+    // high-confidence edge per unmatched column (the reference inherits the
+    // same flood and prunes it later), so the fallback is opt-in.
+    enhancedTypeFallback: Boolean = false,
+    // Configured PK/FK column indicators (P7) as anchored regexes — usually
+    // produced from wildcard lists by ConfigLoader.wildcardToRegex (P6,
+    // relationship_patterns.json `column_patterns`). They EXTEND the built-in
+    // name heuristics in KeyClassifier; empty lists change nothing.
+    pkIndicatorRegexes: Seq[String] = Nil,
+    fkIndicatorRegexes: Seq[String] = Nil,
+    // Table-type filter (P8, bigquery_connector.py:222-233): VIEW/EXTERNAL
+    // tables (declared by a `_tabletypes.json` sidecar next to the parquet
+    // files) are skipped unless included — reference defaults.
+    includeViews: Boolean = false,
+    includeExternal: Boolean = false)
 
 object DetectionMethod {
   val ExactMatch = "exact_match" // confidence 0.95

@@ -124,6 +124,94 @@ object RelationshipDetector {
       .select(outCols.map(col): _*)
   }
 
+  /** Strategy 3b — the reference's "enhanced PK-FK" cascade (J2, confidence
+    * 0.9, relationship_detector.py:123-332), re-expressed as ranked joins:
+    *
+    *   1. build per-table likely-PK sets from name patterns
+    *      (`^id$ | _id$ | _key$ | _pk$ | ^pk_ | _code$ | _number$`, plus
+    *      `<table_base>_id/_key`; tables with NO likely PK fall back to the
+    *      common names id/key/pk/code/number/identifier, :188-218) and pick
+    *      each table's best PK (explicit candidate first, then a literal
+    *      `id`, then ordinal — :583-614);
+    *   2. for every column, try target-table names in the reference's exact
+    *      attempt order — {stem, stem+s, stem+es, stem-minus-s} × {bare,
+    *      h_, dim_, l_, ref_, fact_, tbl_, table_} (:282-338) — via ONE
+    *      posexplode + equi-join, position = attempt rank;
+    *   3. optionally (cfg.enhancedTypeFallback) the compatibility fallback
+    *      (:246-257): the first other table (name order — the reference's
+    *      dict-insertion order made deterministic) holding a compatible
+    *      likely-PK.
+    *
+    * Compatibility follows :358-376: equal data type AND equal
+    * nullability/mode. The reference's `is_foreign_key` metadata skip has no
+    * parquet analog (the flag is never set outside BigQuery schemas), so all
+    * non-array columns are candidate sources, exactly like a reference run
+    * on schema-only metadata. One edge per source column (the cascade's
+    * first hit), labeled `enhanced_pk_fk` at 0.9.
+    */
+  def enhancedPkFkMatch(cols: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
+    val nm = lower(col("columnName"))
+    val likelyPk = nm.rlike("(^id$)|(_id$)|(_key$)|(_pk$)|(^pk_)|(_code$)|(_number$)") ||
+      col("is_pk_candidate") ||
+      nm === concat(col("table_base"), lit("_id")) ||
+      nm === concat(col("table_base"), lit("_key"))
+    val commonPk = nm.isin("id", "key", "pk", "code", "number", "identifier")
+    val wTable = Window.partitionBy("tableName")
+    val annotated = cols
+      .withColumn("lpk", likelyPk)
+      .withColumn("has_lpk", max(col("lpk").cast("int")).over(wTable) === 1)
+      .withColumn("pk_member", col("lpk") || (!col("has_lpk") && commonPk))
+    val wBest = Window.partitionBy("tableName").orderBy(
+      col("is_pk_candidate").desc, (nm === "id").desc, col("ordinal").asc)
+    val targets = annotated.filter(col("pk_member") && !col("isArray"))
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(
+        lower(col("tableName")).as("candidate"),
+        col("tableName").as("target_table"), col("columnName").as("target_column"),
+        col("dataType").as("t_dt"), col("nullable").as("t_null"))
+
+    val src = cols.filter(!col("isArray"))
+      .select(
+        col("tableName").as("source_table"), col("columnName").as("source_column"),
+        col("key_stem"), col("dataType").as("s_dt"), col("nullable").as("s_null"))
+    val compat = col("s_dt") === col("t_dt") && col("s_null") === col("t_null")
+
+    // strategies 1+2: ordered name attempts, position encodes priority
+    val prefixes = Seq("", "h_", "dim_", "l_", "ref_", "fact_", "tbl_", "table_")
+    val stems = Seq(
+      col("key_stem"),
+      concat(col("key_stem"), lit("s")),
+      concat(col("key_stem"), lit("es")),
+      regexp_replace(col("key_stem"), "s+$", ""))
+    val attempts = for (s <- stems; p <- prefixes) yield concat(lit(p), s)
+    val nameMatches = src.filter(length(col("key_stem")) >= 2)
+      .select(
+        col("source_table"), col("source_column"), col("s_dt"), col("s_null"),
+        posexplode(array(attempts: _*)).as(Seq("pos", "candidate")))
+      .join(targets, Seq("candidate"))
+      .filter(compat)
+      .drop("candidate")
+    // strategy 3 (opt-in): first compatible likely-PK, table-name order
+    val all =
+      if (!cfg.enhancedTypeFallback) nameMatches
+      else nameMatches.unionByName(
+        src.join(broadcast(targets.drop("candidate")), compat)
+          .withColumn("pos", lit(Int.MaxValue))
+          .select(
+            col("source_table"), col("source_column"), col("s_dt"), col("s_null"),
+            col("pos"), col("target_table"), col("target_column"),
+            col("t_dt"), col("t_null")))
+    val wFirst = Window.partitionBy("source_table", "source_column")
+      .orderBy(col("pos").asc, lower(col("target_table")).asc, col("target_column").asc)
+    all.filter(col("source_table") =!= col("target_table"))
+      .withColumn("rk", row_number().over(wFirst)).filter(col("rk") === 1)
+      .withColumn("relationship_type", lit("many_to_one"))
+      .withColumn("confidence", lit(0.9))
+      .withColumn("detection_method", lit(M.EnhancedPkFk))
+      .withColumn("is_custom", lit(false))
+      .select(outCols.map(col): _*)
+  }
+
   /** Strategy 4 — user naming rules (J7, configured confidence): regex with
     * capture group 1 + target suffix names the target table
     * (relationship_detector.py:677-717).
@@ -276,6 +364,7 @@ object RelationshipDetector {
     var all = exactBaseMatch(cols)
       .unionByName(suffixTableMatch(cols))
       .unionByName(dataVaultMatch(cols))
+      .unionByName(enhancedPkFkMatch(cols, cfg))
       .unionByName(typeCompatMatch(cols))
     if (namingRules.nonEmpty) all = all.unionByName(namingRuleMatch(cols, namingRules))
     if (customRules.nonEmpty) all = all.unionByName(customRuleMatch(cols, customRules))

@@ -29,6 +29,26 @@ class CatalogSpec extends SparkSpec {
     assert(meta.columns.map(_.ordinal) === meta.columns.indices.map(identity))
   }
 
+  test("table types: _tabletypes.json sidecar drives VIEW/EXTERNAL filtering") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_types").toString
+    Seq(1L).toDF("id").write.mode("overwrite").parquet(s"$dir/base.parquet")
+    Seq(2L).toDF("id").write.mode("overwrite").parquet(s"$dir/v_latest.parquet")
+    Seq(3L).toDF("id").write.mode("overwrite").parquet(s"$dir/ext_raw.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_tabletypes.json"),
+      """{"v_latest": "VIEW", "ext_raw": "EXTERNAL"}""")
+    def names(iv: Boolean, ie: Boolean) =
+      ParquetCatalog.catalog(spark, dir, includeViews = iv, includeExternal = ie)
+        .collect().map(_.tableName).toSet
+    assert(names(iv = false, ie = false) === Set("base")) // reference defaults
+    assert(names(iv = true, ie = false) === Set("base", "v_latest"))
+    assert(names(iv = true, ie = true) === Set("base", "v_latest", "ext_raw"))
+    val types = ParquetCatalog.catalog(spark, dir, includeViews = true, includeExternal = true)
+      .collect().map(t => t.tableName -> t.tableType).toMap
+    assert(types === Map("base" -> "TABLE", "v_latest" -> "VIEW", "ext_raw" -> "EXTERNAL"))
+  }
+
   test("key classification sees dotted nested keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nested2").toString

@@ -38,6 +38,29 @@ class KeyClassifierSpec extends SparkSpec {
     assert(!fks.contains(("dim_customer", "name")))
   }
 
+  test("wildcard indicators: customer_* PK and *_ref FK patterns extend the heuristics") {
+    import spark.implicits._
+    import graft.core.{ConfigLoader, DetectionConfig}
+    val rows = refs(
+      ("customer", "customer_code", "string"), // no built-in key suffix
+      ("customer", "customer_name", "string"),
+      ("orders", "buyer_ref", "bigint"), // `ref` is not a built-in suffix
+      ("orders", "note", "string"))
+    val cfg = DetectionConfig(
+      pkIndicatorRegexes = Seq("customer_c*").map(ConfigLoader.wildcardToRegex),
+      fkIndicatorRegexes = Seq("*_ref").map(ConfigLoader.wildcardToRegex))
+    val out = KeyClassifier.classify(spark.createDataset(rows).toDF(), cfg)
+    val pks = out.filter(col("is_pk_candidate"))
+      .select("columnName").collect().map(_.getString(0)).toSet
+    val fks = out.filter(col("is_fk_candidate"))
+      .select("columnName").collect().map(_.getString(0)).toSet
+    assert(pks === Set("customer_code"))
+    assert(fks === Set("buyer_ref"))
+    // without indicators nothing here is key-flagged (regression guard)
+    val plain = KeyClassifier.classify(spark.createDataset(rows).toDF())
+    assert(plain.filter(col("is_pk_candidate") || col("is_fk_candidate")).count() === 0)
+  }
+
   test("e-commerce fixture: users.id PK, orders.customer_id FK") {
     val out = classify(refs(
       ("users", "id", "bigint"),

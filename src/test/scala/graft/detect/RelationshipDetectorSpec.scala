@@ -50,6 +50,34 @@ class RelationshipDetectorSpec extends SparkSpec {
     assert(found.contains(("l_order", "customer_hk", "h_customer", "id")))
   }
 
+  test("enhanced cascade: h_customer/dim_customer fixture emits enhanced_pk_fk at 0.9") {
+    import spark.implicits._
+    // the reference's incremental-processor fixture (test_enhanced_features
+    // .py:123-142); expected edge and labeling at :211-220
+    val rows = Seq(
+      ColumnRef("h_customer", "id", "string", nullable = false, isArray = false, ordinal = 0, numRows = 10),
+      ColumnRef("h_customer", "business_key", "string", nullable = false, isArray = false, ordinal = 1, numRows = 10),
+      ColumnRef("dim_customer", "customer_id", "string", nullable = false, isArray = false, ordinal = 0, numRows = 10),
+      ColumnRef("dim_customer", "name", "string", nullable = true, isArray = false, ordinal = 1, numRows = 10))
+    val cols = KeyClassifier.classify(spark.createDataset(rows).toDF())
+    val out = RelationshipDetector
+      .enhancedPkFkMatch(cols, DetectionConfig(enhancedTypeFallback = true)).collect()
+    val hit = out.find(r =>
+      r.getAs[String]("source_table") == "h_customer" &&
+        r.getAs[String]("source_column") == "id")
+    assert(hit.isDefined, s"fixture edge missing; got ${out.mkString(";")}")
+    assert(hit.get.getAs[String]("target_table") === "dim_customer")
+    assert(hit.get.getAs[String]("target_column") === "customer_id")
+    assert(hit.get.getAs[String]("detection_method") === "enhanced_pk_fk")
+    assert(hit.get.getAs[Double]("confidence") === 0.9)
+    assert(hit.get.getAs[String]("relationship_type") === "many_to_one")
+    // the NULLABLE data column is never matched (mode compatibility gate)
+    assert(!out.exists(_.getAs[String]("source_column") == "name"))
+    // the name-directed leg (h_ prefix retry) works without the fallback
+    val noFallback = edges(RelationshipDetector.enhancedPkFkMatch(cols))
+    assert(noFallback.contains(("dim_customer", "customer_id", "h_customer", "id")))
+  }
+
   test("naming rule: (.+)_id with suffix s resolves orders.customer_id") {
     val cols = classified(refs(
       ("customers", "customer_id", "bigint"), // customers PK
