@@ -59,7 +59,26 @@ class GraftEngine(
     */
   def enhancedRelationships(sampleFraction: Double = 1.0): DataFrame =
     GraftEngine.memo(memoKey(s"enhanced#$sampleFraction")) {
-      enhancedRelationshipsUncached(sampleFraction)
+      enhancedRelationshipsUncached(sampleFraction, Map.empty)
+    }
+
+  /** Per-table adaptive sampling fractions (A10→S6): Cochran sample size
+    * over each table's FOOTER row count — metadata only, no data scan. A
+    * 10-row dim tests whole; a billion-row fact tests a few hundred rows.
+    */
+  def adaptiveSampleFractions(
+      confidenceLevel: Double = 0.95, marginOfError: Double = 0.05): Map[String, Double] =
+    catalog.collect().map(t =>
+      t.tableName -> DataTester.cochranFraction(t.numRows, confidenceLevel, marginOfError)).toMap
+
+  /** Enhanced path with the reference's adaptive sampling
+    * (data_relationship_tester.py:328-358): every tested table samples at
+    * its own Cochran fraction instead of one global knob.
+    */
+  def enhancedRelationshipsAdaptive(
+      confidenceLevel: Double = 0.95, marginOfError: Double = 0.05): DataFrame =
+    GraftEngine.memo(memoKey(s"enhancedAdaptive#$confidenceLevel#$marginOfError")) {
+      enhancedRelationshipsUncached(1.0, adaptiveSampleFractions(confidenceLevel, marginOfError))
     }
 
   /** The uncached enhanced pipeline; `enhancedRelationships` memoizes it per
@@ -67,7 +86,8 @@ class GraftEngine(
     * data-test outcome (relationship_cache.py:69-96, 24 h TTL; cross-run
     * persistence is `state.RelationshipCache`).
     */
-  private def enhancedRelationshipsUncached(sampleFraction: Double): DataFrame = {
+  private def enhancedRelationshipsUncached(
+      sampleFraction: Double, sampleFractions: Map[String, Double]): DataFrame = {
     val edges = relationships.collect() // post-top-k: tiny
     if (edges.isEmpty) return relationships
     import spark.implicits._
@@ -76,7 +96,8 @@ class GraftEngine(
       edges.toSeq.map(r => (
         r.getAs[String]("source_table"), r.getAs[String]("source_column"),
         r.getAs[String]("target_table"), r.getAs[String]("target_column"))),
-      sampleFraction = sampleFraction)
+      sampleFraction = sampleFraction,
+      sampleFractions = sampleFractions)
     val meta = org.apache.spark.sql.functions.broadcast(
       edges.toSeq.map(r => (
         r.getAs[String]("source_table"), r.getAs[String]("source_column"),

@@ -225,8 +225,9 @@ object SparkEntry {
       Seq(("drawio", ErdRenderer.drawio(m.tables, m.rels))).toDF("format", "erd")
     },
     // ANN scale path: random-hyperplane LSH buckets, brute force WITHIN
-    // buckets only, 2 tables for recall (rows-only check: the plane weights
-    // are engine-side; AnnRecallSpec asserts recall vs exact top-k).
+    // buckets only, 2 tables for recall. Fully oracle-checked: the plane
+    // weights are deterministic functions of (seed, dim), so the oracle
+    // re-derives the same literals and replays the whole pipeline in SQL.
     "q40_ann_lsh" -> { (s, dir) =>
       import graft.ext.Similarity
       Similarity.lshTopK(Tables.embeddings(s, dir), k = 5, dim = 64)
@@ -268,14 +269,16 @@ object SparkEntry {
       Dedup.dedupClusters(pairs)
         .select(col("id").as("vec_id"), col("canonical_id"))
     },
-    // Corpus balancing: expected ≤100 docs per predicted language via
-    // per-stratum Bernoulli sampling (rows-only: Spark's seeded RNG is
-    // engine-specific; SamplingSpec asserts the per-stratum contract).
+    // Corpus balancing: ~100 docs per predicted language via DETERMINISTIC
+    // hash-gated sampling (md5(doc_id) mod 10^6 under the per-stratum
+    // fraction) — reproducible across engines/partitionings/retries, so the
+    // selected rows themselves are oracle-checked; the RNG sampleBy variant
+    // stays available as Sampling.balanced (SamplingSpec).
     "q50_balanced_sample" -> { (s, dir) =>
       import graft.ext.{Sampling, TextAnalysis}
       val docs = Tables.documents(s, dir)
         .withColumn("lang", TextAnalysis.langId(col("text")))
-      Sampling.balanced(docs, "lang", targetPerStratum = 100L)
+      Sampling.balancedDeterministic(docs, "lang", targetPerStratum = 100L, idCol = "doc_id")
         .select("doc_id", "lang")
     },
     // Curriculum selection: top-3 documents per predicted language by
@@ -351,8 +354,9 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("canonical_id"))
     },
     // ANN scale path 2: inverted-file (IVF) — deterministic coarse
-    // quantizer, nearest-cell assignment, nprobe-cell search (rows-only
-    // check: centroids are engine-side; SimilaritySpec asserts recall).
+    // quantizer (16 smallest md5(id) vectors), nearest-cell assignment,
+    // 2-probe search. Fully oracle-checked: centroid choice and cell
+    // ranking are engine-independent, so the oracle replays them in SQL.
     "q43_ann_ivf" -> { (s, dir) =>
       import graft.ext.Similarity
       Similarity.ivfTopK(Tables.embeddings(s, dir), k = 5)
@@ -758,6 +762,71 @@ object SparkEntry {
   private def dkCosine(a: String, b: String): String =
     dkDot.replace("%A", a).replace("%B", b) + s" / (${dkNorm(a)} * ${dkNorm(b)})"
 
+  /** DuckDB replay of the q40 LSH-ANN pipeline: the hyperplane components
+    * are deterministic functions of (seed, dim) (Similarity.planeWeights),
+    * so the oracle embeds the SAME weight literals, rebuilds the 2×8-plane
+    * sign buckets, and brute-forces within buckets — engine-independent by
+    * construction.
+    */
+  private def lshAnnOracle: String = {
+    def sigExpr(t: Int): String = (0 until 8).map { p =>
+      val w = graft.ext.Similarity.planeWeights(t * 1000 + p, 64).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $w), " +
+        "x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH b AS (
+       |  SELECT vec_id, 0 AS tbl, ${sigExpr(0)} AS bucket FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS tbl, ${sigExpr(1)} AS bucket FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, c2.vec_id AS nid
+       |         FROM b a JOIN b c2 ON a.tbl = c2.tbl AND a.bucket = c2.bucket
+       |                            AND a.vec_id <> c2.vec_id),
+       |scored AS (SELECT qid AS query_id, nid AS neighbor_id, ${dkCosine("q", "c")} AS cos
+       |           FROM cand JOIN embeddings q ON q.vec_id = qid
+       |                     JOIN embeddings c ON c.vec_id = nid),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB replay of the q43 IVF pipeline: centroids = the 16 corpus
+    * vectors with the smallest md5(vec_id) (same deterministic sample as
+    * Similarity.ivfTopK), cells ranked score-desc/index-asc on both sides.
+    */
+  private def ivfAnnOracle: String = {
+    val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    s"""WITH prep AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
+       |ck AS (SELECT vec_id, embedding, nrm,
+       |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+       |       FROM prep),
+       |cent AS (SELECT CAST(rn - 1 AS INT) AS idx, embedding AS cvec, nrm AS cnrm
+       |         FROM ck WHERE rn <= 16),
+       |scores AS (SELECT p.vec_id, c.idx,
+       |                  list_sum(list_transform(list_zip(p.embedding, c.cvec),
+       |                    x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) / (p.nrm * c.cnrm) AS score
+       |           FROM prep p CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, idx,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                   ORDER BY score DESC, idx ASC) AS crn
+       |          FROM scores),
+       |assigned AS (SELECT vec_id, idx AS cell FROM cells WHERE crn = 1),
+       |probed AS (SELECT vec_id, idx AS cell FROM cells WHERE crn <= 2),
+       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |         FROM probed p JOIN assigned a USING (cell) WHERE p.vec_id <> a.vec_id),
+       |scored AS (SELECT query_id, neighbor_id, ${dkCosine("q", "c")} AS cos
+       |           FROM cand JOIN embeddings q ON q.vec_id = query_id
+       |                     JOIN embeddings c ON c.vec_id = neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** DuckDB mirror of the q38 near-dup pipeline: same portable hashes, same
     * 16-hash/4-band layout, same candidate semi-join before the Jaccard
     * verify.
@@ -803,6 +872,20 @@ object SparkEntry {
 
   private def extOracleSql: Map[String, String] = Map(
     "q38_near_dups" -> nearDupOracle,
+    "q40_ann_lsh" -> lshAnnOracle,
+    "q43_ann_ivf" -> ivfAnnOracle,
+    "q50_balanced_sample" -> {
+      val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
+      val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")
+      val best = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, $scoreDefs, $best AS best FROM documents),
+         |d AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang FROM scored),
+         |counts AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1)
+         |SELECT d.doc_id, d.lang FROM d JOIN counts USING (lang)
+         |WHERE (${dkHash("CAST(d.doc_id AS VARCHAR)", 0)} % 1000000)
+         |      < LEAST(1.0, 100.0 / n) * 1000000""".stripMargin
+    },
     "q49_best_docs_per_lang" -> {
       val nt = "len(string_split(text,' '))"
       val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"

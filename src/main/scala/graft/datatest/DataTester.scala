@@ -148,6 +148,21 @@ object DataTester {
     math.max(1L, math.ceil(n).toLong)
   }
 
+  /** A10→S6 wiring — adaptive sampling fraction for a table: the Cochran
+    * sample size over the (footer-derived) row count, as a Bernoulli
+    * fraction (data_relationship_tester.py:328-358's adaptive loop, made a
+    * pure function of population size). Small tables sample 1.0; a 10^9-row
+    * table samples ~4·10^-7 — the data-test cost becomes O(√precision), not
+    * O(rows).
+    */
+  def cochranFraction(
+      populationSize: Long,
+      confidenceLevel: Double = 0.95,
+      marginOfError: Double = 0.05): Double =
+    if (populationSize <= 0) 1.0
+    else math.min(1.0,
+      cochranSampleSize(populationSize, confidenceLevel, marginOfError).toDouble / populationSize)
+
   /** Data-test a SET of relationships as ONE Spark plan (SURVEY §7.4.4).
     *
     * The reference issues one sampling SQL query per relationship endpoint
@@ -181,7 +196,8 @@ object DataTester {
       spark: SparkSession, dir: String,
       edges: Seq[(String, String, String, String)],
       typeCompatible: Boolean = true,
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0,
+      sampleFractions: Map[String, Double] = Map.empty): DataFrame = {
     require(edges.nonEmpty, "testRelationships needs at least one edge")
     import spark.implicits._
     val edgeDf = edges.zipWithIndex.map { case ((st, sc, tt, tc), i) =>
@@ -192,11 +208,31 @@ object DataTester {
       .flatMap { case (st, sc, tt, tc) => Seq(st -> sc, tt -> tc) }
       .distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
 
-    // 1. one scan per table → (t, c, v, cnt) for every tested column
+    // 1. one scan per table → (t, c, v, cnt) for every tested column.
+    // Values are canonicalized BEFORE the string cast: all integral widths
+    // go through bigint so an int 5 and a bigint 5 render identically
+    // ("5"), preserving cross-width joins. Fractional types are rejected
+    // loudly — the upstream type-group validation never routes float keys
+    // here, and "5.0" vs "5.00" string drift would silently zero the
+    // overlap for anyone bypassing it.
     val stacked = needed.map { case (t, cols0) =>
       val df0 = spark.read.parquet(s"$dir/$t.parquet")
-      val df = if (sampleFraction < 1.0) df0.sample(sampleFraction, seed = 42) else df0
-      val pairs = cols0.map(c => struct(lit(c).as("c"), col(c).cast("string").as("v")))
+      // per-table fraction (adaptive Cochran wiring) wins over the global one
+      val frac = sampleFractions.getOrElse(t, sampleFraction)
+      val df = if (frac < 1.0) df0.sample(frac, seed = 42) else df0
+      import org.apache.spark.sql.types._
+      val pairs = cols0.map { c =>
+        val canonical = df0.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => col(c).cast("bigint")
+          case StringType | BinaryType | BooleanType | DateType => col(c)
+          case dt: TimestampType => col(c)
+          case other => throw new IllegalArgumentException(
+            s"unsupported data-test endpoint type for $t.$c: $other — " +
+              "edges must use integral/string/binary keys (the type-group " +
+              "validation in RelationshipDetector enforces this)")
+        }
+        struct(lit(c).as("c"), canonical.cast("string").as("v"))
+      }
       df.select(explode(array(pairs: _*)).as("p"))
         .select(lit(t).as("t"), col("p.c").as("c"), col("p.v").as("v"))
         .where(col("v").isNotNull)

@@ -25,15 +25,41 @@ object Sampling {
   /** Balance a corpus to ~`targetPerStratum` expected rows per stratum:
     * one count pass derives the per-stratum fractions, then one Bernoulli
     * pass samples. Strata already at or under target pass through whole.
+    * NULL-stratum rows are dropped (they are not a stratum), and fractions
+    * key on the RAW stratum value, so non-string stratum columns sample
+    * correctly.
     */
   def balanced(
       df: DataFrame, stratumCol: String,
       targetPerStratum: Long, seed: Long = 42L): DataFrame = {
-    val counts = df.groupBy(stratumCol).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1))
-    val fractions = counts.map { case (k, n) =>
-      k -> math.min(1.0, targetPerStratum.toDouble / n)
-    }.toMap
-    df.stat.sampleBy(stratumCol, fractions, seed)
+    val nonNull = df.filter(col(stratumCol).isNotNull)
+    val fractions: Map[Any, Double] = nonNull.groupBy(stratumCol).count().collect()
+      .map(r => r.get(0) -> math.min(1.0, targetPerStratum.toDouble / r.getLong(1)))
+      .toMap
+    nonNull.stat.sampleBy(col(stratumCol), fractions, seed)
+  }
+
+  /** Deterministic, engine-portable balanced sampling: keep a row iff a
+    * stable md5-derived hash of its id falls under the per-stratum fraction
+    * — `hash(id) mod 10^6 < min(1, target/n)·10^6`. Unlike RNG `sampleBy`,
+    * the selected ROWS are a pure function of the data, so runs are
+    * reproducible across engines, partitionings, and retries (the property
+    * a training-data pipeline wants for corpus freezes / ablations).
+    *
+    * Scale: one tiny groupBy-count broadcast-joined back; the filter is
+    * map-side — no shuffle of the data itself, no skew sensitivity (the
+    * count join broadcasts, so a 90%-one-language corpus costs nothing
+    * extra).
+    */
+  def balancedDeterministic(
+      df: DataFrame, stratumCol: String, targetPerStratum: Long,
+      idCol: String, seed: Int = 0): DataFrame = {
+    val nonNull = df.filter(col(stratumCol).isNotNull)
+    val counts = nonNull.groupBy(stratumCol).agg(count(lit(1)).as("__stratum_n"))
+    nonNull.join(broadcast(counts), Seq(stratumCol))
+      .filter(
+        pmod(Dedup.stableHash(col(idCol).cast("string"), seed), lit(1000000L)).cast("double") <
+          least(lit(1.0), lit(targetPerStratum.toDouble) / col("__stratum_n")) * 1000000.0)
+      .drop("__stratum_n")
   }
 }

@@ -76,15 +76,21 @@ object Similarity {
     * product against a literal weight array (a tight codegen'd loop), not a
     * dim-term expression tree.
     */
+  /** Deterministic hyperplane components for plane `seed`: w(d) in
+    * [-0.5, 0.5) from stable string hashes — no stored model, reproducible
+    * across runs AND engines (the q40 oracle re-derives the same literals).
+    */
+  def planeWeights(seed: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      (math.abs(scala.util.hashing.MurmurHash3.stringHash(s"$seed#$d")) % 1000) / 1000.0 - 0.5
+    }
+
   def hyperplaneSignature(
       spark: org.apache.spark.sql.SparkSession,
       vec: Column, dim: Int, numPlanes: Int = 8, seed: Int = 0): Column = {
     val signs = (0 until numPlanes).map { p =>
-      // component w(p,d) in [-0.5, 0.5): cheap deterministic pseudo-randoms
-      val w = (0 until dim).map { d =>
-        (math.abs(scala.util.hashing.MurmurHash3.stringHash(s"${seed + p}#$d")) % 1000) / 1000.0 - 0.5
-      }
-      val proj = graft.functions.VectorFunctions.dotNative(spark, vec, typedlit(w))
+      val proj = graft.functions.VectorFunctions.dotNative(
+        spark, vec, typedlit(planeWeights(seed + p, dim)))
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat(signs: _*)

@@ -114,32 +114,56 @@ object EventStream {
     * batch — the flatMap shape); the still-open tail stays in state. This is
     * the production form of streaming sessionization: output rows are final,
     * never revised.
+    *
+    * Correctness guards: (a) an out-of-order event WITHIN the gap never
+    * moves the session end backwards (`end = max(end, t)` — a cross-batch
+    * straggler extends counts, not boundaries); (b) idle sessions are
+    * closed by an EVENT-TIME timeout — once the watermark passes
+    * `session end + gap` the open tail is emitted and its per-user state
+    * removed, so state is bounded and every session is eventually output
+    * even for users who never return.
     */
   def closedSessionsStream(
-      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
     events
+      .withColumn("event_time", Sessions.nsToTimestamp(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
       .withColumn("ts_us", Sessions.nsToUs(col("ts")))
-      .select($"user_id", $"ts_us")
-      .as[(Long, Long)]
+      // keep the watermarked column in the grouped Dataset — pruning it
+      // before the stateful operator drops the watermark and EventTimeTimeout
+      // fails analysis
+      .select($"user_id", $"ts_us", $"event_time")
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          val closed = Seq.newBuilder[SessionOut]
-          var st = state.getOption.orNull
-          sorted.foreach { t =>
-            st =
-              if (st == null) SessionState(t, t, 1)
-              else if (t - st.end > gapUs) {
-                closed += SessionOut(user, st.start, st.end, st.n)
-                SessionState(t, t, 1)
-              } else st.copy(end = t, n = st.n + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SessionOut(user, st.start, st.end, st.n))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            val closed = Seq.newBuilder[SessionOut]
+            var st = state.getOption.orNull
+            sorted.foreach { t =>
+              st =
+                if (st == null) SessionState(t, t, 1)
+                else if (t - st.end > gapUs) {
+                  closed += SessionOut(user, st.start, st.end, st.n)
+                  SessionState(t, t, 1)
+                } else st.copy(end = math.max(st.end, t), n = st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // event-time ms at which this session becomes idle-closed
+              state.setTimeoutTimestamp((st.end + gapUs) / 1000)
+            }
+            closed.result().iterator
           }
-          if (st != null) state.update(st)
-          closed.result().iterator
       }
       .toDF()
   }

@@ -20,6 +20,22 @@ class DataTesterSpec extends SparkSpec {
     assert(r2.getAs[Long]("orphan_values") === 2L)
   }
 
+  test("cross-width integral edges join: int fk against bigint pk scores RI 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dtwidth").toString
+    Seq(1, 2, 3).toDF("fk").write.mode("overwrite").parquet(s"$dir/src_t.parquet")
+    Seq(1L, 2L, 3L, 4L).toDF("pk").write.mode("overwrite").parquet(s"$dir/tgt_t.parquet")
+    val out = DataTester.testRelationships(
+      spark, dir, Seq(("src_t", "fk", "tgt_t", "pk"))).collect().head
+    assert(out.getAs[Double]("ri_ratio") === 1.0, "int/bigint values must canonicalize equal")
+    // fractional endpoints are rejected loudly, not silently mismatched
+    Seq(1.5).toDF("fk").write.mode("overwrite").parquet(s"$dir/bad_t.parquet")
+    val e = intercept[IllegalArgumentException] {
+      DataTester.testRelationships(spark, dir, Seq(("bad_t", "fk", "tgt_t", "pk"))).collect()
+    }
+    assert(e.getMessage.contains("unsupported data-test endpoint type"))
+  }
+
   test("distribution similarity: identical distributions score 1.0") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("v")
@@ -59,6 +75,29 @@ class DataTesterSpec extends SparkSpec {
     assert(DataTester.cochranSampleSize(1000000) === 385L)
     assert(DataTester.cochranSampleSize(100) <= 100L)
     assert(DataTester.cochranSampleSize(100) >= 79L) // FPC pulls it near 80
+  }
+
+  test("adaptive Cochran wiring: fraction = n_cochran/rows; sampled metrics near full-pass") {
+    assert(DataTester.cochranFraction(10) === 1.0)
+    assert(DataTester.cochranFraction(1000000) ===
+      DataTester.cochranSampleSize(1000000).toDouble / 1000000)
+    val eng = new graft.GraftEngine(spark, sf0001)
+    val fr = eng.adaptiveSampleFractions()
+    val rows = graft.catalog.ParquetCatalog.catalog(spark, sf0001)
+      .collect().map(t => t.tableName -> t.numRows).toMap
+    fr.foreach { case (t, f) =>
+      assert(math.abs(f - math.min(1.0, DataTester.cochranSampleSize(rows(t)).toDouble / rows(t))) < 1e-12,
+        s"$t fraction $f drifted from Cochran")
+    }
+    val edge = Seq(("customer", "c_nationkey", "nation", "n_nationkey"))
+    val full = DataTester.testRelationships(spark, sf0001, edge).collect().head
+    val sampled = DataTester.testRelationships(spark, sf0001, edge, sampleFractions = fr)
+      .collect().head
+    // both sides sample at their Cochran fractions (the reference samples
+    // both endpoints too), so metrics wobble within the margin of error
+    assert(sampled.getAs[Double]("ri_ratio") > 0.8)
+    assert(math.abs(sampled.getAs[Double]("overall_confidence") -
+      full.getAs[Double]("overall_confidence")) < 0.2)
   }
 
   test("negative fixture shape: low-coverage FK scores below threshold on distribution") {

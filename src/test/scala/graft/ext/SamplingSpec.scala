@@ -21,6 +21,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("deterministic balanced sampling: reproducible rows, null strata dropped, caps hold") {
+    import spark.implicits._
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 40).map(i => (1000L + i, "small")) ++
+      Seq((2000L, null.asInstanceOf[String]))).toDF("id", "grp")
+    val out = Sampling.balancedDeterministic(df, "grp", targetPerStratum = 100L, idCol = "id")
+    val rows = out.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp")))
+    assert(!rows.exists(_._2 == null)) // null stratum is not a stratum
+    val bySize = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySize("small") === 40) // under target → passes through whole
+    assert(bySize("big") > 50 && bySize("big") < 200, s"big stratum kept ${bySize("big")}")
+    // pure function of the data: a second run selects the SAME rows
+    val again = Sampling.balancedDeterministic(df, "grp", 100L, "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp")))
+    assert(again.toSet === rows.toSet)
+  }
+
   test("balanced sampling caps large strata and passes small ones through") {
     val docs = Tables.documents(spark, sf0001)
       .withColumn("lang", TextAnalysis.langId(col("text")))

@@ -90,7 +90,9 @@ class EventStreamSpec extends SparkSpec {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("closed_test").start()
     try {
-      def ns(min: Long) = min * 60L * 1000000000L
+      // +1 min epoch offset: an event AT the initial watermark (epoch 0)
+      // would be dropped as late now that the stream is watermarked
+      def ns(min: Long) = (min + 1) * 60L * 1000000000L
       // user 1: burst at 0-10 min, then a 2h gap burst → first session closes
       source.addData((1L, ns(0)), (1L, ns(10)), (1L, ns(130)))
       q.processAllAvailable()
@@ -99,7 +101,29 @@ class EventStreamSpec extends SparkSpec {
       val s = closed.head
       assert(s.getAs[Long]("userId") === 1L)
       assert(s.getAs[Long]("nEvents") === 2L) // the 0..10min burst
-      // the 130-min event stays open in state, not emitted
+      // the 130-min event stays open in state, not emitted yet
+
+      // an out-of-order straggler (125 min, within gap of 130) must NOT
+      // move the open session's end backwards
+      source.addData((1L, ns(125)))
+      q.processAllAvailable()
+      assert(spark.table("closed_test").collect().length === 1)
+
+      // advance the watermark far past end+gap (watermark delay is 2h):
+      // the idle open session is emitted by event-time timeout
+      source.addData((2L, ns(600)))
+      q.processAllAvailable()
+      source.addData((2L, ns(601))) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val all = spark.table("closed_test").collect()
+      val u1 = all.filter(_.getAs[Long]("userId") == 1L)
+      assert(u1.length === 2, s"idle session not timed out: ${all.mkString(";")}")
+      // the straggler merged into the 130-min session WITHOUT moving its
+      // boundaries backwards: start and end both stay at 130
+      val idle = u1.maxBy(_.getAs[Long]("sessionStartUs"))
+      assert(idle.getAs[Long]("sessionStartUs") === ns(130) / 1000)
+      assert(idle.getAs[Long]("sessionEndUs") === ns(130) / 1000)
+      assert(idle.getAs[Long]("nEvents") === 2L)
     } finally q.stop()
   }
 
