@@ -129,15 +129,18 @@ class GraftEngine(
       .select("tableName", "columnName").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
 
-  /** Render the detected graph in the requested dialect (§3.1 steps 5-6). */
-  def renderErd(format: String): String = {
+  /** Render the detected graph in the requested dialect (§3.1 steps 5-6).
+    * `layout` applies to drawio: grid | force | hierarchical (the
+    * reference's table_layout config, models.py:120).
+    */
+  def renderErd(format: String, layout: String = "grid"): String = {
     val tables = catalog.collect().toSeq
     val rels = collectRelationships(relationships)
     format match {
       case "mermaid" =>
         ErdRenderer.mermaid(tables, rels, keySet("is_pk_candidate"), keySet("is_fk_candidate"))
       case "plantuml" => ErdRenderer.plantUml(tables, rels, keySet("is_pk_candidate"))
-      case "drawio"   => ErdRenderer.drawio(tables, rels)
+      case "drawio"   => ErdRenderer.drawio(tables, rels, layout = layout)
       case other      => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }
@@ -236,7 +239,7 @@ object Main {
         else engine.relationships
       println(s"detected ${rels.count()} relationships:")
       rels.show(100, truncate = false)
-      val erd = engine.renderErd(format)
+      val erd = engine.renderErd(format, opt("--layout").getOrElse("grid"))
       opt("--out") match {
         case Some(f) =>
           java.nio.file.Files.writeString(java.nio.file.Paths.get(f), erd)

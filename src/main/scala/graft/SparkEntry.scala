@@ -1211,6 +1211,117 @@ object SparkEntry {
         |       CAST(CAST(('0x'||substr(md5(text),9,8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS sharpness
         |FROM documents""".stripMargin)
 
+  /** First-principles DuckDB derivation of the detected edge set: the column
+    * catalog comes from DESCRIBE over the registered tables (no transcribed
+    * schema facts), classification and detection re-apply the SAME rules as
+    * KeyClassifier/RelationshipDetector in SQL, and conflict resolution +
+    * top-k filtering mirror the windowed argmax. Strategies that are
+    * provably no-ops on this catalog are omitted with the proof in place:
+    * data-vault needs h_/dim_/… table prefixes (none exist), the enhanced
+    * cascade's name attempts only rediscover exact-match pairs at lower
+    * confidence (resolved away), and type-compatibility emits 0.4 < the 0.5
+    * threshold. Backfill is a no-op because no source table exceeds 3
+    * threshold-clearing edges.
+    */
+  private def detectionOracleCtes: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val raw = tables.map(t =>
+      s"SELECT '$t' AS t, lower(column_name) AS c, column_type AS ty, " +
+        s"ROW_NUMBER() OVER () AS ord FROM (DESCRIBE $t)")
+      .mkString("\n    UNION ALL ")
+    s"""raw AS (
+       |    $raw),
+       |cat AS (
+       |  SELECT t, c, ord, ty LIKE '%[]' AS is_array,
+       |         CASE replace(lower(ty), '[]', '')
+       |           WHEN 'varchar' THEN 'string' WHEN 'blob' THEN 'binary'
+       |           ELSE replace(lower(ty), '[]', '') END AS dt
+       |  FROM raw),
+       |cls AS (
+       |  SELECT t, c, ord, is_array, dt,
+       |         regexp_replace(c, '^[a-z]{1,2}_(.)', '\\1') AS base,
+       |         regexp_replace(regexp_replace(c, '^[a-z]{1,2}_(.)', '\\1'),
+       |                        '_?(id|key|fk|pk|hk|hash_key|sk)$$', '') AS stem,
+       |         regexp_replace(t, '^(h_|dim_|l_|ref_|fact_|bridge_|tbl_|table_)', '') AS tbase,
+       |         CASE WHEN dt IN ('integer','bigint','smallint','tinyint') THEN 'int'
+       |              WHEN dt IN ('string','varchar','char') THEN 'string'
+       |              WHEN dt IN ('double','float','decimal') THEN 'float'
+       |              WHEN dt = 'boolean' THEN 'bool' ELSE dt END AS tg
+       |  FROM cat),
+       |flagged AS (
+       |  SELECT *,
+       |         (NOT is_array) AND dt IN ('integer','bigint','string','binary')
+       |           AND regexp_matches(base, '_?(id|key|fk|pk|hk|hash_key|sk)$$')
+       |           AND (base IN ('id','key')
+       |                OR (length(stem) >= 3 AND starts_with(tbase, stem))
+       |                OR stem = tbase
+       |                OR stem = regexp_replace(tbase, 's$$', '')) AS is_pk
+       |  FROM cls),
+       |keyed AS (
+       |  SELECT *,
+       |         (NOT is_array) AND dt IN ('integer','bigint','string','binary')
+       |           AND regexp_matches(base, '_?(id|key|fk|pk|hk|hash_key|sk)$$')
+       |           AND NOT is_pk AS is_fk
+       |  FROM flagged),
+       |exact_m AS (
+       |  SELECT f.t AS source_table, f.c AS source_column,
+       |         p.t AS target_table, p.c AS target_column,
+       |         'many_to_one' AS relationship_type, 0.95 AS confidence,
+       |         'exact_match' AS detection_method, false AS is_custom, 1 AS mrank
+       |  FROM keyed f JOIN keyed p ON f.base = p.base AND f.tg = p.tg
+       |  WHERE f.is_fk AND p.is_pk AND f.t <> p.t),
+       |best_key AS (
+       |  SELECT tbase AS cand, t, c, tg FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY t
+       |      ORDER BY is_pk DESC, (base IN ('id','key')) DESC, ord ASC) AS brk
+       |    FROM keyed WHERE is_pk OR is_fk)
+       |  WHERE brk = 1),
+       |suffix_m AS (
+       |  SELECT f.t AS source_table, f.c AS source_column,
+       |         b.t AS target_table, b.c AS target_column,
+       |         'many_to_one' AS relationship_type, 0.8 AS confidence,
+       |         'foreign_key' AS detection_method, false AS is_custom, 4 AS mrank
+       |  FROM (SELECT t, c, tg, unnest([stem, stem || 's', stem || 'es',
+       |                                 regexp_replace(stem, 's$$', '')]) AS cand
+       |        FROM keyed WHERE is_fk AND length(stem) >= 2) f
+       |  JOIN best_key b USING (cand)
+       |  WHERE f.t <> b.t AND f.tg = b.tg),
+       |custom_m AS (
+       |  SELECT 'events' AS source_table, 'user_id' AS source_column,
+       |         'customer' AS target_table, 'c_custkey' AS target_column,
+       |         'many_to_one' AS relationship_type, 0.9 AS confidence,
+       |         'custom_rule' AS detection_method, true AS is_custom, 0 AS mrank
+       |  WHERE EXISTS (SELECT 1 FROM keyed WHERE t = 'events' AND c = 'user_id')
+       |    AND EXISTS (SELECT 1 FROM keyed WHERE t = 'customer' AND c = 'c_custkey')
+       |    AND (SELECT tg FROM keyed WHERE t = 'events' AND c = 'user_id')
+       |        = (SELECT tg FROM keyed WHERE t = 'customer' AND c = 'c_custkey')),
+       |unioned AS (
+       |  SELECT * FROM exact_m UNION ALL SELECT * FROM suffix_m
+       |  UNION ALL SELECT * FROM custom_m),
+       |resolved AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY source_table, source_column, target_table, target_column
+       |      ORDER BY confidence DESC, is_custom DESC, mrank ASC) AS rrk
+       |    FROM unioned) WHERE rrk = 1),
+       |edges_final AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source_table, target_table
+       |      ORDER BY confidence DESC, source_column ASC,
+       |               target_table ASC, target_column ASC) AS prk
+       |    FROM (
+       |      SELECT * FROM (
+       |        SELECT *, ROW_NUMBER() OVER (PARTITION BY source_table
+       |          ORDER BY confidence DESC, source_column ASC,
+       |                   target_table ASC, target_column ASC) AS trk
+       |        FROM resolved WHERE confidence >= 0.5)
+       |      WHERE trk <= 3
+       |        AND (detection_method IN ('enhanced_pk_fk', 'data_vault_pattern')
+       |             OR confidence >= 0.5)))
+       |  WHERE prk = 1)""".stripMargin
+  }
+
   /** Golden oracle for q13 (static schema facts × live row counts). */
   private def catalogOracleSql: Map[String, String] = Map(
     "q13_catalog_summary" ->
@@ -1259,42 +1370,29 @@ object SparkEntry {
         |) AS t(table_name, column_name, data_type, base_name, key_stem,
         |       is_pk_candidate, is_fk_candidate)""".stripMargin,
     "q15_detect_relationships" ->
-      """SELECT source_table, source_column, target_table, target_column,
-        |       relationship_type, CAST(confidence AS DOUBLE) AS confidence,
-        |       detection_method, is_custom
-        |FROM (VALUES
-        | ('customer','c_nationkey','nation','n_nationkey','many_to_one',0.95,'exact_match',false),
-        | ('events','user_id','customer','c_custkey','many_to_one',0.9,'custom_rule',true),
-        | ('lineitem','l_orderkey','orders','o_orderkey','many_to_one',0.95,'exact_match',false),
-        | ('lineitem','l_partkey','part','p_partkey','many_to_one',0.95,'exact_match',false),
-        | ('lineitem','l_suppkey','supplier','s_suppkey','many_to_one',0.95,'exact_match',false),
-        | ('nation','n_regionkey','region','r_regionkey','many_to_one',0.95,'exact_match',false),
-        | ('orders','o_custkey','customer','c_custkey','many_to_one',0.95,'exact_match',false),
-        | ('supplier','s_nationkey','nation','n_nationkey','many_to_one',0.95,'exact_match',false)
-        |) AS t(source_table, source_column, target_table, target_column,
-        |       relationship_type, confidence, detection_method, is_custom)""".stripMargin,
+      s"""WITH $detectionOracleCtes
+         |SELECT source_table, source_column, target_table, target_column,
+         |       relationship_type, CAST(confidence AS DOUBLE) AS confidence,
+         |       detection_method, is_custom
+         |FROM edges_final""".stripMargin,
     "q16_datatest_metrics" -> datatestOracle,
     "q45_quality_report" ->
-      """WITH rels(confidence, detection_method, relationship_type) AS (VALUES
-        | (0.95,'exact_match','many_to_one'), (0.9,'custom_rule','many_to_one'),
-        | (0.95,'exact_match','many_to_one'), (0.95,'exact_match','many_to_one'),
-        | (0.95,'exact_match','many_to_one'), (0.95,'exact_match','many_to_one'),
-        | (0.95,'exact_match','many_to_one'), (0.95,'exact_match','many_to_one'))
-        |SELECT 'confidence_distribution' AS dimension,
-        |       CASE WHEN confidence >= 0.8 THEN 'high_confidence'
-        |            WHEN confidence >= 0.5 THEN 'medium_confidence'
-        |            ELSE 'low_confidence' END AS key,
-        |       COUNT(*) AS n_edges
-        |FROM rels GROUP BY 2
-        |UNION ALL
-        |SELECT 'by_detection_method', detection_method, COUNT(*) FROM rels GROUP BY 2
-        |UNION ALL
-        |SELECT 'by_relationship_type', relationship_type, COUNT(*) FROM rels GROUP BY 2
-        |UNION ALL
-        |SELECT 'total', 'total_relationships', COUNT(*) FROM rels
-        |UNION ALL
-        |SELECT 'total', 'avg_confidence_x1000',
-        |       CAST(round(AVG(confidence) * 1000) AS BIGINT) FROM rels""".stripMargin)
+      s"""WITH $detectionOracleCtes
+         |SELECT 'confidence_distribution' AS dimension,
+         |       CASE WHEN confidence >= 0.8 THEN 'high_confidence'
+         |            WHEN confidence >= 0.5 THEN 'medium_confidence'
+         |            ELSE 'low_confidence' END AS key,
+         |       COUNT(*) AS n_edges
+         |FROM edges_final GROUP BY 2
+         |UNION ALL
+         |SELECT 'by_detection_method', detection_method, COUNT(*) FROM edges_final GROUP BY 2
+         |UNION ALL
+         |SELECT 'by_relationship_type', relationship_type, COUNT(*) FROM edges_final GROUP BY 2
+         |UNION ALL
+         |SELECT 'total', 'total_relationships', COUNT(*) FROM edges_final
+         |UNION ALL
+         |SELECT 'total', 'avg_confidence_x1000',
+         |       CAST(round(AVG(confidence) * 1000) AS BIGINT) FROM edges_final""".stripMargin)
 
   /** DuckDB recomputation of q16's metrics per edge — same integer-exact
     * formulation as DataTester (counts and delta sums are exact integers;

@@ -66,23 +66,98 @@ object ErdRenderer {
     sb.toString
   }
 
+  /** Force-directed positions (erd_generator.py:166-248 physics, made
+    * deterministic): circle initialization in sorted-name order, 10 rounds
+    * of pairwise repulsion (1000/d²) + per-edge attraction (0.1·d), step
+    * 0.1. Driver-side O(n²·iters) over the post-top-k CATALOG (tables, not
+    * data) — thousands of tables cost milliseconds; rendering is inherently
+    * single-node (S11).
+    */
+  def forceDirectedPositions(
+      tableNames: Seq[String],
+      rels: Seq[Relationship],
+      iterations: Int = 10): Map[String, (Double, Double)] = {
+    val ts = tableNames.distinct.sorted
+    val n = ts.size
+    if (n == 0) return Map.empty
+    var pos: Map[String, (Double, Double)] = ts.zipWithIndex.map { case (t, i) =>
+      val angle = 2 * math.Pi * i / n
+      t -> (200.0 * math.cos(angle), 200.0 * math.sin(angle))
+    }.toMap
+    for (_ <- 0 until iterations) {
+      var fx = Map.empty[String, (Double, Double)].withDefaultValue((0.0, 0.0))
+      def push(t: String, dx: Double, dy: Double): Unit = {
+        val (x, y) = fx(t); fx += t -> (x + dx, y + dy)
+      }
+      for (i <- ts.indices; j <- i + 1 until n) {
+        val (x1, y1) = pos(ts(i)); val (x2, y2) = pos(ts(j))
+        val (dx, dy) = (x2 - x1, y2 - y1)
+        val dist = math.sqrt(dx * dx + dy * dy)
+        if (dist > 0) {
+          val f = 1000.0 / (dist * dist)
+          push(ts(i), -f * dx / dist, -f * dy / dist)
+          push(ts(j), f * dx / dist, f * dy / dist)
+        }
+      }
+      sortedRels(rels).foreach { r =>
+        if (pos.contains(r.sourceTable) && pos.contains(r.targetTable)) {
+          val (x1, y1) = pos(r.sourceTable); val (x2, y2) = pos(r.targetTable)
+          val (dx, dy) = (x2 - x1, y2 - y1)
+          val dist = math.sqrt(dx * dx + dy * dy)
+          if (dist > 0) {
+            val f = dist * 0.1
+            push(r.sourceTable, f * dx / dist, f * dy / dist)
+            push(r.targetTable, -f * dx / dist, -f * dy / dist)
+          }
+        }
+      }
+      pos = ts.map { t =>
+        val (x, y) = pos(t); val (dx, dy) = fx(t)
+        t -> (x + dx * 0.1, y + dy * 0.1)
+      }.toMap
+    }
+    pos
+  }
+
   /** draw.io mxfile XML (drawio_formatter.py:40-119 analog): one swimlane
-    * node per table on a deterministic grid layout, one styled edge per
-    * relationship; confidence drives edge colour
-    * (drawio_formatter.py:240-272's CASE styling).
+    * node per table, one styled edge per relationship; confidence drives
+    * edge colour (drawio_formatter.py:240-272's CASE styling). `layout`
+    * picks coordinates: "grid" (default), "force" (forceDirectedPositions,
+    * shifted into the positive quadrant), or "hierarchical"
+    * (topologicalLevels drive rows: referenced dims end up above the facts
+    * that point at them).
     */
   def drawio(tables: Seq[TableMeta], rels: Seq[Relationship],
-      maxColumnsShown: Int = 6): String = {
+      maxColumnsShown: Int = 6, layout: String = "grid"): String = {
     val ts = sortedTables(tables)
     val cellW = 200
     val cellH = 30
     val gridCols = math.max(1, math.ceil(math.sqrt(ts.size.toDouble)).toInt)
+    val coords: Int => (Int, Int) = layout match {
+      case "force" =>
+        val pos = forceDirectedPositions(ts.map(_.tableName), rels)
+        val minX = pos.values.map(_._1).min
+        val minY = pos.values.map(_._2).min
+        i => {
+          val (x, y) = pos(ts(i).tableName)
+          (math.round(x - minX).toInt + 40, math.round(y - minY).toInt + 40)
+        }
+      case "hierarchical" =>
+        val levels = topologicalLevels(ts.map(_.tableName), rels)
+        val byLevel = ts.map(_.tableName).groupBy(levels)
+        i => {
+          val t = ts(i).tableName
+          val lvl = levels(t)
+          (byLevel(lvl).sorted.indexOf(t) * (cellW + 60) + 40, lvl * 260 + 40)
+        }
+      case _ =>
+        i => ((i % gridCols) * (cellW + 60) + 40, (i / gridCols) * 260 + 40)
+    }
     val sb = new StringBuilder
     sb.append("<mxfile host=\"app.diagrams.net\"><diagram name=\"ERD\">")
     sb.append("<mxGraphModel><root><mxCell id=\"0\"/><mxCell id=\"1\" parent=\"0\"/>")
     ts.zipWithIndex.foreach { case (t, i) =>
-      val x = (i % gridCols) * (cellW + 60) + 40
-      val y = (i / gridCols) * 260 + 40
+      val (x, y) = coords(i)
       val shown = t.columns.sortBy(_.ordinal).take(maxColumnsShown)
       val h = cellH * (shown.size + 1)
       sb.append(

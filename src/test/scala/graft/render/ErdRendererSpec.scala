@@ -45,6 +45,40 @@ class ErdRendererSpec extends SparkSpec {
     assert(scala.xml.XML.loadString(out) != null) // parses as XML
   }
 
+  test("force-directed layout: deterministic, positive quadrant, pulls linked tables together") {
+    def mkTable(n: String) = TableMeta(n, "p", "TABLE",
+      Seq(ColumnMeta("id", "bigint", nullable = false, isArray = false, 0)), 1, 1)
+    val four = Seq("a", "b", "c", "d").map(mkTable)
+    val edge = Seq(Relationship("a", "id", "b", "id", "many_to_one", 0.9, "exact_match", false))
+    // golden: two renders are byte-identical (no RNG in the physics)
+    val x1 = ErdRenderer.drawio(four, edge, layout = "force")
+    val x2 = ErdRenderer.drawio(four, edge, layout = "force")
+    assert(x1 === x2)
+    assert("""x="-""".r.findFirstIn(x1).isEmpty, "coordinates left the positive quadrant")
+    // physics: the linked pair (a,b) ends closer than the unlinked pair (c,d)
+    // started antipodal on the circle? a,b adjacent on circle; compare vs (a,c) antipodal-ish
+    val pos = ErdRenderer.forceDirectedPositions(Seq("a", "b", "c", "d"), edge)
+    def d(p: (Double, Double), q: (Double, Double)) =
+      math.hypot(p._1 - q._1, p._2 - q._2)
+    val unlinked = ErdRenderer.forceDirectedPositions(Seq("a", "b", "c", "d"), Nil)
+    assert(d(pos("a"), pos("b")) < d(unlinked("a"), unlinked("b")),
+      "attraction did not pull the linked pair together")
+    // single table sits at the origin-shifted anchor (200,0) → (40,40)
+    val solo = ErdRenderer.drawio(Seq(mkTable("solo")), Nil, layout = "force")
+    assert(solo.contains("""<mxGeometry x="40" y="40""""))
+  }
+
+  test("hierarchical layout: referenced tables render above their referrers") {
+    val xml = ErdRenderer.drawio(tables, rels, layout = "hierarchical")
+    val yOf = """id="tbl_(\w+)" [^>]*>(<mxGeometry x="\d+" y="(\d+)")""".r
+    val ys = yOf.findAllMatchIn(xml).map(m => m.group(1) -> m.group(3).toInt).toMap
+    assert(ys("customers") < ys("orders"), s"expected customers above orders: $ys")
+    // default layout unchanged (q39 regression guard): grid stays grid
+    val grid = ErdRenderer.drawio(tables, rels)
+    assert(grid.contains("""<mxGeometry x="40" y="40""""))
+    assert(grid !== xml)
+  }
+
   test("topological levels: targets first, fixing the reference's level bug") {
     val levels = ErdRenderer.topologicalLevels(
       Seq("orders", "customers", "lineitem"),
