@@ -82,12 +82,13 @@ object SparkEntry {
     // Embedding near-dup pairs above a cosine threshold: hyperplane-LSH
     // bucketed candidates (equi-join, nothing broadcast) + exact-cosine
     // verify on candidates only — the embedding twin of q38's
-    // minhash→LSH→verify layout. LSH params are tuned to recall 1.0 at
-    // this threshold on the testdata (SimilaritySpec asserts equality
-    // with the exact cross-product path).
+    // minhash→LSH→verify layout. Cost-based dispatch: broadcast nested-loop
+    // below the small-corpus cutover, LSH-blocked candidates above it; both
+    // paths yield the identical pair set (SimilaritySpec asserts the LSH
+    // path equals the exact cross-product path at this threshold).
     "q22_cosine_pairs" -> { (s, dir) =>
       import graft.ext.Similarity
-      Similarity.cosinePairsAboveLsh(Tables.embeddings(s, dir), 0.35)
+      Similarity.cosinePairsAboveAuto(Tables.embeddings(s, dir), 0.35)
     },
     // Brute-force cosine top-k for a probe set (broadcast queries; corpus
     // streams map-side).
@@ -264,7 +265,7 @@ object SparkEntry {
     // flavour of q44's text-shingle cluster dedup).
     "q51_embedding_dedup_clusters" -> { (s, dir) =>
       import graft.ext.{Dedup, Similarity}
-      val pairs = Similarity.cosinePairsAboveLsh(Tables.embeddings(s, dir), 0.35)
+      val pairs = Similarity.cosinePairsAboveAuto(Tables.embeddings(s, dir), 0.35)
         .select("id_a", "id_b")
       Dedup.dedupClusters(pairs)
         .select(col("id").as("vec_id"), col("canonical_id"))

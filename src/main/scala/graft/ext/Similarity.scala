@@ -201,20 +201,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Planes needed so the EXPECTED bucket size n/2^planes stays at or below
+    * `targetBucketSize` — use when the corpus count is known and recall can
+    * be traded for sparsity (raise `numTables` to compensate). The q22/q51
+    * defaults intentionally do NOT auto-scale: their oracle is the exact
+    * pair set, so recall must stay 1.0 (spec-verified at threshold 0.35).
+    */
+  def planesForCount(corpusCount: Long, targetBucketSize: Long = 4096L): Int =
+    math.max(1, math.ceil(
+      math.log(corpusCount.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+
   /** LSH candidate pairs for threshold similarity: vectors sharing at least
     * one hyperplane-sign bucket in at least one of `numTables` independent
-    * sign families. The self-join is an equi-join on (table, bucket) — both
-    * sides hash-partitioned, nothing broadcast, no cross product — so the
-    * plan distributes at any corpus size.
+    * sign families.
     *
     * Recall math (random hyperplanes): a pair at angle θ collides in one
     * table with probability (1 − θ/π)^numPlanes, and is missed by all
     * tables with probability (1 − (1 − θ/π)^numPlanes)^numTables. Few
     * planes + many tables pushes recall → 1 for low thresholds; more
-    * planes (finer buckets) makes high-threshold search sublinear. The
-    * defaults are tuned (and spec-verified) to recall 1.0 at threshold
-    * 0.35 on the testdata; production near-dup thresholds (≥ 0.7) can
-    * raise `numPlanes` for much sparser candidate sets.
+    * planes (finer buckets) makes high-threshold search sublinear.
+    *
+    * The defaults (2 planes × 20 tables) are recall-tuned for LOW
+    * thresholds only — at 0.35 on near-orthogonal random vectors the true
+    * pair set is itself dense, so ~all pairs survive as candidates and the
+    * plan's job is to DISTRIBUTE that inherent O(n²), not avoid it.
+    * Production near-dup thresholds (≥ 0.7) should raise `numPlanes`
+    * (see [[planesForCount]]) for genuinely sub-quadratic candidate sets.
+    *
+    * Scale shape: a naive self-join on (tbl, bucket) has key cardinality
+    * numTables × 2^numPlanes — CONSTANT in corpus size, so one hot bucket
+    * pins one task with O(size²) work. Instead each bucket is split into
+    * ⌈size/bucketCap⌉ hash-salted blocks and the join runs per block-PAIR:
+    * a row in block p enters side A under keys (p, j) for j ≥ p and side B
+    * under keys (i, p) for i ≤ p, so every intra-bucket pair meets exactly
+    * once (ordered block pairs; same-block pairs de-duped by id order). Key
+    * cardinality now grows as Σ_buckets (size/cap)², each task holds ~2·cap
+    * input rows and ≤ cap² pair work — parallelism scales with data and no
+    * partition can exceed the cap, at the price of ⌈size/cap⌉ replicas of
+    * each (short) id row. The candidate SET is identical to the uncapped
+    * join (ScalePathSpec asserts both properties).
+    *
+    * Cross-table dedup is NOT a `distinct()` (that would shuffle the full
+    * numTables-times-replicated pair stream): all numTables × numPlanes
+    * sign bits pack into ONE long per row (requires ≤ 62 bits), and the
+    * join keeps a pair only in the FIRST table where the signatures
+    * collide — "no earlier table collides" is one XOR + shift-OR fold +
+    * mask compare on two longs, evaluated inside the join stage. Bucket
+    * rows are fixed-width primitives (int, int, id, long), so the O(n²)
+    * intermediate stream costs no string/array materialization, and the
+    * output is exactly-once by construction with zero extra shuffles.
     */
   def cosineCandidates(
       corpus: DataFrame,
@@ -223,28 +258,83 @@ object Similarity {
       numTables: Int = 20,
       seed: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      bucketCap: Int = 4096): DataFrame = {
+    require(numTables * numPlanes <= 62,
+      s"packed-signature path needs numTables*numPlanes <= 62 bits, " +
+        s"got $numTables*$numPlanes; lower one or shard into multiple calls")
     val spark = corpus.sparkSession
-    // ALL table signatures in one projection over ONE scan (T·numPlanes
-    // native dot products per row), then explode to (table, bucket, id):
-    // only short rows enter the bucket shuffle — vectors are re-joined
-    // AFTER candidate dedup, never shipped T times
-    val sigs = (0 until numTables).map { t =>
+    // ALL sign bits in one projection over ONE scan (T·numPlanes native dot
+    // products per row) packed into one long; bit t*numPlanes+p is plane p
+    // of table t — the same (seed + t*1000 + p) weight family as
+    // [[hyperplaneSignature]], so buckets partition identically
+    val packed = (0 until numTables).flatMap { t =>
+      (0 until numPlanes).map { p =>
+        val proj = graft.functions.VectorFunctions.dotNative(
+          spark, col("vec"), typedlit(planeWeights(seed + t * 1000 + p, dim)))
+        when(proj >= 0, lit(1L << (t * numPlanes + p))).otherwise(lit(0L))
+      }
+    }.reduce(_ bitwiseOR _)
+    val groupMask = (1L << numPlanes) - 1
+    val buckets = (0 until numTables).map { t =>
       struct(
         lit(t).as("tbl"),
-        hyperplaneSignature(spark, col("vec"), dim, numPlanes, seed = seed + t * 1000)
-          .as("bucket"))
+        shiftright(col("sig"), t * numPlanes).bitwiseAND(lit(groupMask))
+          .cast("int").as("bucket"))
     }
     val bucketed = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), explode(array(sigs: _*)).as("s"))
-      .select(col("s.tbl").as("tbl"), col("s.bucket").as("bucket"), col("id"))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+      .select(col("id"), packed.as("sig"))
+      .select(col("id"), col("sig"), explode(array(buckets: _*)).as("s"))
+      .select(col("s.tbl").as("tbl"), col("s.bucket").as("bucket"),
+        col("id"), col("sig"))
+    val blocked = blockAssignments(bucketed, bucketCap)
+    val a = blocked.select(
+      col("tbl"), col("bucket"), col("blk").as("bi"),
+      explode(sequence(col("blk"), col("nblocks") - 1)).as("bj"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(
+      col("tbl"), col("bucket"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    // First-collision predicate: drop the pair unless NO table before `tbl`
+    // already bucketed it together (exactly-once across tables, in-stage).
+    // x = sig_a XOR sig_b; table g collides iff its numPlanes-bit group in x
+    // is all zero. OR-fold the group bits onto each group's LSB, then
+    // require the LSB set (= some bit differs = no collision) for EVERY
+    // group before `tbl`.
+    val x = col("sig_a").bitwiseXOR(col("sig_b"))
+    val folded = (1 until numPlanes)
+      .foldLeft(x)((acc, p) => acc.bitwiseOR(shiftright(x, p)))
+    val lsbMask = lit((0 until numTables).map(g => 1L << (g * numPlanes)).sum)
+    val lowMask = expr(s"shiftleft(1L, tbl * $numPlanes) - 1")
+    val lowLsb = lsbMask.bitwiseAND(lowMask)
+    val firstCollision = folded.bitwiseAND(lowLsb) === lowLsb
+    a.join(b, Seq("tbl", "bucket", "bi", "bj"))
+      // same-block pairs meet in both orientations → keep one by id order;
+      // cross-block pairs meet exactly once (possibly "backwards") → keep
+      // unconditionally and normalize with least/greatest below
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .filter(firstCollision)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+  }
+
+  /** (tbl, bucket, nblocks, blk, id) for each bucketed id row: block count
+    * ⌈bucket size / bucketCap⌉ per bucket, block by stable id hash.
+    * Package-visible so ScalePathSpec can assert key-cardinality growth.
+    *
+    * The per-bucket count aggregate has one row per NON-EMPTY bucket
+    * (≤ corpus rows, typically ≪), joined back on the bucket key — AQE
+    * broadcasts it when small, falls back to a hash join when the bucket
+    * space is huge.
+    */
+  private[graft] def blockAssignments(bucketed: DataFrame, bucketCap: Int): DataFrame = {
+    val nblocks = bucketed.groupBy("tbl", "bucket")
+      .agg(ceil(count(lit(1)) / lit(bucketCap.toDouble)).cast("int").as("nblocks"))
+    bucketed.join(nblocks, Seq("tbl", "bucket"))
+      .withColumn("blk", pmod(xxhash64(col("id")), col("nblocks")).cast("int"))
   }
 
   /** All pairs above a cosine threshold via LSH candidates + exact verify —
@@ -269,9 +359,10 @@ object Similarity {
       numPlanes: Int = 2,
       numTables: Int = 20,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      bucketCap: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
-    val cand = cosineCandidates(corpus, dim, numPlanes, numTables, 0, idCol, vecCol)
+    val cand = cosineCandidates(corpus, dim, numPlanes, numTables, 0, idCol, vecCol, bucketCap)
     val a = prepared(corpus, idCol, vecCol, "id_a", "v_a", "n_a")
     val b = prepared(corpus, idCol, vecCol, "id_b", "v_b", "n_b")
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -283,10 +374,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** All pairs above a cosine threshold, with a cost-based physical choice —
+    * the same adaptive logic Catalyst applies to broadcast-vs-shuffle joins,
+    * lifted to the pair-generation strategy:
+    *
+    *  - corpus ≤ `smallCorpusRows`: one broadcast nested-loop stage
+    *    ([[cosinePairsAbove]]) — for a corpus that fits in a single
+    *    broadcast, n²/2 codegen'd dot products in one map-side pass beat
+    *    any bucketing machinery's fixed costs (shuffles, block bookkeeping,
+    *    candidate joins);
+    *  - larger: the LSH-blocked candidate path ([[cosinePairsAboveLsh]]),
+    *    whose every stage is a hash-partitioned equi-join with capped
+    *    per-task work — nothing is broadcast or driver-bound, so it
+    *    survives any corpus size.
+    *
+    * Both paths produce the identical pair set (SimilaritySpec proves the
+    * LSH path equals the exact cross product at the default parameters);
+    * only the physical plan changes. The row-count probe is a
+    * metadata-backed `count()` — for parquet sources it folds to footer
+    * statistics, no data scan.
+    */
+  def cosinePairsAboveAuto(
+      corpus: DataFrame,
+      threshold: Double,
+      dim: Int = 64,
+      smallCorpusRows: Long = 8192,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    if (corpus.count() <= smallCorpusRows)
+      cosinePairsAbove(corpus, threshold, idCol, vecCol)
+    else
+      cosinePairsAboveLsh(corpus, threshold, dim, idCol = idCol, vecCol = vecCol)
+
   /** All pairs above a cosine threshold (near-duplicate detection by
     * embedding). Exact over the full cross product — quadratic; suitable for
     * per-bucket use or bounded corpora. The scale path is
-    * [[cosinePairsAboveLsh]].
+    * [[cosinePairsAboveLsh]]; [[cosinePairsAboveAuto]] picks per corpus size.
     */
   def cosinePairsAbove(
       corpus: DataFrame,

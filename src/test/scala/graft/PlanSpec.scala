@@ -46,12 +46,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"))
   }
 
-  test("q22/q51: cosine pair generation is bucketed — no cross join, no full-corpus broadcast") {
-    Seq("q22_cosine_pairs", "q51_embedding_dedup_clusters").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q: cartesian pair space")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: corpus-broadcast BNLJ")
-    }
+  test("q22/q51: cost-based pair dispatch — broadcast below cutover, bucketed LSH above") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    // below the cutover the auto path SHOULD take the single broadcast
+    // nested-loop stage (cheapest physical choice for a tiny corpus)
+    val small = Similarity.cosinePairsAboveAuto(emb, 0.35)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(small.contains("BroadcastNestedLoopJoin"),
+      "small corpus should dispatch to the broadcast pair stage")
+    // above the cutover (forced here) the plan must be bucketed equi-joins:
+    // nothing cartesian, no full-corpus broadcast anywhere
+    val lsh = Similarity.cosinePairsAboveAuto(emb, 0.35, smallCorpusRows = 0)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!lsh.contains("CartesianProduct"), "LSH path: cartesian pair space")
+    assert(!lsh.contains("BroadcastNestedLoopJoin"), "LSH path: corpus-broadcast BNLJ")
   }
 
   test("q15: detection joins stay broadcast at catalog scale") {
