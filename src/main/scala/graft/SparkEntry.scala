@@ -1151,6 +1151,53 @@ object SparkEntry {
           |""".stripMargin
       s"SELECT 'plantuml' AS format, '${erd.replace("'", "''")}' AS erd"
     },
+    // Assembled from first principles: columns/types from DESCRIBE (mapped
+    // to Spark type names), the edge set from the SAME scoped derivation
+    // the q15 oracle uses, and the grid layout's closed-form arithmetic
+    // (ceil(sqrt(n)) columns, 260-pixel pitch, 30-pixel rows) in SQL.
+    "q39_render_drawio" ->
+      s"""WITH ${detectionOracleCtes(Seq("region", "nation", "customer"))},
+         |cols6 AS (SELECT t, c, dt, ord FROM cat WHERE ord <= 6),
+         |tbls AS (SELECT t, COUNT(*) AS nshow FROM cols6 GROUP BY t),
+         |pos AS (SELECT t, nshow, ROW_NUMBER() OVER (ORDER BY t) - 1 AS i,
+         |               CAST(ceil(sqrt((SELECT COUNT(*) FROM tbls))) AS INT) AS gc
+         |        FROM tbls),
+         |tblxml AS (
+         |  SELECT i,
+         |    '<mxCell id="tbl_' || t || '" value="' || t ||
+         |    '" style="swimlane" vertex="1" parent="1"><mxGeometry x="' ||
+         |    ((i % gc) * 260 + 40) || '" y="' || ((i // gc) * 260 + 40) ||
+         |    '" width="200" height="' || (30 * (nshow + 1)) ||
+         |    '" as="geometry"/></mxCell>' ||
+         |    (SELECT string_agg(
+         |       '<mxCell id="col_' || t || '_' || c || '" value="' || c || ': ' || dt ||
+         |       '" style="text" vertex="1" parent="tbl_' || t ||
+         |       '"><mxGeometry y="' || (30 * ord) ||
+         |       '" width="200" height="30" as="geometry"/></mxCell>',
+         |       '' ORDER BY ord)
+         |     FROM cols6 WHERE cols6.t = pos.t) AS x
+         |  FROM pos),
+         |relxml AS (
+         |  SELECT string_agg(
+         |    '<mxCell id="rel_' || (rn - 1) ||
+         |    '" style="edgeStyle=orthogonalEdgeStyle;strokeColor=' ||
+         |    CASE WHEN confidence >= 0.9 THEN '#00AA00'
+         |         WHEN confidence >= 0.7 THEN '#FF8800'
+         |         ELSE '#CC0000' END ||
+         |    '" edge="1" parent="1" source="tbl_' || source_table ||
+         |    '" target="tbl_' || target_table ||
+         |    '"><mxGeometry relative="1" as="geometry"/></mxCell>',
+         |    '' ORDER BY rn)
+         |    AS x
+         |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY source_table,
+         |          source_column, target_table, target_column) AS rn
+         |        FROM edges_final))
+         |SELECT 'drawio' AS format,
+         |  '<mxfile host="app.diagrams.net"><diagram name="ERD"><mxGraphModel>' ||
+         |  '<root><mxCell id="0"/><mxCell id="1" parent="0"/>' ||
+         |  (SELECT string_agg(x, '' ORDER BY i) FROM tblxml) ||
+         |  COALESCE((SELECT x FROM relxml), '') ||
+         |  '</root></mxGraphModel></diagram></mxfile>' AS erd""".stripMargin,
     "q32_simhash" -> {
       val sums = (0 until 60)
         .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -1224,9 +1271,11 @@ object SparkEntry {
     * threshold. Backfill is a no-op because no source table exceeds 3
     * threshold-clearing edges.
     */
-  private def detectionOracleCtes: String = {
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+  private def detectionOracleCtes: String = detectionOracleCtes(
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings"))
+
+  private def detectionOracleCtes(tables: Seq[String]): String = {
     val raw = tables.map(t =>
       s"SELECT '$t' AS t, lower(column_name) AS c, column_type AS ty, " +
         s"ROW_NUMBER() OVER () AS ord FROM (DESCRIBE $t)")
