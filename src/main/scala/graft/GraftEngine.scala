@@ -88,16 +88,28 @@ class GraftEngine(
     */
   private def enhancedRelationshipsUncached(
       sampleFraction: Double, sampleFractions: Map[String, Double]): DataFrame = {
+    // DataTestingConfig.enabled gate (enhanced_relationship_detector.py:86):
+    // testing off → the name-detected edges pass through untested.
+    if (!cfg.dataTestEnabled) return relationships
     val edges = relationships.collect() // post-top-k: tiny
     if (edges.isEmpty) return relationships
     import spark.implicits._
+    // DataTestingConfig.sample_size (the reference's per-endpoint LIMIT,
+    // data_relationship_tester.py:115-121) as a per-table uniform fraction
+    // over footer row counts — same bounded-work intent, partition-skew-free.
+    val sizeFractions: Map[String, Double] =
+      if (cfg.dataTestSampleSize <= 0) Map.empty
+      else catalog.collect().map(t => t.tableName -> (
+        if (t.numRows <= 0) 1.0
+        else math.min(1.0, cfg.dataTestSampleSize.toDouble / t.numRows))).toMap
     val metrics = DataTester.testRelationships(
       spark, dir,
       edges.toSeq.map(r => (
         r.getAs[String]("source_table"), r.getAs[String]("source_column"),
         r.getAs[String]("target_table"), r.getAs[String]("target_column"))),
       sampleFraction = sampleFraction,
-      sampleFractions = sampleFractions)
+      sampleFractions =
+        if (sampleFractions.nonEmpty) sampleFractions else sizeFractions)
     val meta = org.apache.spark.sql.functions.broadcast(
       edges.toSeq.map(r => (
         r.getAs[String]("source_table"), r.getAs[String]("source_column"),
@@ -131,16 +143,21 @@ class GraftEngine(
 
   /** Render the detected graph in the requested dialect (§3.1 steps 5-6).
     * `layout` applies to drawio: grid | force | hierarchical (the
-    * reference's table_layout config, models.py:120).
+    * reference's table_layout config, models.py:120); so do the ERDConfig
+    * display toggles (models.py:128-131): `showColumnTypes`, `showNullable`,
+    * and `theme` (default | dark | minimal).
     */
-  def renderErd(format: String, layout: String = "grid"): String = {
+  def renderErd(format: String, layout: String = "grid",
+      showColumnTypes: Boolean = true, showNullable: Boolean = false,
+      theme: String = "default"): String = {
     val tables = catalog.collect().toSeq
     val rels = collectRelationships(relationships)
     format match {
       case "mermaid" =>
         ErdRenderer.mermaid(tables, rels, keySet("is_pk_candidate"), keySet("is_fk_candidate"))
       case "plantuml" => ErdRenderer.plantUml(tables, rels, keySet("is_pk_candidate"))
-      case "drawio"   => ErdRenderer.drawio(tables, rels, layout = layout)
+      case "drawio"   => ErdRenderer.drawio(tables, rels, layout = layout,
+        showColumnTypes = showColumnTypes, showNullable = showNullable, theme = theme)
       case other      => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }
@@ -209,7 +226,9 @@ object Main {
       System.err.println(
         "usage: graft.Main <dataDir> [--format mermaid|plantuml|drawio] " +
           "[--out FILE] [--min-confidence X] [--max-per-table K] [--enhanced] [--state PATH] " +
-          "[--patterns relationship_patterns.json] [--rules relationship_rules.json]")
+          "[--patterns relationship_patterns.json] [--rules relationship_rules.json] " +
+          "[--layout grid|force|hierarchical] [--include-views] [--include-external] " +
+          "[--theme default|dark|minimal] [--no-column-types] [--show-nullable]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -239,7 +258,10 @@ object Main {
         else engine.relationships
       println(s"detected ${rels.count()} relationships:")
       rels.show(100, truncate = false)
-      val erd = engine.renderErd(format, opt("--layout").getOrElse("grid"))
+      val erd = engine.renderErd(format, opt("--layout").getOrElse("grid"),
+        showColumnTypes = !args.contains("--no-column-types"),
+        showNullable = args.contains("--show-nullable"),
+        theme = opt("--theme").getOrElse("default"))
       opt("--out") match {
         case Some(f) =>
           java.nio.file.Files.writeString(java.nio.file.Paths.get(f), erd)

@@ -66,19 +66,34 @@ object KeyClassifier {
         col("key_stem") === regexp_replace(col("table_base"), "s$", "")
     // Configured indicators (P6/P7): wildcard-derived anchored regexes from
     // ConfigLoader extend the built-in heuristics; empty lists fold to false
-    // and leave behavior untouched.
+    // and leave behavior untouched. Matched against the LOWERCASED name —
+    // the reference lowercases before matching (pattern_config.py:193,229),
+    // so non-wildcard entries are exact equality on the lowered name.
     def indicatorHit(regexes: Seq[String]): Column =
-      regexes.foldLeft(lit(false))((acc, p) => acc || col("columnName").rlike(p))
+      regexes.foldLeft(lit(false))((acc, p) => acc || lower(col("columnName")).rlike(p))
+
+    // Per-table-class patterns (pattern_config.py:187-239): a column counts
+    // as PK/FK when its table name starts with the class prefix AND the
+    // (lowercased) column name matches one of the class's patterns. The
+    // whole config compiles to one literal boolean CASE chain per flag.
+    def tablePatternHit(sel: graft.core.TablePattern => Seq[String]): Column =
+      cfg.tablePatterns.foldLeft(lit(false)) { (acc, tp) =>
+        val colHit = sel(tp).foldLeft(lit(false))((a, p) =>
+          a || lower(col("columnName")).rlike(graft.core.ConfigLoader.wildcardToRegex(p)))
+        acc || (lower(col("tableName")).startsWith(tp.prefix.toLowerCase) && colHit)
+      }
 
     val isPk = !col("isArray") && ((keyTyped && hasKeySuffix &&
       (col("base_name").isin("id", "key") || stemNamesTable)) ||
-      indicatorHit(cfg.pkIndicatorRegexes))
+      indicatorHit(cfg.pkIndicatorRegexes) ||
+      tablePatternHit(_.pkPatterns))
 
     val flagged = withNames.withColumn("is_pk_candidate", isPk)
     // FK: key-suffixed, key-typed, not its own table's PK.
     flagged.withColumn(
       "is_fk_candidate",
       !col("isArray") && !col("is_pk_candidate") &&
-        ((keyTyped && hasKeySuffix) || indicatorHit(cfg.fkIndicatorRegexes)))
+        ((keyTyped && hasKeySuffix) || indicatorHit(cfg.fkIndicatorRegexes) ||
+          tablePatternHit(_.fkPatterns)))
   }
 }

@@ -59,14 +59,21 @@ object ParquetCatalog {
     }
   }
 
-  /** S2+S3: schema + stats for one table, footer-only. */
-  def tableMeta(spark: SparkSession, dir: String, name: String): TableMeta = {
+  /** S2+S3: schema + stats for one table, footer-only. `types` takes the
+    * directory's sidecar map so catalog construction parses
+    * `_tabletypes.json` once, not once per table.
+    */
+  def tableMeta(spark: SparkSession, dir: String, name: String,
+      types: Map[String, String]): TableMeta = {
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
     val (rows, bytes) = footerStats(path)
-    TableMeta(name, path, tableTypes(dir).getOrElse(name, "TABLE"),
+    TableMeta(name, path, types.getOrElse(name, "TABLE"),
       toColumnMeta(schema), rows, bytes)
   }
+
+  def tableMeta(spark: SparkSession, dir: String, name: String): TableMeta =
+    tableMeta(spark, dir, name, tableTypes(dir))
 
   /** Canonical type names: NTZ/LTZ timestamps collapse to "timestamp",
     * decimals lose their precision suffix — key analysis cares about type
@@ -145,7 +152,10 @@ object ParquetCatalog {
     import spark.implicits._
     val metas = metaCache.computeIfAbsent(
       s"$dir#$maxResults",
-      _ => listTables(dir, maxResults).map(tableMeta(spark, dir, _)))
+      _ => {
+        val types = tableTypes(dir) // one sidecar parse for the whole catalog
+        listTables(dir, maxResults).map(tableMeta(spark, dir, _, types))
+      })
     val kept = metas.filter(t =>
       t.tableType match {
         case "VIEW" => includeViews

@@ -18,13 +18,15 @@ import org.json4s.jackson.JsonMethods
   */
 object ConfigLoader {
 
-  /** Wildcard indicator → anchored case-insensitive regex, exactly like
+  /** Wildcard indicator → anchored regex, exactly like
     * pattern_config.py:321-336 (P6): `*` → `.*` with a full IGNORECASE
-    * match; entries without `*` compare as exact (quoted) names.
+    * match; entries WITHOUT `*` compare as exact case-SENSITIVE equality
+    * (`text == pattern`) — the reference lowercases the column name before
+    * matching, so apply these regexes to the lowercased name.
     */
   def wildcardToRegex(pattern: String): String =
     if (pattern.contains("*")) "(?i)^" + pattern.replace("*", ".*") + "$"
-    else "(?i)^" + java.util.regex.Pattern.quote(pattern) + "$"
+    else "^" + java.util.regex.Pattern.quote(pattern) + "$"
 
   private def parseFile(path: String): JValue =
     JsonMethods.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
@@ -44,15 +46,20 @@ object ConfigLoader {
 
   /** Load a reference-shaped `relationship_patterns.json` over `base`:
     * `filtering_rules.{max_relationships_per_table, min_confidence_threshold,
-    * preferred_detection_methods}`, `data_testing.confidence_threshold`, and
+    * preferred_detection_methods}`, the full `data_testing` breadth
+    * (pattern_config.py:29-38 / :118-130),
     * `column_patterns.{primary_key_indicators, foreign_key_indicators}`
-    * (wildcards translated via [[wildcardToRegex]]). Keys absent from the
-    * file keep `base`'s value, mirroring pattern_config.py's defaulting.
+    * (wildcards translated via [[wildcardToRegex]]), per-class
+    * `table_patterns` (pattern_config.py:96-106), `confidence_scoring`
+    * per-method overrides, and `performance.cache_ttl_hours`. Keys absent
+    * from the file keep `base`'s value, mirroring pattern_config.py's
+    * defaulting.
     */
   def loadPatternConfig(path: String, base: DetectionConfig = DetectionConfig()): DetectionConfig = {
     val root = parseFile(path)
     val filtering = root \ "filtering_rules"
     val colPatterns = root \ "column_patterns"
+    val dataTesting = root \ "data_testing"
     base.copy(
       minConfidence =
         dbl(filtering \ "min_confidence_threshold").getOrElse(base.minConfidence),
@@ -63,12 +70,59 @@ object ConfigLoader {
         case _ => base.preferredMethods
       },
       dataTestPassThreshold =
-        dbl(root \ "data_testing" \ "confidence_threshold").getOrElse(base.dataTestPassThreshold),
+        dbl(dataTesting \ "confidence_threshold").getOrElse(base.dataTestPassThreshold),
+      dataTestEnabled = dataTesting \ "enabled" match {
+        case JBool(b) => b
+        case _ => base.dataTestEnabled
+      },
+      dataTestSampleSize =
+        dbl(dataTesting \ "sample_size").map(_.toLong).getOrElse(base.dataTestSampleSize),
+      maxOrphanPercentage =
+        dbl(dataTesting \ "max_orphan_percentage").getOrElse(base.maxOrphanPercentage),
+      distributionSimilarityThreshold =
+        dbl(dataTesting \ "distribution_similarity_threshold")
+          .getOrElse(base.distributionSimilarityThreshold),
       pkIndicatorRegexes =
         strs(colPatterns \ "primary_key_indicators").map(wildcardToRegex),
       fkIndicatorRegexes =
-        strs(colPatterns \ "foreign_key_indicators").map(wildcardToRegex))
+        strs(colPatterns \ "foreign_key_indicators").map(wildcardToRegex),
+      tablePatterns = loadTablePatterns(root),
+      confidenceScoring = root \ "confidence_scoring" match {
+        case JObject(fields) =>
+          fields.collect { case (k, v) if dbl(v).isDefined => k -> dbl(v).get }.toMap
+        case _ => base.confidenceScoring
+      },
+      cacheTtlHours =
+        int(root \ "performance" \ "cache_ttl_hours").getOrElse(base.cacheTtlHours))
   }
+
+  /** `table_patterns.{methodology}.patterns.{name}` → flat [[TablePattern]]
+    * list in file order (pattern_config.py:96-106's nested dict walk).
+    */
+  private def loadTablePatterns(root: JValue): Seq[TablePattern] =
+    root \ "table_patterns" match {
+      case JObject(methodologies) => methodologies.flatMap { case (meth, mval) =>
+        mval \ "patterns" match {
+          case JObject(patterns) => patterns.flatMap { case (name, p) =>
+            str(p \ "prefix").map { prefix =>
+              val rules = p \ "relationship_rules"
+              TablePattern(
+                methodology = meth,
+                name = name,
+                prefix = prefix,
+                pkPatterns = strs(p \ "primary_key_patterns"),
+                fkPatterns = strs(p \ "foreign_key_patterns"),
+                relTargetTables = strs(rules \ "target_tables"),
+                relType = str(rules \ "relationship_type")
+                  .getOrElse(RelationshipType.ManyToOne),
+                relConfidence = dbl(rules \ "confidence").getOrElse(0.8))
+            }
+          }
+          case _ => Nil
+        }
+      }
+      case _ => Nil
+    }
 
   /** Load a reference-shaped custom rules file
     * (`{"relationships": [...], "naming_patterns": [...]}`). A naming

@@ -81,6 +81,27 @@ case class CustomRule(
   */
 case class NamingRule(pattern: String, targetSuffix: String, confidence: Double = 0.8)
 
+/** Per-table-class naming pattern (reference TablePattern,
+  * pattern_config.py:10-17; config/relationship_patterns.json
+  * `table_patterns`): tables whose name starts with `prefix` get EXTRA
+  * PK/FK column patterns on top of the global indicators
+  * (pattern_config.py:187-239), plus a per-class relationship rule
+  * (target-table wildcards, type, confidence).
+  *
+  * The reference parses `relationship_rules` into the dataclass but never
+  * reads it afterwards (dead config); here the rule is live — see
+  * RelationshipDetector.tablePatternRuleMatch.
+  */
+case class TablePattern(
+    methodology: String, // data_vault | traditional_dw | ...
+    name: String, // hub | dimension | link | ...
+    prefix: String,
+    pkPatterns: Seq[String] = Nil,
+    fkPatterns: Seq[String] = Nil,
+    relTargetTables: Seq[String] = Nil,
+    relType: String = RelationshipType.ManyToOne,
+    relConfidence: Double = 0.8)
+
 /** Result of validating a relationship against actual data
   * (reference DataTestResult, data_relationship_tester.py:15-24).
   */
@@ -137,16 +158,68 @@ case class DetectionConfig(
     // tables (declared by a `_tabletypes.json` sidecar next to the parquet
     // files) are skipped unless included — reference defaults.
     includeViews: Boolean = false,
-    includeExternal: Boolean = false)
+    includeExternal: Boolean = false,
+    // Per-table-class patterns (pattern_config.py:10-17, 187-239): extra
+    // PK/FK column patterns conditioned on a table-name prefix, plus the
+    // per-class relationship rule. Empty = built-in heuristics only.
+    tablePatterns: Seq[TablePattern] = Nil,
+    // Per-method confidence overrides (relationship_patterns.json
+    // `confidence_scoring`). The reference parses this section into
+    // PatternConfig but get_confidence_score is never called on the
+    // detection path (dead config); here the overrides are live: each
+    // strategy takes its confidence via `methodConfidence`, so a JSON
+    // override changes plan-time literals. Keys accept BOTH our method
+    // names and the reference's scoring-section synonyms.
+    confidenceScoring: Map[String, Double] = Map.empty,
+    // DataTestingConfig breadth (pattern_config.py:29-38). `enabled` and
+    // `sample_size` behave exactly like the reference
+    // (enhanced_relationship_detector.py:86, 180). `max_orphan_percentage`
+    // and `distribution_similarity_threshold` are parsed by the reference
+    // but never consumed (dead config) — the faithful DEFAULTS therefore
+    // disable the gates (1.0 / 0.0); loading a JSON that sets them makes
+    // them live: data_validated additionally requires
+    // orphan% ≤ max and dist_similarity ≥ threshold.
+    dataTestEnabled: Boolean = true,
+    dataTestSampleSize: Long = 0L, // 0 = test full data (Spark default); >0 caps each endpoint scan
+    maxOrphanPercentage: Double = 1.0,
+    distributionSimilarityThreshold: Double = 0.0,
+    // PerformanceConfig binding (relationship_patterns.json `performance`):
+    // thread pools/batching are the cluster's job, but the cache TTL knob
+    // maps onto state.IncrementalState's relationship-cache TTL.
+    cacheTtlHours: Int = 24) {
+
+  /** Confidence for a detection method: JSON override if present (by our
+    * method name or the reference's `confidence_scoring` synonym), else the
+    * strategy's built-in literal.
+    */
+  def methodConfidence(method: String, builtin: Double): Double =
+    confidenceScoring.get(method)
+      .orElse(DetectionMethod.scoringSynonyms.get(method).flatMap(confidenceScoring.get))
+      .getOrElse(builtin)
+
+  /** `performance.cache_ttl_hours` in the milliseconds RelationshipCache
+    * speaks (state/IncrementalState.scala).
+    */
+  def cacheTtlMs: Long = cacheTtlHours.toLong * 3600L * 1000L
+}
 
 object DetectionMethod {
   val ExactMatch = "exact_match" // confidence 0.95
   val EnhancedPkFk = "enhanced_pk_fk" // 0.9
   val DataVault = "data_vault_pattern" // 0.9
+  val TablePatternRule = "table_pattern" // per-class configured confidence
   val ForeignKey = "foreign_key" // 0.8
   val NamingPattern = "naming_pattern" // 0.6-0.7
   val TypeCompat = "type_compatibility" // 0.4
   val CustomRule = "custom_rule"
+
+  /** Our method name → the reference `confidence_scoring` section's key for
+    * the same strategy (relationship_patterns.json:246-253), for JSON
+    * overrides written against the reference's vocabulary.
+    */
+  val scoringSynonyms: Map[String, String] = Map(
+    ForeignKey -> "pattern_match",
+    NamingPattern -> "naming_convention")
 
   /** Priority used when the same edge is found by several methods; mirrors the
     * reference's strategy cascade (relationship_detector.py:221-258) but as a
@@ -157,7 +230,8 @@ object DetectionMethod {
     ExactMatch -> 1,
     EnhancedPkFk -> 2,
     DataVault -> 3,
-    ForeignKey -> 4,
-    NamingPattern -> 5,
-    TypeCompat -> 6)
+    TablePatternRule -> 4,
+    ForeignKey -> 5,
+    NamingPattern -> 6,
+    TypeCompat -> 7)
 }

@@ -121,14 +121,32 @@ object DataTester {
     * fail → max(0.1, c−penalty) (enhanced_relationship_detector.py:184-195).
     * Kept as a separate boolean `data_validated` column instead of mutating
     * relationship_type (the reference's type-unsoundness, SURVEY §2.11).
+    *
+    * When `cfg.maxOrphanPercentage < 1` or
+    * `cfg.distributionSimilarityThreshold > 0` (DataTestingConfig knobs the
+    * reference parses but never consumes — dead config made live here), the
+    * pass additionally requires orphan% (`orphan_values / total_src`) at or
+    * under the max and `dist_similarity` at or over the threshold; `rels`
+    * must then carry those testRelationships columns. At the defaults the
+    * predicate compiles to the reference's confidence-only gate and no
+    * extra columns are referenced.
     */
-  def adjustConfidence(rels: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame =
+  def adjustConfidence(rels: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
+    var passed = col("overall_confidence") >= cfg.dataTestPassThreshold
+    if (cfg.maxOrphanPercentage < 1.0)
+      passed = passed && (
+        when(col("total_src") === 0, lit(0.0))
+          .otherwise(col("orphan_values").cast("double") / col("total_src"))
+          <= cfg.maxOrphanPercentage)
+    if (cfg.distributionSimilarityThreshold > 0.0)
+      passed = passed && col("dist_similarity") >= cfg.distributionSimilarityThreshold
     rels
-      .withColumn("data_validated", col("overall_confidence") >= cfg.dataTestPassThreshold)
+      .withColumn("data_validated", passed)
       .withColumn(
         "adjusted_confidence",
         when(col("data_validated"), least(col("confidence") + cfg.dataTestBoost, lit(1.0)))
           .otherwise(greatest(col("confidence") - cfg.dataTestPenalty, lit(0.1))))
+  }
 
   /** A10 — Cochran sample size: n0 = z²·p(1−p)/moe², with finite-population
     * correction (data_relationship_tester.py:360-387). Pure driver math.

@@ -36,7 +36,7 @@ object RelationshipDetector {
     * reference's "group by data type first" trick (relationship_detector
     * .py:444-449) IS this join's hash partitioning.
     */
-  def exactBaseMatch(cols: DataFrame): DataFrame = {
+  def exactBaseMatch(cols: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
     val fk = cols.filter(col("is_fk_candidate"))
       .select(
         col("tableName").as("source_table"), col("columnName").as("source_column"),
@@ -48,7 +48,7 @@ object RelationshipDetector {
     fk.join(pk, Seq("base_name", "type_group"))
       .filter(col("source_table") =!= col("target_table"))
       .withColumn("relationship_type", lit("many_to_one"))
-      .withColumn("confidence", lit(0.95))
+      .withColumn("confidence", lit(cfg.methodConfidence(M.ExactMatch, 0.95)))
       .withColumn("detection_method", lit(M.ExactMatch))
       .withColumn("is_custom", lit(false))
       .select(outCols.map(col): _*)
@@ -60,7 +60,7 @@ object RelationshipDetector {
     * catalog, and take the PK (or best-scored key column) of the hit table
     * (relationship_detector.py:88-120, 535-614).
     */
-  def suffixTableMatch(cols: DataFrame): DataFrame = {
+  def suffixTableMatch(cols: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
     val fk = cols.filter(col("is_fk_candidate") && length(col("key_stem")) >= 2)
       .select(
         col("tableName").as("source_table"), col("columnName").as("source_column"),
@@ -91,7 +91,7 @@ object RelationshipDetector {
       .filter(col("source_table") =!= col("target_table") &&
         col("src_type_group") === col("tgt_type_group"))
       .withColumn("relationship_type", lit("many_to_one"))
-      .withColumn("confidence", lit(0.8))
+      .withColumn("confidence", lit(cfg.methodConfidence(M.ForeignKey, 0.8)))
       .withColumn("detection_method", lit(M.ForeignKey))
       .withColumn("is_custom", lit(false))
       .select(outCols.map(col): _*)
@@ -103,7 +103,7 @@ object RelationshipDetector {
     * keyed on the `h_/dim_/l_/ref_` prefix vocabulary
     * (schema_analyzer.py:328-447, relationship_detector.py:260-332).
     */
-  def dataVaultMatch(cols: DataFrame): DataFrame = {
+  def dataVaultMatch(cols: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
     val dvTable = col("tableName").rlike("^(h_|dim_|l_|ref_|fact_|bridge_)")
     val fk = cols.filter(col("is_fk_candidate")).filter(dvTable)
       .select(
@@ -118,10 +118,65 @@ object RelationshipDetector {
       .filter(col("source_table") =!= col("target_table") &&
         col("src_type_group") === col("tgt_type_group"))
       .withColumn("relationship_type", lit("many_to_one"))
-      .withColumn("confidence", lit(0.9))
+      .withColumn("confidence", lit(cfg.methodConfidence(M.DataVault, 0.9)))
       .withColumn("detection_method", lit(M.DataVault))
       .withColumn("is_custom", lit(false))
       .select(outCols.map(col): _*)
+  }
+
+  /** Strategy 3c — per-class table-pattern rules
+    * (TablePattern.relationship_rules, relationship_patterns.json
+    * `table_patterns.*.patterns.*.relationship_rules`): an FK-candidate
+    * column in a table of class C (name starts with C.prefix) whose key
+    * stem (or its plural forms) names another table matched by one of C's
+    * target wildcards links to that table's best key column, at the class's
+    * configured relationship type and confidence.
+    *
+    * The reference parses these rules into TablePattern but never reads
+    * them afterwards (dead config, pattern_config.py:96-106) — here they
+    * are live, and only fire when `cfg.tablePatterns` is configured. One
+    * candidate-explode + equi-join per configured class over the (tiny)
+    * column catalog; all joins broadcast-able.
+    */
+  def tablePatternRuleMatch(cols: DataFrame, cfg: DetectionConfig): DataFrame = {
+    val wBest = Window.partitionBy(col("tableName")).orderBy(
+      col("is_pk_candidate").desc,
+      col("base_name").isin("id", "key").desc,
+      (!col("nullable")).desc,
+      col("ordinal").asc)
+    val bestKeys = cols
+      .filter(col("is_pk_candidate") || col("is_fk_candidate"))
+      .withColumn("best_rk", row_number().over(wBest))
+      .filter(col("best_rk") === 1)
+      .select(
+        col("table_base").as("candidate"),
+        col("tableName").as("target_table"), col("columnName").as("target_column"),
+        col("type_group").as("tgt_type_group"))
+    cfg.tablePatterns.filter(_.relTargetTables.nonEmpty).map { tp =>
+      val tgtHit = tp.relTargetTables.foldLeft(lit(false))((a, w) =>
+        a || lower(col("target_table")).rlike(graft.core.ConfigLoader.wildcardToRegex(w)))
+      cols.filter(col("is_fk_candidate") &&
+          lower(col("tableName")).startsWith(tp.prefix.toLowerCase) &&
+          length(col("key_stem")) >= 2)
+        .select(
+          col("tableName").as("source_table"), col("columnName").as("source_column"),
+          col("key_stem"), col("type_group").as("src_type_group"))
+        .withColumn(
+          "candidate",
+          explode(array_distinct(array(
+            col("key_stem"),
+            concat(col("key_stem"), lit("s")),
+            concat(col("key_stem"), lit("es")),
+            regexp_replace(col("key_stem"), "s$", "")))))
+        .join(bestKeys, Seq("candidate"))
+        .filter(col("source_table") =!= col("target_table") &&
+          col("src_type_group") === col("tgt_type_group") && tgtHit)
+        .withColumn("relationship_type", lit(tp.relType))
+        .withColumn("confidence", lit(tp.relConfidence))
+        .withColumn("detection_method", lit(M.TablePatternRule))
+        .withColumn("is_custom", lit(false))
+        .select(outCols.map(col): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Strategy 3b — the reference's "enhanced PK-FK" cascade (J2, confidence
@@ -206,7 +261,7 @@ object RelationshipDetector {
     all.filter(col("source_table") =!= col("target_table"))
       .withColumn("rk", row_number().over(wFirst)).filter(col("rk") === 1)
       .withColumn("relationship_type", lit("many_to_one"))
-      .withColumn("confidence", lit(0.9))
+      .withColumn("confidence", lit(cfg.methodConfidence(M.EnhancedPkFk, 0.9)))
       .withColumn("detection_method", lit(M.EnhancedPkFk))
       .withColumn("is_custom", lit(false))
       .select(outCols.map(col): _*)
@@ -276,7 +331,7 @@ object RelationshipDetector {
     * min_confidence by default (0.4 < 0.5) exactly as the reference's
     * filtering drops it unless the threshold is lowered.
     */
-  def typeCompatMatch(cols: DataFrame): DataFrame = {
+  def typeCompatMatch(cols: DataFrame, cfg: DetectionConfig = DetectionConfig()): DataFrame = {
     val keyed = cols.filter(col("is_pk_candidate") || col("is_fk_candidate"))
     val a = keyed.select(
       col("tableName").as("source_table"), col("columnName").as("source_column"),
@@ -290,7 +345,7 @@ object RelationshipDetector {
           col("b_base") === lit("id")) &&
         (!col("a_null") || !col("b_null")))
       .withColumn("relationship_type", lit("many_to_many"))
-      .withColumn("confidence", lit(0.4))
+      .withColumn("confidence", lit(cfg.methodConfidence(M.TypeCompat, 0.4)))
       .withColumn("detection_method", lit(M.TypeCompat))
       .withColumn("is_custom", lit(false))
       .select(outCols.map(col): _*)
@@ -361,11 +416,13 @@ object RelationshipDetector {
       customRules: Seq[CustomRule] = Nil,
       namingRules: Seq[NamingRule] = Nil,
       cfg: DetectionConfig = DetectionConfig()): DataFrame = {
-    var all = exactBaseMatch(cols)
-      .unionByName(suffixTableMatch(cols))
-      .unionByName(dataVaultMatch(cols))
+    var all = exactBaseMatch(cols, cfg)
+      .unionByName(suffixTableMatch(cols, cfg))
+      .unionByName(dataVaultMatch(cols, cfg))
       .unionByName(enhancedPkFkMatch(cols, cfg))
-      .unionByName(typeCompatMatch(cols))
+      .unionByName(typeCompatMatch(cols, cfg))
+    if (cfg.tablePatterns.exists(_.relTargetTables.nonEmpty))
+      all = all.unionByName(tablePatternRuleMatch(cols, cfg))
     if (namingRules.nonEmpty) all = all.unionByName(namingRuleMatch(cols, namingRules))
     if (customRules.nonEmpty) all = all.unionByName(customRuleMatch(cols, customRules))
     filterTopK(resolveConflicts(validate(all, cols)), cfg)

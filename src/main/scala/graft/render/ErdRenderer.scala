@@ -126,9 +126,21 @@ object ErdRenderer {
     * shifted into the positive quadrant), or "hierarchical"
     * (topologicalLevels drive rows: referenced dims end up above the facts
     * that point at them).
+    *
+    * Display toggles mirror ERDConfig (models.py:119-135):
+    * `showColumnTypes` (show_column_types) includes the data type in each
+    * column label; `showNullable` (show_column_nullable) appends " NULL" to
+    * nullable columns — default OFF here where the reference defaults on,
+    * keeping this renderer's established default output stable;
+    * `theme` (drawio_theme: default | dark | minimal) appends the
+    * reference's fill/stroke/font colours to the swimlane style
+    * (drawio_formatter.py:231-237), with "default" preserving the bare
+    * style byte-for-byte.
     */
   def drawio(tables: Seq[TableMeta], rels: Seq[Relationship],
-      maxColumnsShown: Int = 6, layout: String = "grid"): String = {
+      maxColumnsShown: Int = 6, layout: String = "grid",
+      showColumnTypes: Boolean = true, showNullable: Boolean = false,
+      theme: String = "default"): String = {
     val ts = sortedTables(tables)
     val cellW = 200
     val cellH = 30
@@ -153,6 +165,11 @@ object ErdRenderer {
       case _ =>
         i => ((i % gridCols) * (cellW + 60) + 40, (i / gridCols) * 260 + 40)
     }
+    val tableStyle = "swimlane" + (theme match {
+      case "dark"    => ";fillColor=#2d2d2d;strokeColor=#666666;fontColor=#ffffff"
+      case "minimal" => ";fillColor=#ffffff;strokeColor=#000000;fontColor=#000000"
+      case _         => ""
+    })
     val sb = new StringBuilder
     sb.append("<mxfile host=\"app.diagrams.net\"><diagram name=\"ERD\">")
     sb.append("<mxGraphModel><root><mxCell id=\"0\"/><mxCell id=\"1\" parent=\"0\"/>")
@@ -161,11 +178,14 @@ object ErdRenderer {
       val shown = t.columns.sortBy(_.ordinal).take(maxColumnsShown)
       val h = cellH * (shown.size + 1)
       sb.append(
-        s"""<mxCell id="tbl_${t.tableName}" value="${t.tableName}" style="swimlane" vertex="1" parent="1">""" +
+        s"""<mxCell id="tbl_${t.tableName}" value="${t.tableName}" style="$tableStyle" vertex="1" parent="1">""" +
           s"""<mxGeometry x="$x" y="$y" width="$cellW" height="$h" as="geometry"/></mxCell>""")
       shown.zipWithIndex.foreach { case (c, j) =>
+        val label = c.name +
+          (if (showColumnTypes) s": ${c.dataType}" else "") +
+          (if (showNullable && c.nullable) " NULL" else "")
         sb.append(
-          s"""<mxCell id="col_${t.tableName}_${c.name}" value="${c.name}: ${c.dataType}" style="text" vertex="1" parent="tbl_${t.tableName}">""" +
+          s"""<mxCell id="col_${t.tableName}_${c.name}" value="$label" style="text" vertex="1" parent="tbl_${t.tableName}">""" +
             s"""<mxGeometry y="${cellH * (j + 1)}" width="$cellW" height="$cellH" as="geometry"/></mxCell>""")
       }
     }
