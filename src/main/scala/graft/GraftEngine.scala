@@ -162,6 +162,23 @@ class GraftEngine(
     }
   }
 
+  /** Cross-run cached detection (relationship_cache.py:69-96): serve the
+    * edge set from `cachePath` while entries are fresher than the
+    * configured TTL (`performance.cache_ttl_hours` →
+    * [[graft.core.DetectionConfig.cacheTtlHours]]); otherwise re-detect and
+    * upsert. The cache file is catalog-scale (post-top-k edges), so the
+    * freshness probe is a footer-sized read.
+    */
+  def relationshipsCached(
+      cachePath: String, nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    val cache = graft.state.RelationshipCache.load(spark, cachePath)
+    val fresh = cache.filter(col("cached_at_ms") >= nowMs - cfg.cacheTtlMs)
+    if (fresh.isEmpty) {
+      graft.state.RelationshipCache.put(cache, relationships, cachePath, nowMs, cfg.cacheTtlMs)
+      relationships
+    } else ParquetCatalog.localized(fresh.drop("cached_at_ms"))
+  }
+
   /** Incremental gate: tables whose schema changed since the stored state
     * (§3.2 step 1).
     */

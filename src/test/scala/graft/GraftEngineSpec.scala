@@ -27,6 +27,46 @@ class GraftEngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](engine.renderErd("nope"))
   }
 
+  test("data_testing.enabled=false short-circuits: edges pass through untested") {
+    val off = new GraftEngine(
+      spark, sf0001,
+      customRules = Seq(CustomRule("events", "user_id", "customer", "c_custkey")),
+      cfg = graft.core.DetectionConfig(dataTestEnabled = false))
+    val out = off.enhancedRelationships()
+    // no data-test columns were added — the name-detected frame is returned
+    assert(!out.columns.contains("data_validated"))
+    assert(out.count() === off.relationships.count())
+  }
+
+  test("data_testing.sample_size caps endpoint scans as per-table fractions") {
+    val sized = new GraftEngine(
+      spark, sf0001,
+      customRules = Seq(CustomRule("events", "user_id", "customer", "c_custkey")),
+      cfg = graft.core.DetectionConfig(dataTestSampleSize = 200))
+    val out = sized.enhancedRelationships().collect()
+    assert(out.length === 8)
+    // sampled testing still validates the consistent sf0.001 edges; with
+    // ~200 rows per endpoint the RI margin stays well above the threshold
+    assert(out.count(_.getAs[Boolean]("data_validated")) >= 6)
+  }
+
+  test("cache TTL binds: fresh cache serves edges, expired cache re-detects") {
+    val path = Files.createTempDirectory("graft_ttl").toString + "/rels.parquet"
+    val eng = new GraftEngine(
+      spark, sf0001,
+      customRules = Seq(CustomRule("events", "user_id", "customer", "c_custkey")),
+      cfg = graft.core.DetectionConfig(cacheTtlHours = 24))
+    val t0 = 1000L * 3600 * 1000
+    val first = eng.relationshipsCached(path, nowMs = t0) // cold: detect + put
+    assert(first.count() === 8)
+    // within TTL: served from the cache file (same edges, cached_at dropped)
+    val cached = eng.relationshipsCached(path, nowMs = t0 + 23L * 3600 * 1000)
+    assert(cached.collect().toSet === first.collect().toSet)
+    // past TTL: the freshness probe finds nothing and re-detection runs
+    val expired = eng.relationshipsCached(path, nowMs = t0 + 25L * 3600 * 1000)
+    assert(expired.count() === 8)
+  }
+
   test("incremental gate: first run processes all, saved state empties it") {
     val statePath = Files.createTempDirectory("graft_engine").toString + "/state.parquet"
     assert(engine.changedTables(statePath).count() === 10)

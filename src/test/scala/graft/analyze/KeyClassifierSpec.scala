@@ -61,6 +61,32 @@ class KeyClassifierSpec extends SparkSpec {
     assert(plain.filter(col("is_pk_candidate") || col("is_fk_candidate")).count() === 0)
   }
 
+  test("table_patterns: per-prefix PK/FK patterns fire only for matching tables") {
+    import spark.implicits._
+    import graft.core.{DetectionConfig, TablePattern}
+    // `*_code` / `*_ref` are NOT built-in key suffixes, so nothing below is
+    // flagged without config (guarded at the end); with table_patterns the
+    // class prefix gates which tables gain the extra patterns
+    // (pattern_config.py:187-239).
+    val rows = refs(
+      ("ref_region", "region_code", "string"), // PK via reference-class pattern
+      ("plain", "region_code", "string"), // same column, wrong prefix
+      ("fact_sales", "customer_ref", "bigint"), // FK via fact-class pattern
+      ("plain", "customer_ref", "bigint"))
+    val cfg = DetectionConfig(tablePatterns = Seq(
+      TablePattern("data_vault", "reference", "ref_", pkPatterns = Seq("*_code")),
+      TablePattern("traditional_dw", "fact", "fact_", fkPatterns = Seq("*_ref"))))
+    val out = KeyClassifier.classify(spark.createDataset(rows).toDF(), cfg)
+    val pks = out.filter(col("is_pk_candidate"))
+      .select("tableName", "columnName").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fks = out.filter(col("is_fk_candidate"))
+      .select("tableName", "columnName").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pks === Set(("ref_region", "region_code")))
+    assert(fks === Set(("fact_sales", "customer_ref")))
+    val plain = KeyClassifier.classify(spark.createDataset(rows).toDF())
+    assert(plain.filter(col("is_pk_candidate") || col("is_fk_candidate")).count() === 0)
+  }
+
   test("e-commerce fixture: users.id PK, orders.customer_id FK") {
     val out = classify(refs(
       ("users", "id", "bigint"),

@@ -71,6 +71,33 @@ class DataTesterSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("adjusted_confidence") - 0.3) < 1e-12)
   }
 
+  test("orphan%/distribution gates: confidence-only pass fails when the knobs are live") {
+    import spark.implicits._
+    // 30% orphans, decent distribution: passes the reference's default
+    // confidence-only gate, fails once max_orphan_percentage = 0.2 is set.
+    val rels = Seq((0.8, 0.9, 30L, 100L, 0.6))
+      .toDF("confidence", "overall_confidence", "orphan_values", "total_src", "dist_similarity")
+    val default = DataTester.adjustConfidence(rels, DetectionConfig()).collect().head
+    assert(default.getAs[Boolean]("data_validated"))
+    val orphanGated = DataTester.adjustConfidence(
+      rels, DetectionConfig(maxOrphanPercentage = 0.2)).collect().head
+    assert(!orphanGated.getAs[Boolean]("data_validated"))
+    assert(math.abs(orphanGated.getAs[Double]("adjusted_confidence") - 0.5) < 1e-12) // 0.8-0.3
+    val distGated = DataTester.adjustConfidence(
+      rels, DetectionConfig(distributionSimilarityThreshold = 0.7)).collect().head
+    assert(!distGated.getAs[Boolean]("data_validated"))
+    // generous thresholds leave the pass intact
+    val loose = DataTester.adjustConfidence(
+      rels, DetectionConfig(maxOrphanPercentage = 0.5, distributionSimilarityThreshold = 0.5))
+      .collect().head
+    assert(loose.getAs[Boolean]("data_validated"))
+    // empty source never divides by zero
+    val empty = Seq((0.8, 0.9, 0L, 0L, 1.0))
+      .toDF("confidence", "overall_confidence", "orphan_values", "total_src", "dist_similarity")
+    assert(DataTester.adjustConfidence(empty, DetectionConfig(maxOrphanPercentage = 0.2))
+      .collect().head.getAs[Boolean]("data_validated"))
+  }
+
   test("Cochran sample size: 95%/5% on large population ≈ 385, small population corrected") {
     assert(DataTester.cochranSampleSize(1000000) === 385L)
     assert(DataTester.cochranSampleSize(100) <= 100L)

@@ -78,6 +78,57 @@ class RelationshipDetectorSpec extends SparkSpec {
     assert(noFallback.contains(("dim_customer", "customer_id", "h_customer", "id")))
   }
 
+  test("table-pattern rules: class prefix + target wildcard emit configured type/confidence") {
+    import graft.core.TablePattern
+    val cols = classified(refs(
+      ("fact_sales", "customer_id", "bigint"), // FK in the fact_ class
+      ("stage_sales", "customer_id", "bigint"), // FK, but wrong prefix
+      ("dim_customer", "customer_id", "bigint"), // target PK; dim_* matches
+      ("part_lookup", "part_id", "bigint"))) // would-be target outside dim_*
+    val cfg = DetectionConfig(tablePatterns = Seq(TablePattern(
+      "traditional_dw", "fact", "fact_",
+      relTargetTables = Seq("dim_*"), relType = "many_to_one", relConfidence = 0.85)))
+    val out = RelationshipDetector.tablePatternRuleMatch(cols, cfg).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source_table") === "fact_sales")
+    assert(r.getAs[String]("source_column") === "customer_id")
+    assert(r.getAs[String]("target_table") === "dim_customer")
+    assert(r.getAs[String]("target_column") === "customer_id")
+    assert(r.getAs[String]("detection_method") === "table_pattern")
+    assert(r.getAs[String]("relationship_type") === "many_to_one")
+    assert(r.getAs[Double]("confidence") === 0.85)
+    // detect() only unions the strategy when a pattern carries rule targets
+    val viaDetect = RelationshipDetector.detect(cols, cfg = cfg)
+    assert(viaDetect.filter(col("detection_method") === "table_pattern").count() === 1)
+    val noRules = RelationshipDetector.detect(cols)
+    assert(noRules.filter(col("detection_method") === "table_pattern").count() === 0)
+  }
+
+  test("confidence_scoring overrides change plan literals and resolve order") {
+    // customer.customer_id is the PK; orders.customer_id is found by BOTH
+    // exact_match (same base name) and foreign_key (stem names the table).
+    val cols = classified(refs(
+      ("customer", "customer_id", "bigint"),
+      ("orders", "customer_id", "bigint"),
+      ("orders", "order_id", "bigint")))
+    val byDefault = RelationshipDetector.detect(cols)
+      .filter(col("source_table") === "orders" && col("source_column") === "customer_id")
+      .collect().head
+    assert(byDefault.getAs[String]("detection_method") === "exact_match")
+    assert(byDefault.getAs[Double]("confidence") === 0.95)
+    // Override via the reference's confidence_scoring vocabulary: demote
+    // exact_match, promote pattern_match (= our foreign_key strategy); the
+    // same edge now resolves to the foreign_key finding.
+    val cfg = DetectionConfig(confidenceScoring =
+      Map("exact_match" -> 0.5, "pattern_match" -> 0.99))
+    val overridden = RelationshipDetector.detect(cols, cfg = cfg)
+      .filter(col("source_table") === "orders" && col("source_column") === "customer_id")
+      .collect().head
+    assert(overridden.getAs[String]("detection_method") === "foreign_key")
+    assert(overridden.getAs[Double]("confidence") === 0.99)
+  }
+
   test("naming rule: (.+)_id with suffix s resolves orders.customer_id") {
     val cols = classified(refs(
       ("customers", "customer_id", "bigint"), // customers PK

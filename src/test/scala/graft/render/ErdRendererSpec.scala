@@ -45,6 +45,26 @@ class ErdRendererSpec extends SparkSpec {
     assert(scala.xml.XML.loadString(out) != null) // parses as XML
   }
 
+  test("drawio display toggles: theme colours, column types, nullable markers") {
+    val default = ErdRenderer.drawio(tables, rels)
+    // default stays byte-stable: bare swimlane style, typed labels, no NULL
+    assert(default.contains("""style="swimlane""""))
+    assert(default.contains("value=\"id: bigint\""))
+    assert(!default.contains(" NULL"))
+    val dark = ErdRenderer.drawio(tables, rels, theme = "dark")
+    assert(dark.contains("swimlane;fillColor=#2d2d2d;strokeColor=#666666;fontColor=#ffffff"))
+    val minimal = ErdRenderer.drawio(tables, rels, theme = "minimal")
+    assert(minimal.contains("swimlane;fillColor=#ffffff;strokeColor=#000000;fontColor=#000000"))
+    val untyped = ErdRenderer.drawio(tables, rels, showColumnTypes = false)
+    assert(untyped.contains("value=\"id\"") && !untyped.contains("id: bigint"))
+    val nullable = ErdRenderer.drawio(tables, rels, showNullable = true)
+    assert(nullable.contains("value=\"customer_id: bigint NULL\"")) // the one nullable col
+    assert(nullable.contains("value=\"id: bigint\"")) // non-null cols unmarked
+    // every variant still parses as XML
+    Seq(dark, minimal, untyped, nullable).foreach(x =>
+      assert(scala.xml.XML.loadString(x) != null))
+  }
+
   test("force-directed layout: deterministic, positive quadrant, pulls linked tables together") {
     def mkTable(n: String) = TableMeta(n, "p", "TABLE",
       Seq(ColumnMeta("id", "bigint", nullable = false, isArray = false, 0)), 1, 1)
