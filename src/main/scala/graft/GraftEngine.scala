@@ -171,12 +171,22 @@ class GraftEngine(
     */
   def relationshipsCached(
       cachePath: String, nowMs: Long = System.currentTimeMillis()): DataFrame = {
-    val cache = graft.state.RelationshipCache.load(spark, cachePath)
-    val fresh = cache.filter(col("cached_at_ms") >= nowMs - cfg.cacheTtlMs)
-    if (fresh.isEmpty) {
+    if (!cfg.cacheEnabled) return relationships // performance.cache_enabled=false
+    val cache = graft.state.RelationshipCache.load(spark, cachePath).cache()
+    // Serve the cache only when it is non-empty AND wholly fresh. A
+    // mixed-age file (reachable via the per-pair RelationshipCache.put API)
+    // must trigger re-detection: serving just the fresh subset would
+    // silently drop the expired pairs from the edge set, where the
+    // reference re-validates TTL per cache entry (relationship_cache.py).
+    val total = cache.count()
+    val freshCount =
+      cache.filter(col("cached_at_ms") >= nowMs - cfg.cacheTtlMs).count()
+    val out = if (freshCount == 0 || freshCount < total) {
       graft.state.RelationshipCache.put(cache, relationships, cachePath, nowMs, cfg.cacheTtlMs)
       relationships
-    } else ParquetCatalog.localized(fresh.drop("cached_at_ms"))
+    } else ParquetCatalog.localized(cache.drop("cached_at_ms"))
+    cache.unpersist()
+    out
   }
 
   /** Incremental gate: tables whose schema changed since the stored state

@@ -92,6 +92,10 @@ object ConfigLoader {
           fields.collect { case (k, v) if dbl(v).isDefined => k -> dbl(v).get }.toMap
         case _ => base.confidenceScoring
       },
+      cacheEnabled = root \ "performance" \ "cache_enabled" match {
+        case JBool(b) => b
+        case _ => base.cacheEnabled
+      },
       cacheTtlHours =
         int(root \ "performance" \ "cache_ttl_hours").getOrElse(base.cacheTtlHours))
   }

@@ -184,8 +184,11 @@ case class DetectionConfig(
     maxOrphanPercentage: Double = 1.0,
     distributionSimilarityThreshold: Double = 0.0,
     // PerformanceConfig binding (relationship_patterns.json `performance`):
-    // thread pools/batching are the cluster's job, but the cache TTL knob
-    // maps onto state.IncrementalState's relationship-cache TTL.
+    // thread pools/batching are the cluster's job, but the cache knobs map
+    // onto state.IncrementalState's relationship cache: `cache_enabled`
+    // gates whether GraftEngine serves/writes it at all, `cache_ttl_hours`
+    // bounds entry freshness.
+    cacheEnabled: Boolean = true,
     cacheTtlHours: Int = 24) {
 
   /** Confidence for a detection method: JSON override if present (by our

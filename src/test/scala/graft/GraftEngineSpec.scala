@@ -67,6 +67,40 @@ class GraftEngineSpec extends SparkSpec {
     assert(expired.count() === 8)
   }
 
+  test("mixed-age cache (some entries expired) re-detects instead of serving the fresh subset") {
+    val path = Files.createTempDirectory("graft_ttl_mixed").toString + "/rels.parquet"
+    val ttlMs = 24L * 3600 * 1000
+    val eng = new GraftEngine(
+      spark, sf0001,
+      customRules = Seq(CustomRule("events", "user_id", "customer", "c_custkey")),
+      cfg = graft.core.DetectionConfig(cacheTtlHours = 24))
+    val t0 = 1000L * 3600 * 1000
+    assert(eng.relationshipsCached(path, nowMs = t0).count() === 8)
+    // refresh ONE pair 10h later through the public per-pair put API — the
+    // file now holds mixed-age rows (1 @ t0+10h, 7 @ t0)
+    val cache = graft.state.RelationshipCache.load(spark, path)
+    val one = cache.orderBy("source_table", "source_column").limit(1).drop("cached_at_ms")
+    graft.state.RelationshipCache.put(cache, one, path, nowMs = t0 + 10L * 3600 * 1000, ttlMs = ttlMs)
+    // 30h after t0 the refreshed pair is still fresh but the other 7 are
+    // expired: the engine must NOT serve the 1-row fresh subset — it
+    // re-detects the full edge set and rewrites the cache wholly fresh
+    val now = t0 + 30L * 3600 * 1000
+    assert(eng.relationshipsCached(path, nowMs = now).count() === 8)
+    val rewritten = graft.state.RelationshipCache.load(spark, path)
+    assert(rewritten.count() === 8)
+    assert(rewritten.filter(col("cached_at_ms") === now).count() === 8)
+  }
+
+  test("performance.cache_enabled=false bypasses the cache entirely") {
+    val path = Files.createTempDirectory("graft_nocache").toString + "/rels.parquet"
+    val eng = new GraftEngine(
+      spark, sf0001,
+      customRules = Seq(CustomRule("events", "user_id", "customer", "c_custkey")),
+      cfg = graft.core.DetectionConfig(cacheEnabled = false))
+    assert(eng.relationshipsCached(path, nowMs = 123L).count() === 8)
+    assert(!new java.io.File(path).exists(), "disabled cache must not write a file")
+  }
+
   test("incremental gate: first run processes all, saved state empties it") {
     val statePath = Files.createTempDirectory("graft_engine").toString + "/state.parquet"
     assert(engine.changedTables(statePath).count() === 10)

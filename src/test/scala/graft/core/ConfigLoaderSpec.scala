@@ -124,6 +124,12 @@ class ConfigLoaderSpec extends SparkSpec {
     // performance.cache_ttl_hours binds to the relationship-cache TTL
     assert(cfg.cacheTtlHours === 48)
     assert(cfg.cacheTtlMs === 48L * 3600 * 1000)
+    assert(cfg.cacheEnabled)
+    // cache_enabled=false binds too (GraftEngine.relationshipsCached bypasses)
+    val noCache = ConfigLoader.loadPatternConfig(
+      write("perf", """{"performance": {"cache_enabled": false}}"""))
+    assert(!noCache.cacheEnabled)
+    assert(noCache.cacheTtlHours === DetectionConfig().cacheTtlHours)
     // absent sections keep defaults
     val d = DetectionConfig()
     assert(cfg.minConfidence === d.minConfidence)

@@ -98,9 +98,22 @@ class RelationshipDetectorSpec extends SparkSpec {
     assert(r.getAs[String]("detection_method") === "table_pattern")
     assert(r.getAs[String]("relationship_type") === "many_to_one")
     assert(r.getAs[Double]("confidence") === 0.85)
-    // detect() only unions the strategy when a pattern carries rule targets
-    val viaDetect = RelationshipDetector.detect(cols, cfg = cfg)
-    assert(viaDetect.filter(col("detection_method") === "table_pattern").count() === 1)
+    // detect() only unions the strategy when a pattern carries rule targets.
+    // At 0.85 the table_pattern edge loses conflict resolution to the 0.95
+    // exact_match edge for the same pair (resolution keeps max confidence) —
+    // so raise the rule confidence above exact_match to see it survive.
+    val strongCfg = DetectionConfig(tablePatterns = Seq(TablePattern(
+      "traditional_dw", "fact", "fact_",
+      relTargetTables = Seq("dim_*"), relType = "many_to_one", relConfidence = 0.97)))
+    val viaDetect = RelationshipDetector.detect(cols, cfg = strongCfg)
+    val survived = viaDetect.filter(col("detection_method") === "table_pattern").collect()
+    assert(survived.length === 1)
+    assert(survived.head.getAs[Double]("confidence") === 0.97)
+    // ...and at 0.85 resolution correctly prefers exact_match for that pair
+    val resolved = RelationshipDetector.detect(cols, cfg = cfg)
+      .filter(col("source_table") === "fact_sales" && col("source_column") === "customer_id")
+      .collect()
+    assert(resolved.map(_.getAs[String]("detection_method")).toSet === Set("exact_match"))
     val noRules = RelationshipDetector.detect(cols)
     assert(noRules.filter(col("detection_method") === "table_pattern").count() === 0)
   }
