@@ -134,6 +134,25 @@ object SparkEntry {
     "q28_schema_checksums" -> { (s, dir) =>
       graft.state.IncrementalState.schemaChecksums(ParquetCatalog.catalog(s, dir))
     },
+    // A8: incremental-state + relationship-cache statistics
+    // (incremental_processor.py:182-204, relationship_cache.py:142-156) as
+    // one summary row. The state is the full catalog processed at a fixed
+    // epoch; the cache holds the detected edge set with high-confidence
+    // (≥0.95) pairs refreshed 10h later, probed 30h in — so the TTL split
+    // (fresh=refreshed, expired=rest) is deterministic and oracle-derivable
+    // from the same first-principles detection CTEs as q15.
+    "q53_state_stats" -> { (s, dir) =>
+      import graft.state.{IncrementalState, RelationshipCache}
+      val t0 = 1700000000000L
+      val state = IncrementalState.schemaChecksums(ParquetCatalog.catalog(s, dir))
+        .withColumn("processed_at_ms", lit(t0))
+      val rels = RelationshipDetector.detect(classifiedCols(s, dir), lakeCustomRules)
+      val cache = rels.withColumn("cached_at_ms",
+        when(col("confidence") >= 0.95, lit(t0 + 10L * 3600 * 1000)).otherwise(lit(t0)))
+      IncrementalState.relationshipStats(state, rels)
+        .crossJoin(RelationshipCache.stats(
+          cache, nowMs = t0 + 30L * 3600 * 1000, ttlMs = 24L * 3600 * 1000))
+    },
     // F10/S11: ERD rendering — mermaid over a 3-table slice of the detected
     // graph, returned as a single (format, erd) row and golden-checked.
     "q29_render_mermaid" -> { (s, dir) =>
@@ -1426,6 +1445,23 @@ object SparkEntry {
          |       detection_method, is_custom
          |FROM edges_final""".stripMargin,
     "q16_datatest_metrics" -> datatestOracle,
+    "q53_state_stats" ->
+      s"""WITH $detectionOracleCtes
+         |SELECT CAST(10 AS BIGINT) AS processed_tables,
+         |       CAST(1700000000000 AS BIGINT) AS last_processed_at_ms,
+         |       (SELECT COUNT(*) FROM edges_final) AS total_relationships,
+         |       (SELECT COUNT(DISTINCT relationship_type) FROM edges_final)
+         |         AS n_relationship_types,
+         |       (SELECT string_agg(kv, ',' ORDER BY kv) FROM (
+         |          SELECT relationship_type || ':' || COUNT(*) AS kv
+         |          FROM edges_final GROUP BY relationship_type))
+         |         AS relationship_types,
+         |       (SELECT COUNT(*) FROM edges_final) AS n_cache_entries,
+         |       (SELECT COUNT(*) FROM edges_final WHERE confidence >= 0.95)
+         |         AS n_cache_fresh,
+         |       (SELECT COUNT(*) FROM edges_final WHERE confidence < 0.95)
+         |         AS n_cache_expired,
+         |       CAST(24 AS BIGINT) AS cache_ttl_hours""".stripMargin,
     "q45_quality_report" ->
       s"""WITH $detectionOracleCtes
          |SELECT 'confidence_distribution' AS dimension,

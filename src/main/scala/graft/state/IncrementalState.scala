@@ -60,6 +60,30 @@ object IncrementalState {
       state.select("table_name", "schema_hash"),
       Seq("table_name", "schema_hash"), "left_anti")
 
+  /** A8 — stats over the incremental state + relationship graph
+    * (incremental_processor.py:182-204's `get_relationship_stats`), as one
+    * summary row: processed-table count, last-processed watermark, total
+    * relationships, and the per-type breakdown flattened to a deterministic
+    * `type:count` list (the reference returns a dict; a sorted string is the
+    * engine-portable row form). Both inputs are catalog-scale, but every
+    * aggregate here is a map-side-combined single pass, so the same code is
+    * correct over a million-table state.
+    */
+  def relationshipStats(state: DataFrame, relationships: DataFrame): DataFrame = {
+    val stateAgg = state.agg(
+      count(lit(1)).as("processed_tables"),
+      max(col("processed_at_ms")).as("last_processed_at_ms"))
+    val typeCounts = relationships
+      .groupBy(col("relationship_type")).agg(count(lit(1)).as("n"))
+    val relAgg = typeCounts.agg(
+      coalesce(sum(col("n")), lit(0L)).as("total_relationships"),
+      count(lit(1)).as("n_relationship_types"),
+      concat_ws(",",
+        sort_array(collect_list(concat_ws(":", col("relationship_type"), col("n")))))
+        .as("relationship_types"))
+    stateAgg.crossJoin(relAgg)
+  }
+
   /** Upsert processed tables into state (last writer wins per table). */
   def saveState(
       current: DataFrame, prior: DataFrame, statePath: String, nowMs: Long): Unit = {
@@ -101,6 +125,20 @@ object RelationshipCache {
     cache
       .filter(col("cached_at_ms") >= nowMs - ttlMs)
       .join(pairs, Seq("source_table", "target_table"), "left_semi")
+
+  /** A8 — cache statistics (relationship_cache.py:142-156's
+    * `get_cache_stats`): entry count split into fresh vs TTL-expired at
+    * `nowMs`, plus the TTL itself — one aggregation pass over the cache
+    * table.
+    */
+  def stats(cache: DataFrame, nowMs: Long, ttlMs: Long = DefaultTtlMs): DataFrame =
+    cache.agg(
+      count(lit(1)).as("n_cache_entries"),
+      coalesce(sum(when(col("cached_at_ms") >= nowMs - ttlMs, 1L).otherwise(0L)), lit(0L))
+        .as("n_cache_fresh"),
+      coalesce(sum(when(col("cached_at_ms") < nowMs - ttlMs, 1L).otherwise(0L)), lit(0L))
+        .as("n_cache_expired"))
+      .withColumn("cache_ttl_hours", lit(ttlMs / (3600L * 1000)))
 
   /** Upsert: newest entry per edge wins; stale rows (TTL-expired) dropped. */
   def put(cache: DataFrame, fresh: DataFrame, path: String, nowMs: Long,

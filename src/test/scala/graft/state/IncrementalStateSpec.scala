@@ -66,6 +66,42 @@ class IncrementalStateSpec extends SparkSpec {
     assert(latest.head.getAs[Double]("confidence") === 1.0)
   }
 
+  test("A8: relationshipStats aggregates state + typed edge breakdown into one row") {
+    import spark.implicits._
+    val state = Seq(("t1", "h1", 100L), ("t2", "h2", 300L), ("t3", "h3", 200L))
+      .toDF("table_name", "schema_hash", "processed_at_ms")
+    val rels = Seq(
+      ("a", "x", "b", "y", "many_to_one", 0.9),
+      ("c", "x", "b", "y", "many_to_one", 0.8),
+      ("d", "x", "b", "y", "one_to_one", 0.7))
+      .toDF("source_table", "source_column", "target_table", "target_column",
+        "relationship_type", "confidence")
+    val r = IncrementalState.relationshipStats(state, rels).collect().head
+    assert(r.getAs[Long]("processed_tables") === 3L)
+    assert(r.getAs[Long]("last_processed_at_ms") === 300L)
+    assert(r.getAs[Long]("total_relationships") === 3L)
+    assert(r.getAs[Long]("n_relationship_types") === 2L)
+    assert(r.getAs[String]("relationship_types") === "many_to_one:2,one_to_one:1")
+    // empty graph: totals zero, breakdown empty — no nulls leak
+    val empty = IncrementalState.relationshipStats(state, rels.limit(0)).collect().head
+    assert(empty.getAs[Long]("total_relationships") === 0L)
+    assert(empty.getAs[String]("relationship_types") === "")
+  }
+
+  test("A8: cache stats split entries into fresh vs expired at the probe time") {
+    import spark.implicits._
+    val cache = Seq(("a", "b", 1000L), ("c", "d", 5000L), ("e", "f", 9000L))
+      .toDF("source_table", "target_table", "cached_at_ms")
+    val r = RelationshipCache.stats(cache, nowMs = 9000L, ttlMs = 4000L).collect().head
+    assert(r.getAs[Long]("n_cache_entries") === 3L)
+    assert(r.getAs[Long]("n_cache_fresh") === 2L) // 5000, 9000 >= 9000-4000
+    assert(r.getAs[Long]("n_cache_expired") === 1L)
+    assert(r.getAs[Long]("cache_ttl_hours") === 0L) // sub-hour TTL floors
+    val empty = RelationshipCache.stats(cache.limit(0), nowMs = 1L).collect().head
+    assert(empty.getAs[Long]("n_cache_entries") === 0L)
+    assert(empty.getAs[Long]("n_cache_fresh") === 0L)
+  }
+
   test("canonical schema covers arrays and nullability") {
     val cat = ParquetCatalog.catalog(spark, sf0001).collect()
     val emb = cat.find(_.tableName == "embeddings").get
