@@ -229,6 +229,22 @@ object SparkEntry {
           |WHERE o_orderstatus <> 'F'
           |GROUP BY c_mktsegment""".stripMargin)
     },
+    // §2.9 SQL face of the text operators: the scalars TextFunctions
+    // registers (token/BPE counts, language-ID, fingerprint, quality) run
+    // inside `spark.sql` over the lake views — the SAME Column trees as
+    // q17/q18/q19/q41, reached through the SQL surface instead of the
+    // DataFrame API, so SQL-only users get the full text stack.
+    "q56_sql_text" -> { (s, dir) =>
+      graft.functions.TextFunctions.register(s)
+      new graft.GraftEngine(s, dir).sql(
+        """SELECT doc_id,
+          |       graft_lang_id(text) AS lang_pred,
+          |       graft_token_count(text) AS n_tokens,
+          |       graft_bpe_count(text) AS n_bpe_tokens,
+          |       graft_fingerprint(text) AS fp,
+          |       graft_quality(text) AS quality_score
+          |FROM documents""".stripMargin)
+    },
     // MinHash+LSH near-dup END TO END: shingle → 16-hash minhash signature →
     // 4-band LSH → bucket equi-join → candidate pairs → exact-Jaccard verify.
     // Only same-bucket docs ever meet (no O(n²) pair space), and the verify
@@ -1005,6 +1021,27 @@ object SparkEntry {
     },
     "q19_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text),'[^a-z0-9]','','g')) AS fp FROM documents",
+    "q56_sql_text" -> {
+      val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
+      val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")
+      val best = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""SELECT doc_id,
+         |  CASE $cases ELSE 'und' END AS lang_pred,
+         |  CAST($nt AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         |  md5(regexp_replace(lower(text),'[^a-z0-9]','','g')) AS fp,
+         |  LEAST(GREATEST(
+         |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0) AS quality_score
+         |FROM (SELECT doc_id, text,
+         |  $scoreDefs,
+         |  $best AS best
+         |FROM documents)""".stripMargin
+    },
     "q20_minhash_signatures" -> {
       val mins = (0 until 4).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),

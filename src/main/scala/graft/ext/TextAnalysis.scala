@@ -59,6 +59,24 @@ object TextAnalysis {
     * ratio, stopword ratio — the length/punct/stopword heuristics used to
     * score web-scraped training text.
     */
+  /** Scalar quality score in [0,1]: 0.5·alpha-ratio + 0.3·capped length +
+    * 0.2·capped stopword density — the single-column form shared by
+    * [[withQualityMetrics]] and the `graft_quality` SQL function.
+    */
+  def qualityScore(t: Column): Column = {
+    val nTokens = tokenCount(t)
+    val nChars = length(t)
+    val alpha = length(regexp_replace(lower(t), "[^a-z]", ""))
+    val stop = langScore(t, langMarkers.flatMap(_._2))
+    least(
+      greatest(
+        (alpha.cast("double") / nChars) * 0.5 +
+          least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.3 +
+          least(stop.cast("double") / nTokens * 10.0, lit(1.0)) * 0.2,
+        lit(0.0)),
+      lit(1.0))
+  }
+
   def withQualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val nTokens = tokenCount(t)
@@ -74,15 +92,7 @@ object TextAnalysis {
         (nChars - (nTokens - 1)).cast("double") / nTokens)
       .withColumn("alpha_ratio", alpha.cast("double") / nChars)
       .withColumn("stopword_ratio", stop.cast("double") / nTokens)
-      .withColumn(
-        "quality_score",
-        least(
-          greatest(
-            (alpha.cast("double") / nChars) * 0.5 +
-              least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.3 +
-              least(stop.cast("double") / nTokens * 10.0, lit(1.0)) * 0.2,
-            lit(0.0)),
-          lit(1.0)))
+      .withColumn("quality_score", qualityScore(t))
   }
 
   /** Vocabulary building: global n-gram frequency counts, the tokenizer-

@@ -63,5 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
+    // text/dedup scalar surface: same Column trees as the DataFrame API
+    graft.functions.TextFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.TextFunctions", name),
+        builder))
+    }
   }
 }
