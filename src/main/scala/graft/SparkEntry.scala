@@ -105,6 +105,18 @@ object SparkEntry {
     "q24_events_hourly" -> { (s, dir) =>
       graft.streaming.Sessions.hourlyAgg(Tables.events(s, dir))
     },
+    // §2.8 stream-stream interval join, batch twin: purchases × same-user
+    // clicks within the preceding 30 min, aggregated per purchase. The
+    // EXACT same intervalJoin plan runs as a two-stream watermarked join in
+    // EventStreamSpec (watermarks are optimizer-eliminated here in batch).
+    "q55_interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStream.intervalJoin(ev, ev)
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(
+          count(col("click_id")).as("n_clicks_30m"),
+          max(col("click_id")).as("last_click_id"))
+    },
     // Sessionization: inactivity-gap sessions per user.
     "q25_sessionize" -> { (s, dir) =>
       graft.streaming.Sessions.sessionize(Tables.events(s, dir))
@@ -1111,6 +1123,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q55_interval_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS tus
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS cid, user_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS tus
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.pid AS purchase_id, p.user_id,
+        |       COUNT(*) AS n_clicks_30m, MAX(c.cid) AS last_click_id
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.tus >= p.tus - 1800000000 AND c.tus <= p.tus
+        |GROUP BY 1, 2""".stripMargin,
     "q25_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
         |w AS (SELECT user_id, event_id, tus,

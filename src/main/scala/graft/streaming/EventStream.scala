@@ -75,6 +75,48 @@ object EventStream {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_digest")
 
+  /** Stream-stream interval join (§2.8): every purchase matched to the SAME
+    * user's clicks in the preceding `windowMinutes` — the attribution join
+    * as two live streams. Both sides are watermarked and the join condition
+    * bounds click_time to [purchase_time − window, purchase_time], so Spark
+    * derives state-eviction watermarks for BOTH sides: click state drops
+    * once the purchase watermark passes its eligibility window, purchase
+    * state once the click watermark passes the purchase time. State is
+    * bounded by (watermark delay + window) regardless of stream length —
+    * the 100 TB/day-safe shape.
+    *
+    * The plan is pure declarative DataFrame code, so the SAME function runs
+    * in batch (watermarks are eliminated by the optimizer there): q55 is
+    * the batch twin, EventStreamSpec asserts stream output == batch output
+    * on the same files.
+    */
+  def intervalJoin(
+      clicksRaw: DataFrame, purchasesRaw: DataFrame,
+      windowMinutes: Int = 30, watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = clicksRaw
+      .filter(col("event_type") === "click")
+      .withColumn("click_time", Sessions.nsToTimestamp(col("ts")))
+      .withWatermark("click_time", watermarkDelay)
+      .select(
+        col("user_id"), col("event_id").as("click_id"), col("click_time"))
+    val purchases = purchasesRaw
+      .filter(col("event_type") === "purchase")
+      .withColumn("purchase_time", Sessions.nsToTimestamp(col("ts")))
+      .withWatermark("purchase_time", watermarkDelay)
+      .select(
+        col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("purchase_time"))
+    purchases.join(
+      clicks,
+      col("p_user_id") === col("user_id") &&
+        col("click_time") >=
+          col("purchase_time") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_time") <= col("purchase_time"))
+      .select(
+        col("purchase_id"), col("p_user_id").as("user_id"),
+        col("click_id"), col("purchase_time"), col("click_time"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(userId: Long, sessionStartUs: Long, sessionEndUs: Long, nEvents: Long)
 

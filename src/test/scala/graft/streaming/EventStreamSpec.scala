@@ -21,6 +21,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch twin on the same files") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // two INDEPENDENT stream reads of the same landing dir — a genuine
+    // stream-stream join (not a self-reference), watermarked on both sides
+    val joined = EventStream.intervalJoin(
+      EventStream.readEvents(spark, sf0001),
+      EventStream.readEvents(spark, sf0001))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("interval_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val ev = Tables.events(spark, sf0001)
+      val batch = EventStream.intervalJoin(ev, ev)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val s = key(spark.table("interval_test"))
+      assert(s.nonEmpty)
+      assert(s === key(batch))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the 2h bound in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
