@@ -411,6 +411,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     },
+    // IVF with a TRAINED quantizer: 2 Lloyd iterations over the sampled
+    // centroids (quantized-integer element means — exact, order-independent,
+    // replayed bit-for-bit by the oracle's unrolled CTEs), then the same
+    // assign/probe/search as q43.
+    "q54_ann_ivf_trained" -> { (s, dir) =>
+      import graft.ext.Similarity
+      Similarity.ivfTrainedTopK(Tables.embeddings(s, dir), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    },
     // BPE-ish pre-tokenization counts next to whitespace counts.
     "q41_bpe_tokens" -> { (s, dir) =>
       import graft.ext.TextAnalysis
@@ -875,6 +885,68 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** DuckDB replay of q54's TRAINED IVF: the two Lloyd iterations unroll
+    * into CTE pairs (assign under cN → quantized-integer element means →
+    * cN+1), then the same assign/probe/search as the q43 oracle runs under
+    * the final centroids. Quantized means (floor(x·2²⁰) integer sums) make
+    * each centroid element an exact, order-independent value both engines
+    * compute identically; centroid lists keep DuckDB's left-to-right list
+    * folds aligned with the Spark-side native dot loops.
+    */
+  private def ivfTrainedOracle: String = {
+    val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    val dotPC = "list_sum(list_transform(list_zip(p.embedding, c.cvec), " +
+      "x -> CAST(x[1] AS DOUBLE)*x[2]))"
+    def iteration(n: Int, prevC: String): String =
+      s"""s$n AS (SELECT p.vec_id, c.cell, $dotPC / (p.nrm * c.cnrm) AS score
+         |        FROM prep p CROSS JOIN $prevC c),
+         |a$n AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |            ORDER BY score DESC, cell ASC) AS crn FROM s$n) WHERE crn = 1),
+         |e$n AS (SELECT a.cell, g.i AS pos,
+         |               CAST(floor(CAST(p.embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+         |        FROM a$n a JOIN prep p USING (vec_id)
+         |        CROSS JOIN generate_series(1, 64) AS g(i)),
+         |m$n AS (SELECT cell, list(mval ORDER BY pos) AS cvec FROM (
+         |          SELECT cell, pos,
+         |                 CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1048576.0 AS mval
+         |          FROM e$n GROUP BY 1, 2) GROUP BY cell),
+         |c$n AS (SELECT p.cell, COALESCE(m.cvec, p.cvec) AS cvec,
+         |               CASE WHEN m.cvec IS NULL THEN p.cnrm
+         |                    ELSE sqrt(list_sum(list_transform(m.cvec, x -> x*x)))
+         |               END AS cnrm
+         |        FROM $prevC p LEFT JOIN m$n m USING (cell))""".stripMargin
+    s"""WITH prep AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
+       |ck AS (SELECT vec_id, embedding, nrm,
+       |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+       |       FROM prep),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+       |              nrm AS cnrm
+       |       FROM ck WHERE rn <= 8),
+       |${iteration(1, "c0")},
+       |${iteration(2, "c1")},
+       |sf AS (SELECT p.vec_id, c.cell, $dotPC / (p.nrm * c.cnrm) AS score
+       |       FROM prep p CROSS JOIN c2 c),
+       |cells AS (SELECT vec_id, cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                   ORDER BY score DESC, cell ASC) AS crn
+       |          FROM sf),
+       |assigned AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
+       |probed AS (SELECT vec_id, cell FROM cells WHERE crn <= 2),
+       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |         FROM probed p JOIN assigned a USING (cell) WHERE p.vec_id <> a.vec_id),
+       |scored AS (SELECT query_id, neighbor_id, ${dkCosine("q", "c")} AS cos
+       |           FROM cand JOIN embeddings q ON q.vec_id = query_id
+       |                     JOIN embeddings c ON c.vec_id = neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** DuckDB mirror of the q38 near-dup pipeline: same portable hashes, same
     * 16-hash/4-band layout, same candidate semi-join before the Jaccard
     * verify.
@@ -922,6 +994,7 @@ object SparkEntry {
     "q38_near_dups" -> nearDupOracle,
     "q40_ann_lsh" -> lshAnnOracle,
     "q43_ann_ivf" -> ivfAnnOracle,
+    "q54_ann_ivf_trained" -> ivfTrainedOracle,
     "q50_balanced_sample" -> {
       val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
       val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")

@@ -61,6 +61,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"IVF recall too low: $recall")
   }
 
+  test("trained IVF matches or beats the sampled quantizer's recall at equal probes") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val exact = Similarity.bruteForceTopK(emb, emb, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val sampled = recall(Similarity.ivfTopK(emb, k = 3, nlist = 8, nprobe = 3))
+    val trained = recall(Similarity.ivfTrainedTopK(emb, k = 3, nlist = 8, nprobe = 3))
+    assert(trained > 0.4, s"trained IVF recall too low: $trained")
+    // Lloyd refinement must not lose recall vs the raw sample (everything
+    // here is deterministic, so this is a stable property, not a flake)
+    assert(trained >= sampled - 0.02, s"trained $trained < sampled $sampled")
+  }
+
+  test("trained IVF centroids differ from the init sample and keep ranks well-formed") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val trained = Similarity.ivfTrainedTopK(emb, k = 3, nlist = 8, nprobe = 2)
+    val sampled = Similarity.ivfTopK(emb, k = 3, nlist = 8, nprobe = 2)
+    // training moved the quantizer: assignments (and thus some neighbour
+    // sets) change
+    val t = trained.select("query_id", "neighbor_id").collect().toSet
+    val s0 = sampled.select("query_id", "neighbor_id").collect().toSet
+    assert(t !== s0)
+    val byQuery = trained.collect().groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("IVF search space is cell-bounded: every query probes nprobe cells") {
     val emb = Tables.embeddings(spark, sf0001)
     val out = Similarity.ivfTopK(emb, k = 3, nlist = 8, nprobe = 2)
