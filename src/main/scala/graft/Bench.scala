@@ -44,7 +44,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def sentinel(): Double = Seq.fill(3)(sentinelOnce()).min
-    (1 to 4).foreach(_ => sentinelOnce()) // warm
+    // warm until two consecutive samples agree within 15% (max 12): an
+    // under-warmed probe reads as "machine got faster" and false-flags the
+    // run; stability, not a fixed count, is the warm-up criterion
+    var prev = sentinelOnce()
+    var stable = 0
+    var warmIters = 0
+    while (stable < 2 && warmIters < 12) {
+      val cur = sentinelOnce()
+      if (math.abs(cur - prev) / math.max(prev, 1e-9) < 0.15) stable += 1 else stable = 0
+      prev = cur
+      warmIters += 1
+    }
     val sentinelStart = sentinel()
 
     val onlyPrefixes = args.headOption.map(_.split(",").toSeq)

@@ -158,7 +158,10 @@ object SparkEntry {
       val t0 = 1700000000000L
       val state = IncrementalState.schemaChecksums(ParquetCatalog.catalog(s, dir))
         .withColumn("processed_at_ms", lit(t0))
-      val rels = RelationshipDetector.detect(classifiedCols(s, dir), lakeCustomRules)
+      // pin the (catalog-scale) edge set once: three aggregate branches
+      // reference it, and a live detect plan would re-run per branch
+      val rels = ParquetCatalog.localized(
+        RelationshipDetector.detect(classifiedCols(s, dir), lakeCustomRules))
       val cache = rels.withColumn("cached_at_ms",
         when(col("confidence") >= 0.95, lit(t0 + 10L * 3600 * 1000)).otherwise(lit(t0)))
       IncrementalState.relationshipStats(state, rels)

@@ -100,4 +100,31 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("zip_with"), s"$q: higher-order fold in the pair loop")
     }
   }
+
+  test("q54: trained-IVF search is cell-keyed — no cartesian, native dots only") {
+    val p = plan("q54_ann_ivf_trained")
+    // the probe join must shuffle on the short cell id, never cross-join the
+    // corpus; centroids are plan literals (driver-scale model)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("dotproduct") || p.contains("DotProduct") || p.contains("graft_dot"))
+    assert(!p.contains("zip_with"))
+  }
+
+  test("q55: interval join is a single user-keyed shuffle join, predicates pushed") {
+    val p = plan("q55_interval_join")
+    // event_type filters reach both parquet scans
+    assert(p.contains("EqualTo(event_type,click)"), "click filter not pushed")
+    assert(p.contains("EqualTo(event_type,purchase)"), "purchase filter not pushed")
+    // the time bounds are join-condition range predicates on an equi-keyed
+    // join (user_id) — NOT a cartesian/broadcast-nested-loop over events
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q56: SQL-registered scalars stay in whole-stage codegen") {
+    val p = plan("q56_sql_text")
+    // FormattedMode marks codegen'd operators with [codegen id : N]
+    assert(p.contains("codegen id"))
+    // no UDF nodes: the functions are pure built-in expression compositions
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
+  }
 }
