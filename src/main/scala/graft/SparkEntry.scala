@@ -404,6 +404,32 @@ object SparkEntry {
       Dedup.dedupClusters(pairs)
         .select(col("id").as("doc_id"), col("canonical_id"))
     },
+    // Keep-best dedup: the full near-dup pipeline ending in ONE kept
+    // document per cluster (quality argmax, id tiebreak) — the
+    // deduplicated-corpus manifest a training pipeline actually ships.
+    "q58_canonical_docs" -> { (s, dir) =>
+      import graft.ext.{Dedup, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDuplicates(docs, minJaccard = 0.5).select("id_a", "id_b")
+      Dedup.keepBest(docs, Dedup.dedupClusters(pairs),
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("cluster_id"), col("kept_doc_id"), col("n_members"),
+          round(col("kept_quality"), 6).as("kept_quality"))
+    },
+    // Symmetric int8 embedding quantization — per-vector scale + quantized
+    // values, emitted as engine-portable scalars (digest/sum/min/max of the
+    // int array) so the whole row hash-matches the DuckDB replay.
+    "q57_embedding_quantize" -> { (s, dir) =>
+      import graft.ext.Similarity
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(
+          col("vec_id"), round(col("scale"), 6).as("scale"),
+          md5(concat_ws(",", transform(col("qvec"), _.cast("string"))))
+            .as("q_digest"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          array_min(col("qvec")).as("q_min"),
+          array_max(col("qvec")).as("q_max"))
+    },
     // ANN scale path 2: inverted-file (IVF) — deterministic coarse
     // quantizer (16 smallest md5(id) vectors), nearest-cell assignment,
     // 2-probe search. Fully oracle-checked: centroid choice and cell
@@ -993,7 +1019,56 @@ object SparkEntry {
        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
        |SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  /** DuckDB replay of q58: the q44 cluster derivation (recursive-CTE
+    * reachability over the near-dup pair set) left-joined onto per-doc
+    * quality (the q17 expression), then the same per-cluster argmax.
+    */
+  private def canonicalDocsOracle: String = {
+    val nt = "len(string_split(text,' '))"
+    val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+    val quality =
+      s"""LEAST(GREATEST(
+         |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)""".stripMargin
+    s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle)),
+       |q AS (SELECT doc_id, $quality AS quality FROM documents),
+       |m AS (SELECT q.doc_id, COALESCE(cl.canonical_id, q.doc_id) AS cluster_id,
+       |             q.quality
+       |      FROM q LEFT JOIN cl USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id, quality,
+       |             ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |               ORDER BY quality DESC, doc_id ASC) AS rk,
+       |             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+       |      FROM m)
+       |SELECT cluster_id, doc_id AS kept_doc_id, n_members,
+       |       ROUND(quality, 6) AS kept_quality
+       |FROM r WHERE rk = 1""".stripMargin
+  }
+
+  /** DuckDB replay of q57's int8 quantization: identical scale derivation,
+    * floor(x·scale + 0.5) values, and digest/sum/min/max reductions.
+    */
+  private def quantizeOracle: String = {
+    val maxabs = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    s"""WITH q AS (SELECT vec_id, embedding,
+       |  CASE WHEN $maxabs = 0 THEN 1.0 ELSE 127.0 / $maxabs END AS scale
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, scale,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec
+       |  FROM q)
+       |SELECT vec_id, ROUND(scale, 6) AS scale,
+       |  md5(array_to_string(qvec, ',')) AS q_digest,
+       |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+       |  CAST(list_min(qvec) AS INT) AS q_min,
+       |  CAST(list_max(qvec) AS INT) AS q_max
+       |FROM v""".stripMargin
+  }
+
   private def extOracleSql: Map[String, String] = Map(
+    "q58_canonical_docs" -> canonicalDocsOracle,
+    "q57_embedding_quantize" -> quantizeOracle,
     "q38_near_dups" -> nearDupOracle,
     "q40_ann_lsh" -> lshAnnOracle,
     "q43_ann_ivf" -> ivfAnnOracle,

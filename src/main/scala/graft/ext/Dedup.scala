@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (north-star
@@ -270,4 +271,35 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Keep-best dedup — the training-pipeline step AFTER near-dup
+    * clustering: one canonical document per cluster (highest `quality`,
+    * smallest id as the deterministic tiebreak) plus the cluster size.
+    * Documents outside any cluster are singleton clusters of themselves,
+    * so the output is exactly the deduplicated corpus manifest.
+    *
+    * `clusters` is (id, canonical_id) as produced by [[dedupClusters]] —
+    * pair-set-sized, so the left join broadcasts at scale; the only
+    * corpus-wide shuffle is the per-cluster window, keyed by cluster id.
+    */
+  def keepBest(
+      docs: DataFrame,
+      clusters: DataFrame,
+      quality: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val member = docs
+      .withColumn("quality", quality)
+      .select(col(idCol), col("quality"))
+      .join(broadcast(clusters.withColumnRenamed("id", idCol)), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("canonical_id"), col(idCol)))
+    val w = Window.partitionBy("cluster_id")
+    member
+      .withColumn("rk",
+        row_number().over(w.orderBy(col("quality").desc, col(idCol).asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("cluster_id"), col(idCol).as("kept_doc_id"),
+        col("n_members"), col("quality").as("kept_quality"))
+  }
 }

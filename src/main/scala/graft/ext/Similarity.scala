@@ -301,6 +301,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/IO scale path for
+    * embedding columns (4× smaller than float32, and int8 dot kernels at
+    * read time): scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5).
+    * Map-side only — no shuffle; the whole pass is codegen'd array
+    * transforms over the scan.
+    *
+    * Determinism/portability: every step (abs/max comparisons, one double
+    * divide, one multiply-add, floor) is an exact or IEEE-deterministic
+    * operation identical in any engine — floor(x+0.5) is used instead of
+    * round() precisely because round's half-way rule differs across
+    * engines. Zero vectors quantize with scale 1.0.
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(col(idCol), col(vecCol))
+      .withColumn("scale",
+        when(maxabs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxabs))
+      .withColumn("qvec",
+        transform(col(vecCol),
+          x => floor(x.cast("double") * col("scale") + 0.5).cast("int")))
+      .drop(vecCol)
+  }
+
+  /** Dequantized vector (double elements) for a quantizeInt8 row. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") / scale)
+
   /** Planes needed so the EXPECTED bucket size n/2^planes stays at or below
     * `targetBucketSize` — use when the corpus count is known and recall can
     * be traded for sparsity (raise `numTables` to compensate). The q22/q51

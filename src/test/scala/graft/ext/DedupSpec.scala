@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet === Set(0L))
   }
 
+  test("keepBest: quality argmax per cluster, id tiebreak, singletons kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 0.9), (2L, 0.95), (3L, 0.95), // cluster {1,2,3}: 2 wins (tie 2<3)
+      (7L, 0.5), (8L, 0.8), // cluster {7,8}: 8 wins
+      (9L, 0.1)) // singleton
+      .toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "canonical_id")
+    val out = Dedup.keepBest(d, clusters, col("q")).collect()
+      .map(r => (r.getAs[Long]("cluster_id"),
+        (r.getAs[Long]("kept_doc_id"), r.getAs[Long]("n_members")))).toMap
+    assert(out === Map(1L -> (2L, 3L), 7L -> (8L, 2L), 9L -> (9L, 1L)))
+  }
+
   test("minhash signature approximates jaccard (identical docs share all mins)") {
     val sigs = Dedup.minhashSignatures(docs, numHashes = 8).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap

@@ -108,6 +108,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: exact values on a known vector, bounded roundtrip error") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Seq[Int]]("qvec"))).toMap
+    assert(q(1L)._1 === 127.0)
+    assert(q(1L)._2 === Seq(127, -63, 32)) // floor(x*127 + 0.5)
+    assert(q(2L)._1 === 1.0) // zero vector: scale fallback, no div-by-zero
+    assert(q(2L)._2 === Seq(0, 0, 0))
+    // roundtrip on real embeddings: |dequant - x| <= 0.5/scale everywhere
+    val emb = Tables.embeddings(spark, sf0001)
+    val bad = Similarity.quantizeInt8(emb)
+      .join(emb, "vec_id")
+      .select(aggregate(
+        zip_with(Similarity.dequantize(col("qvec"), col("scale")), col("embedding"),
+          (dq, x) => abs(dq - x.cast("double")) - lit(0.5) / col("scale")),
+        lit(0.0), (acc, d) => greatest(acc, d)).as("worst"))
+      .filter(col("worst") > 1e-9).count()
+    assert(bad === 0L, "quantization error above half a quantization step")
+  }
+
   test("cosinePairsAbove is symmetric-free (a<b) and thresholded") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Similarity.cosinePairsAbove(emb, 0.35).collect()
