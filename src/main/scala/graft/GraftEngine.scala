@@ -8,7 +8,7 @@ import graft.detect.RelationshipDetector
 import graft.render.ErdRenderer
 import graft.state.IncrementalState
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** End-to-end engine facade — the reference's main pipeline (main.py:78-306,
   * SURVEY §3.1-3.2) as one lazily-composed Spark job chain:
@@ -189,6 +189,28 @@ class GraftEngine(
     out
   }
 
+  /** A8 — one-row statistics over this engine's processing state and
+    * detected relationship graph (incremental_processor.py:182-204), plus
+    * the relationship cache's fresh/expired split when `cachePath` is given
+    * (relationship_cache.py:142-156). With no saved state the live catalog
+    * stands in (every table processed "now").
+    */
+  def stats(
+      statePath: Option[String] = None,
+      cachePath: Option[String] = None,
+      nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    val state = statePath
+      .map(p => IncrementalState.loadState(spark, p))
+      .filter(s => !s.isEmpty)
+      .getOrElse(IncrementalState.schemaChecksums(catalog)
+        .withColumn("processed_at_ms", lit(nowMs)))
+    val base = IncrementalState.relationshipStats(state, relationships)
+    cachePath.map { p =>
+      base.crossJoin(graft.state.RelationshipCache.stats(
+        graft.state.RelationshipCache.load(spark, p), nowMs, cfg.cacheTtlMs))
+    }.getOrElse(base)
+  }
+
   /** Incremental gate: tables whose schema changed since the stored state
     * (§3.2 step 1).
     */
@@ -255,7 +277,8 @@ object Main {
           "[--out FILE] [--min-confidence X] [--max-per-table K] [--enhanced] [--state PATH] " +
           "[--patterns relationship_patterns.json] [--rules relationship_rules.json] " +
           "[--layout grid|force|hierarchical] [--include-views] [--include-external] " +
-          "[--theme default|dark|minimal] [--no-column-types] [--show-nullable]")
+          "[--theme default|dark|minimal] [--no-column-types] [--show-nullable] " +
+          "[--stats] [--cache PATH]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -298,6 +321,10 @@ object Main {
       opt("--state").foreach { p =>
         engine.saveProcessedState(p, System.currentTimeMillis())
         println(s"state saved to $p")
+      }
+      if (args.contains("--stats")) {
+        println("processing stats:")
+        engine.stats(opt("--state"), opt("--cache")).show(truncate = false)
       }
     } finally spark.stop()
   }

@@ -101,6 +101,24 @@ class GraftEngineSpec extends SparkSpec {
     assert(!new java.io.File(path).exists(), "disabled cache must not write a file")
   }
 
+  test("A8 stats: live catalog state + edges, optional cache split") {
+    val r = engine.stats(nowMs = 42L).collect().head
+    assert(r.getAs[Long]("processed_tables") === 10L)
+    assert(r.getAs[Long]("last_processed_at_ms") === 42L)
+    assert(r.getAs[Long]("total_relationships") === 8L)
+    assert(r.getAs[String]("relationship_types") === "many_to_one:8")
+    // with a cache file: entries split fresh vs expired at nowMs
+    val path = Files.createTempDirectory("graft_stats").toString + "/rels.parquet"
+    val t0 = 1000L * 3600 * 1000
+    engine.relationshipsCached(path, nowMs = t0)
+    val withCache = engine
+      .stats(cachePath = Some(path), nowMs = t0 + 25L * 3600 * 1000)
+      .collect().head
+    assert(withCache.getAs[Long]("n_cache_entries") === 8L)
+    assert(withCache.getAs[Long]("n_cache_fresh") === 0L) // all past 24h TTL
+    assert(withCache.getAs[Long]("n_cache_expired") === 8L)
+  }
+
   test("incremental gate: first run processes all, saved state empties it") {
     val statePath = Files.createTempDirectory("graft_engine").toString + "/state.parquet"
     assert(engine.changedTables(statePath).count() === 10)
