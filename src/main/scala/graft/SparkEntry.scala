@@ -476,6 +476,17 @@ object SparkEntry {
           col("asset_id"), col("n_bytes"), col("content_digest"),
           col("width").cast("int").as("width"), col("height").cast("int").as("height"),
           col("sharpness"))
+    },
+    // Multimodal frame-sampling fan-out: every asset expands engine-side to
+    // its sampled-frame rows (sequence+explode, no driver loop), each with
+    // the frame decode key, stub dims, and aspect-fit thumbnail dims.
+    "q59_multimodal_frames" -> { (s, dir) =>
+      import graft.ext.Multimodal
+      Multimodal.withFrameSamples(
+          Multimodal.documentsAsAssets(Tables.documents(s, dir)))
+        .select(
+          col("asset_id"), col("frame_offset_s"), col("frame_digest"),
+          col("width"), col("height"), col("thumb_w"), col("thumb_h"))
     })
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1488,7 +1499,28 @@ object SparkEntry {
         |       CAST(CAST(('0x'||substr(md5(text),1,4)) AS BIGINT) % 1920 + 1 AS INT) AS width,
         |       CAST(CAST(('0x'||substr(md5(text),5,4)) AS BIGINT) % 1080 + 1 AS INT) AS height,
         |       CAST(CAST(('0x'||substr(md5(text),9,8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS sharpness
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q59_multimodal_frames" ->
+      """WITH a AS (SELECT doc_id AS asset_id, md5(text) AS d FROM documents),
+        |dur AS (SELECT asset_id, d,
+        |          CAST(CAST(('0x'||substr(d,17,4)) AS BIGINT) % 120 + 1 AS INT) AS duration_s
+        |        FROM a),
+        |fr AS (SELECT asset_id, d,
+        |         CAST(unnest(range(0, duration_s, 10)) AS INT) AS frame_offset_s
+        |       FROM dur),
+        |fd AS (SELECT asset_id, frame_offset_s,
+        |         md5(d || ':' || CAST(frame_offset_s AS VARCHAR)) AS frame_digest
+        |       FROM fr),
+        |dims AS (SELECT asset_id, frame_offset_s, frame_digest,
+        |           CAST(CAST(('0x'||substr(frame_digest,1,4)) AS BIGINT) % 1920 + 1 AS INT) AS width,
+        |           CAST(CAST(('0x'||substr(frame_digest,5,4)) AS BIGINT) % 1080 + 1 AS INT) AS height
+        |         FROM fd)
+        |SELECT asset_id, frame_offset_s, frame_digest, width, height,
+        |  CAST(floor(CAST(width AS DOUBLE) *
+        |    LEAST(224.0 / width, 224.0 / height, 1.0)) AS INT) AS thumb_w,
+        |  CAST(floor(CAST(height AS DOUBLE) *
+        |    LEAST(224.0 / width, 224.0 / height, 1.0)) AS INT) AS thumb_h
+        |FROM dims""".stripMargin)
 
   /** First-principles DuckDB derivation of the detected edge set: the column
     * catalog comes from DESCRIBE over the registered tables (no transcribed

@@ -69,6 +69,55 @@ object Multimodal {
         conv(substr(d, lit(9), lit(8)), 16, 10).cast("double") / math.pow(16, 8))
   }
 
+  /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box, never
+    * upscaling — the thumbnail/resize math every media pipeline runs after
+    * decode. Pure codegen'd arithmetic; returns a (w, h) struct.
+    */
+  def aspectFit(w: Column, h: Column, maxW: Int, maxH: Int): Column = {
+    val scale = least(
+      lit(maxW.toDouble) / w.cast("double"),
+      lit(maxH.toDouble) / h.cast("double"),
+      lit(1.0))
+    struct(
+      floor(w.cast("double") * scale).cast("int").as("w"),
+      floor(h.cast("double") * scale).cast("int").as("h"))
+  }
+
+  /** Video-frame sampling plumbing: one row per sampled frame every
+    * `everySeconds` across the asset's duration, each carrying the frame
+    * decode key (digest:offset), stub frame dims, and aspect-fit thumbnail
+    * dims. Duration and per-frame dims are digest-derived STUBS (no codecs
+    * here); the fan-out itself is the real 100 TB shape — frame rows are
+    * generated engine-side with `sequence`+`explode` (no UDF, no driver
+    * loop), so a 2-hour video expands to its frame set at scan speed and
+    * the downstream per-frame decode parallelizes over ROWS, not assets.
+    */
+  def withFrameSamples(
+      assets: DataFrame,
+      everySeconds: Int = 10,
+      thumbW: Int = 224,
+      thumbH: Int = 224): DataFrame = {
+    val d = md5(col("bytes"))
+    val fd = col("frame_digest")
+    assets
+      // STUB duration: 1..120 s from a digest slice disjoint from the
+      // width/height/sharpness slices
+      .withColumn("duration_s",
+        (conv(substr(d, lit(17), lit(4)), 16, 10).cast("long") % 120 + 1).cast("int"))
+      .withColumn("frame_offset_s",
+        explode(sequence(lit(0), col("duration_s") - 1, lit(everySeconds))))
+      .withColumn("frame_digest",
+        md5(concat_ws(":", d, col("frame_offset_s"))))
+      .withColumn("width",
+        (conv(substr(fd, lit(1), lit(4)), 16, 10).cast("long") % 1920 + 1).cast("int"))
+      .withColumn("height",
+        (conv(substr(fd, lit(5), lit(4)), 16, 10).cast("long") % 1080 + 1).cast("int"))
+      .withColumn("thumb", aspectFit(col("width"), col("height"), thumbW, thumbH))
+      .withColumn("thumb_w", col("thumb.w"))
+      .withColumn("thumb_h", col("thumb.h"))
+      .drop("thumb")
+  }
+
   /** Partition-wise batched decode seam: groups each partition's assets into
     * fixed-size batches (the mapInPandas batch shape) and applies a
     * batch-level decode function. The default `decodeBatch` is the stub; a

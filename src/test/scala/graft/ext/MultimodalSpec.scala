@@ -30,4 +30,33 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(viaExpr === viaBatch)
   }
+
+  test("aspectFit: downscales preserving ratio, never upscales") {
+    import spark.implicits._
+    val dims = Seq((1920, 1080), (100, 50), (4000, 1000), (224, 224))
+      .toDF("w", "h")
+      .select(Multimodal.aspectFit(col("w"), col("h"), 224, 224).as("t"))
+      .select("t.w", "t.h").collect().map(r => (r.getInt(0), r.getInt(1)))
+    // 1920x1080 → scale 224/1920: (224, floor(1080*0.11666)=126)
+    assert(dims(0) === (224, 126))
+    assert(dims(1) === (100, 50)) // already fits: untouched
+    assert(dims(2) === (224, 56)) // wide pan: width-bound
+    assert(dims(3) === (224, 224))
+  }
+
+  test("frame sampling: offsets cover the duration at the stride, per-frame keys unique") {
+    val assets = Multimodal.documentsAsAssets(graft.Tables.documents(spark, sf0001))
+    val frames = Multimodal.withFrameSamples(assets).collect()
+    assert(frames.nonEmpty)
+    val byAsset = frames.groupBy(_.getAs[Long]("asset_id"))
+    byAsset.values.foreach { rows =>
+      val dur = rows.head.getAs[Int]("duration_s")
+      val offs = rows.map(_.getAs[Int]("frame_offset_s")).sorted.toSeq
+      assert(offs === (0 until dur by 10).toSeq, s"bad offsets for duration $dur")
+      assert(rows.map(_.getAs[String]("frame_digest")).distinct.length === rows.length)
+      rows.foreach { r =>
+        assert(r.getAs[Int]("thumb_w") <= 224 && r.getAs[Int]("thumb_h") <= 224)
+      }
+    }
+  }
 }
