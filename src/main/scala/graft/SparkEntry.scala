@@ -490,6 +490,18 @@ object SparkEntry {
     })
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Column profiling: counts/nulls/distinct/range/mean for every numeric
+    // lineitem measure in ONE scan (single wide aggregation, map-side
+    // combined), unpivoted driver-side.
+    "q60_column_profile" -> { (s, dir) =>
+      graft.analyze.Profiler.numericProfile(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+    // Equi-width histogram: one aggregation keyed by a small-int bucket id.
+    "q61_histogram" -> { (s, dir) =>
+      graft.analyze.Profiler.histogram(
+        Tables.lineitem(s, dir), "l_extendedprice", 0.0, 100000.0, 20)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1768,6 +1780,29 @@ object SparkEntry {
   }
 
   private def coreOracleSql: Map[String, String] = Map(
+    "q60_column_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, COUNT($c) AS n,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS mean_v
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+    "q61_histogram" ->
+      """WITH b AS (SELECT
+        |    CAST(LEAST(GREATEST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0),
+        |                        0.0), 19.0) AS INT) AS bucket,
+        |    CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket,
+        |  0.0 + CAST(bucket AS DOUBLE) * 5000.0 AS lo_v,
+        |  0.0 + CAST(bucket + 1 AS DOUBLE) * 5000.0 AS hi_v,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM b GROUP BY bucket""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,74 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.ParquetCatalog
+
+/** Column profiling — the data-quality companion to DataTester (SURVEY
+  * §2.6's sampling/metrics family): per-column counts, null/distinct
+  * cardinality, range, and mean in ONE scan, plus equi-width histograms.
+  *
+  * Scale design: `numericProfile` computes every column's aggregates in a
+  * single wide aggregation — one pass over 100 TB, map-side combined — and
+  * unpivots the resulting single row driver-side (k × 6 values). The
+  * distinct counts are exact (Spark expands multi-distinct into one
+  * shuffle); swap to approx_count_distinct at scale via the
+  * ApproxDistinctRewrite rule if the exact shuffle dominates. Sums
+  * accumulate in DECIMAL(18,4), so means are order-independent and
+  * engine-portable (the q01 discipline).
+  */
+object Profiler {
+
+  def numericProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "numericProfile needs at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(col(c).cast(DecimalType(18, 4))).cast("double").as(s"${c}__sum"))
+    }
+    // one row of k×6 aggregates, pinned so the per-column unpivot below
+    // reads it instead of re-running the scan k times
+    val wide = ParquetCatalog.localized(df.agg(aggs.head, aggs.tail: _*))
+    columns.map { c =>
+      wide.select(
+        lit(c).as("column_name"),
+        col(s"${c}__n").as("n"),
+        coalesce(col(s"${c}__nulls"), lit(0L)).as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        (col(s"${c}__sum") / col(s"${c}__n")).as("mean_v"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Equi-width histogram over `[lo, hi)` in `nBuckets` buckets; values at
+    * or above `hi` clamp into the last bucket, below `lo` into the first.
+    * One aggregation keyed by the (small-int) bucket id — a single
+    * map-side-combined pass at any scale. Bucket arithmetic is plain
+    * IEEE floor/divide, identical in any engine.
+    */
+  def histogram(
+      df: DataFrame, column: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "histogram needs hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val x = col(column).cast("double")
+    val bucket = least(
+      greatest(floor((x - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    df.filter(x.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 4))).cast("double").as("sum_v"))
+      .withColumn("lo_v", lit(lo) + col("bucket").cast("double") * lit(width))
+      .withColumn("hi_v", lit(lo) + (col("bucket") + 1).cast("double") * lit(width))
+      .select("bucket", "lo_v", "hi_v", "n", "sum_v")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.analyze
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+
+  test("numericProfile: counts, nulls, distinct, range, mean per column in one row each") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (3.0, null), (2.0, 30.0))
+      .toDF("a", "b")
+    val out = Profiler.numericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") === 4L)
+    assert(a.getAs[Long]("n_null") === 0L)
+    assert(a.getAs[Long]("n_distinct") === 3L)
+    assert(a.getAs[Double]("min_v") === 1.0)
+    assert(a.getAs[Double]("max_v") === 3.0)
+    assert(a.getAs[Double]("mean_v") === 2.0)
+    val b = out("b")
+    assert(b.getAs[Long]("n") === 3L)
+    assert(b.getAs[Long]("n_null") === 1L)
+    assert(b.getAs[Long]("n_distinct") === 2L)
+    assert(b.getAs[Double]("mean_v") === 50.0 / 3)
+  }
+
+  test("histogram: clamps out-of-range values into edge buckets, skips nulls") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 25.0, null)
+      .toDF("x")
+    val out = Profiler.histogram(df, "x", lo = 0.0, hi = 10.0, nBuckets = 2)
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("lo_v"), r.getAs[Double]("hi_v"))).toMap
+    // bucket 0 [0,5): -5 (clamped), 0, 4.9 ; bucket 1 [5,10): 5, 9.9, 10, 25 (clamped)
+    assert(out(0)._1 === 3L)
+    assert(out(1)._1 === 4L)
+    assert(out(0)._2 === 0.0 && out(0)._3 === 5.0)
+    assert(out(1)._2 === 5.0 && out(1)._3 === 10.0)
+  }
+}
