@@ -60,6 +60,25 @@ object EventStream {
     q
   }
 
+  /** Production landing sink: append-mode parquet with a checkpoint — the
+    * exactly-once path. Offsets commit to `checkpointDir` and completed
+    * files to the sink's `_spark_metadata` log, so a crash/restart resumes
+    * from the checkpoint instead of reprocessing (EventStreamSpec proves a
+    * restart over a fully-drained checkpoint emits zero duplicate rows).
+    * AvailableNow drains what exists and stops — the batch-boundary
+    * trigger for backfills; pass ProcessingTime for a live tail.
+    */
+  def writeToParquet(
+      stream: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+
   /** Streaming exact dedup — the incremental twin of Dedup.exact: drop
     * re-deliveries of the same content digest, with the digest store bounded
     * by the watermark (state for a digest expires once the watermark passes

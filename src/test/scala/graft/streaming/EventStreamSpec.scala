@@ -46,6 +46,23 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink + checkpoint: restart over a drained checkpoint adds no duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    def run(): Unit = {
+      val q = EventStream.writeToParquet(
+        EventStream.dedupStream(EventStream.readEvents(spark, sf0001)), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // restart against the SAME checkpoint with no new input: exactly-once
+    // resume must emit nothing new
+    run()
+    assert(spark.read.parquet(out).count() === n1)
+  }
+
   test("watermark drops events later than the 2h bound in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
