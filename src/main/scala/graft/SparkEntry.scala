@@ -260,6 +260,15 @@ object SparkEntry {
           |       graft_quality(text) AS quality_score
           |FROM documents""".stripMargin)
     },
+    // Repetition metrics + keep/drop corpus filter: mode-of-bag and dup
+    // n-gram fractions as per-row array expressions — zero shuffle, exact
+    // integer ratios.
+    "q62_repetition_filter" -> { (s, dir) =>
+      graft.ext.TextAnalysis.withRepetitionMetrics(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("top_unigram_n"),
+          col("top_unigram_frac"), col("n_trigrams"),
+          col("n_distinct_trigrams"), col("dup_trigram_ratio"), col("keep"))
+    },
     // MinHash+LSH near-dup END TO END: shingle → 16-hash minhash signature →
     // 4-band LSH → bucket equi-join → candidate pairs → exact-Jaccard verify.
     // Only same-bucket docs ever meet (no O(n²) pair space), and the verify
@@ -1207,6 +1216,34 @@ object SparkEntry {
     },
     "q19_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text),'[^a-z0-9]','','g')) AS fp FROM documents",
+    "q62_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |u AS (SELECT doc_id, g, COUNT(*) AS c
+        |      FROM (SELECT doc_id, unnest(l) AS g FROM t) GROUP BY 1, 2),
+        |topu AS (SELECT doc_id, MAX(c) AS top_unigram_n FROM u GROUP BY doc_id),
+        |tri AS (SELECT doc_id,
+        |          CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
+        |               ELSE list_transform(range(1, len(l)-1),
+        |                                   i -> array_to_string(l[i:i+2], ' '))
+        |          END AS tg
+        |        FROM t),
+        |m AS (SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+        |             topu.top_unigram_n,
+        |             CAST(len(tri.tg) AS BIGINT) AS n_trigrams,
+        |             CAST(len(list_distinct(tri.tg)) AS BIGINT) AS n_distinct_trigrams
+        |      FROM t JOIN topu USING (doc_id) JOIN tri USING (doc_id))
+        |SELECT doc_id, n_tokens, top_unigram_n,
+        |  CAST(top_unigram_n AS DOUBLE) / n_tokens AS top_unigram_frac,
+        |  n_trigrams, n_distinct_trigrams,
+        |  CASE WHEN n_trigrams = 0 THEN 0.0
+        |       ELSE CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
+        |  END AS dup_trigram_ratio,
+        |  (n_tokens BETWEEN 5 AND 5000)
+        |    AND CAST(top_unigram_n AS DOUBLE) / n_tokens <= 0.2
+        |    AND (CASE WHEN n_trigrams = 0 THEN 0.0
+        |              ELSE CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
+        |         END) <= 0.35 AS keep
+        |FROM m""".stripMargin,
     "q56_sql_text" -> {
       val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
       val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")

@@ -153,4 +153,74 @@ object TextAnalysis {
       tokens(text),
       lit(0L),
       (acc, t) => pmod(acc * b + pmod(Dedup.stableHash(t, 0), lit(p)), lit(p)))
+
+  /** Word n-grams of casefolded text as an array column (the doc's whole
+    * n-gram list, duplicates preserved; empty when fewer than n tokens).
+    */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    if (n == 1) toks
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Count of the most frequent element in a string array, via one sorted
+    * linear run-length scan — an O(n log n) per-ROW expression, so the whole
+    * repetition pass is map-side with ZERO shuffle (the mode of a bag
+    * without a groupBy). Empty arrays yield 0.
+    */
+  def maxRunCount(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(
+          g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition metrics + Gopher-style keep/drop filter — the quality gate
+    * every web-scale corpus pipeline runs (the "repetition removal" family
+    * of rules from published corpus-curation recipes, re-expressed as exact
+    * integer counting): most-frequent-unigram mass, duplicate bigram /
+    * trigram fraction, and a token-count band. All per-row array
+    * expressions — the 100 TB pass is scan-bound with no shuffle at all.
+    *
+    * keep = n_tokens ∈ [minTokens, maxTokens]
+    *        AND top_unigram_frac ≤ maxTopUnigramFrac
+    *        AND dup_trigram_ratio ≤ maxDupTrigramRatio.
+    * Ratios are integer-count divisions, so every value (and the boolean)
+    * is engine-exact.
+    */
+  def withRepetitionMetrics(
+      docs: DataFrame, textCol: String = "text",
+      minTokens: Int = 5, maxTokens: Int = 5000,
+      maxTopUnigramFrac: Double = 0.2,
+      maxDupTrigramRatio: Double = 0.35): DataFrame = {
+    val t = col(textCol)
+    val uni = wordGrams(t, 1)
+    val tri = wordGrams(t, 3)
+    docs
+      .withColumn("n_tokens", size(uni).cast("long"))
+      .withColumn("top_unigram_n", maxRunCount(uni))
+      .withColumn("top_unigram_frac",
+        col("top_unigram_n").cast("double") / col("n_tokens"))
+      .withColumn("n_trigrams", size(tri).cast("long"))
+      .withColumn("n_distinct_trigrams",
+        size(array_distinct(tri)).cast("long"))
+      .withColumn("dup_trigram_ratio",
+        when(col("n_trigrams") === 0, lit(0.0))
+          .otherwise(
+            (col("n_trigrams") - col("n_distinct_trigrams")).cast("double") /
+              col("n_trigrams")))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("top_unigram_frac") <= maxTopUnigramFrac &&
+          col("dup_trigram_ratio") <= maxDupTrigramRatio)
+  }
 }

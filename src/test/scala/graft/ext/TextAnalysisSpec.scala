@@ -38,4 +38,39 @@ class TextAnalysisSpec extends SparkSpec {
     val fp2 = one("hello world").select(TextAnalysis.fingerprint(col("text"))).head.getString(0)
     assert(fp1 === fp2) // punctuation/case-invariant
   }
+
+  test("maxRunCount is the bag mode multiplicity; empty array yields 0") {
+    import spark.implicits._
+    val out = Seq(
+      Seq("b", "a", "b", "c", "b"), // mode b ×3, unsorted input
+      Seq("x"),
+      Seq.empty[String])
+      .toDF("arr").select(TextAnalysis.maxRunCount(col("arr")).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(3L, 1L, 0L))
+  }
+
+  test("repetition filter: mode mass, dup-trigram fraction, token band") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"), // pure repetition
+      (2L, "the quick brown fox jumps over a lazy dog today"), // clean
+      (3L, "x y"), // below the token band
+      (4L, "spam spam spam eggs and ham with more stuff here ok")) // heavy mode
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetitionMetrics(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("top_unigram_n") === 10L)
+    assert(out(1L).getAs[Double]("top_unigram_frac") === 1.0)
+    assert(out(1L).getAs[Long]("n_trigrams") === 8L)
+    assert(out(1L).getAs[Long]("n_distinct_trigrams") === 1L)
+    assert(out(1L).getAs[Double]("dup_trigram_ratio") === 7.0 / 8)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("n_trigrams") === 0L)
+    assert(out(3L).getAs[Double]("dup_trigram_ratio") === 0.0)
+    assert(!out(3L).getAs[Boolean]("keep")) // 2 tokens < minTokens
+    assert(out(4L).getAs[Long]("top_unigram_n") === 3L)
+    assert(!out(4L).getAs[Boolean]("keep")) // 3/11 > 0.2 mode mass
+  }
 }
