@@ -511,6 +511,24 @@ object SparkEntry {
       graft.analyze.Profiler.histogram(
         Tables.lineitem(s, dir), "l_extendedprice", 0.0, 100000.0, 20)
     },
+    // Salted skew join: the hot-key mitigation MUST be semantically
+    // invisible — the oracle is the PLAIN join, so the hash-match proves
+    // salting changes the shuffle layout and nothing else.
+    "q63_skew_join" -> { (s, dir) =>
+      graft.ops.SkewJoin.saltedEquiJoin(
+          Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    // Exact PERCENTILE_CONT profile (p·(n−1) linear interpolation — the
+    // same definition as DuckDB's quantile_cont).
+    "q64_percentiles" -> { (s, dir) =>
+      graft.analyze.Profiler.percentiles(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1827,6 +1845,17 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("\nUNION ALL\n")
+    },
+    "q63_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q64_percentiles" -> {
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      ps.map(p =>
+        s"SELECT $p AS p, quantile_cont(CAST(l_extendedprice AS DOUBLE), $p) AS value FROM lineitem")
+        .mkString("\nUNION ALL\n")
     },
     "q61_histogram" ->
       """WITH b AS (SELECT

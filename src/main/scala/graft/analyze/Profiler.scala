@@ -47,6 +47,25 @@ object Profiler {
     }.reduce(_ unionByName _)
   }
 
+  /** Exact continuous percentiles (index = p·(n−1), linear interpolation —
+    * the SQL-standard PERCENTILE_CONT definition DuckDB's quantile_cont
+    * shares), one output row per requested p. Exact percentile aggregation
+    * buffers each partition's values — right for profiling runs and the
+    * oracle; at full 100 TB interactive scale prefer
+    * `approx_percentile(col, p, accuracy)` (t-digest, map-side combined),
+    * which this method intentionally does not hide behind.
+    */
+  def percentiles(df: DataFrame, column: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "percentiles needs at least one p")
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      percentile(col(column), lit(p)).as(s"__p$i")
+    }
+    val wide = ParquetCatalog.localized(df.agg(aggs.head, aggs.tail: _*))
+    ps.zipWithIndex.map { case (p, i) =>
+      wide.select(lit(p).as("p"), col(s"__p$i").as("value"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Equi-width histogram over `[lo, hi)` in `nBuckets` buckets; values at
     * or above `hi` clamp into the last bucket, below `lo` into the first.
     * One aggregation keyed by the (small-int) bucket id — a single

@@ -27,6 +27,17 @@ class ProfilerSpec extends SparkSpec {
     assert(b.getAs[Double]("mean_v") === 50.0 / 3)
   }
 
+  test("percentiles: PERCENTILE_CONT interpolation on a known set") {
+    import spark.implicits._
+    val df = Seq(10.0, 20.0, 30.0, 40.0).toDF("x")
+    val out = Profiler.percentiles(df, "x", Seq(0.0, 0.5, 0.25, 1.0))
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[Double]("value")).toMap
+    assert(out(0.0) === 10.0)
+    assert(out(0.5) === 25.0) // idx 1.5 → 20 + 0.5·(30−20)
+    assert(out(0.25) === 17.5) // idx 0.75 → 10 + 0.75·(20−10)
+    assert(out(1.0) === 40.0)
+  }
+
   test("histogram: clamps out-of-range values into edge buckets, skips nulls") {
     import spark.implicits._
     val df = Seq[java.lang.Double](-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 25.0, null)
