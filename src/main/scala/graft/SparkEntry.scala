@@ -529,6 +529,20 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_extendedprice",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     },
+    // SCD2 dimension build: change log (one state row per user_id+ts,
+    // arg-max disambiguated) → collapsed versions with half-open validity
+    // windows. One shuffle on the key; both windows share it.
+    "q65_scd2" -> { (s, dir) =>
+      import graft.streaming.Sessions
+      val log = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("state"))
+      graft.ops.Scd2.fromChangeLog(log, Seq("user_id"), "ts", Seq("state"))
+        .select(col("user_id"), col("state"),
+          Sessions.nsToTimestamp(col("effective_from")).as("effective_from"),
+          Sessions.nsToTimestamp(col("effective_to")).as("effective_to"),
+          col("version"), col("is_current"))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1857,6 +1871,24 @@ object SparkEntry {
         s"SELECT $p AS p, quantile_cont(CAST(l_extendedprice AS DOUBLE), $p) AS value FROM lineitem")
         .mkString("\nUNION ALL\n")
     },
+    "q65_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, max_by(event_type, event_id) AS state
+        |  FROM events GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT user_id, ts, state,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |         lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM log),
+        |changes AS (
+        |  SELECT user_id, ts, state FROM flagged
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM state)
+        |SELECT user_id, state,
+        |       ts AS effective_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM changes""".stripMargin,
     "q61_histogram" ->
       """WITH b AS (SELECT
         |    CAST(LEAST(GREATEST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0),
