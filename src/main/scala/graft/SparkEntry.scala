@@ -543,6 +543,15 @@ object SparkEntry {
           Sessions.nsToTimestamp(col("effective_to")).as("effective_to"),
           col("version"), col("is_current"))
     },
+    // Windowed funnel: view → click → purchase, each next stage within 24h
+    // of the previous accepted event. ts pre-quantized to µs so the array
+    // fold runs on the exact integers DuckDB's µs timestamps carry.
+    "q66_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", graft.streaming.Sessions.nsToUs(col("ts")))
+      graft.ops.Funnel.conversion(ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"), window = 24L * 3600 * 1000000)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1871,6 +1880,32 @@ object SparkEntry {
         s"SELECT $p AS p, quantile_cont(CAST(l_extendedprice AS DOUBLE), $p) AS value FROM lineitem")
         .mkString("\nUNION ALL\n")
     },
+    "q66_funnel" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts,
+        |         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |                         WHEN 'purchase' THEN 3 END AS stage
+        |  FROM events WHERE event_type IN ('view','click','purchase')),
+        |seqs AS (
+        |  SELECT user_id, list_sort(list(struct_pack(ts := ts, stage := stage))) AS ss
+        |  FROM tagged GROUP BY user_id),
+        |reached AS (
+        |  SELECT user_id,
+        |         list_reduce(
+        |           list_prepend(struct_pack(ts := TIMESTAMP '1970-01-01', stage := 0), ss),
+        |           (acc, x) -> CASE WHEN x.stage = acc.stage + 1
+        |                             AND (acc.stage = 0 OR x.ts - acc.ts <= INTERVAL 24 HOUR)
+        |                        THEN x ELSE acc END
+        |         ).stage AS reached
+        |  FROM seqs),
+        |per_stage AS (
+        |  SELECT unnest(range(1, reached + 1)) AS stage_idx FROM reached WHERE reached >= 1),
+        |counts AS (SELECT stage_idx, COUNT(*) AS n_users FROM per_stage GROUP BY stage_idx)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx,
+        |       ['view','click','purchase'][CAST(stage_idx AS INT)] AS stage,
+        |       n_users,
+        |       CAST(n_users AS DOUBLE) / CAST(max(n_users) OVER () AS DOUBLE) AS conversion
+        |FROM counts""".stripMargin,
     "q65_scd2" ->
       """WITH log AS (
         |  SELECT user_id, ts, max_by(event_type, event_id) AS state

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed funnel analysis — how far through an ordered stage sequence
+  * (e.g. view → click → purchase) each user progressed, where every next
+  * stage must occur within `window` time units of the PREVIOUS accepted
+  * stage event.
+  *
+  * Algorithm: one hash shuffle groups each user's stage events; the per-user
+  * event list is sorted by (ts, stage) and folded left with the accumulator
+  * "last accepted event" (sentinel: stage 0). An event advances the funnel
+  * iff its stage is exactly acc.stage+1 and it lands within the window of
+  * acc.ts. This is the sequential-match semantics of ClickHouse's
+  * windowFunnel, chained from the previous stage rather than the entry
+  * event, and it is deterministic: ties in ts resolve by stage ascending,
+  * so the earlier stage is consumed first.
+  *
+  * Scale: ONE shuffle on the user key with map-side projection to (ts,
+  * stage-index) structs; the fold is a codegen'd array expression — no
+  * iterative joins, no driver state. Per-user memory is the user's own
+  * event count (the same bound any sessionization carries). The final
+  * per-stage rollup is K rows.
+  */
+object Funnel {
+
+  /** `tsCol` must be an integral event time; `window` is in the same units.
+    * Returns one row per stage: stage_idx, stage, n_users (users reaching
+    * at least that stage), conversion (fraction of stage-1 users).
+    */
+  def conversion(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      window: Long): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val stageIdx = stages.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+      }
+    val perUser = events
+      .withColumn("__stage", stageIdx)
+      .filter(col("__stage").isNotNull)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).cast("long").as("ts"), col("__stage").as("stage")))).as("ss"))
+      .select(
+        col(userCol),
+        aggregate(
+          col("ss"),
+          struct(lit(0L).as("ts"), lit(0).as("stage")),
+          (acc, x) => when(
+            x("stage") === acc("stage") + 1 &&
+              (acc("stage") === 0 || x("ts") - acc("ts") <= lit(window)),
+            x).otherwise(acc))
+          .getField("stage").as("reached"))
+    val names = array(stages.map(lit): _*)
+    perUser
+      .filter(col("reached") >= 1)
+      .select(explode(sequence(lit(1), col("reached"))).as("stage_idx"))
+      .groupBy(col("stage_idx"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        col("stage_idx").cast("long").as("stage_idx"),
+        element_at(names, col("stage_idx")).as("stage"),
+        col("n_users"),
+        (col("n_users").cast("double") /
+          max(col("n_users")).over(Window.partitionBy()).cast("double"))
+          .as("conversion"))
+  }
+}
