@@ -552,6 +552,16 @@ object SparkEntry {
       graft.ops.Funnel.conversion(ev, "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"), window = 24L * 3600 * 1000000)
     },
+    // Benchmark decontamination: training docs (source != src0) vs the
+    // benchmark set (source = src0); distinct 3-gram hash overlap through a
+    // BROADCAST semi-join — the corpus side never shuffles.
+    "q67_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ext.Decontaminate.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        n = 3, threshold = 0.2)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1880,6 +1890,26 @@ object SparkEntry {
         s"SELECT $p AS p, quantile_cont(CAST(l_extendedprice AS DOUBLE), $p) AS value FROM lineitem")
         .mkString("\nUNION ALL\n")
     },
+    "q67_decontaminate" ->
+      s"""WITH bl AS (SELECT string_split(text,' ') AS l FROM documents WHERE source = 'src0'),
+         |bg AS (SELECT unnest($dkShingles) AS gram FROM bl),
+         |bh AS (SELECT DISTINCT ${dkHash("gram", 7)} AS gh FROM bg),
+         |cl AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE source <> 'src0'),
+         |cg AS (SELECT doc_id, $dkShingles AS grams FROM cl),
+         |ce AS (SELECT doc_id, ${dkHash("gram", 7)} AS gh
+         |       FROM (SELECT doc_id, unnest(grams) AS gram FROM cg) t),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM ce
+         |         WHERE gh IN (SELECT gh FROM bh) GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM cg)
+         |SELECT base.doc_id, n_grams,
+         |  COALESCE(n_contaminated, 0) AS n_contaminated,
+         |  CASE WHEN n_grams = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |  END AS contamination,
+         |  (CASE WHEN n_grams = 0 THEN 0.0
+         |        ELSE CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |   END) >= 0.2 AS contaminated
+         |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin,
     "q66_funnel" ->
       """WITH tagged AS (
         |  SELECT user_id, ts,
