@@ -562,6 +562,17 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         n = 3, threshold = 0.2)
     },
+    // Z-order clustering value: Morton-interleave (l_suppkey, l_partkey)
+    // low 16 bits — the multi-dimensional sort key writeZOrdered clusters
+    // files by. Pure literal-shift arithmetic, shared with the oracle.
+    "q68_zorder" -> { (s, dir) =>
+      import graft.ops.Layout
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("l_partkey"),
+          Layout.zValue(Seq(col("l_suppkey"), col("l_partkey")), bits = 16)
+            .as("zval"))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1890,6 +1901,10 @@ object SparkEntry {
         s"SELECT $p AS p, quantile_cont(CAST(l_extendedprice AS DOUBLE), $p) AS value FROM lineitem")
         .mkString("\nUNION ALL\n")
     },
+    "q68_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+         |  ${graft.ops.Layout.zValueSql(Seq("l_suppkey", "l_partkey"), 16)} AS zval
+         |FROM lineitem""".stripMargin,
     "q67_decontaminate" ->
       s"""WITH bl AS (SELECT string_split(text,' ') AS l FROM documents WHERE source = 'src0'),
          |bg AS (SELECT unnest($dkShingles) AS gram FROM bl),
