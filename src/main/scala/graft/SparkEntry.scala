@@ -573,6 +573,14 @@ object SparkEntry {
           Layout.zValue(Seq(col("l_suppkey"), col("l_partkey")), bits = 16)
             .as("zval"))
     },
+    // Product-quantization ANN: 4×8 codebooks (2 Lloyd iterations,
+    // integer-exact means), map-side encode, ADC search with broadcast
+    // distance tables and two-stage top-k. The oracle replays the whole
+    // training + encode + search pipeline in SQL.
+    "q69_pq_ann" -> { (s, dir) =>
+      graft.ext.ProductQuantizer.pqTopK(Tables.embeddings(s, dir),
+        k = 5, m = 4, numCodes = 8, iters = 2, numQueries = 10, dim = 64)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1016,6 +1024,62 @@ object SparkEntry {
     * compute identically; centroid lists keep DuckDB's left-to-right list
     * folds aligned with the Spark-side native dot loops.
     */
+  /** DuckDB replay of q69: identical PQ pipeline — same md5-seeded init,
+    * same floor(x·2²⁰) integer Lloyd means per (subspace, code), same
+    * ‖x‖²−2x·c+‖c‖² distance association, same (dist, code) / (adist, id)
+    * tie-breaks — so codebooks, codes, and ADC distances are bit-exact.
+    */
+  private def pqOracle: String = {
+    val (m, k, sub, nq, topk) = (4, 8, 16, 10, 5)
+    def subExpr(tbl: String) = s"$tbl.embedding[(c.m*$sub+1):(c.m*$sub+$sub)]"
+    def dist(tbl: String) =
+      s"""list_sum(list_transform(${subExpr(tbl)}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+         |    - 2 * list_sum(list_transform(list_zip(${subExpr(tbl)}, c.cvec), x -> CAST(x[1] AS DOUBLE)*x[2]))
+         |    + list_sum(list_transform(c.cvec, x -> x*x))""".stripMargin
+    def assignCtes(n: Int, prev: String): String =
+      s"""d$n AS (SELECT p.vec_id, c.m, c.code, ${dist("p")} AS dist
+         |        FROM prep p CROSS JOIN $prev c),
+         |a$n AS (SELECT vec_id, m, code FROM (
+         |          SELECT vec_id, m, code, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |            ORDER BY dist ASC, code ASC) AS arn FROM d$n) WHERE arn = 1)""".stripMargin
+    def iteration(n: Int, prev: String): String =
+      s"""${assignCtes(n, prev)},
+         |e$n AS (SELECT a.m, a.code, g.i AS pos,
+         |               CAST(floor(CAST(p.embedding[a.m*$sub + g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+         |        FROM a$n a JOIN prep p USING (vec_id)
+         |        CROSS JOIN generate_series(1, $sub) AS g(i)),
+         |m$n AS (SELECT m, code, list(mval ORDER BY pos) AS cvec FROM (
+         |          SELECT m, code, pos, CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1048576.0 AS mval
+         |          FROM e$n GROUP BY 1, 2, 3) GROUP BY m, code),
+         |c$n AS (SELECT p.m, p.code, COALESCE(mm.cvec, p.cvec) AS cvec
+         |        FROM $prev p LEFT JOIN m$n mm USING (m, code))""".stripMargin
+    s"""WITH prep AS (SELECT vec_id, embedding FROM embeddings),
+       |ck AS (SELECT vec_id, embedding,
+       |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+       |       FROM prep),
+       |ms AS (SELECT unnest(range(0, $m)) AS m),
+       |c0 AS (SELECT CAST(ms.m AS INT) AS m, CAST(ck.rn - 1 AS INT) AS code,
+       |              list_transform(ck.embedding[(CAST(ms.m AS INT)*$sub+1):(CAST(ms.m AS INT)*$sub+$sub)],
+       |                             x -> CAST(x AS DOUBLE)) AS cvec
+       |       FROM ck CROSS JOIN ms WHERE ck.rn <= $k),
+       |${iteration(1, "c0")},
+       |${iteration(2, "c1")},
+       |${assignCtes(3, "c2")},
+       |qs AS (SELECT vec_id AS query_id, embedding FROM ck WHERE rn <= $nq),
+       |dt AS (SELECT q.query_id, c.m, c.code, ${dist("q")} AS dist
+       |       FROM qs q CROSS JOIN c2 c),
+       |ad AS (SELECT t.query_id, a.vec_id AS neighbor_id,
+       |              list_sum(list(t.dist ORDER BY t.m)) AS adist
+       |       FROM a3 a JOIN dt t ON a.m = t.m AND a.code = t.code
+       |       WHERE t.query_id <> a.vec_id
+       |       GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id, adist,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY adist ASC, neighbor_id ASC) AS rank
+       |           FROM ad)
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= $topk""".stripMargin
+  }
+
   private def ivfTrainedOracle: String = {
     val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
     val dotPC = "list_sum(list_transform(list_zip(p.embedding, c.cvec), " +
@@ -1167,6 +1231,7 @@ object SparkEntry {
     "q40_ann_lsh" -> lshAnnOracle,
     "q43_ann_ivf" -> ivfAnnOracle,
     "q54_ann_ivf_trained" -> ivfTrainedOracle,
+    "q69_pq_ann" -> pqOracle,
     "q50_balanced_sample" -> {
       val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
       val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")

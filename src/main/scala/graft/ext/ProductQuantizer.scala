@@ -1,0 +1,213 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the memory-bound ANN
+  * scale path: each vector is split into `m` contiguous subspaces and every
+  * subspace is vector-quantized against its own small codebook, so a
+  * 64-dim float32 vector compresses to `m` one-byte codes. Search is
+  * asymmetric distance computation (ADC): a query precomputes the distance
+  * from each of its subvectors to every codebook entry (an m×k table), and
+  * a corpus vector's approximate distance is just m table lookups summed —
+  * no float math per candidate at scan time.
+  *
+  * Scale design:
+  *   - codebooks are driver constants (m·k·subDim doubles — the PQ model is
+  *     driver-scale by definition) trained by the same one-aggregation-per-
+  *     iteration Lloyd loop as Similarity.ivfTrainedTopK: assignment is
+  *     map-side against literal centroids, the shuffle carries only
+  *     (subspace, code, element) partial sums;
+  *   - encoding is map-side only (argmin over k literal distances per
+  *     subspace) — the corpus never shuffles to be encoded;
+  *   - ADC search broadcasts the query distance tables and scans codes;
+  *     the per-query top-k runs TWO-STAGE (per-salt local top-k, then
+  *     global), so no single reducer sees more than ~k·salts rows per
+  *     query regardless of corpus size. The two-stage prune is
+  *     semantically invisible: any global top-k row is a fortiori in its
+  *     salt group's top-k under the same (adist, id) order.
+  *
+  * Determinism/portability (oracle-exact, as q54): Lloyd means are summed
+  * as floor(x·2²⁰) integers; all distance folds are left-to-right double
+  * accumulations (engine list_sum ≡ driver while-loop); argmin ties break
+  * to the lowest code index; top-k ties to the lowest neighbor id. The
+  * subspace L2² distance is computed as ‖x‖² − 2·x·c + ‖c‖² with that
+  * exact association in both engines.
+  */
+object ProductQuantizer {
+
+  /** codebooks(m)(j) = (centroid, ‖centroid‖²). */
+  type Codebooks = IndexedSeq[IndexedSeq[(IndexedSeq[Double], Double)]]
+
+  private def sumSquares(v: IndexedSeq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  }
+
+  /** ‖sub‖² − 2·sub·c + ‖c‖² for a float subvector column against a literal
+    * codebook entry (all three terms codegen'd; see object doc for why this
+    * shape instead of a fold over squared differences).
+    */
+  private def subDist(df: DataFrame, sub: Column, cent: IndexedSeq[Double], cc: Double): Column = {
+    val spark = df.sparkSession
+    import graft.functions.VectorFunctions.dotNative
+    dotNative(spark, sub, sub) -
+      lit(2.0) * dotNative(spark, sub, typedlit(cent)) + lit(cc)
+  }
+
+  private def subCol(vecCol: String, mi: Int, subDim: Int): Column =
+    slice(col(vecCol), mi * subDim + 1, subDim)
+
+  /** Argmin code (0-based) of subspace `mi` against `book`. */
+  private def codeCol(df: DataFrame, vecCol: String, mi: Int, subDim: Int,
+      book: IndexedSeq[(IndexedSeq[Double], Double)]): Column = {
+    val dists = array(book.map { case (c, cc) =>
+      subDist(df, subCol(vecCol, mi, subDim), c, cc)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train `m` codebooks of `k` entries by `iters` Lloyd iterations over
+    * the corpus. Init: the k corpus vectors with the smallest md5(id),
+    * sliced per subspace (the deterministic seed Similarity.sampleCentroids
+    * uses). Empty cells keep their previous centroid.
+    */
+  def train(
+      corpus: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val seeds = corpus
+      .withColumn("__ck", md5(col(idCol).cast("string")))
+      .orderBy("__ck").limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+      .toIndexedSeq
+    var books: Codebooks = IndexedSeq.tabulate(m) { mi =>
+      seeds.map { v =>
+        val sub = v.slice(mi * subDim, (mi + 1) * subDim)
+        (sub, sumSquares(sub))
+      }
+    }
+    for (_ <- 1 to iters) {
+      // ONE aggregation pass refreshes all m codebooks: explode each row
+      // into its m (subspace, code, subvector) assignments, then partial
+      // integer sums keyed by (subspace, code, element).
+      val assignments = explode(array((0 until m).map { mi =>
+        struct(
+          lit(mi).as("m"),
+          codeCol(corpus, vecCol, mi, subDim, books(mi)).as("code"),
+          subCol(vecCol, mi, subDim).as("sub"))
+      }: _*))
+      val sums = corpus
+        .select(assignments.as("a"))
+        .select(col("a.m"), col("a.code"),
+          posexplode(col("a.sub")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg(
+          sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("code")))
+      books = books.zipWithIndex.map { case (book, mi) =>
+        book.zipWithIndex.map { case ((prev, prevCc), j) =>
+          byCell.get((mi, j)) match {
+            case Some(rows) =>
+              val next = prev.toArray.clone()
+              rows.foreach { r =>
+                next(r.getAs[Int]("pos")) =
+                  r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / 1048576.0
+              }
+              (next.toIndexedSeq, sumSquares(next.toIndexedSeq))
+            case None => (prev, prevCc)
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** Corpus rows with a `codes` column (array of m 0-based code ids) —
+    * map-side only.
+    */
+  def encode(
+      corpus: DataFrame,
+      books: Codebooks,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / books.length
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("codes", array(books.indices.map { mi =>
+        codeCol(corpus, vecCol, mi, subDim, books(mi))
+      }: _*))
+  }
+
+  /** ADC top-k: the `numQueries` corpus vectors with the smallest md5(id)
+    * search the encoded corpus. Output: query_id, neighbor_id, adist
+    * (approximate L2², ascending), rank.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      k: Int = 5,
+      m: Int = 4,
+      numCodes: Int = 8,
+      iters: Int = 2,
+      numQueries: Int = 10,
+      dim: Int = 64,
+      salts: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val books = train(corpus, m, numCodes, iters, dim, idCol, vecCol)
+    val encoded = encode(corpus, books, dim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val queries = corpus
+      .withColumn("__ck", md5(col(idCol).cast("string")))
+      .orderBy("__ck").limit(numQueries)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+      .toIndexedSeq
+    // Driver-side ADC tables: dt(q)(m)(j) = ‖q_m‖² − 2·q_m·c + ‖c‖², the
+    // same left-to-right folds the engine/oracle compute.
+    val dtables: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = queries.map { case (_, qv) =>
+      IndexedSeq.tabulate(m) { mi =>
+        val sub = qv.slice(mi * subDim, (mi + 1) * subDim)
+        val ssq = sumSquares(sub)
+        books(mi).map { case (c, cc) =>
+          var dot = 0.0; var i = 0
+          while (i < sub.length) { dot += sub(i) * c(i); i += 1 }
+          ssq - 2.0 * dot + cc
+        }
+      }
+    }
+    val dtLit = typedlit(dtables)
+    val qidLit = typedlit(queries.map(_._1))
+    val adist = (0 until m).map { mi =>
+      element_at(
+        element_at(element_at(dtLit, col("qi") + 1), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val scored = encoded
+      .withColumn("qi", explode(sequence(lit(0), lit(numQueries - 1))))
+      .withColumn("query_id", element_at(qidLit, col("qi") + 1))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val order = Seq(col("adist").asc, col("neighbor_id").asc)
+    val local = Window
+      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(salts)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+      .drop("__lr")
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+  }
+}

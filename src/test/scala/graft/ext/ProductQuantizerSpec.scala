@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+
+  private def embeddings = spark.read
+    .parquet(s"$sf0001/embeddings.parquet")
+
+  test("encode assigns each subspace to its nearest codebook entry") {
+    import spark.implicits._
+    // 4-dim vectors, 2 subspaces of 2 dims; two clean clusters per subspace
+    val df = Seq(
+      (1L, Seq(0f, 0f, 10f, 10f)),
+      (2L, Seq(0.1f, 0f, 10f, 10.1f)),
+      (3L, Seq(5f, 5f, 0f, 0f)),
+      (4L, Seq(5.1f, 5f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val books = ProductQuantizer.train(df, m = 2, k = 2, iters = 2, dim = 4)
+    val out = ProductQuantizer.encode(df, books, dim = 4)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // rows 1/2 share both subspace cells; rows 3/4 share the OTHER cells
+    assert(out(1L) === out(2L))
+    assert(out(3L) === out(4L))
+    assert(out(1L)(0) !== out(3L)(0))
+    assert(out(1L)(1) !== out(3L)(1))
+  }
+
+  test("ADC top-k finds the near-duplicate first") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def vec() = Seq.fill(8)(rng.nextFloat())
+    val base = (1L to 40L).map(i => (i, vec()))
+    // md5-smallest ids seed queries; give every query a planted near-dup
+    val df = (base ++ base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.001f))
+    }).toDF("vec_id", "embedding")
+    // ADC distance depends only on the neighbor's CODES, so vectors in the
+    // same cells tie exactly and rank by id — the twin need not be rank 1.
+    // The invariant: the planted twin quantizes into the query's own cells,
+    // so its adist equals the per-query MINIMUM.
+    val out = ProductQuantizer.pqTopK(df, k = 100, m = 2, numCodes = 4,
+      iters = 2, numQueries = 3, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size === 3)
+    byQuery.foreach { case (q, rows) =>
+      val twin = if (q > 100L) q - 100L else q + 100L
+      val twinDist = rows.find(_._2 == twin).map(_._3)
+      val minDist = rows.map(_._3).min
+      assert(twinDist.contains(minDist),
+        s"query $q: twin adist $twinDist != min $minDist")
+    }
+  }
+
+  test("two-stage top-k equals single-stage (salting is invisible)") {
+    val a = ProductQuantizer.pqTopK(embeddings, k = 5, numQueries = 4, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = ProductQuantizer.pqTopK(embeddings, k = 5, numQueries = 4, salts = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a === b)
+    assert(a.size === 20)
+  }
+}
