@@ -581,6 +581,22 @@ object SparkEntry {
       graft.ext.ProductQuantizer.pqTopK(Tables.embeddings(s, dir),
         k = 5, m = 4, numCodes = 8, iters = 2, numQueries = 10, dim = 64)
     },
+    // Corpus-wide passage dedup: 20-word segments, identical segments kept
+    // once (first by doc_id, seg_idx); per-doc survival counts. Shuffles
+    // carry (hash, doc, idx) longs only.
+    "q70_segment_dedup" -> { (s, dir) =>
+      graft.ext.Dedup.segmentDedup(Tables.documents(s, dir), segWords = 20)
+    },
+    // Sequence packing: docs in doc_id order cut into 512-token bins via a
+    // distributed prefix sum (static id buckets + offset broadcast — no
+    // global single-partition window).
+    "q71_sequence_packing" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packGreedy(docs, "doc_id", "n_tokens",
+        capacity = 512L, bucketSize = 64)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1970,6 +1986,34 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
          |  ${graft.ops.Layout.zValueSql(Seq("l_suppkey", "l_partkey"), 16)} AS zval
          |FROM lineitem""".stripMargin,
+    "q71_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             SUM(w) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t),
+        |b AS (SELECT CAST((cum - w) // 512 AS BIGINT) AS bin, w FROM c)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |       CAST(SUM(w) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(w) AS DOUBLE) / 512.0 AS fill_ratio
+        |FROM b GROUP BY bin""".stripMargin,
+    "q70_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |sg AS (SELECT doc_id,
+         |              unnest(list_transform(range(0, (len(l)+19)//20),
+         |                i -> struct_pack(idx := CAST(i AS INT),
+         |                                 gh := ${dkHash("array_to_string(l[(i*20+1):(i*20+20)], ' ')", 11)}))) AS u
+         |       FROM t),
+         |s AS (SELECT doc_id, u.idx AS seg_idx, u.gh AS gh FROM sg),
+         |r AS (SELECT doc_id, seg_idx, gh,
+         |             ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, seg_idx) AS rn
+         |      FROM s)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_segments,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |FROM r GROUP BY doc_id""".stripMargin,
     "q67_decontaminate" ->
       s"""WITH bl AS (SELECT string_split(text,' ') AS l FROM documents WHERE source = 'src0'),
          |bg AS (SELECT unnest($dkShingles) AS gram FROM bl),

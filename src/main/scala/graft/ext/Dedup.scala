@@ -34,6 +34,49 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Passage/segment-level dedup (the line-dedup shape of CCNet/RefinedWeb
+    * corpora, with fixed `segWords`-word passages standing in for lines):
+    * every document is cut into consecutive word segments, identical
+    * segments are deduplicated CORPUS-WIDE, and the first occurrence — by
+    * (doc id, segment index) — is the keeper. Output: per document, how
+    * many of its segments survive.
+    *
+    * Scale: segments shuffle as (hash, doc, idx) longs only — never text.
+    * The keeper is the per-hash MIN(struct(doc, idx)) via a partial-
+    * aggregating groupBy (skew-safe: a boilerplate segment repeated 10⁹
+    * times map-side-combines to one row per partition, where a windowed
+    * row_number would funnel all copies through one reducer), joined back
+    * on the hash — both shuffles keyed by the unbounded-cardinality hash.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      segWords: Int = 20,
+      portable: Boolean = true): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nseg = floor((size(toks) + lit(segWords - 1)) / lit(segWords)).cast("int")
+    val segs = docs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("seg_idx", "seg")))
+      .select(col(idCol), col("seg_idx"), stableHash(col("seg"), 11, portable).as("gh"))
+    val keepers = segs
+      .groupBy("gh")
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("first"))
+    segs
+      .join(keepers, "gh")
+      .select(col(idCol), col("seg_idx"),
+        (col("first")(idCol) === col(idCol) &&
+          col("first")("seg_idx") === col("seg_idx")).as("kept"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
   /** Word k-shingles of a document as a distinct array. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")

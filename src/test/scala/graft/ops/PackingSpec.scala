@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  test("bins follow the global cumulative offset; straddlers keep start bin") {
+    import spark.implicits._
+    // weights 60,60,60: doc 2 starts at offset 60 (bin 0), doc 3 at 120
+    // (bin 1, capacity 100) — doc 2 straddles and stays in bin 0
+    val docs = Seq((1L, 60L), (2L, 60L), (3L, 60L)).toDF("doc_id", "w")
+    val out = Packing.packGreedy(docs, "doc_id", "w", capacity = 100L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0L, 2L, 120L, 1.2), (1L, 1L, 60L, 0.6)))
+  }
+
+  test("distributed prefix sum equals the single-window cumsum") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i * 7 % 997, (i * 13 % 50) + 1))
+      .distinctBy(_._1).map { case (id, w) => (id, w.toLong) }
+      .toDF("doc_id", "w")
+    val viaOp = Packing.packGreedy(docs, "doc_id", "w", 256L, bucketSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val viaWindow = docs
+      .withColumn("cum", sum(col("w")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("w")).cast("decimal(25,0)") / 256).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("total_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaOp === viaWindow)
+  }
+
+  test("no single-partition window over the row data") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, 5L)).toDF("doc_id", "w")
+    val plan = Packing.packGreedy(docs, "doc_id", "w", 64L, bucketSize = 10)
+      .queryExecution.executedPlan.toString
+    // exactly ONE single-partition exchange (the bucket-sum offsets table,
+    // post-aggregation); the row-level cumsum window partitions by bucket
+    assert("Exchange SinglePartition".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("partitionBy=[b#") || plan.contains("windowspecdefinition(b#"),
+      plan)
+  }
+}
