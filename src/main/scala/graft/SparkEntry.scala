@@ -597,6 +597,81 @@ object SparkEntry {
       graft.ops.Packing.packGreedy(docs, "doc_id", "n_tokens",
         capacity = 512L, bucketSize = 64)
     },
+    // PII redaction: ordered regex rule list (email → phone → ipv4 → digit
+    // runs) with per-rule match counts — map-only codegen'd pass, patterns
+    // in the Java∩RE2 regex subset. Exercised over a customer-derived text
+    // (c_name carries digit runs; the balance is exact cents, no float
+    // formatting crosses the oracle boundary).
+    "q72_pii_redact" -> { (s, dir) =>
+      import graft.ext.Redaction
+      val txt = concat_ws(" ", col("c_name"), lit("bal"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").cast("string"))
+      Redaction.redact(
+          Tables.customer(s, dir).select(col("c_custkey"), txt.as("text")),
+          "text")
+        .select(col("c_custkey"), col("n_email"), col("n_phone"),
+          col("n_ipv4"), col("n_number"), col("redacted"))
+    },
+    // Deterministic train/val/test split: hash(doc_id) mod 100 buckets —
+    // split membership is a pure function of the id, reproducible across
+    // engines/partitionings. Aggregated per (split, lang) for the check.
+    "q73_hash_split" -> { (s, dir) =>
+      graft.ext.Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    },
+    // Overlapping fixed-window chunking (RAG/context-window prep): 500-char
+    // chunks, 400-char stride; map-side sequence+explode, no shuffle.
+    "q74_chunks" -> { (s, dir) =>
+      graft.ext.Chunking.chunk(
+          Tables.documents(s, dir), "doc_id", "text", size = 500, stride = 400)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk_text")).cast("long").as("chunk_chars"),
+          md5(col("chunk_text")).as("chunk_hash"))
+    },
+    // Source-mixture sampling: integer-weight corpus mixing (src0:1 src1:2
+    // src2:3, budget 300) with hash-threshold selection — deterministic,
+    // saturating at one epoch per source. Aggregated per source.
+    "q75_mixture_sample" -> { (s, dir) =>
+      graft.ext.Sampling.mixtureSample(
+          Tables.documents(s, dir), "source", "doc_id",
+          weights = Map("src0" -> 1L, "src1" -> 2L, "src2" -> 3L),
+          budget = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_chars")).as("total_chars"))
+    },
+    // Characteristic terms per language: integer tf-idf over BIGRAMS
+    // (linear idf, 50%-df stopword cut — unigrams in this corpus are nearly
+    // all above the cut), top-5 per lang.
+    "q76_tfidf_terms" -> { (s, dir) =>
+      graft.ext.TextAnalysis.tfIdfTopTerms(
+        Tables.documents(s, dir), topK = 5, n = 2)
+    },
+    // Curriculum bucketing: equi-depth difficulty deciles over the quality
+    // score WITHOUT a global sort (histogram + broadcast threshold join).
+    "q77_curriculum" -> { (s, dir) =>
+      import graft.ext.{Curriculum, TextAnalysis}
+      val scored = Tables.documents(s, dir)
+        .withColumn("score", TextAnalysis.qualityScore(col("text")))
+      Curriculum.equiDepthBuckets(scored, "score", numBuckets = 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"),
+          sum(col("n_chars")).as("total_chars"))
+    },
+    // ANN recall harness: IVF (q43 pipeline) scored against brute-force
+    // ground truth for the probe set — the nlist/nprobe tuning primitive.
+    "q78_ann_recall" -> { (s, dir) =>
+      import graft.ext.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      val approx = Similarity.ivfTopK(emb, k = 5).filter(col("query_id") < 10)
+      Similarity.recallAtK(exact, approx, k = 5)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1001,9 +1076,10 @@ object SparkEntry {
     * vectors with the smallest md5(vec_id) (same deterministic sample as
     * Similarity.ivfTopK), cells ranked score-desc/index-asc on both sides.
     */
-  private def ivfAnnOracle: String = {
+  /** The q43 IVF pipeline as a reusable CTE chain (ends at `ranked`). */
+  private def ivfAnnCtes: String = {
     val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
-    s"""WITH prep AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
+    s"""prep AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
        |ck AS (SELECT vec_id, embedding, nrm,
        |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
        |       FROM prep),
@@ -1027,10 +1103,33 @@ object SparkEntry {
        |ranked AS (SELECT query_id, neighbor_id, cos,
        |                  ROW_NUMBER() OVER (PARTITION BY query_id
        |                    ORDER BY cos DESC, neighbor_id ASC) AS rank
-       |           FROM scored)
+       |           FROM scored)""".stripMargin
+  }
+
+  private def ivfAnnOracle: String =
+    s"""WITH $ivfAnnCtes
        |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
-  }
+
+  /** DuckDB replay of q78: the q43 IVF chain and the q23 brute-force chain
+    * side by side, intersected per probe query — recall@5 recomputed from
+    * first principles.
+    */
+  private def annRecallOracle: String =
+    s"""WITH $ivfAnnCtes,
+       |ivf AS (SELECT query_id, neighbor_id FROM ranked
+       |        WHERE rank <= 5 AND query_id < 10),
+       |bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                     ORDER BY ${dkCosine("q", "c")} DESC, c.vec_id ASC) AS brank
+       |            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |            WHERE q.vec_id < 10),
+       |bf AS (SELECT query_id, neighbor_id FROM bscored WHERE brank <= 5),
+       |hits AS (SELECT query_id, COUNT(*) AS n_hits
+       |         FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5 AS recall
+       |FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN hits USING (query_id)""".stripMargin
 
   /** DuckDB replay of q54's TRAINED IVF: the two Lloyd iterations unroll
     * into CTE pairs (assign under cN → quantized-integer element means →
@@ -1998,6 +2097,95 @@ object SparkEntry {
         |       CAST(SUM(w) AS BIGINT) AS total_tokens,
         |       CAST(SUM(w) AS DOUBLE) / 512.0 AS fill_ratio
         |FROM b GROUP BY bin""".stripMargin,
+    "q72_pii_redact" -> {
+      import graft.ext.Redaction
+      val steps = Redaction.defaultRules.zipWithIndex.map { case (r, i) =>
+        s"""r${i + 1} AS (SELECT * EXCLUDE (s),
+           |  ${Redaction.matchCountSql("s", r)} AS n_${r.name},
+           |  ${Redaction.redactSql("s", r)} AS s
+           |FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r0 AS (SELECT c_custkey,
+         |  c_name || ' bal ' ||
+         |  CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR) AS s
+         |FROM customer),
+         |$steps
+         |SELECT c_custkey, n_email, n_phone, n_ipv4, n_number, s AS redacted
+         |FROM r${Redaction.defaultRules.size}""".stripMargin
+    },
+    "q73_hash_split" ->
+      s"""WITH s AS (SELECT lang, n_chars,
+         |  CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 < 80 THEN 'train'
+         |       WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q74_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT doc_id, text,
+        |             CASE WHEN len <= 0 THEN 1 ELSE ((len - 1) // 400) + 1 END AS nc
+        |      FROM d),
+        |e AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(length(substr(text, CAST(chunk_idx * 400 + 1 AS INT), 500)) AS BIGINT)
+        |         AS chunk_chars,
+        |       md5(substr(text, CAST(chunk_idx * 400 + 1 AS INT), 500)) AS chunk_hash
+        |FROM e""".stripMargin,
+    "q75_mixture_sample" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+         |           WHERE source IN ('src0','src1','src2') GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('src0', 1), ('src1', 2), ('src2', 3)) AS t(source, wt)),
+         |kept AS (SELECT d.source, d.n_chars
+         |         FROM documents d JOIN c USING (source) JOIN w USING (source)
+         |         WHERE (${dkHash("CAST(d.doc_id AS VARCHAR)", 0)} % 1000000) * (6 * c.n)
+         |               < 300 * w.wt * 1000000)
+         |SELECT source, COUNT(*) AS n_selected,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM kept GROUP BY 1""".stripMargin,
+    "q76_tfidf_terms" ->
+      """WITH toks AS (SELECT lang, doc_id, string_split(lower(text), ' ') AS l
+        |              FROM documents),
+        |t AS (SELECT lang, doc_id,
+        |             unnest(list_transform(generate_series(1, len(l) - 1),
+        |                    i -> l[i] || ' ' || l[i + 1])) AS term
+        |      FROM toks WHERE len(l) >= 2),
+        |tf AS (SELECT lang, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT lang, term, tf, df, (tf * 1000000) // df AS score
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |      WHERE df * 2 <= n_docs),
+        |r AS (SELECT lang, term, tf, df, score,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY score DESC, term ASC) AS rank
+        |      FROM s)
+        |SELECT lang, term, tf, CAST(df AS BIGINT) AS df,
+        |       CAST(score AS BIGINT) AS score, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q77_curriculum" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH q AS (SELECT doc_id, n_chars,
+         |  LEAST(GREATEST(
+         |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0) AS score
+         |FROM documents),
+         |hist AS (SELECT score, COUNT(*) AS hn FROM q GROUP BY 1),
+         |cum AS (SELECT score,
+         |               COALESCE(SUM(hn) OVER (ORDER BY score
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |        FROM hist),
+         |total AS (SELECT COUNT(*) AS tot FROM q),
+         |buck AS (SELECT score, (cb * 10) // tot AS bucket FROM cum CROSS JOIN total)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+         |       MIN(q.score) AS min_score, MAX(q.score) AS max_score,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM q JOIN buck USING (score) GROUP BY 1""".stripMargin
+    },
+    "q78_ann_recall" -> annRecallOracle,
     "q70_segment_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
          |sg AS (SELECT doc_id,

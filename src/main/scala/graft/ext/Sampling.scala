@@ -62,4 +62,53 @@ object Sampling {
           least(lit(1.0), lit(targetPerStratum.toDouble) / col("__stratum_n")) * 1000000.0)
       .drop("__stratum_n")
   }
+
+  /** Deterministic train/val/test assignment: `bucket = hash(id) mod 100`,
+    * train < `trainPct`, val < `trainPct + valPct`, else test. A pure
+    * function of the row id — the same document lands in the same split on
+    * every run, engine, and partitioning, and membership can be recomputed
+    * (never stored) at any scale. Map-only: no shuffle, no RNG state.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 0): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = pmod(Dedup.stableHash(col(idCol).cast("string"), seed), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Mix a corpus to target per-source proportions with a fixed total
+    * budget. Integer-exact thresholds: keep a row of source s iff
+    * `hash(id) mod 10^6 < min(10^6, (budget · weight_s · 10^6) div
+    * (weightSum · n_s))`. Weights are integers (parts of `weightSum`), so
+    * both engines compute identical thresholds — no float division.
+    *
+    * Scale: the per-source count aggregate is tiny (|sources| rows) and
+    * broadcasts back; selection is a map-side filter. Up-weighting beyond
+    * a source's size saturates at fraction 1 (no replication), matching
+    * how corpus-mixing recipes cap at one epoch per source.
+    */
+  def mixtureSample(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Long], budget: Long, seed: Int = 0): DataFrame = {
+    val weightSum = weights.values.sum
+    val wcol = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("__src_n"))
+    // keep iff hash < budget·w·10⁶ / (weightSum·n) — cross-multiplied so no
+    // division happens at all (hash·weightSum·n and budget·w·10⁶ stay exact
+    // in decimal at any corpus size; hash < 10⁶ makes the fraction-1 cap
+    // implicit)
+    df.join(broadcast(counts), Seq(sourceCol))
+      .filter(
+        pmod(Dedup.stableHash(col(idCol).cast("string"), seed), lit(1000000L))
+          .cast("decimal(38,0)") * (lit(weightSum) * col("__src_n")) <
+          lit(budget).cast("decimal(38,0)") * wcol * 1000000L)
+      .drop("__src_n")
+  }
 }

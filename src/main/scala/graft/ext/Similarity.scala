@@ -559,4 +559,28 @@ object Similarity {
             (col("n_a") * col("n_b")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** ANN quality harness: recall@k of an approximate top-k result against
+    * exact ground truth. Both inputs carry (query_id, neighbor_id) rows;
+    * recall = |approx ∩ exact| / k per query, with zero-hit queries kept
+    * (left join from the exact side's query set).
+    *
+    * Scale: top-k result sets are k·|queries| rows — tiny next to the
+    * corpus — so the intersection join is broadcast-sized by construction.
+    * This is the sweep primitive for tuning nlist/nprobe (or PQ m/k*)
+    * against a ground-truth sample before committing an index layout.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val truth = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = truth
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
 }

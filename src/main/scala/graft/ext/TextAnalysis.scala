@@ -223,4 +223,39 @@ object TextAnalysis {
           col("top_unigram_frac") <= maxTopUnigramFrac &&
           col("dup_trigram_ratio") <= maxDupTrigramRatio)
   }
+
+  /** Top-k characteristic terms per group (e.g. language) by tf-idf with a
+    * LINEAR idf — `score = tf·10⁶ div df` — computed in integer arithmetic
+    * so ranking is engine-exact (log-idf orders the same way for fixed df
+    * but its float values aren't portable). Terms in more than half of all
+    * documents are dropped (the df-based stopword cut that log-idf would
+    * down-weight smoothly).
+    *
+    * Scale: two hash aggregations (tf on (group, term), df on term — both
+    * map-side combined, shuffles carry distinct keys only), a term-keyed
+    * equi-join between them, a broadcast scalar for N, and a per-group
+    * top-k window over ≤ |terms| rows. No step touches O(corpus) rows
+    * after the first aggregation.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame, textCol: String = "text", groupCol: String = "lang",
+      idCol: String = "doc_id", topK: Int = 5, n: Int = 1): DataFrame = {
+    val terms = docs.select(
+      col(groupCol).as("grp"), col(idCol).as("did"),
+      explode(wordGrams(col(textCol), n)).as("term"))
+    val tf = terms.groupBy("grp", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term")
+      .agg(countDistinct(col("did")).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .filter(col("df") * 2 <= col("n_docs")) // corpus-wide stopword cut
+      .withColumn("score", ExactMath.floorDiv(col("tf") * 1000000L, col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -54,4 +54,39 @@ class SamplingSpec extends SparkSpec {
     // overall shrink happened
     assert(got.values.sum < full.values.sum)
   }
+
+  test("hashSplit: total coverage, ~80/10/10, stable across runs and partitionings") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "text")
+    val out = Sampling.hashSplit(df, "doc_id")
+    val bys = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys.values.sum === 2000L) // every row is assigned
+    assert(math.abs(bys("train") - 1600L) < 120, s"train=${bys("train")}")
+    assert(math.abs(bys("val") - 200L) < 60, s"val=${bys("val")}")
+    assert(math.abs(bys("test") - 200L) < 60, s"test=${bys("test")}")
+    // membership is a pure function of the id — repartitioning changes nothing
+    val again = Sampling.hashSplit(df.repartition(7), "doc_id")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val first = out.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === first)
+  }
+
+  test("mixtureSample: proportions track weights, saturates at one epoch") {
+    import spark.implicits._
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1 to 50).map(i => (2000L + i, "rare"))).toDF("doc_id", "source")
+    // rare is up-weighted beyond its size → capped at all 50; big fills its share
+    val out = Sampling.mixtureSample(df, "source", "doc_id",
+      weights = Map("big" -> 1L, "rare" -> 1L), budget = 400L)
+    val bys = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys("rare") === 50L) // saturated: no replication past one epoch
+    assert(math.abs(bys("big") - 200L) < 60, s"big=${bys("big")}") // 400·(1/2)/1000
+    // deterministic: same rows on re-run
+    val again = Sampling.mixtureSample(df, "source", "doc_id",
+      Map("big" -> 1L, "rare" -> 1L), 400L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }

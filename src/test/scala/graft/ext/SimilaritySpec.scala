@@ -146,4 +146,38 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.cosinePairsAboveLsh(emb, 0.35).collect().map(key).toSet
     assert(lsh === exact) // precision exact by construction; recall tuned to 1.0
   }
+
+  test("recallAtK: per-query intersection over k, zero-hit queries kept") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L)
+    ).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), // both right
+      (2L, 20L), (2L, 99L), // one right
+      (3L, 98L), (3L, 99L)  // none right
+    ).toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(exact, approx, k = 2).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(out === Map(1L -> ((2L, 1.0)), 2L -> ((1L, 0.5)), 3L -> ((0L, 0.0))))
+  }
+
+  test("IVF recall sweep: more probes never lose recall (the tuning loop)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    def meanRecall(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, k = 5, nprobe = nprobe)
+        .filter(col("query_id") < 10)
+      Similarity.recallAtK(exact, approx, k = 5)
+        .agg(avg("recall")).collect().head.getDouble(0)
+    }
+    val r2 = meanRecall(2)
+    val r8 = meanRecall(8)
+    assert(r2 > 0.0 && r2 <= 1.0, s"recall@5 nprobe=2 = $r2")
+    // probing more cells only grows the candidate set → recall is monotone
+    assert(r8 >= r2, s"nprobe=8 recall $r8 < nprobe=2 recall $r2")
+    assert(r8 > 0.5, s"8 of 16 cells probed should recover most neighbours, got $r8")
+  }
 }

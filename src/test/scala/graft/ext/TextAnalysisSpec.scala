@@ -73,4 +73,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("top_unigram_n") === 3L)
     assert(!out(4L).getAs[Boolean]("keep")) // 3/11 > 0.2 mode mass
   }
+
+  test("tfIdfTopTerms: integer scores, df stopword cut, per-group ranks") {
+    import spark.implicits._
+    // 'the' is in all 4 docs → cut (df·2 > N); 'cat'/'dog' are group markers
+    val docs = Seq(
+      (1L, "en", "the cat cat sat"),
+      (2L, "en", "the cat naps"),
+      (3L, "de", "the dog dog barks"),
+      (4L, "de", "the dog runs")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, topK = 2).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("score"),
+          r.getAs[Int]("rank"))).toMap
+    assert(!out.keys.exists(_._2 == "the")) // df 4·2 > 4 docs
+    assert(out(("en", "cat")) === ((3L, 2L, 1500000L, 1))) // 3·10⁶ div 2
+    assert(out(("de", "dog")) === ((3L, 2L, 1500000L, 1)))
+    // rank 2 entries exist and score below rank 1
+    out.filter(_._2._4 == 2).foreach { case (_, (_, _, s, _)) => assert(s < 1500000L) }
+  }
 }
