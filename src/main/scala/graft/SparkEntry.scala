@@ -672,6 +672,31 @@ object SparkEntry {
       val approx = Similarity.ivfTopK(emb, k = 5).filter(col("query_id") < 10)
       Similarity.recallAtK(exact, approx, k = 5)
     },
+    // Batch twin of the §2.8 dropDuplicatesWithinWatermark stream: exact
+    // event dedup on the shared content digest, deterministic keep rule.
+    "q79_event_dedup" -> { (s, dir) =>
+      graft.streaming.EventStream.dedupBatch(Tables.events(s, dir))
+    },
+    // Perplexity-proxy novelty: per-doc mean corpus-frequency of its
+    // bigrams, integer-exact (rare-bigram docs = unusual text).
+    "q80_bigram_novelty" -> { (s, dir) =>
+      graft.ext.TextAnalysis.ngramNovelty(Tables.documents(s, dir), n = 2)
+    },
+    // k-anonymity audit over event quasi-identifiers (type × hour-of-day ×
+    // value decile): group sizes + below-k flags for release gating.
+    "q81_k_anonymity" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        hour(graft.streaming.Sessions.nsToTimestamp(col("ts"))).as("hour_of_day"),
+        floor(col("value") / 10).cast("long").as("value_decile"))
+      graft.ext.Privacy.kAnonymityAudit(
+        ev, Seq("event_type", "hour_of_day", "value_decile"), k = 5)
+    },
+    // Nearest-centroid classification: per-label quantized-mean centroids,
+    // argmax-cosine assignment, confusion matrix.
+    "q82_centroid_classify" -> { (s, dir) =>
+      graft.ext.Similarity.centroidClassify(Tables.embeddings(s, dir))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -2186,6 +2211,59 @@ object SparkEntry {
          |FROM q JOIN buck USING (score) GROUP BY 1""".stripMargin
     },
     "q78_ann_recall" -> annRecallOracle,
+    "q79_event_dedup" ->
+      """SELECT md5(CAST(user_id AS VARCHAR) || '#' || event_type || '#' || props)
+        |         AS content_digest,
+        |       MIN(event_id) AS keep_event_id, COUNT(*) AS n_copies
+        |FROM events GROUP BY 1""".stripMargin,
+    "q80_bigram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(generate_series(1, len(l) - 1),
+        |                    i -> l[i] || ' ' || l[i + 1])) AS gram
+        |      FROM toks WHERE len(l) >= 2),
+        |cf AS (SELECT gram, COUNT(*) AS freq FROM g GROUP BY 1),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+        |              CAST(SUM(freq) AS BIGINT) AS total_freq
+        |       FROM g JOIN cf USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |       CAST(COALESCE(total_freq, 0) AS BIGINT) AS total_freq,
+        |       CAST(CASE WHEN n_ngrams IS NULL THEN 0
+        |                 ELSE (total_freq * 1000) // n_ngrams END AS BIGINT)
+        |         AS mean_freq_milli
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q81_k_anonymity" ->
+      """SELECT event_type,
+        |       CAST(hour(ts) AS INT) AS hour_of_day,
+        |       CAST(floor(value / 10) AS BIGINT) AS value_decile,
+        |       COUNT(*) AS group_size,
+        |       COUNT(*) >= 5 AS anonymous
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q82_centroid_classify" ->
+      """WITH prep AS (SELECT vec_id, label, embedding FROM embeddings),
+        |e AS (SELECT label, g.i AS pos,
+        |             CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |      FROM prep CROSS JOIN generate_series(1, 64) AS g(i)),
+        |m AS (SELECT label, pos,
+        |             CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1048576.0 AS mval
+        |      FROM e GROUP BY 1, 2),
+        |cent AS (SELECT label, list(mval ORDER BY pos) AS cvec FROM m GROUP BY label),
+        |cn AS (SELECT label, cvec,
+        |              sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+        |       FROM cent),
+        |s AS (SELECT p.vec_id, p.label AS lbl, c.label AS clbl,
+        |             list_sum(list_transform(list_zip(p.embedding, c.cvec),
+        |               x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |             / (sqrt(list_sum(list_transform(p.embedding,
+        |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cnrm) AS score
+        |      FROM prep p CROSS JOIN cn c),
+        |pred AS (SELECT vec_id, lbl, clbl,
+        |                ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                  ORDER BY score DESC, clbl ASC) AS rn
+        |         FROM s)
+        |SELECT lbl AS label, clbl AS predicted, COUNT(*) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     "q70_segment_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
          |sg AS (SELECT doc_id,

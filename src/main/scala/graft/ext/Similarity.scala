@@ -570,6 +570,61 @@ object Similarity {
     * This is the sweep primitive for tuning nlist/nprobe (or PQ m/k*)
     * against a ground-truth sample before committing an index layout.
     */
+  /** Supervised nearest-centroid classification over an embedding column:
+    * per-label centroids (quantized-integer element means — exact and
+    * order-independent, the k-means discipline), every vector assigned to
+    * its argmax-cosine centroid (ties → smaller label), reported as a
+    * confusion matrix (label × predicted → count). The evaluation primitive
+    * for "do my embedding clusters match my labels".
+    *
+    * Scale: centroid training is one posexplode + hash aggregation keyed
+    * (label, pos) — |labels|·dim result rows, collected as plan literals
+    * (labels are a classification taxonomy: bounded). Scoring is map-side
+    * only (native dot against literal centroid arrays — the IVF scoring
+    * shape), and the confusion aggregate shuffles |labels|² partial rows.
+    */
+  def centroidClassify(
+      corpus: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val prep = corpus.select(
+        col(labelCol).cast("int").as("lbl"), col(idCol).as("id"),
+        col(vecCol).as("vec"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dotNative(spark, col("vec"), col("vec"))))
+    val sums = prep
+      .select(col("lbl"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy("lbl", "pos")
+      .agg(
+        sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val centroids = sums.groupBy(_.getAs[Int]("lbl")).toSeq.sortBy(_._1).map {
+      case (lbl, rows) =>
+        val dim = rows.map(_.getAs[Int]("pos")).max + 1
+        val cv = new Array[Double](dim)
+        rows.foreach { r =>
+          cv(r.getAs[Int]("pos")) =
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / 1048576.0
+        }
+        (lbl, cv.toIndexedSeq, foldNorm(cv.toIndexedSeq))
+    }
+    val scored = prep.withColumn("scores", array(
+      centroids.map { case (_, cv, cn) =>
+        graft.functions.VectorFunctions.dotNative(spark, col("vec"), typedlit(cv)) /
+          (col("nrm") * cn)
+      }: _*))
+    val labelLits = array(centroids.map(c => lit(c._1)): _*)
+    scored
+      .withColumn("predicted",
+        labelLits.getItem(
+          (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int")))
+      .groupBy(col("lbl").as(labelCol), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val truth = exact.select(col("query_id"), col("neighbor_id"))
     val hits = truth

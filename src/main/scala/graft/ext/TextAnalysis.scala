@@ -237,14 +237,54 @@ object TextAnalysis {
     * top-k window over ≤ |terms| rows. No step touches O(corpus) rows
     * after the first aggregation.
     */
+  /** Per-document n-gram novelty: how common a document's n-grams are in
+    * the whole corpus — a language-model-free perplexity proxy (rare-n-gram
+    * documents ≈ unusual text; extremely-common-n-gram documents ≈
+    * boilerplate). All integer arithmetic: `mean_freq_milli = Σ corpus-freq
+    * of the doc's n-grams · 1000 div n-gram count`, so values are
+    * engine-exact.
+    *
+    * Scale: one explode feeds the corpus-frequency aggregate AND the
+    * per-doc join probe (same shared-exchange shape as [[tfIdfTopTerms]]);
+    * the join keys on the n-gram and degrades from broadcast to shuffle as
+    * the vocabulary grows. Docs with fewer than n tokens surface with
+    * n_ngrams = 0 via the left join from the full corpus.
+    */
+  def ngramNovelty(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 2): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("did"), explode(wordGrams(col(textCol), n)).as("gram"))
+    val corpusFreq = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
+    val perDoc = grams.join(corpusFreq, "gram")
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("freq")).as("total_freq"))
+    docs.select(col(idCol).as("did"))
+      .join(perDoc, Seq("did"), "left")
+      .select(
+        col("did").as(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("total_freq"), lit(0L)).as("total_freq"),
+        when(col("n_ngrams").isNull, 0L)
+          .otherwise(ExactMath.floorDiv(col("total_freq") * 1000L, col("n_ngrams")))
+          .as("mean_freq_milli"))
+  }
+
   def tfIdfTopTerms(
       docs: DataFrame, textCol: String = "text", groupCol: String = "lang",
       idCol: String = "doc_id", topK: Int = 5, n: Int = 1): DataFrame = {
     val terms = docs.select(
       col(groupCol).as("grp"), col(idCol).as("did"),
       explode(wordGrams(col(textCol), n)).as("term"))
-    val tf = terms.groupBy("grp", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy("term")
+    // One explode feeds BOTH aggregates: tf = Σ per-doc counts, df = count
+    // of per-doc rows. Sharing the (grp, term, did) pre-aggregate lets
+    // ReuseExchange serve the second branch from the first's shuffle files
+    // (the corpus is exploded once, and the distinct-doc count runs over
+    // per-doc distinct terms, not raw occurrences).
+    val perDoc = terms.groupBy("grp", "term", "did")
+      .agg(count(lit(1)).as("c"))
+    val tf = perDoc.groupBy("grp", "term").agg(sum(col("c")).as("tf"))
+    val dfreq = perDoc.groupBy("term")
       .agg(countDistinct(col("did")).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -85,14 +85,31 @@ object EventStream {
     * its event time — at 100 TB/day the state never grows past one
     * watermark-window of distinct digests).
     */
+  /** The digest dedupStream/dedupBatch key on — one definition so the
+    * stream and its batch twin can never drift.
+    */
+  def contentDigest: Column =
+    md5(concat_ws("#", col("user_id"), col("event_type"), col("props")))
+
   def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events
       .withColumn("event_time", Sessions.nsToTimestamp(col("ts")))
-      .withColumn(
-        "content_digest",
-        md5(concat_ws("#", col("user_id"), col("event_type"), col("props"))))
+      .withColumn("content_digest", contentDigest)
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_digest")
+
+  /** Batch twin of [[dedupStream]], made deterministic for the oracle:
+    * where the stream keeps the FIRST arrival per digest (arrival order —
+    * not reproducible in batch), this keeps min(event_id) and reports the
+    * duplicate count. One hash aggregation; the shuffle carries
+    * (digest, id, count) only.
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events
+      .withColumn("content_digest", contentDigest)
+      .groupBy("content_digest")
+      .agg(min(col("event_id")).as("keep_event_id"),
+        count(lit(1)).as("n_copies"))
 
   /** Stream-stream interval join (§2.8): every purchase matched to the SAME
     * user's clicks in the preceding `windowMinutes` — the attribution join

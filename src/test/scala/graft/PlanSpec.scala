@@ -127,4 +127,36 @@ class PlanSpec extends SparkSpec {
     // no UDF nodes: the functions are pure built-in expression compositions
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
   }
+
+  test("q72/q74: redaction and chunking are map-only — no exchange at all") {
+    Seq("q72_pii_redact", "q74_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles — should pipeline with the scan")
+      assert(!p.contains("ScalaUDF"), s"$q fell out of codegen into a UDF")
+    }
+  }
+
+  test("q73: hash split aggregates with one shuffle and map-side combine") {
+    val p = plan("q73_hash_split")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "map-side combine missing")
+    assert(p.split("Exchange").length - 1 <= 2, // agg exchange (+AQE read)
+      "split assignment must be map-side — only the final aggregate shuffles")
+  }
+
+  test("q77: curriculum bucket assignment broadcasts onto the corpus side") {
+    val p = plan("q77_curriculum")
+    // the corpus-side join against the (score → bucket) table must be a
+    // broadcast hash join: a shuffled join would re-partition the whole
+    // corpus just to attach a bucket id
+    assert(p.contains("BroadcastHashJoin"), "bucket assignment not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the tiny histogram")
+  }
+
+  test("q82: centroid scoring is map-side with native dots; only the confusion matrix shuffles") {
+    val p = plan("q82_centroid_classify")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("dotproduct") || p.contains("DotProduct") || p.contains("graft_dot"))
+    assert(p.contains("partial_count"), "confusion matrix must combine map-side")
+  }
 }

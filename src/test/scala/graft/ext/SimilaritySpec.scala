@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact) // precision exact by construction; recall tuned to 1.0
   }
 
+  test("centroidClassify: separable clusters give a diagonal confusion matrix") {
+    import spark.implicits._
+    // two clean clusters on orthogonal axes + one vector leaning the wrong way
+    val rows = Seq(
+      (1L, Array(1.0f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.2f, 0f, 0f), 0),
+      (3L, Array(0.1f, 1.0f, 0f, 0f), 1),
+      (4L, Array(0.2f, 0.9f, 0f, 0f), 1),
+      (5L, Array(0.9f, 0.1f, 0f, 0f), 1) // labeled 1, sits in cluster 0
+    ).toDF("vec_id", "embedding", "label")
+    val cm = Similarity.centroidClassify(rows).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("predicted")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(cm((0, 0)) === 2L)
+    assert(cm((1, 1)) === 2L)
+    assert(cm((1, 0)) === 1L) // the mislabeled vector is caught
+    assert(!cm.contains((0, 1)))
+  }
+
   test("recallAtK: per-query intersection over k, zero-hit queries kept") {
     import spark.implicits._
     val exact = Seq(

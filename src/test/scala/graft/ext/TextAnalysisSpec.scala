@@ -93,4 +93,21 @@ class TextAnalysisSpec extends SparkSpec {
     // rank 2 entries exist and score below rank 1
     out.filter(_._2._4 == 2).foreach { case (_, (_, _, s, _)) => assert(s < 1500000L) }
   }
+
+  test("ngramNovelty: common-bigram docs score high, short docs survive with 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b"(×2), "b a" — "a b" appears 3× in corpus
+      (2L, "a b c"),     // "a b", "b c"
+      (3L, "x")          // < 2 tokens → no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, n = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("total_freq"),
+          r.getAs[Long]("mean_freq_milli"))).toMap
+    // corpus freqs: "a b"→3, "b a"→1, "b c"→1
+    assert(out(1L) === ((3L, 7L, 2333L))) // (3+1+3)·1000 div 3
+    assert(out(2L) === ((2L, 4L, 2000L))) // (3+1)·1000 div 2
+    assert(out(3L) === ((0L, 0L, 0L)))    // kept by the left join
+  }
 }

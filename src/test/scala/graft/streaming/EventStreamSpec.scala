@@ -46,6 +46,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupBatch is the stream's twin: same digest set, deterministic keeper") {
+    val batch = EventStream.dedupBatch(Tables.events(spark, sf0001))
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_twin").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val q = EventStream.writeToParquet(
+      EventStream.dedupStream(EventStream.readEvents(spark, sf0001)), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamDigests = spark.read.parquet(out)
+      .select("content_digest").collect().map(_.getString(0)).toSet
+    val batchDigests = batch.select("content_digest").collect().map(_.getString(0)).toSet
+    assert(streamDigests === batchDigests) // same survivors per digest key
+    // batch keeper is the min event id — a pure function of the data
+    import org.apache.spark.sql.functions.col
+    val copies = batch.agg(org.apache.spark.sql.functions.sum(col("n_copies")))
+      .collect().head.getLong(0)
+    assert(copies === Tables.events(spark, sf0001).count()) // partition of all events
+  }
+
   test("parquet sink + checkpoint: restart over a drained checkpoint adds no duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val (out, ckpt) = (s"$base/out", s"$base/ckpt")
