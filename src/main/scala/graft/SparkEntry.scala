@@ -697,6 +697,26 @@ object SparkEntry {
     "q82_centroid_classify" -> { (s, dir) =>
       graft.ext.Similarity.centroidClassify(Tables.embeddings(s, dir))
     },
+    // Incremental near-dup: the src0 slice plays the EXISTING corpus, the
+    // rest the incoming batch — only the batch is minhashed fresh and
+    // existing×existing pairs are never generated (the daily-ingest path).
+    "q83_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ext.Dedup.incrementalDedup(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        minJaccard = 0.5)
+    },
+    // BPE-training counting step: global adjacent-char-pair frequencies
+    // within tokens, top-20 merge candidates.
+    "q84_bpe_merge_pairs" -> { (s, dir) =>
+      graft.ext.TextAnalysis.bpeMergePairs(Tables.documents(s, dir), topK = 20)
+    },
+    // Embedding sanity gate: per-label norm stats + integer-exact |z|>2
+    // outlier counts (cross-multiplied — no float on the verdict path).
+    "q85_embedding_outliers" -> { (s, dir) =>
+      graft.ext.EmbeddingStats.normOutliers(Tables.embeddings(s, dir))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -2211,6 +2231,50 @@ object SparkEntry {
          |FROM q JOIN buck USING (score) GROUP BY 1""".stripMargin
     },
     "q78_ann_recall" -> annRecallOracle,
+    "q83_incremental_dedup" ->
+      s"""WITH pairs AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+         |inc AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+         |old AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |m AS (SELECT i.doc_id AS d,
+         |             CASE WHEN p.id_a = i.doc_id THEN p.id_b ELSE p.id_a END AS o
+         |      FROM inc i JOIN pairs p ON p.id_a = i.doc_id OR p.id_b = i.doc_id),
+         |f AS (SELECT d, o FROM m WHERE o IN (SELECT doc_id FROM old)
+         |      UNION ALL
+         |      SELECT d, o FROM m
+         |      WHERE o IN (SELECT doc_id FROM inc) AND o < d),
+         |g AS (SELECT d, COUNT(*) AS n_matches, MIN(o) AS dup_of FROM f GROUP BY d)
+         |SELECT i.doc_id,
+         |       CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches,
+         |       dup_of,
+         |       COALESCE(n_matches, 0) > 0 AS is_dup
+         |FROM inc i LEFT JOIN g ON g.d = i.doc_id""".stripMargin,
+    "q84_bpe_merge_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+        |                    i -> substr(t, CAST(i AS INT), 2))) AS pair
+        |      FROM tok WHERE length(t) >= 2),
+        |c AS (SELECT pair, COUNT(*) AS count FROM p GROUP BY 1),
+        |r AS (SELECT pair, count,
+        |             ROW_NUMBER() OVER (ORDER BY count DESC, pair ASC) AS rank
+        |      FROM c)
+        |SELECT pair, count, rank FROM r WHERE rank <= 20""".stripMargin,
+    "q85_embedding_outliers" ->
+      """WITH prep AS (SELECT label,
+        |  CAST(floor(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1048576.0) AS BIGINT) AS qn
+        |  FROM embeddings),
+        |st AS (SELECT label, COUNT(*) AS n, SUM(qn) AS s,
+        |              SUM(CAST(qn AS HUGEINT) * qn) AS qq
+        |       FROM prep GROUP BY 1),
+        |j AS (SELECT p.label, p.qn, st.n, st.s, st.qq,
+        |             (CAST(st.n AS HUGEINT) * p.qn - st.s) AS dev,
+        |             (CAST(st.n AS HUGEINT) * st.qq - CAST(st.s AS HUGEINT) * st.s) AS varn2
+        |      FROM prep p JOIN st USING (label))
+        |SELECT label, COUNT(*) AS n_vectors,
+        |       CAST(SUM(CASE WHEN dev * dev > 4 * varn2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       CAST(MAX(s) AS DOUBLE) / MAX(n) / 1048576.0 AS mean_norm
+        |FROM j GROUP BY 1""".stripMargin,
     "q79_event_dedup" ->
       """SELECT md5(CAST(user_id AS VARCHAR) || '#' || event_type || '#' || props)
         |         AS content_digest,

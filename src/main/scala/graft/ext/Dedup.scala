@@ -205,6 +205,53 @@ object Dedup {
         .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
+  /** Incremental near-dup: flag each INCOMING document that duplicates the
+    * EXISTING corpus or an EARLIER (lower-id) incoming document — the
+    * daily-ingest path. Only the incoming batch is shingled and minhashed
+    * fresh; the existing side can be served from a persisted signature
+    * store (`existingSigs`), so per-batch cost scales with the batch, not
+    * the corpus, and existing×existing pairs are never generated — the
+    * property that makes rolling dedup affordable at 100 TB.
+    *
+    * Output: one row per incoming doc — match count, `dup_of` (the minimum
+    * matched id, NULL when clean), and the `is_dup` verdict. Deterministic:
+    * survivors are always the existing corpus and the lowest-id copy within
+    * the batch.
+    */
+  def incrementalDedup(
+      incoming: DataFrame,
+      existing: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.7,
+      existingSigs: Option[DataFrame] = None): DataFrame = {
+    val sigsNew = minhashSignatures(incoming, textCol, idCol)
+    val sigsOld = existingSigs.getOrElse(minhashSignatures(existing, textCol, idCol))
+    val bNew = lshBuckets(sigsNew, idCol, 16, 4)
+    val bOld = lshBuckets(sigsOld, idCol, 16, 4)
+    val probe = bNew.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val vsOld = probe
+      .join(bOld.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_hash"))
+    val vsEarlier = probe
+      .join(bNew.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_b") < col("id_a"))
+    val cand = vsOld.select("id_a", "id_b")
+      .unionByName(vsEarlier.select("id_a", "id_b")).distinct()
+    val verified = ngramJaccard(
+      incoming.unionByName(existing), textCol, idCol, 3, minJaccard, Some(cand))
+    val matches = verified.groupBy(col("id_a").as("__id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("id_b")).as("dup_of"))
+    incoming.select(col(idCol))
+      .join(matches, incoming(idCol) === matches("__id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("dup_of"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** MinHash near-dup end to end: LSH candidates verified by exact Jaccard.
     * At scale the verify join touches only candidate pairs.
     */

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution sanity checks over an embedding column — the "did my
+  * encoder melt down" gate a 100 TB embedding pipeline runs before
+  * indexing a new batch.
+  *
+  * All verdicts are integer-exact: norms are quantized to `floor(‖x‖·2²⁰)`
+  * and the z-test is cross-multiplied so no division or sqrt happens on
+  * the comparison path —
+  *   |q − S/n| > z·σ  ⟺  (n·q − S)² > z²·(n·Q − S²)
+  * with S = Σq, Q = Σq² held exactly in decimal. Both engines compute the
+  * identical booleans, so outlier COUNTS are oracle-checkable, not just
+  * approximately right.
+  */
+object EmbeddingStats {
+
+  /** Per-label norm statistics + outlier counts (|z| > zThreshold). One
+    * map-side norm pass, one hash aggregation keyed by label, one broadcast
+    * join back for the per-row verdict, one final label aggregate.
+    */
+  def normOutliers(
+      corpus: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      zThreshold: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = floor(
+      sqrt(graft.functions.VectorFunctions.dotNative(
+        spark, col(vecCol), col(vecCol))) * 1048576.0).cast("long")
+    val prep = corpus.select(col(labelCol).cast("int").as("lbl"), q.as("qn"))
+    val stats = prep.groupBy("lbl").agg(
+      count(lit(1)).as("n"),
+      sum(col("qn")).cast("decimal(38,0)").as("s"),
+      sum(col("qn").cast("decimal(38,0)") * col("qn")).as("qq"))
+    val nd = col("n").cast("decimal(38,0)")
+    val dev = nd * col("qn").cast("decimal(38,0)") - col("s")
+    val varN2 = nd * col("qq") - col("s") * col("s") // n²·variance, exact
+    prep.join(broadcast(stats), Seq("lbl"))
+      .withColumn("is_outlier", dev * dev > lit(zThreshold * zThreshold) * varN2)
+      .groupBy(col("lbl").as(labelCol))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        ((max(col("s")).cast("double") / max(col("n"))) / 1048576.0).as("mean_norm"))
+  }
+}

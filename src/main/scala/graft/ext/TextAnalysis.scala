@@ -237,6 +237,32 @@ object TextAnalysis {
     * top-k window over ≤ |terms| rows. No step touches O(corpus) rows
     * after the first aggregation.
     */
+  /** The BPE-training inner loop's counting step: global frequencies of
+    * adjacent character pairs within whitespace tokens — the statistic a
+    * byte-pair-encoding tokenizer trainer maximizes over when choosing the
+    * next merge. Top-`topK` pairs, ties broken by pair text so ranking is
+    * total and engine-exact.
+    *
+    * Scale: explode + hash aggregation; the shuffle carries (pair, partial
+    * count) — at most |alphabet|² distinct keys — map-side combined. One
+    * training iteration = run, merge, re-run; each pass is a full map-only
+    * scan plus this constant-size aggregate.
+    */
+  def bpeMergePairs(
+      docs: DataFrame, textCol: String = "text", topK: Int = 20): DataFrame = {
+    val tok = explode(tokens(lower(col(textCol)))).as("tok")
+    val pairs = docs.select(tok)
+      .where(length(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => substr(col("tok"), i, lit(2)))).as("pair"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("count").desc, col("pair").asc)
+    pairs.groupBy("pair").agg(count(lit(1)).as("count"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Per-document n-gram novelty: how common a document's n-grams are in
     * the whole corpus — a language-model-free perplexity proxy (rare-n-gram
     * documents ≈ unusual text; extremely-common-n-gram documents ≈

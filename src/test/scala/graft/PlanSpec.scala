@@ -159,4 +159,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dotproduct") || p.contains("DotProduct") || p.contains("graft_dot"))
     assert(p.contains("partial_count"), "confusion matrix must combine map-side")
   }
+
+  test("q83: incremental dedup joins stay bucket-/pair-keyed — no cartesian") {
+    val p = plan("q83_incremental_dedup")
+    // candidate generation is an equi-join on (band_idx, band_hash); verify
+    // joins candidates to shingle ARRAYS per pair — a cross product anywhere
+    // means the batch met the corpus pairwise
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair space not bucket-bounded")
+  }
+
+  test("q85: outlier gate is two aggregates and a broadcast of per-label stats") {
+    val p = plan("q85_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), "per-label stats must broadcast back")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for a |labels|-row table")
+    assert(p.contains("partial_sum"), "map-side combine missing")
+  }
 }

@@ -89,4 +89,35 @@ class DedupSpec extends SparkSpec {
     val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
     assert(agree01 > agree02)
   }
+
+  test("incrementalDedup: batch vs corpus and batch-internal dups; stored sigs equivalent") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different content about spark shuffles and partitions here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                        // dup of existing 1
+      (11L, "fresh unique text that matches nothing else in any corpus at all"),
+      (12L, "fresh unique text that matches nothing else in any corpus at all"),
+      (13L, "another totally novel document with its own words and nothing shared")
+    ).toDF("doc_id", "text") // 12 dups 11 (earlier incoming)
+    val out = Dedup.incrementalDedup(incoming, existing, minJaccard = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(out(10L) === ((true, Some(1L))))   // matched the corpus
+    assert(out(11L) === ((false, None)))      // first copy in the batch survives
+    assert(out(12L) === ((true, Some(11L))))  // later copy points at the earlier
+    assert(out(13L) === ((false, None)))
+    // serving the existing side from a persisted signature store changes nothing
+    val sigs = Dedup.minhashSignatures(existing)
+    val viaStore = Dedup.incrementalDedup(
+        incoming, existing, minJaccard = 0.5, existingSigs = Some(sigs))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(viaStore === out)
+  }
 }

@@ -1,0 +1,25 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class EmbeddingStatsSpec extends SparkSpec {
+
+  test("normOutliers: a wild-norm vector is flagged, tight clusters are clean") {
+    import spark.implicits._
+    // label 0: nine unit-ish vectors + one at 100× the norm
+    // label 1: all identical norms → zero variance → no outliers
+    val rows =
+      ((1 to 9).map(i => (i.toLong, Array(1.0f, 0f), 0)) :+
+        (100L, Array(100.0f, 0f), 0)) ++
+        (1 to 5).map(i => (200L + i, Array(0f, 2.0f), 1))
+    val out = EmbeddingStats.normOutliers(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("n_outliers"),
+          r.getAs[Double]("mean_norm"))).toMap
+    assert(out(0)._1 === 10L)
+    assert(out(0)._2 === 1L) // only the 100× vector trips |z| > 2
+    assert(out(0)._3 > 1.0 && out(0)._3 < 100.0) // mean dragged up by the outlier
+    assert(out(1) === ((5L, 0L, 2.0)))
+  }
+}

@@ -94,6 +94,15 @@ class TextAnalysisSpec extends SparkSpec {
     out.filter(_._2._4 == 2).foreach { case (_, (_, _, s, _)) => assert(s < 1500000L) }
   }
 
+  test("bpeMergePairs: adjacent char pairs counted within tokens, ranked with total ties") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab aab x"), (2L, "ab")).toDF("doc_id", "text")
+    // tokens: aab, aab, x(dropped <2), ab → pairs: aa×2, ab×3
+    val out = TextAnalysis.bpeMergePairs(docs, topK = 10).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("count"), r.getAs[Int]("rank")))
+    assert(out.toSeq === Seq(("ab", 3L, 1), ("aa", 2L, 2)))
+  }
+
   test("ngramNovelty: common-bigram docs score high, short docs survive with 0") {
     import spark.implicits._
     val docs = Seq(
