@@ -717,6 +717,11 @@ object SparkEntry {
     "q85_embedding_outliers" -> { (s, dir) =>
       graft.ext.EmbeddingStats.normOutliers(Tables.embeddings(s, dir))
     },
+    // Composed corpus freeze: repetition gate → exact dedup (min-id
+    // keeper) → deterministic split, reported as the release manifest.
+    "q86_corpus_freeze" -> { (s, dir) =>
+      graft.ext.CorpusPipeline.freezeSummary(Tables.documents(s, dir))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1121,6 +1126,38 @@ object SparkEntry {
     * vectors with the smallest md5(vec_id) (same deterministic sample as
     * Similarity.ivfTopK), cells ranked score-desc/index-asc on both sides.
     */
+  /** DuckDB replay of q62's repetition metrics — also the gate stage of the
+    * q86 corpus-freeze chain.
+    */
+  private def repetitionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      |u AS (SELECT doc_id, g, COUNT(*) AS c
+      |      FROM (SELECT doc_id, unnest(l) AS g FROM t) GROUP BY 1, 2),
+      |topu AS (SELECT doc_id, MAX(c) AS top_unigram_n FROM u GROUP BY doc_id),
+      |tri AS (SELECT doc_id,
+      |          CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
+      |               ELSE list_transform(range(1, len(l)-1),
+      |                                   i -> array_to_string(l[i:i+2], ' '))
+      |          END AS tg
+      |        FROM t),
+      |m AS (SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+      |             topu.top_unigram_n,
+      |             CAST(len(tri.tg) AS BIGINT) AS n_trigrams,
+      |             CAST(len(list_distinct(tri.tg)) AS BIGINT) AS n_distinct_trigrams
+      |      FROM t JOIN topu USING (doc_id) JOIN tri USING (doc_id))
+      |SELECT doc_id, n_tokens, top_unigram_n,
+      |  CAST(top_unigram_n AS DOUBLE) / n_tokens AS top_unigram_frac,
+      |  n_trigrams, n_distinct_trigrams,
+      |  CASE WHEN n_trigrams = 0 THEN 0.0
+      |       ELSE CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
+      |  END AS dup_trigram_ratio,
+      |  (n_tokens BETWEEN 5 AND 5000)
+      |    AND CAST(top_unigram_n AS DOUBLE) / n_tokens <= 0.2
+      |    AND (CASE WHEN n_trigrams = 0 THEN 0.0
+      |              ELSE CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
+      |         END) <= 0.35 AS keep
+      |FROM m""".stripMargin
+
   /** The q43 IVF pipeline as a reusable CTE chain (ends at `ranked`). */
   private def ivfAnnCtes: String = {
     val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
@@ -1503,34 +1540,23 @@ object SparkEntry {
     },
     "q19_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text),'[^a-z0-9]','','g')) AS fp FROM documents",
-    "q62_repetition_filter" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
-        |u AS (SELECT doc_id, g, COUNT(*) AS c
-        |      FROM (SELECT doc_id, unnest(l) AS g FROM t) GROUP BY 1, 2),
-        |topu AS (SELECT doc_id, MAX(c) AS top_unigram_n FROM u GROUP BY doc_id),
-        |tri AS (SELECT doc_id,
-        |          CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
-        |               ELSE list_transform(range(1, len(l)-1),
-        |                                   i -> array_to_string(l[i:i+2], ' '))
-        |          END AS tg
-        |        FROM t),
-        |m AS (SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
-        |             topu.top_unigram_n,
-        |             CAST(len(tri.tg) AS BIGINT) AS n_trigrams,
-        |             CAST(len(list_distinct(tri.tg)) AS BIGINT) AS n_distinct_trigrams
-        |      FROM t JOIN topu USING (doc_id) JOIN tri USING (doc_id))
-        |SELECT doc_id, n_tokens, top_unigram_n,
-        |  CAST(top_unigram_n AS DOUBLE) / n_tokens AS top_unigram_frac,
-        |  n_trigrams, n_distinct_trigrams,
-        |  CASE WHEN n_trigrams = 0 THEN 0.0
-        |       ELSE CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
-        |  END AS dup_trigram_ratio,
-        |  (n_tokens BETWEEN 5 AND 5000)
-        |    AND CAST(top_unigram_n AS DOUBLE) / n_tokens <= 0.2
-        |    AND (CASE WHEN n_trigrams = 0 THEN 0.0
-        |              ELSE CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
-        |         END) <= 0.35 AS keep
-        |FROM m""".stripMargin,
+    "q62_repetition_filter" -> repetitionOracle,
+    "q86_corpus_freeze" ->
+      s"""WITH rep AS ($repetitionOracle),
+         |kept AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+         |         JOIN rep USING (doc_id) WHERE rep.keep),
+         |dd AS (SELECT doc_id, text, lang,
+         |              ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                ORDER BY doc_id) AS rn
+         |       FROM kept),
+         |sp AS (SELECT lang, length(text) AS nc,
+         |  CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 < 80 THEN 'train'
+         |       WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM dd WHERE rn = 1)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(nc) AS BIGINT) AS total_chars
+         |FROM sp GROUP BY 1, 2""".stripMargin,
     "q56_sql_text" -> {
       val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
       val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")
