@@ -31,6 +31,11 @@ object RunOne {
         val t0 = System.nanoTime()
         val n = df.count()
         println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
+      case "final" =>
+        // the ADAPTIVE plan after execution — shows ReusedExchange /
+        // runtime join strategy changes that static explain can't
+        df.count()
+        println(df.queryExecution.executedPlan.toString)
       case _ =>
         df.show(50, false)
         println(s"rows=${df.count()}")

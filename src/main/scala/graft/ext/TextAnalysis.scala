@@ -302,16 +302,15 @@ object TextAnalysis {
     val terms = docs.select(
       col(groupCol).as("grp"), col(idCol).as("did"),
       explode(wordGrams(col(textCol), n)).as("term"))
-    // One explode feeds BOTH aggregates: tf = Σ per-doc counts, df = count
-    // of per-doc rows. Sharing the (grp, term, did) pre-aggregate lets
-    // ReuseExchange serve the second branch from the first's shuffle files
-    // (the corpus is exploded once, and the distinct-doc count runs over
-    // per-doc distinct terms, not raw occurrences).
+    // Both aggregates derive from the (grp, term, did) pre-aggregate:
+    // tf = Σ per-doc counts, and — because a document has exactly one
+    // group — df is a PLAIN row count per term (no distinct-aggregate
+    // expand, no distinct buffers; the count runs over per-doc distinct
+    // terms, not raw occurrences).
     val perDoc = terms.groupBy("grp", "term", "did")
       .agg(count(lit(1)).as("c"))
     val tf = perDoc.groupBy("grp", "term").agg(sum(col("c")).as("tf"))
-    val dfreq = perDoc.groupBy("term")
-      .agg(countDistinct(col("did")).as("df"))
+    val dfreq = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("score").desc, col("term").asc)

@@ -67,4 +67,29 @@ class PropertySpec extends SparkSpec {
     assert(graft.datatest.DataTester.cochranSampleSize(1000000, marginOfError = 0.01) >
       graft.datatest.DataTester.cochranSampleSize(1000000, marginOfError = 0.05))
   }
+
+  test("ExactMath.floorDiv equals BigInt floor division across magnitudes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cover the regime where naive decimal divide mis-floors: denominators
+    // past 2e6 with numerators within 1 of an exact multiple
+    val edge = for {
+      b <- Gen.choose(2000000L, 4000000000L)
+      q <- Gen.choose(0L, 1000000L)
+      off <- Gen.oneOf(-1L, 0L, 1L)
+    } yield (math.max(0L, b * q + off), b)
+    val rand = for {
+      a <- Gen.choose(0L, Long.MaxValue / 2)
+      b <- Gen.choose(1L, Long.MaxValue / 2)
+    } yield (a, b)
+    val cases = (samples(edge, 60) ++ samples(rand, 60)).distinct
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.ext.ExactMath.floorDiv(col("a"), col("b")).as("q"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, q) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(q === (BigInt(a) / BigInt(b)).toLong, s"floorDiv($a, $b)")
+    }
+  }
 }
