@@ -278,7 +278,7 @@ object Main {
           "[--patterns relationship_patterns.json] [--rules relationship_rules.json] " +
           "[--layout grid|force|hierarchical] [--include-views] [--include-external] " +
           "[--theme default|dark|minimal] [--no-column-types] [--show-nullable] " +
-          "[--stats] [--cache PATH]")
+          "[--stats] [--cache PATH] [--freeze OUTDIR]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -325,6 +325,20 @@ object Main {
       if (args.contains("--stats")) {
         println("processing stats:")
         engine.stats(opt("--state"), opt("--cache")).show(truncate = false)
+      }
+      // corpus freeze over the documents table: gate → dedup → split,
+      // written as split-partitioned parquet + a release manifest
+      opt("--freeze").foreach { outDir =>
+        val docs = Tables.documents(spark, dir)
+        val frozen = graft.ext.CorpusPipeline.freeze(docs)
+        frozen.write.partitionBy("split")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/corpus")
+        val manifest = graft.ext.CorpusPipeline.freezeSummary(docs)
+        manifest.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/manifest")
+        println(s"frozen corpus written to $outDir/corpus (manifest at $outDir/manifest):")
+        manifest.orderBy("split", "lang").show(50, truncate = false)
       }
     } finally spark.stop()
   }
