@@ -722,6 +722,15 @@ object SparkEntry {
     "q86_corpus_freeze" -> { (s, dir) =>
       graft.ext.CorpusPipeline.freezeSummary(Tables.documents(s, dir))
     },
+    // Deterministic epoch shuffle + budget cut: seeded hash order,
+    // distributed prefix sum (hash-bucketed — no global window), keep the
+    // prefix fitting a 30k-token budget.
+    "q87_epoch_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.ops.Packing.epochSample(docs, "doc_id", "n_tokens", budget = 30000L)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -2274,6 +2283,20 @@ object SparkEntry {
          |       dup_of,
          |       COALESCE(n_matches, 0) > 0 AS is_dup
          |FROM inc i LEFT JOIN g ON g.d = i.doc_id""".stripMargin,
+    "q87_epoch_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |  ${dkHash("CAST(doc_id AS VARCHAR)", 0)} AS h
+         |FROM documents),
+         |o AS (SELECT doc_id,
+         |             SUM(w) OVER (ORDER BY h, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         |             ROW_NUMBER() OVER (ORDER BY h, doc_id) AS epoch_rank
+         |      FROM t)
+         |SELECT doc_id, CAST(epoch_rank AS BIGINT) AS epoch_rank,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       cum_tokens <= 30000 AS kept
+         |FROM o""".stripMargin,
     "q84_bpe_merge_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),

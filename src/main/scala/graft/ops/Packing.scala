@@ -61,4 +61,53 @@ object Packing {
         sum(col("w")).as("total_tokens"),
         (sum(col("w")).cast("double") / lit(capacity.toDouble)).as("fill_ratio"))
   }
+
+  /** Deterministic epoch shuffle + token-budget cut: documents take a
+    * pseudo-random but fully reproducible order (md5-hash of the id,
+    * seeded — a different seed is a different epoch), and the epoch keeps
+    * the prefix of that order whose cumulative token count fits `budget`.
+    * Both the global rank and the running token total come from the same
+    * distributed prefix-sum layout as [[packGreedy]], with the hash value
+    * itself as the static bucket key (uniform by construction — no
+    * range sampling, no skew): per-bucket sums aggregate map-side, the
+    * small bucket table is windowed once, offsets broadcast back.
+    *
+    * Output: (id, epoch_rank, cum_tokens, kept) — the epoch manifest a
+    * trainer materializes or streams from.
+    */
+  def epochSample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      seed: Int = 0): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    // 60-bit hash → 2¹⁶ static buckets of width 2⁴⁴
+    val h = graft.ext.Dedup.stableHash(col(idCol).cast("string"), seed)
+    val rows = docs.select(
+      col(idCol).as("id"), col(weightCol).cast("long").as("w"), h.as("h"),
+      graft.ext.ExactMath.floorDiv(h, lit(1L << 44)).as("b"))
+    val offsets = rows
+      .groupBy("b")
+      .agg(sum(col("w")).as("bsum"), count(lit(1)).as("bcnt"))
+      .withColumn("woff",
+        coalesce(
+          sum(col("bsum")).over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("roff",
+        coalesce(
+          sum(col("bcnt")).over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("bsum", "bcnt")
+    val local = Window.partitionBy("b").orderBy(col("h"), col("id"))
+    rows
+      .join(broadcast(offsets), "b")
+      .withColumn("cum_tokens", col("woff") + sum(col("w")).over(local))
+      .withColumn("epoch_rank", col("roff") + row_number().over(local))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .select(col("id").as(idCol), col("epoch_rank").cast("long").as("epoch_rank"),
+        col("cum_tokens"), col("kept"))
+  }
 }

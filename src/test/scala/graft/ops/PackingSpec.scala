@@ -46,4 +46,32 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("partitionBy=[b#") || plan.contains("windowspecdefinition(b#"),
       plan)
   }
+
+  test("epochSample: seeded permutation, exact prefix sums, budget cut") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i % 7) + 1L)).toDF("doc_id", "w")
+    val out = Packing.epochSample(docs, "doc_id", "w", budget = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // ranks are a permutation of 1..n
+    assert(out.map(_._2).sorted.toSeq === (1L to 200L).toSeq)
+    // cum at rank r equals the sum of weights of ranks 1..r (exact cumsum
+    // across bucket boundaries)
+    val byRank = out.sortBy(_._2)
+    val weights = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var running = 0L
+    byRank.foreach { case (id, _, cum, kept) =>
+      running += weights(id)
+      assert(cum === running, s"cum mismatch at doc $id")
+      assert(kept === (cum <= 100L))
+    }
+    // kept rows are exactly the order prefix
+    val keptRanks = out.filter(_._4).map(_._2)
+    assert(keptRanks.sorted.toSeq === (1L to keptRanks.length).toSeq)
+    // another seed is a different epoch order
+    val other = Packing.epochSample(docs, "doc_id", "w", 100L, seed = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val same = out.count { case (id, rk, _, _) => other(id) == rk }
+    assert(same < 50, s"epochs should differ, $same/200 ranks identical")
+  }
 }
