@@ -731,6 +731,48 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
       graft.ops.Packing.epochSample(docs, "doc_id", "n_tokens", budget = 30000L)
     },
+    // Bloom-filter join pruning: filter built from the small (filtered
+    // dim) side, broadcast, probe pruned map-side BEFORE any shuffle — the
+    // one-row report shows admitted vs true matches vs false positives.
+    "q88_bloom_prune" -> { (s, dir) =>
+      graft.ext.Sketches.bloomPruneStats(
+        Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING"), "c_custkey",
+        Tables.orders(s, dir), "o_custkey", m = 2048, k = 3)
+    },
+    // Count-min heavy hitters: mergeable depth×width integer sketch over
+    // the token stream; exact top-20 vs sketch estimate (one-sided error).
+    "q89_cms_heavy_hitters" -> { (s, dir) =>
+      import graft.ext.Sketches
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .where(length(col("token")) > 0)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      val sketch = Sketches.cmsBuild(toks, "token", depth = 4, width = 1024)
+      top.join(Sketches.cmsEstimate(top.select("token"), "token", sketch, 4, 1024), "token")
+        .select(col("token"), col("exact_cnt"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact_cnt")).as("overestimate"))
+    },
+    // HLL distinct registers over orders.o_custkey: bucket = h mod m,
+    // register = max trailing-zero rank — the mergeable distinct-count
+    // state (m rows, groupBy-max, map-side combined).
+    "q90_hll_registers" -> { (s, dir) =>
+      graft.ext.Sketches.hllRegisters(Tables.orders(s, dir), "o_custkey", m = 64)
+    },
+    // Incremental rollup maintenance: decimal-exact partial state per key,
+    // batch folded in by the same merge that combined shards; report
+    // derives the mean at read time. merge(state, batch) == full recompute
+    // is the oracle.
+    "q91_incremental_rollup" -> { (s, dir) =>
+      import graft.state.IncrementalAgg
+      val orders = Tables.orders(s, dir)
+      val cutoff = lit("2000-01-01").cast("timestamp")
+      val keys = Seq("o_orderpriority")
+      val merged = IncrementalAgg.merge(keys,
+        IncrementalAgg.partial(orders.where(col("o_orderdate") < cutoff), keys, "o_totalprice"),
+        IncrementalAgg.partial(orders.where(col("o_orderdate") >= cutoff), keys, "o_totalprice"))
+      IncrementalAgg.report(merged, keys)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -2297,6 +2339,59 @@ object SparkEntry {
          |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
          |       cum_tokens <= 30000 AS kept
          |FROM o""".stripMargin,
+    "q88_bloom_prune" ->
+      """WITH bk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS bkey
+        |            FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |bits AS (SELECT DISTINCT
+        |           CAST(('0x'||substr(md5(bkey||'#'||CAST(31+i AS VARCHAR)),1,15)) AS BIGINT) % 2048 AS bit
+        |         FROM bk, range(3) t(i)),
+        |pb AS (SELECT o_orderkey,
+        |              CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'#'||CAST(31+i AS VARCHAR)),1,15)) AS BIGINT) % 2048 AS bit
+        |       FROM orders, range(3) t(i)),
+        |pass AS (SELECT o_orderkey FROM pb JOIN bits USING (bit)
+        |         GROUP BY o_orderkey HAVING count(*) = 3),
+        |ex AS (SELECT count(*) AS exact_matches FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        |SELECT CAST(2048 AS BIGINT) AS m, CAST(3 AS BIGINT) AS k,
+        |       (SELECT count(*) FROM bits) AS bits_set,
+        |       (SELECT count(*) FROM orders) AS probe_rows,
+        |       (SELECT count(*) FROM pass) AS bloom_pass,
+        |       exact_matches,
+        |       (SELECT count(*) FROM pass) - exact_matches AS false_positives
+        |FROM ex""".stripMargin,
+    "q89_cms_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tok AS (SELECT token FROM t WHERE len(token) > 0),
+        |top AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token
+        |        ORDER BY exact_cnt DESC, token LIMIT 20),
+        |sk AS (SELECT i AS row_i,
+        |              CAST(('0x'||substr(md5(token||'#'||CAST(41+i AS VARCHAR)),1,15)) AS BIGINT) % 1024 AS pos,
+        |              count(*) AS c
+        |       FROM tok, range(4) r(i) GROUP BY 1, 2),
+        |est AS (SELECT q.token, min(sk.c) AS cms_estimate
+        |        FROM (SELECT token, i,
+        |                CAST(('0x'||substr(md5(token||'#'||CAST(41+i AS VARCHAR)),1,15)) AS BIGINT) % 1024 AS pos
+        |              FROM top, range(4) r(i)) q
+        |        JOIN sk ON sk.row_i = q.i AND sk.pos = q.pos
+        |        GROUP BY q.token)
+        |SELECT top.token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+        |       CAST(cms_estimate - exact_cnt AS BIGINT) AS overestimate
+        |FROM top JOIN est USING (token)""".stripMargin,
+    "q90_hll_registers" ->
+      s"""WITH h AS (SELECT ${dkHash("CAST(o_custkey AS VARCHAR)", 17)} AS h FROM orders),
+         |b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h),
+         |z AS (SELECT bucket,
+         |             least(length(bin(rest)) - length(rtrim(bin(rest), '0')) + 1, 55) AS rho
+         |      FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(rho) AS BIGINT) AS max_rho
+         |FROM z GROUP BY bucket""".stripMargin,
+    "q91_incremental_rollup" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q84_bpe_merge_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),

@@ -1,0 +1,226 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for 100 TB-scale pipelines: Bloom-filter join
+  * pruning, count–min heavy-hitter estimation, and HyperLogLog-style
+  * distinct registers. All three share one design:
+  *
+  *   - the sketch STATE is a small DataFrame (≤ a few thousand rows) built
+  *     with plain hash-aggregations — partial aggregation combines map-side,
+  *     so building over 100 TB shuffles only (cell, partial) pairs, never
+  *     data rows;
+  *   - the state is associative + commutative (bit-union / cell-sum /
+  *     register-max), so shards sketch independently and merge by the same
+  *     groupBy — the incremental / distributed-build path is the same code;
+  *   - probing broadcasts the sketch and stays map-side: the big side is
+  *     never shuffled (the whole point of a Bloom prune before a join);
+  *   - hashing is `Dedup.stableHash` (md5-prefix), so every bit position,
+  *     cell index and register value is reproducible in any engine — the
+  *     DuckDB oracle recomputes the sketches from scratch and hash-matches.
+  *
+  * Production note: Spark's own runtime Bloom pruning
+  * (`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) and
+  * `df.stat.bloomFilter` cover the adaptive case; this module is for when
+  * the filter must be *persisted, merged across runs, or replayed
+  * deterministically* (e.g. an incremental ingest gate), which the
+  * engine-internal sketches don't expose.
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------
+  // Bloom filter
+  // ------------------------------------------------------------------
+
+  /** The k bit positions of a key: pos_i = stableHash(key, seed+i) mod m. */
+  def bloomBits(
+      key: Column, m: Int, k: Int, seed: Int = 31, portable: Boolean = true): Column =
+    array((0 until k).map(i =>
+      pmod(Dedup.stableHash(key.cast("string"), seed + i, portable), lit(m.toLong))): _*)
+
+  /** Build the filter over the (small) build side: the distinct set bits,
+    * one row each — ≤ m rows regardless of input size, mergeable by
+    * `union.distinct`. Stored as rows (not a packed bitmask) so the state
+    * is engine-portable and trivially mergeable; pack into a bitmask
+    * `Expression` only if the broadcast ever measures as the bottleneck
+    * (m is a few KB — it won't).
+    */
+  def bloomBuild(
+      build: DataFrame,
+      keyCol: String,
+      m: Int,
+      k: Int,
+      seed: Int = 31,
+      portable: Boolean = true): DataFrame =
+    build
+      .select(col(keyCol).cast("string").as("__k")).distinct()
+      .select(explode(bloomBits(col("__k"), m, k, seed, portable)).as("bloom_bit"))
+      .distinct()
+
+  /** Keep only probe rows whose key MIGHT be in the filter (all k bits
+    * set). The filter collapses to ONE array row, is broadcast, and the
+    * predicate runs map-side — the probe side is never shuffled. False
+    * positives pass (by design); follow with the exact join.
+    */
+  def bloomPrune(
+      probe: DataFrame,
+      keyCol: String,
+      bloom: DataFrame,
+      m: Int,
+      k: Int,
+      seed: Int = 31,
+      portable: Boolean = true): DataFrame = {
+    val set = bloom.agg(sort_array(collect_set(col("bloom_bit"))).as("__bits"))
+    probe
+      .crossJoin(broadcast(set))
+      .where(forall(bloomBits(col(keyCol), m, k, seed, portable),
+        b => array_contains(col("__bits"), b)))
+      .drop("__bits")
+  }
+
+  /** One-row effectiveness report for a bloom-pruned join: how many probe
+    * rows the filter admits vs how many truly match — the number a 100 TB
+    * operator needs before deciding to ship the filter to the scan.
+    */
+  def bloomPruneStats(
+      build: DataFrame,
+      buildKey: String,
+      probe: DataFrame,
+      probeKey: String,
+      m: Int,
+      k: Int,
+      seed: Int = 31,
+      portable: Boolean = true): DataFrame = {
+    val bloom = bloomBuild(build, buildKey, m, k, seed, portable)
+    val pruned = bloomPrune(probe, probeKey, bloom, m, k, seed, portable)
+    val exact = probe.join(
+      build.select(col(buildKey).as(probeKey)).distinct(), Seq(probeKey), "left_semi")
+    bloom.agg(count(lit(1)).as("bits_set"))
+      .crossJoin(probe.agg(count(lit(1)).as("probe_rows")))
+      .crossJoin(pruned.agg(count(lit(1)).as("bloom_pass")))
+      .crossJoin(exact.agg(count(lit(1)).as("exact_matches")))
+      .select(
+        lit(m.toLong).as("m"), lit(k.toLong).as("k"),
+        col("bits_set"), col("probe_rows"), col("bloom_pass"), col("exact_matches"),
+        (col("bloom_pass") - col("exact_matches")).as("false_positives"))
+  }
+
+  // ------------------------------------------------------------------
+  // Count–min sketch
+  // ------------------------------------------------------------------
+
+  /** Build a depth×width count–min sketch over an item column: cell
+    * (row_i, pos) sums the counts of every item hashing there. Items are
+    * pre-counted (one map-side-combined shuffle on the item), then the ≤
+    * depth·width cells aggregate — the sketch never exceeds depth·width
+    * rows and merges with another sketch by summing matching cells.
+    */
+  def cmsBuild(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int,
+      seed: Int = 41,
+      portable: Boolean = true): DataFrame = {
+    val counts = items
+      .groupBy(col(itemCol).cast("string").as("__item"))
+      .agg(count(lit(1)).as("__cnt"))
+    counts
+      .select(explode(array((0 until depth).map(i => struct(
+          lit(i).as("row_i"),
+          pmod(Dedup.stableHash(col("__item"), seed + i, portable), lit(width.toLong))
+            .as("pos"))): _*)).as("__cell"),
+        col("__cnt"))
+      .groupBy(col("__cell.row_i").as("row_i"), col("__cell.pos").as("pos"))
+      .agg(sum(col("__cnt")).cast("long").as("c"))
+  }
+
+  /** Merge two count–min sketches built with the same (depth, width, seed). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row_i", "pos").agg(sum(col("c")).cast("long").as("c"))
+
+  /** Point-estimate each query item against the sketch: min over the depth
+    * cells the item hashes to (the classic one-sided overestimate). The
+    * sketch is broadcast; estimation is a map-side join + a groupBy on the
+    * item only.
+    */
+  def cmsEstimate(
+      queryItems: DataFrame,
+      itemCol: String,
+      sketch: DataFrame,
+      depth: Int,
+      width: Int,
+      seed: Int = 41,
+      portable: Boolean = true): DataFrame =
+    queryItems
+      .select(col(itemCol), explode(array((0 until depth).map(i => struct(
+        lit(i).as("row_i"),
+        pmod(Dedup.stableHash(col(itemCol).cast("string"), seed + i, portable),
+          lit(width.toLong)).as("pos"))): _*)).as("__cell"))
+      .join(broadcast(sketch),
+        col("__cell.row_i") === sketch("row_i") && col("__cell.pos") === sketch("pos"))
+      .groupBy(col(itemCol))
+      .agg(min(col("c")).as("cms_estimate"))
+
+  // ------------------------------------------------------------------
+  // HyperLogLog registers
+  // ------------------------------------------------------------------
+
+  /** Trailing-zero count of a non-negative long via its binary string —
+    * integer-exact and identical in Spark and DuckDB (`bin` + `rtrim`),
+    * unlike float log2.
+    */
+  private def trailingZeros(c: Column): Column =
+    length(bin(c)) - length(rtrim(bin(c), "0"))
+
+  /** HLL register table over a key column: bucket = h mod m, and the
+    * register keeps max(rho) where rho−1 is the trailing-zero count of the
+    * remaining hash bits (Flajolet's geometric observable). m rows max; a
+    * groupBy-max, so partial aggregation combines map-side and two
+    * register tables merge with [[hllMerge]]. Use
+    * `approx_count_distinct` when only Spark needs the answer; this
+    * variant exists for persisted / cross-engine / mergeable state.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      keyCol: String,
+      m: Int,
+      seed: Int = 17,
+      portable: Boolean = true): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val h = Dedup.stableHash(col(keyCol).cast("string"), seed, portable)
+    df
+      .select(pmod(h, lit(m.toLong)).as("bucket"),
+        ExactMath.floorDiv(h, lit(m.toLong)).as("__rest"))
+      .select(col("bucket"),
+        least(trailingZeros(col("__rest")) + lit(1), lit(55)).as("__rho"))
+      .groupBy("bucket")
+      .agg(max(col("__rho")).cast("long").as("max_rho"))
+  }
+
+  /** Merge register tables (register-wise max) — the multi-shard /
+    * incremental path.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max(col("max_rho")).cast("long").as("max_rho"))
+
+  /** Cardinality estimate from a register table (standard HLL harmonic
+    * mean with the small-m alpha constants). The register table is
+    * sketch-scale (m rows) by construction — collecting it is the point
+    * of a sketch.
+    */
+  def hllEstimate(registers: DataFrame, m: Int): Double = {
+    val regs = registers.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val harmonicSum = (0L until m.toLong).map(b =>
+      math.pow(2.0, -regs.getOrElse(b, 0L).toDouble)).sum
+    alpha * m * m / harmonicSum
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- Bloom ----------------
+
+  test("bloom: no false negatives, pruning precedes the exact join") {
+    val build = (1L to 50L).map(i => i * 7).toDF("k")
+    val probe = (1L to 1000L).toDF("k")
+    val bloom = Sketches.bloomBuild(build, "k", m = 256, k = 3)
+    val pruned = Sketches.bloomPrune(probe, "k", bloom, m = 256, k = 3)
+    val passed = pruned.select("k").as[Long].collect().toSet
+    // every true member passes (bloom guarantee)
+    (1L to 50L).map(_ * 7).filter(_ <= 1000).foreach(m => assert(passed.contains(m)))
+    // the filter actually prunes (some non-members rejected)
+    assert(passed.size < 1000)
+    // prune + exact join == exact join (false positives are removed by the join)
+    val viaBloom = pruned.join(build.withColumnRenamed("k", "bk"),
+      col("k") === col("bk"), "left_semi").as[Long].collect().sorted
+    val direct = probe.join(build.withColumnRenamed("k", "bk"),
+      col("k") === col("bk"), "left_semi").as[Long].collect().sorted
+    assert(viaBloom.toSeq === direct.toSeq)
+  }
+
+  test("bloom: build state is mergeable and bounded by m") {
+    val a = (1L to 400L).toDF("k")
+    val b = (300L to 700L).toDF("k")
+    val merged = Sketches.bloomBuild(a, "k", 128, 3)
+      .union(Sketches.bloomBuild(b, "k", 128, 3)).distinct()
+    val whole = Sketches.bloomBuild(a.union(b), "k", 128, 3)
+    assert(merged.as[Long].collect().sorted.toSeq ===
+      whole.as[Long].collect().sorted.toSeq)
+    assert(whole.count() <= 128)
+  }
+
+  test("bloom: probe plan broadcasts the filter and keeps the probe unshuffled") {
+    val build = (1L to 50L).toDF("k")
+    val probe = (1L to 1000L).toDF("k")
+    val bloom = Sketches.bloomBuild(build, "k", 256, 3)
+    val plan = Sketches.bloomPrune(probe, "k", bloom, 256, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  // ---------------- Count–min ----------------
+
+  test("cms: estimates never underestimate and match exact for heavy items") {
+    val items = Seq.fill(500)("alpha") ++ Seq.fill(200)("beta") ++
+      (1 to 300).map(i => s"tail$i")
+    val df = items.toDF("item")
+    val sketch = Sketches.cmsBuild(df, "item", depth = 4, width = 512)
+    val exact = df.groupBy("item").count()
+    val est = Sketches.cmsEstimate(exact.select("item"), "item", sketch, 4, 512)
+      .withColumnRenamed("cms_estimate", "est")
+    val joined = exact.join(est, "item")
+      .select($"item", $"count", $"est").collect()
+    joined.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"underestimate for ${r.getString(0)}")
+    }
+    // sketch is bounded
+    assert(sketch.count() <= 4 * 512)
+    // heavy hitters dominate their cells: estimate exact at this load factor
+    val heavy = joined.filter(r => r.getString(0) == "alpha").head
+    assert(heavy.getLong(2) - heavy.getLong(1) < 10)
+  }
+
+  test("cms: merge of shard sketches equals the whole-corpus sketch") {
+    val a = (Seq.fill(100)("x") ++ Seq.fill(50)("y")).toDF("item")
+    val b = (Seq.fill(30)("y") ++ Seq.fill(70)("z")).toDF("item")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(a, "item", 4, 64), Sketches.cmsBuild(b, "item", 4, 64))
+    val whole = Sketches.cmsBuild(a.union(b), "item", 4, 64)
+    val m = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m === w)
+  }
+
+  // ---------------- HLL ----------------
+
+  test("hll: estimate within 20% of exact, registers mergeable") {
+    val df = (1L to 5000L).toDF("k")
+    val regs = Sketches.hllRegisters(df, "k", m = 64)
+    assert(regs.count() <= 64)
+    val est = Sketches.hllEstimate(regs, 64)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.2, s"estimate $est")
+    // register-max merge of two halves == whole-corpus registers
+    val left = Sketches.hllRegisters((1L to 2500L).toDF("k"), "k", 64)
+    val right = Sketches.hllRegisters((2000L to 5000L).toDF("k"), "k", 64)
+    val merged = Sketches.hllMerge(left, right).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = regs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+  }
+
+  test("hll: duplicate-insensitive (set semantics)") {
+    val once = (1L to 1000L).toDF("k")
+    val thrice = ((1L to 1000L) ++ (1L to 1000L) ++ (1L to 1000L)).toDF("k")
+    val a = Sketches.hllRegisters(once, "k", 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sketches.hllRegisters(thrice, "k", 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
