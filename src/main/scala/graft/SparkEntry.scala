@@ -773,6 +773,16 @@ object SparkEntry {
         IncrementalAgg.partial(orders.where(col("o_orderdate") >= cutoff), keys, "o_totalprice"))
       IncrementalAgg.report(merged, keys)
     },
+    // Mergeable quantile sketch: the q61 equi-width histogram as sketch
+    // state, quantiles read off the cumulative bin table with in-bin
+    // interpolation — the deterministic scale path where q64's exact
+    // array percentile can't run (error ≤ one bin width).
+    "q92_quantile_sketch" -> { (s, dir) =>
+      import graft.analyze.Profiler
+      val sketch = Profiler.histogram(
+        Tables.orders(s, dir), "o_totalprice", 0.0, 500000.0, 50)
+      Profiler.quantileEstimate(sketch, Seq(0.5, 0.9, 0.99))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -2392,6 +2402,29 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q92_quantile_sketch" ->
+      """WITH b AS (SELECT
+        |    CAST(LEAST(GREATEST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 10000.0),
+        |                        0.0), 49.0) AS INT) AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |h AS (SELECT bucket,
+        |        0.0 + CAST(bucket AS DOUBLE) * 10000.0 AS lo_v,
+        |        0.0 + CAST(bucket + 1 AS DOUBLE) * 10000.0 AS hi_v,
+        |        COUNT(*) AS n
+        |      FROM b GROUP BY bucket),
+        |c AS (SELECT *,
+        |        SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_before,
+        |        SUM(n) OVER () AS total
+        |      FROM h),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+        |SELECT p, bucket,
+        |       CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) AS rnk,
+        |       lo_v + (CAST(CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) - cum_before AS DOUBLE)
+        |               / CAST(n AS DOUBLE)) * (hi_v - lo_v) AS est
+        |FROM q, c
+        |WHERE cum >= CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT)
+        |  AND cum_before < CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT)""".stripMargin,
     "q84_bpe_merge_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),

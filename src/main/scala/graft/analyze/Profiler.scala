@@ -91,4 +91,44 @@ object Profiler {
       .withColumn("hi_v", lit(lo) + (col("bucket") + 1).cast("double") * lit(width))
       .select("bucket", "lo_v", "hi_v", "n", "sum_v")
   }
+
+  /** Merge equi-width histogram states built with the same (lo, hi,
+    * nBuckets) — bin-wise sums, so [[histogram]] doubles as a MERGEABLE
+    * quantile sketch: shards histogram independently, merge, then read
+    * quantiles off the merged state with [[quantileEstimate]].
+    */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("bucket", "lo_v", "hi_v")
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("n"),
+        sum(col("sum_v")).cast("double").as("sum_v"))
+
+  /** p-quantile estimates from a histogram state: find the bin holding the
+    * ⌈p·n⌉-th value via a cumulative sum over the (nBuckets-row) bin
+    * table, then interpolate uniformly within the bin. Error is bounded by
+    * one bin width — the deterministic, mergeable scale path where
+    * [[percentiles]]' exact value buffer can't run and approx_percentile's
+    * t-digest isn't reproducible across engines. All arithmetic is
+    * integer ranks + single-op IEEE doubles (engine-portable).
+    */
+  def quantileEstimate(sketch: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "quantileEstimate needs ps in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // global window + crossJoin are sketch-scale (nBuckets rows) by design
+    val cum = sketch
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("n"))
+      .crossJoin(broadcast(sketch.agg(sum(col("n")).as("total"))))
+    cum
+      .select(explode(typedlit(ps)).as("p"), col("*"))
+      .withColumn("rnk", ceil(col("p") * col("total").cast("double")))
+      .where(col("cum") >= col("rnk") && col("cum_before") < col("rnk"))
+      .select(col("p"), col("bucket"), col("rnk"),
+        (col("lo_v") +
+          ((col("rnk") - col("cum_before")).cast("double") / col("n").cast("double")) *
+            (col("hi_v") - col("lo_v"))).as("est"))
+  }
 }

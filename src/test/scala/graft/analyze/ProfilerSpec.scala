@@ -51,4 +51,24 @@ class ProfilerSpec extends SparkSpec {
     assert(out(0)._2 === 0.0 && out(0)._3 === 5.0)
     assert(out(1)._2 === 5.0 && out(1)._3 === 10.0)
   }
+
+  test("quantile sketch: estimates within one bin width of exact, mergeable") {
+    import spark.implicits._
+    val values = (1 to 10000).map(_.toDouble)
+    val df = values.toDF("x")
+    val sketch = Profiler.histogram(df, "x", lo = 0.0, hi = 10000.0, nBuckets = 100)
+    val est = Profiler.quantileEstimate(sketch, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[Double]("est")).toMap
+    val binWidth = 100.0
+    Seq(0.5 -> 5000.0, 0.9 -> 9000.0, 0.99 -> 9900.0).foreach { case (p, exact) =>
+      assert(math.abs(est(p) - exact) <= binWidth, s"p=$p est=${est(p)}")
+    }
+    // shard-and-merge == whole-corpus sketch (the distributed/incremental path)
+    val left = Profiler.histogram(values.take(6000).toDF("x"), "x", 0.0, 10000.0, 100)
+    val right = Profiler.histogram(values.drop(6000).toDF("x"), "x", 0.0, 10000.0, 100)
+    val merged = Profiler.histogramMerge(left, right)
+    val mergedEst = Profiler.quantileEstimate(merged, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[Double]("est")).toMap
+    assert(mergedEst === est)
+  }
 }
