@@ -783,6 +783,47 @@ object SparkEntry {
         Tables.orders(s, dir), "o_totalprice", 0.0, 500000.0, 50)
       Profiler.quantileEstimate(sketch, Seq(0.5, 0.9, 0.99))
     },
+    // Semantic dedup, the SemDeDup layout: k-means cells bound the pairwise
+    // stage, exact cosine within cells only, CC picks one keeper per
+    // semantic cluster. The embedding-space twin of q44's text near-dup.
+    "q93_semantic_dedup" -> { (s, dir) =>
+      graft.ext.Similarity.semanticDedup(Tables.embeddings(s, dir), tau = 0.3)
+    },
+    // Hard-negative mining for contrastive training: trained-IVF probe path,
+    // top-5 most-similar DIFFERENT-label neighbours per vector.
+    "q94_hard_negatives" -> { (s, dir) =>
+      graft.ext.Similarity.hardNegatives(Tables.embeddings(s, dir), k = 5)
+    },
+    // Snapshot drift report: language-mix shift between two corpus freezes
+    // (hash-derived 80%/80% overlapping slices), integer-exact
+    // cross-multiplied drift numerator — the promote-or-rollback gate.
+    "q95_distribution_drift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val b = pmod(graft.ext.Dedup.stableHash(col("doc_id").cast("string"), 0), lit(100L))
+      graft.ext.Drift.distributionDrift(
+        docs.filter(b < 80), docs.filter(b >= 20), "lang")
+    },
+    // Row-level snapshot diff by content digest: added / removed / changed /
+    // unchanged per document between the same two slices (the "new" side
+    // deterministically rewrites every 7th bucket to exercise `changed`).
+    "q96_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("b",
+          pmod(graft.ext.Dedup.stableHash(col("doc_id").cast("string"), 0), lit(100L)))
+      val oldSnap = docs.filter(col("b") < 80).select("doc_id", "text", "lang")
+      val newSnap = docs.filter(col("b") >= 20)
+        .select(col("doc_id"),
+          when(pmod(col("b"), lit(7L)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+      graft.ext.Drift.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+    },
+    // Char-trigram Simpson diversity: the log-free perplexity proxy —
+    // integer-exact Σc² concentration per document, one IEEE division at
+    // the end.
+    "q97_trigram_diversity" -> { (s, dir) =>
+      graft.ext.TextAnalysis.trigramDiversity(Tables.documents(s, dir))
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -1338,7 +1379,13 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= $topk""".stripMargin
   }
 
-  private def ivfTrainedOracle: String = {
+  /** The q54 two-iteration k-means training + assignment as a reusable CTE
+    * chain: ends at `cells` (every vector × cell, ranked by cosine) and
+    * `assigned` (the argmax cell per vector). Shared by the trained-IVF,
+    * semantic-dedup, and hard-negative oracles — one derivation, three
+    * replays.
+    */
+  private def kmeansAssignCtes: String = {
     val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
     val dotPC = "list_sum(list_transform(list_zip(p.embedding, c.cvec), " +
       "x -> CAST(x[1] AS DOUBLE)*x[2]))"
@@ -1361,7 +1408,7 @@ object SparkEntry {
          |                    ELSE sqrt(list_sum(list_transform(m.cvec, x -> x*x)))
          |               END AS cnrm
          |        FROM $prevC p LEFT JOIN m$n m USING (cell))""".stripMargin
-    s"""WITH prep AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
+    s"""prep AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
        |ck AS (SELECT vec_id, embedding, nrm,
        |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
        |       FROM prep),
@@ -1377,7 +1424,11 @@ object SparkEntry {
        |                 ROW_NUMBER() OVER (PARTITION BY vec_id
        |                   ORDER BY score DESC, cell ASC) AS crn
        |          FROM sf),
-       |assigned AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
+       |assigned AS (SELECT vec_id, cell FROM cells WHERE crn = 1)""".stripMargin
+  }
+
+  private def ivfTrainedOracle: String =
+    s"""WITH $kmeansAssignCtes,
        |probed AS (SELECT vec_id, cell FROM cells WHERE crn <= 2),
        |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
        |         FROM probed p JOIN assigned a USING (cell) WHERE p.vec_id <> a.vec_id),
@@ -1390,7 +1441,54 @@ object SparkEntry {
        |           FROM scored)
        |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
-  }
+
+  /** DuckDB replay of q93: the q54 k-means assignment, exact cosine over
+    * intra-cell pairs at τ ≥ 0.3, transitive closure for the semantic
+    * clusters, min-id canonical — the SemDeDup recipe end to end.
+    */
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE $kmeansAssignCtes,
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |          FROM assigned a JOIN assigned b
+       |            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |sc AS (SELECT id_a, id_b FROM pairs
+       |       JOIN embeddings ea ON ea.vec_id = id_a
+       |       JOIN embeddings eb ON eb.vec_id = id_b
+       |       WHERE ROUND(${dkCosine("ea", "eb")}, 4) >= 0.3),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM sc
+       |          UNION ALL SELECT id_b, id_a FROM sc),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+       |lab AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+       |SELECT a.vec_id, a.cell,
+       |       COALESCE(l.canonical, a.vec_id) AS cluster_id,
+       |       COALESCE(l.canonical = a.vec_id, TRUE) AS keep
+       |FROM assigned a LEFT JOIN lab l ON l.id = a.vec_id""".stripMargin
+
+  /** DuckDB replay of q94: the trained-IVF probe path with the label
+    * inequality applied before ranking — top-5 different-label neighbours.
+    */
+  private def hardNegativesOracle: String =
+    s"""WITH $kmeansAssignCtes,
+       |probed AS (SELECT vec_id, cell FROM cells WHERE crn <= 2),
+       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |         FROM probed p JOIN assigned a USING (cell) WHERE p.vec_id <> a.vec_id),
+       |scored AS (SELECT query_id, q.label AS query_label,
+       |                  neighbor_id, c.label AS neighbor_label,
+       |                  ${dkCosine("q", "c")} AS cos
+       |           FROM cand JOIN embeddings q ON q.vec_id = query_id
+       |                     JOIN embeddings c ON c.vec_id = neighbor_id
+       |           WHERE q.label <> c.label),
+       |ranked AS (SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |       ROUND(cos, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** DuckDB mirror of the q38 near-dup pipeline: same portable hashes, same
     * 16-hash/4-band layout, same candidate semi-join before the Jaccard
@@ -2425,6 +2523,55 @@ object SparkEntry {
         |FROM q, c
         |WHERE cum >= CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT)
         |  AND cum_before < CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT)""".stripMargin,
+    "q93_semantic_dedup" -> semanticDedupOracle,
+    "q94_hard_negatives" -> hardNegativesOracle,
+    "q95_distribution_drift" ->
+      s"""WITH base AS (SELECT lang,
+         |    ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b FROM documents),
+         |r AS (SELECT lang AS key, COUNT(*) AS n_ref FROM base WHERE b < 80 GROUP BY 1),
+         |c AS (SELECT lang AS key, COUNT(*) AS n_cur FROM base WHERE b >= 20 GROUP BY 1),
+         |j AS (SELECT COALESCE(r.key, c.key) AS key,
+         |             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |      FROM r FULL OUTER JOIN c ON r.key = c.key),
+         |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j)
+         |SELECT key, n_ref, n_cur,
+         |       ROUND(CAST(n_ref AS DOUBLE) / t_ref, 6) AS share_ref,
+         |       ROUND(CAST(n_cur AS DOUBLE) / t_cur, 6) AS share_cur,
+         |       CAST(abs(CAST(n_ref AS HUGEINT) * t_cur
+         |                - CAST(n_cur AS HUGEINT) * t_ref) AS BIGINT) AS drift_num
+         |FROM j CROSS JOIN t""".stripMargin,
+    "q96_snapshot_diff" ->
+      s"""WITH base AS (SELECT doc_id, text, lang,
+         |    ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b FROM documents),
+         |o AS (SELECT doc_id, md5(concat_ws('', text, lang)) AS d_old
+         |      FROM base WHERE b < 80),
+         |n AS (SELECT doc_id,
+         |             md5(concat_ws('',
+         |               CASE WHEN b % 7 = 0 THEN text || ' v2' ELSE text END,
+         |               lang)) AS d_new
+         |      FROM base WHERE b >= 20),
+         |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, d_old, d_new
+         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT doc_id,
+         |       CASE WHEN d_old IS NULL THEN 'added'
+         |            WHEN d_new IS NULL THEN 'removed'
+         |            WHEN d_old <> d_new THEN 'changed'
+         |            ELSE 'unchanged' END AS status
+         |FROM j""".stripMargin,
+    "q97_trigram_diversity" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, greatest(length(txt) - 2, 0) + 1),
+        |               i -> substr(txt, CAST(i AS INT), 3))) AS gram
+        |      FROM t),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |       COUNT(*) AS n_distinct,
+        |       CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS simpson_num,
+        |       ROUND(1.0 - CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6) AS diversity
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q84_bpe_merge_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus versioning diagnostics: what changed between two snapshots of the
+  * same dataset — row-level membership/content diff and key-distribution
+  * drift. The monitoring primitives a training-data pipeline runs before
+  * promoting a new corpus freeze (did the language mix shift? how many
+  * documents were silently rewritten?).
+  *
+  * Both operators are single full-outer equi-joins over per-key aggregates —
+  * hash-partitioned, map-side combined, no broadcast of either snapshot —
+  * so they run at any corpus size.
+  */
+object Drift {
+
+  /** Row-level snapshot diff by content digest: one row per id present in
+    * either snapshot, classified added / removed / changed / unchanged.
+    * The digest folds the listed payload columns (order-sensitive,
+    * null-safe via a reserved separator), so "changed" means any payload
+    * column differs, not just presence.
+    *
+    * Scale: each side reduces to (id, 32-byte digest) at the scan — the
+    * join never carries payloads — and the full-outer join shuffles on id.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, payloadCols: Seq[String]): DataFrame = {
+    def digested(df: DataFrame, alias: String): DataFrame =
+      df.select(
+        col(idCol).as("id"),
+        md5(concat_ws("", payloadCols.map(c => col(c).cast("string")): _*))
+          .as(alias))
+    digested(oldSnap, "digest_old")
+      .join(digested(newSnap, "digest_new"), Seq("id"), "full_outer")
+      .select(
+        col("id").as(idCol),
+        when(col("digest_old").isNull, "added")
+          .when(col("digest_new").isNull, "removed")
+          .when(col("digest_old") =!= col("digest_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Distribution drift of a categorical key between a reference and a
+    * current snapshot: per-key counts from both sides, the key's share in
+    * each, and an integer-exact drift numerator
+    * |n_ref·total_cur − n_cur·total_ref| (the total-variation-distance
+    * term before its constant 1/(2·total_ref·total_cur) factor). The
+    * cross-multiplied form keeps the comparison-grade quantity in exact
+    * integer arithmetic — no float on the ranking path; the share columns
+    * are each ONE IEEE division (deterministic in any engine) rounded for
+    * display.
+    *
+    * Scale: two map-side-combined counts (|keys| rows each), one
+    * broadcast-sized totals row, one full-outer join on the key. At
+    * extreme row counts swap the BIGINT output for DECIMAL(38,0) — the
+    * internal product is computed in decimal already.
+    */
+  def distributionDrift(
+      ref: DataFrame, cur: DataFrame, keyCol: String): DataFrame = {
+    val r = ref.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        col("key"), col("n_ref"), col("n_cur"),
+        round(col("n_ref").cast("double") / col("t_ref"), 6).as("share_ref"),
+        round(col("n_cur").cast("double") / col("t_cur"), 6).as("share_cur"),
+        abs(
+          col("n_ref").cast("decimal(38,0)") * col("t_cur").cast("decimal(38,0)") -
+            col("n_cur").cast("decimal(38,0)") * col("t_ref").cast("decimal(38,0)"))
+          .cast("long").as("drift_num"))
+  }
+}

@@ -191,6 +191,17 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    ivfSearch(prep, trainCentroids(prep, nlist, iters), k, nprobe)
+  }
+
+  /** Lloyd's iterations over a `prepared` frame, returning the trained
+    * (centroid, norm) quantizer. Each round is one distributed pass (argmax
+    * assignment map-side, per-(cell,pos) integer sums — floor(x·2²⁰) makes
+    * the means exact across engines); only nlist×dim aggregates reach the
+    * driver. Shared by [[ivfTrainedTopK]] and [[semanticDedup]].
+    */
+  private[graft] def trainCentroids(
+      prep: DataFrame, nlist: Int, iters: Int): IndexedSeq[(IndexedSeq[Double], Double)] = {
     var cents = sampleCentroids(prep, nlist)
     for (_ <- 1 to iters) {
       val assigned = withCellScores(prep, cents)
@@ -217,7 +228,7 @@ object Similarity {
         }
       }
     }
-    ivfSearch(prep, cents, k, nprobe)
+    cents
   }
 
   /** Deterministic quantizer init: the nlist corpus vectors with the
@@ -623,6 +634,142 @@ object Similarity {
           (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int")))
       .groupBy(col("lbl").as(labelCol), col("predicted"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Semantic deduplication (the SemDeDup layout: cluster first, then dedup
+    * only within clusters): a k-means quantizer partitions the corpus into
+    * nlist cells, exact cosine runs over intra-cell pairs only, pairs at or
+    * above `tau` form an edge set, and connected components pick one
+    * canonical representative (min id) per semantic cluster. Output is one
+    * row per vector: (id, cell, cluster_id, keep).
+    *
+    * Why this scales where all-pairs cannot: the pairwise stage is bounded
+    * by Σ_cells size², and nlist grows with the corpus (cells stay
+    * human-sized), so the quadratic term never sees the full n. The
+    * intra-cell join reuses [[blockAssignments]]' salted block-pair
+    * discipline — a hot cell is split into ⌈size/cellCap⌉ blocks joined
+    * pairwise, so no single task exceeds cap² dot products and join-key
+    * cardinality grows with data instead of being pinned at nlist. The CC
+    * stage is [[graft.ext.Dedup.dedupClusters]]' pointer-jumping loop
+    * (O(log diameter) rounds, lineage-truncated).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      tau: Double = 0.3,
+      nlist: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      cellCap: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    val cents = trainCentroids(prep, nlist, iters)
+    val assigned = withCellScores(prep, cents)
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+    // candidate id pairs: all intra-cell pairs via the capped block-pair
+    // join (ids only — vectors join back for the verify, so block
+    // replication copies a long, not a dim-float array)
+    val bucketed = assigned.select(
+      lit(0).as("tbl"), col("cell").as("bucket"), col("id"))
+    val blocked = blockAssignments(bucketed, cellCap)
+    val pa = blocked.select(
+      col("bucket"), col("blk").as("bi"),
+      explode(sequence(col("blk"), col("nblocks") - 1)).as("bj"),
+      col("id").as("id_a"))
+    val pb = blocked.select(
+      col("bucket"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+      col("id").as("id_b"))
+    val cand = pa.join(pb, Seq("bucket", "bi", "bj"))
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val va = prep.select(col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a"))
+    val vb = prep.select(col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b"))
+    val edges = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(
+          graft.functions.VectorFunctions.dotNative(spark, col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b")
+    val labels = graft.ext.Dedup.dedupClusters(edges)
+    assigned.select(col("id"), col("cell"))
+      .join(labels.withColumnRenamed("id", "lid"), col("id") === col("lid"), "left")
+      .select(
+        col("id").as(idCol), col("cell"),
+        coalesce(col("canonical_id"), col("id")).as("cluster_id"),
+        (coalesce(col("canonical_id"), col("id")) === col("id")).as("keep"))
+  }
+
+  /** Hard-negative mining for contrastive training: for every vector, the
+    * top-k most-cosine-similar vectors carrying a DIFFERENT label — the
+    * "looks the same, isn't" examples. Same trained-IVF probe layout as
+    * [[ivfTrainedTopK]] (argmax-cell assignment, nprobe best cells probed,
+    * exact cosine inside probed cells only); the label inequality is a
+    * cheap predicate inside the probe join, evaluated before the top-k
+    * window ever forms.
+    *
+    * Scale: identical to the IVF search path — no broadcast of the corpus,
+    * the probe join shuffles on short cell ids, per-query candidate sets
+    * are cell-bounded.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      k: Int = 5,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    val prep = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(labelCol).cast("int").as("lbl"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dotNative(spark, col("vec"), col("vec"))))
+    val cents = trainCentroids(prep.select("id", "vec", "nrm"), nlist, iters)
+    def cellScores(vec: Column, nrm: Column): Column = array(
+      cents.map { case (cv, cn) =>
+        graft.functions.VectorFunctions.dotNative(spark, vec, typedlit(cv)) / (nrm * cn)
+      }: _*)
+    val assigned = prep.withColumn("scores", cellScores(col("vec"), col("nrm")))
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+    val probed = prep.withColumn("scores", cellScores(col("vec"), col("nrm")))
+      .withColumn("probe_cells",
+        slice(
+          transform(
+            array_sort(
+              transform(col("scores"),
+                (s, i) => struct((-s).as("neg"), i.as("idx")))),
+            x => x.getField("idx")),
+          1, nprobe))
+      .select(
+        col("id").as("query_id"), col("lbl").as("query_label"),
+        col("vec").as("q_vec"), col("nrm").as("q_nrm"),
+        explode(col("probe_cells")).as("cell"))
+    val scored = probed.join(
+        assigned.select(col("cell"), col("id").as("neighbor_id"),
+          col("lbl").as("neighbor_label"), col("vec").as("c_vec"), col("nrm").as("c_nrm")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .select(
+        col("query_id"), col("query_label"), col("neighbor_id"), col("neighbor_label"),
+        (graft.functions.VectorFunctions.dotNative(spark, col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm"))).as("cos"))
+      .groupBy("query_id", "query_label", "neighbor_id", "neighbor_label")
+      .agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {

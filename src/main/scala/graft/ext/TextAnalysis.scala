@@ -296,6 +296,38 @@ object TextAnalysis {
           .as("mean_freq_milli"))
   }
 
+  /** Character-trigram Simpson diversity per document — a log-free
+    * perplexity proxy for gibberish/boilerplate detection. For each doc:
+    * N = #char-trigrams of lower(text), Σc² over per-trigram counts, and
+    * diversity = 1 − Σc²/N² (0 = one trigram repeated, → 1 = all
+    * distinct). Unlike entropy this needs NO transcendental functions, so
+    * the score is integer-exact up to one final IEEE division and ports
+    * bit-for-bit across engines.
+    *
+    * Scale: explode → two hash aggregations, both map-side combined; the
+    * trigram stream is the only shuffle and carries (id, 3 chars).
+    */
+  def trigramDiversity(
+      docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"), lower(col(textCol)).as("txt"))
+      .select(col("id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(txt) - 2, 0)), i -> substring(txt, i, 3))"))
+          .as("gram"))
+    val counts = grams.groupBy("id", "gram").agg(count(lit(1)).as("c"))
+    counts.groupBy(col("id").as(idCol))
+      .agg(
+        sum("c").as("n_trigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("simpson_num"))
+      .withColumn("diversity",
+        round(lit(1.0) -
+          col("simpson_num").cast("double") /
+            (col("n_trigrams").cast("double") * col("n_trigrams").cast("double")), 6))
+  }
+
   def tfIdfTopTerms(
       docs: DataFrame, textCol: String = "text", groupCol: String = "lang",
       idCol: String = "doc_id", topK: Int = 5, n: Int = 1): DataFrame = {

@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "same", "en"), (2L, "gone", "en"), (3L, "was-this", "en"))
+      .toDF("doc_id", "text", "lang")
+    val newSnap = Seq(
+      (1L, "same", "en"), (3L, "now-this", "en"), (4L, "brand-new", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Drift.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: a payload-column change alone flips status to changed") {
+    import spark.implicits._
+    val o = Seq((1L, "txt", "en")).toDF("doc_id", "text", "lang")
+    val n = Seq((1L, "txt", "de")).toDF("doc_id", "text", "lang")
+    val st = Drift.snapshotDiff(o, n, "doc_id", Seq("text", "lang"))
+      .collect().head.getString(1)
+    assert(st === "changed")
+    // and excluding the changed column reports unchanged
+    val st2 = Drift.snapshotDiff(o, n, "doc_id", Seq("text"))
+      .collect().head.getString(1)
+    assert(st2 === "unchanged")
+  }
+
+  test("distributionDrift: exact cross-multiplied numerators, keys from both sides") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "a", "b").toDF("k")
+    val cur = Seq("a", "a", "b", "b", "c").toDF("k")
+    val rows = Drift.distributionDrift(ref, cur, "k").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    // t_ref=4, t_cur=5; drift = |n_ref*5 - n_cur*4|
+    assert(rows === Map(
+      "a" -> ((3L, 2L, 7L)),
+      "b" -> ((1L, 2L, 3L)),
+      "c" -> ((0L, 1L, 4L))))
+  }
+
+  test("distributionDrift: identical snapshots drift to zero everywhere") {
+    import spark.implicits._
+    val d = Seq("x", "y", "y").toDF("k")
+    val rows = Drift.distributionDrift(d, d, "k").collect()
+    assert(rows.forall(_.getLong(5) === 0L))
+    assert(rows.forall(r => r.getDouble(3) === r.getDouble(4)))
+  }
+}

@@ -199,4 +199,56 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= r2, s"nprobe=8 recall $r8 < nprobe=2 recall $r2")
     assert(r8 > 0.5, s"8 of 16 cells probed should recover most neighbours, got $r8")
   }
+
+  test("semanticDedup: one row per vector, cell-contained clusters, min-id canonical") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val out = Similarity.semanticDedup(emb, tau = 0.3).collect()
+    assert(out.length === n)
+    // canonical = component min, and exactly the keepers carry their own id
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min === cid)
+      assert(members.count(_.getAs[Boolean]("keep")) === 1)
+      assert(members.find(_.getAs[Boolean]("keep")).get.getAs[Long]("vec_id") === cid)
+      // edges are intra-cell only, so every cluster lives in one cell
+      assert(members.map(_.getAs[Int]("cell")).toSet.size === 1)
+    }
+  }
+
+  test("semanticDedup clusters cover every same-cell pair above tau") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.semanticDedup(emb, tau = 0.3)
+    val cells = out.select(col("vec_id"), col("cell"), col("cluster_id"))
+    val pairs = Similarity.cosinePairsAbove(emb, 0.3)
+      .join(cells.select(col("vec_id").as("id_a"), col("cell").as("cell_a"),
+        col("cluster_id").as("cl_a")), Seq("id_a"))
+      .join(cells.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
+        col("cluster_id").as("cl_b")), Seq("id_b"))
+      .filter(col("cell_a") === col("cell_b"))
+      .collect()
+    assert(pairs.nonEmpty, "expected at least one same-cell pair above tau at sf0.001")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("cl_a") === r.getAs[Long]("cl_b"),
+        s"same-cell pair above tau split across clusters: $r")
+    }
+  }
+
+  test("hardNegatives: labels always differ, no self, ranks contiguous per query") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.hardNegatives(emb, k = 3).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("query_label") !== r.getAs[Int]("neighbor_label"))
+      assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id"))
+    }
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.head === 1 && ranks === (1 to ranks.length).toList.sorted)
+      assert(ranks.length <= 3)
+      // ranks follow cosine descending
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank === byRank.sorted.reverse)
+    }
+  }
 }

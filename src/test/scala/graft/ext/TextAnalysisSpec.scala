@@ -119,4 +119,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((2L, 4L, 2000L))) // (3+1)·1000 div 2
     assert(out(3L) === ((0L, 0L, 0L)))    // kept by the left join
   }
+
+  test("trigramDiversity: exact Simpson concentration on closed-form docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),  // trigrams: aaa, aaa → N=2, Σc²=4, diversity = 1 - 4/4 = 0
+      (2L, "abcd"),  // abc, bcd → N=2, distinct=2, Σc²=2, diversity = 0.5
+      (3L, "ABAB")   // lowercased: aba, bab → distinct → 0.5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramDiversity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("simpson_num"), r.getAs[Double]("diversity"))).toMap
+    assert(out(1L) === ((2L, 1L, 4L, 0.0)))
+    assert(out(2L) === ((2L, 2L, 2L, 0.5)))
+    assert(out(3L) === ((2L, 2L, 2L, 0.5)))
+  }
+
+  test("trigramDiversity: repeated boilerplate scores lower than varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here click here click here click here"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.trigramDiversity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("diversity")).toMap
+    assert(out(1L) < out(2L))
+  }
 }
