@@ -58,9 +58,17 @@ object Drift {
     * internal product is computed in decimal already.
     */
   def distributionDrift(
-      ref: DataFrame, cur: DataFrame, keyCol: String): DataFrame = {
-    val r = ref.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_ref"))
-    val c = cur.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_cur"))
+      ref: DataFrame, cur: DataFrame, keyCol: String): DataFrame =
+    driftFromCounts(
+      ref.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_ref")),
+      cur.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_cur")))
+
+  /** [[distributionDrift]] over pre-aggregated counts — `ref` carries
+    * (key, n_ref), `cur` carries (key, n_cur). The entry point for callers
+    * that already hold count state (the streaming monitor merges per-batch
+    * counts and compares the running totals without ever re-scanning rows).
+    */
+  def driftFromCounts(r: DataFrame, c: DataFrame): DataFrame = {
     val joined = r.join(c, Seq("key"), "full_outer")
       .select(col("key"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.ext.Drift
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming distribution-drift monitor: as documents stream in, running
+  * per-key counts accumulate and every micro-batch emits a drift report
+  * against a fixed reference distribution (the promoted corpus freeze).
+  * The streaming observability twin of [[graft.ext.Drift.distributionDrift]]
+  * — the batch report answers "did the mix shift between freezes", this one
+  * answers "is the mix shifting NOW" while the feed is live.
+  *
+  * State layout: each batch's counts land under
+  * `countsPath/batch_id=N` (partition overwrite ⇒ re-delivered batches
+  * replace, never double-count — idempotent under foreachBatch's
+  * at-least-once contract), and the running totals are one
+  * partition-pruned groupBy over that tree. Per-batch cost is
+  * O(batch + #keys), never O(stream history): the history is already
+  * reduced to counts.
+  */
+object DriftMonitor {
+
+  /** Fold one batch into the count store and return the drift report of the
+    * cumulative distribution vs `refCounts` ((key, n_ref) rows, e.g. from
+    * `ref.groupBy(key).count()`). Re-invoking with the same `batchId`
+    * overwrites that batch's partition — same cumulative state, same
+    * report.
+    */
+  def monitorBatch(
+      batch: DataFrame, refCounts: DataFrame, keyCol: String,
+      countsPath: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    batch.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$countsPath/batch_id=$batchId")
+    val cum = spark.read.parquet(countsPath)
+      .groupBy("key").agg(sum("n").as("n_cur"))
+    Drift.driftFromCounts(
+      refCounts.select(col("key"), col("n_ref")), cum)
+      .withColumn("batch_id", lit(batchId))
+  }
+
+  /** Run [[monitorBatch]] over a document stream, appending each batch's
+    * report to `reportPath` (re-delivery overwrites the batch's partition —
+    * the report table stays exactly-once too).
+    */
+  def stream(
+      docs: DataFrame, refCounts: DataFrame, keyCol: String,
+      countsPath: String, reportPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val pinnedRef = refCounts.localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the partition dir carries batch_id; drop the column so reading
+        // the report root doesn't see it twice (dir value wins on read)
+        monitorBatch(batch, pinnedRef, keyCol, countsPath, batchId)
+          .drop("batch_id")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$reportPath/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+}

@@ -175,4 +175,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus shuffled for a |labels|-row table")
     assert(p.contains("partial_sum"), "map-side combine missing")
   }
+
+  test("q93: semantic dedup never crosses cells — block-keyed equi-joins only") {
+    val p = plan("q93_semantic_dedup")
+    // the intra-cell pair stage must be the salted (bucket, bi, bj) join,
+    // and cell scoring must stay native-dot map-side; a cartesian or BNLJ
+    // anywhere means the corpus met itself pairwise
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("dotproduct") || p.contains("DotProduct") || p.contains("graft_dot"))
+  }
+
+  test("q94: hard negatives ride the IVF probe join, label filter before ranking") {
+    val p = plan("q94_hard_negatives")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "corpus must not broadcast against itself")
+    // the label inequality must sit in the probe join stage, not after the
+    // window: rank never sees same-label rows
+    val windowAt = p.indexOf("Window")
+    val labelFilterAt = p.indexOf("NOT (query_label")
+    assert(labelFilterAt >= 0 || p.contains("query_label#"), "label predicate missing")
+    if (windowAt >= 0 && labelFilterAt >= 0)
+      assert(labelFilterAt > windowAt,
+        "formatted plans list leaves below operators: the label filter must be " +
+          "in the join subtree (printed after Window), not applied post-rank")
+  }
+
+  test("q95/q96: drift + diff reduce to digests/counts before their one join") {
+    val p95 = plan("q95_distribution_drift")
+    // per-key counts combine map-side; the totals row broadcasts
+    assert(p95.contains("partial_count"), "drift counts must combine map-side")
+    assert(!p95.contains("SortMergeJoin") || p95.contains("FullOuter"),
+      "only the key-level full-outer join may shuffle")
+    val p96 = plan("q96_snapshot_diff")
+    assert(p96.contains("md5"), "diff must join digests, not payloads")
+    assert(!p96.contains("CartesianProduct"))
+  }
+
+  test("q97: trigram diversity is explode + two map-side-combined aggregations") {
+    val p = plan("q97_trigram_diversity")
+    assert(p.contains("Generate"), "trigram explode missing")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-(id,gram) counts must combine map-side")
+    assert(!p.contains("Join"), "a per-doc metric must not join anything")
+  }
 }
