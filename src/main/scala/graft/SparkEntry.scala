@@ -824,6 +824,33 @@ object SparkEntry {
     "q97_trigram_diversity" -> { (s, dir) =>
       graft.ext.TextAnalysis.trigramDiversity(Tables.documents(s, dir))
     },
+    // Corpus retrieval: integer tf-idf top-20 for a fixed query bag — term
+    // filter before the tf shuffle, |terms|-row idf broadcast, global
+    // top-k as TakeOrderedAndProject.
+    "q98_retrieval" -> { (s, dir) =>
+      graft.ext.Retrieval.searchTopK(
+        Tables.documents(s, dir), Seq("spark", "hash", "join", "window"), k = 20)
+    },
+    // Robust (median/IQR) scaling of a per-doc numeric — score
+    // normalization before cross-corpus mixing; quantiles broadcast back,
+    // scaling map-side.
+    "q99_robust_scale" -> { (s, dir) =>
+      graft.analyze.Profiler.robustScale(
+        Tables.documents(s, dir), "n_chars", "doc_id")
+    },
+    // Per-dimension embedding profile: integer-exact means + component
+    // ranges per position — the dead/saturated-dimension check.
+    "q100_dimension_profile" -> { (s, dir) =>
+      graft.ext.EmbeddingStats.dimensionProfile(Tables.embeddings(s, dir))
+    },
+    // Exact join-cardinality preflight from per-key counts — the size and
+    // worst-key fanout an orders⋈lineitem join WOULD produce, without
+    // running it.
+    "q101_join_cardinality" -> { (s, dir) =>
+      graft.analyze.Profiler.joinCardinality(
+        Tables.orders(s, dir), "o_orderkey",
+        Tables.lineitem(s, dir), "l_orderkey")
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -2572,6 +2599,53 @@ object SparkEntry {
         |       ROUND(1.0 - CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
         |             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6) AS diversity
         |FROM c GROUP BY doc_id""".stripMargin,
+    "q98_retrieval" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+        |       WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY 1, 2),
+        |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |idf AS (SELECT term, (1000000 * n) // df AS idf_milli FROM d CROSS JOIN n),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_terms,
+        |              CAST(SUM(tf * idf_milli) AS BIGINT) AS score_num
+        |       FROM tf JOIN idf USING (term) GROUP BY 1)
+        |SELECT doc_id, n_terms, score_num FROM sc
+        |ORDER BY score_num DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q99_robust_scale" ->
+      """WITH s AS (SELECT
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       CASE WHEN p75 = p25 THEN 0.0
+        |            ELSE ROUND((CAST(n_chars AS DOUBLE) - med) / (p75 - p25), 6)
+        |       END AS robust_z
+        |FROM documents CROSS JOIN s""".stripMargin,
+    "q100_dimension_profile" ->
+      """WITH e AS (SELECT g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+        |           FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i))
+        |SELECT pos, COUNT(*) AS n,
+        |       CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS BIGINT) AS qsum,
+        |       MIN(v) AS min_v, MAX(v) AS max_v,
+        |       CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+        |         / COUNT(*) / 1048576.0 AS mean_v
+        |FROM e GROUP BY pos""".stripMargin,
+    "q101_join_cardinality" ->
+      """WITH l AS (SELECT o_orderkey AS key, COUNT(*) AS nl FROM orders GROUP BY 1),
+        |r AS (SELECT l_orderkey AS key, COUNT(*) AS nr FROM lineitem GROUP BY 1),
+        |j AS (SELECT l.key AS lk, r.key AS rk, nl, nr
+        |      FROM l FULL OUTER JOIN r ON l.key = r.key)
+        |SELECT CAST(SUM(nl) AS BIGINT) AS n_left,
+        |       CAST(SUM(nr) AS BIGINT) AS n_right,
+        |       COUNT(nl) AS n_keys_left,
+        |       COUNT(nr) AS n_keys_right,
+        |       CAST(SUM(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_common_keys,
+        |       CAST(COALESCE(SUM(CAST(nl AS HUGEINT) * nr), 0) AS BIGINT) AS join_rows,
+        |       CAST(COALESCE(MAX(CAST(nl AS HUGEINT) * nr), 0) AS BIGINT) AS max_key_rows
+        |FROM j""".stripMargin,
     "q84_bpe_merge_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),

@@ -131,4 +131,61 @@ object Profiler {
           ((col("rnk") - col("cum_before")).cast("double") / col("n").cast("double")) *
             (col("hi_v") - col("lo_v"))).as("est"))
   }
+
+  /** Robust (median/IQR) scaling of a numeric column — the normalization a
+    * curation pipeline applies to quality scores before mixing corpora
+    * whose scorers have different ranges (robust_z = (x − median)/IQR;
+    * outlier-insensitive where mean/stddev scaling is not). A constant
+    * column (IQR 0) scales to 0 everywhere rather than dividing by zero.
+    *
+    * Scale: one exact-percentile aggregate produces the three quantiles
+    * (see [[percentiles]] for the exact-vs-approx trade at full scale),
+    * broadcast back as a single row; the scaling itself is map-side.
+    */
+  def robustScale(
+      df: DataFrame, column: String, idCol: String): DataFrame = {
+    val stats = ParquetCatalog.localized(
+      df.agg(percentile(col(column), typedlit(Seq(0.25, 0.5, 0.75))).as("__q")))
+      .select(
+        element_at(col("__q"), 1).as("p25"),
+        element_at(col("__q"), 2).as("med"),
+        element_at(col("__q"), 3).as("p75"))
+    df.select(col(idCol), col(column))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col(column),
+        when(col("p75") === col("p25"), lit(0.0))
+          .otherwise(
+            round((col(column).cast("double") - col("med")) /
+              (col("p75") - col("p25")), 6))
+          .as("robust_z"))
+  }
+
+  /** Exact join-cardinality preflight: the size an equi-join WOULD produce,
+    * computed from per-key counts without running the join —
+    * Σ_common-keys n_left(k)·n_right(k) — plus the worst single-key fanout
+    * (the skew headline). The planning probe to run before committing a
+    * 100 TB × 100 TB join: counts-level rows (one per distinct key) are
+    * all that shuffles, and a hot key shows up as `max_key_rows` instead
+    * of as a dead executor.
+    */
+  def joinCardinality(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("nl"))
+    val r = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("nr"))
+    l.join(r, Seq("key"), "full_outer")
+      .agg(
+        sum(col("nl")).cast("long").as("n_left"),
+        sum(col("nr")).cast("long").as("n_right"),
+        count(col("nl")).as("n_keys_left"),
+        count(col("nr")).as("n_keys_right"),
+        sum(when(col("nl").isNotNull && col("nr").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_common_keys"),
+        coalesce(
+          sum(col("nl").cast("decimal(38,0)") * col("nr").cast("decimal(38,0)")),
+          lit(0L)).cast("long").as("join_rows"),
+        coalesce(
+          max(col("nl").cast("decimal(38,0)") * col("nr").cast("decimal(38,0)")),
+          lit(0L)).cast("long").as("max_key_rows"))
+  }
 }

@@ -46,4 +46,29 @@ object EmbeddingStats {
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
         ((max(col("s")).cast("double") / max(col("n"))) / 1048576.0).as("mean_norm"))
   }
+
+  /** Per-dimension profile of an embedding column: for every vector
+    * position, the count, an integer-exact quantized sum (floor(x·2²⁰) —
+    * the k-means discipline, so the derived mean is bit-identical in any
+    * engine), and the min/max component values. The "is dimension 17 dead /
+    * saturated / drifting" check run before (re)training a quantizer, and
+    * the input to mean-centering.
+    *
+    * Scale: one posexplode + one hash aggregation keyed by the (dim-sized)
+    * position — map-side combined; output is dim rows regardless of corpus
+    * size.
+    */
+  def dimensionProfile(
+      corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("qv", floor(col("v").cast("double") * lit(1048576.0)).cast("long"))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qv")).as("qsum"),
+        min(col("v").cast("double")).as("min_v"),
+        max(col("v").cast("double")).as("max_v"))
+      .withColumn("mean_v",
+        col("qsum").cast("double") / col("n").cast("double") / 1048576.0)
 }

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval: inverted-index postings and integer tf-idf search —
+  * the "find the documents about X" primitive a curation pipeline needs for
+  * decontamination audits, subject ablations, and eyeballing what a filter
+  * actually removed.
+  *
+  * Scoring is tf·idf with idf_milli = ⌊10⁶·N/df⌋ — an integer rank-preserving
+  * stand-in for the usual log(N/df): no transcendental functions, so scores
+  * are exact BIGINTs and portable bit-for-bit across engines (the same
+  * discipline as [[TextAnalysis.ngramNovelty]]'s milli-frequencies).
+  */
+object Retrieval {
+
+  /** The inverted index as data: one (doc_id, term, tf) posting per distinct
+    * term per document. One explode + one map-side-combined aggregation;
+    * materialize it (partitioned/bucketed by term) when the corpus is
+    * searched repeatedly.
+    */
+  def postings(
+      docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Top-k documents for a bag of query terms, scored by Σ tf·idf_milli.
+    *
+    * Scale shape: the term filter lands BEFORE the tf aggregation, so only
+    * tokens matching the (tiny, literal) query set ever shuffle; the
+    * |terms|-row idf table broadcasts back; and the final top-k is a global
+    * orderBy+limit — Spark plans it as TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver), never a full sort.
+    */
+  def searchTopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "searchTopK needs at least one query term")
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .where(col("term").isin(queryTerms.map(_.toLowerCase): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_milli",
+        expr(s"(CAST(1000000 AS BIGINT) * CAST($n AS BIGINT)) div df"))
+    tf.join(broadcast(idf.select("term", "idf_milli")), Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("tf") * col("idf_milli")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -71,4 +71,31 @@ class ProfilerSpec extends SparkSpec {
       .collect().map(r => r.getAs[Double]("p") -> r.getAs[Double]("est")).toMap
     assert(mergedEst === est)
   }
+
+  test("robustScale: closed-form median/IQR z, constant column scales to zero") {
+    import spark.implicits._
+    // values 0..4: p25=1, med=2, p75=3, IQR=2
+    val df = (0 to 4).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Profiler.robustScale(df, "v", "id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("robust_z")).toMap
+    assert(out === Map(0L -> -1.0, 1L -> -0.5, 2L -> 0.0, 3L -> 0.5, 4L -> 1.0))
+    val const = Seq((1L, 7.0), (2L, 7.0), (3L, 7.0)).toDF("id", "v")
+    assert(Profiler.robustScale(const, "v", "id").collect()
+      .forall(_.getAs[Double]("robust_z") === 0.0))
+  }
+
+  test("joinCardinality: predicted size equals the actual join, skew surfaces as max_key_rows") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")   // key 1 ×3
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k")       // key 1 ×2
+    val row = Profiler.joinCardinality(l, "k", r, "k").collect().head
+    assert(row.getAs[Long]("n_left") === 5L)
+    assert(row.getAs[Long]("n_right") === 4L)
+    assert(row.getAs[Long]("n_keys_left") === 3L)
+    assert(row.getAs[Long]("n_keys_right") === 3L)
+    assert(row.getAs[Long]("n_common_keys") === 2L)
+    val actual = l.join(r, Seq("k")).count()
+    assert(row.getAs[Long]("join_rows") === actual) // 3·2 + 1·1 = 7
+    assert(row.getAs[Long]("max_key_rows") === 6L)  // the hot key
+  }
 }

@@ -22,4 +22,17 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(out(0)._3 > 1.0 && out(0)._3 < 100.0) // mean dragged up by the outlier
     assert(out(1) === ((5L, 0L, 2.0)))
   }
+
+  test("dimensionProfile: exact per-position means and ranges") {
+    import spark.implicits._
+    val df = Seq(
+      Tuple1(Array(1.0f, -2.0f)),
+      Tuple1(Array(3.0f, 0.0f))).toDF("embedding")
+    val out = EmbeddingStats.dimensionProfile(df).collect()
+      .map(r => r.getAs[Int]("pos") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_v"),
+          r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))).toMap
+    assert(out(0) === ((2L, 2.0, 1.0, 3.0)))
+    assert(out(1) === ((2L, -1.0, -2.0, 0.0)))
+  }
 }
