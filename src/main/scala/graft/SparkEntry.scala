@@ -851,6 +851,14 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")
     },
+    // Asymmetric containment dedup: |A∩B|/|A| per direction over the q21
+    // scope — catches short-doc-quoted-in-long-doc, which Jaccard's
+    // union denominator hides.
+    "q102_containment" -> { (s, dir) =>
+      graft.ext.Dedup.containmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 50),
+        minContainment = 0.05)
+    },
     // ------------------------------------------------------------------
     // A1/A2/A4-family: hash aggregation with partial+final combine.
     // TPC-H Q1 shape: one full scan, group-by on two low-cardinality keys.
@@ -2646,6 +2654,22 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CAST(nl AS HUGEINT) * nr), 0) AS BIGINT) AS join_rows,
         |       CAST(COALESCE(MAX(CAST(nl AS HUGEINT) * nr), 0) AS BIGINT) AS max_key_rows
         |FROM j""".stripMargin,
+    "q102_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 50),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+         |c AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+         |      FROM s a JOIN s b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, n_a, n_b,
+         |       CAST(common AS DOUBLE) / n_a AS contain_a,
+         |       CAST(common AS DOUBLE) / n_b AS contain_b,
+         |       CASE WHEN CAST(common AS DOUBLE) / n_a >= CAST(common AS DOUBLE) / n_b
+         |            THEN id_a ELSE id_b END AS contained_id
+         |FROM (SELECT c.id_a, c.id_b, c.common, na.n AS n_a, nb.n AS n_b
+         |      FROM c JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b)
+         |WHERE GREATEST(CAST(common AS DOUBLE) / n_a,
+         |               CAST(common AS DOUBLE) / n_b) >= 0.05""".stripMargin,
     "q84_bpe_merge_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),

@@ -163,7 +163,47 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 3,
       minJaccard: Double = 0.0,
-      candidates: Option[DataFrame] = None): DataFrame = candidates match {
+      candidates: Option[DataFrame] = None): DataFrame =
+    pairOverlap(docs, textCol, idCol, shingleK, candidates)
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+
+  /** Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| per direction —
+    * catches a short document quoted wholesale inside a long one, which
+    * Jaccard structurally cannot (the union in its denominator is dominated
+    * by the long doc, so the score stays low no matter how completely the
+    * short doc is swallowed). `contained_id` names the mostly-contained
+    * side. Same overlap machinery and scale shape as [[ngramJaccard]] —
+    * pass LSH `candidates` for the 100 TB path.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      minContainment: Double = 0.0,
+      candidates: Option[DataFrame] = None): DataFrame =
+    pairOverlap(docs, textCol, idCol, shingleK, candidates)
+      .withColumn("contain_a", col("common").cast("double") / col("n_a"))
+      .withColumn("contain_b", col("common").cast("double") / col("n_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= minContainment)
+      .withColumn("contained_id",
+        when(col("contain_a") >= col("contain_b"), col("id_a")).otherwise(col("id_b")))
+      .select("id_a", "id_b", "common", "n_a", "n_b",
+        "contain_a", "contain_b", "contained_id")
+
+  /** (id_a, id_b, common, n_a, n_b) distinct-shingle overlap per pair —
+    * the shared core of [[ngramJaccard]] and [[containmentPairs]].
+    */
+  private def pairOverlap(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int,
+      candidates: Option[DataFrame]): DataFrame = candidates match {
     case Some(cand) =>
       // Candidate-verify path: join each candidate pair to the two docs'
       // shingle ARRAYS and intersect per pair. Cost is O(|candidates|·|doc
@@ -180,11 +220,6 @@ object Dedup {
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
           size(col("sh_a")).cast("long").as("n_a"),
           size(col("sh_b")).cast("long").as("n_b"))
-        .withColumn(
-          "jaccard",
-          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-        .filter(col("jaccard") >= minJaccard)
-        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
     case None =>
       // All-pairs path (small scopes): the shingle equi-join IS the
       // hash-partitioned intersection — pairs sharing no shingle never meet.
@@ -198,11 +233,7 @@ object Dedup {
       common
         .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
-        .withColumn(
-          "jaccard",
-          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-        .filter(col("jaccard") >= minJaccard)
-        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+        .select("id_a", "id_b", "common", "n_a", "n_b")
   }
 
   /** Incremental near-dup: flag each INCOMING document that duplicates the

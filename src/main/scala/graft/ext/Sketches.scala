@@ -71,12 +71,35 @@ object Sketches {
       k: Int,
       seed: Int = 31,
       portable: Boolean = true): DataFrame = {
-    val set = bloom.agg(sort_array(collect_set(col("bloom_bit"))).as("__bits"))
+    // Pack the ≤m set-bit rows into ⌈m/64⌉ longs ONCE (one-row aggregate,
+    // interpreted HOFs are fine at that cardinality), broadcast the mask,
+    // and probe each of the k bits with element_at + bit arithmetic — O(1)
+    // per bit. The previous array_contains formulation scanned the whole
+    // set-bit array per bit per row (~m·k interpreted comparisons per probe
+    // row — measured 8 s at sf0.1 where this takes a scan-bound fraction
+    // of a second).
+    val nWords = (m + 63) / 64
+    val mask = bloom.agg(collect_set(col("bloom_bit")).as("__bits"))
+      .select(transform(
+        sequence(lit(0L), lit((nWords - 1).toLong)),
+        w => aggregate(
+          filter(col("__bits"), b => shiftright(b, 6) === w),
+          lit(0L),
+          (acc, b) => acc.bitwiseOR(
+            call_function("shiftleft", lit(1L), pmod(b, lit(64L)).cast("int")))))
+        .as("__mask"))
+    val checks = (0 until k).map { i =>
+      val b = pmod(
+        graft.ext.Dedup.stableHash(col(keyCol).cast("string"), seed + i, portable),
+        lit(m.toLong))
+      element_at(col("__mask"), (shiftright(b, 6) + 1).cast("int"))
+        .bitwiseAND(
+          call_function("shiftleft", lit(1L), pmod(b, lit(64L)).cast("int"))) =!= lit(0L)
+    }
     probe
-      .crossJoin(broadcast(set))
-      .where(forall(bloomBits(col(keyCol), m, k, seed, portable),
-        b => array_contains(col("__bits"), b)))
-      .drop("__bits")
+      .crossJoin(broadcast(mask))
+      .where(checks.reduce(_ && _))
+      .drop("__mask")
   }
 
   /** One-row effectiveness report for a bloom-pruned join: how many probe

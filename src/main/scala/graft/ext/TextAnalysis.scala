@@ -202,17 +202,20 @@ object TextAnalysis {
       minTokens: Int = 5, maxTokens: Int = 5000,
       maxTopUnigramFrac: Double = 0.2,
       maxDupTrigramRatio: Double = 0.35): DataFrame = {
-    val t = col(textCol)
-    val uni = wordGrams(t, 1)
-    val tri = wordGrams(t, 3)
+    // one native hash-counting pass per row (graft.functions.RepetitionStats)
+    // — the HOF formulation (sort_array+aggregate mode, transform trigrams,
+    // array_distinct) computed the same counts at ~1.4 ms/row interpreted;
+    // derived ratios/booleans below are identical Column math either way
+    val stats = graft.functions.TextNativeFunctions.repStats(
+      docs.sparkSession, lower(col(textCol)))
     docs
-      .withColumn("n_tokens", size(uni).cast("long"))
-      .withColumn("top_unigram_n", maxRunCount(uni))
+      .withColumn("__rs", stats)
+      .withColumn("n_tokens", col("__rs.n_tokens"))
+      .withColumn("top_unigram_n", col("__rs.top_unigram_n"))
       .withColumn("top_unigram_frac",
         col("top_unigram_n").cast("double") / col("n_tokens"))
-      .withColumn("n_trigrams", size(tri).cast("long"))
-      .withColumn("n_distinct_trigrams",
-        size(array_distinct(tri)).cast("long"))
+      .withColumn("n_trigrams", col("__rs.n_trigrams"))
+      .withColumn("n_distinct_trigrams", col("__rs.n_distinct_trigrams"))
       .withColumn("dup_trigram_ratio",
         when(col("n_trigrams") === 0, lit(0.0))
           .otherwise(
@@ -222,6 +225,7 @@ object TextAnalysis {
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
           col("top_unigram_frac") <= maxTopUnigramFrac &&
           col("dup_trigram_ratio") <= maxDupTrigramRatio)
+      .drop("__rs")
   }
 
   /** Top-k characteristic terms per group (e.g. language) by tf-idf with a

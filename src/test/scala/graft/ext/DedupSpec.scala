@@ -38,6 +38,24 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((2L, 3L))) // no shared shingles -> no joined row
   }
 
+  test("containment catches a short doc swallowed by a long one where jaccard stays low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val pair = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(pair).collect().head
+    // every shingle of the short doc appears in the long one
+    assert(c.getAs[Double]("contain_a") === 1.0)
+    assert(c.getAs[Double]("contain_b") < 0.2)
+    assert(c.getAs[Long]("contained_id") === 1L)
+    // the same pair scores low on jaccard — the union denominator hides it
+    val j = Dedup.ngramJaccard(pair).collect().head.getAs[Double]("jaccard")
+    assert(j < 0.2, s"jaccard $j should miss the containment")
+    // threshold filters by the BEST direction
+    assert(Dedup.containmentPairs(pair, minContainment = 0.9).count() === 1)
+    assert(Dedup.containmentPairs(pair, minContainment = 1.01).count() === 0)
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
