@@ -104,15 +104,12 @@ object TextAnalysis {
       docs: DataFrame, textCol: String = "text",
       maxN: Int = 2, topK: Int = 20): DataFrame = {
     val grams = (1 to maxN).map { n =>
-      val toks = tokens(lower(col(textCol)))
-      val gram =
-        if (n == 1) explode(toks)
-        else explode(
-          transform(
-            sequence(lit(0), size(toks) - n),
-            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      // native one-pass n-gram builder (graft.functions.WordNGrams) — the
+      // HOF transform/slice/array_join build was interpreted per window;
+      // <n-token docs yield an empty array, which explode drops
+      val gram = explode(graft.functions.TextNativeFunctions.ngrams(
+        docs.sparkSession, lower(col(textCol)), n))
       docs.select(lit(n).as("n"), gram.as("gram"))
-        .where(size(tokens(col(textCol))) >= n)
     }.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("n").orderBy(col("count").desc, col("gram").asc)
@@ -284,7 +281,9 @@ object TextAnalysis {
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 2): DataFrame = {
     val grams = docs.select(
-      col(idCol).as("did"), explode(wordGrams(col(textCol), n)).as("gram"))
+      col(idCol).as("did"),
+      explode(graft.functions.TextNativeFunctions.ngrams(
+        docs.sparkSession, lower(col(textCol)), n)).as("gram"))
     val corpusFreq = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
     val perDoc = grams.join(corpusFreq, "gram")
       .groupBy("did")
@@ -337,7 +336,8 @@ object TextAnalysis {
       idCol: String = "doc_id", topK: Int = 5, n: Int = 1): DataFrame = {
     val terms = docs.select(
       col(groupCol).as("grp"), col(idCol).as("did"),
-      explode(wordGrams(col(textCol), n)).as("term"))
+      explode(graft.functions.TextNativeFunctions.ngrams(
+        docs.sparkSession, lower(col(textCol)), n)).as("term"))
     // Both aggregates derive from the (grp, term, did) pre-aggregate:
     // tf = Σ per-doc counts, and — because a document has exactly one
     // group — df is a PLAIN row count per term (no distinct-aggregate

@@ -74,12 +74,63 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Native word-n-gram array builder — same output as the HOF formulation
+  * (`transform(sequence(...), i => array_join(slice(toks, i+1, n), " "))`),
+  * built in one pass of plain JVM string code instead of n interpreted
+  * lambda evaluations with per-window slice allocations. Fewer-than-n
+  * tokens yields an empty array (explode drops the row), matching the HOF
+  * and oracle semantics.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"WordNGrams needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ngrams expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextNativeFunctions {
 
-  /** Register `graft_repstats` (idempotent), mirroring VectorFunctions. */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_repstats` / `graft_ngrams` (idempotent), mirroring
+    * VectorFunctions.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repstats", exprs => RepetitionStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => WordNGrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
 
   /** One-pass repetition counts of a (pre-lowercased) text column, as a
     * struct(n_tokens, top_unigram_n, n_trigrams, n_distinct_trigrams).
@@ -87,5 +138,11 @@ object TextNativeFunctions {
   def repStats(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("graft_repstats", text)
+  }
+
+  /** One-pass word-n-gram array of a (pre-lowercased) text column. */
+  def ngrams(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_ngrams", text, org.apache.spark.sql.functions.lit(n))
   }
 }
