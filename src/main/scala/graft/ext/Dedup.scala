@@ -109,7 +109,8 @@ object Dedup {
       shingleK: Int = 3,
       portable: Boolean = true): DataFrame = {
     val sh = docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("shingle"))
+      .select(col(idCol), explode(graft.functions.TextNativeFunctions.shingles(
+        docs.sparkSession, col(textCol), shingleK)).as("shingle"))
       .select(col(idCol), pmod(stableHash(col("shingle"), 0, portable), lit(HashP)).as("hb"))
     val mins = (0 until numHashes).map(i =>
       min(pmod(col("hb") * hashCoeffA(i) + hashCoeffB(i), lit(HashP))).as(s"mh$i"))
@@ -211,7 +212,8 @@ object Dedup {
       // 10k docs costs nothing unless LSH already bucketed those docs
       // together. This is what makes verify affordable after LSH at 100 TB.
       val arrays = docs.select(
-        col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+        col(idCol).as("id"), graft.functions.TextNativeFunctions.shingles(
+          docs.sparkSession, col(textCol), shingleK).as("sh"))
       val a = arrays.select(col("id").as("id_a"), col("sh").as("sh_a"))
       val b = arrays.select(col("id").as("id_b"), col("sh").as("sh_b"))
       cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -224,7 +226,8 @@ object Dedup {
       // All-pairs path (small scopes): the shingle equi-join IS the
       // hash-partitioned intersection — pairs sharing no shingle never meet.
       val sh = docs
-        .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("shingle"))
+        .select(col(idCol).as("id"), explode(graft.functions.TextNativeFunctions.shingles(
+          docs.sparkSession, col(textCol), shingleK)).as("shingle"))
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
       val common = sh.select(col("id").as("id_a"), col("shingle"))
         .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))

@@ -118,6 +118,53 @@ case class WordNGrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native distinct word-k-shingle builder — the set-semantics twin of
+  * [[WordNGrams]] matching `Dedup.shingles`: distinct k-token windows in
+  * first-occurrence order, or the whole text as one shingle when the doc
+  * has fewer than k tokens. One pass with a linked hash set instead of the
+  * HOF transform + array_distinct's pairwise equality scan.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"WordShingles needs k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = s.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length < k) seen.add(s)
+    else {
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextNativeFunctions {
 
   /** Register `graft_repstats` / `graft_ngrams` (idempotent), mirroring
@@ -129,6 +176,10 @@ object TextNativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams",
       exprs => WordNGrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 
@@ -144,5 +195,11 @@ object TextNativeFunctions {
   def ngrams(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
     call_function("graft_ngrams", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** One-pass distinct word-k-shingle array (Dedup.shingles semantics). */
+  def shingles(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(k))
   }
 }
