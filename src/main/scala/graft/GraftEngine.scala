@@ -278,7 +278,8 @@ object Main {
           "[--patterns relationship_patterns.json] [--rules relationship_rules.json] " +
           "[--layout grid|force|hierarchical] [--include-views] [--include-external] " +
           "[--theme default|dark|minimal] [--no-column-types] [--show-nullable] " +
-          "[--stats] [--cache PATH] [--freeze OUTDIR]")
+          "[--stats] [--cache PATH] [--freeze OUTDIR] " +
+          "[--drift REF_DATA_DIR] [--search term1,term2,...]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -339,6 +340,21 @@ object Main {
           .parquet(s"$outDir/manifest")
         println(s"frozen corpus written to $outDir/corpus (manifest at $outDir/manifest):")
         manifest.orderBy("split", "lang").show(50, truncate = false)
+      }
+      // language-mix drift of this dataDir's documents vs a reference
+      // snapshot dir — the promote-or-rollback gate, on the CLI
+      opt("--drift").foreach { refDir =>
+        println(s"distribution drift vs $refDir (key = lang):")
+        graft.ext.Drift.distributionDrift(
+          Tables.documents(spark, refDir), Tables.documents(spark, dir), "lang")
+          .orderBy(col("key")).show(50, truncate = false)
+      }
+      // integer tf-idf top-20 over the documents table
+      opt("--search").foreach { terms =>
+        val qs = terms.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        println(s"top documents for ${qs.mkString("[", ", ", "]")}:")
+        graft.ext.Retrieval.searchTopK(Tables.documents(spark, dir), qs)
+          .show(20, truncate = false)
       }
     } finally spark.stop()
   }

@@ -313,18 +313,20 @@ object TextAnalysis {
   def trigramDiversity(
       docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("id"), lower(col(textCol)).as("txt"))
-      .select(col("id"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(txt) - 2, 0)), i -> substring(txt, i, 3))"))
-          .as("gram"))
-    val counts = grams.groupBy("id", "gram").agg(count(lit(1)).as("c"))
-    counts.groupBy(col("id").as(idCol))
-      .agg(
-        sum("c").as("n_trigrams"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("c") * col("c")).as("simpson_num"))
+    // one native counting pass per row (graft.functions.CharTrigramStats):
+    // the explode formulation shuffled one row PER CHARACTER through two
+    // aggregations — this is map-only, zero shuffle, same counts. Docs
+    // under 3 chars drop out (they produced no gram rows before).
+    val stats = graft.functions.TextNativeFunctions.charTrigramStats(
+      docs.sparkSession, lower(col(textCol)))
+    docs
+      .select(col(idCol), stats.as("__ts"))
+      .where(col("__ts.n_trigrams") > 0)
+      .select(
+        col(idCol),
+        col("__ts.n_trigrams").as("n_trigrams"),
+        col("__ts.n_distinct").as("n_distinct"),
+        col("__ts.simpson_num").as("simpson_num"))
       .withColumn("diversity",
         round(lit(1.0) -
           col("simpson_num").cast("double") /

@@ -212,11 +212,11 @@ class PlanSpec extends SparkSpec {
     assert(!p96.contains("CartesianProduct"))
   }
 
-  test("q97: trigram diversity is explode + two map-side-combined aggregations") {
+  test("q97: trigram diversity is map-only — native counting, zero shuffle") {
     val p = plan("q97_trigram_diversity")
-    assert(p.contains("Generate"), "trigram explode missing")
-    assert(p.contains("partial_count") || p.contains("partial_sum"),
-      "per-(id,gram) counts must combine map-side")
+    assert(!p.contains("Exchange"), "a per-doc metric must not shuffle at all")
     assert(!p.contains("Join"), "a per-doc metric must not join anything")
+    assert(p.toLowerCase.contains("chartrigramstats"),
+      "native counting expression missing")
   }
 }
