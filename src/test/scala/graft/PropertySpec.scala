@@ -92,4 +92,90 @@ class PropertySpec extends SparkSpec {
       assert(q === (BigInt(a) / BigInt(b)).toLong, s"floorDiv($a, $b)")
     }
   }
+
+  // random texts exercising the native-expression edge space: empty
+  // strings, repeated/empty tokens (double spaces), docs below the
+  // window size, heavy repetition
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "a", "", "xyz", "b"))
+  } yield toks.mkString(" ")
+
+  test("native text expressions match their HOF formulations on random text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, TextAnalysis}
+    import graft.functions.TextNativeFunctions
+    val texts = samples(textGen, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+    // WordNGrams(n) == transform/slice/array_join HOF build
+    for (n <- Seq(1, 2, 3)) {
+      val toks = split(col("text"), " ")
+      val hof =
+        if (n == 1) toks
+        else when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      val rows = df.select(
+        hof.as("hof"),
+        TextNativeFunctions.ngrams(spark, col("text"), n).as("native")).collect()
+      rows.foreach(r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"ngrams n=$n"))
+    }
+
+    // WordShingles(k) == Dedup.shingles HOF build (incl. whole-text case)
+    for (k <- Seq(2, 3)) {
+      val rows = df.select(
+        Dedup.shingles(col("text"), k).as("hof"),
+        TextNativeFunctions.shingles(spark, col("text"), k).as("native")).collect()
+      rows.foreach(r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"shingles k=$k"))
+    }
+
+    // RepetitionStats == the size/maxRunCount/array_distinct formulation
+    val uni = TextAnalysis.wordGrams(col("text"), 1)
+    val tri = TextAnalysis.wordGrams(col("text"), 3)
+    val rs = df.select(
+      size(uni).cast("long").as("h_n"),
+      TextAnalysis.maxRunCount(uni).as("h_top"),
+      size(tri).cast("long").as("h_tri"),
+      size(array_distinct(tri)).cast("long").as("h_dis"),
+      TextNativeFunctions.repStats(spark, lower(col("text"))).as("native")).collect()
+    rs.foreach { r =>
+      val n = r.getStruct(4)
+      assert(r.getLong(0) === n.getLong(0), "n_tokens")
+      assert(r.getLong(1) === n.getLong(1), "top_unigram_n")
+      assert(r.getLong(2) === n.getLong(2), "n_trigrams")
+      assert(r.getLong(3) === n.getLong(3), "n_distinct_trigrams")
+    }
+
+    // CharTrigramStats == the explode+count formulation. The reference
+    // explode restricts to length >= 3: a bare sequence(1, length-2) on
+    // shorter text is sequence(1, 0) — which Spark evaluates as the
+    // DESCENDING sequence [1, 0], silently emitting two bogus windows
+    // (the latent bug the native expression fixed; DuckDB's range(1, 1)
+    // is empty there, so the oracle always had the native semantics)
+    val g = df.where(length(col("text")) >= 3).select(col("id"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+        .as("gram"))
+    val hofTri = g.groupBy("id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum("c").as("n"), count(lit(1)).as("d"),
+        sum(col("c") * col("c")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val natTri = df.select(col("id"),
+      TextNativeFunctions.charTrigramStats(spark, col("text")).as("t")).collect()
+      .map { r =>
+        val t = r.getStruct(1)
+        r.getLong(0) -> ((t.getLong(0), t.getLong(1), t.getLong(2)))
+      }.toMap
+    natTri.foreach { case (id, (n, d, s)) =>
+      if (n == 0L) assert(!hofTri.contains(id), s"id=$id: explode emitted grams for short text")
+      else assert(hofTri(id) === ((n, d, s)), s"id=$id char trigram counts")
+    }
+  }
 }
