@@ -851,6 +851,15 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")
     },
+    // Corpus-level PII audit: per-rule docs-affected + total hits from the
+    // same ordered redaction pass as q72 — the release-gate report.
+    "q103_pii_audit" -> { (s, dir) =>
+      val txt = concat_ws(" ", col("c_name"), lit("bal"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").cast("string"))
+      graft.ext.Redaction.auditSummary(
+        Tables.customer(s, dir).select(col("c_custkey"), txt.as("text")),
+        "text")
+    },
     // Asymmetric containment dedup: |A∩B|/|A| per direction over the q21
     // scope — catches short-doc-quoted-in-long-doc, which Jaccard's
     // union denominator hides.
@@ -2377,6 +2386,27 @@ object SparkEntry {
          |$steps
          |SELECT c_custkey, n_email, n_phone, n_ipv4, n_number, s AS redacted
          |FROM r${Redaction.defaultRules.size}""".stripMargin
+    },
+    "q103_pii_audit" -> {
+      import graft.ext.Redaction
+      val steps = Redaction.defaultRules.zipWithIndex.map { case (r, i) =>
+        s"""r${i + 1} AS (SELECT * EXCLUDE (s),
+           |  ${Redaction.matchCountSql("s", r)} AS n_${r.name},
+           |  ${Redaction.redactSql("s", r)} AS s
+           |FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      val perRule = Redaction.defaultRules.map { r =>
+        s"""SELECT '${r.name}' AS rule,
+           |  CAST(SUM(CASE WHEN n_${r.name} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_${r.name}) AS BIGINT) AS n_hits
+           |FROM r${Redaction.defaultRules.size}""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH r0 AS (SELECT c_custkey,
+         |  c_name || ' bal ' ||
+         |  CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR) AS s
+         |FROM customer),
+         |$steps
+         |$perRule""".stripMargin
     },
     "q73_hash_split" ->
       s"""WITH s AS (SELECT lang, n_chars,

@@ -50,6 +50,34 @@ object Redaction {
     }
   }
 
+  /** Corpus-level PII audit: one row per rule with the number of documents
+    * it fired on and the total hit count — the release-gate report run
+    * before a corpus freeze ships ("how much PII did we even find, and
+    * where is it concentrated"). Counts come from the same ordered
+    * [[redact]] pass, so they reflect rule precedence (digits inside an
+    * already-masked email are not re-counted by the number rule).
+    *
+    * Scale: ONE aggregation over the redact scan computes all 2·|rules|
+    * totals (map-side combined); the per-rule unpivot happens on the
+    * single result row.
+    */
+  def auditSummary(df: DataFrame, textCol: String,
+                   rules: Seq[Rule] = defaultRules): DataFrame = {
+    val r = redact(df, textCol, rules)
+    val aggs = rules.flatMap(rule => Seq(
+      sum(when(col(s"n_${rule.name}") > 0, 1L).otherwise(0L))
+        .as(s"${rule.name}__docs"),
+      sum(col(s"n_${rule.name}")).as(s"${rule.name}__hits")))
+    val wide = graft.catalog.ParquetCatalog.localized(
+      r.agg(aggs.head, aggs.tail: _*))
+    rules.map(rule =>
+      wide.select(
+        lit(rule.name).as("rule"),
+        col(s"${rule.name}__docs").as("n_docs"),
+        col(s"${rule.name}__hits").as("n_hits")))
+      .reduce(_ unionByName _)
+  }
+
   /** DuckDB SQL fragment mirroring [[redact]] for one rule application:
     * the caller nests these in rule order.
     */

@@ -70,5 +70,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.TextFunctions", name),
         builder))
     }
+    // native one-pass text expressions (hot-path twins of the HOF builds)
+    val natives: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "graft_repstats" ->
+        ((exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)),
+      "graft_chartristats" ->
+        ((exprs: Seq[Expression]) => graft.functions.CharTrigramStats(exprs.head)),
+      "graft_ngrams" -> ((exprs: Seq[Expression]) =>
+        graft.functions.WordNGrams(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+      "graft_shingles" -> ((exprs: Seq[Expression]) =>
+        graft.functions.WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+    natives.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.TextNativeFunctions", name),
+        builder))
+    }
   }
 }

@@ -13,9 +13,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * answers "is the mix shifting NOW" while the feed is live.
   *
   * State layout: each batch's counts land under
-  * `countsPath/batch_id=N` (partition overwrite ⇒ re-delivered batches
-  * replace, never double-count — idempotent under foreachBatch's
-  * at-least-once contract), and the running totals are one
+  * `countsPath/batch_id=N` (SaveMode.Ignore ⇒ a re-delivered batch finds
+  * its partition present and writes nothing — idempotent under
+  * foreachBatch's at-least-once contract), and the running totals are one
   * partition-pruned groupBy over that tree. Per-batch cost is
   * O(batch + #keys), never O(stream history): the history is already
   * reduced to counts.
@@ -25,15 +25,21 @@ object DriftMonitor {
   /** Fold one batch into the count store and return the drift report of the
     * cumulative distribution vs `refCounts` ((key, n_ref) rows, e.g. from
     * `ref.groupBy(key).count()`). Re-invoking with the same `batchId`
-    * overwrites that batch's partition — same cumulative state, same
-    * report.
+    * skips the write (partition already present) — same cumulative
+    * state, same report.
     */
   def monitorBatch(
       batch: DataFrame, refCounts: DataFrame, keyCol: String,
       countsPath: String, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // SaveMode.Ignore is the idempotence mechanism: a re-delivered batch
+    // (same batchId ⇒ same deterministic data under the foreachBatch
+    // contract) finds its partition already present and writes nothing —
+    // counts never double, and because nothing is ever deleted, cached
+    // file listings of the count tree stay valid (an Overwrite here
+    // poisons Spark's shared FileStatusCache with dead part files)
     batch.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$countsPath/batch_id=$batchId")
+      .write.mode(SaveMode.Ignore).parquet(s"$countsPath/batch_id=$batchId")
     val cum = spark.read.parquet(countsPath)
       .groupBy("key").agg(sum("n").as("n_cur"))
     Drift.driftFromCounts(
@@ -42,7 +48,7 @@ object DriftMonitor {
   }
 
   /** Run [[monitorBatch]] over a document stream, appending each batch's
-    * report to `reportPath` (re-delivery overwrites the batch's partition —
+    * report to `reportPath` (re-delivery skips the existing partition —
     * the report table stays exactly-once too).
     */
   def stream(
@@ -58,7 +64,7 @@ object DriftMonitor {
         // the report root doesn't see it twice (dir value wins on read)
         monitorBatch(batch, pinnedRef, keyCol, countsPath, batchId)
           .drop("batch_id")
-          .write.mode(SaveMode.Overwrite)
+          .write.mode(SaveMode.Ignore)
           .parquet(s"$reportPath/batch_id=$batchId")
         ()
       }

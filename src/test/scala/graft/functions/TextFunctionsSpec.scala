@@ -47,4 +47,19 @@ class TextFunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_token_count('a b c') AS n").collect().head
     assert(r.getAs[Number]("n").intValue === 3)
   }
+
+  test("native text expressions are injected into SQL by the extensions") {
+    val ng = spark.sql("SELECT graft_ngrams('a b c', 2) AS g").collect().head
+    assert(ng.getSeq[String](0) === Seq("a b", "b c"))
+    val sh = spark.sql("SELECT graft_shingles('a b a b', 3) AS s").collect().head
+    assert(sh.getSeq[String](0) === Seq("a b a", "b a b"))
+    val rs = spark.sql(
+      "SELECT graft_repstats('x x y').n_tokens AS n, graft_repstats('x x y').top_unigram_n AS t")
+      .collect().head
+    assert(rs.getLong(0) === 3L && rs.getLong(1) === 2L)
+    val ct = spark.sql(
+      "SELECT graft_chartristats('aaaa').n_trigrams AS n, graft_chartristats('aaaa').simpson_num AS s")
+      .collect().head
+    assert(ct.getLong(0) === 2L && ct.getLong(1) === 4L)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrendingTermsSpec extends SparkSpec {
+
+  private def top(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    df.orderBy(col("cms_estimate").desc, col("token").asc).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cms_estimate"))).toSeq
+
+  test("counts accumulate across batches; estimates exact when no collisions") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    // batch 0: "a" ×3, "b" ×1
+    val r0 = TrendingTerms.monitorBatch(
+      Seq("a a a b").toDF("text"), "text", s"$base/state", 0L, topK = 3)
+    assert(top(r0) === Seq(("a", 3L), ("b", 1L)))
+    // batch 1 adds "b" ×2, "c" ×2 → totals a=3, b=3, c=2
+    val r1 = TrendingTerms.monitorBatch(
+      Seq("b b c c").toDF("text"), "text", s"$base/state", 1L, topK = 3)
+    assert(top(r1) === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+    // re-delivery of batch 1: partitions overwrite, totals unchanged
+    val r1b = TrendingTerms.monitorBatch(
+      Seq("b b c c").toDF("text"), "text", s"$base/state", 1L, topK = 3)
+    assert(top(r1b) === top(r1))
+  }
+
+  test("a term locally below top-k still surfaces once globally heavy") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trend2").toString
+    // "x" is #2 in every batch (never dropped at topK=2) while the #1
+    // changes — after 3 batches x leads the global estimate
+    TrendingTerms.monitorBatch(Seq("p p p x x").toDF("text"), "text", s"$base/s", 0L, topK = 2)
+    TrendingTerms.monitorBatch(Seq("q q q x x").toDF("text"), "text", s"$base/s", 1L, topK = 2)
+    val r = TrendingTerms.monitorBatch(
+      Seq("r r r x x").toDF("text"), "text", s"$base/s", 2L, topK = 2)
+    assert(top(r).head === (("x", 6L)))
+  }
+
+  test("streaming surface: exactly-once per-batch report partitions") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trend3").toString
+    Seq("m m n").toDF("text").write.parquet(s"$base/in")
+    val q = TrendingTerms.stream(
+      spark.readStream.schema("text STRING").parquet(s"$base/in"),
+      "text", s"$base/state", s"$base/reports", s"$base/ckpt", topK = 2)
+    try q.processAllAvailable() finally q.stop()
+    val rep = spark.read.parquet(s"$base/reports")
+    assert(rep.columns.contains("batch_id"))
+    assert(top(rep.drop("batch_id")) === Seq(("m", 2L), ("n", 1L)))
+  }
+}
