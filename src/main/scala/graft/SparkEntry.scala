@@ -851,6 +851,23 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")
     },
+    // Schema diff between two snapshot catalogs (footer metadata only):
+    // the "new" side simulates an evolution — events table dropped, one
+    // lineitem column removed, one customer column retyped, one documents
+    // column added — and every (table, column) is classified.
+    "q104_schema_diff" -> { (s, dir) =>
+      import s.implicits._
+      val a = classifiedCols(s, dir).select("tableName", "columnName", "dataType")
+      val b = a
+        .filter(col("tableName") =!= "events")
+        .filter(!(col("tableName") === "lineitem" && col("columnName") === "l_tax"))
+        .withColumn("dataType",
+          when(col("tableName") === "customer" && col("columnName") === "c_acctbal",
+            lit("decimal(12,2)")).otherwise(col("dataType")))
+        .unionByName(Seq(("documents", "quality_score", "double"))
+          .toDF("tableName", "columnName", "dataType"))
+      graft.ext.Drift.schemaDiff(a, b)
+    },
     // Corpus-level PII audit: per-rule docs-affected + total hits from the
     // same ordered redaction pass as q72 — the release-gate report.
     "q103_pii_audit" -> { (s, dir) =>
@@ -2386,6 +2403,45 @@ object SparkEntry {
          |$steps
          |SELECT c_custkey, n_email, n_phone, n_ipv4, n_number, s AS redacted
          |FROM r${Redaction.defaultRules.size}""".stripMargin
+    },
+    "q104_schema_diff" -> {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val raw = tables.map(t =>
+        s"SELECT '$t' AS t, lower(column_name) AS c, column_type AS ty FROM (DESCRIBE $t)")
+        .mkString("\n    UNION ALL ")
+      s"""WITH raw AS (
+         |    $raw),
+    |cat AS (
+         |  SELECT t AS table_name, c AS column_name,
+         |         CASE
+         |           -- events.ts is parquet timestamp[ns]: the Spark session
+         |           -- reads it as bigint (nanosAsLong), DuckDB as TIMESTAMP
+         |           WHEN t = 'events' AND c = 'ts' THEN 'bigint'
+         |           WHEN replace(lower(ty), '[]', '') = 'varchar' THEN 'string'
+         |           WHEN replace(lower(ty), '[]', '') = 'blob' THEN 'binary'
+         |           ELSE replace(lower(ty), '[]', '') END AS dt
+         |  FROM raw),
+         |b AS (SELECT table_name, column_name,
+         |        CASE WHEN table_name = 'customer' AND column_name = 'c_acctbal'
+         |             THEN 'decimal(12,2)' ELSE dt END AS dt
+         |      FROM cat
+         |      WHERE table_name <> 'events'
+         |        AND NOT (table_name = 'lineitem' AND column_name = 'l_tax')
+         |      UNION ALL SELECT 'documents', 'quality_score', 'double'),
+         |j AS (SELECT COALESCE(a.table_name, b.table_name) AS table_name,
+         |             COALESCE(a.column_name, b.column_name) AS column_name,
+         |             a.dt AS type_old, b.dt AS type_new
+         |      FROM cat a FULL OUTER JOIN b
+         |        ON a.table_name = b.table_name AND a.column_name = b.column_name)
+         |SELECT table_name, column_name,
+         |       CASE WHEN type_old IS NULL THEN 'added'
+         |            WHEN type_new IS NULL THEN 'removed'
+         |            WHEN type_old <> type_new THEN 'type_changed'
+         |            ELSE 'unchanged' END AS status,
+         |       COALESCE(type_old, '') AS type_old,
+         |       COALESCE(type_new, '') AS type_new
+         |FROM j""".stripMargin
     },
     "q103_pii_audit" -> {
       import graft.ext.Redaction

@@ -42,6 +42,33 @@ object Drift {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Schema diff between two snapshot catalogs: one row per (table,
+    * column) present in either side, classified added / removed /
+    * type_changed / unchanged — [[snapshotDiff]]'s twin at the SCHEMA
+    * level (did a producer silently widen a column or drop a table
+    * between freezes). Inputs carry (tableName, columnName, dataType)
+    * rows, e.g. `ParquetCatalog.columnRefs` of each snapshot.
+    *
+    * Scale: catalog-sized by construction (footer metadata, not data) —
+    * one full-outer join over a few thousand rows at most.
+    */
+  def schemaDiff(oldCat: DataFrame, newCat: DataFrame): DataFrame = {
+    def side(df: DataFrame, alias: String): DataFrame =
+      df.select(
+        col("tableName").as("table_name"), col("columnName").as("column_name"),
+        col("dataType").as(alias))
+    side(oldCat, "type_old")
+      .join(side(newCat, "type_new"), Seq("table_name", "column_name"), "full_outer")
+      .select(
+        col("table_name"), col("column_name"),
+        when(col("type_old").isNull, "added")
+          .when(col("type_new").isNull, "removed")
+          .when(col("type_old") =!= col("type_new"), "type_changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("type_old"), lit("")).as("type_old"),
+        coalesce(col("type_new"), lit("")).as("type_new"))
+  }
+
   /** Distribution drift of a categorical key between a reference and a
     * current snapshot: per-key counts from both sides, the key's share in
     * each, and an integer-exact drift numerator

@@ -46,6 +46,23 @@ class DriftSpec extends SparkSpec {
       "c" -> ((0L, 1L, 4L))))
   }
 
+  test("schemaDiff classifies added/removed/type_changed/unchanged columns") {
+    import spark.implicits._
+    val a = Seq(
+      ("t1", "c1", "bigint"), ("t1", "c2", "string"), ("t2", "c1", "double"))
+      .toDF("tableName", "columnName", "dataType")
+    val b = Seq(
+      ("t1", "c1", "bigint"), ("t1", "c2", "varchar"), ("t1", "c3", "int"))
+      .toDF("tableName", "columnName", "dataType")
+    val out = Drift.schemaDiff(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(out === Map(
+      ("t1", "c1") -> "unchanged",
+      ("t1", "c2") -> "type_changed",
+      ("t1", "c3") -> "added",
+      ("t2", "c1") -> "removed"))
+  }
+
   test("distributionDrift: identical snapshots drift to zero everywhere") {
     import spark.implicits._
     val d = Seq("x", "y", "y").toDF("k")
