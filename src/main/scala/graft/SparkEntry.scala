@@ -851,6 +851,18 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")
     },
+    // Declarative data-quality expectations over orders: five rules, one
+    // scan, per-rule violation report. The in_range upper bound is set
+    // BELOW the true max so a failing rule is exercised too.
+    "q105_expectations" -> { (s, dir) =>
+      import graft.datatest.Expectations._
+      check(Tables.orders(s, dir), Seq(
+        NotNull("o_custkey"),
+        Unique("o_orderkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+        MinRows(1000L)))
+    },
     // Schema diff between two snapshot catalogs (footer metadata only):
     // the "new" side simulates an evolution — events table dropped, one
     // lineitem column removed, one customer column retyped, one documents
@@ -2404,6 +2416,24 @@ object SparkEntry {
          |SELECT c_custkey, n_email, n_phone, n_ipv4, n_number, s AS redacted
          |FROM r${Redaction.defaultRules.size}""".stripMargin
     },
+    "q105_expectations" ->
+      """WITH a AS (SELECT
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+        |                 AND (CAST(o_totalprice AS DOUBLE) < 0.0
+        |                      OR CAST(o_totalprice AS DOUBLE) > 400000.0)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |                 AND NOT regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z ]+)')
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  GREATEST(CAST(0 AS BIGINT), 1000 - COUNT(*)) AS v4
+        |FROM orders)
+        |SELECT 'not_null' AS rule, 'o_custkey' AS column, v0 AS violations, v0 = 0 AS passed FROM a
+        |UNION ALL SELECT 'unique', 'o_orderkey', v1, v1 = 0 FROM a
+        |UNION ALL SELECT 'in_range', 'o_totalprice', v2, v2 = 0 FROM a
+        |UNION ALL SELECT 'matches', 'o_orderpriority', v3, v3 = 0 FROM a
+        |UNION ALL SELECT 'min_rows', '*', v4, v4 = 0 FROM a""".stripMargin,
     "q104_schema_diff" -> {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
