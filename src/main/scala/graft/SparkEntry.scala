@@ -851,6 +851,20 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")
     },
+    // Per-group HLL: one 64-register sketch per event_type in ONE pass,
+    // engine-side raw estimate (integer-scaled harmonic sum — order-free
+    // and hash-exact), joined to the exact distinct for error visibility.
+    "q106_hll_by_group" -> { (s, dir) =>
+      import graft.ext.Sketches
+      val ev = Tables.events(s, dir)
+      Sketches.hllRawEstimateBy(
+          Sketches.hllRegistersBy(ev, "event_type", "user_id", 64),
+          "event_type", 64)
+        .join(
+          ev.groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("exact_distinct")),
+          "event_type")
+    },
     // Declarative data-quality expectations over orders: five rules, one
     // scan, per-rule violation report. The in_range upper bound is set
     // BELOW the true max so a failing rule is exercised too.
@@ -2416,6 +2430,27 @@ object SparkEntry {
          |SELECT c_custkey, n_email, n_phone, n_ipv4, n_number, s AS redacted
          |FROM r${Redaction.defaultRules.size}""".stripMargin
     },
+    "q106_hll_by_group" ->
+      s"""WITH h AS (SELECT event_type,
+         |            ${dkHash("CAST(user_id AS VARCHAR)", 17)} AS h FROM events),
+         |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS rest FROM h),
+         |z AS (SELECT event_type, bucket,
+         |             least(length(bin(rest)) - length(rtrim(bin(rest), '0')) + 1, 55) AS rho
+         |      FROM b),
+         |r AS (SELECT event_type, bucket, MAX(rho) AS max_rho FROM z GROUP BY 1, 2),
+         |s AS (SELECT event_type, COUNT(*) AS present,
+         |             SUM(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT)) AS si
+         |      FROM r GROUP BY 1),
+         |e AS (SELECT event_type,
+         |             CAST(64 - present AS BIGINT) AS n_zero_registers,
+         |             ROUND((0.709 * 64 * 64) * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+         |                   / CAST(si + (64 - present) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+         |                   4) AS raw_estimate
+         |      FROM s),
+         |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+         |      FROM events GROUP BY 1)
+         |SELECT e.event_type, n_zero_registers, raw_estimate, exact_distinct
+         |FROM e JOIN x USING (event_type)""".stripMargin,
     "q105_expectations" ->
       """WITH a AS (SELECT
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,

@@ -246,4 +246,63 @@ object Sketches {
       math.pow(2.0, -regs.getOrElse(b, 0L).toDouble)).sum
     alpha * m * m / harmonicSum
   }
+
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Per-group HLL register tables: [[hllRegisters]] keyed by `groupCol` —
+    * one m-row sketch per group value, all built in ONE map-side-combined
+    * aggregation (the partitioned-sketch-state layout: distinct users per
+    * source/day/shard without one query per group).
+    */
+  def hllRegistersBy(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      m: Int,
+      seed: Int = 17,
+      portable: Boolean = true): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val h = Dedup.stableHash(col(keyCol).cast("string"), seed, portable)
+    df
+      .select(col(groupCol), pmod(h, lit(m.toLong)).as("bucket"),
+        ExactMath.floorDiv(h, lit(m.toLong)).as("__rest"))
+      .select(col(groupCol), col("bucket"),
+        least(trailingZeros(col("__rest")) + lit(1), lit(55)).as("__rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("__rho")).cast("long").as("max_rho"))
+  }
+
+  /** Engine-side raw HLL estimate per group, hash-exact across engines:
+    * the harmonic sum Σ 2^(−M_j) is computed as the INTEGER
+    * Σ 2^(55−M_j) (every term exact, addition order-free — a direct
+    * double sum would round once the 2^6..2^−55 bit span exceeds the
+    * mantissa and the result would depend on aggregation order), absent
+    * buckets contribute 2^55 each, and one final double multiply/divide
+    * produces αm²·2^55/S. Raw estimate only — the small-range linear
+    * counting correction needs ln(), which is not bit-portable; the
+    * n_zero_registers column is emitted so callers can decide to apply it.
+    */
+  def hllRawEstimateBy(
+      registers: DataFrame, groupCol: String, m: Int): DataFrame = {
+    val big = 1L << 55
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__present"),
+        sum(call_function("shiftleft", lit(1L), (lit(55L) - col("max_rho")).cast("int")))
+          .cast("long").as("__si"))
+      .select(
+        col(groupCol),
+        (lit(m.toLong) - col("__present")).as("n_zero_registers"),
+        round(
+          lit(hllAlpha(m) * m * m) * lit(big.toDouble) /
+            (col("__si") + (lit(m.toLong) - col("__present")) * lit(big))
+              .cast("double"),
+          4).as("raw_estimate"))
+  }
 }

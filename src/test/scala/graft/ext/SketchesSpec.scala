@@ -105,4 +105,25 @@ class SketchesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("per-group registers slice like per-group builds; engine-side raw estimate tracks exact") {
+    import spark.implicits._
+    val df = ((1L to 800L).map(i => ("g1", i)) ++ (1L to 50L).map(i => ("g2", i * 7)))
+      .toDF("grp", "k")
+    val by = Sketches.hllRegistersBy(df, "grp", "k", 64)
+    // group slice == independent single-group build
+    val g1Only = Sketches.hllRegisters(df.filter($"grp" === "g1"), "k", 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g1Slice = by.filter($"grp" === "g1").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g1Slice === g1Only)
+    // engine-side raw estimate: matches the driver-side harmonic estimate
+    // (same alpha, same registers) and lands within HLL's error envelope
+    val est = Sketches.hllRawEstimateBy(by, "grp", 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val driverEst = Sketches.hllEstimate(
+      by.filter($"grp" === "g1").drop("grp"), 64)
+    assert(math.abs(est("g1") - driverEst) < 1e-4)
+    assert(math.abs(est("g1") - 800.0) / 800.0 < 0.25, s"g1 estimate ${est("g1")}")
+  }
 }
