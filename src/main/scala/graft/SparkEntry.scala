@@ -851,6 +851,15 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")
     },
+    // One-row drift verdict over the q95 report: exact-numerator TVD,
+    // key count, worst-drifting key — the promote/rollback gate value.
+    "q107_drift_summary" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val b = pmod(graft.ext.Dedup.stableHash(col("doc_id").cast("string"), 0), lit(100L))
+      graft.ext.Drift.driftSummary(
+        graft.ext.Drift.distributionDrift(
+          docs.filter(b < 80), docs.filter(b >= 20), "lang"))
+    },
     // Per-group HLL: one 64-register sketch per event_type in ONE pass,
     // engine-side raw estimate (integer-scaled harmonic sum — order-free
     // and hash-exact), joined to the exact distinct for error visibility.
@@ -2430,6 +2439,28 @@ object SparkEntry {
          |SELECT c_custkey, n_email, n_phone, n_ipv4, n_number, s AS redacted
          |FROM r${Redaction.defaultRules.size}""".stripMargin
     },
+    "q107_drift_summary" ->
+      s"""WITH base AS (SELECT lang,
+         |    ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b FROM documents),
+         |r AS (SELECT lang AS key, COUNT(*) AS n_ref FROM base WHERE b < 80 GROUP BY 1),
+         |c AS (SELECT lang AS key, COUNT(*) AS n_cur FROM base WHERE b >= 20 GROUP BY 1),
+         |j AS (SELECT COALESCE(r.key, c.key) AS key,
+         |             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |      FROM r FULL OUTER JOIN c ON r.key = c.key),
+         |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j),
+         |d AS (SELECT key, n_ref, n_cur,
+         |             abs(CAST(n_ref AS HUGEINT) * t_cur
+         |                 - CAST(n_cur AS HUGEINT) * t_ref) AS drift_num
+         |      FROM j CROSS JOIN t),
+         |w AS (SELECT key AS worst_key, CAST(drift_num AS BIGINT) AS worst_drift_num
+         |      FROM d ORDER BY drift_num DESC, key ASC LIMIT 1)
+         |SELECT COUNT(*) AS n_keys,
+         |       ROUND(CAST(SUM(drift_num) AS DOUBLE)
+         |             / (2.0 * CAST(SUM(n_ref) AS DOUBLE) * CAST(SUM(n_cur) AS DOUBLE)),
+         |             6) AS tvd,
+         |       MAX(worst_key) AS worst_key,
+         |       MAX(worst_drift_num) AS worst_drift_num
+         |FROM d CROSS JOIN w""".stripMargin,
     "q106_hll_by_group" ->
       s"""WITH h AS (SELECT event_type,
          |            ${dkHash("CAST(user_id AS VARCHAR)", 17)} AS h FROM events),

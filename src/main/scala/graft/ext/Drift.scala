@@ -112,4 +112,30 @@ object Drift {
             col("n_cur").cast("decimal(38,0)") * col("t_ref").cast("decimal(38,0)"))
           .cast("long").as("drift_num"))
   }
+
+  /** One-row verdict over a [[distributionDrift]] report: the total
+    * variation distance TVD = Σ drift_num / (2·t_ref·t_cur) ∈ [0, 1]
+    * (0 = identical mixes, 1 = disjoint), the number of keys, and the
+    * single worst-drifting key — the promote/rollback gate compares `tvd`
+    * against a threshold instead of eyeballing per-key rows. The numerator
+    * sums exactly in decimal; one final IEEE division keeps the value
+    * engine-portable.
+    */
+  def driftSummary(report: DataFrame): DataFrame = {
+    val worst = report
+      .orderBy(col("drift_num").desc, col("key").asc).limit(1)
+      .select(col("key").as("worst_key"), col("drift_num").as("worst_drift_num"))
+    report
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("drift_num").cast("decimal(38,0)")).as("__num"),
+        sum("n_ref").as("__t_ref"), sum("n_cur").as("__t_cur"))
+      .select(
+        col("n_keys"),
+        round(
+          col("__num").cast("double") /
+            (lit(2.0) * col("__t_ref").cast("double") * col("__t_cur").cast("double")),
+          6).as("tvd"))
+      .crossJoin(broadcast(worst))
+  }
 }

@@ -70,4 +70,19 @@ class DriftSpec extends SparkSpec {
     assert(rows.forall(_.getLong(5) === 0L))
     assert(rows.forall(r => r.getDouble(3) === r.getDouble(4)))
   }
+
+  test("driftSummary: closed-form TVD and worst key; zero for identical mixes") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "a", "b").toDF("k")
+    val cur = Seq("a", "a", "b", "b", "c").toDF("k")
+    val s = Drift.driftSummary(Drift.distributionDrift(ref, cur, "k")).collect().head
+    assert(s.getAs[Long]("n_keys") === 3L)
+    // drift_nums 7,3,4 over t_ref=4, t_cur=5 → TVD = 14/40 = 0.35
+    assert(s.getAs[Double]("tvd") === 0.35)
+    assert(s.getAs[String]("worst_key") === "a")
+    assert(s.getAs[Long]("worst_drift_num") === 7L)
+    val same = Seq("x", "y").toDF("k")
+    val z = Drift.driftSummary(Drift.distributionDrift(same, same, "k")).collect().head
+    assert(z.getAs[Double]("tvd") === 0.0)
+  }
 }
