@@ -851,6 +851,22 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Tables.lineitem(s, dir), "l_orderkey")
     },
+    // Quality-proportional thinning: keep P(doc) = quality via the
+    // deterministic hash gate — the soft filter between threshold cliffs
+    // and keeping junk; kept set is monotone in the score.
+    "q108_quality_thin" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .withColumn("quality",
+          graft.ext.TextAnalysis.qualityScore(col("text")))
+      graft.ext.Sampling.qualityThin(scored, "quality", "doc_id")
+        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+    },
+    // Cross-source duplication matrix: near-dup pair counts per unordered
+    // source pair — which feeds copy each other.
+    "q109_dup_matrix" -> { (s, dir) =>
+      graft.ext.Dedup.dupSourceMatrix(
+        Tables.documents(s, dir), minJaccard = 0.5)
+    },
     // One-row drift verdict over the q95 report: exact-numerator TVD,
     // key count, worst-drifting key — the promote/rollback gate value.
     "q107_drift_summary" -> { (s, dir) =>
@@ -2439,6 +2455,28 @@ object SparkEntry {
          |SELECT c_custkey, n_email, n_phone, n_ipv4, n_number, s AS redacted
          |FROM r${Redaction.defaultRules.size}""".stripMargin
     },
+    "q108_quality_thin" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      val quality =
+        s"""LEAST(GREATEST(
+           |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+           |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+           |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)""".stripMargin
+      s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents)
+         |SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM q
+         |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
+         |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
+    },
+    "q109_dup_matrix" ->
+      s"""WITH np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT LEAST(sa.source, sb.source) AS source_a,
+         |       GREATEST(sa.source, sb.source) AS source_b,
+         |       COUNT(*) AS n_dup_pairs
+         |FROM np JOIN s sa ON sa.doc_id = np.id_a
+         |        JOIN s sb ON sb.doc_id = np.id_b
+         |GROUP BY 1, 2""".stripMargin,
     "q107_drift_summary" ->
       s"""WITH base AS (SELECT lang,
          |    ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b FROM documents),

@@ -298,6 +298,34 @@ object Dedup {
     ngramJaccard(docs, textCol, idCol, 3, minJaccard, Some(cand))
   }
 
+  /** Cross-source duplication matrix: near-duplicate pair counts grouped by
+    * the (unordered) source pair — "which feeds copy each other", the
+    * report that decides which source to drop when two crawls overlap.
+    * Sources are normalized least/greatest so each pair appears once;
+    * within-source duplication shows on the diagonal.
+    *
+    * Scale: the pair set is the LSH-candidate-scoped near-dup output
+    * (never O(n²)); the two source lookups join on doc id and the final
+    * aggregate is |sources|²-bounded.
+    */
+  def dupSourceMatrix(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.7): DataFrame = {
+    val pairs = nearDuplicates(docs, textCol, idCol, minJaccard)
+      .select("id_a", "id_b")
+    val src = docs.select(col(idCol).as("id"), col(sourceCol).as("src"))
+    pairs
+      .join(src.select(col("id").as("id_a"), col("src").as("src_a")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("src").as("src_b")), Seq("id_b"))
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** Connected components over near-duplicate pairs: every document gets the
     * MINIMUM doc id reachable through the pair graph as its canonical id —
     * the "keep one per duplicate cluster" step after pair detection.

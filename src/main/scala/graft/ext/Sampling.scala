@@ -63,6 +63,24 @@ object Sampling {
       .drop("__stratum_n")
   }
 
+  /** Quality-proportional corpus thinning: keep each document with
+    * probability equal to its quality score — the soft filter between
+    * "drop everything below a threshold" (cliff effects at the boundary)
+    * and "keep everything" (junk dominates). Deterministic and
+    * engine-portable like every sampler here: keep ⟺
+    * hash(id) mod 10⁶ < ⌊score·10⁶⌋, so the kept SET is a pure function
+    * of the data (reproducible across engines, partitionings, retries),
+    * and raising a document's score can only ever ADD it to the sample
+    * (monotone — stable ablations as scorers improve).
+    *
+    * `scoreCol` must be in [0, 1] (clamp upstream); map-only, no shuffle.
+    */
+  def qualityThin(
+      df: DataFrame, scoreCol: String, idCol: String, seed: Int = 0): DataFrame =
+    df.filter(
+      pmod(Dedup.stableHash(col(idCol).cast("string"), seed), lit(1000000L)) <
+        floor(col(scoreCol).cast("double") * 1000000.0).cast("long"))
+
   /** Deterministic train/val/test assignment: `bucket = hash(id) mod 100`,
     * train < `trainPct`, val < `trainPct + valPct`, else test. A pure
     * function of the row id — the same document lands in the same split on

@@ -56,6 +56,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containmentPairs(pair, minContainment = 1.01).count() === 0)
   }
 
+  test("dupSourceMatrix: pairs land on normalized source pairs, diagonal = within-source") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog every single day"
+    val other = "completely unrelated content with distinct vocabulary here today"
+    val df = Seq(
+      (1L, t, "crawlA"), (2L, t, "crawlB"),   // cross-source dup
+      (3L, t, "crawlB"),                      // B-internal dup with 2 (and cross with 1)
+      (4L, other, "crawlA"))                  // no dup
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.dupSourceMatrix(df, minJaccard = 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(
+      ("crawlA", "crawlB") -> 2L, // 1-2 and 1-3
+      ("crawlB", "crawlB") -> 1L)) // 2-3
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

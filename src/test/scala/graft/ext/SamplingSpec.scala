@@ -89,4 +89,24 @@ class SamplingSpec extends SparkSpec {
       Map("big" -> 1L, "rare" -> 1L), 400L).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("qualityThin: extremes exact, rate tracks score, kept set monotone in score") {
+    import spark.implicits._
+    val n = 2000
+    // score 1.0 keeps everything, 0.0 keeps nothing
+    val ones = (1 to n).map(i => (i.toLong, 1.0)).toDF("id", "q")
+    assert(Sampling.qualityThin(ones, "q", "id").count() === n.toLong)
+    val zeros = (1 to n).map(i => (i.toLong, 0.0)).toDF("id", "q")
+    assert(Sampling.qualityThin(zeros, "q", "id").count() === 0L)
+    // score 0.3 keeps ~30%
+    val mid = (1 to n).map(i => (i.toLong, 0.3)).toDF("id", "q")
+    val kept3 = Sampling.qualityThin(mid, "q", "id").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept3.size - n * 0.3) / n < 0.05, s"kept ${kept3.size}")
+    // monotone: raising every score to 0.6 only ADDS documents
+    val hi = (1 to n).map(i => (i.toLong, 0.6)).toDF("id", "q")
+    val kept6 = Sampling.qualityThin(hi, "q", "id").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept3.subsetOf(kept6))
+  }
 }
