@@ -861,6 +861,13 @@ object SparkEntry {
       graft.ext.Sampling.qualityThin(scored, "quality", "doc_id")
         .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
     },
+    // Fuzzy (edit-distance) self-join over part names: PassJoin segment
+    // blocking — content-keyed candidates (cardinality grows with data),
+    // exact levenshtein verify scoped to candidates. Lossless: output is
+    // exactly the brute-force pair set.
+    "q110_fuzzy_join" -> { (s, dir) =>
+      graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
+    },
     // Cross-source duplication matrix: near-dup pair counts per unordered
     // source pair — which feeds copy each other.
     "q109_dup_matrix" -> { (s, dir) =>
@@ -2468,6 +2475,14 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q110_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON (length(a.name) < length(b.name)
+        |      OR (length(a.name) = length(b.name) AND a.name < b.name))
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
     "q109_dup_matrix" ->
       s"""WITH np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
          |s AS (SELECT doc_id, source FROM documents)

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy) self-join — the entity-resolution primitive a
+  * curation pipeline needs to collapse near-identical names/titles that
+  * exact dedup ([[Dedup.exact]]) and token-level Jaccard
+  * ([[Dedup.ngramJaccard]]) both miss (single-character typos).
+  *
+  * Blocking follows the PassJoin discipline (Li, Deng, Feng, Wang:
+  * "PASS-JOIN: a partition-based method for similarity joins", PVLDB 2012,
+  * public): partition every string into `maxDist + 1` even segments — by
+  * pigeonhole, any string within edit distance `maxDist` must contain at
+  * least one segment VERBATIM (≤ `maxDist` edits cannot touch all
+  * `maxDist + 1` segments), at a position shifted by at most `maxDist`.
+  * Candidates are therefore an equi-join on (segment-index, partner-length,
+  * segment-content); the verify is an exact `levenshtein` scoped to
+  * candidates only.
+  *
+  * Scale: the join key carries segment CONTENT, so key cardinality grows
+  * with the corpus — no fixed-bucket parallelism cap (the q22 lesson).
+  * Index side is `(k+1)·n` rows, probe side ≤ `(k+1)²(2k+1)·n` rows before
+  * its own distinct; both shuffle once on content keys. Blocking is
+  * lossless (recall 1.0 by the pigeonhole argument — FuzzyJoinSpec proves
+  * it against brute force), so the output is exactly the brute-force O(n²)
+  * pair set without ever materializing it.
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs of DISTINCT non-null values of `colName` within
+    * levenshtein distance ≤ `maxDist` (equal values are collapsed by the
+    * distinct — dedup exact copies with [[Dedup.exact]] instead). `name_a`
+    * is the shorter string (lexically smaller on equal length); `dist` is
+    * the exact edit distance. Each qualifying pair is emitted exactly once.
+    */
+  def selfPairs(df: DataFrame, colName: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+
+    // Even partition of a length-l string into k+1 segments: with
+    // base = l div (k+1) and rem = l mod (k+1), the first k+1-rem segments
+    // have length base and the last rem have base+1. Pure integer
+    // arithmetic on (l, i) — index and probe sides compute identical
+    // positions by construction. Positions are 0-based here; substr is
+    // 1-based.
+    // lengths are ints (< 2^31), so double floor-division is exact here
+    def intDiv(a: Column, b: Int): Column = floor(a.cast("double") / b).cast("int")
+    def segStart(l: Column, i: Column): Column =
+      i * intDiv(l, k + 1) + greatest(lit(0), i - (lit(k + 1) - l % (k + 1)))
+    def segLen(l: Column, i: Column): Column =
+      intDiv(l, k + 1) + when(i >= lit(k + 1) - l % (k + 1), 1).otherwise(0)
+
+    val names = df
+      .select(col(colName).cast("string").as("name"))
+      .filter(col("name").isNotNull)
+      .distinct()
+      .withColumn("len", length(col("name")))
+
+    // Index side: each string contributes its k+1 segments keyed by
+    // (segment index, own length, segment content).
+    val index = names
+      .select(col("name").as("name_s"), col("len").as("l"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("seg", col("name_s").substr(
+        (segStart(col("l"), col("i")) + 1).cast("int"),
+        segLen(col("l"), col("i")).cast("int")))
+
+    // Probe side: each string of length m probes, for every candidate
+    // partner length l in [m-k, m] and segment index i, the substrings of
+    // itself at the segment's position shifted by δ ∈ [-k, k] (k edits
+    // move a surviving segment by at most k positions). Out-of-bounds
+    // starts cannot host a real match and are dropped; duplicate probe
+    // keys (repeated content) collapse before the join.
+    val probe = names
+      .select(col("name").as("name_t"), col("len").as("m"),
+        explode(sequence(greatest(col("len") - k, lit(0)), col("len"))).as("l"))
+      .select(col("name_t"), col("m"), col("l"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("start_t",
+        explode(sequence(segStart(col("l"), col("i")) - k,
+          segStart(col("l"), col("i")) + k)))
+      .filter(col("start_t") >= 0 &&
+        col("start_t") + segLen(col("l"), col("i")) <= col("m"))
+      .withColumn("sub", col("name_t").substr(
+        (col("start_t") + 1).cast("int"), segLen(col("l"), col("i")).cast("int")))
+      .select("name_t", "m", "l", "i", "sub")
+      .distinct()
+
+    // Pair-once discipline: the indexed string is the shorter one
+    // (lexically smaller on ties), so every unordered pair meets through
+    // exactly one orientation; the distinct collapses multi-segment hits.
+    index
+      .join(probe,
+        index("l") === probe("l") && index("i") === probe("i") &&
+          index("seg") === probe("sub") &&
+          (index("l") < probe("m") ||
+            (index("l") === probe("m") && index("name_s") < probe("name_t"))))
+      .select(col("name_s").as("name_a"), col("name_t").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= k)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+
+  /** Reference edit distance for the brute-force oracle. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def brute(values: Seq[String], k: Int): Set[(String, String, Long)] = {
+    val v = values.distinct
+    (for {
+      a <- v; b <- v
+      if a.length < b.length || (a.length == b.length && a < b)
+      d = lev(a, b) if d <= k
+    } yield (a, b, d.toLong)).toSet
+  }
+
+  private def run(values: Seq[String], k: Int): Set[(String, String, Long)] = {
+    import spark.implicits._
+    FuzzyJoin.selfPairs(values.toDF("v"), "v", k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("matches brute force on a mixed fixture (k=2)") {
+    val vs = Seq("red bolt", "old bolt", "red bolts", "blue bolt", "gear",
+      "gears", "ger", "a", "ab", "abc", "zzzz", "small ring", "small rind",
+      "", "xy", "completely different string here")
+    assert(run(vs, 2) === brute(vs, 2))
+  }
+
+  test("matches brute force on short strings where segments are empty (k=3)") {
+    val vs = Seq("", "a", "b", "ab", "ba", "abc", "abcd", "aaaa", "aaab")
+    assert(run(vs, 3) === brute(vs, 3))
+  }
+
+  test("matches brute force on pseudo-random strings (k=1)") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "ab"
+    val vs = Seq.fill(60)((0 until (1 + rnd.nextInt(6))).map(_ =>
+      alpha(rnd.nextInt(alpha.length))).mkString)
+    assert(run(vs, 1) === brute(vs, 1))
+  }
+
+  test("duplicate input rows collapse; nulls ignored; pairs emitted once") {
+    import spark.implicits._
+    val df = Seq(Some("abc"), Some("abc"), Some("abd"), None).toDF("v")
+    val out = FuzzyJoin.selfPairs(df, "v", 1).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "abc" && out.head.getString(1) === "abd")
+    assert(out.head.getLong(2) === 1L)
+  }
+}
