@@ -868,6 +868,16 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Temperature-scaled mixture (α = 1/2): integer-exact per-source
+    // budgets ∝ √n, best-quality admission per source. The filter induces
+    // skewed source sizes (3 full sources, 17 thinned) so the flattening
+    // is actually exercised.
+    "q111_temperature_mix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1", "src2") || col("doc_id") % 5 === 0)
+        .withColumn("quality", graft.ext.TextAnalysis.qualityScore(col("text")))
+      graft.ext.Sampling.temperatureSample(docs, "source", "doc_id", "quality", budget = 60L)
+    },
     // Cross-source duplication matrix: near-dup pair counts per unordered
     // source pair — which feeds copy each other.
     "q109_dup_matrix" -> { (s, dir) =>
@@ -2474,6 +2484,29 @@ object SparkEntry {
          |SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM q
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
+    },
+    "q111_temperature_mix" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      val quality =
+        s"""LEAST(GREATEST(
+           |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+           |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+           |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, source, $quality AS quality FROM documents
+         |           WHERE source IN ('src0', 'src1', 'src2') OR doc_id % 5 = 0),
+         |n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+         |w AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+         |      FROM n),
+         |t AS (SELECT SUM(w) AS tw FROM w),
+         |b AS (SELECT source, CAST((60 * w) // tw AS BIGINT) AS src_budget
+         |      FROM w CROSS JOIN t),
+         |r AS (SELECT doc_id, source,
+         |             ROW_NUMBER() OVER (PARTITION BY source
+         |               ORDER BY quality DESC, doc_id ASC) AS rk
+         |      FROM d)
+         |SELECT r.doc_id, r.source, r.rk, b.src_budget
+         |FROM r JOIN b USING (source) WHERE r.rk <= b.src_budget""".stripMargin
     },
     "q110_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)

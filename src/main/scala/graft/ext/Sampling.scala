@@ -98,6 +98,56 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Temperature-scaled mixture budgets (α = 1/2): per-source weight
+    * `w_s = ⌊√n_s · 2²⁰⌋`, per-source budget `⌊budget · w_s / Σw⌋` — the
+    * standard multilingual-corpus flattening (sample ∝ n^α, α < 1) that
+    * up-weights small sources relative to proportional sampling without
+    * letting any source dominate. Engine-portable exactness: IEEE `sqrt`
+    * is correctly rounded in every engine, ×2²⁰ is an exponent shift
+    * (exact), `floor` pins the weight to an integer, and the budget split
+    * is integer floor-division — no accumulation-order-sensitive float
+    * math anywhere.
+    *
+    * Scale: one per-source count aggregate (|sources| rows) plus a
+    * broadcast scalar total — nothing touches the data itself.
+    */
+  def temperatureBudgets(
+      df: DataFrame, sourceCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val w = df.filter(col(sourceCol).isNotNull)
+      .groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double")) * (1L << 20).toDouble).cast("long"))
+    w.crossJoin(broadcast(w.agg(sum(col("w")).as("tw"))))
+      .withColumn("src_budget",
+        ExactMath.floorDiv(lit(budget).cast("decimal(38,0)") * col("w"), col("tw")))
+      .select(col(sourceCol), col("n"), col("w"), col("src_budget"))
+  }
+
+  /** Admit the best `src_budget` documents per source under
+    * [[temperatureBudgets]]' α = 1/2 split, ranked by (`scoreCol` desc,
+    * `idCol` asc) — deterministic manifest, reproducible across engines.
+    *
+    * Scale: the per-source rank is one shuffle on source; a single
+    * dominant source serializes its own sort — at that shape, derive a
+    * per-source score THRESHOLD from a grouped histogram sketch
+    * (Profiler.histogramBy → quantile per group) and admit map-side
+    * instead of ranking.
+    */
+  def temperatureSample(
+      df: DataFrame, sourceCol: String, idCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = temperatureBudgets(df, sourceCol, budget)
+      .select(col(sourceCol), col("src_budget"))
+    df.filter(col(sourceCol).isNotNull)
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(sourceCol).orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .join(broadcast(budgets), Seq(sourceCol))
+      .filter(col("rk") <= col("src_budget"))
+      .select(col(idCol), col(sourceCol), col("rk"), col("src_budget"))
+  }
+
   /** Mix a corpus to target per-source proportions with a fixed total
     * budget. Integer-exact thresholds: keep a row of source s iff
     * `hash(id) mod 10^6 < min(10^6, (budget · weight_s · 10^6) div

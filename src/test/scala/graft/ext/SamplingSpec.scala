@@ -109,4 +109,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept3.subsetOf(kept6))
   }
+
+  test("temperatureBudgets: α=1/2 flattening — 4× the rows, exactly 2× the weight") {
+    import spark.implicits._
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (400L + i, "small")) ++
+      (1 to 100).map(i => (500L + i, "small2"))).toDF("id", "source")
+    val b = Sampling.temperatureBudgets(df, "source", 120L).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(b("big")._1 === 2 * b("small")._1) // √400 = 2·√100, exact
+    assert(b("small")._1 === b("small2")._1)
+    // proportional would give big 96 of 120; temperature gives 60
+    assert(b("big")._2 === 60L && b("small")._2 === 30L)
+    assert(b.values.map(_._2).sum <= 120L)
+  }
+
+  test("temperatureSample: admits best-scored docs per source within budget") {
+    import spark.implicits._
+    val df = ((1 to 16).map(i => (i.toLong, "a", i.toDouble)) ++
+      (1 to 4).map(i => (100L + i, "b", 50.0 + i))).toDF("id", "source", "score")
+    // w_a = 4·2²⁰, w_b = 2·2²⁰ → budgets of 9: a=6, b=3
+    val out = Sampling.temperatureSample(df, "source", "id", "score", 9L)
+    val bysrc = out.collect().groupBy(_.getString(1))
+    assert(bysrc("a").map(_.getLong(0)).toSet === (11L to 16L).toSet) // top-6 scores
+    assert(bysrc("b").map(_.getLong(0)).toSet === Set(102L, 103L, 104L))
+  }
 }
