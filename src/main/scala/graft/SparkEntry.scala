@@ -868,6 +868,13 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // First-order Markov transition matrix over per-user event sequences:
+    // one shuffle on user_id (lead window), map-side-combined pair counts,
+    // exact row totals and probabilities.
+    "q112_transition_matrix" -> { (s, dir) =>
+      graft.ops.Funnel.transitionMatrix(
+        Tables.events(s, dir), "user_id", "event_type", Seq("ts", "event_id"))
+    },
     // Temperature-scaled mixture (α = 1/2): integer-exact per-source
     // budgets ∝ √n, best-quality admission per source. The filter induces
     // skewed source sizes (3 full sources, 17 thinned) so the flattening
@@ -2485,6 +2492,18 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q112_transition_matrix" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS prob
+        |FROM c JOIN t USING (from_type)""".stripMargin,
     "q111_temperature_mix" -> {
       val nt = "len(string_split(text,' '))"
       val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"

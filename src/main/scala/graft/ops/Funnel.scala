@@ -72,4 +72,35 @@ object Funnel {
           max(col("n_users")).over(Window.partitionBy()).cast("double"))
           .as("conversion"))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * count every consecutive (from_type → to_type) step, plus the row
+    * total and transition probability — the journey-analytics companion
+    * to [[conversion]] (which fixes a stage order; this discovers it).
+    *
+    * `orderCols` must make the per-key order total (e.g. ts + a unique
+    * event id as tie-break), or the pair set is not well-defined.
+    *
+    * Scale: the `lead` window is ONE hash shuffle on the key — the same
+    * shuffle sessionization already pays — and the count aggregate on
+    * (from, to) has map-side partial combine. The probability window runs
+    * over the K×K count table, not the data.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val perKey = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val counts = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(perKey))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("prob", col("n").cast("double") / col("n_from").cast("double"))
+      .select("from_type", "to_type", "n", "n_from", "prob")
+  }
 }

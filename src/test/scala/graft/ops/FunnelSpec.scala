@@ -46,4 +46,31 @@ class FunnelSpec extends SparkSpec {
       (1L, "purchase", 250L)))
     assert(out.toSeq === Seq((1L, "view", 1L, 1.0), (2L, "click", 1L, 1.0)))
   }
+
+  test("transitionMatrix: consecutive pairs per user, exact counts and probs") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: a→b→a ; u2: a→b ; u3: a alone (no transition)
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (2L, "a", 5L, 4L), (2L, "b", 6L, 5L),
+      (3L, "a", 1L, 6L)).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.transitionMatrix(df, "user_id", "event_type", Seq("ts", "event_id"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("a", "b")) === ((2L, 2L, 1.0)))
+    assert(out(("b", "a")) === ((1L, 1L, 1.0)))
+    assert(out.size === 2)
+  }
+
+  test("transitionMatrix: ties resolved by the tie-break column, probs sum to 1") {
+    import spark.implicits._
+    val df = Seq(
+      // same ts: event_id orders x→y→z
+      (1L, "x", 10L, 1L), (1L, "y", 10L, 2L), (1L, "z", 10L, 3L),
+      (2L, "x", 10L, 4L), (2L, "z", 10L, 5L)).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.transitionMatrix(df, "user_id", "event_type", Seq("ts", "event_id"))
+    val fromX = out.filter("from_type = 'x'").collect()
+      .map(r => (r.getString(1), r.getDouble(4))).toMap
+    assert(fromX === Map("y" -> 0.5, "z" -> 0.5))
+  }
 }
