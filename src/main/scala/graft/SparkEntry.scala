@@ -868,6 +868,16 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Per-group quantile sketch: one grouped equi-width histogram pass over
+    // documents, then p50/p90/p99 length per lang read off the sketch —
+    // groups × bins state, mergeable, never re-touches the data.
+    "q113_group_quantiles" -> { (s, dir) =>
+      import graft.analyze.Profiler
+      Profiler.quantileEstimateBy(
+        Profiler.histogramBy(Tables.documents(s, dir), "lang", "n_chars",
+          lo = 0.0, hi = 2048.0, nBuckets = 32),
+        "lang", Seq(0.5, 0.9, 0.99))
+    },
     // First-order Markov transition matrix over per-user event sequences:
     // one shuffle on user_id (lead window), map-side-combined pair counts,
     // exact row totals and probabilities.
@@ -2492,6 +2502,31 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q113_group_quantiles" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(LEAST(GREATEST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),
+        |                        0.0), 31.0) AS INT) AS bucket
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |h AS (SELECT lang, bucket,
+        |        0.0 + CAST(bucket AS DOUBLE) * 64.0 AS lo_v,
+        |        0.0 + CAST(bucket + 1 AS DOUBLE) * 64.0 AS hi_v,
+        |        COUNT(*) AS n
+        |      FROM b GROUP BY lang, bucket),
+        |c AS (SELECT *,
+        |        SUM(n) OVER (PARTITION BY lang ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(n) OVER (PARTITION BY lang ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_before,
+        |        SUM(n) OVER (PARTITION BY lang) AS total
+        |      FROM h),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+        |SELECT lang, p, bucket,
+        |       CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) AS rnk,
+        |       lo_v + (CAST(CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) - cum_before AS DOUBLE)
+        |               / CAST(n AS DOUBLE)) * (hi_v - lo_v) AS est
+        |FROM q, c
+        |WHERE cum >= CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT)
+        |  AND cum_before < CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT)""".stripMargin,
     "q112_transition_matrix" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,

@@ -132,6 +132,59 @@ object Profiler {
             (col("hi_v") - col("lo_v"))).as("est"))
   }
 
+  /** Per-group equi-width histogram state: [[histogram]]'s bins computed
+    * for every group in ONE pass (group key joins the groupBy key). The
+    * state is mergeable per group with [[histogramMerge]]'s discipline
+    * (union + bin-wise sums including the group column), and
+    * [[quantileEstimateBy]] reads per-group quantiles off it — the scale
+    * path for "p50/p99 length per language" over a corpus too large for
+    * per-group exact percentile buffers.
+    */
+  def histogramBy(
+      df: DataFrame, groupCol: String, column: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "histogram needs hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val x = col(column).cast("double")
+    val bucket = least(
+      greatest(floor((x - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 4))).cast("double").as("sum_v"))
+      .withColumn("lo_v", lit(lo) + col("bucket").cast("double") * lit(width))
+      .withColumn("hi_v", lit(lo) + (col("bucket") + 1).cast("double") * lit(width))
+      .select(col(groupCol), col("bucket"), col("lo_v"), col("hi_v"), col("n"), col("sum_v"))
+  }
+
+  /** Per-group p-quantile estimates from a [[histogramBy]] state: the
+    * cumulative walk and in-bin interpolation of [[quantileEstimate]], run
+    * per group via partitioned windows. Sketch-scale by construction
+    * (groups × nBuckets rows) — the data itself is never touched again.
+    */
+  def quantileEstimateBy(
+      sketch: DataFrame, groupCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "quantileEstimateBy needs ps in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = sketch
+      .withColumn("cum", sum(col("n")).over(
+        byGroup.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("n"))
+      .withColumn("total", sum(col("n")).over(byGroup))
+    cum
+      .select(explode(typedlit(ps)).as("p"), col("*"))
+      .withColumn("rnk", ceil(col("p") * col("total").cast("double")))
+      .where(col("cum") >= col("rnk") && col("cum_before") < col("rnk"))
+      .select(col(groupCol), col("p"), col("bucket"), col("rnk"),
+        (col("lo_v") +
+          ((col("rnk") - col("cum_before")).cast("double") / col("n").cast("double")) *
+            (col("hi_v") - col("lo_v"))).as("est"))
+  }
+
   /** Robust (median/IQR) scaling of a numeric column — the normalization a
     * curation pipeline applies to quality scores before mixing corpora
     * whose scorers have different ranges (robust_z = (x − median)/IQR;

@@ -98,4 +98,31 @@ class ProfilerSpec extends SparkSpec {
     assert(row.getAs[Long]("join_rows") === actual) // 3·2 + 1·1 = 7
     assert(row.getAs[Long]("max_key_rows") === 6L)  // the hot key
   }
+
+  test("grouped quantile sketch: per-group estimates within one bin width of exact") {
+    import spark.implicits._
+    // group a: 1..100 uniform; group b: 1..50 doubled (2,4,..,100)
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i * 2.0))).toDF("g", "v")
+    val sketch = Profiler.histogramBy(df, "g", "v", 0.0, 100.0, 20)
+    assert(sketch.groupBy("g").count().collect()
+      .forall(_.getLong(1) <= 20L)) // sketch-scale state per group
+    val est = Profiler.quantileEstimateBy(sketch, "g", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+    // exact p50/p90: a = 50/90 (rank 50, 90), b = 50/90 too (rank 25, 45)
+    assert(math.abs(est(("a", 0.5)) - 50.0) <= 5.0)
+    assert(math.abs(est(("a", 0.9)) - 90.0) <= 5.0)
+    assert(math.abs(est(("b", 0.5)) - 50.0) <= 5.0)
+    assert(math.abs(est(("b", 0.9)) - 90.0) <= 5.0)
+    // per-group state merges like the global sketch: shard, merge, re-read
+    val sh1 = Profiler.histogramBy(df.filter($"v" <= 40), "g", "v", 0.0, 100.0, 20)
+    val sh2 = Profiler.histogramBy(df.filter($"v" > 40), "g", "v", 0.0, 100.0, 20)
+    val merged = sh1.unionByName(sh2)
+      .groupBy("g", "bucket", "lo_v", "hi_v")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"),
+        org.apache.spark.sql.functions.sum($"sum_v").as("sum_v"))
+    val est2 = Profiler.quantileEstimateBy(merged, "g", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+    assert(est2 === est)
+  }
 }
