@@ -868,6 +868,15 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Rolling median/MAD anomaly flags over hourly event counts: robust
+    // spike detection with doubled-median INTEGER comparisons (no float
+    // rounding), trailing 24 h window per event type.
+    "q114_rate_anomalies" -> { (s, dir) =>
+      graft.ext.Drift.rollingMadAnomalies(
+        graft.streaming.Sessions.hourlyAgg(Tables.events(s, dir))
+          .select(col("event_type"), col("hour"), col("n_events")),
+        "event_type", "hour", "n_events")
+    },
     // Per-group quantile sketch: one grouped equi-width histogram pass over
     // documents, then p50/p90/p99 length per lang read off the sketch —
     // groups × bins state, mergeable, never re-touches the data.
@@ -2502,6 +2511,26 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q114_rate_anomalies" ->
+      """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |              CAST(COUNT(*) AS BIGINT) AS n_events
+        |            FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour, n_events,
+        |        list_sort(list(n_events) OVER (PARTITION BY event_type ORDER BY hour
+        |          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS arr
+        |      FROM hc),
+        |m AS (SELECT *, len(arr) AS nw,
+        |        arr[(len(arr)+1)//2] + arr[(len(arr)+2)//2] AS med2
+        |      FROM w),
+        |f AS (SELECT *,
+        |        list_sort(list_transform(arr, e -> abs(e*2 - med2)))[(nw+1)//2]
+        |        + list_sort(list_transform(arr, e -> abs(e*2 - med2)))[(nw+2)//2] AS mad4
+        |      FROM m)
+        |SELECT event_type, hour, n_events,
+        |       CAST(med2 AS DOUBLE) / 2.0 AS median,
+        |       CAST(mad4 AS DOUBLE) / 4.0 AS mad,
+        |       (nw >= 12 AND abs(n_events*2 - med2)*2 > 3*mad4) AS is_anomaly
+        |FROM f""".stripMargin,
     "q113_group_quantiles" ->
       """WITH b AS (SELECT lang,
         |    CAST(LEAST(GREATEST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),

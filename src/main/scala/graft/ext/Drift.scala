@@ -138,4 +138,50 @@ object Drift {
           6).as("tvd"))
       .crossJoin(broadcast(worst))
   }
+
+  /** Rolling median/MAD anomaly detection over a per-key time series (e.g.
+    * hourly event counts): flag a point iff |x − median| > k·MAD over the
+    * trailing `window` points — the robust alternative to mean/stddev
+    * z-scores, which a single spike corrupts (the spike inflates stddev
+    * and masks itself).
+    *
+    * Every comparison is INTEGER arithmetic via doubled medians:
+    * `med2 = lower + upper median of the window (= 2·median)`,
+    * `mad4 = lower + upper median of |2x − med2| (= 4·MAD)`, and the flag
+    * is `2·|2x − med2| > k·mad4` — no float rounding anywhere, so results
+    * are engine-portable bit-for-bit (the reported median/mad divide by
+    * 2/4, exact in IEEE). Points with fewer than `minWindow` trailing
+    * values are never flagged (warm-up).
+    *
+    * Scale: one hash shuffle on the key; the window array is bounded by
+    * `window` (a constant), so per-row work is O(window log window) with
+    * no iterative joins. The input is a per-key-per-bucket AGGREGATE
+    * (hours × keys rows), not the raw event stream.
+    */
+  def rollingMadAnomalies(
+      counts: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+      window: Int = 24, k: Int = 3, minWindow: Int = 12): DataFrame = {
+    require(window >= 2 && minWindow >= 1 && k >= 1, "bad anomaly params")
+    import org.apache.spark.sql.expressions.Window
+    val trail = Window.partitionBy(keyCol).orderBy(timeCol)
+      .rowsBetween(-(window - 1), 0)
+    def medianDoubled(arr: org.apache.spark.sql.Column) =
+      element_at(arr, ((size(arr) + 1) / 2).cast("int")) +
+        element_at(arr, ((size(arr) + 2) / 2).cast("int"))
+    counts
+      .withColumn("__arr",
+        sort_array(collect_list(col(valueCol).cast("long")).over(trail)))
+      .withColumn("__nw", size(col("__arr")))
+      .withColumn("__med2", medianDoubled(col("__arr")))
+      .withColumn("__mad4",
+        medianDoubled(sort_array(transform(col("__arr"),
+          e => abs(e * 2 - col("__med2"))))))
+      .withColumn("median", col("__med2").cast("double") / 2.0)
+      .withColumn("mad", col("__mad4").cast("double") / 4.0)
+      .withColumn("is_anomaly",
+        col("__nw") >= minWindow &&
+          abs(col(valueCol).cast("long") * 2 - col("__med2")) * 2 > col("__mad4") * k)
+      .select(col(keyCol), col(timeCol), col(valueCol),
+        col("median"), col("mad"), col("is_anomaly"))
+  }
 }

@@ -85,4 +85,25 @@ class DriftSpec extends SparkSpec {
     val z = Drift.driftSummary(Drift.distributionDrift(same, same, "k")).collect().head
     assert(z.getAs[Double]("tvd") === 0.0)
   }
+
+  test("rollingMadAnomalies: spike flagged, warm-up suppressed, median/mad exact") {
+    import spark.implicits._
+    // steady 10s with one 100 spike at t=16; alternate key never spikes
+    val rows = (1 to 20).map(t => ("a", t.toLong, if (t == 16) 100L else 10L)) ++
+      (1 to 20).map(t => ("b", t.toLong, (10 + (t % 2)).toLong))
+    val out = Drift.rollingMadAnomalies(
+      rows.toDF("k", "t", "n"), "k", "t", "n",
+      window = 8, k = 3, minWindow = 6)
+    val byRow = out.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(byRow(("a", 16L)) === ((10.0, 0.0, true)))   // spike vs flat window
+    assert(byRow(("a", 10L)) === ((10.0, 0.0, false)))  // steady state
+    assert(byRow(("a", 3L))._3 === false)               // warm-up: nw < 6
+    // key b: alternating 10/11 — MAD 0.5, |x-med| at most 0.5 → never flagged
+    assert((1 to 20).forall(t => !byRow(("b", t.toLong))._3))
+    // after the spike leaves nothing: t=17 window contains the spike but
+    // median stays 10 (robustness) and x=10 is not anomalous
+    assert(byRow(("a", 17L)) === ((10.0, 0.0, false)))
+  }
 }
