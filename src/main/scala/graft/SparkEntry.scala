@@ -868,6 +868,12 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Dataset card: one-call corpus release summary (sizes, diversity,
+    // dup rate, mean quality, top language) — one global aggregate + a
+    // lang argmax, integer-exact numerics.
+    "q115_dataset_card" -> { (s, dir) =>
+      graft.ext.CorpusPipeline.datasetCard(Tables.documents(s, dir))
+    },
     // Rolling median/MAD anomaly flags over hourly event counts: robust
     // spike detection with doubled-median INTEGER comparisons (no float
     // rounding), trailing 24 h window per event type.
@@ -2510,6 +2516,40 @@ object SparkEntry {
          |SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM q
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
+    },
+    "q115_dataset_card" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      val quality =
+        s"""LEAST(GREATEST(
+           |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+           |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+           |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)""".stripMargin
+      s"""WITH e AS (SELECT lang, source, length(text) AS nc, $nt AS ntk,
+         |             md5(text) AS dg,
+         |             CAST(floor(($quality) * 1000000.0) AS BIGINT) AS q6
+         |           FROM documents),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |             CAST(SUM(ntk) AS BIGINT) AS total_tokens,
+         |             CAST(SUM(nc) AS BIGINT) AS total_chars,
+         |             CAST(COUNT(*) - COUNT(DISTINCT dg) AS BIGINT) AS dup_docs,
+         |             CAST(SUM(q6) AS BIGINT) AS sq6
+         |      FROM e),
+         |tl AS (SELECT lang AS top_lang FROM e GROUP BY lang
+         |       ORDER BY COUNT(*) DESC, lang ASC LIMIT 1)
+         |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value_num,
+         |       CAST(NULL AS VARCHAR) AS value_str FROM a
+         |UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE), NULL FROM a
+         |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE), NULL FROM a
+         |UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE), NULL FROM a
+         |UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE), NULL FROM a
+         |UNION ALL SELECT 'dup_docs', CAST(dup_docs AS DOUBLE), NULL FROM a
+         |UNION ALL SELECT 'exact_dup_rate',
+         |                 CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), NULL FROM a
+         |UNION ALL SELECT 'mean_quality_e6', CAST(sq6 // n_docs AS DOUBLE), NULL FROM a
+         |UNION ALL SELECT 'top_lang', CAST(NULL AS DOUBLE), top_lang FROM tl""".stripMargin
     },
     "q114_rate_anomalies" ->
       """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -43,4 +43,58 @@ object CorpusPipeline {
       .groupBy(col("split"), col(stratumCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col(textCol))).cast("long").as("total_chars"))
+
+  /** Dataset card: the one-call headline summary a corpus release ships —
+    * sizes, diversity, exact-dup rate, mean quality, dominant language —
+    * as narrow (metric, value_num, value_str) rows.
+    *
+    * Exactness discipline: every numeric is either an integer carried in a
+    * double (exact), a SINGLE long/long IEEE division (`exact_dup_rate` —
+    * correctly rounded, engine-identical), or an integer floor-division of
+    * a ×10⁶-scaled quality sum (`mean_quality_e6` — no float accumulation
+    * at all). Scale: ONE full scan feeding one global aggregate, plus a
+    * lang-count aggregate for the argmax; nothing is collected.
+    */
+  def datasetCard(
+      docs: DataFrame, textCol: String = "text", langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame = {
+    val t = col(textCol)
+    val enriched = docs.select(
+      col(langCol).as("__lang"), col(sourceCol).as("__source"),
+      length(t).as("__nc"),
+      TextAnalysis.tokenCount(t).as("__nt"),
+      md5(t).as("__dg"),
+      floor(TextAnalysis.qualityScore(t) * 1000000.0).cast("long").as("__q6"))
+    val agg = enriched.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("__source")).as("n_sources"),
+      countDistinct(col("__lang")).as("n_langs"),
+      sum(col("__nt")).cast("long").as("total_tokens"),
+      sum(col("__nc")).cast("long").as("total_chars"),
+      (count(lit(1)) - countDistinct(col("__dg"))).as("dup_docs"),
+      sum(col("__q6")).cast("long").as("__sq6"))
+    val topLang = enriched.groupBy(col("__lang"))
+      .agg(count(lit(1)).as("__ln"))
+      .orderBy(col("__ln").desc, col("__lang").asc).limit(1)
+      .select(col("__lang").as("top_lang"))
+    def metric(name: String, num: org.apache.spark.sql.Column) =
+      struct(lit(name).as("metric"), num.cast("double").as("value_num"),
+        lit(null).cast("string").as("value_str"))
+    agg.crossJoin(broadcast(topLang))
+      .select(explode(array(
+        metric("n_docs", col("n_docs")),
+        metric("n_sources", col("n_sources")),
+        metric("n_langs", col("n_langs")),
+        metric("total_tokens", col("total_tokens")),
+        metric("total_chars", col("total_chars")),
+        metric("dup_docs", col("dup_docs")),
+        metric("exact_dup_rate",
+          col("dup_docs").cast("double") / col("n_docs").cast("double")),
+        metric("mean_quality_e6",
+          ExactMath.floorDiv(col("__sq6"), col("n_docs"))),
+        struct(lit("top_lang").as("metric"), lit(null).cast("double").as("value_num"),
+          col("top_lang").as("value_str")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value_num").as("value_num"),
+        col("m.value_str").as("value_str"))
+  }
 }

@@ -40,4 +40,25 @@ class CorpusPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(3L, 7L))
   }
+
+  test("datasetCard: counts, dup rate, and top lang on a known corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "web"),
+      (2L, "the quick brown fox", "en", "web"),   // exact dup of 1
+      (3L, "ein ganz anderer text", "de", "web"),
+      (4L, "one more english document", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = CorpusPipeline.datasetCard(docs).collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(card("n_docs")._1.get === 4.0)
+    assert(card("n_sources")._1.get === 2.0)
+    assert(card("n_langs")._1.get === 2.0)
+    assert(card("dup_docs")._1.get === 1.0)
+    assert(card("exact_dup_rate")._1.get === 0.25)
+    assert(card("total_tokens")._1.get === 16.0)
+    assert(card("top_lang")._2.get === "en")
+    assert(card("top_lang")._1.isEmpty && card("n_docs")._2.isEmpty)
+    assert(card.size === 9)
+  }
 }
