@@ -868,6 +868,15 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Quota + backfill admission: every source keeps its best 10 docs;
+    // unfilled quota (17 sources hold only 5 docs under the skew filter)
+    // re-awards to the globally best remainder via a distributed top-k.
+    "q116_quota_admission" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1", "src2") || col("doc_id") % 5 === 0)
+        .withColumn("quality", graft.ext.TextAnalysis.qualityScore(col("text")))
+      graft.ext.Sampling.admitWithQuota(docs, "source", "doc_id", "quality", quota = 10L)
+    },
     // Dataset card: one-call corpus release summary (sizes, diversity,
     // dup rate, mean quality, top language) — one global aggregate + a
     // lang argmax, integer-exact numerics.
@@ -2516,6 +2525,32 @@ object SparkEntry {
          |SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM q
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
+    },
+    "q116_quota_admission" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      val quality =
+        s"""LEAST(GREATEST(
+           |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+           |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+           |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, source, $quality AS quality FROM documents
+         |           WHERE source IN ('src0', 'src1', 'src2') OR doc_id % 5 = 0),
+         |r AS (SELECT doc_id, source, quality,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id ASC) AS rk
+         |      FROM d),
+         |adm AS (SELECT doc_id, source, rk FROM r WHERE rk <= 10),
+         |l AS (SELECT 10 * (SELECT COUNT(DISTINCT source) FROM d)
+         |             - (SELECT COUNT(*) FROM adm) AS lv),
+         |g AS (SELECT doc_id, source, rk,
+         |        ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS grk
+         |      FROM r WHERE rk > 10),
+         |bf AS (SELECT doc_id, source, rk FROM g CROSS JOIN l WHERE grk <= lv)
+         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+         |       'quota' AS admitted_via FROM adm
+         |UNION ALL
+         |SELECT doc_id, source, CAST(rk AS BIGINT), 'backfill' FROM bf""".stripMargin
     },
     "q115_dataset_card" -> {
       val nt = "len(string_split(text,' '))"

@@ -148,6 +148,40 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("rk"), col("src_budget"))
   }
 
+  /** Per-source quota admission with global backfill: every source admits
+    * its best `quota` documents by (`scoreCol` desc, `idCol` asc); quota
+    * a source cannot fill (fewer docs than quota) is pooled and re-awarded
+    * to the globally best not-yet-admitted documents — the corpus-assembly
+    * rule "guarantee every source a floor, spend the rest on quality".
+    * Output: (id, source, rk, admitted_via ∈ {quota, backfill}); fully
+    * deterministic.
+    *
+    * Scale: per-source ranking is one shuffle on source; the backfill is a
+    * distributed top-k (`orderBy.limit` → TakeOrdered), never a global
+    * sort. Two scalar driver actions (distinct-source count, admitted
+    * count) size the backfill literal.
+    */
+  def admitWithQuota(
+      df: DataFrame, sourceCol: String, idCol: String, scoreCol: String,
+      quota: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, "quota must be > 0")
+    val ranked = df.filter(col(sourceCol).isNotNull)
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(sourceCol).orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+    val admitted = ranked.filter(col("rk") <= quota)
+    val nSources = ranked.select(sourceCol).distinct().count()
+    val leftover = math.min(quota * nSources - admitted.count(), Int.MaxValue.toLong)
+    val backfill = ranked.filter(col("rk") > quota)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .limit(leftover.toInt)
+    admitted
+      .select(col(idCol), col(sourceCol), col("rk"), lit("quota").as("admitted_via"))
+      .unionByName(backfill
+        .select(col(idCol), col(sourceCol), col("rk"), lit("backfill").as("admitted_via")))
+  }
+
   /** Mix a corpus to target per-source proportions with a fixed total
     * budget. Integer-exact thresholds: keep a row of source s iff
     * `hash(id) mod 10^6 < min(10^6, (budget · weight_s · 10^6) div

@@ -124,6 +124,23 @@ class SamplingSpec extends SparkSpec {
     assert(b.values.map(_._2).sum <= 120L)
   }
 
+  test("admitWithQuota: quota floor per source, leftover re-awarded to global best") {
+    import spark.implicits._
+    // a: 6 docs (scores 1..6), b: 2 docs (scores 100, 101) — quota 4
+    val df = ((1 to 6).map(i => (i.toLong, "a", i.toDouble)) ++
+      Seq((101L, "b", 100.0), (102L, "b", 101.0))).toDF("id", "source", "score")
+    val out = Sampling.admitWithQuota(df, "source", "id", "score", 4L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    // a admits its top-4 (6,5,4,3); b admits both; leftover = 8-6 = 2
+    assert(out.count(_._2._3 == "quota") === 6)
+    assert(out(6L)._3 === "quota" && out(3L)._3 === "quota")
+    assert(!out.contains(1L) || out(1L)._3 == "backfill")
+    // backfill = the 2 best remaining (a's scores 2 and 1)
+    val backfill = out.filter(_._2._3 == "backfill").keySet
+    assert(backfill === Set(1L, 2L))
+    assert(out.size === 8)
+  }
+
   test("temperatureSample: admits best-scored docs per source within budget") {
     import spark.implicits._
     val df = ((1 to 16).map(i => (i.toLong, "a", i.toDouble)) ++
