@@ -219,4 +219,50 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("chartrigramstats"),
       "native counting expression missing")
   }
+
+  test("q110: fuzzy join is a content-keyed equi-join — no cartesian, no broadcast of n²") {
+    val p = plan("q110_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), "segment blocking must not degrade to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "must stay an equi-join on segment keys")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected a hash/merge equi-join on (l, i, seg)")
+  }
+
+  test("q111/q116: tiny budget tables broadcast onto the corpus side") {
+    val p1 = plan("q111_temperature_mix")
+    assert(p1.contains("BroadcastHashJoin"), "per-source budgets must broadcast")
+    assert(!p1.contains("CartesianProduct"))
+    val p2 = plan("q116_quota_admission")
+    assert(!p2.contains("SortMergeJoin"), "admission must not shuffle-join the corpus")
+  }
+
+  test("quota backfill is a distributed top-k, not a global sort") {
+    import spark.implicits._
+    // source b under-fills its quota, so the backfill branch survives
+    val df = ((1 to 30).map(i => (i.toLong, "a", i.toDouble)) ++
+      Seq((99L, "b", 1.0))).toDF("id", "source", "score")
+    val p = graft.ext.Sampling.admitWithQuota(df, "source", "id", "score", 10L)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "backfill must be a distributed top-k, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q113: grouped sketch is one aggregate; quantile readout never re-reads data") {
+    val p = plan("q113_group_quantiles")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "histogram aggregate must combine map-side")
+    // one scan of documents feeds everything (readout runs on the sketch);
+    // count detail headers "(n) Scan parquet", one per distinct scan node
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      "quantile readout must not trigger a second scan")
+  }
+
+  test("q114: anomaly window rides ONE key shuffle over the pre-aggregated counts") {
+    val p = plan("q114_rate_anomalies")
+    assert(!p.contains("Join"), "rolling MAD must not self-join the series")
+    // hourly agg shuffle + window-by-key shuffle; nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "expected at most the aggregate + window shuffles")
+  }
 }
