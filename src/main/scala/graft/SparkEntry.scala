@@ -868,6 +868,19 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Top session path signatures: first-5-event-type journeys per q25
+    // session, counted and top-20 via distributed TakeOrdered.
+    "q117_session_paths" -> { (s, dir) =>
+      graft.streaming.Sessions.topPaths(Tables.events(s, dir))
+    },
+    // Triangle census of the near-dup graph: ordered-edge triangle count +
+    // wedge count + global clustering — the "are my dup clusters cliques
+    // or chains?" QA gate before connected components.
+    "q118_dup_graph_census" -> { (s, dir) =>
+      graft.ext.GraphStats.triangleCensus(
+        graft.ext.Dedup.nearDuplicates(Tables.documents(s, dir), minJaccard = 0.5),
+        "id_a", "id_b")
+    },
     // Quota + backfill admission: every source keeps its best 10 docs;
     // unfilled quota (17 sources hold only 5 docs under the skew filter)
     // re-awards to the globally best remainder via a distributed top-k.
@@ -2526,6 +2539,45 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q117_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |w AS (SELECT *,
+        |        CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |                     > 1800000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, event_type, ts_us,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM w),
+        |g AS (SELECT user_id, session_idx,
+        |        list_sort(list(struct_pack(ts_us := ts_us, event_id := event_id,
+        |                                   event_type := event_type))) AS evs
+        |      FROM s GROUP BY 1, 2),
+        |p AS (SELECT array_to_string(
+        |               list_transform(evs[1:5], x -> x.event_type), '>') AS path
+        |      FROM g)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    "q118_dup_graph_census" ->
+      s"""WITH np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+         |e AS (SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+         |      FROM np WHERE id_a <> id_b),
+         |deg AS (SELECT v, COUNT(*) AS d
+         |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |tri AS (SELECT COUNT(*) AS t
+         |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |        FROM deg),
+         |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, CAST(t AS BIGINT) AS n_triangles, n_wedges,
+         |       CASE WHEN n_wedges = 0 THEN 0.0
+         |            ELSE CAST(t * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) END AS clustering
+         |FROM ec CROSS JOIN agg CROSS JOIN tri""".stripMargin,
     "q116_quota_admission" -> {
       val nt = "len(string_split(text,' '))"
       val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
