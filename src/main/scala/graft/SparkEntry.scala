@@ -868,6 +868,17 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Market-basket pair mining: parts ordered together (same orderkey),
+    // support ≥ 3, basket-size-capped pair join keyed on order id.
+    "q119_cooccurrence" -> { (s, dir) =>
+      graft.ops.CoOccurrence.pairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3L)
+    },
+    // Weekly cohort retention triangle over events: integer-exact week
+    // bucketing, one user-keyed shuffle, broadcast cohort sizes.
+    "q120_cohort_retention" -> { (s, dir) =>
+      graft.ops.Retention.weeklyRetention(Tables.events(s, dir))
+    },
     // Top session path signatures: first-5-event-type journeys per q25
     // session, counted and top-20 via distributed TakeOrdered.
     "q117_session_paths" -> { (s, dir) =>
@@ -2539,6 +2550,30 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q119_cooccurrence" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem
+        |               WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT basket, item FROM (
+        |            SELECT *, COUNT(*) OVER (PARTITION BY basket) AS bsize FROM items)
+        |          WHERE bsize <= 1000)
+        |SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+        |FROM sized a JOIN sized b ON a.basket = b.basket AND a.item < b.item
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+    "q120_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |              CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+        |            FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT u, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+        |j AS (SELECT uw.u, c.cohort_week, uw.week - c.cohort_week AS week_offset
+        |      FROM uw JOIN c USING (u)),
+        |n AS (SELECT cohort_week, week_offset,
+        |        CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+        |      FROM j GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_users AS cohort_size FROM n WHERE week_offset = 0)
+        |SELECT n.cohort_week, n.week_offset, n.n_users, s.cohort_size,
+        |       CAST(n.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+        |FROM n JOIN s USING (cohort_week)""".stripMargin,
     "q117_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |             CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
