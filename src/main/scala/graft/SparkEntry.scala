@@ -868,6 +868,12 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Key-skew preflight: exact Gini over per-key counts via the
+    // counts-of-counts collapse — the "does this join need salting?"
+    // number, with the only ordered window on distinct frequency values.
+    "q121_key_skew" -> { (s, dir) =>
+      graft.analyze.Profiler.keySkewProfile(Tables.lineitem(s, dir), "l_partkey")
+    },
     // Market-basket pair mining: parts ordered together (same orderkey),
     // support ≥ 3, basket-size-capped pair join keyed on order id.
     "q119_cooccurrence" -> { (s, dir) =>
@@ -2550,6 +2556,26 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q121_key_skew" ->
+      """WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |v AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS m FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+        |             CAST(SUM(x * m) AS BIGINT) AS n_rows,
+        |             CAST(MAX(x) AS BIGINT) AS max_key_rows
+        |      FROM v),
+        |w AS (SELECT x, m,
+        |        COALESCE(SUM(m) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |      FROM v),
+        |g AS (SELECT CAST(SUM(CAST(x AS HUGEINT) * m *
+        |               (2 * s + m - (SELECT n_keys FROM t))) AS BIGINT) AS gnum
+        |      FROM w)
+        |SELECT n_keys, n_rows, max_key_rows,
+        |       CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
+        |       CAST(gnum AS DOUBLE)
+        |         / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS gini
+        |FROM t CROSS JOIN g""".stripMargin,
     "q119_cooccurrence" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
         |               FROM lineitem

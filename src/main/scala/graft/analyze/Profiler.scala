@@ -185,6 +185,48 @@ object Profiler {
             (col("hi_v") - col("lo_v"))).as("est"))
   }
 
+  /** Key-skew profile: per-key row counts summarized as key count, max-key
+    * fanout, top-key share, and the EXACT Gini coefficient of the key
+    * distribution — the preflight that decides whether a join needs
+    * salting ([[graft.ops.SkewJoin]]) before it runs.
+    *
+    * Gini without a global rank over keys: ranks enter the classic
+    * Σ(2i−n−1)·xᵢ numerator only through tie-runs of equal counts, so the
+    * sum collapses to Σ_v v·m_v·(2s_v + m_v − n) over the
+    * COUNTS-OF-COUNTS table (value v, multiplicity m, cumulative
+    * multiplicity-before s) — integer-exact, and the only ordered window
+    * runs over distinct frequency VALUES (a table bounded by the distinct
+    * integers that appear as key counts — thousands at most in practice,
+    * never data-scale). The one key-scale operation is the groupBy(key)
+    * count, which any skew diagnosis must pay.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
+    val byVal = counts.groupBy(col("x")).agg(count(lit(1)).as("m"))
+    val withS = byVal.withColumn("s",
+      coalesce(sum(col("m")).over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = byVal.agg(
+      sum(col("m")).cast("long").as("n_keys"),
+      sum(col("x") * col("m")).cast("long").as("n_rows"),
+      max(col("x")).cast("long").as("max_key_rows"))
+    withS.crossJoin(broadcast(totals))
+      .agg(
+        max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"),
+        max(col("max_key_rows")).as("max_key_rows"),
+        sum(col("x").cast("decimal(38,0)") * col("m") *
+          (col("s") * 2 + col("m") - col("n_keys"))).as("__gnum"))
+      .select(
+        col("n_keys"), col("n_rows"), col("max_key_rows"),
+        (col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"),
+        (col("__gnum").cast("double") /
+          (col("n_keys").cast("double") * col("n_rows").cast("double"))).as("gini"))
+  }
+
   /** Robust (median/IQR) scaling of a numeric column — the normalization a
     * curation pipeline applies to quality scores before mixing corpora
     * whose scorers have different ranges (robust_z = (x − median)/IQR;

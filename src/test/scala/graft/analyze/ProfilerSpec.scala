@@ -99,6 +99,32 @@ class ProfilerSpec extends SparkSpec {
     assert(row.getAs[Long]("max_key_rows") === 6L)  // the hot key
   }
 
+  test("keySkewProfile: exact Gini via counts-of-counts matches the rank formula") {
+    import spark.implicits._
+    // per-key counts: a→1, b→3 ⇒ Gini((1,3)) = 2/(2·4) = 0.25
+    val df = (Seq("a") ++ Seq.fill(3)("b")).map(Tuple1(_)).toDF("k")
+    val r = Profiler.keySkewProfile(df, "k").collect().head
+    assert(r.getAs[Long]("n_keys") === 2L)
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("max_key_rows") === 3L)
+    assert(r.getAs[Double]("top_share") === 0.75)
+    assert(r.getAs[Double]("gini") === 0.25)
+    // uniform keys ⇒ Gini 0 (ties collapse into one frequency-value row)
+    val uni = (1 to 30).map(i => s"k${i % 10}").map(Tuple1(_)).toDF("k")
+    val u = Profiler.keySkewProfile(uni, "k").collect().head
+    assert(u.getAs[Double]("gini") === 0.0)
+    assert(u.getAs[Long]("n_keys") === 10L)
+    // brute-force cross-check on an irregular distribution
+    val counts = Seq(1, 1, 2, 5, 5, 5, 9)
+    val irr = counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"k$i") }
+      .map(Tuple1(_)).toDF("k")
+    val n = counts.length
+    val sorted = counts.sorted
+    val gnum = sorted.zipWithIndex.map { case (x, i0) => (2 * (i0 + 1) - n - 1).toLong * x }.sum
+    val expected = gnum.toDouble / (n.toDouble * counts.sum.toDouble)
+    assert(Profiler.keySkewProfile(irr, "k").collect().head.getAs[Double]("gini") === expected)
+  }
+
   test("grouped quantile sketch: per-group estimates within one bin width of exact") {
     import spark.implicits._
     // group a: 1..100 uniform; group b: 1..50 doubled (2,4,..,100)
