@@ -279,7 +279,7 @@ object Main {
           "[--layout grid|force|hierarchical] [--include-views] [--include-external] " +
           "[--theme default|dark|minimal] [--no-column-types] [--show-nullable] " +
           "[--stats] [--cache PATH] [--freeze OUTDIR] " +
-          "[--drift REF_DATA_DIR] [--search term1,term2,...]")
+          "[--drift REF_DATA_DIR] [--search term1,term2,...] [--card] [--anomalies]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -355,6 +355,23 @@ object Main {
         println(s"top documents for ${qs.mkString("[", ", ", "]")}:")
         graft.ext.Retrieval.searchTopK(Tables.documents(spark, dir), qs)
           .show(20, truncate = false)
+      }
+      // one-call corpus release summary over the documents table
+      if (args.contains("--card")) {
+        println("dataset card:")
+        graft.ext.CorpusPipeline.datasetCard(Tables.documents(spark, dir))
+          .show(20, truncate = false)
+      }
+      // rolling median/MAD spike flags over hourly event counts
+      if (args.contains("--anomalies")) {
+        println("event-rate anomalies (|x − median| > 3·MAD, trailing 24 h):")
+        graft.ext.Drift.rollingMadAnomalies(
+            graft.streaming.Sessions.hourlyAgg(Tables.events(spark, dir))
+              .select(col("event_type"), col("hour"), col("n_events")),
+            "event_type", "hour", "n_events")
+          .filter(col("is_anomaly"))
+          .orderBy(col("event_type"), col("hour"))
+          .show(50, truncate = false)
       }
     } finally spark.stop()
   }
