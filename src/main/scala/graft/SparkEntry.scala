@@ -868,6 +868,16 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Numeric-distribution drift: TVD over shared histogram buckets of
+    // o_totalprice between two deterministic snapshot halves — integer
+    // numerators, bucket-keyed join, snapshots never joined row-to-row.
+    "q122_numeric_drift" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val b = pmod(graft.ext.Dedup.stableHash(col("o_orderkey").cast("string"), 0), lit(100L))
+      graft.ext.Drift.numericDrift(
+        orders.filter(b < 80), orders.filter(b >= 20),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 50)
+    },
     // Key-skew preflight: exact Gini over per-key counts via the
     // counts-of-counts collapse — the "does this join need salting?"
     // number, with the only ordered window on distinct frequency values.
@@ -2556,6 +2566,25 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
+    "q122_numeric_drift" ->
+      s"""WITH src AS (SELECT o_totalprice,
+         |    ${dkHash("CAST(o_orderkey AS VARCHAR)", 0)} % 100 AS hb FROM orders),
+         |bk AS (SELECT hb,
+         |    CAST(LEAST(GREATEST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 10000.0),
+         |                        0.0), 49.0) AS BIGINT) AS key
+         |  FROM src WHERE o_totalprice IS NOT NULL),
+         |r AS (SELECT key, COUNT(*) AS n_ref FROM bk WHERE hb < 80 GROUP BY 1),
+         |c AS (SELECT key, COUNT(*) AS n_cur FROM bk WHERE hb >= 20 GROUP BY 1),
+         |j AS (SELECT COALESCE(r.key, c.key) AS key,
+         |             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |      FROM r FULL OUTER JOIN c ON r.key = c.key),
+         |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j)
+         |SELECT key, n_ref, n_cur,
+         |       ROUND(CAST(n_ref AS DOUBLE) / t_ref, 6) AS share_ref,
+         |       ROUND(CAST(n_cur AS DOUBLE) / t_cur, 6) AS share_cur,
+         |       CAST(abs(CAST(n_ref AS HUGEINT) * t_cur
+         |                - CAST(n_cur AS HUGEINT) * t_ref) AS BIGINT) AS drift_num
+         |FROM j CROSS JOIN t""".stripMargin,
     "q121_key_skew" ->
       """WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS x
         |           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),

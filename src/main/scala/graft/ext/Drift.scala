@@ -139,6 +139,26 @@ object Drift {
       .crossJoin(broadcast(worst))
   }
 
+  /** Numeric-distribution drift: the categorical TVD machinery
+    * ([[driftFromCounts]]) applied to equi-width histogram BUCKETS of a
+    * numeric column — "did the price/length/score distribution move?",
+    * which per-key counts cannot ask. Both snapshots bin with the same
+    * (lo, hi, nBuckets), so the bucket id is the join key and every drift
+    * numerator stays integer-exact; sensitivity is bounded by one bin
+    * width, the histogram-sketch trade.
+    *
+    * Scale: two one-pass grouped aggregates (nBuckets rows each) + the
+    * bucket-keyed join — the snapshots are never joined row-to-row.
+    */
+  def numericDrift(
+      ref: DataFrame, cur: DataFrame, column: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    def hist(df: DataFrame, alias: String) =
+      graft.analyze.Profiler.histogram(df, column, lo, hi, nBuckets)
+        .select(col("bucket").cast("long").as("key"), col("n").as(alias))
+    driftFromCounts(hist(ref, "n_ref"), hist(cur, "n_cur"))
+  }
+
   /** Rolling median/MAD anomaly detection over a per-key time series (e.g.
     * hourly event counts): flag a point iff |x − median| > k·MAD over the
     * trailing `window` points — the robust alternative to mean/stddev

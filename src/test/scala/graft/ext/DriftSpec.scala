@@ -86,6 +86,27 @@ class DriftSpec extends SparkSpec {
     assert(z.getAs[Double]("tvd") === 0.0)
   }
 
+  test("numericDrift: identical distributions zero, shifted mass surfaces per bucket") {
+    import spark.implicits._
+    val ref = Seq(5.0, 15.0, 15.0, 25.0).toDF("v") // buckets 0,1,1,2 of width 10
+    val same = Drift.numericDrift(ref, ref, "v", 0.0, 40.0, 4)
+      .select("drift_num").collect().map(_.getLong(0))
+    assert(same.forall(_ === 0L))
+    val cur = Seq(5.0, 5.0, 15.0, 35.0).toDF("v") // buckets 0,0,1,3
+    val rep = Drift.numericDrift(ref, cur, "v", 0.0, 40.0, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    // totals 4 and 4: drift_num = |n_ref·4 − n_cur·4|
+    assert(rep(0L) === ((1L, 2L, 4L)))
+    assert(rep(1L) === ((2L, 1L, 4L)))
+    assert(rep(2L) === ((1L, 0L, 4L)))
+    assert(rep(3L) === ((0L, 1L, 4L)))
+    // the composed one-row gate works on bucket keys too (numeric worst_key)
+    val s = Drift.driftSummary(
+      Drift.numericDrift(ref, cur, "v", 0.0, 40.0, 4)).collect().head
+    assert(s.getAs[Long]("n_keys") === 4L)
+    assert(s.getAs[Double]("tvd") === 0.5)
+  }
+
   test("rollingMadAnomalies: spike flagged, warm-up suppressed, median/mad exact") {
     import spark.implicits._
     // steady 10s with one 100 spike at t=16; alternate key never spikes
