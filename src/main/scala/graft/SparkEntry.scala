@@ -868,6 +868,14 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Composite-key discovery: all pairs of lineitem's id-like columns
+    // tested for uniqueness in ONE aggregate pass (Expand-duplicated scan,
+    // cost documented); (l_orderkey, l_linenumber) is the real PK.
+    "q123_composite_keys" -> { (s, dir) =>
+      graft.analyze.CompositeKeys.compositeKeys(
+        Tables.lineitem(s, dir), "lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    },
     // Numeric-distribution drift: TVD over shared histogram buckets of
     // o_totalprice between two deterministic snapshot halves — integer
     // numerators, bucket-keyed join, snapshots never joined row-to-row.
@@ -2565,6 +2573,18 @@ object SparkEntry {
          |SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM q
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
+    },
+    "q123_composite_keys" -> {
+      val pairs = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .combinations(2).toSeq
+      pairs.map { case Seq(a, b) =>
+        val k = s"COALESCE(CAST($a AS VARCHAR), '␀') || '#' || COALESCE(CAST($b AS VARCHAR), '␀')"
+        s"""SELECT 'lineitem' AS table_name, '$a' AS col_a, '$b' AS col_b,
+           |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(DISTINCT $k) AS BIGINT) AS n_distinct,
+           |       COUNT(DISTINCT $k) = COUNT(*) AS is_key
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL ")
     },
     "q122_numeric_drift" ->
       s"""WITH src AS (SELECT o_totalprice,

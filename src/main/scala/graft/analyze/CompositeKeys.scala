@@ -1,0 +1,45 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composite-key discovery — the extension of KeyClassifier's single-column
+  * PK analysis (SURVEY P1-P4) to column PAIRS, for tables where no single
+  * column is unique (a fact table's natural key is usually (parent id,
+  * line number)). Reference analogue: the single-column uniqueness probe in
+  * schema analysis (gcp-datalake-utils schema_analyzer's key heuristics);
+  * the pairwise form is original.
+  *
+  * All candidate pairs are tested in ONE aggregate pass: each
+  * `COUNT(DISTINCT pair)` costs an Expand-operator duplication of the scan
+  * rows (k pairs ⇒ ×k rows into the aggregate), which is why `candidates`
+  * should come from the classifier's likely-key columns, not every column
+  * — the cap is explicit. Null-safe: pair values encode NULL as a sentinel
+  * before concatenation, so engines that disagree on NULL tuples in
+  * COUNT(DISTINCT) (Spark skips, DuckDB counts) still agree here.
+  */
+object CompositeKeys {
+
+  def compositeKeys(
+      df: DataFrame, tableName: String, candidates: Seq[String],
+      maxPairs: Int = 15): DataFrame = {
+    require(candidates.size >= 2, "need at least two candidate columns")
+    val pairs = candidates.combinations(2).toSeq.take(maxPairs)
+    def keyExpr(a: String, b: String) = concat_ws("#",
+      coalesce(col(a).cast("string"), lit("␀")),
+      coalesce(col(b).cast("string"), lit("␀")))
+    val aggs = pairs.map { case Seq(a, b) =>
+      countDistinct(keyExpr(a, b)).as(s"__d_${a}__$b")
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case Seq(a, b) =>
+        struct(
+          lit(tableName).as("table_name"),
+          lit(a).as("col_a"), lit(b).as("col_b"),
+          col("__n").as("n_rows"),
+          col(s"__d_${a}__$b").as("n_distinct"),
+          (col(s"__d_${a}__$b") === col("__n")).as("is_key"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+}
