@@ -178,4 +178,30 @@ class PropertySpec extends SparkSpec {
       else assert(hofTri(id) === ((n, d, s)), s"id=$id char trigram counts")
     }
   }
+
+  test("rollingMadAnomalies matches a direct median/MAD computation on random series") {
+    import spark.implicits._
+    def bruteMedian2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1) + s((s.length + 2) / 2 - 1)
+    }
+    val seriesGen = Gen.listOfN(40, Gen.choose(0L, 30L))
+    samples(seriesGen, 8).foreach { vals =>
+      val df = vals.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }.toDF("k", "t", "n")
+      val out = graft.ext.Drift.rollingMadAnomalies(df, "k", "t", "n",
+        window = 10, k = 2, minWindow = 4)
+        .collect().map(r => r.getLong(1) ->
+          ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      vals.zipWithIndex.foreach { case (v, t) =>
+        val win = vals.slice(math.max(0, t - 9), t + 1)
+        val med2 = bruteMedian2(win)
+        val mad4 = bruteMedian2(win.map(x => math.abs(2 * x - med2)))
+        val expectFlag = win.length >= 4 && math.abs(2 * v - med2) * 2 > 2L * mad4
+        val (m, md, f) = out(t.toLong)
+        assert(m === med2 / 2.0, s"median at t=$t")
+        assert(md === mad4 / 4.0, s"mad at t=$t")
+        assert(f === expectFlag, s"flag at t=$t")
+      }
+    }
+  }
 }
