@@ -868,6 +868,12 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // BPE tokenizer training: 4 merge iterations over the word-frequency
+    // table (corpus scanned once; iterations are vocab-scale) — the
+    // learned merge table a tokenizer ships.
+    "q124_bpe_train" -> { (s, dir) =>
+      graft.ext.BpeTrainer.train(Tables.documents(s, dir), merges = 4)
+    },
     // Composite-key discovery: all pairs of lineitem's id-like columns
     // tested for uniqueness in ONE aggregate pass (Expand-duplicated scan,
     // cost documented); (l_orderkey, l_linenumber) is the real PK.
@@ -2573,6 +2579,32 @@ object SparkEntry {
          |SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM q
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
+    },
+    "q124_bpe_train" -> {
+      // one CTE triple (pairs → top-1 → merged vocab) per unrolled
+      // iteration, scalar-subquery replaces mirroring BpeTrainer's
+      // doubled-separator merge exactly
+      def pcte(i: Int) =
+        s"""p$i AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS c FROM (
+           |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, wf
+           |  FROM (SELECT string_split(trim(replace(sp, '  ', ' ')), ' ') AS l, wf FROM s${i - 1}))
+           |  GROUP BY 1),
+           |t$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1)""".stripMargin
+      def scte(i: Int) =
+        s"""s$i AS (SELECT replace(sp,
+           |    ' ' || replace((SELECT pair FROM t$i), ' ', '  ') || ' ',
+           |    ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ') AS sp, wf FROM s${i - 1})""".stripMargin
+      val iters = (1 to 4).map(i => if (i < 4) s"${pcte(i)},\n${scte(i)}" else pcte(i)).mkString(",\n")
+      s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |s0 AS (SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS sp, wf
+         |       FROM w),
+         |$iters
+         |SELECT 1 AS iteration, pair, c AS pair_count FROM t1
+         |UNION ALL SELECT 2, pair, c FROM t2
+         |UNION ALL SELECT 3, pair, c FROM t3
+         |UNION ALL SELECT 4, pair, c FROM t4""".stripMargin
     },
     "q123_composite_keys" -> {
       val pairs = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
