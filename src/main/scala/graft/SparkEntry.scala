@@ -874,6 +874,14 @@ object SparkEntry {
     "q124_bpe_train" -> { (s, dir) =>
       graft.ext.BpeTrainer.train(Tables.documents(s, dir), merges = 4)
     },
+    // BPE tokenization with the learned merges: per-doc BPE token counts,
+    // all merge rewrites composed into one map-side projection.
+    "q125_bpe_tokenize" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = graft.ext.BpeTrainer.train(docs, merges = 4).collect()
+        .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+      graft.ext.BpeTrainer.tokenCounts(docs, "text", "doc_id", merges)
+    },
     // Composite-key discovery: all pairs of lineitem's id-like columns
     // tested for uniqueness in ONE aggregate pass (Expand-duplicated scan,
     // cost documented); (l_orderkey, l_linenumber) is the real PK.
@@ -1395,6 +1403,32 @@ object SparkEntry {
       |     ELSE list_distinct(list_transform(range(1, len(l)-1),
       |                                       i -> array_to_string(l[i:i+2], ' ')))
       |END""".stripMargin
+
+  /** DuckDB replay of BpeTrainer.train(merges = 4): word-frequency table,
+    * canonical doubled-separator form, and one (pair-count → top-1 →
+    * merge-rewrite) CTE triple per unrolled iteration — scalar-subquery
+    * replaces mirror the Spark driver loop exactly. Shared by q124
+    * (the merge table) and q125 (tokenization with those merges).
+    */
+  private def bpeTrainCtes: String = {
+    def pcte(i: Int) =
+      s"""p$i AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS c FROM (
+         |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, wf
+         |  FROM (SELECT string_split(trim(replace(sp, '  ', ' ')), ' ') AS l, wf FROM s${i - 1}))
+         |  GROUP BY 1),
+         |t$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1)""".stripMargin
+    def scte(i: Int) =
+      s"""s$i AS (SELECT replace(sp,
+         |    ' ' || replace((SELECT pair FROM t$i), ' ', '  ') || ' ',
+         |    ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ') AS sp, wf FROM s${i - 1})""".stripMargin
+    val iters = (1 to 4).map(i => if (i < 4) s"${pcte(i)},\n${scte(i)}" else pcte(i)).mkString(",\n")
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |s0 AS (SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS sp, wf
+       |       FROM w),
+       |$iters""".stripMargin
+  }
 
   /** DuckDB portable 60-bit hash matching Dedup.stableHash(seed). */
   private def dkHash(expr: String, seed: Int): String =
@@ -2580,32 +2614,28 @@ object SparkEntry {
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
     },
-    "q124_bpe_train" -> {
-      // one CTE triple (pairs → top-1 → merged vocab) per unrolled
-      // iteration, scalar-subquery replaces mirroring BpeTrainer's
-      // doubled-separator merge exactly
-      def pcte(i: Int) =
-        s"""p$i AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS c FROM (
-           |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, wf
-           |  FROM (SELECT string_split(trim(replace(sp, '  ', ' ')), ' ') AS l, wf FROM s${i - 1}))
-           |  GROUP BY 1),
-           |t$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1)""".stripMargin
-      def scte(i: Int) =
-        s"""s$i AS (SELECT replace(sp,
-           |    ' ' || replace((SELECT pair FROM t$i), ' ', '  ') || ' ',
-           |    ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ') AS sp, wf FROM s${i - 1})""".stripMargin
-      val iters = (1 to 4).map(i => if (i < 4) s"${pcte(i)},\n${scte(i)}" else pcte(i)).mkString(",\n")
-      s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
-         |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-         |  WHERE length(word) > 0 GROUP BY 1),
-         |s0 AS (SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS sp, wf
-         |       FROM w),
-         |$iters
+    "q124_bpe_train" ->
+      s"""WITH $bpeTrainCtes
          |SELECT 1 AS iteration, pair, c AS pair_count FROM t1
          |UNION ALL SELECT 2, pair, c FROM t2
          |UNION ALL SELECT 3, pair, c FROM t3
-         |UNION ALL SELECT 4, pair, c FROM t4""".stripMargin
-    },
+         |UNION ALL SELECT 4, pair, c FROM t4""".stripMargin,
+    "q125_bpe_tokenize" ->
+      s"""WITH $bpeTrainCtes,
+         |dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         |d0 AS (SELECT doc_id,
+         |         '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS sp
+         |       FROM dw WHERE length(word) > 0),
+         |${(1 to 4).map(i =>
+           s"""d$i AS (SELECT doc_id, replace(sp,
+              |    ' ' || replace((SELECT pair FROM t$i), ' ', '  ') || ' ',
+              |    ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ') AS sp FROM d${i - 1})""".stripMargin)
+           .mkString(",\n")}
+         |SELECT doc_id,
+         |       CAST(SUM(len(string_split(trim(replace(sp, '  ', ' ')), ' '))) AS BIGINT)
+         |         AS n_bpe_tokens,
+         |       COUNT(*) AS n_words
+         |FROM d4 GROUP BY doc_id""".stripMargin,
     "q123_composite_keys" -> {
       val pairs = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
         .combinations(2).toSeq

@@ -73,4 +73,31 @@ object BpeTrainer {
     import spark.implicits._
     learned.toSeq.toDF("iteration", "pair", "pair_count")
   }
+
+  /** Apply a learned merge sequence (in training order) and count BPE
+    * tokens per document — the inference side of [[train]]. All `merges`
+    * replaces compose into ONE map-side projection (no joins, no loop
+    * actions); merges never cross word boundaries because each word is
+    * rewritten in its own canonical doubled form.
+    */
+  def tokenCounts(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[String]): DataFrame = {
+    val spaced = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col(idCol),
+        concat(lit("  "), array_join(split(col("word"), ""), "  "), lit("  ")).as("sp"))
+    val applied = merges.foldLeft(spaced) { (df, pair) =>
+      df.withColumn("sp", rep(col("sp"),
+        lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + pair.replace(" ", "") + " ")))
+    }
+    applied
+      .select(col(idCol),
+        size(split(trim(rep(col("sp"), lit("  "), lit(" "))), " ")).cast("long").as("wtoks"))
+      .groupBy(col(idCol))
+      .agg(sum(col("wtoks")).cast("long").as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+  }
 }

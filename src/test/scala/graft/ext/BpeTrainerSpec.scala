@@ -30,6 +30,23 @@ class BpeTrainerSpec extends SparkSpec {
     assert(out(1) === ((2, "aa aa", 1L)))
   }
 
+  test("tokenCounts: learned merges shrink token counts, word boundaries respected") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low"), (2L, "lower newest")).toDF("doc_id", "text")
+    val merges = Seq("l o", "lo w", "e r", "low er") // the learned sequence
+    val out = BpeTrainer.tokenCounts(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: each "low" → 1 token; doc 2: "lower" → 1, "newest" → 6 chars
+    // ("n e w e s t" has no learned merge except "e r"? no: no adjacent e r)
+    assert(out(1L) === ((3L, 3L)))
+    assert(out(2L) === ((7L, 2L)))
+    // no merges: token count = char count
+    val none = BpeTrainer.tokenCounts(docs, "text", "doc_id", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none(1L) === 9L)
+    assert(none(2L) === 11L)
+  }
+
   test("stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq("a b c").toDF("text") // all words single-char
