@@ -2640,7 +2640,7 @@ object SparkEntry {
       val pairs = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
         .combinations(2).toSeq
       pairs.map { case Seq(a, b) =>
-        val k = s"COALESCE(CAST($a AS VARCHAR), '␀') || '#' || COALESCE(CAST($b AS VARCHAR), '␀')"
+        val k = s"($a, $b)" // tuple: null fields compare equal, tuple itself non-null
         s"""SELECT 'lineitem' AS table_name, '$a' AS col_a, '$b' AS col_b,
            |       CAST(COUNT(*) AS BIGINT) AS n_rows,
            |       CAST(COUNT(DISTINCT $k) AS BIGINT) AS n_distinct,

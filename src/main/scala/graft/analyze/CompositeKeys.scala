@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * `COUNT(DISTINCT pair)` costs an Expand-operator duplication of the scan
   * rows (k pairs ⇒ ×k rows into the aggregate), which is why `candidates`
   * should come from the classifier's likely-key columns, not every column
-  * — the cap is explicit. Null-safe: pair values encode NULL as a sentinel
-  * before concatenation, so engines that disagree on NULL tuples in
-  * COUNT(DISTINCT) (Spark skips, DuckDB counts) still agree here.
+  * — the cap is explicit. Pairs are counted as STRUCT values, not
+  * concatenated strings: structs carry the raw (typically fixed-width)
+  * values through the distinct aggregate, and a struct with a NULL field
+  * is itself non-null, so Spark and DuckDB agree that (1, NULL) is one
+  * distinct pair — multi-argument `COUNT(DISTINCT a, b)` would NOT agree
+  * (Spark skips null-containing rows).
   */
 object CompositeKeys {
 
@@ -25,9 +28,7 @@ object CompositeKeys {
       maxPairs: Int = 15): DataFrame = {
     require(candidates.size >= 2, "need at least two candidate columns")
     val pairs = candidates.combinations(2).toSeq.take(maxPairs)
-    def keyExpr(a: String, b: String) = concat_ws("#",
-      coalesce(col(a).cast("string"), lit("␀")),
-      coalesce(col(b).cast("string"), lit("␀")))
+    def keyExpr(a: String, b: String) = struct(col(a), col(b))
     val aggs = pairs.map { case Seq(a, b) =>
       countDistinct(keyExpr(a, b)).as(s"__d_${a}__$b")
     } :+ count(lit(1)).as("__n")
