@@ -868,6 +868,11 @@ object SparkEntry {
     "q110_fuzzy_join" -> { (s, dir) =>
       graft.ext.FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)
     },
+    // Language confusion: top-two marker languages + margin per doc — the
+    // code-switching flag langid's argmax hides. Map-only projection.
+    "q126_lang_confusion" -> { (s, dir) =>
+      graft.ext.TextAnalysis.langConfusion(Tables.documents(s, dir))
+    },
     // BPE tokenizer training: 4 merge iterations over the word-frequency
     // table (corpus scanned once; iterations are vocab-scale) — the
     // learned merge table a tokenizer ships.
@@ -2613,6 +2618,21 @@ object SparkEntry {
          |SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM q
          |WHERE ${dkHash("CAST(doc_id AS VARCHAR)", 0)} % 1000000
          |      < CAST(floor(quality * 1000000.0) AS BIGINT)""".stripMargin
+    },
+    "q126_lang_confusion" -> {
+      val entries = graft.ext.TextAnalysis.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        s"struct_pack(ns := -(${dkLangScore(l)}), i := $i, l := '$l')"
+      }.mkString(",\n    ")
+      s"""WITH s AS (SELECT doc_id, list_sort([
+         |    $entries]) AS a FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN a[1].ns < 0 THEN a[1].l ELSE 'und' END AS lang_top,
+         |  CASE WHEN a[2].ns < 0 THEN a[2].l ELSE 'und' END AS lang_second,
+         |  CAST(-a[1].ns AS BIGINT) AS score_top,
+         |  CAST(-a[2].ns AS BIGINT) AS score_second,
+         |  CAST(a[2].ns - a[1].ns AS BIGINT) AS margin,
+         |  a[2].ns < 0 AS is_mixed
+         |FROM s""".stripMargin
     },
     "q124_bpe_train" ->
       s"""WITH $bpeTrainCtes

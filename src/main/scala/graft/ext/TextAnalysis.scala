@@ -55,6 +55,32 @@ object TextAnalysis {
     }
   }
 
+  /** Language confusion: top-two marker-score languages per document with
+    * the margin between them — the code-switching / wrong-langid flag a
+    * multilingual curation pass needs ([[langId]] reports only the argmax;
+    * a document with en=5, de=4 is a different beast than en=5, de=0).
+    * Ties break by `langMarkers` declaration order, matching [[langId]].
+    * Map-only (one projection over the corpus), exact integer scores.
+    */
+  def langConfusion(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val entries = langMarkers.zipWithIndex.map { case ((l, ms), i) =>
+      struct((lit(0) - langScore(col(textCol), ms)).as("ns"),
+        lit(i).as("i"), lit(l).as("l"))
+    }
+    val sorted = sort_array(array(entries: _*))
+    val first = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    docs.select(
+      col(idCol),
+      when(first.getField("ns") < 0, first.getField("l")).otherwise("und").as("lang_top"),
+      when(second.getField("ns") < 0, second.getField("l")).otherwise("und").as("lang_second"),
+      (-first.getField("ns")).cast("long").as("score_top"),
+      (-second.getField("ns")).cast("long").as("score_second"),
+      (second.getField("ns") - first.getField("ns")).cast("long").as("margin"),
+      (second.getField("ns") < 0).as("is_mixed"))
+  }
+
   /** Quality metrics: char/token counts, average token length, alphabetic
     * ratio, stopword ratio — the length/punct/stopword heuristics used to
     * score web-scraped training text.

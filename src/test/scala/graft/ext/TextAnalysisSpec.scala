@@ -146,4 +146,22 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("diversity")).toMap
     assert(out(1L) < out(2L))
   }
+
+  test("langConfusion: margins expose code-switching, pure docs have zero second score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is on the mat and the dog is here"), // pure en
+      (2L, "the house is big und das ist der garten"),   // en/de mix
+      (3L, "xyz qqq zzz")                                 // no markers
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langConfusion(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    val (t1, s1, st1, ss1, m1) = out(1L)
+    assert(t1 === "en" && ss1 === 0L && !m1)
+    val (t2, s2c, st2, ss2, m2) = out(2L)
+    assert(t2 === "de" && s2c === "en" && ss2 > 0L && m2)
+    val (t3, _, st3, _, m3) = out(3L)
+    assert(t3 === "und" && st3 === 0L && !m3)
+  }
 }
