@@ -873,6 +873,36 @@ object SparkEntry {
     "q126_lang_confusion" -> { (s, dir) =>
       graft.ext.TextAnalysis.langConfusion(Tables.documents(s, dir))
     },
+    // Per-source shortlist via the bounded top-k aggregate (E87): same rows
+    // as the row_number window pattern, but runs as a partial hash
+    // aggregate — each map task ships at most k rows per source, and
+    // nothing is ever sorted (TopKAggSpec pins the plan shape). At 100 TB
+    // the window formulation sorts the whole table; this moves ≤ k·tasks
+    // rows per source.
+    "q127_topk_per_source" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir).select(
+        col("source"),
+        floor(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000.0)
+          .cast("long").as("score"),
+        col("doc_id"))
+      scored.groupBy("source")
+        .agg(graft.functions.TopKAgg.topK(5)(col("score"), col("doc_id")).as("tk"))
+        .select(col("source"), posexplode(col("tk.items")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("doc_id"), col("col.score").as("score"))
+    },
+    // Coverage-gap detection (E88): per-user silent periods ≥ 6h in the
+    // event feed — integer-microsecond lag differences over one bounded
+    // window. The data-completeness preflight for log-fed pipelines.
+    "q128_coverage_gaps" -> { (s, dir) =>
+      graft.ops.Coverage.gaps(Tables.events(s, dir))
+    },
+    // Per-user coverage rollup (E88): span, event count, and time lost to
+    // ≥6h holes — all-integer microseconds; the summary groupBy reuses the
+    // window's hash partitioning (CoverageSpec pins one exchange).
+    "q129_coverage_summary" -> { (s, dir) =>
+      graft.ops.Coverage.coverageSummary(Tables.events(s, dir))
+    },
     // BPE tokenizer training: 4 merge iterations over the word-frequency
     // table (corpus scanned once; iterations are vocab-scale) — the
     // learned merge table a tokenizer ships.
@@ -2634,6 +2664,43 @@ object SparkEntry {
          |  a[2].ns < 0 AS is_mixed
          |FROM s""".stripMargin
     },
+    "q127_topk_per_source" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH s AS (SELECT source, doc_id,
+         |  CAST(floor(LEAST(GREATEST(
+         |    (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |    LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |    LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0) * 1000000.0) AS BIGINT)
+         |    AS score
+         |FROM documents),
+         |r AS (SELECT source, doc_id, score,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |                     ORDER BY score DESC, doc_id ASC) AS rk
+         |FROM s)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, score
+         |FROM r WHERE rk <= 5""".stripMargin
+    },
+    "q128_coverage_gaps" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id FROM events),
+        |w AS (SELECT user_id, tus,
+        |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM e)
+        |SELECT user_id, prev AS gap_start_us, tus AS gap_end_us, tus - prev AS gap_us
+        |FROM w WHERE prev IS NOT NULL AND tus - prev >= 21600000000""".stripMargin,
+    "q129_coverage_summary" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id FROM events),
+        |w AS (SELECT user_id, tus,
+        |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM e)
+        |SELECT user_id, MIN(tus) AS first_us, MAX(tus) AS last_us,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND tus - prev >= 21600000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND tus - prev >= 21600000000
+        |                     THEN tus - prev ELSE 0 END) AS BIGINT) AS uncovered_us,
+        |       MAX(tus) - MIN(tus) AS span_us
+        |FROM w GROUP BY user_id""".stripMargin,
     "q124_bpe_train" ->
       s"""WITH $bpeTrainCtes
          |SELECT 1 AS iteration, pair, c AS pair_count FROM t1

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Time-coverage analysis over an event stream: where are the holes?
+  *
+  * A data-completeness preflight for training pipelines fed by logs: a
+  * feed that silently stops emitting for hours shows up here as a gap row
+  * (and a degraded per-key coverage summary), not as a surprise three
+  * stages later when a window aggregate returns empty buckets.
+  *
+  * Semantics are integer-exact end to end: timestamps become epoch
+  * microseconds (BIGINT both here and in the DuckDB oracle via
+  * `epoch_us`), gaps are integer differences, and the per-key tie order
+  * (ts, then id) is total — so the output is bit-identical across engines.
+  *
+  * Scale: one hash-partitioned window per key for the lag pass; the
+  * summary's groupBy reuses the same key, so Catalyst plans a single
+  * exchange for both steps. State per key is one row of lag — no
+  * collect, no sort beyond the per-partition window sort.
+  */
+object Coverage {
+
+  /** Event time as epoch microseconds: TIMESTAMP columns via unix_micros,
+    * BIGINT columns treated as epoch nanoseconds (the testdata's
+    * parquet timestamp[ns] convention — see streaming/Sessions.nsToUs).
+    */
+  private def toUs(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case LongType => graft.streaming.Sessions.nsToUs(col(tsCol))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$tsCol: expected TIMESTAMP or BIGINT-ns, got $other")
+    }
+
+  /** Per-key silent periods: consecutive-event gaps of at least
+    * `minGapUs` microseconds, as (key, gap_start_us, gap_end_us, gap_us).
+    */
+  def gaps(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      minGapUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("tus"), col(idCol))
+    events
+      .select(col(keyCol), toUs(events, tsCol).as("tus"), col(idCol))
+      .withColumn("prev_us", lag(col("tus"), 1).over(w))
+      .filter(col("prev_us").isNotNull && col("tus") - col("prev_us") >= minGapUs)
+      .select(
+        col(keyCol),
+        col("prev_us").as("gap_start_us"),
+        col("tus").as("gap_end_us"),
+        (col("tus") - col("prev_us")).as("gap_us"))
+  }
+
+  /** Per-key coverage rollup: observed span, event count, and how much of
+    * the span is lost to ≥`minGapUs` holes. All-integer output
+    * (microseconds), so downstream ratio thresholds stay exact:
+    * gate on `uncovered_us * D > span_us * N` instead of a float ratio.
+    */
+  def coverageSummary(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      minGapUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("tus"), col(idCol))
+    val gap = col("tus") - col("prev_us")
+    val isHole = col("prev_us").isNotNull && gap >= minGapUs
+    events
+      .select(col(keyCol), toUs(events, tsCol).as("tus"), col(idCol))
+      .withColumn("prev_us", lag(col("tus"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        min(col("tus")).as("first_us"),
+        max(col("tus")).as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(isHole, 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(isHole, gap).otherwise(0L)).as("uncovered_us"))
+      .withColumn("span_us", col("last_us") - col("first_us"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class CoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val events = Seq(
+    // user 1: events at 0h, 1h, 9h, 9.5h → one 8h gap
+    (1L, ts(0), 10L), (1L, ts(3600), 11L), (1L, ts(9 * 3600), 12L),
+    (1L, ts(9 * 3600 + 1800), 13L),
+    // user 2: two events 7h apart → one gap exactly at threshold boundary
+    (2L, ts(1000), 20L), (2L, ts(1000 + 7 * 3600), 21L),
+    // user 3: single event → no gaps, span 0
+    (3L, ts(50), 30L)
+  ).toDF("user_id", "ts", "event_id")
+
+  test("gaps finds exactly the holes >= threshold") {
+    val out = Coverage.gaps(events, minGapUs = 6L * 3600 * 1000000)
+      .orderBy("user_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(0) === 1L)
+    assert(out(0).getAs[Long]("gap_us") === 8L * 3600 * 1000000)
+    assert(out(0).getAs[Long]("gap_start_us") === 3600L * 1000000)
+    assert(out(1).getLong(0) === 2L)
+    assert(out(1).getAs[Long]("gap_us") === 7L * 3600 * 1000000)
+  }
+
+  test("coverageSummary: integer span and uncovered time per key") {
+    val out = Coverage.coverageSummary(events, minGapUs = 6L * 3600 * 1000000)
+      .orderBy("user_id").collect()
+    assert(out.length === 3)
+    val u1 = out(0)
+    assert(u1.getAs[Long]("n_events") === 4L)
+    assert(u1.getAs[Long]("n_gaps") === 1L)
+    assert(u1.getAs[Long]("uncovered_us") === 8L * 3600 * 1000000)
+    assert(u1.getAs[Long]("span_us") === (9L * 3600 + 1800) * 1000000)
+    val u3 = out(2)
+    assert(u3.getAs[Long]("n_gaps") === 0L)
+    assert(u3.getAs[Long]("span_us") === 0L)
+    assert(u3.getAs[Long]("uncovered_us") === 0L)
+  }
+
+  test("BIGINT ts columns are read as epoch nanoseconds") {
+    val ns = Seq((1L, 1000L * 1000000000, 2L), (1L, (1000L + 8 * 3600) * 1000000000, 3L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Coverage.gaps(ns, minGapUs = 6L * 3600 * 1000000).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("gap_us") === 8L * 3600 * 1000000)
+    assert(out.head.getAs[Long]("gap_start_us") === 1000L * 1000000)
+  }
+
+  test("summary plan reuses the window's partitioning — one exchange only") {
+    val plan = Coverage.coverageSummary(events).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+  }
+}
