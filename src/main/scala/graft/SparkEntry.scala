@@ -903,6 +903,26 @@ object SparkEntry {
     "q129_coverage_summary" -> { (s, dir) =>
       graft.ops.Coverage.coverageSummary(Tables.events(s, dir))
     },
+    // Integer-exact PageRank (E89) over the event-transition graph: which
+    // states matter in the user-journey digraph. Fixed-point ranks, floor
+    // division each step (Spark `div` == DuckDB `//`), 3 unrolled rounds —
+    // per-round cost is one edge pass + one groupBy(dst) shuffle.
+    "q130_pagerank" -> { (s, dir) =>
+      val tr = graft.ops.Funnel.transitionMatrix(
+        Tables.events(s, dir), "user_id", "event_type", Seq("ts", "event_id"))
+      graft.ext.GraphStats.pageRank(tr, "from_type", "to_type", "n")
+    },
+    // Fuzzy decontamination (E90): near-dup corpus×benchmark matches via
+    // MinHash-LSH blocking + candidate-scoped Jaccard verify — catches
+    // paraphrased eval leakage that exact n-gram overlap (q67) misses.
+    // Benchmark = every 7th doc, corpus = the rest; bench side broadcast.
+    "q131_fuzzy_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ext.Decontaminate.fuzzyContamination(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        minJaccard = 0.4)
+    },
     // BPE tokenizer training: 4 merge iterations over the word-frequency
     // table (corpus scanned once; iterations are vocab-scale) — the
     // learned merge table a tokenizer ships.
@@ -2701,6 +2721,59 @@ object SparkEntry {
         |                     THEN tus - prev ELSE 0 END) AS BIGINT) AS uncovered_us,
         |       MAX(tus) - MIN(tus) AS span_us
         |FROM w GROUP BY user_id""".stripMargin,
+    "q130_pagerank" -> {
+      val scale = 1000000000000L
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, SUM((r.r * e.w) // o.wout) AS s
+           |  FROM ec e
+           |  JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN ow o ON o.src = e.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT nodes.node,
+           |    ((15 * $scale) // (100 * (SELECT n FROM cnt)))
+           |    + (85 * COALESCE(c$i.s, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT event_type AS src,
+         |         LEAD(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |ec AS (SELECT src, dst, COUNT(*) AS w
+         |       FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ec UNION ALL SELECT dst FROM ec)),
+         |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+         |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM ec GROUP BY 1),
+         |r0 AS (SELECT node, $scale // (SELECT n FROM cnt) AS r FROM nodes),
+         |$iterCtes
+         |SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
+    },
+    "q131_fuzzy_decontaminate" -> {
+      val mins = (0 until 16).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
+      val bandUnion = (0 until 4).map { b =>
+        s"SELECT id, $b AS band_idx, md5(concat_ws('|', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})) AS band_hash FROM mh"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |hb AS (SELECT id, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM s),
+         |mh AS (SELECT id, $mins FROM hb GROUP BY id),
+         |bands AS ($bandUnion),
+         |cand AS (SELECT DISTINCT c.id AS corpus_id, b.id AS bench_id
+         |         FROM bands c JOIN bands b ON c.band_idx = b.band_idx
+         |          AND c.band_hash = b.band_hash
+         |         WHERE c.id % 7 <> 0 AND b.id % 7 = 0),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+         |c AS (SELECT a.id AS corpus_id, b.id AS bench_id, COUNT(*) AS common
+         |      FROM s a JOIN s b USING (shingle)
+         |      WHERE a.id % 7 <> 0 AND b.id % 7 = 0 GROUP BY 1, 2),
+         |cc AS (SELECT c.* FROM c SEMI JOIN cand USING (corpus_id, bench_id))
+         |SELECT corpus_id, bench_id, common, na.n AS n_a, nb.n AS n_b,
+         |       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+         |FROM cc JOIN sizes na ON na.id = corpus_id JOIN sizes nb ON nb.id = bench_id
+         |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.4""".stripMargin
+    },
     "q124_bpe_train" ->
       s"""WITH $bpeTrainCtes
          |SELECT 1 AS iteration, pair, c AS pair_count FROM t1

@@ -59,4 +59,56 @@ object Decontaminate {
         ratio.as("contamination"),
         (ratio >= threshold).as("contaminated"))
   }
+
+  /** Fuzzy decontamination: near-duplicate matches between corpus and
+    * benchmark, not just shared n-grams — catches lightly-paraphrased or
+    * truncated eval leakage that [[contamination]]'s exact-gram ratio
+    * underestimates. MinHash-LSH blocking (Dedup's 16-hash/4-band layout)
+    * proposes corpus×benchmark bucket collisions; an exact shingle-Jaccard
+    * verify scoped to those candidates keeps pairs ≥ `minJaccard`.
+    *
+    * Scale: the corpus side is never self-joined — candidates come from an
+    * equi-join of corpus buckets against the BROADCAST benchmark buckets
+    * (eval suites are tiny next to a 100 TB corpus), and the verify joins
+    * shingle arrays only for candidate pairs. One corpus scan for
+    * signatures, one for verify arrays; no all-pairs anywhere.
+    */
+  def fuzzyContamination(
+      candidates: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.5,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 3,
+      portable: Boolean = true): DataFrame = {
+    def buckets(df: DataFrame, as: String) = Dedup
+      .lshBuckets(
+        Dedup.minhashSignatures(df, textCol, idCol, numHashes, shingleK, portable),
+        idCol, numHashes, rowsPerBand)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as(as))
+    def shingleArrays(df: DataFrame, as: String, sh: String) = df.select(
+      col(idCol).as(as),
+      graft.functions.TextNativeFunctions.shingles(
+        df.sparkSession, col(textCol), shingleK).as(sh))
+
+    val pairs = buckets(candidates, "corpus_id")
+      .join(broadcast(buckets(benchmark, "bench_id")), Seq("band_idx", "band_hash"))
+      .select("corpus_id", "bench_id")
+      .distinct()
+    pairs
+      .join(shingleArrays(candidates, "corpus_id", "sh_a"), Seq("corpus_id"))
+      .join(broadcast(shingleArrays(benchmark, "bench_id", "sh_b")), Seq("bench_id"))
+      .select(
+        col("corpus_id"), col("bench_id"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("corpus_id", "bench_id", "common", "n_a", "n_b", "jaccard")
+  }
 }

@@ -63,4 +63,70 @@ object GraphStats {
         .otherwise((col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double"))
         .as("clustering"))
   }
+
+  /** Integer-exact weighted PageRank over a directed edge list — node
+    * importance for transition graphs, citation/dup graphs, or any edge
+    * set the dedup pipeline produces.
+    *
+    * Ranks are fixed-point integers summing to ≈`scale`; all steps are
+    * integer multiply + floor division (both engines agree exactly:
+    * Spark `div` == DuckDB `//` on non-negative longs), so `iterations`
+    * unrolled rounds hash-match a SQL oracle (q130) with zero float drift:
+    *
+    *   contrib(i→j) = (r_i · w_ij) div W_i          (W_i = Σ out-weight)
+    *   r'_j = (dampDen−dampNum)·scale div (dampDen·N)
+    *          + dampNum·Σ contrib(·→j) div dampDen
+    *
+    * Dangling nodes (no out-edges) keep receiving the uniform term but
+    * their mass is dropped, not redistributed — documented deviation from
+    * the redistribute variant; floor losses likewise decay total mass by
+    * < N per round. Overflow bound: `scale · max(w) < 2⁶³` (defaults give
+    * headroom for per-edge weights up to ~9·10⁶).
+    *
+    * Scale: ranks and out-weights are node-scale, edges are data-scale.
+    * Each round is one broadcast-joined pass over the edges plus a
+    * groupBy(dst) shuffle — parallelism follows edge-partition count, and
+    * nothing node-scale ever sorts. The single driver-side scalar is N
+    * (one count), which sizes the uniform terms.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int = 3,
+      dampNum: Long = 85,
+      dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    val e = edges
+      .select(
+        col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val outw = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(outw, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
 }

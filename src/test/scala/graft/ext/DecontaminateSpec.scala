@@ -32,4 +32,46 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("fuzzyContamination flags verbatim and near-dup leaks, not unrelated docs") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the old stone bridge"
+    val para = leak.replace("lazy", "sleepy") // near-dup: most shingles shared
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, leak), // verbatim copy → jaccard 1.0
+      (2L, para), // paraphrase → high but < 1
+      (3L, "completely different content about spark physical plans")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.fuzzyContamination(corpus, bench, minJaccard = 0.4)
+      .orderBy("corpus_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getAs[Double]("jaccard") === 1.0)
+    val j2 = out(1).getAs[Double]("jaccard")
+    assert(j2 > 0.4 && j2 < 1.0)
+  }
+
+  test("fuzzy verify equals brute-force cross-set Jaccard on flagged pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 zz"),
+      (7L, "w1 w2 w3 w4 w5 w6"), (9L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val fuzzy = Decontaminate.fuzzyContamination(corpus, bench, minJaccard = 0.3)
+      .select($"corpus_id", $"bench_id", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force oracle: every cross pair via the exact shingle jaccard
+    val brute = Dedup.ngramJaccard(docs, minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      .flatMap { case (a, b, j) =>
+        Seq((a, b, j), (b, a, j)).collect {
+          case (c, e, jj) if c % 7 != 0 && e % 7 == 0 => (c, e, jj)
+        }
+      }.toSet
+    assert(fuzzy === brute) // LSH at 16/4 recalls everything ≥ 0.3 here
+  }
 }

@@ -41,4 +41,50 @@ class GraphStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_wedges") === 0L)
     assert(r.getAs[Double]("clustering") === 0.0)
   }
+
+  /** Driver-side reference PageRank with the exact same integer semantics
+    * — the spec-level twin of the SQL oracle unrolling.
+    */
+  private def refPageRank(
+      edges: Seq[(String, String, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = (15L * scale) / (100L * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => (r(s) * w) / outw(s) }.sum).toMap
+      r = nodes.map(v => v -> (base + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer reference on a weighted digraph with a dangling node") {
+    import spark.implicits._
+    // d is dangling (no out-edges); a is a hub; weights are uneven
+    val edges = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("b", "d", 5L))
+    val got = GraphStats
+      .pageRank(edges.toDF("s", "t", "w"), "s", "t", "w", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refPageRank(edges, 3))
+    // sink d outranks equally-uniform c's source a? just sanity: all positive
+    assert(got.values.forall(_ > 0))
+    // floor-only loss: total mass never exceeds scale
+    assert(got.values.sum <= 1000000000000L)
+  }
+
+  test("pageRank is insensitive to edge-list order and duplicate-free weights sum") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "a", 2L), ("a", "c", 2L), ("c", "b", 1L))
+    val fwd = GraphStats.pageRank(edges.toDF("s", "t", "w"), "s", "t", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rev = GraphStats.pageRank(edges.reverse.toDF("s", "t", "w"), "s", "t", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fwd === rev)
+    assert(fwd === refPageRank(edges, 3))
+  }
 }
