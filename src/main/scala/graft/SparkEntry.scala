@@ -1094,6 +1094,38 @@ object SparkEntry {
           .toDF("tableName", "columnName", "dataType"))
       graft.ext.Drift.schemaDiff(a, b)
     },
+    // Schema MERGE plan (E91): the write-side companion to q104's diff —
+    // the unified schema the next compaction should emit. Numeric drift
+    // widens along Spark's numeric-precedence ladder; incompatible drift
+    // (double→decimal) is a `conflict` left for a human. Same snapshot
+    // fixture as q104 plus two widening cases (one each direction).
+    "q132_schema_merge" -> { (s, dir) =>
+      import s.implicits._
+      val a = classifiedCols(s, dir).select("tableName", "columnName", "dataType")
+      val b = a
+        .filter(col("tableName") =!= "events")
+        .filter(!(col("tableName") === "lineitem" && col("columnName") === "l_tax"))
+        .withColumn("dataType",
+          when(col("tableName") === "customer" && col("columnName") === "c_acctbal",
+            lit("decimal(12,2)"))
+            .when(col("tableName") === "part" && col("columnName") === "p_size",
+              lit("bigint"))
+            .when(col("tableName") === "supplier" && col("columnName") === "s_suppkey",
+              lit("int"))
+            .otherwise(col("dataType")))
+        .unionByName(Seq(("documents", "quality_score", "double"))
+          .toDF("tableName", "columnName", "dataType"))
+      graft.ext.Drift.schemaMerge(a, b)
+    },
+    // Compaction plan (E92): coalesce the documents table's small source
+    // partitions into ~120-row output shards — offset binning over an
+    // exclusive prefix sum (next-fit, integer-only; Packing.packGreedy's
+    // bin math applied to unit metadata).
+    "q133_compaction_plan" -> { (s, dir) =>
+      val parts = Tables.documents(s, dir)
+        .groupBy(col("source").as("part")).agg(count(lit(1)).as("n"))
+      graft.ops.Compaction.plan(parts, "part", "n", targetRows = 120L)
+    },
     // Corpus-level PII audit: per-rule docs-affected + total hits from the
     // same ordered redaction pass as q72 — the release-gate report.
     "q103_pii_audit" -> { (s, dir) =>
@@ -3165,6 +3197,68 @@ object SparkEntry {
          |            ELSE 'unchanged' END AS status,
          |       COALESCE(type_old, '') AS type_old,
          |       COALESCE(type_new, '') AS type_new
+         |FROM j""".stripMargin
+    },
+    "q133_compaction_plan" ->
+      """WITH u AS (SELECT source AS unit, COUNT(*) AS n_rows FROM documents GROUP BY 1),
+        |w AS (SELECT unit, n_rows,
+        |        COALESCE(SUM(n_rows) OVER (ORDER BY unit
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_row
+        |      FROM u)
+        |SELECT unit, n_rows, CAST(start_row AS BIGINT) AS start_row,
+        |       CAST(start_row // 120 AS BIGINT) AS group_id
+        |FROM w""".stripMargin,
+    "q132_schema_merge" -> {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val raw = tables.map(t =>
+        s"SELECT '$t' AS t, lower(column_name) AS c, column_type AS ty FROM (DESCRIBE $t)")
+        .mkString("\n    UNION ALL ")
+      def rankOf(ty: String) = "CASE " + graft.ext.Drift.numericRank
+        .map { case (t, r) => s"WHEN $ty = '$t' THEN $r" }
+        .mkString(" ") + " ELSE NULL END"
+      s"""WITH raw AS (
+         |    $raw),
+         |cat AS (
+         |  SELECT t AS table_name, c AS column_name,
+         |         CASE
+         |           WHEN t = 'events' AND c = 'ts' THEN 'bigint'
+         |           WHEN replace(lower(ty), '[]', '') = 'varchar' THEN 'string'
+         |           WHEN replace(lower(ty), '[]', '') = 'blob' THEN 'binary'
+         |           ELSE replace(lower(ty), '[]', '') END AS dt
+         |  FROM raw),
+         |b AS (SELECT table_name, column_name,
+         |        CASE WHEN table_name = 'customer' AND column_name = 'c_acctbal'
+         |               THEN 'decimal(12,2)'
+         |             WHEN table_name = 'part' AND column_name = 'p_size'
+         |               THEN 'bigint'
+         |             WHEN table_name = 'supplier' AND column_name = 's_suppkey'
+         |               THEN 'int'
+         |             ELSE dt END AS dt
+         |      FROM cat
+         |      WHERE table_name <> 'events'
+         |        AND NOT (table_name = 'lineitem' AND column_name = 'l_tax')
+         |      UNION ALL SELECT 'documents', 'quality_score', 'double'),
+         |j AS (SELECT COALESCE(a.table_name, b.table_name) AS table_name,
+         |             COALESCE(a.column_name, b.column_name) AS column_name,
+         |             a.dt AS type_old, b.dt AS type_new,
+         |             ${rankOf("a.dt")} AS ro, ${rankOf("b.dt")} AS rn
+         |      FROM cat a FULL OUTER JOIN b
+         |        ON a.table_name = b.table_name AND a.column_name = b.column_name)
+         |SELECT table_name, column_name,
+         |       CASE WHEN type_old IS NULL THEN 'added'
+         |            WHEN type_new IS NULL THEN 'old_only'
+         |            WHEN type_old = type_new THEN 'unchanged'
+         |            WHEN ro IS NOT NULL AND rn IS NOT NULL THEN 'widened'
+         |            ELSE 'conflict' END AS action,
+         |       COALESCE(type_old, '') AS type_old,
+         |       COALESCE(type_new, '') AS type_new,
+         |       CASE WHEN type_old IS NULL THEN type_new
+         |            WHEN type_new IS NULL THEN type_old
+         |            WHEN type_old = type_new THEN type_old
+         |            WHEN ro IS NOT NULL AND rn IS NOT NULL THEN
+         |              CASE WHEN ro >= rn THEN type_old ELSE type_new END
+         |            ELSE '' END AS merged_type
          |FROM j""".stripMargin
     },
     "q103_pii_audit" -> {

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus versioning diagnostics: what changed between two snapshots of the
@@ -67,6 +67,54 @@ object Drift {
           .otherwise("unchanged").as("status"),
         coalesce(col("type_old"), lit("")).as("type_old"),
         coalesce(col("type_new"), lit("")).as("type_new"))
+  }
+
+  /** Spark's numeric-precedence ladder (TypeCoercion.numericPrecedence):
+    * the widening order `schemaMerge` resolves numeric type drift along.
+    */
+  val numericRank: Map[String, Int] = Map(
+    "tinyint" -> 1, "smallint" -> 2, "int" -> 3, "bigint" -> 4,
+    "float" -> 5, "double" -> 6)
+
+  /** Schema MERGE between two snapshot catalogs — the write-side companion
+    * to [[schemaDiff]]'s read-side report: what unified schema should the
+    * next compaction/CTAS emit, and which columns need manual attention?
+    *
+    * Per (table, column): `unchanged` (same type), `added` / `old_only`
+    * (union keeps both — parquet mergeSchema semantics), `widened` (both
+    * numeric: merged type is the higher rung of Spark's numeric-precedence
+    * ladder), or `conflict` (incompatible drift, e.g. double→decimal —
+    * merged_type stays empty, a human decides). Catalog-scale data: one
+    * full-outer join on (table, column), all CASE logic, no data scan.
+    */
+  def schemaMerge(oldCat: DataFrame, newCat: DataFrame): DataFrame = {
+    def side(df: DataFrame, alias: String): DataFrame =
+      df.select(
+        col("tableName").as("table_name"), col("columnName").as("column_name"),
+        col("dataType").as(alias))
+    def rank(c: Column): Column =
+      numericRank.foldLeft(lit(null).cast("int")) { case (acc, (t, r)) =>
+        when(c === t, lit(r)).otherwise(acc)
+      }
+    val ro = rank(col("type_old"))
+    val rn = rank(col("type_new"))
+    side(oldCat, "type_old")
+      .join(side(newCat, "type_new"), Seq("table_name", "column_name"), "full_outer")
+      .select(
+        col("table_name"), col("column_name"),
+        when(col("type_old").isNull, "added")
+          .when(col("type_new").isNull, "old_only")
+          .when(col("type_old") === col("type_new"), "unchanged")
+          .when(ro.isNotNull && rn.isNotNull, "widened")
+          .otherwise("conflict").as("action"),
+        coalesce(col("type_old"), lit("")).as("type_old"),
+        coalesce(col("type_new"), lit("")).as("type_new"),
+        when(col("type_old").isNull, col("type_new"))
+          .when(col("type_new").isNull, col("type_old"))
+          .when(col("type_old") === col("type_new"), col("type_old"))
+          .when(ro.isNotNull && rn.isNotNull,
+            when(ro >= rn, col("type_old")).otherwise(col("type_new")))
+          .otherwise(lit("")).as("merged_type"))
   }
 
   /** Distribution drift of a categorical key between a reference and a

@@ -127,4 +127,26 @@ class DriftSpec extends SparkSpec {
     // median stays 10 (robustness) and x=10 is not anomalous
     assert(byRow(("a", 17L)) === ((10.0, 0.0, false)))
   }
+
+  test("schemaMerge widens numerics both directions, conflicts otherwise") {
+    import spark.implicits._
+    val a = Seq(
+      ("t", "same", "string"), ("t", "widen_up", "int"),
+      ("t", "widen_down", "bigint"), ("t", "clash", "double"),
+      ("t", "gone", "int"))
+      .toDF("tableName", "columnName", "dataType")
+    val b = Seq(
+      ("t", "same", "string"), ("t", "widen_up", "bigint"),
+      ("t", "widen_down", "int"), ("t", "clash", "decimal(12,2)"),
+      ("t", "fresh", "double"))
+      .toDF("tableName", "columnName", "dataType")
+    val out = Drift.schemaMerge(a, b).collect()
+      .map(r => r.getString(1) -> ((r.getString(2), r.getString(5)))).toMap
+    assert(out("same") === (("unchanged", "string")))
+    assert(out("widen_up") === (("widened", "bigint"))) // new side wins
+    assert(out("widen_down") === (("widened", "bigint"))) // old side wins
+    assert(out("clash") === (("conflict", ""))) // decimal off the ladder
+    assert(out("gone") === (("old_only", "int"))) // union keeps it
+    assert(out("fresh") === (("added", "double")))
+  }
 }
