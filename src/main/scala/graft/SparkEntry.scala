@@ -1126,6 +1126,27 @@ object SparkEntry {
         .groupBy(col("source").as("part")).agg(count(lit(1)).as("n"))
       graft.ops.Compaction.plan(parts, "part", "n", targetRows = 120L)
     },
+    // Boilerplate prefix detection (E94): per-source most-repeated leading
+    // 32 chars — scraped-template headers. One map-side-combined groupBy;
+    // the rank window sees repeated prefixes only.
+    "q134_boilerplate_prefixes" -> { (s, dir) =>
+      graft.ext.TextAnalysis.boilerplatePrefixes(Tables.documents(s, dir))
+    },
+    // Rank-fusion quality score (E95): quality × langid-margin × token
+    // count fused by exact global RANK() computed from value counts — the
+    // window sorts distinct fixed-point values, never the corpus rows.
+    "q135_rank_fusion" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      val docs = Tables.documents(s, dir)
+      val conf = TextAnalysis.langConfusion(docs).select(col("doc_id"), col("margin"))
+      val sig = docs
+        .withColumn("q_scaled",
+          floor(TextAnalysis.qualityScore(col("text")) * 1000000.0).cast("long"))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .join(conf, "doc_id")
+        .select(col("doc_id"), col("q_scaled"), col("margin"), col("n_tokens"))
+      graft.analyze.Profiler.rankFusion(sig, Seq("q_scaled", "margin", "n_tokens"))
+    },
     // Corpus-level PII audit: per-rule docs-affected + total hits from the
     // same ordered redaction pass as q72 — the release-gate report.
     "q103_pii_audit" -> { (s, dir) =>
@@ -3198,6 +3219,42 @@ object SparkEntry {
          |       COALESCE(type_old, '') AS type_old,
          |       COALESCE(type_new, '') AS type_new
          |FROM j""".stripMargin
+    },
+    "q134_boilerplate_prefixes" ->
+      """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
+        |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |r AS (SELECT source, prefix, n_docs,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |                           ORDER BY n_docs DESC, prefix ASC) AS rk
+        |      FROM c)
+        |SELECT source, prefix, n_docs, rk FROM r WHERE rk <= 3""".stripMargin,
+    "q135_rank_fusion" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      val entries = graft.ext.TextAnalysis.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        s"struct_pack(ns := -(${dkLangScore(l)}), i := $i, l := '$l')"
+      }.mkString(",\n    ")
+      s"""WITH s AS (SELECT doc_id, list_sort([
+         |    $entries]) AS a FROM documents),
+         |m AS (SELECT doc_id, CAST(a[2].ns - a[1].ns AS BIGINT) AS margin FROM s),
+         |sig AS (SELECT d.doc_id,
+         |    CAST(floor(LEAST(GREATEST(
+         |      (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |      LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |      LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0) * 1000000.0)
+         |      AS BIGINT) AS q_scaled,
+         |    m.margin,
+         |    CAST($nt AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN m ON m.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, q_scaled, margin, n_tokens,
+         |    RANK() OVER (ORDER BY q_scaled) AS rank_q_scaled,
+         |    RANK() OVER (ORDER BY margin) AS rank_margin,
+         |    RANK() OVER (ORDER BY n_tokens) AS rank_n_tokens
+         |  FROM sig)
+         |SELECT doc_id, q_scaled, margin, n_tokens,
+         |       rank_q_scaled, rank_margin, rank_n_tokens,
+         |       rank_q_scaled + rank_margin + rank_n_tokens AS fused_rank_sum
+         |FROM r""".stripMargin
     },
     "q133_compaction_plan" ->
       """WITH u AS (SELECT source AS unit, COUNT(*) AS n_rows FROM documents GROUP BY 1),

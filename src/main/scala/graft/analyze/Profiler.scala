@@ -283,4 +283,45 @@ object Profiler {
           max(col("nl").cast("decimal(38,0)") * col("nr").cast("decimal(38,0)")),
           lit(0L)).cast("long").as("max_key_rows"))
   }
+
+  /** Exact global RANK() without a global sort of the rows.
+    *
+    * rank(x) = 1 + (rows with a strictly smaller value), which needs only
+    * per-VALUE counts: aggregate to the distinct-value table (map-side
+    * combined), cumulate it with ONE small window, and join the rank map
+    * back by value. The window therefore sorts |distinct values| rows, not
+    * |rows| — for fixed-point signals (floor(score·10⁶), integer counts)
+    * that is bounded by the grid size no matter how large the corpus, where
+    * `Window.orderBy(value)` over the raw rows would single-task the whole
+    * table. Ties share a rank, exactly like SQL RANK() — bit-identical to
+    * the window formulation (ProfilerSpec) and to a DuckDB oracle (q135).
+    *
+    * Quantize continuous scores before calling (the value-count table is
+    * only small if values repeat); the join back is value-keyed, so AQE
+    * broadcasts the rank map.
+    */
+  def exactRank(df: DataFrame, valueCol: String, rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = counts
+      .withColumn(rankCol, coalesce(sum(col("__n")).over(w), lit(0L)) + 1L)
+      .drop("__n")
+    df.join(ranks, df(valueCol) === ranks("__v")).drop("__v")
+  }
+
+  /** Rank-fusion score: each signal becomes its exact global rank
+    * (ascending — higher signal, higher rank) and rows are scored by the
+    * integer rank sum. Rank fusion is the robust way to combine signals on
+    * incomparable scales (quality ∈ [0,1], margins in counts, lengths in
+    * tokens): no normalization constants, no float weighting, outliers
+    * can't dominate. All-integer output.
+    */
+  def rankFusion(df: DataFrame, signalCols: Seq[String]): DataFrame = {
+    require(signalCols.nonEmpty, "need at least one signal")
+    val ranked = signalCols.foldLeft(df)((d, c) => exactRank(d, c, s"rank_$c"))
+    ranked.withColumn(
+      "fused_rank_sum",
+      signalCols.map(c => col(s"rank_$c")).reduce(_ + _))
+  }
 }

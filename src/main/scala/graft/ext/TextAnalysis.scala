@@ -387,4 +387,34 @@ object TextAnalysis {
       .select(col("grp").as(groupCol), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Boilerplate prefix detection: per source, the most-repeated leading
+    * `prefixChars` characters across documents — scraped-template headers
+    * ("Skip to main content…", cookie banners) show up as one prefix with
+    * a large doc count. Curation acts on the hits (strip the prefix or
+    * down-weight the source).
+    *
+    * Scale: one map-side-combined groupBy on (source, prefix); the
+    * row_number window runs over REPEATED prefixes only (n ≥ `minDocs`),
+    * a set the filter keeps tiny however large the corpus.
+    */
+  def boilerplatePrefixes(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      prefixChars: Int = 32,
+      topK: Int = 3,
+      minDocs: Long = 2): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("source"),
+        substring(col(textCol), 1, prefixChars).as("prefix"))
+      .groupBy("source", "prefix").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_docs").desc, col("prefix").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("source"), col("prefix"), col("n_docs"), col("rk"))
+  }
 }

@@ -151,4 +151,32 @@ class ProfilerSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
     assert(est2 === est)
   }
+
+  test("exactRank equals SQL RANK() including ties; window sees only distinct values") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map(i => (i.toLong, rnd.nextInt(40).toLong)).toDF("id", "v")
+    val viaCounts = Profiler.exactRank(df, "v", "rk")
+      .select($"id", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWindow = df.withColumn("rk", rank().over(Window.orderBy("v")))
+      .select($"id", $"rk").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(viaCounts === viaWindow)
+  }
+
+  test("rankFusion sums per-signal exact ranks into an integer score") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10L, 5L), (2L, 20L, 5L), (3L, 10L, 9L))
+      .toDF("id", "a", "b")
+    val out = Profiler.rankFusion(df, Seq("a", "b")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"), r.getAs[Long]("fused_rank_sum"))))
+      .toMap
+    assert(out(1L) === ((1L, 1L, 2L))) // a ties at rank 1, b ties at rank 1
+    assert(out(2L) === ((3L, 1L, 4L)))
+    assert(out(3L) === ((1L, 3L, 4L)))
+  }
 }

@@ -164,4 +164,24 @@ class TextAnalysisSpec extends SparkSpec {
     val (t3, _, st3, _, m3) = out(3L)
     assert(t3 === "und" && st3 === 0L && !m3)
   }
+
+  test("boilerplatePrefixes surfaces repeated headers per source, singletons drop") {
+    import spark.implicits._
+    val hdr = "Skip to main content | Cookie po" // exactly 32 chars
+    val docs = Seq(
+      (1L, hdr + " page one body", "web"),
+      (2L, hdr + " page two body", "web"),
+      (3L, hdr + " page three", "web"),
+      (4L, "unique document text here", "web"),
+      (5L, "another one-off doc", "web"),
+      (6L, "curated clean text", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.boilerplatePrefixes(docs).collect()
+    assert(out.length === 1) // only the repeated header survives minDocs
+    val r = out.head
+    assert(r.getAs[String]("source") === "web")
+    assert(r.getAs[String]("prefix") === hdr)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Int]("rk") === 1)
+  }
 }
