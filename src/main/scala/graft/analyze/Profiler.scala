@@ -319,7 +319,12 @@ object Profiler {
     */
   def rankFusion(df: DataFrame, signalCols: Seq[String]): DataFrame = {
     require(signalCols.nonEmpty, "need at least one signal")
-    val ranked = signalCols.foldLeft(df)((d, c) => exactRank(d, c, s"rank_$c"))
+    // Truncate lineage once: each signal's count aggregation and rank join
+    // would otherwise re-evaluate the (often expensive) upstream scoring
+    // plan per signal — 2·k scans of the text expressions for k signals.
+    // The checkpointed table is the slim signal projection only.
+    val base = df.localCheckpoint()
+    val ranked = signalCols.foldLeft(base)((d, c) => exactRank(d, c, s"rank_$c"))
     ranked.withColumn(
       "fused_rank_sum",
       signalCols.map(c => col(s"rank_$c")).reduce(_ + _))
