@@ -279,7 +279,8 @@ object Main {
           "[--layout grid|force|hierarchical] [--include-views] [--include-external] " +
           "[--theme default|dark|minimal] [--no-column-types] [--show-nullable] " +
           "[--stats] [--cache PATH] [--freeze OUTDIR] " +
-          "[--drift REF_DATA_DIR] [--search term1,term2,...] [--card] [--anomalies]")
+          "[--drift REF_DATA_DIR] [--search term1,term2,...] [--card] [--anomalies] " +
+          "[--coverage] [--compact-target ROWS]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -372,6 +373,24 @@ object Main {
           .filter(col("is_anomaly"))
           .orderBy(col("event_type"), col("hour"))
           .show(50, truncate = false)
+      }
+      // per-user feed silence report (≥6h holes) + coverage rollup
+      if (args.contains("--coverage")) {
+        println("coverage gaps (>= 6h silent periods per user):")
+        graft.ops.Coverage.gaps(Tables.events(spark, dir))
+          .orderBy(col("gap_us").desc).show(20, truncate = false)
+        println("per-user coverage summary:")
+        graft.ops.Coverage.coverageSummary(Tables.events(spark, dir))
+          .orderBy(col("uncovered_us").desc).show(20, truncate = false)
+      }
+      // compaction plan for the documents table's source partitions
+      opt("--compact-target").foreach { target =>
+        println(s"compaction plan (target $target rows per output shard):")
+        val parts = Tables.documents(spark, dir)
+          .groupBy(col("source").as("part"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        graft.ops.Compaction.plan(parts, "part", "n", target.toLong)
+          .orderBy("unit").show(100, truncate = false)
       }
     } finally spark.stop()
   }
