@@ -1126,11 +1126,25 @@ object SparkEntry {
         .groupBy(col("source").as("part")).agg(count(lit(1)).as("n"))
       graft.ops.Compaction.plan(parts, "part", "n", targetRows = 120L)
     },
+    // Dyadic EWMA (E96): α=1/2 smoothed hourly event rates — power-of-two
+    // weights make the whole series integer shifts+adds, bit-identical in
+    // SQL. One bounded window per event type.
+    "q136_ewma_rates" -> { (s, dir) =>
+      val hourly = graft.streaming.Sessions.hourlyAgg(Tables.events(s, dir))
+        .select(col("event_type"), col("hour"), col("n_events"))
+      graft.ext.Drift.ewmaSmooth(hourly, "event_type", "hour", "n_events")
+    },
     // Boilerplate prefix detection (E94): per-source most-repeated leading
     // 32 chars — scraped-template headers. One map-side-combined groupBy;
     // the rank window sees repeated prefixes only.
     "q134_boilerplate_prefixes" -> { (s, dir) =>
       graft.ext.TextAnalysis.boilerplatePrefixes(Tables.documents(s, dir))
+    },
+    // Boilerplate STRIP (E97): the act step for q134's detection — each
+    // source's top repeated prefix removed map-side via a broadcast join;
+    // the corpus never shuffles.
+    "q137_strip_boilerplate" -> { (s, dir) =>
+      graft.ext.TextAnalysis.stripBoilerplate(Tables.documents(s, dir))
     },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
@@ -3220,6 +3234,32 @@ object SparkEntry {
          |       COALESCE(type_new, '') AS type_new
          |FROM j""".stripMargin
     },
+    "q136_ewma_rates" -> {
+      val terms = (0 until 8).map { j =>
+        s"COALESCE(lag(n_events, $j) OVER (PARTITION BY event_type ORDER BY hour), 0) * ${1L << (7 - j)}"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+         |             COUNT(*) AS n_events
+         |           FROM events GROUP BY 1, 2),
+         |e AS (SELECT event_type, hour, n_events, $terms AS ewma_num FROM h)
+         |SELECT event_type, hour, n_events,
+         |       CAST(ewma_num AS BIGINT) AS ewma_num,
+         |       CAST(ewma_num // 255 AS BIGINT) AS smoothed
+         |FROM e""".stripMargin
+    },
+    "q137_strip_boilerplate" ->
+      """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
+        |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |top1 AS (SELECT source, prefix FROM (
+        |           SELECT source, prefix,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY n_docs DESC, prefix ASC) AS rk
+        |           FROM c) WHERE rk = 1)
+        |SELECT d.doc_id, d.source,
+        |       t.prefix IS NOT NULL AND starts_with(d.text, t.prefix) AS stripped,
+        |       CASE WHEN t.prefix IS NOT NULL AND starts_with(d.text, t.prefix)
+        |            THEN substr(d.text, 33) ELSE d.text END AS text_clean
+        |FROM documents d LEFT JOIN top1 t ON t.source = d.source""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

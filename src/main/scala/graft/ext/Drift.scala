@@ -69,6 +69,36 @@ object Drift {
         coalesce(col("type_new"), lit("")).as("type_new"))
   }
 
+  /** Exponentially-weighted smoothing with α = 1/2, bit-exact: the
+    * smoothed numerator at tick t is Σ_{j=0..W−1} x_{t−j}·2^(W−1−j) —
+    * a dyadic EWMA whose weights are powers of two, so the whole series
+    * is integer arithmetic (shifts and adds) and hash-matches a SQL
+    * oracle with zero float drift. The full-window weight mass is
+    * 2^W − 1; `smoothed` = numerator div (2^W − 1) (floor division,
+    * Spark `div` == DuckDB `//`). Missing leading ticks weigh 0 — the
+    * usual warm-up convention.
+    *
+    * This is ROW-lag smoothing over observed ticks (not wall-clock decay):
+    * feed it a dense tick series (e.g. hourly counts) for time semantics.
+    * One bounded window per key; W lag terms fold into a single projection.
+    */
+  def ewmaSmooth(
+      df: DataFrame,
+      keyCol: String,
+      tickCol: String,
+      valueCol: String,
+      window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 32, "window must be in [1, 32]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tickCol)
+    val num = (0 until window).map { j =>
+      coalesce(lag(col(valueCol), j).over(w), lit(0L)) *
+        lit(1L << (window - 1 - j))
+    }.reduce(_ + _)
+    df.withColumn("ewma_num", num)
+      .withColumn("smoothed", expr(s"ewma_num div ${(1L << window) - 1}"))
+  }
+
   /** Spark's numeric-precedence ladder (TypeCoercion.numericPrecedence):
     * the widening order `schemaMerge` resolves numeric type drift along.
     */

@@ -417,4 +417,28 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
       .select(col("source"), col("prefix"), col("n_docs"), col("rk"))
   }
+
+  /** Act on [[boilerplatePrefixes]]: remove each source's single most
+    * repeated prefix from every document that starts with it. The
+    * detected-prefix table is per-source (broadcast); docs stream through
+    * map-side — no shuffle of the corpus.
+    */
+  def stripBoilerplate(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      prefixChars: Int = 32,
+      minDocs: Long = 2): DataFrame = {
+    val hits = boilerplatePrefixes(docs, sourceCol, textCol, prefixChars, topK = 1, minDocs)
+      .select(col("source").as("__src"), col("prefix"))
+    val isHit = col("prefix").isNotNull && col(textCol).startsWith(col("prefix"))
+    docs
+      .join(broadcast(hits), docs(sourceCol) === col("__src"), "left")
+      .select(
+        col(idCol), col(sourceCol),
+        isHit.as("stripped"),
+        when(isHit, substring(col(textCol), prefixChars + 1, Int.MaxValue))
+          .otherwise(col(textCol)).as("text_clean"))
+  }
 }

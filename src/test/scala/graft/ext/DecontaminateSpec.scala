@@ -52,6 +52,17 @@ class DecontaminateSpec extends SparkSpec {
     assert(j2 > 0.4 && j2 < 1.0)
   }
 
+  test("fuzzy path broadcasts the benchmark on both the block and verify joins") {
+    import spark.implicits._
+    val bench = Seq((7L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Decontaminate.fuzzyContamination(corpus, bench)
+      .queryExecution.executedPlan.toString
+    // candidate join (bucket keys) + verify join (bench shingle arrays):
+    // the corpus is never shuffled against itself
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+  }
+
   test("fuzzy verify equals brute-force cross-set Jaccard on flagged pairs") {
     import spark.implicits._
     val docs = Seq(

@@ -128,6 +128,22 @@ class DriftSpec extends SparkSpec {
     assert(byRow(("a", 17L)) === ((10.0, 0.0, false)))
   }
 
+  test("ewmaSmooth: dyadic weights, warm-up zeros, steady state equals the input") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 7L), ("a", 2L, 7L), ("a", 3L, 7L), // steady series
+      ("b", 1L, 1L), ("b", 2L, 2L), ("b", 3L, 4L))
+      .toDF("k", "t", "x")
+    val out = Drift.ewmaSmooth(df, "k", "t", "x", window = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("ewma_num"), r.getAs[Long]("smoothed")))).toMap
+    // weights (current-first) 4,2,1; mass 7
+    assert(out(("a", 1L)) === ((28L, 4L))) // 7·4, leading gap weighs 0
+    assert(out(("a", 2L)) === ((42L, 6L))) // 7·4 + 7·2
+    assert(out(("a", 3L)) === ((49L, 7L))) // steady state == input
+    assert(out(("b", 3L)) === ((4L * 4 + 2 * 2 + 1, 3L))) // 21 div 7
+  }
+
   test("schemaMerge widens numerics both directions, conflicts otherwise") {
     import spark.implicits._
     val a = Seq(

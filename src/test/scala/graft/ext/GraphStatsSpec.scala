@@ -77,6 +77,16 @@ class GraphStatsSpec extends SparkSpec {
     assert(got.values.sum <= 1000000000000L)
   }
 
+  test("pageRank per-round joins broadcast the node-scale rank map") {
+    import spark.implicits._
+    val edges = (1 to 200).map(i => (s"n${i % 20}", s"n${(i * 7) % 20}", 1L))
+    val plan = GraphStats.pageRank(edges.toDF("s", "t", "w"), "s", "t", "w")
+      .queryExecution.executedPlan.toString
+    // ranks and out-weights are node-scale: every per-round join against the
+    // edge list must be a broadcast, never a sort-merge of the edges
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("pageRank is insensitive to edge-list order and duplicate-free weights sum") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1L), ("b", "a", 2L), ("a", "c", 2L), ("c", "b", 1L))

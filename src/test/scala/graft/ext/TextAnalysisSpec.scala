@@ -184,4 +184,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") === 3L)
     assert(r.getAs[Int]("rk") === 1)
   }
+
+  test("stripBoilerplate removes the detected prefix only where it matches") {
+    import spark.implicits._
+    val hdr = "Skip to main content | Cookie po" // 32 chars
+    val docs = Seq(
+      (1L, hdr + " body one", "web"),
+      (2L, hdr + " body two", "web"),
+      (3L, "no header here", "web"),
+      (4L, "books are untouched", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.stripBoilerplate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Boolean]("stripped"), r.getAs[String]("text_clean"))))
+      .toMap
+    assert(out(1L) === ((true, " body one")))
+    assert(out(2L) === ((true, " body two")))
+    assert(out(3L) === ((false, "no header here")))
+    assert(out(4L) === ((false, "books are untouched")))
+    val plan = TextAnalysis.stripBoilerplate(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
