@@ -117,6 +117,17 @@ object SparkEntry {
           count(col("click_id")).as("n_clicks_30m"),
           max(col("click_id")).as("last_click_id"))
     },
+    // LEFT OUTER interval join (E98): q55 plus the organic purchases —
+    // batch twin of the streaming outer join whose null-padded rows emit
+    // after the click watermark passes (EventStreamSpec).
+    "q138_interval_join_outer" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStream.intervalJoinOuter(ev, ev)
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(
+          count(col("click_id")).as("n_clicks_30m"),
+          max(col("click_id")).as("last_click_id"))
+    },
     // Sessionization: inactivity-gap sessions per user.
     "q25_sessionize" -> { (s, dir) =>
       graft.streaming.Sessions.sessionize(Tables.events(s, dir))
@@ -2196,6 +2207,18 @@ object SparkEntry {
         |SELECT p.pid AS purchase_id, p.user_id,
         |       COUNT(*) AS n_clicks_30m, MAX(c.cid) AS last_click_id
         |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.tus >= p.tus - 1800000000 AND c.tus <= p.tus
+        |GROUP BY 1, 2""".stripMargin,
+    "q138_interval_join_outer" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS tus
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS cid, user_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS tus
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.pid AS purchase_id, p.user_id,
+        |       COUNT(c.cid) AS n_clicks_30m, MAX(c.cid) AS last_click_id
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
         |  AND c.tus >= p.tus - 1800000000 AND c.tus <= p.tus
         |GROUP BY 1, 2""".stripMargin,
     "q25_sessionize" ->

@@ -153,6 +153,44 @@ object EventStream {
         col("click_id"), col("purchase_time"), col("click_time"))
   }
 
+  /** LEFT OUTER flavour of [[intervalJoin]]: purchases with NO click in the
+    * preceding window are still emitted (click columns null) — attribution
+    * including the organic conversions. In streaming, Spark holds an
+    * unmatched purchase until the CLICK watermark passes the end of its
+    * eligibility window, then emits the null-padded row exactly once —
+    * outer results are late by one watermark delay but final. Same
+    * declarative plan batch/stream; q138's batch twin oracle-checks the
+    * null-padding semantics.
+    */
+  def intervalJoinOuter(
+      clicksRaw: DataFrame, purchasesRaw: DataFrame,
+      windowMinutes: Int = 30, watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = clicksRaw
+      .filter(col("event_type") === "click")
+      .withColumn("click_time", Sessions.nsToTimestamp(col("ts")))
+      .withWatermark("click_time", watermarkDelay)
+      .select(
+        col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("click_time"))
+    val purchases = purchasesRaw
+      .filter(col("event_type") === "purchase")
+      .withColumn("purchase_time", Sessions.nsToTimestamp(col("ts")))
+      .withWatermark("purchase_time", watermarkDelay)
+      .select(
+        col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("purchase_time"))
+    purchases.join(
+      clicks,
+      col("p_user_id") === col("c_user_id") &&
+        col("click_time") >=
+          col("purchase_time") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_time") <= col("purchase_time"),
+      "left_outer")
+      .select(
+        col("purchase_id"), col("p_user_id").as("user_id"),
+        col("click_id"), col("purchase_time"), col("click_time"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(userId: Long, sessionStartUs: Long, sessionEndUs: Long, nEvents: Long)
 

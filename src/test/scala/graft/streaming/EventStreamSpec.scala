@@ -46,6 +46,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join emits null-padded purchases once the click watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ns(min: Long) = (min + 1) * 60L * 1000000000L
+    val clickSrc = MemoryStream[(Long, Long, Long, String)]
+    val purchSrc = MemoryStream[(Long, Long, Long, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val joined = EventStream.intervalJoinOuter(
+      clickSrc.toDF().toDF(cols: _*), purchSrc.toDF().toDF(cols: _*),
+      windowMinutes = 30, watermarkDelay = "10 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("outer_interval_test").start()
+    try {
+      // user 1 purchase with a click 5 min before; user 2 purchase organic
+      purchSrc.addData((1L, ns(100), 1L, "purchase"), (2L, ns(100), 2L, "purchase"))
+      clickSrc.addData((9L, ns(95), 1L, "click"))
+      q.processAllAvailable()
+      // inner result streams immediately
+      val first = spark.table("outer_interval_test").collect()
+      assert(first.exists(r => r.getLong(0) == 1L && r.getLong(2) == 9L))
+      assert(!first.exists(_.getLong(0) == 2L)) // outer row held back
+
+      // advance BOTH watermarks past purchase_time (the global watermark is
+      // the min across inputs): null-padded row lands
+      clickSrc.addData((10L, ns(200), 3L, "click"))
+      purchSrc.addData((3L, ns(200), 3L, "purchase"))
+      q.processAllAvailable()
+      clickSrc.addData((11L, ns(201), 3L, "click"))
+      purchSrc.addData((4L, ns(201), 3L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("outer_interval_test").collect()
+      val organic = rows.filter(_.getLong(0) == 2L)
+      assert(organic.length === 1, rows.mkString(";"))
+      assert(organic.head.isNullAt(2)) // click_id null
+      assert(organic.head.getLong(1) === 2L)
+    } finally q.stop()
+  }
+
   test("dedupBatch is the stream's twin: same digest set, deterministic keeper") {
     val batch = EventStream.dedupBatch(Tables.events(spark, sf0001))
     val base = java.nio.file.Files.createTempDirectory("graft_dedup_twin").toString
