@@ -1157,6 +1157,39 @@ object SparkEntry {
     "q137_strip_boilerplate" -> { (s, dir) =>
       graft.ext.TextAnalysis.stripBoilerplate(Tables.documents(s, dir))
     },
+    // Functional-dependency discovery (E99): every directed determinant →
+    // dependent test over lineitem's key/flag columns in ONE Expand
+    // aggregate pass (struct-valued distincts — null-safe in both engines).
+    "q139_functional_deps" -> { (s, dir) =>
+      graft.analyze.FunctionalDeps.discover(
+        Tables.lineitem(s, dir), "lineitem",
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+    },
+    // Canonicalization-aware dedup (E100): group by the digest of the
+    // lowercased/punctuation-stripped/whitespace-collapsed form — the
+    // normalization web pipelines run before hashing; n_raw_variants > 1
+    // marks groups exact dedup (q12) cannot see.
+    "q140_canonical_dedup" -> { (s, dir) =>
+      graft.ext.Dedup.canonicalDedup(Tables.documents(s, dir))
+    },
+    // DSIR-style importance selection (E101): src0 is the target domain;
+    // hashed word-feature ratio weights (integer fixed point, log-free),
+    // broadcast weight join, one id-keyed shuffle, deterministic top-50.
+    "q141_importance_select" -> { (s, dir) =>
+      graft.ext.Importance.importanceSelect(
+        Tables.documents(s, dir), col("source") === "src0")
+    },
+    // Cross-table fuzzy linkage (E102): match one catalog half against the
+    // other allowing ≤2 typos — PassJoin blocking without the self-join
+    // orientation trick (either side may be shorter). Lossless; verified
+    // against brute force in FuzzyJoinSpec.
+    "q142_fuzzy_linkage" -> { (s, dir) =>
+      val part = Tables.part(s, dir)
+      val b = pmod(
+        graft.ext.Dedup.stableHash(col("p_partkey").cast("string"), 11), lit(100L))
+      graft.ext.FuzzyJoin.crossPairs(
+        part.filter(b < 50), part.filter(b >= 50), "p_name", "p_name", maxDist = 2)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3283,6 +3316,55 @@ object SparkEntry {
         |       CASE WHEN t.prefix IS NOT NULL AND starts_with(d.text, t.prefix)
         |            THEN substr(d.text, 33) ELSE d.text END AS text_clean
         |FROM documents d LEFT JOIN top1 t ON t.source = d.source""".stripMargin,
+    "q139_functional_deps" -> {
+      val candidates = Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
+      val pairs = candidates.combinations(2).toSeq
+      pairs.flatMap { case Seq(pa, pb) => Seq((pa, pb), (pb, pa)) }
+        .map { case (det, dep) =>
+          val Seq(pa, pb) = // the pair distinct is keyed in candidate order
+            Seq(det, dep).sortBy(candidates.indexOf)
+          s"""SELECT 'lineitem' AS table_name,
+             |       '$det' AS determinant, '$dep' AS dependent,
+             |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(DISTINCT ROW($det)) AS BIGINT) AS n_det,
+             |       CAST(COUNT(DISTINCT ROW($pa, $pb)) AS BIGINT) AS n_pair,
+             |       COUNT(DISTINCT ROW($det)) = COUNT(DISTINCT ROW($pa, $pb)) AS holds
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL ")
+    },
+    "q140_canonical_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_hash,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q141_importance_select" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |             ${dkHash("word", 7)} % 64 AS bucket
+         |           FROM (SELECT doc_id, source,
+         |                   unnest(string_split(text, ' ')) AS word
+         |                 FROM documents)),
+         |t AS (SELECT bucket, COUNT(*) AS t_f FROM b
+         |      WHERE source = 'src0' GROUP BY 1),
+         |r AS (SELECT bucket, COUNT(*) AS r_f FROM b
+         |      WHERE source <> 'src0' GROUP BY 1),
+         |wt AS (SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         |              ((COALESCE(t_f, 0) + 1) * 1048576)
+         |                // (COALESCE(r_f, 0) + 1) AS wgt
+         |       FROM t FULL OUTER JOIN r ON t.bucket = r.bucket)
+         |SELECT b.doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(wgt) AS BIGINT) AS score
+         |FROM b JOIN wt USING (bucket) WHERE source <> 'src0'
+         |GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "q142_fuzzy_linkage" ->
+      s"""WITH p AS (SELECT p_name,
+         |             ${dkHash("CAST(p_partkey AS VARCHAR)", 11)} % 100 AS hb
+         |           FROM part WHERE p_name IS NOT NULL),
+         |l AS (SELECT DISTINCT p_name AS name_l FROM p WHERE hb < 50),
+         |r AS (SELECT DISTINCT p_name AS name_r FROM p WHERE hb >= 50)
+         |SELECT name_l, name_r,
+         |       CAST(levenshtein(name_l, name_r) AS BIGINT) AS dist
+         |FROM l CROSS JOIN r WHERE levenshtein(name_l, name_r) <= 2""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -34,6 +34,32 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text form for dedup: lowercase, non-alphanumerics → space,
+    * whitespace collapsed, trimmed. The normalization pass web-corpus
+    * pipelines run BEFORE hashing (casing/punctuation variants of the same
+    * page hash identically); pattern kept in the Java∩RE2 subset and
+    * replicated verbatim by DuckDB `regexp_replace(…, 'g')`.
+    */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Canonicalization-aware dedup manifest: group documents by the digest
+    * of their CANONICAL form. Per group: the keeper (lowest id), the copy
+    * count, and how many RAW variants the canonical class collapsed
+    * (`n_raw_variants > 1` ⇒ the group is invisible to [[exact]]).
+    * Same single-shuffle hash-groupBy discipline as [[exact]]; the second
+    * distinct count rides the same Expand pass, so the scan is still read
+    * once.
+    */
+  def canonicalDedup(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(canonicalize(col(textCol))).as("canon_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(md5(col(textCol))).as("n_raw_variants"))
+
   /** Passage/segment-level dedup (the line-dedup shape of CCNet/RefinedWeb
     * corpora, with fixed `segWords`-word passages standing in for lines):
     * every document is cut into consecutive word segments, identical

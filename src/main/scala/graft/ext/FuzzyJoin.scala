@@ -101,4 +101,64 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= k)
   }
+
+  /** Cross-TABLE record linkage: all (left, right) pairs of distinct
+    * non-null values within levenshtein distance ≤ `maxDist` — "match the
+    * incoming batch against the master catalog allowing k typos". Same
+    * PassJoin blocking as [[selfPairs]] with the left side indexed and the
+    * right side probing, but WITHOUT the pair-once orientation predicate:
+    * either side may be the shorter string, so the probe explodes partner
+    * lengths over the full `[m-k, m+k]` band (a self-join can orient
+    * index = shorter; a cross join cannot). Lossless by the same pigeonhole
+    * argument; both sides shuffle once on content-bearing keys (cardinality
+    * grows with data — no parallelism cap).
+    */
+  def crossPairs(
+      left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    def intDiv(a: Column, b: Int): Column = floor(a.cast("double") / b).cast("int")
+    def segStart(l: Column, i: Column): Column =
+      i * intDiv(l, k + 1) + greatest(lit(0), i - (lit(k + 1) - l % (k + 1)))
+    def segLen(l: Column, i: Column): Column =
+      intDiv(l, k + 1) + when(i >= lit(k + 1) - l % (k + 1), 1).otherwise(0)
+
+    def names(df: DataFrame, c: String, out: String) = df
+      .select(col(c).cast("string").as(out))
+      .filter(col(out).isNotNull)
+      .distinct()
+      .withColumn("len", length(col(out)))
+
+    val index = names(left, leftCol, "name_l")
+      .select(col("name_l"), col("len").as("l"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("seg", col("name_l").substr(
+        (segStart(col("l"), col("i")) + 1).cast("int"),
+        segLen(col("l"), col("i")).cast("int")))
+
+    val probe = names(right, rightCol, "name_r")
+      .select(col("name_r"), col("len").as("m"),
+        explode(sequence(greatest(col("len") - k, lit(0)), col("len") + k)).as("l"))
+      .select(col("name_r"), col("m"), col("l"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("start_t",
+        explode(sequence(segStart(col("l"), col("i")) - k,
+          segStart(col("l"), col("i")) + k)))
+      .filter(col("start_t") >= 0 &&
+        col("start_t") + segLen(col("l"), col("i")) <= col("m"))
+      .withColumn("sub", col("name_r").substr(
+        (col("start_t") + 1).cast("int"), segLen(col("l"), col("i")).cast("int")))
+      .select("name_r", "m", "l", "i", "sub")
+      .distinct()
+
+    index
+      .join(probe,
+        index("l") === probe("l") && index("i") === probe("i") &&
+          index("seg") === probe("sub"))
+      .select(col("name_l"), col("name_r"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_l"), col("name_r")).cast("long"))
+      .filter(col("dist") <= k)
+  }
 }

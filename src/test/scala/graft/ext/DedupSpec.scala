@@ -154,4 +154,23 @@ class DedupSpec extends SparkSpec {
         (r.getAs[Boolean]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
     assert(viaStore === out)
   }
+
+  test("canonicalDedup groups case/punctuation/whitespace variants exact dedup misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "hello world"),
+      (5L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.canonicalDedup(docs).collect()
+      .map(r => r.getAs[Long]("keep_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("n_raw_variants"))).toMap
+    assert(out.size === 2)
+    assert(out(1L) === ((4L, 4L))) // four raw variants, one canonical class
+    assert(out(5L) === ((1L, 1L)))
+    // exact dedup sees five distinct documents — the canonical pass is the
+    // one that collapses them
+    assert(Dedup.exact(docs).count() === 5L)
+  }
 }

@@ -58,4 +58,35 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.head.getString(0) === "abc" && out.head.getString(1) === "abd")
     assert(out.head.getLong(2) === 1L)
   }
+
+  private def bruteCross(
+      ls: Seq[String], rs: Seq[String], k: Int): Set[(String, String, Long)] =
+    (for {
+      a <- ls.distinct; b <- rs.distinct
+      d = lev(a, b) if d <= k
+    } yield (a, b, d.toLong)).toSet
+
+  private def runCross(
+      ls: Seq[String], rs: Seq[String], k: Int): Set[(String, String, Long)] = {
+    import spark.implicits._
+    FuzzyJoin.crossPairs(ls.toDF("l"), rs.toDF("r"), "l", "r", k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("crossPairs matches brute force either orientation, incl. exact hits (k=2)") {
+    val ls = Seq("red bolt", "gear", "small ring", "abc", "", "xy",
+      "completely different string here")
+    val rs = Seq("red bolts", "old bolt", "gears", "ger", "small rind",
+      "abc", "a", "zzzz")
+    assert(runCross(ls, rs, 2) === bruteCross(ls, rs, 2))
+    assert(runCross(rs, ls, 2) === bruteCross(rs, ls, 2)) // asymmetric sides
+  }
+
+  test("crossPairs matches brute force on pseudo-random strings (k=1)") {
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int) = Seq.fill(n)((0 until (1 + rnd.nextInt(6))).map(_ =>
+      "ab" (rnd.nextInt(2))).mkString)
+    val (ls, rs) = (gen(40), gen(40))
+    assert(runCross(ls, rs, 1) === bruteCross(ls, rs, 1))
+  }
 }
