@@ -1190,6 +1190,64 @@ object SparkEntry {
       graft.ext.FuzzyJoin.crossPairs(
         part.filter(b < 50), part.filter(b >= 50), "p_name", "p_name", maxDist = 2)
     },
+    // HLL set-operation estimates (E103): how many users click AND
+    // purchase — inclusion–exclusion over two mergeable sketches, no
+    // data-scale join; integer harmonic sums, one fixed double
+    // expression tree (engine-identical).
+    "q143_hll_setops" -> { (s, dir) =>
+      import graft.ext.Sketches
+      val ev = Tables.events(s, dir)
+      Sketches.hllSetOps(
+        Sketches.hllRegisters(ev.filter(col("event_type") === "click"), "user_id", 64),
+        Sketches.hllRegisters(ev.filter(col("event_type") === "purchase"), "user_id", 64),
+        64)
+    },
+    // Repeated-span mining (E104): 8-word windows shared by ≥2 docs —
+    // interior boilerplate that prefix detection (q134) and disjoint
+    // segments (q70) both miss. Data-scale shuffle is (hash, doc) longs;
+    // span text only rides the broadcast-scoped top-k join-back.
+    "q144_repeated_spans" -> { (s, dir) =>
+      graft.ext.TextAnalysis.repeatedSpans(Tables.documents(s, dir))
+    },
+    // Incremental SCD2 upsert (E105): build the dimension from the first
+    // 80% of the change log, merge the rest as a batch — end state must
+    // equal the full rebuild (the oracle IS q65's full-log SQL). Work
+    // proportional to touched keys.
+    "q145_scd2_upsert" -> { (s, dir) =>
+      import graft.streaming.Sessions
+      val log = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("state"))
+      val mm = log.agg(min(col("ts")).as("__lo"), max(col("ts")).as("__hi"))
+      val cut = log.crossJoin(mm).withColumn("__cut",
+        col("__lo") + graft.ext.ExactMath.floorDiv((col("__hi") - col("__lo")) * 4L, lit(5L)))
+      val pre = cut.filter(col("ts") < col("__cut")).select("user_id", "ts", "state")
+      val post = cut.filter(col("ts") >= col("__cut")).select("user_id", "ts", "state")
+      graft.ops.Scd2.applyChanges(
+        graft.ops.Scd2.fromChangeLog(pre, Seq("user_id"), "ts", Seq("state")),
+        post, Seq("user_id"), "ts", Seq("state"))
+        .select(col("user_id"), col("state"),
+          Sessions.nsToTimestamp(col("effective_from")).as("effective_from"),
+          Sessions.nsToTimestamp(col("effective_to")).as("effective_to"),
+          col("version"), col("is_current"))
+    },
+    // Dense-grid forward fill (E106): hourly per-type event counts onto a
+    // complete per-key hour grid, holes filled with the last observed
+    // value — the act step for q128's gap report. Integer-µs buckets.
+    "q146_forward_fill" -> { (s, dir) =>
+      val hourUs = 3600L * 1000000
+      val series = Tables.events(s, dir)
+        .select(col("event_type"),
+          (graft.ext.ExactMath.floorDiv(
+            graft.streaming.Sessions.nsToUs(col("ts")), lit(hourUs)) * hourUs)
+            .as("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.Coverage.forwardFill(
+        series, "event_type", "hour_us", "n_events", hourUs)
+        .select(col("event_type"), col("hour_us"), col("n_events"),
+          col("was_gap"), col("filled_from_us"))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3365,6 +3423,88 @@ object SparkEntry {
          |SELECT name_l, name_r,
          |       CAST(levenshtein(name_l, name_r) AS BIGINT) AS dist
          |FROM l CROSS JOIN r WHERE levenshtein(name_l, name_r) <= 2""".stripMargin,
+    "q143_hll_setops" -> {
+      val big = "(CAST(1 AS BIGINT) << 55)"
+      def est(t: String) =
+        s"""((0.709 * 64 * 64) * CAST($big AS DOUBLE)
+           | / CAST(si_$t + (64 - present_$t) * $big AS DOUBLE))""".stripMargin
+      s"""WITH h AS (SELECT event_type,
+         |            ${dkHash("CAST(user_id AS VARCHAR)", 17)} AS h FROM events
+         |           WHERE event_type IN ('click', 'purchase')),
+         |z AS (SELECT event_type, h % 64 AS bucket,
+         |             least(length(bin(h // 64))
+         |                   - length(rtrim(bin(h // 64), '0')) + 1, 55) AS rho
+         |      FROM h),
+         |r AS (SELECT event_type, bucket, MAX(rho) AS max_rho FROM z GROUP BY 1, 2),
+         |sa AS (SELECT COUNT(*) AS present_a,
+         |              SUM(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT)) AS si_a
+         |       FROM r WHERE event_type = 'click'),
+         |sb AS (SELECT COUNT(*) AS present_b,
+         |              SUM(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT)) AS si_b
+         |       FROM r WHERE event_type = 'purchase'),
+         |ru AS (SELECT bucket, MAX(max_rho) AS max_rho FROM r GROUP BY 1),
+         |su AS (SELECT COUNT(*) AS present_u,
+         |              SUM(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT)) AS si_u
+         |       FROM ru)
+         |SELECT ROUND(${est("a")}, 4) AS est_a,
+         |       ROUND(${est("b")}, 4) AS est_b,
+         |       ROUND(${est("u")}, 4) AS est_union,
+         |       ROUND(GREATEST(0.0, ${est("a")} + ${est("b")} - ${est("u")}), 4)
+         |         AS est_intersection,
+         |       ROUND(GREATEST(0.0, ${est("a")} + ${est("b")} - ${est("u")})
+         |             / ${est("u")}, 4) AS jaccard_est
+         |FROM sa CROSS JOIN sb CROSS JOIN su""".stripMargin
+    },
+    "q144_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |s AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(l) < 8 THEN [array_to_string(l, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(l) - 6),
+         |                    i -> array_to_string(l[i:i+7], ' ')))
+         |        END) AS span FROM t),
+         |g AS (SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+         |             ${dkHash("span", 5)} AS h
+         |      FROM s GROUP BY span)
+         |SELECT span, n_docs, first_doc FROM g
+         |WHERE n_docs >= 2 ORDER BY n_docs DESC, h ASC LIMIT 20""".stripMargin,
+    "q145_scd2_upsert" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, max_by(event_type, event_id) AS state
+        |  FROM events GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT user_id, ts, state,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |         lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM log),
+        |changes AS (
+        |  SELECT user_id, ts, state FROM flagged
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM state)
+        |SELECT user_id, state,
+        |       ts AS effective_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM changes""".stripMargin,
+    "q146_forward_fill" ->
+      """WITH s AS (SELECT event_type,
+        |             (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600000000
+        |               AS hour_us,
+        |             COUNT(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |             unnest(range(lo, hi + 1, 3600000000)) AS hour_us
+        |      FROM (SELECT event_type, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+        |            FROM s GROUP BY 1)),
+        |j AS (SELECT g.event_type, g.hour_us, s.n_events
+        |      FROM g LEFT JOIN s USING (event_type, hour_us))
+        |SELECT event_type, hour_us,
+        |       last_value(n_events IGNORE NULLS)
+        |         OVER (PARTITION BY event_type ORDER BY hour_us) AS n_events,
+        |       n_events IS NULL AS was_gap,
+        |       last_value(CASE WHEN n_events IS NOT NULL THEN hour_us END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY event_type ORDER BY hour_us) AS filled_from_us
+        |FROM j""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -287,6 +287,42 @@ object Sketches {
     * counting correction needs ln(), which is not bit-portable; the
     * n_zero_registers column is emitted so callers can decide to apply it.
     */
+  /** Set-operation estimates from TWO register tables built with the same
+    * (m, seed): cardinalities of A, B, A∪B (register-wise max merge — the
+    * union sketch is exact-as-a-sketch), then inclusion–exclusion for
+    * |A∩B| and a Jaccard estimate. The question sketches answer without a
+    * data-scale join: "how many keys do these shards/days/sources share".
+    *
+    * Portability discipline matches [[hllRawEstimateBy]]: per-sketch state
+    * reduces to the INTEGER harmonic sum Σ 2^(55−M_j) (order-free, exact);
+    * every double is then derived from those integers in one fixed
+    * expression-tree order (divisions, one subtraction chain, a final
+    * ROUND) — IEEE-identical across engines. Intersection is clamped at 0
+    * (inclusion–exclusion on estimates can go negative for disjoint sets).
+    * All three state rows are sketch-scale; the cross joins are 1×1×1.
+    */
+  def hllSetOps(regsA: DataFrame, regsB: DataFrame, m: Int): DataFrame = {
+    val big = 1L << 55
+    def state(regs: DataFrame, tag: String) = regs.agg(
+      count(lit(1)).as(s"present_$tag"),
+      sum(call_function("shiftleft", lit(1L), (lit(55L) - col("max_rho")).cast("int")))
+        .cast("long").as(s"si_$tag"))
+    def est(tag: String): Column =
+      lit(hllAlpha(m) * m * m) * lit(big.toDouble) /
+        (col(s"si_$tag") + (lit(m.toLong) - col(s"present_$tag")) * lit(big))
+          .cast("double")
+    val joined = state(regsA, "a")
+      .crossJoin(state(regsB, "b"))
+      .crossJoin(state(hllMerge(regsA, regsB), "u"))
+    val inter = greatest(lit(0.0), est("a") + est("b") - est("u"))
+    joined.select(
+      round(est("a"), 4).as("est_a"),
+      round(est("b"), 4).as("est_b"),
+      round(est("u"), 4).as("est_union"),
+      round(inter, 4).as("est_intersection"),
+      round(inter / est("u"), 4).as("jaccard_est"))
+  }
+
   def hllRawEstimateBy(
       registers: DataFrame, groupCol: String, m: Int): DataFrame = {
     val big = 1L << 55

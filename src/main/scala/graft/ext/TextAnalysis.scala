@@ -418,6 +418,47 @@ object TextAnalysis {
       .select(col("source"), col("prefix"), col("n_docs"), col("rk"))
   }
 
+  /** Repeated-span mining: the `spanWords`-word windows shared by the most
+    * documents ANYWHERE in the text — the interior-boilerplate complement
+    * of [[boilerplatePrefixes]] (prefix-only) and the sliding-window
+    * complement of [[Dedup.segmentDedup]] (disjoint segments): a template
+    * sentence at a random offset is invisible to both, but some window
+    * aligns with it here. Within a document each distinct span counts
+    * once (the native shingle builder de-duplicates per doc), so `n_docs`
+    * is exactly the number of documents containing the span.
+    *
+    * Scale: the data-scale shuffle carries (span-hash, doc_id) longs only
+    * — never span text. The top-k hash set (≤ `topK` rows) broadcasts
+    * back over a second map-side shingle pass to recover the span string;
+    * only occurrences of winning spans shuffle text, and only to
+    * reassemble `topK` rows.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      spanWords: Int = 8,
+      minDocs: Long = 2,
+      topK: Int = 20): DataFrame = {
+    def shingled = docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextNativeFunctions.shingles(
+        docs.sparkSession, col(textCol), spanWords)).as("span"))
+    val top = shingled
+      .select(col("doc_id"), Dedup.stableHash(col("span"), 5).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("h").asc)
+      .limit(topK)
+    shingled
+      .select(Dedup.stableHash(col("span"), 5).as("h"), col("span"))
+      .join(broadcast(top), Seq("h"))
+      .groupBy(col("h"), col("n_docs"), col("first_doc"))
+      .agg(min(col("span")).as("span"))
+      .select(col("span"), col("n_docs"), col("first_doc"))
+  }
+
   /** Act on [[boilerplatePrefixes]]: remove each source's single most
     * repeated prefix from every document that starts with it. The
     * detected-prefix table is per-source (broadcast); docs stream through

@@ -84,4 +84,44 @@ object Coverage {
         sum(when(isHole, gap).otherwise(0L)).as("uncovered_us"))
       .withColumn("span_us", col("last_us") - col("first_us"))
   }
+
+  /** Act on the holes [[gaps]] finds: densify a per-key aggregate onto a
+    * complete fixed-width time grid and forward-fill missing buckets with
+    * the last observed value. `series` has one row per (key, bucket_us,
+    * value); output has one row per (key, every bucket in the KEY'S OWN
+    * observed [min, max] span) with `value` filled, `was_gap` marking
+    * synthesized rows, and `filled_from_us` the donor bucket.
+    *
+    * Precondition: `bucketCol` values are already quantized to `stepUs`
+    * multiples (the output of an hourly/daily bucketing aggregate) — the
+    * grid starts at each key's min bucket and strides by `stepUs`, so an
+    * unaligned row would never join.
+    *
+    * The grid is generated per key with `sequence` (bounded by that key's
+    * span — no cross-key global range blowup). Two bounded shuffles: the
+    * grid⋈series equi-join on (key, bucket), then the key-partitioned
+    * fill window; both keyed by the data's own keys, no collect. Grid
+    * width is integer µs; no floats anywhere.
+    */
+  def forwardFill(
+      series: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val grid = series
+      .groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepUs))).as(bucketCol))
+    val w = Window.partitionBy(keyCol).orderBy(col(bucketCol))
+    grid
+      .join(series, Seq(keyCol, bucketCol), "left_outer")
+      .withColumn("was_gap", col(valueCol).isNull)
+      .withColumn("filled_from_us",
+        last(when(!col("was_gap"), col(bucketCol)), ignoreNulls = true).over(w))
+      .withColumn(valueCol,
+        last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

@@ -126,4 +126,27 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est("g1") - driverEst) < 1e-4)
     assert(math.abs(est("g1") - 800.0) / 800.0 < 0.25, s"g1 estimate ${est("g1")}")
   }
+
+  test("hllSetOps: inclusion-exclusion tracks true overlap; edges behave") {
+    import spark.implicits._
+    def regs(lo: Long, hi: Long) = Sketches.hllRegisters(
+      (lo until hi).toDF("k"), "k", 64)
+    // A = [0, 1000), B = [500, 1500): |A∩B| = 500, J = 1/3
+    val out = Sketches.hllSetOps(regs(0, 1000), regs(500, 1500), 64).collect().head
+    val (ea, eb, eu, ei, j) = (out.getDouble(0), out.getDouble(1),
+      out.getDouble(2), out.getDouble(3), out.getDouble(4))
+    assert(math.abs(ea - 1000) / 1000 < 0.25, s"est_a $ea")
+    assert(math.abs(eu - 1500) / 1500 < 0.25, s"est_union $eu")
+    assert(math.abs(ei - 500) / 500 < 0.5, s"est_intersection $ei")
+    assert(j > 0.15 && j < 0.55, s"jaccard $j")
+    // identical sets: union == each side, jaccard 1
+    val same = Sketches.hllSetOps(regs(0, 800), regs(0, 800), 64).collect().head
+    assert(same.getDouble(0) === same.getDouble(2))
+    assert(same.getDouble(3) === same.getDouble(0))
+    assert(same.getDouble(4) === 1.0)
+    // disjoint sets: the estimate may dip negative — clamped at 0
+    val dis = Sketches.hllSetOps(regs(0, 500), regs(10000, 10500), 64).collect().head
+    assert(dis.getDouble(3) >= 0.0)
+    assert(dis.getDouble(3) / dis.getDouble(2) < 0.2, "disjoint intersection share")
+  }
 }

@@ -204,4 +204,31 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = TextAnalysis.stripBoilerplate(docs).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("repeatedSpans finds interior spans at different offsets; counts docs once") {
+    import spark.implicits._
+    val tpl = "please accept cookies before you continue reading this"
+    val docs = Seq(
+      (1L, s"intro words here $tpl and then more"),
+      (2L, s"$tpl trailing tail"),
+      (3L, s"one two $tpl $tpl end"), // span twice in one doc: counted once
+      (4L, "completely unrelated text with no shared windows at all ok"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(docs, spanWords = 8, minDocs = 3, topK = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.contains(tpl), out.keys.mkString("|"))
+    assert(out(tpl) === ((3L, 1L))) // docs 1,2,3 — doc 3 once; first_doc = 1
+    assert(!out.keys.exists(_.contains("unrelated")))
+  }
+
+  test("repeatedSpans: a doc shorter than the span window contributes its whole text") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(docs, spanWords = 8, minDocs = 2, topK = 5)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "tiny doc")
+    assert(out.head.getLong(1) === 2L)
+  }
 }

@@ -59,4 +59,24 @@ class CoverageSpec extends SparkSpec {
     val plan = Coverage.coverageSummary(events).queryExecution.executedPlan.toString
     assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
   }
+
+  test("forwardFill densifies each key's own span and fills from the last observation") {
+    import spark.implicits._
+    val series = Seq(
+      ("a", 0L, 5L), ("a", 10L, 7L), ("a", 40L, 2L), // holes at 20, 30
+      ("b", 100L, 9L)) // single bucket: no grid beyond itself
+      .toDF("k", "bucket_us", "v")
+    val out = Coverage.forwardFill(series, "k", "bucket_us", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("v"), r.getAs[Boolean]("was_gap"),
+          r.getAs[Long]("filled_from_us"))).toMap
+    assert(out.size === 6) // a: 0,10,20,30,40; b: 100
+    assert(out(("a", 0L)) === ((5L, false, 0L)))
+    assert(out(("a", 20L)) === ((7L, true, 10L))) // filled from bucket 10
+    assert(out(("a", 30L)) === ((7L, true, 10L)))
+    assert(out(("a", 40L)) === ((2L, false, 40L)))
+    assert(out(("b", 100L)) === ((9L, false, 100L)))
+    // grids never cross keys: no 'b' rows in a's range
+    assert(!out.contains(("b", 0L)))
+  }
 }
