@@ -1248,6 +1248,34 @@ object SparkEntry {
         .select(col("event_type"), col("hour_us"), col("n_events"),
           col("was_gap"), col("filled_from_us"))
     },
+    // Leakage-safe split (E107): near-dup clusters are split as a UNIT —
+    // the hash key is the cluster canonical id, so paraphrase pairs can
+    // never straddle train/test. Oracle re-derives the clusters via
+    // recursive reachability over the same near-dup pair set.
+    "q147_leakage_safe_split" -> { (s, dir) =>
+      graft.ext.Sampling.leakageSafeSplit(
+        Tables.documents(s, dir), minJaccard = 0.5)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    },
+    // Source-level MinHash similarity (E108): one mergeable signature per
+    // source (min over the union of its docs' shingle hashes), then a
+    // |sources|² comparison — feed-overlap triage without document pairs.
+    "q148_source_similarity" -> { (s, dir) =>
+      graft.ext.Dedup.sourceSimilarity(Tables.documents(s, dir))
+    },
+    // Markup strip (E109): tag removal + single-level entity decode +
+    // whitespace collapse with per-doc audit counts. Map-only.
+    "q149_markup_strip" -> { (s, dir) =>
+      graft.ext.TextAnalysis.stripMarkup(Tables.documents(s, dir))
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_hash"),
+          col("n_tags"), col("n_entities"), col("raw_len"), col("clean_len"))
+    },
+    // Pseudonymization audit (E110): salted-digest tokens over the
+    // distinct user ids + per-token id count (collision check).
+    "q150_pseudonymize" -> { (s, dir) =>
+      graft.ext.Privacy.pseudonymAudit(
+        Tables.events(s, dir), "user_id", "graft", tokenLen = 12)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3505,6 +3533,58 @@ object SparkEntry {
         |                  IGNORE NULLS)
         |         OVER (PARTITION BY event_type ORDER BY hour_us) AS filled_from_us
         |FROM j""".stripMargin,
+    "q147_leakage_safe_split" -> {
+      val bucket = s"${dkHash("CAST(cluster_id AS VARCHAR)", 0)} % 100"
+      s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle)),
+         |m AS (SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS cluster_id
+         |      FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN $bucket < 80 THEN 'train'
+         |            WHEN $bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM m""".stripMargin
+    },
+    "q148_source_similarity" -> {
+      val mins = (0 until 16)
+        .map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
+      val matches = (0 until 16)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT source, string_split(text,' ') AS l FROM documents),
+         |s0 AS (SELECT source, $dkShingles AS sh FROM t),
+         |e AS (SELECT source, unnest(sh) AS shingle FROM s0),
+         |hb AS (SELECT source, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM e),
+         |sig AS (SELECT source, $mins FROM hb GROUP BY source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST($matches AS BIGINT) AS n_matching,
+         |       CAST($matches AS DOUBLE) / 16 AS jaccard_est
+         |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+    },
+    "q149_markup_strip" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id, md5(clean) AS clean_hash,
+        |       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |       CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp|#39);'))
+        |            AS BIGINT) AS n_entities,
+        |       CAST(length(text) AS BIGINT) AS raw_len,
+        |       CAST(length(clean) AS BIGINT) AS clean_len
+        |FROM c""".stripMargin,
+    "q150_pseudonymize" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT user_id,
+        |        substr(md5(CAST(user_id AS VARCHAR)||'#graft'), 1, 12) AS token
+        |      FROM u)
+        |SELECT user_id, token,
+        |       COUNT(*) OVER (PARTITION BY token) AS ids_on_token,
+        |       COUNT(*) OVER (PARTITION BY token) > 1 AS collision
+        |FROM t""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

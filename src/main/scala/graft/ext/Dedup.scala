@@ -480,4 +480,46 @@ object Dedup {
         col("cluster_id"), col(idCol).as("kept_doc_id"),
         col("n_members"), col("quality").as("kept_quality"))
   }
+
+  /** Source-level MinHash similarity matrix: one mergeable `numHashes`-
+    * component signature per SOURCE (component-wise MIN over all the
+    * source's shingle hashes — minhash's union semantics, so a source's
+    * signature is exactly the signature of the union of its documents'
+    * shingle sets), then a tiny |sources|² comparison where the Jaccard
+    * estimate is the fraction of matching components.
+    *
+    * This answers "how much do these two FEEDS overlap" at the corpus
+    * level — the keep-or-drop call when onboarding a new crawl — without
+    * touching document pairs at all, where [[dupSourceMatrix]] counts
+    * verified per-document duplicate pairs.
+    *
+    * Scale: one explode + one min-aggregate keyed by source (map-side
+    * combined, shuffle carries |sources|·numHashes longs); the pairwise
+    * stage is |sources|² rows of pure column math — sources number in the
+    * hundreds even for a 100 TB crawl mix.
+    */
+  def sourceSimilarity(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol).as("src"),
+        explode(graft.functions.TextNativeFunctions.shingles(
+          docs.sparkSession, col(textCol), shingleK)).as("shingle"))
+      .select(col("src"), pmod(stableHash(col("shingle"), 0), lit(HashP)).as("hb"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("hb") * hashCoeffA(i) + hashCoeffB(i), lit(HashP))).as(s"mh$i"))
+    val sigs = sh.groupBy(col("src")).agg(mins.head, mins.tail: _*)
+    val matching = (0 until numHashes)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sigs.as("a").join(sigs.as("b"), col("a.src") < col("b.src"))
+      .select(
+        col("a.src").as("source_a"),
+        col("b.src").as("source_b"),
+        matching.as("n_matching"),
+        (matching.cast("double") / numHashes).as("jaccard_est"))
+  }
 }

@@ -35,4 +35,40 @@ object Privacy {
       .filter(!col("anonymous")).select(quasiIds.map(col): _*)
     df.join(failing, quasiIds, "left_semi")
   }
+
+  /** Deterministic pseudonymization: replace an identifier with the
+    * `tokenLen`-hex-char prefix of a salted digest. The same id always maps
+    * to the same token (joins across pseudonymized tables keep working) and
+    * the mapping is never materialized — anyone holding the salt can
+    * recompute it, nobody else can reverse it short of enumerating the id
+    * space. Map-only: no shuffle, no lookup table to distribute.
+    */
+  def pseudonymize(
+      df: DataFrame, idCol: String, salt: String,
+      tokenCol: String = "token", tokenLen: Int = 16): DataFrame = {
+    require(tokenLen >= 1 && tokenLen <= 32, "tokenLen must be in [1, 32]")
+    df.withColumn(tokenCol,
+      substring(
+        md5(concat_ws("#", col(idCol).cast("string"), lit(salt))), 1, tokenLen))
+  }
+
+  /** Collision audit for [[pseudonymize]]: the distinct id→token mapping
+    * with, per row, how many DISTINCT ids share that token. Any
+    * `ids_on_token > 1` row is a collision — two people merged under one
+    * pseudonym, which silently corrupts every downstream per-user
+    * aggregate. At 16 hex chars (64 bits) collisions need ~2³² ids
+    * (birthday bound); shorter tokens trade linkability for risk, and this
+    * audit is the check that the trade held on the actual data.
+    *
+    * Scale: one distinct over (id, token) — map-side combined, shuffle
+    * carries unique ids once — and one count window keyed by token.
+    */
+  def pseudonymAudit(
+      df: DataFrame, idCol: String, salt: String, tokenLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pseudonymize(df.select(col(idCol)).distinct(), idCol, salt, "token", tokenLen)
+      .withColumn("ids_on_token",
+        count(lit(1)).over(Window.partitionBy(col("token"))).cast("long"))
+      .withColumn("collision", col("ids_on_token") > 1L)
+  }
 }

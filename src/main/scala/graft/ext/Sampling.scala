@@ -213,4 +213,41 @@ object Sampling {
           lit(budget).cast("decimal(38,0)") * wcol * 1000000L)
       .drop("__src_n")
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are split
+    * as a unit. [[hashSplit]] keyed on the document id can put two
+    * near-copies of the same page on opposite sides of the train/test
+    * fence — the classic eval-contamination bug where the model is graded
+    * on a paraphrase of its own training data. Here the split key is the
+    * cluster's canonical id (minimum doc id reachable through the
+    * near-dup pair graph; singletons are their own cluster), so every
+    * member of a duplicate cluster lands in the same split by
+    * construction.
+    *
+    * Scale: the pair stage is the LSH-candidate-scoped near-dup pipeline
+    * (never O(n²)), the cluster stage is pointer-jumping CC over the pair
+    * set only (≪ corpus), and the split itself is one hash per row — the
+    * only full-corpus shuffle is the left join of docs against the
+    * cluster map, whose right side holds only docs that HAVE a near-dup.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 0,
+      minJaccard: Double = 0.7): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val pairs = Dedup.nearDuplicates(docs, textCol, idCol, minJaccard)
+      .select("id_a", "id_b")
+    val clusters = Dedup.dedupClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    val withCluster = docs
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+    val bucket =
+      pmod(Dedup.stableHash(col("cluster_id").cast("string"), seed), lit(100L))
+    withCluster.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

@@ -482,4 +482,46 @@ object TextAnalysis {
         when(isHit, substring(col(textCol), prefixChars + 1, Int.MaxValue))
           .otherwise(col(textCol)).as("text_clean"))
   }
+
+  /** Markup pattern shared with the metric columns: an HTML-ish tag is
+    * `<`, anything but `>`, then `>`. Java∩RE2-safe (no lookaround).
+    */
+  private val tagPattern = "<[^>]*>"
+  private val entityPattern = "&(amp|lt|gt|quot|nbsp|#39);"
+
+  /** Strip HTML-ish markup from extracted web text: remove tags, decode
+    * the six entities that survive real-world extraction (`&amp; &lt;
+    * &gt; &quot; &#39; &nbsp;`), collapse whitespace, trim. Entity
+    * decoding is single-level by construction: the five literal entities
+    * decode first and `&amp;` decodes LAST, so `&amp;lt;` becomes the
+    * four characters `&lt;` (correct HTML semantics), never `<`.
+    *
+    * Emits per-doc audit metrics alongside the cleaned text — tag and
+    * entity counts and the length delta — so a drift monitor can catch an
+    * upstream extractor regression (tag counts jumping from ~0 is the
+    * canonical symptom).
+    *
+    * Scale: map-only (regex + fixed replace chain per row, no shuffle);
+    * at 100 TB this pins at CPU on the scan, which is the best case.
+    */
+  def stripMarkup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val untagged = regexp_replace(t, tagPattern, " ")
+    val decoded = replace(replace(replace(replace(replace(replace(
+      untagged,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    docs.select(
+      col(idCol),
+      // explicit class, not \s: Java's \s includes \x0B, RE2's does not
+      trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " ")).as("text_clean"),
+      size(regexp_extract_all(t, lit(tagPattern), lit(0))).cast("long").as("n_tags"),
+      size(regexp_extract_all(t, lit(entityPattern), lit(0))).cast("long").as("n_entities"),
+      length(t).cast("long").as("raw_len"))
+      .withColumn("clean_len", length(col("text_clean")).cast("long"))
+  }
 }

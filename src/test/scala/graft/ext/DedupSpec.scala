@@ -173,4 +173,23 @@ class DedupSpec extends SparkSpec {
     // one that collapses them
     assert(Dedup.exact(docs).count() === 5L)
   }
+
+  test("sourceSimilarity: identical sources match every component, disjoint ones none") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i =>
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa word$i")
+    val docs = (
+      shared.zipWithIndex.map { case (t, i) => (i.toLong, t, "srcA") } ++
+      shared.zipWithIndex.map { case (t, i) => (100L + i, t, "srcB") } ++
+      (1 to 10).map(i =>
+        (200L + i, s"uno dos tres cuatro cinco seis siete ocho nueve diez v$i", "srcC"))
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceSimilarity(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_matching"), r.getAs[Double]("jaccard_est")))).toMap
+    assert(out.size === 3) // unordered pairs, a < b orientation
+    assert(out(("srcA", "srcB")) === ((16L, 1.0)), "same shingle union ⇒ same signature")
+    assert(out(("srcA", "srcC"))._1 === 0L, "disjoint vocabularies ⇒ no matching component")
+    assert(out(("srcB", "srcC"))._1 === 0L)
+  }
 }

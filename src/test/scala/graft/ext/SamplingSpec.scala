@@ -151,4 +151,29 @@ class SamplingSpec extends SparkSpec {
     assert(bysrc("a").map(_.getLong(0)).toSet === (11L to 16L).toSet) // top-6 scores
     assert(bysrc("b").map(_.getLong(0)).toSet === Set(102L, 103L, 104L))
   }
+
+  test("leakageSafeSplit: near-duplicates always land in the same split") {
+    import spark.implicits._
+    // ~20-word texts so every tested edit recalls through the 16/4 LSH
+    // layout (see NOTES: shorter fixtures can miss all bands)
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet village roofs tonight"
+    val docs = Seq(
+      (1L, base + " alpha beta"),
+      // one appended word ⇒ shingle jaccard ≈ 0.95, recalls through every
+      // band layout (a mid-text substitution at ~0.8 can miss all 4 bands)
+      (2L, base + " alpha beta gamma"),
+      (3L, "completely different short text about nothing in particular " +
+        "with many unique words nobody else uses anywhere today")
+    ).toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(docs, minJaccard = 0.5)
+    val m = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    assert(m.size === 3) // every doc covered exactly once
+    assert(m(1L)._1 === m(2L)._1, "near-dups share a cluster")
+    assert(m(1L)._2 === m(2L)._2, "near-dups share a split — the leakage guarantee")
+    assert(m(3L)._1 === 3L, "singleton is its own cluster")
+    Seq("train", "val", "test").foreach(s =>
+      assert(m.values.map(_._2).forall(Set("train", "val", "test"))))
+  }
 }

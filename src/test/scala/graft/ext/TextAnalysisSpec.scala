@@ -231,4 +231,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head.getString(0) === "tiny doc")
     assert(out.head.getLong(1) === 2L)
   }
+
+  test("stripMarkup: tags removed, entities decoded one level, whitespace collapsed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p>\n\n  &amp; friends &lt;3"),
+      (2L, "no markup here"),
+      (3L, "&amp;lt; decodes one level only")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_tags"),
+          r.getAs[Long]("n_entities")))).toMap
+    assert(out(1L) === (("Hello world & friends <3", 4L, 2L)))
+    assert(out(2L) === (("no markup here", 0L, 0L)))
+    // &amp;lt; → the four characters "&lt;", NOT "<" (single-level decode)
+    assert(out(3L) === (("&lt; decodes one level only", 0L, 1L)))
+  }
 }
