@@ -1276,6 +1276,40 @@ object SparkEntry {
       graft.ext.Privacy.pseudonymAudit(
         Tables.events(s, dir), "user_id", "graft", tokenLen = 12)
     },
+    // Logical-type inference (E111): anchored-regex sniffing over
+    // stringified columns; a typed verdict only when EVERY non-null value
+    // matches — the untyped-feed onboarding pass. One Expand per table.
+    "q151_type_sniff" -> { (s, dir) =>
+      graft.analyze.TypeSniff.inferTypes(
+        Tables.events(s, dir), Seq("props", "event_type", "user_id"))
+        .unionByName(graft.analyze.TypeSniff.inferTypes(
+          Tables.documents(s, dir), Seq("lang", "doc_id")))
+    },
+    // Diversity-constrained selection (E112): ≤8 most-central vectors per
+    // trained k-means cell — a cluster-representative coreset that spans
+    // the embedding space instead of piling onto its densest region.
+    "q152_diverse_select" -> { (s, dir) =>
+      graft.ext.Similarity.diverseSelect(Tables.embeddings(s, dir), perCell = 8)
+    },
+    // Epoch/repeat planning (E113): α=1/2 temperature weights over token
+    // mass → per-source token targets and 2²⁰-fixed-point repeat factors,
+    // flagging sources pushed past the epoch cap. Integer-exact.
+    "q153_epoch_plan" -> { (s, dir) =>
+      graft.ext.Sampling.epochPlan(
+        Tables.documents(s, dir), "source",
+        size(split(col("text"), " ")).cast("long"), budgetTokens = 100000L)
+    },
+    // Pareto front (E114): documents where no other doc is both longer
+    // AND higher quality — the corpus quality/length frontier. The oracle
+    // is an independent naive NOT-EXISTS dominance scan.
+    "q154_pareto_front" -> { (s, dir) =>
+      val d = graft.ext.TextAnalysis.withQualityMetrics(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          floor(col("quality_score") * 1048576.0).cast("long").as("q_fp"))
+      graft.ops.Skyline.paretoFront(d, "n_tokens", "q_fp")
+        .select("doc_id", "n_tokens", "q_fp")
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3585,6 +3619,79 @@ object SparkEntry {
         |       COUNT(*) OVER (PARTITION BY token) AS ids_on_token,
         |       COUNT(*) OVER (PARTITION BY token) > 1 AS collision
         |FROM t""".stripMargin,
+    "q151_type_sniff" -> {
+      def m(p: String, as: String) =
+        s"""CAST(SUM(CASE WHEN v IS NOT NULL AND regexp_matches(v, '$p')
+           |        THEN 1 ELSE 0 END) AS BIGINT) AS $as""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT 'props' AS col_name, props AS v FROM events
+         |  UNION ALL SELECT 'event_type', event_type FROM events
+         |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+         |  UNION ALL SELECT 'lang', lang FROM documents
+         |  UNION ALL SELECT 'doc_id', CAST(doc_id AS VARCHAR) FROM documents),
+         |c AS (SELECT col_name,
+         |  CAST(COUNT(v) AS BIGINT) AS n_values,
+         |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  ${m("^[+-]?[0-9]+$", "n_int")},
+         |  ${m("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$", "n_num")},
+         |  ${m("(?i)^(true|false)$", "n_bool")},
+         |  ${m("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "n_date")},
+         |  ${m("^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$",
+             "n_ts")},
+         |  ${m("^\\{.*\\}$", "n_json")}
+         |FROM pairs GROUP BY 1)
+         |SELECT *,
+         |  CASE WHEN n_values = 0 THEN 'unknown'
+         |       WHEN n_int = n_values THEN 'bigint'
+         |       WHEN n_num = n_values THEN 'double'
+         |       WHEN n_bool = n_values THEN 'boolean'
+         |       WHEN n_date = n_values THEN 'date'
+         |       WHEN n_ts = n_values THEN 'timestamp'
+         |       WHEN n_json = n_values THEN 'json'
+         |       ELSE 'string' END AS verdict
+         |FROM c""".stripMargin
+    },
+    "q152_diverse_select" ->
+      s"""WITH $kmeansAssignCtes,
+         |sc AS (SELECT a.vec_id, a.cell, s.score
+         |       FROM assigned a JOIN sf s ON s.vec_id = a.vec_id AND s.cell = a.cell),
+         |r AS (SELECT vec_id, cell,
+         |        ROW_NUMBER() OVER (PARTITION BY cell
+         |          ORDER BY score DESC, vec_id ASC) AS rank
+         |      FROM sc)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, rank FROM r
+         |WHERE rank <= 8""".stripMargin,
+    "q153_epoch_plan" -> {
+      val target = "(CAST(100000 AS HUGEINT) * w) // tw"
+      s"""WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0)
+         |                     AS BIGINT) AS w FROM t),
+         |tot AS (SELECT SUM(w) AS tw FROM w)
+         |SELECT source, n_docs, n_tokens, w,
+         |  CAST($target AS BIGINT) AS target_tokens,
+         |  CAST((($target) * 1048576) // n_tokens AS BIGINT) AS repeat_fp,
+         |  (($target) * 1048576) // n_tokens > 4194304 AS over_cap
+         |FROM w CROSS JOIN tot""".stripMargin
+    },
+    "q154_pareto_front" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST($nt AS BIGINT) AS n_tokens,
+         |             CAST(floor(LEAST(GREATEST(
+         |               (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |               LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |               LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |               * 1048576.0) AS BIGINT) AS q_fp
+         |           FROM documents)
+         |SELECT a.doc_id, a.n_tokens, a.q_fp FROM d a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM d b
+         |  WHERE b.n_tokens >= a.n_tokens AND b.q_fp >= a.q_fp
+         |    AND (b.n_tokens > a.n_tokens OR b.q_fp > a.q_fp))""".stripMargin
+    },
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -250,4 +250,42 @@ object Sampling {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Epoch/repeat planning for a token-budget training mix: given the
+    * α = ½ temperature weights over per-source TOKEN mass (not row
+    * counts — sources with long documents weigh what they cost), how many
+    * passes over each source does the budget imply? `repeat_fp` is the
+    * repeat factor in 2²⁰ fixed point (1048576 = exactly one epoch);
+    * sources pushed past `epochCap` epochs are flagged — the standard
+    * data-mixing guardrail (repeating a small source too often overfits
+    * it), telling the operator to lower that source's weight or accept
+    * the cap.
+    *
+    * Integer-exact end to end: IEEE `sqrt` is correctly rounded, ×2²⁰ is
+    * an exponent shift, `floor` pins to an integer, and both divisions
+    * are decimal floor-divisions — no accumulation-order float math, so
+    * the plan is bit-identical on every engine and cluster layout.
+    *
+    * Scale: one per-source aggregate (|sources| rows), one broadcast
+    * scalar total; the corpus is scanned once for token sums.
+    */
+  def epochPlan(
+      df: DataFrame, sourceCol: String, tokenCount: org.apache.spark.sql.Column,
+      budgetTokens: Long, epochCap: Int = 4): DataFrame = {
+    require(budgetTokens >= 0, "budget must be >= 0")
+    val t = df.filter(col(sourceCol).isNotNull)
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).cast("long").as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double")) * (1L << 20).toDouble).cast("long"))
+    t.crossJoin(broadcast(t.agg(sum(col("w")).as("tw"))))
+      .withColumn("target_tokens",
+        ExactMath.floorDiv(lit(budgetTokens).cast("decimal(38,0)") * col("w"), col("tw")))
+      .withColumn("repeat_fp",
+        ExactMath.floorDiv(
+          col("target_tokens").cast("decimal(38,0)") * (1L << 20), col("n_tokens")))
+      .withColumn("over_cap", col("repeat_fp") > lit(epochCap.toLong << 20))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("w"),
+        col("target_tokens"), col("repeat_fp"), col("over_cap"))
+  }
 }

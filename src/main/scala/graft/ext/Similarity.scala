@@ -785,4 +785,40 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
+
+  /** Diversity-constrained selection: pick at most `perCell` vectors from
+    * each trained k-means cell, most-central first — a cluster-
+    * representative coreset. A global top-N by any score concentrates on
+    * the densest region of embedding space; capping per cell forces the
+    * selection to SPAN the space (every populated cell contributes), which
+    * is what "give me N diverse examples" means operationally. Ranking
+    * within a cell is by cosine to the cell centroid (best representative
+    * of the cell's meaning), vec id as the deterministic tiebreak.
+    *
+    * Scale: the quantizer is the shared [[trainCentroids]] path (nlist×dim
+    * driver constant, broadcast); assignment is map-side; the only
+    * corpus-wide shuffle is the per-cell rank window, keyed by cell — and
+    * the bounded [[graft.functions.TopKAgg]] layout applies if cells grow
+    * hot.
+    */
+  def diverseSelect(
+      corpus: DataFrame,
+      perCell: Int = 8,
+      nlist: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    val cents = trainCentroids(prep, nlist, iters)
+    val assigned = withCellScores(prep, cents)
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .withColumn("centrality", array_max(col("scores")))
+      .drop("scores", "vec", "nrm")
+    val w = Window.partitionBy("cell").orderBy(col("centrality").desc, col("id").asc)
+    assigned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perCell)
+      .select(col("id").as(idCol), col("cell").cast("long").as("cell"), col("rank"))
+  }
 }

@@ -152,6 +152,26 @@ class SamplingSpec extends SparkSpec {
     assert(bysrc("b").map(_.getLong(0)).toSet === Set(102L, 103L, 104L))
   }
 
+  test("epochPlan: integer-exact targets and repeat factors; cap flag is strict") {
+    import spark.implicits._
+    // a: 4 docs × 4 tokens = 16 tokens; b: 1 doc × 4 tokens
+    val df = ((1 to 4).map(i => (i.toLong, "a", "w x y z")) ++
+      Seq((10L, "b", "w x y z"))).toDF("id", "source", "text")
+    val out = Sampling.epochPlan(df, "source",
+      size(split(col("text"), " ")).cast("long"), budgetTokens = 24L, epochCap = 1)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // w_a = √16·2²⁰ = 4·2²⁰, w_b = 2·2²⁰ → targets 24·(4/6)=16, 24·(2/6)=8
+    assert(out("a").getAs[Long]("n_tokens") === 16L)
+    assert(out("a").getAs[Long]("target_tokens") === 16L)
+    assert(out("b").getAs[Long]("target_tokens") === 8L)
+    // repeat: a = 16/16 = exactly 1 epoch; b = 8/4 = 2 epochs
+    assert(out("a").getAs[Long]("repeat_fp") === (1L << 20))
+    assert(out("b").getAs[Long]("repeat_fp") === (2L << 20))
+    // cap 1: exactly-one-epoch is NOT over; two epochs is
+    assert(!out("a").getAs[Boolean]("over_cap"))
+    assert(out("b").getAs[Boolean]("over_cap"))
+  }
+
   test("leakageSafeSplit: near-duplicates always land in the same split") {
     import spark.implicits._
     // ~20-word texts so every tested edit recalls through the 16/4 LSH

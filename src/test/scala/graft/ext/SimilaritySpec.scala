@@ -251,4 +251,22 @@ class SimilaritySpec extends SparkSpec {
       assert(byRank === byRank.sorted.reverse)
     }
   }
+
+  test("diverseSelect: per-cell cap holds, ranks contiguous, uncapped run covers corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    // cap far above corpus size ⇒ every vector selected exactly once
+    val all = Similarity.diverseSelect(emb, perCell = 10000)
+    assert(all.count() === n)
+    assert(all.select("vec_id").distinct().count() === n)
+    val capped = Similarity.diverseSelect(emb, perCell = 2).collect()
+    capped.groupBy(_.getAs[Long]("cell")).values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_.getAs[Long]("rank")).sorted === (1L to rows.length).toList)
+    }
+    // the capped selection spans every populated cell of the full assignment
+    val allCells = all.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(capped.map(_.getAs[Long]("cell")).toSet === allCells,
+      "every populated cell contributes to the diverse selection")
+  }
 }
