@@ -1310,6 +1310,33 @@ object SparkEntry {
       graft.ops.Skyline.paretoFront(d, "n_tokens", "q_fp")
         .select("doc_id", "n_tokens", "q_fp")
     },
+    // Segment-dedup rewrite (E115): documents rebuilt from their KEPT
+    // 20-word segments only — globally-duplicated passages cut from every
+    // copy but the first, survivors stitched back in order.
+    "q155_segment_rewrite" -> { (s, dir) =>
+      graft.ext.Dedup.segmentRewrite(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          md5(col("text_clean")).as("clean_hash"))
+    },
+    // Split-leakage audit (E116): near-dup pairs straddling a NAIVE
+    // per-doc hash split — the contamination count that motivates the
+    // cluster-keyed split (q147). Off-diagonal rows are leaks.
+    "q156_split_leakage" -> { (s, dir) =>
+      graft.ext.Sampling.splitLeakageAudit(
+        Tables.documents(s, dir), minJaccard = 0.5)
+    },
+    // Label consensus (E117): per item the majority label, its support,
+    // tie/unanimity flags — multi-annotator QA. Items here are users,
+    // votes are their event types.
+    "q157_label_consensus" -> { (s, dir) =>
+      graft.ext.Labeling.consensus(Tables.events(s, dir), "user_id", "event_type")
+    },
+    // Per-group robust scaling (E118): median/IQR z within each source —
+    // normalization that respects per-source scale differences.
+    "q158_robust_scale_by" -> { (s, dir) =>
+      graft.analyze.Profiler.robustScaleBy(
+        Tables.documents(s, dir), "n_chars", "doc_id", "source")
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3692,6 +3719,64 @@ object SparkEntry {
          |  WHERE b.n_tokens >= a.n_tokens AND b.q_fp >= a.q_fp
          |    AND (b.n_tokens > a.n_tokens OR b.q_fp > a.q_fp))""".stripMargin
     },
+    "q155_segment_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |sg AS (SELECT doc_id,
+         |              unnest(list_transform(range(0, (len(l)+19)//20),
+         |                i -> struct_pack(idx := CAST(i AS INT),
+         |                                 seg := array_to_string(l[(i*20+1):(i*20+20)], ' ')))) AS u
+         |       FROM t),
+         |s AS (SELECT doc_id, u.idx AS seg_idx, u.seg AS seg,
+         |             ${dkHash("u.seg", 11)} AS gh FROM sg),
+         |r AS (SELECT doc_id, seg_idx, seg,
+         |             ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, seg_idx) AS rn
+         |      FROM s)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_segments,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+         |                      FILTER (WHERE rn = 1), '')) AS clean_hash
+         |FROM r GROUP BY doc_id""".stripMargin,
+    "q156_split_leakage" -> {
+      def sp(id: String) =
+        s"""CASE WHEN ${dkHash(s"CAST($id AS VARCHAR)", 0)} % 100 < 80 THEN 'train'
+           |     WHEN ${dkHash(s"CAST($id AS VARCHAR)", 0)} % 100 < 90 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+         |lab AS (SELECT id_a, id_b, ${sp("id_a")} AS s_a, ${sp("id_b")} AS s_b
+         |        FROM np)
+         |SELECT LEAST(s_a, s_b) AS split_a, GREATEST(s_a, s_b) AS split_b,
+         |       COUNT(*) AS n_pairs,
+         |       LEAST(s_a, s_b) <> GREATEST(s_a, s_b) AS leaks
+         |FROM lab GROUP BY 1, 2, 4""".stripMargin
+    },
+    "q157_label_consensus" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |             MAX(n) OVER (PARTITION BY user_id) AS max_n,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY n DESC, event_type ASC) AS rk
+        |      FROM c)
+        |SELECT user_id,
+        |       CAST(SUM(n) AS BIGINT) AS n_votes,
+        |       COUNT(*) AS n_distinct_labels,
+        |       MIN(CASE WHEN rk = 1 THEN event_type END) AS majority_label,
+        |       CAST(MIN(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS majority_votes,
+        |       SUM(CASE WHEN n = max_n THEN 1 ELSE 0 END) > 1 AS is_tie,
+        |       COUNT(*) = 1 AS unanimous
+        |FROM r GROUP BY user_id""".stripMargin,
+    "q158_robust_scale_by" ->
+      """WITH s AS (SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.source, n_chars,
+        |       CASE WHEN p75 = p25 THEN 0.0
+        |            ELSE ROUND((CAST(n_chars AS DOUBLE) - med) / (p75 - p25), 6)
+        |       END AS robust_z
+        |FROM documents d JOIN s USING (source)""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -255,6 +255,33 @@ object Profiler {
           .as("robust_z"))
   }
 
+  /** Per-group [[robustScale]]: median/IQR z-scores where the statistics
+    * are computed WITHIN each group — the right normalization when groups
+    * have different natural scales (per-source document lengths, per-
+    * language quality scores): a global median would mark every document
+    * of a long-form source as an outlier.
+    *
+    * Scale: one exact-percentile aggregate per group (|groups| rows,
+    * broadcast back) + a map-side join; the corpus is scanned once.
+    */
+  def robustScaleBy(
+      df: DataFrame, column: String, idCol: String, groupCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(percentile(col(column), typedlit(Seq(0.25, 0.5, 0.75))).as("__q"))
+      .select(col(groupCol),
+        element_at(col("__q"), 1).as("p25"),
+        element_at(col("__q"), 2).as("med"),
+        element_at(col("__q"), 3).as("p75"))
+    df.select(col(idCol), col(groupCol), col(column))
+      .join(broadcast(stats), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(column),
+        when(col("p75") === col("p25"), lit(0.0))
+          .otherwise(
+            round((col(column).cast("double") - col("med")) /
+              (col("p75") - col("p25")), 6))
+          .as("robust_z"))
+  }
+
   /** Exact join-cardinality preflight: the size an equi-join WOULD produce,
     * computed from per-key counts without running the join —
     * Σ_common-keys n_left(k)·n_right(k) — plus the worst single-key fanout

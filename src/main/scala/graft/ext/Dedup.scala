@@ -103,6 +103,51 @@ object Dedup {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
   }
 
+  /** Act on [[segmentDedup]]: rebuild every document from its KEPT
+    * segments only — globally-duplicated passages (licenses, navigation
+    * chrome, syndicated paragraphs) are cut from every copy but the first,
+    * and the surviving segments are stitched back in their original order.
+    * A document whose every segment was seen earlier rewrites to the empty
+    * string (fully boilerplate).
+    *
+    * Scale: same two shuffles as [[segmentDedup]] (hash-groupBy on the
+    * segment digest, then per-doc reassembly); the reassembly carries
+    * (doc, seg_idx, segment-text) — corpus-sized but never wider than the
+    * input — and the ordered stitch is an in-group `array_sort`, not a
+    * window over the corpus.
+    */
+  def segmentRewrite(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      segWords: Int = 20,
+      portable: Boolean = true): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nseg = floor((size(toks) + lit(segWords - 1)) / lit(segWords)).cast("int")
+    val segs = docs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("gh", stableHash(col("seg"), 11, portable))
+    val keepers = segs
+      .groupBy("gh")
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("first"))
+    segs.join(keepers, "gh")
+      .withColumn("kept",
+        col("first")(idCol) === col(idCol) &&
+          col("first")("seg_idx") === col("seg_idx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+            x => x("seg")), " ").as("text_clean"))
+  }
+
   /** Word k-shingles of a document as a distinct array. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")

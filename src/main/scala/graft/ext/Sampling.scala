@@ -288,4 +288,34 @@ object Sampling {
       .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("w"),
         col("target_tokens"), col("repeat_fp"), col("over_cap"))
   }
+
+  /** The audit that motivates [[leakageSafeSplit]]: under the NAIVE
+    * per-document [[hashSplit]], how many near-duplicate pairs straddle a
+    * split boundary? Each such pair is evaluation contamination — the
+    * model meets a paraphrase of a training document at test time. Output
+    * is one row per unordered split pair with the pair count and a
+    * `leaks` flag (off-diagonal = contamination); run it before accepting
+    * any split that wasn't cluster-keyed.
+    *
+    * Scale: the pair set is the LSH-candidate-scoped near-dup output
+    * (never O(n²)); splits are recomputed per id (map-only hash, nothing
+    * stored), and the two lookups join on doc id.
+    */
+  def splitLeakageAudit(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 0,
+      minJaccard: Double = 0.7): DataFrame = {
+    val split = hashSplit(docs, idCol, trainPct, valPct, seed)
+      .select(col(idCol), col("split"))
+    val pairs = Dedup.nearDuplicates(docs, textCol, idCol, minJaccard)
+      .select("id_a", "id_b")
+    pairs
+      .join(split.select(col(idCol).as("id_a"), col("split").as("s_a")), Seq("id_a"))
+      .join(split.select(col(idCol).as("id_b"), col("split").as("s_b")), Seq("id_b"))
+      .groupBy(
+        least(col("s_a"), col("s_b")).as("split_a"),
+        greatest(col("s_a"), col("s_b")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_a") =!= col("split_b"))
+  }
 }

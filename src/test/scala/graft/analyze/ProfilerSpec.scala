@@ -179,4 +179,24 @@ class ProfilerSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1L, 4L)))
     assert(out(3L) === ((1L, 3L, 4L)))
   }
+
+  test("robustScaleBy: per-group median/IQR; constant group pins to zero") {
+    import spark.implicits._
+    val df = (
+      Seq((1L, "a", 0L), (2L, "a", 10L), (3L, "a", 20L), (4L, "a", 30L), (5L, "a", 40L)) ++
+      Seq((6L, "b", 7L), (7L, "b", 7L), (8L, "b", 7L))  // zero IQR
+    ).toDF("id", "grp", "v")
+    val out = Profiler.robustScaleBy(df, "v", "id", "grp").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("robust_z")).toMap
+    // group a: med 20, p25 10, p75 30 → IQR 20
+    assert(out(1L) === -1.0)
+    assert(out(3L) === 0.0)
+    assert(out(5L) === 1.0)
+    // constant group: IQR 0 → defined as 0, not NaN/div-by-zero
+    assert(out(6L) === 0.0 && out(8L) === 0.0)
+    // the group boundary matters: the same value scales differently per group
+    val mixed = Profiler.robustScaleBy(df, "v", "id", "grp")
+      .filter($"id" === 2L).head().getAs[Double]("robust_z")
+    assert(mixed === -0.5)
+  }
 }

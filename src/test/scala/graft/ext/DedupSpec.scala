@@ -174,6 +174,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(docs).count() === 5L)
   }
 
+  test("segmentRewrite: duplicated passages cut after first sight, order preserved") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")   // one exact segment
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val c = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $a"),      // first sight of boiler: keeps both segments
+      (2L, s"$c $boiler"),      // boiler already seen: keeps only c
+      (3L, boiler)              // fully boilerplate: rewrites to empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentRewrite(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(out(1L) === ((2L, 2L, s"$boiler $a")))
+    assert(out(2L) === ((2L, 1L, c))) // boiler segment cut, c survives in place
+    assert(out(3L) === ((1L, 0L, "")))
+  }
+
   test("sourceSimilarity: identical sources match every component, disjoint ones none") {
     import spark.implicits._
     val shared = (1 to 10).map(i =>

@@ -196,4 +196,36 @@ class SamplingSpec extends SparkSpec {
     Seq("train", "val", "test").foreach(s =>
       assert(m.values.map(_._2).forall(Set("train", "val", "test"))))
   }
+
+  test("splitLeakageAudit: counts near-dup pairs by split pair, flags boundary leaks") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet village roofs tonight"
+    // ids chosen so the naive hash split separates at least one pair is not
+    // assumed — the assertions derive expectations from hashSplit itself
+    val docs = (1 to 30).map(i => (i.toLong, s"$base tail$i unique")) ++
+      (1 to 30).map(i => (100L + i, s"$base tail$i unique extra"))
+    val df = docs.toDF("doc_id", "text")
+    val audit = Sampling.splitLeakageAudit(df, minJaccard = 0.5).collect()
+    val total = audit.map(_.getAs[Long]("n_pairs")).sum
+    assert(total > 0, "fixture must produce near-dup pairs")
+    // flags: diagonal rows not leaks, off-diagonal rows leaks
+    audit.foreach { r =>
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(r.getAs[Boolean]("leaks") === (a != b))
+      assert(a <= b, "split pair is normalized")
+    }
+    // cross-check one pair count against an independent recomputation
+    val split = Sampling.hashSplit(df, "doc_id").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.nearDuplicates(df, minJaccard = 0.5).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.groupBy { case (x, y) =>
+      val (sa, sb) = (split(x), split(y))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.view.mapValues(_.length.toLong).toMap
+    val got = audit.map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")) ->
+      r.getAs[Long]("n_pairs")).toMap
+    assert(got === expected)
+  }
 }
