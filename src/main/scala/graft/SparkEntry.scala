@@ -1337,6 +1337,67 @@ object SparkEntry {
       graft.analyze.Profiler.robustScaleBy(
         Tables.documents(s, dir), "n_chars", "doc_id", "source")
     },
+    // Interval peak-concurrency sweep (E119): max simultaneously-open
+    // order→ship intervals per returnflag and the earliest instant the
+    // peak is hit. Two-level ±1 sweep: per-(key, day-bucket) local running
+    // sums + a carry-in prefix over bucket totals — no per-key global sort.
+    "q159_peak_concurrency" -> { (s, dir) =>
+      val iv = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"),
+          graft.streaming.Sessions.tsToUs(col("o_orderdate")).as("start_us"),
+          graft.streaming.Sessions.tsToUs(col("l_shipdate")).as("end_us"))
+      graft.ops.Concurrency.peakConcurrency(iv, "l_returnflag", "start_us", "end_us")
+    },
+    // Benford first-digit audit (E120): leading-digit distribution of
+    // order totals per priority class vs Benford's law, deviations as
+    // exact integers (expected masses are shared fixed-point constants).
+    "q160_benford_audit" -> { (s, dir) =>
+      graft.analyze.Benford.audit(
+        Tables.orders(s, dir), floor(col("o_totalprice")), "o_orderpriority")
+    },
+    // Annotator agreement (E121): Cohen's kappa between the labeled lang
+    // column and the langid prediction — chance-corrected accuracy of the
+    // heuristic classifier, as exact integer numerator/denominator.
+    "q161_agreement_kappa" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      val d = Tables.documents(s, dir)
+        .select(col("lang").as("gold"), TextAnalysis.langId(col("text")).as("pred"))
+      graft.ext.Labeling.agreementKappa(d, col("gold"), col("pred"))
+    },
+    // Quantile normalization (E122): per-source doc lengths mapped onto
+    // the global length distribution by exact rank position — feed mixing
+    // without per-source scale effects. Positions resolve against the
+    // distinct-value cumulative table, never a global row sort.
+    "q162_quantile_normalize" -> { (s, dir) =>
+      graft.analyze.Profiler.quantileNormalize(
+        Tables.documents(s, dir), "n_chars", "doc_id", "source")
+    },
+    // Trimmed mean (E123): per-source robust average length — drop the
+    // 10% tails by rank, exact integer mean (2²⁰ fixed point).
+    "q163_trimmed_mean" -> { (s, dir) =>
+      graft.analyze.Profiler.trimmedMeanBy(
+        Tables.documents(s, dir), "n_chars", "doc_id", "source")
+    },
+    // Exact-count per-group split (E124): hash-ordered rank split with
+    // GUARANTEED per-source proportions (hashSplit's are only expected),
+    // cutoffs cross-multiplied so no division appears anywhere.
+    "q164_exact_split" -> { (s, dir) =>
+      graft.ext.Sampling.exactGroupSplit(Tables.documents(s, dir), "doc_id", "source")
+    },
+    // OOV rate (E125): per-doc out-of-vocabulary fraction against the
+    // corpus' own top-500 unigram vocabulary — the tokenizer-hostile-tail
+    // detector. Vocab broadcast; shuffle is one row per doc.
+    "q165_oov_rate" -> { (s, dir) =>
+      graft.ext.TextAnalysis.oovRate(Tables.documents(s, dir), vocabSize = 500)
+    },
+    // Per-group OLS (E126): chars-per-token calibration line per source,
+    // slope/intercept as exact decimal38 fixed-point integers.
+    "q166_group_ols" -> { (s, dir) =>
+      graft.analyze.Profiler.olsBy(
+        Tables.documents(s, dir),
+        col("n_chars"), size(split(col("text"), " ")).cast("long"), "source")
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -1742,6 +1803,13 @@ object SparkEntry {
        |       FROM w),
        |$iters""".stripMargin
   }
+
+  /** DuckDB FLOOR division (`//` truncates toward zero for negative
+    * operands — unlike ExactMath.floorDiv): subtract the sign-safe pmod
+    * first, then divide the exact multiple. b must be positive.
+    */
+  private def dkFloorDiv(a: String, b: String): String =
+    s"((($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b))"
 
   /** DuckDB portable 60-bit hash matching Dedup.stableHash(seed). */
   private def dkHash(expr: String, seed: Int): String =
@@ -3777,6 +3845,140 @@ object SparkEntry {
         |            ELSE ROUND((CAST(n_chars AS DOUBLE) - med) / (p75 - p25), 6)
         |       END AS robust_z
         |FROM documents d JOIN s USING (source)""".stripMargin,
+    "q159_peak_concurrency" ->
+      """WITH iv AS (SELECT l_returnflag AS k,
+        |                   CAST(epoch_us(o_orderdate) AS BIGINT) AS s,
+        |                   CAST(epoch_us(l_shipdate) AS BIGINT) AS e
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ev AS (SELECT k, s AS t, 1 AS d FROM iv
+        |       UNION ALL SELECT k, e, -1 FROM iv),
+        |rs AS (SELECT k, t, d,
+        |              SUM(d) OVER (PARTITION BY k ORDER BY t, d) AS rs
+        |       FROM ev),
+        |m AS (SELECT *, MAX(rs) OVER (PARTITION BY k) AS mx FROM rs)
+        |SELECT k AS l_returnflag,
+        |       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+        |       CAST(MAX(rs) AS BIGINT) AS peak,
+        |       CAST(MIN(CASE WHEN rs = mx THEN t END) AS BIGINT) AS peak_t_us
+        |FROM m GROUP BY k""".stripMargin,
+    "q160_benford_audit" -> {
+      val expCase = graft.analyze.Benford.expectedFp.zipWithIndex
+        .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString("CASE digit ", " ", " END")
+      s"""WITH v AS (SELECT o_orderpriority AS g,
+         |                  CAST(floor(o_totalprice) AS BIGINT) AS x
+         |           FROM orders WHERE floor(o_totalprice) >= 1),
+         |d AS (SELECT g, CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit FROM v),
+         |c AS (SELECT g, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
+         |t AS (SELECT *, SUM(n) OVER (PARTITION BY g) AS n_grp FROM c)
+         |SELECT g AS o_orderpriority, digit,
+         |       CAST(n AS BIGINT) AS n, CAST(n_grp AS BIGINT) AS n_grp,
+         |       CAST($expCase AS BIGINT) AS exp_fp,
+         |       CAST(abs(n * 1000000000 - n_grp * ($expCase)) AS BIGINT) AS dev_fp
+         |FROM t""".stripMargin
+    },
+    "q161_agreement_kappa" -> {
+      val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
+      val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")
+      val best = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH pr AS (SELECT lang AS gold, CASE $cases ELSE 'und' END AS pred
+         |  FROM (SELECT lang, $scoreDefs, $best AS best FROM documents)),
+         |p AS (SELECT gold, pred FROM pr
+         |      WHERE gold IS NOT NULL AND pred IS NOT NULL),
+         |tot AS (SELECT COUNT(*) AS n,
+         |               SUM(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS agree_n
+         |        FROM p),
+         |ra AS (SELECT gold AS lbl, COUNT(*) AS na FROM p GROUP BY 1),
+         |rb AS (SELECT pred AS lbl, COUNT(*) AS nb FROM p GROUP BY 1),
+         |pe AS (SELECT COALESCE(SUM(na * nb), 0) AS pe_num
+         |       FROM ra JOIN rb USING (lbl))
+         |SELECT CAST(n AS BIGINT) AS n, CAST(agree_n AS BIGINT) AS agree_n,
+         |       CAST(pe_num AS BIGINT) AS pe_num,
+         |       CAST(n * agree_n - pe_num AS BIGINT) AS kappa_num,
+         |       CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+         |       CAST(CASE WHEN n * n - pe_num = 0 THEN 0
+         |                 ELSE ${dkFloorDiv("(n * agree_n - pe_num) * 1048576", "n * n - pe_num")}
+         |            END AS BIGINT) AS kappa_fp
+         |FROM tot CROSS JOIN pe""".stripMargin
+    },
+    "q162_quantile_normalize" ->
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |g AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |                           ORDER BY n_chars, doc_id) AS r,
+        |        COUNT(*) OVER (PARTITION BY source) AS ng,
+        |        COUNT(*) OVER () AS nt
+        |      FROM b),
+        |p AS (SELECT doc_id, source, n_chars,
+        |             CAST((r * nt + ng - 1) // ng AS BIGINT) AS qpos
+        |      FROM g),
+        |s AS (SELECT n_chars AS v,
+        |             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pos
+        |      FROM b)
+        |SELECT p.doc_id, p.source, p.n_chars, p.qpos, s.v AS norm_value
+        |FROM p JOIN s ON s.pos = p.qpos""".stripMargin,
+    "q163_trimmed_mean" ->
+      """WITH b AS (SELECT source, doc_id, n_chars FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |                           ORDER BY n_chars, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY source) AS ng
+        |      FROM b),
+        |k AS (SELECT *, CASE WHEN ng - 2 * (ng // 10) < 1 THEN 0
+        |                     ELSE ng // 10 END AS kt
+        |      FROM r)
+        |SELECT source, CAST(MAX(ng) AS BIGINT) AS n,
+        |       CAST(MAX(kt) AS BIGINT) AS k_trim,
+        |       CAST(COUNT(*) AS BIGINT) AS n_used,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_kept,
+        |       CAST((SUM(n_chars) * 1048576) // COUNT(*) AS BIGINT) AS mean_fp
+        |FROM k WHERE rn > kt AND rn <= ng - kt
+        |GROUP BY source""".stripMargin,
+    "q164_exact_split" ->
+      s"""SELECT doc_id, source,
+         |       CASE WHEN rn * 100 <= ng * 80 THEN 'train'
+         |            WHEN rn * 100 <= ng * 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY ${dkHash("CAST(doc_id AS VARCHAR)", 0)}, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY source) AS ng
+         |      FROM documents)""".stripMargin,
+    "q165_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+        |        FROM c)
+        |      WHERE rk <= 500)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST((SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1048576)
+        |              // COUNT(*) AS BIGINT) AS oov_fp
+        |FROM toks LEFT JOIN v ON toks.tok = v.tok
+        |GROUP BY doc_id""".stripMargin,
+    "q166_group_ols" ->
+      s"""WITH b AS (SELECT source, CAST(n_chars AS HUGEINT) AS x,
+        |                  CAST(len(string_split(text, ' ')) AS HUGEINT) AS y
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |             SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT source, n, sx, sy,
+        |             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |      FROM a)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+        |       CAST(CASE WHEN den = 0 THEN 0
+        |                 ELSE ${dkFloorDiv("num * 1048576", "den")} END AS BIGINT) AS slope_fp,
+        |       CAST(CASE WHEN den = 0 THEN 0
+        |                 ELSE ${dkFloorDiv("(sy * den - num * sx) * 1048576", "n * den")}
+        |            END AS BIGINT) AS intercept_fp
+        |FROM c""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -1,6 +1,7 @@
 package graft.analyze
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -355,5 +356,121 @@ object Profiler {
     ranked.withColumn(
       "fused_rank_sum",
       signalCols.map(c => col(s"rank_$c")).reduce(_ + _))
+  }
+
+  /** Trimmed mean per group: drop the lowest and highest
+    * ⌊n·trimNum/trimDen⌋ rows by (value, id) rank, then average the rest —
+    * the outlier-robust location estimate for per-source length/score
+    * monitoring (a handful of giant documents can't move it). All-integer:
+    * the mean is reported as a 2²⁰ fixed-point floor quotient of exact
+    * sums. Groups too small to trim (n − 2k < 1) fall back to untrimmed.
+    *
+    * Scale: one per-group rank window + one aggregation; nothing global.
+    */
+  def trimmedMeanBy(
+      df: DataFrame, valueCol: String, idCol: String, groupCol: String,
+      trimNum: Int = 1, trimDen: Int = 10): DataFrame = {
+    val g = col(groupCol)
+    val ranked = df.select(g, col(idCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g).orderBy(col(valueCol).asc, col(idCol).asc)))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy(g)))
+    val rawK = graft.ext.ExactMath.floorDiv(col("__ng") * trimNum, lit(trimDen))
+    val k = when(col("__ng") - rawK * 2 < 1L, 0L).otherwise(rawK)
+    ranked
+      .withColumn("__k", k)
+      .filter(col("__rn") > col("__k") && col("__rn") <= col("__ng") - col("__k"))
+      .groupBy(g)
+      .agg(
+        max(col("__ng")).cast("long").as("n"),
+        max(col("__k")).cast("long").as("k_trim"),
+        count(lit(1)).as("n_used"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__sum"))
+      .select(g, col("n"), col("k_trim"), col("n_used"),
+        col("__sum").cast("long").as("sum_kept"),
+        graft.ext.ExactMath.floorDiv(col("__sum") * lit(1048576L), col("n_used"))
+          .as("mean_fp"))
+  }
+
+  /** Per-group simple linear regression (OLS y on x) as exact integers:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), reported with the
+    * intercept as 2²⁰ fixed-point floor quotients computed entirely in
+    * DECIMAL(38,0) — both engines agree bit-for-bit. A zero-variance x
+    * (den = 0) reports 0 for both. The calibration primitive behind
+    * "chars per token" style conversion factors and drift-over-covariate
+    * checks, per source.
+    *
+    * Scale: one map-side-combined aggregation to 5 sums per group.
+    * Intermediates are bounded by ~n·max(x)·max(y)·2²⁰ — inside decimal38
+    * for corpus-scale counts with 10⁶-scale values.
+    */
+  def olsBy(df: DataFrame, x: Column, y: Column, groupCol: String): DataFrame = {
+    val g = col(groupCol)
+    val base = df.select(g,
+        x.cast("decimal(20,0)").as("__x"), y.cast("decimal(20,0)").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val a = base.groupBy(g).agg(
+      count(lit(1)).cast("decimal(20,0)").as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    a.select(g,
+      col("__n").cast("long").as("n"),
+      col("__sx").cast("long").as("sum_x"),
+      col("__sy").cast("long").as("sum_y"),
+      when(den === 0, 0L)
+        .otherwise(graft.ext.ExactMath.floorDiv(num * lit(1048576L), den))
+        .cast("long").as("slope_fp"),
+      when(den === 0, 0L)
+        .otherwise(graft.ext.ExactMath.floorDiv(
+          (col("__sy") * den - num * col("__sx")) * lit(1048576L),
+          col("__n") * den))
+        .cast("long").as("intercept_fp"))
+  }
+
+  /** Quantile normalization: every row's value is replaced by the GLOBAL
+    * value at the same within-group quantile position — the standard way
+    * to force per-source distributions onto one reference shape before
+    * mixing feeds (per-source length/score scales stop mattering; ranks
+    * do). Exact and integer-only: the r-th of n_g rows in a group (ties
+    * broken by `idCol`) maps to global sort position
+    * ⌈r·N / n_g⌉ ∈ [1, N], and the output value is the global order
+    * statistic at that position.
+    *
+    * Scale: the per-group rank is a per-group window (sorts one group per
+    * task); the global order statistics are NOT materialized per row —
+    * positions are resolved against the cumulative counts of the DISTINCT
+    * values (|distinct values| rows, broadcast), via a range join on the
+    * contiguous position intervals each value covers. The corpus never
+    * sorts globally.
+    */
+  def quantileNormalize(
+      df: DataFrame, valueCol: String, idCol: String, groupCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+    val totals = base.agg(count(lit(1)).cast("long").as("n_total"))
+    val groupN = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+    val ranked = base
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc, col(idCol).asc)))
+      .join(broadcast(groupN), Seq(groupCol))
+      .crossJoin(broadcast(totals))
+      // ⌈r·N / n_g⌉ through decimals: r·N overflows a long at full scale.
+      .withColumn("qpos", graft.ext.ExactMath.floorDiv(
+        col("__r").cast("decimal(38,0)") * col("n_total") + col("n_grp") - 1L,
+        col("n_grp")))
+    // Distinct-value cumulative counts: value v covers global positions
+    // (cum − n_v, cum]. The window runs over distinct values only.
+    val cum = base.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__nv"))
+      .withColumn("__cum", sum(col("__nv")).over(
+        Window.orderBy(col("__v").asc).rowsBetween(Window.unboundedPreceding, 0)))
+    ranked.join(broadcast(cum),
+        col("qpos") > col("__cum") - col("__nv") && col("qpos") <= col("__cum"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("qpos").cast("long").as("qpos"), col("__v").as("norm_value"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus sampling for training-data pipelines (north-star extension).
@@ -317,5 +318,33 @@ object Sampling {
         greatest(col("s_a"), col("s_b")).as("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("leaks", col("split_a") =!= col("split_b"))
+  }
+
+  /** Exact-count per-group split: within each group, rows are ordered by
+    * (stable hash, id) and the first ⌊n_g·trainPct/100⌋ become train, the
+    * next slice val, the rest test — [[hashSplit]]'s proportions are only
+    * expected values, this variant GUARANTEES them per group (±1 row),
+    * which is what a per-language eval set with a hard size contract
+    * needs. Still deterministic and engine-portable (the order key is the
+    * md5-derived stable hash), but no longer a pure per-row function: a
+    * group's membership shifts when the group changes.
+    *
+    * Cutoffs are cross-multiplied (rn·100 ≤ n_g·pct) — no division at
+    * all. Scale: one per-group rank window; nothing global.
+    */
+  def exactGroupSplit(
+      df: DataFrame, idCol: String, groupCol: String,
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 0): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val g = col(groupCol)
+    df.select(col(idCol), g)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g).orderBy(
+          Dedup.stableHash(col(idCol).cast("string"), seed).asc, col(idCol).asc)))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy(g)))
+      .select(col(idCol), g,
+        when(col("__rn") * 100 <= col("__ng") * trainPct, "train")
+          .when(col("__rn") * 100 <= col("__ng") * (trainPct + valPct), "val")
+          .otherwise("test").as("split"))
   }
 }

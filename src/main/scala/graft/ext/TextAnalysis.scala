@@ -144,6 +144,34 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus' own top-
+    * `vocabSize` unigram vocabulary ([[vocabulary]]'s deterministic
+    * count-desc/gram-asc ranking): token count, OOV token count, and the
+    * OOV fraction as a 2²⁰ fixed-point floor quotient. High-OOV documents
+    * are the tokenizer-hostile tail (wrong language, binary junk,
+    * boilerplate markup) worth routing to review before training.
+    *
+    * Scale: the vocabulary is |vocab| rows and broadcast; tokens flow
+    * through a broadcast hash join and a map-side-combined count per doc —
+    * the shuffle carries one row per document, never the token stream.
+    */
+  def oovRate(
+      docs: DataFrame, vocabSize: Int = 500,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabulary(docs, textCol, maxN = 1, topK = vocabSize).select(col("gram"))
+    val toks = docs.select(col(idCol),
+      explode(graft.functions.TextNativeFunctions.ngrams(
+        docs.sparkSession, lower(col(textCol)), 1)).as("__tok"))
+    toks.join(broadcast(vocab), col("__tok") === col("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("gram").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        ExactMath.floorDiv(col("n_oov") * lit(1048576L), col("n_tokens"))
+          .as("oov_fp"))
+  }
+
   /** Content fingerprint: digest of the casefolded, alphanumeric-only text —
     * robust to whitespace/punctuation edits (the "rolling hash" document
     * fingerprint, portable across engines via md5).

@@ -34,6 +34,12 @@ object Sessions {
   def nsToUs(ns: Column): Column =
     floor(ns.cast("decimal(25,0)") / 1000).cast("long")
 
+  /** TIMESTAMP/TIMESTAMP_NTZ → epoch µs. The session timezone is pinned
+    * to UTC (GraftSession), so the NTZ→LTZ cast is numerically the
+    * identity and this matches DuckDB's epoch_us over the same parquet.
+    */
+  def tsToUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
   /** Sessionization: per-user sessions split on inactivity gaps larger than
     * `gapMinutes`, over a µs-precision event time. One shuffle (by user) +
     * two window passes; at scale the window partitions by user, so skew only

@@ -199,4 +199,75 @@ class ProfilerSpec extends SparkSpec {
       .filter($"id" === 2L).head().getAs[Double]("robust_z")
     assert(mixed === -0.5)
   }
+
+  test("quantileNormalize: single group is the identity on values") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L), (4L, "a", 20L))
+      .toDF("id", "grp", "v")
+    val out = Profiler.quantileNormalize(df, "v", "id", "grp").collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("qpos"), r.getAs[Long]("norm_value")))).toMap
+    // r == qpos when n_grp == N, and position r holds the row's own value
+    assert(out(2L) === ((1L, 10L)))
+    assert(out(3L) === ((2L, 20L)))
+    assert(out(4L) === ((3L, 20L)))
+    assert(out(1L) === ((4L, 30L)))
+  }
+
+  test("trimmedMeanBy: trims both tails, exact fixed-point mean, tiny group untrimmed") {
+    import spark.implicits._
+    val df = (
+      (1 to 10).map(i => (i.toLong, "a", i.toLong * 10)) ++     // 10,20,...,100
+      Seq((11L, "b", 5L), (12L, "b", 100L))                     // too small to trim
+    ).toDF("id", "grp", "v")
+    val out = Profiler.trimmedMeanBy(df, "v", "id", "grp").collect()
+      .map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k_trim"), r.getAs[Long]("n_used"),
+          r.getAs[Long]("sum_kept"), r.getAs[Long]("mean_fp")))).toMap
+    // a: k=1, keep 20..90 → sum 440, mean 55 exactly
+    assert(out("a") === ((10L, 1L, 8L, 440L, 55L * 1048576L)))
+    // b: n=2, k would be 0 → untrimmed; mean 52.5 floors at fp
+    assert(out("b") === ((2L, 0L, 2L, 105L, 105L * 1048576L / 2L)))
+  }
+
+  test("olsBy: exact slope/intercept on a perfect line and a degenerate x") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // y = 3x + 7 exactly → slope_fp = 3·2^20, intercept_fp = 7·2^20
+    val line = Seq((1L, 10L), (2L, 13L), (3L, 16L), (4L, 19L))
+      .map { case (x, y) => ("a", x, y) }.toDF("grp", "x", "y")
+    val r = Profiler.olsBy(line, col("x"), col("y"), "grp").collect()(0)
+    assert(r.getAs[Long]("slope_fp") === 3L * 1048576L)
+    assert(r.getAs[Long]("intercept_fp") === 7L * 1048576L)
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("sum_x") === 10L)
+
+    // constant x → zero variance → both report 0, not a crash
+    val flat = Seq(("b", 5L, 1L), ("b", 5L, 9L)).toDF("grp", "x", "y")
+    val rf = Profiler.olsBy(flat, col("x"), col("y"), "grp").collect()(0)
+    assert(rf.getAs[Long]("slope_fp") === 0L && rf.getAs[Long]("intercept_fp") === 0L)
+
+    // negative slope floors toward -∞ consistently: y = -2x + 100
+    val neg = Seq(("c", 1L, 98L), ("c", 2L, 96L), ("c", 3L, 94L)).toDF("grp", "x", "y")
+    val rn = Profiler.olsBy(neg, col("x"), col("y"), "grp").collect()(0)
+    assert(rn.getAs[Long]("slope_fp") === -2L * 1048576L)
+    assert(rn.getAs[Long]("intercept_fp") === 100L * 1048576L)
+  }
+
+  test("quantileNormalize: small group maps onto global order statistics") {
+    import spark.implicits._
+    // global sorted values: [1,2,3,4, 100,200] (a:1..4, b:100,200), N=6
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
+      (5L, "b", 100L), (6L, "b", 200L)
+    ).toDF("id", "grp", "v")
+    val out = Profiler.quantileNormalize(df, "v", "id", "grp").collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("qpos"), r.getAs[Long]("norm_value")))).toMap
+    // group b (n=2): r=1 → ceil(1·6/2)=3 → value 3; r=2 → 6 → value 200
+    assert(out(5L) === ((3L, 3L)))
+    assert(out(6L) === ((6L, 200L)))
+    // group a (n=4): positions ceil(r·6/4) = 2,3,5,6 → values 2,3,100,200
+    assert(out(1L) === ((2L, 2L)))
+    assert(out(2L) === ((3L, 3L)))
+    assert(out(3L) === ((5L, 100L)))
+    assert(out(4L) === ((6L, 200L)))
+  }
 }

@@ -26,4 +26,37 @@ class LabelingSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("n_votes") === 1L) // the null vote never counted
     assert(out(4L).getAs[Long]("n_distinct_labels") === 1L)
   }
+
+  test("agreementKappa: hand-computed confusion, perfect and degenerate cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // n=4, agree=2; marginals a: x=2,y=2  b: x=3,y=1
+    // pe_num = 2*3 + 2*1 = 8; num = 4*2-8 = 0; den = 16-8 = 8; kappa = 0
+    val d = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"), (null, "x"))
+      .toDF("a", "b")
+    val r = Labeling.agreementKappa(d, col("a"), col("b")).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("agree_n") === 2L)
+    assert(r.getAs[Long]("pe_num") === 8L)
+    assert(r.getAs[Long]("kappa_num") === 0L)
+    assert(r.getAs[Long]("kappa_den") === 8L)
+    assert(r.getAs[Long]("kappa_fp") === 0L)
+
+    // perfect agreement over 2+ labels → kappa_fp = 2^20 exactly
+    val p = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(Labeling.agreementKappa(p, col("a"), col("b"))
+      .collect()(0).getAs[Long]("kappa_fp") === 1048576L)
+
+    // degenerate: both sides constant → den 0 → reported as 0
+    val c = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val rc = Labeling.agreementKappa(c, col("a"), col("b")).collect()(0)
+    assert(rc.getAs[Long]("kappa_den") === 0L)
+    assert(rc.getAs[Long]("kappa_fp") === 0L)
+
+    // systematic disagreement: negative kappa floors toward -1
+    val neg = Seq(("x", "y"), ("y", "x")).toDF("a", "b")
+    val rn = Labeling.agreementKappa(neg, col("a"), col("b")).collect()(0)
+    // n=2 agree=0; pe = 1*1+1*1 = 2; num = -2; den = 2 → kappa = -1
+    assert(rn.getAs[Long]("kappa_fp") === -1048576L)
+  }
 }

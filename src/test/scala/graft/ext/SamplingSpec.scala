@@ -228,4 +228,21 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("n_pairs")).toMap
     assert(got === expected)
   }
+
+  test("exactGroupSplit: guaranteed per-group counts, deterministic, covers all rows") {
+    import spark.implicits._
+    val df = ((1 to 20).map(i => (i.toLong, "a")) ++ (21 to 25).map(i => (i.toLong, "b")))
+      .toDF("id", "grp")
+    val out = Sampling.exactGroupSplit(df, "id", "grp").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"), r.getAs[String]("split")))
+    assert(out.length === 25)
+    val byGrp = out.groupBy(_._2).view.mapValues(_.groupBy(_._3).view.mapValues(_.length).toMap).toMap
+    // a: n=20 -> exactly 16/2/2; b: n=5 -> floor(4.0)/floor(4.5)-4 = 4/0/1
+    assert(byGrp("a") === Map("train" -> 16, "val" -> 2, "test" -> 2))
+    assert(byGrp("b") === Map("train" -> 4, "test" -> 1))
+    // deterministic: a second run assigns identically
+    val again = Sampling.exactGroupSplit(df.repartition(7), "id", "grp").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"), r.getAs[String]("split")))
+    assert(out.toSet === again.toSet)
+  }
 }

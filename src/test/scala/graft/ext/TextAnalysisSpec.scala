@@ -247,4 +247,21 @@ class TextAnalysisSpec extends SparkSpec {
     // &amp;lt; → the four characters "&lt;", NOT "<" (single-level decode)
     assert(out(3L) === (("&lt; decodes one level only", 0L, 1L)))
   }
+
+  test("oovRate: tokens outside the top-V vocabulary are counted exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // vocab size 2 -> top-2 grams by (count desc, gram asc): "the" (4), "cat" (3)
+    val docs = Seq(
+      (1L, "the cat the cat"),
+      (2L, "the cat sat"),
+      (3L, "dogs bark the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Long]("oov_fp")))).toMap
+    assert(out(1L) === ((4L, 0L, 0L)))
+    assert(out(2L) === ((3L, 1L, 1048576L / 3L)))
+    assert(out(3L) === ((3L, 2L, 2L * 1048576L / 3L)))
+  }
 }
