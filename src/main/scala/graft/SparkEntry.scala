@@ -1398,6 +1398,34 @@ object SparkEntry {
         Tables.documents(s, dir),
         col("n_chars"), size(split(col("text"), " ")).cast("long"), "source")
     },
+    // Hybrid retrieval (E127): tf-idf ranking ⊕ quality ranking fused by
+    // reciprocal rank (⌊2²⁰/(60+r)⌋ each) over the query's candidate set.
+    "q167_rrf_fusion" -> { (s, dir) =>
+      graft.ext.Retrieval.hybridTopK(
+        Tables.documents(s, dir), Seq("spark", "hash", "join", "window"), k = 20)
+    },
+    // Winsorization (E128): per-source [p05, p95] clamp with clip flags —
+    // robustScaleBy's capping sibling for mean-safe aggregation.
+    "q168_winsorize" -> { (s, dir) =>
+      graft.analyze.Profiler.winsorizeBy(
+        Tables.documents(s, dir), "n_chars", "doc_id", "source")
+    },
+    // CDC compaction (E129): ordered upsert/delete log → latest-wins
+    // snapshot (deletes drop the key), one window pass per key.
+    "q169_cdc_apply" -> { (s, dir) =>
+      val log = Tables.events(s, dir).select(col("user_id"),
+        graft.streaming.Sessions.nsToUs(col("ts")).as("ts_us"), col("event_id"),
+        when(pmod(graft.ext.Dedup.stableHash(col("event_id").cast("string"), 3),
+          lit(10L)) === 0L, "D").otherwise("U").as("op"),
+        col("value"))
+      graft.ops.Cdc.latestSnapshot(
+        log, "user_id", "ts_us", "event_id", "op", Seq("value"))
+    },
+    // Readability (E130): integer Flesch–Kincaid-style grade from regex
+    // counters (vowel-run syllables, sentence runs) — map-only.
+    "q170_readability" -> { (s, dir) =>
+      graft.ext.TextAnalysis.readability(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3979,6 +4007,67 @@ object SparkEntry {
         |                 ELSE ${dkFloorDiv("(sy * den - num * sx) * 1048576", "n * den")}
         |            END AS BIGINT) AS intercept_fp
         |FROM c""".stripMargin,
+    "q167_rrf_fusion" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |           FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |       WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY 1, 2),
+         |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idf AS (SELECT term, (1000000 * n) // df AS idf_milli FROM d CROSS JOIN n),
+         |sc AS (SELECT doc_id, CAST(SUM(tf * idf_milli) AS BIGINT) AS score_num
+         |       FROM tf JOIN idf USING (term) GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        CAST(floor(LEAST(GREATEST(
+         |          (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |          LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |          LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |          * 1048576.0) AS BIGINT) AS q_fp
+         |      FROM documents),
+         |f AS (SELECT sc.doc_id AS doc_id, score_num, q_fp,
+         |        ROW_NUMBER() OVER (ORDER BY score_num DESC, sc.doc_id ASC) AS r_lex,
+         |        ROW_NUMBER() OVER (ORDER BY q_fp DESC, sc.doc_id ASC) AS r_qual
+         |      FROM sc JOIN q USING (doc_id))
+         |SELECT doc_id, score_num, q_fp,
+         |       CAST(r_lex AS BIGINT) AS r_lex, CAST(r_qual AS BIGINT) AS r_qual,
+         |       CAST(1048576 // (r_lex + 60) + 1048576 // (r_qual + 60) AS BIGINT) AS rrf_fp
+         |FROM f ORDER BY rrf_fp DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q168_winsorize" ->
+      """WITH s AS (SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.source, n_chars,
+        |       ROUND(GREATEST(LEAST(CAST(n_chars AS DOUBLE), p95), p05), 6) AS winsorized,
+        |       CAST(n_chars AS DOUBLE) < p05 AS clipped_lo,
+        |       CAST(n_chars AS DOUBLE) > p95 AS clipped_hi
+        |FROM documents d JOIN s USING (source)""".stripMargin,
+    "q169_cdc_apply" ->
+      s"""WITH l AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+         |             CASE WHEN ${dkHash("CAST(event_id AS VARCHAR)", 3)} % 10 = 0
+         |                  THEN 'D' ELSE 'U' END AS op,
+         |             value
+         |           FROM events),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |                           ORDER BY ts_us DESC, event_id DESC) AS rn,
+         |        COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+         |      FROM l)
+         |SELECT user_id, value, ts_us AS last_ts, CAST(n_ops AS BIGINT) AS n_ops
+         |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "q170_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+        |       CAST((w * 390) // s + (y * 11800) // GREATEST(w, 1) - 15590
+        |            AS BIGINT) AS fk_milli
+        |FROM b""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -393,6 +393,33 @@ object Profiler {
           .as("mean_fp"))
   }
 
+  /** Winsorization per group: values are CLAMPED to the group's
+    * [p05, p95] band (robustScaleBy's sibling — instead of flagging or
+    * rescaling outliers it caps them), with flags for which side was
+    * clipped. The standard pre-aggregation step when a mean must be
+    * reported but a handful of extreme rows would own it.
+    *
+    * Scale: one exact-percentile aggregate per group, broadcast back;
+    * the clamp itself is map-side. Quantile interpolation is the same
+    * `percentile` linear rule DuckDB's quantile_cont uses, so the band
+    * edges agree across engines (cf. robustScaleBy / q158).
+    */
+  def winsorizeBy(
+      df: DataFrame, column: String, idCol: String, groupCol: String): DataFrame = {
+    val g = col(groupCol)
+    val stats = df.groupBy(g)
+      .agg(percentile(col(column), typedlit(Seq(0.05, 0.95))).as("__q"))
+      .select(g, element_at(col("__q"), 1).as("p05"),
+        element_at(col("__q"), 2).as("p95"))
+    df.select(col(idCol), g, col(column))
+      .join(broadcast(stats), Seq(groupCol))
+      .select(col(idCol), g, col(column),
+        round(greatest(least(col(column).cast("double"), col("p95")), col("p05")), 6)
+          .as("winsorized"),
+        (col(column).cast("double") < col("p05")).as("clipped_lo"),
+        (col(column).cast("double") > col("p95")).as("clipped_hi"))
+  }
+
   /** Per-group simple linear regression (OLS y on x) as exact integers:
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), reported with the
     * intercept as 2²⁰ fixed-point floor quotients computed entirely in

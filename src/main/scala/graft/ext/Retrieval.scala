@@ -58,4 +58,42 @@ object Retrieval {
       .orderBy(col("score_num").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of the lexical tf-idf ranking with a quality
+    * ranking, over the query's candidate set: each candidate document gets
+    * rrf = ⌊2²⁰/(60 + r_lex)⌋ + ⌊2²⁰/(60 + r_qual)⌋ and the top-k by
+    * fused score wins. RRF is the standard way to combine rankings on
+    * incomparable scales (tf-idf sums vs quality fractions) — no score
+    * normalization, exact integers, and the 60-offset keeps any single
+    * ranking from dominating. The same fusion drops in unchanged for a
+    * lexical+vector hybrid: rank ANY second signal and add its term.
+    *
+    * Scale: ranks are windows over the CANDIDATE set (documents matching
+    * at least one query term), not the corpus — the term filter bounds
+    * the window input first. Final top-k is TakeOrderedAndProject.
+    */
+  def hybridTopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = searchTopK(docs, queryTerms, Int.MaxValue, textCol, idCol)
+      .select(col("doc_id"), col("score_num"))
+    val qual = TextAnalysis.withQualityMetrics(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        floor(col("quality_score") * 1048576.0).cast("long").as("q_fp"))
+    val fused = lex.join(qual, Seq("doc_id"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score_num").desc, col("doc_id").asc)))
+      .withColumn("r_qual", row_number().over(
+        Window.orderBy(col("q_fp").desc, col("doc_id").asc)))
+      .withColumn("rrf_fp",
+        ExactMath.floorDiv(lit(1048576L), col("r_lex") + 60L) +
+          ExactMath.floorDiv(lit(1048576L), col("r_qual") + 60L))
+    fused
+      .select(col("doc_id"), col("score_num"), col("q_fp"),
+        col("r_lex").cast("long").as("r_lex"),
+        col("r_qual").cast("long").as("r_qual"), col("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -172,6 +172,34 @@ object TextAnalysis {
           .as("oov_fp"))
   }
 
+  /** Readability profile per document, all-integer: word count, sentence
+    * count (runs of `.!?`, floored at 1), syllable estimate (runs of
+    * vowels incl. y — the standard cheap proxy), and a Flesch–Kincaid-
+    * style grade in milli-units:
+    *
+    *   fk_milli = ⌊390·words/sentences⌋ + ⌊11800·syllables/words⌋ − 15590
+    *
+    * (each term floored independently — defined that way on both engine
+    * sides, so the score is exact and portable; regexes stay in the
+    * Java∩RE2 subset). Screens for run-on machine-generated text (huge
+    * words/sentence) and letter-soup junk (syllable rate far from
+    * English's ~1.4/word).
+    *
+    * Scale: map-only — three regex counters per row, no shuffle at all.
+    */
+  def readability(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = size(split(col(textCol), " ")).cast("long")
+    val sentences = greatest(regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    docs.select(col(idCol),
+        words.as("n_words"), sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("fk_milli",
+        (ExactMath.floorDiv(col("n_words") * 390L, col("n_sentences")) +
+          ExactMath.floorDiv(col("n_syllables") * 11800L, greatest(col("n_words"), lit(1L))) -
+          15590L).cast("long"))
+  }
+
   /** Content fingerprint: digest of the casefolded, alphanumeric-only text —
     * robust to whitespace/punctuation edits (the "rolling hash" document
     * fingerprint, portable across engines via md5).

@@ -270,4 +270,20 @@ class ProfilerSpec extends SparkSpec {
     assert(out(3L) === ((5L, 100L)))
     assert(out(4L) === ((6L, 200L)))
   }
+
+  test("winsorizeBy: clamps to the per-group [p05, p95] band with clip flags") {
+    import spark.implicits._
+    // group a: 1..100 -> p05 = 5.95, p95 = 95.05 (linear interpolation)
+    val df = (1 to 100).map(i => (i.toLong, "a", i.toLong)).toDF("id", "grp", "v")
+    val out = Profiler.winsorizeBy(df, "v", "id", "grp").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("winsorized"), r.getAs[Boolean]("clipped_lo"), r.getAs[Boolean]("clipped_hi")))).toMap
+    assert(out(1L) === ((5.95, true, false)))
+    assert(out(3L) === ((5.95, true, false)))
+    assert(out(50L) === ((50.0, false, false)))
+    assert(out(100L) === ((95.05, false, true)))
+    assert(out.values.count(_._2) === 5)  // exactly v=1..5 clip low
+    assert(out.values.count(_._3) === 5)  // exactly v=96..100 clip high
+  }
+
 }

@@ -264,4 +264,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1L, 1048576L / 3L)))
     assert(out(3L) === ((3L, 2L, 2L * 1048576L / 3L)))
   }
+
+  test("readability: vowel-run syllables, sentence floor, exact fk_milli") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat. it sat well!"),     // 6 words, 2 sentences, 6 syllable runs
+      (2L, "no punctuation here at all")     // sentences floors at 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_syllables"), r.getAs[Long]("fk_milli")))).toMap
+    // doc1: words 6 ("the","cat","sat.","it","sat","well!"), sents 2,
+    // syllables: e,a,a,i,a,e -> 6 runs
+    val fk1 = (6L * 390L) / 2L + (6L * 11800L) / 6L - 15590L
+    assert(out(1L) === ((6L, 2L, 6L, fk1)))
+    // doc2: 5 words, 1 sentence (floor), syllables o,u,ua,io,e,e,a,a -> count runs:
+    // "no"(o) "punctuation"(u,ua,io) "here"(e,e) "at"(a) "all"(a) = 8
+    val fk2 = (5L * 390L) / 1L + (8L * 11800L) / 5L - 15590L
+    assert(out(2L) === ((5L, 1L, 8L, fk2)))
+  }
+
 }
