@@ -1426,6 +1426,24 @@ object SparkEntry {
     "q170_readability" -> { (s, dir) =>
       graft.ext.TextAnalysis.readability(Tables.documents(s, dir))
     },
+    // Bigram LM plausibility (E131): log-free perplexity-proxy fluency
+    // score — mean 2²⁰-fp transition probability under the corpus' own
+    // bigram model. Counts joined at vocabulary scale, never raw tokens.
+    "q171_lm_score" -> { (s, dir) =>
+      graft.ext.TextAnalysis.lmPlausibility(Tables.documents(s, dir))
+    },
+    // Contrastive pairs (E132): near-dup positives + hash-adjacent
+    // negatives (accidental dups anti-joined away) — the (a, b, label)
+    // training set for similarity models, deterministic end to end.
+    "q172_contrastive_pairs" -> { (s, dir) =>
+      graft.ext.Sampling.contrastivePairs(Tables.documents(s, dir), minJaccard = 0.5)
+    },
+    // Gram matrix (E133): upper-triangle Σ qqᵀ over 2¹⁰-quantized
+    // embeddings via a mergeable Aggregator — one buffer per map task
+    // shuffles, not dim²·n exploded rows.
+    "q173_gram_matrix" -> { (s, dir) =>
+      graft.ext.EmbeddingStats.gramProfile(Tables.embeddings(s, dir), dim = 64)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4068,6 +4086,51 @@ object SparkEntry {
         |       CAST((w * 390) // s + (y * 11800) // GREATEST(w, 1) - 15590
         |            AS BIGINT) AS fk_milli
         |FROM b""".stripMargin,
+    "q171_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |u AS (SELECT unnest(l) AS tok FROM t),
+        |uc AS (SELECT tok, COUNT(*) AS cu FROM u GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(l)),
+        |                                   i -> l[i] || ' ' || l[i+1])) AS gram
+        |      FROM t WHERE len(l) >= 2),
+        |bc AS (SELECT gram, COUNT(*) AS cb FROM b GROUP BY 1),
+        |bp AS (SELECT gram, (cb * 1048576) // cu AS p_fp
+        |       FROM bc JOIN uc ON string_split(gram, ' ')[1] = tok),
+        |db AS (SELECT doc_id, gram, COUNT(*) AS k FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(k * p_fp) // SUM(k) AS BIGINT) AS lm_fp
+        |FROM db JOIN bp USING (gram) GROUP BY doc_id""".stripMargin,
+    "q172_contrastive_pairs" -> {
+      val h = dkHash("CAST(doc_id AS VARCHAR)", 7)
+      s"""WITH np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+         |pos AS (SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b,
+         |               1 AS label FROM np),
+         |r AS (SELECT doc_id,
+         |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn,
+         |        LEAD(doc_id) OVER (PARTITION BY source ORDER BY $h, doc_id) AS mate
+         |      FROM documents),
+         |neg AS (SELECT LEAST(doc_id, mate) AS id_a, GREATEST(doc_id, mate) AS id_b,
+         |               0 AS label
+         |        FROM r WHERE rn % 2 = 1 AND mate IS NOT NULL),
+         |negf AS (SELECT n.* FROM neg n
+         |         WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |                           WHERE p.id_a = n.id_a AND p.id_b = n.id_b))
+         |SELECT * FROM pos UNION ALL SELECT * FROM negf""".stripMargin
+    },
+    "q173_gram_matrix" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+        |SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+        |       CAST(n_vecs AS BIGINT) AS n_vecs,
+        |       CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS g_sum
+        |FROM q CROSS JOIN generate_series(1, 64) gi(i)
+        |       CROSS JOIN generate_series(1, 64) gj(j)
+        |       CROSS JOIN n
+        |WHERE gj.j >= gi.i
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -58,6 +58,26 @@ object EmbeddingStats {
     * position — map-side combined; output is dim rows regardless of corpus
     * size.
     */
+  /** Upper-triangle Gram matrix of the (2¹⁰-quantized) embedding corpus as
+    * (i, j, n_vecs, g_sum) rows — see [[graft.functions.GramMatrix]] for
+    * why this is an Aggregator and what the numbers diagnose. The flat
+    * buffer index is decoded to (i, j) through a broadcast dim²-row
+    * mapping, not arithmetic, so the layout lives in exactly one place.
+    */
+  def gramProfile(
+      corpus: DataFrame, dim: Int = 64, vecCol: String = "embedding"): DataFrame = {
+    val ses = corpus.sparkSession
+    import ses.implicits._
+    val mapping = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+      .zipWithIndex.map { case ((i, j), t) => (t, i, j) }
+      .toDF("pos", "i", "j")
+    corpus
+      .agg(graft.functions.GramMatrix.gram(dim)(col(vecCol)).as("g"))
+      .select(col("g.n").as("n_vecs"), posexplode(col("g.sums")).as(Seq("pos", "g_sum")))
+      .join(broadcast(mapping), Seq("pos"))
+      .select(col("i"), col("j"), col("n_vecs"), col("g_sum"))
+  }
+
   def dimensionProfile(
       corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
     corpus

@@ -320,6 +320,40 @@ object Sampling {
       .withColumn("leaks", col("split_a") =!= col("split_b"))
   }
 
+  /** Contrastive training pairs from the corpus itself: positives are the
+    * verified near-duplicate pairs (LSH candidates + exact Jaccard ≥
+    * `minJaccard` — real paraphrase/boilerplate variation), negatives are
+    * deterministic hash-adjacent pairings (per group, rows ordered by
+    * stable hash and mated odd→even — an unbiased "random pair" that is
+    * reproducible across engines and runs), with any accidental near-dup
+    * anti-joined out of the negative set. The output (id_a, id_b, label)
+    * feeds embedding/similarity-model training directly.
+    *
+    * Scale: positives are candidate-scoped (never O(n²)); negatives are
+    * one per-group window plus an anti-join against the (small) positive
+    * set. Pairs are least/greatest-normalized.
+    */
+  def contrastivePairs(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source", minJaccard: Double = 0.5,
+      seed: Int = 7): DataFrame = {
+    val pos = Dedup.nearDuplicates(docs, textCol, idCol, minJaccard)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .withColumn("label", lit(1))
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.stableHash(col(idCol).cast("string"), seed).asc, col(idCol).asc)
+    val neg = docs.select(col(idCol), col(groupCol))
+      .withColumn("__rn", row_number().over(order))
+      .withColumn("__mate", lead(col(idCol), 1).over(order))
+      .filter(col("__rn") % 2 === 1 && col("__mate").isNotNull)
+      .select(least(col(idCol), col("__mate")).as("id_a"),
+        greatest(col(idCol), col("__mate")).as("id_b"))
+      .join(pos.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .withColumn("label", lit(0))
+    pos.select("id_a", "id_b", "label").unionByName(neg)
+  }
+
   /** Exact-count per-group split: within each group, rows are ordered by
     * (stable hash, id) and the first ⌊n_g·trainPct/100⌋ become train, the
     * next slice val, the rest test — [[hashSplit]]'s proportions are only

@@ -172,6 +172,45 @@ object TextAnalysis {
           .as("oov_fp"))
   }
 
+  /** Bigram language-model plausibility — the log-free stand-in for
+    * perplexity filtering (the CCNet/KenLM trick of scoring documents by
+    * how well a corpus LM predicts them, used to rank crawl text by
+    * fluency): the corpus' own bigram model assigns every transition
+    * w₁→w₂ a probability c(w₁w₂)/c(w₁), and each document scores the MEAN
+    * transition probability over its bigram occurrences, as exact 2²⁰
+    * fixed-point integers (⌊2²⁰·c_b/c_u⌋ per bigram, floor-averaged).
+    * Low scores mark disfluent/shuffled/foreign text. No logs, no floats.
+    *
+    * Scale: two corpus-vocabulary count aggregations (map-side combined);
+    * the per-bigram probability joins unigram counts at vocabulary scale;
+    * documents then join the |bigram-vocab| table and aggregate — the
+    * shuffle carries (doc, distinct-bigram) count rows, never raw tokens.
+    * Documents with fewer than 2 tokens have no transitions and are
+    * absent by definition.
+    */
+  def lmPlausibility(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ses = docs.sparkSession
+    def grams(n: Int) =
+      explode(graft.functions.TextNativeFunctions.ngrams(ses, lower(col(textCol)), n))
+    val uni = docs.select(grams(1).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val biProb = docs.select(grams(2).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cb"))
+      .join(uni, element_at(split(col("gram"), " "), 1) === col("tok"))
+      .select(col("gram"),
+        ExactMath.floorDiv(col("cb") * lit(1048576L), col("cu")).as("p_fp"))
+    docs.select(col(idCol), grams(2).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("k"))
+      .join(biProb, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).cast("long").as("n_bigrams"),
+        sum(col("k") * col("p_fp")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        ExactMath.floorDiv(col("__s"), col("n_bigrams")).as("lm_fp"))
+  }
+
   /** Readability profile per document, all-integer: word count, sentence
     * count (runs of `.!?`, floored at 1), syllable estimate (runs of
     * vowels incl. y — the standard cheap proxy), and a Flesch–Kincaid-

@@ -245,4 +245,26 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"), r.getAs[String]("split")))
     assert(out.toSet === again.toSet)
   }
+
+  test("contrastivePairs: near-dup positives, disjoint deterministic negatives") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val docs = (
+      Seq((1L, base + " extra", "s1"), (2L, base + " extra indeed", "s1")) ++ // near-dup pair
+      (3 to 12).map(i => (i.toLong, s"totally unrelated document number $i about topic-$i with words-$i", "s1"))
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.contrastivePairs(docs, minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("label")))
+    val pos = out.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    val neg = out.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(pos === Set((1L, 2L)))
+    // negatives: 12 docs -> 6 hash-adjacent pairs, minus any accidental positive
+    assert(neg.size >= 5 && neg.size <= 6)
+    assert(neg.intersect(pos).isEmpty)
+    assert(neg.forall { case (a, b) => a < b })
+    // deterministic across partitionings
+    val again = Sampling.contrastivePairs(docs.repartition(5), minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("label"))).toSet
+    assert(again === out.toSet)
+  }
 }
