@@ -1444,6 +1444,23 @@ object SparkEntry {
     "q173_gram_matrix" -> { (s, dir) =>
       graft.ext.EmbeddingStats.gramProfile(Tables.embeddings(s, dir), dim = 64)
     },
+    // Source modularity (E134): does duplication stay inside feeds?
+    // Exact integer modularity contributions of the source partition over
+    // the near-dup graph (4m·e_in − d_sum² per source).
+    "q174_source_modularity" -> { (s, dir) =>
+      graft.ext.GraphStats.sourceModularity(Tables.documents(s, dir), minJaccard = 0.5)
+    },
+    // Balance weights (E135): inverse-frequency resampling weights over
+    // (lang × source) cells, capped at 10× — equal-cell training mix.
+    "q175_balance_weights" -> { (s, dir) =>
+      graft.ext.Sampling.balanceWeights(Tables.documents(s, dir), Seq("lang", "source"))
+    },
+    // Path plausibility (E136): per-session mean Markov transition
+    // probability (2²⁰ fp) under the corpus' own session model — the
+    // behavioral twin of q171's text LM score.
+    "q176_path_score" -> { (s, dir) =>
+      graft.ops.Funnel.pathPlausibility(Tables.events(s, dir), gapMinutes = 30)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4131,6 +4148,64 @@ object SparkEntry {
         |       CROSS JOIN n
         |WHERE gj.j >= gi.i
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q174_source_modularity" ->
+      s"""WITH np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+         |sm AS (SELECT doc_id, source FROM documents),
+         |e AS (SELECT id_a, id_b, a.source AS src_a, b.source AS src_b
+         |      FROM np JOIN sm a ON a.doc_id = id_a JOIN sm b ON b.doc_id = id_b),
+         |mm AS (SELECT COUNT(*) AS m FROM e),
+         |ei AS (SELECT src_a AS source, COUNT(*) AS e_in FROM e
+         |       WHERE src_a = src_b GROUP BY 1),
+         |dg AS (SELECT id, COUNT(*) AS deg FROM (
+         |         SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+         |       GROUP BY 1),
+         |ds AS (SELECT source, COUNT(*) AS n_nodes, SUM(deg) AS d_sum
+         |       FROM dg JOIN sm ON doc_id = id GROUP BY 1),
+         |f AS (SELECT ds.source, n_nodes, COALESCE(e_in, 0) AS e_in, d_sum, m
+         |      FROM ds LEFT JOIN ei ON ds.source = ei.source CROSS JOIN mm)
+         |SELECT source, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(e_in AS BIGINT) AS e_in, CAST(d_sum AS BIGINT) AS d_sum,
+         |       CAST(m AS BIGINT) AS m,
+         |       CAST(4 * m * e_in - d_sum * d_sum AS BIGINT) AS contrib_num,
+         |       CAST(CASE WHEN m = 0 THEN 0
+         |                 ELSE ${dkFloorDiv("(4 * m * e_in - d_sum * d_sum) * 1048576", "4 * m * m")}
+         |            END AS BIGINT) AS contrib_fp
+         |FROM f""".stripMargin,
+    "q175_balance_weights" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS n_total, COUNT(*) AS k_cells FROM c)
+        |SELECT lang, source, CAST(n AS BIGINT) AS n,
+        |       CAST(n_total AS BIGINT) AS n_total, k_cells,
+        |       CAST((n_total * 1048576) // (n * k_cells) AS BIGINT) AS w_fp,
+        |       CAST(LEAST((n_total * 1048576) // (n * k_cells), 10485760)
+        |            AS BIGINT) AS w_capped_fp
+        |FROM c CROSS JOIN t""".stripMargin,
+    "q176_path_score" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+        |w AS (SELECT *,
+        |        CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |                  OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |                     > 1800000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, event_type, tus,
+        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM w),
+        |st AS (SELECT user_id, session_idx, event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id, session_idx
+        |                                ORDER BY tus, event_id) AS to_type
+        |       FROM s),
+        |sf AS (SELECT * FROM st WHERE to_type IS NOT NULL),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM sf GROUP BY 1, 2),
+        |cf AS (SELECT *, SUM(n) OVER (PARTITION BY from_type) AS n_from FROM c),
+        |p AS (SELECT from_type, to_type, (n * 1048576) // n_from AS p_fp FROM cf)
+        |SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |       CAST(SUM(p_fp) // COUNT(*) AS BIGINT) AS path_fp
+        |FROM sf JOIN p USING (from_type, to_type)
+        |GROUP BY 1, 2""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -129,4 +129,44 @@ object GraphStats {
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Modularity of the SOURCE partition over the near-duplicate graph:
+    * per source c, e_in edges inside it, d_sum its degree mass, and the
+    * exact integer modularity contribution 4m·e_in − d_sum² (the classic
+    * e_c/m − (d_c/2m)² scaled by 4m², so no floats), plus its 2²⁰
+    * fixed-point value. High total modularity = duplication stays inside
+    * feeds (dedup per-source is enough); low/negative = feeds copy EACH
+    * OTHER and cross-source dedup is mandatory — the structural version of
+    * Dedup.dupSourceMatrix's pair counts.
+    *
+    * Scale: edges are LSH-candidate-scoped near-dup pairs (never O(n²));
+    * everything after is |sources|- and |nodes|-bounded aggregation.
+    */
+  def sourceModularity(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = Dedup.nearDuplicates(docs, minJaccard = minJaccard)
+      .select("id_a", "id_b")
+    val src = docs.select(col("doc_id").as("id"), col("source"))
+    val e = pairs
+      .join(src.select(col("id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val eIn = e.filter(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source")).agg(count(lit(1)).as("e_in"))
+    val bySource = e.select(col("id_a").as("id"))
+      .unionAll(e.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(src, Seq("id"))
+      .groupBy("source").agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+    val num = col("e_in") * 4L * col("m") - col("d_sum") * col("d_sum")
+    bySource.join(eIn, Seq("source"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .select(col("source"), col("n_nodes"),
+        col("e_in").cast("long").as("e_in"), col("d_sum").cast("long").as("d_sum"),
+        col("m").cast("long").as("m"), num.cast("long").as("contrib_num"),
+        when(col("m") === 0L, 0L)
+          .otherwise(graft.ext.ExactMath.floorDiv(
+            num * lit(1048576L), col("m") * col("m") * 4L))
+          .cast("long").as("contrib_fp"))
+  }
 }

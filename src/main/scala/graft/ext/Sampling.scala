@@ -320,6 +320,31 @@ object Sampling {
       .withColumn("leaks", col("split_a") =!= col("split_b"))
   }
 
+  /** Class-balancing resampling weights over the cells of a grouping (all
+    * `cellCols` combinations present in the data): w = N/(n_cell·K) as a
+    * 2²⁰ fixed-point integer — sampling with these weights makes every
+    * cell contribute equal mass (the inverse-frequency reweighting used to
+    * stop a head language/source from owning the training mix). A capped
+    * variant (≤ 10×) bounds how hard any tiny tail cell can be
+    * upsampled — unbounded inverse weights turn single-digit cells into
+    * noise amplifiers. Rows with a null cell key are excluded.
+    *
+    * Scale: one map-side-combined cell count (K rows) cross-joined with
+    * the 1-row total — the corpus is scanned once.
+    */
+  def balanceWeights(df: DataFrame, cellCols: Seq[String]): DataFrame = {
+    require(cellCols.nonEmpty, "need at least one cell column")
+    val cells = df.filter(cellCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(cellCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(
+      sum(col("n")).cast("long").as("n_total"), count(lit(1)).as("k_cells"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("w_fp", ExactMath.floorDiv(
+        col("n_total").cast("decimal(38,0)") * lit(1048576L),
+        col("n") * col("k_cells")))
+      .withColumn("w_capped_fp", least(col("w_fp"), lit(10L * 1048576L)))
+  }
+
   /** Contrastive training pairs from the corpus itself: positives are the
     * verified near-duplicate pairs (LSH candidates + exact Jaccard ≥
     * `minJaccard` — real paraphrase/boilerplate variation), negatives are

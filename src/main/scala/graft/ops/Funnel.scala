@@ -103,4 +103,38 @@ object Funnel {
       .withColumn("prob", col("n").cast("double") / col("n_from").cast("double"))
       .select("from_type", "to_type", "n", "n_from", "prob")
   }
+
+  /** Per-session path plausibility under the corpus' own session-level
+    * Markov model — [[transitionMatrix]] turned into a detector: every
+    * within-session transition a→b gets ⌊2²⁰·c(a→b)/c(a→*)⌋ and a session
+    * scores the floor-mean over its transitions. Low scores are
+    * improbable journeys (bots, broken instrumentation, attack scripts);
+    * the same integer-fixed-point discipline as TextAnalysis'
+    * lmPlausibility, over behavior instead of text. Single-event sessions
+    * have no transitions and are absent by definition.
+    *
+    * Scale: sessionization's one shuffle on user, a K×K transition table
+    * (broadcast back), and a per-session aggregate — the transition
+    * stream never re-shuffles beyond the session key.
+    */
+  def pathPlausibility(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sess = graft.streaming.Sessions.withSessionIds(events, gapMinutes)
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val steps = sess
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("session_idx"),
+        col("event_type").as("from_type"), col("to_type"))
+    val probs = steps.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"),
+        graft.ext.ExactMath.floorDiv(col("n") * lit(1048576L), col("n_from")).as("p_fp"))
+    steps.join(broadcast(probs), Seq("from_type", "to_type"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_trans"), sum(col("p_fp")).as("__s"))
+      .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
+        col("n_trans"),
+        graft.ext.ExactMath.floorDiv(col("__s"), col("n_trans")).as("path_fp"))
+  }
 }

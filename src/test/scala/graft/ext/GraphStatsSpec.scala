@@ -97,4 +97,31 @@ class GraphStatsSpec extends SparkSpec {
     assert(fwd === rev)
     assert(fwd === refPageRank(edges, 3))
   }
+
+  test("sourceModularity: hand-computed contributions, cross-source edges penalize") {
+    import spark.implicits._
+    val baseA = "the quick brown fox jumps over the lazy dog near the river today again"
+    val baseB = "pack my box with five dozen liquor jugs while the band plays on stage"
+    // near-dup pairs by construction: (1,2) within s1, (3,4) ACROSS s1/s2
+    val docs = Seq(
+      (1L, baseA + " one", "s1"), (2L, baseA + " one really", "s1"),
+      (3L, baseB + " two", "s1"), (4L, baseB + " two indeed", "s2"),
+      (5L, "completely different text about unrelated matters entirely", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = GraphStats.sourceModularity(docs, minJaccard = 0.5).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // m = 2 edges; s1: e_in=1, nodes {1,2,3} degrees 1,1,1 → d_sum 3
+    // s2: e_in=0, node {4} degree 1 → d_sum 1
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("m") === 2L)
+    assert(s1.getAs[Long]("e_in") === 1L)
+    assert(s1.getAs[Long]("d_sum") === 3L)
+    assert(s1.getAs[Long]("contrib_num") === 4L * 2 * 1 - 9L) // -1
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("e_in") === 0L)
+    assert(s2.getAs[Long]("d_sum") === 1L)
+    assert(s2.getAs[Long]("contrib_num") === -1L)
+    // floor division toward -∞ on the negative numerator: -2^20/16 = -65536
+    assert(s1.getAs[Long]("contrib_fp") === -65536L)
+  }
 }

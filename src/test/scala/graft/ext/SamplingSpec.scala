@@ -246,6 +246,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSet === again.toSet)
   }
 
+  test("balanceWeights: inverse-frequency cell weights, cap binds on tiny cells") {
+    import spark.implicits._
+    // cells: (en,a)=8, (en,b)=4, (fr,a)=2 → N=14, K=3
+    val df = (Seq.fill(8)(("en", "a")) ++ Seq.fill(4)(("en", "b")) ++ Seq.fill(2)(("fr", "a")))
+      .toDF("lang", "source")
+    val out = Sampling.balanceWeights(df, Seq("lang", "source")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("w_fp"), r.getAs[Long]("w_capped_fp")))).toMap
+    assert(out(("en", "a")) === ((14L * 1048576L / 24L, 14L * 1048576L / 24L)))
+    assert(out(("en", "b")) === ((14L * 1048576L / 12L, 14L * 1048576L / 12L)))
+    assert(out(("fr", "a")) === ((14L * 1048576L / 6L, 14L * 1048576L / 6L)))
+    // a 1-row cell in a big corpus hits the 10× cap
+    val skew = (Seq.fill(199)(("en", "a")) ++ Seq(("xx", "z"))).toDF("lang", "source")
+    val capped = Sampling.balanceWeights(skew, Seq("lang", "source")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("w_capped_fp")).toMap
+    assert(capped("xx") === 10L * 1048576L)   // raw would be 100×
+    assert(capped("en") < 1048576L)           // head cell downweighted
+  }
+
   test("contrastivePairs: near-dup positives, disjoint deterministic negatives") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the riverbank today"

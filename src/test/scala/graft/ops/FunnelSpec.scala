@@ -73,4 +73,34 @@ class FunnelSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getDouble(4))).toMap
     assert(fromX === Map("y" -> 0.5, "z" -> 0.5))
   }
+
+  test("pathPlausibility: common paths outscore rare ones, exact fp means") {
+    import spark.implicits._
+    def ns(min: Long) = (min + 1) * 60L * 1000000000L
+    // 3 single-session users: two walk a→b, one walks a→c
+    val events = Seq(
+      (1L, 1L, ns(0), "a"), (2L, 1L, ns(1), "b"),
+      (3L, 2L, ns(0), "a"), (4L, 2L, ns(1), "b"),
+      (5L, 3L, ns(0), "a"), (6L, 3L, ns(1), "c"),
+      (7L, 4L, ns(0), "solo") // single event — no transitions, absent
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Funnel.pathPlausibility(events, gapMinutes = 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("n_trans"), r.getAs[Long]("path_fp")))).toMap
+    // c(a→b)=2, c(a→c)=1, c(a→*)=3
+    val pAB = 2L * 1048576L / 3L
+    val pAC = 1048576L / 3L
+    assert(out((1L, 1L)) === ((1L, pAB)))
+    assert(out((2L, 1L)) === ((1L, pAB)))
+    assert(out((3L, 1L)) === ((1L, pAC)))
+    assert(!out.keySet.exists(_._1 == 4L))
+    // a session split by a >30min gap scores its halves independently
+    val gapped = Seq(
+      (1L, 9L, ns(0), "a"), (2L, 9L, ns(1), "b"),
+      (3L, 9L, ns(60), "a"), (4L, 9L, ns(61), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val g = Funnel.pathPlausibility(gapped, gapMinutes = 30).collect()
+    assert(g.length === 2)
+    assert(g.forall(_.getAs[Long]("n_trans") === 1L))
+  }
 }
