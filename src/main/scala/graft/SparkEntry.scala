@@ -1461,6 +1461,23 @@ object SparkEntry {
     "q176_path_score" -> { (s, dir) =>
       graft.ops.Funnel.pathPlausibility(Tables.events(s, dir), gapMinutes = 30)
     },
+    // Exact set-similarity join (E137): PPJoin-style rare-first prefix
+    // filter, candidate-scoped verify, cross-multiplied threshold —
+    // guaranteed-complete Jaccard ≥ 0.6 pairs (vs LSH's probable ones).
+    "q177_setsim_join" -> { (s, dir) =>
+      graft.ext.FuzzyJoin.setSimJoin(Tables.documents(s, dir), tNum = 3, tDen = 5)
+    },
+    // SimHash near-dup join (E138): 4×15-bit banded candidates + exact
+    // Hamming ≤ 3 verify — complete by pigeonhole, zero probability.
+    "q178_simhash_neardup" -> { (s, dir) =>
+      graft.ext.Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3)
+    },
+    // Distinctive terms (E139): per-source top-5 tokens by smoothed
+    // rate-ratio (2²⁰ fp, no logs) — the "what makes this feed different"
+    // report.
+    "q179_distinctive_terms" -> { (s, dir) =>
+      graft.ext.TextAnalysis.distinctiveTerms(Tables.documents(s, dir), "source", k = 5)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4206,6 +4223,54 @@ object SparkEntry {
         |       CAST(SUM(p_fp) // COUNT(*) AS BIGINT) AS path_fp
         |FROM sf JOIN p USING (from_type, to_type)
         |GROUP BY 1, 2""".stripMargin,
+    "q177_setsim_join" ->
+      """WITH s AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |           FROM documents),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |       CAST((inter * 1048576) // (na.n + nb.n - inter) AS BIGINT) AS jac_fp
+        |FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |WHERE inter * 5 >= 3 * (na.n + nb.n - inter)""".stripMargin,
+    "q178_simhash_neardup" -> {
+      val sums = (0 until 60)
+        .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val bits = (0 until 60)
+        .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+         |           FROM documents),
+         |h AS (SELECT doc_id, ${dkHash("tok", 0)} AS hv FROM t),
+         |sm AS (SELECT doc_id,
+         |    $sums
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $bits AS simhash FROM sm)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    },
+    "q179_distinctive_terms" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents),
+        |cg AS (SELECT source, term, COUNT(*) AS c_g FROM t GROUP BY 1, 2),
+        |ct AS (SELECT term, SUM(c_g) AS c_tot FROM cg GROUP BY 1),
+        |tg AS (SELECT source, SUM(c_g) AS t_g FROM cg GROUP BY 1),
+        |tot AS (SELECT SUM(c_tot) AS t_all, COUNT(*) AS v FROM ct),
+        |sc AS (SELECT cg.source, cg.term, c_g,
+        |         ((c_g + 1) * (t_all - t_g + v) * 1048576)
+        |           // ((c_tot - c_g + 1) * (t_g + v)) AS score_fp
+        |       FROM cg JOIN ct USING (term) JOIN tg USING (source) CROSS JOIN tot),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                                   ORDER BY score_fp DESC, term ASC) AS rank
+        |      FROM sc)
+        |SELECT source, term, CAST(c_g AS BIGINT) AS c_g,
+        |       CAST(score_fp AS BIGINT) AS score_fp, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -495,6 +495,42 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs within `maxHamming`, via banded LSH on the
+    * 60-bit signature: 4 disjoint 15-bit bands; candidates share at least
+    * one whole band; the exact Hamming check prunes the rest. For
+    * maxHamming ≤ 3 the banding is COMPLETE by pigeonhole — ≤ 3 flipped
+    * bits can corrupt at most 3 of the 4 bands, so one band always
+    * survives intact — making this an exact join, not an approximation
+    * (the structural twin of minhashCandidates' probabilistic bands).
+    *
+    * Scale: signatures are one aggregation ([[simhash]]); the candidate
+    * join keys on (band_idx, band_val) — 2¹⁵ values per band and growing
+    * occupancy with data, no parallelism cap; the verify computes one
+    * XOR+popcount per candidate pair.
+    */
+  def simhashNearDups(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x15-bit banding is only complete for maxHamming <= 3, got $maxHamming")
+    val sig = simhash(docs, textCol, idCol)
+    val bands = sig.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(0x7FFFL)): _*))
+        .as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
+      .distinct()
+      .withColumn("hamming", hammingDist(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Keep-best dedup — the training-pipeline step AFTER near-dup
     * clustering: one canonical document per cluster (highest `quality`,
     * smallest id as the deterministic tiebreak) plus the cluster size.

@@ -172,6 +172,49 @@ object TextAnalysis {
           .as("oov_fp"))
   }
 
+  /** Distinctive vocabulary per group: top-k terms by the add-one-smoothed
+    * rate ratio
+    *
+    *   score = ((c_g+1)/(T_g+V)) / ((c_rest+1)/(T_rest+V))
+    *
+    * as a 2²⁰ fixed-point integer (cross-multiplied — no logs, no
+    * division until the final floor quotient). The "what makes this feed
+    * different" report: high-score terms are over-represented in the
+    * group relative to everything else, with smoothing keeping one-off
+    * typos from scoring infinitely. Ties break by term asc.
+    *
+    * Scale: one token count per (group, term) — map-side combined — a
+    * |vocab|-row global count joined back, and a per-group top-k window
+    * over that group's vocabulary, never the corpus.
+    */
+  def distinctiveTerms(
+      docs: DataFrame, groupCol: String = "source", k: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    val toks = docs.select(g,
+      explode(graft.functions.TextNativeFunctions.ngrams(
+        docs.sparkSession, lower(col(textCol)), 1)).as("term"))
+    val cg = toks.groupBy(g, col("term")).agg(count(lit(1)).as("c_g"))
+    val ct = cg.groupBy("term").agg(sum(col("c_g")).as("c_tot"))
+    val tg = cg.groupBy(g).agg(sum(col("c_g")).as("t_g"))
+    val tot = ct.agg(sum(col("c_tot")).cast("long").as("t_all"),
+      count(lit(1)).as("v"))
+    val scored = cg.join(ct, Seq("term")).join(tg, Seq(groupCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("score_fp", ExactMath.floorDiv(
+        (col("c_g") + 1L).cast("decimal(19,0)") *
+          (col("t_all") - col("t_g") + col("v")).cast("decimal(19,0)") * 1048576L,
+        (col("c_tot") - col("c_g") + 1L).cast("decimal(19,0)") *
+          (col("t_g") + col("v")).cast("decimal(19,0)")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(g).orderBy(col("score_fp").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(g, col("term"), col("c_g").cast("long").as("c_g"),
+        col("score_fp"), col("rank").cast("long").as("rank"))
+  }
+
   /** Bigram language-model plausibility — the log-free stand-in for
     * perplexity filtering (the CCNet/KenLM trick of scoring documents by
     * how well a corpus LM predicts them, used to rank crawl text by

@@ -211,4 +211,33 @@ class DedupSpec extends SparkSpec {
     assert(out(("srcA", "srcC"))._1 === 0L, "disjoint vocabularies ⇒ no matching component")
     assert(out(("srcB", "srcC"))._1 === 0L)
   }
+
+  test("simhashNearDups: banding is complete — equals brute-force Hamming <= 3") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector.tabulate(25)(i => s"tok$i")
+    val shared = Vector.tabulate(30)(i => s"base$i").mkString(" ")
+    val docs = ((1 to 50).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      (101L, shared),                 // identical token sets → hamming 0
+      (102L, shared),
+      (103L, shared + " base0"),      // duplicate token — same SET, hamming 0
+      (104L, shared + " extraword")   // one extra token on a wide base → small hamming
+    )).toDF("doc_id", "text")
+
+    val got = Dedup.simhashNearDups(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture must produce close signatures")
+  }
 }

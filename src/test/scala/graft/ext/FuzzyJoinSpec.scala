@@ -89,4 +89,43 @@ class FuzzyJoinSpec extends SparkSpec {
     val (ls, rs) = (gen(40), gen(40))
     assert(runCross(ls, rs, 1) === bruteCross(ls, rs, 1))
   }
+
+  test("setSimJoin: prefix filter is lossless — equals brute-force Jaccard join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val docs = (1 to 60).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val got = FuzzyJoin.setSimJoin(docs, tNum = 3, tDen = 5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("jac_fp")))).toMap
+
+    // brute force over the same token sets
+    val sets = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = sets(a).size + sets(b).size - inter
+      if inter * 5 >= 3 * union
+    } yield (a, b) -> ((inter.toLong, inter.toLong * 1048576L / union))).toMap
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture must actually produce similar pairs")
+  }
+
+  test("setSimJoin: identical and disjoint docs behave at the extremes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),     // identical → jac_fp = 2^20
+      (3L, "epsilon zeta eta theta")      // disjoint → absent
+    ).toDF("doc_id", "text")
+    val out = FuzzyJoin.setSimJoin(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("id_a") === 1L && out.head.getAs[Long]("id_b") === 2L)
+    assert(out.head.getAs[Long]("jac_fp") === 1048576L)
+  }
 }

@@ -265,6 +265,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((3L, 2L, 2L * 1048576L / 3L)))
   }
 
+  test("distinctiveTerms: over-represented tokens rank first, smoothing bounds one-offs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "pizza pizza pizza pasta shared shared"),
+      ("s1", "pizza pasta shared"),
+      ("s2", "sushi sushi sushi ramen shared shared"),
+      ("s2", "sushi ramen shared")
+    ).toDF("source", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, "source", k = 3, "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank")) -> r.getAs[String]("term"))
+      .toMap
+    // each source's signature food words beat the shared vocabulary
+    assert(out(("s1", 1L)) === "pizza")
+    assert(out(("s2", 1L)) === "sushi")
+    assert(out(("s1", 2L)) === "pasta")
+    assert(out(("s2", 2L)) === "ramen")
+    // the shared token is never the most distinctive
+    assert(!Seq(out(("s1", 1L)), out(("s2", 1L))).contains("shared"))
+  }
+
   test("readability: vowel-run syllables, sentence floor, exact fk_milli") {
     import spark.implicits._
     val docs = Seq(
