@@ -1478,6 +1478,19 @@ object SparkEntry {
     "q179_distinctive_terms" -> { (s, dir) =>
       graft.ext.TextAnalysis.distinctiveTerms(Tables.documents(s, dir), "source", k = 5)
     },
+    // Systematic weighted sample (E140): token-weighted, RNG-free,
+    // Σ multiplicities = m exactly; two-level prefix sum (no global
+    // per-row sort).
+    "q180_systematic_sample" -> { (s, dir) =>
+      graft.ext.Sampling.systematicSample(
+        Tables.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")).cast("long"), m = 200L)
+    },
+    // KS drift (E141): per-source Kolmogorov–Smirnov distance vs the rest
+    // of the corpus over doc lengths — exact integer sup over jump points.
+    "q181_ks_drift" -> { (s, dir) =>
+      graft.ext.Drift.ksDrift(Tables.documents(s, dir), "n_chars", "source")
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4271,6 +4284,50 @@ object SparkEntry {
         |SELECT source, term, CAST(c_g AS BIGINT) AS c_g,
         |       CAST(score_fp AS BIGINT) AS score_fp, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+    "q180_systematic_sample" -> {
+      val h = dkHash("CAST(doc_id AS VARCHAR)", 9)
+      def g(x: String) =
+        s"LEAST(GREATEST(${dkFloorDiv(x + " - off", "stride")} + 1, 0), 200)"
+      s"""WITH b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |                  $h AS h
+         |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |o AS (SELECT *, SUM(w) OVER (ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+         |t AS (SELECT SUM(w) AS tw FROM b),
+         |p AS (SELECT doc_id, w, cum, tw // 200 AS stride, tw // 400 AS off
+         |      FROM o CROSS JOIN t)
+         |SELECT doc_id, w, CAST(cum AS BIGINT) AS cum,
+         |       CAST(${g("cum - 1")} - ${g("cum - w - 1")} AS BIGINT) AS n_copies
+         |FROM p
+         |WHERE ${g("cum - 1")} - ${g("cum - w - 1")} > 0""".stripMargin
+    },
+    "q181_ks_drift" ->
+      """WITH b AS (SELECT source, n_chars AS v FROM documents
+        |           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |c AS (SELECT source, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |vals AS (SELECT v, SUM(c) AS call,
+        |                SUM(SUM(c)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumall
+        |         FROM c GROUP BY v),
+        |grid AS (SELECT g.source, vals.v, vals.cumall, COALESCE(c.c, 0) AS c
+        |         FROM vals CROSS JOIN (SELECT DISTINCT source FROM c) g
+        |         LEFT JOIN c ON c.source = g.source AND c.v = vals.v),
+        |cg AS (SELECT *, SUM(c) OVER (PARTITION BY source ORDER BY v
+        |                              ROWS UNBOUNDED PRECEDING) AS cumg
+        |       FROM grid),
+        |ng AS (SELECT source, COUNT(*) AS n_g FROM b GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n FROM b),
+        |d AS (SELECT cg.source, n_g, n,
+        |             abs(cumg * (n - n_g) - (cumall - cumg) * n_g) AS diff
+        |      FROM cg JOIN ng ON cg.source = ng.source CROSS JOIN tt)
+        |SELECT source, CAST(MAX(n_g) AS BIGINT) AS n_g,
+        |       CAST(MAX(n) AS BIGINT) AS n_all,
+        |       CAST(MAX(diff) AS BIGINT) AS ks_num,
+        |       CAST(MAX(n_g) * (MAX(n) - MAX(n_g)) AS BIGINT) AS ks_den,
+        |       CAST(CASE WHEN MAX(n_g) * (MAX(n) - MAX(n_g)) = 0 THEN 0
+        |                 ELSE (MAX(diff) * 1048576)
+        |                        // (MAX(n_g) * (MAX(n) - MAX(n_g)))
+        |            END AS BIGINT) AS ks_fp
+        |FROM d GROUP BY source""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -282,4 +282,51 @@ object Drift {
       .select(col(keyCol), col(timeCol), col(valueCol),
         col("median"), col("mad"), col("is_anomaly"))
   }
+
+  /** Kolmogorov–Smirnov distance of each group's value distribution
+    * against the REST of the corpus, as exact integers: the KS statistic
+    * sup|F_g − F_rest| is attained at a jump point, so it is the max over
+    * distinct values of |cum_g·n_rest − cum_rest·n_g|, reported with the
+    * denominator n_g·n_rest and a 2²⁰ fixed-point quotient. KS sees shape
+    * differences TVD-on-buckets misses (a pure location shift moves every
+    * quantile but may leave bucket masses similar) — the
+    * complement of [[distributionDrift]]'s statistic.
+    *
+    * Scale: the evaluation grid is |distinct values| × |groups| (value
+    * distributions are low-cardinality relative to rows: lengths, scores,
+    * bucketed metrics — NOT raw ids); windows run per group over the
+    * grid, never over data rows.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    val base = df.select(g, col(valueCol).as("__v"))
+      .filter(g.isNotNull && col("__v").isNotNull)
+    val counts = base.groupBy(g, col("__v")).agg(count(lit(1)).as("__c"))
+    val groups = counts.select(g).distinct()
+    val vals = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__call"))
+      .withColumn("__cumall", sum(col("__call")).over(
+        Window.orderBy(col("__v").asc).rowsBetween(Window.unboundedPreceding, 0)))
+    val grid = vals.crossJoin(groups)
+      .join(counts, Seq(groupCol, "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cumg", sum(col("__c")).over(
+        Window.partitionBy(g).orderBy(col("__v").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val ng = base.groupBy(g).agg(count(lit(1)).as("n_g"))
+    val tot = base.agg(count(lit(1)).cast("long").as("__n"))
+    grid.join(broadcast(ng), Seq(groupCol)).crossJoin(broadcast(tot))
+      .withColumn("__diff", abs(
+        col("__cumg") * (col("__n") - col("n_g")) -
+          (col("__cumall") - col("__cumg")) * col("n_g")))
+      .groupBy(g)
+      .agg(max(col("n_g")).cast("long").as("n_g"),
+        max(col("__n")).cast("long").as("n_all"),
+        max(col("__diff")).cast("long").as("ks_num"))
+      .withColumn("ks_den", (col("n_g") * (col("n_all") - col("n_g"))).cast("long"))
+      .withColumn("ks_fp", when(col("ks_den") === 0L, 0L)
+        .otherwise(graft.ext.ExactMath.floorDiv(
+          col("ks_num") * lit(1048576L), col("ks_den")))
+        .cast("long"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -318,6 +318,53 @@ object Sampling {
         greatest(col("s_a"), col("s_b")).as("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("leaks", col("split_a") =!= col("split_b"))
+  }
+
+  /** Weighted systematic resampling, fully deterministic: rows are laid on
+    * a line in stable-hash order, each covering its weight in integer
+    * positions; m equally-spaced thresholds (stride ⌊W/m⌋, offset
+    * ⌊W/2m⌋) pick the sample, and a row's multiplicity is the exact count
+    * of thresholds inside its interval — the particle-filter/mixture-
+    * construction sampler (Σ multiplicities = m, rows with weight > stride
+    * can repeat, zero RNG state, identical on every engine).
+    *
+    * Scale: the prefix sum is two-level — 64 hash-range buckets compute
+    * local cumulative weights independently and a 64-row bucket-total
+    * prefix provides carry-ins (the same sweep discipline as
+    * ops.Concurrency) — so no global per-row window ever sorts the
+    * corpus in one task.
+    */
+  def systematicSample(
+      df: DataFrame, idCol: String, weight: Column, m: Long,
+      seed: Int = 9): DataFrame = {
+    require(m > 0, s"sample size must be positive, got $m")
+    val base = df.select(col(idCol), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("__h", Dedup.stableHash(col(idCol).cast("string"), seed))
+      .withColumn("__b", ExactMath.floorDiv(col("__h"), lit(1L << 54)))
+    val localW = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = base.withColumn("__lc", sum(col("w")).over(localW))
+    val carryW = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = base.groupBy(col("__b")).agg(sum(col("w")).as("__t"))
+      .withColumn("__carry", coalesce(sum(col("__t")).over(carryW), lit(0L)))
+      .drop("__t")
+    val tot = base.agg(sum(col("w")).cast("long").as("__tw"))
+    def thresholdsUpTo(x: Column, off: Column, stride: Column): Column =
+      least(greatest(ExactMath.floorDiv(x - off, stride) + 1L, lit(0L)), lit(m))
+    local.join(carries, Seq("__b"))
+      .withColumn("cum", col("__carry") + col("__lc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__stride", ExactMath.floorDiv(col("__tw"), lit(m)))
+      .withColumn("__off", ExactMath.floorDiv(col("__tw"), lit(2L * m)))
+      .withColumn("n_copies",
+        (thresholdsUpTo(col("cum") - 1L, col("__off"), col("__stride")) -
+          thresholdsUpTo(col("cum") - col("w") - 1L, col("__off"), col("__stride")))
+          .cast("long"))
+      .filter(col("n_copies") > 0L)
+      .select(col(idCol), col("w"), col("cum"), col("n_copies"))
   }
 
   /** Class-balancing resampling weights over the cells of a grouping (all

@@ -165,4 +165,44 @@ class DriftSpec extends SparkSpec {
     assert(out("gone") === (("old_only", "int"))) // union keeps it
     assert(out("fresh") === (("added", "double")))
   }
+
+  test("ksDrift: identical distribution scores 0, shifted distribution scores high") {
+    import spark.implicits._
+    // a and b identical; c shifted far right
+    val df = (
+      (1 to 50).map(i => ("a", (i % 10).toLong)) ++
+      (1 to 50).map(i => ("b", (i % 10).toLong)) ++
+      (1 to 50).map(i => ("c", 100L + (i % 10)))
+    ).toDF("src", "v")
+    val out = Drift.ksDrift(df, "v", "src").collect()
+      .map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("n_g"), r.getAs[Long]("ks_num"), r.getAs[Long]("ks_den"),
+          r.getAs[Long]("ks_fp")))).toMap
+    // c vs rest: complete separation → KS = 1 → ks_fp = 2^20
+    assert(out("c")._4 === 1048576L)
+    assert(out("c")._2 === out("c")._3)
+    // a vs rest (b identical, c disjoint): sup at v=9 where F_a=1, F_rest=1/2
+    // → |50·100 − 50·50| = 2500, den = 50·100 = 5000 → KS = 1/2
+    assert(out("a")._4 === 1048576L / 2L)
+    assert(out("a") === out("b"))
+  }
+
+  test("ksDrift: brute-force cross-check on an irregular fixture") {
+    import spark.implicits._
+    val rows = Seq(("x", 1L), ("x", 2L), ("x", 2L), ("x", 7L),
+      ("y", 2L), ("y", 5L), ("y", 5L), ("y", 9L), ("y", 9L))
+    val out = Drift.ksDrift(rows.toDF("src", "v"), "v", "src").collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Long]("ks_num")).toMap
+    // brute force: for each group, sup over all values of
+    // |cum_g·n_rest − cum_rest·n_g|
+    val all = rows.map(_._2)
+    for (g <- Seq("x", "y")) {
+      val mine = rows.filter(_._1 == g).map(_._2)
+      val rest = rows.filter(_._1 != g).map(_._2)
+      val sup = all.distinct.map { v =>
+        math.abs(mine.count(_ <= v).toLong * rest.size - rest.count(_ <= v).toLong * mine.size)
+      }.max
+      assert(out(g) === sup, s"group $g")
+    }
+  }
 }

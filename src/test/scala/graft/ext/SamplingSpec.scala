@@ -246,6 +246,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSet === again.toSet)
   }
 
+  test("systematicSample: multiplicities sum to m, heavy rows repeat, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 300).map(i => (i.toLong, 1L + rnd.nextInt(20).toLong))
+      .toDF("doc_id", "w")
+    val out = Sampling.systematicSample(df, "doc_id", col("w"), m = 40L).collect()
+    assert(out.map(_.getAs[Long]("n_copies")).sum === 40L)
+    assert(out.forall(_.getAs[Long]("n_copies") >= 1L))
+    // a single dominant row must be drawn multiple times
+    val skew = (Seq((999L, 10000L)) ++ (1 to 50).map(i => (i.toLong, 1L)))
+      .toDF("doc_id", "w")
+    val s = Sampling.systematicSample(skew, "doc_id", col("w"), m = 20L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(s(999L) >= 19L) // ~10000/10050 of the mass
+    assert(s.values.sum === 20L)
+    // deterministic across partitionings
+    val again = Sampling.systematicSample(df.repartition(17), "doc_id", col("w"), m = 40L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(again === out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toSet)
+  }
+
   test("balanceWeights: inverse-frequency cell weights, cap binds on tiny cells") {
     import spark.implicits._
     // cells: (en,a)=8, (en,b)=4, (fr,a)=2 → N=14, K=3
