@@ -1491,6 +1491,104 @@ object SparkEntry {
     "q181_ks_drift" -> { (s, dir) =>
       graft.ext.Drift.ksDrift(Tables.documents(s, dir), "n_chars", "source")
     },
+    // Code-likeness gate (E142): symbol-per-char + keyword-per-token
+    // densities as 2²⁰ fixed-point — the prose/code separator a curation
+    // pass runs before any length/stopword quality heuristic.
+    "q182_code_score" -> { (s, dir) =>
+      graft.ext.TextAnalysis.codeScore(Tables.documents(s, dir))
+    },
+    // Calibration report (E143): reliability diagram of the langid
+    // classifier — confidence = score_top/(score_top+score_second) in 2²⁰
+    // fp, correctness vs the gold `lang` column, 10 equal-width bins with
+    // exact integer ECE numerators.
+    "q183_calibration" -> { (s, dir) =>
+      import graft.ext.{ExactMath, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+      val preds = TextAnalysis.langConfusion(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val denom = col("score_top") + col("score_second")
+      val conf = when(denom > 0L,
+        ExactMath.floorDiv(col("score_top") * lit(1048576L), denom))
+        .otherwise(0L)
+      graft.ext.Labeling.calibrationReport(
+        preds, conf, col("lang_top") === col("lang"), bins = 10)
+    },
+    // Padding-efficiency report (E144): power-of-two length buckets with
+    // exact pad-waste accounting — the batching-granularity preflight for
+    // a training run.
+    "q184_padding_efficiency" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      graft.ops.Packing.paddingEfficiency(
+        Tables.documents(s, dir)
+          .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens")
+    },
+    // Cluster-quality silhouette (E145): per-cell simplified silhouette of
+    // the shared k-means quantizer — the gate run before trusting cells
+    // for SemDeDup / IVF / diverse selection.
+    "q185_silhouette" -> { (s, dir) =>
+      graft.ext.Similarity.silhouetteReport(Tables.embeddings(s, dir))
+    },
+    // B³ dedup-cluster quality (E146): near-dup clusters scored against
+    // the source partition — extrinsic precision/recall/F1 for the dedup
+    // graph, exact integers.
+    "q186_bcubed" -> { (s, dir) =>
+      import graft.ext.Dedup
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDuplicates(docs, minJaccard = 0.5).select("id_a", "id_b")
+      val cl = Dedup.dedupClusters(pairs).withColumnRenamed("id", "doc_id")
+      val assign = docs.select(col("doc_id"), col("source"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("canonical_id"), col("doc_id")))
+      graft.ext.GraphStats.bcubed(assign, "doc_id", "cluster", "source")
+    },
+    // Dedup-threshold sensitivity (E147): the exact Jaccard ≥ 0.5 pair set
+    // histogrammed into 1/20-wide bins — what a threshold move actually
+    // merges, measured before committing the constant.
+    "q187_threshold_sweep" -> { (s, dir) =>
+      graft.ext.FuzzyJoin.thresholdSensitivity(
+        graft.ext.FuzzyJoin.setSimJoin(Tables.documents(s, dir), tNum = 1, tDen = 2))
+    },
+    // Per-source dedup-rate audit (E148): how much each feed loses to
+    // near-dup dedup — the fairness gate before shipping a deduplicated
+    // corpus.
+    "q188_dedup_rate" -> { (s, dir) =>
+      graft.ext.Dedup.dedupRateBy(Tables.documents(s, dir), "source")
+    },
+    // Score-validation AUC (E149): does the quality score actually predict
+    // near-dup membership? Mann–Whitney with exact midrank ties, computed
+    // over the distinct-value table only.
+    "q189_rank_auc" -> { (s, dir) =>
+      import graft.ext.{Dedup, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDuplicates(docs, minJaccard = 0.5).select("id_a", "id_b")
+      val cl = Dedup.dedupClusters(pairs).withColumnRenamed("id", "doc_id")
+      val scored = docs
+        .join(cl, Seq("doc_id"), "left")
+        .select(
+          floor(TextAnalysis.qualityScore(col("text")) * 1000000.0).cast("long")
+            .as("q6"),
+          (col("canonical_id").isNotNull && col("canonical_id") =!= col("doc_id"))
+            .as("removed"))
+      graft.ext.Labeling.rankAuc(scored, "q6", col("removed"))
+    },
+    // Dedup yield curve (E150): duplicate-pair growth across nested hash
+    // subsamples of the corpus — the capacity-planning exponent, measured.
+    "q190_yield_curve" -> { (s, dir) =>
+      graft.ext.Dedup.dedupYieldCurve(
+        graft.ext.FuzzyJoin.setSimJoin(Tables.documents(s, dir), tNum = 1, tDen = 2)
+          .select("id_a", "id_b"))
+    },
+    // JL ±1 random projection (E151): 64→16 dims, map-only native dots
+    // against deterministic sign vectors, exploded fixed-point output.
+    "q191_jl_project" -> { (s, dir) =>
+      graft.ext.Similarity.jlProject(Tables.embeddings(s, dir))
+    },
+    // Sentence-aware budget chunking (E152): sentence-respecting chunk
+    // boundaries at a 40-token budget — the RAG-ingest chunker.
+    "q192_sentence_chunks" -> { (s, dir) =>
+      graft.ext.Chunking.sentenceChunks(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2596,7 +2694,7 @@ object SparkEntry {
         | ('part','part|p_partkey:bigint:opt,p_name:string:opt,p_brand:string:opt,p_type:string:opt,p_size:integer:opt,p_retailprice:double:opt'),
         | ('orders','orders|o_orderkey:bigint:opt,o_custkey:bigint:opt,o_orderstatus:string:opt,o_totalprice:double:opt,o_orderdate:timestamp:opt,o_orderpriority:string:opt'),
         | ('lineitem','lineitem|l_orderkey:bigint:opt,l_partkey:bigint:opt,l_suppkey:bigint:opt,l_linenumber:integer:opt,l_quantity:double:opt,l_extendedprice:double:opt,l_discount:double:opt,l_tax:double:opt,l_returnflag:string:opt,l_linestatus:string:opt,l_shipdate:timestamp:opt'),
-        | ('events','events|event_id:bigint:opt,ts:bigint:opt,user_id:bigint:opt,event_type:string:opt,value:double:opt,props:string:opt'),
+        | ('events','events|event_id:bigint:opt,ts:timestamp:opt,user_id:bigint:opt,event_type:string:opt,value:double:opt,props:string:opt'),
         | ('documents','documents|doc_id:bigint:opt,text:string:opt,lang:string:opt,source:string:opt,n_chars:bigint:opt'),
         | ('embeddings','embeddings|vec_id:bigint:opt,embedding:array<float>:opt,label:integer:opt')
         |) AS t(table_name, canon)""".stripMargin,
@@ -2906,7 +3004,7 @@ object SparkEntry {
       """WITH s(table_name, n_columns, n_pk_candidates, n_fk_candidates, n_array_columns, n_distinct_types) AS (VALUES
         | ('region',2,1,0,0,2),('nation',3,1,1,0,2),('customer',5,1,1,0,4),
         | ('supplier',4,1,1,0,4),('part',6,1,0,0,4),('orders',6,1,1,0,4),
-        | ('lineitem',11,0,3,0,5),('events',6,1,1,0,3),('documents',5,1,0,0,2),
+        | ('lineitem',11,0,3,0,5),('events',6,1,1,0,4),('documents',5,1,0,0,2),
         | ('embeddings',3,0,1,1,3)),
         |c(table_name, num_rows) AS (
         | SELECT 'region', COUNT(*) FROM region UNION ALL
@@ -3570,9 +3668,6 @@ object SparkEntry {
     |cat AS (
          |  SELECT t AS table_name, c AS column_name,
          |         CASE
-         |           -- events.ts is parquet timestamp[ns]: the Spark session
-         |           -- reads it as bigint (nanosAsLong), DuckDB as TIMESTAMP
-         |           WHEN t = 'events' AND c = 'ts' THEN 'bigint'
          |           WHEN replace(lower(ty), '[]', '') = 'varchar' THEN 'string'
          |           WHEN replace(lower(ty), '[]', '') = 'blob' THEN 'binary'
          |           ELSE replace(lower(ty), '[]', '') END AS dt
@@ -4328,6 +4423,208 @@ object SparkEntry {
         |                        // (MAX(n_g) * (MAX(n) - MAX(n_g)))
         |            END AS BIGINT) AS ks_fp
         |FROM d GROUP BY source""".stripMargin,
+    "q182_code_score" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS BIGINT) AS n_sym,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(def|class|return|import|if|else|for|while|function|var|const|void|int)\b'))
+        |      AS BIGINT) AS n_kw,
+        |    GREATEST(CAST(length(text) AS BIGINT), 1) AS nc,
+        |    GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS nt
+        |  FROM documents)
+        |SELECT doc_id, n_sym, n_kw,
+        |       CAST((n_sym * 1048576) // nc + (n_kw * 1048576) // nt AS BIGINT) AS code_fp,
+        |       ((n_sym * 1048576) // nc + (n_kw * 1048576) // nt) >= 131072 AS is_code
+        |FROM c""".stripMargin,
+    "q183_calibration" -> {
+      val entries = graft.ext.TextAnalysis.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        s"struct_pack(ns := -(${dkLangScore(l)}), i := $i, l := '$l')"
+      }.mkString(",\n    ")
+      s"""WITH s AS (SELECT doc_id, lang, list_sort([
+         |    $entries]) AS a FROM documents),
+         |p AS (SELECT doc_id, lang,
+         |    CASE WHEN a[1].ns < 0 THEN a[1].l ELSE 'und' END AS lang_top,
+         |    CAST(-a[1].ns AS BIGINT) AS st,
+         |    CAST(-a[2].ns AS BIGINT) AS ss
+         |  FROM s),
+         |c AS (SELECT doc_id,
+         |    CASE WHEN st + ss > 0 THEN (st * 1048576) // (st + ss) ELSE 0 END AS conf,
+         |    CASE WHEN lang_top = lang THEN 1 ELSE 0 END AS ok
+         |  FROM p),
+         |b AS (SELECT LEAST((conf * 10) // 1048576, 9) AS bin, COUNT(*) AS n,
+         |    SUM(ok) AS n_correct, SUM(conf) AS sum_conf
+         |  FROM c GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+         |       CAST(n_correct AS BIGINT) AS n_correct,
+         |       CAST((n_correct * 1048576) // n AS BIGINT) AS acc_fp,
+         |       CAST(sum_conf // n AS BIGINT) AS conf_avg_fp,
+         |       CAST(abs(n_correct * 1048576 - sum_conf) AS BIGINT) AS gap_num
+         |FROM b""".stripMargin
+    },
+    "q185_silhouette" ->
+      s"""WITH $kmeansAssignCtes,
+         |t1 AS (SELECT c.vec_id, c.cell, f.score FROM cells c
+         |       JOIN sf f ON c.vec_id = f.vec_id AND c.cell = f.cell
+         |       WHERE c.crn = 1),
+         |t2 AS (SELECT c.vec_id, f.score FROM cells c
+         |       JOIN sf f ON c.vec_id = f.vec_id AND c.cell = f.cell
+         |       WHERE c.crn = 2),
+         |v AS (SELECT t1.vec_id, t1.cell,
+         |        CASE WHEN 1.0 - t2.score > 0.0
+         |             THEN CAST(floor((t1.score - t2.score) / (1.0 - t2.score)
+         |                             * 1048576.0) AS BIGINT)
+         |             ELSE 0 END AS sil_fp
+         |      FROM t1 JOIN t2 ON t1.vec_id = t2.vec_id)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(${dkFloorDiv("SUM(sil_fp)", "COUNT(*)")} AS BIGINT) AS mean_sil_fp,
+         |       CAST(MIN(sil_fp) AS BIGINT) AS min_sil_fp,
+         |       CAST(SUM(CASE WHEN sil_fp < 262144 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         |FROM v GROUP BY cell""".stripMargin,
+    "q186_bcubed" ->
+      s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle)),
+         |m AS (SELECT d.doc_id AS id, COALESCE(cl.canonical_id, d.doc_id) AS c,
+         |             d.source AS g
+         |      FROM documents d LEFT JOIN cl USING (doc_id)
+         |      WHERE d.source IS NOT NULL),
+         |cells AS (SELECT c, g, COUNT(*) AS ncg FROM m GROUP BY 1, 2),
+         |cs AS (SELECT c, SUM(ncg) AS nc FROM cells GROUP BY 1),
+         |gs AS (SELECT g, SUM(ncg) AS ng FROM cells GROUP BY 1),
+         |j AS (SELECT cells.c, cells.g, ncg, nc, ng
+         |      FROM cells JOIN cs USING (c) JOIN gs USING (g)),
+         |t AS (SELECT SUM(ncg) AS n_items, COUNT(DISTINCT c) AS n_clusters,
+         |             COUNT(DISTINCT g) AS n_gold,
+         |             SUM((ncg * ncg * 1048576) // nc) AS psum,
+         |             SUM((ncg * ncg * 1048576) // ng) AS rsum
+         |      FROM j),
+         |f AS (SELECT n_items, n_clusters, n_gold,
+         |             psum // n_items AS p, rsum // n_items AS r FROM t)
+         |SELECT CAST(n_items AS BIGINT) AS n_items,
+         |       CAST(n_clusters AS BIGINT) AS n_clusters,
+         |       CAST(n_gold AS BIGINT) AS n_gold,
+         |       CAST(p AS BIGINT) AS prec_fp, CAST(r AS BIGINT) AS rec_fp,
+         |       CAST(CASE WHEN p + r > 0 THEN (2 * p * r) // (p + r)
+         |                 ELSE 0 END AS BIGINT) AS f1_fp
+         |FROM f""".stripMargin,
+    "q187_threshold_sweep" ->
+      """WITH s AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |           FROM documents),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b
+        |      FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |      WHERE inter * 2 >= (na.n + nb.n - inter)),
+        |b AS (SELECT *, LEAST((inter * 20) // (n_a + n_b - inter), 19) AS bin FROM p),
+        |pc AS (SELECT bin, COUNT(*) AS n_pairs FROM b GROUP BY 1),
+        |dc AS (SELECT bin, COUNT(DISTINCT id) AS n_docs FROM (
+        |         SELECT bin, id_a AS id FROM b
+        |         UNION ALL SELECT bin, id_b FROM b) GROUP BY 1)
+        |SELECT CAST(pc.bin AS BIGINT) AS bin,
+        |       CAST((pc.bin * 1048576) // 20 AS BIGINT) AS thr_lo_fp,
+        |       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM pc JOIN dc USING (bin)""".stripMargin,
+    "q188_dedup_rate" ->
+      s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle))
+         |SELECT d.source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN cl.canonical_id IS NOT NULL
+         |                      AND cl.canonical_id <> d.doc_id
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       CAST((SUM(CASE WHEN cl.canonical_id IS NOT NULL
+         |                       AND cl.canonical_id <> d.doc_id
+         |                      THEN 1 ELSE 0 END) * 1048576)
+         |            // COUNT(*) AS BIGINT) AS removed_fp
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
+    "q189_rank_auc" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle)),
+         |m AS (SELECT CAST(floor(LEAST(GREATEST(
+         |        (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |        LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |        LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |        * 1000000.0) AS BIGINT) AS v,
+         |      CASE WHEN cl.canonical_id IS NOT NULL
+         |            AND cl.canonical_id <> d.doc_id THEN 1 ELSE 0 END AS y
+         |      FROM documents d LEFT JOIN cl USING (doc_id)),
+         |c AS (SELECT v, COUNT(*) AS c, SUM(y) AS p FROM m GROUP BY 1),
+         |w AS (SELECT *, COALESCE(SUM(c) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |      FROM c),
+         |t AS (SELECT SUM(p) AS n_pos, SUM(c - p) AS n_neg,
+         |             SUM(p * (2 * cb + c + 1)) AS r2 FROM w),
+         |f AS (SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2 FROM t)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         |       CAST(u2 AS BIGINT) AS u2_num,
+         |       CAST(2 * n_pos * n_neg AS BIGINT) AS u2_den,
+         |       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+         |                 THEN (u2 * 1048576) // (2 * n_pos * n_neg)
+         |                 ELSE 0 END AS BIGINT) AS auc_fp
+         |FROM f""".stripMargin
+    },
+    "q190_yield_curve" -> {
+      val ha = dkHash("CAST(id_a AS VARCHAR)", 7)
+      val hb = dkHash("CAST(id_b AS VARCHAR)", 7)
+      s"""WITH s AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+         |           FROM documents),
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b
+         |      FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         |      WHERE inter * 2 >= (na.n + nb.n - inter)),
+         |h AS (SELECT id_a, id_b, $ha % 100 AS ha, $hb % 100 AS hb FROM p),
+         |g AS (SELECT f.pct, id_a, id_b
+         |      FROM h CROSS JOIN (SELECT unnest([25, 50, 75, 100]) AS pct) f
+         |      WHERE ha < pct AND hb < pct),
+         |pc AS (SELECT pct, COUNT(*) AS n_pairs FROM g GROUP BY 1),
+         |dc AS (SELECT pct, COUNT(DISTINCT id) AS n_dup_docs FROM (
+         |         SELECT pct, id_a AS id FROM g
+         |         UNION ALL SELECT pct, id_b FROM g) GROUP BY 1)
+         |SELECT CAST(pc.pct AS BIGINT) AS pct, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       CAST(n_dup_docs AS BIGINT) AS n_dup_docs
+         |FROM pc JOIN dc USING (pct)""".stripMargin
+    },
+    "q191_jl_project" -> {
+      val signs = graft.ext.Similarity.jlSigns(11, 64, 16)
+      signs.zipWithIndex.map { case (sv, j) =>
+        val arr = sv.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS dim,
+           |  CAST(floor(list_sum(list_transform(list_zip(embedding, $arr),
+           |    x -> CAST(x[1] AS DOUBLE) * x[2])) * 1048576.0) AS BIGINT) AS proj_fp
+           |FROM embeddings""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    "q192_sentence_chunks" ->
+      """WITH s0 AS (SELECT doc_id, string_split_regex(text, '[.!?]+ *') AS l
+        |            FROM documents),
+        |s AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS idx, l FROM s0),
+        |f AS (SELECT doc_id, idx,
+        |             CAST(len(string_split(l[idx], ' ')) AS BIGINT) AS ntok
+        |      FROM s WHERE length(trim(l[idx])) > 0),
+        |c AS (SELECT *, COALESCE(SUM(ntok) OVER (PARTITION BY doc_id ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM f)
+        |SELECT doc_id, CAST(cum_before // 40 AS BIGINT) AS chunk_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY doc_id, cum_before // 40""".stripMargin,
+    "q184_padding_efficiency" ->
+      """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |           FROM documents),
+        |f AS (SELECT w, GREATEST(16, CAST(1 AS BIGINT) << length(bin(w - 1))) AS cap
+        |      FROM w WHERE w > 0),
+        |g AS (SELECT cap AS bucket_cap, COUNT(*) AS n_seqs, SUM(w) AS total_tokens
+        |      FROM f GROUP BY 1)
+        |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+        |       CAST(n_seqs AS BIGINT) AS n_seqs,
+        |       CAST(total_tokens AS BIGINT) AS total_tokens,
+        |       CAST(n_seqs * bucket_cap AS BIGINT) AS padded_tokens,
+        |       CAST(n_seqs * bucket_cap - total_tokens AS BIGINT) AS pad_waste,
+        |       CAST((total_tokens * 1048576) // (n_seqs * bucket_cap) AS BIGINT) AS eff_fp
+        |FROM g""".stripMargin,
     "q134_boilerplate_prefixes" ->
       """WITH c AS (SELECT source, substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs
         |           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2),
@@ -4387,7 +4684,6 @@ object SparkEntry {
          |cat AS (
          |  SELECT t AS table_name, c AS column_name,
          |         CASE
-         |           WHEN t = 'events' AND c = 'ts' THEN 'bigint'
          |           WHEN replace(lower(ty), '[]', '') = 'varchar' THEN 'string'
          |           WHEN replace(lower(ty), '[]', '') = 'blob' THEN 'binary'
          |           ELSE replace(lower(ty), '[]', '') END AS dt

@@ -18,7 +18,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** Events with `ts` normalized to the int64-NANOSECONDS contract every
+    * event-time operator is built on. Early driver testdata stored ts as
+    * parquet nanos (read as long via nanosAsLong); round-5 testdata stores
+    * timestamp[us] — detect which shape arrived and convert, so both vintages
+    * load identically. The NTZ→LTZ cast is timezone-sensitive; every session
+    * builder in this repo (and the driver's) pins spark.sql.session.timeZone
+    * to UTC.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -37,4 +37,44 @@ object Chunking {
         substr(col(textCol), (col("chunk_idx") * stride + 1).cast("int"), lit(size))
           .as("chunk_text"))
   }
+
+  /** Sentence-aware budget chunking (E152): sentences (split on `[.!?]+ *`,
+    * a Java∩RE2 pattern — no lookbehind) keep their order, and each
+    * sentence joins the chunk its cumulative-token START offset falls in
+    * (chunk = ⌊cum_before / budget⌋ — the same quantized-fill semantics as
+    * [[graft.ops.Packing.packGreedy]], but with sentence granularity so no
+    * sentence is ever split mid-way). Output is one row per (doc, chunk)
+    * with sentence and token counts — the RAG-ingest layout where chunk
+    * boundaries respect sentences.
+    *
+    * Blank pseudo-sentences (consecutive enders, trailing punctuation) are
+    * dropped before counting. A doc with no ender is one sentence.
+    *
+    * Scale: the split/explode is map-side; the only shuffle is the
+    * per-doc cumulative window (keyed by doc id, bounded by the doc's own
+    * sentence count) and the final (doc, chunk) aggregation, which reuses
+    * that partitioning.
+    */
+  def sentenceChunks(
+      docs: DataFrame,
+      budget: Long = 40L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sent = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "[.!?]+ *")).as(Seq("idx", "s")))
+      .filter(length(trim(col("s"))) > 0)
+      .withColumn("ntok", size(split(col("s"), " ")).cast("long"))
+    val w = Window.partitionBy("id").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sent
+      .withColumn("cum_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("chunk_id", ExactMath.floorDiv(col("cum_before"), lit(budget)))
+      .groupBy(col("id").as(idCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(col("ntok")).cast("long").as("n_tokens"))
+  }
 }

@@ -603,4 +603,74 @@ object Dedup {
         matching.as("n_matching"),
         (matching.cast("double") / numHashes).as("jaccard_est"))
   }
+
+  /** Dedup yield curve (E150): how the duplicate-pair count grows with
+    * corpus size. Documents gate into nested hash subsamples (doc ∈ sample
+    * p ⟺ stableHash(id) mod 100 < p — the p=25 sample is a subset of
+    * p=50, etc.), and each fraction counts the pairs whose BOTH endpoints
+    * survive, plus the documents those pairs touch. Duplication grows
+    * superlinearly in corpus size (crawl echo chambers collide more as
+    * coverage widens); this curve measures that exponent on YOUR corpus —
+    * the capacity-planning input for "what does dedup cost at 4× the
+    * data", computed from one pair set, no re-clustering per fraction.
+    *
+    * Scale: input is the candidate-scoped exact pair set; each pair fans
+    * out to ≤ |fractions| rows (a constant); aggregations are keyed by
+    * fraction (≤ |fractions| result rows).
+    */
+  def dedupYieldCurve(
+      pairs: DataFrame,
+      fractions: Seq[Int] = Seq(25, 50, 75, 100),
+      seed: Int = 7): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p > 0 && p <= 100),
+      "fractions must be percentages in (0, 100]")
+    val gated = pairs.select(
+        col("id_a"), col("id_b"),
+        pmod(stableHash(col("id_a").cast("string"), seed), lit(100L)).as("ha"),
+        pmod(stableHash(col("id_b").cast("string"), seed), lit(100L)).as("hb"))
+      .select(explode(typedlit(fractions.map(_.toLong))).as("pct"),
+        col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .filter(col("ha") < col("pct") && col("hb") < col("pct"))
+    val pairCounts = gated.groupBy("pct").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = gated
+      .select(col("pct"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("pct")
+      .agg(countDistinct(col("id")).as("n_dup_docs"))
+    pairCounts.join(docCounts, "pct")
+      .select(col("pct").cast("long").as("pct"), col("n_pairs"), col("n_dup_docs"))
+  }
+
+  /** Per-group dedup-rate audit (E148): how much of each group (source
+    * feed, language, label…) near-dup deduplication removes. Docs outside
+    * the dup graph keep themselves; inside a cluster the min-id canonical
+    * survives. A group losing far more than the corpus mean is either a
+    * crawler echo chamber or collateral damage from an over-aggressive
+    * threshold — either way, the fairness gate a release runs before
+    * shipping "deduplicated" training data.
+    *
+    * Scale: the pair set is LSH-candidate-scoped, clusters are the
+    * pointer-jumping CC (cluster-graph-sized, not corpus-sized); the
+    * corpus itself is touched by one left join on id and one per-group
+    * aggregation.
+    */
+  def dedupRateBy(
+      docs: DataFrame,
+      groupCol: String,
+      minJaccard: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = nearDuplicates(docs, textCol, idCol, minJaccard)
+      .select("id_a", "id_b")
+    val cl = dedupClusters(pairs).withColumnRenamed("id", idCol)
+    docs.select(col(idCol), col(groupCol).as("grp"))
+      .join(cl, Seq(idCol), "left")
+      .withColumn("removed",
+        col("canonical_id").isNotNull && col("canonical_id") =!= col(idCol))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("removed"), 1L).otherwise(0L)).cast("long").as("n_removed"))
+      .withColumn("removed_fp",
+        graft.ext.ExactMath.floorDiv(col("n_removed") * lit(1048576L), col("n_docs")))
+  }
 }

@@ -214,4 +214,37 @@ object FuzzyJoin {
         ExactMath.floorDiv(col("inter") * lit(1048576L),
           col("n_a") + col("n_b") - col("inter")).as("jac_fp"))
   }
+
+  /** Dedup-threshold sensitivity report (E147): histogram the EXACT
+    * similarity-pair set (a [[setSimJoin]] output, or anything with
+    * (id_a, id_b, inter, n_a, n_b)) into `bins` equal-width Jaccard bins —
+    * per bin, how many pairs and how many distinct documents sit there.
+    * Read bottom-up, the cumulative tail answers "what does moving the
+    * dedup threshold from 0.8 to 0.7 actually merge?" BEFORE a threshold
+    * is committed — the sweep that replaces folklore constants with
+    * evidence. Binning is cross-multiplied integer floor (bin =
+    * ⌊inter·bins/union⌋, clamped), no float division.
+    *
+    * Scale: input is the candidate-scoped exact pair set (never O(n²));
+    * one aggregation per output plus a distinct-doc explode — both keyed
+    * by bin (≤ `bins` result rows).
+    */
+  def thresholdSensitivity(pairs: DataFrame, bins: Int = 20): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val union = col("n_a") + col("n_b") - col("inter")
+    val bin = least(
+      ExactMath.floorDiv(col("inter") * bins, union), lit(bins - 1L)).cast("long")
+    val binned = pairs.withColumn("bin", bin)
+    val pairCounts = binned.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = binned
+      .select(col("bin"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("bin")
+      .agg(countDistinct(col("id")).as("n_docs"))
+    pairCounts.join(docCounts, "bin")
+      .select(
+        col("bin"),
+        ExactMath.floorDiv(col("bin") * lit(1048576L), lit(bins.toLong))
+          .as("thr_lo_fp"),
+        col("n_pairs"), col("n_docs"))
+  }
 }

@@ -169,4 +169,53 @@ object GraphStats {
             num * lit(1048576L), col("m") * col("m") * 4L))
           .cast("long").as("contrib_fp"))
   }
+
+  /** B³ (B-cubed) clustering quality (E146) of a cluster assignment against
+    * a gold partition, as exact integers: per item, precision is
+    * |C(i)∩G(i)|/|C(i)| and recall |C(i)∩G(i)|/|G(i)|; summing over items
+    * collapses to Σ_cells n_cg²/n_c (resp. /n_g) over the (cluster, gold)
+    * contingency cells. Each cell's contribution floors into 2²⁰ fixed
+    * point, then the item-mean floors once more — deterministic in both
+    * engines (floor-of-floor, no float division). F1 is the harmonic mean
+    * of the two fixed-point means.
+    *
+    * The dedup-quality gate: cluster = near-dup cluster id, gold = any
+    * trusted partition (exact-dup groups, source feeds, labels) — B³ is
+    * the standard extrinsic measure for entity-resolution/dedup clusters
+    * (Bagga & Baldwin '98; Amigó et al. '09).
+    *
+    * Scale: one hash aggregation to contingency cells (≤ min(|C|,|G|)²
+    * rows, map-side combined), two marginal aggregations over those cells,
+    * one 1-row reduce. Nothing corpus-sized is ever joined or windowed.
+    */
+  def bcubed(
+      assign: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      goldCol: String): DataFrame = {
+    val a = assign.select(col(idCol).as("id"),
+      col(clusterCol).as("c"), col(goldCol).as("g"))
+      .filter(col("c").isNotNull && col("g").isNotNull)
+    val cells = a.groupBy("c", "g").agg(count(lit(1)).as("ncg"))
+    val cs = cells.groupBy("c").agg(sum(col("ncg")).as("nc"))
+    val gs = cells.groupBy("g").agg(sum(col("ncg")).as("ng"))
+    val j = cells.join(cs, "c").join(gs, "g")
+    val fp = lit(1048576L)
+    val t = j.agg(
+      sum(col("ncg")).cast("long").as("n_items"),
+      countDistinct(col("c")).cast("long").as("n_clusters"),
+      countDistinct(col("g")).cast("long").as("n_gold"),
+      sum(graft.ext.ExactMath.floorDiv(col("ncg") * col("ncg") * fp, col("nc")))
+        .cast("long").as("psum"),
+      sum(graft.ext.ExactMath.floorDiv(col("ncg") * col("ncg") * fp, col("ng")))
+        .cast("long").as("rsum"))
+    val p = graft.ext.ExactMath.floorDiv(col("psum"), col("n_items"))
+    val r = graft.ext.ExactMath.floorDiv(col("rsum"), col("n_items"))
+    t.select(
+      col("n_items"), col("n_clusters"), col("n_gold"),
+      p.as("prec_fp"), r.as("rec_fp"),
+      when(p + r > 0L,
+        graft.ext.ExactMath.floorDiv(lit(2L) * p * r, p + r)).otherwise(0L)
+        .cast("long").as("f1_fp"))
+  }
 }

@@ -821,4 +821,100 @@ object Similarity {
       .filter(col("rank") <= perCell)
       .select(col("id").as(idCol), col("cell").cast("long").as("cell"), col("rank"))
   }
+
+  /** Deterministic ±1 sign matrix for [[jlProject]]: row j is the sign
+    * vector of output dimension j. Pure function of (seed, j, i), so the
+    * DuckDB oracle replays it as literal arrays.
+    */
+  def jlSigns(seed: Int, inDim: Int, outDim: Int): IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(outDim) { j =>
+      IndexedSeq.tabulate(inDim) { i =>
+        if (math.abs(scala.util.hashing.MurmurHash3.stringHash(s"$seed#$j#$i")) % 2 == 0)
+          1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection (E151): project the embedding
+    * column onto `outDim` deterministic ±1 hyperplanes (the database-
+    * friendly JL variant — Achlioptas '01 shows ±1 entries preserve
+    * distances like Gaussians). Output is exploded (id, dim, proj_fp) with
+    * proj_fp = ⌊proj·2²⁰⌋ — the dimensionality-reduction step before a
+    * cheaper ANN index or a disk-friendly sketch of a 100 TB embedding
+    * table (64→16 dims = 4× smaller scans for distance-ish work).
+    *
+    * Scale: map-only — outDim native dots against literal sign vectors per
+    * row, one posexplode; no shuffle at all. The left-to-right double fold
+    * is the same order the DuckDB oracle folds, so ⌊·2²⁰⌋ agrees
+    * bit-for-bit.
+    */
+  def jlProject(
+      corpus: DataFrame,
+      outDim: Int = 16,
+      inDim: Int = 64,
+      seed: Int = 11,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val signs = jlSigns(seed, inDim, outDim)
+    val projections = array(signs.map { sv =>
+      graft.functions.VectorFunctions.dotNative(spark, col(vecCol), typedlit(sv))
+    }: _*)
+    corpus
+      .select(col(idCol), posexplode(projections).as(Seq("dim", "proj")))
+      .select(
+        col(idCol), col("dim").cast("long").as("dim"),
+        floor(col("proj") * lit(1048576.0)).cast("long").as("proj_fp"))
+  }
+
+  /** Per-cell simplified-silhouette report (E145) over the shared k-means
+    * quantizer: for each vector, with s₁ = cosine to its own (argmax)
+    * centroid and s₂ = cosine to the runner-up,
+    *
+    *   sil = (s₁ − s₂) / (1 − s₂)    (0 when 1 − s₂ ≤ 0)
+    *
+    * — the centroid form of the silhouette coefficient under cosine
+    * distance d = 1 − cos (a = 1−s₁ ≤ b = 1−s₂ ⇒ (b−a)/max(a,b) collapses
+    * to this), floored into 2²⁰ fixed point per vector BEFORE aggregating,
+    * so per-cell sums are exact integers. sil ≈ 1 = tight cell, ≈ 0 =
+    * boundary vector, < 0 never happens in this centroid form — but the
+    * report still counts `n_low` (sil below ~0.25) as the "poorly
+    * clustered" population. The cluster-quality gate run before trusting a
+    * quantizer for SemDeDup / IVF / diverse selection.
+    *
+    * Scale: scoring is map-side (native dots vs nlist literal centroids);
+    * the only shuffle is the final per-cell aggregation (≤ nlist rows out).
+    * The double arithmetic is the same expression tree the DuckDB oracle
+    * evaluates — identical IEEE results, deterministic floor.
+    */
+  def silhouetteReport(
+      corpus: DataFrame,
+      nlist: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    val cents = trainCentroids(prep, nlist, iters)
+    val scored = withCellScores(prep, cents)
+    // top-2 cells by (score desc, cell asc) — the q54 tiebreak, map-only
+    val entries = cents.indices.map { i =>
+      struct((lit(0.0) - col("scores").getItem(i)).as("ns"), lit(i).as("cell"))
+    }
+    val sorted = sort_array(array(entries: _*))
+    val s1 = lit(0.0) - element_at(sorted, 1).getField("ns")
+    val s2 = lit(0.0) - element_at(sorted, 2).getField("ns")
+    val silFp = when(lit(1.0) - s2 > 0.0,
+      floor((s1 - s2) / (lit(1.0) - s2) * lit(1048576.0)).cast("long"))
+      .otherwise(0L)
+    scored
+      .select(
+        element_at(sorted, 1).getField("cell").cast("long").as("cell"),
+        silFp.as("sil_fp"))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.ext.ExactMath.floorDiv(sum(col("sil_fp")), count(lit(1)))
+          .as("mean_sil_fp"),
+        min(col("sil_fp")).cast("long").as("min_sil_fp"),
+        sum(when(col("sil_fp") < 262144L, 1L).otherwise(0L)).cast("long").as("n_low"))
+  }
 }

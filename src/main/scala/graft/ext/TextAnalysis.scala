@@ -282,6 +282,37 @@ object TextAnalysis {
           15590L).cast("long"))
   }
 
+  /** Code-likeness score (E142): symbol density per char + keyword density
+    * per token, as exact 2²⁰ fixed-point integers — the "is this prose or
+    * source code?" gate a text-corpus curation pass runs before quality
+    * scoring (code in a prose corpus skews every length/stopword heuristic,
+    * and prose in a code corpus dilutes it).
+    *
+    * Both regexes stay in the Java∩RE2 subset (character class; `\b`-anchored
+    * alternation) so the DuckDB oracle counts identically.
+    *
+    * Scale: map-only — two regex counters per row, no shuffle.
+    */
+  def codeScore(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      thresholdFp: Long = 131072L): DataFrame = {
+    val t = col(textCol)
+    val nSym = regexp_count(t, lit("[{}()\\[\\];=<>]")).cast("long")
+    val nKw = regexp_count(
+      lower(t),
+      lit("\\b(def|class|return|import|if|else|for|while|function|var|const|void|int)\\b"))
+      .cast("long")
+    val nChars = greatest(length(t).cast("long"), lit(1L))
+    val nTok = greatest(tokenCount(t).cast("long"), lit(1L))
+    docs.select(
+        col(idCol), nSym.as("n_sym"), nKw.as("n_kw"),
+        (ExactMath.floorDiv(nSym * lit(1048576L), nChars) +
+          ExactMath.floorDiv(nKw * lit(1048576L), nTok)).as("code_fp"))
+      .withColumn("is_code", col("code_fp") >= thresholdFp)
+  }
+
   /** Content fingerprint: digest of the casefolded, alphanumeric-only text —
     * robust to whitespace/punctuation edits (the "rolling hash" document
     * fingerprint, portable across engines via md5).

@@ -62,6 +62,48 @@ object Packing {
         (sum(col("w")).cast("double") / lit(capacity.toDouble)).as("fill_ratio"))
   }
 
+  /** Padding-efficiency report (E144): bucket sequences by
+    * power-of-two length (the standard length-bucketed batching layout) and
+    * report, per bucket, how many pad tokens that bucket costs when every
+    * sequence is padded to the bucket cap — the report that decides bucket
+    * granularity before a training run burns compute on padding.
+    *
+    * Bucket cap = max(minBucket, 2^⌈log₂ w⌉), computed with integer bit
+    * arithmetic (`length(bin(w−1))`), never float log — exact in both
+    * engines at any magnitude. Rows with w ≤ 0 are dropped.
+    *
+    * Scale: map-only projection + one hash aggregation to ≤ log₂(maxLen)
+    * rows.
+    */
+  def paddingEfficiency(
+      docs: DataFrame,
+      weightCol: String,
+      minBucket: Long = 16L): DataFrame = {
+    require(minBucket >= 2 && (minBucket & (minBucket - 1)) == 0,
+      "minBucket must be a power of two >= 2")
+    val w = col(weightCol).cast("long")
+    docs.filter(w > 0)
+      .select(w.as("w"))
+      // shiftleft's column-arg form only exists in SQL; the bit-length trick
+      // (length(bin(w−1))) is exact where float log2 is not
+      .withColumn("bucket_cap",
+        greatest(lit(minBucket), expr("shiftleft(CAST(1 AS BIGINT), length(bin(w - 1)))")))
+      .select(col("bucket_cap"), col("w"))
+      .groupBy("bucket_cap")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("w")).cast("long").as("total_tokens"))
+      .select(
+        col("bucket_cap").cast("long").as("bucket_cap"),
+        col("n_seqs"), col("total_tokens"),
+        (col("n_seqs") * col("bucket_cap")).cast("long").as("padded_tokens"),
+        (col("n_seqs") * col("bucket_cap") - col("total_tokens")).cast("long")
+          .as("pad_waste"),
+        graft.ext.ExactMath.floorDiv(
+          col("total_tokens") * lit(1048576L),
+          col("n_seqs") * col("bucket_cap")).as("eff_fp"))
+  }
+
   /** Deterministic epoch shuffle + token-budget cut: documents take a
     * pseudo-random but fully reproducible order (md5-hash of the id,
     * seeded — a different seed is a different epoch), and the epoch keeps

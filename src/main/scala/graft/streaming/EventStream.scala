@@ -16,10 +16,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Events schema as stored (ts is int64 nanos via nanosAsLong). */
+  /** Events schema as stored (round-5 testdata: ts is timestamp[us]).
+    * [[readEvents]] converts ts to the int64-nanoseconds contract every
+    * event-time operator shares (see Tables.events).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -31,6 +34,7 @@ object EventStream {
       // glob (not the bare file) so FileStreamSource's basePath is the
       // directory; in production this is the landing directory itself.
       .parquet(s"$dir/events.parque*")
+      .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
 
   /** Watermarked tumbling-window aggregation: count + sum(value) per
     * (1 hour window, event_type). Late events beyond 2 hours are dropped at

@@ -37,4 +37,26 @@ class ChunkingSpec extends SparkSpec {
     assert(byDoc(3L).length === 1 &&
       byDoc(3L).head.getAs[String]("chunk_text") === "")
   }
+
+  test("sentenceChunks: sentences never split, budget quantizes starts, blanks dropped") {
+    import spark.implicits._
+    // doc 1: sentences of 3, 4, 2 tokens; budget 5 →
+    //   s1 starts at 0 → chunk 0; s2 starts at 3 → chunk 0; s3 at 7 → chunk 1
+    // doc 2: no ender → one sentence, one chunk
+    // doc 3: trailing/double enders produce blank pseudo-sentences → dropped
+    val docs = Seq(
+      (1L, "one two three. four five six seven! eight nine."),
+      (2L, "just a run on sentence with no enders at all"),
+      (3L, "a b c.. d e?")
+    ).toDF("doc_id", "text")
+    val out = Chunking.sentenceChunks(docs, budget = 5L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_tokens")))).toMap
+    assert(out((1L, 0L)) === ((2L, 7L)))
+    assert(out((1L, 1L)) === ((1L, 2L)))
+    assert(out((2L, 0L)) === ((1L, 10L)))
+    // doc 3: "a b c" (3 tok) chunk 0; "d e" starts at 3 → chunk 0; total 5
+    assert(out((3L, 0L)) === ((2L, 5L)))
+    assert(out.keys.count(_._1 == 3L) === 1)
+  }
 }

@@ -240,4 +240,54 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
     assert(brute.nonEmpty, "fixture must produce close signatures")
   }
+
+  test("dedupRateBy: duplicated feed loses its non-canonical copies, clean feed loses none") {
+    import spark.implicits._
+    // srcA: 3 near-identical docs (appended-word edits recall reliably at
+    // the 16/4 LSH layout — see NOTES on mid-text substitutions) → 2 removed.
+    // srcB: distinct docs → 0 removed.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base, "srcA"),
+      (2L, base + " nu", "srcA"),
+      (3L, base + " xi", "srcA"),
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce", "srcB"),
+      (5L, "en to tre fire fem seks syv otte ni ti elleve tolv", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupRateBy(docs, "source").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("srcA").getAs[Long]("n_docs") === 3L)
+    assert(out("srcA").getAs[Long]("n_removed") === 2L)
+    // 2/3 in 2^20 fixed point, floored
+    assert(out("srcA").getAs[Long]("removed_fp") === 2L * 1048576L / 3L)
+    assert(out("srcB").getAs[Long]("n_docs") === 2L)
+    assert(out("srcB").getAs[Long]("n_removed") === 0L)
+    assert(out("srcB").getAs[Long]("removed_fp") === 0L)
+  }
+
+  test("dedupYieldCurve: nested subsamples, monotone counts, full fraction sees all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = (1L to 40L).map(i => (i, i + 100L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupYieldCurve(pairs).collect()
+      .map(r => r.getAs[Long]("pct") -> r).toMap
+    assert(out.keySet === Set(25L, 50L, 75L, 100L))
+    // p=100 keeps every pair and both endpoints of each
+    assert(out(100L).getAs[Long]("n_pairs") === 40L)
+    assert(out(100L).getAs[Long]("n_dup_docs") === 80L)
+    // nested gates ⇒ monotone non-decreasing counts
+    val byPct = Seq(25L, 50L, 75L, 100L).map(p => out(p).getAs[Long]("n_pairs"))
+    assert(byPct === byPct.sorted)
+    val docsByPct = Seq(25L, 50L, 75L, 100L).map(p => out(p).getAs[Long]("n_dup_docs"))
+    assert(docsByPct === docsByPct.sorted)
+    // a pair survives pct p iff BOTH endpoint hashes < p: replay the gate
+    val ha = Dedup.stableHash(col("id_a").cast("string"), 7)
+    val expected25 = pairs
+      .filter(org.apache.spark.sql.functions.pmod(ha, org.apache.spark.sql.functions.lit(100L)) < 25 &&
+        org.apache.spark.sql.functions.pmod(
+          Dedup.stableHash(col("id_b").cast("string"), 7),
+          org.apache.spark.sql.functions.lit(100L)) < 25)
+      .count()
+    assert(out(25L).getAs[Long]("n_pairs") === expected25)
+  }
 }

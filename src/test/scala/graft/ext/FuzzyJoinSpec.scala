@@ -128,4 +128,29 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("id_a") === 1L && out.head.getAs[Long]("id_b") === 2L)
     assert(out.head.getAs[Long]("jac_fp") === 1048576L)
   }
+
+  test("thresholdSensitivity: bins by exact jaccard, clamps 1.0, counts pairs and docs") {
+    import spark.implicits._
+    // (1,2): identical 4-token sets → jaccard 1 → bin clamps to 19.
+    // Every other pair shares {alpha,beta,gamma} of 5 distinct tokens →
+    // jaccard 3/5 → bin floor(0.6·20) = 12, five such pairs over 4 docs.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon"),
+      (4L, "alpha beta gamma zeta")
+    ).toDF("doc_id", "text")
+    val pairs = FuzzyJoin.setSimJoin(docs, tNum = 1, tDen = 2)
+    val out = FuzzyJoin.thresholdSensitivity(pairs).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet === Set(12L, 19L))
+    assert(out(19L).getAs[Long]("n_pairs") === 1L)
+    assert(out(19L).getAs[Long]("n_docs") === 2L)
+    // thr_lo for bin 19 = floor(19·2^20/20)
+    assert(out(19L).getAs[Long]("thr_lo_fp") === 19L * 1048576L / 20L)
+    assert(out(12L).getAs[Long]("n_pairs") === 5L)
+    assert(out(12L).getAs[Long]("n_docs") === 4L)
+    val totalPairs = out.values.map(_.getAs[Long]("n_pairs")).sum
+    assert(totalPairs === pairs.count())
+  }
 }

@@ -124,4 +124,34 @@ class GraphStatsSpec extends SparkSpec {
     // floor division toward -∞ on the negative numerator: -2^20/16 = -65536
     assert(s1.getAs[Long]("contrib_fp") === -65536L)
   }
+
+  test("bcubed: perfect, merged, and split clusterings score as hand-computed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def score(rows: Seq[(Long, String, String)]) =
+      GraphStats.bcubed(rows.toDF("id", "c", "g"), "id", "c", "g").collect()(0)
+    val fp = 1048576L
+    // identical partitions → precision = recall = f1 = 1
+    val perfect = score(Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y")))
+    assert(perfect.getAs[Long]("prec_fp") === fp)
+    assert(perfect.getAs[Long]("rec_fp") === fp)
+    assert(perfect.getAs[Long]("f1_fp") === fp)
+    // everything merged into one cluster vs gold {x,x},{y,y}:
+    // precision per item = 2/4, recall = 1 → prec 0.5, rec 1
+    val merged = score(Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "a", "y")))
+    assert(merged.getAs[Long]("prec_fp") === fp / 2)
+    assert(merged.getAs[Long]("rec_fp") === fp)
+    // f1 = 2pr/(p+r) = 2·(1/2)·1 / (3/2) = 2/3 (floored)
+    assert(merged.getAs[Long]("f1_fp") === (2L * (fp / 2) * fp) / (fp / 2 + fp))
+    // fully split vs one gold class: precision 1, recall per item = 1/2
+    val split = score(Seq((1L, "a", "x"), (2L, "b", "x")))
+    assert(split.getAs[Long]("prec_fp") === fp)
+    assert(split.getAs[Long]("rec_fp") === fp / 2)
+    // null gold rows are excluded before counting
+    val withNull = GraphStats.bcubed(
+      Seq((1L, "a", "x"), (2L, "a", null.asInstanceOf[String]))
+        .toDF("id", "c", "g"), "id", "c", "g").collect()(0)
+    assert(withNull.getAs[Long]("n_items") === 1L)
+  }
 }

@@ -59,4 +59,60 @@ class LabelingSpec extends SparkSpec {
     // n=2 agree=0; pe = 1*1+1*1 = 2; num = -2; den = 2 → kappa = -1
     assert(rn.getAs[Long]("kappa_fp") === -1048576L)
   }
+
+  test("calibrationReport: binning, exact ECE numerators, top-bin clamp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fp = 1048576L
+    // conf exactly 1.0 must clamp into bin 9, not bin 10
+    val preds = Seq(
+      (fp, true),            // bin 9, perfectly confident and correct
+      (fp / 2, true),        // bin 5 (conf 0.5)
+      (fp / 2, false),       // bin 5
+      (fp / 4, false),       // bin 2 (conf 0.25)
+      (3L * fp / 4, true)    // bin 7 (conf 0.75)
+    ).toDF("conf", "ok")
+    val out = Labeling.calibrationReport(preds, col("conf"), col("ok"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(2L, 5L, 7L, 9L))
+    // bin 9: n=1, correct=1, conf sum = 2^20 → gap 0, acc_fp = conf_avg_fp = 2^20
+    assert(out(9L).getAs[Long]("gap_num") === 0L)
+    assert(out(9L).getAs[Long]("acc_fp") === fp)
+    // bin 5: n=2, correct=1, sum_conf = 2^20 → acc 0.5 == conf 0.5 → gap 0
+    assert(out(5L).getAs[Long]("n") === 2L)
+    assert(out(5L).getAs[Long]("gap_num") === 0L)
+    assert(out(5L).getAs[Long]("acc_fp") === fp / 2)
+    // bin 2: n=1, correct=0, sum_conf = 2^18 → gap = 2^18 (overconfident)
+    assert(out(2L).getAs[Long]("gap_num") === fp / 4)
+    assert(out(2L).getAs[Long]("acc_fp") === 0L)
+    // bin 7: n=1, correct=1, sum_conf = 3·2^18 → gap = 2^18 (underconfident)
+    assert(out(7L).getAs[Long]("gap_num") === fp / 4)
+    // ECE numerator over all bins: 262144 (bin2) + 0 + 262144 (bin7) + 0;
+    // ECE_fp = 524288 // 5 = 104857 ≈ 0.1
+    val eceNum = out.values.map(_.getAs[Long]("gap_num")).sum
+    assert(eceNum === 524288L)
+  }
+
+  test("rankAuc: separation, ties as midranks, degenerate labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def auc(rows: Seq[(Long, Boolean)]) =
+      Labeling.rankAuc(rows.toDF("s", "y"), "s", col("y")).collect()(0)
+    // perfect separation: positives all above negatives → AUC = 1
+    val perfect = auc(Seq((1L, false), (2L, false), (3L, true), (4L, true)))
+    assert(perfect.getAs[Long]("auc_fp") === 1048576L)
+    // perfect inversion → AUC = 0
+    assert(auc(Seq((9L, false), (1L, true))).getAs[Long]("auc_fp") === 0L)
+    // all scores tied → midranks make AUC exactly 1/2
+    val tied = auc(Seq((5L, true), (5L, false), (5L, true), (5L, false)))
+    assert(tied.getAs[Long]("auc_fp") === 524288L)
+    // hand case: scores 1,2,2,3 labels -,+,-,+ → ranks 1,2.5,2.5,4;
+    // U = (2.5+4) − 2·3/2 = 3.5 of 4 → AUC = 7/8
+    val hand = auc(Seq((1L, false), (2L, true), (2L, false), (3L, true)))
+    assert(hand.getAs[Long]("u2_num") === 7L)
+    assert(hand.getAs[Long]("u2_den") === 8L)
+    assert(hand.getAs[Long]("auc_fp") === 7L * 1048576L / 8L)
+    // degenerate: single class → auc_fp reported 0
+    assert(auc(Seq((1L, true), (2L, true))).getAs[Long]("auc_fp") === 0L)
+  }
 }

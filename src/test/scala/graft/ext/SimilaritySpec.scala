@@ -269,4 +269,45 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.map(_.getAs[Long]("cell")).toSet === allCells,
       "every populated cell contributes to the diverse selection")
   }
+
+  test("jlProject: deterministic signs, exact fp dots, sign flip negates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4-dim vectors, 2 output dims — hand-check against jlSigns
+    val signs = Similarity.jlSigns(11, 4, 2)
+    val v = Seq(1.0f, 2.0f, -3.0f, 0.5f)
+    val corpus = Seq((1L, v), (2L, v.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.jlProject(corpus, outDim = 2, inDim = 4, seed = 11)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dim")) -> r.getAs[Long]("proj_fp"))
+      .toMap
+    (0 until 2).foreach { j =>
+      var dot = 0.0
+      v.indices.foreach(i => dot += v(i).toDouble * signs(j)(i))
+      assert(out((1L, j.toLong)) === math.floor(dot * 1048576.0).toLong)
+      assert(out((2L, j.toLong)) === math.floor(-dot * 1048576.0).toLong)
+    }
+    // signs are ±1 only and deterministic across calls
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(signs === Similarity.jlSigns(11, 4, 2))
+    assert(signs !== Similarity.jlSigns(12, 4, 2), "seed changes the matrix")
+  }
+
+  test("silhouetteReport: cells partition the corpus; sil bounded; tight cells score high") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rep = Similarity.silhouetteReport(emb).collect()
+    // every vector lands in exactly one cell
+    assert(rep.map(_.getAs[Long]("n")).sum === emb.count())
+    rep.foreach { r =>
+      val mean = r.getAs[Long]("mean_sil_fp")
+      val min = r.getAs[Long]("min_sil_fp")
+      val n = r.getAs[Long]("n")
+      val nLow = r.getAs[Long]("n_low")
+      // centroid-form silhouette is within [0, 1] in fixed point
+      assert(min >= 0L && mean <= 1048576L, s"sil out of range: $r")
+      assert(min <= mean)
+      assert(nLow >= 0L && nLow <= n)
+    }
+  }
 }

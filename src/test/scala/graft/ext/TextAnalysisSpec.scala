@@ -305,4 +305,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((5L, 1L, 8L, fk2)))
   }
 
+  test("codeScore: symbol and keyword densities, prose vs code separation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def f(x): return x + 1;"),               // code: symbols + keywords
+      (2L, "the quick brown fox jumps over the dog"), // prose: no symbols
+      (3L, "if while for class import void")          // keywords only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc1: symbols ( ) : no— set is {}()[];=<> → '(', ')', ';' = 3... plus none else
+    assert(out(1L).getAs[Long]("n_sym") === 3L)
+    // keywords: def, return = 2
+    assert(out(1L).getAs[Long]("n_kw") === 2L)
+    assert(out(1L).getAs[Boolean]("is_code"))
+    assert(out(2L).getAs[Long]("n_sym") === 0L)
+    assert(out(2L).getAs[Long]("n_kw") === 0L)
+    assert(out(2L).getAs[Long]("code_fp") === 0L)
+    assert(!out(2L).getAs[Boolean]("is_code"))
+    // doc3: 6 keywords over 6 tokens → kw term = 2^20 exactly
+    assert(out(3L).getAs[Long]("n_kw") === 6L)
+    assert(out(3L).getAs[Long]("code_fp") === 1048576L)
+    assert(out(3L).getAs[Boolean]("is_code"))
+  }
+
 }

@@ -74,4 +74,23 @@ class PackingSpec extends SparkSpec {
     val same = out.count { case (id, rk, _, _) => other(id) == rk }
     assert(same < 50, s"epochs should differ, $same/200 ranks identical")
   }
+
+  test("paddingEfficiency: power-of-two caps, exact waste, min bucket, w<=0 dropped") {
+    import spark.implicits._
+    // w=1..16 land in cap 16; 17 in 32; 100 in 128; 0 and -3 dropped
+    val docs = Seq(1L, 15L, 16L, 17L, 100L, 0L, -3L).toDF("w")
+    val out = Packing.paddingEfficiency(docs, "w")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(16L, 32L, 128L))
+    assert(out(16L).getAs[Long]("n_seqs") === 3L)
+    assert(out(16L).getAs[Long]("total_tokens") === 32L)
+    assert(out(16L).getAs[Long]("padded_tokens") === 48L)
+    assert(out(16L).getAs[Long]("pad_waste") === 16L)
+    // eff = 32/48 = 2/3 → floor(2/3 · 2^20) = 699050
+    assert(out(16L).getAs[Long]("eff_fp") === 699050L)
+    assert(out(32L).getAs[Long]("pad_waste") === 15L)
+    assert(out(128L).getAs[Long]("pad_waste") === 28L)
+    // exact power-of-two boundary stays in its own bucket (16 → cap 16)
+    assert(out(16L).getAs[Long]("bucket_cap") === 16L)
+  }
 }
