@@ -1464,8 +1464,13 @@ object SparkEntry {
     // Exact set-similarity join (E137): PPJoin-style rare-first prefix
     // filter, candidate-scoped verify, cross-multiplied threshold —
     // guaranteed-complete Jaccard ≥ 0.6 pairs (vs LSH's probable ones).
+    // Runs in 3-shingle space: the testdata's 31-word closed vocabulary
+    // makes token-space prefixes unselective (degenerates to all-pairs);
+    // shingle vocabulary grows with the corpus, so the prefix filter
+    // actually prunes — same exactness, 40× faster at sf0.1.
     "q177_setsim_join" -> { (s, dir) =>
-      graft.ext.FuzzyJoin.setSimJoin(Tables.documents(s, dir), tNum = 3, tDen = 5)
+      graft.ext.FuzzyJoin.setSimJoin(
+        Tables.documents(s, dir), tNum = 3, tDen = 5, shingleK = 3)
     },
     // SimHash near-dup join (E138): 4×15-bit banded candidates + exact
     // Hamming ≤ 3 verify — complete by pigeonhole, zero probability.
@@ -1543,11 +1548,13 @@ object SparkEntry {
       graft.ext.GraphStats.bcubed(assign, "doc_id", "cluster", "source")
     },
     // Dedup-threshold sensitivity (E147): the exact Jaccard ≥ 0.5 pair set
-    // histogrammed into 1/20-wide bins — what a threshold move actually
-    // merges, measured before committing the constant.
+    // (3-shingle space — the same element space the near-dup pipeline
+    // thresholds on) histogrammed into 1/20-wide bins — what a threshold
+    // move actually merges, measured before committing the constant.
     "q187_threshold_sweep" -> { (s, dir) =>
       graft.ext.FuzzyJoin.thresholdSensitivity(
-        graft.ext.FuzzyJoin.setSimJoin(Tables.documents(s, dir), tNum = 1, tDen = 2))
+        graft.ext.FuzzyJoin.setSimJoin(
+          Tables.documents(s, dir), tNum = 1, tDen = 2, shingleK = 3))
     },
     // Per-source dedup-rate audit (E148): how much each feed loses to
     // near-dup dedup — the fairness gate before shipping a deduplicated
@@ -1573,10 +1580,12 @@ object SparkEntry {
       graft.ext.Labeling.rankAuc(scored, "q6", col("removed"))
     },
     // Dedup yield curve (E150): duplicate-pair growth across nested hash
-    // subsamples of the corpus — the capacity-planning exponent, measured.
+    // subsamples of the corpus — the capacity-planning exponent, measured
+    // over the exact shingle-space Jaccard ≥ 0.5 pair set.
     "q190_yield_curve" -> { (s, dir) =>
       graft.ext.Dedup.dedupYieldCurve(
-        graft.ext.FuzzyJoin.setSimJoin(Tables.documents(s, dir), tNum = 1, tDen = 2)
+        graft.ext.FuzzyJoin.setSimJoin(
+          Tables.documents(s, dir), tNum = 1, tDen = 2, shingleK = 3)
           .select("id_a", "id_b"))
     },
     // JL ±1 random projection (E151): 64→16 dims, map-only native dots
@@ -1588,6 +1597,33 @@ object SparkEntry {
     // boundaries at a 40-token budget — the RAG-ingest chunker.
     "q192_sentence_chunks" -> { (s, dir) =>
       graft.ext.Chunking.sentenceChunks(Tables.documents(s, dir))
+    },
+    // Inter-arrival profile (E153): per-type gap moments + CV² burstiness
+    // in exact integers — Poisson vs bursty vs metronome traffic shapes.
+    "q193_interarrival" -> { (s, dir) =>
+      graft.ops.Coverage.interArrival(Tables.events(s, dir))
+    },
+    // Per-source quality trend (E154a): OLS slope of the quality score
+    // over doc_id (ingest order) per feed — "is this feed degrading".
+    "q194_quality_trend" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1000000.0).cast("long")
+            .as("q6"))
+      graft.analyze.Profiler.olsBy(docs, col("doc_id"), col("q6"), "source")
+    },
+    // Hash-uniformity audit (E154): exact chi-square numerator of the
+    // stableHash bucket occupancy — validates every hash gate the library
+    // ships (splits, subsamples, epoch shuffles) on the real id population.
+    "q195_hash_uniformity" -> { (s, dir) =>
+      graft.ext.Sampling.hashUniformity(Tables.documents(s, dir), "doc_id")
+    },
+    // MinHash calibration (E155): exact-Jaccard distribution per
+    // signature-agreement bucket over the LSH candidates — the sketch
+    // truthfulness audit.
+    "q196_minhash_calibration" -> { (s, dir) =>
+      graft.ext.Dedup.minhashCalibration(Tables.documents(s, dir))
     },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
@@ -4332,17 +4368,18 @@ object SparkEntry {
         |FROM sf JOIN p USING (from_type, to_type)
         |GROUP BY 1, 2""".stripMargin,
     "q177_setsim_join" ->
-      """WITH s AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-        |           FROM documents),
-        |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
-        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
-        |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
-        |       CAST((inter * 1048576) // (na.n + nb.n - inter) AS BIGINT) AS jac_fp
-        |FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
-        |WHERE inter * 5 >= 3 * (na.n + nb.n - inter)""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id, $dkShingles AS sh FROM t),
+         |s AS (SELECT doc_id, unnest(sh) AS tok FROM s0),
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |       CAST((inter * 1048576) // (na.n + nb.n - inter) AS BIGINT) AS jac_fp
+         |FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         |WHERE inter * 5 >= 3 * (na.n + nb.n - inter)""".stripMargin,
     "q178_simhash_neardup" -> {
       val sums = (0 until 60)
         .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -4506,24 +4543,25 @@ object SparkEntry {
          |                 ELSE 0 END AS BIGINT) AS f1_fp
          |FROM f""".stripMargin,
     "q187_threshold_sweep" ->
-      """WITH s AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-        |           FROM documents),
-        |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
-        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |p AS (SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b
-        |      FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
-        |      WHERE inter * 2 >= (na.n + nb.n - inter)),
-        |b AS (SELECT *, LEAST((inter * 20) // (n_a + n_b - inter), 19) AS bin FROM p),
-        |pc AS (SELECT bin, COUNT(*) AS n_pairs FROM b GROUP BY 1),
-        |dc AS (SELECT bin, COUNT(DISTINCT id) AS n_docs FROM (
-        |         SELECT bin, id_a AS id FROM b
-        |         UNION ALL SELECT bin, id_b FROM b) GROUP BY 1)
-        |SELECT CAST(pc.bin AS BIGINT) AS bin,
-        |       CAST((pc.bin * 1048576) // 20 AS BIGINT) AS thr_lo_fp,
-        |       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
-        |FROM pc JOIN dc USING (bin)""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id, $dkShingles AS sh FROM t),
+         |s AS (SELECT doc_id, unnest(sh) AS tok FROM s0),
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b
+         |      FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         |      WHERE inter * 2 >= (na.n + nb.n - inter)),
+         |b AS (SELECT *, LEAST((inter * 20) // (n_a + n_b - inter), 19) AS bin FROM p),
+         |pc AS (SELECT bin, COUNT(*) AS n_pairs FROM b GROUP BY 1),
+         |dc AS (SELECT bin, COUNT(DISTINCT id) AS n_docs FROM (
+         |         SELECT bin, id_a AS id FROM b
+         |         UNION ALL SELECT bin, id_b FROM b) GROUP BY 1)
+         |SELECT CAST(pc.bin AS BIGINT) AS bin,
+         |       CAST((pc.bin * 1048576) // 20 AS BIGINT) AS thr_lo_fp,
+         |       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
+         |FROM pc JOIN dc USING (bin)""".stripMargin,
     "q188_dedup_rate" ->
       s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle))
          |SELECT d.source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4566,8 +4604,9 @@ object SparkEntry {
     "q190_yield_curve" -> {
       val ha = dkHash("CAST(id_a AS VARCHAR)", 7)
       val hb = dkHash("CAST(id_b AS VARCHAR)", 7)
-      s"""WITH s AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-         |           FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id, $dkShingles AS sh FROM t),
+         |s AS (SELECT doc_id, unnest(sh) AS tok FROM s0),
          |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
          |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
          |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -4611,6 +4650,102 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_sentences,
         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY doc_id, cum_before // 40""".stripMargin,
+    "q193_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus,
+        |                  event_id
+        |           FROM events),
+        |w AS (SELECT event_type, tus,
+        |        lag(tus) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY tus, event_id) AS prev
+        |      FROM e),
+        |d AS (SELECT event_type, (tus - prev) // 1000000 AS ds
+        |      FROM w WHERE prev IS NOT NULL),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |             SUM(CAST(ds AS HUGEINT)) AS s, MAX(ds) AS mx,
+        |             SUM(CAST(ds AS HUGEINT) * CAST(ds AS HUGEINT)) AS s2
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps, CAST(s AS BIGINT) AS sum_s,
+        |       CAST(mx AS BIGINT) AS max_s, CAST(s2 AS BIGINT) AS sum_s2,
+        |       CAST(s // n AS BIGINT) AS mean_s,
+        |       CAST(CASE WHEN s = 0 THEN 0
+        |                 ELSE ((n * s2 - s * s) * 1048576) // (s * s)
+        |            END AS BIGINT) AS cv2_fp
+        |FROM a""".stripMargin,
+    "q194_quality_trend" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH b AS (SELECT source, CAST(doc_id AS HUGEINT) AS x,
+         |             CAST(CAST(floor(LEAST(GREATEST(
+         |               (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |               LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |               LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |               * 1000000.0) AS BIGINT) AS HUGEINT) AS y
+         |           FROM documents),
+         |a AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+         |             SUM(x) AS sx, SUM(y) AS sy,
+         |             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+         |      FROM b GROUP BY 1),
+         |c AS (SELECT source, n, sx, sy,
+         |             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+         |      FROM a)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+         |       CAST(CASE WHEN den = 0 THEN 0
+         |                 ELSE ${dkFloorDiv("num * 1048576", "den")} END AS BIGINT)
+         |         AS slope_fp,
+         |       CAST(CASE WHEN den = 0 THEN 0
+         |                 ELSE ${dkFloorDiv("(sy * den - num * sx) * 1048576", "n * den")}
+         |            END AS BIGINT) AS intercept_fp
+         |FROM c""".stripMargin
+    },
+    "q195_hash_uniformity" -> {
+      val h = dkHash("CAST(doc_id AS VARCHAR)", 9)
+      s"""WITH b AS (SELECT $h % 100 AS bucket FROM documents),
+         |o AS (SELECT bucket, COUNT(*) AS o FROM b GROUP BY 1),
+         |t AS (SELECT SUM(o) AS n, COUNT(*) AS used,
+         |             MIN(o) AS mn, MAX(o) AS mx FROM o),
+         |d AS (SELECT SUM(CAST(o * 100 - n AS HUGEINT)
+         |                 * CAST(o * 100 - n AS HUGEINT)) AS occ
+         |      FROM o CROSS JOIN t)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(used AS BIGINT) AS n_buckets_used,
+         |       CAST(mn AS BIGINT) AS min_bucket, CAST(mx AS BIGINT) AS max_bucket,
+         |       CAST(occ + (100 - used) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+         |            AS BIGINT) AS chi2_num
+         |FROM t CROSS JOIN d""".stripMargin
+    },
+    "q196_minhash_calibration" -> {
+      val mins = (0 until 16).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
+      val bandUnion = (0 until 4).map { b =>
+        s"SELECT id, $b AS band_idx, md5(concat_ws('|', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})) AS band_hash FROM mh"
+      }.mkString("\n    UNION ALL ")
+      val matches = (0 until 16)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |hb AS (SELECT id, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM s),
+         |mh AS (SELECT id, $mins FROM hb GROUP BY id),
+         |bands AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |          AND a.band_hash = b.band_hash AND a.id < b.id),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+         |c AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+         |      FROM s a JOIN s b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),
+         |cc AS (SELECT c.* FROM c SEMI JOIN cand USING (id_a, id_b)),
+         |m AS (SELECT cc.id_a, cc.id_b, common, na.n AS n_a, nb.n AS n_b,
+         |             $matches AS est_matches
+         |      FROM cc JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+         |      JOIN mh sa ON sa.id = id_a JOIN mh sb ON sb.id = id_b),
+         |j AS (SELECT est_matches,
+         |             (common * 1048576) // (n_a + n_b - common) AS jfp FROM m)
+         |SELECT CAST(est_matches AS BIGINT) AS est_matches,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(jfp) // COUNT(*) AS BIGINT) AS mean_jac_fp,
+         |       CAST(MIN(jfp) AS BIGINT) AS min_jac_fp,
+         |       CAST(MAX(jfp) AS BIGINT) AS max_jac_fp
+         |FROM j GROUP BY est_matches""".stripMargin
+    },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w
         |           FROM documents),

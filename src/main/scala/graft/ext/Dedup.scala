@@ -604,6 +604,50 @@ object Dedup {
         (matching.cast("double") / numHashes).as("jaccard_est"))
   }
 
+  /** MinHash estimator calibration (E155): over the LSH candidate pairs,
+    * bucket by the number of agreeing signature components (the sketch's
+    * Jaccard estimate, est/numHashes) and report the EXACT Jaccard
+    * distribution inside each bucket — the "is my sketch telling the
+    * truth on MY corpus" audit. A well-behaved MinHash shows mean exact
+    * Jaccard ≈ est/numHashes per bucket; shingle-length pathologies (tiny
+    * docs, boilerplate-dominated shingle sets) show up as buckets whose
+    * exact mean drifts from the estimate — the evidence for resizing
+    * signatures before trusting LSH at 100 TB.
+    *
+    * Scale: candidates are LSH-bucket-scoped (never O(n²)); signatures
+    * join back on id (numHashes small ints per row); the final aggregate
+    * is ≤ numHashes+1 rows.
+    */
+  def minhashCalibration(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, textCol, idCol, numHashes, rowsPerBand)
+    val exact = ngramJaccard(docs, textCol, idCol, 3, 0.0, Some(cand))
+    val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
+    val sa = sigs.select(
+      col(idCol).as("id_a") +: (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sigs.select(
+      col(idCol).as("id_b") +: (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val est = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    exact.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_matches", est)
+      .withColumn("jac_fp",
+        graft.ext.ExactMath.floorDiv(col("common") * lit(1048576L),
+          col("n_a") + col("n_b") - col("common")))
+      .groupBy("est_matches")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        graft.ext.ExactMath.floorDiv(sum(col("jac_fp")), count(lit(1)))
+          .as("mean_jac_fp"),
+        min(col("jac_fp")).cast("long").as("min_jac_fp"),
+        max(col("jac_fp")).cast("long").as("max_jac_fp"))
+  }
+
   /** Dedup yield curve (E150): how the duplicate-pair count grows with
     * corpus size. Documents gate into nested hash subsamples (doc ∈ sample
     * p ⟺ stableHash(id) mod 100 < p — the p=25 sample is a subset of

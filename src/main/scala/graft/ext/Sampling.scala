@@ -453,4 +453,49 @@ object Sampling {
           .when(col("__rn") * 100 <= col("__ng") * (trainPct + valPct), "val")
           .otherwise("test").as("split"))
   }
+
+  /** Hash-bucket uniformity audit (E154): every deterministic gate in this
+    * library (splits, subsamples, epoch shuffles) assumes
+    * stableHash(id) mod B is uniform over the ACTUAL id population — this
+    * measures it. Ids bucket into B cells; the report is the exact
+    * chi-square numerator
+    *
+    *   chi2_num = Σ_b (o_b·B − n)²      (uniform ⇒ E[chi2_num] = B²·n·(B−1)/B)
+    *
+    * plus min/max occupancy, as DECIMAL-exact integers (o_b·B − n squares
+    * overflow int64 at corpus scale). Compare chi2_num against
+    * B²·n·χ²_crit/B-style thresholds offline; a skewed id scheme (e.g.
+    * all ids ≡ 0 mod 4) shows up as a 10×+ inflation. Scale: one hash
+    * aggregation to B rows, one 1-row reduce.
+    */
+  def hashUniformity(
+      df: DataFrame,
+      idCol: String,
+      buckets: Int = 100,
+      seed: Int = 9): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val dec = "decimal(38,0)"
+    val b = df.select(
+        pmod(graft.ext.Dedup.stableHash(col(idCol).cast("string"), seed),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("o"))
+    val tot = b.agg(sum(col("o")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_buckets_used"),
+      min(col("o")).cast("long").as("min_bucket"),
+      max(col("o")).cast("long").as("max_bucket"))
+    val dev = b.crossJoin(tot.select(col("n")))
+      .select(((col("o") * buckets - col("n")).cast(dec) *
+        (col("o") * buckets - col("n")).cast(dec)).as("sq"))
+      .agg(sum(col("sq")).cast(dec).as("chi2_occ"))
+    // empty buckets each contribute (0·B − n)² = n²; reporting as long
+    // bounds the audit at ~3·10⁹ ids per call (n²·B < 2⁶³) — shard the
+    // audit beyond that
+    tot.crossJoin(dev)
+      .select(col("n"), col("n_buckets_used"), col("min_bucket"),
+        col("max_bucket"),
+        (col("chi2_occ") +
+          (lit(buckets.toLong) - col("n_buckets_used")).cast(dec) *
+            col("n").cast(dec) * col("n").cast(dec))
+          .cast("long").as("chi2_num"))
+  }
 }

@@ -124,4 +124,54 @@ object Coverage {
       .withColumn(valueCol,
         last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Per-type inter-arrival profile (E153): consecutive-event gaps within
+    * each (key, type) stream, quantized to whole seconds, aggregated per
+    * type into count / sum / max and the squared coefficient of variation
+    *
+    *   CV² = n·Σd²/ (Σd)² − 1
+    *
+    * in 2²⁰ fixed point (CV² ≈ 1 ⇒ Poisson arrivals, ≫ 1 ⇒ bursty, ≪ 1 ⇒
+    * regular) — the traffic-shape diagnostic behind retry storms and
+    * crawler detection. All moments are exact integers; the CV² quotient
+    * goes through DECIMAL(38) products (n·Σd² overflows int64 at corpus
+    * scale) and a remainder-subtracting floor, so both engines agree
+    * bit-for-bit. Degenerate streams (Σd = 0) report cv2_fp = 0.
+    *
+    * Scale: the lag window is keyed by (key, type) — per-user streams,
+    * never a global sort; the moment aggregation is map-side combined to
+    * |types| rows.
+    */
+  def interArrival(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(typeCol))
+      .orderBy(col("tus"), col(idCol))
+    val d = events
+      .select(col(keyCol), col(typeCol), toUs(events, tsCol).as("tus"), col(idCol))
+      .withColumn("prev_us", lag(col("tus"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col(typeCol),
+        graft.ext.ExactMath.floorDiv(col("tus") - col("prev_us"), lit(1000000L))
+          .as("d_s"))
+    val dec = "decimal(38,0)"
+    val a = d.groupBy(typeCol).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("d_s")).cast("long").as("sum_s"),
+      max(col("d_s")).cast("long").as("max_s"),
+      sum(col("d_s") * col("d_s")).cast("long").as("sum_s2"))
+    val n = col("n_gaps").cast(dec)
+    val s = col("sum_s").cast(dec)
+    val s2 = col("sum_s2").cast(dec)
+    a.select(
+      col(typeCol), col("n_gaps"), col("sum_s"), col("max_s"), col("sum_s2"),
+      graft.ext.ExactMath.floorDiv(col("sum_s"), col("n_gaps")).as("mean_s"),
+      when(col("sum_s") === 0L, 0L)
+        .otherwise(graft.ext.ExactMath.floorDiv(
+          (n * s2 - s * s) * lit(1048576L).cast(dec), s * s))
+        .cast("long").as("cv2_fp"))
+  }
 }

@@ -241,6 +241,31 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must produce close signatures")
   }
 
+  test("minhashCalibration: identical docs land in the 16-match bucket at exact jaccard 1") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base), (2L, base),                  // identical → est 16, jac 1
+      (3L, base + " nu"),                      // near-dup of 1/2
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs).collect()
+      .map(r => r.getAs[Long]("est_matches") -> r).toMap
+    val full = out(16L)
+    // the (1,2) pair: every component agrees, exact jaccard = 2^20
+    assert(full.getAs[Long]("n_pairs") >= 1L)
+    assert(full.getAs[Long]("max_jac_fp") === 1048576L)
+    // buckets are internally consistent: min <= mean <= max
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("min_jac_fp") <= r.getAs[Long]("mean_jac_fp"))
+      assert(r.getAs[Long]("mean_jac_fp") <= r.getAs[Long]("max_jac_fp"))
+    }
+    // doc 4 shares no shingles with 1-3: no candidate pair reaches it
+    val pairsTouching4 = Dedup.minhashCandidates(docs).collect()
+      .count(r => r.getAs[Long]("id_a") == 4L || r.getAs[Long]("id_b") == 4L)
+    assert(pairsTouching4 === 0)
+  }
+
   test("dedupRateBy: duplicated feed loses its non-canonical copies, clean feed loses none") {
     import spark.implicits._
     // srcA: 3 near-identical docs (appended-word edits recall reliably at

@@ -129,6 +129,39 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("jac_fp") === 1048576L)
   }
 
+  test("setSimJoin shingle mode equals brute force over shingle sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector.tabulate(12)(i => s"w$i")
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((1 to 30).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      (101L, base), (102L, base),          // identical shingle sets
+      (103L, base + " iota"),              // one appended word
+      (104L, "prefix " + base)             // one prepended word
+    )).toDF("doc_id", "text")
+    val got = FuzzyJoin.setSimJoin(docs, tNum = 1, tDen = 2, shingleK = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("jac_fp"))
+      .toMap
+    // brute force over the SAME deduped shingle sets
+    val sets = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ").toSeq
+      val sh =
+        if (toks.length < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      r.getLong(0) -> sh
+    }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = sets(a).size + sets(b).size - inter
+      if inter * 2 >= union
+    } yield (a, b) -> inter.toLong * 1048576L / union).toMap
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture must produce similar pairs")
+  }
+
   test("thresholdSensitivity: bins by exact jaccard, clamps 1.0, counts pairs and docs") {
     import spark.implicits._
     // (1,2): identical 4-token sets → jaccard 1 → bin clamps to 19.

@@ -308,4 +308,29 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("label"))).toSet
     assert(again === out.toSet)
   }
+
+  test("hashUniformity: exact chi-square numerator incl. empty buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val ids = (1L to 200L).toDF("id")
+    val buckets = 8
+    val out = Sampling.hashUniformity(ids, "id", buckets = buckets).collect()(0)
+    assert(out.getAs[Long]("n") === 200L)
+    // replicate: bucket occupancies via the same hash
+    val occ = ids.select(
+        pmod(graft.ext.Dedup.stableHash(col("id").cast("string"), 9), lit(buckets.toLong))
+          .as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getAs[Long]("b") -> r.getAs[Long]("count")).toMap
+    val used = occ.size.toLong
+    assert(out.getAs[Long]("n_buckets_used") === used)
+    assert(out.getAs[Long]("min_bucket") === occ.values.min)
+    assert(out.getAs[Long]("max_bucket") === occ.values.max)
+    val chi2 = occ.values.map(o => { val d = o * buckets - 200L; d * d }).sum +
+      (buckets - used) * 200L * 200L
+    assert(out.getAs[Long]("chi2_num") === chi2)
+    // uniform-ish: a sane hash keeps chi2 within a loose multiple of E[chi2]
+    // (E[chi2_num] = B²·n·(B−1)/B = 8·200·7·8 under uniformity)
+    assert(chi2 < 10L * buckets * buckets * 200L)
+  }
 }

@@ -79,4 +79,30 @@ class CoverageSpec extends SparkSpec {
     // grids never cross keys: no 'b' rows in a's range
     assert(!out.contains(("b", 0L)))
   }
+
+  test("interArrival: per-(user,type) gaps, second quantization, exact CV2") {
+    import spark.implicits._
+    // user 1 'click': ns timestamps at 0s, 10s, 30s → gaps 10, 20
+    // user 2 'click': 100s, 110s → gap 10        (separate stream, same type)
+    // user 1 'view': single event → no gap
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 10L * ns, 1L, "click"), (2L, 20L * ns, 1L, "click"),
+      (3L, 40L * ns, 1L, "click"),
+      (4L, 100L * ns, 2L, "click"), (5L, 110L * ns, 2L, "click"),
+      (6L, 50L * ns, 1L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Coverage.interArrival(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val c = out("click")
+    // gaps in seconds: 10, 20, 10 → n=3, sum=40, max=20, sum2=600
+    assert(c.getAs[Long]("n_gaps") === 3L)
+    assert(c.getAs[Long]("sum_s") === 40L)
+    assert(c.getAs[Long]("max_s") === 20L)
+    assert(c.getAs[Long]("sum_s2") === 600L)
+    assert(c.getAs[Long]("mean_s") === 13L) // floor(40/3)
+    // cv2 = n·Σd²/S² − 1 = 1800/1600 − 1 = 1/8 → floor(2^20/8)
+    assert(c.getAs[Long]("cv2_fp") === 131072L)
+    assert(!out.contains("view"), "single-event streams have no gaps")
+  }
 }
