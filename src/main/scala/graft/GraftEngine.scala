@@ -8,7 +8,7 @@ import graft.detect.RelationshipDetector
 import graft.render.ErdRenderer
 import graft.state.IncrementalState
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** End-to-end engine facade — the reference's main pipeline (main.py:78-306,
   * SURVEY §3.1-3.2) as one lazily-composed Spark job chain:
@@ -391,6 +391,38 @@ object Main {
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
         graft.ops.Compaction.plan(parts, "part", "n", target.toLong)
           .orderBy("unit").show(100, truncate = false)
+      }
+      // dedup fairness + capacity: per-feed loss rate, yield growth curve
+      if (args.contains("--dedup-audit")) {
+        val docs = Tables.documents(spark, dir)
+        println("per-source dedup loss (near-dup, jaccard >= 0.5):")
+        graft.ext.Dedup.dedupRateBy(docs, "source")
+          .orderBy(col("removed_fp").desc).show(30, truncate = false)
+        println("dedup yield curve (pairs across nested subsamples):")
+        graft.ext.Dedup.dedupYieldCurve(
+            graft.ext.FuzzyJoin.setSimJoin(docs, tNum = 1, tDen = 2, shingleK = 3)
+              .select("id_a", "id_b"))
+          .orderBy("pct").show(truncate = false)
+      }
+      // classifier trustworthiness: reliability diagram + score AUC
+      if (args.contains("--calibration")) {
+        val docs = Tables.documents(spark, dir)
+        println("langid reliability diagram (conf vs accuracy per bin):")
+        val preds = graft.ext.TextAnalysis.langConfusion(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val denom = col("score_top") + col("score_second")
+        val conf = when(denom > 0L,
+          graft.ext.ExactMath.floorDiv(col("score_top") * lit(1048576L), denom))
+          .otherwise(0L)
+        graft.ext.Labeling.calibrationReport(
+            preds, conf, col("lang_top") === col("lang"))
+          .orderBy("bin").show(truncate = false)
+      }
+      // traffic shape: per-type inter-arrival moments + CV² burstiness
+      if (args.contains("--traffic")) {
+        println("inter-arrival profile per event type (CV² ≈ 2²⁰ = Poisson):")
+        graft.ops.Coverage.interArrival(Tables.events(spark, dir))
+          .orderBy("event_type").show(truncate = false)
       }
     } finally spark.stop()
   }

@@ -1625,6 +1625,29 @@ object SparkEntry {
     "q196_minhash_calibration" -> { (s, dir) =>
       graft.ext.Dedup.minhashCalibration(Tables.documents(s, dir))
     },
+    // Tokenizer fertility (E156): BPE-ish tokens per whitespace word, per
+    // language — the "how expensive is this language for my tokenizer"
+    // planning table.
+    "q197_fertility" -> { (s, dir) =>
+      import graft.ext.{ExactMath, TextAnalysis}
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("b"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("w")).cast("long").as("sum_words"),
+          sum(col("b")).cast("long").as("sum_bpe"),
+          ExactMath.floorDiv(sum(col("b")) * lit(1048576L), sum(col("w")))
+            .as("fertility_fp"))
+    },
+    // Language mixing (E157): sentence-level langid votes per doc —
+    // code-switching / concatenation-bug detector that doc-level argmax
+    // cannot see.
+    "q198_lang_mixing" -> { (s, dir) =>
+      graft.ext.TextAnalysis.langMixing(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -1984,14 +2007,21 @@ object SparkEntry {
   /** Marker-occurrence count in DuckDB: same length arithmetic as
     * TextAnalysis.countOccurrences over the space-padded lowered text.
     */
-  private def dkCount(marker: String): String = {
+  private def dkCount(marker: String): String = dkCountOn(marker, "text")
+
+  /** Marker-occurrence count over an arbitrary DuckDB string expression
+    * (dkCount is the `text`-column shorthand).
+    */
+  private def dkCountOn(marker: String, e: String): String = {
     val needle = s" $marker "
-    s"(length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', '$needle', ''))) / ${needle.length}"
+    s"(length(' '||lower($e)||' ') - length(replace(' '||lower($e)||' ', '$needle', ''))) / ${needle.length}"
   }
 
-  private def dkLangScore(lang: String): String =
+  private def dkLangScore(lang: String): String = dkLangScoreOn(lang, "text")
+
+  private def dkLangScoreOn(lang: String, e: String): String =
     graft.ext.TextAnalysis.langMarkers.toMap
-      .apply(lang).map(dkCount).mkString("(", " + ", ")")
+      .apply(lang).map(m => dkCountOn(m, e)).mkString("(", " + ", ")")
 
   private val dkAllStops: String =
     graft.ext.TextAnalysis.langMarkers.flatMap(_._2).map(dkCount).mkString("(", " + ", ")")
@@ -4745,6 +4775,43 @@ object SparkEntry {
          |       CAST(MIN(jfp) AS BIGINT) AS min_jac_fp,
          |       CAST(MAX(jfp) AS BIGINT) AS max_jac_fp
          |FROM j GROUP BY est_matches""".stripMargin
+    },
+    "q197_fertility" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS BIGINT) AS b
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(w) AS BIGINT) AS sum_words,
+        |       CAST(SUM(b) AS BIGINT) AS sum_bpe,
+        |       CAST((SUM(b) * 1048576) // SUM(w) AS BIGINT) AS fertility_fp
+        |FROM b GROUP BY lang""".stripMargin,
+    "q198_lang_mixing" -> {
+      val entries = graft.ext.TextAnalysis.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        s"struct_pack(ns := -(${dkLangScoreOn(l, "sent")}), i := $i, l := '$l')"
+      }.mkString(",\n    ")
+      s"""WITH s0 AS (SELECT doc_id, string_split_regex(text, '[.!?]+ *') AS l
+         |            FROM documents),
+         |sx AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS idx, l FROM s0),
+         |f AS (SELECT doc_id, l[idx] AS sent FROM sx WHERE length(trim(l[idx])) > 0),
+         |p AS (SELECT doc_id, list_sort([
+         |    $entries]) AS a FROM f),
+         |sl AS (SELECT doc_id,
+         |         CASE WHEN a[1].ns < 0 THEN a[1].l ELSE 'und' END AS slang
+         |       FROM p),
+         |c AS (SELECT doc_id, slang, COUNT(*) AS c FROM sl GROUP BY 1, 2),
+         |w AS (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS tot,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                           ORDER BY c DESC, slang ASC) AS rk
+         |      FROM c)
+         |SELECT doc_id, CAST(MAX(tot) AS BIGINT) AS n_sentences,
+         |       CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |       MIN(CASE WHEN rk = 1 THEN slang END) AS majority_lang,
+         |       CAST((MIN(CASE WHEN rk = 1 THEN c END) * 1048576) // MAX(tot)
+         |            AS BIGINT) AS majority_fp,
+         |       COUNT(*) > 1 AS is_mixed
+         |FROM w GROUP BY doc_id""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

@@ -282,6 +282,44 @@ object TextAnalysis {
           15590L).cast("long"))
   }
 
+  /** Per-document language mixing (E157): sentence-level language votes.
+    * Sentences split on the portable `[.!?]+ *` pattern, each classified
+    * with [[langId]]; the report is the per-doc vote distribution —
+    * sentence count, distinct predicted languages, the majority language
+    * (count desc, language asc tiebreak) and its exact 2²⁰ share. A prose
+    * doc scoring `is_mixed` is code-switched, mis-scraped, or a
+    * concatenation bug — all three are things a monolingual training mix
+    * wants surfaced, and doc-level argmax ([[langId]] on the whole text)
+    * structurally cannot see them.
+    *
+    * Scale: sentence explode + langid are map-side; the vote count and the
+    * per-doc window shuffle on doc id (≤ |langs|+1 rows per doc).
+    */
+  def langMixing(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sent = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "[.!?]+ *")).as(Seq("idx", "s")))
+      .filter(length(trim(col("s"))) > 0)
+      .select(col("id"), langId(col("s")).as("slang"))
+    val counts = sent.groupBy("id", "slang").agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy("id")
+    counts
+      .withColumn("tot", sum(col("c")).over(byDoc))
+      .withColumn("rk",
+        row_number().over(byDoc.orderBy(col("c").desc, col("slang").asc)))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        max(col("tot")).cast("long").as("n_sentences"),
+        count(lit(1)).cast("long").as("n_langs"),
+        min(when(col("rk") === 1, col("slang"))).as("majority_lang"),
+        ExactMath.floorDiv(
+          min(when(col("rk") === 1, col("c"))) * lit(1048576L),
+          max(col("tot"))).as("majority_fp"))
+      .withColumn("is_mixed", col("n_langs") > 1L)
+  }
+
   /** Code-likeness score (E142): symbol density per char + keyword density
     * per token, as exact 2²⁰ fixed-point integers — the "is this prose or
     * source code?" gate a text-corpus curation pass runs before quality

@@ -329,4 +329,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("is_code"))
   }
 
+  test("langMixing: mixed doc flagged with exact majority share, pure doc is not") {
+    import spark.implicits._
+    // en markers: the/and/is...; de markers: der/und/die... (langMarkers)
+    val docs = Seq(
+      (1L, "the cat is on the mat. der hund und die katze. the dog is here."),
+      (2L, "the cat is on the mat. the dog is in the house."),
+      (3L, "zzz qqq. xxx yyy.") // no markers anywhere → every sentence 'und'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langMixing(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_sentences") === 3L)
+    assert(out(1L).getAs[Long]("n_langs") === 2L)
+    assert(out(1L).getAs[String]("majority_lang") === "en")
+    // 2 of 3 sentences en → floor(2·2^20/3)
+    assert(out(1L).getAs[Long]("majority_fp") === 2L * 1048576L / 3L)
+    assert(out(1L).getAs[Boolean]("is_mixed"))
+    assert(out(2L).getAs[Long]("n_langs") === 1L)
+    assert(!out(2L).getAs[Boolean]("is_mixed"))
+    assert(out(3L).getAs[String]("majority_lang") === "und")
+    assert(!out(3L).getAs[Boolean]("is_mixed"))
+  }
+
 }
