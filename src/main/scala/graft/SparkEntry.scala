@@ -1648,6 +1648,23 @@ object SparkEntry {
     "q198_lang_mixing" -> { (s, dir) =>
       graft.ext.TextAnalysis.langMixing(Tables.documents(s, dir))
     },
+    // Dependence audit (E158): quality-quintile × length-quintile exact
+    // contingency deviation — "is the quality score just length in
+    // disguise?" measured before a scoring gate ships.
+    "q199_dependence_audit" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      val d = Tables.documents(s, dir).select(
+        floor(TextAnalysis.qualityScore(col("text")) * 1000000.0).cast("long")
+          .as("q6"),
+        col("n_chars"))
+      graft.analyze.Profiler.dependenceAudit(d, "q6", "n_chars", buckets = 5)
+    },
+    // Release scorecard (E159): every corpus gate in one row — counts and
+    // exact shares for code-likeness, language mixing, near-dup removal,
+    // plus mean quality.
+    "q200_release_scorecard" -> { (s, dir) =>
+      graft.ext.CorpusPipeline.releaseScorecard(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4812,6 +4829,90 @@ object SparkEntry {
          |            AS BIGINT) AS majority_fp,
          |       COUNT(*) > 1 AS is_mixed
          |FROM w GROUP BY doc_id""".stripMargin
+    },
+    "q199_dependence_audit" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH d AS (SELECT CAST(floor(LEAST(GREATEST(
+         |        (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |        LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |        LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |        * 1000000.0) AS BIGINT) AS q, n_chars AS len
+         |      FROM documents),
+         |t AS (SELECT COUNT(*) AS n FROM d),
+         |qh AS (SELECT q, COUNT(*) AS c FROM d GROUP BY 1),
+         |qc AS (SELECT q, COALESCE(SUM(c) OVER (ORDER BY q
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |      FROM qh),
+         |qa AS (SELECT q, (cb * 5) // n AS qb FROM qc CROSS JOIN t),
+         |lh AS (SELECT len, COUNT(*) AS c FROM d GROUP BY 1),
+         |lc AS (SELECT len, COALESCE(SUM(c) OVER (ORDER BY len
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |      FROM lh),
+         |la AS (SELECT len, (cb * 5) // n AS lb FROM lc CROSS JOIN t),
+         |j AS (SELECT qa.qb AS a_bucket, la.lb AS b_bucket
+         |      FROM d JOIN qa USING (q) JOIN la USING (len)),
+         |cells AS (SELECT a_bucket, b_bucket, COUNT(*) AS n_cell
+         |          FROM j GROUP BY 1, 2),
+         |rt AS (SELECT a_bucket, SUM(n_cell) AS row_n FROM cells GROUP BY 1),
+         |ct AS (SELECT b_bucket, SUM(n_cell) AS col_n FROM cells GROUP BY 1)
+         |SELECT CAST(cells.a_bucket AS BIGINT) AS a_bucket,
+         |       CAST(cells.b_bucket AS BIGINT) AS b_bucket,
+         |       CAST(n_cell AS BIGINT) AS n_cell,
+         |       CAST(row_n AS BIGINT) AS row_n, CAST(col_n AS BIGINT) AS col_n,
+         |       CAST(n_cell * n - row_n * col_n AS BIGINT) AS dev_num
+         |FROM cells JOIN rt USING (a_bucket) JOIN ct USING (b_bucket)
+         |CROSS JOIN t""".stripMargin
+    },
+    "q200_release_scorecard" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      val entries = graft.ext.TextAnalysis.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        s"struct_pack(ns := -(${dkLangScoreOn(l, "sent")}), i := $i, l := '$l')"
+      }.mkString(",\n    ")
+      s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle)),
+         |s0 AS (SELECT doc_id, string_split_regex(text, '[.!?]+ *') AS l
+         |       FROM documents),
+         |sx AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS idx, l FROM s0),
+         |f AS (SELECT doc_id, l[idx] AS sent FROM sx WHERE length(trim(l[idx])) > 0),
+         |p AS (SELECT doc_id, list_sort([
+         |    $entries]) AS a FROM f),
+         |sl AS (SELECT doc_id,
+         |         CASE WHEN a[1].ns < 0 THEN a[1].l ELSE 'und' END AS slang
+         |       FROM p),
+         |mx AS (SELECT doc_id, COUNT(DISTINCT slang) > 1 AS is_mixed
+         |       FROM sl GROUP BY doc_id),
+         |base AS (SELECT d.doc_id,
+         |    CAST(floor(LEAST(GREATEST(
+         |      (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |      LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |      LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |      * 1000000.0) AS BIGINT) AS q6,
+         |    (CAST(len(regexp_extract_all(text, '[{}()\\[\\];=<>]')) AS BIGINT)
+         |       * 1048576) // GREATEST(CAST(length(text) AS BIGINT), 1)
+         |    + (CAST(len(regexp_extract_all(lower(text),
+         |         '\\b(def|class|return|import|if|else|for|while|function|var|const|void|int)\\b'))
+         |         AS BIGINT) * 1048576)
+         |      // GREATEST(CAST($nt AS BIGINT), 1) >= 131072 AS is_code,
+         |    COALESCE(mx.is_mixed, false) AS is_mixed,
+         |    cl.canonical_id IS NOT NULL AND cl.canonical_id <> d.doc_id AS removed
+         |  FROM documents d
+         |  LEFT JOIN mx ON mx.doc_id = d.doc_id
+         |  LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |a AS (SELECT COUNT(*) AS n_docs,
+         |             SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS n_code,
+         |             SUM(CASE WHEN is_mixed THEN 1 ELSE 0 END) AS n_mixed,
+         |             SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS n_dup_removed,
+         |             SUM(q6) AS sq6
+         |      FROM base)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_code AS BIGINT) AS n_code,
+         |       CAST(n_mixed AS BIGINT) AS n_mixed,
+         |       CAST(n_dup_removed AS BIGINT) AS n_dup_removed,
+         |       CAST((n_code * 1048576) // n_docs AS BIGINT) AS code_share_fp,
+         |       CAST((n_mixed * 1048576) // n_docs AS BIGINT) AS mixed_share_fp,
+         |       CAST((n_dup_removed * 1048576) // n_docs AS BIGINT) AS dup_share_fp,
+         |       CAST(sq6 // n_docs AS BIGINT) AS mean_quality_e6
+         |FROM a""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

@@ -500,4 +500,38 @@ object Profiler {
       .select(col(idCol), col(groupCol), col(valueCol),
         col("qpos").cast("long").as("qpos"), col("__v").as("norm_value"))
   }
+
+  /** Dependence audit (E158): bucket two numeric columns into equi-depth
+    * quantiles and report the exact contingency deviation from
+    * independence per cell:
+    *
+    *   dev_num = n_cell·N − row_n·col_n      (0 everywhere ⟺ independent)
+    *
+    * The "is quality just length in disguise?" check run before a scoring
+    * gate ships — a strong diagonal means the two signals are redundant
+    * and one threshold silently implements the other. All integers; the
+    * quantile assignment is [[graft.ext.Curriculum.equiDepthBuckets]]'
+    * value-level broadcast layout (windows run over distinct values only).
+    *
+    * Scale: two distinct-value histograms + broadcast join-backs, one
+    * hash aggregation to ≤ buckets² cells.
+    */
+  def dependenceAudit(
+      df: DataFrame, aCol: String, bCol: String, buckets: Int = 5): DataFrame = {
+    val withA = graft.ext.Curriculum.equiDepthBuckets(df, aCol, buckets)
+      .withColumnRenamed("bucket", "a_bucket")
+    val withB = graft.ext.Curriculum.equiDepthBuckets(withA, bCol, buckets)
+      .withColumnRenamed("bucket", "b_bucket")
+    val cells = withB.groupBy("a_bucket", "b_bucket").agg(count(lit(1)).as("n_cell"))
+    val rows = cells.groupBy("a_bucket").agg(sum(col("n_cell")).as("row_n"))
+    val cols = cells.groupBy("b_bucket").agg(sum(col("n_cell")).as("col_n"))
+    val total = cells.agg(sum(col("n_cell")).as("n"))
+    cells.join(rows, "a_bucket").join(cols, "b_bucket").crossJoin(broadcast(total))
+      .select(
+        col("a_bucket"), col("b_bucket"), col("n_cell"),
+        col("row_n").cast("long").as("row_n"),
+        col("col_n").cast("long").as("col_n"),
+        (col("n_cell") * col("n") - col("row_n") * col("col_n")).cast("long")
+          .as("dev_num"))
+  }
 }

@@ -97,4 +97,51 @@ object CorpusPipeline {
       .select(col("m.metric").as("metric"), col("m.value_num").as("value_num"),
         col("m.value_str").as("value_str"))
   }
+
+  /** Release scorecard (E159): ONE row with every corpus gate this library
+    * ships, computed in one composed plan — document count, code-likeness
+    * hits, mixed-language docs, near-dup removals, and the mean quality
+    * score, each with its exact 2²⁰ share of the corpus. The table a
+    * release review actually reads; each column is the headline of a
+    * deeper per-doc report (q182/q198/q188/q17).
+    *
+    * Scale: every input is an existing audit (map-side scoring, LSH-scoped
+    * dedup, sentence-vote langid); the scorecard adds three id-keyed joins
+    * and a 1-row reduce on top.
+    */
+  def releaseScorecard(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val code = TextAnalysis.codeScore(docs, textCol, idCol)
+      .select(col(idCol), col("is_code"))
+    val mix = TextAnalysis.langMixing(docs, idCol, textCol)
+      .select(col(idCol), col("is_mixed"))
+    val pairs = Dedup.nearDuplicates(docs, textCol, idCol, minJaccard = 0.5)
+      .select("id_a", "id_b")
+    val cl = Dedup.dedupClusters(pairs).withColumnRenamed("id", idCol)
+    val fp = lit(1048576L)
+    val base = docs
+      .select(col(idCol),
+        floor(TextAnalysis.qualityScore(col(textCol)) * 1000000.0).cast("long")
+          .as("q6"))
+      .join(code, Seq(idCol))
+      .join(mix, Seq(idCol), "left")
+      .join(cl, Seq(idCol), "left")
+      .select(col("q6"), col("is_code"),
+        coalesce(col("is_mixed"), lit(false)).as("is_mixed"),
+        (col("canonical_id").isNotNull && col("canonical_id") =!= col(idCol))
+          .as("removed"))
+    val counted = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_code"), 1L).otherwise(0L)).cast("long").as("n_code"),
+      sum(when(col("is_mixed"), 1L).otherwise(0L)).cast("long").as("n_mixed"),
+      sum(when(col("removed"), 1L).otherwise(0L)).cast("long").as("n_dup_removed"),
+      sum(col("q6")).cast("long").as("sq6"))
+    counted.select(
+      col("n_docs"), col("n_code"), col("n_mixed"), col("n_dup_removed"),
+      ExactMath.floorDiv(col("n_code") * fp, col("n_docs")).as("code_share_fp"),
+      ExactMath.floorDiv(col("n_mixed") * fp, col("n_docs")).as("mixed_share_fp"),
+      ExactMath.floorDiv(col("n_dup_removed") * fp, col("n_docs")).as("dup_share_fp"),
+      ExactMath.floorDiv(col("sq6"), col("n_docs")).as("mean_quality_e6"))
+  }
 }

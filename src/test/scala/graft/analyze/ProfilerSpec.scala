@@ -286,4 +286,26 @@ class ProfilerSpec extends SparkSpec {
     assert(out.values.count(_._3) === 5)  // exactly v=96..100 clip high
   }
 
+  test("dependenceAudit: perfectly dependent columns concentrate on the diagonal") {
+    import spark.implicits._
+    // b = a exactly: every item's a-quintile == its b-quintile, so all
+    // off-diagonal cells are absent and diagonal dev_num = n_cell·N − row·col
+    val df = (1L to 100L).map(i => (i, i)).toDF("a", "b")
+    val out = Profiler.dependenceAudit(df, "a", "b", buckets = 5).collect()
+    assert(out.length === 5, "only diagonal cells exist")
+    out.foreach { r =>
+      assert(r.getAs[Long]("a_bucket") === r.getAs[Long]("b_bucket"))
+      assert(r.getAs[Long]("n_cell") === 20L)
+      assert(r.getAs[Long]("row_n") === 20L)
+      assert(r.getAs[Long]("col_n") === 20L)
+      // 20·100 − 20·20 = 1600: maximal positive deviation from independence
+      assert(r.getAs[Long]("dev_num") === 1600L)
+    }
+    // independent columns: a cycles 0..4, b cycles 0..1 on coprime strides
+    val ind = (0L until 100L).map(i => (i % 5, i % 2)).toDF("a", "b")
+    val indOut = Profiler.dependenceAudit(ind, "a", "b", buckets = 5).collect()
+    assert(indOut.forall(_.getAs[Long]("dev_num") === 0L),
+      "independent columns show zero deviation everywhere")
+  }
+
 }

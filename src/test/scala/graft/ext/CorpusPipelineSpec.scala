@@ -61,4 +61,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(card("top_lang")._1.isEmpty && card("n_docs")._2.isEmpty)
     assert(card.size === 9)
   }
+
+  test("releaseScorecard: one row, exact counts for code/mixed/dup gates") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),                                        // clean
+      (2L, base + " nu"),                                // near-dup of 1 → removed
+      (3L, "def f(x): return x + 1; if while for x"),    // code
+      (4L, "the cat is on the mat. der hund und die katze sind hier.") // mixed
+    ).toDF("doc_id", "text")
+    val r = CorpusPipeline.releaseScorecard(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_code") === 1L)
+    assert(r.getAs[Long]("n_mixed") === 1L)
+    assert(r.getAs[Long]("n_dup_removed") === 1L)
+    assert(r.getAs[Long]("code_share_fp") === 1048576L / 4L)
+    assert(r.getAs[Long]("mixed_share_fp") === 1048576L / 4L)
+    assert(r.getAs[Long]("dup_share_fp") === 1048576L / 4L)
+    val meanQ = r.getAs[Long]("mean_quality_e6")
+    assert(meanQ > 0L && meanQ <= 1000000L)
+  }
 }
