@@ -1665,6 +1665,26 @@ object SparkEntry {
     "q200_release_scorecard" -> { (s, dir) =>
       graft.ext.CorpusPipeline.releaseScorecard(Tables.documents(s, dir))
     },
+    // Cluster-size profile (E160): the near-dup cluster size distribution
+    // incl. untouched singletons — template spam vs pair noise at a glance.
+    "q201_cluster_sizes" -> { (s, dir) =>
+      graft.ext.Dedup.clusterSizeProfile(Tables.documents(s, dir))
+    },
+    // Corpus redundancy mass (E161): the shingle-occurrence share living in
+    // cross-doc repeated shingles, plus the mass exact dedup would remove.
+    "q202_redundancy" -> { (s, dir) =>
+      graft.ext.Dedup.redundancyMass(Tables.documents(s, dir))
+    },
+    // Per-label centroid shift (E163): pairwise cosine between quantized
+    // label-mean embeddings — embedding-space drift between groups.
+    "q203_centroid_shift" -> { (s, dir) =>
+      graft.ext.EmbeddingStats.centroidShift(Tables.embeddings(s, dir))
+    },
+    // SimHash bit-bias audit (E162): per-bit set share across signatures —
+    // sketch health for the banded Hamming join.
+    "q204_simhash_bias" -> { (s, dir) =>
+      graft.ext.Dedup.simhashBitBias(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4913,6 +4933,74 @@ object SparkEntry {
          |       CAST((n_dup_removed * 1048576) // n_docs AS BIGINT) AS dup_share_fp,
          |       CAST(sq6 // n_docs AS BIGINT) AS mean_quality_e6
          |FROM a""".stripMargin
+    },
+    "q201_cluster_sizes" ->
+      s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle)),
+         |sizes AS (SELECT canonical_id, COUNT(*) AS sz FROM cl GROUP BY 1),
+         |prof AS (SELECT sz, COUNT(*) AS n_clusters FROM sizes GROUP BY 1),
+         |singles AS (SELECT 1 AS sz,
+         |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cl)
+         |      AS n_clusters),
+         |m AS (SELECT sz, SUM(n_clusters) AS n_clusters FROM (
+         |        SELECT * FROM prof UNION ALL SELECT * FROM singles)
+         |      GROUP BY sz)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |       CAST(n_clusters AS BIGINT) AS n_clusters,
+         |       CAST(sz * n_clusters AS BIGINT) AS n_docs
+         |FROM m WHERE n_clusters > 0""".stripMargin,
+    "q202_redundancy" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |df AS (SELECT shingle, COUNT(*) AS df FROM s GROUP BY 1),
+         |a AS (SELECT SUM(df) AS n_occ, COUNT(*) AS n_dist,
+         |             SUM(CASE WHEN df > 1 THEN df ELSE 0 END) AS rep,
+         |             SUM(df - 1) AS excess
+         |      FROM df)
+         |SELECT CAST(n_occ AS BIGINT) AS n_occurrences,
+         |       CAST(n_dist AS BIGINT) AS n_distinct,
+         |       CAST(rep AS BIGINT) AS repeated_occurrences,
+         |       CAST(excess AS BIGINT) AS excess_occurrences,
+         |       CAST((rep * 1048576) // n_occ AS BIGINT) AS redundancy_fp,
+         |       CAST((excess * 1048576) // n_occ AS BIGINT) AS excess_fp
+         |FROM a""".stripMargin,
+    "q203_centroid_shift" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS g, g2.i AS pos,
+        |    CAST(floor(CAST(embedding[g2.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) g2(i)),
+        |m AS (SELECT g, list(mval ORDER BY pos) AS cv FROM (
+        |        SELECT g, pos, CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1048576.0 AS mval
+        |        FROM e GROUP BY 1, 2) GROUP BY g),
+        |d AS (SELECT a.g AS group_a, b.g AS group_b,
+        |        list_sum(list_transform(list_zip(a.cv, b.cv), x -> x[1] * x[2])) AS dotab,
+        |        sqrt(list_sum(list_transform(a.cv, x -> x * x))) AS na,
+        |        sqrt(list_sum(list_transform(b.cv, x -> x * x))) AS nb
+        |      FROM m a JOIN m b ON a.g < b.g)
+        |SELECT group_a, group_b,
+        |       CAST(floor(dotab / (na * nb) * 1048576.0) AS BIGINT) AS cosine_fp
+        |FROM d""".stripMargin,
+    "q204_simhash_bias" -> {
+      val sums = (0 until 60)
+        .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val bits = (0 until 60)
+        .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+         |           FROM documents),
+         |h AS (SELECT doc_id, ${dkHash("tok", 0)} AS hv FROM t),
+         |sm AS (SELECT doc_id,
+         |    $sums
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $bits AS simhash FROM sm),
+         |n AS (SELECT COUNT(*) AS n_docs FROM sig),
+         |b AS (SELECT unnest(range(0, 60)) AS bit),
+         |c AS (SELECT b.bit, SUM((sig.simhash >> b.bit) & 1) AS n_set
+         |      FROM sig CROSS JOIN b GROUP BY b.bit)
+         |SELECT CAST(bit AS BIGINT) AS bit, CAST(n_set AS BIGINT) AS n_set,
+         |       CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST((n_set * 1048576) // n_docs AS BIGINT) AS share_fp
+         |FROM c CROSS JOIN n""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

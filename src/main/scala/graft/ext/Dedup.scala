@@ -604,6 +604,91 @@ object Dedup {
         (matching.cast("double") / numHashes).as("jaccard_est"))
   }
 
+  /** Cluster-size profile (E160): the near-dup cluster size distribution —
+    * (cluster_size, n_clusters, n_docs) rows including the size-1 mass of
+    * documents the dup graph never touched. The shape says which dedup
+    * strategy pays: a heavy tail of giant clusters (template spam) wants
+    * keep-best + provenance; a flat sea of pairs wants threshold review.
+    *
+    * Scale: clusters are graph-sized (LSH-scoped), the profile is two
+    * hash aggregations over them; the corpus contributes one count.
+    */
+  def clusterSizeProfile(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = nearDuplicates(docs, textCol, idCol, minJaccard).select("id_a", "id_b")
+    val cl = dedupClusters(pairs)
+    val sizes = cl.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+    val profile = sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val totals = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(cl.agg(count(lit(1)).as("n_in_graph")))
+    val singletons = totals.select(
+      lit(1L).as("sz"), (col("n_total") - col("n_in_graph")).as("n_clusters"))
+    profile.unionByName(singletons)
+      .groupBy("sz")
+      .agg(sum(col("n_clusters")).cast("long").as("n_clusters"))
+      .select(col("sz").cast("long").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).cast("long").as("n_docs"))
+      .filter(col("n_clusters") > 0)
+  }
+
+  /** Corpus redundancy mass (E161): how much of the corpus' shingle
+    * occurrence mass belongs to shingles seen in MORE than one document —
+    * the one-number "how much repeated text am I carrying" metric
+    * (cross-doc boilerplate, quotes, templates), plus the excess mass
+    * Σ(df−1) that exact shingle-level dedup would remove. Exact integers
+    * over the deduped-per-doc shingle space (the near-dup element space).
+    *
+    * Scale: one shingle df aggregation (map-side combined — the q38 scan),
+    * one 1-row reduce over the df histogram.
+    */
+  def redundancyMass(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(graft.functions.TextNativeFunctions.shingles(
+        docs.sparkSession, col(textCol), 3)).as("shingle"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    df.agg(
+        sum(col("df")).cast("long").as("n_occurrences"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(when(col("df") > 1L, col("df")).otherwise(0L)).cast("long")
+          .as("repeated_occurrences"),
+        sum(col("df") - 1L).cast("long").as("excess_occurrences"))
+      .select(
+        col("n_occurrences"), col("n_distinct"),
+        col("repeated_occurrences"), col("excess_occurrences"),
+        graft.ext.ExactMath.floorDiv(
+          col("repeated_occurrences") * lit(1048576L), col("n_occurrences"))
+          .as("redundancy_fp"),
+        graft.ext.ExactMath.floorDiv(
+          col("excess_occurrences") * lit(1048576L), col("n_occurrences"))
+          .as("excess_fp"))
+  }
+
+  /** SimHash bit-bias audit (E162): per-bit set fraction across the corpus'
+    * signatures. A healthy hash sits near 1/2 everywhere; a biased bit
+    * (share far from 2¹⁹) weakens Hamming distances and the banded join's
+    * selectivity — the sketch-health twin of [[minhashCalibration]].
+    *
+    * Scale: one signature pass (map-side), a 60-row explode + aggregation.
+    */
+  def simhashBitBias(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = simhash(docs, textCol, idCol)
+    val n = sigs.agg(count(lit(1)).as("n_docs"))
+    sigs
+      .select(col("simhash"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .groupBy("bit")
+      .agg(sum(expr("shiftright(simhash, bit) & 1")).cast("long").as("n_set"))
+      .crossJoin(broadcast(n))
+      .select(col("bit").cast("long").as("bit"), col("n_set"),
+        col("n_docs").cast("long").as("n_docs"),
+        graft.ext.ExactMath.floorDiv(col("n_set") * lit(1048576L), col("n_docs"))
+          .as("share_fp"))
+  }
+
   /** MinHash estimator calibration (E155): over the LSH candidate pairs,
     * bucket by the number of agreeing signature components (the sketch's
     * Jaccard estimate, est/numHashes) and report the EXACT Jaccard

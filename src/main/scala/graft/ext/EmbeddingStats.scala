@@ -91,4 +91,52 @@ object EmbeddingStats {
         max(col("v").cast("double")).as("max_v"))
       .withColumn("mean_v",
         col("qsum").cast("double") / col("n").cast("double") / 1048576.0)
+
+  /** Per-group centroid shift (E163): pairwise cosine between group mean
+    * embeddings — "does feed/label B live in a different region of
+    * embedding space than A". Means are quantized-integer element means
+    * (Σ⌊x·2²⁰⌋ / n / 2²⁰ — exact, order-independent, the k-means
+    * discipline); the pairwise cosine is a deterministic left-to-right
+    * double fold floored into 2²⁰ fixed point.
+    *
+    * Scale: one posexplode + (group, pos) hash aggregation; the |groups|²
+    * pairwise stage runs on the collected |groups|·dim constant (groups
+    * are a taxonomy — bounded), then returns as a local relation.
+    */
+  def centroidShift(
+      df: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val sums = df
+      .select(col(groupCol).cast("long").as("g"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("g", "pos")
+      .agg(
+        sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val centroids = sums.groupBy(_.getAs[Long]("g")).toSeq.sortBy(_._1).map {
+      case (g, rows) =>
+        val dim = rows.map(_.getAs[Int]("pos")).max + 1
+        val cv = new Array[Double](dim)
+        rows.foreach { r =>
+          cv(r.getAs[Int]("pos")) =
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / 1048576.0
+        }
+        (g, cv)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rows = for {
+      (ga, va) <- centroids; (gb, vb) <- centroids if ga < gb
+    } yield {
+      val cos = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      (ga, gb, math.floor(cos * 1048576.0).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("group_a", "group_b", "cosine_fp")
+  }
 }

@@ -241,6 +241,61 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must produce close signatures")
   }
 
+  test("clusterSizeProfile: cluster sizes plus singleton mass cover the corpus") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    val docs = Seq(
+      (1L, base), (2L, base + " nu"), (3L, base + " xi"),  // 3-cluster
+      (4L, other), (5L, other + " trece"),                 // 2-cluster
+      (6L, "en helt annen tekst uten likhet til de andre dokumentene her")
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterSizeProfile(docs).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r).toMap
+    assert(out(3L).getAs[Long]("n_clusters") === 1L)
+    assert(out(2L).getAs[Long]("n_clusters") === 1L)
+    assert(out(1L).getAs[Long]("n_clusters") === 1L) // doc 6
+    // n_docs column accounts for every document exactly once
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum === 6L)
+  }
+
+  test("redundancyMass: disjoint docs carry zero redundancy; duplicated docs carry all of it") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6"
+    val disjoint = Seq((1L, a), (2L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val r0 = Dedup.redundancyMass(disjoint).collect()(0)
+    assert(r0.getAs[Long]("repeated_occurrences") === 0L)
+    assert(r0.getAs[Long]("redundancy_fp") === 0L)
+    assert(r0.getAs[Long]("excess_occurrences") === 0L)
+    val dup = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val r1 = Dedup.redundancyMass(dup).collect()(0)
+    // every shingle occurs twice: all 8 occurrences repeated, 4 excess
+    assert(r1.getAs[Long]("n_occurrences") === 8L)
+    assert(r1.getAs[Long]("n_distinct") === 4L)
+    assert(r1.getAs[Long]("repeated_occurrences") === 8L)
+    assert(r1.getAs[Long]("excess_occurrences") === 4L)
+    assert(r1.getAs[Long]("redundancy_fp") === 1048576L)
+    assert(r1.getAs[Long]("excess_fp") === 524288L)
+  }
+
+  test("simhashBitBias: shares bounded, exact against collected signatures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(40)(i => s"tok$i")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.simhashBitBias(docs).collect()
+      .map(r => r.getAs[Long]("bit") -> r).toMap
+    assert(out.keySet === (0L to 59L).toSet)
+    val sigs = Dedup.simhash(docs).collect().map(_.getAs[Long]("simhash"))
+    (0 until 60).foreach { b =>
+      val expected = sigs.count(s => ((s >> b) & 1L) == 1L).toLong
+      assert(out(b.toLong).getAs[Long]("n_set") === expected, s"bit $b")
+      assert(out(b.toLong).getAs[Long]("share_fp") === expected * 1048576L / 60L)
+    }
+  }
+
   test("minhashCalibration: identical docs land in the 16-match bucket at exact jaccard 1") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"

@@ -35,4 +35,20 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(out(0) === ((2L, 2.0, 1.0, 3.0)))
     assert(out(1) === ((2L, -1.0, -2.0, 0.0)))
   }
+
+  test("centroidShift: aligned groups at cosine 1, opposed at -1, orthogonal at 0") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(3.0f, 0.0f)),   // centroid (2, 0)
+      (1, Seq(-2.0f, 0.0f)),                        // centroid (-2, 0)
+      (2, Seq(0.0f, 5.0f))                          // centroid (0, 5)
+    ).toDF("label", "embedding")
+    val out = EmbeddingStats.centroidShift(df).collect()
+      .map(r => (r.getAs[Long]("group_a"), r.getAs[Long]("group_b")) ->
+        r.getAs[Long]("cosine_fp")).toMap
+    assert(out((0L, 1L)) === -1048576L)
+    assert(out((0L, 2L)) === 0L)
+    assert(out((1L, 2L)) === 0L)
+    assert(out.size === 3)
+  }
 }
