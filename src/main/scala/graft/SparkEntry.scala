@@ -1685,6 +1685,27 @@ object SparkEntry {
     "q204_simhash_bias" -> { (s, dir) =>
       graft.ext.Dedup.simhashBitBias(Tables.documents(s, dir))
     },
+    // Vocabulary growth (E164): token + shingle vocab across nested hash
+    // subsamples — the empirical Heaps curve for tokenizer/index sizing.
+    "q205_vocab_growth" -> { (s, dir) =>
+      graft.ext.TextAnalysis.vocabGrowth(Tables.documents(s, dir))
+    },
+    // Split representativeness (E165): (split × lang) exact deviation from
+    // independence under the REAL hash splitter — post-split QA.
+    "q206_split_representativeness" -> { (s, dir) =>
+      graft.ext.Sampling.splitRepresentativeness(
+        Tables.documents(s, dir), "doc_id", "lang")
+    },
+    // Gate-cost sweep (E166): what each quality-decile threshold keeps, in
+    // docs AND tokens — the threshold-picking table.
+    "q207_gate_cost_sweep" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      val d = Tables.documents(s, dir).select(
+        floor(TextAnalysis.qualityScore(col("text")) * 1000000.0).cast("long")
+          .as("q6"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+      graft.ext.Curriculum.gateCostSweep(d, "q6", "w")
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5001,6 +5022,74 @@ object SparkEntry {
          |       CAST(n_docs AS BIGINT) AS n_docs,
          |       CAST((n_set * 1048576) // n_docs AS BIGINT) AS share_fp
          |FROM c CROSS JOIN n""".stripMargin
+    },
+    "q205_vocab_growth" -> {
+      val h = dkHash("CAST(doc_id AS VARCHAR)", 7)
+      s"""WITH hd AS (SELECT doc_id, text, $h % 100 AS h FROM documents),
+         |tok AS (SELECT 'token' AS space, h,
+         |               unnest(string_split(lower(text), ' ')) AS el
+         |        FROM hd),
+         |shl AS (SELECT h, string_split(text, ' ') AS l FROM hd),
+         |sh AS (SELECT 'shingle' AS space, h,
+         |              unnest($dkShingles) AS el
+         |       FROM shl),
+         |u AS (SELECT * FROM tok UNION ALL SELECT * FROM sh),
+         |g AS (SELECT space, f.pct, el
+         |      FROM u CROSS JOIN (SELECT unnest([25, 50, 75, 100]) AS pct) f
+         |      WHERE h < pct)
+         |SELECT space, CAST(pct AS BIGINT) AS pct,
+         |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |       CAST(COUNT(DISTINCT el) AS BIGINT) AS vocab
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+    "q206_split_representativeness" -> {
+      val h = dkHash("CAST(doc_id AS VARCHAR)", 0)
+      s"""WITH b AS (SELECT CASE WHEN hh < 80 THEN 'train'
+         |                       WHEN hh < 90 THEN 'val'
+         |                       ELSE 'test' END AS split,
+         |                  lang AS stratum
+         |           FROM (SELECT $h % 100 AS hh, lang FROM documents)
+         |           WHERE lang IS NOT NULL),
+         |cells AS (SELECT split, stratum, COUNT(*) AS n_cell FROM b GROUP BY 1, 2),
+         |sp AS (SELECT split, SUM(n_cell) AS n_split FROM cells GROUP BY 1),
+         |st AS (SELECT stratum, SUM(n_cell) AS n_stratum FROM cells GROUP BY 1),
+         |t AS (SELECT SUM(n_cell) AS n FROM cells)
+         |SELECT cells.split, cells.stratum, CAST(n_cell AS BIGINT) AS n_cell,
+         |       CAST(n_split AS BIGINT) AS n_split,
+         |       CAST(n_stratum AS BIGINT) AS n_stratum,
+         |       CAST(n_cell * n - n_split * n_stratum AS BIGINT) AS dev_num
+         |FROM cells JOIN sp USING (split) JOIN st USING (stratum)
+         |CROSS JOIN t""".stripMargin
+    },
+    "q207_gate_cost_sweep" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH d AS (SELECT CAST(floor(LEAST(GREATEST(
+         |        (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |        LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |        LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |        * 1000000.0) AS BIGINT) AS v,
+         |      CAST($nt AS BIGINT) AS w
+         |      FROM documents),
+         |vals AS (SELECT v, COUNT(*) AS c, SUM(w) AS w FROM d GROUP BY 1),
+         |cum AS (SELECT *,
+         |    COALESCE(SUM(c) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         |    COALESCE(SUM(w) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wb
+         |  FROM vals),
+         |t AS (SELECT SUM(c) AS n, SUM(w) AS tw FROM vals),
+         |g AS (SELECT (cb * 10) // n AS bucket, v, cb, wb, n, tw
+         |      FROM cum CROSS JOIN t)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(MIN(v) AS BIGINT) AS threshold,
+         |       CAST(MAX(n) - MIN(cb) AS BIGINT) AS kept_docs,
+         |       CAST(MAX(tw) - MIN(wb) AS BIGINT) AS kept_weight,
+         |       CAST(((MAX(n) - MIN(cb)) * 1048576) // MAX(n) AS BIGINT)
+         |         AS kept_docs_fp,
+         |       CAST(((MAX(tw) - MIN(wb)) * 1048576) // MAX(tw) AS BIGINT)
+         |         AS kept_weight_fp
+         |FROM g GROUP BY bucket""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

@@ -40,4 +40,47 @@ object Curriculum {
           .as("bucket"))
     df.join(broadcast(assignment), Seq(scoreCol))
   }
+
+  /** Gate-cost sweep (E166): what raising a score threshold costs. The
+    * score distribution cuts into `bins` equi-depth buckets; each row is
+    * a candidate threshold (the bucket's minimum score) with the EXACT
+    * count of documents and weight (tokens) that survive gating at it —
+    * "quality ≥ P70 keeps 31% of docs but 54% of tokens" read directly
+    * off the table, before anyone commits a threshold constant.
+    *
+    * Scale: one hash aggregation to distinct score values (with doc and
+    * weight sums), one window over THAT value table only, ≤ `bins` output
+    * rows. Corpus rows are never globally sorted.
+    */
+  def gateCostSweep(
+      df: DataFrame, scoreCol: String, weightCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val vals = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("c"), sum(col(weightCol)).cast("long").as("w"))
+    val before = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vals
+      .withColumn("cb", coalesce(sum(col("c")).over(before), lit(0L)))
+      .withColumn("wb", coalesce(sum(col("w")).over(before), lit(0L)))
+    val totals = vals.agg(
+      sum(col("c")).cast("long").as("n"), sum(col("w")).cast("long").as("tw"))
+    val fp = lit(1048576L)
+    cum.crossJoin(broadcast(totals))
+      .withColumn("bucket", ExactMath.floorDiv(col("cb") * bins, col("n")))
+      .groupBy("bucket")
+      .agg(
+        min(col(scoreCol)).as("threshold"),
+        (max(col("n")) - min(col("cb"))).cast("long").as("kept_docs"),
+        (max(col("tw")) - min(col("wb"))).cast("long").as("kept_weight"),
+        ExactMath.floorDiv((max(col("n")) - min(col("cb"))) * fp, max(col("n")))
+          .as("kept_docs_fp"),
+        ExactMath.floorDiv((max(col("tw")) - min(col("wb"))) * fp, max(col("tw")))
+          .as("kept_weight_fp"))
+      .select(col("bucket").cast("long").as("bucket"), col("threshold"),
+        col("kept_docs"), col("kept_weight"),
+        col("kept_docs_fp"), col("kept_weight_fp"))
+  }
 }

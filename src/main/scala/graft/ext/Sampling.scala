@@ -454,6 +454,37 @@ object Sampling {
           .otherwise("test").as("split"))
   }
 
+  /** Split representativeness (E165): does every stratum (language, source,
+    * label) appear in train/val/test at its corpus-wide rate? Per
+    * (split, stratum) cell the report carries the exact deviation from
+    * independence dev_num = n_cell·N − n_split·n_stratum (0 everywhere ⟺
+    * perfectly stratified) — the post-split QA a leaderboard-bound eval
+    * set runs before anyone trusts a val metric. Uses the same
+    * [[hashSplit]] the pipeline ships, so the audit measures the REAL
+    * splitter, not an idealized one.
+    *
+    * Scale: one hash aggregation to ≤ 3·|strata| cells plus two marginal
+    * reductions over those cells.
+    */
+  def splitRepresentativeness(
+      df: DataFrame, idCol: String, stratumCol: String,
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 0): DataFrame = {
+    val withSplit = hashSplit(df, idCol, trainPct, valPct, seed)
+      .select(col("split"), col(stratumCol).as("stratum"))
+      .filter(col("stratum").isNotNull)
+    val cells = withSplit.groupBy("split", "stratum").agg(count(lit(1)).as("n_cell"))
+    val splits = cells.groupBy("split").agg(sum(col("n_cell")).as("n_split"))
+    val strata = cells.groupBy("stratum").agg(sum(col("n_cell")).as("n_stratum"))
+    val total = cells.agg(sum(col("n_cell")).as("n"))
+    cells.join(splits, "split").join(strata, "stratum").crossJoin(broadcast(total))
+      .select(
+        col("split"), col("stratum"), col("n_cell"),
+        col("n_split").cast("long").as("n_split"),
+        col("n_stratum").cast("long").as("n_stratum"),
+        (col("n_cell") * col("n") - col("n_split") * col("n_stratum")).cast("long")
+          .as("dev_num"))
+  }
+
   /** Hash-bucket uniformity audit (E154): every deterministic gate in this
     * library (splits, subsamples, epoch shuffles) assumes
     * stableHash(id) mod B is uniform over the ACTUAL id population — this

@@ -282,6 +282,46 @@ object TextAnalysis {
           15590L).cast("long"))
   }
 
+  /** Vocabulary growth curve (E164): distinct-element counts across nested
+    * hash subsamples of the corpus, in both the token space (tokenizer
+    * vocab sizing) and the 3-shingle space (dedup/LSH index sizing). The
+    * empirical Heaps'-law exponent on YOUR corpus: if shingle vocabulary
+    * still grows linearly at 100%, the dedup index scales with the data;
+    * if token vocabulary has flattened, the tokenizer's OOV story is
+    * closed. Subsamples share [[graft.ext.Dedup.dedupYieldCurve]]'s gates
+    * (stableHash mod 100 < pct), so the two curves line up row-for-row.
+    *
+    * Token occurrences are raw; shingle occurrences are per-doc-distinct
+    * (the near-dup element space). Scale: one explode per space with a
+    * ≤|fractions| fan-out, aggregated by (space, pct) — map-side combined
+    * distinct counting.
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      fractions: Seq[Int] = Seq(25, 50, 75, 100),
+      seed: Int = 7,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p > 0 && p <= 100),
+      "fractions must be percentages in (0, 100]")
+    val h = pmod(graft.ext.Dedup.stableHash(col(idCol).cast("string"), seed), lit(100L))
+    val toks = docs.select(h.as("h"),
+      explode(tokens(lower(col(textCol)))).as("el"))
+      .withColumn("space", lit("token"))
+    val shing = docs.select(h.as("h"),
+      explode(graft.functions.TextNativeFunctions.shingles(
+        docs.sparkSession, col(textCol), 3)).as("el"))
+      .withColumn("space", lit("shingle"))
+    toks.unionByName(shing)
+      .select(col("space"), col("el"), col("h"),
+        explode(typedlit(fractions.map(_.toLong))).as("pct"))
+      .filter(col("h") < col("pct"))
+      .groupBy("space", "pct")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("el")).as("vocab"))
+  }
+
   /** Per-document language mixing (E157): sentence-level language votes.
     * Sentences split on the portable `[.!?]+ *` pattern, each classified
     * with [[langId]]; the report is the per-doc vote distribution —

@@ -39,4 +39,24 @@ class CurriculumSpec extends SparkSpec {
     assert(fiveBuckets.length === 1)
     assert(fiveBuckets.head.getAs[Long]("bucket") === 0L) // nothing precedes 5.0
   }
+
+  test("gateCostSweep: exact kept docs/weight at each decile threshold") {
+    import spark.implicits._
+    // scores 1..100, weight = score (so kept_weight is a closed form)
+    val df = (1L to 100L).map(i => (i, i)).toDF("s", "w")
+    val out = Curriculum.gateCostSweep(df, "s", "w").collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.keySet === (0L to 9L).toSet)
+    // bucket d: threshold = 10d+1, kept docs = 100 − 10d,
+    // kept weight = Σ_{10d+1..100} = (100·101 − 10d·(10d+1))/2
+    (0 to 9).foreach { d =>
+      val r = out(d.toLong)
+      assert(r.getAs[Long]("threshold") === 10L * d + 1L)
+      assert(r.getAs[Long]("kept_docs") === 100L - 10L * d)
+      val kw = (100L * 101L - (10L * d) * (10L * d + 1L)) / 2L
+      assert(r.getAs[Long]("kept_weight") === kw)
+      assert(r.getAs[Long]("kept_docs_fp") === (100L - 10L * d) * 1048576L / 100L)
+      assert(r.getAs[Long]("kept_weight_fp") === kw * 1048576L / 5050L)
+    }
+  }
 }

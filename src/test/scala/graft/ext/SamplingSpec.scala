@@ -309,6 +309,29 @@ class SamplingSpec extends SparkSpec {
     assert(again === out.toSet)
   }
 
+  test("splitRepresentativeness: cells reconcile with marginals; dev sums to zero per split") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.splitRepresentativeness(docs, "doc_id", "lang").collect()
+    val n = out.map(_.getAs[Long]("n_cell")).sum
+    assert(n === 300L)
+    // marginals consistent: every cell's n_split equals the sum of its split's cells
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+    bySplit.foreach { case (_, rows) =>
+      val total = rows.map(_.getAs[Long]("n_cell")).sum
+      rows.foreach(r => assert(r.getAs[Long]("n_split") === total))
+      // Σ_strata dev_num within one split = n_split·N − n_split·Σ n_stratum = 0
+      assert(rows.map(_.getAs[Long]("dev_num")).sum === 0L)
+    }
+    // dev matches its definition on every cell
+    out.foreach { r =>
+      assert(r.getAs[Long]("dev_num") ===
+        r.getAs[Long]("n_cell") * n -
+          r.getAs[Long]("n_split") * r.getAs[Long]("n_stratum"))
+    }
+  }
+
   test("hashUniformity: exact chi-square numerator incl. empty buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -329,6 +329,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("is_code"))
   }
 
+  test("vocabGrowth: nested subsamples, monotone vocab, full fraction sees everything") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i =>
+      (i, s"common words here plus unique$i token$i extra$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => (r.getAs[String]("space"), r.getAs[Long]("pct")) ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("vocab")))).toMap
+    // full token fraction: 50 docs × 7 tokens; vocab = 4 shared + 3·50 unique
+    assert(out(("token", 100L))._1 === 350L)
+    assert(out(("token", 100L))._2 === 154L)
+    // vocab and occurrences grow monotonically along nested fractions
+    Seq("token", "shingle").foreach { sp =>
+      val curve = Seq(25L, 50L, 75L, 100L).map(p => out((sp, p)))
+      assert(curve.map(_._1) === curve.map(_._1).sorted, s"$sp occurrences monotone")
+      assert(curve.map(_._2) === curve.map(_._2).sorted, s"$sp vocab monotone")
+    }
+    // shingles: 5 per doc (7 tokens → 5 windows); the first two windows are
+    // shared across all docs, the last three carry a unique token
+    assert(out(("shingle", 100L))._1 === 250L)
+    assert(out(("shingle", 100L))._2 === 2L + 3L * 50L)
+  }
+
   test("langMixing: mixed doc flagged with exact majority share, pure doc is not") {
     import spark.implicits._
     // en markers: the/and/is...; de markers: der/und/die... (langMarkers)
