@@ -265,4 +265,43 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       "expected at most the aggregate + window shuffles")
   }
+
+  test("q191: JL projection is map-only — no exchange anywhere in the plan") {
+    val p = plan("q191_jl_project")
+    assert(!p.contains("Exchange"), "projection must not shuffle")
+    assert(!p.contains("Join"))
+    assert(p.contains("graftdot") || p.toLowerCase.contains("dotproduct"),
+      "native dot product expected in the projection")
+  }
+
+  test("q185: silhouette scoring is map-side; only the final per-cell aggregate shuffles") {
+    val p = plan("q185_silhouette")
+    assert(!p.contains("Join"), "scoring must not join the corpus")
+    // one exchange node for the ≤nlist-row groupBy(cell); nothing else
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      "expected exactly the per-cell aggregation shuffle")
+  }
+
+  test("q193: inter-arrival moments combine map-side after the per-stream window") {
+    val p = plan("q193_interarrival")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "moment aggregation must be partial")
+    assert(!p.contains("Join"), "CV2 must come from moments, not a self-join")
+  }
+
+  test("q207: gate-cost sweep windows run over the distinct-value table only") {
+    val p = plan("q207_gate_cost_sweep")
+    // static explain duplicates shared subtrees (exchange reuse happens at
+    // runtime), so assert distinct SCAN PATHS, not scan-node counts: the
+    // sweep touches only the documents table
+    val paths = """documents\.parquet""".r.findAllIn(p).size
+    assert(paths >= 1 && """Scan parquet""".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("lineitem"), "sweep must not touch other tables")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "value-count aggregation must combine map-side")
+    // the only join is the 1-row totals broadcast; nothing corpus-sized is
+    // ever joined or sort-merge-shuffled
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "sweep must not shuffle-join")
+  }
 }
