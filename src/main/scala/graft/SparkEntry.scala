@@ -1706,6 +1706,19 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
       graft.ext.Curriculum.gateCostSweep(d, "q6", "w")
     },
+    // Contamination scorecard (E167): exact-gram + fuzzy near-dup verdicts
+    // per corpus doc against the q131 benchmark split.
+    "q208_contamination_scorecard" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ext.Decontaminate.scorecard(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    },
+    // Near-dup pair triage (E168): exact Jaccard + both containments + size
+    // ratio over the gray-zone candidate pairs — the threshold-review table.
+    "q209_pair_triage" -> { (s, dir) =>
+      graft.ext.Dedup.pairTriage(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5090,6 +5103,83 @@ object SparkEntry {
          |       CAST(((MAX(tw) - MIN(wb)) * 1048576) // MAX(tw) AS BIGINT)
          |         AS kept_weight_fp
          |FROM g GROUP BY bucket""".stripMargin
+    },
+    "q208_contamination_scorecard" -> {
+      val mins = (0 until 16).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
+      val bandUnion = (0 until 4).map { b =>
+        s"SELECT id, $b AS band_idx, md5(concat_ws('|', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})) AS band_hash FROM mh"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH bl AS (SELECT string_split(text,' ') AS l FROM documents
+         |            WHERE doc_id % 7 = 0),
+         |bg AS (SELECT unnest($dkShingles) AS gram FROM bl),
+         |bh AS (SELECT DISTINCT ${dkHash("gram", 7)} AS gh FROM bg),
+         |clx AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
+         |        WHERE doc_id % 7 <> 0),
+         |cg AS (SELECT doc_id, $dkShingles AS grams FROM clx),
+         |ce AS (SELECT doc_id, ${dkHash("gram", 7)} AS gh
+         |       FROM (SELECT doc_id, unnest(grams) AS gram FROM cg) t),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM ce
+         |         WHERE gh IN (SELECT gh FROM bh) GROUP BY 1),
+         |t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |hb AS (SELECT id, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM s),
+         |mh AS (SELECT id, $mins FROM hb GROUP BY id),
+         |bands AS ($bandUnion),
+         |cand AS (SELECT DISTINCT c.id AS corpus_id, b.id AS bench_id
+         |         FROM bands c JOIN bands b ON c.band_idx = b.band_idx
+         |          AND c.band_hash = b.band_hash
+         |         WHERE c.id % 7 <> 0 AND b.id % 7 = 0),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+         |cmn AS (SELECT a.id AS corpus_id, b.id AS bench_id, COUNT(*) AS common
+         |        FROM s a JOIN s b USING (shingle)
+         |        WHERE a.id % 7 <> 0 AND b.id % 7 = 0 GROUP BY 1, 2),
+         |ccd AS (SELECT cmn.* FROM cmn SEMI JOIN cand USING (corpus_id, bench_id)),
+         |fzp AS (SELECT corpus_id FROM ccd
+         |        JOIN sizes na ON na.id = corpus_id
+         |        JOIN sizes nb ON nb.id = bench_id
+         |        WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.4),
+         |fz AS (SELECT corpus_id AS doc_id, COUNT(*) AS n_fuzzy FROM fzp GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM cg)
+         |SELECT base.doc_id, n_grams,
+         |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(COALESCE(n_fuzzy, 0) AS BIGINT) AS n_fuzzy,
+         |  CASE WHEN (CASE WHEN n_grams = 0 THEN 0.0
+         |                  ELSE CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+         |                         / CAST(n_grams AS DOUBLE) END) >= 0.2 THEN 'exact'
+         |       WHEN COALESCE(n_fuzzy, 0) > 0 THEN 'fuzzy'
+         |       ELSE 'clean' END AS verdict
+         |FROM base LEFT JOIN hits USING (doc_id) LEFT JOIN fz USING (doc_id)""".stripMargin
+    },
+    "q209_pair_triage" -> {
+      val mins = (0 until 16).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
+      val bandUnion = (0 until 4).map { b =>
+        s"SELECT id, $b AS band_idx, md5(concat_ws('|', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})) AS band_hash FROM mh"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |hb AS (SELECT id, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM s),
+         |mh AS (SELECT id, $mins FROM hb GROUP BY id),
+         |bands AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |          AND a.band_hash = b.band_hash AND a.id < b.id),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+         |c AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+         |      FROM s a JOIN s b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),
+         |cc AS (SELECT c.* FROM c SEMI JOIN cand USING (id_a, id_b)),
+         |p AS (SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b
+         |      FROM cc JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+         |      WHERE common * 10 >= 3 * (na.n + nb.n - common))
+         |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+         |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       CAST((common * 1048576) // (n_a + n_b - common) AS BIGINT) AS jac_fp,
+         |       CAST((common * 1048576) // n_a AS BIGINT) AS contain_a_fp,
+         |       CAST((common * 1048576) // n_b AS BIGINT) AS contain_b_fp,
+         |       CAST((LEAST(n_a, n_b) * 1048576) // GREATEST(n_a, n_b) AS BIGINT)
+         |         AS len_ratio_fp
+         |FROM p""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

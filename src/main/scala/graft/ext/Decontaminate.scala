@@ -60,6 +60,37 @@ object Decontaminate {
         (ratio >= threshold).as("contaminated"))
   }
 
+  /** Contamination scorecard (E167): [[contamination]]'s exact-gram ratio
+    * and [[fuzzyContamination]]'s near-dup matches folded into one verdict
+    * per corpus document — `exact` (gram ratio over threshold), `fuzzy`
+    * (a benchmark near-dup exists but grams stayed under threshold — the
+    * paraphrased-leak case), or `clean`. The one table an eval-integrity
+    * review signs off on.
+    *
+    * Scale: both inputs broadcast the benchmark side; the fold is one
+    * id-keyed left join over per-doc rows.
+    */
+  def scorecard(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.2,
+      minJaccard: Double = 0.4): DataFrame = {
+    val exact = contamination(corpus, benchmark, idCol, textCol, n, threshold)
+    val fuzzy = fuzzyContamination(corpus, benchmark, textCol = textCol,
+        idCol = idCol, minJaccard = minJaccard)
+      .groupBy(col("corpus_id").as(idCol))
+      .agg(count(lit(1)).as("n_fuzzy"))
+    exact.join(fuzzy, Seq(idCol), "left")
+      .withColumn("n_fuzzy", coalesce(col("n_fuzzy"), lit(0L)))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"), col("n_fuzzy"),
+        when(col("contaminated"), "exact")
+          .when(col("n_fuzzy") > 0L, "fuzzy")
+          .otherwise("clean").as("verdict"))
+  }
+
   /** Fuzzy decontamination: near-duplicate matches between corpus and
     * benchmark, not just shared n-grams — catches lightly-paraphrased or
     * truncated eval leakage that [[contamination]]'s exact-gram ratio

@@ -604,6 +604,39 @@ object Dedup {
         (matching.cast("double") / numHashes).as("jaccard_est"))
   }
 
+  /** Near-dup pair triage (E168): for every LSH-candidate pair above a low
+    * cross-multiplied Jaccard floor, the numbers a threshold review reads —
+    * exact Jaccard, BOTH containment directions (short-quoted-in-long shows
+    * containment ≈ 1 while Jaccard stays low), and the size ratio — all in
+    * 2²⁰ fixed point. The gray-zone table between "obviously duplicate"
+    * and "obviously distinct" where dedup thresholds are actually decided.
+    *
+    * Scale: candidates are LSH-bucket-scoped; the overlap join is the q38
+    * candidate-scoped shingle equi-join; output is the pair set itself.
+    */
+  def pairTriage(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tNum: Int = 3,
+      tDen: Int = 10): DataFrame = {
+    require(tNum >= 0 && tDen > 0, "need a non-negative threshold fraction")
+    val cand = minhashCandidates(docs, textCol, idCol)
+    val union = col("n_a") + col("n_b") - col("common")
+    val fp = lit(1048576L)
+    ngramJaccard(docs, textCol, idCol, 3, 0.0, Some(cand))
+      .filter(col("common") * tDen >= lit(tNum) * union)
+      .select(col("id_a"), col("id_b"),
+        col("common").cast("long").as("common"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        graft.ext.ExactMath.floorDiv(col("common") * fp, union).as("jac_fp"),
+        graft.ext.ExactMath.floorDiv(col("common") * fp, col("n_a")).as("contain_a_fp"),
+        graft.ext.ExactMath.floorDiv(col("common") * fp, col("n_b")).as("contain_b_fp"),
+        graft.ext.ExactMath.floorDiv(
+          least(col("n_a"), col("n_b")) * fp, greatest(col("n_a"), col("n_b")))
+          .as("len_ratio_fp"))
+  }
+
   /** Cluster-size profile (E160): the near-dup cluster size distribution —
     * (cluster_size, n_clusters, n_docs) rows including the size-1 mass of
     * documents the dup graph never touched. The shape says which dedup

@@ -85,4 +85,24 @@ class DecontaminateSpec extends SparkSpec {
       }.toSet
     assert(fuzzy === brute) // LSH at 16/4 recalls everything ≥ 0.3 here
   }
+
+  test("scorecard: exact vs fuzzy vs clean verdicts on engineered leakage") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, bench),                                       // verbatim copy → exact
+      (2L, bench + " okay"),                             // near-verbatim → exact
+      (3L, "completely unrelated text about distributed query engines here now")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, bench)).toDF("doc_id", "text")
+    val out = Decontaminate.scorecard(corpus, benchmark).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("verdict") === "exact")
+    assert(out(1L).getAs[Long]("n_contaminated") === out(1L).getAs[Long]("n_grams"))
+    assert(out(1L).getAs[Long]("n_fuzzy") >= 1L)
+    assert(out(2L).getAs[String]("verdict") === "exact")
+    assert(out(3L).getAs[String]("verdict") === "clean")
+    assert(out(3L).getAs[Long]("n_contaminated") === 0L)
+    assert(out(3L).getAs[Long]("n_fuzzy") === 0L)
+  }
 }

@@ -241,6 +241,31 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must produce close signatures")
   }
 
+  test("pairTriage: containment strictly exceeds jaccard on a prefix-contained pair") {
+    import spark.implicits._
+    // LSH recall needs high-jaccard pairs (NOTES): doc 1's shingles are a
+    // strict subset of doc 2's (one appended word), so containment_a is
+    // exactly 1 while jaccard = 10/11 and the size ratio = 10/11
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base), (2L, base + " nu"),
+      (3L, base), (4L, "unrelated words entirely different from the others")
+    ).toDF("doc_id", "text")
+    val out = Dedup.pairTriage(docs, tNum = 0, tDen = 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    // (1,3) identical: everything at 2^20
+    assert(out((1L, 3L)).getAs[Long]("jac_fp") === 1048576L)
+    assert(out((1L, 3L)).getAs[Long]("len_ratio_fp") === 1048576L)
+    val r12 = out((1L, 2L))
+    assert(r12.getAs[Long]("contain_a_fp") === 1048576L)
+    assert(r12.getAs[Long]("jac_fp") === 10L * 1048576L / 11L)
+    assert(r12.getAs[Long]("len_ratio_fp") === 10L * 1048576L / 11L)
+    assert(r12.getAs[Long]("contain_b_fp") === r12.getAs[Long]("jac_fp"),
+      "containment of the superset side equals jaccard for subset pairs")
+    // doc 4 shares nothing: no candidate pair reaches it
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("clusterSizeProfile: cluster sizes plus singleton mass cover the corpus") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
