@@ -1719,6 +1719,16 @@ object SparkEntry {
     "q209_pair_triage" -> { (s, dir) =>
       graft.ext.Dedup.pairTriage(Tables.documents(s, dir))
     },
+    // IVF occupancy (E169): vectors per trained quantizer cell with exact
+    // shares — index size-health next to q185's shape-health.
+    "q210_ivf_occupancy" -> { (s, dir) =>
+      graft.ext.Similarity.ivfOccupancy(Tables.embeddings(s, dir))
+    },
+    // MinHash operating curve (E170): precision/recall of every signature
+    // threshold against exact Jaccard ≥ 0.5 over the candidate pairs.
+    "q211_minhash_curve" -> { (s, dir) =>
+      graft.ext.Dedup.minhashOperatingCurve(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5180,6 +5190,53 @@ object SparkEntry {
          |       CAST((LEAST(n_a, n_b) * 1048576) // GREATEST(n_a, n_b) AS BIGINT)
          |         AS len_ratio_fp
          |FROM p""".stripMargin
+    },
+    "q210_ivf_occupancy" ->
+      s"""WITH $kmeansAssignCtes,
+         |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+         |t AS (SELECT SUM(n_vecs) AS n FROM counts)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |       CAST((n_vecs * 1048576) // n AS BIGINT) AS share_fp
+         |FROM counts CROSS JOIN t""".stripMargin,
+    "q211_minhash_curve" -> {
+      val mins = (0 until 16).map(i => s"MIN(${dkMinhash("hb", i)}) AS mh$i").mkString(",\n  ")
+      val bandUnion = (0 until 4).map { b =>
+        s"SELECT id, $b AS band_idx, md5(concat_ws('|', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})) AS band_hash FROM mh"
+      }.mkString("\n    UNION ALL ")
+      val matches = (0 until 16)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         |s0 AS (SELECT doc_id AS id, $dkShingles AS sh FROM t0),
+         |s AS (SELECT id, unnest(sh) AS shingle FROM s0),
+         |hb AS (SELECT id, ${dkHash("shingle", 0)} % ${graft.ext.Dedup.HashP} AS hb FROM s),
+         |mh AS (SELECT id, $mins FROM hb GROUP BY id),
+         |bands AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |          AND a.band_hash = b.band_hash AND a.id < b.id),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+         |c AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+         |      FROM s a JOIN s b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),
+         |cc AS (SELECT c.* FROM c SEMI JOIN cand USING (id_a, id_b)),
+         |m AS (SELECT cc.id_a, cc.id_b, common, na.n AS n_a, nb.n AS n_b,
+         |             $matches AS est,
+         |             common * 2 >= (na.n + nb.n - common) AS is_dup
+         |      FROM cc JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+         |      JOIN mh sa ON sa.id = id_a JOIN mh sb ON sb.id = id_b),
+         |g AS (SELECT f.t, est, is_dup
+         |      FROM m CROSS JOIN (SELECT unnest(range(0, 17)) AS t) f),
+         |a AS (SELECT t,
+         |        SUM(CASE WHEN is_dup AND est >= t THEN 1 ELSE 0 END) AS tp,
+         |        SUM(CASE WHEN NOT is_dup AND est >= t THEN 1 ELSE 0 END) AS fp,
+         |        SUM(CASE WHEN is_dup AND est < t THEN 1 ELSE 0 END) AS fn
+         |      FROM g GROUP BY 1)
+         |SELECT CAST(t AS BIGINT) AS t, CAST(tp AS BIGINT) AS tp,
+         |       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         |       CAST(CASE WHEN tp + fp > 0 THEN (tp * 1048576) // (tp + fp)
+         |                 ELSE 0 END AS BIGINT) AS precision_fp,
+         |       CAST(CASE WHEN tp + fn > 0 THEN (tp * 1048576) // (tp + fn)
+         |                 ELSE 0 END AS BIGINT) AS recall_fp
+         |FROM a""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

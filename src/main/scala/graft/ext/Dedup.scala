@@ -637,6 +637,51 @@ object Dedup {
           .as("len_ratio_fp"))
   }
 
+  /** MinHash operating curve (E170): for every signature-agreement
+    * threshold t ∈ [0, numHashes], the exact precision/recall of
+    * "est ≥ t" against the true label "exact Jaccard ≥ tauNum/tauDen",
+    * over the LSH candidate pairs — the table that picks a signature
+    * threshold with evidence instead of the (est/numHashes ≈ jaccard)
+    * folklore. Recall is candidate-scoped (pairs the bands never propose
+    * are invisible to ANY signature threshold — band recall is the q196 /
+    * fuzzy-decon concern, not this one). Exact integers throughout;
+    * degenerate denominators report 0.
+    *
+    * Scale: the candidate frame fans out numHashes+1 rows per pair
+    * (constant), aggregated to ≤ numHashes+1 output rows.
+    */
+  def minhashOperatingCurve(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      tauNum: Int = 1,
+      tauDen: Int = 2): DataFrame = {
+    val fp = lit(1048576L)
+    val labeled = pairsWithEst(docs, textCol, idCol, numHashes, rowsPerBand)
+      .withColumn("is_dup",
+        col("common") * tauDen >= lit(tauNum) * (col("n_a") + col("n_b") - col("common")))
+    labeled
+      .select(col("est_matches"), col("is_dup"),
+        explode(sequence(lit(0), lit(numHashes))).as("t"))
+      .groupBy("t")
+      .agg(
+        sum(when(col("is_dup") && col("est_matches") >= col("t"), 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(!col("is_dup") && col("est_matches") >= col("t"), 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(col("is_dup") && col("est_matches") < col("t"), 1L).otherwise(0L))
+          .cast("long").as("fn"))
+      .select(col("t").cast("long").as("t"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0L,
+          graft.ext.ExactMath.floorDiv(col("tp") * fp, col("tp") + col("fp")))
+          .otherwise(0L).cast("long").as("precision_fp"),
+        when(col("tp") + col("fn") > 0L,
+          graft.ext.ExactMath.floorDiv(col("tp") * fp, col("tp") + col("fn")))
+          .otherwise(0L).cast("long").as("recall_fp"))
+  }
+
   /** Cluster-size profile (E160): the near-dup cluster size distribution —
     * (cluster_size, n_clusters, n_docs) rows including the size-1 mass of
     * documents the dup graph never touched. The shape says which dedup
@@ -736,12 +781,13 @@ object Dedup {
     * join back on id (numHashes small ints per row); the final aggregate
     * is ≤ numHashes+1 rows.
     */
-  def minhashCalibration(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      numHashes: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+  /** Candidate pairs with exact overlap AND signature-agreement count —
+    * the shared frame behind [[minhashCalibration]] and
+    * [[minhashOperatingCurve]].
+    */
+  private def pairsWithEst(
+      docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     val cand = minhashCandidates(docs, textCol, idCol, numHashes, rowsPerBand)
     val exact = ngramJaccard(docs, textCol, idCol, 3, 0.0, Some(cand))
     val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
@@ -752,8 +798,16 @@ object Dedup {
     val est = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    exact.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_matches", est)
+    exact.join(sa, "id_a").join(sb, "id_b").withColumn("est_matches", est)
+  }
+
+  def minhashCalibration(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    pairsWithEst(docs, textCol, idCol, numHashes, rowsPerBand)
       .withColumn("jac_fp",
         graft.ext.ExactMath.floorDiv(col("common") * lit(1048576L),
           col("n_a") + col("n_b") - col("common")))

@@ -866,6 +866,35 @@ object Similarity {
         floor(col("proj") * lit(1048576.0)).cast("long").as("proj_fp"))
   }
 
+  /** IVF cell-occupancy report (E169): vectors per quantizer cell with the
+    * exact share — the index-health check before committing an IVF layout.
+    * A cell holding half the corpus makes nprobe effectively a full scan;
+    * empty cells waste the centroid budget. Read with [[silhouetteReport]]
+    * (shape quality) — this is the SIZE quality.
+    *
+    * Scale: assignment is map-side against nlist literal centroids; the
+    * occupancy aggregate emits ≤ nlist rows.
+    */
+  def ivfOccupancy(
+      corpus: DataFrame,
+      nlist: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    val cents = trainCentroids(prep, nlist, iters)
+    val assigned = withCellScores(prep, cents)
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("n"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        graft.ext.ExactMath.floorDiv(col("n_vecs") * lit(1048576L), col("n"))
+          .as("share_fp"))
+  }
+
   /** Per-cell simplified-silhouette report (E145) over the shared k-means
     * quantizer: for each vector, with s₁ = cosine to its own (argmax)
     * centroid and s₂ = cosine to the runner-up,

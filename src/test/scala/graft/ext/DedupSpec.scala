@@ -241,6 +241,36 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must produce close signatures")
   }
 
+  test("minhashOperatingCurve: t=0 is all-positive, curve trades precision for recall") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    val docs = Seq(
+      (1L, base), (2L, base),                 // exact dup (est 16, jac 1)
+      (3L, base + " nu"),                     // near dup of 1/2 (jac ≈ 0.91)
+      (4L, other), (5L, other.replace("doce", "trece"))  // sub-threshold pair
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashOperatingCurve(docs).collect()
+      .map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out.keySet === (0L to 16L).toSet)
+    // t=0 predicts every candidate positive: fn = 0, recall = 1 (if any dup)
+    assert(out(0L).getAs[Long]("fn") === 0L)
+    assert(out(0L).getAs[Long]("recall_fp") === 1048576L)
+    // monotonicity: raising t never increases tp or fp, never decreases fn
+    (1L to 16L).foreach { t =>
+      assert(out(t).getAs[Long]("tp") <= out(t - 1).getAs[Long]("tp"))
+      assert(out(t).getAs[Long]("fp") <= out(t - 1).getAs[Long]("fp"))
+      assert(out(t).getAs[Long]("fn") >= out(t - 1).getAs[Long]("fn"))
+    }
+    // the exact-dup pair survives every threshold: tp at t=16 ≥ 1
+    assert(out(16L).getAs[Long]("tp") >= 1L)
+    // tp + fn is the constant dup count across thresholds
+    val dups = out(0L).getAs[Long]("tp")
+    (0L to 16L).foreach { t =>
+      assert(out(t).getAs[Long]("tp") + out(t).getAs[Long]("fn") === dups)
+    }
+  }
+
   test("pairTriage: containment strictly exceeds jaccard on a prefix-contained pair") {
     import spark.implicits._
     // LSH recall needs high-jaccard pairs (NOTES): doc 1's shingles are a

@@ -294,6 +294,21 @@ class SimilaritySpec extends SparkSpec {
     assert(signs !== Similarity.jlSigns(12, 4, 2), "seed changes the matrix")
   }
 
+  test("ivfOccupancy: shares sum to ~1, counts cover the corpus, cells match assignment") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.ivfOccupancy(emb).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    val shareSum = out.map(_.getAs[Long]("share_fp")).sum
+    // floors can undershoot by at most one per cell
+    assert(shareSum <= 1048576L && shareSum > 1048576L - out.length)
+    // occupancy cells agree with the silhouette report's partition
+    val silCells = Similarity.silhouetteReport(emb).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap
+    out.foreach { r =>
+      assert(silCells(r.getAs[Long]("cell")) === r.getAs[Long]("n_vecs"))
+    }
+  }
+
   test("silhouetteReport: cells partition the corpus; sil bounded; tight cells score high") {
     val emb = Tables.embeddings(spark, sf0001)
     val rep = Similarity.silhouetteReport(emb).collect()
