@@ -518,7 +518,11 @@ object Profiler {
     */
   def dependenceAudit(
       df: DataFrame, aCol: String, bCol: String, buckets: Int = 5): DataFrame = {
-    val withA = graft.ext.Curriculum.equiDepthBuckets(df, aCol, buckets)
+    // pin the slim two-column frame once: each equi-depth pass histograms
+    // AND joins on its column, so an expensive upstream scoring expression
+    // would otherwise be re-evaluated 4+ times (the rankFusion discipline)
+    val base = df.select(col(aCol), col(bCol)).localCheckpoint()
+    val withA = graft.ext.Curriculum.equiDepthBuckets(base, aCol, buckets)
       .withColumnRenamed("bucket", "a_bucket")
     val withB = graft.ext.Curriculum.equiDepthBuckets(withA, bCol, buckets)
       .withColumnRenamed("bucket", "b_bucket")
