@@ -1729,6 +1729,23 @@ object SparkEntry {
     "q211_minhash_curve" -> { (s, dir) =>
       graft.ext.Dedup.minhashOperatingCurve(Tables.documents(s, dir))
     },
+    // Approximate FDs (E171): exact g₃ violation counts for directed
+    // column pairs — ranks the near-miss dependencies a boolean FD scan
+    // throws away.
+    "q212_approx_fds" -> { (s, dir) =>
+      graft.analyze.FunctionalDeps.approxDeps(
+        Tables.orders(s, dir), "orders",
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+          ("o_orderpriority", "o_orderstatus")))
+    },
+    // Cardinality drift (E172): per-column distinct counts across two
+    // deterministic hash halves with exact cross-multiplied deviation —
+    // the any-type data-quality canary.
+    "q213_cardinality_drift" -> { (s, dir) =>
+      graft.ext.Drift.cardinalityDrift(
+        Tables.orders(s, dir), "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5237,6 +5254,39 @@ object SparkEntry {
          |       CAST(CASE WHEN tp + fn > 0 THEN (tp * 1048576) // (tp + fn)
          |                 ELSE 0 END AS BIGINT) AS recall_fp
          |FROM a""".stripMargin
+    },
+    "q212_approx_fds" -> {
+      def branch(det: String, dep: String): String =
+        s"""SELECT 'orders' AS table_name, '$det' AS determinant,
+           |       '$dep' AS dependent,
+           |       CAST(SUM(tot) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(*) AS BIGINT) AS n_det,
+           |       CAST(SUM(tot) - SUM(mx) AS BIGINT) AS violations,
+           |       SUM(tot) - SUM(mx) = 0 AS holds,
+           |       CAST(((SUM(tot) - SUM(mx)) * 1048576) // SUM(tot) AS BIGINT)
+           |         AS violation_fp
+           |FROM (SELECT a, SUM(n) AS tot, MAX(n) AS mx FROM (
+           |        SELECT $det AS a, $dep AS b, COUNT(*) AS n
+           |        FROM orders GROUP BY 1, 2) GROUP BY a)""".stripMargin
+      Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"))
+        .map { case (a, b) => branch(a, b) }.mkString("\nUNION ALL\n")
+    },
+    "q213_cardinality_drift" -> {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val h = dkHash("CAST(o_orderkey AS VARCHAR)", 3)
+      val dAggs = cols.map(c => s"COUNT(DISTINCT ROW($c)) AS d_$c").mkString(", ")
+      val branches = cols.map { c =>
+        s"""SELECT '$c' AS column_name, CAST(a.n AS BIGINT) AS n_a,
+           |       CAST(b.n AS BIGINT) AS n_b,
+           |       CAST(a.d_$c AS BIGINT) AS d_a, CAST(b.d_$c AS BIGINT) AS d_b,
+           |       CAST(abs(a.d_$c * b.n - b.d_$c * a.n) AS BIGINT) AS dev_num
+           |FROM ha a CROSS JOIN hb b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (SELECT *, $h % 2 AS hh FROM orders),
+         |ha AS (SELECT COUNT(*) AS n, $dAggs FROM h WHERE hh = 0),
+         |hb AS (SELECT COUNT(*) AS n, $dAggs FROM h WHERE hh = 1)
+         |$branches""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

@@ -329,4 +329,44 @@ object Drift {
           col("ks_num") * lit(1048576L), col("ks_den")))
         .cast("long"))
   }
+
+  /** Cardinality drift (E172): per column, distinct-value counts in two
+    * deterministic hash halves of the table plus the exact cross-multiplied
+    * deviation |d_a·n_b − d_b·n_a| — a column whose cardinality-per-row
+    * differs between halves has a value population that depends on the
+    * split key (ingest-time skew, id-range leakage, a half-applied
+    * backfill). The categorical/cardinality twin of [[numericDrift]]:
+    * works on ANY column type because it never orders values.
+    *
+    * Distinct counts run over structs so NULL is a countable value (the
+    * q123/q139 discipline). Scale: one Expand pass — (2 halves × |cols|)
+    * aggregates over one scan, map-side partial distinct.
+    */
+  def cardinalityDrift(
+      df: DataFrame, idCol: String, cols: Seq[String],
+      seed: Int = 3): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val half = pmod(graft.ext.Dedup.stableHash(col(idCol).cast("string"), seed),
+      lit(2L))
+    val aggs = cols.map(c => countDistinct(struct(col(c))).as(s"__d_$c")) :+
+      count(lit(1)).as("__n")
+    val halves = df.withColumn("__h", half)
+      .groupBy("__h")
+      .agg(aggs.head, aggs.tail: _*)
+    val a = halves.filter(col("__h") === 0L)
+    val b = halves.filter(col("__h") === 1L)
+    a.crossJoin(b.select(
+        col("__n").as("__nb") +: cols.map(c => col(s"__d_$c").as(s"__db_$c")): _*))
+      .select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("__n").cast("long").as("n_a"),
+          col("__nb").cast("long").as("n_b"),
+          col(s"__d_$c").cast("long").as("d_a"),
+          col(s"__db_$c").cast("long").as("d_b"),
+          abs(col(s"__d_$c") * col("__nb") - col(s"__db_$c") * col("__n"))
+            .cast("long").as("dev_num"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
 }

@@ -52,4 +52,24 @@ class FunctionalDepsSpec extends SparkSpec {
     assert(plan.contains("Expand"))
     assert(!plan.toLowerCase.contains("join"))
   }
+
+  test("approxDeps: exact g3 violation counts, perfect FD at zero") {
+    import spark.implicits._
+    // a -> b: a=1 maps to {x,x,y} (1 violation), a=2 maps to {z} (0)
+    // b -> a: x -> {1,1}, y -> {1}, z -> {2} → 0 violations (b determines a)
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z")).toDF("a", "b")
+    val out = FunctionalDeps.approxDeps(df, "t", Seq(("a", "b"), ("b", "a")))
+      .collect()
+      .map(r => (r.getAs[String]("determinant"), r.getAs[String]("dependent")) -> r)
+      .toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_rows") === 4L)
+    assert(ab.getAs[Long]("n_det") === 2L)
+    assert(ab.getAs[Long]("violations") === 1L)
+    assert(!ab.getAs[Boolean]("holds"))
+    assert(ab.getAs[Long]("violation_fp") === 1048576L / 4L)
+    val ba = out(("b", "a"))
+    assert(ba.getAs[Long]("violations") === 0L)
+    assert(ba.getAs[Boolean]("holds"))
+  }
 }

@@ -205,4 +205,33 @@ class DriftSpec extends SparkSpec {
       assert(out(g) === sup, s"group $g")
     }
   }
+
+  test("cardinalityDrift: exact per-half distincts with nulls counted; dev matches definition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val df = (1L to 200L).map { i =>
+      (i, i % 7, if (i % 5 == 0) null.asInstanceOf[String] else s"v${i % 3}")
+    }.toDF("id", "num", "str")
+    val out = Drift.cardinalityDrift(df, "id", Seq("num", "str")).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    // replay the halves with the same hash
+    val half = pmod(graft.ext.Dedup.stableHash(col("id").cast("string"), 3), lit(2L))
+    val rows = df.withColumn("h", half).collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("num"), r.getAs[String]("str")))
+    Seq("num", "str").foreach { c =>
+      val r = out(c)
+      val aRows = rows.filter(_._1 == 0L)
+      val bRows = rows.filter(_._1 == 1L)
+      assert(r.getAs[Long]("n_a") === aRows.length.toLong)
+      assert(r.getAs[Long]("n_b") === bRows.length.toLong)
+      def d(xs: Array[(Long, Long, String)]) =
+        (if (c == "num") xs.map(_._2.toString) else xs.map(x => String.valueOf(x._3)))
+          .distinct.length.toLong // String.valueOf(null) = "null": null counts
+      assert(r.getAs[Long]("d_a") === d(aRows), s"$c d_a")
+      assert(r.getAs[Long]("d_b") === d(bRows), s"$c d_b")
+      assert(r.getAs[Long]("dev_num") ===
+        math.abs(r.getAs[Long]("d_a") * r.getAs[Long]("n_b") -
+          r.getAs[Long]("d_b") * r.getAs[Long]("n_a")))
+    }
+  }
 }
