@@ -1746,6 +1746,18 @@ object SparkEntry {
         Tables.orders(s, dir), "o_orderkey",
         Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
     },
+    // Correlation matrix (E173): all numeric pairs from one aggregation
+    // pass — exact integer moments, deterministic double finish.
+    "q214_correlation" -> { (s, dir) =>
+      graft.analyze.Profiler.correlationMatrix(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+    // Weekly seasonality profile (E174): per (type, iso-weekday, hour)
+    // event rates normalized by observed days — the periodic baseline.
+    "q215_seasonality" -> { (s, dir) =>
+      graft.ops.Coverage.seasonalProfile(Tables.events(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5288,6 +5300,44 @@ object SparkEntry {
          |hb AS (SELECT COUNT(*) AS n, $dAggs FROM h WHERE hh = 1)
          |$branches""".stripMargin
     },
+    "q214_correlation" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def q(c: String) = s"CAST(floor(CAST($c AS DOUBLE) * 10000.0 + 0.5) AS HUGEINT)"
+      val branches = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+           |  CAST(CASE WHEN n * ss_$a - s_$a * s_$a > 0
+           |             AND n * ss_$b - s_$b * s_$b > 0
+           |       THEN floor(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+           |              / (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE))
+           |                 * sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)))
+           |              * 1048576.0)
+           |       ELSE 0 END AS BIGINT) AS r_fp
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val sums = cols.flatMap(c =>
+        Seq(s"SUM(${q(c)}) AS s_$c", s"SUM(${q(c)} * ${q(c)}) AS ss_$c")) ++
+        cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          s"SUM(${q(a)} * ${q(b)}) AS sp_${a}_$b"
+        }
+      s"""WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |  ${sums.mkString(",\n  ")}
+         |  FROM lineitem)
+         |$branches""".stripMargin
+    },
+    "q215_seasonality" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(date_part('isodow', ts) - 1 AS BIGINT) AS dow,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS hod,
+        |    CAST(ts AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT dow, COUNT(*) AS n_days FROM (
+        |           SELECT DISTINCT dow, d FROM e) GROUP BY 1),
+        |cells AS (SELECT event_type, dow, hod, COUNT(*) AS n_events
+        |          FROM e GROUP BY 1, 2, 3)
+        |SELECT event_type, cells.dow, hod, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(n_days AS BIGINT) AS n_days,
+        |       CAST((n_events * 1048576) // n_days AS BIGINT) AS rate_fp
+        |FROM cells JOIN days ON cells.dow = days.dow""".stripMargin,
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w
         |           FROM documents),

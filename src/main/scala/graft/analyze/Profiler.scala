@@ -501,6 +501,49 @@ object Profiler {
         col("qpos").cast("long").as("qpos"), col("__v").as("norm_value"))
   }
 
+  /** One-pass Pearson correlation matrix (E173): every pair of the given
+    * numeric columns, from ONE aggregation over ONE scan. Values quantize
+    * to 10⁻⁴ fixed point (⌊x·10⁴+0.5⌋ — the cross-engine rounding
+    * discipline), all moments are exact DECIMAL(38) integers, and only the
+    * final r = num/(√denx·√deny) runs in doubles (same expression tree in
+    * both engines, floored into 2²⁰ fixed point). Degenerate columns
+    * (zero variance) report r_fp = 0.
+    *
+    * Scale: one map-side-combined aggregate carrying k + k(k−1)/2 moment
+    * columns; no shuffle beyond the single 1-row reduce. DECIMAL(38)
+    * bounds the audit at ~10¹² rows for 10⁹-scale quantized values —
+    * shard beyond that.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = "decimal(38,0)"
+    def qcol(c: String) = floor(col(c).cast("double") * 10000.0 + 0.5).cast(dec)
+    val base = df.select(cols.map(c => qcol(c).as(c)): _*)
+    val pairs = cols.combinations(2).toSeq
+    val singles = cols.flatMap(c => Seq(
+      sum(col(c)).as(s"__s_$c"), sum(col(c) * col(c)).as(s"__ss_$c")))
+    val crosses = pairs.map { case Seq(a, b) =>
+      sum(col(a) * col(b)).as(s"__sp_${a}__$b")
+    }
+    val agg = base.agg(
+      (singles ++ crosses :+ count(lit(1)).cast(dec).as("__n")).head,
+      (singles ++ crosses :+ count(lit(1)).cast(dec).as("__n")).tail: _*)
+    agg.select(explode(array(pairs.map { case Seq(a, b) =>
+      val n = col("__n")
+      val num = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      val dx = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val dy = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val r = num.cast("double") /
+        (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        n.cast("long").as("n"),
+        when(dx > 0 && dy > 0, floor(r * lit(1048576.0)).cast("long"))
+          .otherwise(0L).as("r_fp"))
+    }: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Dependence audit (E158): bucket two numeric columns into equi-depth
     * quantiles and report the exact contingency deviation from
     * independence per cell:

@@ -125,6 +125,41 @@ object Coverage {
         last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Weekly seasonality profile (E174): events per (type, iso-weekday,
+    * hour-of-day) normalized by how many distinct dates of that weekday the
+    * feed actually observed — the periodic baseline behind "is Tuesday 3am
+    * quiet or is the feed down?". rate_fp = n_events·2²⁰ // n_days is the
+    * expected per-day count for that cell; GapWatch / rollingMadAnomalies
+    * flag deviations, this supplies the baseline they deviate FROM.
+    *
+    * Weekday is ISO (0 = Monday … 6 = Sunday) — Spark `weekday` ==
+    * DuckDB `isodow − 1` — and all time math runs in UTC sessions.
+    *
+    * Scale: one projection + two hash aggregations (cells, and the tiny
+    * distinct-date-per-weekday table), joined on weekday.
+    */
+  def seasonalProfile(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val t = events.schema(tsCol).dataType match {
+      case LongType => graft.streaming.Sessions.nsToTimestamp(col(tsCol))
+      case _ => col(tsCol).cast("timestamp")
+    }
+    val base = events.select(col(typeCol).as("event_type"),
+      weekday(t).cast("long").as("dow"), hour(t).cast("long").as("hod"),
+      to_date(t).as("d"))
+    val days = base.select(col("dow"), col("d")).distinct()
+      .groupBy("dow").agg(count(lit(1)).as("n_days"))
+    base.groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("n_events"))
+      .join(days, "dow")
+      .select(col("event_type"), col("dow"), col("hod"), col("n_events"),
+        col("n_days").cast("long").as("n_days"),
+        graft.ext.ExactMath.floorDiv(col("n_events") * lit(1048576L), col("n_days"))
+          .as("rate_fp"))
+  }
+
   /** Per-type inter-arrival profile (E153): consecutive-event gaps within
     * each (key, type) stream, quantized to whole seconds, aggregated per
     * type into count / sum / max and the squared coefficient of variation

@@ -286,6 +286,25 @@ class ProfilerSpec extends SparkSpec {
     assert(out.values.count(_._3) === 5)  // exactly v=96..100 clip high
   }
 
+  test("correlationMatrix: perfect, inverse, and independent pairs; zero-variance guarded") {
+    import spark.implicits._
+    // y = 2x (r = 1); z = −x (r = −1); w cycles independently of x;
+    // k is constant (zero variance → r_fp = 0)
+    val df = (1L to 100L).map(i =>
+      (i.toDouble, 2.0 * i, -i.toDouble, (i % 2).toDouble, 5.0))
+      .toDF("x", "y", "z", "w", "k")
+    val out = Profiler.correlationMatrix(df, Seq("x", "y", "z", "w", "k")).collect()
+      .map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+        r.getAs[Long]("r_fp")).toMap
+    assert(out.size === 10)
+    // the double finish can sit one ulp off exact ±1 before the floor
+    assert(math.abs(out(("x", "y")) - 1048576L) <= 2L)
+    assert(math.abs(out(("x", "z")) + 1048576L) <= 2L)
+    assert(math.abs(out(("y", "z")) + 1048576L) <= 2L)
+    assert(math.abs(out(("x", "w"))) < 40000L, "near-zero correlation expected")
+    assert(out(("x", "k")) === 0L, "constant column reports 0")
+  }
+
   test("dependenceAudit: perfectly dependent columns concentrate on the diagonal") {
     import spark.implicits._
     // b = a exactly: every item's a-quintile == its b-quintile, so all

@@ -80,6 +80,35 @@ class CoverageSpec extends SparkSpec {
     assert(!out.contains(("b", 0L)))
   }
 
+  test("seasonalProfile: iso weekday cells, per-day normalization") {
+    import spark.implicits._
+    val ns = 1000000000L
+    // 2026-08-10 is a Monday; epoch day maths: use explicit UTC instants
+    val mon10 = java.time.LocalDateTime.of(2026, 8, 10, 9, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * ns
+    val mon17 = java.time.LocalDateTime.of(2026, 8, 17, 9, 30)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * ns
+    val tue11 = java.time.LocalDateTime.of(2026, 8, 11, 14, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * ns
+    val ev = Seq(
+      (1L, mon10, "click"), (2L, mon10 + ns, "click"),  // Mon 9h ×2
+      (3L, mon17, "click"),                             // second Monday, 9h
+      (4L, tue11, "view")                               // Tue 14h
+    ).toDF("event_id", "ts", "event_type")
+    val out = Coverage.seasonalProfile(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow"),
+        r.getAs[Long]("hod")) -> r).toMap
+    // Monday = 0, two distinct Mondays observed, 3 click events at 9h
+    val monday = out(("click", 0L, 9L))
+    assert(monday.getAs[Long]("n_events") === 3L)
+    assert(monday.getAs[Long]("n_days") === 2L)
+    assert(monday.getAs[Long]("rate_fp") === 3L * 1048576L / 2L)
+    // Tuesday = 1, one date observed
+    val tuesday = out(("view", 1L, 14L))
+    assert(tuesday.getAs[Long]("n_events") === 1L)
+    assert(tuesday.getAs[Long]("n_days") === 1L)
+  }
+
   test("interArrival: per-(user,type) gaps, second quantization, exact CV2") {
     import spark.implicits._
     // user 1 'click': ns timestamps at 0s, 10s, 30s → gaps 10, 20
