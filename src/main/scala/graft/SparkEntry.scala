@@ -1758,6 +1758,27 @@ object SparkEntry {
     "q215_seasonality" -> { (s, dir) =>
       graft.ops.Coverage.seasonalProfile(Tables.events(s, dir))
     },
+    // Per-source length-quality correlation (E175): does quality track
+    // length the same way in every feed?
+    "q216_correlation_by_source" -> { (s, dir) =>
+      import graft.ext.TextAnalysis
+      val d = Tables.documents(s, dir).select(
+        col("source"), col("n_chars"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1000000.0).cast("long")
+          .as("q6"))
+      graft.analyze.Profiler.correlationBy(d, "source", "n_chars", "q6")
+    },
+    // Charset profile (E176): per-source character-class composition —
+    // the zero-cost markup/code/tables triage.
+    "q217_charset_profile" -> { (s, dir) =>
+      graft.ext.TextAnalysis.charsetProfile(Tables.documents(s, dir))
+    },
+    // Saturated BM25 retrieval (E177): tf saturation + length norm over
+    // the q98 query terms, log-free idf, per-term fixed-point floors.
+    "q218_bm25" -> { (s, dir) =>
+      graft.ext.Retrieval.bm25TopK(
+        Tables.documents(s, dir), Seq("spark", "hash", "join", "window"))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5338,6 +5359,75 @@ object SparkEntry {
         |       CAST(n_days AS BIGINT) AS n_days,
         |       CAST((n_events * 1048576) // n_days AS BIGINT) AS rate_fp
         |FROM cells JOIN days ON cells.dow = days.dow""".stripMargin,
+    "q216_correlation_by_source" -> {
+      val nt = "len(string_split(text,' '))"
+      val alpha = "length(regexp_replace(lower(text),'[^a-z]','','g'))"
+      s"""WITH d AS (SELECT source,
+         |    CAST(floor(CAST(n_chars AS DOUBLE) * 10000.0 + 0.5) AS HUGEINT) AS x,
+         |    CAST(floor(CAST(CAST(floor(LEAST(GREATEST(
+         |        (CAST($alpha AS DOUBLE) / length(text)) * 0.5 +
+         |        LEAST(CAST($nt AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |        LEAST($dkAllStops / $nt * 10.0, 1.0) * 0.2, 0.0), 1.0)
+         |        * 1000000.0) AS BIGINT) AS DOUBLE) * 10000.0 + 0.5) AS HUGEINT) AS y
+         |  FROM documents),
+         |a AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+         |        SUM(x) AS sx, SUM(y) AS sy,
+         |        SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         |      FROM d GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |       CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         |                   * 1048576.0)
+         |            ELSE 0 END AS BIGINT) AS r_fp
+         |FROM a""".stripMargin
+    },
+    "q217_charset_profile" ->
+      """WITH c AS (SELECT source AS grp,
+        |    CAST(length(text) AS BIGINT) AS t,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS l,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS d,
+        |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS s
+        |  FROM documents),
+        |a AS (SELECT grp, COUNT(*) AS n_docs, SUM(t) AS n_chars,
+        |             SUM(l) AS n_letters, SUM(d) AS n_digits, SUM(s) AS n_spaces
+        |      FROM c GROUP BY 1)
+        |SELECT grp, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_letters AS BIGINT) AS n_letters,
+        |       CAST(n_digits AS BIGINT) AS n_digits,
+        |       CAST(n_spaces AS BIGINT) AS n_spaces,
+        |       CAST(n_chars - n_letters - n_digits - n_spaces AS BIGINT) AS n_other,
+        |       CAST((n_letters * 1048576) // GREATEST(n_chars, 1) AS BIGINT)
+        |         AS letter_fp,
+        |       CAST(((n_chars - n_letters - n_digits - n_spaces) * 1048576)
+        |            // GREATEST(n_chars, 1) AS BIGINT) AS other_fp
+        |FROM a""".stripMargin,
+    "q218_bm25" ->
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |lens AS (SELECT doc_id,
+        |           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        |         FROM documents),
+        |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+        |t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY 1, 2),
+        |idf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(floor(
+        |    (CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |                    / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |    * 1048576.0) AS BIGINT) AS cfp
+        |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+        |  CROSS JOIN nn CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       CAST(SUM(cfp) AS BIGINT) AS score_fp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w
         |           FROM documents),

@@ -544,6 +544,36 @@ object Profiler {
       .select("p.*")
   }
 
+  /** Per-group Pearson correlation (E175): [[correlationMatrix]]'s exact
+    * moment math for one (x, y) pair, keyed by a group column — "does
+    * quality track length the same way in every feed". Same quantization
+    * and double-finish discipline; groups with zero variance on either
+    * side report r_fp = 0.
+    *
+    * Scale: one hash aggregation keyed by group (map-side combined), no
+    * window, no join.
+    */
+  def correlationBy(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def qc(c: String) = floor(col(c).cast("double") * 10000.0 + 0.5).cast(dec)
+    val a = df.select(col(groupCol).as("grp"), qc(xCol).as("x"), qc(yCol).as("y"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val r = num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))
+    a.select(col("grp").as(groupCol), col("n").cast("long").as("n"),
+      when(dx > 0 && dy > 0, floor(r * lit(1048576.0)).cast("long"))
+        .otherwise(0L).as("r_fp"))
+  }
+
   /** Dependence audit (E158): bucket two numeric columns into equi-depth
     * quantiles and report the exact contingency deviation from
     * independence per cell:

@@ -59,6 +59,57 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Saturated BM25-style retrieval (E177): tf-idf with BM25's two fixes —
+    * term-frequency SATURATION (tf·(k1+1)/(tf+K): the 50th occurrence of a
+    * term is worth almost nothing, where raw tf-idf keeps paying linearly)
+    * and LENGTH normalization (K = k1·(1−b+b·dl/avgdl): long documents
+    * stop winning by volume). The idf factor is the same log-free rational
+    * proxy the exact tf-idf search uses (N/df — logs are libm-dependent
+    * and break cross-engine exactness; saturation, not log-idf, is BM25's
+    * retrieval-quality lever). The per-doc score finishes in doubles with
+    * one fixed expression tree, floored into 2²⁰ fixed point.
+    *
+    * Scale: identical shape to [[searchTopK]] — query-term postings only,
+    * broadcast idf, TakeOrderedAndProject top-k; avgdl is one 1-row
+    * aggregate broadcast into the scoring expression.
+    */
+  def bm25TopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      k1Milli: Int = 1200, bMilli: Int = 750,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val n = docs.count()
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .where(col("term").isin(queryTerms.map(_.toLowerCase): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = lens.agg(sum(col("dl")).cast("long").as("sum_dl"))
+    val k1 = k1Milli / 1000.0
+    val b = bMilli / 1000.0
+    tf.join(broadcast(idf), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      // avgdl enters as the exact rational sum_dl/n inside one double tree
+      .withColumn("contrib",
+        (lit(n.toDouble) / col("df").cast("double")) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+              (col("sum_dl").cast("double") / lit(n.toDouble)))))
+      // floor each TERM contribution before summing: integer sums are
+      // order-independent where a double fold across partitions is not
+      .withColumn("contrib_fp", floor(col("contrib") * lit(1048576.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("contrib_fp")).cast("long").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of the lexical tf-idf ranking with a quality
     * ranking, over the query's candidate set: each candidate document gets
     * rrf = ⌊2²⁰/(60 + r_lex)⌋ + ⌊2²⁰/(60 + r_qual)⌋ and the top-k by

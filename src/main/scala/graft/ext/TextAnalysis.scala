@@ -282,6 +282,42 @@ object TextAnalysis {
           15590L).cast("long"))
   }
 
+  /** Charset profile (E176): per-group character-class composition —
+    * letters, digits, whitespace, punctuation/other — as exact counts and
+    * 2²⁰ shares. A feed whose punctuation share doubles is shipping
+    * markup/code; a digit-heavy feed is tables/logs; the zero-cost triage
+    * BEFORE the per-doc gates run. Patterns stay in the Java∩RE2 subset.
+    *
+    * Scale: map-only per-row class counts, one hash aggregation to
+    * |groups| rows.
+    */
+  def charsetProfile(
+      docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val letters = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val spaces = length(regexp_replace(t, "[^ ]", "")).cast("long")
+    val total = length(t).cast("long")
+    val fp = lit(1048576L)
+    docs
+      .select(col(groupCol).as("grp"), letters.as("l"), digits.as("d"),
+        spaces.as("s"), total.as("t"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t")).cast("long").as("n_chars"),
+        sum(col("l")).cast("long").as("n_letters"),
+        sum(col("d")).cast("long").as("n_digits"),
+        sum(col("s")).cast("long").as("n_spaces"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_letters") - col("n_digits") - col("n_spaces"))
+      .withColumn("letter_fp",
+        ExactMath.floorDiv(col("n_letters") * fp, greatest(col("n_chars"), lit(1L))))
+      .withColumn("other_fp",
+        ExactMath.floorDiv(col("n_other") * fp, greatest(col("n_chars"), lit(1L))))
+  }
+
   /** Vocabulary growth curve (E164): distinct-element counts across nested
     * hash subsamples of the corpus, in both the token space (tokenizer
     * vocab sizing) and the 3-shingle space (dedup/LSH index sizing). The

@@ -305,6 +305,19 @@ class ProfilerSpec extends SparkSpec {
     assert(out(("x", "k")) === 0L, "constant column reports 0")
   }
 
+  test("correlationBy: opposite-sign groups from one aggregation") {
+    import spark.implicits._
+    val df = ((1L to 50L).map(i => ("up", i.toDouble, 3.0 * i)) ++
+      (1L to 50L).map(i => ("down", i.toDouble, -2.0 * i)) ++
+      Seq(("flat", 1.0, 7.0), ("flat", 2.0, 7.0)))
+      .toDF("g", "x", "y")
+    val out = Profiler.correlationBy(df, "g", "x", "y").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("r_fp")).toMap
+    assert(math.abs(out("up") - 1048576L) <= 2L)
+    assert(math.abs(out("down") + 1048576L) <= 2L)
+    assert(out("flat") === 0L, "zero y-variance group reports 0")
+  }
+
   test("dependenceAudit: perfectly dependent columns concentrate on the diagonal") {
     import spark.implicits._
     // b = a exactly: every item's a-quintile == its b-quintile, so all

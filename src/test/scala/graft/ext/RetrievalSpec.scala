@@ -36,4 +36,28 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"global sort planned:\n$plan")
   }
+
+  test("bm25TopK: saturation caps tf spam; length norm penalizes padding") {
+    import spark.implicits._
+    // doc 1: one on-topic mention in a short doc
+    // doc 2: the term repeated 20 times (tf spam) — saturated, NOT 20x doc 1
+    // doc 3: one mention buried in a much longer doc — length-normalized down
+    val docs = Seq(
+      (1L, "spark runs fast here"),
+      (2L, Seq.fill(20)("spark").mkString(" ")),
+      (3L, "spark " + (1 to 40).map(i => s"pad$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq("spark"), k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_fp")).toMap
+    assert(out.size === 3)
+    // saturation: the 20x doc scores more than 1x but far less than 20x
+    assert(out(2L) > out(1L))
+    assert(out(2L) < out(1L) * 4L, "tf must saturate, not scale linearly")
+    // length normalization: the padded doc scores below the short doc
+    assert(out(3L) < out(1L))
+    // plan: still a distributed top-k
+    val plan = Retrieval.bm25TopK(docs, Seq("spark"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }

@@ -329,6 +329,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("is_code"))
   }
 
+  test("charsetProfile: exact class counts and shares per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc 12", "s1"),    // 3 letters, 2 digits, 1 space → 6 chars
+      (2L, "x.y!", "s1"),      // 2 letters, 0 digits, 0 spaces, 2 other
+      (3L, "1234", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.charsetProfile(docs).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") === 2L)
+    assert(s1.getAs[Long]("n_chars") === 10L)
+    assert(s1.getAs[Long]("n_letters") === 5L)
+    assert(s1.getAs[Long]("n_digits") === 2L)
+    assert(s1.getAs[Long]("n_spaces") === 1L)
+    assert(s1.getAs[Long]("n_other") === 2L)
+    assert(s1.getAs[Long]("letter_fp") === 5L * 1048576L / 10L)
+    assert(s1.getAs[Long]("other_fp") === 2L * 1048576L / 10L)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_digits") === 4L && s2.getAs[Long]("n_letters") === 0L)
+  }
+
   test("vocabGrowth: nested subsamples, monotone vocab, full fraction sees everything") {
     import spark.implicits._
     val docs = (1L to 50L).map(i =>
