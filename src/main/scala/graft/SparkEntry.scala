@@ -1779,6 +1779,16 @@ object SparkEntry {
       graft.ext.Retrieval.bm25TopK(
         Tables.documents(s, dir), Seq("spark", "hash", "join", "window"))
     },
+    // Per-user activity profile (E178): volume + Simpson type
+    // concentration + gap regularity — the bot/scraper triage row.
+    "q219_user_profile" -> { (s, dir) =>
+      graft.ops.Coverage.userActivityProfile(Tables.events(s, dir))
+    },
+    // Conversion-lag histogram (E179): first view → first purchase lag in
+    // power-of-two second buckets — the attribution-window evidence.
+    "q220_conversion_lag" -> { (s, dir) =>
+      graft.ops.Coverage.conversionLag(Tables.events(s, dir), "view", "purchase")
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5428,6 +5438,51 @@ object SparkEntry {
         |       CAST(SUM(cfp) AS BIGINT) AS score_fp
         |FROM sc GROUP BY doc_id
         |ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q219_user_profile" ->
+      """WITH tc AS (SELECT user_id, event_type, COUNT(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+        |              SUM(c * (c - 1)) AS pairs_same
+        |       FROM tc GROUP BY 1),
+        |e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+        |      FROM events),
+        |w AS (SELECT user_id, tus,
+        |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM e),
+        |d AS (SELECT user_id, (tus - prev) // 1000000 AS ds
+        |      FROM w WHERE prev IS NOT NULL),
+        |tm AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS ng,
+        |              SUM(CAST(ds AS HUGEINT)) AS s,
+        |              SUM(CAST(ds AS HUGEINT) * CAST(ds AS HUGEINT)) AS s2
+        |       FROM d GROUP BY 1)
+        |SELECT sp.user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(n_types AS BIGINT) AS n_types,
+        |       CAST(CASE WHEN n_events > 1
+        |                 THEN (pairs_same * 1048576) // (n_events * (n_events - 1))
+        |                 ELSE 0 END AS BIGINT) AS simpson_fp,
+        |       CAST(COALESCE(s // ng, 0) AS BIGINT) AS mean_gap_s,
+        |       CAST(COALESCE(CASE WHEN s = 0 THEN 0
+        |                          ELSE ((ng * s2 - s * s) * 1048576) // (s * s)
+        |                     END, 0) AS BIGINT) AS cv2_fp
+        |FROM sp LEFT JOIN tm ON sp.user_id = tm.user_id""".stripMargin,
+    "q220_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(tus) AS t_from FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |t AS (SELECT user_id, MIN(tus) AS t_to FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT (t_to - t_from) // 1000000 AS lag_s
+        |      FROM f JOIN t USING (user_id) WHERE t_to >= t_from),
+        |b AS (SELECT lag_s,
+        |        GREATEST(16, CAST(1 AS BIGINT)
+        |          << length(bin(GREATEST(lag_s, 1) - 1))) AS bucket_s
+        |      FROM l)
+        |SELECT CAST(bucket_s AS BIGINT) AS bucket_s,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+        |       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+        |FROM b GROUP BY 1""".stripMargin,
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w
         |           FROM documents),

@@ -125,6 +125,105 @@ object Coverage {
         last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Per-user activity profile (E178): volume, type concentration, and
+    * timing regularity in one row per user — the bot/scraper triage
+    * (high volume + one event type + metronome gaps is not a human).
+    * Type concentration is the log-free Simpson index
+    * Σnᵢ(nᵢ−1) / (n(n−1)) in 2²⁰ fixed point (1 = single-type); timing
+    * uses [[interArrival]]'s second-quantized moments per user (CV² ≪ 2²⁰
+    * = regular). Degenerate users (n < 2) report 0 for both.
+    *
+    * Scale: one per-user lag window + two per-user aggregations — all
+    * keyed by user, nothing global.
+    */
+  def userActivityProfile(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val fp = lit(1048576L)
+    val typeCounts = events.groupBy(col(keyCol), col(typeCol))
+      .agg(count(lit(1)).as("c"))
+    val simpson = typeCounts.groupBy(keyCol)
+      .agg(
+        sum(col("c")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("c") * (col("c") - 1L)).cast("long").as("pairs_same"))
+      .withColumn("simpson_fp",
+        when(col("n_events") > 1L,
+          graft.ext.ExactMath.floorDiv(col("pairs_same") * fp,
+            col("n_events") * (col("n_events") - 1L))).otherwise(0L))
+      .drop("pairs_same")
+    val w = Window.partitionBy(keyCol).orderBy(col("tus"), col(idCol))
+    val gaps = events
+      .select(col(keyCol), toUs(events, tsCol).as("tus"), col(idCol))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col(keyCol),
+        graft.ext.ExactMath.floorDiv(col("tus") - col("prev"), lit(1000000L))
+          .as("d_s"))
+    val dec = "decimal(38,0)"
+    val timing = gaps.groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("d_s")).cast("long").as("sum_s"),
+        sum(col("d_s") * col("d_s")).cast("long").as("sum_s2"))
+      .withColumn("mean_gap_s",
+        graft.ext.ExactMath.floorDiv(col("sum_s"), col("n_gaps")))
+      .withColumn("cv2_fp",
+        when(col("sum_s") === 0L, 0L)
+          .otherwise(graft.ext.ExactMath.floorDiv(
+            (col("n_gaps").cast(dec) * col("sum_s2").cast(dec) -
+              col("sum_s").cast(dec) * col("sum_s").cast(dec)) * fp.cast(dec),
+            col("sum_s").cast(dec) * col("sum_s").cast(dec)))
+          .cast("long"))
+      .select(col(keyCol), col("mean_gap_s"), col("cv2_fp"))
+    simpson.join(timing, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_events"), col("n_types"), col("simpson_fp"),
+        coalesce(col("mean_gap_s"), lit(0L)).as("mean_gap_s"),
+        coalesce(col("cv2_fp"), lit(0L)).as("cv2_fp"))
+  }
+
+  /** Conversion-lag histogram (E179): time from a user's FIRST `fromType`
+    * to their FIRST later `toType`, bucketed into power-of-two second
+    * ranges — "how long does view → purchase actually take", the input to
+    * attribution-window choices. Buckets reuse the exact bit-length trick;
+    * zero-lag conversions land in the minimum bucket.
+    *
+    * Scale: two per-user min-aggregations (map-side combined) + one
+    * bounded histogram aggregate.
+    */
+  def conversionLag(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      minBucket: Long = 16L): DataFrame = {
+    val base = events.select(col(keyCol), col(typeCol),
+      toUs(events, tsCol).as("tus"))
+    val firstFrom = base.filter(col(typeCol) === fromType)
+      .groupBy(keyCol).agg(min(col("tus")).as("t_from"))
+    val firstTo = base.filter(col(typeCol) === toType)
+      .groupBy(keyCol).agg(min(col("tus")).as("t_to"))
+    val lags = firstFrom.join(firstTo, Seq(keyCol))
+      .filter(col("t_to") >= col("t_from"))
+      .select(graft.ext.ExactMath.floorDiv(col("t_to") - col("t_from"),
+        lit(1000000L)).as("lag_s"))
+    lags
+      // greatest(lag,1): zero-second conversions land in the min bucket
+      // (bin(-1) is 64 ones — the bit-length trick needs a positive arg)
+      .withColumn("bucket_s",
+        greatest(lit(minBucket),
+          expr("shiftleft(CAST(1 AS BIGINT), length(bin(greatest(lag_s, 1) - 1)))")))
+      .groupBy("bucket_s")
+      .agg(count(lit(1)).as("n_users"),
+        min(col("lag_s")).cast("long").as("min_lag_s"),
+        max(col("lag_s")).cast("long").as("max_lag_s"))
+  }
+
   /** Weekly seasonality profile (E174): events per (type, iso-weekday,
     * hour-of-day) normalized by how many distinct dates of that weekday the
     * feed actually observed — the periodic baseline behind "is Tuesday 3am

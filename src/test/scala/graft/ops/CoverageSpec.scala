@@ -80,6 +80,58 @@ class CoverageSpec extends SparkSpec {
     assert(!out.contains(("b", 0L)))
   }
 
+  test("userActivityProfile: simpson concentration, gap regularity, degenerate users") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      // user 1: metronome — 4 clicks exactly 10s apart → simpson 1, cv2 0
+      (1L, 10L * ns, 1L, "click"), (2L, 20L * ns, 1L, "click"),
+      (3L, 30L * ns, 1L, "click"), (4L, 40L * ns, 1L, "click"),
+      // user 2: two types, one event each → simpson 0
+      (5L, 50L * ns, 2L, "view"), (6L, 60L * ns, 2L, "purchase"),
+      // user 3: single event → all-degenerate zeros
+      (7L, 70L * ns, 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Coverage.userActivityProfile(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_events") === 4L)
+    assert(u1.getAs[Long]("n_types") === 1L)
+    assert(u1.getAs[Long]("simpson_fp") === 1048576L) // 12/12
+    assert(u1.getAs[Long]("mean_gap_s") === 10L)
+    assert(u1.getAs[Long]("cv2_fp") === 0L) // perfectly regular
+    val u2 = out(2L)
+    assert(u2.getAs[Long]("simpson_fp") === 0L) // no same-type pair
+    assert(u2.getAs[Long]("mean_gap_s") === 10L)
+    val u3 = out(3L)
+    assert(u3.getAs[Long]("n_events") === 1L)
+    assert(u3.getAs[Long]("simpson_fp") === 0L)
+    assert(u3.getAs[Long]("mean_gap_s") === 0L && u3.getAs[Long]("cv2_fp") === 0L)
+  }
+
+  test("conversionLag: first-to-first lag, pow-2 buckets, zero lag in min bucket") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      // user 1: view at 0s, purchases at 100s and 10s → first purchase 10s
+      (1L, 0L, 1L, "view"), (2L, 100L * ns, 1L, "purchase"),
+      (3L, 10L * ns, 1L, "purchase"),
+      // user 2: view and purchase same second → lag 0 → min bucket
+      (4L, 500L * ns, 2L, "view"), (5L, 500L * ns, 2L, "purchase"),
+      // user 3: purchase BEFORE view → excluded
+      (6L, 700L * ns, 3L, "purchase"), (7L, 800L * ns, 3L, "view"),
+      // user 4: view only → no conversion
+      (8L, 900L * ns, 4L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Coverage.conversionLag(ev, "view", "purchase").collect()
+      .map(r => r.getAs[Long]("bucket_s") -> r).toMap
+    // lag 10 → bucket 16 (min bucket); lag 0 → bucket 16 as well
+    assert(out.keySet === Set(16L))
+    assert(out(16L).getAs[Long]("n_users") === 2L)
+    assert(out(16L).getAs[Long]("min_lag_s") === 0L)
+    assert(out(16L).getAs[Long]("max_lag_s") === 10L)
+  }
+
   test("seasonalProfile: iso weekday cells, per-day normalization") {
     import spark.implicits._
     val ns = 1000000000L
