@@ -424,6 +424,19 @@ object Main {
         graft.ops.Coverage.interArrival(Tables.events(spark, dir))
           .orderBy("event_type").show(truncate = false)
       }
+      // one-row release scorecard: every corpus gate with exact shares
+      if (args.contains("--scorecard")) {
+        println("release scorecard (code / mixed-language / near-dup / quality):")
+        graft.ext.CorpusPipeline.releaseScorecard(Tables.documents(spark, dir))
+          .show(truncate = false)
+      }
+      // BM25-saturated search over the documents table
+      opt("--search-bm25").foreach { terms =>
+        val qs = terms.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        println(s"BM25 top documents for ${qs.mkString("[", ", ", "]")}:")
+        graft.ext.Retrieval.bm25TopK(Tables.documents(spark, dir), qs)
+          .show(20, truncate = false)
+      }
     } finally spark.stop()
   }
 }
