@@ -1789,6 +1789,11 @@ object SparkEntry {
     "q220_conversion_lag" -> { (s, dir) =>
       graft.ops.Coverage.conversionLag(Tables.events(s, dir), "view", "purchase")
     },
+    // Top principal direction (E180): integer-exact power iteration on the
+    // Gram matrix — the embedding-anisotropy probe.
+    "q221_top_pc" -> { (s, dir) =>
+      graft.ext.EmbeddingStats.topPrincipalDirection(Tables.embeddings(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5483,6 +5488,29 @@ object SparkEntry {
         |       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
         |       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
         |FROM b GROUP BY 1""".stripMargin,
+    "q221_top_pc" -> {
+      def iter(k: Int, prev: String): String =
+        s"""n$k AS (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * $prev.v) AS num
+           |        FROM gf JOIN $prev ON gf.j = $prev.j GROUP BY 1),
+           |m$k AS (SELECT MAX(abs(num)) AS mx FROM n$k),
+           |v$k AS (SELECT i AS j, (num * 1048576) // mx AS v
+           |        FROM n$k CROSS JOIN m$k)""".stripMargin
+      s"""WITH q AS (SELECT list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+         |           FROM embeddings),
+         |gu AS (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+         |              CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS g_sum
+         |       FROM q CROSS JOIN generate_series(1, 64) gi(i)
+         |              CROSS JOIN generate_series(1, 64) gj(j)
+         |       WHERE gj.j >= gi.i GROUP BY 1, 2),
+         |gf AS (SELECT i, j, g_sum FROM gu
+         |       UNION ALL SELECT j, i, g_sum FROM gu WHERE i <> j),
+         |v0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1048576 AS HUGEINT) AS v),
+         |${iter(1, "v0")},
+         |${iter(2, "v1")},
+         |${iter(3, "v2")}
+         |SELECT CAST(j AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_fp FROM v3""".stripMargin
+    },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w
         |           FROM documents),

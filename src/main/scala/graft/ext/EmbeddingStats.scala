@@ -92,6 +92,48 @@ object EmbeddingStats {
       .withColumn("mean_v",
         col("qsum").cast("double") / col("n").cast("double") / 1048576.0)
 
+  /** Top principal direction (E180): power iteration on the corpus Gram
+    * matrix, FULLY integer-exact. The Gram entries are [[gramProfile]]'s
+    * quantized-integer sums; the iterate starts at the all-ones 2²⁰
+    * vector, each step is an exact BigInt matrix-vector product followed
+    * by a truncating renormalization (v ← v·2²⁰ quot max|v| — BigInt
+    * `/` and DuckDB HUGEINT `//` both truncate toward zero), so after any
+    * number of steps both engines hold bit-identical vectors. Three steps
+    * of power iteration resolve the dominant direction of any spectrum
+    * with a reasonable eigengap — and the OUTPUT question ("is there one
+    * direction dominating my embedding space?" — the anisotropy that
+    * makes raw cosine similarity degenerate, Ethayarajh '19) only needs
+    * the dominant direction approximately.
+    *
+    * Scale: the corpus is touched ONCE (the mergeable GramMatrix
+    * aggregate — one buffer per map task); iteration runs on the
+    * collected dim² integer constant at the driver.
+    */
+  def topPrincipalDirection(
+      corpus: DataFrame,
+      dim: Int = 64,
+      iters: Int = 3,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val rows = gramProfile(corpus, dim, vecCol).collect()
+    val g = Array.fill(dim, dim)(BigInt(0))
+    rows.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val s = BigInt(r.getAs[Long]("g_sum"))
+      g(i)(j) = s; g(j)(i) = s
+    }
+    var v = Array.fill(dim)(BigInt(1048576))
+    for (_ <- 1 to iters) {
+      val num = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val mx = num.map(_.abs).max
+      v = if (mx == 0) v else num.map(n => (n * BigInt(1048576)) / mx)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) }.toSeq
+      .toDF("pos", "v_fp")
+  }
+
   /** Per-group centroid shift (E163): pairwise cosine between group mean
     * embeddings — "does feed/label B live in a different region of
     * embedding space than A". Means are quantized-integer element means

@@ -36,6 +36,27 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(out(1) === ((2L, -1.0, -2.0, 0.0)))
   }
 
+  test("topPrincipalDirection: dominant axis resolves to the max component") {
+    import spark.implicits._
+    // energy concentrated on axis 0 (|2|,|3|), a little on axis 1, none on 2/3
+    val df = Seq(
+      Seq(2.0f, 0.0f, 0.0f, 0.0f),
+      Seq(3.0f, 0.0f, 0.0f, 0.0f),
+      Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    ).toDF("embedding")
+    val v = EmbeddingStats.topPrincipalDirection(df, dim = 4).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("v_fp")).toMap
+    // the dominant component normalizes to exactly 2^20
+    assert(v(0L) === 1048576L)
+    // the weak axis decays by (G11/G00)^3 — far below 1% of the max
+    assert(math.abs(v(1L)) < 10486L)
+    assert(v(2L) === 0L && v(3L) === 0L)
+    // determinism: same input, same vector
+    val again = EmbeddingStats.topPrincipalDirection(df, dim = 4).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("v_fp")).toMap
+    assert(again === v)
+  }
+
   test("centroidShift: aligned groups at cosine 1, opposed at -1, orthogonal at 0") {
     import spark.implicits._
     val df = Seq(
