@@ -1794,6 +1794,11 @@ object SparkEntry {
     "q221_top_pc" -> { (s, dir) =>
       graft.ext.EmbeddingStats.topPrincipalDirection(Tables.embeddings(s, dir))
     },
+    // Anisotropy score (E181): Rayleigh share of the dominant direction in
+    // the total second moment — the one-number embedding-health verdict.
+    "q222_anisotropy" -> { (s, dir) =>
+      graft.ext.EmbeddingStats.anisotropyScore(Tables.embeddings(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5510,6 +5515,39 @@ object SparkEntry {
          |${iter(2, "v1")},
          |${iter(3, "v2")}
          |SELECT CAST(j AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_fp FROM v3""".stripMargin
+    },
+    "q222_anisotropy" -> {
+      def iter(k: Int, prev: String): String =
+        s"""n$k AS (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * $prev.v) AS num
+           |        FROM gf JOIN $prev ON gf.j = $prev.j GROUP BY 1),
+           |m$k AS (SELECT MAX(abs(num)) AS mx FROM n$k),
+           |v$k AS (SELECT i AS j, (num * 1048576) // mx AS v
+           |        FROM n$k CROSS JOIN m$k)""".stripMargin
+      s"""WITH q AS (SELECT list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+         |           FROM embeddings),
+         |gu AS (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+         |              CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS g_sum
+         |       FROM q CROSS JOIN generate_series(1, 64) gi(i)
+         |              CROSS JOIN generate_series(1, 64) gj(j)
+         |       WHERE gj.j >= gi.i GROUP BY 1, 2),
+         |gf AS (SELECT i, j, g_sum FROM gu
+         |       UNION ALL SELECT j, i, g_sum FROM gu WHERE i <> j),
+         |v0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1048576 AS HUGEINT) AS v),
+         |${iter(1, "v0")},
+         |${iter(2, "v1")},
+         |${iter(3, "v2")},
+         |gv AS (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * v3.v) AS num
+         |       FROM gf JOIN v3 ON gf.j = v3.j GROUP BY 1),
+         |r AS (SELECT SUM(v3.v * gv.num) AS vgv
+         |      FROM v3 JOIN gv ON v3.j = gv.i),
+         |s AS (SELECT SUM(v * v) AS vv FROM v3),
+         |tr AS (SELECT SUM(CAST(g_sum AS HUGEINT)) AS trace FROM gu WHERE i = j)
+         |SELECT CAST(trace AS BIGINT) AS trace,
+         |       CAST(CASE WHEN vv = 0 OR trace = 0 THEN 0
+         |                 ELSE (vgv * 1048576) // (vv * trace)
+         |            END AS BIGINT) AS anisotropy_fp
+         |FROM tr CROSS JOIN r CROSS JOIN s""".stripMargin
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

@@ -134,6 +134,48 @@ object EmbeddingStats {
       .toDF("pos", "v_fp")
   }
 
+  /** Anisotropy score (E181): how much of the embedding space's total
+    * second moment the dominant direction owns — Rayleigh quotient
+    * λ̂ = vᵀGv / vᵀv over [[topPrincipalDirection]]'s converged iterate,
+    * divided by trace(G), all exact integers:
+    *
+    *   anisotropy_fp = ⌊vᵀGv · 2²⁰ / (vᵀv · trace(G))⌋
+    *
+    * ≈ 1/dim = isotropic (healthy); → 1 = one direction dominates and
+    * cosine similarity is measuring that direction, not meaning — the
+    * one-number verdict on q221's vector. Same one-scan Gram aggregate,
+    * same bit-identical BigInt/HUGEINT arithmetic.
+    */
+  def anisotropyScore(
+      corpus: DataFrame,
+      dim: Int = 64,
+      iters: Int = 3,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val rows = gramProfile(corpus, dim, vecCol).collect()
+    val g = Array.fill(dim, dim)(BigInt(0))
+    rows.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val s = BigInt(r.getAs[Long]("g_sum"))
+      g(i)(j) = s; g(j)(i) = s
+    }
+    var v = Array.fill(dim)(BigInt(1048576))
+    for (_ <- 1 to iters) {
+      val num = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val mx = num.map(_.abs).max
+      v = if (mx == 0) v else num.map(n => (n * BigInt(1048576)) / mx)
+    }
+    val gv = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+    val vGv = (0 until dim).map(i => v(i) * gv(i)).sum
+    val vv = (0 until dim).map(i => v(i) * v(i)).sum
+    val trace = (0 until dim).map(i => g(i)(i)).sum
+    val aniso =
+      if (vv == 0 || trace == 0) BigInt(0)
+      else (vGv * BigInt(1048576)) / (vv * trace)
+    import spark.implicits._
+    Seq((trace.toLong, aniso.toLong)).toDF("trace", "anisotropy_fp")
+  }
+
   /** Per-group centroid shift (E163): pairwise cosine between group mean
     * embeddings — "does feed/label B live in a different region of
     * embedding space than A". Means are quantized-integer element means

@@ -57,6 +57,24 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(again === v)
   }
 
+  test("anisotropyScore: one-axis corpus near 1, balanced axes near 1/dim") {
+    import spark.implicits._
+    // all energy on one axis → anisotropy ≈ 1
+    val mono = Seq(
+      Seq(2.0f, 0.0f), Seq(3.0f, 0.0f), Seq(1.0f, 0.0f)).toDF("embedding")
+    val a1 = EmbeddingStats.anisotropyScore(mono, dim = 2).collect()(0)
+    assert(a1.getAs[Long]("anisotropy_fp") > 1000000L, "single axis ≈ 2^20")
+    // equal energy on two orthogonal axes → top direction owns ~half
+    val iso = Seq(
+      Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(-1.0f, 0.0f), Seq(0.0f, -1.0f))
+      .toDF("embedding")
+    val a2 = EmbeddingStats.anisotropyScore(iso, dim = 2).collect()(0)
+    val half = a2.getAs[Long]("anisotropy_fp")
+    assert(half > 400000L && half < 700000L, s"balanced axes ≈ 1/2, got $half")
+    // trace is the exact quantized second-moment sum
+    assert(a1.getAs[Long]("trace") === (2048L * 2048 + 3072L * 3072 + 1024L * 1024))
+  }
+
   test("centroidShift: aligned groups at cosine 1, opposed at -1, orthogonal at 0") {
     import spark.implicits._
     val df = Seq(
