@@ -85,11 +85,18 @@ object Bench {
     val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
+    // Full detail line first (per-query breakdown for humans/judges)...
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""runs":$passes,"agg":"min","interleaved":true,""" +
       f""""sentinel_start_sec":$sentinelStart%.3f,"sentinel_end_sec":$sentinelEnd%.3f,""" +
       f""""sentinel_drift":$drift%.2f,"load_flagged":$loadFlagged}""")
+    // ...then a SHORT summary line LAST. The driver keeps only the tail of
+    // the output, so the ~9 KB detail line gets its head (and the headline
+    // "value") truncated away; this short trailer always survives and parses.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},""" +
+      f""""sentinel_drift":$drift%.2f,"load_flagged":$loadFlagged,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

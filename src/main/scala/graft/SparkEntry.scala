@@ -4549,7 +4549,7 @@ object SparkEntry {
         |FROM sf JOIN p USING (from_type, to_type)
         |GROUP BY 1, 2""".stripMargin,
     "q177_setsim_join" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
          |s0 AS (SELECT doc_id, $dkShingles AS sh FROM t),
          |s AS (SELECT doc_id, unnest(sh) AS tok FROM s0),
          |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
@@ -4724,7 +4724,7 @@ object SparkEntry {
          |                 ELSE 0 END AS BIGINT) AS f1_fp
          |FROM f""".stripMargin,
     "q187_threshold_sweep" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
          |s0 AS (SELECT doc_id, $dkShingles AS sh FROM t),
          |s AS (SELECT doc_id, unnest(sh) AS tok FROM s0),
          |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
@@ -4738,11 +4738,13 @@ object SparkEntry {
          |pc AS (SELECT bin, COUNT(*) AS n_pairs FROM b GROUP BY 1),
          |dc AS (SELECT bin, COUNT(DISTINCT id) AS n_docs FROM (
          |         SELECT bin, id_a AS id FROM b
-         |         UNION ALL SELECT bin, id_b FROM b) GROUP BY 1)
-         |SELECT CAST(pc.bin AS BIGINT) AS bin,
-         |       CAST((pc.bin * 1048576) // 20 AS BIGINT) AS thr_lo_fp,
-         |       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
-         |FROM pc JOIN dc USING (bin)""".stripMargin,
+         |         UNION ALL SELECT bin, id_b FROM b) GROUP BY 1),
+         |bins AS (SELECT unnest(range(0, 20)) AS bin)
+         |SELECT CAST(bins.bin AS BIGINT) AS bin,
+         |       CAST((bins.bin * 1048576) // 20 AS BIGINT) AS thr_lo_fp,
+         |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+         |FROM bins LEFT JOIN pc USING (bin) LEFT JOIN dc USING (bin)""".stripMargin,
     "q188_dedup_rate" ->
       s"""WITH cl AS (SELECT * FROM ($dedupClusterOracle))
          |SELECT d.source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4785,7 +4787,7 @@ object SparkEntry {
     "q190_yield_curve" -> {
       val ha = dkHash("CAST(id_a AS VARCHAR)", 7)
       val hb = dkHash("CAST(id_b AS VARCHAR)", 7)
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
          |s0 AS (SELECT doc_id, $dkShingles AS sh FROM t),
          |s AS (SELECT doc_id, unnest(sh) AS tok FROM s0),
          |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
@@ -4796,16 +4798,18 @@ object SparkEntry {
          |      FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
          |      WHERE inter * 2 >= (na.n + nb.n - inter)),
          |h AS (SELECT id_a, id_b, $ha % 100 AS ha, $hb % 100 AS hb FROM p),
-         |g AS (SELECT f.pct, id_a, id_b
-         |      FROM h CROSS JOIN (SELECT unnest([25, 50, 75, 100]) AS pct) f
+         |fr AS (SELECT unnest([25, 50, 75, 100]) AS pct),
+         |g AS (SELECT fr.pct, id_a, id_b
+         |      FROM h CROSS JOIN fr
          |      WHERE ha < pct AND hb < pct),
          |pc AS (SELECT pct, COUNT(*) AS n_pairs FROM g GROUP BY 1),
          |dc AS (SELECT pct, COUNT(DISTINCT id) AS n_dup_docs FROM (
          |         SELECT pct, id_a AS id FROM g
          |         UNION ALL SELECT pct, id_b FROM g) GROUP BY 1)
-         |SELECT CAST(pc.pct AS BIGINT) AS pct, CAST(n_pairs AS BIGINT) AS n_pairs,
-         |       CAST(n_dup_docs AS BIGINT) AS n_dup_docs
-         |FROM pc JOIN dc USING (pct)""".stripMargin
+         |SELECT CAST(fr.pct AS BIGINT) AS pct,
+         |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+         |FROM fr LEFT JOIN pc USING (pct) LEFT JOIN dc USING (pct)""".stripMargin
     },
     "q191_jl_project" -> {
       val signs = graft.ext.Similarity.jlSigns(11, 64, 16)

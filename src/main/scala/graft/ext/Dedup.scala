@@ -852,8 +852,18 @@ object Dedup {
       .select(col("pct"), explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("pct")
       .agg(countDistinct(col("id")).as("n_dup_docs"))
-    pairCounts.join(docCounts, "pct")
-      .select(col("pct").cast("long").as("pct"), col("n_pairs"), col("n_dup_docs"))
+    // Drive from the requested fractions list, not the surviving pairs: a
+    // fraction whose subsample keeps zero pairs must still report
+    // (pct, 0, 0) — a silently missing curve point reads as "not measured"
+    // where the truth is "measured, no duplicates yet".
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    fractions.map(_.toLong).toDF("pct")
+      .join(pairCounts, Seq("pct"), "left")
+      .join(docCounts, Seq("pct"), "left")
+      .select(col("pct").cast("long").as("pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
   }
 
   /** Per-group dedup-rate audit (E148): how much of each group (source

@@ -109,12 +109,15 @@ object EmbeddingStats {
     * aggregate — one buffer per map task); iteration runs on the
     * collected dim² integer constant at the driver.
     */
-  def topPrincipalDirection(
-      corpus: DataFrame,
-      dim: Int = 64,
-      iters: Int = 3,
-      vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Shared Gram-load + BigInt power iteration: collects [[gramProfile]]
+    * into a dense symmetric dim² matrix (the one corpus scan) and runs
+    * `iters` exact matrix-vector steps with truncating 2²⁰ renormalization.
+    * Both [[topPrincipalDirection]] and [[anisotropyScore]] consume this,
+    * so the iteration semantics live in exactly one place.
+    */
+  private def gramPowerIterate(
+      corpus: DataFrame, dim: Int, iters: Int,
+      vecCol: String): (Array[Array[BigInt]], Array[BigInt]) = {
     val rows = gramProfile(corpus, dim, vecCol).collect()
     val g = Array.fill(dim, dim)(BigInt(0))
     rows.foreach { r =>
@@ -129,6 +132,16 @@ object EmbeddingStats {
       val mx = num.map(_.abs).max
       v = if (mx == 0) v else num.map(n => (n * BigInt(1048576)) / mx)
     }
+    (g, v)
+  }
+
+  def topPrincipalDirection(
+      corpus: DataFrame,
+      dim: Int = 64,
+      iters: Int = 3,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val (_, v) = gramPowerIterate(corpus, dim, iters, vecCol)
     import spark.implicits._
     v.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) }.toSeq
       .toDF("pos", "v_fp")
@@ -152,19 +165,7 @@ object EmbeddingStats {
       iters: Int = 3,
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val rows = gramProfile(corpus, dim, vecCol).collect()
-    val g = Array.fill(dim, dim)(BigInt(0))
-    rows.foreach { r =>
-      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
-      val s = BigInt(r.getAs[Long]("g_sum"))
-      g(i)(j) = s; g(j)(i) = s
-    }
-    var v = Array.fill(dim)(BigInt(1048576))
-    for (_ <- 1 to iters) {
-      val num = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
-      val mx = num.map(_.abs).max
-      v = if (mx == 0) v else num.map(n => (n * BigInt(1048576)) / mx)
-    }
+    val (g, v) = gramPowerIterate(corpus, dim, iters, vecCol)
     val gv = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
     val vGv = (0 until dim).map(i => v(i) * gv(i)).sum
     val vv = (0 until dim).map(i => v(i) * v(i)).sum

@@ -192,10 +192,12 @@ object FuzzyJoin {
       tNum: Int = 3, tDen: Int = 5, shingleK: Int = 0): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
+    // Both element spaces are case-insensitive (text lowercased first), so
+    // `shingleK` changes ONLY the element space, never matching semantics.
     val elems =
       if (shingleK > 0)
         graft.functions.TextNativeFunctions.shingles(
-          docs.sparkSession, col(textCol), shingleK)
+          docs.sparkSession, lower(col(textCol)), shingleK)
       else array_distinct(split(lower(col(textCol)), " "))
     val toks = docs.select(col(idCol).as("id"), explode(elems).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -250,11 +252,19 @@ object FuzzyJoin {
       .select(col("bin"), explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("bin")
       .agg(countDistinct(col("id")).as("n_docs"))
-    pairCounts.join(docCounts, "bin")
+    // Drive from the full bin range: an empty bin must still report
+    // (bin, 0, 0) — the sweep is read as a curve, and a silently absent
+    // bin is indistinguishable from a bin that was never measured.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    (0L until bins.toLong).toDF("bin")
+      .join(pairCounts, Seq("bin"), "left")
+      .join(docCounts, Seq("bin"), "left")
       .select(
         col("bin"),
         ExactMath.floorDiv(col("bin") * lit(1048576L), lit(bins.toLong))
           .as("thr_lo_fp"),
-        col("n_pairs"), col("n_docs"))
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 }

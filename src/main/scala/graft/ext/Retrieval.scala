@@ -41,15 +41,20 @@ object Retrieval {
       docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "searchTopK needs at least one query term")
-    val n = docs.count()
+    // N enters the plan as a 1-row broadcast aggregate (not an eager
+    // docs.count() — that would run an extra job per composition and break
+    // lazy composition); on an empty corpus no tf row exists, so the idf
+    // expression never evaluates against n_docs = 0.
+    val nRow = docs.agg(count(lit(1)).cast("long").as("n_docs"))
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .where(col("term").isin(queryTerms.map(_.toLowerCase): _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nRow))
       .withColumn("idf_milli",
-        expr(s"(CAST(1000000 AS BIGINT) * CAST($n AS BIGINT)) div df"))
+        expr("(CAST(1000000 AS BIGINT) * n_docs) div df"))
     tf.join(broadcast(idf.select("term", "idf_milli")), Seq("term"))
       .groupBy("doc_id")
       .agg(
@@ -78,7 +83,6 @@ object Retrieval {
       k1Milli: Int = 1200, bMilli: Int = 750,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    val n = docs.count()
     val lens = docs.select(col(idCol).as("doc_id"),
       size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
     val tf = docs
@@ -87,7 +91,11 @@ object Retrieval {
       .where(col("term").isin(queryTerms.map(_.toLowerCase): _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val totals = lens.agg(sum(col("dl")).cast("long").as("sum_dl"))
+    // N and Σdl enter the plan together as ONE 1-row broadcast aggregate —
+    // no eager docs.count() job, and on an empty corpus no scoring row
+    // exists so n_docs = 0 never reaches the divisions.
+    val totals = lens.agg(sum(col("dl")).cast("long").as("sum_dl"),
+      count(lit(1)).cast("long").as("n_docs"))
     val k1 = k1Milli / 1000.0
     val b = bMilli / 1000.0
     tf.join(broadcast(idf), Seq("term"))
@@ -95,11 +103,11 @@ object Retrieval {
       .crossJoin(broadcast(totals))
       // avgdl enters as the exact rational sum_dl/n inside one double tree
       .withColumn("contrib",
-        (lit(n.toDouble) / col("df").cast("double")) *
+        (col("n_docs").cast("double") / col("df").cast("double")) *
           (col("tf").cast("double") * lit(k1 + 1.0)) /
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
-              (col("sum_dl").cast("double") / lit(n.toDouble)))))
+              (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
       // floor each TERM contribution before summing: integer sums are
       // order-independent where a double fold across partitions is not
       .withColumn("contrib_fp", floor(col("contrib") * lit(1048576.0)).cast("long"))

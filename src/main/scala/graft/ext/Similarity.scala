@@ -772,6 +772,96 @@ object Similarity {
         col("neighbor_label"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF recall-vs-cost operating curve (the ANN-benchmarks discipline,
+    * Aumüller et al. 2018): ONE row per `nprobe` operating point —
+    * (nprobe, n_queries, n_candidates, sum_hits, recall_fp) — recall@k of
+    * the IVF search against brute-force ground truth over the probe query
+    * set, next to the probe COST (distinct candidate pairs actually
+    * scored). q211 gives MinHash its threshold curve; this is the same
+    * evidence-over-folklore sweep for the vector index: pick nprobe off
+    * the measured knee, not a default.
+    *
+    * One pass serves every operating point: cells are ranked once per
+    * vector (crn = probe depth), each candidate pair carries the FIRST
+    * depth at which it appears (min over shared cells), and the sweep
+    * explodes each pair to the operating points that include it — so the
+    * corpus is never re-assigned and the probe join never re-runs per
+    * nprobe. Counts are exact integers; recall_fp = ⌊Σhits·2²⁰/(n_q·k)⌋.
+    *
+    * Scale: assignment is map-side against broadcast literal centroids;
+    * the candidate join shuffles on the short cell id; the per-point rank
+    * window partitions by (nprobe, query) over candidate rows only. The
+    * sweep multiplies candidate rows by ≤ |nprobes| — a constant.
+    */
+  def ivfOperatingCurve(
+      corpus: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      nQueries: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
+      s"nprobes must be in [1, nlist=$nlist]")
+    val spark = corpus.sparkSession
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    val cents = sampleCentroids(prep, nlist)
+    val maxProbe = nprobes.max
+    // probe-depth ranking of cells, shared by corpus side (crn=1 ⇒ the
+    // assigned cell) and query side (crn ≤ nprobe ⇒ probed cells)
+    val cellRanks = withCellScores(prep, cents)
+      .select(col("id"), col("vec"), col("nrm"),
+        posexplode(col("scores")).as(Seq("idx", "score")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("id").orderBy(col("score").desc, col("idx").asc)))
+    val assigned = cellRanks.filter(col("crn") === 1)
+      .select(col("idx").as("cell"), col("id").as("neighbor_id"),
+        col("vec").as("c_vec"), col("nrm").as("c_nrm"))
+    val probes = cellRanks.filter(col("id") < nQueries && col("crn") <= maxProbe)
+      .select(col("idx").as("cell"), col("id").as("query_id"),
+        col("vec").as("q_vec"), col("nrm").as("q_nrm"), col("crn"))
+    // each candidate pair once, stamped with the first probe depth that
+    // reaches it and its exact cosine
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("crn"),
+        (graft.functions.VectorFunctions.dotNative(spark, col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm"))).as("cos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(min(col("crn")).as("first_depth"), max(col("cos")).as("cos"))
+    // ground truth: brute-force top-k over the same probe query set
+    val truth = bruteForceTopK(
+        corpus, corpus.filter(col(idCol) < nQueries), k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    // sweep: every candidate fans out to the operating points containing it
+    val swept = cand
+      .select(explode(typedlit(nprobes.map(_.toLong))).as("nprobe"), col("*"))
+      .filter(col("first_depth") <= col("nprobe"))
+    val topk = swept
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("nprobe", "query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+    val hits = topk.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("sum_hits"))
+    val costs = swept.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    // n_queries enters as a 1-row broadcast aggregate (lazy composition —
+    // no extra eager job), guarded for the empty-probe-set edge
+    val nqRow = truth.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
+    costs.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nqRow))
+      .select(
+        col("nprobe"),
+        col("n_queries"),
+        col("n_candidates"),
+        coalesce(col("sum_hits"), lit(0L)).as("sum_hits"),
+        when(col("n_queries") > 0L,
+          ExactMath.floorDiv(
+            coalesce(col("sum_hits"), lit(0L)) * lit(1048576L),
+            col("n_queries") * lit(k.toLong))).otherwise(0L)
+          .cast("long").as("recall_fp"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val truth = exact.select(col("query_id"), col("neighbor_id"))
     val hits = truth

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ext.Sketches
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -12,11 +12,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * exact distinct over a stream would need unbounded keyed state.
   *
   * State layout mirrors [[DriftMonitor]]/[[TrendingTerms]]: the register
-  * store partitions by batch_id and re-delivery skips its already-present
-  * partition (SaveMode.Ignore), so the monitor is idempotent under
-  * foreachBatch's at-least-once contract — and MAX-merge makes even a
-  * logically duplicated register set harmless (max is idempotent twice
-  * over).
+  * store partitions by batch_id and re-delivery skips its already-complete
+  * partition ([[BatchSink.writeOnce]] — atomic rename + `_SUCCESS`
+  * validation), so the monitor is idempotent under foreachBatch's
+  * at-least-once contract — and MAX-merge makes even a logically
+  * duplicated register set harmless (max is idempotent twice over).
   */
 object DistinctUsers {
 
@@ -27,8 +27,9 @@ object DistinctUsers {
       batch: DataFrame, groupCol: String, keyCol: String,
       statePath: String, batchId: Long, m: Int = 64): DataFrame = {
     val spark = batch.sparkSession
-    Sketches.hllRegistersBy(batch, groupCol, keyCol, m)
-      .write.mode(SaveMode.Ignore).parquet(s"$statePath/reg/batch_id=$batchId")
+    BatchSink.writeOnce(
+      Sketches.hllRegistersBy(batch, groupCol, keyCol, m),
+      s"$statePath/reg/batch_id=$batchId")
     val merged = spark.read.parquet(s"$statePath/reg")
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("max_rho")).cast("long").as("max_rho"))
@@ -48,10 +49,10 @@ object DistinctUsers {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        monitorBatch(batch, groupCol, keyCol, statePath, batchId, m)
-          .drop("batch_id")
-          .write.mode(SaveMode.Ignore)
-          .parquet(s"$reportPath/batch_id=$batchId")
+        BatchSink.writeOnce(
+          monitorBatch(batch, groupCol, keyCol, statePath, batchId, m)
+            .drop("batch_id"),
+          s"$reportPath/batch_id=$batchId")
         ()
       }
       .start()

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ext.Drift
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -12,11 +12,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * — the batch report answers "did the mix shift between freezes", this one
   * answers "is the mix shifting NOW" while the feed is live.
   *
-  * State layout: each batch's counts land under
-  * `countsPath/batch_id=N` (SaveMode.Ignore ⇒ a re-delivered batch finds
-  * its partition present and writes nothing — idempotent under
-  * foreachBatch's at-least-once contract), and the running totals are one
-  * partition-pruned groupBy over that tree. Per-batch cost is
+  * State layout: each batch's counts land under `countsPath/batch_id=N`
+  * through [[BatchSink.writeOnce]] (atomic temp-dir rename + `_SUCCESS`
+  * validation ⇒ a re-delivered batch finds its partition complete and
+  * writes nothing, and a crash mid-write heals instead of undercounting —
+  * exactly-once under foreachBatch's at-least-once contract), and the
+  * running totals are one partition-pruned groupBy over that tree.
+  * Per-batch cost is
   * O(batch + #keys), never O(stream history): the history is already
   * reduced to counts.
   */
@@ -32,14 +34,14 @@ object DriftMonitor {
       batch: DataFrame, refCounts: DataFrame, keyCol: String,
       countsPath: String, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    // SaveMode.Ignore is the idempotence mechanism: a re-delivered batch
-    // (same batchId ⇒ same deterministic data under the foreachBatch
-    // contract) finds its partition already present and writes nothing —
-    // counts never double, and because nothing is ever deleted, cached
-    // file listings of the count tree stay valid (an Overwrite here
-    // poisons Spark's shared FileStatusCache with dead part files)
-    batch.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
-      .write.mode(SaveMode.Ignore).parquet(s"$countsPath/batch_id=$batchId")
+    // writeOnce is the idempotence mechanism: a re-delivered batch (same
+    // batchId ⇒ same deterministic data under the foreachBatch contract)
+    // finds its partition complete (_SUCCESS present) and writes nothing —
+    // counts never double — while a torn partial from a crash is healed
+    // rather than silently treated as the whole batch
+    BatchSink.writeOnce(
+      batch.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n")),
+      s"$countsPath/batch_id=$batchId")
     val cum = spark.read.parquet(countsPath)
       .groupBy("key").agg(sum("n").as("n_cur"))
     Drift.driftFromCounts(
@@ -62,10 +64,10 @@ object DriftMonitor {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the partition dir carries batch_id; drop the column so reading
         // the report root doesn't see it twice (dir value wins on read)
-        monitorBatch(batch, pinnedRef, keyCol, countsPath, batchId)
-          .drop("batch_id")
-          .write.mode(SaveMode.Ignore)
-          .parquet(s"$reportPath/batch_id=$batchId")
+        BatchSink.writeOnce(
+          monitorBatch(batch, pinnedRef, keyCol, countsPath, batchId)
+            .drop("batch_id"),
+          s"$reportPath/batch_id=$batchId")
         ()
       }
       .start()

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ext.{ExactMath, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -20,12 +20,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * beyond the counters.
   *
   * State/idempotence layout is [[DriftMonitor]]'s: per-batch counter rows
-  * land under `statePath/batch_id=N` with SaveMode.Ignore (a re-delivered
-  * batch finds its partition present and writes nothing), the cumulative
-  * scorecard is one partition-pruned aggregation over that tree, and the
-  * per-batch report appends under `reportPath/batch_id=N` the same way —
-  * exactly-once counters and reports under foreachBatch's at-least-once
-  * contract. Per-batch cost is O(batch) + O(#batches) counter rows.
+  * land under `statePath/batch_id=N` through [[BatchSink.writeOnce]]
+  * (atomic rename + `_SUCCESS` validation — a re-delivered batch finds its
+  * partition complete and writes nothing; a torn partial heals), the
+  * cumulative scorecard is one partition-pruned aggregation over that
+  * tree, and the per-batch report lands under `reportPath/batch_id=N` the
+  * same way — exactly-once counters and reports under foreachBatch's
+  * at-least-once contract. Per-batch cost is O(batch) + O(#batches)
+  * counter rows.
   */
 object GateMonitor {
 
@@ -65,8 +67,7 @@ object GateMonitor {
       batch: DataFrame, textCol: String,
       statePath: String, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    gateCounts(batch, textCol)
-      .write.mode(SaveMode.Ignore).parquet(s"$statePath/batch_id=$batchId")
+    BatchSink.writeOnce(gateCounts(batch, textCol), s"$statePath/batch_id=$batchId")
     val fp = lit(1048576L)
     val cum = spark.read.parquet(statePath).agg(
       sum(col("n_docs")).cast("long").as("n_docs"),
@@ -98,10 +99,9 @@ object GateMonitor {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        monitorBatch(batch, textCol, statePath, batchId)
-          .drop("batch_id")
-          .write.mode(SaveMode.Ignore)
-          .parquet(s"$reportPath/batch_id=$batchId")
+        BatchSink.writeOnce(
+          monitorBatch(batch, textCol, statePath, batchId).drop("batch_id"),
+          s"$reportPath/batch_id=$batchId")
         ()
       }
       .start()

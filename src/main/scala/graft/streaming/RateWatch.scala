@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -14,7 +14,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * State is hours × event-types per batch — aggregate-scale, never the
   * event stream — and follows the [[DriftMonitor]] idempotence layout:
-  * batch_id partitions + SaveMode.Ignore make re-delivery a no-op.
+  * batch_id partitions + [[BatchSink.writeOnce]] make re-delivery a no-op
+  * and heal torn partials.
   */
 object RateWatch {
 
@@ -23,9 +24,10 @@ object RateWatch {
       batch: DataFrame, statePath: String, batchId: Long,
       window: Int = 24, k: Int = 3, minWindow: Int = 12): DataFrame = {
     val spark = batch.sparkSession
-    Sessions.hourlyAgg(batch)
-      .select(col("event_type"), col("hour"), col("n_events"))
-      .write.mode(SaveMode.Ignore).parquet(s"$statePath/hourly/batch_id=$batchId")
+    BatchSink.writeOnce(
+      Sessions.hourlyAgg(batch)
+        .select(col("event_type"), col("hour"), col("n_events")),
+      s"$statePath/hourly/batch_id=$batchId")
     val merged = spark.read.parquet(s"$statePath/hourly")
       .groupBy(col("event_type"), col("hour"))
       .agg(sum(col("n_events")).cast("long").as("n_events"))
@@ -46,10 +48,10 @@ object RateWatch {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        monitorBatch(batch, statePath, batchId, window, k, minWindow)
-          .drop("batch_id")
-          .write.mode(SaveMode.Ignore)
-          .parquet(s"$reportPath/batch_id=$batchId")
+        BatchSink.writeOnce(
+          monitorBatch(batch, statePath, batchId, window, k, minWindow)
+            .drop("batch_id"),
+          s"$reportPath/batch_id=$batchId")
         ()
       }
       .start()

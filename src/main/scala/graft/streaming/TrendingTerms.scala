@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ext.Sketches
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -20,8 +20,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * top-k forever while outgrowing them in total).
   *
   * State layout mirrors [[DriftMonitor]]: both stores partition by
-  * batch_id and re-delivery skips its already-present partition
-  * (SaveMode.Ignore), so counts never double and the monitor is idempotent under foreachBatch's
+  * batch_id and re-delivery skips its already-complete partition
+  * ([[BatchSink.writeOnce]] — atomic rename + `_SUCCESS` validation), so
+  * counts never double and the monitor is idempotent under foreachBatch's
   * at-least-once contract.
   */
 object TrendingTerms {
@@ -35,18 +36,19 @@ object TrendingTerms {
     val toks = batch
       .select(explode(split(lower(col(textCol)), " ")).as("token"))
       .where(length(col("token")) > 0)
-    // SaveMode.Ignore is the idempotence mechanism: a re-delivered batch
-    // (same batchId ⇒ same deterministic data under the foreachBatch
-    // contract) finds its partition already present and writes nothing —
-    // counts never double, and because nothing is ever deleted, cached
-    // file listings of the state trees stay valid (an Overwrite here
-    // poisons Spark's shared FileStatusCache with dead part files)
-    Sketches.cmsBuild(toks, "token", depth, width)
-      .write.mode(SaveMode.Ignore).parquet(s"$statePath/sketch/batch_id=$batchId")
-    toks.groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc).limit(topK)
-      .select("token")
-      .write.mode(SaveMode.Ignore).parquet(s"$statePath/cand/batch_id=$batchId")
+    // writeOnce is the idempotence mechanism: a re-delivered batch (same
+    // batchId ⇒ same deterministic data under the foreachBatch contract)
+    // finds its partition complete and writes nothing — counts never
+    // double — and a torn partial from a crash heals instead of silently
+    // passing as the whole batch
+    BatchSink.writeOnce(
+      Sketches.cmsBuild(toks, "token", depth, width),
+      s"$statePath/sketch/batch_id=$batchId")
+    BatchSink.writeOnce(
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(topK)
+        .select("token"),
+      s"$statePath/cand/batch_id=$batchId")
     val merged = spark.read.parquet(s"$statePath/sketch")
       .groupBy("row_i", "pos").agg(sum(col("c")).cast("long").as("c"))
     val candidates = spark.read.parquet(s"$statePath/cand")
@@ -68,10 +70,10 @@ object TrendingTerms {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        monitorBatch(batch, textCol, statePath, batchId, depth, width, topK)
-          .drop("batch_id")
-          .write.mode(SaveMode.Ignore)
-          .parquet(s"$reportPath/batch_id=$batchId")
+        BatchSink.writeOnce(
+          monitorBatch(batch, textCol, statePath, batchId, depth, width, topK)
+            .drop("batch_id"),
+          s"$reportPath/batch_id=$batchId")
         ()
       }
       .start()

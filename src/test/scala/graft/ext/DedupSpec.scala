@@ -424,5 +424,12 @@ class DedupSpec extends SparkSpec {
           org.apache.spark.sql.functions.lit(100L)) < 25)
       .count()
     assert(out(25L).getAs[Long]("n_pairs") === expected25)
+    // a fraction with zero surviving pairs still reports (pct, 0, 0)
+    val zero = Dedup.dedupYieldCurve(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect()
+      .map(r => r.getAs[Long]("pct") -> r).toMap
+    assert(zero.keySet === Set(25L, 50L, 75L, 100L))
+    assert(zero.values.forall(r =>
+      r.getAs[Long]("n_pairs") === 0L && r.getAs[Long]("n_dup_docs") === 0L))
   }
 }

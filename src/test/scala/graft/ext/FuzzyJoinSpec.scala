@@ -176,7 +176,11 @@ class FuzzyJoinSpec extends SparkSpec {
     val pairs = FuzzyJoin.setSimJoin(docs, tNum = 1, tDen = 2)
     val out = FuzzyJoin.thresholdSensitivity(pairs).collect()
       .map(r => r.getAs[Long]("bin") -> r).toMap
-    assert(out.keySet === Set(12L, 19L))
+    // every bin of the sweep reports, empty bins as explicit zeros
+    assert(out.keySet === (0L until 20L).toSet)
+    assert(out.filter(_._2.getAs[Long]("n_pairs") > 0L).keySet === Set(12L, 19L))
+    assert(out(0L).getAs[Long]("n_pairs") === 0L)
+    assert(out(0L).getAs[Long]("n_docs") === 0L)
     assert(out(19L).getAs[Long]("n_pairs") === 1L)
     assert(out(19L).getAs[Long]("n_docs") === 2L)
     // thr_lo for bin 19 = floor(19·2^20/20)
