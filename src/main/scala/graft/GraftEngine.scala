@@ -280,9 +280,20 @@ object Main {
           "[--theme default|dark|minimal] [--no-column-types] [--show-nullable] " +
           "[--stats] [--cache PATH] [--freeze OUTDIR] " +
           "[--drift REF_DATA_DIR] [--search term1,term2,...] [--card] [--anomalies] " +
-          "[--coverage] [--compact-target ROWS]")
+          "[--coverage] [--compact-target ROWS] [--epoch-plan TOKEN_BUDGET] " +
+          "[--admit QUOTA] [--leakage-safe-split]")
       sys.exit(2)
     }
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The whole CLI against a caller-owned session — split from [[main]]
+    * (which owns session create/stop) so specs can drive every flag
+    * end-to-end on the shared test session.
+    */
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
     val dir = args(0)
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
@@ -301,9 +312,7 @@ object Main {
     val (customRules, namingRules) =
       opt("--rules").map(ConfigLoader.loadCustomRules).getOrElse((Nil, Nil))
 
-    val spark = GraftSession.local()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
+    {
       val engine = new GraftEngine(spark, dir, customRules, namingRules, cfg)
       val rels =
         if (args.contains("--enhanced")) engine.enhancedRelationships()
@@ -437,6 +446,36 @@ object Main {
         graft.ext.Retrieval.bm25TopK(Tables.documents(spark, dir), qs)
           .show(20, truncate = false)
       }
-    } finally spark.stop()
+      // per-source epoch repeat factors under a total token budget
+      opt("--epoch-plan").foreach { budget =>
+        println(s"epoch plan (sqrt-weighted, budget $budget tokens, cap 4 epochs):")
+        graft.ext.Sampling.epochPlan(
+            Tables.documents(spark, dir), "source",
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"),
+            budgetTokens = budget.toLong)
+          .orderBy("source").show(50, truncate = false)
+      }
+      // per-source quota admission (quality-ranked) with global backfill
+      opt("--admit").foreach { quota =>
+        println(s"quota admission ($quota docs per source, quality-ranked):")
+        val docs = Tables.documents(spark, dir)
+          .withColumn("quality", graft.ext.TextAnalysis.qualityScore(col("text")))
+        graft.ext.Sampling
+          .admitWithQuota(docs, "source", "doc_id", "quality", quota.toLong)
+          .groupBy("source")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_admitted"))
+          .orderBy("source").show(50, truncate = false)
+      }
+      // near-dup-cluster-atomic train/val/test split summary
+      if (args.contains("--leakage-safe-split")) {
+        println("leakage-safe split (near-dup clusters never straddle splits):")
+        graft.ext.Sampling
+          .leakageSafeSplit(Tables.documents(spark, dir), minJaccard = 0.5)
+          .groupBy("split")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"))
+          .orderBy("split").show(truncate = false)
+      }
+    }
   }
 }

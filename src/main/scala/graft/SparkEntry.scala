@@ -1799,6 +1799,25 @@ object SparkEntry {
     "q222_anisotropy" -> { (s, dir) =>
       graft.ext.EmbeddingStats.anisotropyScore(Tables.embeddings(s, dir))
     },
+    // Sampled yield-curve estimator (E182): the q190 capacity-planning
+    // curve evaluated on a hash-gated ≤20% subsample — exact at each
+    // reported fraction (nested gates), never materializing the full
+    // τ=0.5 pair set.
+    "q223_yield_curve_sampled" -> { (s, dir) =>
+      graft.ext.Dedup.dedupYieldCurveSampled(Tables.documents(s, dir))
+    },
+    // IVF operating curve (E183): recall@5 vs probe cost per nprobe over
+    // the shared quantizer — the evidence sweep behind the nprobe default.
+    "q224_ivf_curve" -> { (s, dir) =>
+      graft.ext.Similarity.ivfOperatingCurve(Tables.embeddings(s, dir))
+    },
+    // Cost-routed profile (E184): the q60 profile behind the catalog
+    // footer-rowcount exact/approx switch — exact multi-distinct below the
+    // limit (this oracle), HLL++ no-Expand path above it (PlanSpec).
+    "q225_profile_auto" -> { (s, dir) =>
+      graft.analyze.Profiler.profileAuto(s, dir, "lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -5552,6 +5571,101 @@ object SparkEntry {
          |                 ELSE (vgv * 1048576) // (vv * trace)
          |            END AS BIGINT) AS anisotropy_fp
          |FROM tr CROSS JOIN r CROSS JOIN s""".stripMargin
+    },
+    "q223_yield_curve_sampled" -> {
+      val ha = dkHash("CAST(id_a AS VARCHAR)", 7)
+      val hb = dkHash("CAST(id_b AS VARCHAR)", 7)
+      val hd = dkHash("CAST(doc_id AS VARCHAR)", 7)
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+         |           FROM documents WHERE $hd % 100 < 20),
+         |s0 AS (SELECT doc_id, $dkShingles AS sh FROM t),
+         |s AS (SELECT doc_id, unnest(sh) AS tok FROM s0),
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b
+         |      FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         |      WHERE inter * 2 >= (na.n + nb.n - inter)),
+         |h AS (SELECT id_a, id_b, $ha % 100 AS ha, $hb % 100 AS hb FROM p),
+         |fr AS (SELECT unnest([5, 10, 15, 20]) AS pct),
+         |g AS (SELECT fr.pct, id_a, id_b
+         |      FROM h CROSS JOIN fr
+         |      WHERE ha < pct AND hb < pct),
+         |pc AS (SELECT pct, COUNT(*) AS n_pairs FROM g GROUP BY 1),
+         |dc AS (SELECT pct, COUNT(DISTINCT id) AS n_dup_docs FROM (
+         |         SELECT pct, id_a AS id FROM g
+         |         UNION ALL SELECT pct, id_b FROM g) GROUP BY 1)
+         |SELECT CAST(fr.pct AS BIGINT) AS pct,
+         |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+         |FROM fr LEFT JOIN pc USING (pct) LEFT JOIN dc USING (pct)""".stripMargin
+    },
+    "q224_ivf_curve" -> {
+      val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""WITH prep AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
+         |ck AS (SELECT vec_id, embedding, nrm,
+         |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+         |       FROM prep),
+         |cent AS (SELECT CAST(rn - 1 AS INT) AS idx, embedding AS cvec, nrm AS cnrm
+         |         FROM ck WHERE rn <= 16),
+         |scores AS (SELECT p.vec_id, c.idx,
+         |                  list_sum(list_transform(list_zip(p.embedding, c.cvec),
+         |                    x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) / (p.nrm * c.cnrm) AS score
+         |           FROM prep p CROSS JOIN cent c),
+         |cells AS (SELECT vec_id, idx,
+         |                 ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                   ORDER BY score DESC, idx ASC) AS crn
+         |          FROM scores),
+         |assigned AS (SELECT vec_id, idx AS cell FROM cells WHERE crn = 1),
+         |probes AS (SELECT vec_id, idx AS cell, crn FROM cells
+         |           WHERE vec_id < 10 AND crn <= 8),
+         |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |                MIN(p.crn) AS first_depth
+         |         FROM probes p JOIN assigned a USING (cell)
+         |         WHERE p.vec_id <> a.vec_id GROUP BY 1, 2),
+         |cs AS (SELECT cand.query_id, cand.neighbor_id, cand.first_depth,
+         |              ${dkCosine("q", "c")} AS cos
+         |       FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+         |                 JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+         |fr AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |swept AS (SELECT fr.nprobe, cs.* FROM cs CROSS JOIN fr
+         |          WHERE cs.first_depth <= fr.nprobe),
+         |tk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+         |                  ORDER BY cos DESC, neighbor_id ASC) AS rk FROM swept),
+         |bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                     ORDER BY ${dkCosine("q", "c")} DESC, c.vec_id ASC) AS brank
+         |            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |            WHERE q.vec_id < 10),
+         |bf AS (SELECT query_id, neighbor_id FROM bscored WHERE brank <= 5),
+         |hits AS (SELECT nprobe, COUNT(*) AS sum_hits
+         |         FROM tk JOIN bf USING (query_id, neighbor_id)
+         |         WHERE rk <= 5 GROUP BY 1),
+         |costs AS (SELECT nprobe, COUNT(*) AS n_candidates FROM swept GROUP BY 1),
+         |nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM bf)
+         |SELECT CAST(costs.nprobe AS BIGINT) AS nprobe,
+         |       CAST(n_queries AS BIGINT) AS n_queries,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(COALESCE(sum_hits, 0) AS BIGINT) AS sum_hits,
+         |       CAST(CASE WHEN n_queries > 0
+         |                 THEN (COALESCE(sum_hits, 0) * 1048576) // (n_queries * 5)
+         |                 ELSE 0 END AS BIGINT) AS recall_fp
+         |FROM costs LEFT JOIN hits USING (nprobe) CROSS JOIN nq""".stripMargin
+    },
+    // profileAuto routes to the EXACT path at oracle scale (lineitem's
+    // footer count is far below the 50M default), so the oracle is q60's
+    // SQL verbatim — the routing itself is what this query pins.
+    "q225_profile_auto" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, COUNT($c) AS n,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS mean_v
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("\nUNION ALL\n")
     },
     "q184_padding_efficiency" ->
       """WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w

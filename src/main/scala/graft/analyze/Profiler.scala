@@ -22,20 +22,29 @@ import graft.catalog.ParquetCatalog
   */
 object Profiler {
 
-  def numericProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
-    require(columns.nonEmpty, "numericProfile needs at least one column")
+  /** The one-pass k×6 wide aggregate both profile routes share —
+    * `approxRsd = None` takes the exact multi-distinct (Expand shuffle),
+    * `Some(rsd)` the HLL++ sketch. Package-private so plan tests can pin
+    * each route's physical shape: the public profiles localize this single
+    * row (hiding the aggregate from their own explain output).
+    */
+  private[graft] def profileWideAgg(
+      df: DataFrame, columns: Seq[String], approxRsd: Option[Double]): DataFrame = {
     val aggs = columns.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        approxRsd.map(r => approx_count_distinct(col(c), r))
+          .getOrElse(countDistinct(col(c))).as(s"${c}__distinct"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         sum(col(c).cast(DecimalType(18, 4))).cast("double").as(s"${c}__sum"))
     }
-    // one row of k×6 aggregates, pinned so the per-column unpivot below
-    // reads it instead of re-running the scan k times
-    val wide = ParquetCatalog.localized(df.agg(aggs.head, aggs.tail: _*))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot the pinned wide row into one output row per column. */
+  private def unpivotProfile(wide: DataFrame, columns: Seq[String]): DataFrame =
     columns.map { c =>
       wide.select(
         lit(c).as("column_name"),
@@ -46,6 +55,47 @@ object Profiler {
         col(s"${c}__max").as("max_v"),
         (col(s"${c}__sum") / col(s"${c}__n")).as("mean_v"))
     }.reduce(_ unionByName _)
+
+  def numericProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "numericProfile needs at least one column")
+    // one row of k×6 aggregates, pinned so the per-column unpivot reads it
+    // instead of re-running the scan k times
+    unpivotProfile(
+      ParquetCatalog.localized(profileWideAgg(df, columns, None)), columns)
+  }
+
+  /** Approx twin of [[numericProfile]]: identical output schema, but the
+    * distinct counts come from HLL++ (`approx_count_distinct`, default rsd
+    * 2.3%) — a mergeable map-side sketch with NO Expand stage, so the
+    * profile stays one combine-friendly pass at any corpus size. Every
+    * other field (counts, nulls, min/max, decimal-exact mean) is identical
+    * to the exact path; only n_distinct becomes an estimate.
+    */
+  def approxNumericProfile(
+      df: DataFrame, columns: Seq[String], rsd: Double = 0.023): DataFrame = {
+    require(columns.nonEmpty, "approxNumericProfile needs at least one column")
+    unpivotProfile(
+      ParquetCatalog.localized(profileWideAgg(df, columns, Some(rsd))), columns)
+  }
+
+  /** Cost-routed profile: the catalog's FOOTER row count (a driver-side
+    * metadata read — no data pages, no extra job) picks [[numericProfile]]'s
+    * exact multi-distinct below `exactRowLimit` and
+    * [[approxNumericProfile]]'s sketch path above it — the
+    * ApproxDistinctRewrite threshold idea applied at the operator surface,
+    * so a 100 TB caller is routed off the Expand shuffle automatically
+    * instead of having to know the escape hatch exists.
+    */
+  def profileAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String,
+      columns: Seq[String],
+      exactRowLimit: Long = 50000000L): DataFrame = {
+    val meta = ParquetCatalog.tableMeta(spark, dir, table)
+    val df = spark.read.parquet(meta.path)
+    if (meta.numRows <= exactRowLimit) numericProfile(df, columns)
+    else approxNumericProfile(df, columns)
   }
 
   /** Exact continuous percentiles (index = p·(n−1), linear interpolation —

@@ -866,6 +866,44 @@ object Dedup {
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
   }
 
+  /** Sampled yield-curve estimator: the capacity-planning curve of
+    * [[dedupYieldCurve]] WITHOUT materializing the full exact pair set.
+    * The document corpus is gated FIRST to the largest requested fraction
+    * (stableHash(id) mod 100 < max — the same nested gate family the exact
+    * curve uses, same seed), the exact Jaccard join runs over that
+    * subsample only, and the per-fraction curve is read off the subsample's
+    * pair set. Because the gates nest and a pair survives fraction p iff
+    * BOTH endpoints hash below p, every reported point is IDENTICAL to the
+    * exact curve's point at that fraction — this is not an approximation
+    * of the curve, it is the exact curve evaluated only at small fractions
+    * (deterministic, hash-exact in any engine). The growth exponent is fit
+    * from the small-fraction points; the full-τ pair set (near-quadratic
+    * in duplicate density) never exists.
+    *
+    * Cost: the pair join's candidate mass scales ~(max/100)² of the full
+    * corpus join — the default 20% ceiling is ~4% of q190's work. Use the
+    * exact [[dedupYieldCurve]] as the audit oracle; use this for planning
+    * sweeps at scale.
+    */
+  def dedupYieldCurveSampled(
+      docs: DataFrame,
+      fractions: Seq[Int] = Seq(5, 10, 15, 20),
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tNum: Int = 1,
+      tDen: Int = 2,
+      shingleK: Int = 3,
+      seed: Int = 7): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p > 0 && p <= 100),
+      "fractions must be percentages in (0, 100]")
+    val sub = docs.filter(
+      pmod(stableHash(col(idCol).cast("string"), seed), lit(100L)) < fractions.max)
+    val pairs = FuzzyJoin
+      .setSimJoin(sub, textCol, idCol, tNum, tDen, shingleK)
+      .select("id_a", "id_b")
+    dedupYieldCurve(pairs, fractions, seed)
+  }
+
   /** Per-group dedup-rate audit (E148): how much of each group (source
     * feed, language, label…) near-dup deduplication removes. Docs outside
     * the dup graph keep themselves; inside a cluster the min-id canonical

@@ -95,12 +95,15 @@ object EventStream {
   def contentDigest: Column =
     md5(concat_ws("#", col("user_id"), col("event_type"), col("props")))
 
-  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours",
+      stateBackend: Option[String] = None): DataFrame = {
+    StateBackend(events.sparkSession, stateBackend)
     events
       .withColumn("event_time", Sessions.nsToTimestamp(col("ts")))
       .withColumn("content_digest", contentDigest)
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_digest")
+  }
 
   /** Batch twin of [[dedupStream]], made deterministic for the oracle:
     * where the stream keeps the FIRST arrival per digest (arrival order —
@@ -205,7 +208,9 @@ object EventStream {
     * KeyValueGroupedDataset state).
     */
   def sessionizeStream(
-      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
+      stateBackend: Option[String] = None): DataFrame = {
+    StateBackend(spark, stateBackend)
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
     events
@@ -245,7 +250,9 @@ object EventStream {
     */
   def closedSessionsStream(
       spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
-      watermarkDelay: String = "2 hours"): DataFrame = {
+      watermarkDelay: String = "2 hours",
+      stateBackend: Option[String] = None): DataFrame = {
+    StateBackend(spark, stateBackend)
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
     events

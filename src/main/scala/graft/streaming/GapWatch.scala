@@ -36,7 +36,9 @@ object GapWatch {
       spark: SparkSession,
       events: DataFrame,
       minGapMinutes: Int = 360,
-      watermarkDelay: String = "2 hours"): DataFrame = {
+      watermarkDelay: String = "2 hours",
+      stateBackend: Option[String] = None): DataFrame = {
+    StateBackend(spark, stateBackend)
     import spark.implicits._
     val gapUs = minGapMinutes.toLong * 60 * 1000000
     events

@@ -1,0 +1,46 @@
+package graft
+
+/** End-to-end CLI coverage: every curation flag drives [[Main.run]] on the
+  * shared test session against the sf0.001 lake and must print its report
+  * — the surface-parity check that the engine's own capabilities are
+  * reachable from the command line, not only from the API.
+  */
+class CliSpec extends SparkSpec {
+
+  private def runCli(flags: String*): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, (sf0001 +: flags).toArray)
+    }
+    buf.toString("UTF-8")
+  }
+
+  test("--epoch-plan prints per-source repeat factors under the token budget") {
+    val out = runCli("--epoch-plan", "100000")
+    assert(out.contains("epoch plan"), "header missing")
+    assert(out.contains("repeat_fp") || out.contains("n_tokens"),
+      s"epoch-plan table missing from output:\n${out.takeRight(500)}")
+    assert(out.contains("src"), "per-source rows missing")
+  }
+
+  test("--admit prints per-source admitted counts under the quota") {
+    val out = runCli("--admit", "5")
+    assert(out.contains("quota admission"), "header missing")
+    assert(out.contains("n_admitted"), "admission summary missing")
+    assert(out.contains("src"), "per-source rows missing")
+  }
+
+  test("--leakage-safe-split prints the three-way split summary") {
+    val out = runCli("--leakage-safe-split")
+    assert(out.contains("leakage-safe split"), "header missing")
+    Seq("train", "val", "test").foreach(s =>
+      assert(out.contains(s), s"split '$s' missing from summary"))
+  }
+
+  test("--card and --search still reach their reports through run()") {
+    val out = runCli("--card", "--search", "table,key")
+    assert(out.contains("dataset card"))
+    assert(out.contains("top documents for [table, key]"))
+    assert(out.contains("score_num"), "tf-idf scores missing")
+  }
+}

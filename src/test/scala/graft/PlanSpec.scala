@@ -289,6 +289,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "CV2 must come from moments, not a self-join")
   }
 
+  test("profile routes: exact pays the multi-distinct Expand, approx rides HLL++ without it") {
+    import graft.analyze.Profiler
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    // the profile surfaces localize the wide row (their own explain is a
+    // LocalTableScan), so the plan under test is the shared wide aggregate
+    val pExact = Profiler.profileWideAgg(li, cols, None)
+      .queryExecution.explainString(FormattedMode)
+    assert(pExact.contains("Expand"), "exact route should take the multi-distinct Expand")
+    val pApprox = Profiler.profileWideAgg(li, cols, Some(0.023))
+      .queryExecution.explainString(FormattedMode)
+    assert(!pApprox.contains("Expand"),
+      "approx route must not pay the exact-distinct Expand shuffle")
+    assert(pApprox.toLowerCase.contains("approx_count_distinct") ||
+      pApprox.toLowerCase.contains("hyperloglog"),
+      "approx route must use the HLL++ sketch")
+    assert(pApprox.contains("partial_"), "sketch aggregation must combine map-side")
+  }
+
   test("q207: gate-cost sweep windows run over the distinct-value table only") {
     val p = plan("q207_gate_cost_sweep")
     // static explain duplicates shared subtrees (exchange reuse happens at

@@ -27,6 +27,43 @@ class ProfilerSpec extends SparkSpec {
     assert(b.getAs[Double]("mean_v") === 50.0 / 3)
   }
 
+  test("approxNumericProfile: exact fields identical, distinct within sketch error") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toDouble, (i % 37).toDouble)).toDF("a", "b")
+    val exact = Profiler.numericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val approx = Profiler.approxNumericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    Seq("a", "b").foreach { c =>
+      // everything but n_distinct is the same exact aggregation
+      Seq("n", "n_null").foreach(f =>
+        assert(approx(c).getAs[Long](f) === exact(c).getAs[Long](f), s"$c.$f"))
+      Seq("min_v", "max_v", "mean_v").foreach(f =>
+        assert(approx(c).getAs[Double](f) === exact(c).getAs[Double](f), s"$c.$f"))
+      // HLL++ at rsd 2.3%: allow 10% slack on the estimate
+      val (d, e) = (approx(c).getAs[Long]("n_distinct").toDouble,
+        exact(c).getAs[Long]("n_distinct").toDouble)
+      assert(math.abs(d - e) / e <= 0.1, s"$c distinct estimate $d vs exact $e")
+    }
+  }
+
+  test("profileAuto: routes by footer row count, both routes share one schema") {
+    val cols = Seq("l_quantity", "l_discount")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    // the row limit flips the route: each side must reproduce its target
+    // path's output exactly (the deterministic proof of which path ran)
+    val viaExact = Profiler.profileAuto(spark, sf0001, "lineitem", cols,
+      exactRowLimit = Long.MaxValue)
+    val viaApprox = Profiler.profileAuto(spark, sf0001, "lineitem", cols,
+      exactRowLimit = 0L)
+    assert(viaExact.schema === viaApprox.schema,
+      "callers must be able to switch routes without schema changes")
+    assert(rows(viaExact) === rows(Profiler.numericProfile(li, cols)))
+    assert(rows(viaApprox) === rows(Profiler.approxNumericProfile(li, cols)))
+  }
+
   test("percentiles: PERCENTILE_CONT interpolation on a known set") {
     import spark.implicits._
     val df = Seq(10.0, 20.0, 30.0, 40.0).toDF("x")

@@ -432,4 +432,44 @@ class DedupSpec extends SparkSpec {
     assert(zero.values.forall(r =>
       r.getAs[Long]("n_pairs") === 0L && r.getAs[Long]("n_dup_docs") === 0L))
   }
+
+  test("dedupYieldCurveSampled equals the exact curve point-for-point at its fractions") {
+    import spark.implicits._
+    // 200 exact-duplicate twin pairs with per-pair-private vocabularies, so
+    // the only Jaccard ≥ 1/2 pairs are the twins themselves
+    val docs = (0 until 200).flatMap { p =>
+      val text = s"w${p}a w${p}b w${p}c w${p}d w${p}e w${p}f w${p}g w${p}h"
+      Seq((2L * p, text), (2L * p + 1, text))
+    }.toDF("doc_id", "text")
+    val fracs = Seq(20, 40, 60)
+
+    val exactPairs = FuzzyJoin.setSimJoin(docs, tNum = 1, tDen = 2, shingleK = 3)
+      .select("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("pct") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dup_docs")))).toMap
+    val exact = toMap(Dedup.dedupYieldCurve(exactPairs, fracs))
+    val sampled = toMap(Dedup.dedupYieldCurveSampled(docs, fracs))
+
+    // nested gates ⇒ the sampled curve is the exact curve at those
+    // fractions, not an approximation of it
+    assert(sampled === exact)
+    assert(sampled.keySet === fracs.map(_.toLong).toSet)
+    assert(sampled(60L)._1 > 0L, "fixture must keep pairs at the top fraction")
+
+    // and therefore the fitted growth exponent matches the exact one
+    def slope(curve: Map[Long, (Long, Long)]): Option[Double] = {
+      val pts = fracs.map(_.toLong).filter(p => curve(p)._1 > 0L)
+        .map(p => (math.log(p.toDouble), math.log(curve(p)._1.toDouble)))
+      if (pts.size < 2) None
+      else {
+        val n = pts.size
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxx = pts.map(t => t._1 * t._1).sum
+        val sxy = pts.map(t => t._1 * t._2).sum
+        Some((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      }
+    }
+    assert(slope(sampled) === slope(exact))
+  }
 }

@@ -200,6 +200,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 > 0.5, s"8 of 16 cells probed should recover most neighbours, got $r8")
   }
 
+  test("ivfOperatingCurve: recall and cost non-decreasing in nprobe; full probe is exact") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val out = Similarity.ivfOperatingCurve(
+        emb, k = 5, nlist = 8, nprobes = Seq(1, 2, 4, 8), nQueries = 10)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(out.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L, 8L))
+    assert(out.forall(_.getAs[Long]("n_queries") === 10L))
+    // more probes only grow the candidate set → recall AND cost are monotone
+    val recalls = out.map(_.getAs[Long]("recall_fp"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall_fp must be non-decreasing in nprobe: ${recalls.toSeq}")
+    val costs = out.map(_.getAs[Long]("n_candidates"))
+    assert(costs.zip(costs.tail).forall { case (a, b) => a <= b },
+      s"n_candidates must be non-decreasing in nprobe: ${costs.toSeq}")
+    // probing every cell scores the whole corpus: recall@5 = 1 exactly and
+    // the candidate count is the full brute-force space
+    assert(recalls.last === 1048576L)
+    val n = emb.count()
+    assert(costs.last === 10L * (n - 1))
+  }
+
   test("semanticDedup: one row per vector, cell-contained clusters, min-id canonical") {
     val emb = Tables.embeddings(spark, sf0001)
     val n = emb.count()
