@@ -1818,6 +1818,12 @@ object SparkEntry {
       graft.analyze.Profiler.profileAuto(s, dir, "lineitem",
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     },
+    // PQ operating curve (E185): recall@5 of the ADC ranking vs exact-L2
+    // truth per subspace count m — the code-size companion of q224's
+    // nprobe sweep, so both index knobs carry measured evidence.
+    "q226_pq_curve" -> { (s, dir) =>
+      graft.ext.ProductQuantizer.pqOperatingCurve(Tables.embeddings(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2394,55 +2400,114 @@ object SparkEntry {
     * ‖x‖²−2x·c+‖c‖² distance association, same (dist, code) / (adist, id)
     * tie-breaks — so codebooks, codes, and ADC distances are bit-exact.
     */
-  private def pqOracle: String = {
-    val (m, k, sub, nq, topk) = (4, 8, 16, 10, 5)
+  /** CTE chain for ONE PQ train/encode/ADC pipeline (m subspaces of width
+    * `sub`): md5-seeded codebooks, two Lloyd iterations with floor(x·2²⁰)
+    * integer means, corpus assignment, and per-(query, neighbor) ADC
+    * distances against the query CTE `qsCte(query_id, embedding)`.
+    * Requires global `prep`/`ck` CTEs; every emitted CTE name carries
+    * `pfx` so several m values coexist in one statement (q226's sweep
+    * uses three). Ends with `${pfx}ad(query_id, neighbor_id, adist)`.
+    */
+  private def pqAdcCtes(pfx: String, m: Int, k: Int, sub: Int, qsCte: String): String = {
     def subExpr(tbl: String) = s"$tbl.embedding[(c.m*$sub+1):(c.m*$sub+$sub)]"
     def dist(tbl: String) =
       s"""list_sum(list_transform(${subExpr(tbl)}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
          |    - 2 * list_sum(list_transform(list_zip(${subExpr(tbl)}, c.cvec), x -> CAST(x[1] AS DOUBLE)*x[2]))
          |    + list_sum(list_transform(c.cvec, x -> x*x))""".stripMargin
     def assignCtes(n: Int, prev: String): String =
-      s"""d$n AS (SELECT p.vec_id, c.m, c.code, ${dist("p")} AS dist
+      s"""${pfx}d$n AS (SELECT p.vec_id, c.m, c.code, ${dist("p")} AS dist
          |        FROM prep p CROSS JOIN $prev c),
-         |a$n AS (SELECT vec_id, m, code FROM (
+         |${pfx}a$n AS (SELECT vec_id, m, code FROM (
          |          SELECT vec_id, m, code, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |            ORDER BY dist ASC, code ASC) AS arn FROM d$n) WHERE arn = 1)""".stripMargin
+         |            ORDER BY dist ASC, code ASC) AS arn FROM ${pfx}d$n) WHERE arn = 1)""".stripMargin
     def iteration(n: Int, prev: String): String =
       s"""${assignCtes(n, prev)},
-         |e$n AS (SELECT a.m, a.code, g.i AS pos,
+         |${pfx}e$n AS (SELECT a.m, a.code, g.i AS pos,
          |               CAST(floor(CAST(p.embedding[a.m*$sub + g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
-         |        FROM a$n a JOIN prep p USING (vec_id)
+         |        FROM ${pfx}a$n a JOIN prep p USING (vec_id)
          |        CROSS JOIN generate_series(1, $sub) AS g(i)),
-         |m$n AS (SELECT m, code, list(mval ORDER BY pos) AS cvec FROM (
+         |${pfx}m$n AS (SELECT m, code, list(mval ORDER BY pos) AS cvec FROM (
          |          SELECT m, code, pos, CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1048576.0 AS mval
-         |          FROM e$n GROUP BY 1, 2, 3) GROUP BY m, code),
-         |c$n AS (SELECT p.m, p.code, COALESCE(mm.cvec, p.cvec) AS cvec
-         |        FROM $prev p LEFT JOIN m$n mm USING (m, code))""".stripMargin
+         |          FROM ${pfx}e$n GROUP BY 1, 2, 3) GROUP BY m, code),
+         |${pfx}c$n AS (SELECT p.m, p.code, COALESCE(mm.cvec, p.cvec) AS cvec
+         |        FROM $prev p LEFT JOIN ${pfx}m$n mm USING (m, code))""".stripMargin
+    s"""${pfx}mm AS (SELECT unnest(range(0, $m)) AS m),
+       |${pfx}c0 AS (SELECT CAST(ms.m AS INT) AS m, CAST(ck.rn - 1 AS INT) AS code,
+       |              list_transform(ck.embedding[(CAST(ms.m AS INT)*$sub+1):(CAST(ms.m AS INT)*$sub+$sub)],
+       |                             x -> CAST(x AS DOUBLE)) AS cvec
+       |       FROM ck CROSS JOIN ${pfx}mm ms WHERE ck.rn <= $k),
+       |${iteration(1, s"${pfx}c0")},
+       |${iteration(2, s"${pfx}c1")},
+       |${assignCtes(3, s"${pfx}c2")},
+       |${pfx}dt AS (SELECT q.query_id, c.m, c.code, ${dist("q")} AS dist
+       |       FROM $qsCte q CROSS JOIN ${pfx}c2 c),
+       |${pfx}ad AS (SELECT t.query_id, a.vec_id AS neighbor_id,
+       |              list_sum(list(t.dist ORDER BY t.m)) AS adist
+       |       FROM ${pfx}a3 a JOIN ${pfx}dt t ON a.m = t.m AND a.code = t.code
+       |       WHERE t.query_id <> a.vec_id
+       |       GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB replay of q69: the [[pqAdcCtes]] pipeline at m=4, ranked. */
+  private def pqOracle: String =
     s"""WITH prep AS (SELECT vec_id, embedding FROM embeddings),
        |ck AS (SELECT vec_id, embedding,
        |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
        |       FROM prep),
-       |ms AS (SELECT unnest(range(0, $m)) AS m),
-       |c0 AS (SELECT CAST(ms.m AS INT) AS m, CAST(ck.rn - 1 AS INT) AS code,
-       |              list_transform(ck.embedding[(CAST(ms.m AS INT)*$sub+1):(CAST(ms.m AS INT)*$sub+$sub)],
-       |                             x -> CAST(x AS DOUBLE)) AS cvec
-       |       FROM ck CROSS JOIN ms WHERE ck.rn <= $k),
-       |${iteration(1, "c0")},
-       |${iteration(2, "c1")},
-       |${assignCtes(3, "c2")},
-       |qs AS (SELECT vec_id AS query_id, embedding FROM ck WHERE rn <= $nq),
-       |dt AS (SELECT q.query_id, c.m, c.code, ${dist("q")} AS dist
-       |       FROM qs q CROSS JOIN c2 c),
-       |ad AS (SELECT t.query_id, a.vec_id AS neighbor_id,
-       |              list_sum(list(t.dist ORDER BY t.m)) AS adist
-       |       FROM a3 a JOIN dt t ON a.m = t.m AND a.code = t.code
-       |       WHERE t.query_id <> a.vec_id
-       |       GROUP BY 1, 2),
+       |qs AS (SELECT vec_id AS query_id, embedding FROM ck WHERE rn <= 10),
+       |${pqAdcCtes("", 4, 8, 16, "qs")},
        |ranked AS (SELECT query_id, neighbor_id, adist,
        |                  ROW_NUMBER() OVER (PARTITION BY query_id
        |                    ORDER BY adist ASC, neighbor_id ASC) AS rank
        |           FROM ad)
-       |SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= $topk""".stripMargin
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB replay of q226: the full PQ pipeline once per m (prefixed CTE
+    * chains), each ADC ranking scored for recall@5 against ONE shared
+    * exact-L2 truth (same ‖q‖²−2q·v+‖v‖² association as the ADC
+    * distances, ties to the lowest neighbor id).
+    */
+  private def pqCurveOracle: String = {
+    val (k, nq, topk) = (8, 10, 5)
+    val ms = Seq(2, 4, 8)
+    def sq(t: String) =
+      s"list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    val tdist =
+      s"""${sq("q")}
+         |    - 2 * list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+         |    + ${sq("c")}""".stripMargin
+    val perM = ms.map(m => pqAdcCtes(s"p${m}_", m, k, 64 / m, "tq")).mkString(",\n")
+    val hits = ms.map { m =>
+      s"""p${m}_rk AS (SELECT query_id, neighbor_id,
+         |              ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |       FROM p${m}_ad),
+         |p${m}_h AS (SELECT COUNT(*) AS sum_hits FROM p${m}_rk
+         |       JOIN truth USING (query_id, neighbor_id) WHERE rank <= $topk)""".stripMargin
+    }.mkString(",\n")
+    val rows = ms.map { m =>
+      s"SELECT CAST($m AS BIGINT) AS m, n_queries, sum_hits FROM p${m}_h CROSS JOIN nqs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH prep AS (SELECT vec_id, embedding FROM embeddings),
+       |ck AS (SELECT vec_id, embedding,
+       |              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+       |       FROM prep),
+       |tq AS (SELECT vec_id AS query_id, embedding FROM ck WHERE rn <= $nq),
+       |td AS (SELECT q.query_id, c.vec_id AS neighbor_id, $tdist AS dist
+       |       FROM tq q JOIN embeddings c ON c.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY dist ASC, neighbor_id ASC) AS rk FROM td) WHERE rk <= $topk),
+       |nqs AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM truth),
+       |$perM,
+       |$hits
+       |SELECT m,
+       |       CAST(n_queries AS BIGINT) AS n_queries,
+       |       CAST(sum_hits AS BIGINT) AS sum_hits,
+       |       CAST(CASE WHEN n_queries > 0
+       |                 THEN (sum_hits * 1048576) // (n_queries * $topk)
+       |                 ELSE 0 END AS BIGINT) AS recall_fp
+       |FROM ($rows)""".stripMargin
   }
 
   /** The q54 two-iteration k-means training + assignment as a reusable CTE
@@ -2654,6 +2719,7 @@ object SparkEntry {
     "q43_ann_ivf" -> ivfAnnOracle,
     "q54_ann_ivf_trained" -> ivfTrainedOracle,
     "q69_pq_ann" -> pqOracle,
+    "q226_pq_curve" -> pqCurveOracle,
     "q50_balanced_sample" -> {
       val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
       val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")

@@ -210,4 +210,79 @@ object ProductQuantizer {
       .drop("__lr")
       .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
   }
+
+  /** PQ operating curve: recall@k of the ADC ranking against the EXACT L2
+    * top-k, one row per subspace count `m` — the companion of
+    * `Similarity.ivfOperatingCurve` (which sweeps nprobe) so both index
+    * knobs carry measured evidence instead of folklore defaults. More
+    * subspaces = finer product structure = lower ADC distortion, at m bytes
+    * per stored vector; the curve shows where recall saturates so a
+    * deployment picks the smallest code that clears its recall floor.
+    *
+    * Output per m: (m, n_queries, sum_hits, recall_fp) with
+    * recall_fp = ⌊Σhits·2²⁰/(n_q·k)⌋ — integers end-to-end, so the curve
+    * hash-matches an independent SQL replay of the whole train/encode/
+    * search pipeline per m.
+    *
+    * Scale: each m costs `iters` training aggregations plus one map-side
+    * encode+ADC scan (the [[pqTopK]] path — codebooks and distance tables
+    * are driver/broadcast constants, the per-query top-k is two-stage).
+    * The exact-truth rank runs ONCE for all m: numQueries·|corpus| scored
+    * rows, the same cost as the brute-force baseline it reuses. Curve
+    * sweeps are offline planning ops; the per-m passes are sequential by
+    * design, not a shuffle blowup.
+    */
+  def pqOperatingCurve(
+      corpus: DataFrame,
+      ms: Seq[Int] = Seq(2, 4, 8),
+      k: Int = 5,
+      numCodes: Int = 8,
+      iters: Int = 2,
+      numQueries: Int = 10,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(ms.nonEmpty && ms.forall(m => m >= 1 && dim % m == 0),
+      s"every m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    import graft.functions.VectorFunctions.dotNative
+    // exact L2² ground truth, computed once and shared by every m: the
+    // same md5-smallest query set pqTopK searches, ranked by the same
+    // ‖q‖²−2q·v+‖v‖² association the ADC distances use
+    val queries = broadcast(corpus
+      .withColumn("__ck", md5(col(idCol).cast("string")))
+      .orderBy("__ck").limit(numQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val truth = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(queries, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotNative(spark, col("q_vec"), col("q_vec")) -
+          lit(2.0) * dotNative(spark, col("q_vec"), col("c_vec")) +
+          dotNative(spark, col("c_vec"), col("c_vec"))).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col("neighbor_id").asc)))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+    val nqRow = truth.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
+    val perM = ms.map { m =>
+      pqTopK(corpus, k, m, numCodes, iters, numQueries, dim,
+          idCol = idCol, vecCol = vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("sum_hits"))
+        .select(lit(m.toLong).as("m"), col("sum_hits"))
+    }.reduce(_ unionByName _)
+    perM.crossJoin(broadcast(nqRow))
+      .select(
+        col("m"),
+        col("n_queries"),
+        col("sum_hits"),
+        when(col("n_queries") > 0L,
+          graft.ext.ExactMath.floorDiv(
+            col("sum_hits") * lit(1048576L),
+            col("n_queries") * lit(k.toLong))).otherwise(0L)
+          .cast("long").as("recall_fp"))
+  }
 }

@@ -55,6 +55,24 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("pqOperatingCurve: one row per m, recall in [0,1], finer codes beat coarser") {
+    val out = ProductQuantizer.pqOperatingCurve(
+        embeddings.cache(), ms = Seq(2, 4, 8), k = 5, numQueries = 10)
+      .collect().sortBy(_.getAs[Long]("m"))
+    assert(out.map(_.getAs[Long]("m")).toSeq === Seq(2L, 4L, 8L))
+    assert(out.forall(_.getAs[Long]("n_queries") === 10L))
+    out.foreach { r =>
+      val (hits, fp) = (r.getAs[Long]("sum_hits"), r.getAs[Long]("recall_fp"))
+      assert(hits >= 0L && hits <= 50L)
+      assert(fp >= 0L && fp <= 1048576L)
+      assert(fp === hits * 1048576L / 50L)
+    }
+    // the curve's reason to exist: more subspaces = lower ADC distortion.
+    // Endpoint comparison only (mid-curve can wobble on a small corpus).
+    assert(out.last.getAs[Long]("sum_hits") >= out.head.getAs[Long]("sum_hits"),
+      s"m=8 should recall at least as much as m=2: ${out.toSeq}")
+  }
+
   test("two-stage top-k equals single-stage (salting is invisible)") {
     val a = ProductQuantizer.pqTopK(embeddings, k = 5, numQueries = 4, salts = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
