@@ -1824,6 +1824,12 @@ object SparkEntry {
     "q226_pq_curve" -> { (s, dir) =>
       graft.ext.ProductQuantizer.pqOperatingCurve(Tables.embeddings(s, dir))
     },
+    // Collocation mining (E186): top bigrams by integer-exact lift
+    // (PMI's ratio without its engine-dependent log) — phrase/template
+    // discovery over the corpus, minCount-guarded against hapax noise.
+    "q227_collocations" -> { (s, dir) =>
+      graft.ext.TextAnalysis.collocationLift(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2720,6 +2726,31 @@ object SparkEntry {
     "q54_ann_ivf_trained" -> ivfTrainedOracle,
     "q69_pq_ann" -> pqOracle,
     "q226_pq_curve" -> pqCurveOracle,
+    "q227_collocations" ->
+      """WITH toks AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+        |u AS (SELECT unnest(l) AS term FROM toks),
+        |uc AS (SELECT term, COUNT(*) AS c FROM u GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |                    i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |      FROM toks WHERE len(l) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS c_ab FROM b GROUP BY 1),
+        |bb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM bc),
+        |p AS (SELECT string_split(bigram, ' ')[1] AS term_a,
+        |             string_split(bigram, ' ')[2] AS term_b, c_ab
+        |      FROM bc WHERE c_ab >= 5),
+        |j AS (SELECT p.term_a, p.term_b, p.c_ab, ua.c AS c_a, ub.c AS c_b
+        |      FROM p JOIN uc ua ON ua.term = p.term_a
+        |             JOIN uc ub ON ub.term = p.term_b),
+        |s AS (SELECT term_a, term_b, c_ab, c_a, c_b,
+        |        CAST((CAST(c_ab AS HUGEINT) * n_tokens * n_tokens * 1048576)
+        |             // (CAST(n_bigrams AS HUGEINT) * c_a * c_b) AS BIGINT) AS lift_fp
+        |      FROM j CROSS JOIN n CROSS JOIN bb),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |        ORDER BY lift_fp DESC, term_a ASC, term_b ASC) AS rk FROM s)
+        |SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |       CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b, lift_fp
+        |FROM r WHERE rk <= 20""".stripMargin,
     "q50_balanced_sample" -> {
       val langs = graft.ext.TextAnalysis.langMarkers.map(_._1)
       val scoreDefs = langs.map(l => s"${dkLangScore(l)} AS score_$l").mkString(",\n  ")

@@ -671,6 +671,58 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Collocation mining by integer-exact LIFT — PMI's ratio without its
+    * logarithm, so the score is a deterministic integer in any engine:
+    * lift(a,b) = p(ab)/(p(a)·p(b)) over occurrence distributions
+    *           = c_ab·N² / (B·c_a·c_b),
+    * reported as lift_fp = ⌊c_ab·N²·2²⁰ / (B·c_a·c_b)⌋ (DECIMAL(38)
+    * products — the c_ab·N²·2²⁰ numerator overflows a long). The log is
+    * monotone, so ranking by lift IS ranking by PMI; the fixed-point ratio
+    * just skips the one transform whose libm rounding differs across
+    * engines. `minCount` suppresses the unstable low-support tail (a
+    * hapax bigram of two hapax tokens has infinite-looking lift).
+    *
+    * Scale: occurrence counts are map-side-combined groupBys keyed by the
+    * (growing) vocabulary; component counts join back on single tokens
+    * (tokens are space-split so the bigram string parses unambiguously);
+    * N and B attach as 1-row broadcast aggregates; the final top-k is a
+    * global TakeOrdered over the minCount-filtered pair table.
+    */
+  def collocationLift(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import graft.functions.TextNativeFunctions.ngrams
+    val dec = "decimal(38,0)"
+    val uni = docs
+      .select(explode(ngrams(spark, lower(col(textCol)), 1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val nRow = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
+    val biCounts = docs
+      .select(explode(ngrams(spark, lower(col(textCol)), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val bRow = biCounts.agg(sum(col("c_ab")).cast("long").as("n_bigrams"))
+    val bi = biCounts
+      .filter(col("c_ab") >= minCount)
+      .withColumn("term_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("term_b", split(col("bigram"), " ").getItem(1))
+    bi
+      .join(uni.select(col("term").as("term_a"), col("c").as("c_a")), Seq("term_a"))
+      .join(uni.select(col("term").as("term_b"), col("c").as("c_b")), Seq("term_b"))
+      .crossJoin(broadcast(nRow)).crossJoin(broadcast(bRow))
+      .withColumn("lift_fp",
+        ExactMath.floorDiv(
+          col("c_ab").cast(dec) * col("n_tokens").cast(dec) *
+            col("n_tokens").cast(dec) * lit(1048576L).cast(dec),
+          col("n_bigrams").cast(dec) * col("c_a").cast(dec) * col("c_b").cast(dec)))
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        col("c_a"), col("c_b"), col("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topK)
+  }
+
   /** Boilerplate prefix detection: per source, the most-repeated leading
     * `prefixChars` characters across documents — scraped-template headers
     * ("Skip to main content…", cookie banners) show up as one prefix with

@@ -395,4 +395,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(3L).getAs[Boolean]("is_mixed"))
   }
 
+  test("collocationLift: hand-computed integer lift, ranked, minCount-guarded") {
+    import spark.implicits._
+    // unigrams a=3 b=3 c=4 (N=10); bigrams ab=3 ba=1 bc=1 cc=2 (B=7)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    def lift(cab: Long, ca: Long, cb: Long) =
+      cab * 100L * 1048576L / (7L * ca * cb)
+    val all = TextAnalysis.collocationLift(docs, minCount = 1L, topK = 10)
+      .collect()
+      .map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("lift_fp")))
+    assert(all.toSeq === Seq(
+      ("a", "b", 3L, lift(3, 3, 3)),
+      ("c", "c", 2L, lift(2, 4, 4)),
+      ("b", "a", 1L, lift(1, 3, 3)),
+      ("b", "c", 1L, lift(1, 3, 4))))
+    // minCount suppresses the low-support tail
+    val guarded = TextAnalysis.collocationLift(docs, minCount = 2L, topK = 10)
+      .collect().map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")))
+    assert(guarded.toSeq === Seq(("a", "b"), ("c", "c")))
+  }
+
 }
