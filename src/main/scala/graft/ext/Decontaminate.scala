@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination for training corpora: flag training documents
@@ -18,17 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word n-gram stable hashes (md5-prefix, oracle-portable; see
-    * Dedup.stableHash). Documents shorter than n hash as one whole-text
-    * gram — Dedup.shingles' convention, so a short benchmark doc still
-    * matches its verbatim copy.
+  /** Per-doc (id, gram_hash) rows: the native shingle array EXPLODES first
+    * and the md5-prefix hash runs per ROW (codegen) — hashing inside a
+    * `transform` lambda pays interpreted per-ELEMENT dispatch, measured
+    * multiples slower on corpus-scale gram streams.
     */
-  def gramHashes(text: Column, n: Int, seed: Int = 7, portable: Boolean = true): Column =
-    transform(Dedup.shingles(text, n), g => Dedup.stableHash(g, seed, portable))
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, seed: Int, portable: Boolean): DataFrame =
+    df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), Dedup.stableHash(col("__g"), seed, portable).as("gh"))
 
   /** One row per candidate document: n_grams (distinct), n_contaminated
     * (grams also present anywhere in the benchmark), contamination ratio,
     * and a keep/drop flag at `threshold`.
+    *
+    * One gram pass over the corpus: every (doc, gram) row takes the
+    * broadcast LEFT join against the benchmark gram set, and n_grams /
+    * n_contaminated fall out of the same aggregation (count vs count of
+    * the hit marker) — no second scan, no per-doc re-join.
     */
   def contamination(
       candidates: DataFrame,
@@ -39,25 +46,19 @@ object Decontaminate {
       threshold: Double = 0.2,
       seed: Int = 7,
       portable: Boolean = true): DataFrame = {
-    val cand = candidates.select(
-      col(idCol), gramHashes(col(textCol), n, seed, portable).as("__grams"))
-    val bench = benchmark
-      .select(explode(gramHashes(col(textCol), n, seed, portable)).as("gh"))
-      .distinct()
-    val hits = cand
-      .select(col(idCol), explode(col("__grams")).as("gh"))
-      .join(broadcast(bench), "gh")
+    val bench = gramRows(benchmark, idCol, textCol, n, seed, portable)
+      .select(col("gh")).distinct()
+      .withColumn("__hit", lit(1))
+    val perDoc = gramRows(candidates, idCol, textCol, n, seed, portable)
+      .join(broadcast(bench), Seq("gh"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_contaminated"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
     val ratio = when(col("n_grams") === 0, lit(0.0))
       .otherwise(col("n_contaminated").cast("double") / col("n_grams").cast("double"))
-    cand
-      .select(col(idCol), size(col("__grams")).cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
-      .select(col(idCol), col("n_grams"), col("n_contaminated"),
-        ratio.as("contamination"),
-        (ratio >= threshold).as("contaminated"))
+    perDoc.select(col(idCol), col("n_grams"), col("n_contaminated"),
+      ratio.as("contamination"),
+      (ratio >= threshold).as("contaminated"))
   }
 
   /** Contamination scorecard (E167): [[contamination]]'s exact-gram ratio

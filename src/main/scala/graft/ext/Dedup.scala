@@ -847,11 +847,17 @@ object Dedup {
       .select(explode(typedlit(fractions.map(_.toLong))).as("pct"),
         col("id_a"), col("id_b"), col("ha"), col("hb"))
       .filter(col("ha") < col("pct") && col("hb") < col("pct"))
-    val pairCounts = gated.groupBy("pct").agg(count(lit(1)).as("n_pairs"))
-    val docCounts = gated
+    // ONE aggregation serves both outputs: each pair explodes to its two
+    // endpoint rows, so n_pairs = rows/2 (exact — always even) and
+    // n_dup_docs = distinct ids, in a single pass. Two separate groupBy
+    // branches would recompute the ENTIRE upstream pair join twice —
+    // measured as the bulk of q190's cost when the input is a live
+    // setSimJoin plan.
+    val counts = gated
       .select(col("pct"), explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("pct")
-      .agg(countDistinct(col("id")).as("n_dup_docs"))
+      .agg(shiftright(count(lit(1)), 1).as("n_pairs"),
+        countDistinct(col("id")).as("n_dup_docs"))
     // Drive from the requested fractions list, not the surviving pairs: a
     // fraction whose subsample keeps zero pairs must still report
     // (pct, 0, 0) — a silently missing curve point reads as "not measured"
@@ -859,8 +865,7 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     fractions.map(_.toLong).toDF("pct")
-      .join(pairCounts, Seq("pct"), "left")
-      .join(docCounts, Seq("pct"), "left")
+      .join(counts, Seq("pct"), "left")
       .select(col("pct").cast("long").as("pct"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))

@@ -208,8 +208,27 @@ object FuzzyJoin {
     // prefix length n − ⌈t·n⌉ + 1, ceil as (tNum·n + tDen − 1) div tDen
     val prefix = ranked.filter(col("pos") <=
       col("n") - ExactMath.floorDiv(col("n") * tNum + (tDen - 1), lit(tDen)) + 1L)
+    // Two sound prunes AT the prefix join, before the distinct and the
+    // intersection-count verify ever see a candidate:
+    //  - AllPairs length filter: inter ≤ min(n_a, n_b) and Jaccard ≥ t
+    //    force t·max(n_a, n_b) ≤ min(n_a, n_b) — sets more than
+    //    tDen/tNum apart in size can never qualify;
+    //  - positional filter: for a common token at sorted positions
+    //    (pa, pb), overlap ≤ min(pa−1, pb−1) + 1 + min(n_a−pa, n_b−pb)
+    //    (commons strictly before it, itself, commons after it — the
+    //    rarity order is one GLOBAL total order, so "before" agrees
+    //    across documents). Jaccard ≥ t needs overlap·(tNum+tDen) ≥
+    //    tNum·(n_a+n_b); a pair that truly qualifies passes this bound at
+    //    EVERY common prefix token (bound ≥ true overlap ≥ required), so
+    //    per-match filtering + distinct drops no qualifying pair.
+    val posBound =
+      least(col("a.pos"), col("b.pos")) +
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.n") * tNum <= col("b.n") * tDen &&
+          col("b.n") * tNum <= col("a.n") * tDen &&
+          posBound * (tNum + tDen) >= lit(tNum) * (col("a.n") + col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
@@ -238,28 +257,29 @@ object FuzzyJoin {
     * ⌊inter·bins/union⌋, clamped), no float division.
     *
     * Scale: input is the candidate-scoped exact pair set (never O(n²));
-    * one aggregation per output plus a distinct-doc explode — both keyed
-    * by bin (≤ `bins` result rows).
+    * ONE aggregation keyed by bin (≤ `bins` result rows) over the
+    * endpoint-exploded pairs serves both counts, so a live (expensive)
+    * pair plan upstream evaluates once, not once per output.
     */
   def thresholdSensitivity(pairs: DataFrame, bins: Int = 20): DataFrame = {
     require(bins > 0, "bins must be positive")
     val union = col("n_a") + col("n_b") - col("inter")
     val bin = least(
       ExactMath.floorDiv(col("inter") * bins, union), lit(bins - 1L)).cast("long")
-    val binned = pairs.withColumn("bin", bin)
-    val pairCounts = binned.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
-    val docCounts = binned
+    // each pair explodes to its two endpoint rows: n_pairs = rows/2
+    // (exact — always even), n_docs = distinct ids, one pass
+    val counts = pairs.withColumn("bin", bin)
       .select(col("bin"), explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("bin")
-      .agg(countDistinct(col("id")).as("n_docs"))
+      .agg(shiftright(count(lit(1)), 1).as("n_pairs"),
+        countDistinct(col("id")).as("n_docs"))
     // Drive from the full bin range: an empty bin must still report
     // (bin, 0, 0) — the sweep is read as a curve, and a silently absent
     // bin is indistinguishable from a bin that was never measured.
     val spark = pairs.sparkSession
     import spark.implicits._
     (0L until bins.toLong).toDF("bin")
-      .join(pairCounts, Seq("bin"), "left")
-      .join(docCounts, Seq("bin"), "left")
+      .join(counts, Seq("bin"), "left")
       .select(
         col("bin"),
         ExactMath.floorDiv(col("bin") * lit(1048576L), lit(bins.toLong))

@@ -81,52 +81,76 @@ object ProductQuantizer {
       iters: Int,
       dim: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Codebooks = {
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
+      vecCol: String = "embedding"): Codebooks =
+    trainMany(corpus, Seq(m), k, iters, dim, idCol, vecCol)(m)
+
+  /** Train codebooks for SEVERAL subspace counts at once — each iteration
+    * is still ONE aggregation pass over the corpus: every row explodes
+    * into its (config, subspace, code, subvector) assignments across ALL
+    * configs, and the shuffle carries (cfg, subspace, code, element)
+    * partial integer sums. Per-config results are bit-identical to
+    * training that config alone (the assignments are independent; only
+    * the pass is shared) — the m-sweep's 3 configs cost 2 corpus
+    * aggregations instead of 6, plus one seed collect instead of 3.
+    */
+  def trainMany(
+      corpus: DataFrame,
+      ms: Seq[Int],
+      k: Int,
+      iters: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Map[Int, Codebooks] = {
+    require(ms.nonEmpty && ms.distinct == ms, "ms must be distinct")
+    ms.foreach(m => require(dim % m == 0, s"dim $dim not divisible into $m subspaces"))
     val seeds = corpus
       .withColumn("__ck", md5(col(idCol).cast("string")))
       .orderBy("__ck").limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
       .toIndexedSeq
-    var books: Codebooks = IndexedSeq.tabulate(m) { mi =>
-      seeds.map { v =>
-        val sub = v.slice(mi * subDim, (mi + 1) * subDim)
-        (sub, sumSquares(sub))
+    var books: Map[Int, Codebooks] = ms.map { m =>
+      val subDim = dim / m
+      m -> IndexedSeq.tabulate(m) { mi =>
+        seeds.map { v =>
+          val sub = v.slice(mi * subDim, (mi + 1) * subDim)
+          (sub, sumSquares(sub))
+        }
       }
-    }
+    }.toMap
     for (_ <- 1 to iters) {
-      // ONE aggregation pass refreshes all m codebooks: explode each row
-      // into its m (subspace, code, subvector) assignments, then partial
-      // integer sums keyed by (subspace, code, element).
-      val assignments = explode(array((0 until m).map { mi =>
+      val assignments = explode(array((for (m <- ms; mi <- 0 until m) yield {
+        val subDim = dim / m
         struct(
+          lit(m).as("cfg"),
           lit(mi).as("m"),
-          codeCol(corpus, vecCol, mi, subDim, books(mi)).as("code"),
+          codeCol(corpus, vecCol, mi, subDim, books(m)(mi)).as("code"),
           subCol(vecCol, mi, subDim).as("sub"))
-      }: _*))
+      }): _*))
       val sums = corpus
         .select(assignments.as("a"))
-        .select(col("a.m"), col("a.code"),
+        .select(col("a.cfg"), col("a.m"), col("a.code"),
           posexplode(col("a.sub")).as(Seq("pos", "v")))
-        .groupBy("m", "code", "pos")
+        .groupBy("cfg", "m", "code", "pos")
         .agg(
           sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long")).as("s"),
           count(lit(1)).as("n"))
         .collect()
-      val byCell = sums.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("code")))
-      books = books.zipWithIndex.map { case (book, mi) =>
-        book.zipWithIndex.map { case ((prev, prevCc), j) =>
-          byCell.get((mi, j)) match {
-            case Some(rows) =>
-              val next = prev.toArray.clone()
-              rows.foreach { r =>
-                next(r.getAs[Int]("pos")) =
-                  r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / 1048576.0
-              }
-              (next.toIndexedSeq, sumSquares(next.toIndexedSeq))
-            case None => (prev, prevCc)
+      val byCell = sums.groupBy(r =>
+        (r.getAs[Int]("cfg"), r.getAs[Int]("m"), r.getAs[Int]("code")))
+      books = books.map { case (m, book) =>
+        m -> book.zipWithIndex.map { case (entries, mi) =>
+          entries.zipWithIndex.map { case ((prev, prevCc), j) =>
+            byCell.get((m, mi, j)) match {
+              case Some(rows) =>
+                val next = prev.toArray.clone()
+                rows.foreach { r =>
+                  next(r.getAs[Int]("pos")) =
+                    r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / 1048576.0
+                }
+                (next.toIndexedSeq, sumSquares(next.toIndexedSeq))
+              case None => (prev, prevCc)
+            }
           }
         }
       }
@@ -164,9 +188,25 @@ object ProductQuantizer {
       dim: Int = 64,
       salts: Int = 8,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    adcTopK(corpus, train(corpus, m, numCodes, iters, dim, idCol, vecCol),
+      k, numQueries, dim, salts, idCol, vecCol)
+
+  /** ADC search under ALREADY-TRAINED codebooks — the [[pqTopK]] search
+    * stage alone, so sweeps train once (or share a [[trainMany]] pass)
+    * and search per config.
+    */
+  def adcTopK(
+      corpus: DataFrame,
+      books: Codebooks,
+      k: Int,
+      numQueries: Int,
+      dim: Int,
+      salts: Int = 8,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
     val subDim = dim / m
-    val books = train(corpus, m, numCodes, iters, dim, idCol, vecCol)
     val encoded = encode(corpus, books, dim, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val queries = corpus
@@ -266,9 +306,11 @@ object ProductQuantizer {
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id")
     val nqRow = truth.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
+    // one shared training: every m's codebooks refresh in the SAME
+    // aggregation pass per Lloyd iteration (see trainMany)
+    val books = trainMany(corpus, ms, numCodes, iters, dim, idCol, vecCol)
     val perM = ms.map { m =>
-      pqTopK(corpus, k, m, numCodes, iters, numQueries, dim,
-          idCol = idCol, vecCol = vecCol)
+      adcTopK(corpus, books(m), k, numQueries, dim, idCol = idCol, vecCol = vecCol)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("sum_hits"))
