@@ -1830,6 +1830,30 @@ object SparkEntry {
     "q227_collocations" -> { (s, dir) =>
       graft.ext.TextAnalysis.collocationLift(Tables.documents(s, dir))
     },
+    // Multi-probe LSH ANN (E187): one table, queries also probe the
+    // lowest-margin bit-flip buckets — lshTopK-table recall at a fraction
+    // of the stored/bucketed corpus. Whole pipeline replayed in SQL.
+    "q228_multiprobe_lsh" -> { (s, dir) =>
+      graft.ext.Similarity.multiProbeTopK(
+          Tables.embeddings(s, dir), k = 5, dim = 64, probes = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    },
+    // Cosine threshold sweep (E188): exact pair counts per cosine bin over
+    // a 20% hash subsample — the evidence behind a semantic-dedup τ, the
+    // embedding-space analog of q187's Jaccard sweep.
+    "q229_cosine_sweep" -> { (s, dir) =>
+      graft.ext.Similarity.cosineThresholdSweep(Tables.embeddings(s, dir))
+    },
+    // CMS error profile (E189): the sketch's one-sided overestimate
+    // distribution over the full shingle vocabulary — collision-rate
+    // evidence behind the q89 defaults, per power-of-two error bucket.
+    "q230_cms_error_profile" -> { (s, dir) =>
+      val shingles = Tables.documents(s, dir)
+        .select(explode(
+          graft.ext.Dedup.shingles(lower(col("text")), 3)).as("shingle"))
+      graft.ext.Sketches.cmsErrorProfile(shingles, "shingle")
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2302,6 +2326,50 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** DuckDB replay of q228: the same derived hyperplane literals as the
+    * q40 oracle (table-0 family), per-plane projection list, base sign
+    * bucket, and the (probes−1)=2 lowest-|margin| single-bit flips per
+    * query — candidates are base-bucket matches of any probe bucket.
+    */
+  private def multiProbeOracle: String = {
+    val dl = (0 until 8).map { p =>
+      val w = graft.ext.Similarity.planeWeights(p, 64).mkString("[", ", ", "]")
+      s"list_sum(list_transform(list_zip(embedding, $w), " +
+        "x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+    }.mkString("[", ",\n       ", "]")
+    s"""WITH d AS (SELECT vec_id, $dl AS dl FROM embeddings),
+       |base AS (SELECT vec_id,
+       |                array_to_string(list_transform(dl,
+       |                  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+       |                dl
+       |         FROM d),
+       |pp AS (SELECT vec_id, bucket, CAST(g.i - 1 AS INT) AS p, abs(dl[g.i]) AS ad
+       |       FROM base CROSS JOIN generate_series(1, 8) AS g(i)),
+       |rk AS (SELECT vec_id, bucket, p,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                ORDER BY ad ASC, p ASC) AS r
+       |       FROM pp),
+       |pb AS (SELECT vec_id, bucket FROM base
+       |       UNION ALL
+       |       SELECT vec_id,
+       |              substr(bucket, 1, p) ||
+       |              (CASE WHEN substr(bucket, p + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+       |              substr(bucket, p + 2) AS bucket
+       |       FROM rk WHERE r < 3),
+       |cand AS (SELECT DISTINCT pr.vec_id AS qid, b.vec_id AS nid
+       |         FROM pb pr JOIN base b ON pr.bucket = b.bucket
+       |                                AND pr.vec_id <> b.vec_id),
+       |scored AS (SELECT qid AS query_id, nid AS neighbor_id, ${dkCosine("q", "c")} AS cos
+       |           FROM cand JOIN embeddings q ON q.vec_id = qid
+       |                     JOIN embeddings c ON c.vec_id = nid),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** DuckDB replay of the q43 IVF pipeline: centroids = the 16 corpus
     * vectors with the smallest md5(vec_id) (same deterministic sample as
     * Similarity.ivfTopK), cells ranked score-desc/index-asc on both sides.
@@ -2722,6 +2790,46 @@ object SparkEntry {
     "q57_embedding_quantize" -> quantizeOracle,
     "q38_near_dups" -> nearDupOracle,
     "q40_ann_lsh" -> lshAnnOracle,
+    "q228_multiprobe_lsh" -> multiProbeOracle,
+    "q230_cms_error_profile" ->
+      s"""WITH t AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+         |s AS (SELECT unnest($dkShingles) AS item FROM t),
+         |c AS (SELECT item, COUNT(*) AS exact_cnt FROM s GROUP BY 1),
+         |sk AS (SELECT i AS row_i,
+         |              CAST(('0x'||substr(md5(item||'#'||CAST(41+i AS VARCHAR)),1,15)) AS BIGINT) % 1024 AS pos,
+         |              SUM(exact_cnt) AS c
+         |       FROM c, range(4) r(i) GROUP BY 1, 2),
+         |e AS (SELECT q.item, q.exact_cnt, MIN(sk.c) AS cms_estimate
+         |      FROM (SELECT item, exact_cnt, i,
+         |              CAST(('0x'||substr(md5(item||'#'||CAST(41+i AS VARCHAR)),1,15)) AS BIGINT) % 1024 AS pos
+         |            FROM c, range(4) r(i)) q
+         |      JOIN sk ON sk.row_i = q.i AND sk.pos = q.pos
+         |      GROUP BY 1, 2),
+         |x AS (SELECT cms_estimate - exact_cnt AS err FROM e)
+         |SELECT CAST(CASE WHEN err = 0 THEN 0
+         |                 ELSE length(bin(err)) END AS BIGINT) AS err_bucket,
+         |       COUNT(*) AS n_items,
+         |       CAST(SUM(err) AS BIGINT) AS sum_err,
+         |       CAST(MAX(err) AS BIGINT) AS max_err
+         |FROM x GROUP BY 1""".stripMargin,
+    "q229_cosine_sweep" -> {
+      val h = dkHash("CAST(vec_id AS VARCHAR)", 7)
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE $h % 100 < 20),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dkCosine("a", "b")} AS cos
+         |      FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
+         |x AS (SELECT LEAST(GREATEST(CAST(floor((cos + 1.0) * 10.0) AS BIGINT), 0), 19) AS bin,
+         |             id_a, id_b
+         |      FROM p),
+         |e AS (SELECT bin, unnest([id_a, id_b]) AS id FROM x),
+         |c AS (SELECT bin, COUNT(*) // 2 AS n_pairs, COUNT(DISTINCT id) AS n_docs
+         |      FROM e GROUP BY 1),
+         |fr AS (SELECT unnest(range(0, 20)) AS bin)
+         |SELECT CAST(fr.bin AS BIGINT) AS bin,
+         |       CAST((fr.bin * 2 * 1048576) // 20 - 1048576 AS BIGINT) AS thr_lo_fp,
+         |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+         |FROM fr LEFT JOIN c USING (bin)""".stripMargin
+    },
     "q43_ann_ivf" -> ivfAnnOracle,
     "q54_ann_ivf_trained" -> ivfTrainedOracle,
     "q69_pq_ann" -> pqOracle,

@@ -133,6 +133,129 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-probe hyperplane-LSH top-k: ONE table, but each query also
+    * probes the buckets reached by flipping its lowest-|margin| sign bits
+    * — the planes whose projection sits nearest zero are exactly the bits
+    * a true neighbor most plausibly differs on. Recall comparable to
+    * extra independent tables at a FRACTION of the memory/shuffle:
+    * [[lshTopK]]'s numTables multiplies the stored/bucketed corpus, while
+    * multi-probe multiplies only the probe (query-side) rows — the
+    * standard memory-lean LSH scale path (multi-probe LSH).
+    *
+    * Determinism: probe order ranks planes by (|projection| asc, plane
+    * asc); projections are native dots against the same derived literal
+    * hyperplanes as [[lshTopK]] table 0, so an oracle re-derives every
+    * bucket and flip exactly.
+    *
+    * Scale: corpus rows carry ONE bucket each; probe rows ≤ `probes` per
+    * query; the join shuffles on the short sign-string key; per-pair work
+    * is one codegen'd dot. The plane-ranking window partitions by vector
+    * over numPlanes rows each — map-scale, no global sort.
+    */
+  def multiProbeTopK(
+      corpus: DataFrame,
+      k: Int = 5,
+      dim: Int = 64,
+      numPlanes: Int = 8,
+      probes: Int = 3,
+      seed: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= numPlanes + 1,
+      s"probes must be in [1, numPlanes + 1], got $probes")
+    val spark = corpus.sparkSession
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+      .withColumn("dl", array((0 until numPlanes).map { p =>
+        graft.functions.VectorFunctions.dotNative(
+          spark, col("vec"), typedlit(planeWeights(seed + p, dim)))
+      }: _*))
+      .withColumn("bucket", concat((0 until numPlanes).map { p =>
+        when(element_at(col("dl"), p + 1) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*))
+    val corpusSide = prep.select(
+      col("bucket"), col("id").as("neighbor_id"),
+      col("vec").as("c_vec"), col("nrm").as("c_nrm"))
+    // probe buckets: the base signature plus the (probes-1) single-bit
+    // flips at the lowest-margin planes
+    val planeRows = prep
+      .select(col("id"), col("bucket"), col("vec"), col("nrm"),
+        posexplode(col("dl")).as(Seq("p", "d")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(abs(col("d")).asc, col("p").asc)))
+      .filter(col("r") < probes)
+      .select(col("id"), col("vec"), col("nrm"),
+        concat(
+          expr("substring(bucket, 1, p)"),
+          when(expr("substring(bucket, p + 1, 1)") === "1", lit("0"))
+            .otherwise(lit("1")),
+          expr("substring(bucket, p + 2)")).as("bucket"))
+    val probeSide = prep.select(col("id"), col("vec"), col("nrm"), col("bucket"))
+      .unionByName(planeRows)
+      .select(col("bucket"), col("id").as("query_id"),
+        col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val scored = probeSide.join(corpusSide, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (graft.functions.VectorFunctions.dotNative(spark, col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm"))).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Cosine threshold sweep (E188): pair counts and touched-doc counts per
+    * cosine bin over a HASH-GATED subsample — the embedding-space analog
+    * of the Jaccard threshold sweep (FuzzyJoin.thresholdSensitivity), the
+    * evidence behind a semantic-dedup τ. LSH candidates can't serve here
+    * (their set is recall-shaped by the planes, exactly what a sweep must
+    * not depend on), so the sweep brute-forces all pairs WITHIN the
+    * deterministic stableHash subsample: exact at its sample size, never
+    * materializing the full corpus pair square. Bins cover [-1, 1];
+    * thr_lo_fp is the bin's lower edge in 2²⁰ fixed point.
+    *
+    * Scale: subsample pairs are (pct·N/100)² — pick pct for the planning
+    * budget (the default 20% is 4% of the full pair square). The pair join
+    * broadcasts the (sampled) side; counts are one endpoint-exploded
+    * aggregation keyed by bin.
+    */
+  def cosineThresholdSweep(
+      corpus: DataFrame,
+      pct: Int = 20,
+      bins: Int = 20,
+      seed: Int = 7,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(pct > 0 && pct <= 100, "pct must be in (0, 100]")
+    require(bins > 0 && bins % 2 == 0, "bins must be positive and even")
+    val spark = corpus.sparkSession
+    val sub = corpus.filter(
+      pmod(Dedup.stableHash(col(idCol).cast("string"), seed), lit(100L)) < pct)
+    val a = prepared(sub, idCol, vecCol, "id_a", "a_vec", "a_nrm")
+    val b = prepared(sub, idCol, vecCol, "id_b", "b_vec", "b_nrm")
+    val half = bins / 2.0 // exact double for even bins
+    val binCol = least(greatest(
+        floor((col("cos") + lit(1.0)) * lit(half)).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val counts = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.VectorFunctions.dotNative(spark, col("a_vec"), col("b_vec")) /
+          (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .select(binCol.as("bin"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("bin")
+      .agg(shiftright(count(lit(1)), 1).as("n_pairs"),
+        countDistinct(col("id")).as("n_docs"))
+    import spark.implicits._
+    (0L until bins.toLong).toDF("bin")
+      .join(counts, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        (ExactMath.floorDiv(col("bin") * lit(2L * 1048576L), lit(bins.toLong)) -
+          lit(1048576L)).cast("long").as("thr_lo_fp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to [[lshTopK]].
     *

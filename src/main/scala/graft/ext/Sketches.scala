@@ -159,6 +159,53 @@ object Sketches {
       .agg(sum(col("__cnt")).cast("long").as("c"))
   }
 
+  /** CMS error profile (E189): the DISTRIBUTION of the sketch's one-sided
+    * overestimate across every distinct item — the sketch-health audit
+    * behind [[cmsBuild]]'s (depth, width) defaults, the CMS analog of
+    * q196's MinHash calibration. Per power-of-two error bucket
+    * (0 = exact, else bit_length(err)): item count, total and max error.
+    * Read it before trusting sketch counts at a new vocabulary size: the
+    * mass above bucket 0 IS the collision rate at this width.
+    *
+    * One aggregation derives the exact counts; the sketch is built FROM
+    * those counts (cell = Σ exact_cnt — exactly [[cmsBuild]]'s math), so
+    * the item stream is scanned once, and estimation is the usual
+    * broadcast-sketch min over depth cells.
+    */
+  def cmsErrorProfile(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      seed: Int = 41,
+      portable: Boolean = true): DataFrame = {
+    val counts = items
+      .groupBy(col(itemCol).cast("string").as("__item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    def cells(c: Column) = array((0 until depth).map(i => struct(
+      lit(i).as("row_i"),
+      pmod(Dedup.stableHash(c, seed + i, portable), lit(width.toLong)).as("pos"))): _*)
+    val sketch = counts
+      .select(explode(cells(col("__item"))).as("__cell"), col("exact_cnt"))
+      .groupBy(col("__cell.row_i").as("row_i"), col("__cell.pos").as("pos"))
+      .agg(sum(col("exact_cnt")).cast("long").as("c"))
+    val est = counts
+      .select(col("__item"), col("exact_cnt"), explode(cells(col("__item"))).as("__cell"))
+      .join(broadcast(sketch),
+        col("__cell.row_i") === sketch("row_i") && col("__cell.pos") === sketch("pos"))
+      .groupBy(col("__item"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_estimate"))
+    est
+      .select((col("cms_estimate") - col("exact_cnt")).as("err"))
+      .select(when(col("err") === 0L, lit(0L))
+        .otherwise(length(bin(col("err"))).cast("long")).as("err_bucket"),
+        col("err"))
+      .groupBy("err_bucket")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("err")).cast("long").as("sum_err"),
+        max(col("err")).cast("long").as("max_err"))
+  }
+
   /** Merge two count–min sketches built with the same (depth, width, seed). */
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("row_i", "pos").agg(sum(col("c")).cast("long").as("c"))

@@ -200,6 +200,44 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 > 0.5, s"8 of 16 cells probed should recover most neighbours, got $r8")
   }
 
+  test("multiProbeTopK: probes=1 is the plain one-table LSH; more probes only help") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // probes=1 probes only the base bucket — exactly lshTopK with one table
+    val single = pairs(Similarity.multiProbeTopK(emb, k = 5, probes = 1))
+    assert(single === pairs(Similarity.lshTopK(emb, k = 5, numTables = 1)))
+    // flipping low-margin bits only ADDS candidates → recall vs brute
+    // force is non-decreasing in probes
+    val truth = Similarity.bruteForceTopK(emb, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    def recall(probes: Int): Long = Similarity
+      .multiProbeTopK(emb, k = 5, probes = probes)
+      .select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id")).count()
+    val rs = Seq(1, 3, 5).map(recall)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b },
+      s"recall hits must be non-decreasing in probes: $rs")
+    assert(rs.last > rs.head,
+      s"probing low-margin flips should recover extra true neighbors: $rs")
+  }
+
+  test("cosineThresholdSweep: complete partition of the subsample pair square") {
+    import graft.ext.Dedup
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.cosineThresholdSweep(emb, pct = 50, bins = 20)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(out.map(_.getAs[Long]("bin")).toSeq === (0L until 20L))
+    assert(out.head.getAs[Long]("thr_lo_fp") === -1048576L)
+    assert(out(10).getAs[Long]("thr_lo_fp") === 0L)
+    // every subsample pair lands in exactly one bin
+    val nSub = emb.filter(
+      pmod(Dedup.stableHash(col("vec_id").cast("string"), 7), lit(100L)) < 50).count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === nSub * (nSub - 1) / 2)
+    assert(out.forall(r => r.getAs[Long]("n_docs") <= nSub))
+    assert(out.map(_.getAs[Long]("n_pairs")).sum > 0L)
+  }
+
   test("ivfOperatingCurve: recall and cost non-decreasing in nprobe; full probe is exact") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val out = Similarity.ivfOperatingCurve(

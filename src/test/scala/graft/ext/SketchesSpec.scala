@@ -149,4 +149,29 @@ class SketchesSpec extends SparkSpec {
     assert(dis.getDouble(3) >= 0.0)
     assert(dis.getDouble(3) / dis.getDouble(2) < 0.2, "disjoint intersection share")
   }
+
+  test("cmsErrorProfile: wide sketch is collision-free; tight sketch shows the overestimate mass") {
+    import spark.implicits._
+    val items = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"item$i")).toDF("it")
+    // width >> vocabulary: every estimate is exact — a single bucket-0 row
+    val wide = Sketches.cmsErrorProfile(items, "it", depth = 4, width = 1 << 20)
+      .collect()
+    assert(wide.length === 1)
+    assert(wide.head.getAs[Long]("err_bucket") === 0L)
+    assert(wide.head.getAs[Long]("n_items") === 500L)
+    assert(wide.head.getAs[Long]("sum_err") === 0L)
+    // width << vocabulary: collisions must appear, errors stay one-sided
+    val tight = Sketches.cmsErrorProfile(items, "it", depth = 2, width = 64)
+      .collect()
+    assert(tight.map(_.getAs[Long]("n_items")).sum === 500L,
+      "every distinct item lands in exactly one error bucket")
+    assert(tight.exists(r => r.getAs[Long]("err_bucket") > 0L),
+      "a 64-cell sketch over 500 items must collide")
+    tight.foreach { r =>
+      val (b, mx) = (r.getAs[Long]("err_bucket"), r.getAs[Long]("max_err"))
+      assert(mx >= 0L)
+      if (b > 0L) assert(mx < (1L << b.toInt) && mx >= (1L << (b.toInt - 1)),
+        s"bucket $b must hold bit-length-$b errors, got max $mx")
+    }
+  }
 }
