@@ -1854,6 +1854,24 @@ object SparkEntry {
           graft.ext.Dedup.shingles(lower(col("text")), 3)).as("shingle"))
       graft.ext.Sketches.cmsErrorProfile(shingles, "shingle")
     },
+    // Shard-balance audit (E190): per-shard doc/token mass under the hash
+    // sharding a corpus writer uses, with exact signed deviations — the
+    // balance check before publishing N shard files.
+    "q231_shard_balance" -> { (s, dir) =>
+      graft.ext.Sampling.shardBalance(Tables.documents(s, dir), nShards = 16)
+    },
+    // Boundary-overlap chaining (E191): docs whose last 3 words equal
+    // another doc's first 3 — crawl-pagination fragments near-dup passes
+    // can't see (fragments share only the boundary).
+    "q232_boundary_chains" -> { (s, dir) =>
+      graft.ext.Dedup.boundaryChains(Tables.documents(s, dir), k = 3)
+    },
+    // Source-cap waterfilling (E192): the exact integer level L such that
+    // capping every source at L spends the token budget — "no feed
+    // dominates" with a derived cap, not a hand-picked one.
+    "q233_source_caps" -> { (s, dir) =>
+      graft.ext.Sampling.capSources(Tables.documents(s, dir), budgetTokens = 150000L)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2791,6 +2809,49 @@ object SparkEntry {
     "q38_near_dups" -> nearDupOracle,
     "q40_ann_lsh" -> lshAnnOracle,
     "q228_multiprobe_lsh" -> multiProbeOracle,
+    "q231_shard_balance" -> {
+      val h = dkHash("CAST(doc_id AS VARCHAR)", 11)
+      s"""WITH d AS (SELECT $h % 16 AS shard,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |           FROM documents),
+         |p AS (SELECT shard, COUNT(*) AS n_docs,
+         |             CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM p)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+         |       n_tokens,
+         |       CAST(n_tokens * 16 - total AS BIGINT) AS dev_num
+         |FROM p CROSS JOIN t""".stripMargin
+    },
+    "q232_boundary_chains" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |hb AS (SELECT doc_id,
+        |              array_to_string(l[1:3], ' ') AS head,
+        |              array_to_string(l[GREATEST(len(l) - 2, 1):len(l)], ' ') AS tail
+        |       FROM t)
+        |SELECT a.doc_id AS prev_id, b.doc_id AS next_id, a.tail AS boundary
+        |FROM hb a JOIN hb b ON a.tail = b.head AND a.doc_id <> b.doc_id""".stripMargin,
+    "q233_source_caps" ->
+      """WITH m AS (SELECT source,
+        |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |rk AS (SELECT source, n_tokens,
+        |              ROW_NUMBER() OVER (ORDER BY n_tokens ASC, source ASC) AS r,
+        |              SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |       FROM m),
+        |st AS (SELECT COUNT(*) AS s, SUM(n_tokens) AS total, MAX(n_tokens) AS mx FROM m),
+        |cand AS (SELECT CASE WHEN r < s AND c <= 150000
+        |                     THEN (150000 - c) // (s - r) END AS cand,
+        |                s, total, mx
+        |         FROM rk CROSS JOIN st),
+        |lv AS (SELECT CASE WHEN total <= 150000 THEN mx
+        |              ELSE GREATEST(COALESCE(MAX(cand), 0), 150000 // s) END AS level
+        |       FROM cand GROUP BY s, total, mx)
+        |SELECT m.source, m.n_tokens, CAST(level AS BIGINT) AS level,
+        |       CAST(LEAST(m.n_tokens, level) AS BIGINT) AS cap_tokens,
+        |       CAST(m.n_tokens - LEAST(m.n_tokens, level) AS BIGINT) AS trimmed_tokens
+        |FROM m CROSS JOIN lv""".stripMargin,
     "q230_cms_error_profile" ->
       s"""WITH t AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
          |s AS (SELECT unnest($dkShingles) AS item FROM t),

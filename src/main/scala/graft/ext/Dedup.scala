@@ -909,6 +909,38 @@ object Dedup {
     dedupYieldCurve(pairs, fractions, seed)
   }
 
+  /** Boundary-overlap chaining (E191): documents whose LAST k words equal
+    * another document's FIRST k words — the crawl-pagination / chunk-split
+    * signature (one logical page stored as consecutive docs). Near-dup
+    * passes can't see these: consecutive fragments share only the
+    * boundary, so their Jaccard is tiny. Emits one row per directed
+    * continuation edge with the shared boundary text; feed the edges to
+    * [[dedupClusters]] to group fragments into logical documents.
+    *
+    * Scale: one scan builds (head, tail) keys per doc; the edge join
+    * shuffles on the boundary STRING (exact, no hash-collision risk), key
+    * cardinality ~ corpus size. Short docs (≤ k words) use their whole
+    * text as both boundaries.
+    */
+  def boundaryChains(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = split(lower(col(textCol)), " ")
+    val keys = docs.select(
+      col(idCol).as("id"),
+      array_join(slice(toks, 1, k), " ").as("head"),
+      array_join(
+        when(size(toks) <= k, toks).otherwise(slice(toks, -k, k)), " ").as("tail"))
+    keys.select(col("id").as("prev_id"), col("tail").as("boundary"))
+      .join(keys.select(col("id").as("next_id"), col("head").as("boundary")),
+        Seq("boundary"))
+      .filter(col("prev_id") =!= col("next_id"))
+      .select(col("prev_id"), col("next_id"), col("boundary"))
+  }
+
   /** Per-group dedup-rate audit (E148): how much of each group (source
     * feed, language, label…) near-dup deduplication removes. Docs outside
     * the dup graph keep themselves; inside a cluster the min-id canonical

@@ -529,4 +529,83 @@ object Sampling {
             col("n").cast(dec) * col("n").cast(dec))
           .cast("long").as("chi2_num"))
   }
+
+  /** Shard-balance audit (E190): per-shard doc and token mass under the
+    * deterministic hash sharding a corpus writer would use — the balance
+    * check BEFORE publishing N shard files. [[hashUniformity]] audits the
+    * hash's bucket-count uniformity; this audits the masses that actually
+    * cost (docs AND tokens, since doc sizes vary), with an exact signed
+    * deviation per shard: dev_num = n_tokens·S − total (zero ⟺ exactly
+    * the mean share).
+    *
+    * Scale: one hash aggregation to ≤ S rows; totals attach as a 1-row
+    * broadcast aggregate.
+    */
+  def shardBalance(
+      docs: DataFrame,
+      nShards: Int = 32,
+      idCol: String = "doc_id",
+      tokensCol: Column = size(split(col("text"), " ")).cast("long"),
+      seed: Int = 11): DataFrame = {
+    require(nShards > 0, "need at least 1 shard")
+    val perShard = docs.select(
+        pmod(graft.ext.Dedup.stableHash(col(idCol).cast("string"), seed),
+          lit(nShards.toLong)).as("shard"),
+        tokensCol.as("__tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).cast("long").as("n_tokens"))
+    val tot = perShard.agg(sum(col("n_tokens")).cast("long").as("__total"))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") * nShards - col("__total")).as("dev_num"))
+  }
+
+  /** Source-cap planning by exact integer waterfilling (E192): the largest
+    * level L such that capping every source's token mass at L stays within
+    * the budget — "no single feed dominates" without hand-picked caps.
+    * With sources sorted by mass asc (ties by name), inclusive prefix
+    * sums c_r, and S sources, the segment-r spend model
+    * c_r + (S−r)·L only OVERestimates the true spend (sources above r
+    * with mass < L contribute less), so every candidate
+    * (B − c_r) div (S − r) is feasible and the max over r (plus the
+    * all-capped base B div S) is exactly the optimum. A budget at or
+    * above the total keeps everything (level = max mass). Output per
+    * source: mass, the shared level, cap = min(mass, L), trimmed mass.
+    *
+    * Scale: runs on the per-source aggregate (|sources| rows) — the
+    * window sorts feeds, never documents; corpus cost is the one
+    * token-mass aggregation.
+    */
+  def capSources(
+      docs: DataFrame,
+      budgetTokens: Long,
+      sourceCol: String = "source",
+      tokensCol: Column = size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val m = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokensCol).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val ranked = m
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("c", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sRow = m.agg(count(lit(1)).cast("long").as("s"),
+      sum(col("n_tokens")).cast("long").as("total"), max(col("n_tokens")).as("mx"))
+    val lvl = ranked.crossJoin(broadcast(sRow))
+      .select(col("s"), col("total"), col("mx"),
+        when(col("r") < col("s") && col("c") <= budgetTokens,
+          ExactMath.floorDiv(lit(budgetTokens) - col("c"), col("s") - col("r")))
+          .as("cand"))
+      .groupBy("s", "total", "mx")
+      .agg(max(col("cand")).as("maxcand"))
+      .select(when(col("total") <= budgetTokens, col("mx"))
+        .otherwise(greatest(
+          coalesce(col("maxcand"), lit(0L)),
+          ExactMath.floorDiv(lit(budgetTokens), col("s"))))
+        .cast("long").as("level"))
+    m.crossJoin(broadcast(lvl))
+      .select(col("source"), col("n_tokens"), col("level"),
+        least(col("n_tokens"), col("level")).as("cap_tokens"),
+        (col("n_tokens") - least(col("n_tokens"), col("level"))).as("trimmed_tokens"))
+  }
 }

@@ -433,6 +433,22 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("n_pairs") === 0L && r.getAs[Long]("n_dup_docs") === 0L))
   }
 
+  test("boundaryChains: tail-head overlaps chain, short docs use whole text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "d e f g h"),
+      (3L, "x y z"),
+      (4L, "g h"),
+      (5L, "z x a b c"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.boundaryChains(docs, k = 3).collect()
+      .map(r => (r.getAs[Long]("prev_id"), r.getAs[Long]("next_id"),
+        r.getAs[String]("boundary"))).toSet
+    // doc1 ends "d e f" = doc2's head; doc5 ends "a b c" = doc1's head
+    assert(edges === Set((1L, 2L, "d e f"), (5L, 1L, "a b c")))
+  }
+
   test("dedupYieldCurveSampled equals the exact curve point-for-point at its fractions") {
     import spark.implicits._
     // 200 exact-duplicate twin pairs with per-pair-private vocabularies, so

@@ -356,4 +356,50 @@ class SamplingSpec extends SparkSpec {
     // (E[chi2_num] = B²·n·(B−1)/B = 8·200·7·8 under uniformity)
     assert(chi2 < 10L * buckets * buckets * 200L)
   }
+
+  test("shardBalance: masses partition exactly, deviations sum to zero") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, Seq.fill(i % 9 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.shardBalance(docs, nShards = 8).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 200L)
+    val totalTok = (1 to 200).map(i => (i % 9 + 1).toLong).sum
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === totalTok)
+    out.foreach { r =>
+      assert(r.getAs[Long]("dev_num") ===
+        r.getAs[Long]("n_tokens") * 8 - totalTok)
+    }
+    // used shards only (an empty shard has no mass to report)
+    assert(out.map(_.getAs[Long]("shard")).distinct.length === out.length)
+  }
+
+  test("capSources: integer waterfilling hits the documented optima") {
+    import spark.implicits._
+    // masses a=10, b=20, c=30 via word counts
+    val docs = Seq(
+      (1L, "a", Seq.fill(10)("w").mkString(" ")),
+      (2L, "b", Seq.fill(20)("w").mkString(" ")),
+      (3L, "c", Seq.fill(30)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def run(budget: Long) = Sampling.capSources(docs, budget).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("level"), r.getAs[Long]("cap_tokens")))).toMap
+    // B=35: L*=12 (spend 10+12+12=34; L=13 → 36 > B)
+    val b35 = run(35L)
+    assert(b35("a") === ((12L, 10L)) && b35("b") === ((12L, 12L)) &&
+      b35("c") === ((12L, 12L)))
+    // B=50: L*=20 exactly spends the budget
+    assert(run(50L)("c") === ((20L, 20L)))
+    // B >= total: keep everything, level = max mass
+    assert(run(60L)("c") === ((30L, 30L)))
+    assert(run(1000L)("a") === ((30L, 10L)))
+    // tiny budget: all-capped base level B div S
+    assert(run(5L)("c") === ((1L, 1L)))
+    // the level is optimal: spending at L+1 would exceed each budget
+    Seq(35L, 50L, 5L).foreach { b =>
+      val lvl = run(b).values.head._1
+      val spend = (l: Long) => Seq(10L, 20L, 30L).map(math.min(_, l)).sum
+      assert(spend(lvl) <= b && spend(lvl + 1) > b, s"budget $b level $lvl")
+    }
+  }
 }
