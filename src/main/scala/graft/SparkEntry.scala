@@ -1872,6 +1872,12 @@ object SparkEntry {
     "q233_source_caps" -> { (s, dir) =>
       graft.ext.Sampling.capSources(Tables.documents(s, dir), budgetTokens = 150000L)
     },
+    // Source concentration (E193): exact fixed-point HHI of the token mass
+    // plus the top feed and its share — whether the mix is concentrated;
+    // q233's waterfilling says what cap fixes it.
+    "q234_source_concentration" -> { (s, dir) =>
+      graft.ext.Sampling.sourceConcentration(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2809,6 +2815,26 @@ object SparkEntry {
     "q38_near_dups" -> nearDupOracle,
     "q40_ann_lsh" -> lshAnnOracle,
     "q228_multiprobe_lsh" -> multiProbeOracle,
+    "q234_source_concentration" ->
+      """WITH m AS (SELECT source,
+        |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+        |           FROM documents GROUP BY 1),
+        |top AS (SELECT source AS top_source, m AS top_tokens FROM m
+        |        ORDER BY m DESC, source ASC LIMIT 1),
+        |a AS (SELECT COUNT(*) AS n_sources,
+        |             CAST(SUM(m) AS BIGINT) AS total_tokens,
+        |             SUM(CAST(m AS HUGEINT) * m) AS sumsq
+        |      FROM m)
+        |SELECT CAST(n_sources AS BIGINT) AS n_sources, total_tokens,
+        |       top_source, top_tokens,
+        |       CAST(CASE WHEN total_tokens > 0
+        |                 THEN (sumsq * 1048576) //
+        |                      (CAST(total_tokens AS HUGEINT) * total_tokens)
+        |                 ELSE 0 END AS BIGINT) AS hhi_fp,
+        |       CAST(CASE WHEN total_tokens > 0
+        |                 THEN (top_tokens * 1048576) // total_tokens
+        |                 ELSE 0 END AS BIGINT) AS top_share_fp
+        |FROM a CROSS JOIN top""".stripMargin,
     "q231_shard_balance" -> {
       val h = dkHash("CAST(doc_id AS VARCHAR)", 11)
       s"""WITH d AS (SELECT $h % 16 AS shard,

@@ -608,4 +608,39 @@ object Sampling {
         least(col("n_tokens"), col("level")).as("cap_tokens"),
         (col("n_tokens") - least(col("n_tokens"), col("level"))).as("trimmed_tokens"))
   }
+
+  /** Source-concentration report (E193): Herfindahl–Hirschman index of the
+    * token mass across sources in exact 2²⁰ fixed point —
+    * hhi_fp = ⌊Σ m_s² · 2²⁰ / total²⌋, 2²⁰/S at perfect balance, 2²⁰ when
+    * one source is everything — plus the top source and its share. The
+    * one-number companion of [[capSources]]: HHI says WHETHER the mix is
+    * concentrated, waterfilling says what cap fixes it.
+    *
+    * Scale: one token-mass aggregation to |sources| rows, then a 1-row
+    * reduce (DECIMAL(38) squares — Σm² overflows int64 at corpus scale).
+    */
+  def sourceConcentration(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      tokensCol: Column = size(split(col("text"), " ")).cast("long")): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokensCol).cast("long").as("m"))
+    val top = m.orderBy(col("m").desc, col("source").asc).limit(1)
+      .select(col("source").as("top_source"), col("m").as("top_tokens"))
+    val agg = m.agg(
+      count(lit(1)).cast("long").as("n_sources"),
+      sum(col("m")).cast("long").as("total_tokens"),
+      sum(col("m").cast(dec) * col("m").cast(dec)).cast(dec).as("__sumsq"))
+    agg.crossJoin(broadcast(top))
+      .select(
+        col("n_sources"), col("total_tokens"), col("top_source"), col("top_tokens"),
+        when(col("total_tokens") > 0L,
+          ExactMath.floorDiv(col("__sumsq") * lit(1048576L).cast(dec),
+            col("total_tokens").cast(dec) * col("total_tokens").cast(dec)))
+          .otherwise(0L).cast("long").as("hhi_fp"),
+        when(col("total_tokens") > 0L,
+          ExactMath.floorDiv(col("top_tokens") * lit(1048576L), col("total_tokens")))
+          .otherwise(0L).cast("long").as("top_share_fp"))
+  }
 }

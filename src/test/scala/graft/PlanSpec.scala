@@ -308,6 +308,25 @@ class PlanSpec extends SparkSpec {
     assert(pApprox.contains("partial_"), "sketch aggregation must combine map-side")
   }
 
+  test("q230: the CMS sketch attaches by broadcast, never a shuffled join") {
+    val p = plan("q230_cms_error_profile")
+    assert(p.contains("BroadcastHashJoin"),
+      "sketch (depth×width rows) must broadcast to the estimation side")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-scale shuffle join belongs in sketch estimation")
+  }
+
+  test("q233: waterfilling windows run over the per-source aggregate, not documents") {
+    val p = plan("q233_source_caps")
+    // the sort window must consume an aggregated (HashAggregate) input —
+    // sources, never raw docs; the 1-row level attaches as a broadcast
+    assert(p.contains("Window"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "level/total rows must attach by broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffled join belongs in source-cap planning")
+  }
+
   test("q207: gate-cost sweep windows run over the distinct-value table only") {
     val p = plan("q207_gate_cost_sweep")
     // static explain duplicates shared subtrees (exchange reuse happens at

@@ -402,4 +402,21 @@ class SamplingSpec extends SparkSpec {
       assert(spend(lvl) <= b && spend(lvl + 1) > b, s"budget $b level $lvl")
     }
   }
+
+  test("sourceConcentration: hand-computed HHI and top share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", Seq.fill(10)("w").mkString(" ")),
+      (2L, "b", Seq.fill(20)("w").mkString(" ")),
+      (3L, "c", Seq.fill(30)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = Sampling.sourceConcentration(docs).collect().head
+    assert(r.getAs[Long]("n_sources") === 3L)
+    assert(r.getAs[Long]("total_tokens") === 60L)
+    assert(r.getAs[String]("top_source") === "c")
+    assert(r.getAs[Long]("top_tokens") === 30L)
+    // sumsq = 100+400+900 = 1400; hhi = floor(1400·2^20/3600)
+    assert(r.getAs[Long]("hhi_fp") === 1400L * 1048576L / 3600L)
+    assert(r.getAs[Long]("top_share_fp") === 30L * 1048576L / 60L)
+  }
 }
