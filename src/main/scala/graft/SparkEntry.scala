@@ -1878,6 +1878,12 @@ object SparkEntry {
     "q234_source_concentration" -> { (s, dir) =>
       graft.ext.Sampling.sourceConcentration(Tables.documents(s, dir))
     },
+    // MMR diverse selection (E194): greedy λ=7/10 maximal-marginal-
+    // relevance top-5 for query vector 0 — result-list dedup for
+    // retrieval. The oracle unrolls all 5 greedy steps.
+    "q235_mmr_select" -> { (s, dir) =>
+      graft.ext.Similarity.mmrSelect(Tables.embeddings(s, dir), queryId = 0L, k = 5)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2394,6 +2400,47 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** DuckDB replay of q235: all 5 greedy MMR steps unrolled — each step's
+    * CTE cross-joins the prior selections, computes
+    * 7·rel − 3·max(cos to selected), and keeps the (mmr desc, id asc)
+    * argmax. Same cosine folds and λ=7/10 integer-rational coefficients
+    * as the engine (no `1 − 0.7` float-literal drift).
+    */
+  private def mmrOracle: String = {
+    val k = 5
+    def cos(b: String, bn: String) =
+      "list_sum(list_transform(list_zip(r.e, " + b + "), " +
+        s"x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) / (r.nrm * $bn)"
+    val nrmE = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    val steps = (2 to k).map { i =>
+      val prev = 1 until i
+      val msExpr =
+        if (prev.size == 1) cos("s1.e", "s1.nrm")
+        else "GREATEST(" +
+          prev.map(j => cos(s"s$j.e", s"s$j.nrm")).mkString(",\n           ") + ")"
+      val joins = prev.map(j => s"CROSS JOIN s$j").mkString(" ")
+      val notIn = prev.map(j => s"s$j.vec_id").mkString(", ")
+      s"""s$i AS (SELECT vec_id, e, nrm, rel, mmr FROM (
+         |  SELECT r.vec_id, r.e, r.nrm, r.rel,
+         |         7.0 * r.rel - 3.0 * ($msExpr) AS mmr
+         |  FROM r $joins
+         |  WHERE r.vec_id NOT IN ($notIn))
+         |ORDER BY mmr DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, vec_id AS doc_id, " +
+        s"ROUND(rel, 4) AS rel, ROUND(mmr, 4) AS mmr FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qe, $nrmE AS qn FROM embeddings WHERE vec_id = 0),
+       |r AS (SELECT vec_id, embedding AS e, $nrmE AS nrm,
+       |             ${cos("q.qe", "q.qn").replace("r.e", "embedding").replace("r.nrm", nrmE)} AS rel
+       |      FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+       |s1 AS (SELECT vec_id, e, nrm, rel, 7.0 * rel - 3.0 * 0.0 AS mmr
+       |       FROM r ORDER BY 7.0 * rel - 3.0 * 0.0 DESC, vec_id ASC LIMIT 1),
+       |$steps
+       |$rows""".stripMargin
+  }
+
   /** DuckDB replay of the q43 IVF pipeline: centroids = the 16 corpus
     * vectors with the smallest md5(vec_id) (same deterministic sample as
     * Similarity.ivfTopK), cells ranked score-desc/index-asc on both sides.
@@ -2899,6 +2946,7 @@ object SparkEntry {
          |       CAST(SUM(err) AS BIGINT) AS sum_err,
          |       CAST(MAX(err) AS BIGINT) AS max_err
          |FROM x GROUP BY 1""".stripMargin,
+    "q235_mmr_select" -> mmrOracle,
     "q229_cosine_sweep" -> {
       val h = dkHash("CAST(vec_id AS VARCHAR)", 7)
       s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE $h % 100 < 20),

@@ -256,6 +256,72 @@ object Similarity {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
+  /** Maximal-marginal-relevance selection (E194): greedy diverse top-k —
+    * each step picks the candidate maximizing
+    * mmr = lamNum·rel − (lamDen−lamNum)·maxSimToSelected
+    * (the λ = lamNum/lamDen MMR objective scaled by lamDen, so the
+    * coefficients stay EXACT double literals — `1 − 0.7` is not 0.3 in
+    * IEEE754, an integer rational is the same number in every engine).
+    * rel = cosine to the query vector; maxSim = max cosine to the already
+    * selected set. The result-list dedup for retrieval: near-identical
+    * hits stop crowding out coverage.
+    *
+    * Scale: the selected set is driver-scale by definition (k rows), so
+    * each step is ONE distributed argmax over the corpus — candidates
+    * score against ≤ k literal vectors (codegen'd dots), a TakeOrdered(1)
+    * reduces, and k total passes run. [[diverseSelect]] is the
+    * one-pass clustered alternative when k is large.
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      queryId: Long = 0L,
+      k: Int = 5,
+      lamNum: Int = 7,
+      lamDen: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      "need k >= 1 and 0 <= lamNum/lamDen <= 1")
+    val spark = corpus.sparkSession
+    import graft.functions.VectorFunctions.dotNative
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    val qRow = prep.filter(col("id") === queryId)
+      .select(col("vec"), col("nrm")).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"query id $queryId not found"))
+    val qv = qRow.getSeq[Float](0).map(_.toDouble).toIndexedSeq
+    val qn = qRow.getDouble(1)
+    val cand = prep.filter(col("id") =!= queryId)
+      .withColumn("rel",
+        dotNative(spark, col("vec"), typedlit(qv)) / (col("nrm") * lit(qn)))
+    val lamBar = lamDen - lamNum
+    var selected = Vector.empty[(Long, IndexedSeq[Double], Double, Double, Double)]
+    for (_ <- 1 to k) {
+      val ms =
+        if (selected.isEmpty) lit(0.0)
+        else selected.map { case (_, sv, sn, _, _) =>
+          dotNative(spark, col("vec"), typedlit(sv)) / (col("nrm") * lit(sn))
+        }.reduce((a, b) => greatest(a, b))
+      val step = cand
+        .filter(!col("id").isInCollection(selected.map(_._1)))
+        .withColumn("mmr",
+          lit(lamNum.toDouble) * col("rel") - lit(lamBar.toDouble) * ms)
+        .orderBy(col("mmr").desc, col("id").asc).limit(1)
+        .select(col("id"), col("vec"), col("nrm"), col("rel"), col("mmr"))
+        .collect().head
+      selected :+= ((step.getLong(0),
+        step.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
+        step.getDouble(2), step.getDouble(3), step.getDouble(4)))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, _, rel, mmr), i) =>
+      (i + 1L, id, rel, mmr)
+    }.toDF("step", "doc_id", "rel", "mmr")
+      // same ROUND both engines (q40 precedent) — display-only
+      .select(col("step"), col("doc_id"),
+        round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to [[lshTopK]].
     *

@@ -222,6 +222,27 @@ class SimilaritySpec extends SparkSpec {
       s"probing low-margin flips should recover extra true neighbors: $rs")
   }
 
+  test("mmrSelect: diversity reorders a redundant result list") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (1L, Seq(0.9f, 0.1f)),   // best relevance
+      (2L, Seq(0.9f, 0.11f)),  // near-duplicate of 1
+      (3L, Seq(0.5f, -0.5f)),  // mid relevance, diverse
+      (4L, Seq(0.0f, 1.0f)))   // low relevance, most diverse
+      .toDF("vec_id", "embedding")
+    // λ = 3/10 weights diversity: the orthogonal doc (max-sim 0.11) beats
+    // the mid-relevance one (max-sim 0.62), and the near-dup of the first
+    // pick drops last — hand-checked mmr values
+    val picked = Similarity.mmrSelect(emb, queryId = 0L, k = 4, lamNum = 3)
+      .orderBy("step").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(picked === Seq(1L, 4L, 3L, 2L))
+    // pure relevance (λ = 1) is plain cosine order — the near-dup second
+    val byRel = Similarity.mmrSelect(emb, queryId = 0L, k = 4, lamNum = 10)
+      .orderBy("step").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(byRel === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("cosineThresholdSweep: complete partition of the subsample pair square") {
     import graft.ext.Dedup
     val emb = Tables.embeddings(spark, sf0001)
