@@ -1884,6 +1884,19 @@ object SparkEntry {
     "q235_mmr_select" -> { (s, dir) =>
       graft.ext.Similarity.mmrSelect(Tables.embeddings(s, dir), queryId = 0L, k = 5)
     },
+    // Change-point detection (E196): per event type, the hour where the
+    // CUSUM deviation |S_r·T − r·S| of the rate sequence peaks — WHEN the
+    // feed changed, not just whether two snapshots differ.
+    "q236_change_point" -> { (s, dir) =>
+      graft.ext.Drift.changePoint(Tables.events(s, dir))
+    },
+    // Association rules (E195): both orientations of the q119 itemsets
+    // with exact fixed-point confidence and lift — the report Apriori
+    // exists to produce, top-50 by lift.
+    "q237_association_rules" -> { (s, dir) =>
+      graft.ops.CoOccurrence.rules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3L)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2947,6 +2960,55 @@ object SparkEntry {
          |       CAST(MAX(err) AS BIGINT) AS max_err
          |FROM x GROUP BY 1""".stripMargin,
     "q235_mmr_select" -> mmrOracle,
+    "q236_change_point" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
+        |           FROM events),
+        |c AS (SELECT event_type, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket, n,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS r,
+        |             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |             COUNT(*) OVER (PARTITION BY event_type) AS t,
+        |             SUM(n) OVER (PARTITION BY event_type) AS tot
+        |      FROM c),
+        |d AS (SELECT event_type, bucket, r, t, tot,
+        |             abs(s * t - r * tot) AS d_num
+        |      FROM w WHERE r < t),
+        |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |               ORDER BY d_num DESC, r ASC) AS rk FROM d)
+        |SELECT event_type, CAST(t AS BIGINT) AS n_buckets,
+        |       CAST(tot AS BIGINT) AS n_events, CAST(r AS BIGINT) AS split_pos,
+        |       CAST(bucket AS BIGINT) AS split_bucket, CAST(d_num AS BIGINT) AS d_num
+        |FROM p WHERE rk = 1""".stripMargin,
+    "q237_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem
+        |               WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT basket, item FROM (
+        |            SELECT *, COUNT(*) OVER (PARTITION BY basket) AS bsize FROM items)
+        |          WHERE bsize <= 1000),
+        |ic AS (SELECT item, COUNT(*) AS n_item FROM sized GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM sized),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+        |      FROM sized a JOIN sized b ON a.basket = b.basket AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |dir AS (SELECT item_a AS antecedent, item_b AS consequent, support FROM p
+        |        UNION ALL
+        |        SELECT item_b, item_a, support FROM p),
+        |r AS (SELECT d.antecedent, d.consequent, CAST(d.support AS BIGINT) AS support,
+        |             CAST(ia.n_item AS BIGINT) AS n_ant,
+        |             CAST(ic2.n_item AS BIGINT) AS n_cons, n_baskets,
+        |             CAST((d.support * 1048576) // ia.n_item AS BIGINT) AS confidence_fp,
+        |             CAST((CAST(d.support AS HUGEINT) * n_baskets * 1048576)
+        |                  // (CAST(ia.n_item AS HUGEINT) * ic2.n_item) AS BIGINT) AS lift_fp
+        |      FROM dir d JOIN ic ia ON ia.item = d.antecedent
+        |                 JOIN ic ic2 ON ic2.item = d.consequent
+        |      CROSS JOIN nb),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (
+        |         ORDER BY lift_fp DESC, antecedent ASC, consequent ASC) AS rn FROM r)
+        |SELECT antecedent, consequent, support, n_ant, n_cons, n_baskets,
+        |       confidence_fp, lift_fp
+        |FROM rk WHERE rn <= 50""".stripMargin,
     "q229_cosine_sweep" -> {
       val h = dkHash("CAST(vec_id AS VARCHAR)", 7)
       s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE $h % 100 < 20),

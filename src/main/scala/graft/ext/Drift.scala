@@ -369,4 +369,47 @@ object Drift {
       }: _*)).as("p"))
       .select("p.*")
   }
+
+  /** Single change-point detection per group (E196): over each event
+    * type's ordered hourly-count sequence, the position maximizing the
+    * exact CUSUM-style deviation |S_r·T − r·S| (prefix sum vs its
+    * uniform expectation, cross-multiplied — no float division). The
+    * binary-segmentation primitive: "WHEN did this feed's rate change",
+    * not just whether two snapshots differ ([[tvdDrift]]'s question).
+    * Positions index the sequence of OBSERVED buckets (quiet hours
+    * contribute no row); a type with a single bucket has no interior
+    * split and emits nothing.
+    *
+    * Scale: one bucket-keyed aggregation, then ALL windows (rank, prefix
+    * sum, totals, argmax) share the single per-type partitioning — the
+    * sequence table is buckets×types rows, corpus-independent shuffle.
+    */
+  def changePoint(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      bucketNs: Long = 3600L * 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select(col(typeCol).as("etype"), expr(s"$tsCol div $bucketNs").as("bucket"))
+      .groupBy("etype", "bucket").agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("etype")
+    val ordered = byType.orderBy(col("bucket").asc)
+    val seq = counts
+      .withColumn("r", row_number().over(ordered).cast("long"))
+      .withColumn("s", sum(col("n")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", count(lit(1)).over(byType).cast("long"))
+      .withColumn("tot", sum(col("n")).over(byType))
+    seq
+      .filter(col("r") < col("t"))
+      .withColumn("d_num", abs(col("s") * col("t") - col("r") * col("tot")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("etype").orderBy(col("d_num").desc, col("r").asc)))
+      .filter(col("rk") === 1)
+      .select(col("etype").as(typeCol),
+        col("t").as("n_buckets"), col("tot").cast("long").as("n_events"),
+        col("r").as("split_pos"), col("bucket").as("split_bucket"),
+        col("d_num").cast("long").as("d_num"))
+  }
 }

@@ -20,20 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object CoOccurrence {
 
+  /** Deduplicated (basket, item) rows restricted to baskets of at most
+    * `maxBasketSize` distinct items — the shared prep of [[pairs]] and
+    * [[rules]].
+    */
+  private def sizedItems(
+      df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int): DataFrame = {
+    val items = df
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .filter(col("item").isNotNull && col("basket").isNotNull)
+      .distinct()
+    items
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("basket")))
+      .filter(col("bsize") <= maxBasketSize)
+  }
+
   /** (item_a, item_b, support) for pairs with support ≥ `minSupport`,
     * over baskets of at most `maxBasketSize` distinct items.
     */
   def pairs(
       df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, maxBasketSize: Int = 1000): DataFrame = {
-    val items = df
-      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .filter(col("item").isNotNull && col("basket").isNotNull)
-      .distinct()
-    val sized = items
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("basket")))
-      .filter(col("bsize") <= maxBasketSize)
+    val sized = sizedItems(df, basketCol, itemCol, maxBasketSize)
     val l = sized.select(col("basket"), col("item").as("item_a"))
     val r = sized.select(col("basket"), col("item").as("item_b"))
     l.join(r, Seq("basket"))
@@ -41,6 +51,53 @@ object CoOccurrence {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+  }
+
+  /** Directed association rules (E195): both orientations of every
+    * [[pairs]] itemset, scored with exact fixed-point confidence and lift
+    * — the report Apriori exists to produce:
+    *   confidence(a→b) = ⌊support·2²⁰ / n_ant⌋,
+    *   lift(a→b) = ⌊support·N·2²⁰ / (n_ant·n_cons)⌋
+    * over basket counts (N = number of kept baskets). DECIMAL(38)
+    * products — support·N·2²⁰ overflows a long at corpus scale. Top-k by
+    * lift, ties by item ids.
+    *
+    * Scale: rides [[pairs]]' basket-keyed join; item supports and the
+    * basket total are aggregation outputs joined back on the item key
+    * (vocabulary-scale); the final top-k is a global TakeOrdered.
+    */
+  def rules(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasketSize: Int = 1000,
+      topK: Int = 50): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sized = sizedItems(df, basketCol, itemCol, maxBasketSize)
+    val itemCounts = sized.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nB = sized.agg(countDistinct(col("basket")).cast("long").as("n_baskets"))
+    val p = pairs(df, basketCol, itemCol, minSupport, maxBasketSize)
+    val directed = p.select(
+        col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("support"))
+      .unionByName(p.select(
+        col("item_b").as("antecedent"), col("item_a").as("consequent"),
+        col("support")))
+    directed
+      .join(itemCounts.select(col("item").as("antecedent"),
+        col("n_item").as("n_ant")), Seq("antecedent"))
+      .join(itemCounts.select(col("item").as("consequent"),
+        col("n_item").as("n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(nB))
+      .select(
+        col("antecedent"), col("consequent"), col("support"),
+        col("n_ant"), col("n_cons"), col("n_baskets"),
+        graft.ext.ExactMath.floorDiv(col("support") * lit(1048576L), col("n_ant"))
+          .as("confidence_fp"),
+        graft.ext.ExactMath.floorDiv(
+          col("support").cast(dec) * col("n_baskets").cast(dec) *
+            lit(1048576L).cast(dec),
+          col("n_ant").cast(dec) * col("n_cons").cast(dec)).as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("antecedent").asc, col("consequent").asc)
+      .limit(topK)
   }
 
   /** Per-corpus basket-size profile: baskets, max/mean size, and how many

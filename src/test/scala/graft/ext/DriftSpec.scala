@@ -234,4 +234,27 @@ class DriftSpec extends SparkSpec {
           r.getAs[Long]("d_b") * r.getAs[Long]("n_a")))
     }
   }
+
+  test("changePoint: CUSUM peak lands at the hand-computed regime shift") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // type "a": hourly counts [1,1,1,9,9] — prefix sums 1,2,3,12,21 vs
+    // uniform: |S_r·5 − r·21| = 16,32,48,24 → split at position 3
+    val a = (0 until 5).flatMap { h =>
+      val n = if (h < 3) 1 else 9
+      Seq.fill(n)(("a", (h + 1).toLong * hourNs + 1L))
+    }
+    // type "b": one bucket only — no interior split, no row
+    val b = Seq(("b", 1L * hourNs + 1L))
+    val events = (a ++ b).toDF("event_type", "ts")
+    val out = Drift.changePoint(events).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") === "a")
+    assert(r.getAs[Long]("n_buckets") === 5L)
+    assert(r.getAs[Long]("n_events") === 21L)
+    assert(r.getAs[Long]("split_pos") === 3L)
+    assert(r.getAs[Long]("split_bucket") === 3L)
+    assert(r.getAs[Long]("d_num") === 48L)
+  }
 }

@@ -29,4 +29,28 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(stats.getAs[Long]("max_basket") === 10L)
     assert(stats.getAs[Long]("n_dropped") === 1L)
   }
+
+  test("rules: hand-computed confidence and lift, both orientations") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y"))
+      .toDF("basket", "item")
+    val out = CoOccurrence.rules(df, "basket", "item", minSupport = 2L)
+      .collect()
+      .map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) -> r)
+      .toMap
+    // only (x,y) clears support 2: both orientations, N=4, n_x=3, n_y=3
+    assert(out.keySet === Set(("x", "y"), ("y", "x")))
+    val xy = out(("x", "y"))
+    assert(xy.getAs[Long]("support") === 2L)
+    assert(xy.getAs[Long]("n_ant") === 3L)
+    assert(xy.getAs[Long]("n_cons") === 3L)
+    assert(xy.getAs[Long]("n_baskets") === 4L)
+    assert(xy.getAs[Long]("confidence_fp") === 2L * 1048576L / 3L)
+    assert(xy.getAs[Long]("lift_fp") === 2L * 4L * 1048576L / 9L)
+    assert(out(("y", "x")).getAs[Long]("lift_fp") === 2L * 4L * 1048576L / 9L)
+  }
 }
