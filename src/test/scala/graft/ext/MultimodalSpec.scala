@@ -59,4 +59,23 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("pcmWindowEnergy: little-endian int16 decode, exact window energies") {
+    import spark.implicits._
+    // samples: 0x0001 = 1, 0x7FFF = 32767, 0x8000 = -32768; trailing odd
+    // byte ignored (PCM frames are 2-byte aligned)
+    val assets = Seq((1L, Array[Byte](
+      0x01, 0x00, 0xFF.toByte, 0x7F, 0x00, 0x80.toByte, 0x2A)))
+      .toDF("asset_id", "bytes")
+    val out = Multimodal.pcmWindowEnergy(assets, windowSamples = 2)
+      .collect().sortBy(_.getAs[Long]("window_idx"))
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_samples") === 2L)
+    assert(out(0).getAs[Long]("energy") === 1L + 32767L * 32767L)
+    assert(out(1).getAs[Long]("n_samples") === 1L)
+    assert(out(1).getAs[Long]("energy") === 32768L * 32768L)
+    // empty payload: no sample rows, no windows
+    val empty = Seq((2L, Array.empty[Byte])).toDF("asset_id", "bytes")
+    assert(Multimodal.pcmWindowEnergy(empty).isEmpty)
+  }
 }
