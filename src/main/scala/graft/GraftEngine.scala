@@ -281,7 +281,8 @@ object Main {
           "[--stats] [--cache PATH] [--freeze OUTDIR] " +
           "[--drift REF_DATA_DIR] [--search term1,term2,...] [--card] [--anomalies] " +
           "[--coverage] [--compact-target ROWS] [--epoch-plan TOKEN_BUDGET] " +
-          "[--admit QUOTA] [--leakage-safe-split]")
+          "[--admit QUOTA] [--leakage-safe-split] [--cap-sources TOKEN_BUDGET] " +
+          "[--change-points]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -475,6 +476,22 @@ object Main {
           .groupBy("split")
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"))
           .orderBy("split").show(truncate = false)
+      }
+      // source mix: concentration verdict + waterfilling cap plan
+      opt("--cap-sources").foreach { budget =>
+        println(s"source concentration + waterfilling caps (budget $budget tokens):")
+        graft.ext.Sampling.sourceConcentration(Tables.documents(spark, dir))
+          .show(truncate = false)
+        graft.ext.Sampling
+          .capSources(Tables.documents(spark, dir), budget.toLong)
+          .orderBy(col("n_tokens").desc, col("source"))
+          .show(50, truncate = false)
+      }
+      // per-event-type rate change points
+      if (args.contains("--change-points")) {
+        println("rate change points per event type (CUSUM peak):")
+        graft.ext.Drift.changePoint(Tables.events(spark, dir))
+          .orderBy("event_type").show(truncate = false)
       }
     }
   }

@@ -37,6 +37,19 @@ class CliSpec extends SparkSpec {
       assert(out.contains(s), s"split '$s' missing from summary"))
   }
 
+  test("--cap-sources prints the concentration verdict and the cap plan") {
+    val out = runCli("--cap-sources", "100000")
+    assert(out.contains("source concentration"), "header missing")
+    assert(out.contains("hhi_fp"), "concentration row missing")
+    assert(out.contains("cap_tokens"), "cap plan missing")
+  }
+
+  test("--change-points prints per-type CUSUM peaks") {
+    val out = runCli("--change-points")
+    assert(out.contains("rate change points"), "header missing")
+    assert(out.contains("d_num"), "change-point rows missing")
+  }
+
   test("--card and --search still reach their reports through run()") {
     val out = runCli("--card", "--search", "table,key")
     assert(out.contains("dataset card"))
