@@ -388,11 +388,21 @@ object Drift {
       events: DataFrame,
       tsCol: String = "ts",
       typeCol: String = "event_type",
-      bucketNs: Long = 3600L * 1000000000L): DataFrame = {
+      bucketNs: Long = 3600L * 1000000000L): DataFrame =
+    changePointFromCounts(
+      events
+        .select(col(typeCol).as("etype"), expr(s"$tsCol div $bucketNs").as("bucket"))
+        .groupBy("etype", "bucket").agg(count(lit(1)).as("n")),
+      typeCol)
+
+  /** [[changePoint]] over an ALREADY-bucketed (etype, bucket, n) count
+    * table — the entry point mergeable state feeds (the streaming
+    * ShiftMonitor accumulates per-batch bucket counts and re-scores the
+    * cumulative sequence here each micro-batch).
+    */
+  def changePointFromCounts(
+      counts: DataFrame, typeCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = events
-      .select(col(typeCol).as("etype"), expr(s"$tsCol div $bucketNs").as("bucket"))
-      .groupBy("etype", "bucket").agg(count(lit(1)).as("n"))
     val byType = Window.partitionBy("etype")
     val ordered = byType.orderBy(col("bucket").asc)
     val seq = counts
