@@ -6072,14 +6072,15 @@ object SparkEntry {
          |         WHERE rk <= 5 GROUP BY 1),
          |costs AS (SELECT nprobe, COUNT(*) AS n_candidates FROM swept GROUP BY 1),
          |nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM bf)
-         |SELECT CAST(costs.nprobe AS BIGINT) AS nprobe,
+         |SELECT CAST(fr.nprobe AS BIGINT) AS nprobe,
          |       CAST(n_queries AS BIGINT) AS n_queries,
-         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
          |       CAST(COALESCE(sum_hits, 0) AS BIGINT) AS sum_hits,
          |       CAST(CASE WHEN n_queries > 0
          |                 THEN (COALESCE(sum_hits, 0) * 1048576) // (n_queries * 5)
          |                 ELSE 0 END AS BIGINT) AS recall_fp
-         |FROM costs LEFT JOIN hits USING (nprobe) CROSS JOIN nq""".stripMargin
+         |FROM fr LEFT JOIN costs USING (nprobe) LEFT JOIN hits USING (nprobe)
+         |CROSS JOIN nq""".stripMargin
     },
     // profileAuto routes to the EXACT path at oracle scale (lineitem's
     // footer count is far below the 50M default), so the oracle is q60's

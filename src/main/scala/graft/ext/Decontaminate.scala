@@ -21,12 +21,17 @@ object Decontaminate {
   /** Per-doc (id, gram_hash) rows: the native shingle array EXPLODES first
     * and the md5-prefix hash runs per ROW (codegen) — hashing inside a
     * `transform` lambda pays interpreted per-ELEMENT dispatch, measured
-    * multiples slower on corpus-scale gram streams.
+    * multiples slower on corpus-scale gram streams. `explode_outer` + a
+    * null-guarded hash keep a gram-less document (null text) PRESENT with
+    * gh = null, so the per-doc report never silently drops it (count(gh)
+    * sees zero grams; a null gh matches nothing in the benchmark join).
     */
   private def gramRows(df: DataFrame, idCol: String, textCol: String,
       n: Int, seed: Int, portable: Boolean): DataFrame =
-    df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
-      .select(col(idCol), Dedup.stableHash(col("__g"), seed, portable).as("gh"))
+    df.select(col(idCol), explode_outer(Dedup.shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol),
+        when(col("__g").isNotNull, Dedup.stableHash(col("__g"), seed, portable))
+          .as("gh"))
 
   /** One row per candidate document: n_grams (distinct), n_contaminated
     * (grams also present anywhere in the benchmark), contamination ratio,
@@ -52,7 +57,7 @@ object Decontaminate {
     val perDoc = gramRows(candidates, idCol, textCol, n, seed, portable)
       .join(broadcast(bench), Seq("gh"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
+      .agg(count(col("gh")).as("n_grams"), // null gh = gram-less doc kept at 0
         count(col("__hit")).as("n_contaminated"))
     val ratio = when(col("n_grams") === 0, lit(0.0))
       .otherwise(col("n_contaminated").cast("double") / col("n_grams").cast("double"))

@@ -296,22 +296,26 @@ object Similarity {
         dotNative(spark, col("vec"), typedlit(qv)) / (col("nrm") * lit(qn)))
     val lamBar = lamDen - lamNum
     var selected = Vector.empty[(Long, IndexedSeq[Double], Double, Double, Double)]
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
       val ms =
         if (selected.isEmpty) lit(0.0)
         else selected.map { case (_, sv, sn, _, _) =>
           dotNative(spark, col("vec"), typedlit(sv)) / (col("nrm") * lit(sn))
         }.reduce((a, b) => greatest(a, b))
-      val step = cand
+      cand
         .filter(!col("id").isInCollection(selected.map(_._1)))
         .withColumn("mmr",
           lit(lamNum.toDouble) * col("rel") - lit(lamBar.toDouble) * ms)
         .orderBy(col("mmr").desc, col("id").asc).limit(1)
         .select(col("id"), col("vec"), col("nrm"), col("rel"), col("mmr"))
-        .collect().head
-      selected :+= ((step.getLong(0),
-        step.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
-        step.getDouble(2), step.getDouble(3), step.getDouble(4)))
+        .collect().headOption match {
+        case Some(step) =>
+          selected :+= ((step.getLong(0),
+            step.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
+            step.getDouble(2), step.getDouble(3), step.getDouble(4)))
+        case None => exhausted = true // fewer candidates than k: return them all
+      }
     }
     import spark.implicits._
     selected.zipWithIndex.map { case ((id, _, _, rel, mmr), i) =>
@@ -1037,12 +1041,18 @@ object Similarity {
     // n_queries enters as a 1-row broadcast aggregate (lazy composition —
     // no extra eager job), guarded for the empty-probe-set edge
     val nqRow = truth.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
-    costs.join(hits, Seq("nprobe"), "left")
+    // drive from the requested nprobes list: an operating point whose
+    // candidate set is empty must still report (nprobe, nq, 0, 0, 0) —
+    // a silently missing curve point reads as "not measured"
+    import spark.implicits._
+    nprobes.map(_.toLong).toDF("nprobe")
+      .join(costs, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
       .crossJoin(broadcast(nqRow))
       .select(
         col("nprobe"),
         col("n_queries"),
-        col("n_candidates"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("sum_hits"), lit(0L)).as("sum_hits"),
         when(col("n_queries") > 0L,
           ExactMath.floorDiv(

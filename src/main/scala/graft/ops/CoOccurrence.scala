@@ -71,10 +71,18 @@ object CoOccurrence {
       minSupport: Long = 2L, maxBasketSize: Int = 1000,
       topK: Int = 50): DataFrame = {
     val dec = "decimal(38,0)"
+    // ONE sizedItems derivation serves the pair join, the item supports,
+    // and the basket total — re-calling pairs() would repeat the
+    // corpus-scale distinct + basket-size window a second time
     val sized = sizedItems(df, basketCol, itemCol, maxBasketSize)
     val itemCounts = sized.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val nB = sized.agg(countDistinct(col("basket")).cast("long").as("n_baskets"))
-    val p = pairs(df, basketCol, itemCol, minSupport, maxBasketSize)
+    val p = sized.select(col("basket"), col("item").as("item_a"))
+      .join(sized.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
     val directed = p.select(
         col("item_a").as("antecedent"), col("item_b").as("consequent"),
         col("support"))

@@ -42,6 +42,17 @@ object BatchSink {
     val tmp = new Path(dest.getParent, "." + dest.getName + ".inprogress")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // race lost: other writer won
+    // Hadoop rename(tmp, dest) with dest ALREADY a directory does not fail
+    // — it moves tmp INSIDE dest (as dest/.….inprogress) and returns true,
+    // which would strand this attempt's duplicate data inside the winner's
+    // committed partition. So: only rename into an absent dest, and treat
+    // both a refused rename and a swallowed rename as a lost race whose
+    // temp output must be discarded.
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, true) // race lost before rename: other writer won
+    } else {
+      val swallowed = new Path(dest, tmp.getName)
+      if (fs.exists(swallowed)) fs.delete(swallowed, true) // nested by a lost race
+    }
   }
 }

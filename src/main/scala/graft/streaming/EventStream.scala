@@ -95,15 +95,12 @@ object EventStream {
   def contentDigest: Column =
     md5(concat_ws("#", col("user_id"), col("event_type"), col("props")))
 
-  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours",
-      stateBackend: Option[String] = None): DataFrame = {
-    StateBackend(events.sparkSession, stateBackend)
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events
       .withColumn("event_time", Sessions.nsToTimestamp(col("ts")))
       .withColumn("content_digest", contentDigest)
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_digest")
-  }
 
   /** Batch twin of [[dedupStream]], made deterministic for the oracle:
     * where the stream keeps the FIRST arrival per digest (arrival order —
@@ -208,9 +205,7 @@ object EventStream {
     * KeyValueGroupedDataset state).
     */
   def sessionizeStream(
-      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
-      stateBackend: Option[String] = None): DataFrame = {
-    StateBackend(spark, stateBackend)
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
     events
@@ -250,9 +245,7 @@ object EventStream {
     */
   def closedSessionsStream(
       spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
-      watermarkDelay: String = "2 hours",
-      stateBackend: Option[String] = None): DataFrame = {
-    StateBackend(spark, stateBackend)
+      watermarkDelay: String = "2 hours"): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
     events

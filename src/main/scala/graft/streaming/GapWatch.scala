@@ -36,9 +36,7 @@ object GapWatch {
       spark: SparkSession,
       events: DataFrame,
       minGapMinutes: Int = 360,
-      watermarkDelay: String = "2 hours",
-      stateBackend: Option[String] = None): DataFrame = {
-    StateBackend(spark, stateBackend)
+      watermarkDelay: String = "2 hours"): DataFrame = {
     import spark.implicits._
     val gapUs = minGapMinutes.toLong * 60 * 1000000
     events

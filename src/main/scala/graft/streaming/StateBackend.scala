@@ -9,11 +9,12 @@ import org.apache.spark.sql.SparkSession
   * with Spark) spills state to local disk with an in-memory cache, so state
   * size is bounded by disk, not executor heap.
   *
-  * The provider is a SESSION conf read at query start and pinned into the
-  * query's checkpoint; the stateful builders (`EventStream.dedupStream`,
-  * `sessionizeStream`, `closedSessionsStream`, `GapWatch.watch`) take it as
-  * an opt-in parameter so a caller selects the backend where the query is
-  * built instead of having to know the conf key.
+  * The provider is a SESSION conf that Spark reads when a query STARTS and
+  * pins into its checkpoint. That makes build-time conf mutation the wrong
+  * surface (a builder parameter would silently leak the choice to every
+  * OTHER query later started on the session); [[using]] instead scopes the
+  * choice to a block that must contain the `.start()` calls it is meant to
+  * cover, restoring the previous provider on exit.
   */
 object StateBackend {
   val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
@@ -22,7 +23,18 @@ object StateBackend {
   val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** Apply an opt-in backend choice to the session (None = leave as-is). */
-  private[streaming] def apply(spark: SparkSession, backend: Option[String]): Unit =
-    backend.foreach(p => spark.conf.set(ProviderKey, p))
+  /** Run `body` with the given state-store provider in effect; queries
+    * STARTED inside the block pin it into their checkpoints, and the
+    * previous session setting is restored afterwards (already-running
+    * queries are unaffected either way).
+    */
+  def using[A](spark: SparkSession, provider: String)(body: => A): A = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, provider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
 }

@@ -24,6 +24,21 @@ class DecontaminateSpec extends SparkSpec {
       (4L, 4L, 2L, 0.5, true)))
   }
 
+  test("a gram-less candidate (null text) stays in the report at zero grams") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val cands = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contamination(cands, bench, n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length === 2, "every candidate gets a row — none silently dropped")
+    val nullDoc = out(1)
+    assert(nullDoc.getAs[Long]("n_grams") === 0L)
+    assert(nullDoc.getAs[Long]("n_contaminated") === 0L)
+    assert(nullDoc.getAs[Double]("contamination") === 0.0)
+    assert(!nullDoc.getAs[Boolean]("contaminated"))
+  }
+
   test("benchmark side broadcasts: corpus never shuffles for the probe") {
     import spark.implicits._
     val bench = Seq((1L, "a b c")).toDF("doc_id", "text")

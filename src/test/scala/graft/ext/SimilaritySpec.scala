@@ -241,6 +241,11 @@ class SimilaritySpec extends SparkSpec {
     val byRel = Similarity.mmrSelect(emb, queryId = 0L, k = 4, lamNum = 10)
       .orderBy("step").collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(byRel === Seq(1L, 2L, 3L, 4L))
+    // k beyond the candidate count returns everything, no crash
+    val all = Similarity.mmrSelect(emb, queryId = 0L, k = 50, lamNum = 3)
+      .collect()
+    assert(all.length === 4)
+    assert(all.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 3L, 4L))
   }
 
   test("cosineThresholdSweep: complete partition of the subsample pair square") {

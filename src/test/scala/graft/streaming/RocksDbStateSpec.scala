@@ -76,67 +76,59 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
-  test("builder opt-in + restart: session state survives a checkpoint restart under RocksDB") {
+  test("scoped opt-in + restart: session state survives a checkpoint restart under RocksDB") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toString
     val (out, checkpoint) = (s"$base/out", s"$base/ckpt")
-    val prev = spark.conf.getOption(ProviderKey)
-    try {
-      val source = MemoryStream[(Long, Long)]
-      val df = source.toDF().toDF("user_id", "ts")
-      // the BUILDER selects the backend — no conf key at the call site
-      def build() = {
-        val s = EventStream.closedSessionsStream(
-          spark, df, gapMinutes = 30, stateBackend = Some(StateBackend.RocksDb))
-        assert(spark.conf.get(ProviderKey) === RocksDb,
-          "builder opt-in must set the provider")
-        s
-      }
-      val outSchema = build().schema
-      // memory sinks refuse checkpoint recovery — the restart goes through
-      // the production path: a parquet file sink over the same checkpoint
-      def closedRows() = spark.read.schema(outSchema).parquet(out).collect()
-
-      def ns(min: Long) = (min + 1) * 60L * 1000000000L
-      // first incarnation: two events 10 min apart — session stays OPEN in state
-      val q1 = build().writeStream
+    val source = MemoryStream[(Long, Long)]
+    val df = source.toDF().toDF("user_id", "ts")
+    def build() = EventStream.closedSessionsStream(spark, df, gapMinutes = 30)
+    val outSchema = build().schema
+    // memory sinks refuse checkpoint recovery — the restart goes through
+    // the production path: a parquet file sink over the same checkpoint
+    def closedRows() = spark.read.schema(outSchema).parquet(out).collect()
+    // StateBackend.using scopes the provider to the start() calls inside
+    // the block — nothing leaks to queries started outside it
+    def startQuery() = StateBackend.using(spark, StateBackend.RocksDb) {
+      assert(spark.conf.get(ProviderKey) === RocksDb)
+      build().writeStream
         .option("checkpointLocation", checkpoint)
         .outputMode(OutputMode.Append)
         .format("parquet").option("path", out).start()
-      try {
-        source.addData((1L, ns(0)), (1L, ns(10)))
-        q1.processAllAvailable()
-        assert(q1.lastProgress.stateOperators.asScala.exists(
-          _.customMetrics.containsKey("rocksdbGetCount")),
-          "first incarnation did not run on RocksDB")
-        assert(closedRows().isEmpty, "session must still be open")
-      } finally q1.stop()
-
-      // second incarnation from the SAME checkpoint: a 120-min-later event
-      // must close the session built before the restart — nEvents = 2 proves
-      // the pre-restart state was recovered from the RocksDB checkpoint
-      val q2 = build().writeStream
-        .option("checkpointLocation", checkpoint)
-        .outputMode(OutputMode.Append)
-        .format("parquet").option("path", out).start()
-      try {
-        source.addData((1L, ns(130)))
-        q2.processAllAvailable()
-        assert(q2.lastProgress.stateOperators.asScala.exists(
-          _.customMetrics.containsKey("rocksdbGetCount")),
-          "restarted incarnation did not run on RocksDB")
-        val closed = closedRows()
-        assert(closed.length === 1)
-        assert(closed.head.getAs[Long]("nEvents") === 2L,
-          "restart lost the pre-checkpoint session state")
-        assert(closed.head.getAs[Long]("sessionStartUs") === ns(0) / 1000)
-      } finally q2.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
     }
+
+    def ns(min: Long) = (min + 1) * 60L * 1000000000L
+    // first incarnation: two events 10 min apart — session stays OPEN in state
+    val q1 = startQuery()
+    assert(spark.conf.getOption(ProviderKey).forall(_ != RocksDb),
+      "the scoped opt-in must not leak to the session")
+    try {
+      source.addData((1L, ns(0)), (1L, ns(10)))
+      q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators.asScala.exists(
+        _.customMetrics.containsKey("rocksdbGetCount")),
+        "first incarnation did not run on RocksDB")
+      assert(closedRows().isEmpty, "session must still be open")
+    } finally q1.stop()
+
+    // second incarnation from the SAME checkpoint: a 120-min-later event
+    // must close the session built before the restart — nEvents = 2 proves
+    // the pre-restart state was recovered from the RocksDB checkpoint
+    val q2 = startQuery()
+    try {
+      source.addData((1L, ns(130)))
+      q2.processAllAvailable()
+      assert(q2.lastProgress.stateOperators.asScala.exists(
+        _.customMetrics.containsKey("rocksdbGetCount")),
+        "restarted incarnation did not run on RocksDB")
+      val closed = closedRows()
+      assert(closed.length === 1)
+      assert(closed.head.getAs[Long]("nEvents") === 2L,
+        "restart lost the pre-checkpoint session state")
+      assert(closed.head.getAs[Long]("sessionStartUs") === ns(0) / 1000)
+    } finally q2.stop()
   }
 
   private implicit class JMapOps(
