@@ -1907,6 +1907,15 @@ object SparkEntry {
           Tables.documents(s, dir).filter(col("doc_id") < 100)),
         windowSamples = 16)
     },
+    // HLL accuracy audit (E199): exact distinct vs the bit-portable raw
+    // HLL estimate per column — the measured evidence behind profileAuto's
+    // sketch routing; completes the sketch-health trilogy (q196, q230).
+    "q239_hll_audit" -> { (s, dir) =>
+      graft.ext.Sketches.hllColumnAudit(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus", "l_shipdate"))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2970,6 +2979,36 @@ object SparkEntry {
          |       CAST(MAX(err) AS BIGINT) AS max_err
          |FROM x GROUP BY 1""".stripMargin,
     "q235_mmr_select" -> mmrOracle,
+    "q239_hll_audit" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      val stacked = cols.map(c =>
+        s"""SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS v
+           |FROM lineitem WHERE $c IS NOT NULL""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH s AS ($stacked),
+         |x AS (SELECT column_name, COUNT(DISTINCT v) AS exact_distinct
+         |      FROM s GROUP BY 1),
+         |h AS (SELECT column_name, ${dkHash("v", 17)} AS h FROM s),
+         |b AS (SELECT column_name, h % 64 AS bucket, h // 64 AS rest FROM h),
+         |z AS (SELECT column_name, bucket,
+         |             least(length(bin(rest)) - length(rtrim(bin(rest), '0')) + 1, 55) AS rho
+         |      FROM b),
+         |r AS (SELECT column_name, bucket, MAX(rho) AS max_rho FROM z GROUP BY 1, 2),
+         |st AS (SELECT column_name, COUNT(*) AS present,
+         |              SUM(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT)) AS si
+         |       FROM r GROUP BY 1),
+         |e AS (SELECT column_name,
+         |             CAST(64 - present AS BIGINT) AS n_zero_registers,
+         |             ROUND((0.709 * 64 * 64) * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+         |                   / CAST(si + (64 - present) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+         |                   4) AS raw_estimate
+         |      FROM st)
+         |SELECT x.column_name, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         |       n_zero_registers, raw_estimate,
+         |       ROUND(raw_estimate / CAST(exact_distinct AS DOUBLE), 4) AS est_ratio
+         |FROM x JOIN e USING (column_name)""".stripMargin
+    },
     "q238_pcm_energy" ->
       """WITH a AS (SELECT doc_id AS asset_id,
         |                  hex(CAST(text AS BLOB)) AS h,

@@ -370,6 +370,37 @@ object Sketches {
       round(inter / est("u"), 4).as("jaccard_est"))
   }
 
+  /** Per-column HLL accuracy audit (E199): exact distinct count next to
+    * the bit-portable raw HLL estimate for every listed column, with the
+    * rounded estimate/exact ratio — the measured evidence behind routing
+    * big profiles to sketches (profileAuto's switch): how far off IS the
+    * sketch at m registers on THESE columns. Completes the sketch-health
+    * trilogy (q196 MinHash calibration, q230 CMS error profile).
+    *
+    * Columns must cast to strings identically in both engines (integral,
+    * string, date — the DataTester discipline); the stacked values make
+    * ONE scan, the exact side is one multi-distinct pass, the sketch side
+    * one register aggregation (m rows per column).
+    */
+  def hllColumnAudit(
+      df: DataFrame, cols: Seq[String], m: Int = 64, seed: Int = 17): DataFrame = {
+    require(cols.nonEmpty, "hllColumnAudit needs at least one column")
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+    val exact = stacked.groupBy("column_name")
+      .agg(countDistinct(col("v")).as("exact_distinct"))
+    val est = hllRawEstimateBy(
+      hllRegistersBy(stacked, "column_name", "v", m, seed), "column_name", m)
+    exact.join(est, Seq("column_name"))
+      .select(col("column_name"), col("exact_distinct"),
+        col("n_zero_registers"), col("raw_estimate"),
+        round(col("raw_estimate") / col("exact_distinct").cast("double"), 4)
+          .as("est_ratio"))
+  }
+
   def hllRawEstimateBy(
       registers: DataFrame, groupCol: String, m: Int): DataFrame = {
     val big = 1L << 55

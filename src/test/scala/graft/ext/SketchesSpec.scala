@@ -150,6 +150,23 @@ class SketchesSpec extends SparkSpec {
     assert(dis.getDouble(3) / dis.getDouble(2) < 0.2, "disjoint intersection share")
   }
 
+  test("hllColumnAudit: exact counts right, sketch ratio sane at sketch scale") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong % 3, i.toLong)).toDF("small", "wide")
+    val out = Sketches.hllColumnAudit(df, Seq("small", "wide"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(out("small").getAs[Long]("exact_distinct") === 3L)
+    assert(out("wide").getAs[Long]("exact_distinct") === 1000L)
+    // 3 keys fill at most 3 of 64 registers — the raw estimate is known
+    // to need the linear-counting correction there, which is why
+    // n_zero_registers is part of the report
+    assert(out("small").getAs[Long]("n_zero_registers") >= 61L)
+    // at sketch scale the raw estimate is within HLL's error regime
+    val ratio = out("wide").getAs[Double]("est_ratio")
+    assert(ratio > 0.5 && ratio < 2.0, s"wide est_ratio $ratio")
+    assert(out("wide").getAs[Double]("raw_estimate") > 0.0)
+  }
+
   test("cmsErrorProfile: wide sketch is collision-free; tight sketch shows the overestimate mass") {
     import spark.implicits._
     val items = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"item$i")).toDF("it")
