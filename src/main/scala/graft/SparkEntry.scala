@@ -1916,6 +1916,11 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_linestatus", "l_shipdate"))
     },
+    // Audience overlap (E200): exact distinct-user intersection + Jaccard
+    // per event-type pair — the segment-overlap read behind funnels.
+    "q240_audience_overlap" -> { (s, dir) =>
+      graft.ops.Coverage.audienceOverlap(Tables.events(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2979,6 +2984,19 @@ object SparkEntry {
          |       CAST(MAX(err) AS BIGINT) AS max_err
          |FROM x GROUP BY 1""".stripMargin,
     "q235_mmr_select" -> mmrOracle,
+    "q240_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |            FROM events WHERE user_id IS NOT NULL),
+        |sz AS (SELECT t, COUNT(*) AS n FROM tu GROUP BY 1),
+        |i AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_common
+        |      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |       CAST(n_common AS BIGINT) AS n_common,
+        |       CAST((n_common * 1048576) // (sa.n + sb.n - n_common) AS BIGINT)
+        |         AS jaccard_fp
+        |FROM i JOIN sz sa ON sa.t = type_a JOIN sz sb ON sb.t = type_b""".stripMargin,
     "q239_hll_audit" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
         "l_linestatus", "l_shipdate")

@@ -308,4 +308,35 @@ object Coverage {
           (n * s2 - s * s) * lit(1048576L).cast(dec), s * s))
         .cast("long").as("cv2_fp"))
   }
+
+  /** Audience overlap (E200): exact distinct-user intersection for every
+    * event-type pair, with fixed-point Jaccard — "do purchasers also
+    * click", the segment-overlap report behind funnel and retention
+    * reads. One (type, user) distinct pass; the pair join shuffles on the
+    * USER key (cardinality grows with data), each user contributing only
+    * their own type combinations; sizes attach from the same distinct
+    * table.
+    */
+  def audienceOverlap(
+      events: org.apache.spark.sql.DataFrame,
+      typeCol: String = "event_type",
+      userCol: String = "user_id"): org.apache.spark.sql.DataFrame = {
+    val tu = events
+      .select(col(typeCol).as("t"), col(userCol).as("u"))
+      .filter(col("u").isNotNull)
+      .distinct()
+    val sizes = tu.groupBy("t").agg(count(lit(1)).as("n"))
+    val inter = tu.select(col("t").as("type_a"), col("u"))
+      .join(tu.select(col("t").as("type_b"), col("u")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("t").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(sizes.select(col("t").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        graft.ext.ExactMath.floorDiv(col("n_common") * lit(1048576L),
+          col("n_a") + col("n_b") - col("n_common")).as("jaccard_fp"))
+  }
 }

@@ -186,4 +186,24 @@ class CoverageSpec extends SparkSpec {
     assert(c.getAs[Long]("cv2_fp") === 131072L)
     assert(!out.contains("view"), "single-event streams have no gaps")
   }
+
+  test("audienceOverlap: hand-computed intersections and Jaccard") {
+    import spark.implicits._
+    // users: view {1,2,3}, click {2,3,4}, purchase {3}
+    val events = Seq(
+      ("view", 1L), ("view", 2L), ("view", 3L), ("view", 2L),
+      ("click", 2L), ("click", 3L), ("click", 4L),
+      ("purchase", 3L))
+      .toDF("event_type", "user_id")
+    val out = Coverage.audienceOverlap(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(out.keySet === Set(
+      ("click", "view"), ("click", "purchase"), ("purchase", "view")))
+    val cv = out(("click", "view"))
+    assert(cv.getAs[Long]("n_a") === 3L && cv.getAs[Long]("n_b") === 3L)
+    assert(cv.getAs[Long]("n_common") === 2L)
+    assert(cv.getAs[Long]("jaccard_fp") === 2L * 1048576L / 4L)
+    assert(out(("click", "purchase")).getAs[Long]("n_common") === 1L)
+    assert(out(("purchase", "view")).getAs[Long]("jaccard_fp") === 1048576L / 3L)
+  }
 }
