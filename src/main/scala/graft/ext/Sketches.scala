@@ -378,22 +378,25 @@ object Sketches {
     * trilogy (q196 MinHash calibration, q230 CMS error profile).
     *
     * Columns must cast to strings identically in both engines (integral,
-    * string, date — the DataTester discipline); the stacked values make
-    * ONE scan, the exact side is one multi-distinct pass, the sketch side
-    * one register aggregation (m rows per column).
+    * string, date — the DataTester discipline). The stacked values reduce
+    * to their DISTINCT (column, value) set FIRST and both sides run over
+    * that: HLL registers are a max over per-value rhos, so duplicates
+    * cannot change them — hashing raw rows would cost |rows|·|cols| md5s
+    * for the identical registers (measured 7.6 s → sub-second at sf0.1).
     */
   def hllColumnAudit(
       df: DataFrame, cols: Seq[String], m: Int = 64, seed: Int = 17): DataFrame = {
     require(cols.nonEmpty, "hllColumnAudit needs at least one column")
-    val stacked = df
+    val vals = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("p"))
       .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
       .where(col("v").isNotNull)
-    val exact = stacked.groupBy("column_name")
-      .agg(countDistinct(col("v")).as("exact_distinct"))
+      .distinct()
+    val exact = vals.groupBy("column_name")
+      .agg(count(lit(1)).as("exact_distinct"))
     val est = hllRawEstimateBy(
-      hllRegistersBy(stacked, "column_name", "v", m, seed), "column_name", m)
+      hllRegistersBy(vals, "column_name", "v", m, seed), "column_name", m)
     exact.join(est, Seq("column_name"))
       .select(col("column_name"), col("exact_distinct"),
         col("n_zero_registers"), col("raw_estimate"),
