@@ -2927,11 +2927,13 @@ object SparkEntry {
          |p AS (SELECT shard, COUNT(*) AS n_docs,
          |             CAST(SUM(tok) AS BIGINT) AS n_tokens
          |      FROM d GROUP BY 1),
-         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM p)
-         |SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
-         |       n_tokens,
-         |       CAST(n_tokens * 16 - total AS BIGINT) AS dev_num
-         |FROM p CROSS JOIN t""".stripMargin
+         |t AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total FROM p),
+         |fr AS (SELECT unnest(range(0, 16)) AS shard)
+         |SELECT CAST(fr.shard AS BIGINT) AS shard,
+         |       CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+         |       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(n_tokens, 0) * 16 - total AS BIGINT) AS dev_num
+         |FROM fr LEFT JOIN p USING (shard) CROSS JOIN t""".stripMargin
     },
     "q232_boundary_chains" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
@@ -3021,11 +3023,16 @@ object SparkEntry {
          |             ROUND((0.709 * 64 * 64) * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
          |                   / CAST(si + (64 - present) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
          |                   4) AS raw_estimate
-         |      FROM st)
-         |SELECT x.column_name, CAST(exact_distinct AS BIGINT) AS exact_distinct,
-         |       n_zero_registers, raw_estimate,
-         |       ROUND(raw_estimate / CAST(exact_distinct AS DOUBLE), 4) AS est_ratio
-         |FROM x JOIN e USING (column_name)""".stripMargin
+         |      FROM st),
+         |fr AS (${cols.map(c => s"SELECT '$c' AS column_name").mkString(" UNION ALL ")})
+         |SELECT fr.column_name,
+         |       CAST(COALESCE(exact_distinct, 0) AS BIGINT) AS exact_distinct,
+         |       CAST(COALESCE(n_zero_registers, 64) AS BIGINT) AS n_zero_registers,
+         |       raw_estimate,
+         |       CASE WHEN exact_distinct > 0
+         |            THEN ROUND(raw_estimate / CAST(exact_distinct AS DOUBLE), 4)
+         |       END AS est_ratio
+         |FROM fr LEFT JOIN x USING (column_name) LEFT JOIN e USING (column_name)""".stripMargin
     },
     "q238_pcm_energy" ->
       """WITH a AS (SELECT doc_id AS asset_id,
@@ -3094,7 +3101,10 @@ object SparkEntry {
         |FROM rk WHERE rn <= 50""".stripMargin,
     "q229_cosine_sweep" -> {
       val h = dkHash("CAST(vec_id AS VARCHAR)", 7)
-      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE $h % 100 < 20),
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings
+         |             WHERE $h % 100 < 20
+         |               AND list_sum(list_transform(embedding,
+         |                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) > 0),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dkCosine("a", "b")} AS cos
          |      FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
          |x AS (SELECT LEAST(GREATEST(CAST(floor((cos + 1.0) * 10.0) AS BIGINT), 0), 19) AS bin,

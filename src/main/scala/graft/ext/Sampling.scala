@@ -536,10 +536,12 @@ object Sampling {
     * hash's bucket-count uniformity; this audits the masses that actually
     * cost (docs AND tokens, since doc sizes vary), with an exact signed
     * deviation per shard: dev_num = n_tokens·S − total (zero ⟺ exactly
-    * the mean share).
+    * the mean share). Every shard 0..S−1 gets a row — a shard that
+    * received NOTHING (the worst imbalance this audit exists to catch)
+    * reports (0, 0, −total) instead of being silently absent.
     *
-    * Scale: one hash aggregation to ≤ S rows; totals attach as a 1-row
-    * broadcast aggregate.
+    * Scale: one hash aggregation to ≤ S rows; the 0..S−1 frame is a
+    * literal and totals attach as a 1-row broadcast aggregate.
     */
   def shardBalance(
       docs: DataFrame,
@@ -548,16 +550,24 @@ object Sampling {
       tokensCol: Column = size(split(col("text"), " ")).cast("long"),
       seed: Int = 11): DataFrame = {
     require(nShards > 0, "need at least 1 shard")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val perShard = docs.select(
         pmod(graft.ext.Dedup.stableHash(col(idCol).cast("string"), seed),
           lit(nShards.toLong)).as("shard"),
         tokensCol.as("__tok"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).cast("long").as("n_tokens"))
-    val tot = perShard.agg(sum(col("n_tokens")).cast("long").as("__total"))
-    perShard.crossJoin(broadcast(tot))
-      .select(col("shard"), col("n_docs"), col("n_tokens"),
-        (col("n_tokens") * nShards - col("__total")).as("dev_num"))
+    val tot = perShard.agg(coalesce(sum(col("n_tokens")), lit(0L))
+      .cast("long").as("__total"))
+    (0L until nShards.toLong).toDF("shard")
+      .join(perShard, Seq("shard"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) * nShards - col("__total"))
+          .as("dev_num"))
   }
 
   /** Source-cap planning by exact integer waterfilling (E192): the largest

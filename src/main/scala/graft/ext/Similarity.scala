@@ -231,8 +231,15 @@ object Similarity {
     val spark = corpus.sparkSession
     val sub = corpus.filter(
       pmod(Dedup.stableHash(col(idCol).cast("string"), seed), lit(100L)) < pct)
+    // Zero-norm vectors are EXCLUDED explicitly: their cosine is NaN, and
+    // floor(NaN) would bin to null — pairs silently vanishing from every
+    // bin, breaking the "bins partition the subsample pair square"
+    // invariant the spec asserts. A documented precondition beats silent
+    // row loss.
     val a = prepared(sub, idCol, vecCol, "id_a", "a_vec", "a_nrm")
+      .filter(col("a_nrm") > 0.0)
     val b = prepared(sub, idCol, vecCol, "id_b", "b_vec", "b_nrm")
+      .filter(col("b_nrm") > 0.0)
     val half = bins / 2.0 // exact double for even bins
     val binCol = least(greatest(
         floor((col("cos") + lit(1.0)) * lit(half)).cast("long"), lit(0L)),

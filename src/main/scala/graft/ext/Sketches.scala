@@ -387,6 +387,8 @@ object Sketches {
   def hllColumnAudit(
       df: DataFrame, cols: Seq[String], m: Int = 64, seed: Int = 17): DataFrame = {
     require(cols.nonEmpty, "hllColumnAudit needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
     val vals = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("p"))
@@ -397,10 +399,20 @@ object Sketches {
       .agg(count(lit(1)).as("exact_distinct"))
     val est = hllRawEstimateBy(
       hllRegistersBy(vals, "column_name", "v", m, seed), "column_name", m)
-    exact.join(est, Seq("column_name"))
-      .select(col("column_name"), col("exact_distinct"),
-        col("n_zero_registers"), col("raw_estimate"),
-        round(col("raw_estimate") / col("exact_distinct").cast("double"), 4)
+    // Drive the report from the REQUESTED column list, not the observed
+    // values: a column whose values are all NULL must still appear (as
+    // exact_distinct = 0, all m registers zero, null estimate fields) —
+    // "not audited" and "all null" are different findings, and est_ratio
+    // must not divide by an exact count of zero.
+    cols.toDF("column_name")
+      .join(exact, Seq("column_name"), "left")
+      .join(est, Seq("column_name"), "left")
+      .select(col("column_name"),
+        coalesce(col("exact_distinct"), lit(0L)).as("exact_distinct"),
+        coalesce(col("n_zero_registers"), lit(m.toLong)).as("n_zero_registers"),
+        col("raw_estimate"),
+        when(col("exact_distinct") > 0L,
+          round(col("raw_estimate") / col("exact_distinct").cast("double"), 4))
           .as("est_ratio"))
   }
 

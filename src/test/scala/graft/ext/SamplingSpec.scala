@@ -369,8 +369,24 @@ class SamplingSpec extends SparkSpec {
       assert(r.getAs[Long]("dev_num") ===
         r.getAs[Long]("n_tokens") * 8 - totalTok)
     }
-    // used shards only (an empty shard has no mass to report)
-    assert(out.map(_.getAs[Long]("shard")).distinct.length === out.length)
+    // every shard 0..S-1 reports exactly once
+    assert(out.map(_.getAs[Long]("shard")).sorted.toSeq === (0L until 8L))
+  }
+
+  test("shardBalance: an empty shard reports (0, 0, -total), not silence") {
+    import spark.implicits._
+    // 2 docs across 64 shards: most shards receive nothing — the worst
+    // imbalance the audit exists to catch must be VISIBLE rows
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val out = Sampling.shardBalance(docs, nShards = 64).collect()
+    assert(out.length === 64)
+    val empty = out.filter(_.getAs[Long]("n_docs") === 0L)
+    assert(empty.length === 62)
+    empty.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === 0L)
+      assert(r.getAs[Long]("dev_num") === -5L) // 0·S − total(= 3 + 2)
+    }
+    assert(out.map(_.getAs[Long]("dev_num")).sum === 0L)
   }
 
   test("capSources: integer waterfilling hits the documented optima") {

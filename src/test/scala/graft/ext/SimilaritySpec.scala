@@ -264,6 +264,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_pairs")).sum > 0L)
   }
 
+  test("cosineThresholdSweep: zero-norm vectors are excluded, not silently lost to NaN bins") {
+    import spark.implicits._
+    // 4 unit-ish vectors + 1 zero vector, pct=100 so all are sampled
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f))) // zero norm: cosine undefined
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineThresholdSweep(emb, pct = 100, bins = 4).collect()
+    // the pair square is over the 4 NONZERO vectors — complete, no NaN loss
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === 4L * 3 / 2)
+    assert(out.forall(r => r.getAs[Long]("n_docs") <= 4L))
+  }
+
   test("ivfOperatingCurve: recall and cost non-decreasing in nprobe; full probe is exact") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val out = Similarity.ivfOperatingCurve(

@@ -167,6 +167,22 @@ class SketchesSpec extends SparkSpec {
     assert(out("wide").getAs[Double]("raw_estimate") > 0.0)
   }
 
+  test("hllColumnAudit: an all-null column still reports, with null estimate fields") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, Option.empty[String])).toDF("id", "dead")
+    val out = Sketches.hllColumnAudit(df, Seq("id", "dead"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    // "not audited" and "all null" must be distinguishable: the value-less
+    // column appears with exact_distinct = 0, all registers zero, and null
+    // estimate/ratio (no divide-by-zero)
+    assert(out.keySet === Set("id", "dead"))
+    assert(out("dead").getAs[Long]("exact_distinct") === 0L)
+    assert(out("dead").getAs[Long]("n_zero_registers") === 64L)
+    assert(out("dead").isNullAt(out("dead").fieldIndex("raw_estimate")))
+    assert(out("dead").isNullAt(out("dead").fieldIndex("est_ratio")))
+    assert(out("id").getAs[Long]("exact_distinct") === 50L)
+  }
+
   test("cmsErrorProfile: wide sketch is collision-free; tight sketch shows the overestimate mass") {
     import spark.implicits._
     val items = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"item$i")).toDF("it")
