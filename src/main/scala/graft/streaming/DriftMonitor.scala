@@ -20,7 +20,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * running totals are one partition-pruned groupBy over that tree.
   * Per-batch cost is
   * O(batch + #keys), never O(stream history): the history is already
-  * reduced to counts.
+  * reduced to counts. The per-micro-batch directory the tree accumulates
+  * is bounded by periodically folding it with
+  * `BatchSink.compact(spark, countsPath, Seq("key"), Seq("n"))` — counts
+  * are additive, so cumulative reads are identical before and after.
   */
 object DriftMonitor {
 

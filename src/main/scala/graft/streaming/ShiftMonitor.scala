@@ -19,7 +19,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * re-delivery finds its partition complete and writes nothing, a torn
   * partial heals). Per-batch cost is O(batch + observed buckets), never
   * O(stream history) — history is already reduced to bucket counts, and
-  * the change-point windows run over the bucket table only.
+  * the change-point windows run over the bucket table only. The one
+  * stream-age-proportional cost left — one `batch_id=N` directory per
+  * micro-batch in the listing — is bounded by periodically folding the
+  * tree with `BatchSink.compact(spark, countsPath, Seq("etype", "bucket"),
+  * Seq("n"))` (counts are additive, so reports are identical before and
+  * after — ShiftMonitorSpec proves it).
   */
 object ShiftMonitor {
 

@@ -42,6 +42,74 @@ class BatchSinkSpec extends SparkSpec {
     assert(fs.exists(new Path(dest, "_SUCCESS")))
   }
 
+  test("completeness marker is the sink's own — survives a disabled committer marker conf") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = conf.get(key)
+    conf.set(key, "false") // deployment that disables Spark's _SUCCESS
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val dest = s"$base/batch_id=0"
+      BatchSink.writeOnce(Seq((1L, "a")).toDF("id", "v"), dest)
+      val fs = new Path(dest).getFileSystem(conf)
+      // the sink wrote its own marker, so the partition counts as complete...
+      assert(fs.exists(new Path(dest, "_SUCCESS")))
+      // ...and a redelivery is an idempotent skip, not a delete+rewrite
+      BatchSink.writeOnce(Seq((9L, "dup")).toDF("id", "v"), dest)
+      val rows = spark.read.parquet(base).collect()
+      assert(rows.length === 1 && rows.head.getLong(0) === 1L)
+    } finally {
+      if (prev == null) conf.unset(key) else conf.set(key, prev)
+    }
+  }
+
+  test("compact folds a complete prefix, preserves totals, and caps at a gap or torn dir") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // batches 0..3 complete, 4 missing (in flight), 5 complete
+    Seq(0, 1, 2, 3, 5).foreach { i =>
+      BatchSink.writeOnce(
+        Seq(("k1", 1L * (i + 1)), ("k2", 10L)).toDF("key", "n"),
+        s"$base/batch_id=$i")
+    }
+    val before = spark.read.parquet(base)
+      .groupBy("key").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    // gap at 4 caps the fold at 3 — folding past an in-flight batch would
+    // lose it to the watermark
+    assert(BatchSink.compact(spark, base, Seq("key"), Seq("n")) === 3L)
+    val dirs = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(dirs.toSeq === Seq("batch_id=3", "batch_id=5"))
+    val after = spark.read.parquet(base)
+      .groupBy("key").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(after === before)
+    // redelivery of a folded batch: watermark makes it a no-op
+    BatchSink.writeOnce(Seq(("k1", 999L)).toDF("key", "n"), s"$base/batch_id=1")
+    assert(!new java.io.File(s"$base/batch_id=1").exists())
+    // nothing left to fold below the next complete prefix of >= 2
+    assert(BatchSink.compact(spark, base, Seq("key"), Seq("n")) === -1L)
+  }
+
+  test("compact resumes a crash between watermark publish and the swap") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    (0 to 2).foreach { i =>
+      BatchSink.writeOnce(Seq(("k", 5L)).toDF("key", "n"), s"$base/batch_id=$i")
+    }
+    // simulate the crash state: consolidated temp complete, dirs not yet swapped
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("k", 15L)).toDF("key", "n").write.parquet(s"$base/.compact.inprogress")
+    val idOut = fs.create(new Path(s"$base/.compact.inprogress/_compact_id"))
+    idOut.write("2".getBytes("UTF-8")); idOut.close()
+    assert(BatchSink.compact(spark, base, Seq("key"), Seq("n")) === 2L)
+    val rows = spark.read.parquet(base).collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("n") === 15L)
+    assert(!fs.exists(new Path(s"$base/.compact.inprogress")))
+  }
+
   test("in-flight temp dirs are dot-prefixed — invisible to readers of the tree") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString

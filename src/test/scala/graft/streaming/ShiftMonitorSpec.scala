@@ -52,6 +52,40 @@ class ShiftMonitorSpec extends SparkSpec {
     assert(r2("a").getAs[Long]("n_buckets") === 5L)
   }
 
+  test("compacting the count tree mid-stream changes nothing the reports can see") {
+    // two trees fed the same batches; one compacts between batches 2 and 3
+    val basePlain = java.nio.file.Files.createTempDirectory("graft_shift_p").toString
+    val baseComp = java.nio.file.Files.createTempDirectory("graft_shift_c").toString
+    val batches = Seq(
+      mkEvents(Seq(("a", 1L, 1L), ("a", 2L, 1L), ("b", 1L, 4L))),
+      mkEvents(Seq(("a", 3L, 1L), ("b", 2L, 4L))),
+      mkEvents(Seq(("a", 4L, 9L), ("a", 5L, 9L))),
+      mkEvents(Seq(("a", 2L, 8L), ("b", 3L, 1L))))
+    def run(counts: String, compactAfter: Option[Int]) =
+      batches.zipWithIndex.map { case (b, i) =>
+        val rep = byType(ShiftMonitor.monitorBatch(b, counts, i.toLong))
+          .map { case (t, r) => t ->
+            ((r.getAs[Long]("n_buckets"), r.getAs[Long]("n_events"),
+              r.getAs[Long]("split_bucket"), r.getAs[Long]("d_num"))) }
+        if (compactAfter.contains(i)) {
+          val w = BatchSink.compact(spark, counts, Seq("etype", "bucket"), Seq("n"))
+          assert(w === i.toLong)
+        }
+        rep
+      }
+    val plain = run(s"$basePlain/counts", None)
+    val compacted = run(s"$baseComp/counts", Some(2))
+    assert(compacted === plain)
+    // the tree really did shrink to one consolidated dir + the post-compact batch
+    val dirs = new java.io.File(s"$baseComp/counts").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(dirs.toSeq === Seq("batch_id=2", "batch_id=3"))
+    // a redelivery of a FOLDED batch is skipped by the watermark, not re-added
+    val again = byType(ShiftMonitor.monitorBatch(batches(1), s"$baseComp/counts", 1L))
+    assert(again("a").getAs[Long]("n_events") ===
+      plain.last("a")._2)
+  }
+
   test("streaming surface writes one exactly-once report per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
