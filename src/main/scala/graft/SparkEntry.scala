@@ -1921,6 +1921,33 @@ object SparkEntry {
     "q240_audience_overlap" -> { (s, dir) =>
       graft.ops.Coverage.audienceOverlap(Tables.events(s, dir))
     },
+    // BMP decode stats (E201): a REAL image codec in the engine, the
+    // second fixed-layout format after q238's PCM16 — documents encode as
+    // valid uncompressed 24-bpp BMPs (width 6 → stride 20, so every row
+    // carries 2 reader-skipped pad bytes), then bmpStats re-parses the
+    // header and walks the pixel array via hex arithmetic: exact BGR
+    // channel sums + fixed-point mean luma. Encode AND decode replay in
+    // the oracle. Limited to 120 assets to bound the per-pixel expansion.
+    "q241_bmp_stats" -> { (s, dir) =>
+      // the boundary between codec halves is load-bearing twice over: the
+      // repartition spreads the per-pixel decode walk across cores (decode
+      // cost is w·h rows per asset, far heavier than the encode
+      // projection), and the localCheckpoint severs the lineage — without
+      // it predicate pushdown drags the decode's header-validity filter
+      // down onto the encode projection, where scan-collapse inlines the
+      // 15-field encode expression into every header-byte access (21×),
+      // recomputing the encode per field and blowing the generated code
+      // past Janino's 64 KB method limit into interpreted fallback. A real
+      // pipeline has this boundary naturally: encoded assets come back off
+      // storage.
+      graft.ext.Multimodal.bmpStats(
+        graft.ext.Multimodal.encodeBmp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 120)),
+          width = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3050,6 +3077,60 @@ object SparkEntry {
         |SELECT asset_id, CAST(window_idx AS BIGINT) AS window_idx,
         |       COUNT(*) AS n_samples, CAST(SUM(v*v) AS BIGINT) AS energy
         |FROM v GROUP BY 1, 2""".stripMargin,
+    "q241_bmp_stats" -> {
+      // the oracle replays BOTH sides of the codec: LE header-field hex
+      // construction, unhex→hex round trip, then the same header parse and
+      // padded-stride pixel walk as Multimodal.bmpStats
+      def le32(e: String) = {
+        val h = s"lpad(hex($e), 8, '0')"
+        s"(substr($h,7,2)||substr($h,5,2)||substr($h,3,2)||substr($h,1,2))"
+      }
+      def u16(o: Int) =
+        s"(CAST(('0x'||substr(h,${2 * o + 1},2)) AS BIGINT) + " +
+          s"256*CAST(('0x'||substr(h,${2 * o + 3},2)) AS BIGINT))"
+      def u32(o: Int) = s"(${u16(o)} + 65536*${u16(o + 2)})"
+      s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |            FROM documents WHERE doc_id < 120),
+         |g AS (SELECT asset_id, p, octet_length(p) // 20 AS hgt FROM src
+         |      WHERE octet_length(p) // 20 >= 1),
+         |enc AS (SELECT asset_id,
+         |        '424D' || ${le32("54 + hgt*20")} || '00000000' || ${le32("54")} ||
+         |        ${le32("40")} || ${le32("6")} || ${le32("hgt")} || '0100' || '1800' ||
+         |        ${le32("0")} || ${le32("hgt*20")} || ${le32("2835")} || ${le32("2835")} ||
+         |        ${le32("0")} || ${le32("0")} ||
+         |        substr(hex(p), 1, CAST(2*hgt*20 AS BIGINT)) AS hx
+         |        FROM g),
+         |d AS (SELECT asset_id, hex(unhex(hx)) AS h, octet_length(unhex(hx)) AS n
+         |      FROM enc),
+         |hdr AS (SELECT asset_id, h, n, ${u32(18)} AS w, ${u32(22)} AS hraw,
+         |               ${u16(28)} AS bpp, ${u32(30)} AS comp, ${u32(10)} AS poff
+         |        FROM d),
+         |geo AS (SELECT *, CASE WHEN hraw >= 2147483648 THEN 4294967296 - hraw
+         |                       ELSE hraw END AS hgt2,
+         |               ((w*3 + 3) // 4) * 4 AS stride FROM hdr),
+         |v AS (SELECT * FROM geo
+         |      WHERE n >= 54 AND substr(h,1,4) = '424D' AND bpp = 24 AND comp = 0
+         |        AND w >= 1 AND hgt2 >= 1 AND n >= poff + hgt2*stride),
+         |px AS (SELECT asset_id, h, poff, stride, w, unnest(range(0, hgt2)) AS y
+         |       FROM v),
+         |pxx AS (SELECT asset_id, h, poff + y*stride AS ro, unnest(range(0, w)) AS x
+         |        FROM px),
+         |c AS (SELECT asset_id,
+         |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+1 AS BIGINT), 2)) AS BIGINT) AS bl,
+         |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+3 AS BIGINT), 2)) AS BIGINT) AS gr,
+         |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+5 AS BIGINT), 2)) AS BIGINT) AS rd
+         |      FROM pxx),
+         |s AS (SELECT asset_id, COUNT(*) AS n_pixels, SUM(rd) AS sum_r,
+         |             SUM(gr) AS sum_g, SUM(bl) AS sum_b,
+         |             SUM(299*rd + 587*gr + 114*bl) AS lum
+         |      FROM c GROUP BY 1)
+         |SELECT v.asset_id, TRUE AS is_valid, CAST(w AS BIGINT) AS width,
+         |       CAST(hgt2 AS BIGINT) AS height, CAST(n_pixels AS BIGINT) AS n_pixels,
+         |       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+         |       CAST(sum_b AS BIGINT) AS sum_b,
+         |       CAST(lum // n_pixels AS BIGINT) AS mean_luma_milli
+         |FROM v JOIN s USING (asset_id)""".stripMargin
+    },
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

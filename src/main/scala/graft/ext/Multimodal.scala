@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * payloads as opaque BINARY columns with typed metadata, plus the
   * decode / feature-extract plumbing a 100 TB media pipeline needs.
   *
-  * The actual codec step is a STUB — media libraries are not available in
-  * this environment — replaced by a deterministic digest-derived fake
-  * (clearly marked below). Everything around it is real and tested: the
-  * asset schema, binary columns, partition-sized batching, and the
-  * feature-extraction interface. Swapping in a real decoder replaces ONE
-  * function body without touching the pipeline shape.
+  * Fixed-layout formats decode FOR REAL, in-engine, with no codec library:
+  * PCM16LE audio ([[pcmWindowEnergy]]) and uncompressed 24-bpp BMP images
+  * ([[encodeBmp]]/[[bmpStats]]) are pure arithmetic over `hex()`, so the
+  * whole decode is codegen'd per row and replays bit-identically in the
+  * oracle. Only COMPRESSED formats (JPEG/PNG/H.264 — entropy coding needs
+  * a codec library this environment doesn't have) remain a STUB, replaced
+  * by a deterministic digest-derived fake (clearly marked below).
+  * Everything around that stub is real and tested: the asset schema,
+  * binary columns, partition-sized batching, and the feature-extraction
+  * interface. Swapping in a real decoder replaces ONE function body
+  * without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -49,10 +54,13 @@ object Multimodal {
       .withColumn("content_digest", md5(col("bytes")))
 
   // ------------------------------------------------------------------
-  // STUB DECODE: deterministic fake features derived from the content
-  // digest. A real deployment replaces `fakeDecodedFeatures` with a codec
-  // call (e.g. JNI image decode inside mapPartitions) — the surrounding
-  // schema, batching and partitioning stay as-is.
+  // STUB DECODE (compressed formats only — JPEG/PNG/H.264): deterministic
+  // fake features derived from the content digest. A real deployment
+  // replaces `fakeDecodedFeatures` with a codec call (e.g. JNI image
+  // decode inside mapPartitions) — the surrounding schema, batching and
+  // partitioning stay as-is. Fixed-layout formats don't need this seam:
+  // see pcmWindowEnergy (PCM16) and bmpStats (BMP) below for real
+  // in-engine decodes.
   // ------------------------------------------------------------------
 
   /** Digest-derived pseudo-features (STUB): "width"/"height" from hex
@@ -150,6 +158,157 @@ object Multimodal {
       .groupBy("asset_id", "window_idx")
       .agg(count(lit(1)).as("n_samples"),
         sum(col("v") * col("v")).cast("long").as("energy"))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL IMAGE CODEC: uncompressed 24-bpp BMP. Like PCM16 (pcmWindowEnergy)
+  // this is pure arithmetic — header fields are little-endian integers at
+  // fixed offsets and the pixel array is raw BGR triplets with rows padded
+  // to 4-byte boundaries — so the engine encodes AND decodes natively
+  // through hex() (bit-identical in Spark and DuckDB; the whole codec
+  // replays in the oracle). The digest-stub above now stands in ONLY for
+  // compressed formats (JPEG/PNG/H.264), whose entropy coding genuinely
+  // needs a codec library this environment doesn't have.
+  // ------------------------------------------------------------------
+
+  /** Little-endian hex of the low 4 (resp. 2) bytes of a non-negative
+    * integral column — the BMP header field encoding.
+    */
+  private def le32(v: Column): Column = {
+    val h = lpad(hex(v), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le16(v: Column): Column = {
+    val h = lpad(hex(v), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Encode each asset's payload bytes as a valid bottom-up 24-bpp
+    * uncompressed BMP of the given pixel width: a 54-byte
+    * BITMAPFILEHEADER+BITMAPINFOHEADER, then the first `height·stride`
+    * payload bytes as the pixel array, where
+    * `stride = ⌈3·width/4⌉·4` (BMP's 4-byte row padding) and
+    * `height = ⌊len/stride⌋` (assets shorter than one row are dropped —
+    * no pixels to carry). The payload bytes at row-padding positions ride
+    * along as the (arbitrary, reader-skipped) pad bytes.
+    *
+    * Header layout per the public BMP format: magic "BM"; u32 file size;
+    * 4 reserved bytes; u32 pixel-array offset (54); u32 DIB header size
+    * (40); i32 width; i32 height; u16 planes (1); u16 bpp (24); u32
+    * compression (0 = BI_RGB); u32 image size; u32 x/y pixels-per-metre;
+    * u32 palette counts (0). All little-endian.
+    *
+    * Scale: one codegen'd projection per asset — string/hex arithmetic
+    * only, no UDF, no driver work.
+    */
+  def encodeBmp(assets: DataFrame, width: Int = 6): DataFrame = {
+    require(width >= 1, "width must be positive")
+    val stride = ((3 * width + 3) / 4) * 4
+    val height = expr(s"octet_length(bytes) div $stride").cast("long")
+    val pixelHex = expr(s"substring(hex(bytes), 1, cast(2 * (octet_length(bytes) div $stride) * $stride as int))")
+    val hx = concat(
+      lit("424D"),                                 // "BM"
+      le32(lit(54L) + height * stride),            // file size
+      lit("00000000"),                             // reserved
+      le32(lit(54L)),                              // pixel-array offset
+      le32(lit(40L)),                              // DIB header size
+      le32(lit(width.toLong)),                     // width
+      le32(height),                                // height (bottom-up)
+      le16(lit(1L)),                               // planes
+      le16(lit(24L)),                              // bits per pixel
+      le32(lit(0L)),                               // compression = BI_RGB
+      le32(height * stride),                       // image size
+      le32(lit(2835L)), le32(lit(2835L)),          // 72 dpi in px/metre
+      le32(lit(0L)), le32(lit(0L)),                // palette sizes
+      pixelHex)
+    assets
+      .filter(height >= 1L)
+      .withColumn("bytes", unhex(hx))
+  }
+
+  /** Decode uncompressed 24-bpp BMP assets natively (E201): parse the
+    * header via hex arithmetic (magic, width, height, bpp, compression,
+    * pixel-array offset), then walk the pixel array — row stride padded to
+    * 4 bytes, pad bytes skipped, BGR byte order, top-down (negative
+    * height) accepted — and report exact per-channel sums plus the
+    * fixed-point mean luma ⌊Σ(299R+587G+114B) / n⌋ (ITU-R 601 in
+    * milli-units). Assets that are not decodable 24-bpp BI_RGB BMPs (bad
+    * magic, other bpp, compressed, or a pixel array that overruns the
+    * actual bytes) report is_valid = false with null stats — a corrupt
+    * asset is a visible finding, not a dropped row.
+    *
+    * Scale: pixels explode engine-side in TWO levels (rows, then columns)
+    * so per-row generated arrays are max(width, height) long — a
+    * 100-megapixel scan never materializes one 10⁸-element array — and
+    * every byte access is codegen'd hex arithmetic; the stats aggregation
+    * map-side-combines per asset. The size-consistency validity check
+    * (`n ≥ offset + height·stride`) also bounds the explosion by the
+    * asset's real byte length, so a forged header cannot blow up the plan.
+    *
+    * Composition note: decode straight off a storage scan (the normal
+    * case). If the input `bytes` is itself a wide synthesized expression
+    * (e.g. [[encodeBmp]] in the same plan), put a materialization boundary
+    * between the halves (`.repartition(...).localCheckpoint()` or a
+    * write/read) — otherwise predicate pushdown + scan-collapse inline the
+    * producer expression into every header-byte access (see q241's
+    * comment).
+    */
+  def bmpStats(assets: DataFrame): DataFrame = {
+    // Each header byte reads as hex of a ONE-BYTE binary slice — never one
+    // shared "hex of the whole payload" string. A shared giant alias gets
+    // substituted into every consumer when projections collapse, which (a)
+    // re-hexes the full payload once per field and (b) multiplies the
+    // expression tree past Janino's method limit (observed: 16k-line
+    // codegen → interpreted fallback). Flat per-field slices keep every
+    // access O(1) in payload size and the whole stage codegen'd.
+    def u8(o: Int) =
+      conv(hex(substring(col("bytes"), o + 1, 1)), 16, 10).cast("long")
+    def u16c(o: Int) = u8(o) + lit(256L) * u8(o + 1)
+    def u32c(o: Int) = u16c(o) + lit(65536L) * u16c(o + 2)
+    val hdr = assets
+      .select(col("asset_id"), col("bytes"),
+        octet_length(col("bytes")).cast("long").as("n"),
+        (hex(substring(col("bytes"), 1, 2)) === "424D").as("magic_ok"),
+        u32c(18).as("w"), u32c(22).as("hraw"), u16c(28).as("bpp"),
+        u32c(30).as("comp"), u32c(10).as("poff"))
+      // i32 height < 0 (two's complement) = top-down row order; row order
+      // is irrelevant to per-image aggregates, so only |height| matters
+      .withColumn("hgt",
+        when(col("hraw") >= 2147483648L, lit(4294967296L) - col("hraw"))
+          .otherwise(col("hraw")))
+      .withColumn("stride", expr("((w * 3 + 3) div 4) * 4"))
+      .withColumn("is_valid",
+        col("n") >= 54L && col("magic_ok") &&
+          col("bpp") === 24L && col("comp") === 0L &&
+          col("w") >= 1L && col("hgt") >= 1L &&
+          col("n") >= col("poff") + col("hgt") * col("stride"))
+    val stats = hdr.filter(col("is_valid"))
+      .select(col("asset_id"), col("bytes"), col("w"), col("hgt"),
+        col("stride"), col("poff"))
+      .withColumn("y", explode(sequence(lit(0L), col("hgt") - 1)))
+      .withColumn("x", explode(sequence(lit(0L), col("w") - 1)))
+      // one 3-byte slice per pixel, hexed once (6 chars), channels off it
+      .select(col("asset_id"),
+        expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))")
+          .as("ph"))
+      .select(col("asset_id"),
+        conv(substring(col("ph"), 1, 2), 16, 10).cast("long").as("bl"),
+        conv(substring(col("ph"), 3, 2), 16, 10).cast("long").as("gr"),
+        conv(substring(col("ph"), 5, 2), 16, 10).cast("long").as("rd"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("rd")).cast("long").as("sum_r"),
+        sum(col("gr")).cast("long").as("sum_g"),
+        sum(col("bl")).cast("long").as("sum_b"),
+        sum(lit(299L) * col("rd") + lit(587L) * col("gr") + lit(114L) * col("bl"))
+          .cast("long").as("__lum"))
+    hdr.select(col("asset_id"), col("is_valid"),
+        when(col("is_valid"), col("w")).as("width"),
+        when(col("is_valid"), col("hgt")).as("height"))
+      .join(stats, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("is_valid"), col("width"), col("height"),
+        col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+        expr("__lum div n_pixels").as("mean_luma_milli"))
   }
 
   /** Partition-wise batched decode seam: groups each partition's assets into

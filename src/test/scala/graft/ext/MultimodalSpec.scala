@@ -60,6 +60,85 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BMP round trip: encodeBmp output decodes to exact channel sums (no padding case)") {
+    import spark.implicits._
+    // width 4 → stride 12 = 3·4: every payload byte is a pixel byte.
+    // payload = bytes 0..23 → 2 rows of 4 BGR pixels
+    val payload = Array.tabulate(24)(_.toByte)
+    val assets = Seq((1L, payload)).toDF("asset_id", "bytes")
+    val out = Multimodal.bmpStats(Multimodal.encodeBmp(assets, width = 4)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Boolean]("is_valid"))
+    assert(r.getAs[Long]("width") === 4L && r.getAs[Long]("height") === 2L)
+    assert(r.getAs[Long]("n_pixels") === 8L)
+    // B = indices ≡ 0 (mod 3), G ≡ 1, R ≡ 2
+    assert(r.getAs[Long]("sum_b") === 84L)
+    assert(r.getAs[Long]("sum_g") === 92L)
+    assert(r.getAs[Long]("sum_r") === 100L)
+    assert(r.getAs[Long]("mean_luma_milli") ===
+      (299L * 100 + 587L * 92 + 114L * 84) / 8)
+  }
+
+  test("BMP decode skips row padding: pad bytes never reach the channel sums") {
+    import spark.implicits._
+    // width 6 → stride 20: per row 18 pixel bytes + 2 pad bytes. Poison
+    // the pad positions with 0xFF — a decoder that walked the array as
+    // contiguous triplets would absorb them and the sums would shift.
+    val payload = Array.tabulate(40) { i =>
+      if (i == 18 || i == 19 || i == 38 || i == 39) 0xFF.toByte else i.toByte
+    }
+    val assets = Seq((1L, payload)).toDF("asset_id", "bytes")
+    val r = Multimodal.bmpStats(Multimodal.encodeBmp(assets, width = 6))
+      .collect().head
+    assert(r.getAs[Boolean]("is_valid"))
+    assert(r.getAs[Long]("width") === 6L && r.getAs[Long]("height") === 2L)
+    assert(r.getAs[Long]("n_pixels") === 12L)
+    assert(r.getAs[Long]("sum_b") === 210L)
+    assert(r.getAs[Long]("sum_g") === 222L)
+    assert(r.getAs[Long]("sum_r") === 234L)
+  }
+
+  private def leBmp(width: Int, heightField: Int, bpp: Int,
+      pixelArray: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54 + pixelArray.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixelArray.length)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(heightField)
+      .putShort(1).putShort(bpp.toShort).putInt(0).putInt(pixelArray.length)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      .put(pixelArray)
+    bb.array()
+  }
+
+  test("BMP decode: top-down (negative height) accepted; malformed assets report is_valid=false") {
+    import spark.implicits._
+    // hand-built 2×1 top-down BMP (height field = -1), stride 8
+    val topDown = leBmp(2, -1, 24,
+      Array[Byte](10, 20, 30, 40, 50, 60, 0, 0))
+    val assets = Seq(
+      (1L, topDown),
+      (2L, "notabmp-notabmp-notabmp".getBytes("UTF-8")), // bad magic
+      (3L, topDown.dropRight(2)),                        // pixel array overruns n
+      (4L, leBmp(2, 1, 32, Array.fill[Byte](8)(1))))     // 32 bpp unsupported
+      .toDF("asset_id", "bytes")
+    val out = Multimodal.bmpStats(assets)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(out.size === 4)
+    val ok = out(1L)
+    assert(ok.getAs[Boolean]("is_valid"))
+    assert(ok.getAs[Long]("width") === 2L && ok.getAs[Long]("height") === 1L)
+    assert(ok.getAs[Long]("n_pixels") === 2L)
+    assert(ok.getAs[Long]("sum_b") === 50L && ok.getAs[Long]("sum_g") === 70L &&
+      ok.getAs[Long]("sum_r") === 90L)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("is_valid"), s"asset $id must be invalid")
+      assert(out(id).isNullAt(out(id).fieldIndex("n_pixels")))
+      assert(out(id).isNullAt(out(id).fieldIndex("width")))
+    }
+  }
+
   test("pcmWindowEnergy: little-endian int16 decode, exact window energies") {
     import spark.implicits._
     // samples: 0x0001 = 1, 0x7FFF = 32767, 0x8000 = -32768; trailing odd
