@@ -102,20 +102,77 @@ object Profiler {
     * the SQL-standard PERCENTILE_CONT definition DuckDB's quantile_cont
     * shares), one output row per requested p. Exact percentile aggregation
     * buffers each partition's values — right for profiling runs and the
-    * oracle; at full 100 TB interactive scale prefer
-    * `approx_percentile(col, p, accuracy)` (t-digest, map-side combined),
-    * which this method intentionally does not hide behind.
+    * oracle; at full 100 TB interactive scale use [[approxPercentiles]]
+    * (mergeable sketch, map-side combined) — [[percentilesAuto]] routes
+    * between the two automatically off the footer row count.
     */
+  /** The one-pass array-percentile aggregate both quantile routes share —
+    * `approxAccuracy = None` takes the exact sorted value buffer,
+    * `Some(accuracy)` the mergeable `approx_percentile` sketch.
+    * Package-private so plan tests can pin each route's physical shape
+    * (the public surfaces localize the single wide row, hiding the
+    * aggregate from their own explain output).
+    */
+  private[graft] def percentileWideAgg(
+      df: DataFrame, column: String, ps: Seq[Double],
+      approxAccuracy: Option[Int]): DataFrame =
+    df.agg(approxAccuracy
+      .map(a => percentile_approx(col(column), typedlit(ps), lit(a)))
+      .getOrElse(percentile(col(column), typedlit(ps)))
+      .as("__ps"))
+
+  private def unpivotPercentiles(
+      wide: DataFrame, ps: Seq[Double]): DataFrame =
+    ps.zipWithIndex.map { case (p, i) =>
+      wide.select(lit(p).as("p"),
+        element_at(col("__ps"), i + 1).cast("double").as("value"))
+    }.reduce(_ unionByName _)
+
   def percentiles(df: DataFrame, column: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "percentiles needs at least one p")
     // ONE array-percentile aggregate: a single value buffer + single sort
     // serves every requested p (N separate aggregates would buffer and
     // sort the column N times — measured 3× slower at five ps)
-    val wide = ParquetCatalog.localized(
-      df.agg(percentile(col(column), typedlit(ps)).as("__ps")))
-    ps.zipWithIndex.map { case (p, i) =>
-      wide.select(lit(p).as("p"), element_at(col("__ps"), i + 1).as("value"))
-    }.reduce(_ unionByName _)
+    unpivotPercentiles(
+      ParquetCatalog.localized(percentileWideAgg(df, column, ps, None)), ps)
+  }
+
+  /** Approx twin of [[percentiles]]: identical (p, value) output schema,
+    * but the quantiles come from `approx_percentile` (a mergeable
+    * quantile sketch, map-side combined) — NO per-partition value
+    * buffering, so the pass stays one combine-friendly aggregation at any
+    * corpus size. `accuracy` trades sketch size for error (1/accuracy
+    * relative rank error).
+    */
+  def approxPercentiles(
+      df: DataFrame, column: String, ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "approxPercentiles needs at least one p")
+    unpivotPercentiles(
+      ParquetCatalog.localized(
+        percentileWideAgg(df, column, ps, Some(accuracy))), ps)
+  }
+
+  /** Cost-routed percentiles, the [[profileAuto]] discipline applied to
+    * quantiles: the catalog's FOOTER row count (driver-side metadata read,
+    * no data pages) picks [[percentiles]]' exact sorted-buffer aggregate
+    * below `exactRowLimit` and [[approxPercentiles]]' mergeable sketch
+    * above it — a 100 TB caller is routed off the per-partition value
+    * buffer automatically instead of having to know the escape hatch
+    * exists.
+    */
+  def percentilesAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String,
+      column: String,
+      ps: Seq[Double],
+      exactRowLimit: Long = 50000000L,
+      accuracy: Int = 10000): DataFrame = {
+    val meta = ParquetCatalog.tableMeta(spark, dir, table)
+    val df = spark.read.parquet(meta.path)
+    if (meta.numRows <= exactRowLimit) percentiles(df, column, ps)
+    else approxPercentiles(df, column, ps, accuracy)
   }
 
   /** Equi-width histogram over `[lo, hi)` in `nBuckets` buckets; values at

@@ -276,9 +276,33 @@ object Similarity {
     * Scale: the selected set is driver-scale by definition (k rows), so
     * each step is ONE distributed argmax over the corpus — candidates
     * score against ≤ k literal vectors (codegen'd dots), a TakeOrdered(1)
-    * reduces, and k total passes run. [[diverseSelect]] is the
-    * one-pass clustered alternative when k is large.
+    * reduces, and k total passes run over the PERSISTED candidate frame:
+    * one scan + normalization, then k cached passes (not k scans).
+    * [[diverseSelect]] is the one-pass clustered alternative when k is
+    * large.
     */
+  /** The candidate frame every [[mmrSelect]] argmax round scores:
+    * normalized corpus minus the query row, with the query-relevance dot
+    * attached. Package-private so the plan spec can prove a persisted
+    * instance serves later rounds from the cached relation, not the scan.
+    */
+  private[graft] def mmrCandidateFrame(
+      corpus: DataFrame, queryId: Long,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import graft.functions.VectorFunctions.dotNative
+    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
+    val qRow = prep.filter(col("id") === queryId)
+      .select(col("vec"), col("nrm")).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"query id $queryId not found"))
+    val qv = qRow.getSeq[Float](0).map(_.toDouble).toIndexedSeq
+    val qn = qRow.getDouble(1)
+    prep.filter(col("id") =!= queryId)
+      .withColumn("rel",
+        dotNative(spark, col("vec"), typedlit(qv)) / (col("nrm") * lit(qn)))
+  }
+
   def mmrSelect(
       corpus: DataFrame,
       queryId: Long = 0L,
@@ -291,20 +315,17 @@ object Similarity {
       "need k >= 1 and 0 <= lamNum/lamDen <= 1")
     val spark = corpus.sparkSession
     import graft.functions.VectorFunctions.dotNative
-    val prep = prepared(corpus, idCol, vecCol, "id", "vec", "nrm")
-    val qRow = prep.filter(col("id") === queryId)
-      .select(col("vec"), col("nrm")).collect()
-      .headOption.getOrElse(throw new IllegalArgumentException(
-        s"query id $queryId not found"))
-    val qv = qRow.getSeq[Float](0).map(_.toDouble).toIndexedSeq
-    val qn = qRow.getDouble(1)
-    val cand = prep.filter(col("id") =!= queryId)
-      .withColumn("rel",
-        dotNative(spark, col("vec"), typedlit(qv)) / (col("nrm") * lit(qn)))
+    val cand = mmrCandidateFrame(corpus, queryId, idCol, vecCol)
+      // greedy MMR is inherently k sequential argmax jobs over the same
+      // candidate frame: persist it so round 2..k read the cached
+      // (id, vec, nrm, rel) relation instead of re-running the scan +
+      // normalization + relevance pipeline — at 100 TB that is one scan +
+      // k cached passes, not k scans
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lamBar = lamDen - lamNum
     var selected = Vector.empty[(Long, IndexedSeq[Double], Double, Double, Double)]
     var exhausted = false
-    for (_ <- 1 to k if !exhausted) {
+    try for (_ <- 1 to k if !exhausted) {
       val ms =
         if (selected.isEmpty) lit(0.0)
         else selected.map { case (_, sv, sn, _, _) =>
@@ -323,7 +344,7 @@ object Similarity {
             step.getDouble(2), step.getDouble(3), step.getDouble(4)))
         case None => exhausted = true // fewer candidates than k: return them all
       }
-    }
+    } finally cand.unpersist(false)
     import spark.implicits._
     selected.zipWithIndex.map { case ((id, _, _, rel, mmr), i) =>
       (i + 1L, id, rel, mmr)

@@ -308,6 +308,48 @@ class PlanSpec extends SparkSpec {
     assert(pApprox.contains("partial_"), "sketch aggregation must combine map-side")
   }
 
+  test("mmr argmax rounds after the first read the persisted candidates, not the scan") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cand = Similarity.mmrCandidateFrame(emb, 0L, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cand.count() // round 1 materializes the cache
+      // a later round's filter+argmax over the same frame (what mmrSelect
+      // runs k−1 more times) must be served from memory, not re-scanned
+      val round2 = cand.filter(cand("id") =!= 1L)
+        .orderBy(cand("rel").desc).limit(1)
+        .queryExecution.executedPlan.toString
+      assert(round2.contains("InMemoryTableScan"),
+        "later rounds must read the cached candidate relation")
+      // the executing plan above the InMemoryRelation (whose description
+      // embeds the ORIGINAL scan pipeline, not what runs) must hold no scan
+      val executing = round2.split("InMemoryRelation").head
+      assert(!executing.contains("FileScan"),
+        "later rounds must not re-run the parquet scan pipeline")
+    } finally cand.unpersist(true)
+  }
+
+  test("percentile routes: exact buffers values, approx rides the mergeable sketch without it") {
+    import graft.analyze.Profiler
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val pExact = Profiler.percentileWideAgg(li, "l_quantity", ps, None)
+      .queryExecution.explainString(FormattedMode)
+    assert(pExact.contains("percentile("),
+      "exact route should take the sorted value-buffer percentile")
+    val pApprox = Profiler.percentileWideAgg(li, "l_quantity", ps, Some(10000))
+      .queryExecution.explainString(FormattedMode)
+    assert(pApprox.contains("percentile_approx"),
+      "approx route must use the mergeable quantile sketch")
+    // no per-partition value-buffering aggregate anywhere in the approx
+    // plan: "percentile(" is the exact buffering aggregate's signature
+    // ("percentile_approx(" never matches it)
+    assert(!pApprox.contains("percentile("),
+      "approx route must not buffer per-partition values")
+    assert(pApprox.contains("partial_"), "sketch aggregation must combine map-side")
+  }
+
   test("q230: the CMS sketch attaches by broadcast, never a shuffled join") {
     val p = plan("q230_cms_error_profile")
     assert(p.contains("BroadcastHashJoin"),

@@ -64,6 +64,33 @@ class ProfilerSpec extends SparkSpec {
     assert(rows(viaApprox) === rows(Profiler.approxNumericProfile(li, cols)))
   }
 
+  test("percentilesAuto: routes by footer row count, both routes share one schema") {
+    val ps = Seq(0.25, 0.5, 0.75)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val viaExact = Profiler.percentilesAuto(spark, sf0001, "lineitem",
+      "l_quantity", ps, exactRowLimit = Long.MaxValue)
+    val viaApprox = Profiler.percentilesAuto(spark, sf0001, "lineitem",
+      "l_quantity", ps, exactRowLimit = 0L)
+    assert(viaExact.schema === viaApprox.schema,
+      "callers must be able to switch routes without schema changes")
+    assert(rows(viaExact) === rows(Profiler.percentiles(li, "l_quantity", ps)))
+    assert(rows(viaApprox) ===
+      rows(Profiler.approxPercentiles(li, "l_quantity", ps)))
+    // at sketch accuracy 10k on ~6k rows the estimate is rank-exact or
+    // adjacent: each approx value must be within the exact p±0.01 band
+    val exact = Profiler.percentiles(li, "l_quantity", Seq(0.24, 0.25, 0.26, 0.49, 0.5, 0.51, 0.74, 0.75, 0.76))
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[Double]("value")).toMap
+    val approx = viaApprox.collect()
+      .map(r => r.getAs[Double]("p") -> r.getAs[Double]("value")).toMap
+    ps.foreach { p =>
+      val (lo, hi) = (exact(p - 0.01) min exact(p + 0.01), exact(p - 0.01) max exact(p + 0.01))
+      assert(approx(p) >= lo && approx(p) <= hi,
+        s"approx p=$p value ${approx(p)} outside [$lo, $hi]")
+    }
+  }
+
   test("percentiles: PERCENTILE_CONT interpolation on a known set") {
     import spark.implicits._
     val df = Seq(10.0, 20.0, 30.0, 40.0).toDF("x")
