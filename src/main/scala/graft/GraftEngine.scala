@@ -282,7 +282,8 @@ object Main {
           "[--drift REF_DATA_DIR] [--search term1,term2,...] [--card] [--anomalies] " +
           "[--coverage] [--compact-target ROWS] [--epoch-plan TOKEN_BUDGET] " +
           "[--admit QUOTA] [--leakage-safe-split] [--cap-sources TOKEN_BUDGET] " +
-          "[--change-points]")
+          "[--change-points] [--shard-balance N] [--source-concentration] " +
+          "[--audience-overlap]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -492,6 +493,25 @@ object Main {
         println("rate change points per event type (CUSUM peak):")
         graft.ext.Drift.changePoint(Tables.events(spark, dir))
           .orderBy("event_type").show(truncate = false)
+      }
+      // per-shard doc/token mass + signed deviation before publishing
+      opt("--shard-balance").foreach { n =>
+        println(s"shard balance audit ($n shards; dev_num = n_tokens*S - total):")
+        graft.ext.Sampling.shardBalance(Tables.documents(spark, dir), n.toInt)
+          .orderBy("shard").show(n.toInt, truncate = false)
+      }
+      // one-row source-mix concentration verdict (HHI + top share)
+      if (args.contains("--source-concentration")) {
+        println("source concentration (hhi_fp: 2^20/S balanced .. 2^20 single-source):")
+        graft.ext.Sampling.sourceConcentration(Tables.documents(spark, dir))
+          .show(truncate = false)
+      }
+      // exact per-event-type-pair user overlap + Jaccard
+      if (args.contains("--audience-overlap")) {
+        println("audience overlap per event-type pair (distinct users):")
+        graft.ops.Coverage.audienceOverlap(Tables.events(spark, dir))
+          .orderBy(col("jaccard_fp").desc, col("type_a"), col("type_b"))
+          .show(50, truncate = false)
       }
     }
   }

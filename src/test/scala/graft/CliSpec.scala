@@ -50,6 +50,26 @@ class CliSpec extends SparkSpec {
     assert(out.contains("d_num"), "change-point rows missing")
   }
 
+  test("--shard-balance prints every shard including deviations") {
+    val out = runCli("--shard-balance", "8")
+    assert(out.contains("shard balance audit (8 shards"), "header missing")
+    assert(out.contains("dev_num"), "deviation column missing")
+  }
+
+  test("--source-concentration prints the one-row HHI verdict") {
+    val out = runCli("--source-concentration")
+    assert(out.contains("source concentration"), "header missing")
+    assert(out.contains("hhi_fp") && out.contains("top_share_fp"),
+      "concentration fields missing")
+  }
+
+  test("--audience-overlap prints per-type-pair user intersections") {
+    val out = runCli("--audience-overlap")
+    assert(out.contains("audience overlap"), "header missing")
+    assert(out.contains("jaccard_fp") && out.contains("n_common"),
+      "overlap fields missing")
+  }
+
   test("--card and --search still reach their reports through run()") {
     val out = runCli("--card", "--search", "table,key")
     assert(out.contains("dataset card"))

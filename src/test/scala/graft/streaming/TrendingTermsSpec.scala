@@ -38,6 +38,38 @@ class TrendingTermsSpec extends SparkSpec {
     assert(top(r).head === (("x", 6L)))
   }
 
+  test("partition-state monitor is provider-agnostic: identical top-k under RocksDB") {
+    import spark.implicits._
+    // TrendingTerms keeps its state in parquet partitions, not the Spark
+    // state store — so swapping the store provider (the knob the
+    // state-heavy operators need at scale) must change NOTHING here. Run
+    // the same two-batch feed under the default provider and under
+    // RocksDB via the engine's own scoped opt-in, and compare reports.
+    def run(base: String): Seq[(String, Long)] = {
+      Seq("a a a b").toDF("text").write.parquet(s"$base/in")
+      val q = TrendingTerms.stream(
+        spark.readStream.schema("text STRING").parquet(s"$base/in"),
+        "text", s"$base/state", s"$base/reports", s"$base/ckpt", topK = 3)
+      try q.processAllAvailable() finally q.stop()
+      Seq("b b c c").toDF("text").write.mode("append").parquet(s"$base/in")
+      val q2 = TrendingTerms.stream(
+        spark.readStream.schema("text STRING").parquet(s"$base/in"),
+        "text", s"$base/state", s"$base/reports", s"$base/ckpt", topK = 3)
+      try q2.processAllAvailable() finally q2.stop()
+      val rep = spark.read.parquet(s"$base/reports")
+      val last = rep.agg(max(col("batch_id")).cast("long"))
+        .collect().head.getLong(0)
+      top(rep.filter(col("batch_id") === last).drop("batch_id"))
+    }
+    val plain = run(
+      java.nio.file.Files.createTempDirectory("graft_trend_p").toString)
+    val rocks = StateBackend.using(spark, StateBackend.RocksDb) {
+      run(java.nio.file.Files.createTempDirectory("graft_trend_r").toString)
+    }
+    assert(rocks === plain)
+    assert(plain === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("streaming surface: exactly-once per-batch report partitions") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_trend3").toString
