@@ -540,6 +540,16 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_extendedprice",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     },
+    // Cost-routed percentiles on the correctness gate: the footer count at
+    // test scale stays under the default limit, so the route is the exact
+    // PERCENTILE_CONT path and the oracle is q64's — what the gate pins is
+    // the ROUTED surface (metadata read + dispatch) end to end. The sketch
+    // route's plan shape is pinned by PlanSpec (no value-buffering
+    // aggregate) and its accuracy by ProfilerSpec.
+    "q242_percentiles_auto" -> { (s, dir) =>
+      graft.analyze.Profiler.percentilesAuto(
+        s, dir, "lineitem", "l_discount", Seq(0.1, 0.5, 0.9))
+    },
     // SCD2 dimension build: change log (one state row per user_id+ts,
     // arg-max disambiguated) → collapsed versions with half-open validity
     // windows. One shuffle on the key; both windows share it.
@@ -1948,6 +1958,35 @@ object SparkEntry {
           .repartition(col("asset_id"))
           .localCheckpoint())
     },
+    // PCM16 zero-crossing + peak windows (E202): the other two classic
+    // VAD features next to q238's energy — exact sign-change counts per
+    // window (each row decodes its own sample AND its successor, so no
+    // window function, no sample-stream sort) and exact peak |v|.
+    "q243_pcm_zero_cross" -> { (s, dir) =>
+      graft.ext.Multimodal.pcmZeroCross(
+        graft.ext.Multimodal.documentsAsAssets(
+          Tables.documents(s, dir).filter(col("doc_id") < 100)),
+        windowSamples = 16)
+    },
+    // Corpus luma exposure histogram over decoded BMPs (E203): 16 bins of
+    // per-pixel ITU-R 601 luma with empty bins visible — the all-dark /
+    // blown-out triage before any vision model sees pixels. Same decode +
+    // boundary discipline as q241.
+    "q244_bmp_luma_hist" -> { (s, dir) =>
+      graft.ext.Multimodal.bmpLumaHistogram(
+        graft.ext.Multimodal.encodeBmp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 120)),
+          width = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+    },
+    // int8 scalar-quantization error audit (E204): exact per-vector
+    // reconstruction cost of the 4× embedding compression, fixed-pointed
+    // per dim so the totals are order-independent and engine-exact.
+    "q245_sq8_error" -> { (s, dir) =>
+      graft.ext.ProductQuantizer.sq8ErrorAudit(Tables.embeddings(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2371,6 +2410,54 @@ object SparkEntry {
   /** DuckDB portable 60-bit hash matching Dedup.stableHash(seed). */
   private def dkHash(expr: String, seed: Int): String =
     s"CAST(('0x'||substr(md5($expr||'#$seed'),1,15)) AS BIGINT)"
+
+  /** Shared DuckDB replay of the q241/q244 BMP codec: LE header-field hex
+    * construction (encode), unhex→hex round trip, then the same header
+    * parse and padded-stride pixel walk as Multimodal.bmpStats — ending at
+    * the per-pixel channel CTE `c (asset_id, bl, gr, rd)` with the valid
+    * header frame `v` also in scope.
+    */
+  private def bmpOracleCtes: String = {
+    def le32(e: String) = {
+      val h = s"lpad(hex($e), 8, '0')"
+      s"(substr($h,7,2)||substr($h,5,2)||substr($h,3,2)||substr($h,1,2))"
+    }
+    def u16(o: Int) =
+      s"(CAST(('0x'||substr(h,${2 * o + 1},2)) AS BIGINT) + " +
+        s"256*CAST(('0x'||substr(h,${2 * o + 3},2)) AS BIGINT))"
+    def u32(o: Int) = s"(${u16(o)} + 65536*${u16(o + 2)})"
+    s"""src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+       |            FROM documents WHERE doc_id < 120),
+       |g AS (SELECT asset_id, p, octet_length(p) // 20 AS hgt FROM src
+       |      WHERE octet_length(p) // 20 >= 1),
+       |enc AS (SELECT asset_id,
+       |        '424D' || ${le32("54 + hgt*20")} || '00000000' || ${le32("54")} ||
+       |        ${le32("40")} || ${le32("6")} || ${le32("hgt")} || '0100' || '1800' ||
+       |        ${le32("0")} || ${le32("hgt*20")} || ${le32("2835")} || ${le32("2835")} ||
+       |        ${le32("0")} || ${le32("0")} ||
+       |        substr(hex(p), 1, CAST(2*hgt*20 AS BIGINT)) AS hx
+       |        FROM g),
+       |d AS (SELECT asset_id, hex(unhex(hx)) AS h, octet_length(unhex(hx)) AS n
+       |      FROM enc),
+       |hdr AS (SELECT asset_id, h, n, ${u32(18)} AS w, ${u32(22)} AS hraw,
+       |               ${u16(28)} AS bpp, ${u32(30)} AS comp, ${u32(10)} AS poff
+       |        FROM d),
+       |geo AS (SELECT *, CASE WHEN hraw >= 2147483648 THEN 4294967296 - hraw
+       |                       ELSE hraw END AS hgt2,
+       |               ((w*3 + 3) // 4) * 4 AS stride FROM hdr),
+       |v AS (SELECT * FROM geo
+       |      WHERE n >= 54 AND substr(h,1,4) = '424D' AND bpp = 24 AND comp = 0
+       |        AND w >= 1 AND hgt2 >= 1 AND n >= poff + hgt2*stride),
+       |px AS (SELECT asset_id, h, poff, stride, w, unnest(range(0, hgt2)) AS y
+       |       FROM v),
+       |pxx AS (SELECT asset_id, h, poff + y*stride AS ro, unnest(range(0, w)) AS x
+       |        FROM px),
+       |c AS (SELECT asset_id,
+       |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+1 AS BIGINT), 2)) AS BIGINT) AS bl,
+       |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+3 AS BIGINT), 2)) AS BIGINT) AS gr,
+       |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+5 AS BIGINT), 2)) AS BIGINT) AS rd
+       |      FROM pxx)""".stripMargin
+  }
 
   /** DuckDB mirror of Dedup's universal-hash minhash: same base hash, same
     * (a_i, b_i) coefficients, same modulus — identical signatures by
@@ -3077,49 +3164,8 @@ object SparkEntry {
         |SELECT asset_id, CAST(window_idx AS BIGINT) AS window_idx,
         |       COUNT(*) AS n_samples, CAST(SUM(v*v) AS BIGINT) AS energy
         |FROM v GROUP BY 1, 2""".stripMargin,
-    "q241_bmp_stats" -> {
-      // the oracle replays BOTH sides of the codec: LE header-field hex
-      // construction, unhex→hex round trip, then the same header parse and
-      // padded-stride pixel walk as Multimodal.bmpStats
-      def le32(e: String) = {
-        val h = s"lpad(hex($e), 8, '0')"
-        s"(substr($h,7,2)||substr($h,5,2)||substr($h,3,2)||substr($h,1,2))"
-      }
-      def u16(o: Int) =
-        s"(CAST(('0x'||substr(h,${2 * o + 1},2)) AS BIGINT) + " +
-          s"256*CAST(('0x'||substr(h,${2 * o + 3},2)) AS BIGINT))"
-      def u32(o: Int) = s"(${u16(o)} + 65536*${u16(o + 2)})"
-      s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-         |            FROM documents WHERE doc_id < 120),
-         |g AS (SELECT asset_id, p, octet_length(p) // 20 AS hgt FROM src
-         |      WHERE octet_length(p) // 20 >= 1),
-         |enc AS (SELECT asset_id,
-         |        '424D' || ${le32("54 + hgt*20")} || '00000000' || ${le32("54")} ||
-         |        ${le32("40")} || ${le32("6")} || ${le32("hgt")} || '0100' || '1800' ||
-         |        ${le32("0")} || ${le32("hgt*20")} || ${le32("2835")} || ${le32("2835")} ||
-         |        ${le32("0")} || ${le32("0")} ||
-         |        substr(hex(p), 1, CAST(2*hgt*20 AS BIGINT)) AS hx
-         |        FROM g),
-         |d AS (SELECT asset_id, hex(unhex(hx)) AS h, octet_length(unhex(hx)) AS n
-         |      FROM enc),
-         |hdr AS (SELECT asset_id, h, n, ${u32(18)} AS w, ${u32(22)} AS hraw,
-         |               ${u16(28)} AS bpp, ${u32(30)} AS comp, ${u32(10)} AS poff
-         |        FROM d),
-         |geo AS (SELECT *, CASE WHEN hraw >= 2147483648 THEN 4294967296 - hraw
-         |                       ELSE hraw END AS hgt2,
-         |               ((w*3 + 3) // 4) * 4 AS stride FROM hdr),
-         |v AS (SELECT * FROM geo
-         |      WHERE n >= 54 AND substr(h,1,4) = '424D' AND bpp = 24 AND comp = 0
-         |        AND w >= 1 AND hgt2 >= 1 AND n >= poff + hgt2*stride),
-         |px AS (SELECT asset_id, h, poff, stride, w, unnest(range(0, hgt2)) AS y
-         |       FROM v),
-         |pxx AS (SELECT asset_id, h, poff + y*stride AS ro, unnest(range(0, w)) AS x
-         |        FROM px),
-         |c AS (SELECT asset_id,
-         |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+1 AS BIGINT), 2)) AS BIGINT) AS bl,
-         |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+3 AS BIGINT), 2)) AS BIGINT) AS gr,
-         |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+5 AS BIGINT), 2)) AS BIGINT) AS rd
-         |      FROM pxx),
+    "q241_bmp_stats" ->
+      s"""WITH $bmpOracleCtes,
          |s AS (SELECT asset_id, COUNT(*) AS n_pixels, SUM(rd) AS sum_r,
          |             SUM(gr) AS sum_g, SUM(bl) AS sum_b,
          |             SUM(299*rd + 587*gr + 114*bl) AS lum
@@ -3129,8 +3175,16 @@ object SparkEntry {
          |       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
          |       CAST(sum_b AS BIGINT) AS sum_b,
          |       CAST(lum // n_pixels AS BIGINT) AS mean_luma_milli
-         |FROM v JOIN s USING (asset_id)""".stripMargin
-    },
+         |FROM v JOIN s USING (asset_id)""".stripMargin,
+    "q244_bmp_luma_hist" ->
+      s"""WITH $bmpOracleCtes,
+         |l AS (SELECT (299*rd + 587*gr + 114*bl) AS luma FROM c),
+         |bn AS (SELECT luma // 16000 AS bin, COUNT(*) AS n_pixels FROM l GROUP BY 1),
+         |fr AS (SELECT unnest(range(0, 16)) AS bin)
+         |SELECT CAST(fr.bin AS BIGINT) AS bin,
+         |       CAST(fr.bin * 16000 AS BIGINT) AS lo_milli,
+         |       CAST(COALESCE(n_pixels, 0) AS BIGINT) AS n_pixels
+         |FROM fr LEFT JOIN bn USING (bin)""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),
@@ -3965,6 +4019,52 @@ object SparkEntry {
         s"SELECT $p AS p, quantile_cont(CAST(l_extendedprice AS DOUBLE), $p) AS value FROM lineitem")
         .mkString("\nUNION ALL\n")
     },
+    "q242_percentiles_auto" ->
+      Seq(0.1, 0.5, 0.9).map(p =>
+        s"SELECT $p AS p, quantile_cont(CAST(l_discount AS DOUBLE), $p) AS value FROM lineitem")
+        .mkString("\nUNION ALL\n"),
+    "q243_pcm_zero_cross" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |                  hex(CAST(text AS BLOB)) AS h,
+        |                  octet_length(CAST(text AS BLOB)) // 2 AS ns
+        |           FROM documents WHERE doc_id < 100),
+        |s AS (SELECT asset_id, h, ns, unnest(range(0, ns)) AS i FROM a),
+        |u AS (SELECT asset_id, ns, i,
+        |        CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+        |        + 256 * CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2)) AS BIGINT) AS uu,
+        |        CASE WHEN i + 1 < ns THEN
+        |          CAST(('0x'||substr(h, CAST(4*(i+1)+1 AS BIGINT), 2)) AS BIGINT)
+        |          + 256 * CAST(('0x'||substr(h, CAST(4*(i+1)+3 AS BIGINT), 2)) AS BIGINT)
+        |        END AS un
+        |      FROM s),
+        |v AS (SELECT asset_id, i, ns, i // 16 AS window_idx,
+        |        CASE WHEN uu >= 32768 THEN uu - 65536 ELSE uu END AS v,
+        |        CASE WHEN un >= 32768 THEN un - 65536 ELSE un END AS vn
+        |      FROM u)
+        |SELECT asset_id, CAST(window_idx AS BIGINT) AS window_idx,
+        |       COUNT(*) AS n_samples,
+        |       CAST(SUM(CASE WHEN i + 1 < ns AND (i+1) // 16 = i // 16
+        |                      AND ((v < 0) <> (vn < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS zero_crossings,
+        |       CAST(MAX(abs(v)) AS BIGINT) AS peak
+        |FROM v GROUP BY 1, 2""".stripMargin,
+    "q245_sq8_error" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |                  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |                  CAST(list_max(embedding) AS DOUBLE) AS mx
+        |           FROM embeddings),
+        |d AS (SELECT vec_id, mn, mx, (mx - mn) / 255.0 AS scale,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x FROM b),
+        |q AS (SELECT vec_id, x, mn, scale,
+        |        CASE WHEN mx > mn
+        |             THEN LEAST(floor((x - mn) / scale + 0.5), 255.0)
+        |             ELSE 0.0 END AS q
+        |      FROM d),
+        |e AS (SELECT vec_id, x - (mn + q * scale) AS diff FROM q)
+        |SELECT vec_id, COUNT(*) AS n_dims,
+        |       CAST(SUM(floor(diff*diff*1048576)) AS BIGINT) AS err_fp,
+        |       CAST(MAX(floor(abs(diff)*1048576)) AS BIGINT) AS max_abs_err_fp
+        |FROM e GROUP BY 1""".stripMargin,
     "q68_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
          |  ${graft.ops.Layout.zValueSql(Seq("l_suppkey", "l_partkey"), 16)} AS zval

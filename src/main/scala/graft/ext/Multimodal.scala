@@ -253,19 +253,21 @@ object Multimodal {
     * producer expression into every header-byte access (see q241's
     * comment).
     */
-  def bmpStats(assets: DataFrame): DataFrame = {
-    // Each header byte reads as hex of a ONE-BYTE binary slice — never one
-    // shared "hex of the whole payload" string. A shared giant alias gets
-    // substituted into every consumer when projections collapse, which (a)
-    // re-hexes the full payload once per field and (b) multiplies the
-    // expression tree past Janino's method limit (observed: 16k-line
-    // codegen → interpreted fallback). Flat per-field slices keep every
-    // access O(1) in payload size and the whole stage codegen'd.
+  /** Header parse shared by the BMP surfaces: field columns + `is_valid`.
+    * Each header byte reads as hex of a ONE-BYTE binary slice — never one
+    * shared "hex of the whole payload" string. A shared giant alias gets
+    * substituted into every consumer when projections collapse, which (a)
+    * re-hexes the full payload once per field and (b) multiplies the
+    * expression tree past Janino's method limit (observed: 16k-line
+    * codegen → interpreted fallback). Flat per-field slices keep every
+    * access O(1) in payload size and the whole stage codegen'd.
+    */
+  private def bmpHeader(assets: DataFrame): DataFrame = {
     def u8(o: Int) =
       conv(hex(substring(col("bytes"), o + 1, 1)), 16, 10).cast("long")
     def u16c(o: Int) = u8(o) + lit(256L) * u8(o + 1)
     def u32c(o: Int) = u16c(o) + lit(65536L) * u16c(o + 2)
-    val hdr = assets
+    assets
       .select(col("asset_id"), col("bytes"),
         octet_length(col("bytes")).cast("long").as("n"),
         (hex(substring(col("bytes"), 1, 2)) === "424D").as("magic_ok"),
@@ -282,15 +284,25 @@ object Multimodal {
           col("bpp") === 24L && col("comp") === 0L &&
           col("w") >= 1L && col("hgt") >= 1L &&
           col("n") >= col("poff") + col("hgt") * col("stride"))
-    val stats = hdr.filter(col("is_valid"))
+  }
+
+  /** The valid assets' pixel walk: one (asset_id, ph) row per pixel, `ph`
+    * the pixel's 6-char BGR hex (one 3-byte slice, hexed once). Two-level
+    * explode keeps generated arrays max(w, h) long.
+    */
+  private def bmpPixels(hdr: DataFrame): DataFrame =
+    hdr.filter(col("is_valid"))
       .select(col("asset_id"), col("bytes"), col("w"), col("hgt"),
         col("stride"), col("poff"))
       .withColumn("y", explode(sequence(lit(0L), col("hgt") - 1)))
       .withColumn("x", explode(sequence(lit(0L), col("w") - 1)))
-      // one 3-byte slice per pixel, hexed once (6 chars), channels off it
       .select(col("asset_id"),
         expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))")
           .as("ph"))
+
+  def bmpStats(assets: DataFrame): DataFrame = {
+    val hdr = bmpHeader(assets)
+    val stats = bmpPixels(hdr)
       .select(col("asset_id"),
         conv(substring(col("ph"), 1, 2), 16, 10).cast("long").as("bl"),
         conv(substring(col("ph"), 3, 2), 16, 10).cast("long").as("gr"),
@@ -309,6 +321,80 @@ object Multimodal {
       .select(col("asset_id"), col("is_valid"), col("width"), col("height"),
         col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
         expr("__lum div n_pixels").as("mean_luma_milli"))
+  }
+
+  /** PCM16 windowed zero-crossing rate + peak (E202): the other two
+    * classic VAD/voicing features next to [[pcmWindowEnergy]]'s Σv² —
+    * per fixed window, the exact count of sign changes between CONSECUTIVE
+    * samples inside the window (pairs straddling a window boundary belong
+    * to neither) and the exact peak |v|. High energy + low crossing rate
+    * reads as voiced speech; high crossing rate as fricatives/noise — the
+    * standard cheap speech/music/noise triage before any model runs.
+    *
+    * Decode discipline is q238's: samples explode engine-side, every byte
+    * access is codegen'd hex arithmetic, the aggregation map-side-combines
+    * on (asset, window). Each row decodes its own sample AND its successor
+    * (one extra 2-byte read) so the crossing pair needs NO window function
+    * — no shuffle-and-sort of the sample stream, just the one groupBy.
+    */
+  def pcmZeroCross(assets: DataFrame, windowSamples: Int = 16): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be positive")
+    def sampleAt(iExpr: String) = {
+      val u =
+        conv(expr(s"substring(h, cast(4 * ($iExpr) + 1 as int), 2)"), 16, 10).cast("long") +
+          lit(256L) * conv(expr(s"substring(h, cast(4 * ($iExpr) + 3 as int), 2)"), 16, 10)
+            .cast("long")
+      when(u >= 32768L, u - 65536L).otherwise(u)
+    }
+    val v = sampleAt("i")
+    val vn = sampleAt("i + 1")
+    // the (i, i+1) pair counts iff i+1 exists and shares i's window
+    val pairInWindow =
+      col("i") + 1 < col("ns") &&
+        expr(s"(i + 1) div $windowSamples") === expr(s"i div $windowSamples")
+    val crossed = (v < 0L) =!= (vn < 0L)
+    assets
+      .select(col("asset_id"), hex(col("bytes")).as("h"),
+        expr("octet_length(bytes) div 2").cast("long").as("ns"))
+      .filter(col("ns") > 0) // sequence(0, -1) would DESCEND, not be empty
+      .select(col("asset_id"), col("h"), col("ns"),
+        explode(sequence(lit(0L), col("ns") - 1)).as("i"))
+      .select(col("asset_id"), expr(s"i div $windowSamples").as("window_idx"),
+        abs(v).as("a"),
+        when(pairInWindow && crossed, 1L).otherwise(0L).as("zc"))
+      .groupBy("asset_id", "window_idx")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("zc")).cast("long").as("zero_crossings"),
+        max(col("a")).cast("long").as("peak"))
+  }
+
+  /** Corpus-level luma exposure histogram over decoded BMP assets (E203):
+    * 16 equal bins over the mean-free per-PIXEL luma (299R+587G+114B, 0..
+    * 255000 milli-units; bin = luma div 16000) with every bin present —
+    * an all-dark or blown-out asset population shows up as mass piled in
+    * the edge bins, the standard exposure triage before any vision model
+    * sees the pixels. Invalid/undecodable assets contribute nothing here;
+    * [[bmpStats]] is where they surface.
+    *
+    * Scale: rides the same two-level pixel explode as [[bmpStats]] (per
+    *-row arrays stay max(w, h)), aggregates to ≤16 rows map-side; the
+    * literal bin frame keeps empty bins visible (the shardBalance
+    * discipline).
+    */
+  def bmpLumaHistogram(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val binned = bmpPixels(bmpHeader(assets))
+      .select((lit(299L) * conv(substring(col("ph"), 5, 2), 16, 10).cast("long") +
+        lit(587L) * conv(substring(col("ph"), 3, 2), 16, 10).cast("long") +
+        lit(114L) * conv(substring(col("ph"), 1, 2), 16, 10).cast("long"))
+        .as("luma_milli"))
+      .groupBy(expr("luma_milli div 16000").as("bin"))
+      .agg(count(lit(1)).as("n_pixels"))
+    (0L until 16L).toDF("bin")
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"), (col("bin") * 16000L).as("lo_milli"),
+        coalesce(col("n_pixels"), lit(0L)).as("n_pixels"))
   }
 
   /** Partition-wise batched decode seam: groups each partition's assets into

@@ -327,4 +327,46 @@ object ProductQuantizer {
             col("n_queries") * lit(k.toLong))).otherwise(0L)
           .cast("long").as("recall_fp"))
   }
+
+  /** Per-vector int8 scalar-quantization error audit (E204): the OTHER
+    * standard embedding compression next to PQ — each vector maps its own
+    * [min, max] range onto 0..255 (`q = ⌊(x−min)/scale + ½⌋`,
+    * `scale = (max−min)/255`) and the audit reports the exact
+    * reconstruction error that 4× compression costs: per-dim squared
+    * error and peak |error| in 2²⁰ fixed point (fixed-pointed PER DIM,
+    * then summed as integers, so the totals are order-independent and
+    * engine-exact — never a float sum across rows). Flat-range vectors
+    * (max = min) quantize losslessly to q = 0.
+    *
+    * Scale: array_min/max are native per-row ops; dims explode to
+    * |corpus|·d rows of pure codegen'd arithmetic (no HOF lambdas — the
+    * per-element lambda dispatch is the measured 100-1000× tax) and the
+    * per-vector aggregation map-side-combines. Compare err_fp against
+    * [[pqOperatingCurve]]'s recall to pick the cheaper codec per corpus.
+    */
+  def sq8ErrorAudit(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      array_min(col(vecCol)).cast("double").as("mn"),
+      array_max(col(vecCol)).cast("double").as("mx"))
+    base
+      .select(col("vec_id"), col("mn"), col("mx"),
+        posexplode(col("v")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("q",
+        when(col("mx") > col("mn"),
+          least(floor((col("x") - col("mn")) / col("scale") + lit(0.5))
+            .cast("double"), lit(255.0)))
+          .otherwise(lit(0.0)))
+      .withColumn("diff", col("x") - (col("mn") + col("q") * col("scale")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        sum(floor(col("diff") * col("diff") * lit(1048576.0)))
+          .cast("long").as("err_fp"),
+        max(floor(abs(col("diff")) * lit(1048576.0)))
+          .cast("long").as("max_abs_err_fp"))
+  }
 }

@@ -139,6 +139,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pcmZeroCross: sign changes counted within windows only; exact peaks") {
+    import spark.implicits._
+    // samples: +1, -1, +2, -2, +3 → crossings at (0,1),(1,2),(2,3),(3,4)
+    // but window size 2 splits {0,1},{2,3},{4}: pairs (1,2) and (3,4)
+    // straddle boundaries and must NOT count
+    def le(v: Int) = {
+      val u = if (v < 0) v + 65536 else v
+      Seq((u % 256).toByte, (u / 256).toByte)
+    }
+    val pcm = Seq(1, -1, 2, -2, 3).flatMap(le).toArray
+    val assets = Seq((1L, pcm)).toDF("asset_id", "bytes")
+    val out = Multimodal.pcmZeroCross(assets, windowSamples = 2)
+      .collect().sortBy(_.getAs[Long]("window_idx"))
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("zero_crossings")).toSeq === Seq(1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("peak")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_samples")).toSeq === Seq(2L, 2L, 1L))
+    // constant-sign signal: zero crossings everywhere zero
+    val flat = Seq((2L, Seq(5, 6, 7, 8).flatMap(le).toArray)).toDF("asset_id", "bytes")
+    val f = Multimodal.pcmZeroCross(flat, windowSamples = 4).collect()
+    assert(f.map(_.getAs[Long]("zero_crossings")).sum === 0L)
+  }
+
+  test("bmpLumaHistogram: every bin present; mass lands in the exact luma bins") {
+    import spark.implicits._
+    // 2 pixels: black (luma 0 → bin 0) and white (luma 255000 → bin 15),
+    // via a hand-built 2×1 BMP (stride 8)
+    val bw = leBmp(2, 1, 24, Array[Byte](
+      0, 0, 0, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0, 0))
+    val out = Multimodal.bmpLumaHistogram(Seq((1L, bw)).toDF("asset_id", "bytes"))
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(out.length === 16)
+    assert(out.map(_.getAs[Long]("bin")).toSeq === (0L until 16L))
+    assert(out.head.getAs[Long]("n_pixels") === 1L) // black
+    assert(out.last.getAs[Long]("n_pixels") === 1L) // white: 255000 div 16000 = 15
+    assert(out.map(_.getAs[Long]("n_pixels")).sum === 2L)
+    assert(out(5).getAs[Long]("lo_milli") === 80000L)
+    // an invalid asset contributes nothing (bins all zero)
+    val inv = Multimodal.bmpLumaHistogram(
+      Seq((9L, "junk".getBytes("UTF-8"))).toDF("asset_id", "bytes")).collect()
+    assert(inv.length === 16 && inv.map(_.getAs[Long]("n_pixels")).sum === 0L)
+  }
+
   test("pcmWindowEnergy: little-endian int16 decode, exact window energies") {
     import spark.implicits._
     // samples: 0x0001 = 1, 0x7FFF = 32767, 0x8000 = -32768; trailing odd

@@ -73,6 +73,29 @@ class ProductQuantizerSpec extends SparkSpec {
       s"m=8 should recall at least as much as m=2: ${out.toSeq}")
   }
 
+  test("sq8ErrorAudit: range endpoints reconstruct exactly; flat vectors are lossless; interior error matches the replicated arithmetic") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f)),            // endpoints only: q=0 and q=255 exact
+      (2L, Array(3.5f, 3.5f, 3.5f)),      // flat range: lossless by definition
+      (3L, Array(0.0f, 0.5f, 1.0f)))      // interior value pays quantization
+      .toDF("vec_id", "embedding")
+    val out = ProductQuantizer.sq8ErrorAudit(vecs)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out(1L).getAs[Long]("err_fp") === 0L)
+    assert(out(2L).getAs[Long]("err_fp") === 0L)
+    assert(out(2L).getAs[Long]("n_dims") === 3L)
+    // replicate the exact IEEE chain for the interior dim of vector 3
+    val (mn, mx) = (0.0, 1.0)
+    val scale = (mx - mn) / 255.0
+    val q = math.min(math.floor((0.5 - mn) / scale + 0.5), 255.0)
+    val diff = 0.5 - (mn + q * scale)
+    val expected = math.floor(diff * diff * 1048576.0).toLong
+    assert(out(3L).getAs[Long]("err_fp") === expected)
+    assert(out(3L).getAs[Long]("max_abs_err_fp") ===
+      math.floor(math.abs(diff) * 1048576.0).toLong)
+  }
+
   test("two-stage top-k equals single-stage (salting is invisible)") {
     val a = ProductQuantizer.pqTopK(embeddings, k = 5, numQueries = 4, salts = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
