@@ -1987,6 +1987,16 @@ object SparkEntry {
     "q245_sq8_error" -> { (s, dir) =>
       graft.ext.ProductQuantizer.sq8ErrorAudit(Tables.embeddings(s, dir))
     },
+    // Packing-capacity operating curve (E206): q71's layout cost at five
+    // context-window sizes from one shared global prefix sum — bins,
+    // straddles, exact wasted tokens, fixed-point fill per capacity.
+    "q246_packing_curve" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packingCurve(docs, "doc_id", "n_tokens",
+        capacities = Seq(512L, 1024L, 2048L, 4096L, 8192L), bucketSize = 64)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4081,6 +4091,29 @@ object SparkEntry {
         |       CAST(SUM(w) AS BIGINT) AS total_tokens,
         |       CAST(SUM(w) AS DOUBLE) / 512.0 AS fill_ratio
         |FROM b GROUP BY bin""".stripMargin,
+    "q246_packing_curve" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             SUM(w) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t),
+        |x AS (SELECT w, cum, cum - w AS strt,
+        |             unnest([512, 1024, 2048, 4096, 8192]) AS capacity
+        |      FROM c),
+        |b AS (SELECT capacity, strt // capacity AS bin, w,
+        |             CASE WHEN w > 0 AND (cum - 1) // capacity > strt // capacity
+        |                  THEN 1 ELSE 0 END AS st
+        |      FROM x),
+        |g AS (SELECT capacity, bin, COUNT(*) AS nd, SUM(w) AS tok, SUM(st) AS sd
+        |      FROM b GROUP BY 1, 2)
+        |SELECT CAST(capacity AS BIGINT) AS capacity, COUNT(*) AS n_bins,
+        |       CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |       CAST(SUM(sd) AS BIGINT) AS n_straddle,
+        |       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(GREATEST(capacity - tok, 0)) AS BIGINT) AS wasted_tokens,
+        |       CAST((SUM(tok) * 1048576) // (COUNT(*) * capacity) AS BIGINT) AS fill_fp
+        |FROM g GROUP BY capacity""".stripMargin,
     "q72_pii_redact" -> {
       import graft.ext.Redaction
       val steps = Redaction.defaultRules.zipWithIndex.map { case (r, i) =>

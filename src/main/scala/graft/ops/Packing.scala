@@ -30,13 +30,13 @@ object Packing {
     * must be a non-negative integral token count; `idCol` an integral id
     * defining the pack order.
     */
-  def packGreedy(
-      docs: DataFrame,
-      idCol: String,
-      weightCol: String,
-      capacity: Long,
-      bucketSize: Int = 1024): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
+  /** The distributed global prefix sum every packing surface shares:
+    * (id, w, cum) with `cum` the inclusive running token total in id
+    * order, built bucket-wise as described above.
+    */
+  private[ops] def withGlobalCum(
+      docs: DataFrame, idCol: String, weightCol: String,
+      bucketSize: Int): DataFrame = {
     val bucket = floor(col(idCol).cast("decimal(25,0)") / bucketSize).cast("long")
     val rows = docs.select(
       col(idCol).as("id"), col(weightCol).cast("long").as("w"), bucket.as("b"))
@@ -53,6 +53,17 @@ object Packing {
     rows
       .join(broadcast(offsets), "b")
       .withColumn("cum", col("offset") + sum(col("w")).over(local))
+      .select(col("id"), col("w"), col("cum"))
+  }
+
+  def packGreedy(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      capacity: Long,
+      bucketSize: Int = 1024): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    withGlobalCum(docs, idCol, weightCol, bucketSize)
       .withColumn("bin",
         floor((col("cum") - col("w")).cast("decimal(25,0)") / capacity).cast("long"))
       .groupBy("bin")
@@ -60,6 +71,54 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("w")).as("total_tokens"),
         (sum(col("w")).cast("double") / lit(capacity.toDouble)).as("fill_ratio"))
+  }
+
+  /** Packing-capacity operating curve (E206): [[packGreedy]]'s layout
+    * cost at SEVERAL context-window capacities from ONE shared global
+    * prefix sum — the report that picks the training sequence length
+    * before a run commits to it. Per capacity: bin count, straddle count
+    * (documents whose tokens cross a bin boundary — the rows a
+    * no-cross-attention packer must mask or split), exact wasted tokens
+    * Σ max(0, capacity − bin fill), and the 2²⁰ fixed-point fill factor.
+    *
+    * Scale: the prefix sum runs once (bucketed, map-side, broadcast
+    * offsets); capacities fan out as a ≤|capacities| explode and
+    * everything after is two hash aggregations. Bin division uses exact
+    * integer floorDiv, never decimal-rounded division.
+    */
+  def packingCurve(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      capacities: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L, 8192L),
+      bucketSize: Int = 1024): DataFrame = {
+    require(capacities.nonEmpty && capacities.forall(_ > 0),
+      "capacities must be positive")
+    import graft.ext.ExactMath.floorDiv
+    val perBin = withGlobalCum(docs, idCol, weightCol, bucketSize)
+      .withColumn("capacity", explode(typedlit(capacities)))
+      .withColumn("start", col("cum") - col("w"))
+      .withColumn("bin", floorDiv(col("start"), col("capacity")))
+      .withColumn("straddle",
+        when(col("w") > 0L &&
+          floorDiv(col("cum") - 1L, col("capacity")) > col("bin"), 1L)
+          .otherwise(0L))
+      .groupBy("capacity", "bin")
+      .agg(count(lit(1)).as("nd"), sum(col("w")).as("tok"),
+        sum(col("straddle")).as("sd"))
+    perBin
+      .groupBy("capacity")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("nd")).cast("long").as("n_docs"),
+        sum(col("sd")).cast("long").as("n_straddle"),
+        sum(col("tok")).cast("long").as("total_tokens"),
+        sum(greatest(col("capacity") - col("tok"), lit(0L))).cast("long")
+          .as("wasted_tokens"))
+      .select(col("capacity"), col("n_bins"), col("n_docs"), col("n_straddle"),
+        col("total_tokens"), col("wasted_tokens"),
+        floorDiv(col("total_tokens") * lit(1048576L),
+          col("n_bins") * col("capacity")).cast("long").as("fill_fp"))
   }
 
   /** Padding-efficiency report (E144): bucket sequences by

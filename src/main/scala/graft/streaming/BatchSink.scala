@@ -130,7 +130,8 @@ object BatchSink {
       keyCols: Seq[String],
       sumCols: Seq[String],
       minBatches: Int = 2): Long = {
-    require(sumCols.nonEmpty, "compact needs at least one additive column")
+    require(keyCols.nonEmpty || sumCols.nonEmpty,
+      "compact needs key columns (distinct-set state) or additive columns")
     val tree = new Path(treeDir)
     val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tree)) return -1L
@@ -189,8 +190,11 @@ object BatchSink {
     val sums = sumCols.map(c =>
       org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col(c))
         .cast("long").as(c))
+    // no additive columns = distinct-set state (e.g. a candidate-key
+    // tree): folding is a distinct union over the keys
     val folded =
-      if (keyCols.isEmpty) grouped.agg(sums.head, sums.tail: _*)
+      if (sumCols.isEmpty) grouped.select(keyCols.head, keyCols.tail: _*).distinct()
+      else if (keyCols.isEmpty) grouped.agg(sums.head, sums.tail: _*)
       else grouped.groupBy(keyCols.head, keyCols.tail: _*).agg(sums.head, sums.tail: _*)
     folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val idOut = fs.create(new Path(tmp, "_compact_id"))

@@ -59,6 +59,7 @@ object DriftMonitor {
   def stream(
       docs: DataFrame, refCounts: DataFrame, keyCol: String,
       countsPath: String, reportPath: String, checkpoint: String,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val pinnedRef = refCounts.localCheckpoint()
     docs.writeStream
@@ -71,6 +72,11 @@ object DriftMonitor {
           monitorBatch(batch, pinnedRef, keyCol, countsPath, batchId)
             .drop("batch_id"),
           s"$reportPath/batch_id=$batchId")
+        // bound the count tree's listing growth; foreachBatch bodies run
+        // serially, so this is safely "between micro-batches"
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          BatchSink.compact(batch.sparkSession, countsPath, Seq("key"), Seq("n"))
+        }
         ()
       }
       .start()

@@ -52,7 +52,10 @@ object ShiftMonitor {
   }
 
   /** Run [[monitorBatch]] over an event stream, appending each batch's
-    * change-point report to `reportPath` exactly once.
+    * change-point report to `reportPath` exactly once. `compactEvery > 0`
+    * folds the count tree every that-many batches (foreachBatch bodies run
+    * serially, so "between micro-batches" holds by construction) —
+    * bounding the tree's listing cost for the stream's whole life.
     */
   def stream(
       events: DataFrame,
@@ -62,6 +65,7 @@ object ShiftMonitor {
       tsCol: String = "ts",
       typeCol: String = "event_type",
       bucketNs: Long = 3600L * 1000000000L,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -71,6 +75,10 @@ object ShiftMonitor {
           monitorBatch(batch, countsPath, batchId, tsCol, typeCol, bucketNs)
             .drop("batch_id"),
           s"$reportPath/batch_id=$batchId")
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          BatchSink.compact(batch.sparkSession, countsPath,
+            Seq("etype", "bucket"), Seq("n"))
+        }
         ()
       }
       .start()

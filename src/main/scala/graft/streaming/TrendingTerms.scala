@@ -65,6 +65,7 @@ object TrendingTerms {
       docs: DataFrame, textCol: String,
       statePath: String, reportPath: String, checkpoint: String,
       depth: Int = 4, width: Int = 1024, topK: Int = 10,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -74,6 +75,14 @@ object TrendingTerms {
           monitorBatch(batch, textCol, statePath, batchId, depth, width, topK)
             .drop("batch_id"),
           s"$reportPath/batch_id=$batchId")
+        // both state trees fold: the sketch additively, the candidate set
+        // as a distinct union (no additive column)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          BatchSink.compact(batch.sparkSession, s"$statePath/sketch",
+            Seq("row_i", "pos"), Seq("c"))
+          BatchSink.compact(batch.sparkSession, s"$statePath/cand",
+            Seq("token"), Seq.empty)
+        }
         ()
       }
       .start()

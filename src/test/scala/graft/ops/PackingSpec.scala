@@ -75,6 +75,35 @@ class PackingSpec extends SparkSpec {
     assert(same < 50, s"epochs should differ, $same/200 ranks identical")
   }
 
+  test("packingCurve: per-capacity bins, straddles, and waste from one layout") {
+    import spark.implicits._
+    // weights in id order: 3, 4, 2, 5 → cum 3, 7, 9, 14
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L))
+      .toDF("doc_id", "w")
+    val out = Packing.packingCurve(docs, "doc_id", "w",
+        capacities = Seq(4L, 8L), bucketSize = 2)
+      .collect().map(r => r.getAs[Long]("capacity") -> r).toMap
+    // cap 4: starts 0,3,7,9 → bins 0,0,1,2; spans: doc1 [0,3) in bin 0;
+    // doc2 [3,7) straddles 0→1; doc3 [7,9) straddles 1→2; doc4 [9,14)
+    // straddles 2→3. bins: 0 (docs 1,2; 7 tok), 1 (doc 3; 2 tok),
+    // 2 (doc 4; 5 tok)
+    assert(out(4L).getAs[Long]("n_bins") === 3L)
+    assert(out(4L).getAs[Long]("n_docs") === 4L)
+    assert(out(4L).getAs[Long]("n_straddle") === 3L)
+    assert(out(4L).getAs[Long]("total_tokens") === 14L)
+    // waste: bin0 max(4-7,0)=0, bin1 max(4-2,0)=2, bin2 max(4-5,0)=0
+    assert(out(4L).getAs[Long]("wasted_tokens") === 2L)
+    // fill = 14/(3·4) → floor(14·2^20/12)
+    assert(out(4L).getAs[Long]("fill_fp") === 14L * 1048576L / 12L)
+    // cap 8: starts → bins 0,0,0,1; only doc2 [3,7) stays in bin 0,
+    // doc3 [7,9) straddles 0→1, doc4 [9,14) inside bin 1
+    assert(out(8L).getAs[Long]("n_bins") === 2L)
+    assert(out(8L).getAs[Long]("n_straddle") === 1L)
+    // waste: bin0 holds 9 tok (overflow, 0 waste), bin1 holds 5 → 8-5 = 3
+    assert(out(8L).getAs[Long]("wasted_tokens") === 3L)
+    assert(out(8L).getAs[Long]("total_tokens") === 14L)
+  }
+
   test("paddingEfficiency: power-of-two caps, exact waste, min bucket, w<=0 dropped") {
     import spark.implicits._
     // w=1..16 land in cap 16; 17 in 32; 100 in 128; 0 and -3 dropped

@@ -103,4 +103,38 @@ class ShiftMonitorSpec extends SparkSpec {
     assert(row.getAs[String]("event_type") === "a")
     assert(row.getAs[Long]("n_buckets") === 2L)
   }
+
+  test("compactEvery folds the count tree inside the stream without changing reports") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_shift_ac").toString
+    val source = MemoryStream[(String, Long)]
+    val df = source.toDF().toDF("event_type", "ts")
+    // ProcessingTime trigger: AvailableNow would snapshot the (empty)
+    // source at start and terminate before the staged addData arrives
+    val q = ShiftMonitor.stream(
+      df, s"$base/counts", s"$base/report", s"$base/ckpt", compactEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // 4 micro-batches → auto-compaction after batches 1 and 3
+      Seq(
+        Seq(("a", 1L * hourNs + 1), ("a", 2L * hourNs + 1)),
+        Seq(("a", 3L * hourNs + 1)),
+        Seq(("a", 4L * hourNs + 1), ("a", 4L * hourNs + 2)),
+        Seq(("a", 5L * hourNs + 1))).foreach { batch =>
+        source.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // tree bounded: batches 0..3 folded into batch_id=3 (watermark 3)
+    val dirs = new java.io.File(s"$base/counts").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(dirs.toSeq === Seq("batch_id=3"))
+    // final report reflects ALL five hourly buckets and six events
+    val rep = spark.read.parquet(s"$base/report")
+    val last = rep.where(col("batch_id") === 3).collect().head
+    assert(last.getAs[Long]("n_buckets") === 5L)
+    assert(last.getAs[Long]("n_events") === 6L)
+  }
 }

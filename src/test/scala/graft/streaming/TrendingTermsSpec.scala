@@ -70,6 +70,26 @@ class TrendingTermsSpec extends SparkSpec {
     assert(plain === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("compactEvery folds both state trees (sketch additively, candidates as a distinct set)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trend_ac").toString
+    // two batches through monitorBatch, then fold the trees directly
+    TrendingTerms.monitorBatch(Seq("a a a b").toDF("text"), "text", s"$base/s", 0L, topK = 3)
+    val before = TrendingTerms.monitorBatch(
+      Seq("b b c c").toDF("text"), "text", s"$base/s", 1L, topK = 3)
+    val expect = top(before.drop("batch_id"))
+    assert(BatchSink.compact(spark, s"$base/s/sketch", Seq("row_i", "pos"), Seq("c")) === 1L)
+    assert(BatchSink.compact(spark, s"$base/s/cand", Seq("token"), Seq.empty) === 1L)
+    // a third batch over the folded trees sees the same cumulative state
+    val after = TrendingTerms.monitorBatch(
+      Seq("").toDF("text"), "text", s"$base/s", 2L, topK = 3)
+    assert(top(after.drop("batch_id")) === expect)
+    // candidate tree folded to distinct tokens, no count column
+    val cand = spark.read.parquet(s"$base/s/cand/batch_id=1")
+    assert(cand.columns.toSeq === Seq("token"))
+    assert(cand.count() === cand.distinct().count())
+  }
+
   test("streaming surface: exactly-once per-batch report partitions") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_trend3").toString
