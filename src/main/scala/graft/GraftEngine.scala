@@ -283,7 +283,7 @@ object Main {
           "[--coverage] [--compact-target ROWS] [--epoch-plan TOKEN_BUDGET] " +
           "[--admit QUOTA] [--leakage-safe-split] [--cap-sources TOKEN_BUDGET] " +
           "[--change-points] [--shard-balance N] [--source-concentration] " +
-          "[--audience-overlap]")
+          "[--audience-overlap] [--packing-curve]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -505,6 +505,17 @@ object Main {
         println("source concentration (hhi_fp: 2^20/S balanced .. 2^20 single-source):")
         graft.ext.Sampling.sourceConcentration(Tables.documents(spark, dir))
           .show(truncate = false)
+      }
+      // per-capacity packing cost (bins / straddles / waste / fill)
+      if (args.contains("--packing-curve")) {
+        println("packing-capacity curve over the documents table:")
+        graft.ops.Packing.packingCurve(
+            Tables.documents(spark, dir).select(col("doc_id"),
+              org.apache.spark.sql.functions.size(
+                org.apache.spark.sql.functions.split(col("text"), " "))
+                .cast("long").as("n_tokens")),
+            "doc_id", "n_tokens")
+          .orderBy("capacity").show(truncate = false)
       }
       // exact per-event-type-pair user overlap + Jaccard
       if (args.contains("--audience-overlap")) {

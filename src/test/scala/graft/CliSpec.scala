@@ -70,6 +70,13 @@ class CliSpec extends SparkSpec {
       "overlap fields missing")
   }
 
+  test("--packing-curve prints per-capacity layout costs") {
+    val out = runCli("--packing-curve")
+    assert(out.contains("packing-capacity curve"), "header missing")
+    assert(out.contains("n_straddle") && out.contains("wasted_tokens"),
+      "curve columns missing")
+  }
+
   test("--card and --search still reach their reports through run()") {
     val out = runCli("--card", "--search", "table,key")
     assert(out.contains("dataset card"))
