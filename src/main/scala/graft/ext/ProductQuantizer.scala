@@ -50,24 +50,48 @@ object ProductQuantizer {
     * codebook entry (all three terms codegen'd; see object doc for why this
     * shape instead of a fold over squared differences).
     */
-  private def subDist(df: DataFrame, sub: Column, cent: IndexedSeq[Double], cc: Double): Column = {
-    val spark = df.sparkSession
-    import graft.functions.VectorFunctions.dotNative
-    dotNative(spark, sub, sub) -
-      lit(2.0) * dotNative(spark, sub, typedlit(cent)) + lit(cc)
-  }
-
   private def subCol(vecCol: String, mi: Int, subDim: Int): Column =
     slice(col(vecCol), mi * subDim + 1, subDim)
 
-  /** Argmin code (0-based) of subspace `mi` against `book`. */
-  private def codeCol(df: DataFrame, vecCol: String, mi: Int, subDim: Int,
-      book: IndexedSeq[(IndexedSeq[Double], Double)]): Column = {
-    val dists = array(book.map { case (c, cc) =>
-      subDist(df, subCol(vecCol, mi, subDim), c, cc)
+  /** Project each (config, subspace) subvector and its ‖·‖² ONCE, as named
+    * columns in two stacked projections. Distance entries then reference
+    * these attributes: one dot product per (row, code). Inlining the slice
+    * and self-dot into every distance entry instead — the original shape —
+    * evaluated each subvector slice 3× per code AND grew the generated
+    * method past Janino's 64 KB limit (Σm·k duplicated trees), dropping
+    * the encode/training stages to interpreted eval. Multi-referenced
+    * non-cheap aliases do not collapse across projections, so the hoisted
+    * form stays hoisted in codegen.
+    */
+  private def withSubNorms(
+      corpus: DataFrame, vecCol: String, dim: Int,
+      cfgs: Seq[(Int, Int)]): DataFrame = {
+    val spark = corpus.sparkSession
+    import graft.functions.VectorFunctions.dotNative
+    val withSubs = corpus.select(col("*") +: cfgs.map { case (m, mi) =>
+      subCol(vecCol, mi, dim / m).as(s"__sub_${m}_$mi")
     }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    withSubs.select(col("*") +: cfgs.map { case (m, mi) =>
+      dotNative(spark, col(s"__sub_${m}_$mi"), col(s"__sub_${m}_$mi"))
+        .as(s"__ssq_${m}_$mi")
+    }: _*)
   }
+
+  /** k distance entries ‖s‖² − 2·s·c_j + ‖c_j‖² for one subspace, over the
+    * hoisted sub/ssq attributes.
+    */
+  private def distArray(
+      spark: org.apache.spark.sql.SparkSession,
+      sub: Column, ssq: Column,
+      book: IndexedSeq[(IndexedSeq[Double], Double)]): Column = {
+    import graft.functions.VectorFunctions.dotNative
+    array(book.map { case (c, cc) =>
+      ssq - lit(2.0) * dotNative(spark, sub, typedlit(c)) + lit(cc)
+    }: _*)
+  }
+
+  private def argMin(dists: Column): Column =
+    (array_position(dists, array_min(dists)) - 1).cast("int")
 
   /** Train `m` codebooks of `k` entries by `iters` Lloyd iterations over
     * the corpus. Init: the k corpus vectors with the smallest md5(id),
@@ -118,18 +142,30 @@ object ProductQuantizer {
         }
       }
     }.toMap
+    val spark = corpus.sparkSession
+    val cfgs = for (m <- ms; mi <- 0 until m) yield (m, mi)
     for (_ <- 1 to iters) {
-      val assignments = explode(array((for (m <- ms; mi <- 0 until m) yield {
-        val subDim = dim / m
+      // the struct carries the k-entry DISTANCE ARRAY over the hoisted
+      // sub/ssq attributes, not the argmin: array_position(d, array_min(d))
+      // written inside the generate would duplicate all k distance trees
+      // (argmin consumes d twice), and the Σm-config explode already holds
+      // Σm·k distance expressions in ONE generated method — the duplicated
+      // form grew past Janino's 64 KB limit and dropped the training stage
+      // to interpreted eval. Post-explode, `dists` is an attribute and the
+      // argmin is O(k) array ops.
+      val prepped = withSubNorms(corpus, vecCol, dim, cfgs)
+      val assignments = explode(array(cfgs.map { case (m, mi) =>
         struct(
           lit(m).as("cfg"),
           lit(mi).as("m"),
-          codeCol(corpus, vecCol, mi, subDim, books(m)(mi)).as("code"),
-          subCol(vecCol, mi, subDim).as("sub"))
-      }): _*))
-      val sums = corpus
+          distArray(spark, col(s"__sub_${m}_$mi"), col(s"__ssq_${m}_$mi"),
+            books(m)(mi)).as("dists"),
+          col(s"__sub_${m}_$mi").as("sub"))
+      }: _*))
+      val sums = prepped
         .select(assignments.as("a"))
-        .select(col("a.cfg"), col("a.m"), col("a.code"),
+        .select(col("a.cfg"), col("a.m"),
+          argMin(col("a.dists")).as("code"),
           posexplode(col("a.sub")).as(Seq("pos", "v")))
         .groupBy("cfg", "m", "code", "pos")
         .agg(
@@ -167,11 +203,19 @@ object ProductQuantizer {
       dim: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val subDim = dim / books.length
-    corpus.select(col(idCol), col(vecCol))
-      .withColumn("codes", array(books.indices.map { mi =>
-        codeCol(corpus, vecCol, mi, subDim, books(mi))
-      }: _*))
+    val spark = corpus.sparkSession
+    val m = books.length
+    val cfgs = books.indices.map(mi => (m, mi))
+    // hoist subvectors + norms, then distance arrays, then argmins — each
+    // layer references the previous as attributes (see withSubNorms)
+    val withDists = withSubNorms(corpus.select(col(idCol), col(vecCol)),
+        vecCol, dim, cfgs)
+      .select(col(idCol) +: col(vecCol) +: books.indices.map { mi =>
+        distArray(spark, col(s"__sub_${m}_$mi"), col(s"__ssq_${m}_$mi"),
+          books(mi)).as(s"__d$mi")
+      }: _*)
+    withDists.select(col(idCol), col(vecCol),
+      array(books.indices.map(mi => argMin(col(s"__d$mi"))): _*).as("codes"))
   }
 
   /** ADC top-k: the `numQueries` corpus vectors with the smallest md5(id)
