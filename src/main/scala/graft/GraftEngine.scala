@@ -283,7 +283,8 @@ object Main {
           "[--coverage] [--compact-target ROWS] [--epoch-plan TOKEN_BUDGET] " +
           "[--admit QUOTA] [--leakage-safe-split] [--cap-sources TOKEN_BUDGET] " +
           "[--change-points] [--shard-balance N] [--source-concentration] " +
-          "[--audience-overlap] [--packing-curve]")
+          "[--audience-overlap] [--packing-curve] " +
+          "[--contamination-spans BENCH_DATA_DIR] [--tokenizer-economics]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -522,6 +523,21 @@ object Main {
         println("audience overlap per event-type pair (distinct users):")
         graft.ops.Coverage.audienceOverlap(Tables.events(spark, dir))
           .orderBy(col("jaccard_fp").desc, col("type_a"), col("type_b"))
+          .show(50, truncate = false)
+      }
+      // verbatim-run contamination triage vs a benchmark snapshot dir
+      opt("--contamination-spans").foreach { benchDir =>
+        println(s"contaminated spans vs $benchDir (longest verbatim 3-gram runs):")
+        graft.ext.Decontaminate.contaminatedSpans(
+            Tables.documents(spark, dir), Tables.documents(spark, benchDir))
+          .orderBy(col("longest_run").desc, col("doc_id"))
+          .show(30, truncate = false)
+      }
+      // per-source byte/char/token mass + compression + fertility ratios
+      if (args.contains("--tokenizer-economics")) {
+        println("tokenizer economics per source (ratios in 2^20 fixed point):")
+        graft.ext.TextAnalysis.tokenizerEconomics(Tables.documents(spark, dir))
+          .orderBy(col("bytes_per_token_fp").desc)
           .show(50, truncate = false)
       }
     }

@@ -1997,6 +1997,41 @@ object SparkEntry {
       graft.ops.Packing.packingCurve(docs, "doc_id", "n_tokens",
         capacities = Seq(512L, 1024L, 2048L, 4096L, 8192L), bucketSize = 64)
     },
+    // Contaminated-span islands (E207): does a doc's benchmark-gram overlap
+    // form one pasted verbatim run or scattered coincidental 3-grams —
+    // positional grams against the broadcast src0 gram set, maximal
+    // consecutive islands via pos − row_number, longest run + start.
+    "q247_contaminated_spans" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ext.Decontaminate.contaminatedSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        n = 3)
+    },
+    // Sorted-neighborhood near-dup candidates (E208): simhash-ordered
+    // neighbor scan (Hernández–Stolfo blocking) — exactly window·n pairs
+    // regardless of skew, exact Hamming verify; the cost-bounded
+    // complement to q178's banding.
+    "q248_sorted_neighbors" -> { (s, dir) =>
+      graft.ext.Dedup.sortedNeighborPairs(Tables.documents(s, dir),
+        window = 3, maxHamming = 20, bucketBits = 4)
+    },
+    // All-but-the-top spectral audit (E209): q222's top-direction share
+    // plus the residual anisotropy after deflating that direction — would
+    // the standard remove-top-PC correction fix cosine similarity here.
+    "q249_all_but_top" -> { (s, dir) =>
+      graft.ext.EmbeddingStats.allButTopAudit(Tables.embeddings(s, dir))
+    },
+    // Winnowed fingerprints (E210, MOSS): per-window minimal gram hash
+    // (ties → rightmost), per-doc selection density + cross-doc sharing.
+    "q250_winnow_fingerprints" -> { (s, dir) =>
+      graft.ext.Dedup.winnowFingerprints(Tables.documents(s, dir), k = 4, w = 4)
+    },
+    // Tokenizer economics per source (E211): bytes/chars/words/BPE-token
+    // mass with fixed-point compression + fertility ratios.
+    "q251_tokenizer_economics" -> { (s, dir) =>
+      graft.ext.TextAnalysis.tokenizerEconomics(Tables.documents(s, dir))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4075,6 +4110,174 @@ object SparkEntry {
         |       CAST(SUM(floor(diff*diff*1048576)) AS BIGINT) AS err_fp,
         |       CAST(MAX(floor(abs(diff)*1048576)) AS BIGINT) AS max_abs_err_fp
         |FROM e GROUP BY 1""".stripMargin,
+    "q247_contaminated_spans" ->
+      s"""WITH bl AS (SELECT string_split(text,' ') AS l FROM documents WHERE source = 'src0'),
+         |bg AS (SELECT unnest($dkShingles) AS gram FROM bl),
+         |bh AS (SELECT DISTINCT ${dkHash("gram", 7)} AS gh FROM bg),
+         |cl AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE source <> 'src0'),
+         |pe AS (SELECT doc_id, unnest(range(1, greatest(len(l) - 1, 1))) AS pos, l FROM cl),
+         |pg AS (SELECT doc_id, pos, array_to_string(l[pos:pos+2], ' ') AS gram FROM pe),
+         |hit AS (SELECT doc_id, pos FROM pg
+         |        WHERE ${dkHash("gram", 7)} IN (SELECT gh FROM bh)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM hit),
+         |runs AS (SELECT doc_id, grp, COUNT(*) AS len, MIN(pos) AS strt
+         |         FROM isl GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, len, strt,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY len DESC, strt ASC) AS rn
+         |       FROM runs),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+         |               CAST(SUM(len) AS BIGINT) AS n_hit
+         |        FROM runs GROUP BY 1),
+         |top AS (SELECT doc_id, CAST(len AS BIGINT) AS longest_run,
+         |               CAST(strt AS BIGINT) AS longest_start
+         |        FROM rk WHERE rn = 1),
+         |tot AS (SELECT doc_id, CAST(greatest(len(l) - 2, 0) AS BIGINT) AS n_grams FROM cl)
+         |SELECT doc_id, n_grams, n_hit, n_islands, longest_run,
+         |       longest_run + 2 AS longest_tokens, longest_start
+         |FROM tot JOIN agg USING (doc_id) JOIN top USING (doc_id)""".stripMargin,
+    "q248_sorted_neighbors" -> {
+      val sums = (0 until 60)
+        .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val bits = (0 until 60)
+        .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val lags = (1 to 3).map(j =>
+        s"LAG(doc_id, $j) OVER wd AS pid$j, LAG(simhash, $j) OVER wd AS ps$j")
+        .mkString(",\n         ")
+      val arms = (1 to 3).map(j =>
+        s"SELECT doc_id, simhash, pid$j AS pid, ps$j AS ps FROM lg WHERE pid$j IS NOT NULL")
+        .mkString("\n       UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+         |           FROM documents),
+         |h AS (SELECT doc_id, ${dkHash("tok", 0)} AS hv FROM t),
+         |sg AS (SELECT doc_id,
+         |    $sums
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $bits AS simhash FROM sg),
+         |lg AS (SELECT doc_id, simhash,
+         |         $lags
+         |       FROM sig
+         |       WINDOW wd AS (PARTITION BY simhash >> 56 ORDER BY simhash, doc_id)),
+         |p AS ($arms)
+         |SELECT LEAST(doc_id, pid) AS id_lo, GREATEST(doc_id, pid) AS id_hi,
+         |       CAST(bit_count(xor(simhash, ps)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(simhash, ps)) <= 20""".stripMargin
+    },
+    "q249_all_but_top" -> {
+      def iter(k: Int, prev: String): String =
+        s"""n$k AS MATERIALIZED (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * $prev.v) AS num
+           |        FROM gf JOIN $prev ON gf.j = $prev.j GROUP BY 1),
+           |m$k AS (SELECT MAX(abs(num)) AS mx FROM n$k),
+           |v$k AS MATERIALIZED (SELECT i AS j, (num * 1048576) // mx AS v
+           |        FROM n$k CROSS JOIN m$k)""".stripMargin
+      def iterD(k: Int, prev: String): String =
+        s"""wn$k AS MATERIALIZED (SELECT d.i, SUM(d.dv * $prev.v) AS num
+           |         FROM d JOIN $prev ON d.j = $prev.j GROUP BY 1),
+           |wm$k AS (SELECT MAX(abs(num)) AS mx FROM wn$k),
+           |w$k AS MATERIALIZED (SELECT wn$k.i AS j,
+           |          CASE WHEN mx = 0 THEN $prev.v
+           |               ELSE (num * 1048576) // mx END AS v
+           |        FROM wn$k CROSS JOIN wm$k JOIN $prev ON $prev.j = wn$k.i)""".stripMargin
+      s"""WITH q AS (SELECT list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+         |           FROM embeddings),
+         |gu AS MATERIALIZED (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+         |              CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS g_sum
+         |       FROM q CROSS JOIN generate_series(1, 64) gi(i)
+         |              CROSS JOIN generate_series(1, 64) gj(j)
+         |       WHERE gj.j >= gi.i GROUP BY 1, 2),
+         |gf AS (SELECT i, j, g_sum FROM gu
+         |       UNION ALL SELECT j, i, g_sum FROM gu WHERE i <> j),
+         |v0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1048576 AS HUGEINT) AS v),
+         |${iter(1, "v0")},
+         |${iter(2, "v1")},
+         |${iter(3, "v2")},
+         |gv AS (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * v3.v) AS num
+         |       FROM gf JOIN v3 ON gf.j = v3.j GROUP BY 1),
+         |r AS (SELECT SUM(v3.v * gv.num) AS vgv
+         |      FROM v3 JOIN gv ON v3.j = gv.i),
+         |s AS (SELECT SUM(v * v) AS vv FROM v3),
+         |tr AS (SELECT SUM(CAST(g_sum AS HUGEINT)) AS trace FROM gu WHERE i = j),
+         |vb AS MATERIALIZED (SELECT j, v // 1024 AS vb FROM v3),
+         |svb AS (SELECT SUM(vb * vb) AS vvb FROM vb),
+         |gvb AS (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * vb.vb) AS num
+         |        FROM gf JOIN vb ON gf.j = vb.j GROUP BY 1),
+         |rvb AS (SELECT SUM(vb.vb * gvb.num) AS vgvb
+         |        FROM vb JOIN gvb ON vb.j = gvb.i),
+         |d AS MATERIALIZED (SELECT gf.i, gf.j,
+         |        (CAST(g_sum AS HUGEINT) * vvb * vvb - vgvb * va.vb * vc.vb)
+         |          // 1099511627776 AS dv
+         |      FROM gf CROSS JOIN svb CROSS JOIN rvb
+         |        JOIN vb va ON va.j = gf.i JOIN vb vc ON vc.j = gf.j),
+         |w0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1048576 AS HUGEINT) AS v),
+         |${iterD(1, "w0")},
+         |${iterD(2, "w1")},
+         |${iterD(3, "w2")},
+         |dw AS (SELECT d.i, SUM(d.dv * w3.v) AS num
+         |       FROM d JOIN w3 ON d.j = w3.j GROUP BY 1),
+         |r2 AS (SELECT SUM(w3.v * dw.num) AS wdw FROM w3 JOIN dw ON w3.j = dw.i),
+         |s2 AS (SELECT SUM(v * v) AS ww FROM w3),
+         |tr2 AS (SELECT SUM(dv) AS traced FROM d WHERE i = j)
+         |SELECT CAST(trace AS BIGINT) AS trace,
+         |  CAST(CASE WHEN vv = 0 OR trace = 0 THEN 0
+         |            ELSE (vgv * 1048576) // (vv * trace) END AS BIGINT) AS top_share_fp,
+         |  CAST(CASE WHEN ww = 0 OR traced <= 0 THEN 0
+         |            ELSE (wdw * 1048576) // (ww * traced) END AS BIGINT) AS residual_share_fp
+         |FROM tr CROSS JOIN r CROSS JOIN s
+         |     CROSS JOIN r2 CROSS JOIN s2 CROSS JOIN tr2""".stripMargin
+    },
+    "q250_winnow_fingerprints" ->
+      s"""WITH cl AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
+         |            WHERE len(string_split(text,' ')) >= 4),
+         |pe AS (SELECT doc_id, CAST(len(l) - 3 AS BIGINT) AS g,
+         |              unnest(range(1, len(l) - 2)) AS pos, l FROM cl),
+         |gr AS (SELECT doc_id, g, pos,
+         |              ${dkHash("array_to_string(l[pos:pos+3], ' ')", 11)} AS gh
+         |       FROM pe),
+         |wn AS (SELECT doc_id, gh, pos, g,
+         |         unnest(range(greatest(pos - 3, 1),
+         |                      least(pos, greatest(g - 3, 1)) + 1)) AS t
+         |       FROM gr),
+         |rk AS (SELECT doc_id, t, gh, pos, g,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id, t
+         |                            ORDER BY gh ASC, pos DESC) AS rn
+         |       FROM wn),
+         |fp AS (SELECT DISTINCT doc_id, gh, pos, g FROM rk WHERE rn = 1),
+         |sh AS (SELECT gh, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY 1)
+         |SELECT doc_id, CAST(MAX(g) AS BIGINT) AS n_grams,
+         |       CAST(MAX(greatest(g - 3, 1)) AS BIGINT) AS n_windows,
+         |       COUNT(*) AS n_fingerprints,
+         |       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+         |       CAST(MAX(n_docs) AS BIGINT) AS max_docs_sharing
+         |FROM fp JOIN sh USING (gh) GROUP BY 1""".stripMargin,
+    "q251_tokenizer_economics" ->
+      """WITH t AS (SELECT source,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS b,
+        |         CAST(length(text) AS BIGINT) AS c,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe
+        |       FROM documents),
+        |a AS (SELECT source, COUNT(*) AS n_docs,
+        |             CAST(SUM(b) AS BIGINT) AS total_bytes,
+        |             CAST(SUM(c) AS BIGINT) AS total_chars,
+        |             CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+        |             CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens
+        |      FROM t GROUP BY 1)
+        |SELECT source, n_docs, total_bytes, total_chars, total_ws_tokens,
+        |       total_bpe_tokens,
+        |       CAST(CASE WHEN total_bpe_tokens = 0 THEN 0
+        |                 ELSE (total_bytes * 1048576) // total_bpe_tokens
+        |            END AS BIGINT) AS bytes_per_token_fp,
+        |       CAST(CASE WHEN total_bpe_tokens = 0 THEN 0
+        |                 ELSE (total_chars * 1048576) // total_bpe_tokens
+        |            END AS BIGINT) AS chars_per_token_fp,
+        |       CAST(CASE WHEN total_ws_tokens = 0 THEN 0
+        |                 ELSE (total_bpe_tokens * 1048576) // total_ws_tokens
+        |            END AS BIGINT) AS fertility_fp
+        |FROM a""".stripMargin,
     "q68_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
          |  ${graft.ops.Layout.zValueSql(Seq("l_suppkey", "l_partkey"), 16)} AS zval
@@ -6227,15 +6430,15 @@ object SparkEntry {
         |FROM b GROUP BY 1""".stripMargin,
     "q221_top_pc" -> {
       def iter(k: Int, prev: String): String =
-        s"""n$k AS (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * $prev.v) AS num
+        s"""n$k AS MATERIALIZED (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * $prev.v) AS num
            |        FROM gf JOIN $prev ON gf.j = $prev.j GROUP BY 1),
            |m$k AS (SELECT MAX(abs(num)) AS mx FROM n$k),
-           |v$k AS (SELECT i AS j, (num * 1048576) // mx AS v
+           |v$k AS MATERIALIZED (SELECT i AS j, (num * 1048576) // mx AS v
            |        FROM n$k CROSS JOIN m$k)""".stripMargin
       s"""WITH q AS (SELECT list_transform(embedding,
          |             x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
          |           FROM embeddings),
-         |gu AS (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+         |gu AS MATERIALIZED (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
          |              CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS g_sum
          |       FROM q CROSS JOIN generate_series(1, 64) gi(i)
          |              CROSS JOIN generate_series(1, 64) gj(j)
@@ -6250,15 +6453,15 @@ object SparkEntry {
     },
     "q222_anisotropy" -> {
       def iter(k: Int, prev: String): String =
-        s"""n$k AS (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * $prev.v) AS num
+        s"""n$k AS MATERIALIZED (SELECT gf.i, SUM(CAST(g_sum AS HUGEINT) * $prev.v) AS num
            |        FROM gf JOIN $prev ON gf.j = $prev.j GROUP BY 1),
            |m$k AS (SELECT MAX(abs(num)) AS mx FROM n$k),
-           |v$k AS (SELECT i AS j, (num * 1048576) // mx AS v
+           |v$k AS MATERIALIZED (SELECT i AS j, (num * 1048576) // mx AS v
            |        FROM n$k CROSS JOIN m$k)""".stripMargin
       s"""WITH q AS (SELECT list_transform(embedding,
          |             x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
          |           FROM embeddings),
-         |gu AS (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+         |gu AS MATERIALIZED (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
          |              CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS g_sum
          |       FROM q CROSS JOIN generate_series(1, 64) gi(i)
          |              CROSS JOIN generate_series(1, 64) gj(j)

@@ -97,6 +97,69 @@ object Decontaminate {
           .otherwise("clean").as("verdict"))
   }
 
+  /** Contaminated-span report (E207): not just HOW MANY benchmark grams a
+    * training document shares ([[contamination]]'s ratio) but whether they
+    * form one long verbatim run — the signature of a pasted eval item — or
+    * scattered coincidental n-grams. Positions whose gram hits the
+    * benchmark set are grouped into maximal consecutive islands
+    * (pos − row_number is constant within a run); per contaminated doc:
+    * total grams, hit grams, island count, and the longest run with its
+    * 1-based start position (ties → earliest).
+    *
+    * Only documents with ≥ 1 hit are emitted — at corpus scale the report
+    * is sized by contamination, not by the corpus.
+    *
+    * Scale: benchmark gram hashes BROADCAST (eval suites are tiny); the
+    * corpus explodes POSITIONAL grams once and filters map-side, so the
+    * only shuffled rows are the hit positions (contamination-sized). The
+    * island window partitions by doc over those sparse hits. Total gram
+    * counts come from a separate map-only `size(ngrams)` scan — no second
+    * explode — joined only to the contaminated docs.
+    */
+  def contaminatedSpans(
+      candidates: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      seed: Int = 7,
+      portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = candidates.sparkSession
+    val bench = gramRows(benchmark, idCol, textCol, n, seed, portable)
+      .select(col("gh")).distinct().withColumn("__hit", lit(1))
+    val hits = candidates
+      .select(col(idCol), posexplode(
+          graft.functions.TextNativeFunctions.ngrams(spark, col(textCol), n))
+        .as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        Dedup.stableHash(col("__g"), seed, portable).as("gh"))
+      .join(broadcast(bench), Seq("gh"))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = hits
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("len"), min(col("pos")).as("start"))
+    val rk = Window.partitionBy(col(idCol))
+      .orderBy(col("len").desc, col("start").asc)
+    val perDoc = runs
+      .withColumn("__rn", row_number().over(rk))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("len")).as("n_hit"),
+        max(when(col("__rn") === 1, col("len"))).as("longest_run"),
+        max(when(col("__rn") === 1, col("start"))).as("longest_start"))
+    val totals = candidates.select(col(idCol),
+      size(graft.functions.TextNativeFunctions.ngrams(spark, col(textCol), n))
+        .cast("long").as("n_grams"))
+    totals.join(perDoc, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("n_hit"), col("n_islands"),
+        col("longest_run"), (col("longest_run") + lit(n.toLong - 1)).as("longest_tokens"),
+        col("longest_start"))
+  }
+
   /** Fuzzy decontamination: near-duplicate matches between corpus and
     * benchmark, not just shared n-grams — catches lightly-paraphrased or
     * truncated eval leakage that [[contamination]]'s exact-gram ratio

@@ -531,6 +531,126 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Sorted-neighborhood near-dup candidates (E208) — the classic
+    * record-linkage blocking method (Hernández–Stolfo): order documents by
+    * their 60-bit [[simhash]] signature and compare each doc only to its
+    * `window` predecessors in that order. Similar documents have close
+    * signatures, so they sort together; the exact XOR+popcount Hamming
+    * check keeps pairs within `maxHamming`. A different recall/cost point
+    * than [[simhashNearDups]]'s banding: cost is exactly `window·n` pairs
+    * regardless of bucket skew, recall depends on sort locality rather
+    * than band collisions.
+    *
+    * Scale: a GLOBAL sort window would serialize on one partition, so the
+    * order is partitioned by the signature's top `bucketBits` bits — the
+    * sort prefix — giving 2^bucketBits independent sorted runs (raise for
+    * more parallelism). Neighbors straddling a bucket boundary are not
+    * compared — the same boundary-miss contract as any blocking scheme,
+    * and the windows within a bucket are exactly the global-sort windows
+    * because the bucket IS the leading sort key.
+    *
+    * Output: one row per candidate pair (id_a < position-wise predecessor
+    * order collapsed to id_lo/id_hi), with the exact Hamming distance.
+    */
+  def sortedNeighborPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 3,
+      maxHamming: Int = 8,
+      bucketBits: Int = 4): DataFrame = {
+    require(window >= 1 && bucketBits >= 0 && bucketBits <= 20,
+      s"need window >= 1 and 0 <= bucketBits <= 20, got $window/$bucketBits")
+    import org.apache.spark.sql.expressions.Window
+    val sig = simhash(docs, textCol, idCol)
+      .select(col(idCol).as("id"), col("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("simhash"), col("id"))
+    // lag columns first (one Window node), explode in a separate projection —
+    // generators can't host window expressions
+    val lagged = sig.select(
+      (col("id") +: col("simhash") +: (1 to window).flatMap(j => Seq(
+        lag(col("id"), j).over(w).as(s"pid$j"),
+        lag(col("simhash"), j).over(w).as(s"psig$j")))): _*)
+    val withPrev = lagged.select(
+      col("id"), col("simhash"),
+      explode(array((1 to window).map(j =>
+        struct(col(s"pid$j").as("pid"), col(s"psig$j").as("psig"))): _*)).as("prev"))
+    // each unordered id pair arises from exactly one (position, offset) —
+    // no dedup shuffle needed
+    withPrev
+      .filter(col("prev.pid").isNotNull)
+      .select(
+        least(col("id"), col("prev.pid")).as("id_lo"),
+        greatest(col("id"), col("prev.pid")).as("id_hi"),
+        hammingDist(col("simhash"), col("prev.psig")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Winnowed document fingerprints (E210) — the MOSS fingerprint-selection
+    * scheme (Schleimer–Wilkerson–Aiken): over each window of `w`
+    * consecutive k-gram hashes, keep the minimal hash (ties → rightmost).
+    * Guarantees any shared run of w+k-1 tokens yields at least one shared
+    * fingerprint, while storing ~2/(w+1) of the gram hashes — the
+    * density/recall contract exact-gram indexes can't give. Short docs
+    * (fewer than w grams) winnow their single truncated window; docs with
+    * no k-gram (under k tokens) are absent by contract.
+    *
+    * Returns one row per document: gram/window/fingerprint counts plus
+    * cross-doc sharing (fingerprints seen in ≥2 docs, and the widest
+    * sharing fan-out) — the copy-detection screening report.
+    *
+    * Scale: one positional-gram explode (corpus-sized), a w× window
+    * fan-out shuffled by (doc, window) — bounded multiplication, no
+    * all-pairs; the sharing join keys on the winnowed fingerprint space
+    * (~2/(w+1) of gram mass). Nothing collects; selection is per-window
+    * rank, not a global sort.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      seed: Int = 11,
+      portable: Boolean = true): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val grams = docs
+      .select(col(idCol), posexplode(
+          graft.functions.TextNativeFunctions.ngrams(spark, col(textCol), k))
+        .as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        stableHash(col("__g"), seed, portable).as("gh"))
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val tMax = greatest(col("n_grams") - lit(w - 1), lit(1))
+    val windows = grams.select(
+      col(idCol), col("pos"), col("gh"), col("n_grams"), tMax.as("t_max"),
+      explode(sequence(greatest(col("pos") - lit(w - 1), lit(1)),
+        least(col("pos"), tMax))).as("t"))
+    val rk = Window.partitionBy(col(idCol), col("t"))
+      .orderBy(col("gh").asc, col("pos").desc)
+    // sharing fan-out via a window over gh, NOT a groupBy+join-back — the
+    // latter re-evaluates the whole explode pipeline once per branch
+    // (the double-branch recomputation trap)
+    val fp = windows
+      .withColumn("__rn", row_number().over(rk))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("gh"), col("pos"), col("n_grams"), col("t_max"))
+      .dropDuplicates(idCol, "gh", "pos")
+      .withColumn("n_docs",
+        size(collect_set(col(idCol)).over(Window.partitionBy(col("gh")))).cast("long"))
+    fp.groupBy(col(idCol))
+      .agg(
+        max(col("n_grams")).as("n_grams"),
+        max(col("t_max")).as("n_windows"),
+        count(lit(1)).as("n_fingerprints"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_fp"),
+        max(col("n_docs")).as("max_docs_sharing"))
+  }
+
   /** Keep-best dedup — the training-pipeline step AFTER near-dup
     * clustering: one canonical document per cluster (highest `quality`,
     * smallest id as the deterministic tiebreak) plus the cluster size.

@@ -177,6 +177,65 @@ object EmbeddingStats {
     Seq((trace.toLong, aniso.toLong)).toDF("trace", "anisotropy_fp")
   }
 
+  /** All-but-the-top spectral audit (E209, Mu–Viswanath): how anisotropic
+    * does the embedding space REMAIN once the dominant direction is
+    * projected out — the one-number check on whether the standard
+    * remove-top-component correction would fix cosine similarity or
+    * whether the collapse is deeper (several dominant directions).
+    *
+    * Fully integer-exact on the same machinery as q221/q222: one Gram
+    * scan, the shared power iterate for the top direction v, then the
+    * deflated matrix D = G·(v̄ᵀv̄)² − (v̄ᵀGv̄)·v̄v̄ᵀ over the 2¹⁰-truncated
+    * iterate v̄ (keeps every product within int128 for the DuckDB replay),
+    * truncation-rescaled by 2⁴⁰, and a second power iteration on D.
+    * Reports the q222 top-direction share and the residual share
+    * λ̂₂/trace(D) of the deflated space — residual ≈ 1/dim means the
+    * correction works; residual still high means multi-direction collapse.
+    *
+    * Scale: one corpus scan (the mergeable GramMatrix Aggregator); all
+    * matrix work is driver-side dim² BigInt — constant in corpus size.
+    */
+  def allButTopAudit(
+      corpus: DataFrame,
+      dim: Int = 64,
+      iters: Int = 3,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val (g, v) = gramPowerIterate(corpus, dim, iters, vecCol)
+    val big = BigInt(1048576)
+    // top-direction share (q222's anisotropy, same arithmetic)
+    val gv = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+    val vGv = (0 until dim).map(i => v(i) * gv(i)).sum
+    val vv = (0 until dim).map(i => v(i) * v(i)).sum
+    val trace = (0 until dim).map(i => g(i)(i)).sum
+    val topShare =
+      if (vv == 0 || trace == 0) BigInt(0) else (vGv * big) / (vv * trace)
+    // deflate over the 2^10-truncated iterate (int128-safe products)
+    val vb = v.map(_ / BigInt(1024))
+    val vvb = (0 until dim).map(i => vb(i) * vb(i)).sum
+    val gvb = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * vb(j)).sum)
+    val vGvb = (0 until dim).map(i => vb(i) * gvb(i)).sum
+    val dScale = BigInt(1) << 40
+    val d = Array.tabulate(dim, dim) { (i, j) =>
+      (g(i)(j) * vvb * vvb - vGvb * vb(i) * vb(j)) / dScale
+    }
+    var v2 = Array.fill(dim)(big)
+    for (_ <- 1 to iters) {
+      val num = Array.tabulate(dim)(i => (0 until dim).map(j => d(i)(j) * v2(j)).sum)
+      val mx = num.map(_.abs).max
+      v2 = if (mx == 0) v2 else num.map(n => (n * big) / mx)
+    }
+    val dv2 = Array.tabulate(dim)(i => (0 until dim).map(j => d(i)(j) * v2(j)).sum)
+    val v2Dv2 = (0 until dim).map(i => v2(i) * dv2(i)).sum
+    val v2v2 = (0 until dim).map(i => v2(i) * v2(i)).sum
+    val traceD = (0 until dim).map(i => d(i)(i)).sum
+    val residual =
+      if (v2v2 == 0 || traceD <= 0) BigInt(0) else (v2Dv2 * big) / (v2v2 * traceD)
+    import spark.implicits._
+    Seq((trace.toLong, topShare.toLong, residual.toLong))
+      .toDF("trace", "top_share_fp", "residual_share_fp")
+  }
+
   /** Per-group centroid shift (E163): pairwise cosine between group mean
     * embeddings — "does feed/label B live in a different region of
     * embedding space than A". Means are quantized-integer element means

@@ -48,7 +48,11 @@ object TextAnalysis {
     * zero. Deterministic tie-break by the declaration order of langMarkers.
     */
   def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val arr = graft.functions.TextNativeFunctions.langScores(
+      org.apache.spark.sql.SparkSession.active, text)
+    val scores = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      (l, element_at(arr, i + 1))
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && best > 0, l).otherwise(acc)
@@ -64,8 +68,10 @@ object TextAnalysis {
     */
   def langConfusion(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val entries = langMarkers.zipWithIndex.map { case ((l, ms), i) =>
-      struct((lit(0) - langScore(col(textCol), ms)).as("ns"),
+    val arr = graft.functions.TextNativeFunctions.langScores(
+      docs.sparkSession, col(textCol))
+    val entries = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      struct((lit(0) - element_at(arr, i + 1)).as("ns"),
         lit(i).as("i"), lit(l).as("l"))
     }
     val sorted = sort_array(array(entries: _*))
@@ -446,6 +452,45 @@ object TextAnalysis {
     regexp_extract_all(lower(text), lit(bpePattern), lit(0))
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Tokenizer economics per source (E211): what a source COSTS to train
+    * on — UTF-8 bytes, characters, whitespace words, and BPE-ish tokens,
+    * with fixed-point compression ratios (bytes/token, chars/token) and
+    * token fertility (BPE tokens per whitespace word). The per-source
+    * companion of q197's per-language fertility: ratios near 1 byte/token
+    * mean the tokenizer is degenerating to bytes on that source (binary,
+    * wrong-script, or junk text); high fertility flags sources that burn
+    * context-window budget.
+    *
+    * Scale: map-only projection (native regexp token count, length
+    * arithmetic) + one hash aggregation keyed by source. Ratios divide
+    * DECIMAL(38) sums (exact at any corpus size) into 2²⁰ fixed point via
+    * the pmod-first floorDiv.
+    */
+  def tokenizerEconomics(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val agg = docs
+      .select(col(sourceCol).as("source"),
+        octet_length(t).cast("long").as("b"),
+        length(t).cast("long").as("c"),
+        tokenCount(t).cast("long").as("ws"),
+        bpeTokenCount(t).cast("long").as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("total_bytes"),
+        sum(col("c")).as("total_chars"), sum(col("ws")).as("total_ws_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"))
+    def ratioFp(num: Column, den: Column): Column =
+      when(den === 0, lit(0L)).otherwise(
+        ExactMath.floorDiv(num.cast("decimal(38,0)") * lit(1048576L), den))
+    agg.select(col("source"), col("n_docs"), col("total_bytes"),
+      col("total_chars"), col("total_ws_tokens"), col("total_bpe_tokens"),
+      ratioFp(col("total_bytes"), col("total_bpe_tokens")).as("bytes_per_token_fp"),
+      ratioFp(col("total_chars"), col("total_bpe_tokens")).as("chars_per_token_fp"),
+      ratioFp(col("total_bpe_tokens"), col("total_ws_tokens")).as("fertility_fp"))
+  }
 
   /** Order-sensitive polynomial rolling hash over whitespace tokens:
     * h_i = (h_{i-1}·B + stableHash(tok_i) mod P) mod P. Unlike the set-based

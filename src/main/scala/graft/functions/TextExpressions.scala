@@ -222,6 +222,84 @@ case class CharTrigramStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Native per-language marker scores — one pass over the padded lowered
+  * text, returning `array<double>` with one score per `TextAnalysis
+  * .langMarkers` entry (declaration order). Bit-identical to the composed
+  * column form (`langScore`): each marker count is the non-overlapping
+  * left-to-right occurrence count of `" marker "` in `" "+lower(text)+" "`
+  * (what Spark's `replace` length-arithmetic counts), divided as
+  * `count / needle_chars` in DOUBLE, and the per-language sum folds those
+  * doubles left-to-right in marker order.
+  *
+  * Why native: the composed form re-inlines all ~23 marker replace trees
+  * into every `greatest`/CASE reference of a score — multi-referenced
+  * langId argmax projections blew Janino's 64 KB method limit into
+  * interpreted fallback AND re-evaluated each marker count per reference.
+  * Here the text is lowered once and each marker is counted once per row;
+  * downstream argmax logic references 5 array elements. Lowercasing uses
+  * UTF8String.toLowerCase — the exact operation Spark's `lower` runs — so
+  * the oracle's `lower()` replay is unaffected.
+  */
+case class LangMarkerScores(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_langscores expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val padded = UTF8String.concat(
+      LangMarkerScores.space, input.asInstanceOf[UTF8String], LangMarkerScores.space)
+    val out = new Array[Any](LangMarkerScores.needles.length)
+    val hay = padded.toLowerCase
+    var li = 0
+    while (li < LangMarkerScores.needles.length) {
+      val markers = LangMarkerScores.needles(li)
+      var score = 0.0
+      var mi = 0
+      while (mi < markers.length) {
+        val (needle, nChars) = markers(mi)
+        var count = 0L
+        var from = 0
+        var idx = hay.indexOf(needle, from)
+        while (idx >= 0) {
+          count += 1
+          from = idx + nChars
+          idx = hay.indexOf(needle, from)
+        }
+        // composed form: (chars_removed)/needle_chars == occurrence count,
+        // an integer-valued double — sum the counts directly
+        score += count.toDouble
+        mi += 1
+      }
+      out(li) = score
+      li += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangMarkerScores {
+  private val space = UTF8String.fromString(" ")
+  /** (needle, needle numChars) per language, langMarkers declaration order. */
+  private val needles: Array[Array[(UTF8String, Int)]] =
+    graft.ext.TextAnalysis.langMarkers.map { case (_, ms) =>
+      ms.map { m =>
+        val n = UTF8String.fromString(s" $m ")
+        (n, n.numChars())
+      }.toArray
+    }.toArray
+}
+
 object TextNativeFunctions {
 
   /** Register `graft_repstats` / `graft_ngrams` (idempotent), mirroring
@@ -240,6 +318,8 @@ object TextNativeFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chartristats", exprs => CharTrigramStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_langscores", exprs => LangMarkerScores(exprs.head), "built-in")
   }
 
   /** One-pass repetition counts of a (pre-lowercased) text column, as a
@@ -268,5 +348,11 @@ object TextNativeFunctions {
   def charTrigramStats(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("graft_chartristats", text)
+  }
+
+  /** One-pass per-language marker scores (langMarkers order), array<double>. */
+  def langScores(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_langscores", text)
   }
 }

@@ -77,6 +77,23 @@ class CliSpec extends SparkSpec {
       "curve columns missing")
   }
 
+  test("--contamination-spans prints longest verbatim runs vs the bench dir") {
+    // self-compare: every doc trivially contains its own grams, so the
+    // report is non-empty and the island machinery runs end-to-end
+    val out = runCli("--contamination-spans", sf0001)
+    assert(out.contains("contaminated spans vs"), "header missing")
+    assert(out.contains("longest_run") && out.contains("longest_start"),
+      "island columns missing")
+  }
+
+  test("--tokenizer-economics prints per-source cost ratios") {
+    val out = runCli("--tokenizer-economics")
+    assert(out.contains("tokenizer economics"), "header missing")
+    assert(out.contains("bytes_per_token_fp") && out.contains("fertility_fp"),
+      "ratio columns missing")
+    assert(out.contains("src"), "per-source rows missing")
+  }
+
   test("--card and --search still reach their reports through run()") {
     val out = runCli("--card", "--search", "table,key")
     assert(out.contains("dataset card"))

@@ -120,4 +120,32 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_contaminated") === 0L)
     assert(out(3L).getAs[Long]("n_fuzzy") === 0L)
   }
+
+  test("contaminatedSpans: islands, longest run, earliest-start tie, clean docs absent") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    // bench 3-grams: {a b c, b c d, c d e, d e f}
+    val cands = Seq(
+      // 13 tokens → 11 grams; hits at pos 3,4,5 (one pasted run) and 10
+      (1L, "z z a b c d e z z a b c z"),
+      (2L, "no overlap here at all today"),
+      // two length-1 islands at pos 1 and 6 → tie broken to start 1
+      (3L, "a b c z z b c d z z")).toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedSpans(cands, bench, n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length === 2, "doc 2 has no hits and must be absent")
+    val d1 = out(0)
+    assert(d1.getAs[Long]("doc_id") === 1L)
+    assert(d1.getAs[Long]("n_grams") === 11L)
+    assert(d1.getAs[Long]("n_hit") === 4L)
+    assert(d1.getAs[Long]("n_islands") === 2L)
+    assert(d1.getAs[Long]("longest_run") === 3L)
+    assert(d1.getAs[Long]("longest_tokens") === 5L)
+    assert(d1.getAs[Long]("longest_start") === 3L)
+    val d3 = out(1)
+    assert(d3.getAs[Long]("doc_id") === 3L)
+    assert(d3.getAs[Long]("n_islands") === 2L)
+    assert(d3.getAs[Long]("longest_run") === 1L)
+    assert(d3.getAs[Long]("longest_start") === 1L, "equal runs tie to the earliest")
+  }
 }

@@ -488,4 +488,69 @@ class DedupSpec extends SparkSpec {
     }
     assert(slope(sampled) === slope(exact))
   }
+
+  test("sortedNeighborPairs: single bucket == brute-force window pairs in simhash order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text about query engines and planners"),
+      (4L, "completely different text about query engines and optimizers"),
+      (5L, "mid range document with some shared words about engines"),
+      (6L, "another unrelated blob of words entirely on its own")).toDF("doc_id", "text")
+    val window = 2
+    // expected: order all docs by (simhash, id) globally, pair each with its
+    // `window` predecessors, keep hamming <= max
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+      .sortBy { case (id, s) => (s, id) }
+    val expected = (for {
+      i <- sigs.indices; j <- 1 to window if i - j >= 0
+      (ida, sa) = sigs(i - j); (idb, sb) = sigs(i)
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 30
+    } yield (math.min(ida, idb), math.max(ida, idb), h.toLong)).toSet
+    val got = Dedup.sortedNeighborPairs(docs, window = window,
+        maxHamming = 30, bucketBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // bucketed run only loses boundary pairs — never invents any
+    val bucketed = Dedup.sortedNeighborPairs(docs, window = window,
+        maxHamming = 30, bucketBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed.subsetOf(expected))
+  }
+
+  test("winnowFingerprints: window guarantee, density bounds, rightmost-min ties") {
+    import spark.implicits._
+    val sharedRun = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens >= w+k-1
+    val docs = Seq(
+      (1L, s"unique one two three $sharedRun nine ten eleven twelve"),
+      (2L, s"other prefix words here $sharedRun plus different tail tokens"),
+      (3L, "a a a a a a"), // all-equal grams: rightmost tie per window
+      (4L, "short doc only")) // 3 tokens < k → absent
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowFingerprints(docs, k = 4, w = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(4L), "doc under k tokens has no grams")
+    // MOSS guarantee: a shared w+k-1 = 7-token run forces >= 1 shared fingerprint
+    assert(out(1L).getAs[Long]("n_shared_fp") >= 1L)
+    assert(out(2L).getAs[Long]("n_shared_fp") >= 1L)
+    assert(out(1L).getAs[Long]("max_docs_sharing") >= 2L)
+    Seq(1L, 2L, 3L).foreach { id =>
+      val r = out(id)
+      val g = r.getAs[Long]("n_grams")
+      val nw = r.getAs[Long]("n_windows")
+      val fp = r.getAs[Long]("n_fingerprints")
+      assert(nw === math.max(g - 3, 1L))
+      assert(fp <= nw, "one winner per window at most")
+      assert(fp >= (nw + 3) / 4, "a selected gram covers at most w windows")
+    }
+    // all-identical grams: winner of window t is its rightmost position
+    // 6 tokens, k=4 → 3 grams, windows t=1..1? G-w+1 = 0 → single window
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_grams") === 3L)
+    assert(d3.getAs[Long]("n_windows") === 1L)
+    assert(d3.getAs[Long]("n_fingerprints") === 1L, "equal hashes: one rightmost winner")
+  }
 }

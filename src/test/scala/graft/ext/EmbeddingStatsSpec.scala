@@ -90,4 +90,39 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(out((1L, 2L)) === 0L)
     assert(out.size === 3)
   }
+
+  test("allButTopAudit: deflation moves the share to the second direction") {
+    import spark.implicits._
+    val dim = 8
+    def vec(pos: Int) = Array.tabulate(dim)(i => if (i == pos) 1.0f else 0.0f)
+    // 20 vectors on e0, 2 on e1: big eigengap (λ2/λ1 = 1/10) so three
+    // power iterations converge tightly; top share ≈ 20/22 of the trace,
+    // and the deflated space is essentially pure e1 (residual ≈ 1)
+    val corpus = (
+      (1 to 20).map(i => (i.toLong, vec(0))) ++
+      (21 to 22).map(i => (i.toLong, vec(1)))
+    ).toDF("vec_id", "embedding")
+    val r = EmbeddingStats.allButTopAudit(corpus, dim = dim).collect().head
+    assert(r.getAs[Long]("trace") === 22L * 1024 * 1024)
+    val top = r.getAs[Long]("top_share_fp")
+    val res = r.getAs[Long]("residual_share_fp")
+    assert(math.abs(top - (20L * 1048576 / 22)) <= 2048, s"top=$top")
+    // imperfect convergence leaves a whisker above/below exactly 1.0
+    assert(math.abs(res - 1048576L) <= 4096, s"res=$res")
+  }
+
+  test("allButTopAudit: fully symmetric corpus degenerates safely (mx=0 guard)") {
+    import spark.implicits._
+    val dim = 4
+    // one unit vector per axis: G = a·I. The all-ones iterate is an exact
+    // eigenvector, so top share is exactly 1/dim; the deflated matrix
+    // annihilates the all-ones start (D'·1 = 0), exercising the mx = 0
+    // keep-previous guard, and the residual reports 0 rather than NaN/crash.
+    val corpus = (0 until dim).map { p =>
+      (p.toLong, Array.tabulate(dim)(i => if (i == p) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val r = EmbeddingStats.allButTopAudit(corpus, dim = dim).collect().head
+    assert(r.getAs[Long]("top_share_fp") === 1048576L / dim)
+    assert(r.getAs[Long]("residual_share_fp") === 0L)
+  }
 }

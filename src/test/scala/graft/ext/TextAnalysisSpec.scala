@@ -417,4 +417,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(guarded.toSeq === Seq(("a", "b"), ("c", "c")))
   }
 
+  test("native langScores == composed langScore, langId ties and nulls unchanged") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat is on the mat and the dog",
+      "der hund ist das der die",
+      "le chat et la les est",
+      "el perro y los es una",
+      "的 是 了 的",
+      "the der", // exact en/de tie → first-declared language wins
+      "no marker words here",
+      "",
+      null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = graft.functions.TextNativeFunctions.langScores(spark, col("text"))
+    val checks = TextAnalysis.langMarkers.zipWithIndex.map { case ((l, ms), i) =>
+      (element_at(native, i + 1) <=> TextAnalysis.langScore(col("text"), ms)).as(s"eq_$l")
+    }
+    val rows = df.select(checks :+
+        (TextAnalysis.langId(col("text")).as("lang")): _*).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      TextAnalysis.langMarkers.indices.foreach { i =>
+        assert(r.getBoolean(i), s"score mismatch for lang ${TextAnalysis.langMarkers(i)._1} on '$t'")
+      }
+    }
+    val langs = rows.map(_.getAs[String]("lang")).toSeq
+    assert(langs === Seq("en", "de", "fr", "es", "zh", "en", "und", "und", "und"))
+  }
+
+  test("tokenizerEconomics: exact byte/char/token sums and fixed-point ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      ("srcA", "hello world"), // 11 B, 11 ch, 2 ws, 2 bpe
+      ("srcA", "héllo"), //       6 B (é = 2 bytes), 5 ch, 1 ws, 3 bpe (h|é|llo)
+      ("srcB", "123")) //         3 B, 3 ch, 1 ws, 1 bpe
+      .toDF("source", "text")
+    val out = TextAnalysis.tokenizerEconomics(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("total_bytes") === 17L)
+    assert(a.getAs[Long]("total_chars") === 16L)
+    assert(a.getAs[Long]("total_ws_tokens") === 3L)
+    assert(a.getAs[Long]("total_bpe_tokens") === 5L)
+    assert(a.getAs[Long]("bytes_per_token_fp") === 17L * 1048576 / 5)
+    assert(a.getAs[Long]("chars_per_token_fp") === 16L * 1048576 / 5)
+    assert(a.getAs[Long]("fertility_fp") === 5L * 1048576 / 3)
+    val b = out("srcB")
+    assert(b.getAs[Long]("bytes_per_token_fp") === 3L * 1048576)
+    assert(b.getAs[Long]("fertility_fp") === 1048576L)
+  }
 }
