@@ -4301,22 +4301,33 @@ object SparkEntry {
         |             SUM(w) OVER (ORDER BY doc_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM t),
-        |x AS (SELECT w, cum, cum - w AS strt,
+        |x AS (SELECT w, cum,
         |             unnest([512, 1024, 2048, 4096, 8192]) AS capacity
         |      FROM c),
-        |b AS (SELECT capacity, strt // capacity AS bin, w,
-        |             CASE WHEN w > 0 AND (cum - 1) // capacity > strt // capacity
-        |                  THEN 1 ELSE 0 END AS st
+        |b AS (SELECT capacity, w,
+        |             CASE WHEN w > 0
+        |                  THEN (cum - 1) // capacity - (cum - w) // capacity
+        |                  ELSE 0 END AS splits
         |      FROM x),
-        |g AS (SELECT capacity, bin, COUNT(*) AS nd, SUM(w) AS tok, SUM(st) AS sd
-        |      FROM b GROUP BY 1, 2)
-        |SELECT CAST(capacity AS BIGINT) AS capacity, COUNT(*) AS n_bins,
-        |       CAST(SUM(nd) AS BIGINT) AS n_docs,
-        |       CAST(SUM(sd) AS BIGINT) AS n_straddle,
-        |       CAST(SUM(tok) AS BIGINT) AS total_tokens,
-        |       CAST(SUM(GREATEST(capacity - tok, 0)) AS BIGINT) AS wasted_tokens,
-        |       CAST((SUM(tok) * 1048576) // (COUNT(*) * capacity) AS BIGINT) AS fill_fp
-        |FROM g GROUP BY capacity""".stripMargin,
+        |g AS (SELECT capacity, COUNT(*) AS n_docs, SUM(w) AS total_tokens,
+        |             SUM(CASE WHEN splits > 0 THEN 1 ELSE 0 END) AS n_straddle,
+        |             SUM(splits) AS n_splits
+        |      FROM b GROUP BY 1),
+        |f AS (SELECT *, CASE WHEN total_tokens > 0
+        |                     THEN (total_tokens - 1) // capacity + 1
+        |                     ELSE 0 END AS n_bins
+        |      FROM g)
+        |SELECT CAST(capacity AS BIGINT) AS capacity,
+        |       CAST(n_bins AS BIGINT) AS n_bins,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_straddle AS BIGINT) AS n_straddle,
+        |       CAST(n_splits AS BIGINT) AS n_splits,
+        |       CAST(total_tokens AS BIGINT) AS total_tokens,
+        |       CAST(n_bins * capacity - total_tokens AS BIGINT) AS wasted_tokens,
+        |       CAST(CASE WHEN n_bins > 0
+        |                 THEN (total_tokens * 1048576) // (n_bins * capacity)
+        |                 ELSE 0 END AS BIGINT) AS fill_fp
+        |FROM f""".stripMargin,
     "q72_pii_redact" -> {
       import graft.ext.Redaction
       val steps = Redaction.defaultRules.zipWithIndex.map { case (r, i) =>

@@ -128,12 +128,7 @@ object Decontaminate {
     val spark = candidates.sparkSession
     val bench = gramRows(benchmark, idCol, textCol, n, seed, portable)
       .select(col("gh")).distinct().withColumn("__hit", lit(1))
-    val hits = candidates
-      .select(col(idCol), posexplode(
-          graft.functions.TextNativeFunctions.ngrams(spark, col(textCol), n))
-        .as(Seq("__p0", "__g")))
-      .select(col(idCol), (col("__p0") + 1).as("pos"),
-        Dedup.stableHash(col("__g"), seed, portable).as("gh"))
+    val hits = Dedup.posGramHashes(candidates, idCol, textCol, n, seed, portable)
       .join(broadcast(bench), Seq("gh"))
       .select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -587,6 +587,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** One row per positional word-k-gram: (idCol, pos, gh) with pos
+    * 1-based in gram order and gh the seeded stable hash of the gram
+    * text. The shared seam for every position-aware gram consumer
+    * ([[winnowFingerprints]], Decontaminate.contaminatedSpans) — the
+    * tokenization, 1-basing, and hash must not drift between them.
+    * Docs with fewer than k tokens produce no rows (WordNGrams is empty).
+    */
+  private[ext] def posGramHashes(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, seed: Int, portable: Boolean): DataFrame =
+    docs
+      .select(col(idCol), posexplode(
+          graft.functions.TextNativeFunctions.ngrams(
+            docs.sparkSession, col(textCol), k))
+        .as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        stableHash(col("__g"), seed, portable).as("gh"))
+
   /** Winnowed document fingerprints (E210) — the MOSS fingerprint-selection
     * scheme (Schleimer–Wilkerson–Aiken): over each window of `w`
     * consecutive k-gram hashes, keep the minimal hash (ties → rightmost).
@@ -616,13 +634,7 @@ object Dedup {
       portable: Boolean = true): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    val grams = docs
-      .select(col(idCol), posexplode(
-          graft.functions.TextNativeFunctions.ngrams(spark, col(textCol), k))
-        .as(Seq("__p0", "__g")))
-      .select(col(idCol), (col("__p0") + 1).as("pos"),
-        stableHash(col("__g"), seed, portable).as("gh"))
+    val grams = posGramHashes(docs, idCol, textCol, k, seed, portable)
       .withColumn("n_grams",
         count(lit(1)).over(Window.partitionBy(col(idCol))))
     val tMax = greatest(col("n_grams") - lit(w - 1), lit(1))

@@ -301,23 +301,39 @@ object Multimodal {
           .as("ph"))
 
   def bmpStats(assets: DataFrame): DataFrame = {
-    val hdr = bmpHeader(assets)
-    val stats = bmpPixels(hdr)
-      .select(col("asset_id"),
+    // ONE scan of the binary payload: invalid assets ride the same pixel
+    // walk as a single null-pixel row (explode_outer of a nulled
+    // sequence), and the header fields travel as grouping keys — the
+    // two-branch alternative (header report LEFT JOIN pixel aggregate)
+    // re-reads the whole asset table per branch, a second full binary
+    // scan at 100 TB
+    bmpHeader(assets)
+      .select(col("asset_id"), col("is_valid"),
+        when(col("is_valid"), col("w")).as("width"),
+        when(col("is_valid"), col("hgt")).as("height"),
+        col("bytes"), col("stride"), col("poff"))
+      .withColumn("y",
+        explode_outer(when(col("is_valid"),
+          sequence(lit(0L), col("height") - 1))))
+      .withColumn("x",
+        explode_outer(when(col("y").isNotNull,
+          sequence(lit(0L), col("width") - 1))))
+      .select(col("asset_id"), col("is_valid"), col("width"), col("height"),
+        when(col("x").isNotNull,
+          expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))"))
+          .as("ph"))
+      .select(col("asset_id"), col("is_valid"), col("width"), col("height"),
         conv(substring(col("ph"), 1, 2), 16, 10).cast("long").as("bl"),
         conv(substring(col("ph"), 3, 2), 16, 10).cast("long").as("gr"),
         conv(substring(col("ph"), 5, 2), 16, 10).cast("long").as("rd"))
-      .groupBy("asset_id")
-      .agg(count(lit(1)).as("n_pixels"),
+      .groupBy("asset_id", "is_valid", "width", "height")
+      .agg(
+        when(col("is_valid"), count(col("rd"))).as("n_pixels"),
         sum(col("rd")).cast("long").as("sum_r"),
         sum(col("gr")).cast("long").as("sum_g"),
         sum(col("bl")).cast("long").as("sum_b"),
         sum(lit(299L) * col("rd") + lit(587L) * col("gr") + lit(114L) * col("bl"))
           .cast("long").as("__lum"))
-    hdr.select(col("asset_id"), col("is_valid"),
-        when(col("is_valid"), col("w")).as("width"),
-        when(col("is_valid"), col("hgt")).as("height"))
-      .join(stats, Seq("asset_id"), "left")
       .select(col("asset_id"), col("is_valid"), col("width"), col("height"),
         col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
         expr("__lum div n_pixels").as("mean_luma_milli"))

@@ -73,18 +73,29 @@ object Packing {
         (sum(col("w")).cast("double") / lit(capacity.toDouble)).as("fill_ratio"))
   }
 
-  /** Packing-capacity operating curve (E206): [[packGreedy]]'s layout
-    * cost at SEVERAL context-window capacities from ONE shared global
-    * prefix sum — the report that picks the training sequence length
-    * before a run commits to it. Per capacity: bin count, straddle count
-    * (documents whose tokens cross a bin boundary — the rows a
-    * no-cross-attention packer must mask or split), exact wasted tokens
-    * Σ max(0, capacity − bin fill), and the 2²⁰ fixed-point fill factor.
+  /** Packing-capacity operating curve (E206): the cost of laying the
+    * corpus out as ONE contiguous token stream chunked at each candidate
+    * context-window capacity — the report that picks the training
+    * sequence length before a run commits to it. Per capacity, all exact:
+    * bin count ⌈total/cap⌉, straddle count (documents crossing ≥ 1 bin
+    * boundary — the rows a no-cross-attention packer must mask), split
+    * count (total extra fragments those crossings create, Σ endBin −
+    * startBin), wasted tokens (the tail bin's remainder — every interior
+    * bin of a contiguous stream is full by construction), and the 2²⁰
+    * fixed-point fill factor.
+    *
+    * The per-START-bin formulation (sum tokens of docs starting in each
+    * bin, waste = Σ max(0, cap − that sum)) is NOT this number: a doc
+    * longer than the capacity makes its start bin report > 100 % fill
+    * while the bins it covers go uncounted. Interval arithmetic on the
+    * shared prefix sum gives the true occupancy with no per-bin pass at
+    * all.
     *
     * Scale: the prefix sum runs once (bucketed, map-side, broadcast
-    * offsets); capacities fan out as a ≤|capacities| explode and
-    * everything after is two hash aggregations. Bin division uses exact
-    * integer floorDiv, never decimal-rounded division.
+    * offsets); capacities fan out as a ≤|capacities| explode and ONE hash
+    * aggregation keyed by capacity follows — nothing keyed by bin, whose
+    * cardinality grows with the corpus. Bin division uses exact integer
+    * floorDiv, never decimal-rounded division.
     */
   def packingCurve(
       docs: DataFrame,
@@ -95,30 +106,30 @@ object Packing {
     require(capacities.nonEmpty && capacities.forall(_ > 0),
       "capacities must be positive")
     import graft.ext.ExactMath.floorDiv
-    val perBin = withGlobalCum(docs, idCol, weightCol, bucketSize)
+    val agg = withGlobalCum(docs, idCol, weightCol, bucketSize)
       .withColumn("capacity", explode(typedlit(capacities)))
-      .withColumn("start", col("cum") - col("w"))
-      .withColumn("bin", floorDiv(col("start"), col("capacity")))
-      .withColumn("straddle",
-        when(col("w") > 0L &&
-          floorDiv(col("cum") - 1L, col("capacity")) > col("bin"), 1L)
-          .otherwise(0L))
-      .groupBy("capacity", "bin")
-      .agg(count(lit(1)).as("nd"), sum(col("w")).as("tok"),
-        sum(col("straddle")).as("sd"))
-    perBin
+      .withColumn("startBin", floorDiv(col("cum") - col("w"), col("capacity")))
+      .withColumn("endBin", floorDiv(col("cum") - 1L, col("capacity")))
+      .withColumn("splits",
+        when(col("w") > 0L, col("endBin") - col("startBin")).otherwise(0L))
       .groupBy("capacity")
       .agg(
-        count(lit(1)).as("n_bins"),
-        sum(col("nd")).cast("long").as("n_docs"),
-        sum(col("sd")).cast("long").as("n_straddle"),
-        sum(col("tok")).cast("long").as("total_tokens"),
-        sum(greatest(col("capacity") - col("tok"), lit(0L))).cast("long")
-          .as("wasted_tokens"))
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).cast("long").as("total_tokens"),
+        sum(when(col("splits") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_straddle"),
+        sum(col("splits")).cast("long").as("n_splits"))
+    val nBins = when(col("total_tokens") > 0L,
+      floorDiv(col("total_tokens") - 1L, col("capacity")) + 1L).otherwise(0L)
+    agg
+      .withColumn("n_bins", nBins)
       .select(col("capacity"), col("n_bins"), col("n_docs"), col("n_straddle"),
-        col("total_tokens"), col("wasted_tokens"),
-        floorDiv(col("total_tokens") * lit(1048576L),
-          col("n_bins") * col("capacity")).cast("long").as("fill_fp"))
+        col("n_splits"), col("total_tokens"),
+        (col("n_bins") * col("capacity") - col("total_tokens")).as("wasted_tokens"),
+        when(col("n_bins") > 0L,
+          floorDiv(col("total_tokens") * lit(1048576L),
+            col("n_bins") * col("capacity"))).otherwise(0L)
+          .cast("long").as("fill_fp"))
   }
 
   /** Padding-efficiency report (E144): bucket sequences by

@@ -124,6 +124,58 @@ object BatchSink {
     * Returns the new watermark, or -1 if there was nothing to fold
     * (fewer than `minBatches` complete prefix partitions).
     */
+  /** Complete a compaction swap (steps 2–3 of [[compact]]'s protocol):
+    * publish the watermark, drop the folded dirs, move the consolidated
+    * temp into place. Idempotent — every sub-step tolerates having already
+    * happened (a re-run after a crash at any point inside finishes the
+    * remainder).
+    */
+  private def finishSwap(fs: FileSystem, tree: Path, tmp: Path, w: Long): Long = {
+    // 2. publish the watermark first: every folded dir is still present,
+    // so redeliveries skip either way, and a crash after this point
+    // leaves a resumable state instead of a double-counting one
+    val wmTmp = new Path(tree, "." + WatermarkFile + ".tmp")
+    if (fs.exists(wmTmp)) fs.delete(wmTmp, false)
+    val out = fs.create(wmTmp)
+    try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+    val wm = new Path(tree, WatermarkFile)
+    if (fs.exists(wm)) fs.delete(wm, false)
+    fs.rename(wmTmp, wm)
+    // 3. drop the folded dirs and move the consolidated totals in
+    fs.listStatus(tree).foreach { st =>
+      st.getPath.getName match {
+        case BatchDirName(id) if id.toLong <= w => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    fs.rename(tmp, new Path(tree, s"batch_id=$w"))
+    // the deleted dirs' leaf files may sit in the session-shared
+    // FileStatusCache (a later read of the tree would list them and die
+    // on FILE_NOT_EXIST); refreshByPath does not clear the shared tier
+    org.apache.spark.sql.graftshim.FileStatusCacheBridge.clear()
+    w
+  }
+
+  /** If a previous [[compact]] crashed mid-swap (consolidated temp is
+    * complete but folded dirs are half-deleted / the rename never ran),
+    * finish the swap now. MUST be called before any cumulative read of a
+    * compactable tree: after such a crash the visible partitions are
+    * missing folded data until the swap completes, and a monitor that read
+    * the half-swapped tree would persist wrong totals exactly-once. No-op
+    * (one existence check) when nothing is pending.
+    */
+  def healPending(spark: SparkSession, treeDir: String): Unit = {
+    val tree = new Path(treeDir)
+    val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tree)) return
+    val tmp = new Path(tree, ".compact.inprogress")
+    if (fs.exists(new Path(tmp, "_SUCCESS")) && fs.exists(new Path(tmp, "_compact_id"))) {
+      val in = fs.open(new Path(tmp, "_compact_id"))
+      val w = try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+      finishSwap(fs, tree, tmp, w)
+    }
+  }
+
   def compact(
       spark: SparkSession,
       treeDir: String,
@@ -137,37 +189,11 @@ object BatchSink {
     if (!fs.exists(tree)) return -1L
     val tmp = new Path(tree, ".compact.inprogress")
 
-    def finishSwap(w: Long): Long = {
-      // 2. publish the watermark first: every folded dir is still present,
-      // so redeliveries skip either way, and a crash after this point
-      // leaves a resumable state instead of a double-counting one
-      val wmTmp = new Path(tree, "." + WatermarkFile + ".tmp")
-      if (fs.exists(wmTmp)) fs.delete(wmTmp, false)
-      val out = fs.create(wmTmp)
-      try out.write(w.toString.getBytes("UTF-8")) finally out.close()
-      val wm = new Path(tree, WatermarkFile)
-      if (fs.exists(wm)) fs.delete(wm, false)
-      fs.rename(wmTmp, wm)
-      // 3. drop the folded dirs and move the consolidated totals in
-      fs.listStatus(tree).foreach { st =>
-        st.getPath.getName match {
-          case BatchDirName(id) if id.toLong <= w => fs.delete(st.getPath, true)
-          case _ => ()
-        }
-      }
-      fs.rename(tmp, new Path(tree, s"batch_id=$w"))
-      // the deleted dirs' leaf files may sit in the session-shared
-      // FileStatusCache (a later read of the tree would list them and die
-      // on FILE_NOT_EXIST); refreshByPath does not clear the shared tier
-      org.apache.spark.sql.graftshim.FileStatusCacheBridge.clear()
-      w
-    }
-
     // resume a crash that happened mid-swap
     if (fs.exists(new Path(tmp, "_SUCCESS")) && fs.exists(new Path(tmp, "_compact_id"))) {
       val in = fs.open(new Path(tmp, "_compact_id"))
       val w = try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
-      return finishSwap(w)
+      return finishSwap(fs, tree, tmp, w)
     }
     if (fs.exists(tmp)) fs.delete(tmp, true) // torn temp from an earlier crash
 
@@ -201,6 +227,6 @@ object BatchSink {
     try idOut.write(w.toString.getBytes("UTF-8")) finally idOut.close()
     val marker = new Path(tmp, "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker).close()
-    finishSwap(w)
+    finishSwap(fs, tree, tmp, w)
   }
 }

@@ -45,6 +45,8 @@ object DriftMonitor {
     BatchSink.writeOnce(
       batch.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n")),
       s"$countsPath/batch_id=$batchId")
+    // finish any compact() swap that crashed mid-way before reading
+    BatchSink.healPending(spark, countsPath)
     val cum = spark.read.parquet(countsPath)
       .groupBy("key").agg(sum("n").as("n_cur"))
     Drift.driftFromCounts(

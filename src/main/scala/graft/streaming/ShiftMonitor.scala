@@ -45,6 +45,9 @@ object ShiftMonitor {
         .select(col(typeCol).as("etype"), expr(s"$tsCol div $bucketNs").as("bucket"))
         .groupBy("etype", "bucket").agg(count(lit(1)).as("n")),
       s"$countsPath/batch_id=$batchId")
+    // a compact() crashed mid-swap leaves the tree missing folded data
+    // until the swap completes — finish it before any cumulative read
+    BatchSink.healPending(spark, countsPath)
     val cum = spark.read.parquet(countsPath)
       .groupBy("etype", "bucket").agg(sum(col("n")).as("n"))
     Drift.changePointFromCounts(cum, typeCol)

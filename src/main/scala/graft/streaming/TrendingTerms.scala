@@ -49,6 +49,9 @@ object TrendingTerms {
         .orderBy(col("n").desc, col("token").asc).limit(topK)
         .select("token"),
       s"$statePath/cand/batch_id=$batchId")
+    // finish any compact() swap that crashed mid-way before reading
+    BatchSink.healPending(spark, s"$statePath/sketch")
+    BatchSink.healPending(spark, s"$statePath/cand")
     val merged = spark.read.parquet(s"$statePath/sketch")
       .groupBy("row_i", "pos").agg(sum(col("c")).cast("long").as("c"))
     val candidates = spark.read.parquet(s"$statePath/cand")

@@ -75,33 +75,46 @@ class PackingSpec extends SparkSpec {
     assert(same < 50, s"epochs should differ, $same/200 ranks identical")
   }
 
-  test("packingCurve: per-capacity bins, straddles, and waste from one layout") {
+  test("packingCurve: per-capacity bins, straddles, splits, tail waste from one layout") {
     import spark.implicits._
-    // weights in id order: 3, 4, 2, 5 → cum 3, 7, 9, 14
+    // weights in id order: 3, 4, 2, 5 → cum 3, 7, 9, 14 (contiguous stream)
     val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L))
       .toDF("doc_id", "w")
     val out = Packing.packingCurve(docs, "doc_id", "w",
         capacities = Seq(4L, 8L), bucketSize = 2)
       .collect().map(r => r.getAs[Long]("capacity") -> r).toMap
-    // cap 4: starts 0,3,7,9 → bins 0,0,1,2; spans: doc1 [0,3) in bin 0;
-    // doc2 [3,7) straddles 0→1; doc3 [7,9) straddles 1→2; doc4 [9,14)
-    // straddles 2→3. bins: 0 (docs 1,2; 7 tok), 1 (doc 3; 2 tok),
-    // 2 (doc 4; 5 tok)
-    assert(out(4L).getAs[Long]("n_bins") === 3L)
+    // cap 4: spans [0,3) [3,7) [7,9) [9,14) → startBin 0,0,1,2 /
+    // endBin 0,1,2,3: docs 2,3,4 each cross one boundary
+    assert(out(4L).getAs[Long]("n_bins") === 4L) // ceil(14/4)
     assert(out(4L).getAs[Long]("n_docs") === 4L)
     assert(out(4L).getAs[Long]("n_straddle") === 3L)
+    assert(out(4L).getAs[Long]("n_splits") === 3L)
     assert(out(4L).getAs[Long]("total_tokens") === 14L)
-    // waste: bin0 max(4-7,0)=0, bin1 max(4-2,0)=2, bin2 max(4-5,0)=0
-    assert(out(4L).getAs[Long]("wasted_tokens") === 2L)
-    // fill = 14/(3·4) → floor(14·2^20/12)
-    assert(out(4L).getAs[Long]("fill_fp") === 14L * 1048576L / 12L)
-    // cap 8: starts → bins 0,0,0,1; only doc2 [3,7) stays in bin 0,
-    // doc3 [7,9) straddles 0→1, doc4 [9,14) inside bin 1
+    // a contiguous stream fills every interior bin: waste is the tail only
+    assert(out(4L).getAs[Long]("wasted_tokens") === 4L * 4 - 14)
+    assert(out(4L).getAs[Long]("fill_fp") === 14L * 1048576L / 16L)
+    // cap 8: endBins 0,0,1,1 — only doc 3 [7,9) crosses the 8-boundary
     assert(out(8L).getAs[Long]("n_bins") === 2L)
     assert(out(8L).getAs[Long]("n_straddle") === 1L)
-    // waste: bin0 holds 9 tok (overflow, 0 waste), bin1 holds 5 → 8-5 = 3
-    assert(out(8L).getAs[Long]("wasted_tokens") === 3L)
+    assert(out(8L).getAs[Long]("n_splits") === 1L)
+    assert(out(8L).getAs[Long]("wasted_tokens") === 2L * 8 - 14)
     assert(out(8L).getAs[Long]("total_tokens") === 14L)
+  }
+
+  test("packingCurve: a doc longer than the capacity is counted by coverage, not start bin") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L)).toDF("doc_id", "w")
+    val out = Packing.packingCurve(docs, "doc_id", "w",
+        capacities = Seq(4L), bucketSize = 4)
+      .collect().head
+    // span [0,10) covers bins 0..2 — the per-start-bin formulation would
+    // report 1 bin, 0 waste, and a 250% fill
+    assert(out.getAs[Long]("n_bins") === 3L)
+    assert(out.getAs[Long]("n_straddle") === 1L)
+    assert(out.getAs[Long]("n_splits") === 2L)
+    assert(out.getAs[Long]("wasted_tokens") === 2L)
+    assert(out.getAs[Long]("fill_fp") === 10L * 1048576L / 12L)
+    assert(out.getAs[Long]("fill_fp") <= 1048576L)
   }
 
   test("paddingEfficiency: power-of-two caps, exact waste, min bucket, w<=0 dropped") {

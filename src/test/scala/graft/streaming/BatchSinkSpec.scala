@@ -110,6 +110,36 @@ class BatchSinkSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$base/.compact.inprogress")))
   }
 
+  test("healPending finishes a crash inside the delete/rename step before any read") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    (0 to 2).foreach { i =>
+      BatchSink.writeOnce(Seq(("k", 5L)).toDF("key", "n"), s"$base/batch_id=$i")
+    }
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state INSIDE step 3: watermark published, consolidated temp
+    // complete, folded dirs HALF-deleted, rename never ran — the visible
+    // tree is missing batches 0..1 and a naive cumulative read returns 5
+    Seq(("k", 15L)).toDF("key", "n").write.parquet(s"$base/.compact.inprogress")
+    val idOut = fs.create(new Path(s"$base/.compact.inprogress/_compact_id"))
+    idOut.write("2".getBytes("UTF-8")); idOut.close()
+    val wmOut = fs.create(new Path(s"$base/_compacted_through"))
+    wmOut.write("2".getBytes("UTF-8")); wmOut.close()
+    fs.delete(new Path(s"$base/batch_id=0"), true)
+    fs.delete(new Path(s"$base/batch_id=1"), true)
+    org.apache.spark.sql.graftshim.FileStatusCacheBridge.clear()
+    // the monitors' read-path guard completes the swap
+    BatchSink.healPending(spark, base)
+    val rows = spark.read.parquet(base).collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("n") === 15L)
+    assert(!fs.exists(new Path(s"$base/.compact.inprogress")))
+    // healed tree is exactly the consolidated partition
+    assert(listVisible(base).filter(_.startsWith("batch_id=")) === Seq("batch_id=2"))
+    // and with nothing pending the guard is a no-op
+    BatchSink.healPending(spark, base)
+    assert(spark.read.parquet(base).collect().head.getAs[Long]("n") === 15L)
+  }
+
   test("in-flight temp dirs are dot-prefixed — invisible to readers of the tree") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
