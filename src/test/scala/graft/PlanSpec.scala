@@ -384,4 +384,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "sweep must not shuffle-join")
   }
+
+  test("q247: benchmark gram set attaches by broadcast; hits filter map-side") {
+    val p = plan("q247_contaminated_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark gram set (eval-suite-sized) must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus gram stream must never shuffle for the benchmark join")
+  }
+
+  test("q248: sorted-neighborhood is windows only — no join anywhere") {
+    val p = plan("q248_sorted_neighbors")
+    assert(p.contains("Window"), "the neighbor scan is a lag window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      "sorted-neighborhood blocking must not join — cost is exactly window·n")
+  }
+
+  test("q246: packing curve has no bin-keyed aggregation — one capacity-keyed pass") {
+    val p = plan("q246_packing_curve")
+    // interval arithmetic on the shared prefix sum: nothing in the plan
+    // groups by bin (whose cardinality grows with the corpus); the only
+    // hash aggregations key on capacity (5 rows) and the prefix-sum buckets
+    assert(!p.contains("SortMergeJoin"), "curve must not shuffle-join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "capacity aggregation must combine map-side")
+  }
 }
