@@ -45,15 +45,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def sentinel(): Double = Seq.fill(3)(sentinelOnce()).min
-    // warm until two consecutive samples agree within 15% (max 12): an
-    // under-warmed probe reads as "machine got faster" and false-flags the
-    // run; stability, not a fixed count, is the warm-up criterion
+    // warm until three consecutive samples agree within 10% (max 24): an
+    // under-warmed probe reads as "machine got faster"; stability, not a
+    // fixed count, is the warm-up criterion. Tier-2 JIT can still land
+    // later in the run — which is why only a SLOWDOWN flags below.
     var prev = sentinelOnce()
     var stable = 0
     var warmIters = 0
-    while (stable < 2 && warmIters < 12) {
+    while (stable < 3 && warmIters < 24) {
       val cur = sentinelOnce()
-      if (math.abs(cur - prev) / math.max(prev, 1e-9) < 0.15) stable += 1 else stable = 0
+      if (math.abs(cur - prev) / math.max(prev, 1e-9) < 0.10) stable += 1 else stable = 0
       prev = cur
       warmIters += 1
     }
@@ -85,7 +86,13 @@ object Bench {
 
     val sentinelEnd = sentinel()
     val drift = sentinelEnd / sentinelStart
-    val loadFlagged = drift > 1.5 || drift < (1.0 / 1.5)
+    // Only a SLOWDOWN is a load flag. A faster end sentinel is the probe's
+    // own tier-2 JIT landing mid-run (observed 0.109 → 0.057 s on an idle
+    // box over a 10-minute suite) and can never mean the measurements were
+    // inflated: every query's min-of-3 includes passes run at end-state
+    // speed. A loaded START likewise only inflates pass-1 samples, which
+    // the per-query min discards. The drift value still prints for audit.
+    val loadFlagged = drift > 1.5
 
     val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2032,6 +2032,15 @@ object SparkEntry {
     "q251_tokenizer_economics" -> { (s, dir) =>
       graft.ext.TextAnalysis.tokenizerEconomics(Tables.documents(s, dir))
     },
+    // 2-core of the near-dup graph (E212): template farms survive the
+    // peel, accidental one-partner dups do not. Driver peel loop with
+    // lineage truncation; the oracle unrolls 8 idempotent rounds.
+    "q252_dup_kcore" -> { (s, dir) =>
+      graft.ext.GraphStats.kCore(
+        graft.ext.Dedup.nearDuplicates(Tables.documents(s, dir), minJaccard = 0.5)
+          .select("id_a", "id_b"),
+        k = 2)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3056,6 +3065,24 @@ object SparkEntry {
     "q58_canonical_docs" -> canonicalDocsOracle,
     "q57_embedding_quantize" -> quantizeOracle,
     "q38_near_dups" -> nearDupOracle,
+    "q252_dup_kcore" -> {
+      // 8 unrolled peel rounds; peeling is monotone so rounds past the
+      // fixpoint are no-ops (the engine's loop converges on this data in
+      // fewer — spec-checked on fixtures). MATERIALIZED per round: each
+      // e$r is referenced 3x and inlined CTEs would re-evaluate the whole
+      // peel chain exponentially (the q249 lesson).
+      def round(r: Int) =
+        s"""d$r AS (SELECT u, COUNT(*) AS d FROM e${r - 1} GROUP BY u),
+           |k$r AS (SELECT u FROM d$r WHERE d >= 2),
+           |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+           |       SEMI JOIN k$r a ON e.u = a.u
+           |       SEMI JOIN k$r b ON e.v = b.u)""".stripMargin
+      s"""WITH np AS (SELECT id_a, id_b FROM ($nearDupOracle)),
+         |e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM np
+         |      UNION ALL SELECT id_b, id_a FROM np),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT u AS id, COUNT(*) AS core_degree FROM e8 GROUP BY 1""".stripMargin
+    },
     "q40_ann_lsh" -> lshAnnOracle,
     "q228_multiprobe_lsh" -> multiProbeOracle,
     "q234_source_concentration" ->

@@ -130,6 +130,56 @@ object GraphStats {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** k-core of a pair graph (E212): peel nodes of degree < k until
+    * fixpoint and return the survivors with their in-core degree — the
+    * dense center of the duplication graph. A template farm / mirror
+    * network survives peeling (every member ties to many others); a doc
+    * with one accidental near-dup partner does not. The structural triage
+    * BETWEEN q44's components (which lump hangers-on into the cluster)
+    * and q118's triangles (which only see 3-cycles).
+    *
+    * Peeling is monotone (removals only ever cascade), so the fixpoint is
+    * the unique maximal subgraph with all degrees ≥ k, and extra rounds
+    * after convergence are no-ops — the property the unrolled oracle
+    * leans on.
+    *
+    * Scale: each round is one degree aggregation + two semi-joins over
+    * the surviving edge set, lineage-truncated per round
+    * (localCheckpoint, the dedupClusters discipline). Convergence is
+    * detected by edge count; rounds are bounded by the peeling depth
+    * (typically a handful on heavy-tailed dup graphs), never |V|
+    * sequential steps of driver work.
+    */
+  def kCore(
+      pairs: DataFrame,
+      k: Int,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIters: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val p = pairs.localCheckpoint(true)
+    var edges = p.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(p.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .localCheckpoint(true)
+    var before = edges.count()
+    var converged = before == 0L
+    var i = 0
+    while (!converged && i < maxIters) {
+      val keep = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      val next = edges
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val after = next.count()
+      converged = after == before || after == 0L
+      before = after
+      edges = next
+      i += 1
+    }
+    edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Modularity of the SOURCE partition over the near-duplicate graph:
     * per source c, e_in edges inside it, d_sum its degree mass, and the
     * exact integer modularity contribution 4m·e_in − d_sum² (the classic

@@ -154,4 +154,34 @@ class GraphStatsSpec extends SparkSpec {
         .toDF("id", "c", "g"), "id", "c", "g").collect()(0)
     assert(withNull.getAs[Long]("n_items") === 1L)
   }
+
+  test("kCore: triangle survives, pendants/pairs/chains peel away") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 4-1, isolated pair 5-6, path 7-8-9
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle: 2-core
+      (4L, 1L), //                     pendant on the triangle
+      (5L, 6L), //                     isolated edge
+      (7L, 8L), (8L, 9L)) //           path: middle depends on peeled ends
+      .toDF("id_a", "id_b")
+    val core2 = GraphStats.kCore(pairs, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      "only the triangle has min degree 2 after cascading removals")
+    // k=1 keeps every non-isolated node at its full degree
+    val core1 = GraphStats.kCore(pairs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
+    assert(core1 === Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 2L, 9L -> 1L))
+    // k=3 empties this graph (triangle degrees are only 2)
+    assert(GraphStats.kCore(pairs, k = 3).count() === 0L)
+  }
+
+  test("kCore: a long chain cascades over multiple peel rounds to empty") {
+    import spark.implicits._
+    val chain = (1L to 9L).sliding(2).map { case Seq(a, b) => (a, b) }
+      .toSeq.toDF("id_a", "id_b")
+    assert(GraphStats.kCore(chain, k = 2).count() === 0L,
+      "each round only exposes the next ends — needs the cascade to finish")
+  }
 }
