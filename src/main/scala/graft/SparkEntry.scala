@@ -2041,6 +2041,28 @@ object SparkEntry {
           .select("id_a", "id_b"),
         k = 2)
     },
+    // RIFF/WAVE container parse (E213): real chunk-walking audio-container
+    // decode — magic + fmt fields, data-chunk location, exact frame count
+    // and duration. Same encode→boundary→decode discipline as q241.
+    "q253_wav_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.wavStats(
+        graft.ext.Multimodal.encodeWav(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)))
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+    },
+    // Windowed PCM energy THROUGH the container (E213): q238's per-sample
+    // decode walk driven by the parsed data-chunk offset.
+    "q254_wav_energy" -> { (s, dir) =>
+      graft.ext.Multimodal.wavWindowEnergy(
+        graft.ext.Multimodal.encodeWav(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 100)))
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        windowSamples = 16)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2511,6 +2533,51 @@ object SparkEntry {
        |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+3 AS BIGINT), 2)) AS BIGINT) AS gr,
        |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+5 AS BIGINT), 2)) AS BIGINT) AS rd
        |      FROM pxx)""".stripMargin
+  }
+
+  /** Shared DuckDB replay of the q253/q254 WAV codec: canonical RIFF
+    * encode of each document payload's even-length prefix, unhex→hex
+    * round trip, then the same header parse as Multimodal.wavHeader. The
+    * encoded containers are canonical (data chunk at offset 36), so the
+    * parse replays the canonical branch of the chunk walk; the aux-chunk
+    * skip is spec-covered (MultimodalSpec) on hand-built containers.
+    * Ends at `hdr (asset_id, h, n, dlen, channels, sample_rate, ok)`.
+    */
+  private def wavOracleCtes(maxDoc: Int): String = {
+    def le32(e: String) = {
+      val h = s"lpad(hex($e), 8, '0')"
+      s"(substr($h,7,2)||substr($h,5,2)||substr($h,3,2)||substr($h,1,2))"
+    }
+    def le16(e: String) = {
+      val h = s"lpad(hex($e), 4, '0')"
+      s"(substr($h,3,2)||substr($h,1,2))"
+    }
+    def u16(o: Int) =
+      s"(CAST(('0x'||substr(h,${2 * o + 1},2)) AS BIGINT) + " +
+        s"256*CAST(('0x'||substr(h,${2 * o + 3},2)) AS BIGINT))"
+    def u32(o: Int) = s"(${u16(o)} + 65536*${u16(o + 2)})"
+    s"""src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+       |            FROM documents WHERE doc_id < $maxDoc),
+       |g AS (SELECT asset_id, p, (octet_length(p) // 2) * 2 AS dl FROM src
+       |      WHERE (octet_length(p) // 2) * 2 >= 2),
+       |enc AS (SELECT asset_id,
+       |        '52494646' || ${le32("36 + dl")} || '57415645' || '666D7420' ||
+       |        ${le32("16")} || ${le16("1")} || ${le16("1")} || ${le32("8000")} ||
+       |        ${le32("16000")} || ${le16("2")} || ${le16("16")} || '64617461' ||
+       |        ${le32("dl")} || substr(hex(p), 1, CAST(2*dl AS BIGINT)) AS hx
+       |        FROM g),
+       |d AS (SELECT asset_id, hex(unhex(hx)) AS h, octet_length(unhex(hx)) AS n
+       |      FROM enc),
+       |hdr AS (SELECT asset_id, h, n, ${u32(40)} AS dlen,
+       |               ${u16(22)} AS channels, ${u32(24)} AS sample_rate,
+       |               (n >= 44 AND substr(h,1,8) = '52494646'
+       |                AND substr(h,17,8) = '57415645'
+       |                AND substr(h,25,8) = '666D7420'
+       |                AND ${u32(16)} = 16 AND ${u16(20)} = 1
+       |                AND ${u16(34)} = 16
+       |                AND substr(h,${2 * 36 + 1},8) = '64617461'
+       |                AND n >= 44 + ${u32(40)}) AS ok
+       |        FROM d)""".stripMargin
   }
 
   /** DuckDB mirror of Dedup's universal-hash minhash: same base hash, same
@@ -4137,6 +4204,31 @@ object SparkEntry {
         |       CAST(SUM(floor(diff*diff*1048576)) AS BIGINT) AS err_fp,
         |       CAST(MAX(floor(abs(diff)*1048576)) AS BIGINT) AS max_abs_err_fp
         |FROM e GROUP BY 1""".stripMargin,
+    "q253_wav_stats" ->
+      s"""WITH ${wavOracleCtes(150)}
+         |SELECT asset_id, ok AS is_valid,
+         |       CASE WHEN ok THEN channels END AS channels,
+         |       CASE WHEN ok THEN sample_rate END AS sample_rate,
+         |       CASE WHEN ok THEN dlen // (channels * 2) END AS n_frames,
+         |       CASE WHEN ok
+         |            THEN ((dlen // (channels * 2)) * 1000) // sample_rate
+         |       END AS duration_ms
+         |FROM hdr""".stripMargin,
+    "q254_wav_energy" ->
+      s"""WITH ${wavOracleCtes(100)},
+         |vv AS (SELECT asset_id, dlen // 2 AS ns, h FROM hdr
+         |       WHERE ok AND dlen // 2 > 0),
+         |sx AS (SELECT asset_id, ns, h, unnest(range(0, ns)) AS i FROM vv),
+         |u AS (SELECT asset_id, i,
+         |        CAST(('0x'||substr(h, CAST(2*(44 + 2*i)+1 AS BIGINT), 2)) AS BIGINT)
+         |        + 256 * CAST(('0x'||substr(h, CAST(2*(44 + 2*i)+3 AS BIGINT), 2)) AS BIGINT) AS uu
+         |      FROM sx),
+         |w AS (SELECT asset_id, i // 16 AS window_idx,
+         |        CASE WHEN uu >= 32768 THEN uu - 65536 ELSE uu END AS v FROM u)
+         |SELECT asset_id, CAST(window_idx AS BIGINT) AS window_idx,
+         |       COUNT(*) AS n_samples,
+         |       CAST(SUM(v*v) AS BIGINT) AS energy
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "q247_contaminated_spans" ->
       s"""WITH bl AS (SELECT string_split(text,' ') AS l FROM documents WHERE source = 'src0'),
          |bg AS (SELECT unnest($dkShingles) AS gram FROM bl),

@@ -413,6 +413,140 @@ object Multimodal {
         coalesce(col("n_pixels"), lit(0L)).as("n_pixels"))
   }
 
+  // ------------------------------------------------------------------
+  // REAL AUDIO CONTAINER: canonical RIFF/WAVE (PCM16). The third
+  // arithmetic codec after PCM16 frames and BMP — here the container
+  // itself is parsed (chunk ids, sizes, offsets are little-endian
+  // integers at computable positions), and the located data chunk feeds
+  // the same per-sample decode as pcmWindowEnergy. Handles the canonical
+  // 44-byte layout plus ONE auxiliary chunk (LIST/fact/cue) between
+  // "fmt " and "data" — the overwhelmingly common real-file shapes; a
+  // longer chunk walk is the same arithmetic unrolled further.
+  // ------------------------------------------------------------------
+
+  /** Encode each asset's payload as a canonical 44-byte-header PCM16 WAV:
+    * RIFF size, "WAVE", a 16-byte "fmt " chunk (PCM, `channels`,
+    * `sampleRate`, 16-bit), then "data" with the payload's even-length
+    * prefix as samples. Assets with fewer than 2 payload bytes are
+    * dropped (no sample to carry). One codegen'd projection, no UDF.
+    */
+  def encodeWav(
+      assets: DataFrame, channels: Int = 1, sampleRate: Int = 8000): DataFrame = {
+    require(channels >= 1 && sampleRate >= 1, "bad wav params")
+    val dlen = expr("(octet_length(bytes) div 2) * 2").cast("long")
+    val hx = concat(
+      lit("52494646"),                                  // "RIFF"
+      le32(lit(36L) + dlen),                            // riff chunk size
+      lit("57415645"),                                  // "WAVE"
+      lit("666D7420"),                                  // "fmt "
+      le32(lit(16L)),                                   // fmt chunk size
+      le16(lit(1L)),                                    // audio format = PCM
+      le16(lit(channels.toLong)),                       // channels
+      le32(lit(sampleRate.toLong)),                     // sample rate
+      le32(lit(sampleRate.toLong * channels * 2)),      // byte rate
+      le16(lit(channels.toLong * 2)),                   // block align
+      le16(lit(16L)),                                   // bits per sample
+      lit("64617461"),                                  // "data"
+      le32(dlen),                                       // data size
+      expr("substring(hex(bytes), 1, cast(2 * ((octet_length(bytes) div 2) * 2) as int))"))
+    assets.filter(dlen >= 2L).withColumn("bytes", unhex(hx))
+  }
+
+  /** RIFF/WAVE header parse shared by the WAV surfaces: format fields,
+    * located data-chunk offset/length, and `is_valid`. Byte reads follow
+    * the bmpHeader discipline (hex of 1–4-byte binary slices, never one
+    * shared hex-of-payload alias). The data chunk is accepted at the
+    * canonical offset 36 or, if an auxiliary chunk sits there, at
+    * `36 + 8 + aux_size` — the one-skip walk.
+    */
+  private def wavHeader(assets: DataFrame): DataFrame = {
+    // offset expressions are SQL fragments (offsets depend on parsed
+    // columns); every read is a 1- or 4-byte binary slice, hexed alone
+    def u8(o: String) =
+      s"CAST(conv(hex(substring(bytes, cast(($o) + 1 as int), 1)), 16, 10) AS BIGINT)"
+    def tag(o: String) = s"hex(substring(bytes, cast(($o) + 1 as int), 4))"
+    def u16c(o: String) = s"(${u8(o)} + 256 * ${u8(s"($o) + 1")})"
+    def u32c(o: String) = s"(${u16c(o)} + 65536 * ${u16c(s"($o) + 2")})"
+    assets
+      .select(col("asset_id"), col("bytes"),
+        octet_length(col("bytes")).cast("long").as("n"),
+        expr(s"${tag("0")} = '52494646' AND ${tag("8")} = '57415645' AND " +
+          s"${tag("12")} = '666D7420'").as("magic_ok"),
+        expr(u32c("16")).as("fmt_size"), expr(u16c("20")).as("audio_fmt"),
+        expr(u16c("22")).as("channels"), expr(u32c("24")).as("sample_rate"),
+        expr(u16c("34")).as("bits"))
+      // data chunk: canonical position right after fmt, or one aux chunk
+      // later; chunk sizes pad to even length per RIFF
+      .withColumn("__c1", expr("20 + ((fmt_size + 1) div 2) * 2"))
+      .withColumn("__c2",
+        expr(s"__c1 + 8 + ((${u32c("__c1 + 4")} + 1) div 2) * 2"))
+      .withColumn("data_off",
+        when(expr(s"${tag("__c1")} = '64617461'"), col("__c1") + 8L)
+          .when(col("__c1") + 8L <= col("n") &&
+            expr(s"${tag("__c2")} = '64617461'"), col("__c2") + 8L))
+      .withColumn("data_len",
+        when(col("data_off").isNotNull, expr(u32c("data_off - 4"))))
+      .withColumn("is_valid",
+        col("n") >= 44L && col("magic_ok") && col("audio_fmt") === 1L &&
+          col("bits") === 16L && col("channels") >= 1L &&
+          col("sample_rate") >= 1L && col("data_off").isNotNull &&
+          col("n") >= col("data_off") + col("data_len"))
+  }
+
+  /** Decode WAV containers natively (E213): RIFF magic + "fmt " parse,
+    * data-chunk location (canonical or one-aux-chunk-skip), and per-asset
+    * audio facts — channels, sample rate, exact frame count (data bytes ÷
+    * block align), and integer milliseconds of audio. Non-PCM16, corrupt,
+    * or overrunning containers report `is_valid = false` with null fields
+    * — a bad asset is a visible finding, not a dropped row.
+    *
+    * Scale: map-only projection over the header bytes (no sample is
+    * touched); all arithmetic codegen'd, oracle-replayable.
+    */
+  def wavStats(assets: DataFrame): DataFrame =
+    wavHeader(assets).select(
+      col("asset_id"), col("is_valid"),
+      when(col("is_valid"), col("channels")).as("channels"),
+      when(col("is_valid"), col("sample_rate")).as("sample_rate"),
+      when(col("is_valid"), expr("data_len div (channels * 2)")).as("n_frames"),
+      when(col("is_valid"),
+        expr("((data_len div (channels * 2)) * 1000) div sample_rate"))
+        .as("duration_ms"))
+
+  /** Windowed Σv² energy over a WAV's located data chunk (E213) — the
+    * [[pcmWindowEnergy]] walk driven by the container parse: sample i
+    * reads the 2 bytes at `data_off + 2i`, windows are `windowSamples`
+    * frames. Invalid containers contribute no windows ([[wavStats]] is
+    * where they surface).
+    *
+    * Scale: one explode of sample indices per valid asset; every byte
+    * access is codegen'd hex arithmetic on a 2-byte slice — the whole
+    * pipeline (container walk + decode + window aggregation) is one scan,
+    * no UDF, map-side combined.
+    */
+  def wavWindowEnergy(assets: DataFrame, windowSamples: Int = 16): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be positive")
+    val u =
+      conv(hex(expr("substring(bytes, cast(data_off + 2 * i + 1 as int), 1)")), 16, 10)
+        .cast("long") +
+        lit(256L) * conv(
+          hex(expr("substring(bytes, cast(data_off + 2 * i + 2 as int), 1)")), 16, 10)
+          .cast("long")
+    val v = when(u >= 32768L, u - 65536L).otherwise(u)
+    wavHeader(assets)
+      .filter(col("is_valid"))
+      .select(col("asset_id"), col("bytes"), col("data_off"),
+        expr("data_len div 2").as("ns"))
+      .filter(col("ns") > 0) // sequence(0, -1) would DESCEND, not be empty
+      .select(col("asset_id"), col("bytes"), col("data_off"),
+        explode(sequence(lit(0L), col("ns") - 1)).as("i"))
+      .select(col("asset_id"), expr(s"i div $windowSamples").as("window_idx"),
+        v.as("v"))
+      .groupBy("asset_id", "window_idx")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("v") * col("v")).cast("long").as("energy"))
+  }
+
   /** Partition-wise batched decode seam: groups each partition's assets into
     * fixed-size batches (the mapInPandas batch shape) and applies a
     * batch-level decode function. The default `decodeBatch` is the stub; a

@@ -200,4 +200,88 @@ class MultimodalSpec extends SparkSpec {
     val empty = Seq((2L, Array.empty[Byte])).toDF("asset_id", "bytes")
     assert(Multimodal.pcmWindowEnergy(empty).isEmpty)
   }
+
+  private def leBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  /** Hand-built RIFF/WAVE container, optionally with one auxiliary chunk
+    * between "fmt " and "data" — the shape encodeWav never emits, so the
+    * chunk-walk branch gets its own fixture.
+    */
+  private def buildWav(
+      pcm: Array[Byte], channels: Int = 1, rate: Int = 8000,
+      aux: Option[Array[Byte]] = None): Array[Byte] = {
+    val auxChunk = aux.map { a =>
+      "LIST".getBytes("ASCII") ++ leBytes(a.length.toLong, 4) ++ a ++
+        (if (a.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    }.getOrElse(Array.empty[Byte])
+    val body = "WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ leBytes(16, 4) ++ leBytes(1, 2) ++
+      leBytes(channels.toLong, 2) ++ leBytes(rate.toLong, 4) ++
+      leBytes(rate.toLong * channels * 2, 4) ++ leBytes(channels.toLong * 2, 2) ++
+      leBytes(16, 2) ++ auxChunk ++
+      "data".getBytes("ASCII") ++ leBytes(pcm.length.toLong, 4) ++ pcm
+    "RIFF".getBytes("ASCII") ++ leBytes(body.length.toLong, 4) ++ body
+  }
+
+  test("WAV round trip: encodeWav parses back to exact frame counts and duration") {
+    import spark.implicits._
+    val assets = Seq((1L, "abcdefgh"), (2L, "odd")).toDF("asset_id", "text")
+      .select(col("asset_id"), col("text").cast("binary").as("bytes"))
+    val out = Multimodal.wavStats(Multimodal.encodeWav(assets))
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    val a = out(1L) // 8 payload bytes → 4 frames at 8000 Hz
+    assert(a.getAs[Boolean]("is_valid"))
+    assert(a.getAs[Long]("channels") === 1L)
+    assert(a.getAs[Long]("sample_rate") === 8000L)
+    assert(a.getAs[Long]("n_frames") === 4L)
+    assert(a.getAs[Long]("duration_ms") === 0L) // 4/8000 s floors to 0 ms
+    val b = out(2L) // "odd" → even prefix of 2 bytes → 1 frame
+    assert(b.getAs[Boolean]("is_valid") && b.getAs[Long]("n_frames") === 1L)
+  }
+
+  test("WAV chunk walk: data located after one auxiliary chunk; stereo frames counted") {
+    import spark.implicits._
+    val pcm = leBytes(1000, 2) ++ leBytes(-2000 & 0xFFFF, 2) ++
+      leBytes(3, 2) ++ leBytes(0xFFFF, 2) // 4 samples = 2 stereo frames
+    val wav = buildWav(pcm, channels = 2, rate = 16000,
+      aux = Some("INFOsoftware graft".getBytes("ASCII")))
+    val assets = Seq((7L, wav)).toDF("asset_id", "bytes")
+    val r = Multimodal.wavStats(assets).collect().head
+    assert(r.getAs[Boolean]("is_valid"), "aux chunk must be skipped, not fatal")
+    assert(r.getAs[Long]("channels") === 2L)
+    assert(r.getAs[Long]("sample_rate") === 16000L)
+    assert(r.getAs[Long]("n_frames") === 2L)
+    // energy through the container == the raw-PCM walk on the payload
+    val viaWav = Multimodal.wavWindowEnergy(assets, windowSamples = 16)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("window_idx"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("energy"))).toSet
+    val direct = Multimodal.pcmWindowEnergy(
+        Seq((7L, pcm)).toDF("asset_id", "bytes"), windowSamples = 16)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("window_idx"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("energy"))).toSet
+    assert(viaWav === direct)
+    assert(viaWav.head._4 === 1000L * 1000 + 2000L * 2000 + 3L * 3 + 1L)
+  }
+
+  test("WAV malformed containers report is_valid=false with null fields") {
+    import spark.implicits._
+    val good = buildWav(leBytes(5, 2))
+    val badMagic = "JUNK".getBytes("ASCII") ++ good.drop(4)
+    val truncated = good.dropRight(1) // data decl overruns actual bytes
+    val tiny = "RIFF".getBytes("ASCII")
+    val assets = Seq((1L, good), (2L, badMagic), (3L, truncated), (4L, tiny))
+      .toDF("asset_id", "bytes")
+    val out = Multimodal.wavStats(assets)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_valid"))
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("is_valid"), s"asset $id must be invalid")
+      assert(out(id).isNullAt(out(id).fieldIndex("n_frames")))
+    }
+    assert(out.size === 4, "bad assets are visible findings, not dropped rows")
+    // and the energy walk simply skips them
+    assert(Multimodal.wavWindowEnergy(assets).select("asset_id").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
