@@ -461,12 +461,20 @@ object Multimodal {
     */
   private def wavHeader(assets: DataFrame): DataFrame = {
     // offset expressions are SQL fragments (offsets depend on parsed
-    // columns); every read is a 1- or 4-byte binary slice, hexed alone
-    def u8(o: String) =
-      s"CAST(conv(hex(substring(bytes, cast(($o) + 1 as int), 1)), 16, 10) AS BIGINT)"
+    // columns); every field is ONE 2- or 4-byte binary slice hexed alone,
+    // byte-swapped in string space, and converted with a single conv —
+    // per-byte conv chains made the fused parse stage outgrow Janino's
+    // 64 KB method budget
     def tag(o: String) = s"hex(substring(bytes, cast(($o) + 1 as int), 4))"
-    def u16c(o: String) = s"(${u8(o)} + 256 * ${u8(s"($o) + 1")})"
-    def u32c(o: String) = s"(${u16c(o)} + 65536 * ${u16c(s"($o) + 2")})"
+    def u16c(o: String) = {
+      val hx = s"hex(substring(bytes, cast(($o) + 1 as int), 2))"
+      s"CAST(conv(substr($hx, 3, 2) || substr($hx, 1, 2), 16, 10) AS BIGINT)"
+    }
+    def u32c(o: String) = {
+      val hx = tag(o)
+      s"CAST(conv(substr($hx, 7, 2) || substr($hx, 5, 2) || " +
+        s"substr($hx, 3, 2) || substr($hx, 1, 2), 16, 10) AS BIGINT)"
+    }
     assets
       .select(col("asset_id"), col("bytes"),
         octet_length(col("bytes")).cast("long").as("n"),
@@ -534,10 +542,17 @@ object Multimodal {
           .cast("long")
     val v = when(u >= 32768L, u - 65536L).otherwise(u)
     wavHeader(assets)
-      .filter(col("is_valid"))
-      .select(col("asset_id"), col("bytes"), col("data_off"),
+      .select(col("asset_id"), col("bytes"), col("is_valid"), col("data_off"),
         expr("data_len div 2").as("ns"))
-      .filter(col("ns") > 0) // sequence(0, -1) would DESCEND, not be empty
+      // hard boundary between container walk and sample walk BEFORE the
+      // validity filter: a filter on is_valid would push down through the
+      // parse projections, substituting the whole dynamic chunk-walk tree
+      // into one giant predicate and blowing the fused stage past
+      // Janino's 64 KB method limit into interpreted fallback (the q241
+      // lesson — the parse runs once per asset, the walk once per sample)
+      .localCheckpoint()
+      // ns > 0 also guards sequence(0, -1), which would DESCEND, not be empty
+      .filter(col("is_valid") && col("ns") > 0)
       .select(col("asset_id"), col("bytes"), col("data_off"),
         explode(sequence(lit(0L), col("ns") - 1)).as("i"))
       .select(col("asset_id"), expr(s"i div $windowSamples").as("window_idx"),
