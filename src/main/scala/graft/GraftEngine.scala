@@ -284,7 +284,8 @@ object Main {
           "[--admit QUOTA] [--leakage-safe-split] [--cap-sources TOKEN_BUDGET] " +
           "[--change-points] [--shard-balance N] [--source-concentration] " +
           "[--audience-overlap] [--packing-curve] " +
-          "[--contamination-spans BENCH_DATA_DIR] [--tokenizer-economics]")
+          "[--contamination-spans BENCH_DATA_DIR] [--tokenizer-economics] " +
+          "[--dup-kcore K]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -531,6 +532,16 @@ object Main {
         graft.ext.Decontaminate.contaminatedSpans(
             Tables.documents(spark, dir), Tables.documents(spark, benchDir))
           .orderBy(col("longest_run").desc, col("doc_id"))
+          .show(30, truncate = false)
+      }
+      // dense center of the duplication graph (template farms)
+      opt("--dup-kcore").foreach { k =>
+        println(s"$k-core of the near-dup graph (survivors + in-core degree):")
+        graft.ext.GraphStats.kCore(
+            graft.ext.Dedup.nearDuplicates(Tables.documents(spark, dir), minJaccard = 0.5)
+              .select(col("id_a"), col("id_b")),
+            k.toInt)
+          .orderBy(col("core_degree").desc, col("id"))
           .show(30, truncate = false)
       }
       // per-source byte/char/token mass + compression + fertility ratios

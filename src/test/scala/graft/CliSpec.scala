@@ -94,6 +94,12 @@ class CliSpec extends SparkSpec {
     assert(out.contains("src"), "per-source rows missing")
   }
 
+  test("--dup-kcore prints the peeled core (header even when empty at sf0.001)") {
+    val out = runCli("--dup-kcore", "2")
+    assert(out.contains("2-core of the near-dup graph"), "header missing")
+    assert(out.contains("core_degree"), "degree column missing")
+  }
+
   test("--card and --search still reach their reports through run()") {
     val out = runCli("--card", "--search", "table,key")
     assert(out.contains("dataset card"))
