@@ -2027,6 +2027,12 @@ object SparkEntry {
     "q250_winnow_fingerprints" -> { (s, dir) =>
       graft.ext.Dedup.winnowFingerprints(Tables.documents(s, dir), k = 4, w = 4)
     },
+    // Cross-source span-copy matrix (E214): source pairs sharing winnowed
+    // fingerprints — span-granular "who copies whom", vs q109's whole-doc
+    // near-dup matrix.
+    "q255_winnow_source_matrix" -> { (s, dir) =>
+      graft.ext.Dedup.winnowSourceMatrix(Tables.documents(s, dir), k = 4, w = 4)
+    },
     // Tokenizer economics per source (E211): bytes/chars/words/BPE-token
     // mass with fixed-point compression + fertility ratios.
     "q251_tokenizer_economics" -> { (s, dir) =>
@@ -2579,6 +2585,30 @@ object SparkEntry {
        |                AND n >= 44 + ${u32(40)}) AS ok
        |        FROM d)""".stripMargin
   }
+
+  /** DuckDB replay of Dedup's winnowed fingerprint selection (k=4, w=4,
+    * seed 11) through the `fp (doc_id, gh, pos, g)` CTE — shared by q250
+    * (per-doc report) and q255 (cross-source matrix). MATERIALIZED: fp is
+    * referenced more than once downstream and DuckDB inlines CTEs per
+    * reference.
+    */
+  private def winnowOracleCtes: String =
+    s"""cl AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
+       |            WHERE len(string_split(text,' ')) >= 4),
+       |pe AS (SELECT doc_id, CAST(len(l) - 3 AS BIGINT) AS g,
+       |              unnest(range(1, len(l) - 2)) AS pos, l FROM cl),
+       |gr AS (SELECT doc_id, g, pos,
+       |              ${dkHash("array_to_string(l[pos:pos+3], ' ')", 11)} AS gh
+       |       FROM pe),
+       |wn AS (SELECT doc_id, gh, pos, g,
+       |         unnest(range(greatest(pos - 3, 1),
+       |                      least(pos, greatest(g - 3, 1)) + 1)) AS t
+       |       FROM gr),
+       |rk AS (SELECT doc_id, t, gh, pos, g,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id, t
+       |                            ORDER BY gh ASC, pos DESC) AS rn
+       |       FROM wn),
+       |fp AS MATERIALIZED (SELECT DISTINCT doc_id, gh, pos, g FROM rk WHERE rn = 1)""".stripMargin
 
   /** DuckDB mirror of Dedup's universal-hash minhash: same base hash, same
     * (a_i, b_i) coefficients, same modulus — identical signatures by
@@ -4349,22 +4379,7 @@ object SparkEntry {
          |     CROSS JOIN r2 CROSS JOIN s2 CROSS JOIN tr2""".stripMargin
     },
     "q250_winnow_fingerprints" ->
-      s"""WITH cl AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
-         |            WHERE len(string_split(text,' ')) >= 4),
-         |pe AS (SELECT doc_id, CAST(len(l) - 3 AS BIGINT) AS g,
-         |              unnest(range(1, len(l) - 2)) AS pos, l FROM cl),
-         |gr AS (SELECT doc_id, g, pos,
-         |              ${dkHash("array_to_string(l[pos:pos+3], ' ')", 11)} AS gh
-         |       FROM pe),
-         |wn AS (SELECT doc_id, gh, pos, g,
-         |         unnest(range(greatest(pos - 3, 1),
-         |                      least(pos, greatest(g - 3, 1)) + 1)) AS t
-         |       FROM gr),
-         |rk AS (SELECT doc_id, t, gh, pos, g,
-         |         ROW_NUMBER() OVER (PARTITION BY doc_id, t
-         |                            ORDER BY gh ASC, pos DESC) AS rn
-         |       FROM wn),
-         |fp AS (SELECT DISTINCT doc_id, gh, pos, g FROM rk WHERE rn = 1),
+      s"""WITH $winnowOracleCtes,
          |sh AS (SELECT gh, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY 1)
          |SELECT doc_id, CAST(MAX(g) AS BIGINT) AS n_grams,
          |       CAST(MAX(greatest(g - 3, 1)) AS BIGINT) AS n_windows,
@@ -4372,6 +4387,20 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
          |       CAST(MAX(n_docs) AS BIGINT) AS max_docs_sharing
          |FROM fp JOIN sh USING (gh) GROUP BY 1""".stripMargin,
+    "q255_winnow_source_matrix" ->
+      s"""WITH $winnowOracleCtes,
+         |sfp AS MATERIALIZED (SELECT DISTINCT d.source AS src, f.gh
+         |       FROM fp f JOIN documents d USING (doc_id)),
+         |tot AS (SELECT src, COUNT(*) AS n_fp FROM sfp GROUP BY 1),
+         |sh AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared_fp
+         |       FROM sfp a JOIN sfp b ON a.gh = b.gh AND a.src < b.src
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_shared_fp AS BIGINT) AS n_shared_fp,
+         |       CAST(ta.n_fp AS BIGINT) AS n_fp_a,
+         |       CAST(tb.n_fp AS BIGINT) AS n_fp_b,
+         |       CAST((n_shared_fp * 1048576) //
+         |            (ta.n_fp + tb.n_fp - n_shared_fp) AS BIGINT) AS jaccard_fp
+         |FROM sh JOIN tot ta ON ta.src = src_a JOIN tot tb ON tb.src = src_b""".stripMargin,
     "q251_tokenizer_economics" ->
       """WITH t AS (SELECT source,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS b,

@@ -624,14 +624,14 @@ object Dedup {
     * (~2/(w+1) of gram mass). Nothing collects; selection is per-window
     * rank, not a global sort.
     */
-  def winnowFingerprints(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      k: Int = 4,
-      w: Int = 4,
-      seed: Int = 11,
-      portable: Boolean = true): DataFrame = {
+  /** The winnowed fingerprint rows themselves: one (idCol, gh, pos,
+    * n_grams, t_max) row per selected fingerprint — the shared derivation
+    * under [[winnowFingerprints]]'s per-doc report and
+    * [[winnowSourceMatrix]]'s cross-source copy matrix.
+    */
+  private def winnowedFpRows(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, seed: Int, portable: Boolean): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
     import org.apache.spark.sql.expressions.Window
     val grams = posGramHashes(docs, idCol, textCol, k, seed, portable)
@@ -644,14 +644,26 @@ object Dedup {
         least(col("pos"), tMax))).as("t"))
     val rk = Window.partitionBy(col(idCol), col("t"))
       .orderBy(col("gh").asc, col("pos").desc)
-    // sharing fan-out via a window over gh, NOT a groupBy+join-back — the
-    // latter re-evaluates the whole explode pipeline once per branch
-    // (the double-branch recomputation trap)
-    val fp = windows
+    windows
       .withColumn("__rn", row_number().over(rk))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("gh"), col("pos"), col("n_grams"), col("t_max"))
       .dropDuplicates(idCol, "gh", "pos")
+  }
+
+  def winnowFingerprints(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      seed: Int = 11,
+      portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sharing fan-out via a window over gh, NOT a groupBy+join-back — the
+    // latter re-evaluates the whole explode pipeline once per branch
+    // (the double-branch recomputation trap)
+    val fp = winnowedFpRows(docs, textCol, idCol, k, w, seed, portable)
       .withColumn("n_docs",
         size(collect_set(col(idCol)).over(Window.partitionBy(col("gh")))).cast("long"))
     fp.groupBy(col(idCol))
@@ -661,6 +673,54 @@ object Dedup {
         count(lit(1)).as("n_fingerprints"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_fp"),
         max(col("n_docs")).as("max_docs_sharing"))
+  }
+
+  /** Cross-source span-copy matrix (E214): which source PAIRS share
+    * winnowed fingerprints — span-granular "who copies whom". The
+    * doc-level [[dupSourceMatrix]] sees only whole near-dup documents; a
+    * feed that quotes another's paragraphs inside otherwise-original
+    * pages shows up HERE, because any shared w+k-1-token run forces a
+    * shared fingerprint (the MOSS guarantee). Per unordered source pair:
+    * distinct shared fingerprints, each side's fingerprint vocabulary,
+    * and the 2²⁰ fixed-point Jaccard of the two vocabularies.
+    *
+    * Scale: the (source, gh) projection collapses to the winnowed
+    * vocabulary (~2/(w+1) of gram mass) before any join; the pair join
+    * keys on gh with per-key fan-out bounded by |sources| (a taxonomy),
+    * so the join output is ≤ |sources|²-bounded per fingerprint and the
+    * final aggregation is |sources|² rows. Nothing doc-scale is ever
+    * pairwise.
+    */
+  def winnowSourceMatrix(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      seed: Int = 11,
+      portable: Boolean = true): DataFrame = {
+    // pinned: three consumers (totals + both join sides) would otherwise
+    // re-run the whole winnow pipeline per branch; the distinct
+    // (source, fingerprint) projection is vocabulary-scale, not corpus-scale
+    val srcFp = winnowedFpRows(docs, textCol, idCol, k, w, seed, portable)
+      .join(docs.select(col(idCol), col(sourceCol).as("__src")), Seq(idCol))
+      .select(col("__src"), col("gh"))
+      .distinct()
+      .localCheckpoint()
+    val totals = srcFp.groupBy(col("__src")).agg(count(lit(1)).as("n_fp"))
+    val shared = srcFp.as("a")
+      .join(srcFp.as("b"),
+        col("a.gh") === col("b.gh") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+    shared
+      .join(totals.select(col("__src").as("src_a"), col("n_fp").as("n_fp_a")), Seq("src_a"))
+      .join(totals.select(col("__src").as("src_b"), col("n_fp").as("n_fp_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_fp"),
+        col("n_fp_a"), col("n_fp_b"),
+        graft.ext.ExactMath.floorDiv(col("n_shared_fp") * lit(1048576L),
+          col("n_fp_a") + col("n_fp_b") - col("n_shared_fp")).as("jaccard_fp"))
   }
 
   /** Keep-best dedup — the training-pipeline step AFTER near-dup

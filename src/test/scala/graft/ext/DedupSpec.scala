@@ -553,4 +553,27 @@ class DedupSpec extends SparkSpec {
     assert(d3.getAs[Long]("n_windows") === 1L)
     assert(d3.getAs[Long]("n_fingerprints") === 1L, "equal hashes: one rightmost winner")
   }
+
+  test("winnowSourceMatrix: span-sharing source pairs surface, disjoint ones don't") {
+    import spark.implicits._
+    val sharedRun = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "A", s"intro words before $sharedRun and a tail"),
+      (2L, "A", "another original document from feed a entirely"),
+      (3L, "B", s"feed b reporting begins $sharedRun closing words here"),
+      (4L, "C", "feed c talks about something else wholly unrelated today"))
+      .toDF("doc_id", "source", "text")
+    val rows = Dedup.winnowSourceMatrix(docs, k = 4, w = 4)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r)
+      .toMap
+    assert(rows.keySet === Set(("A", "B")),
+      "only the pair sharing a >= w+k-1-token run has shared fingerprints")
+    val ab = rows(("A", "B"))
+    val shared = ab.getAs[Long]("n_shared_fp")
+    assert(shared >= 1L)
+    val (na, nb) = (ab.getAs[Long]("n_fp_a"), ab.getAs[Long]("n_fp_b"))
+    assert(na >= shared && nb >= shared)
+    assert(ab.getAs[Long]("jaccard_fp") ===
+      shared * 1048576L / (na + nb - shared))
+  }
 }
