@@ -2033,6 +2033,16 @@ object SparkEntry {
     "q255_winnow_source_matrix" -> { (s, dir) =>
       graft.ext.Dedup.winnowSourceMatrix(Tables.documents(s, dir), k = 4, w = 4)
     },
+    // Contamination masking rewrite (E215): ACT on q247 — every token
+    // covered by a benchmark gram replaced one-for-one, per-doc rewrite
+    // manifest (counts + md5 of the masked text).
+    "q256_mask_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ext.Decontaminate.maskContaminatedSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        n = 3)
+    },
     // Tokenizer economics per source (E211): bytes/chars/words/BPE-token
     // mass with fixed-point compression + fertility ratios.
     "q251_tokenizer_economics" -> { (s, dir) =>
@@ -4286,6 +4296,27 @@ object SparkEntry {
          |SELECT doc_id, n_grams, n_hit, n_islands, longest_run,
          |       longest_run + 2 AS longest_tokens, longest_start
          |FROM tot JOIN agg USING (doc_id) JOIN top USING (doc_id)""".stripMargin,
+    "q256_mask_contamination" ->
+      s"""WITH bl AS (SELECT string_split(text,' ') AS l FROM documents WHERE source = 'src0'),
+         |bg AS (SELECT unnest($dkShingles) AS gram FROM bl),
+         |bh AS (SELECT DISTINCT ${dkHash("gram", 7)} AS gh FROM bg),
+         |cl AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
+         |       WHERE source <> 'src0' AND text IS NOT NULL),
+         |pe AS (SELECT doc_id, unnest(range(1, greatest(len(l) - 1, 1))) AS pos, l FROM cl),
+         |pg AS (SELECT doc_id, pos, array_to_string(l[pos:pos+2], ' ') AS gram FROM pe),
+         |hit AS (SELECT doc_id, pos FROM pg
+         |        WHERE ${dkHash("gram", 7)} IN (SELECT gh FROM bh)),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 3)) AS t FROM hit),
+         |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS t, l FROM cl),
+         |tk AS (SELECT doc_id, t, l[t] AS tok FROM tok),
+         |j AS (SELECT tk.doc_id, tk.t,
+         |        CASE WHEN cov.t IS NOT NULL THEN 1 ELSE 0 END AS m,
+         |        CASE WHEN cov.t IS NOT NULL THEN '<masked>' ELSE tk.tok END AS tok2
+         |      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.t = tk.t)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(m) AS BIGINT) AS n_masked,
+         |       md5(string_agg(tok2, ' ' ORDER BY t)) AS masked_md5
+         |FROM j GROUP BY 1""".stripMargin,
     "q248_sorted_neighbors" -> {
       val sums = (0 until 60)
         .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")

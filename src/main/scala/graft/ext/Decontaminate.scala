@@ -155,6 +155,52 @@ object Decontaminate {
         col("longest_start"))
   }
 
+  /** Contamination masking rewrite (E215) — ACT on [[contaminatedSpans]]:
+    * every token covered by a benchmark-matching n-gram is replaced with
+    * `mask`, and the rewritten document is reported as an md5 manifest
+    * row (token counts + digest) — the surgical alternative to dropping
+    * a whole document over one quoted eval item. Tokens are masked
+    * one-for-one, so document length and alignment are preserved.
+    *
+    * Scale: benchmark grams BROADCAST; the hit positions (contamination
+    * -sized) fan out ×n into covered token positions; the rewrite is one
+    * token explode + per-doc ordered reassembly (the q155 segmentRewrite
+    * discipline: array_sort(collect_list(struct)) — per-doc bounded,
+    * never a global sort).
+    */
+  def maskContaminatedSpans(
+      candidates: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      seed: Int = 7,
+      portable: Boolean = true,
+      mask: String = "<masked>"): DataFrame = {
+    val bench = gramRows(benchmark, idCol, textCol, n, seed, portable)
+      .select(col("gh")).distinct().withColumn("__hit", lit(1))
+    val covered = Dedup.posGramHashes(candidates, idCol, textCol, n, seed, portable)
+      .join(broadcast(bench), Seq("gh"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1)))
+        .as("t"))
+      .distinct()
+      .withColumn("__m", lit(1))
+    candidates
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).as("t"), col("tok"))
+      .join(covered, Seq(idCol, "t"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__m") === 1, 1L).otherwise(0L)).as("n_masked"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("t"),
+              when(col("__m") === 1, mask).otherwise(col("tok")).as("tok2")))),
+            x => x.getField("tok2")),
+          " ")).as("masked_md5"))
+  }
+
   /** Fuzzy decontamination: near-duplicate matches between corpus and
     * benchmark, not just shared n-grams — catches lightly-paraphrased or
     * truncated eval leakage that [[contamination]]'s exact-gram ratio

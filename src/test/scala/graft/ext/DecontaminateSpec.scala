@@ -148,4 +148,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(d3.getAs[Long]("longest_run") === 1L)
     assert(d3.getAs[Long]("longest_start") === 1L, "equal runs tie to the earliest")
   }
+
+  test("maskContaminatedSpans: one-for-one token masking, clean docs untouched") {
+    import spark.implicits._
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // hits at gram pos 2 (a b c) and 3 (b c d) → covered tokens 2..5
+    val cands = Seq(
+      (1L, "z a b c d z"),
+      (2L, "totally clean text here")).toDF("doc_id", "text")
+    val out = Decontaminate.maskContaminatedSpans(cands, bench, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") === 6L)
+    assert(d1.getAs[Long]("n_masked") === 4L)
+    assert(d1.getAs[String]("masked_md5") ===
+      md5Of("z <masked> <masked> <masked> <masked> z"),
+      "masking is positional and one-for-one — length preserved")
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_masked") === 0L)
+    assert(d2.getAs[String]("masked_md5") === md5Of("totally clean text here"),
+      "a clean document's rewrite is byte-identical to the original")
+  }
 }
