@@ -1,5 +1,54 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, lit}
+
+/** Per-query task-metric aggregation, keyed by job group. Wall time on a
+  * shared box conflates engine cost with scheduler noise (a 23% total swing
+  * was measured across three runs of ONE commit), so the bench also records
+  * LOAD-INVARIANT counters per query — shuffle bytes, input bytes, records,
+  * output rows, peak task memory — which must reproduce run-to-run on the
+  * same commit and data even when wall time doesn't.
+  *
+  * Attribution: the bench sets a job group per query before its action;
+  * onJobStart maps the job's stages to that group (local properties
+  * propagate to AQE/broadcast sub-jobs), onTaskEnd folds task metrics in.
+  */
+final class QueryTaskMetricsListener extends SparkListener {
+  final class Agg {
+    var shuffleRead = 0L; var shuffleWrite = 0L
+    var inputBytes = 0L; var recordsRead = 0L
+    var peakMem = 0L; var tasks = 0L
+  }
+  private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val byGroup = new java.util.concurrent.ConcurrentHashMap[String, Agg]()
+
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    val g = Option(js.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+    if (g.nonEmpty) js.stageIds.foreach(id => stageGroup.put(id, g))
+  }
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val g = stageGroup.getOrDefault(te.stageId, "")
+    val tm = te.taskMetrics
+    if (g.nonEmpty && tm != null) {
+      // plain get-then-putIfAbsent, never a nested compute (NOTES: nested
+      // ConcurrentHashMap.compute threw "Recursive update")
+      var a = byGroup.get(g)
+      if (a == null) { byGroup.putIfAbsent(g, new Agg); a = byGroup.get(g) }
+      a.synchronized {
+        a.shuffleRead += tm.shuffleReadMetrics.totalBytesRead
+        a.shuffleWrite += tm.shuffleWriteMetrics.bytesWritten
+        a.inputBytes += tm.inputMetrics.bytesRead
+        a.recordsRead += tm.inputMetrics.recordsRead
+        a.peakMem = math.max(a.peakMem, tm.peakExecutionMemory)
+        a.tasks += 1
+      }
+    }
+  }
+  def reset(group: String): Unit = byGroup.remove(group)
+  def snapshot(group: String): Option[Agg] = Option(byGroup.get(group))
+}
 
 /** Benchmark harness. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
@@ -14,6 +63,18 @@ import org.apache.spark.sql.SparkSession
   *  - A load sentinel — a fixed CPU-bound aggregation timed before and after
   *    the suite. If the machine slowed down >1.5x between the two, the run
   *    is stamped "load_flagged": true and should be re-taken, not compared.
+  *  - LOAD-INVARIANT per-query counters (shuffle read/write bytes, input
+  *    bytes/records, output rows, peak task memory) from a SparkListener:
+  *    a start/end sentinel cannot see ambient contention BETWEEN its two
+  *    probes (measured: a clean-sentinel run 23% slower than the same
+  *    commit's committed total), but shuffle bytes reproduce exactly, so
+  *    round-over-round grading can fall back to them when wall time drifts.
+  *  - `drift_vs_committed`: the new total compared against the PREVIOUSLY
+  *    committed summary's total, flagged at >15% either way even when the
+  *    sentinel is clean — identical-code reruns land inside that band.
+  *  - Provenance fields (commit, timestamp, host, runner) so a verifier's
+  *    re-run and the driver's canonical run are distinguishable once
+  *    committed.
   *
   * Optional argv(0): comma-separated query-name prefixes to run a subset
   * (dev loop, e.g. `runMain graft.Bench q22,q51`).
@@ -30,6 +91,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new QueryTaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     // Warm up the JVM/codegen/scan paths once so the first timed query does
     // not absorb session startup (measures queries, not JIT).
@@ -65,9 +128,33 @@ object Bench {
       onlyPrefixes.forall(_.exists(name.startsWith))
     }
 
+    // Read the PREVIOUS committed summary's headline BEFORE overwriting it:
+    // the new total is compared against it below (drift_vs_committed).
+    val summaryPath = java.nio.file.Paths.get("bench", "summary_latest.json")
+    val (prevCommitted: Option[(Double, String)], prevSf: Option[String]) =
+      if (java.nio.file.Files.exists(summaryPath)) {
+        val first = java.nio.file.Files.readAllLines(summaryPath).get(0)
+        val v = """"value":([0-9.Ee+-]+)""".r.findFirstMatchIn(first).map(_.group(1).toDouble)
+        val c = """"commit":"([0-9a-f]+)"""".r.findFirstMatchIn(first).map(_.group(1))
+        val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(first).map(_.group(1))
+        (v.map(total => (total, c.getOrElse("unknown"))), sf)
+      } else (None, None)
+
+    final case class QRes(
+        var wall: Double = -1.0, var rows: Long = -1L,
+        var shuffleRead: Long = 0L, var shuffleWrite: Long = 0L,
+        var inputBytes: Long = 0L, var recordsRead: Long = 0L,
+        var peakMem: Long = 0L)
     val passes = 3
-    val best = collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 1 to passes; (name, fn) <- queries) {
+    val best = collection.mutable.LinkedHashMap[String, QRes]()
+    for (pass <- 1 to passes; (name, fn) <- queries) {
+      val res = best.getOrElseUpdate(name, QRes())
+      val group = s"$name#$pass"
+      metrics.reset(group)
+      spark.sparkContext.setJobGroup(group, name)
+      // Output-row count via an Observation (a CollectMetrics node over the
+      // rows the sink receives): exact, sink-agnostic, and load-invariant.
+      val obs = org.apache.spark.sql.Observation(s"rows_$group")
       val t0 = System.nanoTime()
       val t = try {
         // noop sink, NOT count(): count()'s column pruning lets Catalyst
@@ -75,13 +162,30 @@ object Bench {
         // from a literal fractions frame optimizes to count(LocalRelation)
         // — 0.2 s "measured" for a multi-second pair join). The noop
         // writer materializes every output row through the full plan.
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, sfDir).observe(obs, count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
-      best.get(name) match {
-        case Some(prev) if prev >= 0 && (t < 0 || prev <= t) => // keep prev
-        case _ => best(name) = t
+      spark.sparkContext.clearJobGroup()
+      if (t >= 0 && (res.wall < 0 || t < res.wall)) res.wall = t
+      if (t >= 0) {
+        // counters OUTSIDE the timed region: drain the async listener bus,
+        // then snapshot this pass's aggregates (deterministic per pass —
+        // the last successful pass's values are kept)
+        try {
+          org.apache.spark.graftshim.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+          res.rows = obs.get.get("n") match {
+            case Some(n: Number) => n.longValue()
+            case _ => -1L
+          }
+          metrics.snapshot(group).foreach { a =>
+            res.shuffleRead = a.shuffleRead; res.shuffleWrite = a.shuffleWrite
+            res.inputBytes = a.inputBytes; res.recordsRead = a.recordsRead
+            res.peakMem = a.peakMem
+          }
+        } catch { case _: Throwable => () }
       }
+      metrics.reset(group)
     }
 
     val sentinelEnd = sentinel()
@@ -94,15 +198,49 @@ object Bench {
     // the per-query min discards. The drift value still prints for audit.
     val loadFlagged = drift > 1.5
 
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + v.wall }
       .mkString("{", ",", "}")
-    val total = best.values.filter(_ >= 0).sum
+    val total = best.values.map(_.wall).filter(_ >= 0).sum
+    val totShufR = best.values.map(_.shuffleRead).sum
+    val totShufW = best.values.map(_.shuffleWrite).sum
+    val totRows = best.values.map(_.rows).filter(_ >= 0).sum
+
+    // Provenance: committed summaries from different runners/hosts/commits
+    // must stay distinguishable, and drift must compare like with like.
+    def sh(cmd: Seq[String]): String = try {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      p.waitFor(); if (p.exitValue() == 0) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+    val commit = sh(Seq("git", "rev-parse", "HEAD"))
+    val host = try { java.net.InetAddress.getLocalHost.getHostName }
+      catch { case _: Exception => "unknown" }
+    val runner = sys.env.getOrElse("SPARK_GRAFT_RUNNER", "unknown")
+    val ts = java.time.Instant.now().toString
+    val provenance =
+      s""""commit":"$commit","timestamp":"$ts","host":"$host","runner":"$runner",""" +
+        s""""spark_version":"${spark.version}""""
+
+    // Drift vs the previously committed summary: flags a >15% total swing
+    // in EITHER direction even when the sentinel is clean — ambient
+    // contention between the sentinel's two probes is invisible to it.
+    // Only meaningful for a FULL suite at the committed sf: subset dev runs
+    // and other scale factors compare nothing.
+    val driftVsCommitted = prevCommitted
+      .filter(_ => onlyPrefixes.isEmpty && prevSf.forall(_ == sfDir))
+      .map { case (prevTotal, prevCommit) =>
+        val ratio = total / prevTotal
+        val flagged = ratio > 1.15 || ratio < 1.0 / 1.15
+        f""""drift_vs_committed":{"prev_total":$prevTotal%.3f,"prev_commit":"$prevCommit",""" +
+          f""""ratio":$ratio%.3f,"flagged":$flagged}"""
+      }.getOrElse(""""drift_vs_committed":null""")
+
     // Full detail line first (per-query breakdown for humans/judges)...
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""runs":$passes,"agg":"min","interleaved":true,""" +
       f""""sentinel_start_sec":$sentinelStart%.3f,"sentinel_end_sec":$sentinelEnd%.3f,""" +
-      f""""sentinel_drift":$drift%.2f,"load_flagged":$loadFlagged}"""
+      f""""sentinel_drift":$drift%.2f,"load_flagged":$loadFlagged,$provenance}"""
     println(detail)
     // ...then a SHORT summary line LAST. The driver keeps only the tail of
     // the output, so the ~9 KB detail line gets its head (and the headline
@@ -111,8 +249,22 @@ object Bench {
     // line-oriented consumer can tell the trailer from the detail line.
     val trailer =
       s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${best.size},""" +
-      f""""sentinel_drift":$drift%.2f,"load_flagged":$loadFlagged,"sf":"$sfDir"}"""
+      f""""sentinel_drift":$drift%.2f,"load_flagged":$loadFlagged,"sf":"$sfDir",""" +
+      s""""total_shuffle_read_bytes":$totShufR,"total_shuffle_write_bytes":$totShufW,""" +
+      s""""total_output_rows":$totRows,$driftVsCommitted,$provenance}"""
     println(trailer)
+    // Load-invariant per-query counters (file-only; the stdout lines stay
+    // small for the driver's tail-scrape). Shuffle bytes and output rows
+    // must match between two runs of the same commit even when wall doesn't.
+    val counters = best.map { case (k, v) =>
+      "\"" + k + "\":" +
+        f"""{"wall_s":${v.wall}%.3f,"output_rows":${v.rows},""" +
+        s""""shuffle_read_bytes":${v.shuffleRead},"shuffle_write_bytes":${v.shuffleWrite},""" +
+        s""""input_bytes":${v.inputBytes},"records_read":${v.recordsRead},""" +
+        s""""peak_execution_memory":${v.peakMem}}"""
+    }.mkString("{", ",", "}")
+    val countersLine =
+      s"""{"metric":"query_counters","agg":"last_pass","queries":$counters,$provenance}"""
     // Durable copy: stdout scraping has lost or degraded the headline in
     // two of six rounds (sbt's [info] prefix + trailing [success] line wrap
     // the trailer), so the SAME JSON also lands in a file the judge can
@@ -122,7 +274,7 @@ object Bench {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("summary_latest.json"),
-        trailer + "\n" + detail + "\n")
+        trailer + "\n" + detail + "\n" + countersLine + "\n")
     } catch { case e: Exception =>
       System.err.println(s"bench summary file write failed: $e")
     }
