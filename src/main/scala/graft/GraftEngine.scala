@@ -284,8 +284,9 @@ object Main {
           "[--admit QUOTA] [--leakage-safe-split] [--cap-sources TOKEN_BUDGET] " +
           "[--change-points] [--shard-balance N] [--source-concentration] " +
           "[--audience-overlap] [--packing-curve] " +
-          "[--contamination-spans BENCH_DATA_DIR] [--tokenizer-economics] " +
-          "[--dup-kcore K]")
+          "[--contamination-spans BENCH_DATA_DIR] " +
+          "[--mask-contamination BENCH_DATA_DIR] [--tokenizer-economics] " +
+          "[--dup-kcore K] [--shared-runs]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -532,6 +533,23 @@ object Main {
         graft.ext.Decontaminate.contaminatedSpans(
             Tables.documents(spark, dir), Tables.documents(spark, benchDir))
           .orderBy(col("longest_run").desc, col("doc_id"))
+          .show(30, truncate = false)
+      }
+      // ACT on the span report: per-doc masking manifest (counts + digest
+      // of the rewritten text) — the surgical alternative to dropping docs
+      opt("--mask-contamination").foreach { benchDir =>
+        println(s"contamination masking manifest vs $benchDir (one-for-one token masks):")
+        graft.ext.Decontaminate.maskContaminatedSpans(
+            Tables.documents(spark, dir), Tables.documents(spark, benchDir))
+          .filter(col("n_masked") > 0)
+          .orderBy(col("n_masked").desc, col("doc_id"))
+          .show(30, truncate = false)
+      }
+      // exact longest shared verbatim run per near-dup candidate pair
+      if (args.contains("--shared-runs")) {
+        println("exact longest shared token runs per winnow-anchored pair:")
+        graft.ext.Dedup.winnowSharedRuns(Tables.documents(spark, dir))
+          .orderBy(col("longest_run").desc, col("id_a"), col("id_b"))
           .show(30, truncate = false)
       }
       // dense center of the duplication graph (template farms)

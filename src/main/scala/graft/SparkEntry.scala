@@ -2079,6 +2079,28 @@ object SparkEntry {
           .localCheckpoint(),
         windowSamples = 16)
     },
+    // Binary PPM (P6) decode stats (E216): the third arithmetic image
+    // codec — ASCII header parsed in HEX SPACE (digit runs are "3x" hex
+    // pairs), then the SAME two-level pixel walk as q241, with unpadded
+    // RGB instead of padded BGR: the walk is format-generic. Same
+    // encode→boundary→decode discipline as q241.
+    "q257_ppm_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.ppmStats(
+        graft.ext.Multimodal.encodePpm(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 120)),
+          width = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+    },
+    // Exact longest shared verbatim run per near-dup pair (E217):
+    // candidate pairs anchored on shared winnowed fingerprints (q250's
+    // machinery), exact runs from matching positional grams grouped by
+    // diagonal — the Lee-et-al exact-substring evidence q209's
+    // containment triage approximates.
+    "q258_shared_runs" -> { (s, dir) =>
+      graft.ext.Dedup.winnowSharedRuns(Tables.documents(s, dir), k = 4, w = 4)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2548,6 +2570,55 @@ object SparkEntry {
        |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+1 AS BIGINT), 2)) AS BIGINT) AS bl,
        |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+3 AS BIGINT), 2)) AS BIGINT) AS gr,
        |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+5 AS BIGINT), 2)) AS BIGINT) AS rd
+       |      FROM pxx)""".stripMargin
+  }
+
+  /** DuckDB replay of the q257 PPM (P6) codec: ASCII header built by
+    * string concat + hex() (string hex IS the ASCII byte encoding — no
+    * BLOB→VARCHAR cast, which errors on non-UTF-8 pixel bytes), unhex→hex
+    * round trip, then the same hex-space regex header parse and unpadded
+    * RGB pixel walk as Multimodal.ppmStats — ending at the per-pixel
+    * channel CTE `c (asset_id, rd, gr, bl)` with the valid header frame
+    * `v` also in scope.
+    */
+  private def ppmOracleCtes: String = {
+    val ws = "(?:0A|20|09|0D)"
+    val dig = "(?:3[0-9])"
+    val pat = s"^5036$ws($dig{1,8})$ws($dig{1,8})$ws($dig{1,8})$ws"
+    def digits(grp: Int) =
+      s"regexp_replace(regexp_extract(substr(h, 1, 60), '$pat', $grp), " +
+        s"'3([0-9])', '\\1', 'g')"
+    s"""src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+       |            FROM documents WHERE doc_id < 120),
+       |g AS (SELECT asset_id, p, octet_length(p) // 18 AS hgt FROM src
+       |      WHERE octet_length(p) // 18 >= 1),
+       |enc AS (SELECT asset_id,
+       |        hex('P6' || chr(10) || '6 ' || CAST(hgt AS VARCHAR) ||
+       |            chr(10) || '255' || chr(10)) ||
+       |        substr(hex(p), 1, CAST(2*hgt*18 AS BIGINT)) AS hx
+       |        FROM g),
+       |d AS (SELECT asset_id, hex(unhex(hx)) AS h, octet_length(unhex(hx)) AS n
+       |      FROM enc),
+       |pr AS (SELECT asset_id, h, n, ${digits(1)} AS wd, ${digits(2)} AS hd,
+       |              ${digits(3)} AS md
+       |       FROM d),
+       |geo AS (SELECT asset_id, h, n,
+       |               CAST(NULLIF(wd, '') AS BIGINT) AS w,
+       |               CAST(NULLIF(hd, '') AS BIGINT) AS hgt2,
+       |               CAST(NULLIF(md, '') AS BIGINT) AS maxv,
+       |               6 + length(wd) + length(hd) + length(md) AS poff
+       |        FROM pr),
+       |v AS (SELECT *, w * 3 AS stride FROM geo
+       |      WHERE w IS NOT NULL AND hgt2 IS NOT NULL AND maxv = 255
+       |        AND w >= 1 AND hgt2 >= 1 AND n >= poff + 3 * w * hgt2),
+       |px AS (SELECT asset_id, h, poff, stride, w, unnest(range(0, hgt2)) AS y
+       |       FROM v),
+       |pxx AS (SELECT asset_id, h, poff + y*stride AS ro, unnest(range(0, w)) AS x
+       |        FROM px),
+       |c AS (SELECT asset_id,
+       |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+1 AS BIGINT), 2)) AS BIGINT) AS rd,
+       |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+3 AS BIGINT), 2)) AS BIGINT) AS gr,
+       |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+5 AS BIGINT), 2)) AS BIGINT) AS bl
        |      FROM pxx)""".stripMargin
   }
 
@@ -3364,6 +3435,18 @@ object SparkEntry {
          |       CAST(fr.bin * 16000 AS BIGINT) AS lo_milli,
          |       CAST(COALESCE(n_pixels, 0) AS BIGINT) AS n_pixels
          |FROM fr LEFT JOIN bn USING (bin)""".stripMargin,
+    "q257_ppm_stats" ->
+      s"""WITH $ppmOracleCtes,
+         |s AS (SELECT asset_id, COUNT(*) AS n_pixels, SUM(rd) AS sum_r,
+         |             SUM(gr) AS sum_g, SUM(bl) AS sum_b,
+         |             SUM(299*rd + 587*gr + 114*bl) AS lum
+         |      FROM c GROUP BY 1)
+         |SELECT v.asset_id, TRUE AS is_valid, CAST(w AS BIGINT) AS width,
+         |       CAST(hgt2 AS BIGINT) AS height, CAST(n_pixels AS BIGINT) AS n_pixels,
+         |       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+         |       CAST(sum_b AS BIGINT) AS sum_b,
+         |       CAST(lum // n_pixels AS BIGINT) AS mean_luma_milli
+         |FROM v JOIN s USING (asset_id)""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),
@@ -4432,6 +4515,29 @@ object SparkEntry {
          |       CAST((n_shared_fp * 1048576) //
          |            (ta.n_fp + tb.n_fp - n_shared_fp) AS BIGINT) AS jaccard_fp
          |FROM sh JOIN tot ta ON ta.src = src_a JOIN tot tb ON tb.src = src_b""".stripMargin,
+    "q258_shared_runs" ->
+      s"""WITH $winnowOracleCtes,
+         |prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM fp a JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         |m AS (SELECT p.id_a, p.id_b, ga.pos AS pa, gb.pos AS pb
+         |      FROM prs p JOIN gr ga ON ga.doc_id = p.id_a
+         |        JOIN gr gb ON gb.doc_id = p.id_b AND gb.gh = ga.gh),
+         |isl AS (SELECT id_a, id_b, pa - pb AS diag, pa,
+         |          pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb
+         |                                  ORDER BY pa) AS grp
+         |        FROM m),
+         |runs AS (SELECT id_a, id_b, diag, grp, COUNT(*) AS len, MIN(pa) AS sa
+         |         FROM isl GROUP BY 1, 2, 3, 4),
+         |r2 AS (SELECT id_a, id_b, len, sa, sa - diag AS sb FROM runs),
+         |rkp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+         |         ORDER BY len DESC, sa ASC, sb ASC) AS rn FROM r2)
+         |SELECT id_a, id_b, COUNT(*) AS n_runs,
+         |       CAST(SUM(len) AS BIGINT) AS n_gram_matches,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS longest_run,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN len END) + 3 AS BIGINT) AS longest_tokens,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN sa END) AS BIGINT) AS start_a,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN sb END) AS BIGINT) AS start_b
+         |FROM rkp GROUP BY 1, 2""".stripMargin,
     "q251_tokenizer_economics" ->
       """WITH t AS (SELECT source,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS b,

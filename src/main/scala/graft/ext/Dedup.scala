@@ -723,6 +723,78 @@ object Dedup {
           col("n_fp_a") + col("n_fp_b") - col("n_shared_fp")).as("jaccard_fp"))
   }
 
+  /** Exact longest-shared-run report per near-dup candidate pair (E216):
+    * for every document pair that shares a winnowed fingerprint, the EXACT
+    * longest verbatim token run they have in common — the Lee-et-al
+    * exact-substring evidence column that containment-based triage (q209)
+    * only approximates. Candidates come from shared winnowed fingerprints,
+    * so any pair sharing a run of ≥ w+k−1 tokens is guaranteed present
+    * (the MOSS recall contract); the exact run then falls out of the
+    * pair's matching positional k-grams grouped by DIAGONAL (pa − pb):
+    * m consecutive matching grams on one diagonal = a shared run of
+    * m+k−1 tokens. Per pair: total gram matches, run count, and the
+    * longest run with both 1-based start positions (ties → longest, then
+    * earliest in a, then earliest in b).
+    *
+    * Scale: candidate pairs key on the winnowed fingerprint vocabulary
+    * (~2/(w+1) of gram mass) — never all-pairs; the match join fans each
+    * pair out to its gram-hash collisions only (id-keyed join to side a,
+    * then (id, gh)-keyed to side b), so cost is the pairs' matched-gram
+    * mass — the quantity the report measures. The diagonal windows
+    * partition by (pair, diag) over those sparse matches. The fingerprint
+    * frame is pinned (two join branches would re-run the winnow pipeline
+    * per branch — the double-branch recompute trap).
+    */
+  def winnowSharedRuns(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      seed: Int = 11,
+      portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = winnowedFpRows(docs, textCol, idCol, k, w, seed, portable)
+      .select(col(idCol).as("__id"), col("gh"))
+      .distinct()
+      .localCheckpoint()
+    val pairs = fp.as("a")
+      .join(fp.as("b"), col("a.gh") === col("b.gh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val grams = posGramHashes(docs, idCol, textCol, k, seed, portable)
+    val m = pairs
+      .join(grams.select(col(idCol).as("id_a"), col("pos").as("pa"), col("gh")),
+        Seq("id_a"))
+      .join(grams.select(col(idCol).as("id_b"), col("pos").as("pb"), col("gh")),
+        Seq("id_b", "gh"))
+      .select(col("id_a"), col("id_b"),
+        col("pa").cast("long").as("pa"), col("pb").cast("long").as("pb"))
+    val wd = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("__grp", col("pa") - row_number().over(wd))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("len"), min(col("pa")).as("sa"))
+      .withColumn("sb", col("sa") - col("diag"))
+    val rk = Window.partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("len").desc, col("sa").asc, col("sb").asc)
+    runs
+      .withColumn("__rn", row_number().over(rk))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        sum(col("len")).as("n_gram_matches"),
+        max(when(col("__rn") === 1, col("len"))).as("longest_run"),
+        max(when(col("__rn") === 1, col("sa"))).as("start_a"),
+        max(when(col("__rn") === 1, col("sb"))).as("start_b"))
+      .select(col("id_a"), col("id_b"), col("n_runs"), col("n_gram_matches"),
+        col("longest_run"),
+        (col("longest_run") + lit(k.toLong - 1)).as("longest_tokens"),
+        col("start_a"), col("start_b"))
+  }
+
   /** Keep-best dedup — the training-pipeline step AFTER near-dup
     * clustering: one canonical document per cluster (highest `quality`,
     * smallest id as the deterministic tiebreak) plus the cluster size.

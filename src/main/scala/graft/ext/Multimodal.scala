@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * decode / feature-extract plumbing a 100 TB media pipeline needs.
   *
   * Fixed-layout formats decode FOR REAL, in-engine, with no codec library:
-  * PCM16LE audio ([[pcmWindowEnergy]]) and uncompressed 24-bpp BMP images
-  * ([[encodeBmp]]/[[bmpStats]]) are pure arithmetic over `hex()`, so the
+  * PCM16LE audio ([[pcmWindowEnergy]]), uncompressed 24-bpp BMP images
+  * ([[encodeBmp]]/[[bmpStats]]), binary PPM (P6) images
+  * ([[encodePpm]]/[[ppmStats]]), and RIFF/WAVE containers
+  * ([[encodeWav]]/[[wavStats]]) are pure arithmetic over `hex()`, so the
   * whole decode is codegen'd per row and replays bit-identically in the
   * oracle. Only COMPRESSED formats (JPEG/PNG/H.264 — entropy coding needs
   * a codec library this environment doesn't have) remain a STUB, replaced
@@ -300,14 +302,18 @@ object Multimodal {
         expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))")
           .as("ph"))
 
-  def bmpStats(assets: DataFrame): DataFrame = {
-    // ONE scan of the binary payload: invalid assets ride the same pixel
-    // walk as a single null-pixel row (explode_outer of a nulled
-    // sequence), and the header fields travel as grouping keys — the
-    // two-branch alternative (header report LEFT JOIN pixel aggregate)
-    // re-reads the whole asset table per branch, a second full binary
-    // scan at 100 TB
-    bmpHeader(assets)
+  /** Shared pixel-walk channel aggregation over a parsed header frame with
+    * columns (asset_id, is_valid, w, hgt, bytes, stride, poff): ONE scan of
+    * the binary payload — invalid assets ride the same pixel walk as a
+    * single null-pixel row (explode_outer of a nulled sequence), and the
+    * header fields travel as grouping keys. The two-branch alternative
+    * (header report LEFT JOIN pixel aggregate) re-reads the whole asset
+    * table per branch, a second full binary scan at 100 TB.
+    * `firstByteRed` selects the triplet byte order: RGB (PPM) vs BGR (BMP).
+    */
+  private def pixelChannelStats(hdr: DataFrame, firstByteRed: Boolean): DataFrame = {
+    val (rOff, bOff) = if (firstByteRed) (1, 5) else (5, 1)
+    hdr
       .select(col("asset_id"), col("is_valid"),
         when(col("is_valid"), col("w")).as("width"),
         when(col("is_valid"), col("hgt")).as("height"),
@@ -323,9 +329,9 @@ object Multimodal {
           expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))"))
           .as("ph"))
       .select(col("asset_id"), col("is_valid"), col("width"), col("height"),
-        conv(substring(col("ph"), 1, 2), 16, 10).cast("long").as("bl"),
+        conv(substring(col("ph"), rOff, 2), 16, 10).cast("long").as("rd"),
         conv(substring(col("ph"), 3, 2), 16, 10).cast("long").as("gr"),
-        conv(substring(col("ph"), 5, 2), 16, 10).cast("long").as("rd"))
+        conv(substring(col("ph"), bOff, 2), 16, 10).cast("long").as("bl"))
       .groupBy("asset_id", "is_valid", "width", "height")
       .agg(
         when(col("is_valid"), count(col("rd"))).as("n_pixels"),
@@ -338,6 +344,9 @@ object Multimodal {
         col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
         expr("__lum div n_pixels").as("mean_luma_milli"))
   }
+
+  def bmpStats(assets: DataFrame): DataFrame =
+    pixelChannelStats(bmpHeader(assets), firstByteRed = false)
 
   /** PCM16 windowed zero-crossing rate + peak (E202): the other two
     * classic VAD/voicing features next to [[pcmWindowEnergy]]'s Σv² —
@@ -412,6 +421,90 @@ object Multimodal {
       .select(col("bin"), (col("bin") * 16000L).as("lo_milli"),
         coalesce(col("n_pixels"), lit(0L)).as("n_pixels"))
   }
+
+  // ------------------------------------------------------------------
+  // REAL IMAGE CODEC #2: binary PPM (P6). Unlike BMP's fixed-offset
+  // little-endian header, PPM's header is ASCII text — "P6", whitespace,
+  // decimal width, whitespace, decimal height, whitespace, maxval, ONE
+  // whitespace, then raw UNPADDED RGB triplets (per the public Netpbm
+  // format). The header parse happens in HEX SPACE (an ASCII digit is a
+  // "3x" hex pair, whitespace is 0A/20/09/0D) so no binary→string cast is
+  // ever needed — casting a BLOB with non-UTF-8 pixel bytes to VARCHAR
+  // errors in DuckDB, and hex-space regexes replay identically in both
+  // engines. Proves the pixel walk is format-generic: padded/BGR (BMP)
+  // vs unpadded/RGB (PPM) differ only in stride and byte order.
+  // ------------------------------------------------------------------
+
+  /** Encode each asset's payload bytes as a valid binary PPM (P6) of the
+    * given pixel width: ASCII header "P6\n<w> <h>\n255\n", then the first
+    * `3·width·height` payload bytes as unpadded RGB triplets, where
+    * `height = ⌊len/(3·width)⌋` (assets shorter than one row are dropped —
+    * no pixels to carry). The dynamic height's decimal ASCII bytes come
+    * from hex() of the stringified number — string hex IS the ASCII
+    * encoding. One codegen'd projection, no UDF.
+    */
+  def encodePpm(assets: DataFrame, width: Int = 6): DataFrame = {
+    require(width >= 1, "width must be positive")
+    val rowBytes = 3 * width
+    val h = expr(s"octet_length(bytes) div $rowBytes").cast("long")
+    val hdrHex = hex(concat(lit(s"P6\n$width "), h.cast("string"), lit("\n255\n")))
+    val pixHex = expr(
+      s"substring(hex(bytes), 1, cast(2 * $rowBytes * (octet_length(bytes) div $rowBytes) as int))")
+    assets.filter(h >= 1L).withColumn("bytes", unhex(concat(hdrHex, pixHex)))
+  }
+
+  /** PPM (P6) header parse: regex over the hex of a bounded 30-byte prefix
+    * (header ≤ 2+1+8+1+8+1+8+1 bytes at 8-digit dims) extracts the decimal
+    * width/height/maxval digit runs; digit pairs "3d" map to "d" via one
+    * regexp_replace, and the pixel offset is computable from the matched
+    * digit-run lengths. Emits the (asset_id, is_valid, w, hgt, bytes,
+    * stride, poff) frame [[pixelChannelStats]] expects, stride = 3·w
+    * (PPM rows are unpadded). Only maxval 255 (8-bit channels) decodes;
+    * anything else — wrong magic, 16-bit maxval, dims beyond the actual
+    * byte length — reports is_valid = false (a corrupt asset is a visible
+    * finding), and the size-consistency check bounds the pixel explosion
+    * by the asset's real byte length, so a forged header cannot blow up
+    * the plan.
+    */
+  private def ppmHeader(assets: DataFrame): DataFrame = {
+    val ws = "(?:0A|20|09|0D)"
+    val dig = "(?:3[0-9])"
+    val pat = s"^5036$ws($dig{1,8})$ws($dig{1,8})$ws($dig{1,8})$ws"
+    def digits(grp: Int) =
+      regexp_replace(regexp_extract(col("__hh"), pat, grp), "3([0-9])", "$1")
+    assets
+      .select(col("asset_id"), col("bytes"),
+        octet_length(col("bytes")).cast("long").as("n"),
+        hex(substring(col("bytes"), 1, 30)).as("__hh"))
+      .select(col("asset_id"), col("bytes"), col("n"),
+        digits(1).as("__wd"), digits(2).as("__hd"), digits(3).as("__md"))
+      .select(col("asset_id"), col("bytes"), col("n"),
+        // ANSI cast throws on '' (no regex match) — a non-header is a
+        // null field, not an error
+        nullif(col("__wd"), lit("")).cast("long").as("w"),
+        nullif(col("__hd"), lit("")).cast("long").as("hgt"),
+        nullif(col("__md"), lit("")).cast("long").as("maxv"),
+        // "P6"(2) + 4 single-whitespace separators = 6 fixed bytes, plus
+        // the three decimal digit runs
+        (lit(6L) + length(col("__wd")) + length(col("__hd")) +
+          length(col("__md"))).as("poff"))
+      .withColumn("stride", col("w") * 3L)
+      .withColumn("is_valid",
+        col("w").isNotNull && col("hgt").isNotNull &&
+          col("maxv") === 255L && col("w") >= 1L && col("hgt") >= 1L &&
+          col("n") >= col("poff") + col("hgt") * col("stride"))
+  }
+
+  /** Decode binary PPM (P6) assets natively (E216): ASCII header parse in
+    * hex space, then the same two-level pixel explode as [[bmpStats]] —
+    * exact per-channel sums plus the fixed-point mean luma
+    * ⌊Σ(299R+587G+114B)/n⌋. Scale notes are bmpStats': per-row generated
+    * arrays stay max(w, h); every byte access is codegen'd hex arithmetic;
+    * the aggregation map-side-combines per asset; invalid assets surface
+    * as is_valid = false rows, never dropped.
+    */
+  def ppmStats(assets: DataFrame): DataFrame =
+    pixelChannelStats(ppmHeader(assets), firstByteRed = true)
 
   // ------------------------------------------------------------------
   // REAL AUDIO CONTAINER: canonical RIFF/WAVE (PCM16). The third

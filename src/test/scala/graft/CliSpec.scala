@@ -86,6 +86,22 @@ class CliSpec extends SparkSpec {
       "island columns missing")
   }
 
+  test("--mask-contamination prints the per-doc masking manifest") {
+    // self-compare: every doc's grams hit the "benchmark", so every doc
+    // with >= 3 tokens is fully masked and shows in the manifest
+    val out = runCli("--mask-contamination", sf0001)
+    assert(out.contains("contamination masking manifest vs"), "header missing")
+    assert(out.contains("n_masked") && out.contains("masked_md5"),
+      "manifest columns missing")
+  }
+
+  test("--shared-runs prints winnow-anchored exact shared runs") {
+    val out = runCli("--shared-runs")
+    assert(out.contains("exact longest shared token runs"), "header missing")
+    assert(out.contains("longest_tokens") && out.contains("n_gram_matches"),
+      "run columns missing")
+  }
+
   test("--tokenizer-economics prints per-source cost ratios") {
     val out = runCli("--tokenizer-economics")
     assert(out.contains("tokenizer economics"), "header missing")

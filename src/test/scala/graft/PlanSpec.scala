@@ -401,6 +401,27 @@ class PlanSpec extends SparkSpec {
       "sorted-neighborhood blocking must not join — cost is exactly window·n")
   }
 
+  test("q257: PPM decode is one bounded pixel walk — no join, map-side combine") {
+    val p = plan("q257_ppm_stats")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "decode must be a single scan's explode, never a join")
+    assert(p.contains("Generate"), "the pixel walk is an engine-side explode")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-asset channel sums must combine map-side")
+  }
+
+  test("q258: shared-run mining anchors on the pinned fingerprint frame — no all-pairs") {
+    val p = plan("q258_shared_runs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs come from fingerprint equi-joins, never all-pairs")
+    // the winnowed fingerprint frame is pinned (localCheckpoint) so the two
+    // pair-join branches read the cached relation instead of re-running the
+    // winnow pipeline per branch
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "fingerprint frame must be pinned, not re-derived per branch")
+    assert(p.contains("Window"), "runs group by diagonal via a window, not a self-join")
+  }
+
   test("q246: packing curve has no bin-keyed aggregation — one capacity-keyed pass") {
     val p = plan("q246_packing_curve")
     // interval arithmetic on the shared prefix sum: nothing in the plan

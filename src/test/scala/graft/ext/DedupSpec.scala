@@ -576,4 +576,34 @@ class DedupSpec extends SparkSpec {
     assert(ab.getAs[Long]("jaccard_fp") ===
       shared * 1048576L / (na + nb - shared))
   }
+
+  test("winnowSharedRuns: exact longest shared run, offset diagonals, exact starts") {
+    import spark.implicits._
+    // 8-token shared run (>= w+k-1 = 7 → the pair is GUARANTEED present)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      // run at token positions 3..10
+      (1L, s"one two $run tail1 tail2"),
+      // same run at positions 3..10 → diagonal 0
+      (2L, s"six seven $run other words"),
+      // same run at positions 2..9 → vs doc 1 the diagonal is 1
+      (3L, s"pre $run closing remark here"),
+      (4L, "wholly unrelated text about nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowSharedRuns(docs, k = 4, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    // every pair among {1,2,3} shares the run; doc 4 shares nothing
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // 8 shared tokens = 5 consecutive k=4 grams on one diagonal
+    val p12 = out((1L, 2L))
+    assert(p12.getAs[Long]("longest_run") === 5L)
+    assert(p12.getAs[Long]("longest_tokens") === 8L)
+    assert(p12.getAs[Long]("start_a") === 3L && p12.getAs[Long]("start_b") === 3L)
+    assert(p12.getAs[Long]("n_runs") === 1L)
+    assert(p12.getAs[Long]("n_gram_matches") === 5L)
+    val p13 = out((1L, 3L))
+    assert(p13.getAs[Long]("longest_tokens") === 8L)
+    assert(p13.getAs[Long]("start_a") === 3L && p13.getAs[Long]("start_b") === 2L)
+  }
 }

@@ -139,6 +139,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PPM round trip: encodePpm output decodes to exact channel sums (RGB order)") {
+    import spark.implicits._
+    // width 4 → 12 unpadded bytes per row; payload bytes 0..23 → 2 rows of
+    // 4 RGB pixels. Same payload as the BMP round trip but the FIRST byte
+    // of each triplet is now R (PPM) instead of B (BMP): the sums swap.
+    val payload = Array.tabulate(24)(_.toByte)
+    val assets = Seq((1L, payload)).toDF("asset_id", "bytes")
+    val out = Multimodal.ppmStats(Multimodal.encodePpm(assets, width = 4)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Boolean]("is_valid"))
+    assert(r.getAs[Long]("width") === 4L && r.getAs[Long]("height") === 2L)
+    assert(r.getAs[Long]("n_pixels") === 8L)
+    // R = indices ≡ 0 (mod 3), G ≡ 1, B ≡ 2
+    assert(r.getAs[Long]("sum_r") === 84L)
+    assert(r.getAs[Long]("sum_g") === 92L)
+    assert(r.getAs[Long]("sum_b") === 100L)
+    assert(r.getAs[Long]("mean_luma_milli") ===
+      (299L * 84 + 587L * 92 + 114L * 100) / 8)
+  }
+
+  test("PPM header parse: whitespace variants, multi-digit dims, malformed headers") {
+    import spark.implicits._
+    def ppm(header: String, pix: Array[Byte]): Array[Byte] =
+      header.getBytes("UTF-8") ++ pix
+    val px2x1 = Array[Byte](10, 20, 30, 40, 50, 60) // two RGB pixels
+    val assets = Seq(
+      // space-separated header (encode emits "\n<w> <h>\n"; readers accept
+      // any single whitespace between tokens — parse must too)
+      (1L, ppm("P6 2 1 255\n", px2x1)),
+      // multi-digit dims: 12 wide × 1 tall, bytes 0..35
+      (2L, ppm("P6\n12 1\n255\n", Array.tabulate(36)(_.toByte))),
+      (3L, ppm("P5 2 1 255\n", px2x1)),       // wrong magic (P5 = grayscale)
+      (4L, ppm("P6 2 1 65535\n", px2x1)),     // 16-bit maxval unsupported
+      (5L, ppm("P6 9999 9999 255\n", px2x1)), // forged dims overrun the bytes
+      (6L, "P6".getBytes("UTF-8")))           // truncated header
+      .toDF("asset_id", "bytes")
+    val out = Multimodal.ppmStats(assets)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(out.size === 6)
+    val ok = out(1L)
+    assert(ok.getAs[Boolean]("is_valid"))
+    assert(ok.getAs[Long]("width") === 2L && ok.getAs[Long]("height") === 1L)
+    assert(ok.getAs[Long]("sum_r") === 50L && ok.getAs[Long]("sum_g") === 70L &&
+      ok.getAs[Long]("sum_b") === 90L)
+    val wide = out(2L)
+    assert(wide.getAs[Boolean]("is_valid"))
+    assert(wide.getAs[Long]("width") === 12L && wide.getAs[Long]("n_pixels") === 12L)
+    Seq(3L, 4L, 5L, 6L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("is_valid"), s"asset $id must be invalid")
+      assert(out(id).isNullAt(out(id).fieldIndex("n_pixels")))
+    }
+  }
+
   test("pcmZeroCross: sign changes counted within windows only; exact peaks") {
     import spark.implicits._
     // samples: +1, -1, +2, -2, +3 → crossings at (0,1),(1,2),(2,3),(3,4)
