@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling-exponent harness: measures how the heaviest queries'
+  * wall time grows on 1×/2×/4×/8× synthesized corpora and fits the log-log
+  * slope, turning each operator's "Scale:" doc comment from a claim into a
+  * checkable number (committed as SCALING.md + bench/scaling_latest.json).
+  *
+  * Two growth models, because "2× the data" is ambiguous for pair-mining:
+  *
+  *  - UNIFORM: replica r's keys are salted (`key·k + r`) AND its content is
+  *    made disjoint (documents: every token gets a replica marker;
+  *    embeddings: per-replica sign-flip masks — cosine-structure-preserving
+  *    within a replica, decorrelated across replicas). Duplicate/pair
+  *    STRUCTURE per replica matches the base corpus, so pair mass grows
+  *    k× — this measures the ENGINE's growth (shuffles, windows, explodes)
+  *    at a fixed data distribution: the "would this hold at 100 TB" axis.
+  *    Expected exponents ≈ 1 (linear) for everything candidate-scoped.
+  *
+  *  - DUPHEAVY: replicas are verbatim copies under salted ids — every doc
+  *    becomes an exact-dup cluster of size k, so pair mass grows k². This
+  *    measures cost tracking its documented DRIVER (pair mass for the
+  *    similarity joins, Σcell² for semantic dedup): the exponent must stay
+  *    ≤ the driver's own growth (2), proving cost never exceeds the
+  *    declared bound even under adversarial duplication.
+  *
+  * Timing discipline is Bench's: noop sink (count-pruning would delete the
+  * work under test), interleaved passes, per-point min.
+  *
+  * Usage: `runMain graft.ScaleBench [workDir]` with SPARK_GRAFT_SF_DIR as
+  * the base corpus (default sf0.1). Synthesized corpora land under workDir
+  * (default /tmp/graft_scale) and are reused if already present.
+  */
+object ScaleBench {
+
+  /** (query, uniform bound, dupheavy bound, documented cost driver).
+    * Bounds are the exponents the operator's scale note promises; the fit
+    * must come in at or under them (+0.15 fit tolerance in the report).
+    */
+  val targets: Seq[(String, Double, Double, String)] = Seq(
+    ("q190_yield_curve", 1.35, 2.0, "pair mass of the tau>=0.5 set-sim join"),
+    ("q187_threshold_sweep", 1.35, 2.0, "pair mass of the tau>=0.5 PPJoin candidates"),
+    ("q177_setsim_join", 1.35, 2.0, "pair mass (lossless prefix filter)"),
+    ("q139_functional_deps", 1.35, 1.35, "rows x fixed Expand width"),
+    ("q123_composite_keys", 1.35, 1.35, "rows x fixed Expand width"),
+    ("q93_semantic_dedup", 1.6, 2.0, "sum of cell^2 with hot-cell splitting"),
+    ("q51_embedding_dedup_clusters", 1.6, 2.0, "LSH block pairs under bucket caps"),
+    ("q226_pq_curve", 1.35, 1.35, "rows x fixed codebook iterations"),
+    ("q16_datatest_metrics", 1.35, 1.35, "per-edge scans + FK equi-joins"),
+    ("q189_rank_auc", 1.6, 2.0, "near-dup pair set + distinct-value ranks"))
+
+  private val uniformScales = Seq(1, 2, 4, 8)
+  private val dupheavyScales = Seq(1, 2, 4)
+  // only these read documents/embeddings exclusively — the dup-heavy model
+  // is about content duplication, so TPC-H-shaped targets are uniform-only
+  private val dupheavyQueries = Set("q190_yield_curve", "q187_threshold_sweep",
+    "q177_setsim_join", "q93_semantic_dedup", "q51_embedding_dedup_clusters")
+
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+  /** Key columns salted `key·k + r` so replicas stay join-consistent and
+    * key cardinality grows k× (the LSH/bucket cardinality axis).
+    */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def replica(base: DataFrame, table: String, k: Int, r: Int,
+      uniform: Boolean): DataFrame = {
+    var df = base
+    keyCols(table).foreach(c =>
+      df = df.withColumn(c, col(c) * k + r))
+    if (uniform && r > 0 && table == "documents") {
+      // disjoint token space per replica: same length/gram structure, zero
+      // cross-replica collisions (the fixed-dup-rate growth model)
+      df = df
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("\u0001" + r.toString))), " "))
+        .withColumn("n_chars", length(col("text")))
+    }
+    if (uniform && r > 0 && table == "embeddings") {
+      // deterministic per-replica SIGN-FLIP pattern: cos(s∘x, s∘y) =
+      // cos(x, y) exactly, so each replica's internal pair/cluster
+      // structure matches the base corpus bit-for-bit, while cross-replica
+      // cosines decorrelate (balanced ±1 masks) — additive noise would do
+      // the OPPOSITE (each replica a near-dup of its base vector, pair
+      // mass k², the dupheavy model by accident)
+      df = df.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(pmod(hash(i, lit(r)), lit(2)) === 0, x).otherwise(-x)))
+    }
+    df
+  }
+
+  private def synthesize(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int, uniform: Boolean): Unit = {
+    val done = new java.io.File(s"$outDir/_GRAFT_DONE")
+    if (done.exists()) return
+    allTables.foreach { t =>
+      val base = spark.read.parquet(s"$baseDir/$t.parquet")
+      val out = (0 until k).map(r => replica(base, t, k, r, uniform))
+        .reduce(_.union(_))
+      // mirror the testdata layout: one parquet dir per table; Ignore mode
+      // so a re-run never deletes files a live session may have listed
+      out.write.mode(SaveMode.Ignore).parquet(s"$outDir/$t.parquet")
+    }
+    done.getParentFile.mkdirs(); done.createNewFile(); ()
+  }
+
+  /** One timed noop-sink run under a cancellation watchdog: a point that
+    * exceeds `timeoutSec` is cancelled via its job group and recorded as
+    * failed (-1) — one pathological point must not wedge the whole sweep.
+    */
+  private def timeOnce(spark: SparkSession, name: String, dir: String,
+      timeoutSec: Int = 600): Double = {
+    val group = s"scale:$name:$dir"
+    spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+    val watchdog = new java.util.Timer(true)
+    watchdog.schedule(new java.util.TimerTask {
+      def run(): Unit = {
+        System.err.println(s"[scale] TIMEOUT ($timeoutSec s): cancelling $name @ $dir")
+        spark.sparkContext.cancelJobGroup(group)
+      }
+    }, timeoutSec * 1000L)
+    val t0 = System.nanoTime()
+    try {
+      SparkEntry.queries(name)(spark, dir).write.format("noop")
+        .mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] $name @ $dir failed: $e"); -1.0
+    } finally {
+      watchdog.cancel()
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** Least-squares slope of ln t on ln k. */
+  def fitSlope(points: Seq[(Int, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1.toDouble))
+    val ys = points.map(p => math.log(math.max(p._2, 1e-3)))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = args.headOption.getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/scan paths so the first timed point doesn't
+    // absorb session startup (Bench's discipline)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$baseDir/region.parquet").groupBy("r_name").count().collect()
+
+    // ---- synthesis (skipped when the done-marker exists) ----
+    for (k <- uniformScales)
+      synthesize(spark, baseDir, s"$workDir/uniform_x$k", k, uniform = true)
+    for (k <- dupheavyScales)
+      synthesize(spark, baseDir, s"$workDir/dupheavy_x$k", k, uniform = false)
+
+    // ---- measurement: interleaved passes, per-point min ----
+    val points = collection.mutable.LinkedHashMap[(String, String, Int), Double]()
+    val work: Seq[(String, String, Int)] =
+      (for (k <- uniformScales; (q, _, _, _) <- targets)
+        yield (q, "uniform", k)) ++
+      (for (k <- dupheavyScales; (q, _, _, _) <- targets
+            if dupheavyQueries(q))
+        yield (q, "dupheavy", k))
+    val passes = 2
+    for (p <- 1 to passes; (q, model, k) <- work) {
+      val t = timeOnce(spark, q, s"$workDir/${model}_x$k")
+      val key = (q, model, k)
+      points.get(key) match {
+        case Some(prev) if prev >= 0 && (t < 0 || prev <= t) => ()
+        case _ => points(key) = t
+      }
+      if (p == 1) println(f"[scale] pass1 $model x$k $q%-30s ${t}%.2f s")
+    }
+
+    // ---- fit + report ----
+    def sh(cmd: Seq[String]): String = try {
+      val pr = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(pr.getInputStream.readAllBytes(), "UTF-8").trim
+      pr.waitFor(); if (pr.exitValue() == 0) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+    val commit = sh(Seq("git", "rev-parse", "HEAD"))
+    val ts = java.time.Instant.now().toString
+    val tol = 0.15
+
+    case class Fit(q: String, model: String, slope: Double, bound: Double,
+        driver: String, pts: Seq[(Int, Double)]) {
+      def ok: Boolean = slope <= bound + tol
+    }
+    val fits = targets.flatMap { case (q, ub, db, driver) =>
+      def mk(model: String, scales: Seq[Int], bound: Double) = {
+        val pts = scales.flatMap(k =>
+          points.get((q, model, k)).filter(_ >= 0).map(k -> _))
+        if (pts.size >= 3) Some(Fit(q, model, fitSlope(pts), bound, driver, pts))
+        else None
+      }
+      mk("uniform", uniformScales, ub) ++
+        (if (dupheavyQueries(q)) mk("dupheavy", dupheavyScales, db) else None)
+    }
+
+    val md = new StringBuilder
+    md.append("# SCALING — measured growth exponents\n\n")
+    md.append(s"Base corpus: `$baseDir`; synthesized 2x/4x/8x under `$workDir`.\n")
+    md.append(s"Commit `$commit`, $ts. Method: per-(query, scale) min over\n")
+    md.append(s"$passes interleaved noop-sink passes; exponent = least-squares\n")
+    md.append("slope of ln(wall) on ln(scale). Growth models:\n\n")
+    md.append("- **uniform** — salted keys + disjoint content per replica\n")
+    md.append("  (token markers / embedding sign-flip masks): pair mass grows kx;\n")
+    md.append("  measures ENGINE growth at a fixed data distribution. The\n")
+    md.append("  100 TB axis; bound is each operator's documented complexity.\n")
+    md.append("- **dupheavy** — verbatim copies under salted ids: every doc an\n")
+    md.append("  exact-dup cluster of size k, pair mass k^2; cost must track its\n")
+    md.append("  documented driver, never exceed it.\n\n")
+    md.append(s"PASS = slope <= bound + $tol fit tolerance.\n\n")
+    md.append("| query | model | measured exponent | bound | verdict | seconds at 1x/2x/4x/8x | documented cost driver |\n")
+    md.append("|---|---|---|---|---|---|---|\n")
+    fits.foreach { f =>
+      val secs = f.pts.map(p => f"${p._2}%.2f").mkString(" / ")
+      md.append(f"| ${f.q} | ${f.model} | ${f.slope}%.2f | ${f.bound} | " +
+        s"${if (f.ok) "PASS" else "**EXCEEDED**"} | $secs | ${f.driver} |\n")
+    }
+    val exceeded = fits.filterNot(_.ok)
+    md.append("\n")
+    if (exceeded.isEmpty)
+      md.append("All measured exponents within their documented bounds.\n")
+    else {
+      md.append("## Exceeded bounds (tracked items)\n\n")
+      exceeded.foreach(f =>
+        md.append(f"- ${f.q} (${f.model}): measured ${f.slope}%.2f > bound ${f.bound} — investigate.\n"))
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.md"),
+      md.toString)
+
+    val ptsJson = points.map { case ((q, m, k), t) =>
+      s"""{"query":"$q","model":"$m","scale":$k,"sec":$t}"""
+    }.mkString("[", ",", "]")
+    val fitsJson = fits.map(f =>
+      f"""{"query":"${f.q}","model":"${f.model}","slope":${f.slope}%.3f,""" +
+        s""""bound":${f.bound},"ok":${f.ok}}""").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"scaling","commit":"$commit","timestamp":"$ts",""" +
+        s""""base":"$baseDir","fits":$fitsJson,"points":$ptsJson}"""
+    println(line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench", "scaling_latest.json"), line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"scaling summary write failed: $e")
+    }
+    spark.stop()
+  }
+}
