@@ -2101,6 +2101,13 @@ object SparkEntry {
     "q258_shared_runs" -> { (s, dir) =>
       graft.ext.Dedup.winnowSharedRuns(Tables.documents(s, dir), k = 4, w = 4)
     },
+    // Per-pair verbatim-coverage + containment direction (E218): how much
+    // of EACH side the shared material covers (union of all islands, not
+    // just the longest) — quote/fragment pairs read as a_in_b, twins as
+    // mutual; the duplicated-mass evidence behind keep-best decisions.
+    "q259_pair_coverage" -> { (s, dir) =>
+      graft.ext.Dedup.winnowPairCoverage(Tables.documents(s, dir), k = 4, w = 4)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4538,6 +4545,34 @@ object SparkEntry {
          |       CAST(MAX(CASE WHEN rn = 1 THEN sa END) AS BIGINT) AS start_a,
          |       CAST(MAX(CASE WHEN rn = 1 THEN sb END) AS BIGINT) AS start_b
          |FROM rkp GROUP BY 1, 2""".stripMargin,
+    "q259_pair_coverage" ->
+      s"""WITH $winnowOracleCtes,
+         |prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM fp a JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         |m AS MATERIALIZED (SELECT p.id_a, p.id_b, ga.pos AS pa, gb.pos AS pb
+         |      FROM prs p JOIN gr ga ON ga.doc_id = p.id_a
+         |        JOIN gr gb ON gb.doc_id = p.id_b AND gb.gh = ga.gh),
+         |sp AS (SELECT id_a, id_b, 'a' AS side, unnest(range(pa, pa + 4)) AS t FROM m
+         |       UNION ALL
+         |       SELECT id_a, id_b, 'b' AS side, unnest(range(pb, pb + 4)) AS t FROM m),
+         |cv AS (SELECT DISTINCT id_a, id_b, side, t FROM sp),
+         |agg AS (SELECT id_a, id_b,
+         |          COUNT(CASE WHEN side = 'a' THEN 1 END) AS cov_a,
+         |          COUNT(CASE WHEN side = 'b' THEN 1 END) AS cov_b
+         |        FROM cv GROUP BY 1, 2),
+         |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |        FROM documents)
+         |SELECT id_a, id_b, ta.n AS n_tokens_a, tb.n AS n_tokens_b,
+         |       CAST(cov_a AS BIGINT) AS cov_tokens_a,
+         |       CAST(cov_b AS BIGINT) AS cov_tokens_b,
+         |       CAST((cov_a * 1048576) // ta.n AS BIGINT) AS cov_frac_a_fp,
+         |       CAST((cov_b * 1048576) // tb.n AS BIGINT) AS cov_frac_b_fp,
+         |       CASE WHEN cov_a * 10 >= ta.n * 9 AND cov_b * 10 >= tb.n * 9 THEN 'mutual'
+         |            WHEN cov_a * 10 >= ta.n * 9 THEN 'a_in_b'
+         |            WHEN cov_b * 10 >= tb.n * 9 THEN 'b_in_a'
+         |            ELSE 'partial' END AS verdict
+         |FROM agg JOIN tok ta ON ta.doc_id = id_a
+         |     JOIN tok tb ON tb.doc_id = id_b""".stripMargin,
     "q251_tokenizer_economics" ->
       """WITH t AS (SELECT source,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS b,

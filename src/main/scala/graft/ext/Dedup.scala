@@ -745,15 +745,15 @@ object Dedup {
     * frame is pinned (two join branches would re-run the winnow pipeline
     * per branch — the double-branch recompute trap).
     */
-  def winnowSharedRuns(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      k: Int = 4,
-      w: Int = 4,
-      seed: Int = 11,
-      portable: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The winnow-anchored pair match set shared by [[winnowSharedRuns]] and
+    * [[winnowPairCoverage]]: one (id_a, id_b, pa, pb) row per matching
+    * positional k-gram of each candidate pair (candidates = pairs sharing
+    * a winnowed fingerprint). The fingerprint frame is pinned — two join
+    * branches would re-run the winnow pipeline per branch.
+    */
+  private def winnowPairMatches(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, seed: Int, portable: Boolean): DataFrame = {
     val fp = winnowedFpRows(docs, textCol, idCol, k, w, seed, portable)
       .select(col(idCol).as("__id"), col("gh"))
       .distinct()
@@ -763,13 +763,25 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
     val grams = posGramHashes(docs, idCol, textCol, k, seed, portable)
-    val m = pairs
+    pairs
       .join(grams.select(col(idCol).as("id_a"), col("pos").as("pa"), col("gh")),
         Seq("id_a"))
       .join(grams.select(col(idCol).as("id_b"), col("pos").as("pb"), col("gh")),
         Seq("id_b", "gh"))
       .select(col("id_a"), col("id_b"),
         col("pa").cast("long").as("pa"), col("pb").cast("long").as("pb"))
+  }
+
+  def winnowSharedRuns(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      seed: Int = 11,
+      portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = winnowPairMatches(docs, textCol, idCol, k, w, seed, portable)
     val wd = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("pa"))
     val runs = m
@@ -793,6 +805,65 @@ object Dedup {
         col("longest_run"),
         (col("longest_run") + lit(k.toLong - 1)).as("longest_tokens"),
         col("start_a"), col("start_b"))
+  }
+
+  /** Per-pair verbatim-coverage report (E218): not just the LONGEST shared
+    * run ([[winnowSharedRuns]]) but how much of EACH document the shared
+    * material covers — the duplicated-mass and containment-direction
+    * evidence. Per candidate pair: each side's token count, the distinct
+    * token positions covered by any matching k-gram (union of all shared
+    * islands, not only the longest), the 2²⁰ fixed-point coverage
+    * fraction, and a verdict: `a_in_b` when ≥ 90% of a's tokens are
+    * covered (a is a quote/fragment of b), `b_in_a` for the reverse,
+    * `mutual` for near-identical twins, `partial` otherwise. The 90%
+    * gate compares cross-multiplied integers (cov·10 ≥ n·9) — no float
+    * threshold to drift between engines.
+    *
+    * Scale: one pass over the candidate-scoped match set — each match row
+    * explodes to its 2k covered (side, position) entries, de-dups, and
+    * aggregates per pair with a conditional count (one shuffle keyed by
+    * pair; never a per-side re-join of the match build). Token counts
+    * attach from a map-only per-doc projection.
+    */
+  def winnowPairCoverage(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      seed: Int = 11,
+      portable: Boolean = true): DataFrame = {
+    val m = winnowPairMatches(docs, textCol, idCol, k, w, seed, portable)
+    val covered = m
+      .select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(lit("a").as("side"), col("pa").as("p")),
+          struct(lit("b").as("side"), col("pb").as("p")))).as("sp"))
+      .select(col("id_a"), col("id_b"), col("sp.side").as("side"),
+        explode(sequence(col("sp.p"), col("sp.p") + lit(k.toLong - 1))).as("t"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        count(when(col("side") === "a", 1)).as("cov_tokens_a"),
+        count(when(col("side") === "b", 1)).as("cov_tokens_b"))
+    val toks = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("__n"))
+    val wide = covered
+      .join(toks.select(col(idCol).as("id_a"), col("__n").as("n_tokens_a")),
+        Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("__n").as("n_tokens_b")),
+        Seq("id_b"))
+    val aIn = col("cov_tokens_a") * 10L >= col("n_tokens_a") * 9L
+    val bIn = col("cov_tokens_b") * 10L >= col("n_tokens_b") * 9L
+    wide.select(col("id_a"), col("id_b"),
+      col("n_tokens_a"), col("n_tokens_b"),
+      col("cov_tokens_a"), col("cov_tokens_b"),
+      graft.ext.ExactMath.floorDiv(col("cov_tokens_a") * lit(1048576L),
+        col("n_tokens_a")).as("cov_frac_a_fp"),
+      graft.ext.ExactMath.floorDiv(col("cov_tokens_b") * lit(1048576L),
+        col("n_tokens_b")).as("cov_frac_b_fp"),
+      when(aIn && bIn, "mutual").when(aIn, "a_in_b").when(bIn, "b_in_a")
+        .otherwise("partial").as("verdict"))
   }
 
   /** Keep-best dedup — the training-pipeline step AFTER near-dup

@@ -606,4 +606,29 @@ class DedupSpec extends SparkSpec {
     assert(p13.getAs[Long]("longest_tokens") === 8L)
     assert(p13.getAs[Long]("start_a") === 3L && p13.getAs[Long]("start_b") === 2L)
   }
+
+  test("winnowPairCoverage: containment direction and exact covered-token counts") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, run),                              // the fragment itself
+      (2L, s"pre1 pre2 $run post1 post2"),    // the containing page (12 tokens)
+      (3L, run))                              // exact twin of 1
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowPairCoverage(docs, k = 4, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val frag = out((1L, 2L))
+    assert(frag.getAs[Long]("cov_tokens_a") === 8L, "all of the fragment is covered")
+    assert(frag.getAs[Long]("n_tokens_a") === 8L)
+    assert(frag.getAs[Long]("cov_tokens_b") === 8L, "only the quoted span of b")
+    assert(frag.getAs[Long]("n_tokens_b") === 12L)
+    assert(frag.getAs[String]("verdict") === "a_in_b")
+    assert(frag.getAs[Long]("cov_frac_a_fp") === 1048576L)
+    assert(frag.getAs[Long]("cov_frac_b_fp") === 8L * 1048576L / 12L)
+    assert(out((1L, 3L)).getAs[String]("verdict") === "mutual")
+    assert(out((2L, 3L)).getAs[String]("verdict") === "b_in_a",
+      "pair order flips: the fragment is now side b")
+  }
 }
