@@ -131,17 +131,22 @@ object Bench {
     // Read the PREVIOUS committed summary's headline BEFORE overwriting it:
     // the new total is compared against it below (drift_vs_committed).
     val summaryPath = java.nio.file.Paths.get("bench", "summary_latest.json")
+    // guarded end-to-end: a truncated/blank/garbled previous summary must
+    // degrade to "no baseline", never abort the bench before a query runs
     val (prevCommitted: Option[(Double, String)], prevSf: Option[String]) =
-      if (java.nio.file.Files.exists(summaryPath)) {
-        val first = java.nio.file.Files.readAllLines(summaryPath).get(0)
-        val v = """"value":([0-9.Ee+-]+)""".r.findFirstMatchIn(first).map(_.group(1).toDouble)
-        val c = """"commit":"([0-9a-f]+)"""".r.findFirstMatchIn(first).map(_.group(1))
-        val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(first).map(_.group(1))
-        (v.map(total => (total, c.getOrElse("unknown"))), sf)
-      } else (None, None)
+      try {
+        if (java.nio.file.Files.exists(summaryPath)) {
+          val first = java.nio.file.Files.readAllLines(summaryPath).get(0)
+          val v = """"value":([0-9]+(?:\.[0-9]+)?(?:[Ee][+-]?[0-9]+)?)""".r
+            .findFirstMatchIn(first).flatMap(m => m.group(1).toDoubleOption)
+          val c = """"commit":"([0-9a-f]+)"""".r.findFirstMatchIn(first).map(_.group(1))
+          val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(first).map(_.group(1))
+          (v.map(total => (total, c.getOrElse("unknown"))), sf)
+        } else (None, None)
+      } catch { case _: Exception => (None, None) }
 
     final case class QRes(
-        var wall: Double = -1.0, var rows: Long = -1L,
+        var wall: Double = -1.0, var lastWall: Double = -1.0, var rows: Long = -1L,
         var shuffleRead: Long = 0L, var shuffleWrite: Long = 0L,
         var inputBytes: Long = 0L, var recordsRead: Long = 0L,
         var peakMem: Long = 0L)
@@ -169,6 +174,7 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       if (t >= 0 && (res.wall < 0 || t < res.wall)) res.wall = t
       if (t >= 0) {
+        res.lastWall = t
         // counters OUTSIDE the timed region: drain the async listener bus,
         // then snapshot this pass's aggregates (deterministic per pass —
         // the last successful pass's values are kept)
@@ -258,7 +264,7 @@ object Bench {
     // must match between two runs of the same commit even when wall doesn't.
     val counters = best.map { case (k, v) =>
       "\"" + k + "\":" +
-        f"""{"wall_s":${v.wall}%.3f,"output_rows":${v.rows},""" +
+        f"""{"wall_s":${v.lastWall}%.3f,"output_rows":${v.rows},""" +
         s""""shuffle_read_bytes":${v.shuffleRead},"shuffle_write_bytes":${v.shuffleWrite},""" +
         s""""input_bytes":${v.inputBytes},"records_read":${v.recordsRead},""" +
         s""""peak_execution_memory":${v.peakMem}}"""
@@ -273,7 +279,12 @@ object Bench {
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(dir.resolve("summary_latest.json"),
+      // a subset dev run must NEVER clobber the committed full-suite
+      // baseline (summary_latest.json is what drift_vs_committed compares
+      // against) — it writes its own file instead
+      val target =
+        if (onlyPrefixes.isEmpty) "summary_latest.json" else "summary_dev.json"
+      java.nio.file.Files.writeString(dir.resolve(target),
         trailer + "\n" + detail + "\n" + countersLine + "\n")
     } catch { case e: Exception =>
       System.err.println(s"bench summary file write failed: $e")

@@ -103,17 +103,29 @@ object ScaleBench {
     df
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   private def synthesize(spark: SparkSession, baseDir: String, outDir: String,
       k: Int, uniform: Boolean): Unit = {
     val done = new java.io.File(s"$outDir/_GRAFT_DONE")
     if (done.exists()) return
     allTables.foreach { t =>
-      val base = spark.read.parquet(s"$baseDir/$t.parquet")
-      val out = (0 until k).map(r => replica(base, t, k, r, uniform))
-        .reduce(_.union(_))
-      // mirror the testdata layout: one parquet dir per table; Ignore mode
-      // so a re-run never deletes files a live session may have listed
-      out.write.mode(SaveMode.Ignore).parquet(s"$outDir/$t.parquet")
+      val tableDir = new java.io.File(s"$outDir/$t.parquet")
+      // per-table completeness, not mere existence: a crashed prior run
+      // leaves a partial dir WITHOUT _SUCCESS — SaveMode.Ignore would
+      // accept it and the done-marker below would certify a truncated
+      // corpus forever. Incomplete dirs are deleted and rewritten (safe:
+      // nothing in this session has read them yet).
+      if (!new java.io.File(tableDir, "_SUCCESS").exists()) {
+        if (tableDir.exists()) deleteRecursively(tableDir)
+        val base = spark.read.parquet(s"$baseDir/$t.parquet")
+        val out = (0 until k).map(r => replica(base, t, k, r, uniform))
+          .reduce(_.union(_))
+        out.write.mode(SaveMode.ErrorIfExists).parquet(tableDir.getPath)
+      }
     }
     done.getParentFile.mkdirs(); done.createNewFile(); ()
   }
@@ -212,16 +224,22 @@ object ScaleBench {
         driver: String, pts: Seq[(Int, Double)]) {
       def ok: Boolean = slope <= bound + tol
     }
-    val fits = targets.flatMap { case (q, ub, db, driver) =>
-      def mk(model: String, scales: Seq[Int], bound: Double) = {
-        val pts = scales.flatMap(k =>
+    // every attempted (query, model) sweep is accounted for: sweeps with
+    // <3 valid points (timeouts/failures) become DROPPED rows, never a
+    // silent absence that would let the all-clear line below lie
+    val attempts: Seq[(String, String, Double, String, Seq[(Int, Double)])] =
+      targets.flatMap { case (q, ub, db, driver) =>
+        def pts(model: String, scales: Seq[Int]) = scales.flatMap(k =>
           points.get((q, model, k)).filter(_ >= 0).map(k -> _))
-        if (pts.size >= 3) Some(Fit(q, model, fitSlope(pts), bound, driver, pts))
-        else None
+        Seq((q, "uniform", ub, driver, pts("uniform", uniformScales))) ++
+          (if (dupheavyQueries(q))
+            Seq((q, "dupheavy", db, driver, pts("dupheavy", dupheavyScales)))
+          else Nil)
       }
-      mk("uniform", uniformScales, ub) ++
-        (if (dupheavyQueries(q)) mk("dupheavy", dupheavyScales, db) else None)
+    val fits = attempts.collect { case (q, m, b, d, pts) if pts.size >= 3 =>
+      Fit(q, m, fitSlope(pts), b, d, pts)
     }
+    val dropped = attempts.filter(_._5.size < 3)
 
     val md = new StringBuilder
     md.append("# SCALING — measured growth exponents\n\n")
@@ -244,14 +262,22 @@ object ScaleBench {
       md.append(f"| ${f.q} | ${f.model} | ${f.slope}%.2f | ${f.bound} | " +
         s"${if (f.ok) "PASS" else "**EXCEEDED**"} | $secs | ${f.driver} |\n")
     }
+    dropped.foreach { case (q, m, b, d, pts) =>
+      md.append(s"| $q | $m | **NOT MEASURED** (${pts.size} valid points) | $b | " +
+        s"**DROPPED** | ${pts.map(p => f"${p._2}%.2f").mkString(" / ")} | $d |\n")
+    }
     val exceeded = fits.filterNot(_.ok)
     md.append("\n")
-    if (exceeded.isEmpty)
+    if (exceeded.isEmpty && dropped.isEmpty)
       md.append("All measured exponents within their documented bounds.\n")
     else {
-      md.append("## Exceeded bounds (tracked items)\n\n")
+      md.append("## Exceeded or unmeasured (tracked items)\n\n")
       exceeded.foreach(f =>
         md.append(f"- ${f.q} (${f.model}): measured ${f.slope}%.2f > bound ${f.bound} — investigate.\n"))
+      dropped.foreach { case (q, m, _, _, pts) =>
+        md.append(s"- $q ($m): only ${pts.size} valid points (timeout/failure) — " +
+          "the sweep did NOT measure this target; re-run before trusting the table.\n")
+      }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.md"),
       md.toString)
@@ -262,9 +288,13 @@ object ScaleBench {
     val fitsJson = fits.map(f =>
       f"""{"query":"${f.q}","model":"${f.model}","slope":${f.slope}%.3f,""" +
         s""""bound":${f.bound},"ok":${f.ok}}""").mkString("[", ",", "]")
+    val droppedJson = dropped.map { case (q, m, _, _, pts) =>
+      s"""{"query":"$q","model":"$m","n_valid_points":${pts.size}}"""
+    }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"scaling","commit":"$commit","timestamp":"$ts",""" +
-        s""""base":"$baseDir","fits":$fitsJson,"points":$ptsJson}"""
+        s""""base":"$baseDir","fits":$fitsJson,"dropped":$droppedJson,""" +
+        s""""points":$ptsJson}"""
     println(line)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))

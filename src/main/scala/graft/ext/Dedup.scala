@@ -762,7 +762,17 @@ object Dedup {
       .join(fp.as("b"), col("a.gh") === col("b.gh") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    val grams = posGramHashes(docs, idCol, textCol, k, seed, portable)
+      .localCheckpoint() // three consumers below (candidate ids + both joins)
+    // the gram stream is consumed by BOTH pair-join branches — re-derive it
+    // only for CANDIDATE docs (semi-join on the pair ids) and pin that:
+    // the full-corpus tokenize/explode must not run twice, and at scale
+    // the candidate set is contamination-sized, not corpus-sized
+    val ids = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val grams = posGramHashes(
+      docs.join(ids, Seq(idCol), "left_semi"), idCol, textCol, k, seed, portable)
+      .localCheckpoint()
     pairs
       .join(grams.select(col(idCol).as("id_a"), col("pos").as("pa"), col("gh")),
         Seq("id_a"))

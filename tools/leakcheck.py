@@ -36,11 +36,14 @@ IMPORT_ALLOW = re.compile(
 IMPORT_ROOTED = re.compile(r"^import\s+(?:org|com|net|io|ai|dev|co|gov|edu|biz)\.")
 
 # Public hosts that may appear in comments/docs (format specs, papers, ASF).
+# The host must END after the allowed name ((?=[/:#?\s]|$)) — a bare \b
+# anchor matches at '.' or '-', so github.com.corp-mirror.net or
+# localhost-evil.net would pass a prefix-only allowlist.
 URL_ALLOW = re.compile(
     r"https?://(www\.)?(apache\.org|spark\.apache\.org|github\.com|arxiv\.org|"
     r"doi\.org|w3\.org|ietf\.org|example\.com|localhost|127\.0\.0\.1|"
     r"en\.wikipedia\.org|duckdb\.org|scala-lang\.org|scalatest\.org|"
-    r"docs\.oracle\.com)\b")
+    r"docs\.oracle\.com)(?=[/:#?\s]|$)")
 
 # Env vars this project may read (documented in README/build.sbt).
 ENV_ALLOW = re.compile(
