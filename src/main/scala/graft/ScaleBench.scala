@@ -132,11 +132,16 @@ object ScaleBench {
 
   /** One timed noop-sink run under a cancellation watchdog: a point that
     * exceeds `timeoutSec` is cancelled via its job group and recorded as
-    * failed (-1) — one pathological point must not wedge the whole sweep.
+    * failed — one pathological point must not wedge the whole sweep.
+    * Returns (wall seconds, shuffle bytes read+written) — the byte figure
+    * comes from job-group-attributed task metrics and is LOAD-INVARIANT,
+    * so the byte-exponent fit is immune to the wall-clock noise the wall
+    * fit has to tolerate. (-1, -1) on failure.
     */
-  private def timeOnce(spark: SparkSession, name: String, dir: String,
-      timeoutSec: Int = 600): Double = {
+  private def timeOnce(spark: SparkSession, metrics: QueryTaskMetricsListener,
+      name: String, dir: String, timeoutSec: Int = 600): (Double, Double) = {
     val group = s"scale:$name:$dir"
+    metrics.reset(group)
     spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
     val watchdog = new java.util.Timer(true)
     watchdog.schedule(new java.util.TimerTask {
@@ -149,12 +154,17 @@ object ScaleBench {
     try {
       SparkEntry.queries(name)(spark, dir).write.format("noop")
         .mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftshim.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+      val bytes = metrics.snapshot(group)
+        .map(a => (a.shuffleRead + a.shuffleWrite).toDouble).getOrElse(0.0)
+      (wall, bytes)
     } catch { case e: Throwable =>
-      System.err.println(s"[scale] $name @ $dir failed: $e"); -1.0
+      System.err.println(s"[scale] $name @ $dir failed: $e"); (-1.0, -1.0)
     } finally {
       watchdog.cancel()
       spark.sparkContext.clearJobGroup()
+      metrics.reset(group)
     }
   }
 
@@ -180,6 +190,8 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new QueryTaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // warm the JVM/codegen/scan paths so the first timed point doesn't
     // absorb session startup (Bench's discipline)
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -191,8 +203,10 @@ object ScaleBench {
     for (k <- dupheavyScales)
       synthesize(spark, baseDir, s"$workDir/dupheavy_x$k", k, uniform = false)
 
-    // ---- measurement: interleaved passes, per-point min ----
+    // ---- measurement: interleaved passes, per-point min wall; shuffle
+    // bytes are deterministic per point (last successful pass kept) ----
     val points = collection.mutable.LinkedHashMap[(String, String, Int), Double]()
+    val bytesPts = collection.mutable.LinkedHashMap[(String, String, Int), Double]()
     val work: Seq[(String, String, Int)] =
       (for (k <- uniformScales; (q, _, _, _) <- targets)
         yield (q, "uniform", k)) ++
@@ -201,13 +215,14 @@ object ScaleBench {
         yield (q, "dupheavy", k))
     val passes = 2
     for (p <- 1 to passes; (q, model, k) <- work) {
-      val t = timeOnce(spark, q, s"$workDir/${model}_x$k")
+      val (t, b) = timeOnce(spark, metrics, q, s"$workDir/${model}_x$k")
       val key = (q, model, k)
       points.get(key) match {
         case Some(prev) if prev >= 0 && (t < 0 || prev <= t) => ()
         case _ => points(key) = t
       }
-      if (p == 1) println(f"[scale] pass1 $model x$k $q%-30s ${t}%.2f s")
+      if (b >= 0) bytesPts(key) = b
+      if (p == 1) println(f"[scale] pass1 $model x$k $q%-30s ${t}%.2f s ${b / 1e6}%.1f MB shuffled")
     }
 
     // ---- fit + report ----
@@ -220,9 +235,12 @@ object ScaleBench {
     val ts = java.time.Instant.now().toString
     val tol = 0.15
 
-    case class Fit(q: String, model: String, slope: Double, bound: Double,
-        driver: String, pts: Seq[(Int, Double)]) {
+    case class Fit(q: String, model: String, slope: Double,
+        byteSlope: Option[Double], bound: Double, driver: String,
+        pts: Seq[(Int, Double)]) {
       def ok: Boolean = slope <= bound + tol
+      // the byte exponent is load-invariant, so it gets NO noise tolerance
+      def bytesOk: Boolean = byteSlope.forall(_ <= bound + 0.05)
     }
     // every attempted (query, model) sweep is accounted for: sweeps with
     // <3 valid points (timeouts/failures) become DROPPED rows, never a
@@ -236,8 +254,15 @@ object ScaleBench {
             Seq((q, "dupheavy", db, driver, pts("dupheavy", dupheavyScales)))
           else Nil)
       }
+    def byteSlopeOf(q: String, m: String): Option[Double] = {
+      val bp = (if (m == "uniform") uniformScales else dupheavyScales)
+        .flatMap(k => bytesPts.get((q, m, k)).map(k -> _))
+      // a map-only query shuffles ~nothing at every scale: no byte
+      // exponent exists (and log-fitting noise-floor bytes would be lies)
+      if (bp.size >= 3 && bp.forall(_._2 > 65536.0)) Some(fitSlope(bp)) else None
+    }
     val fits = attempts.collect { case (q, m, b, d, pts) if pts.size >= 3 =>
-      Fit(q, m, fitSlope(pts), b, d, pts)
+      Fit(q, m, fitSlope(pts), byteSlopeOf(q, m), b, d, pts)
     }
     val dropped = attempts.filter(_._5.size < 3)
 
@@ -254,19 +279,29 @@ object ScaleBench {
     md.append("- **dupheavy** — verbatim copies under salted ids: every doc an\n")
     md.append("  exact-dup cluster of size k, pair mass k^2; cost must track its\n")
     md.append("  documented driver, never exceed it.\n\n")
-    md.append(s"PASS = slope <= bound + $tol fit tolerance.\n\n")
-    md.append("| query | model | measured exponent | bound | verdict | seconds at 1x/2x/4x/8x | documented cost driver |\n")
-    md.append("|---|---|---|---|---|---|---|\n")
+    md.append(s"PASS = wall slope <= bound + $tol fit tolerance. The shuffle-byte\n")
+    md.append("exponent (job-group task metrics, LOAD-INVARIANT, 0.05 tolerance)\n")
+    md.append("measures a DIFFERENT resource: traffic over the cluster wire. The two\n")
+    md.append("legitimately diverge — pair-mining queries shuffle the gram/signature\n")
+    md.append("stream (linear in corpus mass) and explode pairs INSIDE the join\n")
+    md.append("after the exchange, so under dup-heavy growth wall tracks pair mass\n")
+    md.append("while bytes stay ~linear: the wire never carries the k^2 blow-up.\n")
+    md.append("Map-only queries (no shuffle at any scale) show `-`.\n\n")
+    md.append("| query | model | wall exponent | shuffle-byte exponent | bound | verdict | seconds at 1x/2x/4x/8x | documented cost driver |\n")
+    md.append("|---|---|---|---|---|---|---|---|\n")
     fits.foreach { f =>
       val secs = f.pts.map(p => f"${p._2}%.2f").mkString(" / ")
-      md.append(f"| ${f.q} | ${f.model} | ${f.slope}%.2f | ${f.bound} | " +
-        s"${if (f.ok) "PASS" else "**EXCEEDED**"} | $secs | ${f.driver} |\n")
+      val bs = f.byteSlope.map(v => f"$v%.2f").getOrElse("-")
+      val verdict =
+        if (f.ok && f.bytesOk) "PASS" else "**EXCEEDED**"
+      md.append(f"| ${f.q} | ${f.model} | ${f.slope}%.2f | " +
+        s"$bs | ${f.bound} | $verdict | $secs | ${f.driver} |\n")
     }
     dropped.foreach { case (q, m, b, d, pts) =>
       md.append(s"| $q | $m | **NOT MEASURED** (${pts.size} valid points) | $b | " +
         s"**DROPPED** | ${pts.map(p => f"${p._2}%.2f").mkString(" / ")} | $d |\n")
     }
-    val exceeded = fits.filterNot(_.ok)
+    val exceeded = fits.filterNot(f => f.ok && f.bytesOk)
     md.append("\n")
     if (exceeded.isEmpty && dropped.isEmpty)
       md.append("All measured exponents within their documented bounds.\n")
@@ -283,11 +318,13 @@ object ScaleBench {
       md.toString)
 
     val ptsJson = points.map { case ((q, m, k), t) =>
-      s"""{"query":"$q","model":"$m","scale":$k,"sec":$t}"""
+      val b = bytesPts.get((q, m, k)).map(_.toLong).getOrElse(-1L)
+      s"""{"query":"$q","model":"$m","scale":$k,"sec":$t,"shuffle_bytes":$b}"""
     }.mkString("[", ",", "]")
     val fitsJson = fits.map(f =>
       f"""{"query":"${f.q}","model":"${f.model}","slope":${f.slope}%.3f,""" +
-        s""""bound":${f.bound},"ok":${f.ok}}""").mkString("[", ",", "]")
+        s""""byte_slope":${f.byteSlope.map(v => f"$v%.3f").getOrElse("null")},""" +
+        s""""bound":${f.bound},"ok":${f.ok && f.bytesOk}}""").mkString("[", ",", "]")
     val droppedJson = dropped.map { case (q, m, _, _, pts) =>
       s"""{"query":"$q","model":"$m","n_valid_points":${pts.size}}"""
     }.mkString("[", ",", "]")
