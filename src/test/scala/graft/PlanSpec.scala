@@ -422,6 +422,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "runs group by diagonal via a window, not a self-join")
   }
 
+  test("q259: pair coverage rides one pass over the pinned match set — no all-pairs") {
+    val p = plan("q259_pair_coverage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "coverage pairs come from fingerprint equi-joins, never all-pairs")
+    assert(p.contains("ExistingRDD"),
+      "candidate grams must be pinned, not re-derived per side")
+    // the two sides' covered positions come from ONE explode pass with a
+    // side tag, not a per-side re-join of the match build
+    assert(p.contains("Generate"), "covered positions explode engine-side")
+  }
+
   test("q246: packing curve has no bin-keyed aggregation — one capacity-keyed pass") {
     val p = plan("q246_packing_curve")
     // interval arithmetic on the shared prefix sum: nothing in the plan
