@@ -174,21 +174,26 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       if (t >= 0 && (res.wall < 0 || t < res.wall)) res.wall = t
       if (t >= 0) {
-        res.lastWall = t
         // counters OUTSIDE the timed region: drain the async listener bus,
         // then snapshot this pass's aggregates (deterministic per pass —
-        // the last successful pass's values are kept)
+        // the last successful pass's values are kept). Staged into temps
+        // and committed together with lastWall at the END: if the flush or
+        // snapshot throws, the record keeps the previous pass's CONSISTENT
+        // (wall, rows, counters) tuple instead of mixing passes.
         try {
           org.apache.spark.graftshim.ListenerFlush.waitUntilEmpty(spark.sparkContext)
-          res.rows = obs.get.get("n") match {
+          val rowsV = obs.get.get("n") match {
             case Some(n: Number) => n.longValue()
             case _ => -1L
           }
-          metrics.snapshot(group).foreach { a =>
+          val snap = metrics.snapshot(group)
+          res.rows = rowsV
+          snap.foreach { a =>
             res.shuffleRead = a.shuffleRead; res.shuffleWrite = a.shuffleWrite
             res.inputBytes = a.inputBytes; res.recordsRead = a.recordsRead
             res.peakMem = a.peakMem
           }
+          res.lastWall = t
         } catch { case _: Throwable => () }
       }
       metrics.reset(group)
@@ -219,12 +224,19 @@ object Bench {
       p.waitFor(); if (p.exitValue() == 0) out else "unknown"
     } catch { case _: Exception => "unknown" }
     val commit = sh(Seq("git", "rev-parse", "HEAD"))
+    // a HEAD hash with uncommitted source changes names a binary that no
+    // commit reproduces — record that, or the hash lies
+    val dirty = sh(Seq("git", "status", "--porcelain")) match {
+      case "unknown" => "null"
+      case s => (!s.isEmpty).toString
+    }
     val host = try { java.net.InetAddress.getLocalHost.getHostName }
       catch { case _: Exception => "unknown" }
     val runner = sys.env.getOrElse("SPARK_GRAFT_RUNNER", "unknown")
     val ts = java.time.Instant.now().toString
     val provenance =
-      s""""commit":"$commit","timestamp":"$ts","host":"$host","runner":"$runner",""" +
+      s""""commit":"$commit","dirty":$dirty,""" +
+        s""""timestamp":"$ts","host":"$host","runner":"$runner",""" +
         s""""spark_version":"${spark.version}""""
 
     // Drift vs the previously committed summary: flags a >15% total swing

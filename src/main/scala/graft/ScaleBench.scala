@@ -108,26 +108,30 @@ object ScaleBench {
     f.delete(); ()
   }
 
+  /** Repair-or-reuse synthesis. Per-table `_SUCCESS` is the ONLY
+    * completeness signal — there is deliberately no directory-level "done"
+    * marker (an aggregate marker written after a partial table would
+    * certify a truncated corpus forever, and a legacy marker would mask
+    * the repair). Incomplete dirs are deleted and rewritten — safe because
+    * a sweep OWNS its workDir: running two sweeps against the same workDir
+    * concurrently is unsupported (B would delete A's in-progress table).
+    */
   private def synthesize(spark: SparkSession, baseDir: String, outDir: String,
       k: Int, uniform: Boolean): Unit = {
-    val done = new java.io.File(s"$outDir/_GRAFT_DONE")
-    if (done.exists()) return
     allTables.foreach { t =>
       val tableDir = new java.io.File(s"$outDir/$t.parquet")
-      // per-table completeness, not mere existence: a crashed prior run
-      // leaves a partial dir WITHOUT _SUCCESS — SaveMode.Ignore would
-      // accept it and the done-marker below would certify a truncated
-      // corpus forever. Incomplete dirs are deleted and rewritten (safe:
-      // nothing in this session has read them yet).
       if (!new java.io.File(tableDir, "_SUCCESS").exists()) {
-        if (tableDir.exists()) deleteRecursively(tableDir)
+        if (tableDir.exists()) {
+          deleteRecursively(tableDir)
+          require(!tableDir.exists(),
+            s"cannot repair partial synthesis output at $tableDir (undeletable)")
+        }
         val base = spark.read.parquet(s"$baseDir/$t.parquet")
         val out = (0 until k).map(r => replica(base, t, k, r, uniform))
           .reduce(_.union(_))
         out.write.mode(SaveMode.ErrorIfExists).parquet(tableDir.getPath)
       }
     }
-    done.getParentFile.mkdirs(); done.createNewFile(); ()
   }
 
   /** One timed noop-sink run under a cancellation watchdog: a point that
@@ -139,8 +143,10 @@ object ScaleBench {
     * fit has to tolerate. (-1, -1) on failure.
     */
   private def timeOnce(spark: SparkSession, metrics: QueryTaskMetricsListener,
-      name: String, dir: String, timeoutSec: Int = 600): (Double, Double) = {
-    val group = s"scale:$name:$dir"
+      name: String, dir: String, pass: Int, timeoutSec: Int = 600): (Double, Double) = {
+    // pass-scoped group (Bench's "#$pass" discipline): straggler task-end
+    // events from a cancelled earlier pass must not fold into this pass
+    val group = s"scale:$name:$dir#$pass"
     metrics.reset(group)
     spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
     val watchdog = new java.util.Timer(true)
@@ -156,8 +162,10 @@ object ScaleBench {
         .mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftshim.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+      // a MISSING snapshot is unknown (-1), never "zero shuffle" — zero
+      // would silently disable the byte gate for a shuffle-heavy query
       val bytes = metrics.snapshot(group)
-        .map(a => (a.shuffleRead + a.shuffleWrite).toDouble).getOrElse(0.0)
+        .map(a => (a.shuffleRead + a.shuffleWrite).toDouble).getOrElse(-1.0)
       (wall, bytes)
     } catch { case e: Throwable =>
       System.err.println(s"[scale] $name @ $dir failed: $e"); (-1.0, -1.0)
@@ -215,7 +223,7 @@ object ScaleBench {
         yield (q, "dupheavy", k))
     val passes = 2
     for (p <- 1 to passes; (q, model, k) <- work) {
-      val (t, b) = timeOnce(spark, metrics, q, s"$workDir/${model}_x$k")
+      val (t, b) = timeOnce(spark, metrics, q, s"$workDir/${model}_x$k", p)
       val key = (q, model, k)
       points.get(key) match {
         case Some(prev) if prev >= 0 && (t < 0 || prev <= t) => ()
@@ -232,12 +240,18 @@ object ScaleBench {
       pr.waitFor(); if (pr.exitValue() == 0) out else "unknown"
     } catch { case _: Exception => "unknown" }
     val commit = sh(Seq("git", "rev-parse", "HEAD"))
+    // a HEAD hash with uncommitted source changes names a binary that no
+    // commit reproduces — record that, or the hash lies
+    val dirty = sh(Seq("git", "status", "--porcelain")) match {
+      case "unknown" => "null"
+      case s => (!s.isEmpty).toString
+    }
     val ts = java.time.Instant.now().toString
     val tol = 0.15
 
     case class Fit(q: String, model: String, slope: Double,
-        byteSlope: Option[Double], bound: Double, driver: String,
-        pts: Seq[(Int, Double)]) {
+        byteSlope: Option[Double], byteMissing: Boolean, bound: Double,
+        driver: String, pts: Seq[(Int, Double)]) {
       def ok: Boolean = slope <= bound + tol
       // the byte exponent is load-invariant, so it gets NO noise tolerance
       def bytesOk: Boolean = byteSlope.forall(_ <= bound + 0.05)
@@ -254,22 +268,28 @@ object ScaleBench {
             Seq((q, "dupheavy", db, driver, pts("dupheavy", dupheavyScales)))
           else Nil)
       }
-    def byteSlopeOf(q: String, m: String): Option[Double] = {
-      val bp = (if (m == "uniform") uniformScales else dupheavyScales)
-        .flatMap(k => bytesPts.get((q, m, k)).map(k -> _))
-      // a map-only query shuffles ~nothing at every scale: no byte
-      // exponent exists (and log-fitting noise-floor bytes would be lies)
-      if (bp.size >= 3 && bp.forall(_._2 > 65536.0)) Some(fitSlope(bp)) else None
+    // three byte-exponent states: Some(slope) = fit; None+byteMissing=false
+    // = genuinely map-only (bytes tiny at every scale); byteMissing=true =
+    // metric attribution failed — reported, never silently passed
+    def byteSlopeOf(q: String, m: String): (Option[Double], Boolean) = {
+      val scales = if (m == "uniform") uniformScales else dupheavyScales
+      val bp = scales.flatMap(k =>
+        bytesPts.get((q, m, k)).filter(_ >= 0.0).map(k -> _))
+      if (bp.size < 3) (None, true)
+      else if (bp.forall(_._2 > 65536.0)) (Some(fitSlope(bp)), false)
+      // map-only: noise-floor bytes at every scale — log-fitting them lies
+      else (None, false)
     }
     val fits = attempts.collect { case (q, m, b, d, pts) if pts.size >= 3 =>
-      Fit(q, m, fitSlope(pts), byteSlopeOf(q, m), b, d, pts)
+      val (bs, missing) = byteSlopeOf(q, m)
+      Fit(q, m, fitSlope(pts), bs, missing, b, d, pts)
     }
     val dropped = attempts.filter(_._5.size < 3)
 
     val md = new StringBuilder
     md.append("# SCALING — measured growth exponents\n\n")
     md.append(s"Base corpus: `$baseDir`; synthesized 2x/4x/8x under `$workDir`.\n")
-    md.append(s"Commit `$commit`, $ts. Method: per-(query, scale) min over\n")
+    md.append(s"Commit `$commit` (dirty: $dirty), $ts. Method: per-(query, scale) min over\n")
     md.append(s"$passes interleaved noop-sink passes; exponent = least-squares\n")
     md.append("slope of ln(wall) on ln(scale). Growth models:\n\n")
     md.append("- **uniform** — salted keys + disjoint content per replica\n")
@@ -291,24 +311,31 @@ object ScaleBench {
     md.append("|---|---|---|---|---|---|---|---|\n")
     fits.foreach { f =>
       val secs = f.pts.map(p => f"${p._2}%.2f").mkString(" / ")
-      val bs = f.byteSlope.map(v => f"$v%.2f").getOrElse("-")
+      val bs = f.byteSlope.map(v => f"$v%.2f")
+        .getOrElse(if (f.byteMissing) "? (metrics missing)" else "-")
       val verdict =
         if (f.ok && f.bytesOk) "PASS" else "**EXCEEDED**"
       md.append(f"| ${f.q} | ${f.model} | ${f.slope}%.2f | " +
         s"$bs | ${f.bound} | $verdict | $secs | ${f.driver} |\n")
     }
     dropped.foreach { case (q, m, b, d, pts) =>
-      md.append(s"| $q | $m | **NOT MEASURED** (${pts.size} valid points) | $b | " +
+      md.append(s"| $q | $m | **NOT MEASURED** (${pts.size} valid points) | - | $b | " +
         s"**DROPPED** | ${pts.map(p => f"${p._2}%.2f").mkString(" / ")} | $d |\n")
     }
     val exceeded = fits.filterNot(f => f.ok && f.bytesOk)
     md.append("\n")
-    if (exceeded.isEmpty && dropped.isEmpty)
+    if (exceeded.isEmpty && dropped.isEmpty && !fits.exists(_.byteMissing))
       md.append("All measured exponents within their documented bounds.\n")
     else {
-      md.append("## Exceeded or unmeasured (tracked items)\n\n")
-      exceeded.foreach(f =>
-        md.append(f"- ${f.q} (${f.model}): measured ${f.slope}%.2f > bound ${f.bound} — investigate.\n"))
+      md.append("## Exceeded, unmeasured, or metric-less (tracked items)\n\n")
+      exceeded.foreach { f =>
+        if (!f.ok)
+          md.append(f"- ${f.q} (${f.model}): WALL exponent ${f.slope}%.2f > bound ${f.bound} + $tol — investigate.\n")
+        f.byteSlope.filter(_ > f.bound + 0.05).foreach(v =>
+          md.append(f"- ${f.q} (${f.model}): SHUFFLE-BYTE exponent $v%.2f > bound ${f.bound} + 0.05 — investigate.\n"))
+      }
+      fits.filter(_.byteMissing).foreach(f =>
+        md.append(s"- ${f.q} (${f.model}): byte metrics missing (attribution failed on >1 point) — wall gate only.\n"))
       dropped.foreach { case (q, m, _, _, pts) =>
         md.append(s"- $q ($m): only ${pts.size} valid points (timeout/failure) — " +
           "the sweep did NOT measure this target; re-run before trusting the table.\n")
@@ -324,12 +351,13 @@ object ScaleBench {
     val fitsJson = fits.map(f =>
       f"""{"query":"${f.q}","model":"${f.model}","slope":${f.slope}%.3f,""" +
         s""""byte_slope":${f.byteSlope.map(v => f"$v%.3f").getOrElse("null")},""" +
+        s""""byte_missing":${f.byteMissing},""" +
         s""""bound":${f.bound},"ok":${f.ok && f.bytesOk}}""").mkString("[", ",", "]")
     val droppedJson = dropped.map { case (q, m, _, _, pts) =>
       s"""{"query":"$q","model":"$m","n_valid_points":${pts.size}}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"scaling","commit":"$commit","timestamp":"$ts",""" +
+      s"""{"metric":"scaling","commit":"$commit","dirty":$dirty,"timestamp":"$ts",""" +
         s""""base":"$baseDir","fits":$fitsJson,"dropped":$droppedJson,""" +
         s""""points":$ptsJson}"""
     println(line)

@@ -96,8 +96,12 @@ def scan():
                 if not IMPORT_ALLOW.match(s):
                     hits["internal-import"].append(f"{where}: {s[:120]}")
             for m in URL_FIND.finditer(line):
-                if not URL_ALLOW.match(m.group(0)):
-                    hits["internal-url"].append(f"{where}: {m.group(0)[:120]}")
+                # URL_FIND's [\w.-]+ swallows a sentence-ending '.' — strip
+                # trailing punctuation so 'see https://github.com.' stays
+                # allowlisted under the host-end anchor
+                url = m.group(0).rstrip(".,;:")
+                if not URL_ALLOW.match(url):
+                    hits["internal-url"].append(f"{where}: {url[:120]}")
             for m in ENV_READ.finditer(line):
                 var = next(g for g in m.groups() if g)
                 if not ENV_ALLOW.match(var):
