@@ -2108,6 +2108,38 @@ object SparkEntry {
     "q259_pair_coverage" -> { (s, dir) =>
       graft.ext.Dedup.winnowPairCoverage(Tables.documents(s, dir), k = 4, w = 4)
     },
+    // QOI decode stats (E219): the first COMPRESSED image format decoded
+    // fully in-engine — run-length + recency-index + delta ops, no
+    // entropy coding, so it's a native-expression state machine instead
+    // of a codec library. Same encode→boundary→decode discipline as
+    // q241/q257; the oracle computes the same channel sums straight from
+    // the raw payload bytes (encode∘decode is pixel-identity — any
+    // non-self-cancelling codec bug breaks the sums, and byte-exact op
+    // streams are pinned separately in QoiCodecSpec).
+    "q260_qoi_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.qoiStats(
+        graft.ext.Multimodal.encodeQoi(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 120)),
+          width = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"))
+    },
+    // QOI compression economics per source (E219's corpus view): exact
+    // compressed-vs-raw totals + the op mix. No SQL oracle CAN exist —
+    // the compressed size depends on the encoder's sequential index
+    // state, which SQL can't replay; correctness of the sizes is pinned
+    // by QoiCodecSpec's byte-exact known-vector streams instead, and the
+    // driver records this one as a rows-only check by design.
+    "q261_qoi_compression" -> { (s, dir) =>
+      graft.ext.Multimodal.qoiCompressionBySource(
+        graft.ext.Multimodal.documentsAsAssets(
+          Tables.documents(s, dir).filter(col("doc_id") < 200)),
+        width = 6)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3454,6 +3486,27 @@ object SparkEntry {
          |       CAST(sum_b AS BIGINT) AS sum_b,
          |       CAST(lum // n_pixels AS BIGINT) AS mean_luma_milli
          |FROM v JOIN s USING (asset_id)""".stripMargin,
+    // q260's oracle never runs the codec: encode∘decode is pixel-identity,
+    // so the expected stats are computable straight from the raw payload
+    // bytes (RGB triplets, width 6 ⇒ 18 bytes/row, tail dropped)
+    "q260_qoi_stats" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 120),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 18 AS hgt
+        |      FROM src WHERE octet_length(p) // 18 >= 1),
+        |px AS (SELECT asset_id, hgt, h, unnest(range(0, hgt * 6)) AS i FROM g),
+        |c AS (SELECT asset_id, hgt,
+        |        CAST(('0x'||substr(h, CAST(6*i+1 AS BIGINT), 2)) AS BIGINT) AS rd,
+        |        CAST(('0x'||substr(h, CAST(6*i+3 AS BIGINT), 2)) AS BIGINT) AS gr,
+        |        CAST(('0x'||substr(h, CAST(6*i+5 AS BIGINT), 2)) AS BIGINT) AS bl
+        |      FROM px)
+        |SELECT asset_id, TRUE AS is_valid, CAST(6 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(rd) AS BIGINT) AS sum_r, CAST(SUM(gr) AS BIGINT) AS sum_g,
+        |       CAST(SUM(bl) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*rd + 587*gr + 114*bl) // COUNT(*) AS BIGINT)
+        |         AS mean_luma_milli
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

@@ -507,6 +507,97 @@ object Multimodal {
     pixelChannelStats(ppmHeader(assets), firstByteRed = true)
 
   // ------------------------------------------------------------------
+  // REAL COMPRESSED IMAGE FORMAT: QOI (qoiformat.org, public spec).
+  // Run-length + recency-index + delta compression with NO entropy
+  // coding — so unlike JPEG/PNG it decodes with plain byte arithmetic,
+  // and the stub above narrows to entropy-coded formats only. The
+  // stream is SEQUENTIAL (decoder state carries across chunks), which
+  // is the per-row-loop shape that belongs in a native Catalyst
+  // Expression, not a pixel explode: see functions/QoiExpressions.
+  // ------------------------------------------------------------------
+
+  /** Encode each asset's payload bytes as a spec-conformant channels=3
+    * QOI image of the given pixel width (height = ⌊len/(3·width)⌋; assets
+    * shorter than one row are dropped). Runs as one native expression per
+    * asset — a single pass, O(1) encoder state, parallel over rows.
+    */
+  def encodeQoi(assets: DataFrame, width: Int = 6): DataFrame = {
+    require(width >= 1, "width must be positive")
+    val spark = assets.sparkSession
+    assets
+      .withColumn("bytes",
+        graft.functions.QoiNativeFunctions.qoiEncode(spark, col("bytes"), width))
+      .filter(col("bytes").isNotNull)
+  }
+
+  /** Decode QOI assets natively (E219): full sequential decode — header,
+    * all six op types, the 64-slot recency index, end marker — reporting
+    * the same exact channel sums + fixed-point mean luma as [[bmpStats]]/
+    * [[ppmStats]], PLUS the op histogram (runs/index-hits/diffs/lumas/
+    * rgb/rgba chunk counts: the compression diagnostics only a real
+    * decoder can see). Corrupt or forged streams report is_valid = false
+    * with null stats; the decode loop is bounded by the bytes actually
+    * present, never the header's claimed dimensions, so a forged header
+    * cannot blow up the plan (see QoiCodec.decode).
+    *
+    * Scale: one native-expression pass per asset, no explode at all —
+    * the decoder aggregates in O(1) memory while it walks, so nothing
+    * per-pixel ever materializes. The projection around it stays
+    * codegen'd; only this scalar evaluates interpreted (one call per
+    * ROW — the loop inside is plain JVM code; see NOTES on interpreted
+    * HOF-vs-native costs).
+    */
+  def qoiStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.QoiNativeFunctions.qoiDecode(spark, col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_r").as("sum_r"),
+        col("q.sum_g").as("sum_g"), col("q.sum_b").as("sum_b"),
+        col("q.mean_luma_milli").as("mean_luma_milli"),
+        col("q.ops_run").as("ops_run"), col("q.ops_index").as("ops_index"),
+        col("q.ops_diff").as("ops_diff"), col("q.ops_luma").as("ops_luma"),
+        col("q.ops_rgb").as("ops_rgb"), col("q.ops_rgba").as("ops_rgba"))
+  }
+
+  /** Per-source QOI compression economics (E219's corpus view): encode
+    * each asset, then aggregate exact compressed-vs-raw byte totals and
+    * the op-mix per source — which corpora run-length well, which are
+    * delta-friendly, which fall back to literal RGB. The encode and the
+    * size measurement happen in ONE scan (the encoded binary is produced
+    * and measured in the same projection, never stored), so the corpus
+    * pass reads each asset exactly once.
+    */
+  def qoiCompressionBySource(assets: DataFrame, width: Int = 6): DataFrame = {
+    val spark = assets.sparkSession
+    val enc = assets
+      .select(col("meta.source").as("source"),
+        octet_length(col("bytes")).cast("long").as("raw_bytes"),
+        graft.functions.QoiNativeFunctions.qoiEncode(spark, col("bytes"), width)
+          .as("qbytes"))
+      .filter(col("qbytes").isNotNull)
+      .select(col("source"), col("raw_bytes"),
+        octet_length(col("qbytes")).cast("long").as("qoi_bytes"),
+        graft.functions.QoiNativeFunctions.qoiDecode(spark, col("qbytes")).as("q"))
+    enc.groupBy("source")
+      .agg(
+        count(lit(1L)).as("n_assets"),
+        sum(col("raw_bytes")).as("raw_bytes"),
+        sum(col("qoi_bytes")).as("qoi_bytes"),
+        sum(col("q.n_pixels")).as("n_pixels"),
+        sum(col("q.ops_run")).as("ops_run"),
+        sum(col("q.ops_index")).as("ops_index"),
+        sum(col("q.ops_diff")).as("ops_diff"),
+        sum(col("q.ops_luma")).as("ops_luma"),
+        sum(col("q.ops_rgb")).as("ops_rgb"))
+      // fixed-point ratio in micro-units: exact across engines
+      .withColumn("compression_micro",
+        expr("(qoi_bytes * 1000000) div raw_bytes"))
+  }
+
+  // ------------------------------------------------------------------
   // REAL AUDIO CONTAINER: canonical RIFF/WAVE (PCM16). The third
   // arithmetic codec after PCM16 frames and BMP — here the container
   // itself is parsed (chunk ids, sizes, offsets are little-endian
