@@ -286,7 +286,8 @@ object Main {
           "[--audience-overlap] [--packing-curve] " +
           "[--contamination-spans BENCH_DATA_DIR] " +
           "[--mask-contamination BENCH_DATA_DIR] [--tokenizer-economics] " +
-          "[--dup-kcore K] [--shared-runs]")
+          "[--dup-kcore K] [--shared-runs] [--image-near-dups TAU] " +
+          "[--qoi-economics]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -567,6 +568,27 @@ object Main {
         println("tokenizer economics per source (ratios in 2^20 fixed point):")
         graft.ext.TextAnalysis.tokenizerEconomics(Tables.documents(spark, dir))
           .orderBy(col("bytes_per_token_fp").desc)
+          .show(50, truncate = false)
+      }
+      // perceptual near-dup image pairs (documents-as-BMP stand-in for a
+      // real asset table): dHash + lossless band LSH at the given radius
+      opt("--image-near-dups").foreach { tau =>
+        println(s"perceptual near-dup image pairs (dHash hamming <= $tau):")
+        graft.ext.Multimodal.dhashNearDup(
+            graft.ext.Multimodal.bmpDHash(
+              graft.ext.Multimodal.encodeBmp(
+                graft.ext.Multimodal.documentsAsAssets(
+                  Tables.documents(spark, dir)), width = 16)),
+            maxHamming = tau.toInt)
+          .orderBy(col("hamming"), col("asset_a"), col("asset_b"))
+          .show(30, truncate = false)
+      }
+      // per-source QOI compression economics through the real codec
+      if (args.contains("--qoi-economics")) {
+        println("QOI compression economics per source (ratio in micro-units):")
+        graft.ext.Multimodal.qoiCompressionBySource(
+            graft.ext.Multimodal.documentsAsAssets(Tables.documents(spark, dir)))
+          .orderBy(col("compression_micro"))
           .show(50, truncate = false)
       }
     }

@@ -2140,6 +2140,40 @@ object SparkEntry {
           Tables.documents(s, dir).filter(col("doc_id") < 200)),
         width = 6)
     },
+    // Perceptual image hash through the real decode (E220): dHash 9x8
+    // grid off the BMP pixel walk; width 16 so the grid is defined
+    // (dHash needs >= 9 columns). Same encode→boundary→decode discipline
+    // as q241.
+    "q262_image_dhash" -> { (s, dir) =>
+      graft.ext.Multimodal.bmpDHash(
+        graft.ext.Multimodal.encodeBmp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          width = 16)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+    },
+    // Perceptual near-dup image pairs (E221): corpus ∪ perturbed variants
+    // (nine bytes appended — usually invisible to the fixed 9x8 grid, so
+    // each variant lands within a few bits of its base), then the
+    // 8x8-band LSH join at hamming <= 6. The oracle verifies with an
+    // all-pairs scan — band candidate generation is LOSSLESS at this
+    // threshold (pigeonhole: 6 < 8 bands), so the sets must be equal.
+    "q263_dhash_near_dup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"), col("source"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" " * 9)).as("text"), col("source"))
+      graft.ext.Multimodal.dhashNearDup(
+        graft.ext.Multimodal.bmpDHash(
+          graft.ext.Multimodal.encodeBmp(
+            graft.ext.Multimodal.documentsAsAssets(
+              docs.unionByName(variants)),
+            width = 16)
+            .repartition(col("asset_id"))
+            .localCheckpoint()),
+        maxHamming = 6)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2659,6 +2693,49 @@ object SparkEntry {
        |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+3 AS BIGINT), 2)) AS BIGINT) AS gr,
        |         CAST(('0x'||substr(h, CAST(2*(ro + 3*x)+5 AS BIGINT), 2)) AS BIGINT) AS bl
        |      FROM pxx)""".stripMargin
+  }
+
+  /** DuckDB replay of the q262/q263 dHash pipeline: 16-px-wide BMP pixels
+    * computed straight from the raw payload bytes (encode∘decode is
+    * pixel-identity; the codec itself is q241's oracle), box-filtered to
+    * the 9x8 luma grid, adjacent-cell means compared via
+    * cross-multiplication, bits packed into two 32-bit halves. `src` must
+    * provide (asset_id, p BLOB); the chain ends at
+    * `dh (asset_id, dhash_lo, dhash_hi)`.
+    */
+  private def dhashOracleCtes(src: String): String = {
+    // BGR byte order: B at hex offset +1, G at +3, R at +5 (stride 48)
+    def chan(off: Int) =
+      s"CAST(('0x'||substr(h, CAST(2*(y*48 + 3*x)+$off AS BIGINT), 2)) AS BIGINT)"
+    val pivot = (0 to 8).map(i =>
+      s"SUM(CASE WHEN cx = $i THEN s END) AS s$i, " +
+        s"SUM(CASE WHEN cx = $i THEN c END) AS c$i").mkString(",\n|      ")
+    val bits = (0 to 7).map(i =>
+      s"(CASE WHEN s${i + 1}*c$i > s$i*c${i + 1} THEN " +
+        s"(CAST(1 AS BIGINT) << CAST((cy % 4) * 8 + $i AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END)").mkString("\n|        + ")
+    s"""src AS ($src),
+       |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 48 AS hgt
+       |      FROM src WHERE octet_length(p) // 48 >= 8),
+       |py AS (SELECT asset_id, hgt, h, unnest(range(0, hgt)) AS y FROM g),
+       |px AS (SELECT asset_id, hgt, h, y, unnest(range(0, 16)) AS x FROM py),
+       |lm AS (SELECT asset_id, (x * 9) // 16 AS cx, (y * 8) // hgt AS cy,
+       |              299*${chan(5)} + 587*${chan(3)} + 114*${chan(1)} AS lum
+       |       FROM px),
+       |cells AS (SELECT asset_id, cy, cx, SUM(lum) AS s, COUNT(*) AS c
+       |          FROM lm GROUP BY 1, 2, 3),
+       |gr AS (SELECT asset_id, cy,
+       |      $pivot
+       |       FROM cells GROUP BY 1, 2),
+       |rb AS (SELECT asset_id, cy,
+       |        $bits AS rowbits
+       |       FROM gr),
+       |dh AS (SELECT asset_id,
+       |         CAST(SUM(CASE WHEN cy < 4 THEN rowbits ELSE 0 END) AS BIGINT)
+       |           AS dhash_lo,
+       |         CAST(SUM(CASE WHEN cy >= 4 THEN rowbits ELSE 0 END) AS BIGINT)
+       |           AS dhash_hi
+       |       FROM rb GROUP BY 1)""".stripMargin
   }
 
   /** Shared DuckDB replay of the q253/q254 WAV codec: canonical RIFF
@@ -3507,6 +3584,27 @@ object SparkEntry {
         |       CAST(SUM(299*rd + 587*gr + 114*bl) // COUNT(*) AS BIGINT)
         |         AS mean_luma_milli
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    "q262_image_dhash" ->
+      s"""WITH ${dhashOracleCtes(
+        """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+          |            FROM documents WHERE doc_id < 150""".stripMargin)}
+         |SELECT asset_id, dhash_lo, dhash_hi FROM dh""".stripMargin,
+    // the oracle verifies the LOSSLESS band join with an ALL-PAIRS scan:
+    // at hamming <= 6 < 8 bands, pigeonhole makes the sets provably equal
+    "q263_dhash_near_dup" ->
+      s"""WITH ${dhashOracleCtes(
+        """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+          |            FROM documents WHERE doc_id < 150
+          |            UNION ALL
+          |            SELECT doc_id + 1000000, CAST(text || repeat(' ', 9) AS BLOB)
+          |            FROM documents WHERE doc_id < 150""".stripMargin)}
+         |SELECT h1.asset_id AS asset_a, h2.asset_id AS asset_b,
+         |       CAST(bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |            bit_count(xor(h1.dhash_hi, h2.dhash_hi)) AS BIGINT)
+         |         AS hamming
+         |FROM dh h1 JOIN dh h2 ON h1.asset_id < h2.asset_id
+         |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 6""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

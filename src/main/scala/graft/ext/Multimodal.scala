@@ -14,9 +14,13 @@ import org.apache.spark.sql.types._
   * ([[encodePpm]]/[[ppmStats]]), and RIFF/WAVE containers
   * ([[encodeWav]]/[[wavStats]]) are pure arithmetic over `hex()`, so the
   * whole decode is codegen'd per row and replays bit-identically in the
-  * oracle. Only COMPRESSED formats (JPEG/PNG/H.264 — entropy coding needs
-  * a codec library this environment doesn't have) remain a STUB, replaced
-  * by a deterministic digest-derived fake (clearly marked below).
+  * oracle. QOI ([[encodeQoi]]/[[qoiStats]]) extends that to a real
+  * COMPRESSED format — run-length + index + delta coding needs no codec
+  * library, only a sequential native expression. Perceptual image dedup
+  * rides the decode path ([[bmpDHash]]/[[dhashNearDup]]). Only
+  * ENTROPY-CODED formats (JPEG/PNG/H.264 — arithmetic/Huffman decoding
+  * needs a codec library this environment doesn't have) remain a STUB,
+  * replaced by a deterministic digest-derived fake (clearly marked below).
   * Everything around that stub is real and tested: the asset schema,
   * binary columns, partition-sized batching, and the feature-extraction
   * interface. Swapping in a real decoder replaces ONE function body
@@ -595,6 +599,126 @@ object Multimodal {
       // fixed-point ratio in micro-units: exact across engines
       .withColumn("compression_micro",
         expr("(qoi_bytes * 1000000) div raw_bytes"))
+  }
+
+  // ------------------------------------------------------------------
+  // PERCEPTUAL IMAGE DEDUP: dHash (difference hash) computed THROUGH the
+  // real decode path — the multimodal analog of the text simhash family.
+  // dHash is the public gradient-hash scheme: box-downsample the image
+  // to a 9x8 luma grid, emit one bit per horizontally adjacent cell pair
+  // (right brighter than left), 64 bits total. Near-identical images
+  // (recompressed, slightly cropped, brightness-shifted) land within a
+  // few bits of each other; exact byte dedup sees none of that.
+  // ------------------------------------------------------------------
+
+  /** dHash per decodable BMP asset (E220): the [[bmpStats]] pixel walk
+    * feeding a box-filter to the 9x8 grid (cell = (x·9 div w, y·8 div h)),
+    * then per-row adjacent-cell mean comparisons packed into two 32-bit
+    * halves (`dhash_lo` = grid rows 0–3, `dhash_hi` = rows 4–7 — split so
+    * neither engine ever touches the BIGINT sign bit). Mean comparisons
+    * are integer-exact via cross-multiplication (Σ₁·n₂ > Σ₂·n₁, with
+    * Σ ≤ n·255000: products stay under 2⁶³ while n stays below ~6·10⁶
+    * pixels per cell, i.e. images under ~0.4 gigapixels). Assets
+    * smaller than the 9x8 grid (or undecodable) are dropped: dHash is
+    * undefined below grid resolution.
+    *
+    * Scale: pixels explode in the same two bounded levels as [[bmpStats]];
+    * the cell aggregation map-side-combines on (asset, cy, cx) — at most
+    * 72 cells per asset ever cross the wire, regardless of megapixels —
+    * and the 9-column pivot + bit packing are per-(asset, row) arithmetic.
+    */
+  def bmpDHash(assets: DataFrame): DataFrame = {
+    val px = bmpHeader(assets)
+      .filter(col("is_valid") && col("w") >= 9L && col("hgt") >= 8L)
+      .select(col("asset_id"), col("bytes"), col("w"), col("hgt"),
+        col("stride"), col("poff"))
+      .withColumn("y", explode(sequence(lit(0L), col("hgt") - 1)))
+      .withColumn("x", explode(sequence(lit(0L), col("w") - 1)))
+      .select(col("asset_id"),
+        expr("(x * 9) div w").as("cx"),
+        expr("(y * 8) div hgt").as("cy"),
+        expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))")
+          .as("ph"))
+      .select(col("asset_id"), col("cx"), col("cy"),
+        // BGR byte order (BMP): R at hex offset 5, G at 3, B at 1
+        (lit(299L) * conv(substring(col("ph"), 5, 2), 16, 10).cast("long") +
+          lit(587L) * conv(substring(col("ph"), 3, 2), 16, 10).cast("long") +
+          lit(114L) * conv(substring(col("ph"), 1, 2), 16, 10).cast("long"))
+          .as("lum"))
+    val cells = px.groupBy("asset_id", "cy", "cx")
+      .agg(sum(col("lum")).as("s"), count(lit(1)).as("c"))
+    // pivot the 9 cells of each grid row into columns: one narrow pass,
+    // no self-join of the cell frame
+    val aggs = (0 to 8).flatMap { i =>
+      Seq(sum(when(col("cx") === i, col("s"))).as(s"s$i"),
+        sum(when(col("cx") === i, col("c"))).as(s"c$i"))
+    }
+    val rows = cells.groupBy("asset_id", "cy").agg(aggs.head, aggs.tail: _*)
+    // bit (cy mod 4)*8 + i of the half set iff cell i+1's mean luma beats
+    // cell i's; w >= 9 and hgt >= 8 guarantee every cell is non-empty
+    val rowBits = (0 to 7).map { i =>
+      when(col(s"s${i + 1}") * col(s"c$i") > col(s"s$i") * col(s"c${i + 1}"),
+        expr(s"shiftleft(cast(1 as bigint), cast((cy % 4) * 8 + $i as int))"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    rows.select(col("asset_id"), col("cy"), rowBits.as("rowbits"))
+      .groupBy("asset_id")
+      .agg(
+        sum(when(col("cy") < 4L, col("rowbits")).otherwise(0L)).as("dhash_lo"),
+        sum(when(col("cy") >= 4L, col("rowbits")).otherwise(0L)).as("dhash_hi"))
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance (E221): LSH on
+    * 8 bands of 8 bits. Two hashes within hamming ≤ 7 differ in at most 7
+    * bands, so by pigeonhole they AGREE on at least one — the candidate
+    * generation is LOSSLESS for maxHamming ≤ 7 (this is the same band
+    * guarantee the text-simhash path uses), and only bucket collisions
+    * are ever compared, never all pairs. The verify step recomputes the
+    * exact distance with bit_count over the xor of both halves.
+    *
+    * Scale: each asset emits exactly 8 (band_id, band_val) keys; the join
+    * is equi-keyed on those buckets and the pair set dedups map-side via
+    * the aggregate. Degenerate corpora (one dominant bucket: millions of
+    * byte-identical images) belong to EXACT dedup first — the content-
+    * digest pass [[withContentFacts]] removes them before perceptual
+    * hashing, which is the documented composition order.
+    */
+  def dhashNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "8x8-band candidate generation is lossless only for maxHamming <= 7")
+    // both join sides derive from `hashes`; without a boundary each side
+    // would re-run the whole upstream decode. The hash frame is 3 longs
+    // per ASSET (not per pixel), so pinning it is always cheap.
+    val pinned = hashes.localCheckpoint()
+    val banded = pinned.select(
+      col("asset_id"), col("dhash_lo"), col("dhash_hi"),
+      explode(expr(
+        """array(
+          |  struct(0 as band_id, (dhash_lo          ) % 256 as band_val),
+          |  struct(1 as band_id, (dhash_lo div 256  ) % 256 as band_val),
+          |  struct(2 as band_id, (dhash_lo div 65536) % 256 as band_val),
+          |  struct(3 as band_id, (dhash_lo div 16777216) % 256 as band_val),
+          |  struct(4 as band_id, (dhash_hi          ) % 256 as band_val),
+          |  struct(5 as band_id, (dhash_hi div 256  ) % 256 as band_val),
+          |  struct(6 as band_id, (dhash_hi div 65536) % 256 as band_val),
+          |  struct(7 as band_id, (dhash_hi div 16777216) % 256 as band_val))
+          |""".stripMargin)).as("band"))
+      .select(col("asset_id"), col("dhash_lo"), col("dhash_hi"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("asset_id").as("asset_a"), col("dhash_lo").as("lo_a"),
+      col("dhash_hi").as("hi_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("asset_id").as("asset_b"), col("dhash_lo").as("lo_b"),
+      col("dhash_hi").as("hi_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair can collide in several bands: one row per pair
+      .groupBy("asset_a", "asset_b").agg(min(col("hamming")).as("hamming"))
   }
 
   // ------------------------------------------------------------------

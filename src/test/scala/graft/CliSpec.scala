@@ -122,4 +122,18 @@ class CliSpec extends SparkSpec {
     assert(out.contains("top documents for [table, key]"))
     assert(out.contains("score_num"), "tf-idf scores missing")
   }
+
+  test("--image-near-dups prints the dHash pair report (header even when empty)") {
+    val out = runCli("--image-near-dups", "6")
+    assert(out.contains("perceptual near-dup image pairs"), "header missing")
+    assert(out.contains("hamming"), "distance column missing")
+  }
+
+  test("--qoi-economics prints per-source compression ratios") {
+    val out = runCli("--qoi-economics")
+    assert(out.contains("QOI compression economics"), "header missing")
+    assert(out.contains("compression_micro") && out.contains("ops_run"),
+      "economics columns missing")
+    assert(out.contains("source"), "per-source rows missing")
+  }
 }

@@ -442,4 +442,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "capacity aggregation must combine map-side")
   }
+
+  test("q260: QOI decode is one scalar pass per asset — no join, no explode") {
+    val p = plan("q260_qoi_stats")
+    // the sequential decoder aggregates inside the expression: unlike the
+    // BMP/PPM pixel walks there is nothing to explode and nothing to join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      "decode must be a single projection over the asset scan")
+    assert(!p.contains("Generate"),
+      "QOI decodes inside one native expression — no per-pixel explode")
+  }
+
+  test("q262: dhash cells combine map-side; the pixel walk never joins") {
+    val p = plan("q262_image_dhash")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "dhash is explode + aggregate, never a join")
+    assert(p.contains("Generate"), "the pixel walk is an engine-side explode")
+    assert(p.contains("partial_sum"),
+      "cell luma sums must combine map-side — at most 72 cells per asset " +
+        "cross the wire, regardless of megapixels")
+  }
+
+  test("q263: near-dup candidates come from the band equi-join of the pinned hash frame") {
+    val p = plan("q263_dhash_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates come from band-bucket equi-joins, never all-pairs")
+    // both join sides must read the pinned per-asset hash frame, not
+    // re-run the whole decode per side
+    assert(p.contains("ExistingRDD"),
+      "hash frame must be pinned, not re-derived per branch")
+  }
 }

@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image dedup (E220/E221): dHash grid math pinned on
+  * hand-built images, then the LSH band join proven equal to brute force.
+  */
+class ImageDHashSpec extends SparkSpec {
+
+  /** A 9x8 image, one pixel per dHash cell, as an encodeBmp(width=9)
+    * payload: stride = ceil(27/4)*4 = 28, so each row is 27 pixel bytes
+    * (BGR, all channels = lum(x)) plus one pad byte the reader skips.
+    */
+  private def gridPayload(lum: Int => Int): Array[Byte] = {
+    val out = new Array[Byte](8 * 28)
+    for (y <- 0 until 8; x <- 0 until 9; ch <- 0 until 3)
+      out(y * 28 + x * 3 + ch) = lum(x).toByte
+    out
+  }
+
+  private def assetsOf(rows: (Long, Array[Byte])*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toSeq.toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("image").as("kind"),
+        col("payload").as("bytes"),
+        struct(lit("test").as("source"), lit("bin").as("mime")).as("meta"))
+  }
+
+  test("dhash grid math: monotone gradient sets every bit, reverse sets none") {
+    val assets = assetsOf(
+      1L -> gridPayload(x => x * 10), // brighter to the right: all bits 1
+      2L -> gridPayload(x => 80 - x * 10), // darker to the right: all 0
+      3L -> gridPayload(_ => 7)) // flat: ties are 0 (strict >)
+    val dh = Multimodal.bmpDHash(Multimodal.encodeBmp(assets, width = 9))
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Long]("dhash_lo"), r.getAs[Long]("dhash_hi"))).toMap
+    assert(dh(1L) === (4294967295L, 4294967295L))
+    assert(dh(2L) === (0L, 0L))
+    assert(dh(3L) === (0L, 0L))
+  }
+
+  test("dhash undefined below the 9x8 grid: small assets are dropped") {
+    // width=6 BMP can never reach 9 grid columns
+    val assets = Multimodal.documentsAsAssets(
+      Tables.documents(spark, sf0001).filter(col("doc_id") < 10))
+    val dh = Multimodal.bmpDHash(Multimodal.encodeBmp(assets, width = 6))
+    assert(dh.count() === 0)
+  }
+
+  test("near-identical images land within a few bits; exact twins at 0") {
+    val base = gridPayload(x => x * 10)
+    val oneCell = base.clone()
+    // brighten one interior pixel by 2: at most the two comparisons
+    // touching that cell can flip
+    oneCell(2 * 28 + 4 * 3) = (oneCell(2 * 28 + 4 * 3) + 2).toByte
+    val assets = assetsOf(1L -> base, 2L -> base.clone(), 3L -> oneCell)
+    val pairs = Multimodal.dhashNearDup(
+      Multimodal.bmpDHash(Multimodal.encodeBmp(assets, width = 9)),
+      maxHamming = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs((1L, 3L)) <= 2L)
+    assert(pairs((2L, 3L)) === pairs((1L, 3L)))
+  }
+
+  test("band join equals brute force (lossless candidates at tau <= 7)") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 80)
+      .select(col("doc_id"), col("text"), col("source"))
+    val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" " * 9)).as("text"), col("source"))
+    val hashes = Multimodal.bmpDHash(Multimodal.encodeBmp(
+      Multimodal.documentsAsAssets(docs.unionByName(variants)), width = 16))
+      .localCheckpoint()
+    val viaBands = Multimodal.dhashNearDup(hashes, maxHamming = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val h = hashes.collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("dhash_lo"),
+        r.getAs[Long]("dhash_hi")))
+    val brute = (for {
+      (a, la, ha) <- h; (b, lb, hb) <- h if a < b
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(viaBands === brute)
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs")
+  }
+}
