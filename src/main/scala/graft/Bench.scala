@@ -225,8 +225,12 @@ object Bench {
     } catch { case _: Exception => "unknown" }
     val commit = sh(Seq("git", "rev-parse", "HEAD"))
     // a HEAD hash with uncommitted source changes names a binary that no
-    // commit reproduces — record that, or the hash lies
-    val dirty = sh(Seq("git", "status", "--porcelain")) match {
+    // commit reproduces — record that, or the hash lies. Scoped to the
+    // BINARY-affecting paths: regenerated bench/ artifacts and docs do not
+    // change what ran, and counting them would mark every second
+    // certification run dirty forever.
+    val dirty = sh(Seq("git", "status", "--porcelain",
+        "--", "src", "tools", "build.sbt", "project")) match {
       case "unknown" => "null"
       case s => (!s.isEmpty).toString
     }
