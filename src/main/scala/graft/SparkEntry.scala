@@ -2174,6 +2174,32 @@ object SparkEntry {
             .localCheckpoint()),
         maxHamming = 6)
     },
+    // Audio energy-contour fingerprint (E222): the 1-D dHash analog over
+    // the PCM16 decode — 65 prefix windows, 64 rising/falling bits.
+    // windowSamples=2 because the documents-as-audio stand-ins are short;
+    // real audio uses the default 16.
+    "q264_audio_fingerprint" -> { (s, dir) =>
+      graft.ext.Multimodal.audioFingerprint(
+        graft.ext.Multimodal.documentsAsAssets(
+          Tables.documents(s, dir).filter(col("doc_id") < 200)),
+        windowSamples = 2)
+    },
+    // Perceptual audio near-dup pairs (E223): corpus ∪ one-character
+    // mid-stream edits — the contour bits flip only around the touched
+    // windows, so each variant lands within a few bits of its base — then
+    // the SAME lossless band join as q263, over the audio fingerprint.
+    "q265_audio_near_dup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"), col("source"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substr(text, 1, 100), '~', substr(text, 102))").as("text"),
+        col("source"))
+      graft.ext.Multimodal.fingerprintNearDup(
+        graft.ext.Multimodal.audioFingerprint(
+          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants)),
+          windowSamples = 2),
+        "fp_lo", "fp_hi", maxHamming = 6)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2737,6 +2763,42 @@ object SparkEntry {
        |           AS dhash_hi
        |       FROM rb GROUP BY 1)""".stripMargin
   }
+
+  /** DuckDB replay of the q264/q265 audio energy-contour fingerprint
+    * (windowSamples = 2, so 65 windows need 130 samples = 260 bytes):
+    * q238's PCM16 sample decode bounded to the 130-sample prefix, window
+    * energies, LEAD comparison, the same two sign-safe 32-bit halves.
+    * `src` must provide (asset_id, p BLOB); ends at
+    * `fp (asset_id, fp_lo, fp_hi)`.
+    */
+  private def audioFpOracleCtes(src: String): String =
+    s"""src AS ($src),
+       |a AS (SELECT asset_id, hex(p) AS h FROM src
+       |      WHERE octet_length(p) // 2 >= 130),
+       |s AS (SELECT asset_id, h, unnest(range(0, 130)) AS i FROM a),
+       |u AS (SELECT asset_id, i // 2 AS w,
+       |         CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+       |         + 256*CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2)) AS BIGINT)
+       |           AS u
+       |      FROM s),
+       |e AS (SELECT asset_id, w,
+       |             SUM((CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) *
+       |                 (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+       |      FROM u GROUP BY 1, 2),
+       |l AS (SELECT asset_id, w, e,
+       |             LEAD(e) OVER (PARTITION BY asset_id ORDER BY w) AS en
+       |      FROM e),
+       |bits AS (SELECT asset_id, w,
+       |           CASE WHEN en > e
+       |                THEN (CAST(1 AS BIGINT) << CAST(w % 32 AS INT))
+       |                ELSE CAST(0 AS BIGINT) END AS bit
+       |         FROM l WHERE w < 64),
+       |fp AS (SELECT asset_id,
+       |         CAST(SUM(CASE WHEN w < 32 THEN bit ELSE 0 END) AS BIGINT)
+       |           AS fp_lo,
+       |         CAST(SUM(CASE WHEN w >= 32 THEN bit ELSE 0 END) AS BIGINT)
+       |           AS fp_hi
+       |       FROM bits GROUP BY 1)""".stripMargin
 
   /** Shared DuckDB replay of the q253/q254 WAV codec: canonical RIFF
     * encode of each document payload's even-length prefix, unhex→hex
@@ -3605,6 +3667,27 @@ object SparkEntry {
          |FROM dh h1 JOIN dh h2 ON h1.asset_id < h2.asset_id
          |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
          |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 6""".stripMargin,
+    "q264_audio_fingerprint" ->
+      s"""WITH ${audioFpOracleCtes(
+        """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+          |            FROM documents WHERE doc_id < 200""".stripMargin)}
+         |SELECT asset_id, fp_lo, fp_hi FROM fp""".stripMargin,
+    // like q263: all-pairs oracle vs the engine's lossless band join
+    "q265_audio_near_dup" ->
+      s"""WITH ${audioFpOracleCtes(
+        """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+          |            FROM documents WHERE doc_id < 200
+          |            UNION ALL
+          |            SELECT doc_id + 1000000,
+          |                   CAST(concat(substr(text, 1, 100), '~',
+          |                               substr(text, 102)) AS BLOB)
+          |            FROM documents WHERE doc_id < 200""".stripMargin)}
+         |SELECT f1.asset_id AS asset_a, f2.asset_id AS asset_b,
+         |       CAST(bit_count(xor(f1.fp_lo, f2.fp_lo)) +
+         |            bit_count(xor(f1.fp_hi, f2.fp_hi)) AS BIGINT) AS hamming
+         |FROM fp f1 JOIN fp f2 ON f1.asset_id < f2.asset_id
+         |WHERE bit_count(xor(f1.fp_lo, f2.fp_lo)) +
+         |      bit_count(xor(f1.fp_hi, f2.fp_hi)) <= 6""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

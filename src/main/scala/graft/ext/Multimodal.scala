@@ -683,13 +683,26 @@ object Multimodal {
     * digest pass [[withContentFacts]] removes them before perceptual
     * hashing, which is the documented composition order.
     */
-  def dhashNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def dhashNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
+    fingerprintNearDup(hashes, "dhash_lo", "dhash_hi", maxHamming)
+
+  /** The 64-bit-fingerprint near-dup join shared by image dHash
+    * ([[bmpDHash]]) and audio energy-contour fingerprints
+    * ([[audioFingerprint]]): any (asset_id, lo half, hi half) frame joins
+    * through the same lossless 8x8-bit band LSH. See [[dhashNearDup]] for
+    * the guarantee and scale notes.
+    */
+  def fingerprintNearDup(hashes: DataFrame, loCol: String, hiCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "8x8-band candidate generation is lossless only for maxHamming <= 7")
     // both join sides derive from `hashes`; without a boundary each side
     // would re-run the whole upstream decode. The hash frame is 3 longs
     // per ASSET (not per pixel), so pinning it is always cheap.
-    val pinned = hashes.localCheckpoint()
+    val pinned = hashes
+      .select(col("asset_id"), col(loCol).as("dhash_lo"),
+        col(hiCol).as("dhash_hi"))
+      .localCheckpoint()
     val banded = pinned.select(
       col("asset_id"), col("dhash_lo"), col("dhash_hi"),
       explode(expr(
@@ -719,6 +732,55 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       // a pair can collide in several bands: one row per pair
       .groupBy("asset_a", "asset_b").agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Audio energy-contour fingerprint (E222): the 1-D analog of
+    * [[bmpDHash]] over the PCM16 decode — the asset's FIRST 65 windows'
+    * exact energies Σv², one bit per adjacent-window comparison
+    * (energy rising = 1), 64 bits as the same two sign-safe halves
+    * (`fp_lo` = windows 0–31, `fp_hi` = 32–63). Re-encodes, small gain
+    * changes that preserve the loud/quiet contour, and tail edits leave
+    * the fingerprint within a few bits; [[fingerprintNearDup]] joins it
+    * with the identical lossless band LSH the image path uses. Assets
+    * shorter than 65 full windows are dropped (fingerprint undefined).
+    *
+    * Scale: the explode is FIXED at 65·windowSamples samples per asset —
+    * a one-hour asset decodes only its prefix, so cost is corpus-linear
+    * in ASSET COUNT, not duration. The energy aggregation map-side-
+    * combines on (asset, window); the adjacent comparison is a lead()
+    * window over exactly 65 rows per asset (partitioned by asset — no
+    * skew, no global sort).
+    */
+  def audioFingerprint(assets: DataFrame, windowSamples: Int = 16): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be positive")
+    val need = 65L * windowSamples
+    val u =
+      conv(expr("substring(h, cast(4 * i + 1 as int), 2)"), 16, 10).cast("long") +
+        lit(256L) * conv(expr("substring(h, cast(4 * i + 3 as int), 2)"), 16, 10)
+          .cast("long")
+    val v = when(u >= 32768L, u - 65536L).otherwise(u)
+    val energies = assets
+      .select(col("asset_id"), hex(col("bytes")).as("h"),
+        expr("octet_length(bytes) div 2").cast("long").as("ns"))
+      .filter(col("ns") >= need)
+      .select(col("asset_id"), col("h"),
+        explode(sequence(lit(0L), lit(need - 1))).as("i"))
+      .select(col("asset_id"), expr(s"i div $windowSamples").as("w"), v.as("v"))
+      .groupBy("asset_id", "w")
+      .agg(sum(col("v") * col("v")).cast("long").as("e"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("w")
+    energies
+      .withColumn("e_next", lead(col("e"), 1).over(win))
+      .filter(col("w") < 64L)
+      .select(col("asset_id"), col("w"),
+        when(col("e_next") > col("e"),
+          expr("shiftleft(cast(1 as bigint), cast(w % 32 as int))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("asset_id")
+      .agg(
+        sum(when(col("w") < 32L, col("bit")).otherwise(0L)).as("fp_lo"),
+        sum(when(col("w") >= 32L, col("bit")).otherwise(0L)).as("fp_hi"))
   }
 
   // ------------------------------------------------------------------

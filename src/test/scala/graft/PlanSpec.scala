@@ -473,4 +473,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"),
       "hash frame must be pinned, not re-derived per branch")
   }
+
+  test("q264: audio fingerprint explodes a FIXED prefix and combines map-side") {
+    val p = plan("q264_audio_fingerprint")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "fingerprinting is explode + aggregate + per-asset window, never a join")
+    assert(p.contains("partial_sum"),
+      "window energies must combine map-side")
+    // the adjacent comparison partitions by asset — a global sort of the
+    // window stream would serialize the corpus through one partition
+    assert(p.contains("Window") && !p.contains("Sort [w"),
+      "lead() must run per-asset, not globally sorted")
+  }
+
+  test("q265: audio near-dup rides the same pinned band equi-join as images") {
+    val p = plan("q265_audio_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates come from band-bucket equi-joins, never all-pairs")
+    assert(p.contains("ExistingRDD"),
+      "fingerprint frame must be pinned, not re-derived per branch")
+  }
 }
