@@ -176,24 +176,24 @@ object Bench {
       if (t >= 0) {
         // counters OUTSIDE the timed region: drain the async listener bus,
         // then snapshot this pass's aggregates (deterministic per pass —
-        // the last successful pass's values are kept). Staged into temps
-        // and committed together with lastWall at the END: if the flush or
-        // snapshot throws, the record keeps the previous pass's CONSISTENT
-        // (wall, rows, counters) tuple instead of mixing passes.
+        // the last successful pass's values are kept). Committed all-or-
+        // nothing: if the flush/snapshot throws OR the snapshot is absent
+        // (listener dropped this pass's task events), the record keeps the
+        // previous pass's CONSISTENT (lastWall, rows, counters) tuple
+        // instead of mixing passes.
         try {
           org.apache.spark.graftshim.ListenerFlush.waitUntilEmpty(spark.sparkContext)
           val rowsV = obs.get.get("n") match {
             case Some(n: Number) => n.longValue()
             case _ => -1L
           }
-          val snap = metrics.snapshot(group)
-          res.rows = rowsV
-          snap.foreach { a =>
+          metrics.snapshot(group).foreach { a =>
+            res.rows = rowsV
             res.shuffleRead = a.shuffleRead; res.shuffleWrite = a.shuffleWrite
             res.inputBytes = a.inputBytes; res.recordsRead = a.recordsRead
             res.peakMem = a.peakMem
+            res.lastWall = t
           }
-          res.lastWall = t
         } catch { case _: Throwable => () }
       }
       metrics.reset(group)
@@ -229,8 +229,11 @@ object Bench {
     // BINARY-affecting paths: regenerated bench/ artifacts and docs do not
     // change what ran, and counting them would mark every second
     // certification run dirty forever.
-    val dirty = sh(Seq("git", "status", "--porcelain",
-        "--", "src", "tools", "build.sbt", "project")) match {
+    // :(top) anchors the pathspecs at the repo root — a bare "src" would
+    // resolve against the process cwd and silently match nothing when the
+    // bench is launched from a subdirectory (dirty:false on a dirty tree)
+    val dirty = sh(Seq("git", "status", "--porcelain", "--",
+        ":(top)src", ":(top)tools", ":(top)build.sbt", ":(top)project")) match {
       case "unknown" => "null"
       case s => (!s.isEmpty).toString
     }

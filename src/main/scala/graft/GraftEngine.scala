@@ -572,14 +572,22 @@ object Main {
       }
       // perceptual near-dup image pairs (documents-as-BMP stand-in for a
       // real asset table): dHash + lossless band LSH at the given radius
-      opt("--image-near-dups").foreach { tau =>
+      opt("--image-near-dups").foreach { tauArg =>
+        // validate at the CLI boundary: the band join's losslessness
+        // guarantee holds only for tau <= 7, and a raw NumberFormatException
+        // is not guidance
+        val tau = scala.util.Try(tauArg.toInt).toOption
+          .filter(t => t >= 0 && t <= 7)
+          .getOrElse(sys.error(
+            s"--image-near-dups TAU must be an integer in 0..7 " +
+              s"(8x8-bit band LSH is lossless only there), got: $tauArg"))
         println(s"perceptual near-dup image pairs (dHash hamming <= $tau):")
         graft.ext.Multimodal.dhashNearDup(
             graft.ext.Multimodal.bmpDHash(
               graft.ext.Multimodal.encodeBmp(
                 graft.ext.Multimodal.documentsAsAssets(
                   Tables.documents(spark, dir)), width = 16)),
-            maxHamming = tau.toInt)
+            maxHamming = tau)
           .orderBy(col("hamming"), col("asset_a"), col("asset_b"))
           .show(30, truncate = false)
       }

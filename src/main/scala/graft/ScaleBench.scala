@@ -205,7 +205,7 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$baseDir/region.parquet").groupBy("r_name").count().collect()
 
-    // ---- synthesis (skipped when the done-marker exists) ----
+    // ---- synthesis (reused per table via _SUCCESS, repaired if partial) ----
     for (k <- uniformScales)
       synthesize(spark, baseDir, s"$workDir/uniform_x$k", k, uniform = true)
     for (k <- dupheavyScales)
@@ -230,7 +230,9 @@ object ScaleBench {
         case _ => points(key) = t
       }
       if (b >= 0) bytesPts(key) = b
-      if (p == 1) println(f"[scale] pass1 $model x$k $q%-30s ${t}%.2f s ${b / 1e6}%.1f MB shuffled")
+      // b < 0 is the "metrics missing" sentinel — don't print it as -0.0 MB
+      val mb = if (b >= 0) f"${b / 1e6}%.1f MB shuffled" else "shuffle bytes unknown"
+      if (p == 1) println(f"[scale] pass1 $model x$k $q%-30s ${t}%.2f s $mb")
     }
 
     // ---- fit + report ----
@@ -244,8 +246,9 @@ object ScaleBench {
     // commit reproduces — record that, or the hash lies. Scoped to the
     // BINARY-affecting paths (Bench's discipline): regenerated bench/
     // artifacts and docs do not change what ran.
-    val dirty = sh(Seq("git", "status", "--porcelain",
-        "--", "src", "tools", "build.sbt", "project")) match {
+    // :(top) anchors at the repo root regardless of the process cwd
+    val dirty = sh(Seq("git", "status", "--porcelain", "--",
+        ":(top)src", ":(top)tools", ":(top)build.sbt", ":(top)project")) match {
       case "unknown" => "null"
       case s => (!s.isEmpty).toString
     }
@@ -316,8 +319,12 @@ object ScaleBench {
       val secs = f.pts.map(p => f"${p._2}%.2f").mkString(" / ")
       val bs = f.byteSlope.map(v => f"$v%.2f")
         .getOrElse(if (f.byteMissing) "? (metrics missing)" else "-")
+      // a missing byte gate is NOT a clean pass: say so in the verdict
+      // cell itself, not only in the tracked-items list below
       val verdict =
-        if (f.ok && f.bytesOk) "PASS" else "**EXCEEDED**"
+        if (!(f.ok && f.bytesOk)) "**EXCEEDED**"
+        else if (f.byteMissing) "PASS (wall gate only)"
+        else "PASS"
       md.append(f"| ${f.q} | ${f.model} | ${f.slope}%.2f | " +
         s"$bs | ${f.bound} | $verdict | $secs | ${f.driver} |\n")
     }
@@ -351,11 +358,15 @@ object ScaleBench {
       val b = bytesPts.get((q, m, k)).map(_.toLong).getOrElse(-1L)
       s"""{"query":"$q","model":"$m","scale":$k,"sec":$t,"shuffle_bytes":$b}"""
     }.mkString("[", ",", "]")
+    // ok means "every gate RAN and passed" — a fit whose byte gate could
+    // not run (byte_missing) must not certify as ok, or tooling that keys
+    // on this field alone silently loses the load-invariant gate
     val fitsJson = fits.map(f =>
       f"""{"query":"${f.q}","model":"${f.model}","slope":${f.slope}%.3f,""" +
         s""""byte_slope":${f.byteSlope.map(v => f"$v%.3f").getOrElse("null")},""" +
         s""""byte_missing":${f.byteMissing},""" +
-        s""""bound":${f.bound},"ok":${f.ok && f.bytesOk}}""").mkString("[", ",", "]")
+        s""""bound":${f.bound},"ok":${f.ok && f.bytesOk && !f.byteMissing}}""")
+      .mkString("[", ",", "]")
     val droppedJson = dropped.map { case (q, m, _, _, pts) =>
       s"""{"query":"$q","model":"$m","n_valid_points":${pts.size}}"""
     }.mkString("[", ",", "]")

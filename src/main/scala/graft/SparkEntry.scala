@@ -2745,7 +2745,10 @@ object SparkEntry {
        |      FROM src WHERE octet_length(p) // 48 >= 8),
        |py AS (SELECT asset_id, hgt, h, unnest(range(0, hgt)) AS y FROM g),
        |px AS (SELECT asset_id, hgt, h, y, unnest(range(0, 16)) AS x FROM py),
-       |lm AS (SELECT asset_id, (x * 9) // 16 AS cx, (y * 8) // hgt AS cy,
+       |lm AS (SELECT asset_id, (x * 9) // 16 AS cx,
+       |              -- stored row y is IMAGE row hgt-1-y: encodeBmp writes
+       |              -- bottom-up, and dHash grids index image rows
+       |              ((hgt - 1 - y) * 8) // hgt AS cy,
        |              299*${chan(5)} + 587*${chan(3)} + 114*${chan(1)} AS lum
        |       FROM px),
        |cells AS (SELECT asset_id, cy, cx, SUM(lum) AS s, COUNT(*) AS c

@@ -528,10 +528,14 @@ object Multimodal {
   def encodeQoi(assets: DataFrame, width: Int = 6): DataFrame = {
     require(width >= 1, "width must be positive")
     val spark = assets.sparkSession
+    // the drop condition (shorter than one pixel row) is checked on the
+    // CHEAP input length, not by filtering the encoder's null output —
+    // an isNotNull post-filter gets pushed below the projection and
+    // re-evaluates the whole encode once more per row
     assets
+      .filter(octet_length(col("bytes")) >= 3 * width)
       .withColumn("bytes",
         graft.functions.QoiNativeFunctions.qoiEncode(spark, col("bytes"), width))
-      .filter(col("bytes").isNotNull)
   }
 
   /** Decode QOI assets natively (E219): full sequential decode — header,
@@ -566,36 +570,41 @@ object Multimodal {
         col("q.ops_rgb").as("ops_rgb"), col("q.ops_rgba").as("ops_rgba"))
   }
 
-  /** Per-source QOI compression economics (E219's corpus view): encode
-    * each asset, then aggregate exact compressed-vs-raw byte totals and
-    * the op-mix per source — which corpora run-length well, which are
-    * delta-friendly, which fall back to literal RGB. The encode and the
-    * size measurement happen in ONE scan (the encoded binary is produced
-    * and measured in the same projection, never stored), so the corpus
-    * pass reads each asset exactly once.
+  /** Per-source QOI compression economics (E219's corpus view): exact
+    * compressed-vs-raw byte totals and the op-mix per source — which
+    * corpora run-length well, which are delta-friendly, which fall back
+    * to literal RGB. ONE encode and ONE decode per asset in a single
+    * projection; the compressed size is DERIVED from the op histogram
+    * (header 14 + marker 8 + RUN/INDEX/DIFF ×1 + LUMA ×2 + RGB ×4 +
+    * RGBA ×5 bytes — each chunk's size is fixed by its op, so the mix IS
+    * the size, exactly). Measuring `octet_length` of the encoded binary
+    * instead would force a second evaluation of the encoder once
+    * projections collapse; QoiCodecSpec proves the derivation equals the
+    * real stream length on real data.
     */
   def qoiCompressionBySource(assets: DataFrame, width: Int = 6): DataFrame = {
     val spark = assets.sparkSession
+    import graft.functions.QoiNativeFunctions.{qoiDecode, qoiEncode}
     val enc = assets
+      .filter(octet_length(col("bytes")) >= 3 * width)
       .select(col("meta.source").as("source"),
         octet_length(col("bytes")).cast("long").as("raw_bytes"),
-        graft.functions.QoiNativeFunctions.qoiEncode(spark, col("bytes"), width)
-          .as("qbytes"))
-      .filter(col("qbytes").isNotNull)
-      .select(col("source"), col("raw_bytes"),
-        octet_length(col("qbytes")).cast("long").as("qoi_bytes"),
-        graft.functions.QoiNativeFunctions.qoiDecode(spark, col("qbytes")).as("q"))
+        qoiDecode(spark, qoiEncode(spark, col("bytes"), width)).as("q"))
     enc.groupBy("source")
       .agg(
         count(lit(1L)).as("n_assets"),
         sum(col("raw_bytes")).as("raw_bytes"),
-        sum(col("qoi_bytes")).as("qoi_bytes"),
         sum(col("q.n_pixels")).as("n_pixels"),
         sum(col("q.ops_run")).as("ops_run"),
         sum(col("q.ops_index")).as("ops_index"),
         sum(col("q.ops_diff")).as("ops_diff"),
         sum(col("q.ops_luma")).as("ops_luma"),
-        sum(col("q.ops_rgb")).as("ops_rgb"))
+        sum(col("q.ops_rgb")).as("ops_rgb"),
+        sum(col("q.ops_rgba")).as("ops_rgba"))
+      .withColumn("qoi_bytes",
+        lit(22L) * col("n_assets") + col("ops_run") + col("ops_index") +
+          col("ops_diff") + lit(2L) * col("ops_luma") +
+          lit(4L) * col("ops_rgb") + lit(5L) * col("ops_rgba"))
       // fixed-point ratio in micro-units: exact across engines
       .withColumn("compression_micro",
         expr("(qoi_bytes * 1000000) div raw_bytes"))
@@ -612,8 +621,10 @@ object Multimodal {
   // ------------------------------------------------------------------
 
   /** dHash per decodable BMP asset (E220): the [[bmpStats]] pixel walk
-    * feeding a box-filter to the 9x8 grid (cell = (x·9 div w, y·8 div h)),
-    * then per-row adjacent-cell mean comparisons packed into two 32-bit
+    * feeding a box-filter to the 9x8 grid (cell = (x·9 div w, y·8 div h)
+    * over IMAGE coordinates — bottom-up and top-down storage of the same
+    * pixels hash identically), then per-row adjacent-cell mean
+    * comparisons packed into two 32-bit
     * halves (`dhash_lo` = grid rows 0–3, `dhash_hi` = rows 4–7 — split so
     * neither engine ever touches the BIGINT sign bit). Mean comparisons
     * are integer-exact via cross-multiplication (Σ₁·n₂ > Σ₂·n₁, with
@@ -631,12 +642,18 @@ object Multimodal {
     val px = bmpHeader(assets)
       .filter(col("is_valid") && col("w") >= 9L && col("hgt") >= 8L)
       .select(col("asset_id"), col("bytes"), col("w"), col("hgt"),
-        col("stride"), col("poff"))
+        col("hraw"), col("stride"), col("poff"))
       .withColumn("y", explode(sequence(lit(0L), col("hgt") - 1)))
       .withColumn("x", explode(sequence(lit(0L), col("w") - 1)))
       .select(col("asset_id"),
         expr("(x * 9) div w").as("cx"),
-        expr("(y * 8) div hgt").as("cy"),
+        // grid rows index IMAGE rows, not stored rows: bottom-up BMPs
+        // (positive height) store row 0 LAST, so the same pixels saved
+        // top-down vs bottom-up must land in the same cells — without
+        // this, a vertical-flip-of-storage pairs at hamming ~64 and the
+        // "near-identical images land close" contract breaks
+        expr("((CASE WHEN hraw >= 2147483648 THEN y ELSE hgt - 1 - y END) * 8)" +
+          " div hgt").as("cy"),
         expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))")
           .as("ph"))
       .select(col("asset_id"), col("cx"), col("cy"),

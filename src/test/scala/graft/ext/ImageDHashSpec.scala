@@ -41,6 +41,39 @@ class ImageDHashSpec extends SparkSpec {
     assert(dh(3L) === (0L, 0L))
   }
 
+  test("top-down and bottom-up storage of the same image hash identically") {
+    // checkerboard with row-dependent PHASE: row y's horizontal bit
+    // pattern is 1010... or 0101... by y parity, so reversing row order
+    // genuinely changes the hash — a flip-invariant image (e.g. a pure
+    // horizontal gradient) would make this test pass vacuously
+    val payload = new Array[Byte](8 * 28)
+    for (y <- 0 until 8; x <- 0 until 9; ch <- 0 until 3)
+      payload(y * 28 + x * 3 + ch) = (((x + y) % 2) * 100 + 2 * x).toByte
+    val bottomUp = Multimodal.encodeBmp(assetsOf(1L -> payload), width = 9)
+      .select("bytes").head.getAs[Array[Byte]]("bytes")
+    // hand-flip to top-down storage: height := -8 (two's complement LE at
+    // offset 22) and the 8 pixel rows reversed — the same logical image
+    val topDown = bottomUp.clone()
+    topDown(22) = 0xf8.toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    for (r <- 0 until 8; b <- 0 until 28)
+      topDown(54 + r * 28 + b) = bottomUp(54 + (7 - r) * 28 + b)
+    val spark2 = spark
+    import spark2.implicits._
+    val both = Seq(10L -> bottomUp, 20L -> topDown).toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("image").as("kind"),
+        col("payload").as("bytes"),
+        struct(lit("t").as("source"), lit("bmp").as("mime")).as("meta"))
+    val dh = Multimodal.bmpDHash(both)
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Long]("dhash_lo"), r.getAs[Long]("dhash_hi"))).toMap
+    assert(dh(10L) === dh(20L),
+      "storage row order must not change the perceptual hash")
+    // adjacent grid rows carry OPPOSITE bit phases, so a row-order bug
+    // could not have produced equal hashes by accident
+    assert((dh(10L)._1 & 0xffL) === (~(dh(10L)._1 >> 8) & 0xffL))
+  }
+
   test("dhash undefined below the 9x8 grid: small assets are dropped") {
     // width=6 BMP can never reach 9 grid columns
     val assets = Multimodal.documentsAsAssets(

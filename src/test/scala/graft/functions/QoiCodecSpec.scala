@@ -155,15 +155,23 @@ class QoiCodecSpec extends SparkSpec {
     assert(checked > 10, "sample too small to mean anything")
   }
 
-  test("compression economics: exact totals, op mix consistent") {
+  test("compression economics: op-derived sizes equal real stream lengths") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
     val rows = graft.ext.Multimodal.qoiCompressionBySource(assets, width = 6)
       .collect()
     assert(rows.nonEmpty)
+    // the operator derives qoi_bytes from the op histogram (one encode per
+    // row); prove the derivation against independently measured stream
+    // lengths per source
+    val actual = graft.ext.Multimodal.encodeQoi(assets, width = 6)
+      .groupBy(col("meta.source").as("source"))
+      .agg(sum(octet_length(col("bytes")).cast("long")).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
     rows.foreach { r =>
       assert(r.getAs[Long]("raw_bytes") > 0L)
-      assert(r.getAs[Long]("qoi_bytes") > 0L)
+      assert(r.getAs[Long]("qoi_bytes") === actual(r.getAs[String]("source")),
+        s"derived size drifted from the real stream for ${r.getAs[String]("source")}")
       assert(r.getAs[Long]("compression_micro") ===
         r.getAs[Long]("qoi_bytes") * 1000000L / r.getAs[Long]("raw_bytes"))
       // every op chunk advances the stream; utf-8 text rarely runs, so
