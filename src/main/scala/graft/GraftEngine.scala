@@ -287,7 +287,7 @@ object Main {
           "[--contamination-spans BENCH_DATA_DIR] " +
           "[--mask-contamination BENCH_DATA_DIR] [--tokenizer-economics] " +
           "[--dup-kcore K] [--shared-runs] [--image-near-dups TAU] " +
-          "[--qoi-economics]")
+          "[--qoi-economics] [--scene-cuts THRESHOLD_MILLI]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -589,6 +589,23 @@ object Main {
                   Tables.documents(spark, dir)), width = 16)),
             maxHamming = tau)
           .orderBy(col("hamming"), col("asset_a"), col("asset_b"))
+          .show(30, truncate = false)
+      }
+      // video scene-cut report through the real Y4M container parse
+      // (documents-as-Y4M stand-in; real video lakes feed y4mSceneCuts
+      // off a storage scan)
+      opt("--scene-cuts").foreach { thr =>
+        val t = scala.util.Try(thr.toLong).toOption.filter(_ >= 0)
+          .getOrElse(sys.error(
+            s"--scene-cuts THRESHOLD_MILLI must be a non-negative integer, got: $thr"))
+        println(s"video scene cuts (|mean-luma delta| >= $t milli):")
+        graft.ext.Multimodal.y4mSceneCuts(
+            graft.ext.Multimodal.encodeY4m(
+              graft.ext.Multimodal.documentsAsAssets(
+                Tables.documents(spark, dir)))
+              .repartition(col("asset_id")).localCheckpoint(),
+            thresholdMilli = t)
+          .orderBy(col("delta_milli").desc, col("asset_id"), col("frame_idx"))
           .show(30, truncate = false)
       }
       // per-source QOI compression economics through the real codec

@@ -2200,6 +2200,33 @@ object SparkEntry {
           windowSamples = 2),
         "fp_lo", "fp_hi", maxHamming = 6)
     },
+    // Per-frame luma through the real Y4M container parse (E224): the
+    // video sibling of q241/q257 — ASCII header in hex space, bounded
+    // three-level frame/row/column walk, per-frame marker verification.
+    // Same encode→boundary→decode discipline as q241.
+    "q266_y4m_frames" -> { (s, dir) =>
+      graft.ext.Multimodal.y4mFrameLuma(
+        graft.ext.Multimodal.encodeY4m(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          width = 6, height = 4)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+    },
+    // Scene-cut detection through the container (E225): adjacent-frame
+    // mean-luma deltas, cuts at >= 5000 milli — the hard-cut detector
+    // run before sampling training frames; lag window per asset over the
+    // per-frame aggregate, never pixels.
+    "q267_scene_cuts" -> { (s, dir) =>
+      graft.ext.Multimodal.y4mSceneCuts(
+        graft.ext.Multimodal.encodeY4m(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          width = 6, height = 4)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        thresholdMilli = 5000L)
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2802,6 +2829,26 @@ object SparkEntry {
        |         CAST(SUM(CASE WHEN w >= 32 THEN bit ELSE 0 END) AS BIGINT)
        |           AS fp_hi
        |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** DuckDB replay of the q266/q267 Y4M frame-luma pipeline (6x4 mono
+    * frames = 24 luma bytes each), computed straight from the raw payload
+    * bytes (encode∘decode is frame-identity; the parse itself is
+    * spec-covered on hand-built containers). Ends at
+    * `m (asset_id, fr, sum_y, mean_milli)`.
+    */
+  private def y4mOracleCtes(maxDoc: Int): String =
+    s"""src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+       |            FROM documents WHERE doc_id < $maxDoc),
+       |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 24 AS n
+       |      FROM src WHERE octet_length(p) // 24 >= 1),
+       |f AS (SELECT asset_id, h, unnest(range(0, n)) AS fr FROM g),
+       |b AS (SELECT asset_id, fr, h, unnest(range(0, 24)) AS i FROM f),
+       |s AS (SELECT asset_id, fr,
+       |             SUM(CAST(('0x'||substr(h, CAST(2*(fr*24 + i)+1 AS BIGINT), 2))
+       |                      AS BIGINT)) AS sum_y
+       |      FROM b GROUP BY 1, 2),
+       |m AS (SELECT asset_id, fr, sum_y, (sum_y * 1000) // 24 AS mean_milli
+       |      FROM s)""".stripMargin
 
   /** Shared DuckDB replay of the q253/q254 WAV codec: canonical RIFF
     * encode of each document payload's even-length prefix, unhex→hex
@@ -3691,6 +3738,21 @@ object SparkEntry {
          |FROM fp f1 JOIN fp f2 ON f1.asset_id < f2.asset_id
          |WHERE bit_count(xor(f1.fp_lo, f2.fp_lo)) +
          |      bit_count(xor(f1.fp_hi, f2.fp_hi)) <= 6""".stripMargin,
+    "q266_y4m_frames" ->
+      s"""WITH ${y4mOracleCtes(150)}
+         |SELECT asset_id, CAST(fr AS BIGINT) AS frame_idx,
+         |       TRUE AS marker_ok, CAST(sum_y AS BIGINT) AS sum_y,
+         |       CAST(mean_milli AS BIGINT) AS mean_y_milli
+         |FROM m""".stripMargin,
+    "q267_scene_cuts" ->
+      s"""WITH ${y4mOracleCtes(150)},
+         |d AS (SELECT asset_id, fr,
+         |             abs(mean_milli - LAG(mean_milli) OVER
+         |               (PARTITION BY asset_id ORDER BY fr)) AS delta
+         |      FROM m)
+         |SELECT asset_id, CAST(fr AS BIGINT) AS frame_idx,
+         |       CAST(delta AS BIGINT) AS delta_milli
+         |FROM d WHERE delta >= 5000""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

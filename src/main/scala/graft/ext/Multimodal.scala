@@ -949,6 +949,173 @@ object Multimodal {
         sum(col("v") * col("v")).cast("long").as("energy"))
   }
 
+  // ------------------------------------------------------------------
+  // REAL VIDEO CONTAINER: Y4M (YUV4MPEG2, the public uncompressed video
+  // interchange format). ASCII header ("YUV4MPEG2", space-separated
+  // W/H/F/C parameters, newline), then per frame a "FRAME\n" marker and
+  // a raw plane dump — mono (Cmono) or 4:2:0 (C420: luma plane then two
+  // quarter chroma planes). Like PPM the header parses in HEX SPACE, and
+  // like BMP the frame walk is bounded two-level explode arithmetic —
+  // this closes the modality triad: images (BMP/PPM/QOI), audio
+  // (PCM/WAV), and now video all decode for real in-engine.
+  // ------------------------------------------------------------------
+
+  /** Encode each asset's payload bytes as a valid mono Y4M of the given
+    * frame geometry: the canonical header, then `n = ⌊len/(w·h)⌋` frames,
+    * each a "FRAME\n" marker plus `w·h` payload bytes as the luma plane
+    * (assets shorter than one frame are dropped). The per-frame markers
+    * interleave via an engine-side `transform` + `array_join` over the
+    * frame index sequence — one projection, no UDF, no driver loop.
+    * This is the FIXTURE/egress side (string building is O(frames·len)
+    * per asset); the 100 TB ingest path is [[y4mFrameLuma]]'s decode.
+    */
+  def encodeY4m(assets: DataFrame, width: Int = 6, height: Int = 4): DataFrame = {
+    require(width >= 1 && height >= 1, "bad frame geometry")
+    val fs = width * height
+    val headerHex = hexOfAscii(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n")
+    val frameMarkerHex = hexOfAscii("FRAME\n")
+    assets
+      .filter(octet_length(col("bytes")) >= fs)
+      .withColumn("bytes", unhex(concat(
+        lit(headerHex),
+        expr(
+          s"""array_join(transform(
+             |  sequence(0, octet_length(bytes) div $fs - 1),
+             |  f -> concat('$frameMarkerHex',
+             |              substring(hex(bytes), cast(f * ${2 * fs} + 1 as int),
+             |                        ${2 * fs}))), '')""".stripMargin))))
+  }
+
+  private def hexOfAscii(s: String): String =
+    s.getBytes("US-ASCII").map(b => f"$b%02X").mkString
+
+  /** Y4M header parse in hex space: magic, the parameter region (any pair
+    * that is not 0A, expressed as an RE2-safe alternation — no lookarounds,
+    * per the oracle-portability rule), W/H decimal runs, the colorspace
+    * tag, and the frame-data offset from the matched region's length.
+    * Emits (asset_id, bytes, n, w, hgt, fsize, poff, is_valid) where
+    * `fsize` is the per-frame PLANE byte count: w·h for mono, w·h +
+    * 2·⌈w/2⌉·⌈h/2⌉ for C420 (luma first either way). Containers that are
+    * not mono/420, have no parseable geometry, or whose byte length is
+    * not exactly header + n·(6 + fsize) for n ≥ 1 report is_valid = false
+    * — and the length check bounds the frame explosion by the asset's
+    * real bytes, so a forged header cannot blow up the plan.
+    */
+  private def y4mHeader(assets: DataFrame): DataFrame = {
+    // a hex pair that is NOT 0A (newline): RE2-safe alternation
+    val notNl = "(?:[1-9A-F][0-9A-F]|0[0-9B-F])"
+    val dig = "(?:3[0-9])"
+    val magic = hexOfAscii("YUV4MPEG2")
+    assets
+      .select(col("asset_id"), col("bytes"),
+        octet_length(col("bytes")).cast("long").as("n"),
+        hex(substring(col("bytes"), 1, 80)).as("__hh"))
+      .select(col("asset_id"), col("bytes"), col("n"),
+        regexp_extract(col("__hh"), s"^$magic($notNl*)0A", 1).as("__params"))
+      .select(col("asset_id"), col("bytes"), col("n"),
+        // params region present at all? '' also means no newline in the
+        // first 80 bytes — not a canonical Y4M header
+        (length(col("__params")) > 0).as("__hdr_ok"),
+        // frame data starts after magic(9) + params + newline(1); hex
+        // length is even, so integer div is exact (never float-divide a
+        // byte offset)
+        (lit(10L) + (length(col("__params")).cast("long") / 2L).cast("long"))
+          .as("poff"),
+        regexp_replace(
+          regexp_extract(col("__params"), s"2057($dig{1,8})", 1),
+          "3([0-9])", "$1").as("__wd"),
+        regexp_replace(
+          regexp_extract(col("__params"), s"2048($dig{1,8})", 1),
+          "3([0-9])", "$1").as("__hd"),
+        // colorspace tag: pairs after " C" until the next space/end
+        regexp_extract(col("__params"),
+          s"2043((?:[1-9A-F][0-9A-F]|0[0-9B-F])*?)(?:20|$$)", 1).as("__cs"))
+      .select(col("asset_id"), col("bytes"), col("n"), col("__hdr_ok"),
+        col("poff"),
+        nullif(col("__wd"), lit("")).cast("long").as("w"),
+        nullif(col("__hd"), lit("")).cast("long").as("hgt"),
+        // no C tag defaults to 420 per the public spec
+        when(col("__cs") === "", lit("420"))
+          .otherwise(col("__cs")).as("__cshex"))
+      .withColumn("__mono", col("__cshex") === hexOfAscii("mono"))
+      // the whole C420 family (C420, C420jpeg, C420mpeg2, C420paldv)
+      // shares the 4:2:0 plane LAYOUT — the suffix only names chroma
+      // siting, which luma math never touches. "420" (unhexed) is the
+      // no-tag default marker from above.
+      .withColumn("__c420",
+        col("__cshex").startsWith(hexOfAscii("420")) ||
+          col("__cshex") === "420")
+      .withColumn("fsize",
+        when(col("__mono"), col("w") * col("hgt"))
+          .otherwise(col("w") * col("hgt") +
+            lit(2L) * expr("(w + 1) div 2") * expr("(hgt + 1) div 2")))
+      .withColumn("__nframes",
+        when(col("w").isNotNull && col("hgt").isNotNull && col("fsize") > 0L,
+          expr("(n - poff) div (6 + fsize)")).otherwise(lit(0L)))
+      .withColumn("is_valid",
+        col("__hdr_ok") && col("w").isNotNull && col("hgt").isNotNull &&
+          col("w") >= 1L && col("hgt") >= 1L &&
+          (col("__mono") || col("__c420")) && col("__nframes") >= 1L &&
+          col("n") === col("poff") + col("__nframes") * (lit(6L) + col("fsize")))
+      .select(col("asset_id"), col("bytes"), col("n"), col("w"), col("hgt"),
+        col("fsize"), col("poff"), col("__nframes").as("n_frames"),
+        col("is_valid"))
+  }
+
+  /** Per-frame luma report through the real Y4M parse (E224): one row per
+    * frame, ANY parseable geometry — the exact luma-plane byte sum, the
+    * fixed-point mean, and the frame's own "FRAME\n" marker verification
+    * (`marker_ok`): a container whose header parses but whose stream
+    * desyncs surfaces per frame, not as a silent wrong number.
+    *
+    * Scale: the bmpStats discipline in three bounded levels — frames,
+    * then rows, then columns — so generated arrays stay
+    * max(n_frames, hgt, w) (a 2-hour video never materializes one
+    * per-pixel array), every byte access is an O(1) binary slice, and
+    * the (asset, frame) aggregation map-side-combines.
+    */
+  def y4mFrameLuma(assets: DataFrame): DataFrame =
+    y4mHeader(assets)
+      .filter(col("is_valid"))
+      .select(col("asset_id"), col("bytes"), col("w"), col("hgt"),
+        col("fsize"), col("poff"), col("n_frames"))
+      .withColumn("f", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .withColumn("__foff", col("poff") + col("f") * (lit(6L) + col("fsize")))
+      .withColumn("marker_ok",
+        expr("hex(substring(bytes, cast(__foff + 1 as int), 6))") ===
+          hexOfAscii("FRAME\n"))
+      .withColumn("y", explode(sequence(lit(0L), col("hgt") - 1)))
+      .withColumn("x", explode(sequence(lit(0L), col("w") - 1)))
+      .select(col("asset_id"), col("f").as("frame_idx"), col("marker_ok"),
+        col("w"), col("hgt"),
+        expr("cast(conv(hex(substring(bytes, " +
+          "cast(__foff + 6 + y * w + x + 1 as int), 1)), 16, 10) as bigint)")
+          .as("b"))
+      .groupBy("asset_id", "frame_idx", "w", "hgt")
+      .agg(
+        min(col("marker_ok")).as("marker_ok"),
+        sum(col("b")).as("sum_y"))
+      .select(col("asset_id"), col("frame_idx"), col("marker_ok"),
+        col("sum_y"), expr("(sum_y * 1000) div (w * hgt)").as("mean_y_milli"))
+
+  /** Scene-cut detection through the container (E225): adjacent-frame
+    * mean-luma deltas per asset, cuts where |Δ| ≥ `thresholdMilli` — the
+    * classic hard-cut detector every video curation pipeline runs before
+    * sampling training frames. The lag comparison is a per-asset window
+    * over the per-frame aggregate (n_frames rows per asset, never
+    * pixels), exactly the audioFingerprint discipline.
+    */
+  def y4mSceneCuts(assets: DataFrame, thresholdMilli: Long = 5000L): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    y4mFrameLuma(assets)
+      .withColumn("__prev", lag(col("mean_y_milli"), 1).over(win))
+      .filter(col("__prev").isNotNull)
+      .withColumn("delta_milli", abs(col("mean_y_milli") - col("__prev")))
+      .filter(col("delta_milli") >= thresholdMilli)
+      .select(col("asset_id"), col("frame_idx"), col("delta_milli"))
+  }
+
   /** Partition-wise batched decode seam: groups each partition's assets into
     * fixed-size batches (the mapInPandas batch shape) and applies a
     * batch-level decode function. The default `decodeBatch` is the stub; a

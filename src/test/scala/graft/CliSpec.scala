@@ -129,6 +129,12 @@ class CliSpec extends SparkSpec {
     assert(out.contains("hamming"), "distance column missing")
   }
 
+  test("--scene-cuts prints the per-asset frame-luma cut report") {
+    val out = runCli("--scene-cuts", "5000")
+    assert(out.contains("video scene cuts"), "header missing")
+    assert(out.contains("delta_milli"), "delta column missing")
+  }
+
   test("--qoi-economics prints per-source compression ratios") {
     val out = runCli("--qoi-economics")
     assert(out.contains("QOI compression economics"), "header missing")

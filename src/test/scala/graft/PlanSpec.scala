@@ -493,4 +493,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"),
       "fingerprint frame must be pinned, not re-derived per branch")
   }
+
+  test("q266: Y4M frame walk is bounded explodes + map-side combine, no join") {
+    val p = plan("q266_y4m_frames")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the container walk must be a single scan's explodes, never a join")
+    assert(p.contains("Generate"), "frames/rows/columns explode engine-side")
+    assert(p.contains("partial_sum"),
+      "per-frame luma sums must combine map-side")
+  }
+
+  test("q267: scene cuts lag over the per-frame aggregate, partitioned by asset") {
+    val p = plan("q267_scene_cuts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "cut detection must not join")
+    assert(p.contains("Window"), "the adjacent-frame compare is a lag window")
+    // the window partitions by asset: an unpartitioned window would show
+    // a SinglePartition exchange and serialize the corpus frame stream
+    assert(!p.contains("SinglePartition"), "lag must run per-asset")
+  }
 }

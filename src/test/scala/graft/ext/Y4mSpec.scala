@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Y4M video container (E224/E225): the parse pinned on hand-built
+  * containers (general geometry, C420 chroma skip, per-frame marker
+  * verification, forged headers), plus scene-cut semantics.
+  */
+class Y4mSpec extends SparkSpec {
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def assetsOf(rows: (Long, Array[Byte])*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toSeq.toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("video").as("kind"),
+        col("payload").as("bytes"),
+        struct(lit("test").as("source"), lit("y4m").as("mime")).as("meta"))
+  }
+
+  test("round trip: encoded frames report exact luma sums and valid markers") {
+    val payload = (0 until 50).map(_.toByte).toArray // 2 frames of 24 + tail
+    val frames = Multimodal.y4mFrameLuma(
+      Multimodal.encodeY4m(assetsOf(1L -> payload), width = 6, height = 4))
+      .collect().map(r => r.getAs[Long]("frame_idx") ->
+        (r.getAs[Boolean]("marker_ok"), r.getAs[Long]("sum_y"),
+          r.getAs[Long]("mean_y_milli"))).toMap
+    assert(frames.keySet === Set(0L, 1L))
+    assert(frames(0L) === ((true, (0 until 24).sum.toLong,
+      (0 until 24).sum.toLong * 1000 / 24)))
+    assert(frames(1L) === ((true, (24 until 48).sum.toLong,
+      (24 until 48).sum.toLong * 1000 / 24)))
+  }
+
+  test("hand-built container: general geometry, extra params, C420 chroma skipped") {
+    // W2 H2 C420: fsize = 4 luma + 2 chroma = 6; luma sum reads ONLY the
+    // first 4 bytes of each frame
+    val c420 = ascii("YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 C420jpeg\n") ++
+      ascii("FRAME\n") ++ Array[Byte](10, 20, 30, 40, 99, 99) ++
+      ascii("FRAME\n") ++ Array[Byte](1, 2, 3, 4, 77, 77)
+    // default colorspace (no C tag) is 420 per the spec
+    val noTag = ascii("YUV4MPEG2 W2 H2 F25:1\n") ++
+      ascii("FRAME\n") ++ Array[Byte](5, 5, 5, 5, 0, 0)
+    val frames = Multimodal.y4mFrameLuma(assetsOf(1L -> c420, 2L -> noTag))
+      .collect().map(r => (r.getAs[Long]("asset_id"),
+        r.getAs[Long]("frame_idx")) -> r.getAs[Long]("sum_y")).toMap
+    assert(frames((1L, 0L)) === 100L) // 10+20+30+40, chroma 99s skipped
+    assert(frames((1L, 1L)) === 10L)
+    assert(frames((2L, 0L)) === 20L)
+  }
+
+  test("a desynced frame surfaces as marker_ok=false, not a silent number") {
+    val good = ascii("YUV4MPEG2 W2 H2 F25:1 Cmono\n") ++
+      ascii("FRAME\n") ++ Array[Byte](1, 1, 1, 1) ++
+      ascii("FRAME\n") ++ Array[Byte](2, 2, 2, 2)
+    val bad = good.clone()
+    bad(28 + 10) = 'X'.toByte // corrupt the SECOND frame's marker
+    val frames = Multimodal.y4mFrameLuma(assetsOf(1L -> bad))
+      .collect().map(r => r.getAs[Long]("frame_idx") ->
+        r.getAs[Boolean]("marker_ok")).toMap
+    assert(frames(0L) === true)
+    assert(frames(1L) === false)
+  }
+
+  test("invalid containers are dropped; forged geometry cannot explode") {
+    val badMagic = ascii("YUV4MPEGX W2 H2 Cmono\n") ++ ascii("FRAME\n") ++
+      Array[Byte](1, 1, 1, 1)
+    val truncated = ascii("YUV4MPEG2 W2 H2 Cmono\n") ++ ascii("FRAME\n") ++
+      Array[Byte](1, 1, 1) // one luma byte short
+    val forged = ascii("YUV4MPEG2 W99999999 H99999999 Cmono\n") ++
+      ascii("FRAME\n") ++ Array[Byte](1, 1, 1, 1)
+    val t0 = System.nanoTime()
+    val out = Multimodal.y4mFrameLuma(
+      assetsOf(1L -> badMagic, 2L -> truncated, 3L -> forged))
+    assert(out.count() === 0)
+    assert((System.nanoTime() - t0) < 60e9, "forged header must not explode")
+  }
+
+  test("scene cuts: a hard luma jump is reported, steady frames are not") {
+    val quiet = Array.fill(24)(10.toByte)
+    val loud = Array.fill(24)(200.toByte)
+    val payload = quiet ++ quiet ++ loud ++ loud
+    val cuts = Multimodal.y4mSceneCuts(
+      Multimodal.encodeY4m(assetsOf(1L -> payload), width = 6, height = 4),
+      thresholdMilli = 5000L)
+      .collect().map(r => r.getAs[Long]("frame_idx") ->
+        r.getAs[Long]("delta_milli")).toMap
+    // 10 -> 200 at frame 2: delta = 190 * 1000 = 190000 (values are
+    // unsigned bytes: 200 stays 200)
+    assert(cuts === Map(2L -> 190000L))
+  }
+
+  test("round trip on real documents matches direct frame math") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val frames = Multimodal.y4mFrameLuma(
+      Multimodal.encodeY4m(Multimodal.documentsAsAssets(docs),
+        width = 6, height = 4))
+      .collect()
+    assert(frames.nonEmpty)
+    val raw = docs.select(col("doc_id"), col("text").cast("binary").as("p"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Array[Byte]]("p")).toMap
+    frames.foreach { r =>
+      val p = raw(r.getAs[Long]("asset_id"))
+      val f = r.getAs[Long]("frame_idx").toInt
+      val expected = p.slice(f * 24, f * 24 + 24).map(_ & 0xff).map(_.toLong).sum
+      assert(r.getAs[Long]("sum_y") === expected)
+      assert(r.getAs[Boolean]("marker_ok"))
+    }
+  }
+}
