@@ -3740,7 +3740,7 @@ object SparkEntry {
          |      bit_count(xor(f1.fp_hi, f2.fp_hi)) <= 6""".stripMargin,
     "q266_y4m_frames" ->
       s"""WITH ${y4mOracleCtes(150)}
-         |SELECT asset_id, CAST(fr AS BIGINT) AS frame_idx,
+         |SELECT asset_id, TRUE AS is_valid, CAST(fr AS BIGINT) AS frame_idx,
          |       TRUE AS marker_ok, CAST(sum_y AS BIGINT) AS sum_y,
          |       CAST(mean_milli AS BIGINT) AS mean_y_milli
          |FROM m""".stripMargin,

@@ -1009,18 +1009,19 @@ object Multimodal {
     assets
       .select(col("asset_id"), col("bytes"),
         octet_length(col("bytes")).cast("long").as("n"),
-        hex(substring(col("bytes"), 1, 80)).as("__hh"))
+        // 256 bytes covers headers with several X-extension params; a
+        // header longer than that reports is_valid = false (visible, not
+        // wrong)
+        hex(substring(col("bytes"), 1, 256)).as("__hh"))
       .select(col("asset_id"), col("bytes"), col("n"),
         regexp_extract(col("__hh"), s"^$magic($notNl*)0A", 1).as("__params"))
       .select(col("asset_id"), col("bytes"), col("n"),
         // params region present at all? '' also means no newline in the
-        // first 80 bytes — not a canonical Y4M header
+        // first 256 bytes — not a parseable Y4M header
         (length(col("__params")) > 0).as("__hdr_ok"),
         // frame data starts after magic(9) + params + newline(1); hex
-        // length is even, so integer div is exact (never float-divide a
-        // byte offset)
-        (lit(10L) + (length(col("__params")).cast("long") / 2L).cast("long"))
-          .as("poff"),
+        // length is even, so SQL integer div is exact
+        expr("10 + length(__params) div 2").cast("long").as("poff"),
         regexp_replace(
           regexp_extract(col("__params"), s"2057($dig{1,8})", 1),
           "3([0-9])", "$1").as("__wd"),
@@ -1029,7 +1030,7 @@ object Multimodal {
           "3([0-9])", "$1").as("__hd"),
         // colorspace tag: pairs after " C" until the next space/end
         regexp_extract(col("__params"),
-          s"2043((?:[1-9A-F][0-9A-F]|0[0-9B-F])*?)(?:20|$$)", 1).as("__cs"))
+          s"2043($notNl*?)(?:20|$$)", 1).as("__cs"))
       .select(col("asset_id"), col("bytes"), col("n"), col("__hdr_ok"),
         col("poff"),
         nullif(col("__wd"), lit("")).cast("long").as("w"),
@@ -1038,13 +1039,17 @@ object Multimodal {
         when(col("__cs") === "", lit("420"))
           .otherwise(col("__cs")).as("__cshex"))
       .withColumn("__mono", col("__cshex") === hexOfAscii("mono"))
-      // the whole C420 family (C420, C420jpeg, C420mpeg2, C420paldv)
-      // shares the 4:2:0 plane LAYOUT — the suffix only names chroma
-      // siting, which luma math never touches. "420" (unhexed) is the
-      // no-tag default marker from above.
+      // the 8-BIT 4:2:0 family, whitelisted exactly: C420 plus the
+      // chroma-SITING suffixes (jpeg/mpeg2/paldv), which share the plane
+      // layout luma math reads. Bit-depth variants (C420p10/p12/p16) use
+      // 2 bytes per sample — a prefix match would "validate" them and
+      // report garbage sums, so they are deliberately NOT matched and
+      // surface as is_valid = false. "420" (unhexed) is the no-tag
+      // default marker from above.
       .withColumn("__c420",
-        col("__cshex").startsWith(hexOfAscii("420")) ||
-          col("__cshex") === "420")
+        col("__cshex").isin(
+          hexOfAscii("420"), hexOfAscii("420jpeg"),
+          hexOfAscii("420mpeg2"), hexOfAscii("420paldv"), "420"))
       .withColumn("fsize",
         when(col("__mono"), col("w") * col("hgt"))
           .otherwise(col("w") * col("hgt") +
@@ -1066,7 +1071,16 @@ object Multimodal {
     * frame, ANY parseable geometry — the exact luma-plane byte sum, the
     * fixed-point mean, and the frame's own "FRAME\n" marker verification
     * (`marker_ok`): a container whose header parses but whose stream
-    * desyncs surfaces per frame, not as a silent wrong number.
+    * desyncs surfaces per frame, not as a silent wrong number. Assets
+    * that don't parse at all surface as ONE `is_valid = false` row with
+    * null stats (the bmpStats discipline: a corrupt asset is a visible
+    * finding, never a dropped row).
+    *
+    * Coverage note: frame markers are required to be exactly "FRAME\n" —
+    * the fixed-stride walk cannot address per-frame parameters
+    * ("FRAME <params>\n" is spec-legal but variable-stride, which needs a
+    * sequential scan). Such files fail the exact-length check and surface
+    * as is_valid = false rather than decode wrong.
     *
     * Scale: the bmpStats discipline in three bounded levels — frames,
     * then rows, then columns — so generated arrays stay
@@ -1076,27 +1090,39 @@ object Multimodal {
     */
   def y4mFrameLuma(assets: DataFrame): DataFrame =
     y4mHeader(assets)
-      .filter(col("is_valid"))
-      .select(col("asset_id"), col("bytes"), col("w"), col("hgt"),
+      .select(col("asset_id"), col("is_valid"), col("bytes"),
+        when(col("is_valid"), col("w")).as("w"),
+        when(col("is_valid"), col("hgt")).as("hgt"),
         col("fsize"), col("poff"), col("n_frames"))
-      .withColumn("f", explode(sequence(lit(0L), col("n_frames") - 1)))
+      // invalid assets ride the same walk as a single null-frame row
+      .withColumn("f",
+        explode_outer(when(col("is_valid"),
+          sequence(lit(0L), col("n_frames") - 1))))
       .withColumn("__foff", col("poff") + col("f") * (lit(6L) + col("fsize")))
       .withColumn("marker_ok",
-        expr("hex(substring(bytes, cast(__foff + 1 as int), 6))") ===
-          hexOfAscii("FRAME\n"))
-      .withColumn("y", explode(sequence(lit(0L), col("hgt") - 1)))
-      .withColumn("x", explode(sequence(lit(0L), col("w") - 1)))
-      .select(col("asset_id"), col("f").as("frame_idx"), col("marker_ok"),
-        col("w"), col("hgt"),
-        expr("cast(conv(hex(substring(bytes, " +
-          "cast(__foff + 6 + y * w + x + 1 as int), 1)), 16, 10) as bigint)")
+        when(col("f").isNotNull,
+          expr("hex(substring(bytes, cast(__foff + 1 as int), 6))") ===
+            hexOfAscii("FRAME\n")))
+      .withColumn("y",
+        explode_outer(when(col("f").isNotNull,
+          sequence(lit(0L), col("hgt") - 1))))
+      .withColumn("x",
+        explode_outer(when(col("y").isNotNull,
+          sequence(lit(0L), col("w") - 1))))
+      .select(col("asset_id"), col("is_valid"), col("f").as("frame_idx"),
+        col("marker_ok"), col("w"), col("hgt"),
+        when(col("x").isNotNull,
+          expr("cast(conv(hex(substring(bytes, " +
+            "cast(__foff + 6 + y * w + x + 1 as int), 1)), 16, 10) as bigint)"))
           .as("b"))
-      .groupBy("asset_id", "frame_idx", "w", "hgt")
+      .groupBy("asset_id", "is_valid", "frame_idx", "w", "hgt")
       .agg(
         min(col("marker_ok")).as("marker_ok"),
         sum(col("b")).as("sum_y"))
-      .select(col("asset_id"), col("frame_idx"), col("marker_ok"),
-        col("sum_y"), expr("(sum_y * 1000) div (w * hgt)").as("mean_y_milli"))
+      .select(col("asset_id"), col("is_valid"), col("frame_idx"),
+        col("marker_ok"), col("sum_y"),
+        when(col("is_valid"), expr("(sum_y * 1000) div (w * hgt)"))
+          .as("mean_y_milli"))
 
   /** Scene-cut detection through the container (E225): adjacent-frame
     * mean-luma deltas per asset, cuts where |Δ| ≥ `thresholdMilli` — the
@@ -1104,13 +1130,19 @@ object Multimodal {
     * sampling training frames. The lag comparison is a per-asset window
     * over the per-frame aggregate (n_frames rows per asset, never
     * pixels), exactly the audioFingerprint discipline.
+    *
+    * A cut is only reported when BOTH frames of the pair verified their
+    * "FRAME\n" marker — a desynced stream must not manufacture cuts from
+    * garbage sums (the luma report is where the desync itself surfaces).
     */
   def y4mSceneCuts(assets: DataFrame, thresholdMilli: Long = 5000L): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("asset_id").orderBy("frame_idx")
     y4mFrameLuma(assets)
+      .filter(col("is_valid"))
       .withColumn("__prev", lag(col("mean_y_milli"), 1).over(win))
-      .filter(col("__prev").isNotNull)
+      .withColumn("__prev_ok", lag(col("marker_ok"), 1).over(win))
+      .filter(col("__prev").isNotNull && col("marker_ok") && col("__prev_ok"))
       .withColumn("delta_milli", abs(col("mean_y_milli") - col("__prev")))
       .filter(col("delta_milli") >= thresholdMilli)
       .select(col("asset_id"), col("frame_idx"), col("delta_milli"))

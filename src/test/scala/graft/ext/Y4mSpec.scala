@@ -64,18 +64,32 @@ class Y4mSpec extends SparkSpec {
     assert(frames(1L) === false)
   }
 
-  test("invalid containers are dropped; forged geometry cannot explode") {
+  test("invalid containers surface as is_valid=false rows; forged geometry cannot explode") {
     val badMagic = ascii("YUV4MPEGX W2 H2 Cmono\n") ++ ascii("FRAME\n") ++
       Array[Byte](1, 1, 1, 1)
     val truncated = ascii("YUV4MPEG2 W2 H2 Cmono\n") ++ ascii("FRAME\n") ++
       Array[Byte](1, 1, 1) // one luma byte short
     val forged = ascii("YUV4MPEG2 W99999999 H99999999 Cmono\n") ++
       ascii("FRAME\n") ++ Array[Byte](1, 1, 1, 1)
+    // 10-bit 4:2:0 (2 bytes/sample): must NOT validate as 8-bit — the
+    // stream would misframe and report garbage sums
+    val tenBit = ascii("YUV4MPEG2 W2 H2 C420p10\n") ++
+      (ascii("FRAME\n") ++ Array.fill[Byte](12)(7)) ++
+      (ascii("FRAME\n") ++ Array.fill[Byte](12)(9))
     val t0 = System.nanoTime()
-    val out = Multimodal.y4mFrameLuma(
-      assetsOf(1L -> badMagic, 2L -> truncated, 3L -> forged))
-    assert(out.count() === 0)
+    val rows = Multimodal.y4mFrameLuma(
+      assetsOf(1L -> badMagic, 2L -> truncated, 3L -> forged, 4L -> tenBit))
+      .collect()
+    // the corrupt assets are VISIBLE findings (one null-stats row each),
+    // never silently dropped and never decoded wrong
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("is_valid"))
+      assert(r.isNullAt(r.fieldIndex("sum_y")))
+    }
     assert((System.nanoTime() - t0) < 60e9, "forged header must not explode")
+    // and a desynced-but-length-consistent stream never feeds scene cuts
+    assert(Multimodal.y4mSceneCuts(assetsOf(4L -> tenBit)).count() === 0)
   }
 
   test("scene cuts: a hard luma jump is reported, steady frames are not") {
