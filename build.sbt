@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW (no sbt "[info] " prefix):
+// Bench/Verify print machine-parseable JSON trailer lines that harnesses
+// tail-parse; the default LoggedOutput strategy wraps every line and
+// breaks that parse. Spark logs go to stderr and pass through unchanged.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
