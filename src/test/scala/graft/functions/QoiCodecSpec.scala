@@ -155,6 +155,43 @@ class QoiCodecSpec extends SparkSpec {
     assert(checked > 10, "sample too small to mean anything")
   }
 
+  test("property: random payloads round-trip exactly, all op types exercised") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // a small alphabet (runs + index hits) mixed with full-range bytes
+    // (DIFF/LUMA/RGB transitions); widths vary so pixel-row geometry does
+    val gen = for {
+      w <- Gen.choose(1, 8)
+      n <- Gen.choose(3 * w, 600)
+      smallAlphabet <- Gen.oneOf(true, false)
+      bytes <- Gen.listOfN(n,
+        if (smallAlphabet) Gen.oneOf(0, 1, 3, 20, 250) else Gen.choose(0, 255))
+    } yield (w, bytes.map(_.toByte).toArray)
+    var run = 0L; var idx = 0L; var diff = 0L; var luma = 0L; var rgb = 0L
+    samples(gen, 60).foreach { case (w, payload) =>
+      val enc = QoiCodec.encode(payload, w)
+      val d = QoiCodec.decode(enc)
+      assert(d.valid, s"round trip invalid at w=$w n=${payload.length}")
+      val npx = (payload.length / (3 * w)) * w.toLong
+      assert(d.nPixels === npx)
+      // channel sums straight from the source triplets
+      val px = payload.take(3 * npx.toInt).map(_ & 0xff)
+      def ch(o: Int) = px.indices.filter(_ % 3 == o).map(px(_).toLong).sum
+      assert((d.sumR, d.sumG, d.sumB) === ((ch(0), ch(1), ch(2))))
+      // the op histogram IS the stream size (the q261 derivation)
+      assert(enc.length.toLong === 22L + d.opsRun + d.opsIndex + d.opsDiff +
+        2L * d.opsLuma + 4L * d.opsRgb + 5L * d.opsRgba)
+      run += d.opsRun; idx += d.opsIndex; diff += d.opsDiff
+      luma += d.opsLuma; rgb += d.opsRgb
+    }
+    // the sample set must exercise EVERY channels=3 op, or the property
+    // proves less than it claims
+    assert(run > 0 && idx > 0 && diff > 0 && luma > 0 && rgb > 0,
+      s"op coverage gap: run=$run index=$idx diff=$diff luma=$luma rgb=$rgb")
+  }
+
   test("compression economics: op-derived sizes equal real stream lengths") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)

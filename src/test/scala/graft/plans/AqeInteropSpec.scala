@@ -44,6 +44,21 @@ class AqeInteropSpec extends SparkSpec {
       "pair mining must never go all-pairs, with or without AQE re-planning")
   }
 
+  test("q263 under AQE: the dHash band join stays an equi-join on the pinned frame") {
+    val p = finalPlan(graft.SparkEntry.queries("q263_dhash_near_dup")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band-bucket candidates must never go all-pairs under AQE re-planning")
+    assert(p.contains("ExistingRDD"),
+      "both sides must read the pinned hash frame after re-plan")
+  }
+
+  test("q267 under AQE: scene-cut lag stays per-asset (no single-partition window)") {
+    val p = finalPlan(graft.SparkEntry.queries("q267_scene_cuts")(spark, sf0001))
+    assert(!p.contains("SinglePartition"),
+      "the frame-stream window must stay partitioned by asset after re-plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("AQE skew-join splits a synthesized hot key; saltedEquiJoin composes hash-equal") {
     import spark.implicits._
     val conf = spark.conf
