@@ -50,6 +50,51 @@ final class QueryTaskMetricsListener extends SparkListener {
   def snapshot(group: String): Option[Agg] = Option(byGroup.get(group))
 }
 
+/** Pure helpers behind the per-query shuffle-byte drift gate, factored out
+  * of the bench main so BenchCountersSpec can pin them on synthetic
+  * counter lines (a plan regression hiding inside a flat wall total is
+  * exactly what the gate exists to catch — it must be testable without a
+  * 20-minute bench run).
+  */
+object ByteDrift {
+  /** Parse a committed `query_counters` JSON line into
+    * name -> (shuffle_read_bytes, shuffle_write_bytes). Tolerant: a
+    * truncated/garbled line degrades to an empty map (no baseline), never
+    * an abort.
+    */
+  def parseCounters(line: String): Map[String, (Long, Long)] =
+    ("\"([^\"]+)\":\\{\"wall_s\":[^}]*\"shuffle_read_bytes\":(-?\\d+)," +
+      "\"shuffle_write_bytes\":(-?\\d+)").r
+      .findAllMatchIn(line)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong))
+      .toMap
+
+  /** Queries whose shuffle read+write bytes drifted more than `relTol`
+    * vs the committed baseline, as (name, ratio). Load-INVARIANT by
+    * construction (bytes, not wall), so the tolerance is tight; a small
+    * absolute floor ignores sub-noise-floor totals (ScaleBench's 64 KiB
+    * discipline) where a one-partition difference is not a plan change.
+    * Queries present on only one side are NOT drift (added/removed
+    * queries are visible in n_queries); -1 sentinels (metrics missing)
+    * compare nothing.
+    */
+  def flagged(prev: Map[String, (Long, Long)], cur: Map[String, (Long, Long)],
+      relTol: Double = 0.05, absFloor: Long = 65536L): Seq[(String, Double)] =
+    cur.toSeq.sortBy(_._1).flatMap { case (name, (cr, cw)) =>
+      prev.get(name).flatMap { case (pr, pw) =>
+        val (c, p) = (cr + cw, pr + pw)
+        if (cr < 0 || cw < 0 || pr < 0 || pw < 0) None
+        else if (c <= absFloor && p <= absFloor) None
+        else {
+          val ratio = (c.toDouble + 1) / (p.toDouble + 1)
+          if (ratio > 1 + relTol || ratio < 1 / (1 + relTol))
+            Some(name -> ratio)
+          else None
+        }
+      }
+    }
+}
+
 /** Benchmark harness. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
@@ -144,6 +189,17 @@ object Bench {
           (v.map(total => (total, c.getOrElse("unknown"))), sf)
         } else (None, None)
       } catch { case _: Exception => (None, None) }
+    // the committed per-query counters line (3rd line of the summary file)
+    // for the shuffle-byte drift gate — same degrade-to-no-baseline rule
+    val prevCounters: Map[String, (Long, Long)] =
+      try {
+        if (java.nio.file.Files.exists(summaryPath)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(summaryPath).asScala
+            .find(_.contains("\"metric\":\"query_counters\""))
+            .map(ByteDrift.parseCounters).getOrElse(Map.empty)
+        } else Map.empty
+      } catch { case _: Exception => Map.empty }
 
     final case class QRes(
         var wall: Double = -1.0, var lastWall: Double = -1.0, var rows: Long = -1L,
@@ -260,6 +316,25 @@ object Bench {
           f""""ratio":$ratio%.3f,"flagged":$flagged}"""
       }.getOrElse(""""drift_vs_committed":null""")
 
+    // Per-query shuffle-BYTE drift vs the committed counters: wall drift
+    // compares one noisy total; byte drift is load-invariant per query, so
+    // it catches a plan regression hiding inside a flat total (and stays
+    // quiet through ambient load that swings every wall number at once).
+    // Full-suite same-sf runs only, like drift_vs_committed.
+    val byteDriftJson = {
+      val applicable = onlyPrefixes.isEmpty && prevSf.forall(_ == sfDir) &&
+        prevCounters.nonEmpty
+      if (!applicable) """"byte_drift":null"""
+      else {
+        val cur = best.map { case (k, v) => k -> (v.shuffleRead, v.shuffleWrite) }.toMap
+        val fl = ByteDrift.flagged(prevCounters, cur)
+        val detail = fl.take(20).map { case (n, r) => f""""$n":$r%.3f""" }
+          .mkString("{", ",", "}")
+        s""""byte_drift":{"n_flagged":${fl.size},"rel_tol":0.05,""" +
+          s""""flagged":$detail}"""
+      }
+    }
+
     // Full detail line first (per-query breakdown for humans/judges)...
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
@@ -276,7 +351,7 @@ object Bench {
       s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${best.size},""" +
       f""""sentinel_drift":$drift%.2f,"load_flagged":$loadFlagged,"sf":"$sfDir",""" +
       s""""total_shuffle_read_bytes":$totShufR,"total_shuffle_write_bytes":$totShufW,""" +
-      s""""total_output_rows":$totRows,$driftVsCommitted,$provenance}"""
+      s""""total_output_rows":$totRows,$driftVsCommitted,$byteDriftJson,$provenance}"""
     println(trailer)
     // Load-invariant per-query counters (file-only; the stdout lines stay
     // small for the driver's tail-scrape). Shuffle bytes and output rows

@@ -586,7 +586,13 @@ object Main {
             graft.ext.Multimodal.bmpDHash(
               graft.ext.Multimodal.encodeBmp(
                 graft.ext.Multimodal.documentsAsAssets(
-                  Tables.documents(spark, dir)), width = 16)),
+                  Tables.documents(spark, dir)), width = 16)
+                // materialization boundary between the synthesized-bytes
+                // producer and the decode, per Multimodal's composition
+                // note — without it scan-collapse inlines the whole encode
+                // expression into every header-byte access (the
+                // --scene-cuts path's discipline)
+                .repartition(col("asset_id")).localCheckpoint()),
             maxHamming = tau)
           .orderBy(col("hamming"), col("asset_a"), col("asset_b"))
           .show(30, truncate = false)

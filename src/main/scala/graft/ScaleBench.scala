@@ -49,14 +49,26 @@ object ScaleBench {
     ("q51_embedding_dedup_clusters", 1.6, 2.0, "LSH block pairs under bucket caps"),
     ("q226_pq_curve", 1.35, 1.35, "rows x fixed codebook iterations"),
     ("q16_datatest_metrics", 1.35, 1.35, "per-edge scans + FK equi-joins"),
-    ("q189_rank_auc", 1.6, 2.0, "near-dup pair set + distinct-value ranks"))
+    ("q189_rank_auc", 1.6, 2.0, "near-dup pair set + distinct-value ranks"),
+    // media growth: the uniform model's per-token replica markers change
+    // the BMP/Y4M payload bytes, so replicas decode as distinct assets
+    // with the base corpus's per-asset geometry preserved
+    ("q269_dhash_scale", 2.0, 2.0,
+      "saturated 256-key band buckets: in-bucket candidate mass ~k^2 " +
+        "once buckets fill (a property of 8x8-bit dHash LSH, block-salted " +
+        "for task balance); decode itself is asset-linear"),
+    ("q270_y4m_scale", 1.35, 1.35,
+      "pixel mass: one native frame walk per asset, no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)
   // only these read documents/embeddings exclusively — the dup-heavy model
   // is about content duplication, so TPC-H-shaped targets are uniform-only
   private val dupheavyQueries = Set("q190_yield_curve", "q187_threshold_sweep",
-    "q177_setsim_join", "q93_semantic_dedup", "q51_embedding_dedup_clusters")
+    "q177_setsim_join", "q93_semantic_dedup", "q51_embedding_dedup_clusters",
+    // verbatim replicas share one dHash -> exact-dup clusters of size k in
+    // every band bucket: pair mass k^2, the declared driver
+    "q269_dhash_scale")
 
   private val allTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -283,8 +295,12 @@ object ScaleBench {
         bytesPts.get((q, m, k)).filter(_ >= 0.0).map(k -> _))
       if (bp.size < 3) (None, true)
       else if (bp.forall(_._2 > 65536.0)) (Some(fitSlope(bp)), false)
-      // map-only: noise-floor bytes at every scale — log-fitting them lies
-      else (None, false)
+      // map-only ONLY when every point sits at the noise floor — a query
+      // that shuffles at larger scales but not smaller ones (mixed case)
+      // must surface as "metrics missing"/wall-gate-only, not as a clean
+      // map-only '-' that silently drops its load-invariant byte gate
+      else if (bp.forall(_._2 <= 65536.0)) (None, false)
+      else (None, true)
     }
     val fits = attempts.collect { case (q, m, b, d, pts) if pts.size >= 3 =>
       val (bs, missing) = byteSlopeOf(q, m)
@@ -345,7 +361,7 @@ object ScaleBench {
           md.append(f"- ${f.q} (${f.model}): SHUFFLE-BYTE exponent $v%.2f > bound ${f.bound} + 0.05 — investigate.\n"))
       }
       fits.filter(_.byteMissing).foreach(f =>
-        md.append(s"- ${f.q} (${f.model}): byte metrics missing (attribution failed on >1 point) — wall gate only.\n"))
+        md.append(s"- ${f.q} (${f.model}): byte gate not fittable (metric attribution failed, or mixed above/below-noise-floor points) — wall gate only.\n"))
       dropped.foreach { case (q, m, _, _, pts) =>
         md.append(s"- $q ($m): only ${pts.size} valid points (timeout/failure) — " +
           "the sweep did NOT measure this target; re-run before trusting the table.\n")

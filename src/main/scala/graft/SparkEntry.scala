@@ -2227,6 +2227,62 @@ object SparkEntry {
           .localCheckpoint(),
         thresholdMilli = 5000L)
     },
+    // PNG decode stats (E226): the first ENTROPY-CODED format decoded
+    // fully in-engine — CRC-verified chunk walk, IDAT inflate via the
+    // JDK's java.util.zip (stdlib, not a codec library), and the five
+    // per-row unfilters. Same encode→boundary→decode discipline and the
+    // same pixel-identity oracle shape as q260: the expected channel sums
+    // come straight from the raw payload bytes, so any non-self-
+    // cancelling filter/inflate bug breaks the sums (the filter math is
+    // additionally pinned per type on hand-built streams in PngCodecSpec).
+    "q268_png_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"))
+    },
+    // dHash band join over the WHOLE corpus (E220/E221's scale twin):
+    // identical semantics to q263 but with no doc_id cap, so ScaleBench
+    // can fit its growth exponent on replicated corpora. Scale note
+    // (honest): the 8x8-bit band space has only 2048 keys, so once
+    // buckets saturate (≫2048 assets) the in-bucket candidate mass grows
+    // ~k² with corpus scale — a property of the published dHash-LSH
+    // scheme itself, not of this plan; the block salting bounds any
+    // single task at ~bucketCap² and the composition order (exact dedup
+    // first) removes the worst mass up front.
+    "q269_dhash_scale" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" " * 9)).as("text"), col("source"))
+      graft.ext.Multimodal.dhashNearDup(
+        graft.ext.Multimodal.bmpDHash(
+          graft.ext.Multimodal.encodeBmp(
+            graft.ext.Multimodal.documentsAsAssets(
+              docs.unionByName(variants)),
+            width = 16)
+            .repartition(col("asset_id"))
+            .localCheckpoint()),
+        maxHamming = 6)
+    },
+    // Y4M container walk over the WHOLE corpus (E224's scale twin):
+    // identical semantics to q266 with no doc_id cap — per-asset native
+    // frame walk, cost linear in pixel mass, for ScaleBench's measured
+    // exponent.
+    "q270_y4m_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.y4mFrameLuma(
+        graft.ext.Multimodal.encodeY4m(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          width = 6, height = 4)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -2836,9 +2892,9 @@ object SparkEntry {
     * spec-covered on hand-built containers). Ends at
     * `m (asset_id, fr, sum_y, mean_milli)`.
     */
-  private def y4mOracleCtes(maxDoc: Int): String =
+  private def y4mOracleCtes(where: String): String =
     s"""src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-       |            FROM documents WHERE doc_id < $maxDoc),
+       |            FROM documents WHERE $where),
        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 24 AS n
        |      FROM src WHERE octet_length(p) // 24 >= 1),
        |f AS (SELECT asset_id, h, unnest(range(0, n)) AS fr FROM g),
@@ -3739,13 +3795,13 @@ object SparkEntry {
          |WHERE bit_count(xor(f1.fp_lo, f2.fp_lo)) +
          |      bit_count(xor(f1.fp_hi, f2.fp_hi)) <= 6""".stripMargin,
     "q266_y4m_frames" ->
-      s"""WITH ${y4mOracleCtes(150)}
+      s"""WITH ${y4mOracleCtes("doc_id < 150")}
          |SELECT asset_id, TRUE AS is_valid, CAST(fr AS BIGINT) AS frame_idx,
          |       TRUE AS marker_ok, CAST(sum_y AS BIGINT) AS sum_y,
          |       CAST(mean_milli AS BIGINT) AS mean_y_milli
          |FROM m""".stripMargin,
     "q267_scene_cuts" ->
-      s"""WITH ${y4mOracleCtes(150)},
+      s"""WITH ${y4mOracleCtes("doc_id < 150")},
          |d AS (SELECT asset_id, fr,
          |             abs(mean_milli - LAG(mean_milli) OVER
          |               (PARTITION BY asset_id ORDER BY fr)) AS delta
@@ -3753,6 +3809,49 @@ object SparkEntry {
          |SELECT asset_id, CAST(fr AS BIGINT) AS frame_idx,
          |       CAST(delta AS BIGINT) AS delta_milli
          |FROM d WHERE delta >= 5000""".stripMargin,
+    // q268's oracle never runs the codec (the q260 discipline): PNG
+    // encode∘decode is pixel-identity, so the expected stats come
+    // straight from the raw payload (RGB triplets, width 6 ⇒ 18
+    // bytes/row, tail dropped)
+    "q268_png_stats" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 18 AS hgt
+        |      FROM src WHERE octet_length(p) // 18 >= 1),
+        |px AS (SELECT asset_id, hgt, h, unnest(range(0, hgt * 6)) AS i FROM g),
+        |c AS (SELECT asset_id, hgt,
+        |        CAST(('0x'||substr(h, CAST(6*i+1 AS BIGINT), 2)) AS BIGINT) AS rd,
+        |        CAST(('0x'||substr(h, CAST(6*i+3 AS BIGINT), 2)) AS BIGINT) AS gr,
+        |        CAST(('0x'||substr(h, CAST(6*i+5 AS BIGINT), 2)) AS BIGINT) AS bl
+        |      FROM px)
+        |SELECT asset_id, TRUE AS is_valid, CAST(6 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(rd) AS BIGINT) AS sum_r, CAST(SUM(gr) AS BIGINT) AS sum_g,
+        |       CAST(SUM(bl) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*rd + 587*gr + 114*bl) // COUNT(*) AS BIGINT)
+        |         AS mean_luma_milli
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // the scale twins replay their parents' oracles with no doc cap
+    "q269_dhash_scale" ->
+      s"""WITH ${dhashOracleCtes(
+        """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+          |            FROM documents
+          |            UNION ALL
+          |            SELECT doc_id + 1000000, CAST(text || repeat(' ', 9) AS BLOB)
+          |            FROM documents""".stripMargin)}
+         |SELECT h1.asset_id AS asset_a, h2.asset_id AS asset_b,
+         |       CAST(bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |            bit_count(xor(h1.dhash_hi, h2.dhash_hi)) AS BIGINT)
+         |         AS hamming
+         |FROM dh h1 JOIN dh h2 ON h1.asset_id < h2.asset_id
+         |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 6""".stripMargin,
+    "q270_y4m_scale" ->
+      s"""WITH ${y4mOracleCtes("TRUE")}
+         |SELECT asset_id, TRUE AS is_valid, CAST(fr AS BIGINT) AS frame_idx,
+         |       TRUE AS marker_ok, CAST(sum_y AS BIGINT) AS sum_y,
+         |       CAST(mean_milli AS BIGINT) AS mean_y_milli
+         |FROM m""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

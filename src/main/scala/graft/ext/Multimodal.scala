@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * whole decode is codegen'd per row and replays bit-identically in the
   * oracle. QOI ([[encodeQoi]]/[[qoiStats]]) extends that to a real
   * COMPRESSED format — run-length + index + delta coding needs no codec
-  * library, only a sequential native expression. Perceptual image dedup
-  * rides the decode path ([[bmpDHash]]/[[dhashNearDup]]). Only
-  * ENTROPY-CODED formats (JPEG/PNG/H.264 — arithmetic/Huffman decoding
-  * needs a codec library this environment doesn't have) remain a STUB,
-  * replaced by a deterministic digest-derived fake (clearly marked below).
+  * library, only a sequential native expression — and PNG
+  * ([[encodePng]]/[[pngStats]]) to a real ENTROPY-CODED one: its entropy
+  * layer is DEFLATE, which the JDK's java.util.zip provides. Perceptual
+  * image dedup rides the decode path ([[bmpDHash]]/[[dhashNearDup]]).
+  * Only formats whose entropy coding genuinely needs an external codec
+  * library (JPEG's Huffman/DCT, H.264's CABAC) remain a STUB, replaced
+  * by a deterministic digest-derived fake (clearly marked below).
   * Everything around that stub is real and tested: the asset schema,
   * binary columns, partition-sized batching, and the feature-extraction
   * interface. Swapping in a real decoder replaces ONE function body
@@ -60,7 +62,7 @@ object Multimodal {
       .withColumn("content_digest", md5(col("bytes")))
 
   // ------------------------------------------------------------------
-  // STUB DECODE (compressed formats only — JPEG/PNG/H.264): deterministic
+  // STUB DECODE (external-codec formats only — JPEG/H.264): deterministic
   // fake features derived from the content digest. A real deployment
   // replaces `fakeDecodedFeatures` with a codec call (e.g. JNI image
   // decode inside mapPartitions) — the surrounding schema, batching and
@@ -173,7 +175,7 @@ object Multimodal {
   // to 4-byte boundaries — so the engine encodes AND decodes natively
   // through hex() (bit-identical in Spark and DuckDB; the whole codec
   // replays in the oracle). The digest-stub above now stands in ONLY for
-  // compressed formats (JPEG/PNG/H.264), whose entropy coding genuinely
+  // external-codec formats (JPEG/H.264), whose entropy coding genuinely
   // needs a codec library this environment doesn't have.
   // ------------------------------------------------------------------
 
@@ -469,6 +471,13 @@ object Multimodal {
     * finding), and the size-consistency check bounds the pixel explosion
     * by the asset's real byte length, so a forged header cannot blow up
     * the plan.
+    *
+    * Coverage note (the Y4M FRAME-params discipline): separators are
+    * required to be exactly ONE whitespace byte and `#` comment lines are
+    * not recognized — Netpbm-spec-legal headers with multi-whitespace
+    * runs or comments report is_valid = false (a safe, visible failure,
+    * never a misframed pixel walk). Canonical single-space headers — what
+    * every common encoder writes — parse fully.
     */
   private def ppmHeader(assets: DataFrame): DataFrame = {
     val ws = "(?:0A|20|09|0D)"
@@ -513,8 +522,8 @@ object Multimodal {
   // ------------------------------------------------------------------
   // REAL COMPRESSED IMAGE FORMAT: QOI (qoiformat.org, public spec).
   // Run-length + recency-index + delta compression with NO entropy
-  // coding — so unlike JPEG/PNG it decodes with plain byte arithmetic,
-  // and the stub above narrows to entropy-coded formats only. The
+  // coding — so unlike JPEG it decodes with plain byte arithmetic,
+  // and the stub above narrows to external-codec formats only. The
   // stream is SEQUENTIAL (decoder state carries across chunks), which
   // is the per-row-loop shape that belongs in a native Catalyst
   // Expression, not a pixel explode: see functions/QoiExpressions.
@@ -581,14 +590,22 @@ object Multimodal {
     * instead would force a second evaluation of the encoder once
     * projections collapse; QoiCodecSpec proves the derivation equals the
     * real stream length on real data.
+    *
+    * `raw_bytes` counts the bytes the encoder actually CONSUMED — the
+    * 3·width·⌊len/(3·width)⌋ whole-row prefix, not the full payload: the
+    * encoder drops the sub-row tail, and dividing compressed-prefix
+    * bytes by uncompressed-FULL bytes would overstate compression on
+    * every asset whose length is not row-aligned.
     */
   def qoiCompressionBySource(assets: DataFrame, width: Int = 6): DataFrame = {
     val spark = assets.sparkSession
     import graft.functions.QoiNativeFunctions.{qoiDecode, qoiEncode}
+    val rowBytes = 3 * width
     val enc = assets
       .filter(octet_length(col("bytes")) >= 3 * width)
       .select(col("meta.source").as("source"),
-        octet_length(col("bytes")).cast("long").as("raw_bytes"),
+        expr(s"$rowBytes * (octet_length(bytes) div $rowBytes)").cast("long")
+          .as("raw_bytes"),
         qoiDecode(spark, qoiEncode(spark, col("bytes"), width)).as("q"))
     enc.groupBy("source")
       .agg(
@@ -611,6 +628,58 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // REAL ENTROPY-CODED IMAGE FORMAT: PNG. The entropy layer is DEFLATE,
+  // which the JDK ships (java.util.zip — stdlib, not a codec library), so
+  // the "needs a codec library" stub narrows again: chunk framing, CRCs,
+  // IDAT inflate, and the None/Sub/Up/Average/Paeth row unfilters all
+  // decode for real in one native expression (functions/PngExpressions).
+  // ------------------------------------------------------------------
+
+  /** Encode each asset's payload bytes as a spec-conformant 8-bit RGB PNG
+    * of the given pixel width (height = ⌊len/(3·width)⌋; assets shorter
+    * than one row are dropped). Row filter types cycle None/Sub/Up/
+    * Average/Paeth so the decode of any ≥5-row fixture exercises every
+    * unfilter path. One native expression per asset; the drop condition
+    * is checked on the cheap input length (the [[encodeQoi]] discipline).
+    */
+  def encodePng(assets: DataFrame, width: Int = 6): DataFrame = {
+    require(width >= 1, "width must be positive")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 3 * width)
+      .withColumn("bytes",
+        graft.functions.PngNativeFunctions.pngEncode(spark, col("bytes"), width))
+  }
+
+  /** Decode PNG assets natively (E226): CRC-verified chunk walk, IDAT
+    * inflate via the JDK's Inflater, per-row unfilter, and the same exact
+    * channel sums + fixed-point mean luma as [[bmpStats]]/[[qoiStats]],
+    * plus the container diagnostics only a real decoder can see
+    * (color type, IDAT chunk count and compressed byte total). Corrupt,
+    * forged, truncated, or unsupported-feature streams (palette, 16-bit,
+    * interlaced) report is_valid = false with null stats; the inflate is
+    * bounded by DEFLATE's maximum expansion of the bytes actually
+    * present, so a forged IHDR cannot blow up memory (see PngCodec).
+    *
+    * Scale: one native-expression pass per asset, O(stride) state, no
+    * explode — the [[qoiStats]] shape exactly.
+    */
+  def pngStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.PngNativeFunctions.pngDecode(spark, col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_r").as("sum_r"),
+        col("q.sum_g").as("sum_g"), col("q.sum_b").as("sum_b"),
+        col("q.mean_luma_milli").as("mean_luma_milli"),
+        col("q.color_type").as("color_type"),
+        col("q.n_idat_chunks").as("n_idat_chunks"),
+        col("q.idat_bytes").as("idat_bytes"))
+  }
+
+  // ------------------------------------------------------------------
   // PERCEPTUAL IMAGE DEDUP: dHash (difference hash) computed THROUGH the
   // real decode path — the multimodal analog of the text simhash family.
   // dHash is the public gradient-hash scheme: box-downsample the image
@@ -620,11 +689,13 @@ object Multimodal {
   // few bits of each other; exact byte dedup sees none of that.
   // ------------------------------------------------------------------
 
-  /** dHash per decodable BMP asset (E220): the [[bmpStats]] pixel walk
-    * feeding a box-filter to the 9x8 grid (cell = (x·9 div w, y·8 div h)
-    * over IMAGE coordinates — bottom-up and top-down storage of the same
-    * pixels hash identically), then per-row adjacent-cell mean
-    * comparisons packed into two 32-bit
+  /** dHash per decodable BMP asset (E220): the real header parse feeding a
+    * NATIVE per-asset grid walk ([[graft.functions.MediaWalks.bmpDHash]]):
+    * box-filter to the 9x8 luma grid (cell = (x·9 div w, y·8 div h) over
+    * IMAGE coordinates — bottom-up and top-down storage of the same pixels
+    * hash identically: bottom-up BMPs store image row 0 LAST, and without
+    * the remap a vertical-flip-of-storage would pair at hamming ~64), then
+    * per grid row adjacent-cell mean comparisons packed into two 32-bit
     * halves (`dhash_lo` = grid rows 0–3, `dhash_hi` = rows 4–7 — split so
     * neither engine ever touches the BIGINT sign bit). Mean comparisons
     * are integer-exact via cross-multiplication (Σ₁·n₂ > Σ₂·n₁, with
@@ -633,56 +704,22 @@ object Multimodal {
     * smaller than the 9x8 grid (or undecodable) are dropped: dHash is
     * undefined below grid resolution.
     *
-    * Scale: pixels explode in the same two bounded levels as [[bmpStats]];
-    * the cell aggregation map-side-combines on (asset, cy, cx) — at most
-    * 72 cells per asset ever cross the wire, regardless of megapixels —
-    * and the 9-column pivot + bit packing are per-(asset, row) arithmetic.
+    * Scale: ONE O(1)-state pass per asset inside the scan stage — no
+    * per-pixel explode, no cell shuffle at all (the exploded predecessor
+    * shipped 72 cells per asset and its fused pivot + bit-packing stage
+    * outgrew Janino's 64 KB limit into interpreted fallback); only the
+    * 3-long (asset_id, dhash_lo, dhash_hi) row leaves the scan.
     */
   def bmpDHash(assets: DataFrame): DataFrame = {
-    val px = bmpHeader(assets)
+    val spark = assets.sparkSession
+    bmpHeader(assets)
       .filter(col("is_valid") && col("w") >= 9L && col("hgt") >= 8L)
-      .select(col("asset_id"), col("bytes"), col("w"), col("hgt"),
-        col("hraw"), col("stride"), col("poff"))
-      .withColumn("y", explode(sequence(lit(0L), col("hgt") - 1)))
-      .withColumn("x", explode(sequence(lit(0L), col("w") - 1)))
       .select(col("asset_id"),
-        expr("(x * 9) div w").as("cx"),
-        // grid rows index IMAGE rows, not stored rows: bottom-up BMPs
-        // (positive height) store row 0 LAST, so the same pixels saved
-        // top-down vs bottom-up must land in the same cells — without
-        // this, a vertical-flip-of-storage pairs at hamming ~64 and the
-        // "near-identical images land close" contract breaks
-        expr("((CASE WHEN hraw >= 2147483648 THEN y ELSE hgt - 1 - y END) * 8)" +
-          " div hgt").as("cy"),
-        expr("hex(substring(bytes, cast(poff + y*stride + x*3 + 1 as int), 3))")
-          .as("ph"))
-      .select(col("asset_id"), col("cx"), col("cy"),
-        // BGR byte order (BMP): R at hex offset 5, G at 3, B at 1
-        (lit(299L) * conv(substring(col("ph"), 5, 2), 16, 10).cast("long") +
-          lit(587L) * conv(substring(col("ph"), 3, 2), 16, 10).cast("long") +
-          lit(114L) * conv(substring(col("ph"), 1, 2), 16, 10).cast("long"))
-          .as("lum"))
-    val cells = px.groupBy("asset_id", "cy", "cx")
-      .agg(sum(col("lum")).as("s"), count(lit(1)).as("c"))
-    // pivot the 9 cells of each grid row into columns: one narrow pass,
-    // no self-join of the cell frame
-    val aggs = (0 to 8).flatMap { i =>
-      Seq(sum(when(col("cx") === i, col("s"))).as(s"s$i"),
-        sum(when(col("cx") === i, col("c"))).as(s"c$i"))
-    }
-    val rows = cells.groupBy("asset_id", "cy").agg(aggs.head, aggs.tail: _*)
-    // bit (cy mod 4)*8 + i of the half set iff cell i+1's mean luma beats
-    // cell i's; w >= 9 and hgt >= 8 guarantee every cell is non-empty
-    val rowBits = (0 to 7).map { i =>
-      when(col(s"s${i + 1}") * col(s"c$i") > col(s"s$i") * col(s"c${i + 1}"),
-        expr(s"shiftleft(cast(1 as bigint), cast((cy % 4) * 8 + $i as int))"))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    rows.select(col("asset_id"), col("cy"), rowBits.as("rowbits"))
-      .groupBy("asset_id")
-      .agg(
-        sum(when(col("cy") < 4L, col("rowbits")).otherwise(0L)).as("dhash_lo"),
-        sum(when(col("cy") >= 4L, col("rowbits")).otherwise(0L)).as("dhash_hi"))
+        graft.functions.MediaNativeFunctions.bmpDHashWalk(spark,
+          col("bytes"), col("w"), col("hgt"), col("hraw"), col("stride"),
+          col("poff")).as("d"))
+      .select(col("asset_id"), col("d.dhash_lo").as("dhash_lo"),
+        col("d.dhash_hi").as("dhash_hi"))
   }
 
   /** Near-duplicate image pairs by dHash hamming distance (E221): LSH on
@@ -695,24 +732,74 @@ object Multimodal {
     *
     * Scale: each asset emits exactly 8 (band_id, band_val) keys; the join
     * is equi-keyed on those buckets and the pair set dedups map-side via
-    * the aggregate. Degenerate corpora (one dominant bucket: millions of
-    * byte-identical images) belong to EXACT dedup first — the content-
-    * digest pass [[withContentFacts]] removes them before perceptual
-    * hashing, which is the documented composition order.
+    * the aggregate. Byte-identical corpora belong to EXACT dedup first —
+    * the content-digest pass [[withContentFacts]] removes them before
+    * perceptual hashing (the documented composition order) — and the
+    * near-constant-but-not-identical corpora exact dedup CANNOT remove
+    * (solid-color frames, silence-heavy audio) are bounded by the
+    * `bucketCap` block salting inside [[fingerprintNearDup]].
     */
-  def dhashNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
-    fingerprintNearDup(hashes, "dhash_lo", "dhash_hi", maxHamming)
+  def dhashNearDup(hashes: DataFrame, maxHamming: Int = 6,
+      bucketCap: Int = 4096): DataFrame =
+    fingerprintNearDup(hashes, "dhash_lo", "dhash_hi", maxHamming, bucketCap)
 
   /** The 64-bit-fingerprint near-dup join shared by image dHash
     * ([[bmpDHash]]) and audio energy-contour fingerprints
     * ([[audioFingerprint]]): any (asset_id, lo half, hi half) frame joins
     * through the same lossless 8x8-bit band LSH. See [[dhashNearDup]] for
     * the guarantee and scale notes.
+    *
+    * Hot buckets are block-salted (the Similarity.blockAssignments
+    * discipline, Similarity.scala:695): a bucket of size s splits into
+    * ⌈s/bucketCap⌉ blocks by stable id hash, and the join runs per
+    * BLOCK PAIR — still lossless (block pairs cover every in-bucket
+    * pair exactly once), but no single join key ever compares more than
+    * ~bucketCap² rows. Without the cap, a degenerate-but-realistic
+    * corpus — thousands of near-constant images or silence-heavy audio
+    * clips, NOT byte-identical so exact dedup passes them — lands whole
+    * in one band bucket and the verify goes k² inside one task.
     */
   def fingerprintNearDup(hashes: DataFrame, loCol: String, hiCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bucketCap: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "8x8-band candidate generation is lossless only for maxHamming <= 7")
+    require(bucketCap >= 1, "bucketCap must be positive")
+    val blocked = fingerprintBlocked(hashes, loCol, hiCol, bucketCap)
+    // the (bi, bj) block-pair enumeration: side A carries its own block as
+    // bi and fans out to every bj >= bi; side B carries its block as bj
+    // and fans out to every bi <= bj — each ordered block pair meets
+    // exactly once, same-block pairs meet in both orientations (dropped
+    // to one by id order), cross-block pairs are normalized by
+    // least/greatest (hamming is symmetric, so it can be computed before
+    // the normalization)
+    val a = blocked.select(col("band_id"), col("band_val"),
+      col("blk").as("bi"),
+      explode(sequence(col("blk"), col("nblocks") - 1)).as("bj"),
+      col("asset_id").as("asset_a"), col("dhash_lo").as("lo_a"),
+      col("dhash_hi").as("hi_a"))
+    val b = blocked.select(col("band_id"), col("band_val"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+      col("asset_id").as("asset_b"), col("dhash_lo").as("lo_b"),
+      col("dhash_hi").as("hi_b"))
+    a.join(b, Seq("band_id", "band_val", "bi", "bj"))
+      .filter(col("bi") < col("bj") || col("asset_a") < col("asset_b"))
+      .select(
+        least(col("asset_a"), col("asset_b")).as("asset_a"),
+        greatest(col("asset_a"), col("asset_b")).as("asset_b"),
+        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair can collide in several bands: one row per pair
+      .groupBy("asset_a", "asset_b").agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** The banded + block-salted fingerprint frame behind
+    * [[fingerprintNearDup]]: one (band_id, band_val, nblocks, blk) row per
+    * asset per band, nblocks = ⌈bucket size / bucketCap⌉. Package-visible
+    * so the hot-bucket spec can pin the block geometry.
+    */
+  private[graft] def fingerprintBlocked(hashes: DataFrame, loCol: String,
+      hiCol: String, bucketCap: Int): DataFrame = {
     // both join sides derive from `hashes`; without a boundary each side
     // would re-run the whole upstream decode. The hash frame is 3 longs
     // per ASSET (not per pixel), so pinning it is always cheap.
@@ -735,20 +822,15 @@ object Multimodal {
           |""".stripMargin)).as("band"))
       .select(col("asset_id"), col("dhash_lo"), col("dhash_hi"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
-    val a = banded.select(col("band_id"), col("band_val"),
-      col("asset_id").as("asset_a"), col("dhash_lo").as("lo_a"),
-      col("dhash_hi").as("hi_a"))
-    val b = banded.select(col("band_id"), col("band_val"),
-      col("asset_id").as("asset_b"), col("dhash_lo").as("lo_b"),
-      col("dhash_hi").as("hi_b"))
-    a.join(b, Seq("band_id", "band_val"))
-      .filter(col("asset_a") < col("asset_b"))
-      .select(col("asset_a"), col("asset_b"),
-        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      // a pair can collide in several bands: one row per pair
-      .groupBy("asset_a", "asset_b").agg(min(col("hamming")).as("hamming"))
+    // the per-bucket count aggregate has one row per NON-EMPTY bucket
+    // (≤ 8·assets, typically ≪) joined back on the bucket key — AQE
+    // broadcasts it when small (the blockAssignments discipline)
+    val nblocks = banded.groupBy("band_id", "band_val")
+      .agg(ceil(count(lit(1)) / lit(bucketCap.toDouble)).cast("int")
+        .as("nblocks"))
+    banded.join(nblocks, Seq("band_id", "band_val"))
+      .withColumn("blk",
+        pmod(xxhash64(col("asset_id")), col("nblocks")).cast("int"))
   }
 
   /** Audio energy-contour fingerprint (E222): the 1-D analog of
@@ -777,7 +859,12 @@ object Multimodal {
           .cast("long")
     val v = when(u >= 32768L, u - 65536L).otherwise(u)
     val energies = assets
-      .select(col("asset_id"), hex(col("bytes")).as("h"),
+      // hex ONLY the bounded prefix the 65 windows read: hexing the whole
+      // payload would make per-asset cost/memory scale with DURATION,
+      // contradicting the corpus-linear scale note below (a one-hour
+      // asset must decode just its prefix)
+      .select(col("asset_id"),
+        hex(substring(col("bytes"), 1, (2 * need).toInt)).as("h"),
         expr("octet_length(bytes) div 2").cast("long").as("ns"))
       .filter(col("ns") >= need)
       .select(col("asset_id"), col("h"),
@@ -954,10 +1041,10 @@ object Multimodal {
   // interchange format). ASCII header ("YUV4MPEG2", space-separated
   // W/H/F/C parameters, newline), then per frame a "FRAME\n" marker and
   // a raw plane dump — mono (Cmono) or 4:2:0 (C420: luma plane then two
-  // quarter chroma planes). Like PPM the header parses in HEX SPACE, and
-  // like BMP the frame walk is bounded two-level explode arithmetic —
-  // this closes the modality triad: images (BMP/PPM/QOI), audio
-  // (PCM/WAV), and now video all decode for real in-engine.
+  // quarter chroma planes). Header parse and frame walk are both native
+  // single-pass expressions (functions/MediaExpressions) — this closes
+  // the modality triad: images (BMP/PPM/QOI), audio (PCM/WAV), and video
+  // all decode for real in-engine.
   // ------------------------------------------------------------------
 
   /** Encode each asset's payload bytes as a valid mono Y4M of the given
@@ -989,82 +1076,42 @@ object Multimodal {
   private def hexOfAscii(s: String): String =
     s.getBytes("US-ASCII").map(b => f"$b%02X").mkString
 
-  /** Y4M header parse in hex space: magic, the parameter region (any pair
-    * that is not 0A, expressed as an RE2-safe alternation — no lookarounds,
-    * per the oracle-portability rule), W/H decimal runs, the colorspace
-    * tag, and the frame-data offset from the matched region's length.
-    * Emits (asset_id, bytes, n, w, hgt, fsize, poff, is_valid) where
-    * `fsize` is the per-frame PLANE byte count: w·h for mono, w·h +
-    * 2·⌈w/2⌉·⌈h/2⌉ for C420 (luma first either way). Containers that are
-    * not mono/420, have no parseable geometry, or whose byte length is
-    * not exactly header + n·(6 + fsize) for n ≥ 1 report is_valid = false
-    * — and the length check bounds the frame explosion by the asset's
-    * real bytes, so a forged header cannot blow up the plan.
+  /** Y4M header parse — ONE native single-pass expression per asset
+    * ([[graft.functions.MediaWalks.y4mHeader]]): magic, the parameter
+    * region up to the first newline (bounded at 256 bytes — a longer
+    * header reports is_valid = false: visible, not wrong), W/H decimal
+    * runs, the colorspace tag (no tag defaults to 420 per the public
+    * spec), and the frame-data offset. Emits (asset_id, bytes, n, w, hgt,
+    * fsize, poff, n_frames, is_valid) where `fsize` is the per-frame
+    * PLANE byte count: w·h for mono, w·h + 2·⌈w/2⌉·⌈h/2⌉ for C420 (luma
+    * first either way). Containers that are not mono/420, have no
+    * parseable geometry, or whose byte length is not exactly
+    * header + n·(6 + fsize) for n ≥ 1 report is_valid = false — and the
+    * length check bounds the frame walk by the asset's real bytes, so a
+    * forged header cannot blow up the plan.
+    *
+    * Why native and not the former hex-space regex parse: the extracted
+    * param columns fed every downstream field, so once a consumer's
+    * filter pushed through the parse, projection collapse substituted
+    * the regex trees into every reference — 266 compiled Patterns in one
+    * fused stage, past Janino's 64 KB limit, into interpreted fallback.
+    * One scalar parse per asset cannot be duplicated that way (the
+    * struct-field extracts share the single cheap call via codegen
+    * subexpression elimination), and the JVM pass reads O(256) header
+    * bytes, never the payload.
     */
   private def y4mHeader(assets: DataFrame): DataFrame = {
-    // a hex pair that is NOT 0A (newline): RE2-safe alternation
-    val notNl = "(?:[1-9A-F][0-9A-F]|0[0-9B-F])"
-    val dig = "(?:3[0-9])"
-    val magic = hexOfAscii("YUV4MPEG2")
+    val spark = assets.sparkSession
     assets
       .select(col("asset_id"), col("bytes"),
         octet_length(col("bytes")).cast("long").as("n"),
-        // 256 bytes covers headers with several X-extension params; a
-        // header longer than that reports is_valid = false (visible, not
-        // wrong)
-        hex(substring(col("bytes"), 1, 256)).as("__hh"))
+        graft.functions.MediaNativeFunctions.y4mHeaderParse(spark, col("bytes"))
+          .as("__h"))
       .select(col("asset_id"), col("bytes"), col("n"),
-        regexp_extract(col("__hh"), s"^$magic($notNl*)0A", 1).as("__params"))
-      .select(col("asset_id"), col("bytes"), col("n"),
-        // params region present at all? '' also means no newline in the
-        // first 256 bytes — not a parseable Y4M header
-        (length(col("__params")) > 0).as("__hdr_ok"),
-        // frame data starts after magic(9) + params + newline(1); hex
-        // length is even, so SQL integer div is exact
-        expr("10 + length(__params) div 2").cast("long").as("poff"),
-        regexp_replace(
-          regexp_extract(col("__params"), s"2057($dig{1,8})", 1),
-          "3([0-9])", "$1").as("__wd"),
-        regexp_replace(
-          regexp_extract(col("__params"), s"2048($dig{1,8})", 1),
-          "3([0-9])", "$1").as("__hd"),
-        // colorspace tag: pairs after " C" until the next space/end
-        regexp_extract(col("__params"),
-          s"2043($notNl*?)(?:20|$$)", 1).as("__cs"))
-      .select(col("asset_id"), col("bytes"), col("n"), col("__hdr_ok"),
-        col("poff"),
-        nullif(col("__wd"), lit("")).cast("long").as("w"),
-        nullif(col("__hd"), lit("")).cast("long").as("hgt"),
-        // no C tag defaults to 420 per the public spec
-        when(col("__cs") === "", lit("420"))
-          .otherwise(col("__cs")).as("__cshex"))
-      .withColumn("__mono", col("__cshex") === hexOfAscii("mono"))
-      // the 8-BIT 4:2:0 family, whitelisted exactly: C420 plus the
-      // chroma-SITING suffixes (jpeg/mpeg2/paldv), which share the plane
-      // layout luma math reads. Bit-depth variants (C420p10/p12/p16) use
-      // 2 bytes per sample — a prefix match would "validate" them and
-      // report garbage sums, so they are deliberately NOT matched and
-      // surface as is_valid = false. "420" (unhexed) is the no-tag
-      // default marker from above.
-      .withColumn("__c420",
-        col("__cshex").isin(
-          hexOfAscii("420"), hexOfAscii("420jpeg"),
-          hexOfAscii("420mpeg2"), hexOfAscii("420paldv"), "420"))
-      .withColumn("fsize",
-        when(col("__mono"), col("w") * col("hgt"))
-          .otherwise(col("w") * col("hgt") +
-            lit(2L) * expr("(w + 1) div 2") * expr("(hgt + 1) div 2")))
-      .withColumn("__nframes",
-        when(col("w").isNotNull && col("hgt").isNotNull && col("fsize") > 0L,
-          expr("(n - poff) div (6 + fsize)")).otherwise(lit(0L)))
-      .withColumn("is_valid",
-        col("__hdr_ok") && col("w").isNotNull && col("hgt").isNotNull &&
-          col("w") >= 1L && col("hgt") >= 1L &&
-          (col("__mono") || col("__c420")) && col("__nframes") >= 1L &&
-          col("n") === col("poff") + col("__nframes") * (lit(6L) + col("fsize")))
-      .select(col("asset_id"), col("bytes"), col("n"), col("w"), col("hgt"),
-        col("fsize"), col("poff"), col("__nframes").as("n_frames"),
-        col("is_valid"))
+        col("__h.w").as("w"), col("__h.hgt").as("hgt"),
+        col("__h.fsize").as("fsize"), col("__h.poff").as("poff"),
+        col("__h.n_frames").as("n_frames"),
+        col("__h.is_valid").as("is_valid"))
   }
 
   /** Per-frame luma report through the real Y4M parse (E224): one row per
@@ -1082,47 +1129,35 @@ object Multimodal {
     * sequential scan). Such files fail the exact-length check and surface
     * as is_valid = false rather than decode wrong.
     *
-    * Scale: the bmpStats discipline in three bounded levels — frames,
-    * then rows, then columns — so generated arrays stay
-    * max(n_frames, hgt, w) (a 2-hour video never materializes one
-    * per-pixel array), every byte access is an O(1) binary slice, and
-    * the (asset, frame) aggregation map-side-combines.
+    * Scale: ONE native pass per asset
+    * ([[graft.functions.MediaWalks.y4mFrames]]) emitting the n_frames
+    * (marker_ok, sum_y) struct array — strictly smaller than the asset's
+    * own bytes, so nothing per-pixel (or even per-row) ever materializes,
+    * and no pixel mass crosses a shuffle (the exploded predecessor's
+    * 3-level frame/row/column walk outgrew Janino's 64 KB limit into
+    * interpreted fallback); the posexplode is per FRAME, the asset's
+    * natural output granularity.
     */
-  def y4mFrameLuma(assets: DataFrame): DataFrame =
+  def y4mFrameLuma(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
     y4mHeader(assets)
-      .select(col("asset_id"), col("is_valid"), col("bytes"),
+      .select(col("asset_id"), col("is_valid"),
         when(col("is_valid"), col("w")).as("w"),
         when(col("is_valid"), col("hgt")).as("hgt"),
-        col("fsize"), col("poff"), col("n_frames"))
-      // invalid assets ride the same walk as a single null-frame row
-      .withColumn("f",
-        explode_outer(when(col("is_valid"),
-          sequence(lit(0L), col("n_frames") - 1))))
-      .withColumn("__foff", col("poff") + col("f") * (lit(6L) + col("fsize")))
-      .withColumn("marker_ok",
-        when(col("f").isNotNull,
-          expr("hex(substring(bytes, cast(__foff + 1 as int), 6))") ===
-            hexOfAscii("FRAME\n")))
-      .withColumn("y",
-        explode_outer(when(col("f").isNotNull,
-          sequence(lit(0L), col("hgt") - 1))))
-      .withColumn("x",
-        explode_outer(when(col("y").isNotNull,
-          sequence(lit(0L), col("w") - 1))))
-      .select(col("asset_id"), col("is_valid"), col("f").as("frame_idx"),
-        col("marker_ok"), col("w"), col("hgt"),
-        when(col("x").isNotNull,
-          expr("cast(conv(hex(substring(bytes, " +
-            "cast(__foff + 6 + y * w + x + 1 as int), 1)), 16, 10) as bigint)"))
-          .as("b"))
-      .groupBy("asset_id", "is_valid", "frame_idx", "w", "hgt")
-      .agg(
-        min(col("marker_ok")).as("marker_ok"),
-        sum(col("b")).as("sum_y"))
-      .select(col("asset_id"), col("is_valid"), col("frame_idx"),
-        col("marker_ok"), col("sum_y"),
-        when(col("is_valid"), expr("(sum_y * 1000) div (w * hgt)"))
+        // invalid assets skip the walk entirely (null array) and surface
+        // below as a single null-stats row via the OUTER posexplode
+        when(col("is_valid"),
+          graft.functions.MediaNativeFunctions.y4mFrameWalk(spark,
+            col("bytes"), col("poff"), col("fsize"), col("w"), col("hgt"),
+            col("n_frames"))).as("frames"))
+      .select(col("asset_id"), col("is_valid"), col("w"), col("hgt"),
+        posexplode_outer(col("frames")).as(Seq("f", "fr")))
+      .select(col("asset_id"), col("is_valid"),
+        col("f").cast("long").as("frame_idx"),
+        col("fr.marker_ok").as("marker_ok"), col("fr.sum_y").as("sum_y"),
+        when(col("is_valid"), expr("(fr.sum_y * 1000) div (w * hgt)"))
           .as("mean_y_milli"))
+  }
 
   /** Scene-cut detection through the container (E225): adjacent-frame
     * mean-luma deltas per asset, cuts where |Δ| ≥ `thresholdMilli` — the

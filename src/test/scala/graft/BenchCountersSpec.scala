@@ -53,4 +53,46 @@ class BenchCountersSpec extends SparkSpec {
       assert(listener.snapshot("group-a").isEmpty, "reset must clear the group")
     } finally sc.removeSparkListener(listener)
   }
+
+  test("byte-drift gate: counters parse, and a synthetic plan change flags") {
+    // a committed query_counters line in the exact format Bench writes
+    val line =
+      """{"metric":"query_counters","agg":"last_pass","queries":{""" +
+        """"q1_agg":{"wall_s":1.234,"output_rows":10,"shuffle_read_bytes":1000000,"shuffle_write_bytes":1000000,"input_bytes":5,"records_read":6,"peak_execution_memory":7},""" +
+        """"q2_map":{"wall_s":0.5,"output_rows":3,"shuffle_read_bytes":0,"shuffle_write_bytes":0,"input_bytes":5,"records_read":6,"peak_execution_memory":7},""" +
+        """"q3_missing":{"wall_s":0.5,"output_rows":3,"shuffle_read_bytes":-1,"shuffle_write_bytes":-1,"input_bytes":5,"records_read":6,"peak_execution_memory":7}},""" +
+        """"commit":"abc","dirty":false}"""
+    val prev = ByteDrift.parseCounters(line)
+    assert(prev === Map(
+      "q1_agg" -> (1000000L, 1000000L),
+      "q2_map" -> (0L, 0L),
+      "q3_missing" -> (-1L, -1L)))
+    // a plan regression: q1's shuffle bytes grow 2x while everything else
+    // is identical — the gate must flag exactly q1
+    val regressed = prev.updated("q1_agg", (2000000L, 2000000L))
+    val fl = ByteDrift.flagged(prev, regressed)
+    assert(fl.map(_._1) === Seq("q1_agg"))
+    assert(math.abs(fl.head._2 - 2.0) < 0.01)
+    // identical counters: quiet
+    assert(ByteDrift.flagged(prev, prev).isEmpty)
+    // within-tolerance jitter on a big query: quiet
+    assert(ByteDrift.flagged(prev,
+      prev.updated("q1_agg", (1020000L, 1000000L))).isEmpty)
+    // sub-floor wiggle on a map-only query: quiet (one-partition noise is
+    // not a plan change)
+    assert(ByteDrift.flagged(prev,
+      prev.updated("q2_map", (40000L, 0L))).isEmpty)
+    // crossing the floor by a lot IS a plan change (a map-only query that
+    // starts shuffling)
+    assert(ByteDrift.flagged(prev,
+      prev.updated("q2_map", (300000L, 300000L))).map(_._1) === Seq("q2_map"))
+    // -1 sentinels (metrics missing) compare nothing
+    assert(ByteDrift.flagged(prev,
+      prev.updated("q3_missing", (99999999L, 0L))).isEmpty)
+    // added/removed queries are not drift
+    assert(ByteDrift.flagged(prev, prev + ("q9_new" -> (500000L, 0L))).isEmpty)
+    // a truncated committed line degrades to no baseline, never throws
+    assert(ByteDrift.parseCounters("{\"metric\":\"query_counters\",\"quer")
+      === Map.empty)
+  }
 }

@@ -454,14 +454,18 @@ class PlanSpec extends SparkSpec {
       "QOI decodes inside one native expression — no per-pixel explode")
   }
 
-  test("q262: dhash cells combine map-side; the pixel walk never joins") {
+  test("q262: dhash is one native scalar pass — map-only, no explode, no shuffle") {
     val p = plan("q262_image_dhash")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "dhash is explode + aggregate, never a join")
-    assert(p.contains("Generate"), "the pixel walk is an engine-side explode")
-    assert(p.contains("partial_sum"),
-      "cell luma sums must combine map-side — at most 72 cells per asset " +
-        "cross the wire, regardless of megapixels")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      "dhash is a per-asset scalar, never a join")
+    // the round-9 exploded pipeline shipped 72 cells per asset through a
+    // shuffle and its fused pivot stage fell back interpreted; the native
+    // walk decodes inside the scan stage and ships 3 longs per asset
+    assert(!p.contains("Generate"),
+      "dhash decodes inside one native expression — no per-pixel explode")
+    assert(!p.contains("Exchange"),
+      "the grid walk aggregates inside the expression — nothing shuffles")
   }
 
   test("q263: near-dup candidates come from the band equi-join of the pinned hash frame") {
@@ -494,13 +498,18 @@ class PlanSpec extends SparkSpec {
       "fingerprint frame must be pinned, not re-derived per branch")
   }
 
-  test("q266: Y4M frame walk is bounded explodes + map-side combine, no join") {
+  test("q266: Y4M frame walk is one native pass + a per-FRAME explode, no shuffle") {
     val p = plan("q266_y4m_frames")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "the container walk must be a single scan's explodes, never a join")
-    assert(p.contains("Generate"), "frames/rows/columns explode engine-side")
-    assert(p.contains("partial_sum"),
-      "per-frame luma sums must combine map-side")
+      "the container walk must be a single scan's projection, never a join")
+    // the only Generate is the posexplode of the per-FRAME struct array
+    // (the asset's natural output granularity) — pixels and rows never
+    // materialize, and nothing aggregates or shuffles downstream
+    assert(p.contains("Generate"), "frames posexplode engine-side")
+    assert(!p.contains("Exchange"),
+      "per-frame sums come out of the native walk — nothing shuffles")
+    assert(!p.contains("partial_sum"),
+      "no aggregate remains: the walk already summed each frame's plane")
   }
 
   test("q267: scene cuts lag over the per-frame aggregate, partitioned by asset") {

@@ -28,12 +28,21 @@ class ImageDHashSpec extends SparkSpec {
         struct(lit("test").as("source"), lit("bin").as("mime")).as("meta"))
   }
 
+  /** encodeBmp with the materialization boundary Multimodal's composition
+    * note prescribes for synthesized-bytes inputs — without it the encode
+    * expression inlines into every header-byte access of the decode and
+    * the fused stage outgrows Janino's 64 KB limit (the exact interpreted
+    * fallback the native walks exist to prevent).
+    */
+  private def encodedBmp(assets: org.apache.spark.sql.DataFrame, width: Int) =
+    Multimodal.encodeBmp(assets, width).localCheckpoint()
+
   test("dhash grid math: monotone gradient sets every bit, reverse sets none") {
     val assets = assetsOf(
       1L -> gridPayload(x => x * 10), // brighter to the right: all bits 1
       2L -> gridPayload(x => 80 - x * 10), // darker to the right: all 0
       3L -> gridPayload(_ => 7)) // flat: ties are 0 (strict >)
-    val dh = Multimodal.bmpDHash(Multimodal.encodeBmp(assets, width = 9))
+    val dh = Multimodal.bmpDHash(encodedBmp(assets, width = 9))
       .collect().map(r => r.getAs[Long]("asset_id") ->
         (r.getAs[Long]("dhash_lo"), r.getAs[Long]("dhash_hi"))).toMap
     assert(dh(1L) === (4294967295L, 4294967295L))
@@ -78,7 +87,7 @@ class ImageDHashSpec extends SparkSpec {
     // width=6 BMP can never reach 9 grid columns
     val assets = Multimodal.documentsAsAssets(
       Tables.documents(spark, sf0001).filter(col("doc_id") < 10))
-    val dh = Multimodal.bmpDHash(Multimodal.encodeBmp(assets, width = 6))
+    val dh = Multimodal.bmpDHash(encodedBmp(assets, width = 6))
     assert(dh.count() === 0)
   }
 
@@ -90,7 +99,7 @@ class ImageDHashSpec extends SparkSpec {
     oneCell(2 * 28 + 4 * 3) = (oneCell(2 * 28 + 4 * 3) + 2).toByte
     val assets = assetsOf(1L -> base, 2L -> base.clone(), 3L -> oneCell)
     val pairs = Multimodal.dhashNearDup(
-      Multimodal.bmpDHash(Multimodal.encodeBmp(assets, width = 9)),
+      Multimodal.bmpDHash(encodedBmp(assets, width = 9)),
       maxHamming = 6)
       .collect()
       .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")) ->
@@ -105,7 +114,7 @@ class ImageDHashSpec extends SparkSpec {
       .select(col("doc_id"), col("text"), col("source"))
     val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" " * 9)).as("text"), col("source"))
-    val hashes = Multimodal.bmpDHash(Multimodal.encodeBmp(
+    val hashes = Multimodal.bmpDHash(encodedBmp(
       Multimodal.documentsAsAssets(docs.unionByName(variants)), width = 16))
       .localCheckpoint()
     val viaBands = Multimodal.dhashNearDup(hashes, maxHamming = 6)
@@ -122,5 +131,68 @@ class ImageDHashSpec extends SparkSpec {
     } yield (a, b, d.toLong)).toSet
     assert(viaBands === brute)
     assert(brute.nonEmpty, "fixture produced no near-dup pairs")
+  }
+
+  test("hot band bucket is block-salted: lossless pairs, no k^2 join key") {
+    // a degenerate-but-realistic corpus: hundreds of near-constant images
+    // whose fingerprints are IDENTICAL (not byte-identical assets, so
+    // exact dedup would pass them) — every asset lands in the same bucket
+    // of every band. With a small cap the join must run per block pair
+    // and still return every pair.
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 600
+    val cap = 64
+    val hashes = (0 until n).map(i => (i.toLong, 12345L, 67890L))
+      .toDF("asset_id", "dhash_lo", "dhash_hi")
+    // block geometry: every band bucket holds all n assets, so each must
+    // split into ceil(n/cap) blocks, and no block may exceed the cap by
+    // more than hash-skew slack (3x is generous for xxhash64 on 600 keys)
+    val blocked = Multimodal
+      .fingerprintBlocked(hashes, "dhash_lo", "dhash_hi", cap)
+      .localCheckpoint()
+    val expectBlocks = (n + cap - 1) / cap
+    val geom = blocked.groupBy("band_id", "band_val", "blk")
+      .count().collect()
+    assert(geom.map(_.getAs[Int]("blk")).distinct.length === expectBlocks,
+      "hot bucket did not split into the expected block count")
+    assert(geom.map(_.getAs[Long]("count")).max <= 3L * cap,
+      "a single block carries far more than the cap")
+    assert(blocked.select(col("nblocks")).distinct().head.getInt(0)
+      === expectBlocks)
+    // losslessness under blocking: every pair of the n identical
+    // fingerprints is returned exactly once, at hamming 0
+    val pairs = Multimodal.fingerprintNearDup(
+      hashes, "dhash_lo", "dhash_hi", maxHamming = 6, bucketCap = cap)
+    val agg = pairs.agg(count(lit(1)), sum(col("hamming")),
+      countDistinct(col("asset_a"), col("asset_b"))).head
+    assert(agg.getLong(0) === n.toLong * (n - 1) / 2)
+    assert(agg.getLong(1) === 0L)
+    assert(agg.getLong(2) === n.toLong * (n - 1) / 2)
+  }
+
+  test("block-salted join matches the uncapped result on a mixed corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a hot clump (same fingerprint), a warm clump (1 bit off), and
+    // scattered singletons — capped at 8 so both clumps split
+    val rows =
+      (0L until 100L).map(i => (i, 1000L, 2000L)) ++
+      (100L until 160L).map(i => (i, 1001L, 2000L)) ++
+      (160L until 200L).map(i => (i, i * 7919L % 4294967296L,
+        i * 104729L % 4294967296L))
+    val hashes = rows.toDF("asset_id", "dhash_lo", "dhash_hi")
+      .localCheckpoint()
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val capped = asSet(Multimodal.fingerprintNearDup(
+      hashes, "dhash_lo", "dhash_hi", maxHamming = 6, bucketCap = 8))
+    val uncapped = asSet(Multimodal.fingerprintNearDup(
+      hashes, "dhash_lo", "dhash_hi", maxHamming = 6,
+      bucketCap = Int.MaxValue))
+    assert(capped === uncapped)
+    assert(capped.size >= 100 * 99 / 2 + 60 * 59 / 2 + 100 * 60,
+      "fixture must exercise both clumps and the cross-clump pairs")
   }
 }

@@ -207,6 +207,11 @@ class QoiCodecSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
     rows.foreach { r =>
       assert(r.getAs[Long]("raw_bytes") > 0L)
+      // raw_bytes counts the CONSUMED whole-row prefix, which for RGB is
+      // exactly 3 bytes per encoded pixel — the compression ratio must
+      // compare compressed bytes against the bytes they actually encode,
+      // not the full payload with its dropped sub-row tail
+      assert(r.getAs[Long]("raw_bytes") === 3L * r.getAs[Long]("n_pixels"))
       assert(r.getAs[Long]("qoi_bytes") === actual(r.getAs[String]("source")),
         s"derived size drifted from the real stream for ${r.getAs[String]("source")}")
       assert(r.getAs[Long]("compression_micro") ===

@@ -43,6 +43,12 @@ def main():
     ignored = grab(r"canceled \d+, ignored (\d+)")
     all_passed = "All tests passed." in text
     sbt_success = re.search(r"^\[success\]", text, re.M) is not None
+    # Whole-stage-codegen fallback gate (round-9 lesson: six "Code grows
+    # beyond 64 KB" fallbacks shipped unnoticed because nothing counted
+    # them). Any occurrence means a fused stage ran INTERPRETED — a
+    # correctness non-event but a 5-20x CPU tax on whatever loop fell
+    # back, which at 100 TB is the bill. Gate at exactly zero.
+    n_codegen_fallbacks = len(re.findall(r"grows beyond 64 KB", text))
     try:
         commit = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
                                 capture_output=True, text=True).stdout.strip()
@@ -62,9 +68,10 @@ def main():
         "tests_ignored": ignored,
         "all_passed": all_passed,
         "sbt_success": sbt_success,
+        "n_codegen_fallbacks": n_codegen_fallbacks,
     }
     ok = (all_passed and sbt_success and total is not None
-          and failed == 0 and aborted == 0)
+          and failed == 0 and aborted == 0 and n_codegen_fallbacks == 0)
     out["ok"] = ok
     body = json.dumps(out, indent=2) + "\n"
     if args.out:
