@@ -287,7 +287,7 @@ object Main {
           "[--contamination-spans BENCH_DATA_DIR] " +
           "[--mask-contamination BENCH_DATA_DIR] [--tokenizer-economics] " +
           "[--dup-kcore K] [--shared-runs] [--image-near-dups TAU] " +
-          "[--qoi-economics] [--scene-cuts THRESHOLD_MILLI]")
+          "[--qoi-economics] [--scene-cuts THRESHOLD_MILLI] [--png-stats]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -621,6 +621,19 @@ object Main {
             graft.ext.Multimodal.documentsAsAssets(Tables.documents(spark, dir)))
           .orderBy(col("compression_micro"))
           .show(50, truncate = false)
+      }
+      // PNG decode report through the real entropy-coded codec
+      // (documents-as-PNG stand-in; real image lakes feed pngStats off a
+      // storage scan)
+      if (args.contains("--png-stats")) {
+        println("PNG decode stats (CRC-verified chunk walk + inflate + unfilter):")
+        graft.ext.Multimodal.pngStats(
+            graft.ext.Multimodal.encodePng(
+              graft.ext.Multimodal.documentsAsAssets(
+                Tables.documents(spark, dir)), width = 6)
+              .repartition(col("asset_id")).localCheckpoint())
+          .orderBy(col("asset_id"))
+          .show(30, truncate = false)
       }
     }
   }

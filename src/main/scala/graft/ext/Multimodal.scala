@@ -1123,11 +1123,14 @@ object Multimodal {
     * null stats (the bmpStats discipline: a corrupt asset is a visible
     * finding, never a dropped row).
     *
-    * Coverage note: frame markers are required to be exactly "FRAME\n" —
-    * the fixed-stride walk cannot address per-frame parameters
-    * ("FRAME <params>\n" is spec-legal but variable-stride, which needs a
-    * sequential scan). Such files fail the exact-length check and surface
-    * as is_valid = false rather than decode wrong.
+    * Variable-stride coverage: spec-legal "FRAME <params>\n" frames (per-
+    * frame parameters, so no arithmetic layout exists) decode too — when
+    * the exact fixed-stride length check fails, the native walk scans the
+    * marker lines sequentially and accepts iff the whole tail parses as
+    * frames ([[graft.functions.MediaWalks.y4mFrames]]); fixed-stride
+    * acceptance stays marker-AGNOSTIC so a desynced-but-length-consistent
+    * stream still surfaces per frame as marker_ok = false, never as a
+    * dropped asset.
     *
     * Scale: ONE native pass per asset
     * ([[graft.functions.MediaWalks.y4mFrames]]) emitting the n_frames

@@ -174,43 +174,120 @@ object MediaWalks {
     val fsize =
       if (mono) w * hgt
       else w * hgt + 2L * ((w + 1) / 2) * ((hgt + 1) / 2)
-    val nFrames = (n - poff) / (6 + fsize)
-    val valid = nFrames >= 1 && n == poff + nFrames * (6 + fsize)
-    Y4mHeader(w, hgt, fsize, poff, nFrames, valid)
+    // FIXED-STRIDE acceptance first (marker-agnostic, so a desynced but
+    // length-consistent stream stays valid and surfaces per frame as
+    // marker_ok = false — the pinned desync contract); canonical
+    // "FRAME\n" files land here. Only when the exact-length check fails
+    // does the VARIABLE-STRIDE scan run: spec-legal "FRAME <params>\n"
+    // frames have per-frame widths no arithmetic layout can address, so
+    // the scan walks marker lines sequentially and accepts iff the whole
+    // tail parses as frames.
+    val nFixed = (n - poff) / (6 + fsize)
+    if (nFixed >= 1 && n == poff + nFixed * (6 + fsize))
+      return Y4mHeader(w, hgt, fsize, poff, nFixed, isValid = true)
+    val nVar = scanVariableFrames(bytes, poff, fsize)
+    if (nVar >= 1) Y4mHeader(w, hgt, fsize, poff, nVar, isValid = true)
+    else Y4mHeader(w, hgt, fsize, poff, 0, isValid = false)
+  }
+
+  /** Count "FRAME[ <params>]\n<plane>" frames from `poff` to exactly the
+    * end of `bytes`; -1 if the tail does not parse as such frames. The
+    * five marker bytes are REQUIRED per frame here (unlike the fixed
+    * path, which is marker-agnostic and lets desyncs surface per frame):
+    * with variable stride the markers are the only framing there is.
+    */
+  private def scanVariableFrames(bytes: Array[Byte], poff: Long,
+      fsize: Long): Long = {
+    val n = bytes.length
+    var pos = poff
+    var k = 0L
+    while (pos < n) {
+      if (pos + 5 > n) return -1
+      var i = 0
+      while (i < 5) {
+        if (bytes((pos + i).toInt) != FrameMarker(i)) return -1
+        i += 1
+      }
+      pos += 5
+      while (pos < n && bytes(pos.toInt) != 0x0a) pos += 1
+      if (pos >= n) return -1
+      pos += 1 // the newline
+      if (fsize > n - pos) return -1
+      pos += fsize
+      k += 1
+    }
+    if (k >= 1) k else -1
   }
 
   /** Per-frame (marker_ok, luma sum) over a validated Y4M stream: for each
-    * of the `nFrames` fixed-stride frames, verify its "FRAME\n" marker and
-    * sum the w·hgt luma-plane bytes (chroma planes, if any, sit inside
-    * `fsize` after the luma plane and are skipped by construction).
+    * of the `nFrames` frames, verify its "FRAME\n" marker and sum the
+    * w·hgt luma-plane bytes (chroma planes, if any, sit inside `fsize`
+    * after the luma plane and are skipped by construction). Layout follows
+    * the header's acceptance rule: exact fixed stride when the length
+    * matches (marker-AGNOSTIC, so desyncs surface as marker_ok = false),
+    * otherwise the sequential "FRAME[ <params>]\n" scan, where the marker
+    * line is the framing itself (marker_ok = true by construction).
     * Returns null when the claimed layout overruns the real bytes.
     */
   def y4mFrames(bytes: Array[Byte], poff: Long, fsize: Long, w: Long,
       hgt: Long, nFrames: Long): Array[(Boolean, Long)] = {
     val lumaLen = w * hgt // ≤ 10^16 (dims are ≤ 8 decimal digits): no wrap
-    // frame-count bound via DIVISION (overflow-proof, as in the dHash walk)
+    val n = bytes.length
     if (w < 1 || hgt < 1 || fsize < lumaLen || nFrames < 1 || poff < 0 ||
-        nFrames > Int.MaxValue || poff > bytes.length ||
-        nFrames > (bytes.length - poff) / (6 + fsize)) return null
+        nFrames > Int.MaxValue || poff > n) return null
+    // bounds via DIVISION (overflow-proof, as in the dHash walk)
+    val span = n - poff
+    val fixed = nFrames <= span / (6 + fsize) &&
+      span == nFrames * (6 + fsize)
     val out = new Array[(Boolean, Long)](nFrames.toInt)
-    var f = 0
-    while (f < nFrames) {
-      val foff = (poff + f * (6 + fsize)).toInt
-      var markerOk = true
-      var k = 0
-      while (k < 6) {
-        if (bytes(foff + k) != FrameMarker(k)) markerOk = false
-        k += 1
+    if (fixed) {
+      var f = 0
+      while (f < nFrames) {
+        val foff = (poff + f * (6 + fsize)).toInt
+        var markerOk = true
+        var k = 0
+        while (k < 6) {
+          if (bytes(foff + k) != FrameMarker(k)) markerOk = false
+          k += 1
+        }
+        var sum = 0L
+        var i = 0
+        val base = foff + 6
+        while (i < lumaLen) {
+          sum += bytes(base + i) & 0xff
+          i += 1
+        }
+        out(f) = (markerOk, sum)
+        f += 1
       }
-      var sum = 0L
-      var i = 0
-      val base = foff + 6
-      while (i < lumaLen) {
-        sum += bytes(base + i) & 0xff
-        i += 1
+    } else {
+      // variable-stride: mirror the header's sequential scan exactly
+      var pos = poff
+      var f = 0
+      while (f < nFrames) {
+        if (pos + 5 > n) return null
+        var i = 0
+        while (i < 5) {
+          if (bytes((pos + i).toInt) != FrameMarker(i)) return null
+          i += 1
+        }
+        pos += 5
+        while (pos < n && bytes(pos.toInt) != 0x0a) pos += 1
+        if (pos >= n) return null
+        pos += 1
+        if (fsize > n - pos) return null
+        var sum = 0L
+        var j = 0
+        val base = pos.toInt
+        while (j < lumaLen) {
+          sum += bytes(base + j) & 0xff
+          j += 1
+        }
+        out(f) = (true, sum)
+        pos += fsize
+        f += 1
       }
-      out(f) = (markerOk, sum)
-      f += 1
+      if (pos != n) return null
     }
     out
   }

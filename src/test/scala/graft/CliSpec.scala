@@ -142,4 +142,12 @@ class CliSpec extends SparkSpec {
       "economics columns missing")
     assert(out.contains("source"), "per-source rows missing")
   }
+
+  test("--png-stats prints the entropy-coded decode report") {
+    val out = runCli("--png-stats")
+    assert(out.contains("PNG decode stats"), "header missing")
+    assert(out.contains("mean_luma_milli") && out.contains("idat_bytes"),
+      "decode columns missing")
+    assert(out.contains("true"), "no asset decoded as valid")
+  }
 }

@@ -512,6 +512,25 @@ class PlanSpec extends SparkSpec {
       "no aggregate remains: the walk already summed each frame's plane")
   }
 
+  test("q268: PNG decode is one scalar pass per asset — no join, no explode") {
+    val p = plan("q268_png_stats")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      "decode must be a single projection over the asset scan")
+    assert(!p.contains("Generate"),
+      "PNG inflates + unfilters inside one native expression — no explode")
+    assert(!p.contains("Exchange"),
+      "per-asset stats come out of the expression — nothing shuffles")
+  }
+
+  test("q270: whole-corpus Y4M walk keeps the q266 shape (no shuffle)") {
+    val p = plan("q270_y4m_scale")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the container walk must be a single scan's projection, never a join")
+    assert(!p.contains("Exchange"),
+      "per-frame sums come out of the native walk — nothing shuffles")
+  }
+
   test("q267: scene cuts lag over the per-frame aggregate, partitioned by asset") {
     val p = plan("q267_scene_cuts")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

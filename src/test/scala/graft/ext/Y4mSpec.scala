@@ -92,6 +92,43 @@ class Y4mSpec extends SparkSpec {
     assert(Multimodal.y4mSceneCuts(assetsOf(4L -> tenBit)).count() === 0)
   }
 
+  test("variable-stride FRAME <params> frames decode via the sequential scan") {
+    // spec-legal per-frame parameters: no fixed stride exists, so the
+    // exact-length check fails and the marker-line scan must carry it
+    // (params sized so the total tail is NOT divisible by the fixed
+    // stride: a coincidental length match decodes via the marker-agnostic
+    // fixed path and surfaces its garbage markers as marker_ok = false)
+    val varStride = ascii("YUV4MPEG2 W2 H2 Cmono\n") ++
+      ascii("FRAME Xtag=12\n") ++ Array[Byte](10, 20, 30, 40) ++
+      ascii("FRAME\n") ++ Array[Byte](1, 2, 3, 4) ++
+      ascii("FRAME I5\n") ++ Array[Byte](5, 5, 5, 5)
+    // and the C420 variant skips chroma inside fsize exactly as fixed does
+    val varC420 = ascii("YUV4MPEG2 W2 H2 C420\n") ++
+      ascii("FRAME T\n") ++ Array[Byte](7, 7, 7, 7, 99, 99)
+    val frames = Multimodal.y4mFrameLuma(
+      assetsOf(1L -> varStride, 2L -> varC420))
+      .collect().map(r => (r.getAs[Long]("asset_id"),
+        r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Boolean]("is_valid"), r.getAs[Boolean]("marker_ok"),
+          r.getAs[Long]("sum_y"))).toMap
+    assert(frames((1L, 0L)) === ((true, true, 100L)))
+    assert(frames((1L, 1L)) === ((true, true, 10L)))
+    assert(frames((1L, 2L)) === ((true, true, 20L)))
+    assert(frames((2L, 0L)) === ((true, true, 28L)))
+    // truncated variable container (last plane short) stays invalid —
+    // dropped by 2 so the tail also cannot masquerade as a fixed layout
+    // (a coincidental fixed-length match is DEFINED to decode via the
+    // marker-agnostic fixed path, surfacing its markers as false)
+    val truncated = varStride.dropRight(2)
+    val bad = Multimodal.y4mFrameLuma(assetsOf(3L -> truncated)).collect()
+    assert(bad.length === 1 && !bad.head.getAs[Boolean]("is_valid"))
+    // a marker typo mid-stream desyncs the scan: invalid, never wrong sums
+    val typo = varStride.clone()
+    typo(22 + 14 + 4 + 2) = 'X'.toByte // corrupt the second frame's marker
+    val bad2 = Multimodal.y4mFrameLuma(assetsOf(4L -> typo)).collect()
+    assert(bad2.length === 1 && !bad2.head.getAs[Boolean]("is_valid"))
+  }
+
   test("scene cuts: a hard luma jump is reported, steady frames are not") {
     val quiet = Array.fill(24)(10.toByte)
     val loud = Array.fill(24)(200.toByte)
