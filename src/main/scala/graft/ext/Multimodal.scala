@@ -433,12 +433,14 @@ object Multimodal {
   // little-endian header, PPM's header is ASCII text — "P6", whitespace,
   // decimal width, whitespace, decimal height, whitespace, maxval, ONE
   // whitespace, then raw UNPADDED RGB triplets (per the public Netpbm
-  // format). The header parse happens in HEX SPACE (an ASCII digit is a
-  // "3x" hex pair, whitespace is 0A/20/09/0D) so no binary→string cast is
-  // ever needed — casting a BLOB with non-UTF-8 pixel bytes to VARCHAR
-  // errors in DuckDB, and hex-space regexes replay identically in both
-  // engines. Proves the pixel walk is format-generic: padded/BGR (BMP)
-  // vs unpadded/RGB (PPM) differ only in stride and byte order.
+  // format, including #-comments in the pre-token whitespace runs). The
+  // header parses in one native pass per asset (functions/
+  // MediaExpressions.PpmHeaderParse); the q257 oracle replays the
+  // CANONICAL single-space header parse in DuckDB hex space — on
+  // canonical headers (all the encoder ever writes) the two parses are
+  // value-identical, and the wider Netpbm acceptance is spec-pinned
+  // engine-side. Proves the pixel walk is format-generic: padded/BGR
+  // (BMP) vs unpadded/RGB (PPM) differ only in stride and byte order.
   // ------------------------------------------------------------------
 
   /** Encode each asset's payload bytes as a valid binary PPM (P6) of the
@@ -459,48 +461,36 @@ object Multimodal {
     assets.filter(h >= 1L).withColumn("bytes", unhex(concat(hdrHex, pixHex)))
   }
 
-  /** PPM (P6) header parse: regex over the hex of a bounded 30-byte prefix
-    * (header ≤ 2+1+8+1+8+1+8+1 bytes at 8-digit dims) extracts the decimal
-    * width/height/maxval digit runs; digit pairs "3d" map to "d" via one
-    * regexp_replace, and the pixel offset is computable from the matched
-    * digit-run lengths. Emits the (asset_id, is_valid, w, hgt, bytes,
-    * stride, poff) frame [[pixelChannelStats]] expects, stride = 3·w
-    * (PPM rows are unpadded). Only maxval 255 (8-bit channels) decodes;
-    * anything else — wrong magic, 16-bit maxval, dims beyond the actual
-    * byte length — reports is_valid = false (a corrupt asset is a visible
-    * finding), and the size-consistency check bounds the pixel explosion
-    * by the asset's real byte length, so a forged header cannot blow up
-    * the plan.
+  /** PPM (P6) header parse — ONE native single-pass expression per asset
+    * ([[graft.functions.MediaWalks.ppmHeader]]): "P6", three decimal
+    * tokens each preceded by a whitespace run — where `#`-to-end-of-line
+    * comments are allowed, per the public Netpbm format — then the single
+    * whitespace byte that delimits the raster. Emits the (asset_id,
+    * is_valid, w, hgt, bytes, stride, poff) frame [[pixelChannelStats]]
+    * expects, stride = 3·w (PPM rows are unpadded). Only maxval 255
+    * (8-bit channels) decodes; anything else — wrong magic, 16-bit
+    * maxval, dims beyond the actual byte length — reports is_valid =
+    * false (a corrupt asset is a visible finding), and the
+    * size-consistency check bounds the pixel explosion by the asset's
+    * real byte length, so a forged header cannot blow up the plan.
     *
-    * Coverage note (the Y4M FRAME-params discipline): separators are
-    * required to be exactly ONE whitespace byte and `#` comment lines are
-    * not recognized — Netpbm-spec-legal headers with multi-whitespace
-    * runs or comments report is_valid = false (a safe, visible failure,
-    * never a misframed pixel walk). Canonical single-space headers — what
-    * every common encoder writes — parse fully.
+    * The former hex-space regex parse accepted only single-whitespace
+    * comment-free headers (a documented Netpbm coverage gap, now closed)
+    * and belonged to the projection-collapse duplication hazard class the
+    * Y4M parse hit; the native pass reads at most 512 header bytes per
+    * asset and cannot be duplicated by collapse (codegen CSE shares the
+    * one call across the struct-field extracts).
     */
   private def ppmHeader(assets: DataFrame): DataFrame = {
-    val ws = "(?:0A|20|09|0D)"
-    val dig = "(?:3[0-9])"
-    val pat = s"^5036$ws($dig{1,8})$ws($dig{1,8})$ws($dig{1,8})$ws"
-    def digits(grp: Int) =
-      regexp_replace(regexp_extract(col("__hh"), pat, grp), "3([0-9])", "$1")
+    val spark = assets.sparkSession
     assets
       .select(col("asset_id"), col("bytes"),
         octet_length(col("bytes")).cast("long").as("n"),
-        hex(substring(col("bytes"), 1, 30)).as("__hh"))
+        graft.functions.MediaNativeFunctions.ppmHeaderParse(spark, col("bytes"))
+          .as("__h"))
       .select(col("asset_id"), col("bytes"), col("n"),
-        digits(1).as("__wd"), digits(2).as("__hd"), digits(3).as("__md"))
-      .select(col("asset_id"), col("bytes"), col("n"),
-        // ANSI cast throws on '' (no regex match) — a non-header is a
-        // null field, not an error
-        nullif(col("__wd"), lit("")).cast("long").as("w"),
-        nullif(col("__hd"), lit("")).cast("long").as("hgt"),
-        nullif(col("__md"), lit("")).cast("long").as("maxv"),
-        // "P6"(2) + 4 single-whitespace separators = 6 fixed bytes, plus
-        // the three decimal digit runs
-        (lit(6L) + length(col("__wd")) + length(col("__hd")) +
-          length(col("__md"))).as("poff"))
+        col("__h.w").as("w"), col("__h.hgt").as("hgt"),
+        col("__h.maxv").as("maxv"), col("__h.poff").as("poff"))
       .withColumn("stride", col("w") * 3L)
       .withColumn("is_valid",
         col("w").isNotNull && col("hgt").isNotNull &&
@@ -508,8 +498,8 @@ object Multimodal {
           col("n") >= col("poff") + col("hgt") * col("stride"))
   }
 
-  /** Decode binary PPM (P6) assets natively (E216): ASCII header parse in
-    * hex space, then the same two-level pixel explode as [[bmpStats]] —
+  /** Decode binary PPM (P6) assets natively (E216): native Netpbm header
+    * parse, then the same two-level pixel explode as [[bmpStats]] —
     * exact per-channel sums plus the fixed-point mean luma
     * ⌊Σ(299R+587G+114B)/n⌋. Scale notes are bmpStats': per-row generated
     * arrays stay max(w, h); every byte access is codegen'd hex arithmetic;

@@ -219,6 +219,62 @@ object MediaWalks {
     if (k >= 1) k else -1
   }
 
+  /** Parsed PPM (P6) header: -1 for null-equivalent fields. */
+  final case class PpmHeader(w: Long, hgt: Long, maxv: Long, poff: Long)
+
+  /** Single-pass binary-PPM (P6) header parse per the public Netpbm
+    * format: "P6", then three decimal tokens (width, height, maxval) each
+    * preceded by a whitespace run — where `#`-to-end-of-line comments are
+    * allowed, per the spec — and after maxval EXACTLY ONE whitespace byte
+    * (the raster delimiter; no comment can sit there), then raw RGB
+    * triplets. Bounded at the first 512 bytes: a header longer than that
+    * (pathological comment walls) reports null fields — visible, never
+    * misframed. Tokens longer than 8 digits are rejected, matching the
+    * prior regex parse. This native pass replaces the hex-space regex
+    * parse, which (a) could only accept single-whitespace comment-free
+    * headers — a documented Netpbm coverage gap — and (b) belonged to the
+    * same projection-collapse duplication hazard class the Y4M parse hit.
+    */
+  def ppmHeader(bytes: Array[Byte]): PpmHeader = {
+    val invalid = PpmHeader(-1, -1, -1, -1)
+    val lim = math.min(bytes.length, 512)
+    if (lim < 2 || bytes(0) != 'P' || bytes(1) != '6') return invalid
+    var pos = 2
+    @inline def isWs(b: Byte): Boolean =
+      b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0d
+    // whitespace run with #-comments; returns false if NO whitespace (or
+    // comment) was consumed — tokens must be delimited
+    def skipWs(): Boolean = {
+      val start = pos
+      var more = true
+      while (more && pos < lim) {
+        if (isWs(bytes(pos))) pos += 1
+        else if (bytes(pos) == '#') {
+          while (pos < lim && bytes(pos) != 0x0a && bytes(pos) != 0x0d) pos += 1
+        } else more = false
+      }
+      pos > start
+    }
+    def token(): Long = {
+      if (!skipWs()) return -1
+      var v = 0L
+      var k = 0
+      while (pos < lim && k <= 8 && bytes(pos) >= 0x30 && bytes(pos) <= 0x39) {
+        v = v * 10 + (bytes(pos) - 0x30)
+        pos += 1
+        k += 1
+      }
+      if (k < 1 || k > 8) -1 else v
+    }
+    val w = token()
+    val hgt = token()
+    val maxv = token()
+    if (w < 0 || hgt < 0 || maxv < 0) return invalid
+    // the raster delimiter: exactly one whitespace byte, then pixel data
+    if (pos >= lim || !isWs(bytes(pos))) return invalid
+    PpmHeader(w, hgt, maxv, pos + 1L)
+  }
+
   /** Per-frame (marker_ok, luma sum) over a validated Y4M stream: for each
     * of the `nFrames` frames, verify its "FRAME\n" marker and sum the
     * w·hgt luma-plane bytes (chroma planes, if any, sit inside `fsize`
@@ -367,6 +423,37 @@ case class Y4mHeaderParse(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_ppm_header(bytes)`: single-pass PPM (P6) header parse →
+  * struct(w, hgt, maxv, poff), all fields null when the header does not
+  * parse. Validity (maxval 255, dims fit the real bytes) is judged by the
+  * DataFrame side, which owns the byte-length arithmetic.
+  */
+case class PpmHeaderParse(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("w", LongType, nullable = true),
+    StructField("hgt", LongType, nullable = true),
+    StructField("maxv", LongType, nullable = true),
+    StructField("poff", LongType, nullable = true)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_ppm_header expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = MediaWalks.ppmHeader(input.asInstanceOf[Array[Byte]])
+    if (h.poff < 0) InternalRow(null, null, null, null)
+    else InternalRow(h.w, h.hgt, h.maxv, h.poff)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_y4m_frames(bytes, poff, fsize, w, hgt, n_frames)`: one pass per
   * asset over the Y4M stream → array<struct(marker_ok, sum_y)> of exactly
   * `n_frames` entries (strictly smaller than the asset's own bytes, so the
@@ -421,6 +508,13 @@ object MediaNativeFunctions {
       "graft_y4m_frames", exprs => Y4mFrameWalk(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_y4m_header", exprs => Y4mHeaderParse(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ppm_header", exprs => PpmHeaderParse(exprs.head), "built-in")
+  }
+
+  def ppmHeaderParse(spark: SparkSession, bytes: Column): Column = {
+    register(spark)
+    call_function("graft_ppm_header", bytes)
   }
 
   def y4mHeaderParse(spark: SparkSession, bytes: Column): Column = {

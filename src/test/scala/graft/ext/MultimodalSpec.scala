@@ -193,6 +193,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PPM header: Netpbm multi-whitespace runs and #-comments parse") {
+    import spark.implicits._
+    def ppm(header: String, pix: Array[Byte]): Array[Byte] =
+      header.getBytes("UTF-8") ++ pix
+    val px2x1 = Array[Byte](10, 20, 30, 40, 50, 60)
+    val assets = Seq(
+      // multi-whitespace separators (spec-legal, common from hand editing)
+      (1L, ppm("P6\n\n  2 \t 1\r\n 255\n", px2x1)),
+      // comments in the pre-token whitespace runs (the GIMP-style header)
+      (2L, ppm("P6\n# written by hand\n2 1\n# maxval next\n255\n", px2x1)),
+      // a comment directly after P6, before the first token
+      (3L, ppm("P6 # inline\n2 1 255\n", px2x1)),
+      // the raster delimiter is ONE whitespace byte: a pixel stream whose
+      // first byte is '#' must NOT be eaten as a comment
+      (4L, ppm("P6 2 2 255\n", "#ab".getBytes("UTF-8") ++
+        Array[Byte](1, 2, 3) ++ "#cd".getBytes("UTF-8") ++
+        Array[Byte](4, 5, 6))),
+      // token longer than 8 digits stays rejected (regex-parse parity)
+      (5L, ppm("P6 123456789 1 255\n", px2x1)))
+      .toDF("asset_id", "bytes")
+    val out = Multimodal.ppmStats(assets)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Boolean]("is_valid"), s"asset $id must parse")
+      assert(out(id).getAs[Long]("width") === 2L)
+      assert(out(id).getAs[Long]("sum_r") === 50L)
+      assert(out(id).getAs[Long]("sum_g") === 70L)
+      assert(out(id).getAs[Long]("sum_b") === 90L)
+    }
+    val hash = out(4L)
+    assert(hash.getAs[Boolean]("is_valid"))
+    // pixels: (#,a,b) (1,2,3) (#,c,d) (4,5,6) — '#'=35, letters as ASCII
+    assert(hash.getAs[Long]("n_pixels") === 4L)
+    assert(hash.getAs[Long]("sum_r") === 35L + 1 + 35 + 4)
+    assert(!out(5L).getAs[Boolean]("is_valid"))
+  }
+
   test("pcmZeroCross: sign changes counted within windows only; exact peaks") {
     import spark.implicits._
     // samples: +1, -1, +2, -2, +3 → crossings at (0,1),(1,2),(2,3),(3,4)
