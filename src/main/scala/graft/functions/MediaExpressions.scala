@@ -81,7 +81,7 @@ object MediaWalks {
       var i = 0
       while (i < 8) {
         val a = cy * 9 + i
-        if (s(a + 1) * c(a) > s(a) * c(a + 1)) {
+        if (prodGreater(s(a + 1), c(a), s(a), c(a + 1))) {
           val bit = 1L << ((cy % 4) * 8 + i)
           if (cy < 4) lo |= bit else hi |= bit
         }
@@ -90,6 +90,19 @@ object MediaWalks {
       cy += 1
     }
     Array(lo, hi)
+  }
+
+  /** a·b > c·d for nonnegative longs, exact at full 128-bit width — a
+    * plain long multiply wraps once cell sums pass ~2^63/count (a valid
+    * ~430-megapixel BMP gets there), silently flipping hash bits. Runs 64
+    * times per ASSET, so the wide compare costs nothing.
+    */
+  @inline private[graft] def prodGreater(a: Long, b: Long, c: Long,
+      d: Long): Boolean = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b)
+    val hi2 = java.lang.Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 
   private val FrameMarker = "FRAME\n".getBytes("US-ASCII")
@@ -202,13 +215,17 @@ object MediaWalks {
     var pos = poff
     var k = 0L
     while (pos < n) {
-      if (pos + 5 > n) return -1
+      if (pos + 6 > n) return -1
       var i = 0
       while (i < 5) {
         if (bytes((pos + i).toInt) != FrameMarker(i)) return -1
         i += 1
       }
       pos += 5
+      // spec: "FRAME" is followed by the newline or by " <param>"s — a
+      // marker line like "FRAMES..." or "FRAME\tX" is NOT a frame, and
+      // accepting it would hide exactly the desyncs this scan must surface
+      if (bytes(pos.toInt) != 0x0a && bytes(pos.toInt) != 0x20) return -1
       while (pos < n && bytes(pos.toInt) != 0x0a) pos += 1
       if (pos >= n) return -1
       pos += 1 // the newline
@@ -321,13 +338,15 @@ object MediaWalks {
       var pos = poff
       var f = 0
       while (f < nFrames) {
-        if (pos + 5 > n) return null
+        if (pos + 6 > n) return null
         var i = 0
         while (i < 5) {
           if (bytes((pos + i).toInt) != FrameMarker(i)) return null
           i += 1
         }
         pos += 5
+        // spec: newline or " <param>"s after "FRAME" (see scanVariableFrames)
+        if (bytes(pos.toInt) != 0x0a && bytes(pos.toInt) != 0x20) return null
         while (pos < n && bytes(pos.toInt) != 0x0a) pos += 1
         if (pos >= n) return null
         pos += 1

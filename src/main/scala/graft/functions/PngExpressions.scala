@@ -188,24 +188,41 @@ object PngCodec {
     if (h > budget / stride) return Invalid // forged IHDR: don't allocate
     val rawLen = h * stride
     if (rawLen > Int.MaxValue - 8) return Invalid
-    val raw = new Array[Byte](rawLen.toInt)
+    // one spare byte beyond the claimed size: the final inflate call needs
+    // output space to consume the stream trailer (zlib makes no progress
+    // with avail_out = 0), and any byte actually landing in the spare
+    // proves the stream produced MORE than the IHDR claimed -> invalid
+    val raw = new Array[Byte](rawLen.toInt + 1)
     val inf = new java.util.zip.Inflater()
     var got = 0
     try {
+      // feed IDAT parts on demand: output can complete in an early part
+      // while the deflate end-of-block + adler32 trailer sits in LATER
+      // parts (chunk boundaries are arbitrary per the PNG spec), so input
+      // must advance whenever the inflater asks, not per-part
       var part = 0
-      while (part < idatParts.length && !inf.finished()) {
-        val (off, l) = idatParts(part)
-        inf.setInput(bytes, off, l)
-        var made = 1
-        while (made > 0 && got < raw.length) {
-          made = inf.inflate(raw, got, raw.length - got)
-          got += made
+      var ok = true
+      while (ok && !inf.finished()) {
+        if (inf.needsInput()) {
+          if (part >= idatParts.length) ok = false // stream ran dry
+          else {
+            val (off, l) = idatParts(part)
+            inf.setInput(bytes, off, l)
+            part += 1
+          }
         }
-        part += 1
+        if (ok) {
+          if (got >= raw.length) ok = false // more output than claimed
+          else {
+            val made = inf.inflate(raw, got, raw.length - got)
+            got += made
+            // no output, no input hunger, not finished: stuck (e.g. a
+            // preset-dictionary stream) — reject rather than spin
+            if (made == 0 && !inf.needsInput() && !inf.finished()) ok = false
+          }
+        }
       }
-      // drain any remaining output after the last part
-      while (!inf.finished() && { val m = inf.inflate(raw, got, raw.length - got); got += m; m > 0 }) {}
-      if (got != raw.length || !inf.finished()) return Invalid
+      if (!ok || !inf.finished() || got != rawLen) return Invalid
     } catch {
       case _: java.util.zip.DataFormatException => return Invalid
     } finally inf.end()

@@ -133,6 +133,26 @@ class ImageDHashSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture produced no near-dup pairs")
   }
 
+  test("cross-multiplied mean compare is exact past the 64-bit product") {
+    import graft.functions.MediaWalks.prodGreater
+    // small values: plain-long behavior
+    assert(prodGreater(3, 5, 2, 7))      // 15 > 14
+    assert(!prodGreater(2, 7, 3, 5))
+    assert(!prodGreater(3, 5, 5, 3))     // ties are false (strict >)
+    // gigapixel-class cell sums overflow the 64-bit product; the compare
+    // inverts exactly when the two wrapped products straddle the sign
+    // boundary — pin such a pair: a*b ~ 9.3e18 (wraps negative) vs
+    // c*d = 9.0e18 (stays positive), truly a*b > c*d
+    val (a, b) = (3000000000L, 3100000000L)
+    val (c, d) = (3000000000L, 3000000000L)
+    assert(prodGreater(a, b, c, d))
+    assert(!prodGreater(c, d, a, b))
+    assert(!prodGreater(a, b, a, b))
+    // and the plain wrapped-long compare gets exactly this pair wrong:
+    assert(a * b < c * d,
+      "fixture must actually invert under wrapped longs, or it proves nothing")
+  }
+
   test("hot band bucket is block-salted: lossless pairs, no k^2 join key") {
     // a degenerate-but-realistic corpus: hundreds of near-constant images
     // whose fingerprints are IDENTICAL (not byte-identical assets, so

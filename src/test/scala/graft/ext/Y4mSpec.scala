@@ -127,6 +127,14 @@ class Y4mSpec extends SparkSpec {
     typo(22 + 14 + 4 + 2) = 'X'.toByte // corrupt the second frame's marker
     val bad2 = Multimodal.y4mFrameLuma(assetsOf(4L -> typo)).collect()
     assert(bad2.length === 1 && !bad2.head.getAs[Boolean]("is_valid"))
+    // "FRAME" must be followed by newline or " <params>": a glued token
+    // ("FRAMEX...") is not a frame marker and must not validate — the
+    // tail is sized so no fixed layout matches either
+    val glued = ascii("YUV4MPEG2 W2 H2 Cmono\n") ++
+      ascii("FRAMEXjunk\n") ++ Array[Byte](1, 1, 1, 1) ++
+      ascii("FRAME\n") ++ Array[Byte](2, 2, 2, 2)
+    val bad3 = Multimodal.y4mFrameLuma(assetsOf(5L -> glued)).collect()
+    assert(bad3.length === 1 && !bad3.head.getAs[Boolean]("is_valid"))
   }
 
   test("scene cuts: a hard luma jump is reported, steady frames are not") {
