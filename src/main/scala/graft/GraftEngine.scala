@@ -287,7 +287,8 @@ object Main {
           "[--contamination-spans BENCH_DATA_DIR] " +
           "[--mask-contamination BENCH_DATA_DIR] [--tokenizer-economics] " +
           "[--dup-kcore K] [--shared-runs] [--image-near-dups TAU] " +
-          "[--qoi-economics] [--scene-cuts THRESHOLD_MILLI] [--png-stats]")
+          "[--qoi-economics] [--scene-cuts THRESHOLD_MILLI] [--png-stats] " +
+          "[--jpeg-stats]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -621,6 +622,19 @@ object Main {
             graft.ext.Multimodal.documentsAsAssets(Tables.documents(spark, dir)))
           .orderBy(col("compression_micro"))
           .show(50, truncate = false)
+      }
+      // lossless-JPEG decode report: real Huffman entropy decoding
+      // (documents-as-JPEG stand-in; real image lakes feed jpegStats off
+      // a storage scan)
+      if (args.contains("--jpeg-stats")) {
+        println("lossless-JPEG decode stats (DHT parse + Huffman bitstream + prediction):")
+        graft.ext.Multimodal.jpegStats(
+            graft.ext.Multimodal.encodeJpegLossless(
+              graft.ext.Multimodal.documentsAsAssets(
+                Tables.documents(spark, dir)), width = 40)
+              .repartition(col("asset_id")).localCheckpoint())
+          .orderBy(col("asset_id"))
+          .show(30, truncate = false)
       }
       // PNG decode report through the real entropy-coded codec
       // (documents-as-PNG stand-in; real image lakes feed pngStats off a

@@ -2271,6 +2271,24 @@ object SparkEntry {
             .localCheckpoint()),
         maxHamming = 6)
     },
+    // Lossless-JPEG decode stats (E229): the second entropy-coded format
+    // decoded fully in-engine, this time with GENUINE HUFFMAN DECODING
+    // (DHT table parse + byte-stuffed bitstream + difference categories).
+    // The lossless process is pixel-identity, so the q260/q268 oracle
+    // shape applies: expected stats computed straight from the raw
+    // payload (grayscale: the bytes themselves), width 40 ⇒ 40 bytes/row.
+    "q271_jpegll_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.jpegStats(
+        graft.ext.Multimodal.encodeJpegLossless(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("predictor"))
+    },
     // Y4M container walk over the WHOLE corpus (E224's scale twin):
     // identical semantics to q266 with no doc_id cap — per-asset native
     // frame walk, cost linear in pixel mass, for ScaleBench's measured
@@ -3846,6 +3864,25 @@ object SparkEntry {
          |FROM dh h1 JOIN dh h2 ON h1.asset_id < h2.asset_id
          |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
          |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 6""".stripMargin,
+    // q271's oracle never runs the codec (the q260/q268 discipline):
+    // lossless-JPEG encode∘decode is pixel-identity, and the samples ARE
+    // the payload bytes (grayscale), so the expected stats come straight
+    // from the 40·⌊len/40⌋ whole-row prefix
+    "q271_jpegll_stats" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 140),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |px AS (SELECT asset_id, hgt, h, unnest(range(0, hgt * 40)) AS i FROM g),
+        |c AS (SELECT asset_id, hgt,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT) AS v
+        |      FROM px)
+        |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_v,
+        |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+        |       CAST(1 AS BIGINT) AS predictor
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
     "q270_y4m_scale" ->
       s"""WITH ${y4mOracleCtes("TRUE")}
          |SELECT asset_id, TRUE AS is_valid, CAST(fr AS BIGINT) AS frame_idx,

@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * ([[encodePng]]/[[pngStats]]) to a real ENTROPY-CODED one: its entropy
   * layer is DEFLATE, which the JDK's java.util.zip provides. Perceptual
   * image dedup rides the decode path ([[bmpDHash]]/[[dhashNearDup]]).
-  * Only formats whose entropy coding genuinely needs an external codec
-  * library (JPEG's Huffman/DCT, H.264's CABAC) remain a STUB, replaced
-  * by a deterministic digest-derived fake (clearly marked below).
+  * Lossless JPEG ([[encodeJpegLossless]]/[[jpegStats]]) brings GENUINE
+  * HUFFMAN DECODING in-engine (T.81 process 14 — DHT parse, byte-stuffed
+  * bitstream, spatial predictors). Only formats that genuinely need an
+  * external codec library (DCT-based lossy JPEG — whose lossiness also
+  * rules out any pixel-identity oracle — and H.264's CABAC) remain a
+  * STUB, replaced by a deterministic digest-derived fake (clearly marked
+  * below).
   * Everything around that stub is real and tested: the asset schema,
   * binary columns, partition-sized batching, and the feature-extraction
   * interface. Swapping in a real decoder replaces ONE function body
@@ -62,7 +66,7 @@ object Multimodal {
       .withColumn("content_digest", md5(col("bytes")))
 
   // ------------------------------------------------------------------
-  // STUB DECODE (external-codec formats only — JPEG/H.264): deterministic
+  // STUB DECODE (external-codec formats only — DCT JPEG/H.264): deterministic
   // fake features derived from the content digest. A real deployment
   // replaces `fakeDecodedFeatures` with a codec call (e.g. JNI image
   // decode inside mapPartitions) — the surrounding schema, batching and
@@ -175,7 +179,7 @@ object Multimodal {
   // to 4-byte boundaries — so the engine encodes AND decodes natively
   // through hex() (bit-identical in Spark and DuckDB; the whole codec
   // replays in the oracle). The digest-stub above now stands in ONLY for
-  // external-codec formats (JPEG/H.264), whose entropy coding genuinely
+  // external-codec formats (DCT JPEG/H.264), whose decoding genuinely
   // needs a codec library this environment doesn't have.
   // ------------------------------------------------------------------
 
@@ -667,6 +671,57 @@ object Multimodal {
         col("q.color_type").as("color_type"),
         col("q.n_idat_chunks").as("n_idat_chunks"),
         col("q.idat_bytes").as("idat_bytes"))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL ENTROPY-CODED IMAGE FORMAT #2: LOSSLESS JPEG (ITU-T T.81
+  // process 14, SOF3). Genuine Huffman entropy decoding — marker walk,
+  // DHT table parse, byte-stuffed bitstream, difference categories, all
+  // seven spatial predictors — and, being lossless, encode∘decode is
+  // pixel-identity, so the oracle discipline that LOSSY DCT JPEG can
+  // never satisfy applies here. The stub below now covers only formats
+  // that genuinely need an external codec (DCT JPEG, H.264).
+  // ------------------------------------------------------------------
+
+  /** Encode each asset's payload bytes as a single-component (grayscale)
+    * SOF3 lossless JPEG of the given sample width (height = ⌊len/width⌋;
+    * assets shorter than one row are dropped): predictor 1, the Annex-K
+    * DC Huffman table, byte-stuffed entropy data. One native expression
+    * per asset; the drop condition is checked on the cheap input length
+    * (the [[encodeQoi]] discipline).
+    */
+  def encodeJpegLossless(assets: DataFrame, width: Int = 40): DataFrame = {
+    require(width >= 1 && width <= 65535, "width must fit the u16 SOF field")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= width)
+      .withColumn("bytes",
+        graft.functions.JpegNativeFunctions.jpegEncode(spark, col("bytes"), width))
+  }
+
+  /** Decode lossless-JPEG assets natively (E229): marker-segment walk,
+    * real DHT Huffman-table parse, byte-unstuffed bitstream decode,
+    * prediction reconstruction — reporting exact sample sums, the
+    * fixed-point mean, and the predictor the scan declared. DCT-based
+    * frames (SOF0/1/2 and friends), arithmetic-coded or hierarchical
+    * processes, corrupt tables, truncated streams, and forged dimensions
+    * all report is_valid = false with null stats; every decoded sample
+    * consumes real input bits, so a forged header cannot loop or
+    * allocate beyond the u16 row buffer (see JpegLosslessCodec).
+    *
+    * Scale: one native-expression pass per asset, O(row) state, no
+    * explode — the [[qoiStats]]/[[pngStats]] shape exactly.
+    */
+  def jpegStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.JpegNativeFunctions.jpegDecode(spark, col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_v").as("sum_v"),
+        col("q.mean_v_milli").as("mean_v_milli"),
+        col("q.predictor").as("predictor"))
   }
 
   // ------------------------------------------------------------------

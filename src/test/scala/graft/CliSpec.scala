@@ -143,6 +143,14 @@ class CliSpec extends SparkSpec {
     assert(out.contains("source"), "per-source rows missing")
   }
 
+  test("--jpeg-stats prints the Huffman-decoded lossless-JPEG report") {
+    val out = runCli("--jpeg-stats")
+    assert(out.contains("lossless-JPEG decode stats"), "header missing")
+    assert(out.contains("mean_v_milli") && out.contains("predictor"),
+      "decode columns missing")
+    assert(out.contains("true"), "no asset decoded as valid")
+  }
+
   test("--png-stats prints the entropy-coded decode report") {
     val out = runCli("--png-stats")
     assert(out.contains("PNG decode stats"), "header missing")

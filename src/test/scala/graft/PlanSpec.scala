@@ -523,6 +523,17 @@ class PlanSpec extends SparkSpec {
       "per-asset stats come out of the expression — nothing shuffles")
   }
 
+  test("q271: lossless-JPEG decode is one scalar pass — no join, no explode") {
+    val p = plan("q271_jpegll_stats")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      "decode must be a single projection over the asset scan")
+    assert(!p.contains("Generate"),
+      "the Huffman bitstream decodes inside one native expression")
+    assert(!p.contains("Exchange"),
+      "per-asset stats come out of the expression — nothing shuffles")
+  }
+
   test("q270: whole-corpus Y4M walk keeps the q266 shape (no shuffle)") {
     val p = plan("q270_y4m_scale")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
