@@ -386,9 +386,16 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       // a subset dev run must NEVER clobber the committed full-suite
       // baseline (summary_latest.json is what drift_vs_committed compares
-      // against) — it writes its own file instead
+      // against) — it writes its own file instead. A LOAD-FLAGGED full run
+      // likewise: its wall total is contaminated, and making it the
+      // baseline forces the clean retake at the same commit to ship
+      // drift_vs_committed flagged against a discarded run (the r10
+      // cosmetic) — flagged runs land in summary_flagged.json so the next
+      // clean run still compares against the previous CLEAN total.
       val target =
-        if (onlyPrefixes.isEmpty) "summary_latest.json" else "summary_dev.json"
+        if (onlyPrefixes.nonEmpty) "summary_dev.json"
+        else if (loadFlagged) "summary_flagged.json"
+        else "summary_latest.json"
       java.nio.file.Files.writeString(dir.resolve(target),
         trailer + "\n" + detail + "\n" + countersLine + "\n")
     } catch { case e: Exception =>

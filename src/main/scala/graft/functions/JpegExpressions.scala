@@ -41,11 +41,15 @@ object JpegLosslessCodec {
   /** Encode `h = len/width` rows of 8-bit grayscale samples (the first
     * `width·h` payload bytes) as a spec-conformant single-component SOF3
     * lossless JPEG with predictor 1 (Ra) and the Annex-K DC table.
-    * Returns null when the payload is shorter than one row.
+    * Returns null when the payload is shorter than one row, or when the
+    * row count would overflow the u16 SOF height field (h > 65535) — a
+    * wrapped height would emit a stream whose header claims a smaller
+    * image, silently failing the pixel-identity oracle downstream instead
+    * of being rejected here (the width require()'s discipline).
     */
   def encode(payload: Array[Byte], width: Int): Array[Byte] = {
     val h = payload.length / width
-    if (h < 1) return null
+    if (h < 1 || h > 65535) return null
     val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
     def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -205,6 +209,14 @@ object JpegLosslessCodec {
           if (ns != 1) return Invalid
           predictor = bytes(body + 3) & 0xff // Ss = predictor selector
           if (predictor < 1 || predictor > 7) return Invalid
+          // Se must be 0 in a lossless scan, and Al (the low nibble of the
+          // Ah/Al byte) is the POINT TRANSFORM Pt: a spec-legal stream with
+          // Pt > 0 stores samples >> Pt, so decoding it unshifted would be
+          // a silent misdecode — reject it visibly instead ("visible,
+          // never misdecoded"). Ah is 0 for non-progressive scans.
+          val se = bytes(body + 4) & 0xff
+          val ahal = bytes(body + 5) & 0xff
+          if (se != 0 || ahal != 0) return Invalid
           sawSos = true
         case mm if mm >= 0xe0 && mm <= 0xef => () // APPn: skipped
         case 0xfe => () // COM: skipped

@@ -146,7 +146,10 @@ object MediaWalks {
     if (nl >= lim) return invalid // no newline in the bounded header region
     val poff = nl + 1L
 
-    // first " X<digits>" decimal run in the params region [9, nl)
+    // first " X<digits>" decimal run in the params region [9, nl); runs
+    // longer than 8 digits are REJECTED, not truncated to a prefix — a
+    // 9-digit dimension must not parse as a different geometry (the PPM
+    // parser's token() discipline)
     def dim(tag: Byte): Long = {
       var i = 9
       while (i < nl - 2) {
@@ -158,6 +161,8 @@ object MediaWalks {
             v = v * 10 + (bytes(j) - 0x30)
             j += 1
           }
+          if (j == i + 10 && j < nl && bytes(j) >= 0x30 && bytes(j) <= 0x39)
+            return -1L
           return v
         }
         i += 1

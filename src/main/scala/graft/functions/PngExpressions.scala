@@ -195,12 +195,12 @@ object PngCodec {
     val raw = new Array[Byte](rawLen.toInt + 1)
     val inf = new java.util.zip.Inflater()
     var got = 0
+    var part = 0
     try {
       // feed IDAT parts on demand: output can complete in an early part
       // while the deflate end-of-block + adler32 trailer sits in LATER
       // parts (chunk boundaries are arbitrary per the PNG spec), so input
       // must advance whenever the inflater asks, not per-part
-      var part = 0
       var ok = true
       while (ok && !inf.finished()) {
         if (inf.needsInput()) {
@@ -223,6 +223,11 @@ object PngCodec {
         }
       }
       if (!ok || !inf.finished() || got != rawLen) return Invalid
+      // every IDAT byte must have been consumed: once the zlib trailer
+      // completes, leftover bytes in the current part (getRemaining) or
+      // whole unconsumed later parts are appended garbage INSIDE the IDAT
+      // framing — invalid, same stance as post-IEND trailing bytes
+      if (inf.getRemaining > 0 || part < idatParts.length) return Invalid
     } catch {
       case _: java.util.zip.DataFormatException => return Invalid
     } finally inf.end()

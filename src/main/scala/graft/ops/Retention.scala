@@ -22,17 +22,27 @@ object Retention {
     * per (cohort_week, week_offset) with n_users, cohort_size, retention.
     */
   def weeklyRetention(events: DataFrame, userCol: String = "user_id"): DataFrame = {
+    // `uw` feeds both the cohort min and the join, and `counts` feeds both
+    // the size lookup and the final join: whether those shared exchanges
+    // REUSE or re-execute is timing-dependent under concurrent stage
+    // scheduling (observed: the same commit's shuffle-byte counters differ
+    // 0.64x run-to-run with identical rows), so both reuse boundaries are
+    // PINNED with localCheckpoint — uw is 2 longs per (user, week) pair and
+    // counts is one row per (cohort, offset) cell, so the materialization
+    // is always cheap and the byte counters become load-invariant facts.
     val uw = events
       .select(col(userCol).as("u"),
         graft.ext.ExactMath.floorDiv(
           graft.streaming.Sessions.nsToUs(col("ts")), lit(WeekUs)).as("week"))
       .filter(col("u").isNotNull)
       .distinct()
+      .localCheckpoint()
     val cohorts = uw.groupBy(col("u")).agg(min(col("week")).as("cohort_week"))
     val counts = uw.join(cohorts, Seq("u"))
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("u")).as("n_users"))
+      .localCheckpoint()
     val sizes = counts.filter(col("week_offset") === 0)
       .select(col("cohort_week"), col("n_users").as("cohort_size"))
     counts.join(broadcast(sizes), Seq("cohort_week"))

@@ -92,6 +92,20 @@ class Y4mSpec extends SparkSpec {
     assert(Multimodal.y4mSceneCuts(assetsOf(4L -> tenBit)).count() === 0)
   }
 
+  test("a 9-digit dimension token is rejected, never truncated to a prefix") {
+    import graft.functions.MediaWalks
+    // W has nine digits: parsing the first eight (12345678) would claim a
+    // DIFFERENT geometry than the header wrote — dim() must reject it
+    // outright (the PPM token() discipline), not parse a prefix
+    val nine = MediaWalks.y4mHeader(
+      ascii("YUV4MPEG2 W123456789 H2 Cmono\n") ++ Array[Byte](1))
+    assert(!nine.isValid && nine.w === -1L)
+    // eight digits still parse (and then fail only the length check here)
+    val eight = MediaWalks.y4mHeader(
+      ascii("YUV4MPEG2 W12345678 H2 Cmono\n") ++ Array[Byte](1))
+    assert(eight.w === 12345678L)
+  }
+
   test("variable-stride FRAME <params> frames decode via the sequential scan") {
     // spec-legal per-frame parameters: no fixed stride exists, so the
     // exact-length check fails and the marker-line scan must carry it

@@ -143,6 +143,35 @@ class JpegCodecSpec extends SparkSpec {
     assert(JpegLosslessCodec.decode(withApp).valid)
   }
 
+  test("a lossless scan with a point transform (Pt > 0) is rejected, not misdecoded") {
+    // spec-legal SOS with Al = 1: samples are stored >> 1, so decoding the
+    // stream unshifted would report wrong values — it must surface as
+    // is_valid = false instead ("visible, never misdecoded")
+    def sosPt(pred: Int, se: Int, ahal: Int) =
+      b(0xff, 0xda, 0x00, 0x08, 1, 1, 0x00, pred, se, ahal)
+    val entropy = b(0xc3, 0x55, 0x6f)
+    val pt1 = b(0xff, 0xd8) ++ dhtSeg ++ sof3(2, 2) ++ sosPt(1, 0, 0x01) ++
+      entropy ++ b(0xff, 0xd9)
+    assert(!JpegLosslessCodec.decode(pt1).valid)
+    // nonzero Se is equally meaningless in a lossless scan: reject
+    val se1 = b(0xff, 0xd8) ++ dhtSeg ++ sof3(2, 2) ++ sosPt(1, 1, 0x00) ++
+      entropy ++ b(0xff, 0xd9)
+    assert(!JpegLosslessCodec.decode(se1).valid)
+    // and the all-zero case still decodes (the tiny stream above)
+    assert(JpegLosslessCodec.decode(tiny).valid)
+  }
+
+  test("encode rejects payloads whose row count overflows the u16 height") {
+    // width 1, 65536 rows: u16(h) would wrap to 0 and emit a stream whose
+    // header claims a smaller image — encode must return null instead
+    assert(JpegLosslessCodec.encode(new Array[Byte](65536), 1) === null)
+    // the largest encodable height still round-trips the header fields
+    val max = JpegLosslessCodec.encode(new Array[Byte](65535), 1)
+    assert(max !== null)
+    val d = JpegLosslessCodec.decode(max)
+    assert(d.valid && d.height === 65535L && d.width === 1L)
+  }
+
   test("engine round trip on real documents matches raw-byte sums") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)

@@ -141,6 +141,33 @@ class PngCodecSpec extends SparkSpec {
     assert(!PngCodec.decode(broken).valid)
   }
 
+  test("unconsumed IDAT payload is rejected (garbage inside the framing)") {
+    val payload = (0 until 3 * 4 * 5).map(_.toByte).toArray
+    val whole = PngCodec.encode(payload, 4)
+    assert(PngCodec.decode(whole).valid)
+    def be32At(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val ihdrLen = be32At(whole, 8).toInt
+    val idatOff = 8 + 12 + ihdrLen
+    val idatLen = be32At(whole, idatOff).toInt
+    val idat = whole.slice(idatOff + 8, idatOff + 8 + idatLen)
+    val ihdr = whole.slice(8, 8 + 12 + ihdrLen)
+    // garbage appended INSIDE the last IDAT chunk, after the zlib trailer:
+    // the chunk CRC is valid (recomputed by chunk()), so only the
+    // every-IDAT-byte-consumed check can catch it — same stance as
+    // post-IEND trailing bytes
+    val padded = sig ++ ihdr ++ chunk("IDAT", idat ++ Array[Byte](7, 7)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(!PngCodec.decode(padded).valid,
+      "trailing bytes inside the last IDAT must invalidate the stream")
+    // a whole extra IDAT chunk after the stream completed is equally dead
+    val extraChunk = sig ++ ihdr ++ chunk("IDAT", idat) ++
+      chunk("IDAT", Array[Byte](9)) ++ chunk("IEND", Array.empty[Byte])
+    assert(!PngCodec.decode(extraChunk).valid,
+      "an unconsumed later IDAT part must invalidate the stream")
+  }
+
   test("reject paths: CRC, forged IHDR, truncation, unsupported, garbage") {
     val good = PngCodec.encode((0 until 36).map(_.toByte).toArray, 4)
     assert(PngCodec.decode(good).valid)
