@@ -581,10 +581,10 @@ object Main {
           .filter(t => t >= 0 && t <= 7)
           .getOrElse(sys.error(
             s"--image-near-dups TAU must be an integer in 0..7 " +
-              s"(8x8-bit band LSH is lossless only there), got: $tauArg"))
-        println(s"perceptual near-dup image pairs (dHash hamming <= $tau):")
+              s"(8-band LSH is lossless only there), got: $tauArg"))
+        println(s"perceptual near-dup image pairs (128-bit dHash hamming <= $tau):")
         graft.ext.Multimodal.dhashNearDup(
-            graft.ext.Multimodal.bmpDHash(
+            graft.ext.Multimodal.bmpDHash128(
               graft.ext.Multimodal.encodeBmp(
                 graft.ext.Multimodal.documentsAsAssets(
                   Tables.documents(spark, dir)), width = 16)

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * Two growth models, because "2× the data" is ambiguous for pair-mining:
   *
   *  - UNIFORM: replica r's keys are salted (`key·k + r`) AND its content is
-  *    made disjoint (documents: every token gets a replica marker;
+  *    made disjoint (documents: a per-replica letter-substitution cipher
+  *    plus a replica marker on every token — token- AND pixel-disjoint;
   *    embeddings: per-replica sign-flip masks — cosine-structure-preserving
   *    within a replica, decorrelated across replicas). Duplicate/pair
   *    STRUCTURE per replica matches the base corpus, so pair mass grows
@@ -31,7 +32,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.ScaleBench [workDir]` with SPARK_GRAFT_SF_DIR as
   * the base corpus (default sf0.1). Synthesized corpora land under workDir
-  * (default /tmp/graft_scale) and are reused if already present.
+  * (default /tmp/graft_scale_v2 — the suffix versions the replica
+  * TRANSFORM: the _SUCCESS-based reuse can never distinguish corpora
+  * synthesized by an older transform, so a transform change must move
+  * the directory) and are reused if already present.
   */
 object ScaleBench {
 
@@ -50,13 +54,18 @@ object ScaleBench {
     ("q226_pq_curve", 1.35, 1.35, "rows x fixed codebook iterations"),
     ("q16_datatest_metrics", 1.35, 1.35, "per-edge scans + FK equi-joins"),
     ("q189_rank_auc", 1.6, 2.0, "near-dup pair set + distinct-value ranks"),
-    // media growth: the uniform model's per-token replica markers change
-    // the BMP/Y4M payload bytes, so replicas decode as distinct assets
-    // with the base corpus's per-asset geometry preserved
-    ("q269_dhash_scale", 2.0, 2.0,
-      "saturated 256-key band buckets: in-bucket candidate mass ~k^2 " +
-        "once buckets fill (a property of 8x8-bit dHash LSH, block-salted " +
-        "for task balance); decode itself is asset-linear"),
+    // media growth: the uniform model's substitution cipher + token
+    // markers make replica payload bytes pixel-disjoint, so replicas
+    // decode as distinct assets with the base corpus's per-asset
+    // geometry preserved
+    ("q269_dhash_scale", 1.35, 2.0,
+      "uniform: 65,536-key 16-bit bands keep candidate mass near-linear " +
+        "on content-disjoint growth (the 128-bit fingerprint removed the " +
+        "256-key saturation ceiling); the corpus's tie-flat-fingerprint " +
+        "cluster still yields quadratic pair OUTPUT but stays a small " +
+        "fraction of the banded-frame shuffle mass in the 1-8x range; " +
+        "dupheavy: verbatim replicas share one fingerprint, pair mass " +
+        "k^2 is the documented driver (block-salted for task balance)"),
     ("q270_y4m_scale", 1.35, 1.35,
       "pixel mass: one native frame walk per asset, no pair stage"))
 
@@ -94,8 +103,24 @@ object ScaleBench {
       df = df.withColumn(c, col(c) * k + r))
     if (uniform && r > 0 && table == "documents") {
       // disjoint token space per replica: same length/gram structure, zero
-      // cross-replica collisions (the fixed-dup-rate growth model)
+      // cross-replica collisions (the fixed-dup-rate growth model). The
+      // token markers alone make replicas TOKEN-disjoint but leave them
+      // nearly PIXEL-identical -- a replica's bytes differ from the base's
+      // by one marker char per token, so perceptual-hash queries (q269)
+      // saw every replica set as a genuine near-dup image cluster and
+      // their "uniform" pair mass grew ~k^2 by fixture construction, not
+      // by plan. A per-replica letter-substitution cipher (deterministic
+      // seeded permutation -- a bijection, so within-replica equality
+      // structure and all lengths/token boundaries are preserved exactly)
+      // makes the byte streams pixel-disjoint across replicas too, so the
+      // uniform model measures engine growth for EVERY modality hashed.
+      val lower = ('a' to 'z').mkString
+      val upper = ('A' to 'Z').mkString
+      val rng = new scala.util.Random(0xC0FFEE + r)
+      val perm = rng.shuffle(lower.toList).mkString +
+        rng.shuffle(upper.toList).mkString
       df = df
+        .withColumn("text", translate(col("text"), lower + upper, perm))
         .withColumn("text",
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit("\u0001" + r.toString))), " "))
@@ -200,7 +225,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val workDir = args.headOption.getOrElse("/tmp/graft_scale")
+    val workDir = args.headOption.getOrElse("/tmp/graft_scale_v2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2153,19 +2153,20 @@ object SparkEntry {
           .repartition(col("asset_id"))
           .localCheckpoint())
     },
-    // Perceptual near-dup image pairs (E221): corpus ∪ perturbed variants
-    // (nine bytes appended — usually invisible to the fixed 9x8 grid, so
-    // each variant lands within a few bits of its base), then the
-    // 8x8-band LSH join at hamming <= 6. The oracle verifies with an
-    // all-pairs scan — band candidate generation is LOSSLESS at this
-    // threshold (pigeonhole: 6 < 8 bands), so the sets must be equal.
+    // Perceptual near-dup image pairs (E221, 128-bit fingerprint E230):
+    // corpus ∪ perturbed variants (nine bytes appended — usually invisible
+    // to the fixed grids, so each variant lands within a few bits of its
+    // base), then the 8x16-bit-band LSH join over the four bmpDHash128
+    // words at hamming <= 6. The oracle verifies with an all-pairs scan —
+    // band candidate generation is LOSSLESS at this threshold (pigeonhole:
+    // 6 < 8 bands), so the sets must be equal.
     "q263_dhash_near_dup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
         .select(col("doc_id"), col("text"), col("source"))
       val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" " * 9)).as("text"), col("source"))
       graft.ext.Multimodal.dhashNearDup(
-        graft.ext.Multimodal.bmpDHash(
+        graft.ext.Multimodal.bmpDHash128(
           graft.ext.Multimodal.encodeBmp(
             graft.ext.Multimodal.documentsAsAssets(
               docs.unionByName(variants)),
@@ -2184,10 +2185,13 @@ object SparkEntry {
           Tables.documents(s, dir).filter(col("doc_id") < 200)),
         windowSamples = 2)
     },
-    // Perceptual audio near-dup pairs (E223): corpus ∪ one-character
-    // mid-stream edits — the contour bits flip only around the touched
-    // windows, so each variant lands within a few bits of its base — then
-    // the SAME lossless band join as q263, over the audio fingerprint.
+    // Perceptual audio near-dup pairs (E223, 128-bit fingerprint E230):
+    // corpus ∪ one-character mid-stream edits — the contour bits flip only
+    // around the touched windows, so each variant lands within a few bits
+    // of its base — then the SAME lossless 16-bit-band join as q263, over
+    // the four audioFingerprint128 words. windowSamples=1 keeps the
+    // 129-window prefix (258 bytes) inside the documents-as-audio
+    // stand-ins' lengths; real audio uses the default 16.
     "q265_audio_near_dup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text"), col("source"))
@@ -2195,10 +2199,10 @@ object SparkEntry {
         expr("concat(substr(text, 1, 100), '~', substr(text, 102))").as("text"),
         col("source"))
       graft.ext.Multimodal.fingerprintNearDup(
-        graft.ext.Multimodal.audioFingerprint(
+        graft.ext.Multimodal.audioFingerprint128(
           graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants)),
-          windowSamples = 2),
-        "fp_lo", "fp_hi", maxHamming = 6)
+          windowSamples = 1),
+        Seq("f0", "f1", "f2", "f3"), maxHamming = 6)
     },
     // Per-frame luma through the real Y4M container parse (E224): the
     // video sibling of q241/q257 — ASCII header in hex space, bounded
@@ -2247,22 +2251,23 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
           col("sum_b"), col("mean_luma_milli"))
     },
-    // dHash band join over the WHOLE corpus (E220/E221's scale twin):
-    // identical semantics to q263 but with no doc_id cap, so ScaleBench
-    // can fit its growth exponent on replicated corpora. Scale note
-    // (honest): the 8x8-bit band space has only 2048 keys, so once
-    // buckets saturate (≫2048 assets) the in-bucket candidate mass grows
-    // ~k² with corpus scale — a property of the published dHash-LSH
-    // scheme itself, not of this plan; the block salting bounds any
-    // single task at ~bucketCap² and the composition order (exact dedup
-    // first) removes the worst mass up front.
+    // Fingerprint band join over the WHOLE corpus (E221/E230's scale
+    // twin): identical semantics to q263 but with no doc_id cap, so
+    // ScaleBench can fit its growth exponent on replicated corpora. The
+    // 128-bit fingerprint's 8x16-bit bands give 65,536 keys per band, so
+    // on content-disjoint (uniform-model) growth bucket cardinality grows
+    // with the corpus and candidate mass stays near-linear — the 64-bit
+    // predecessor's 256-key bands saturated here and forced an honest
+    // ~k² bound; on verbatim-duplicate (dupheavy) growth every replica
+    // set shares one fingerprint, so pair mass k² IS the documented
+    // driver and block salting bounds any single task at ~bucketCap².
     "q269_dhash_scale" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("source"))
       val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" " * 9)).as("text"), col("source"))
       graft.ext.Multimodal.dhashNearDup(
-        graft.ext.Multimodal.bmpDHash(
+        graft.ext.Multimodal.bmpDHash128(
           graft.ext.Multimodal.encodeBmp(
             graft.ext.Multimodal.documentsAsAssets(
               docs.unionByName(variants)),
@@ -2867,6 +2872,111 @@ object SparkEntry {
        |           AS dhash_hi
        |       FROM rb GROUP BY 1)""".stripMargin
   }
+
+  /** DuckDB replay of the q263/q269 128-bit multi-orientation fingerprint
+    * (bmpDHash128): 16-px-wide BMP pixels computed straight from the raw
+    * payload bytes (encode∘decode is pixel-identity; the codec itself is
+    * q241's oracle), box-filtered to BOTH luma grids — 9x8 for the
+    * row-gradient words d0/d1 and 8x9 for the column-gradient words
+    * d2/d3 — with adjacent-cell means compared via cross-multiplication.
+    * `src` must provide (asset_id, p BLOB); ends at
+    * `dh (asset_id, d0, d1, d2, d3)`.
+    */
+  private def dhash128OracleCtes(src: String): String = {
+    // BGR byte order: B at hex offset +1, G at +3, R at +5 (stride 48)
+    def chan(off: Int) =
+      s"CAST(('0x'||substr(h, CAST(2*(y*48 + 3*x)+$off AS BIGINT), 2)) AS BIGINT)"
+    def pivot(axis: String) = (0 to 8).map(i =>
+      s"SUM(CASE WHEN $axis = $i THEN s END) AS s$i, " +
+        s"SUM(CASE WHEN $axis = $i THEN c END) AS c$i").mkString(",\n|      ")
+    def bits(pos: String) = (0 to 7).map(i =>
+      s"(CASE WHEN s${i + 1}*c$i > s$i*c${i + 1} THEN " +
+        s"(CAST(1 AS BIGINT) << CAST(($pos) * 8 + $i AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END)").mkString("\n|        + ")
+    s"""src AS ($src),
+       |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 48 AS hgt
+       |      FROM src WHERE octet_length(p) // 48 >= 9),
+       |py AS (SELECT asset_id, hgt, h, unnest(range(0, hgt)) AS y FROM g),
+       |px AS (SELECT asset_id, hgt, h, y, unnest(range(0, 16)) AS x FROM py),
+       |lm AS (SELECT asset_id,
+       |              (x * 9) // 16 AS cx,
+       |              -- stored row y is IMAGE row hgt-1-y: encodeBmp writes
+       |              -- bottom-up, and the grids index image rows
+       |              ((hgt - 1 - y) * 8) // hgt AS cy,
+       |              (x * 8) // 16 AS gx,
+       |              ((hgt - 1 - y) * 9) // hgt AS gy,
+       |              299*${chan(5)} + 587*${chan(3)} + 114*${chan(1)} AS lum
+       |       FROM px),
+       |rcells AS (SELECT asset_id, cy, cx, SUM(lum) AS s, COUNT(*) AS c
+       |           FROM lm GROUP BY 1, 2, 3),
+       |rgr AS (SELECT asset_id, cy,
+       |      ${pivot("cx")}
+       |        FROM rcells GROUP BY 1, 2),
+       |rrb AS (SELECT asset_id, cy,
+       |        ${bits("cy % 4")} AS rowbits
+       |        FROM rgr),
+       |rdh AS (SELECT asset_id,
+       |          CAST(SUM(CASE WHEN cy < 4 THEN rowbits ELSE 0 END) AS BIGINT)
+       |            AS d0,
+       |          CAST(SUM(CASE WHEN cy >= 4 THEN rowbits ELSE 0 END) AS BIGINT)
+       |            AS d1
+       |        FROM rrb GROUP BY 1),
+       |ccells AS (SELECT asset_id, gx, gy, SUM(lum) AS s, COUNT(*) AS c
+       |           FROM lm GROUP BY 1, 2, 3),
+       |cgr AS (SELECT asset_id, gx,
+       |      ${pivot("gy")}
+       |        FROM ccells GROUP BY 1, 2),
+       |crb AS (SELECT asset_id, gx,
+       |        ${bits("gx % 4")} AS colbits
+       |        FROM cgr),
+       |cdh AS (SELECT asset_id,
+       |          CAST(SUM(CASE WHEN gx < 4 THEN colbits ELSE 0 END) AS BIGINT)
+       |            AS d2,
+       |          CAST(SUM(CASE WHEN gx >= 4 THEN colbits ELSE 0 END) AS BIGINT)
+       |            AS d3
+       |        FROM crb GROUP BY 1),
+       |dh AS (SELECT rdh.asset_id, d0, d1, d2, d3
+       |       FROM rdh JOIN cdh ON rdh.asset_id = cdh.asset_id)""".stripMargin
+  }
+
+  /** DuckDB replay of the q265 128-bit audio energy-contour fingerprint
+    * (windowSamples = 1, so 129 windows need 129 samples = 258 bytes):
+    * q238's PCM16 sample decode bounded to the 129-sample prefix, window
+    * energies, LEAD comparison, four sign-safe 32-bit words. `src` must
+    * provide (asset_id, p BLOB); ends at `fp (asset_id, f0, f1, f2, f3)`.
+    */
+  private def audioFp128OracleCtes(src: String): String =
+    s"""src AS ($src),
+       |a AS (SELECT asset_id, hex(p) AS h FROM src
+       |      WHERE octet_length(p) // 2 >= 129),
+       |s AS (SELECT asset_id, h, unnest(range(0, 129)) AS i FROM a),
+       |u AS (SELECT asset_id, i AS w,
+       |         CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+       |         + 256*CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2)) AS BIGINT)
+       |           AS u
+       |      FROM s),
+       |e AS (SELECT asset_id, w,
+       |             (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) *
+       |             (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS e
+       |      FROM u),
+       |l AS (SELECT asset_id, w, e,
+       |             LEAD(e) OVER (PARTITION BY asset_id ORDER BY w) AS en
+       |      FROM e),
+       |bits AS (SELECT asset_id, w,
+       |           CASE WHEN en > e
+       |                THEN (CAST(1 AS BIGINT) << CAST(w % 32 AS INT))
+       |                ELSE CAST(0 AS BIGINT) END AS bit
+       |         FROM l WHERE w < 128),
+       |fp AS (SELECT asset_id,
+       |         CAST(SUM(CASE WHEN w < 32 THEN bit ELSE 0 END) AS BIGINT)
+       |           AS f0,
+       |         CAST(SUM(CASE WHEN w >= 32 AND w < 64 THEN bit ELSE 0 END)
+       |              AS BIGINT) AS f1,
+       |         CAST(SUM(CASE WHEN w >= 64 AND w < 96 THEN bit ELSE 0 END)
+       |              AS BIGINT) AS f2,
+       |         CAST(SUM(CASE WHEN w >= 96 THEN bit ELSE 0 END) AS BIGINT)
+       |           AS f3
+       |       FROM bits GROUP BY 1)""".stripMargin
 
   /** DuckDB replay of the q264/q265 audio energy-contour fingerprint
     * (windowSamples = 2, so 65 windows need 130 samples = 260 bytes):
@@ -3775,30 +3885,33 @@ object SparkEntry {
         """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
           |            FROM documents WHERE doc_id < 150""".stripMargin)}
          |SELECT asset_id, dhash_lo, dhash_hi FROM dh""".stripMargin,
-    // the oracle verifies the LOSSLESS band join with an ALL-PAIRS scan:
-    // at hamming <= 6 < 8 bands, pigeonhole makes the sets provably equal
+    // the oracle verifies the LOSSLESS band join with an ALL-PAIRS scan
+    // over the 128-bit fingerprint: at hamming <= 6 < 8 bands, pigeonhole
+    // makes the sets provably equal
     "q263_dhash_near_dup" ->
-      s"""WITH ${dhashOracleCtes(
+      s"""WITH ${dhash128OracleCtes(
         """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
           |            FROM documents WHERE doc_id < 150
           |            UNION ALL
           |            SELECT doc_id + 1000000, CAST(text || repeat(' ', 9) AS BLOB)
           |            FROM documents WHERE doc_id < 150""".stripMargin)}
          |SELECT h1.asset_id AS asset_a, h2.asset_id AS asset_b,
-         |       CAST(bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
-         |            bit_count(xor(h1.dhash_hi, h2.dhash_hi)) AS BIGINT)
-         |         AS hamming
+         |       CAST(bit_count(xor(h1.d0, h2.d0)) + bit_count(xor(h1.d1, h2.d1)) +
+         |            bit_count(xor(h1.d2, h2.d2)) + bit_count(xor(h1.d3, h2.d3))
+         |            AS BIGINT) AS hamming
          |FROM dh h1 JOIN dh h2 ON h1.asset_id < h2.asset_id
-         |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
-         |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 6""".stripMargin,
+         |WHERE bit_count(xor(h1.d0, h2.d0)) + bit_count(xor(h1.d1, h2.d1)) +
+         |      bit_count(xor(h1.d2, h2.d2)) + bit_count(xor(h1.d3, h2.d3))
+         |      <= 6""".stripMargin,
     "q264_audio_fingerprint" ->
       s"""WITH ${audioFpOracleCtes(
         """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
           |            FROM documents WHERE doc_id < 200""".stripMargin)}
          |SELECT asset_id, fp_lo, fp_hi FROM fp""".stripMargin,
-    // like q263: all-pairs oracle vs the engine's lossless band join
+    // like q263: all-pairs oracle over the 128-bit fingerprint vs the
+    // engine's lossless band join
     "q265_audio_near_dup" ->
-      s"""WITH ${audioFpOracleCtes(
+      s"""WITH ${audioFp128OracleCtes(
         """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
           |            FROM documents WHERE doc_id < 200
           |            UNION ALL
@@ -3807,11 +3920,13 @@ object SparkEntry {
           |                               substr(text, 102)) AS BLOB)
           |            FROM documents WHERE doc_id < 200""".stripMargin)}
          |SELECT f1.asset_id AS asset_a, f2.asset_id AS asset_b,
-         |       CAST(bit_count(xor(f1.fp_lo, f2.fp_lo)) +
-         |            bit_count(xor(f1.fp_hi, f2.fp_hi)) AS BIGINT) AS hamming
+         |       CAST(bit_count(xor(f1.f0, f2.f0)) + bit_count(xor(f1.f1, f2.f1)) +
+         |            bit_count(xor(f1.f2, f2.f2)) + bit_count(xor(f1.f3, f2.f3))
+         |            AS BIGINT) AS hamming
          |FROM fp f1 JOIN fp f2 ON f1.asset_id < f2.asset_id
-         |WHERE bit_count(xor(f1.fp_lo, f2.fp_lo)) +
-         |      bit_count(xor(f1.fp_hi, f2.fp_hi)) <= 6""".stripMargin,
+         |WHERE bit_count(xor(f1.f0, f2.f0)) + bit_count(xor(f1.f1, f2.f1)) +
+         |      bit_count(xor(f1.f2, f2.f2)) + bit_count(xor(f1.f3, f2.f3))
+         |      <= 6""".stripMargin,
     "q266_y4m_frames" ->
       s"""WITH ${y4mOracleCtes("doc_id < 150")}
          |SELECT asset_id, TRUE AS is_valid, CAST(fr AS BIGINT) AS frame_idx,
@@ -3851,19 +3966,20 @@ object SparkEntry {
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
     // the scale twins replay their parents' oracles with no doc cap
     "q269_dhash_scale" ->
-      s"""WITH ${dhashOracleCtes(
+      s"""WITH ${dhash128OracleCtes(
         """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
           |            FROM documents
           |            UNION ALL
           |            SELECT doc_id + 1000000, CAST(text || repeat(' ', 9) AS BLOB)
           |            FROM documents""".stripMargin)}
          |SELECT h1.asset_id AS asset_a, h2.asset_id AS asset_b,
-         |       CAST(bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
-         |            bit_count(xor(h1.dhash_hi, h2.dhash_hi)) AS BIGINT)
-         |         AS hamming
+         |       CAST(bit_count(xor(h1.d0, h2.d0)) + bit_count(xor(h1.d1, h2.d1)) +
+         |            bit_count(xor(h1.d2, h2.d2)) + bit_count(xor(h1.d3, h2.d3))
+         |            AS BIGINT) AS hamming
          |FROM dh h1 JOIN dh h2 ON h1.asset_id < h2.asset_id
-         |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
-         |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 6""".stripMargin,
+         |WHERE bit_count(xor(h1.d0, h2.d0)) + bit_count(xor(h1.d1, h2.d1)) +
+         |      bit_count(xor(h1.d2, h2.d2)) + bit_count(xor(h1.d3, h2.d3))
+         |      <= 6""".stripMargin,
     // q271's oracle never runs the codec (the q260/q268 discipline):
     // lossless-JPEG encode∘decode is pixel-identity, and the samples ARE
     // the payload bytes (grayscale), so the expected stats come straight

@@ -767,32 +767,94 @@ object Multimodal {
         col("d.dhash_hi").as("dhash_hi"))
   }
 
-  /** Near-duplicate image pairs by dHash hamming distance (E221): LSH on
-    * 8 bands of 8 bits. Two hashes within hamming ≤ 7 differ in at most 7
+  /** 128-bit multi-orientation perceptual fingerprint per decodable BMP
+    * asset (E230): the row-gradient dHash (d0/d1, bit-identical to
+    * [[bmpDHash]]'s halves) PLUS a column-gradient dHash over the
+    * transposed 8x9 grid (d2/d3) — four sign-safe 32-bit words from ONE
+    * O(1)-state native pixel pass
+    * ([[graft.functions.MediaWalks.bmpDHash128]]).
+    *
+    * Why 128 bits: the near-dup join bands the fingerprint, and band-key
+    * cardinality is what makes the join scale — 64 bits force 8x8-bit
+    * bands (256 keys each), so past a few thousand assets every bucket
+    * saturates and in-bucket candidate mass grows ~k² with the corpus.
+    * 128 bits band as 8x16-bit keys (65,536 each, still pigeonhole-
+    * lossless at hamming ≤ 7), so bucket cardinality grows WITH the
+    * corpus and candidate mass stays near-linear on non-degenerate data —
+    * the same join-key-cardinality rule the text joins obey (the q22
+    * lesson, FuzzyJoin's scale note). Requires w ≥ 9 and hgt ≥ 9 (both
+    * grid orientations need 9 cells along their gradient axis); smaller
+    * or undecodable assets are dropped as below grid resolution.
+    */
+  def bmpDHash128(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    bmpHeader(assets)
+      .filter(col("is_valid") && col("w") >= 9L && col("hgt") >= 9L)
+      .select(col("asset_id"),
+        graft.functions.MediaNativeFunctions.bmpDHash128Walk(spark,
+          col("bytes"), col("w"), col("hgt"), col("hraw"), col("stride"),
+          col("poff")).as("d"))
+      .select(col("asset_id"), col("d.d0").as("d0"), col("d.d1").as("d1"),
+        col("d.d2").as("d2"), col("d.d3").as("d3"))
+  }
+
+  /** Near-duplicate image pairs by fingerprint hamming distance (E221):
+    * LSH on 8 bands of 16 bits over the [[bmpDHash128]] frame
+    * (d0..d3). Two fingerprints within hamming ≤ 7 differ in at most 7
     * bands, so by pigeonhole they AGREE on at least one — the candidate
     * generation is LOSSLESS for maxHamming ≤ 7 (this is the same band
     * guarantee the text-simhash path uses), and only bucket collisions
     * are ever compared, never all pairs. The verify step recomputes the
-    * exact distance with bit_count over the xor of both halves.
+    * exact distance with bit_count over the per-word xors.
     *
-    * Scale: each asset emits exactly 8 (band_id, band_val) keys; the join
-    * is equi-keyed on those buckets and the pair set dedups map-side via
-    * the aggregate. Byte-identical corpora belong to EXACT dedup first —
-    * the content-digest pass [[withContentFacts]] removes them before
-    * perceptual hashing (the documented composition order) — and the
-    * near-constant-but-not-identical corpora exact dedup CANNOT remove
-    * (solid-color frames, silence-heavy audio) are bounded by the
-    * `bucketCap` block salting inside [[fingerprintNearDup]].
+    * Scale: each asset emits exactly 8 (band_id, band_val) keys into a
+    * 65,536-key space per band, so bucket cardinality grows with the
+    * corpus and candidate mass stays near-linear on non-degenerate data
+    * (the 64-bit predecessor's 256-key bands saturated past a few
+    * thousand assets — candidate mass ~k²; that ceiling is what the wide
+    * fingerprint removes). The join is equi-keyed on those buckets and
+    * the pair set dedups map-side via the aggregate. Byte-identical
+    * corpora belong to EXACT dedup first — the content-digest pass
+    * [[withContentFacts]] removes them before perceptual hashing (the
+    * documented composition order) — and the near-constant-but-not-
+    * identical corpora exact dedup CANNOT remove (solid-color frames,
+    * silence-heavy audio) are bounded by the `bucketCap` block salting
+    * inside [[fingerprintNearDup]].
     */
   def dhashNearDup(hashes: DataFrame, maxHamming: Int = 6,
       bucketCap: Int = 4096): DataFrame =
-    fingerprintNearDup(hashes, "dhash_lo", "dhash_hi", maxHamming, bucketCap)
+    fingerprintNearDup(hashes, Seq("d0", "d1", "d2", "d3"), maxHamming,
+      bucketCap)
 
-  /** The 64-bit-fingerprint near-dup join shared by image dHash
-    * ([[bmpDHash]]) and audio energy-contour fingerprints
-    * ([[audioFingerprint]]): any (asset_id, lo half, hi half) frame joins
-    * through the same lossless 8x8-bit band LSH. See [[dhashNearDup]] for
-    * the guarantee and scale notes.
+  /** Two-word (64-bit) overload of [[fingerprintNearDup]], kept for the
+    * legacy 8x8-bit-band shape — see the width note on [[bmpDHash128]]:
+    * the 256-key band space saturates at corpus scale, so the shipped
+    * near-dup pipelines use the 128-bit words.
+    */
+  def fingerprintNearDup(hashes: DataFrame, loCol: String, hiCol: String,
+      maxHamming: Int, bucketCap: Int): DataFrame =
+    fingerprintNearDup(hashes, Seq(loCol, hiCol), maxHamming, bucketCap)
+
+  def fingerprintNearDup(hashes: DataFrame, loCol: String, hiCol: String,
+      maxHamming: Int): DataFrame =
+    fingerprintNearDup(hashes, Seq(loCol, hiCol), maxHamming, 4096)
+
+  /** The banded-fingerprint near-dup join shared by image dHash
+    * ([[bmpDHash128]]/[[bmpDHash]]) and audio energy-contour fingerprints
+    * ([[audioFingerprint128]]/[[audioFingerprint]]): any
+    * (asset_id, word...) frame of 2 or 4 sign-safe 32-bit words joins
+    * through a lossless 8-band LSH — two hashes within hamming ≤ 7
+    * differ in at most 7 bands, so by pigeonhole they AGREE on at least
+    * one (the same band guarantee the text-simhash path uses); only
+    * bucket collisions are ever compared, never all pairs, and the
+    * verify step recomputes the exact distance with bit_count over the
+    * per-word xors.
+    *
+    * Band width follows the word count: 4 words (128 bits) → 8 bands of
+    * 16 bits (65,536 keys each — bucket cardinality grows with the
+    * corpus, candidate mass near-linear on non-degenerate data); 2 words
+    * (64 bits) → 8 bands of 8 bits (256 keys each — saturates at corpus
+    * scale; legacy shape, see [[bmpDHash128]]).
     *
     * Hot buckets are block-salted (the Similarity.blockAssignments
     * discipline, Similarity.scala:695): a bucket of size s splits into
@@ -804,12 +866,13 @@ object Multimodal {
     * clips, NOT byte-identical so exact dedup passes them — lands whole
     * in one band bucket and the verify goes k² inside one task.
     */
-  def fingerprintNearDup(hashes: DataFrame, loCol: String, hiCol: String,
+  def fingerprintNearDup(hashes: DataFrame, wordCols: Seq[String],
       maxHamming: Int, bucketCap: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
-      "8x8-band candidate generation is lossless only for maxHamming <= 7")
+      "8-band candidate generation is lossless only for maxHamming <= 7")
     require(bucketCap >= 1, "bucketCap must be positive")
-    val blocked = fingerprintBlocked(hashes, loCol, hiCol, bucketCap)
+    val ws = wordCols.indices.map(j => s"w$j")
+    val blocked = fingerprintBlocked(hashes, wordCols, bucketCap)
     // the (bi, bj) block-pair enumeration: side A carries its own block as
     // bi and fans out to every bj >= bi; side B carries its block as bj
     // and fans out to every bi <= bj — each ordered block pair meets
@@ -817,22 +880,23 @@ object Multimodal {
     // to one by id order), cross-block pairs are normalized by
     // least/greatest (hamming is symmetric, so it can be computed before
     // the normalization)
-    val a = blocked.select(col("band_id"), col("band_val"),
+    val a = blocked.select(Seq(col("band_id"), col("band_val"),
       col("blk").as("bi"),
       explode(sequence(col("blk"), col("nblocks") - 1)).as("bj"),
-      col("asset_id").as("asset_a"), col("dhash_lo").as("lo_a"),
-      col("dhash_hi").as("hi_a"))
-    val b = blocked.select(col("band_id"), col("band_val"),
+      col("asset_id").as("asset_a")) ++
+      ws.map(w => col(w).as(s"${w}_a")): _*)
+    val b = blocked.select(Seq(col("band_id"), col("band_val"),
       explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
-      col("asset_id").as("asset_b"), col("dhash_lo").as("lo_b"),
-      col("dhash_hi").as("hi_b"))
+      col("asset_id").as("asset_b")) ++
+      ws.map(w => col(w).as(s"${w}_b")): _*)
+    val hamming = ws.map(w => expr(s"bit_count(${w}_a ^ ${w}_b)"))
+      .reduce(_ + _)
     a.join(b, Seq("band_id", "band_val", "bi", "bj"))
       .filter(col("bi") < col("bj") || col("asset_a") < col("asset_b"))
       .select(
         least(col("asset_a"), col("asset_b")).as("asset_a"),
         greatest(col("asset_a"), col("asset_b")).as("asset_b"),
-        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
-          .cast("long").as("hamming"))
+        hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       // a pair can collide in several bands: one row per pair
       .groupBy("asset_a", "asset_b").agg(min(col("hamming")).as("hamming"))
@@ -840,33 +904,40 @@ object Multimodal {
 
   /** The banded + block-salted fingerprint frame behind
     * [[fingerprintNearDup]]: one (band_id, band_val, nblocks, blk) row per
-    * asset per band, nblocks = ⌈bucket size / bucketCap⌉. Package-visible
-    * so the hot-bucket spec can pin the block geometry.
+    * asset per band (8 bands of 32·n/8 bits over n 32-bit words),
+    * nblocks = ⌈bucket size / bucketCap⌉. Package-visible so the
+    * hot-bucket spec can pin the block geometry.
     */
-  private[graft] def fingerprintBlocked(hashes: DataFrame, loCol: String,
-      hiCol: String, bucketCap: Int): DataFrame = {
+  private[graft] def fingerprintBlocked(hashes: DataFrame,
+      wordCols: Seq[String], bucketCap: Int): DataFrame = {
+    val nw = wordCols.length
+    require(nw == 2 || nw == 4, "fingerprint must be 2 or 4 32-bit words")
+    val bandsPerWord = 8 / nw       // 4 sub-bands for 64-bit, 2 for 128-bit
+    val bandBits = 32 / bandsPerWord // 8-bit bands for 64-bit, 16 for 128-bit
+    val ws = wordCols.indices.map(j => s"w$j")
     // both join sides derive from `hashes`; without a boundary each side
-    // would re-run the whole upstream decode. The hash frame is 3 longs
-    // per ASSET (not per pixel), so pinning it is always cheap.
+    // would re-run the whole upstream decode. The hash frame is a few
+    // longs per ASSET (not per pixel), so pinning it is always cheap.
     val pinned = hashes
-      .select(col("asset_id"), col(loCol).as("dhash_lo"),
-        col(hiCol).as("dhash_hi"))
+      .select(col("asset_id") +: wordCols.zipWithIndex.map { case (c, j) =>
+        col(c).as(s"w$j")
+      }: _*)
       .localCheckpoint()
+    val bandStructs = (for {
+      j <- 0 until nw
+      s <- 0 until bandsPerWord
+    } yield {
+      val id = j * bandsPerWord + s
+      val shift = 1L << (bandBits * s)
+      val mod = 1L << bandBits
+      s"struct($id as band_id, (w$j div ${shift}L) % ${mod}L as band_val)"
+    }).mkString("array(\n", ",\n", ")")
     val banded = pinned.select(
-      col("asset_id"), col("dhash_lo"), col("dhash_hi"),
-      explode(expr(
-        """array(
-          |  struct(0 as band_id, (dhash_lo          ) % 256 as band_val),
-          |  struct(1 as band_id, (dhash_lo div 256  ) % 256 as band_val),
-          |  struct(2 as band_id, (dhash_lo div 65536) % 256 as band_val),
-          |  struct(3 as band_id, (dhash_lo div 16777216) % 256 as band_val),
-          |  struct(4 as band_id, (dhash_hi          ) % 256 as band_val),
-          |  struct(5 as band_id, (dhash_hi div 256  ) % 256 as band_val),
-          |  struct(6 as band_id, (dhash_hi div 65536) % 256 as band_val),
-          |  struct(7 as band_id, (dhash_hi div 16777216) % 256 as band_val))
-          |""".stripMargin)).as("band"))
-      .select(col("asset_id"), col("dhash_lo"), col("dhash_hi"),
-        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+      Seq(col("asset_id")) ++ ws.map(col) :+
+        explode(expr(bandStructs)).as("band"): _*)
+      .select(Seq(col("asset_id")) ++ ws.map(col) ++ Seq(
+        col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val")): _*)
     // the per-bucket count aggregate has one row per NON-EMPTY bucket
     // (≤ 8·assets, typically ≪) joined back on the bucket key — AQE
     // broadcasts it when small (the blockAssignments discipline)
@@ -930,6 +1001,59 @@ object Multimodal {
       .agg(
         sum(when(col("w") < 32L, col("bit")).otherwise(0L)).as("fp_lo"),
         sum(when(col("w") >= 32L, col("bit")).otherwise(0L)).as("fp_hi"))
+  }
+
+  /** 128-bit audio energy-contour fingerprint (E230's audio side): the
+    * [[audioFingerprint]] scheme widened to 129 prefix windows — 128
+    * adjacent-window rising/falling bits as FOUR sign-safe 32-bit words
+    * (f0 = windows 0-31 ... f3 = 96-127), so [[fingerprintNearDup]] bands
+    * it as 8x16-bit keys and the near-dup join's bucket cardinality grows
+    * with the corpus (see [[bmpDHash128]]'s width note). Assets shorter
+    * than 129 full windows are dropped (fingerprint undefined).
+    *
+    * Scale notes are [[audioFingerprint]]'s verbatim: the explode is
+    * FIXED at 129·windowSamples samples per asset (cost corpus-linear in
+    * asset count, not duration), the energy aggregation map-side-combines
+    * on (asset, window), and the adjacent comparison is a lead() window
+    * over exactly 129 rows per asset.
+    */
+  def audioFingerprint128(assets: DataFrame, windowSamples: Int = 16): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be positive")
+    val need = 129L * windowSamples
+    val u =
+      conv(expr("substring(h, cast(4 * i + 1 as int), 2)"), 16, 10).cast("long") +
+        lit(256L) * conv(expr("substring(h, cast(4 * i + 3 as int), 2)"), 16, 10)
+          .cast("long")
+    val v = when(u >= 32768L, u - 65536L).otherwise(u)
+    val energies = assets
+      // hex ONLY the bounded prefix the 129 windows read (the
+      // audioFingerprint discipline: duration-independent per-asset cost)
+      .select(col("asset_id"),
+        hex(substring(col("bytes"), 1, (2 * need).toInt)).as("h"),
+        expr("octet_length(bytes) div 2").cast("long").as("ns"))
+      .filter(col("ns") >= need)
+      .select(col("asset_id"), col("h"),
+        explode(sequence(lit(0L), lit(need - 1))).as("i"))
+      .select(col("asset_id"), expr(s"i div $windowSamples").as("w"), v.as("v"))
+      .groupBy("asset_id", "w")
+      .agg(sum(col("v") * col("v")).cast("long").as("e"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("w")
+    energies
+      .withColumn("e_next", lead(col("e"), 1).over(win))
+      .filter(col("w") < 128L)
+      .select(col("asset_id"), col("w"),
+        when(col("e_next") > col("e"),
+          expr("shiftleft(cast(1 as bigint), cast(w % 32 as int))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("asset_id")
+      .agg(
+        sum(when(col("w") < 32L, col("bit")).otherwise(0L)).as("f0"),
+        sum(when(col("w") >= 32L && col("w") < 64L, col("bit")).otherwise(0L))
+          .as("f1"),
+        sum(when(col("w") >= 64L && col("w") < 96L, col("bit")).otherwise(0L))
+          .as("f2"),
+        sum(when(col("w") >= 96L, col("bit")).otherwise(0L)).as("f3"))
   }
 
   // ------------------------------------------------------------------

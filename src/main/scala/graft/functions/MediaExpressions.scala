@@ -92,6 +92,90 @@ object MediaWalks {
     Array(lo, hi)
   }
 
+  /** 128-bit multi-orientation dHash over a validated 24-bpp BMP pixel
+    * array — the wide fingerprint that removes the 64-bit scheme's
+    * band-space ceiling (8x8-bit bands have only 256 keys each, so at
+    * corpus scale every bucket saturates and near-dup candidate mass grows
+    * ~k²; 8x16-bit bands have 65,536 keys, so bucket cardinality grows
+    * WITH the corpus — the q22 join-key-cardinality lesson applied to
+    * perceptual hashing). Words:
+    *
+    *  - d0/d1: the row-gradient dHash (9x8 luma grid, one bit per
+    *    horizontally adjacent cell-mean comparison) — bit-identical to
+    *    [[bmpDHash]]'s two halves.
+    *  - d2/d3: the column-gradient dHash (8x9 luma grid, one bit per
+    *    VERTICALLY adjacent cell-mean comparison within each column,
+    *    bit (cx mod 4)·8 + pair, columns 0-3 → d2, 4-7 → d3).
+    *
+    * Both grids index IMAGE rows (bottom-up/top-down storage hashes
+    * identically) and compare via the same exact cross-multiplication.
+    * One O(1)-state pixel pass computes both. Requires w ≥ 9 AND hgt ≥ 9
+    * (the row grid needs 9 columns, the column grid 9 rows); returns null
+    * below grid resolution or when the claimed geometry overruns the real
+    * bytes.
+    */
+  def bmpDHash128(bytes: Array[Byte], w: Long, hgt: Long, hraw: Long,
+      stride: Long, poff: Long): Array[Long] = {
+    if (w < 9 || hgt < 9 || stride < 3 * w || poff < 0 ||
+        poff > bytes.length || hgt > (bytes.length - poff) / stride)
+      return null
+    val topDown = hraw >= 2147483648L
+    // row grid: 8 rows x 9 cols; column grid: 9 rows x 8 cols
+    val rs = new Array[Long](72); val rc = new Array[Long](72)
+    val cs = new Array[Long](72); val cc = new Array[Long](72)
+    var y = 0L
+    while (y < hgt) {
+      val imageRow = if (topDown) y else hgt - 1 - y
+      val cy = ((imageRow * 8) / hgt).toInt  // row-grid row
+      val gy = ((imageRow * 9) / hgt).toInt  // column-grid row
+      val rowOff = poff + y * stride
+      var x = 0L
+      while (x < w) {
+        val cx = ((x * 9) / w).toInt  // row-grid column
+        val gx = ((x * 8) / w).toInt  // column-grid column
+        val off = (rowOff + x * 3).toInt
+        val bl = bytes(off) & 0xff
+        val gr = bytes(off + 1) & 0xff
+        val rd = bytes(off + 2) & 0xff
+        val lum = 299L * rd + 587L * gr + 114L * bl
+        rs(cy * 9 + cx) += lum; rc(cy * 9 + cx) += 1L
+        cs(gy * 8 + gx) += lum; cc(gy * 8 + gx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var d0 = 0L; var d1 = 0L
+    var cy = 0
+    while (cy < 8) {
+      var i = 0
+      while (i < 8) {
+        val a = cy * 9 + i
+        if (prodGreater(rs(a + 1), rc(a), rs(a), rc(a + 1))) {
+          val bit = 1L << ((cy % 4) * 8 + i)
+          if (cy < 4) d0 |= bit else d1 |= bit
+        }
+        i += 1
+      }
+      cy += 1
+    }
+    var d2 = 0L; var d3 = 0L
+    var gx = 0
+    while (gx < 8) {
+      var i = 0
+      while (i < 8) {
+        val a = i * 8 + gx       // cell (row i, column gx)
+        val b = (i + 1) * 8 + gx // the cell below it (image row order)
+        if (prodGreater(cs(b), cc(a), cs(a), cc(b))) {
+          val bit = 1L << ((gx % 4) * 8 + i)
+          if (gx < 4) d2 |= bit else d3 |= bit
+        }
+        i += 1
+      }
+      gx += 1
+    }
+    Array(d0, d1, d2, d3)
+  }
+
   /** a·b > c·d for nonnegative longs, exact at full 128-bit width — a
     * plain long multiply wraps once cell sums pass ~2^63/count (a valid
     * ~430-megapixel BMP gets there), silently flipping hash bits. Runs 64
@@ -411,6 +495,48 @@ case class BmpDHashWalk(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** `graft_bmp_dhash128(bytes, w, hgt, hraw, stride, poff)`: one
+  * O(1)-state pass per asset over the BMP pixel array →
+  * struct(d0, d1, d2, d3) — the 128-bit multi-orientation fingerprint
+  * (row-gradient dHash words + column-gradient dHash words, 32 bits
+  * each, sign-safe). Null on any null input or a geometry that overruns
+  * the real bytes. See [[MediaWalks.bmpDHash128]].
+  */
+case class BmpDHash128Walk(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 6, "graft_bmp_dhash128 takes 6 arguments")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d0", LongType, nullable = false),
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("d3", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.head.dataType == BinaryType &&
+        children.tail.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bmp_dhash128 expects (binary, long, long, long, long, long), " +
+          s"got ${children.map(_.dataType).mkString(", ")}")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val r = MediaWalks.bmpDHash128(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Long], vs(2).asInstanceOf[Long],
+      vs(3).asInstanceOf[Long], vs(4).asInstanceOf[Long],
+      vs(5).asInstanceOf[Long])
+    if (r == null) null else InternalRow(r(0), r(1), r(2), r(3))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** `graft_y4m_header(bytes)`: single-pass Y4M header parse → struct(w,
   * hgt, fsize, poff, n_frames, is_valid). Fields the parse could not
   * derive are null; is_valid is never null. See [[MediaWalks.y4mHeader]].
@@ -529,6 +655,8 @@ object MediaNativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bmp_dhash", exprs => BmpDHashWalk(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bmp_dhash128", exprs => BmpDHash128Walk(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_y4m_frames", exprs => Y4mFrameWalk(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_y4m_header", exprs => Y4mHeaderParse(exprs.head), "built-in")
@@ -550,6 +678,12 @@ object MediaNativeFunctions {
       hraw: Column, stride: Column, poff: Column): Column = {
     register(spark)
     call_function("graft_bmp_dhash", bytes, w, hgt, hraw, stride, poff)
+  }
+
+  def bmpDHash128Walk(spark: SparkSession, bytes: Column, w: Column,
+      hgt: Column, hraw: Column, stride: Column, poff: Column): Column = {
+    register(spark)
+    call_function("graft_bmp_dhash128", bytes, w, hgt, hraw, stride, poff)
   }
 
   def y4mFrameWalk(spark: SparkSession, bytes: Column, poff: Column,

@@ -91,30 +91,75 @@ class ImageDHashSpec extends SparkSpec {
     assert(dh.count() === 0)
   }
 
+  /** A 9x9 image, one pixel per cell of BOTH grid orientations, addressed
+    * by IMAGE row (encodeBmp stores bottom-up: stored row y_s holds image
+    * row 8 - y_s). Stride = 28 as in [[gridPayload]].
+    */
+  private def gridPayload9(lum: (Int, Int) => Int): Array[Byte] = {
+    val out = new Array[Byte](9 * 28)
+    for (ys <- 0 until 9; x <- 0 until 9; ch <- 0 until 3)
+      out(ys * 28 + x * 3 + ch) = lum(x, 8 - ys).toByte
+    out
+  }
+
+  test("128-bit grid math: gradients light exactly one orientation's words") {
+    val assets = assetsOf(
+      1L -> gridPayload9((x, _) => x * 10),      // brighter rightward
+      2L -> gridPayload9((_, r) => r * 10),      // brighter downward (image rows)
+      3L -> gridPayload9((x, r) => x * 10 + r * 10)) // both gradients
+    val dh = Multimodal.bmpDHash128(encodedBmp(assets, width = 9))
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("d0"), r.getAs[Long]("d1"),
+          r.getAs[Long]("d2"), r.getAs[Long]("d3")))).toMap
+    val all = 4294967295L
+    assert(dh(1L) === ((all, all, 0L, 0L)),
+      "horizontal gradient must set every row bit and no column bit")
+    assert(dh(2L) === ((0L, 0L, all, all)),
+      "vertical gradient must set every column bit and no row bit")
+    assert(dh(3L) === ((all, all, all, all)))
+    // below the 9-row column grid: bmpDHash128 drops what bmpDHash keeps
+    val eightRows = assetsOf(9L -> gridPayload(x => x * 10))
+    assert(Multimodal.bmpDHash(encodedBmp(eightRows, width = 9)).count() === 1)
+    assert(Multimodal.bmpDHash128(encodedBmp(eightRows, width = 9)).count() === 0)
+  }
+
+  test("d0/d1 of the 128-bit walk are bit-identical to bmpDHash") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    val enc = encodedBmp(Multimodal.documentsAsAssets(docs), width = 16)
+    val wide = Multimodal.bmpDHash128(enc).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("d0"), r.getAs[Long]("d1")))).toMap
+    val narrow = Multimodal.bmpDHash(enc).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("dhash_lo"), r.getAs[Long]("dhash_hi")))).toMap
+    assert(wide.nonEmpty)
+    wide.foreach { case (id, d01) => assert(narrow(id) === d01) }
+  }
+
   test("near-identical images land within a few bits; exact twins at 0") {
-    val base = gridPayload(x => x * 10)
+    val base = gridPayload9((x, r) => ((x + r) % 2) * 60 + x * 5)
     val oneCell = base.clone()
-    // brighten one interior pixel by 2: at most the two comparisons
-    // touching that cell can flip
+    // brighten one interior pixel by 2: at most the two row comparisons
+    // and two column comparisons touching that cell can flip
     oneCell(2 * 28 + 4 * 3) = (oneCell(2 * 28 + 4 * 3) + 2).toByte
     val assets = assetsOf(1L -> base, 2L -> base.clone(), 3L -> oneCell)
     val pairs = Multimodal.dhashNearDup(
-      Multimodal.bmpDHash(encodedBmp(assets, width = 9)),
+      Multimodal.bmpDHash128(encodedBmp(assets, width = 9)),
       maxHamming = 6)
       .collect()
       .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")) ->
         r.getAs[Long]("hamming")).toMap
     assert(pairs((1L, 2L)) === 0L)
-    assert(pairs((1L, 3L)) <= 2L)
+    assert(pairs((1L, 3L)) <= 4L)
     assert(pairs((2L, 3L)) === pairs((1L, 3L)))
   }
 
-  test("band join equals brute force (lossless candidates at tau <= 7)") {
+  test("128-bit band join equals brute force (lossless candidates at tau <= 7)") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 80)
       .select(col("doc_id"), col("text"), col("source"))
     val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" " * 9)).as("text"), col("source"))
-    val hashes = Multimodal.bmpDHash(encodedBmp(
+    val hashes = Multimodal.bmpDHash128(encodedBmp(
       Multimodal.documentsAsAssets(docs.unionByName(variants)), width = 16))
       .localCheckpoint()
     val viaBands = Multimodal.dhashNearDup(hashes, maxHamming = 6)
@@ -122,15 +167,32 @@ class ImageDHashSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
         r.getAs[Long]("hamming"))).toSet
     val h = hashes.collect()
-      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("dhash_lo"),
-        r.getAs[Long]("dhash_hi")))
+      .map(r => (r.getAs[Long]("asset_id"),
+        Seq(r.getAs[Long]("d0"), r.getAs[Long]("d1"),
+          r.getAs[Long]("d2"), r.getAs[Long]("d3"))))
     val brute = (for {
-      (a, la, ha) <- h; (b, lb, hb) <- h if a < b
-      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      (a, wa) <- h; (b, wb) <- h if a < b
+      d = wa.zip(wb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
       if d <= 6
     } yield (a, b, d.toLong)).toSet
     assert(viaBands === brute)
     assert(brute.nonEmpty, "fixture produced no near-dup pairs")
+  }
+
+  test("4-word fingerprints band as 8x16-bit keys (65,536-key band space)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // word j = hi_j * 65536 + lo_j with distinct halves per word
+    val rows = Seq((1L, 7L * 65536 + 9, 1L * 65536 + 2, 65535L, 65536L))
+    val hashes = rows.toDF("asset_id", "a", "b", "c", "d")
+    val bands = Multimodal
+      .fingerprintBlocked(hashes, Seq("a", "b", "c", "d"), 4096)
+      .select("band_id", "band_val").collect()
+      .map(r => r.getAs[Int]("band_id") -> r.getAs[Long]("band_val")).toMap
+    assert(bands === Map(0 -> 9L, 1 -> 7L, 2 -> 2L, 3 -> 1L,
+      4 -> 65535L, 5 -> 0L, 6 -> 0L, 7 -> 1L))
+    // every band key fits the 16-bit space
+    assert(bands.values.forall(v => v >= 0 && v < 65536))
   }
 
   test("cross-multiplied mean compare is exact past the 64-bit product") {
@@ -169,7 +231,7 @@ class ImageDHashSpec extends SparkSpec {
     // split into ceil(n/cap) blocks, and no block may exceed the cap by
     // more than hash-skew slack (3x is generous for xxhash64 on 600 keys)
     val blocked = Multimodal
-      .fingerprintBlocked(hashes, "dhash_lo", "dhash_hi", cap)
+      .fingerprintBlocked(hashes, Seq("dhash_lo", "dhash_hi"), cap)
       .localCheckpoint()
     val expectBlocks = (n + cap - 1) / cap
     val geom = blocked.groupBy("band_id", "band_val", "blk")
