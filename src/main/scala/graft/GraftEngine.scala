@@ -636,6 +636,20 @@ object Main {
           .orderBy(col("asset_id"))
           .show(30, truncate = false)
       }
+      // baseline (lossy, DCT) JPEG decode report: genuine T.81
+      // sequential-DCT decoding — what real image lakes overwhelmingly
+      // hold (documents-as-JPEG stand-in; real lakes feed jpegDctStats
+      // off a storage scan)
+      if (args.contains("--jpeg-dct-stats")) {
+        println("baseline-DCT JPEG decode stats (DQT/DHT parse + entropy decode + IDCT):")
+        graft.ext.Multimodal.jpegDctStats(
+            graft.ext.Multimodal.encodeJpegDct(
+              graft.ext.Multimodal.documentsAsAssets(
+                Tables.documents(spark, dir)), width = 8)
+              .repartition(col("asset_id")).localCheckpoint())
+          .orderBy(col("asset_id"))
+          .show(30, truncate = false)
+      }
       // PNG decode report through the real entropy-coded codec
       // (documents-as-PNG stand-in; real image lakes feed pngStats off a
       // storage scan)

@@ -2294,6 +2294,29 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"),
           col("mean_v_milli"), col("predictor"))
     },
+    // Baseline (lossy, DCT) JPEG decode stats (E231): the third entropy-
+    // coded format decoded fully in-engine — genuine T.81 sequential DCT
+    // with DC-predicted + run/size AC Huffman coding. The oracle replays
+    // the ENTIRE integer pipeline (level shift → fixed-point FDCT →
+    // quantize → dequantize → IDCT → clamp) per 8x8 block in DuckDB
+    // straight from the raw payload: Huffman is bijective on the
+    // quantized coefficients, so decode∘encode equals the replayed
+    // arithmetic exactly — a lossy codec with a hash-exact oracle. The
+    // basis and quant constants are embedded from ONE Scala source
+    // (JpegDctCodec.basisSqlRows/quantSqlRows), the minhash-coefficient
+    // discipline.
+    "q272_jpegdct_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.jpegDctStats(
+        graft.ext.Multimodal.encodeJpegDct(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 8)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("n_blocks"))
+    },
     // Y4M container walk over the WHOLE corpus (E224's scale twin):
     // identical semantics to q266 with no doc_id cap — per-asset native
     // frame walk, cost linear in pixel mass, for ScaleBench's measured
@@ -3999,6 +4022,61 @@ object SparkEntry {
         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
         |       CAST(1 AS BIGINT) AS predictor
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // q272's oracle never runs the codec: it replays the deterministic
+    // integer pipeline (shift → fixed-point FDCT → round-half-up
+    // quantize by the Annex-K table → dequantize → fixed-point IDCT →
+    // clamp) per 8x8 block straight from the raw payload bytes. width 8
+    // ⇒ one block per 64-byte block row, so pixel (b, y, x) IS payload
+    // byte 64b + 8y + x. Floor-based half-up division uses the dkFloorDiv
+    // pattern (DuckDB // truncates; subtract the sign-safe mod first).
+    // Basis/quant constants come from JpegDctCodec — one source of truth.
+    "q272_jpegdct_stats" ->
+      s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 64 AS nb
+         |      FROM src WHERE octet_length(p) // 64 >= 1),
+         |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * 64)) AS i FROM g),
+         |sp AS (SELECT asset_id, nb, i // 64 AS b, (i % 64) // 8 AS y, i % 8 AS x,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           - 128 AS v
+         |       FROM px),
+         |ct AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.basisSqlRows})
+         |       AS t(u, x, c)),
+         |qt AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.quantSqlRows})
+         |       AS t(u, v, q)),
+         |t1 AS (SELECT asset_id, nb, b, ct.u AS u, sp.y AS y,
+         |              SUM(sp.v * ct.c) AS t
+         |       FROM sp JOIN ct ON ct.x = sp.x GROUP BY 1, 2, 3, 4, 5),
+         |t2 AS (SELECT asset_id, nb, b, t1.u AS u, ct.u AS vv,
+         |              SUM(t1.t * ct.c) AS t
+         |       FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4, 5),
+         |qc AS (SELECT asset_id, nb, b, t2.u AS u, t2.vv AS vv, qt.q AS q,
+         |         (t2.t + qt.q*549755813888
+         |          - (((t2.t + qt.q*549755813888) % (qt.q*1099511627776)
+         |              + qt.q*1099511627776) % (qt.q*1099511627776)))
+         |           // (qt.q*1099511627776) AS qc
+         |       FROM t2 JOIN qt ON qt.u = t2.u AND qt.v = t2.vv),
+         |dq AS (SELECT asset_id, nb, b, u, vv, qc * q AS d FROM qc),
+         |p1 AS (SELECT asset_id, nb, b, ct.x AS x, dq.vv AS vv,
+         |              SUM(ct.c * dq.d) AS t
+         |       FROM dq JOIN ct ON ct.u = dq.u GROUP BY 1, 2, 3, 4, 5),
+         |p2 AS (SELECT asset_id, nb, b, p1.x AS x, ct.x AS y,
+         |              SUM(p1.t * ct.c) AS t
+         |       FROM p1 JOIN ct ON ct.u = p1.vv GROUP BY 1, 2, 3, 4, 5),
+         |rec AS (SELECT asset_id, nb,
+         |          LEAST(GREATEST(
+         |            (t + 549755813888
+         |             - (((t + 549755813888) % 1099511627776
+         |                 + 1099511627776) % 1099511627776)) // 1099511627776
+         |            + 128, 0), 255) AS r
+         |        FROM p2)
+         |SELECT asset_id, TRUE AS is_valid, CAST(8 AS BIGINT) AS width,
+         |       CAST(nb * 8 AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(r) AS BIGINT) AS sum_v,
+         |       CAST(SUM(r) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+         |       CAST(nb AS BIGINT) AS n_blocks
+         |FROM rec GROUP BY asset_id, nb""".stripMargin,
     "q270_y4m_scale" ->
       s"""WITH ${y4mOracleCtes("TRUE")}
          |SELECT asset_id, TRUE AS is_valid, CAST(fr AS BIGINT) AS frame_idx,

@@ -22,11 +22,14 @@ import org.apache.spark.sql.types._
   * image dedup rides the decode path ([[bmpDHash]]/[[dhashNearDup]]).
   * Lossless JPEG ([[encodeJpegLossless]]/[[jpegStats]]) brings GENUINE
   * HUFFMAN DECODING in-engine (T.81 process 14 — DHT parse, byte-stuffed
-  * bitstream, spatial predictors). Only formats that genuinely need an
-  * external codec library (DCT-based lossy JPEG — whose lossiness also
-  * rules out any pixel-identity oracle — and H.264's CABAC) remain a
-  * STUB, replaced by a deterministic digest-derived fake (clearly marked
-  * below).
+  * bitstream, spatial predictors), and BASELINE LOSSY (DCT) JPEG
+  * ([[encodeJpegDct]]/[[jpegDctStats]]) — what real image lakes
+  * overwhelmingly hold — decodes for real too, with an exact oracle via
+  * the fixed-point integer transform pipeline (Huffman is bijective on
+  * the quantized coefficients, so lossiness does not preclude the
+  * replay). Only H.264 (whose CABAC + inter-prediction genuinely need an
+  * external codec library) remains a STUB, replaced by a deterministic
+  * digest-derived fake (clearly marked below).
   * Everything around that stub is real and tested: the asset schema,
   * binary columns, partition-sized batching, and the feature-extraction
   * interface. Swapping in a real decoder replaces ONE function body
@@ -66,7 +69,7 @@ object Multimodal {
       .withColumn("content_digest", md5(col("bytes")))
 
   // ------------------------------------------------------------------
-  // STUB DECODE (external-codec formats only — DCT JPEG/H.264): deterministic
+  // STUB DECODE (external-codec formats only — H.264): deterministic
   // fake features derived from the content digest. A real deployment
   // replaces `fakeDecodedFeatures` with a codec call (e.g. JNI image
   // decode inside mapPartitions) — the surrounding schema, batching and
@@ -179,7 +182,7 @@ object Multimodal {
   // to 4-byte boundaries — so the engine encodes AND decodes natively
   // through hex() (bit-identical in Spark and DuckDB; the whole codec
   // replays in the oracle). The digest-stub above now stands in ONLY for
-  // external-codec formats (DCT JPEG/H.264), whose decoding genuinely
+  // external-codec formats (H.264), whose decoding genuinely
   // needs a codec library this environment doesn't have.
   // ------------------------------------------------------------------
 
@@ -678,9 +681,9 @@ object Multimodal {
   // process 14, SOF3). Genuine Huffman entropy decoding — marker walk,
   // DHT table parse, byte-stuffed bitstream, difference categories, all
   // seven spatial predictors — and, being lossless, encode∘decode is
-  // pixel-identity, so the oracle discipline that LOSSY DCT JPEG can
-  // never satisfy applies here. The stub below now covers only formats
-  // that genuinely need an external codec (DCT JPEG, H.264).
+  // pixel-identity, so the q260/q268 oracle discipline applies
+  // directly (lossy DCT JPEG needs the coefficient-replay variant
+  // instead — see encodeJpegDct below). The stub now covers only H.264.
   // ------------------------------------------------------------------
 
   /** Encode each asset's payload bytes as a single-component (grayscale)
@@ -722,6 +725,66 @@ object Multimodal {
         col("q.n_pixels").as("n_pixels"), col("q.sum_v").as("sum_v"),
         col("q.mean_v_milli").as("mean_v_milli"),
         col("q.predictor").as("predictor"))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL ENTROPY-CODED IMAGE FORMAT #3: BASELINE (LOSSY, DCT) JPEG —
+  // what real image lakes overwhelmingly hold. Decoding is genuine
+  // T.81 sequential DCT: DQT/DHT parse, DC-predicted + run/size AC
+  // Huffman entropy decode, dequantize, inverse DCT. Lossiness does NOT
+  // preclude an exact oracle: Huffman coding is bijective on the
+  // quantized coefficients, so on engine-encoded fixtures decode∘encode
+  // equals the deterministic integer pipeline FDCT→quantize→dequantize→
+  // IDCT, which the q272 oracle replays per 8x8 block in DuckDB straight
+  // from the raw payload (fixed-point basis, floor-based half-up
+  // rounding — see functions/JpegDctExpressions). The external-codec
+  // stub below now fences ONLY H.264.
+  // ------------------------------------------------------------------
+
+  /** Encode each asset's payload bytes as a baseline single-component
+    * SOF0 JPEG of the given sample width (a multiple of 8; height =
+    * 8·⌊len/(8·width)⌋ — whole BLOCK ROWS only, so no edge-padded
+    * partial blocks exist and the oracle replay is padding-free; assets
+    * shorter than one block row are dropped). Annex-K luminance quant +
+    * Huffman tables. One native expression per asset; the drop condition
+    * is checked on the cheap input length (the [[encodeQoi]] discipline).
+    */
+  def encodeJpegDct(assets: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 8 && width % 8 == 0, "width must be a multiple of 8")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 8 * width)
+      .withColumn("bytes",
+        graft.functions.JpegDctNativeFunctions.jpegDctEncode(spark,
+          col("bytes"), width))
+  }
+
+  /** Decode baseline-DCT JPEG assets natively (E231): marker walk, DQT
+    * (zigzag) + DHT (DC and AC classes) parse, byte-unstuffed entropy
+    * decode with DC prediction and EOB/ZRL run coding, dequantization,
+    * fixed-point inverse DCT — reporting the exact reconstructed-sample
+    * sum, the fixed-point mean, and the block count. Progressive /
+    * lossless / arithmetic / hierarchical / multi-component / subsampled
+    * frames, corrupt tables, truncated streams, and forged dimensions
+    * all report is_valid = false with null stats; every block consumes
+    * real input bits, so a forged header cannot loop, and a coefficient
+    * stream past the IDCT's overflow-safe bound is rejected, never
+    * decoded wrong.
+    *
+    * Scale: one native-expression pass per asset, O(64) block state, no
+    * explode — the [[qoiStats]]/[[pngStats]]/[[jpegStats]] shape exactly.
+    */
+  def jpegDctStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.JpegDctNativeFunctions.jpegDctDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_v").as("sum_v"),
+        col("q.mean_v_milli").as("mean_v_milli"),
+        col("q.n_blocks").as("n_blocks"))
   }
 
   // ------------------------------------------------------------------

@@ -19,9 +19,8 @@ import org.apache.spark.sql.types._
   * encode∘decode is pixel-identity and the q260/q268 oracle discipline
   * (expected stats computed straight from the raw payload) applies to an
   * entropy-coded bitstream. The [[graft.ext.Multimodal]] stub narrows to
-  * formats whose decoding this environment genuinely cannot express
-  * without an external codec: DCT-based JPEG (lossy; no pixel-identity
-  * oracle can exist) and H.264.
+  * H.264 (DCT JPEG decodes too — see [[JpegDctCodec]], whose oracle
+  * replays the integer coefficient pipeline instead of pixel identity).
   *
   * Scale: one native-expression pass per asset — O(2·width) state (the
   * current and previous sample rows), running sums, nothing per-pixel

@@ -151,6 +151,14 @@ class CliSpec extends SparkSpec {
     assert(out.contains("true"), "no asset decoded as valid")
   }
 
+  test("--jpeg-dct-stats prints the baseline-DCT decode report") {
+    val out = runCli("--jpeg-dct-stats")
+    assert(out.contains("baseline-DCT JPEG decode stats"), "header missing")
+    assert(out.contains("mean_v_milli") && out.contains("n_blocks"),
+      "decode columns missing")
+    assert(out.contains("true"), "no asset decoded as valid")
+  }
+
   test("--png-stats prints the entropy-coded decode report") {
     val out = runCli("--png-stats")
     assert(out.contains("PNG decode stats"), "header missing")

@@ -1,0 +1,172 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Baseline (lossy, DCT) JPEG codec conformance (E231, ITU-T T.81
+  * sequential DCT / SOF0).
+  *
+  * Division of labor with the q272 oracle: the DuckDB oracle replays the
+  * full integer transform pipeline INDEPENDENTLY (from raw payload bytes,
+  * never running the codec), so the arithmetic is cross-engine-pinned
+  * there; this spec pins what the oracle cannot see — the Huffman entropy
+  * layer being BIJECTIVE on the quantized coefficients (encode→decode
+  * recovers them exactly: DC prediction, run/size AC symbols, EOB/ZRL,
+  * byte stuffing) and every reject path.
+  */
+class JpegDctCodecSpec extends SparkSpec {
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  /** The spec-side replay of decode∘encode for a width-8 payload: the
+    * integer pipeline per 64-byte block. Uses the codec's OWN transform
+    * halves on purpose — their cross-engine correctness is the q272
+    * oracle's job; here they define the expected coefficient stream the
+    * Huffman layer must round-trip.
+    */
+  private def replaySum(payload: Array[Byte]): Long = {
+    val nb = payload.length / 64
+    var sum = 0L
+    for (blk <- 0 until nb) {
+      val s = Array.tabulate(64)(i => payload(blk * 64 + i) & 0xff)
+      val rec = JpegDctCodec.dequantizeInverse(JpegDctCodec.forwardQuantize(s))
+      sum += rec.map(_.toLong).sum
+    }
+    sum
+  }
+
+  test("zigzag table is a permutation pairing natural and scan order") {
+    assert(JpegDctCodec.ZigZag.sorted.toSeq === (0 until 64))
+    // spec anchors: DC first, then (u=1,v=0), (u=0,v=1), (u=0,v=2)...
+    assert(JpegDctCodec.ZigZag(0) === 0)
+    assert(JpegDctCodec.ZigZag(1) === 1)
+    assert(JpegDctCodec.ZigZag(2) === 8)
+    assert(JpegDctCodec.ZigZag(63) === 63)
+  }
+
+  test("constant blocks round-trip exactly; DC prediction carries across blocks") {
+    // one block of 138 then one of 58: hand-derivable — F(0,0) = 8·(v-128)
+    // lands on exact multiples of the quantizer's half-units, so the
+    // reconstruction is value-exact despite the lossy quantize
+    val payload = Array.fill(64)(138.toByte) ++ Array.fill(64)(58.toByte)
+    val enc = JpegDctCodec.encode(payload, 8)
+    assert(enc !== null)
+    val d = JpegDctCodec.decode(enc)
+    assert(d.valid)
+    assert((d.width, d.height, d.nPixels, d.nBlocks) === ((8L, 16L, 128L, 2L)))
+    assert(d.sumV === 64L * 138 + 64L * 58,
+      "constant blocks must reconstruct exactly (second block exercises a nonzero DC diff)")
+  }
+
+  test("entropy layer is bijective: decode equals the integer-pipeline replay") {
+    // pseudo-random grayscale: exercises dense AC activity, long zero
+    // runs, multi-block DC prediction — everything the AC/DC coder emits
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val payload = Array.fill(64 * (3 + trial))((rng.nextInt(256) - 128).toByte)
+      val enc = JpegDctCodec.encode(payload, 8)
+      assert(enc !== null)
+      val d = JpegDctCodec.decode(enc)
+      assert(d.valid, s"trial $trial must decode")
+      assert(d.sumV === replaySum(payload),
+        s"trial $trial: Huffman layer must be lossless on the coefficients")
+    }
+  }
+
+  test("byte stuffing round-trips: a stream containing an FF data byte") {
+    // search a few seeds for an entropy stream that actually contains a
+    // stuffed FF00 pair, then require exact round-trip through it
+    val found = (0 until 64).view.map { seed =>
+      val rng = new scala.util.Random(seed)
+      val payload = Array.fill(256)((rng.nextInt(256)).toByte)
+      (payload, JpegDctCodec.encode(payload, 8))
+    }.find { case (_, enc) =>
+      // look for FF00 strictly inside the entropy region (after SOS)
+      val body = enc.drop(2).dropRight(2)
+      body.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0x00)
+    }
+    assert(found.nonEmpty, "no fixture produced byte stuffing — widen the search")
+    val (payload, enc) = found.get
+    val d = JpegDctCodec.decode(enc)
+    assert(d.valid)
+    assert(d.sumV === replaySum(payload))
+  }
+
+  test("reject paths: progressive, multi-component, bad tables, truncation, garbage") {
+    val good = JpegDctCodec.encode(Array.tabulate(128)(i => (i * 7).toByte), 8)
+    assert(JpegDctCodec.decode(good).valid)
+    def indexOfMarker(m: Int): Int = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == m)) i += 1
+      i
+    }
+    // progressive (SOF2) and the other non-baseline frames are rejected
+    val sof = indexOfMarker(0xc0)
+    for (mm <- Seq(0xc1, 0xc2, 0xc3, 0xc9, 0xcb)) {
+      val bad = good.clone(); bad(sof + 1) = mm.toByte
+      assert(!JpegDctCodec.decode(bad).valid, f"SOF$mm%02x must be rejected")
+    }
+    // multi-component SOF0 (nf = 3) is a visible finding, not a misdecode
+    val nf3 = good.clone(); nf3(sof + 2 + 2 + 5) = 3
+    assert(!JpegDctCodec.decode(nf3).valid)
+    // subsampled component (H=2, V=1) is rejected
+    val sub = good.clone(); sub(sof + 2 + 2 + 7) = 0x21
+    assert(!JpegDctCodec.decode(sub).valid)
+    // 16-bit DQT precision (Pq = 1) is rejected
+    val dqt = indexOfMarker(0xdb)
+    val deep = good.clone(); deep(dqt + 4) = 0x10
+    assert(!JpegDctCodec.decode(deep).valid)
+    // a zero quantizer entry is corrupt (and would divide by zero)
+    val zq = good.clone(); zq(dqt + 5) = 0
+    assert(!JpegDctCodec.decode(zq).valid)
+    // a non-baseline scan header (Se != 63) is rejected
+    val sos = indexOfMarker(0xda)
+    val se = good.clone(); se(sos + 2 + 2 + 4) = 31
+    assert(!JpegDctCodec.decode(se).valid)
+    // successive approximation (Ah/Al != 0) is rejected
+    val ahal = good.clone(); ahal(sos + 2 + 2 + 5) = 0x01
+    assert(!JpegDctCodec.decode(ahal).valid)
+    // truncation mid-entropy-data and trailing garbage after EOI
+    assert(!JpegDctCodec.decode(good.take(good.length - 3)).valid)
+    assert(!JpegDctCodec.decode(good ++ b(0)).valid)
+    // forged SOF0 dims over a tiny stream: must fail fast (input-bounded)
+    val forged = good.clone()
+    forged(sof + 2 + 3) = 0xff.toByte; forged(sof + 2 + 4) = 0xff.toByte
+    forged(sof + 2 + 5) = 0xff.toByte; forged(sof + 2 + 6) = 0xf8.toByte
+    val t0 = System.nanoTime()
+    assert(!JpegDctCodec.decode(forged).valid)
+    assert(System.nanoTime() - t0 < 2e9, "forged dims must not loop")
+    // APPn/COM segments before SOF are skipped (real-file robustness)
+    val withApp = b(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46) ++
+      good.drop(2)
+    assert(JpegDctCodec.decode(withApp).valid)
+  }
+
+  test("encode drop rules: sub-block-row payloads null; u16 height guarded") {
+    assert(JpegDctCodec.encode(new Array[Byte](63), 8) === null)
+    assert(JpegDctCodec.encode(new Array[Byte](64), 8) !== null)
+    // h = 8·blockRows caps at 65535 ⇒ blockRows ≤ 8191 at width 8
+    assert(JpegDctCodec.encode(new Array[Byte](8192 * 64), 8) === null)
+  }
+
+  test("engine round trip on real documents matches the block replay") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val assets = graft.ext.Multimodal.documentsAsAssets(docs)
+    val stats = graft.ext.Multimodal.jpegDctStats(
+      graft.ext.Multimodal.encodeJpegDct(assets, width = 8)
+        .repartition(col("asset_id")).localCheckpoint())
+      .collect()
+    assert(stats.nonEmpty)
+    val raw = docs.select(col("doc_id"), col("text").cast("binary").as("p"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Array[Byte]]("p")).toMap
+    stats.foreach { r =>
+      assert(r.getAs[Boolean]("is_valid"))
+      val p = raw(r.getAs[Long]("asset_id"))
+      val nb = p.length / 64
+      assert(r.getAs[Long]("n_blocks") === nb.toLong)
+      assert(r.getAs[Long]("n_pixels") === 64L * nb)
+      assert(r.getAs[Long]("sum_v") === replaySum(p.take(nb * 64)))
+    }
+  }
+}
