@@ -67,7 +67,15 @@ object ScaleBench {
         "dupheavy: verbatim replicas share one fingerprint, pair mass " +
         "k^2 is the documented driver (block-salted for task balance)"),
     ("q270_y4m_scale", 1.35, 1.35,
-      "pixel mass: one native frame walk per asset, no pair stage"))
+      "pixel mass: one native frame walk per asset, no pair stage"),
+    ("q273_audio_neardup_scale", 1.35, 2.0,
+      "uniform: 16-bit-band buckets over the 128-bit audio fingerprint " +
+        "grow with the corpus, candidate mass near-linear; dupheavy: " +
+        "verbatim replicas share one fingerprint, pair mass k^2 is the " +
+        "documented driver (block-salted for task balance)"),
+    ("q274_png_scale", 1.35, 1.35,
+      "byte mass: one native chunk-walk + inflate + unfilter pass per " +
+        "asset, no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)
@@ -75,9 +83,9 @@ object ScaleBench {
   // is about content duplication, so TPC-H-shaped targets are uniform-only
   private val dupheavyQueries = Set("q190_yield_curve", "q187_threshold_sweep",
     "q177_setsim_join", "q93_semantic_dedup", "q51_embedding_dedup_clusters",
-    // verbatim replicas share one dHash -> exact-dup clusters of size k in
-    // every band bucket: pair mass k^2, the declared driver
-    "q269_dhash_scale")
+    // verbatim replicas share one fingerprint -> exact-dup clusters of
+    // size k in every band bucket: pair mass k^2, the declared driver
+    "q269_dhash_scale", "q273_audio_neardup_scale")
 
   private val allTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

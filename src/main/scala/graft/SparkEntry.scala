@@ -2329,6 +2329,36 @@ object SparkEntry {
           .repartition(col("asset_id"))
           .localCheckpoint())
     },
+    // Audio fingerprint near-dup over the WHOLE corpus (E223/E230's scale
+    // twin, E232): identical semantics to q265 with no doc_id cap, so
+    // ScaleBench can fit its growth exponent — the audio sibling of q269.
+    "q273_audio_neardup_scale" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substr(text, 1, 100), '~', substr(text, 102))").as("text"),
+        col("source"))
+      graft.ext.Multimodal.fingerprintNearDup(
+        graft.ext.Multimodal.audioFingerprint128(
+          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants)),
+          windowSamples = 1),
+        Seq("f0", "f1", "f2", "f3"), maxHamming = 6)
+    },
+    // PNG decode over the WHOLE corpus (E226's scale twin, E233):
+    // identical semantics to q268 with no doc_id cap — one native
+    // chunk-walk + inflate + unfilter pass per asset, cost linear in
+    // byte mass, for ScaleBench's measured exponent.
+    "q274_png_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          width = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -4083,6 +4113,42 @@ object SparkEntry {
          |       TRUE AS marker_ok, CAST(sum_y AS BIGINT) AS sum_y,
          |       CAST(mean_milli AS BIGINT) AS mean_y_milli
          |FROM m""".stripMargin,
+    // the scale twins replay their parents' oracles with no doc cap
+    "q273_audio_neardup_scale" ->
+      s"""WITH ${audioFp128OracleCtes(
+        """SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+          |            FROM documents
+          |            UNION ALL
+          |            SELECT doc_id + 1000000,
+          |                   CAST(concat(substr(text, 1, 100), '~',
+          |                               substr(text, 102)) AS BLOB)
+          |            FROM documents""".stripMargin)}
+         |SELECT f1.asset_id AS asset_a, f2.asset_id AS asset_b,
+         |       CAST(bit_count(xor(f1.f0, f2.f0)) + bit_count(xor(f1.f1, f2.f1)) +
+         |            bit_count(xor(f1.f2, f2.f2)) + bit_count(xor(f1.f3, f2.f3))
+         |            AS BIGINT) AS hamming
+         |FROM fp f1 JOIN fp f2 ON f1.asset_id < f2.asset_id
+         |WHERE bit_count(xor(f1.f0, f2.f0)) + bit_count(xor(f1.f1, f2.f1)) +
+         |      bit_count(xor(f1.f2, f2.f2)) + bit_count(xor(f1.f3, f2.f3))
+         |      <= 6""".stripMargin,
+    "q274_png_scale" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 18 AS hgt
+        |      FROM src WHERE octet_length(p) // 18 >= 1),
+        |px AS (SELECT asset_id, hgt, h, unnest(range(0, hgt * 6)) AS i FROM g),
+        |c AS (SELECT asset_id, hgt,
+        |        CAST(('0x'||substr(h, CAST(6*i+1 AS BIGINT), 2)) AS BIGINT) AS rd,
+        |        CAST(('0x'||substr(h, CAST(6*i+3 AS BIGINT), 2)) AS BIGINT) AS gr,
+        |        CAST(('0x'||substr(h, CAST(6*i+5 AS BIGINT), 2)) AS BIGINT) AS bl
+        |      FROM px)
+        |SELECT asset_id, TRUE AS is_valid, CAST(6 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(rd) AS BIGINT) AS sum_r, CAST(SUM(gr) AS BIGINT) AS sum_g,
+        |       CAST(SUM(bl) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*rd + 587*gr + 114*bl) // COUNT(*) AS BIGINT)
+        |         AS mean_luma_milli
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
     "q236_change_point" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
         |           FROM events),

@@ -76,6 +76,77 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("watermarked windowed aggregation state lives in RocksDB") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val source = MemoryStream[(Long, Long, Long, String, String)]
+      val df = source.toDF().toDF("event_id", "ts", "user_id", "event_type", "props")
+        .withColumn("value", lit(2.5))
+      // not runToMemory: its AvailableNow trigger drains-and-terminates
+      // BEFORE a MemoryStream fixture gets any data (file sources have
+      // their data at start; this source doesn't)
+      val q = EventStream.hourlyAggStream(df).writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName("rocksdb_hourly").start()
+      try {
+        def ns(hour: Long, min: Long) =
+          ((100 + hour) * 3600L + min * 60) * 1000000000L
+        source.addData(
+          (1L, ns(0, 5), 7L, "click", "{}"),
+          (2L, ns(0, 25), 8L, "click", "{}"),
+          (3L, ns(1, 5), 7L, "view", "{}"))
+        q.processAllAvailable()
+        // lastProgress may be a no-data tick with empty state metrics:
+        // scan the whole progress history for the RocksDB counters
+        assert(q.recentProgress.flatMap(_.stateOperators).exists(
+          _.customMetrics.containsKey("rocksdbGetCount")),
+          "aggregation state operator did not report RocksDB metrics")
+        val rows = spark.table("rocksdb_hourly").collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+            r.getAs[Double]("sum_value"))).toSet
+        assert(rows === Set(("click", 2L, 5.0), ("view", 1L, 2.5)))
+      } finally q.stop()
+    }
+  }
+
+  test("flatMapGroupsWithState event-time timeouts fire identically under RocksDB") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val source = MemoryStream[(Long, Long)]
+      val df = source.toDF().toDF("user_id", "ts")
+      def ns(min: Long) = (min + 1) * 60L * 1000000000L
+      val q = GapWatch.watch(spark, df, minGapMinutes = 60).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName("rocksdb_gapwatch").start()
+      try {
+        // one closed 90-min gap for user 1
+        source.addData((1L, ns(0)), (1L, ns(90)))
+        q.processAllAvailable()
+        assert(q.recentProgress.flatMap(_.stateOperators).exists(
+          _.customMetrics.containsKey("rocksdbGetCount")),
+          "gap-watch state operator did not report RocksDB metrics")
+        // user 2 advances the watermark past user 1's silence horizon:
+        // the event-time TIMEOUT must fire exactly one open alert — the
+        // state-store interaction the session test doesn't reach
+        source.addData((2L, ns(600)))
+        q.processAllAvailable()
+        source.addData((2L, ns(601))) // extra batch so the timeout fires
+        q.processAllAvailable()
+        val rows = spark.table("rocksdb_gapwatch").collect()
+        val closed = rows.filter(!_.getAs[Boolean]("open"))
+        val open = rows.filter(_.getAs[Boolean]("open"))
+        assert(closed.length === 1)
+        assert(closed.head.getAs[Long]("gapUs") === 90L * 60 * 1000000)
+        assert(open.length === 1)
+        assert(open.head.getAs[Long]("userId") === 1L)
+      } finally q.stop()
+    }
+  }
+
   test("scoped opt-in + restart: session state survives a checkpoint restart under RocksDB") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
