@@ -73,18 +73,28 @@ object ByteDrift {
     * vs the committed baseline, as (name, ratio). Load-INVARIANT by
     * construction (bytes, not wall), so the tolerance is tight; a small
     * absolute floor ignores sub-noise-floor totals (ScaleBench's 64 KiB
-    * discipline) where a one-partition difference is not a plan change.
-    * Queries present on only one side are NOT drift (added/removed
-    * queries are visible in n_queries); -1 sentinels (metrics missing)
-    * compare nothing.
+    * discipline) where a one-partition difference is not a plan change,
+    * and a DELTA floor ignores sub-`deltaFloor` absolute movements on
+    * queries just above it: partial aggregates emit early under memory
+    * pressure (TungstenAggregate acquires task memory opportunistically,
+    * so the partial-row count — and with it a few KiB of shuffle bytes —
+    * depends on what ran before in the shared JVM; observed: q08's
+    * 152 KiB shuffle swinging ±12 KiB run-to-run with identical rows,
+    * records, and plan). A genuine plan change (an extra exchange, a
+    * lost pushdown) moves bytes proportionally to the stream, far past
+    * both floors. Queries present on only one side are NOT drift
+    * (added/removed queries are visible in n_queries); -1 sentinels
+    * (metrics missing) compare nothing.
     */
   def flagged(prev: Map[String, (Long, Long)], cur: Map[String, (Long, Long)],
-      relTol: Double = 0.05, absFloor: Long = 65536L): Seq[(String, Double)] =
+      relTol: Double = 0.05, absFloor: Long = 65536L,
+      deltaFloor: Long = 32768L): Seq[(String, Double)] =
     cur.toSeq.sortBy(_._1).flatMap { case (name, (cr, cw)) =>
       prev.get(name).flatMap { case (pr, pw) =>
         val (c, p) = (cr + cw, pr + pw)
         if (cr < 0 || cw < 0 || pr < 0 || pw < 0) None
         else if (c <= absFloor && p <= absFloor) None
+        else if (math.abs(c - p) <= deltaFloor) None
         else {
           val ratio = (c.toDouble + 1) / (p.toDouble + 1)
           if (ratio > 1 + relTol || ratio < 1 / (1 + relTol))

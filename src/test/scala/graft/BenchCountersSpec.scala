@@ -86,6 +86,17 @@ class BenchCountersSpec extends SparkSpec {
     // starts shuffling)
     assert(ByteDrift.flagged(prev,
       prev.updated("q2_map", (300000L, 300000L))).map(_._1) === Seq("q2_map"))
+    // sub-deltaFloor absolute movement on a just-above-floor query:
+    // quiet — partial aggregates emit early under memory pressure, so a
+    // ~150 KiB shuffle legitimately swings a few KiB run-to-run with an
+    // identical plan (the observed q08 case: 152578 -> 164654)
+    assert(ByteDrift.flagged(
+      prev + ("q4_small" -> (76289L, 76289L)),
+      prev + ("q4_small" -> (82327L, 82327L))).isEmpty)
+    // the same RELATIVE drift past the delta floor still flags
+    assert(ByteDrift.flagged(
+      prev + ("q4_small" -> (762890L, 762890L)),
+      prev + ("q4_small" -> (823270L, 823270L))).map(_._1) === Seq("q4_small"))
     // -1 sentinels (metrics missing) compare nothing
     assert(ByteDrift.flagged(prev,
       prev.updated("q3_missing", (99999999L, 0L))).isEmpty)
