@@ -759,6 +759,47 @@ object Multimodal {
           col("bytes"), width))
   }
 
+  /** Encode each asset's payload as a 3-component YCbCr 4:2:0 baseline
+    * SOF0 JPEG (E234) — the interleaved-MCU shape real camera files hold.
+    * Each 384-byte payload slice is one MCU's six 8x8 blocks in
+    * interleave order (4 Y, Cb, Cr), so the oracle routes per-block
+    * arithmetic by position alone; geometry is 16 x 16·⌊len/384⌋ (whole
+    * MCUs only — the [[encodeJpegDct]] whole-block discipline one level
+    * up). Assets shorter than one MCU are dropped.
+    */
+  def encodeJpeg420(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 384)
+      .withColumn("bytes",
+        graft.functions.JpegDctNativeFunctions.jpeg420Encode(spark,
+          col("bytes")))
+  }
+
+  /** Decode YCbCr 4:2:0 baseline JPEG assets natively (E234): the same
+    * decoder as [[jpegDctStats]] — it handles grayscale AND interleaved
+    * 4:2:0 frames — surfacing the per-component sums (exact Y/Cb/Cr
+    * reconstructed-sample totals), the luma mean, and the total block
+    * count. Everything the single-component path rejects stays rejected;
+    * 4:2:0 adds per-component quant/Huffman table routing and the
+    * 2x2-Y + Cb + Cr MCU interleave with per-component DC predictors.
+    */
+  def jpeg420Stats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.JpegDctNativeFunctions.jpegDctDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"),
+        col("q.n_components").as("n_components"),
+        col("q.sum_v").as("sum_y"), col("q.sum_cb").as("sum_cb"),
+        col("q.sum_cr").as("sum_cr"),
+        col("q.mean_v_milli").as("mean_y_milli"),
+        col("q.n_blocks").as("n_blocks"))
+  }
+
   /** Decode baseline-DCT JPEG assets natively (E231): marker walk, DQT
     * (zigzag) + DHT (DC and AC classes) parse, byte-unstuffed entropy
     * decode with DC prediction and EOB/ZRL run coding, dequantization,

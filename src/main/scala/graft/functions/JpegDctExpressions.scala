@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
 /** Native BASELINE (lossy, DCT) JPEG codec — ITU-T T.81 sequential DCT,
-  * SOF0 — for single-component (grayscale) 8-bit frames: the full marker
-  * walk (DQT in zigzag order, DHT for DC and AC classes, SOF0, SOS), the
-  * byte-stuffed entropy decode with DC prediction + run/size AC coding
-  * (EOB/ZRL), dequantization, and the inverse DCT. This closes the last
-  * corpus-reality image-codec gap: real image lakes are overwhelmingly
-  * lossy JPEG, and the [[graft.ext.Multimodal]] stub now fences only
-  * H.264.
+  * SOF0 — for single-component (grayscale) AND interleaved YCbCr 4:2:0
+  * 8-bit frames: the full marker walk (DQT in zigzag order, DHT for DC
+  * and AC classes and multiple table ids, SOF0, SOS), the byte-stuffed
+  * entropy decode with per-component DC prediction + run/size AC coding
+  * (EOB/ZRL), per-component dequantization, and the inverse DCT. This
+  * closes the last corpus-reality image-codec gap: real image lakes are
+  * overwhelmingly lossy 4:2:0 JPEG, and the [[graft.ext.Multimodal]]
+  * stub now fences only H.264.
   *
   * THE ORACLE TRICK — why a lossy codec can still have an exact SQL
   * oracle: Huffman coding is bijective on the quantized-coefficient
@@ -76,6 +77,19 @@ object JpegDctCodec {
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
 
+  /** The public Annex-K CHROMINANCE quantization table, natural order —
+    * the second table real camera files carry (Tq 1 for Cb/Cr).
+    */
+  val QuantChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
   /** Zigzag scan order: position k in the scan → natural index v·8+u. */
   val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -92,6 +106,17 @@ object JpegDctCodec {
   def quantSqlRows: String =
     (for (v <- 0 until 8; u <- 0 until 8)
       yield s"($u, $v, ${Quant(v * 8 + u)})").mkString(", ")
+
+  /** `(cmp, u, v, q)` VALUES rows of BOTH quant tables (cmp 0 = luminance,
+    * 1 = chrominance) for the 4:2:0 oracle SQL.
+    */
+  def quant420SqlRows: String = {
+    val luma = for (v <- 0 until 8; u <- 0 until 8)
+      yield s"(0, $u, $v, ${Quant(v * 8 + u)})"
+    val chroma = for (v <- 0 until 8; u <- 0 until 8)
+      yield s"(1, $u, $v, ${QuantChroma(v * 8 + u)})"
+    (luma ++ chroma).mkString(", ")
+  }
 
   // standard DC luminance table (Annex K.3.1.1) — shared shape with the
   // lossless codec, restated here so this file is self-contained
@@ -123,6 +148,35 @@ object JpegDctCodec {
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
+  // standard DC chrominance table (Annex K.3.1.2)
+  private val DcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  // standard AC chrominance table (Annex K.3.2.2): counts per code length,
+  // then the 162 run/size symbols in code order
+  private val AcBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private val AcValsC = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
   /** Canonical (code, length) per symbol from a BITS array. */
   private def canonical(bits: Array[Int], nVals: Int): (Array[Int], Array[Int]) = {
     val codes = new Array[Int](nVals)
@@ -146,12 +200,16 @@ object JpegDctCodec {
   @inline private def roundDiv(a: Long, den: Long): Long =
     Math.floorDiv(a + (den >> 1), den)
 
+  /** [[forwardQuantizeWith]] against the Annex-K luminance table. */
+  def forwardQuantize(s: Array[Int]): Array[Long] =
+    forwardQuantizeWith(s, Quant)
+
   /** The forward half of the pipeline for one 8x8 block: level shift,
-    * fixed-point FDCT, quantization. `s` is 64 samples in natural order;
-    * returns quantized coefficients in natural order. Shared by the
-    * encoder and the spec's independent replay.
+    * fixed-point FDCT, quantization by the given table. `s` is 64 samples
+    * in natural order; returns quantized coefficients in natural order.
+    * Shared by the encoders and the spec's independent replay.
     */
-  def forwardQuantize(s: Array[Int]): Array[Long] = {
+  def forwardQuantizeWith(s: Array[Int], quantTab: Array[Int]): Array[Long] = {
     val t1 = new Array[Long](64) // t1(u, y) at u*8 + y
     var u = 0
     while (u < 8) {
@@ -173,7 +231,7 @@ object JpegDctCodec {
         var acc = 0L
         var y = 0
         while (y < 8) { acc += t1(u * 8 + y) * IT(v)(y); y += 1 }
-        val q = Quant(v * 8 + u).toLong
+        val q = quantTab(v * 8 + u).toLong
         qc(v * 8 + u) = roundDiv(acc, q * Den)
         u += 1
       }
@@ -314,11 +372,148 @@ object JpegDctCodec {
     out.toByteArray
   }
 
-  /** Decoded per-asset report. Negative fields when invalid. */
-  final case class Decoded(valid: Boolean, width: Long, height: Long,
-      nPixels: Long, sumV: Long, meanVMilli: Long, nBlocks: Long)
+  /** Encode the payload as a 3-component YCbCr 4:2:0 baseline SOF0 JPEG —
+    * the interleaved-MCU shape real camera files hold. The fixture layout
+    * is BLOCK-SEQUENTIAL: each 384-byte slice of the payload is one MCU's
+    * six 8x8 blocks in interleave order (Y00 Y01 Y10 Y11 Cb Cr), each
+    * block row-major — so payload byte 64·b + 8·y + x IS block b's sample
+    * (y, x), and the oracle's per-block replay routes the quant table by
+    * b mod 6 with no spatial arithmetic at all. Geometry: width 16 (one
+    * MCU per row), height 16·⌊len/384⌋. Tables: Annex-K luminance +
+    * chrominance quant (Tq 0/1) and all four standard Huffman tables
+    * (DC/AC, classes 0/1) — the multi-table machinery a grayscale stream
+    * never exercises. Returns null when no full MCU fits or the height
+    * would overflow the u16 SOF field.
+    */
+  def encode420(payload: Array[Byte]): Array[Byte] = {
+    val nMcu = payload.length / 384
+    if (nMcu < 1 || 16L * nMcu > 65535) return null
+    val h = 16 * nMcu
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 512)
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT: luminance (Pq 0, Tq 0) + chrominance (Pq 0, Tq 1)
+    u16(2 + 65 + 65)
+    out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(Quant(ZigZag(k))); k += 1 }
+    out.write(0x01)
+    k = 0
+    while (k < 64) { out.write(QuantChroma(ZigZag(k))); k += 1 }
+    marker(0xc4) // DHT: DC0, AC0 (luminance), DC1, AC1 (chrominance)
+    u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length) +
+      (1 + 16 + DcValsC.length) + (1 + 16 + AcValsC.length))
+    out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(out.write)
+    out.write(0x10); AcBits.foreach(out.write); AcVals.foreach(out.write)
+    out.write(0x01); DcBitsC.foreach(out.write); DcValsC.foreach(out.write)
+    out.write(0x11); AcBitsC.foreach(out.write); AcValsC.foreach(out.write)
+    marker(0xc0) // SOF0: 3 components, Y at 2x2, Cb/Cr at 1x1
+    u16(8 + 3 * 3)
+    out.write(8) // precision
+    u16(h); u16(16)
+    out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y:  id 1, H=V=2, Tq 0
+    out.write(2); out.write(0x11); out.write(1) // Cb: id 2, H=V=1, Tq 1
+    out.write(3); out.write(0x11); out.write(1) // Cr: id 3, H=V=1, Tq 1
+    marker(0xda) // SOS: 3 components with their table ids
+    u16(6 + 2 * 3)
+    out.write(3)
+    out.write(1); out.write(0x00) // Y:  DC 0, AC 0
+    out.write(2); out.write(0x11) // Cb: DC 1, AC 1
+    out.write(3); out.write(0x11) // Cr: DC 1, AC 1
+    out.write(0)  // Ss = 0
+    out.write(63) // Se = 63
+    out.write(0)  // Ah/Al = 0
 
-  private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1)
+    val (dcCodes, dcLens) = canonical(DcBits, DcVals.length)
+    val (acCodes, acLens) = canonical(AcBits, AcVals.length)
+    val (dcCodesC, dcLensC) = canonical(DcBitsC, DcValsC.length)
+    val (acCodesC, acLensC) = canonical(AcBitsC, AcValsC.length)
+    def idxOf(vals: Array[Int]): Array[Int] = {
+      val m = new Array[Int](256); java.util.Arrays.fill(m, -1)
+      var i = 0
+      while (i < vals.length) { m(vals(i)) = i; i += 1 }
+      m
+    }
+    val acIdx = idxOf(AcVals)
+    val acIdxC = idxOf(AcValsC)
+
+    var acc = 0L
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1))
+      nbits += n
+      while (nbits >= 8) {
+        val b = ((acc >>> (nbits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    def cat(d: Long): Int = {
+      var s = 0
+      val m = math.abs(d)
+      while ((1L << s) <= m) s += 1
+      s
+    }
+    def putCoef(d: Long, s: Int): Unit = {
+      if (s > 0) {
+        val add = if (d >= 0) d else d - 1 // one's-complement negatives
+        putBits((add & ((1L << s) - 1)).toInt, s)
+      }
+    }
+    val s = new Array[Int](64)
+    val preds = new Array[Long](3) // per-component DC predictors
+    var b = 0
+    val nBlocks = 6 * nMcu
+    while (b < nBlocks) {
+      var i = 0
+      while (i < 64) { s(i) = payload(b * 64 + i) & 0xff; i += 1 }
+      val chroma = b % 6 >= 4
+      val ci = if (b % 6 < 4) 0 else if (b % 6 == 4) 1 else 2
+      val qc = forwardQuantizeWith(s, if (chroma) QuantChroma else Quant)
+      val diff = qc(0) - preds(ci)
+      preds(ci) = qc(0)
+      val ds = cat(diff)
+      if (chroma) putBits(dcCodesC(ds), dcLensC(ds))
+      else putBits(dcCodes(ds), dcLens(ds))
+      putCoef(diff, ds)
+      var kk = 1
+      var run = 0
+      def putAc(sym: Int): Unit =
+        if (chroma) putBits(acCodesC(acIdxC(sym)), acLensC(acIdxC(sym)))
+        else putBits(acCodes(acIdx(sym)), acLens(acIdx(sym)))
+      while (kk < 64) {
+        val c = qc(ZigZag(kk))
+        if (c == 0L) run += 1
+        else {
+          while (run > 15) { putAc(0xf0); run -= 16 }
+          val sz = cat(c)
+          putAc((run << 4) | sz)
+          putCoef(c, sz)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) putAc(0x00) // EOB
+      b += 1
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decoded per-asset report. Negative fields when invalid; for
+    * single-component frames the chroma sums are -1 ("absent", mapped to
+    * null by the expression) and nComponents is 1.
+    */
+  final case class Decoded(valid: Boolean, width: Long, height: Long,
+      nPixels: Long, sumV: Long, meanVMilli: Long, nBlocks: Long,
+      nComponents: Long, sumCb: Long, sumCr: Long)
+
+  private val Invalid =
+    Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1, -1, -1)
 
   /** One parsed Huffman table: canonical mincode/maxcode/valptr + values. */
   private final class Huff {
@@ -337,8 +532,10 @@ object JpegDctCodec {
 
     // ---- marker-segment walk up to SOS ----
     var w = -1; var h = -1
-    var qTq = -1 // the frame component's quant-table id
-    var dcId = -1; var acId = -1
+    var nf = -1 // component count: 1 (grayscale) or 3 (YCbCr 4:2:0)
+    val qTq = Array(-1, -1, -1)  // per-component quant-table ids
+    val dcId = Array(-1, -1, -1) // per-component DC Huffman-table ids
+    val acId = Array(-1, -1, -1)
     val quants = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
@@ -406,28 +603,48 @@ object JpegDctCodec {
           sawSof = true
           val precision = bytes(body) & 0xff
           h = u16(body + 1); w = u16(body + 3)
-          val nf = bytes(body + 5) & 0xff
-          // 8-bit single-component, no subsampling — anything else is
-          // a visible finding, never a misdecode
-          if (precision != 8 || nf != 1 || w < 1 || h < 1) return Invalid
-          if ((bytes(body + 7) & 0xff) != 0x11) return Invalid
-          qTq = bytes(body + 8) & 0xff
-          if (qTq > 3) return Invalid
+          nf = bytes(body + 5) & 0xff
+          // 8-bit, single-component OR YCbCr 4:2:0 (2x2/1x1/1x1) —
+          // anything else is a visible finding, never a misdecode
+          if (precision != 8 || (nf != 1 && nf != 3) || w < 1 || h < 1)
+            return Invalid
+          if (segLen < 8 + 3 * nf) return Invalid
+          if (nf == 1) {
+            if ((bytes(body + 7) & 0xff) != 0x11) return Invalid
+            qTq(0) = bytes(body + 8) & 0xff
+            if (qTq(0) > 3) return Invalid
+          } else {
+            // component order fixed Y, Cb, Cr with 4:2:0 sampling
+            if ((bytes(body + 7) & 0xff) != 0x22 ||
+                (bytes(body + 10) & 0xff) != 0x11 ||
+                (bytes(body + 13) & 0xff) != 0x11) return Invalid
+            var ci = 0
+            while (ci < 3) {
+              qTq(ci) = bytes(body + 8 + 3 * ci) & 0xff
+              if (qTq(ci) > 3) return Invalid
+              ci += 1
+            }
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
           return Invalid // progressive/lossless/arithmetic/hierarchical
-        case 0xda => // SOS
-          if (!sawSof || segLen < 8) return Invalid
+        case 0xda => // SOS — one interleaved scan of all frame components
+          if (!sawSof || segLen < 6 + 2 * nf) return Invalid
           val ns = bytes(body) & 0xff
-          if (ns != 1) return Invalid
-          val tdta = bytes(body + 2) & 0xff
-          dcId = tdta >> 4; acId = tdta & 0x0f
-          if (dcId > 3 || acId > 3 ||
-              dcTabs(dcId) == null || acTabs(acId) == null ||
-              quants(qTq) == null) return Invalid
+          if (ns != nf) return Invalid
+          var ci = 0
+          while (ci < ns) {
+            val tdta = bytes(body + 2 + 2 * ci) & 0xff
+            dcId(ci) = tdta >> 4; acId(ci) = tdta & 0x0f
+            if (dcId(ci) > 3 || acId(ci) > 3 ||
+                dcTabs(dcId(ci)) == null || acTabs(acId(ci)) == null ||
+                quants(qTq(ci)) == null) return Invalid
+            ci += 1
+          }
           // baseline scan: full spectral band, no successive approximation
-          if ((bytes(body + 3) & 0xff) != 0 || (bytes(body + 4) & 0xff) != 63 ||
-              (bytes(body + 5) & 0xff) != 0) return Invalid
+          val so = body + 1 + 2 * ns
+          if ((bytes(so) & 0xff) != 0 || (bytes(so + 1) & 0xff) != 63 ||
+              (bytes(so + 2) & 0xff) != 0) return Invalid
           sawSos = true
         case mm if mm >= 0xe0 && mm <= 0xef => () // APPn: skipped
         case 0xfe => () // COM: skipped
@@ -435,9 +652,6 @@ object JpegDctCodec {
       }
       p += 2 + segLen
     }
-
-    val quant = quants(qTq)
-    val dcT = dcTabs(dcId); val acT = acTabs(acId)
 
     // ---- entropy-coded data: byte-unstuffed MSB-first bit reader ----
     var pos = p
@@ -483,71 +697,118 @@ object JpegDctCodec {
       if (bits < (1 << (s - 1))) (bits - (1 << s) + 1).toLong else bits.toLong
     }
 
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val nBlocks = bw.toLong * bh
+    // one entropy-coded 8x8 block of component `ci`: DC predicted from
+    // the component's previous block, run/size AC coding, dequantize +
+    // IDCT. Returns the 64 reconstructed samples, or null on any corrupt
+    // or ran-dry condition.
+    val preds = new Array[Long](3)
     val qc = new Array[Long](64)
-    var predDc = 0L
-    var sum = 0L
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        java.util.Arrays.fill(qc, 0L)
-        // DC: category + extended difference, predicted from last block
-        val ds = decodeHuff(dcT)
-        if (ds < 0 || ds > 11) return Invalid
-        var diff = 0L
-        if (ds > 0) {
-          diff = receiveExtend(ds)
-          if (diff == Long.MinValue) return Invalid
-        }
-        predDc += diff
-        qc(0) = predDc
-        // AC: run/size over the zigzag scan
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeHuff(acT)
-          if (rs < 0) return Invalid
-          val r = rs >> 4; val sz = rs & 0x0f
-          if (sz == 0) {
-            if (rs == 0x00) eob = true        // EOB
-            else if (rs == 0xf0) {            // ZRL: sixteen zeros
-              k += 16
-              if (k > 64) return Invalid
-            } else return Invalid
-          } else {
-            k += r
-            if (k > 63) return Invalid
-            val c = receiveExtend(sz)
-            if (c == Long.MinValue) return Invalid
-            qc(ZigZag(k)) = c
-            k += 1
-          }
-        }
-        val rec = dequantizeInverseWith(qc, quant)
-        if (rec == null) return Invalid // forged stream past the IDCT bound
-        // count only in-image samples (edge blocks are decoded whole but
-        // their pad region is not image content)
-        val xMax = math.min(8, w - bx * 8)
-        val yMax = math.min(8, h - by * 8)
-        var yy = 0
-        while (yy < yMax) {
-          var xx = 0
-          while (xx < xMax) { sum += rec(yy * 8 + xx); xx += 1 }
-          yy += 1
-        }
-        bx += 1
+    def decodeBlock(ci: Int): Array[Int] = {
+      val dcT = dcTabs(dcId(ci)); val acT = acTabs(acId(ci))
+      java.util.Arrays.fill(qc, 0L)
+      val ds = decodeHuff(dcT)
+      if (ds < 0 || ds > 11) return null
+      var diff = 0L
+      if (ds > 0) {
+        diff = receiveExtend(ds)
+        if (diff == Long.MinValue) return null
       }
-      by += 1
+      preds(ci) += diff
+      qc(0) = preds(ci)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeHuff(acT)
+        if (rs < 0) return null
+        val r = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) {
+          if (rs == 0x00) eob = true        // EOB
+          else if (rs == 0xf0) {            // ZRL: sixteen zeros
+            k += 16
+            if (k > 64) return null
+          } else return null
+        } else {
+          k += r
+          if (k > 63) return null
+          val c = receiveExtend(sz)
+          if (c == Long.MinValue) return null
+          qc(ZigZag(k)) = c
+          k += 1
+        }
+      }
+      dequantizeInverseWith(qc, quants(qTq(ci))) // null past the IDCT bound
+    }
+    // sum of a decoded block's IN-IMAGE samples: the block covers pixels
+    // (x0.., y0..) of a cw x ch component plane; edge blocks are decoded
+    // whole but their pad region is not image content
+    def inImageSum(rec: Array[Int], x0: Int, y0: Int, cw: Int, ch: Int): Long = {
+      val xMax = math.min(8, cw - x0)
+      val yMax = math.min(8, ch - y0)
+      var s = 0L
+      var yy = 0
+      while (yy < yMax) {
+        var xx = 0
+        while (xx < xMax) { s += rec(yy * 8 + xx); xx += 1 }
+        yy += 1
+      }
+      s
+    }
+
+    var sumY = 0L; var sumCb = 0L; var sumCr = 0L
+    var nBlocks = 0L
+    if (nf == 1) {
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      nBlocks = bw.toLong * bh
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val rec = decodeBlock(0)
+          if (rec == null) return Invalid
+          sumY += inImageSum(rec, bx * 8, by * 8, w, h)
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // interleaved 4:2:0 MCUs: per MCU four Y blocks (2x2 tile), one Cb,
+      // one Cr; chroma planes are ceil(w/2) x ceil(h/2)
+      val mcuCols = (w + 15) / 16
+      val mcuRows = (h + 15) / 16
+      val cw = (w + 1) / 2
+      val ch = (h + 1) / 2
+      nBlocks = 6L * mcuCols * mcuRows
+      var mr = 0
+      while (mr < mcuRows) {
+        var mc = 0
+        while (mc < mcuCols) {
+          var i = 0
+          while (i < 4) {
+            val rec = decodeBlock(0)
+            if (rec == null) return Invalid
+            sumY += inImageSum(rec,
+              mc * 16 + (i % 2) * 8, mr * 16 + (i / 2) * 8, w, h)
+            i += 1
+          }
+          val cb = decodeBlock(1)
+          if (cb == null) return Invalid
+          sumCb += inImageSum(cb, mc * 8, mr * 8, cw, ch)
+          val cr = decodeBlock(2)
+          if (cr == null) return Invalid
+          sumCr += inImageSum(cr, mc * 8, mr * 8, cw, ch)
+          mc += 1
+        }
+        mr += 1
+      }
     }
     bitCnt = 0 // discard pad bits to the byte boundary
     // the stream must end in EOI exactly at the last byte
     if (pos + 2 != n || (bytes(pos) & 0xff) != 0xff ||
         (bytes(pos + 1) & 0xff) != 0xd9) return Invalid
     val npx = w.toLong * h
-    Decoded(valid = true, w, h, npx, sum, sum * 1000L / npx, nBlocks)
+    Decoded(valid = true, w, h, npx, sumY, sumY * 1000L / npx, nBlocks,
+      nf, if (nf == 3) sumCb else -1L, if (nf == 3) sumCr else -1L)
   }
 
   /** [[dequantizeInverse]] against an arbitrary (stream-supplied) quant
@@ -622,9 +883,32 @@ case class JpegDctEncode(child: Expression, width: Int)
     copy(child = newChild)
 }
 
-/** `graft_jpegdct_decode(bytes)`: full baseline-DCT decode → per-asset
-  * stats struct. Invalid, corrupt, progressive, multi-component, or
-  * forged streams report `is_valid = false` with null stats.
+/** `graft_jpeg420_encode(bytes)`: block-sequential YCbCr payload →
+  * 3-component 4:2:0 baseline SOF0 JPEG (null when no full 384-byte MCU
+  * fits). See [[JpegDctCodec.encode420]].
+  */
+case class Jpeg420Encode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jpeg420_encode expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    JpegDctCodec.encode420(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_jpegdct_decode(bytes)`: full baseline-DCT decode (grayscale or
+  * YCbCr 4:2:0) → per-asset stats struct. Invalid, corrupt, progressive,
+  * subsampling-shapes-other-than-4:2:0, or forged streams report
+  * `is_valid = false` with null stats.
   */
 case class JpegDctDecode(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -636,7 +920,10 @@ case class JpegDctDecode(child: Expression)
     StructField("n_pixels", LongType, nullable = true),
     StructField("sum_v", LongType, nullable = true),
     StructField("mean_v_milli", LongType, nullable = true),
-    StructField("n_blocks", LongType, nullable = true)))
+    StructField("n_blocks", LongType, nullable = true),
+    StructField("n_components", LongType, nullable = true),
+    StructField("sum_cb", LongType, nullable = true),
+    StructField("sum_cr", LongType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -647,8 +934,11 @@ case class JpegDctDecode(child: Expression)
     val d = JpegDctCodec.decode(input.asInstanceOf[Array[Byte]])
     if (d.valid)
       InternalRow(true, d.width, d.height, d.nPixels, d.sumV, d.meanVMilli,
-        d.nBlocks)
-    else InternalRow(false, null, null, null, null, null, null)
+        d.nBlocks, d.nComponents,
+        if (d.sumCb < 0) null else d.sumCb,
+        if (d.sumCr < 0) null else d.sumCr)
+    else InternalRow(false, null, null, null, null, null, null, null,
+      null, null)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -667,6 +957,13 @@ object JpegDctNativeFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpegdct_decode", exprs => JpegDctDecode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg420_encode", exprs => Jpeg420Encode(exprs.head), "built-in")
+  }
+
+  def jpeg420Encode(spark: SparkSession, bytes: Column): Column = {
+    register(spark)
+    call_function("graft_jpeg420_encode", bytes)
   }
 
   def jpegDctEncode(spark: SparkSession, bytes: Column, width: Int): Column = {

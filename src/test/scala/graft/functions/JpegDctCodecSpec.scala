@@ -149,6 +149,84 @@ class JpegDctCodecSpec extends SparkSpec {
     assert(JpegDctCodec.encode(new Array[Byte](8192 * 64), 8) === null)
   }
 
+  /** The 4:2:0 replay: per 384-byte MCU slice, six blocks routed to the
+    * luma/chroma quant tables by position; returns (sumY, sumCb, sumCr).
+    */
+  private def replay420(payload: Array[Byte]): (Long, Long, Long) = {
+    val nb = payload.length / 384
+    var sy = 0L; var scb = 0L; var scr = 0L
+    for (b <- 0 until 6 * nb) {
+      val q = if (b % 6 < 4) JpegDctCodec.Quant else JpegDctCodec.QuantChroma
+      val s = Array.tabulate(64)(i => payload(b * 64 + i) & 0xff)
+      val rec = JpegDctCodec.dequantizeInverseWith(
+        JpegDctCodec.forwardQuantizeWith(s, q), q)
+      val sum = rec.map(_.toLong).sum
+      if (b % 6 < 4) sy += sum else if (b % 6 == 4) scb += sum else scr += sum
+    }
+    (sy, scb, scr)
+  }
+
+  test("4:2:0: flat-gray MCUs round-trip exactly with three components") {
+    // all samples 128: every coefficient is zero in all three components,
+    // so the reconstruction is hand-derivably exact
+    val payload = Array.fill(2 * 384)(128.toByte)
+    val enc = JpegDctCodec.encode420(payload)
+    assert(enc !== null)
+    val d = JpegDctCodec.decode(enc)
+    assert(d.valid)
+    assert((d.width, d.height, d.nPixels, d.nBlocks, d.nComponents) ===
+      ((16L, 32L, 512L, 12L, 3L)))
+    assert(d.sumV === 512L * 128)   // 4 Y blocks per MCU x 2 MCUs
+    assert(d.sumCb === 128L * 128)  // 1 Cb block per MCU x 2 MCUs
+    assert(d.sumCr === 128L * 128)
+  }
+
+  test("4:2:0 entropy layer is bijective across per-component DC predictors") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val payload = Array.fill(384 * (1 + trial))((rng.nextInt(256)).toByte)
+      val enc = JpegDctCodec.encode420(payload)
+      assert(enc !== null)
+      val d = JpegDctCodec.decode(enc)
+      assert(d.valid, s"trial $trial must decode")
+      val (sy, scb, scr) = replay420(payload)
+      assert(d.sumV === sy, s"trial $trial: Y sums drifted")
+      assert(d.sumCb === scb, s"trial $trial: Cb sums drifted")
+      assert(d.sumCr === scr, s"trial $trial: Cr sums drifted")
+    }
+    // grayscale streams still report single-component shape (absent chroma)
+    val g = JpegDctCodec.decode(
+      JpegDctCodec.encode(Array.tabulate(128)(i => (i * 3).toByte), 8))
+    assert(g.valid && g.nComponents === 1L && g.sumCb === -1L)
+  }
+
+  test("4:2:0 reject paths: other subsampling shapes, missing chroma table") {
+    val good = JpegDctCodec.encode420(Array.tabulate(384)(i => (i * 5).toByte))
+    assert(JpegDctCodec.decode(good).valid)
+    def indexOfMarker(m: Int): Int = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == m)) i += 1
+      i
+    }
+    val sof = indexOfMarker(0xc0)
+    // 4:2:2 (H=2, V=1) luma sampling is rejected, never misframed
+    val s422 = good.clone(); s422(sof + 2 + 2 + 7) = 0x21
+    assert(!JpegDctCodec.decode(s422).valid)
+    // chroma claiming 2x2 sampling is rejected too
+    val badChroma = good.clone(); badChroma(sof + 2 + 2 + 10) = 0x22
+    assert(!JpegDctCodec.decode(badChroma).valid)
+    // chroma component pointing at a quant table the stream never defined
+    val noQt = good.clone(); noQt(sof + 2 + 2 + 11) = 3
+    assert(!JpegDctCodec.decode(noQt).valid)
+    // truncation and trailing garbage still die
+    assert(!JpegDctCodec.decode(good.take(good.length - 3)).valid)
+    assert(!JpegDctCodec.decode(good ++ b(0)).valid)
+    // encode drop rules: sub-MCU payloads null, u16 height guarded
+    assert(JpegDctCodec.encode420(new Array[Byte](383)) === null)
+    assert(JpegDctCodec.encode420(new Array[Byte](384)) !== null)
+    assert(JpegDctCodec.encode420(new Array[Byte](4096 * 384)) === null)
+  }
+
   test("engine round trip on real documents matches the block replay") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
