@@ -2336,6 +2336,26 @@ object SparkEntry {
           col("sum_y"), col("sum_cb"), col("sum_cr"),
           col("mean_y_milli"), col("n_blocks"))
     },
+    // 4:2:0 JPEG with DRI restart markers (E235): the error-resilience
+    // structure real camera files carry — an RST(m mod 8) marker every 2
+    // MCUs, byte-aligned, with every DC predictor reset. Restarts change
+    // the STREAM, not the samples, so the oracle is q275's replay
+    // verbatim: hash-equality proves the restart machinery (marker
+    // modulo sequence, byte alignment, predictor resets on BOTH sides)
+    // decodes to the exact same per-component stats.
+    "q276_jpeg420_restart_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.jpeg420Stats(
+        graft.ext.Multimodal.encodeJpeg420(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          restartInterval = 2)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("n_components"),
+          col("sum_y"), col("sum_cb"), col("sum_cr"),
+          col("mean_y_milli"), col("n_blocks"))
+    },
     // Y4M container walk over the WHOLE corpus (E224's scale twin):
     // identical semantics to q266 with no doc_id cap — per-asset native
     // frame walk, cost linear in pixel mass, for ScaleBench's measured
@@ -2944,6 +2964,71 @@ object SparkEntry {
        |           AS dhash_hi
        |       FROM rb GROUP BY 1)""".stripMargin
   }
+
+  /** DuckDB replay of the q275/q276 YCbCr 4:2:0 integer pipeline —
+    * shared verbatim: DRI restart markers change the STREAM, never the
+    * reconstructed samples, so both queries must hash-match this one
+    * replay.
+    */
+  private def jpeg420OracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 384 AS nb
+         |      FROM src WHERE octet_length(p) // 384 >= 1),
+         |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * 384)) AS i FROM g),
+         |sp AS (SELECT asset_id, nb, i // 64 AS b, (i % 64) // 8 AS y, i % 8 AS x,
+         |         CASE WHEN (i // 64) % 6 < 4 THEN 0
+         |              WHEN (i // 64) % 6 = 4 THEN 1 ELSE 2 END AS ch,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           - 128 AS v
+         |       FROM px),
+         |ct AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.basisSqlRows})
+         |       AS t(u, x, c)),
+         |qt AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.quant420SqlRows})
+         |       AS t(cmp, u, v, q)),
+         |t1 AS (SELECT asset_id, nb, b, ch, ct.u AS u, sp.y AS y,
+         |              SUM(sp.v * ct.c) AS t
+         |       FROM sp JOIN ct ON ct.x = sp.x GROUP BY 1, 2, 3, 4, 5, 6),
+         |t2 AS (SELECT asset_id, nb, b, ch, t1.u AS u, ct.u AS vv,
+         |              SUM(t1.t * ct.c) AS t
+         |       FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4, 5, 6),
+         |qc AS (SELECT asset_id, nb, b, ch, t2.u AS u, t2.vv AS vv, qt.q AS q,
+         |         (t2.t + qt.q*549755813888
+         |          - (((t2.t + qt.q*549755813888) % (qt.q*1099511627776)
+         |              + qt.q*1099511627776) % (qt.q*1099511627776)))
+         |           // (qt.q*1099511627776) AS qc
+         |       FROM t2 JOIN qt ON qt.u = t2.u AND qt.v = t2.vv
+         |         AND qt.cmp = (CASE WHEN t2.ch = 0 THEN 0 ELSE 1 END)),
+         |dq AS (SELECT asset_id, nb, b, ch, u, vv, qc * q AS d FROM qc),
+         |p1 AS (SELECT asset_id, nb, b, ch, ct.x AS x, dq.vv AS vv,
+         |              SUM(ct.c * dq.d) AS t
+         |       FROM dq JOIN ct ON ct.u = dq.u GROUP BY 1, 2, 3, 4, 5, 6),
+         |p2 AS (SELECT asset_id, nb, b, ch, p1.x AS x, ct.x AS y,
+         |              SUM(p1.t * ct.c) AS t
+         |       FROM p1 JOIN ct ON ct.u = p1.vv GROUP BY 1, 2, 3, 4, 5, 6),
+         |rec AS (SELECT asset_id, nb, ch,
+         |          LEAST(GREATEST(
+         |            (t + 549755813888
+         |             - (((t + 549755813888) % 1099511627776
+         |                 + 1099511627776) % 1099511627776)) // 1099511627776
+         |            + 128, 0), 255) AS r
+         |        FROM p2)
+         |SELECT asset_id, TRUE AS is_valid, CAST(16 AS BIGINT) AS width,
+         |       CAST(nb * 16 AS BIGINT) AS height,
+         |       CAST(SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pixels,
+         |       CAST(3 AS BIGINT) AS n_components,
+         |       CAST(SUM(CASE WHEN ch = 0 THEN r ELSE 0 END) AS BIGINT)
+         |         AS sum_y,
+         |       CAST(SUM(CASE WHEN ch = 1 THEN r ELSE 0 END) AS BIGINT)
+         |         AS sum_cb,
+         |       CAST(SUM(CASE WHEN ch = 2 THEN r ELSE 0 END) AS BIGINT)
+         |         AS sum_cr,
+         |       CAST(SUM(CASE WHEN ch = 0 THEN r ELSE 0 END) * 1000
+         |            // SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS mean_y_milli,
+         |       CAST(nb * 6 AS BIGINT) AS n_blocks
+         |FROM rec GROUP BY asset_id, nb""".stripMargin
 
   /** DuckDB replay of the q263/q269 128-bit multi-orientation fingerprint
     * (bmpDHash128): 16-px-wide BMP pixels computed straight from the raw
@@ -4136,65 +4221,9 @@ object SparkEntry {
     // quant-table routing — the block-sequential MCU layout means block b
     // is luma iff b mod 6 < 4 (Cb at 4, Cr at 5), so no spatial
     // arithmetic is needed; per-component sums aggregate by that route
-    "q275_jpeg420_stats" ->
-      s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-         |             FROM documents WHERE doc_id < 140),
-         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 384 AS nb
-         |      FROM src WHERE octet_length(p) // 384 >= 1),
-         |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * 384)) AS i FROM g),
-         |sp AS (SELECT asset_id, nb, i // 64 AS b, (i % 64) // 8 AS y, i % 8 AS x,
-         |         CASE WHEN (i // 64) % 6 < 4 THEN 0
-         |              WHEN (i // 64) % 6 = 4 THEN 1 ELSE 2 END AS ch,
-         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
-         |           - 128 AS v
-         |       FROM px),
-         |ct AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.basisSqlRows})
-         |       AS t(u, x, c)),
-         |qt AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.quant420SqlRows})
-         |       AS t(cmp, u, v, q)),
-         |t1 AS (SELECT asset_id, nb, b, ch, ct.u AS u, sp.y AS y,
-         |              SUM(sp.v * ct.c) AS t
-         |       FROM sp JOIN ct ON ct.x = sp.x GROUP BY 1, 2, 3, 4, 5, 6),
-         |t2 AS (SELECT asset_id, nb, b, ch, t1.u AS u, ct.u AS vv,
-         |              SUM(t1.t * ct.c) AS t
-         |       FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4, 5, 6),
-         |qc AS (SELECT asset_id, nb, b, ch, t2.u AS u, t2.vv AS vv, qt.q AS q,
-         |         (t2.t + qt.q*549755813888
-         |          - (((t2.t + qt.q*549755813888) % (qt.q*1099511627776)
-         |              + qt.q*1099511627776) % (qt.q*1099511627776)))
-         |           // (qt.q*1099511627776) AS qc
-         |       FROM t2 JOIN qt ON qt.u = t2.u AND qt.v = t2.vv
-         |         AND qt.cmp = (CASE WHEN t2.ch = 0 THEN 0 ELSE 1 END)),
-         |dq AS (SELECT asset_id, nb, b, ch, u, vv, qc * q AS d FROM qc),
-         |p1 AS (SELECT asset_id, nb, b, ch, ct.x AS x, dq.vv AS vv,
-         |              SUM(ct.c * dq.d) AS t
-         |       FROM dq JOIN ct ON ct.u = dq.u GROUP BY 1, 2, 3, 4, 5, 6),
-         |p2 AS (SELECT asset_id, nb, b, ch, p1.x AS x, ct.x AS y,
-         |              SUM(p1.t * ct.c) AS t
-         |       FROM p1 JOIN ct ON ct.u = p1.vv GROUP BY 1, 2, 3, 4, 5, 6),
-         |rec AS (SELECT asset_id, nb, ch,
-         |          LEAST(GREATEST(
-         |            (t + 549755813888
-         |             - (((t + 549755813888) % 1099511627776
-         |                 + 1099511627776) % 1099511627776)) // 1099511627776
-         |            + 128, 0), 255) AS r
-         |        FROM p2)
-         |SELECT asset_id, TRUE AS is_valid, CAST(16 AS BIGINT) AS width,
-         |       CAST(nb * 16 AS BIGINT) AS height,
-         |       CAST(SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_pixels,
-         |       CAST(3 AS BIGINT) AS n_components,
-         |       CAST(SUM(CASE WHEN ch = 0 THEN r ELSE 0 END) AS BIGINT)
-         |         AS sum_y,
-         |       CAST(SUM(CASE WHEN ch = 1 THEN r ELSE 0 END) AS BIGINT)
-         |         AS sum_cb,
-         |       CAST(SUM(CASE WHEN ch = 2 THEN r ELSE 0 END) AS BIGINT)
-         |         AS sum_cr,
-         |       CAST(SUM(CASE WHEN ch = 0 THEN r ELSE 0 END) * 1000
-         |            // SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS mean_y_milli,
-         |       CAST(nb * 6 AS BIGINT) AS n_blocks
-         |FROM rec GROUP BY asset_id, nb""".stripMargin,
+    "q275_jpeg420_stats" -> jpeg420OracleSql,
+    // restarts change the stream, not the samples: the SAME replay
+    "q276_jpeg420_restart_stats" -> jpeg420OracleSql,
     // the scale twins replay their parents' oracles with no doc cap
     "q273_audio_neardup_scale" ->
       s"""WITH ${audioFp128OracleCtes(

@@ -767,13 +767,13 @@ object Multimodal {
     * MCUs only — the [[encodeJpegDct]] whole-block discipline one level
     * up). Assets shorter than one MCU are dropped.
     */
-  def encodeJpeg420(assets: DataFrame): DataFrame = {
+  def encodeJpeg420(assets: DataFrame, restartInterval: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= 384)
       .withColumn("bytes",
         graft.functions.JpegDctNativeFunctions.jpeg420Encode(spark,
-          col("bytes")))
+          col("bytes"), restartInterval))
   }
 
   /** Decode YCbCr 4:2:0 baseline JPEG assets natively (E234): the same

@@ -385,7 +385,18 @@ object JpegDctCodec {
     * never exercises. Returns null when no full MCU fits or the height
     * would overflow the u16 SOF field.
     */
-  def encode420(payload: Array[Byte]): Array[Byte] = {
+  def encode420(payload: Array[Byte]): Array[Byte] = encode420(payload, 0)
+
+  /** [[encode420]] with a DRI restart interval: `restartInterval > 0`
+    * writes a DRI segment and an RST(m mod 8) marker after every
+    * `restartInterval` MCUs (never after the last), byte-aligning the
+    * bitstream and resetting all DC predictors at each — the
+    * error-resilience structure real camera files carry. Restarts change
+    * the STREAM, not the samples: decode must report identical stats.
+    */
+  def encode420(payload: Array[Byte], restartInterval: Int): Array[Byte] = {
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      "restart interval must fit the u16 DRI field")
     val nMcu = payload.length / 384
     if (nMcu < 1 || 16L * nMcu > 65535) return null
     val h = 16 * nMcu
@@ -416,6 +427,11 @@ object JpegDctCodec {
     out.write(1); out.write(0x22); out.write(0) // Y:  id 1, H=V=2, Tq 0
     out.write(2); out.write(0x11); out.write(1) // Cb: id 2, H=V=1, Tq 1
     out.write(3); out.write(0x11); out.write(1) // Cr: id 3, H=V=1, Tq 1
+    if (restartInterval > 0) {
+      marker(0xdd) // DRI
+      u16(4)
+      u16(restartInterval)
+    }
     marker(0xda) // SOS: 3 components with their table ids
     u16(6 + 2 * 3)
     out.write(3)
@@ -465,6 +481,7 @@ object JpegDctCodec {
     }
     val s = new Array[Int](64)
     val preds = new Array[Long](3) // per-component DC predictors
+    var rstM = 0
     var b = 0
     val nBlocks = 6 * nMcu
     while (b < nBlocks) {
@@ -497,6 +514,19 @@ object JpegDctCodec {
         kk += 1
       }
       if (run > 0) putAc(0x00) // EOB
+      // restart boundary after every `restartInterval` complete MCUs
+      // (never after the last): byte-align with 1-bits, write RST(m mod
+      // 8) — a real marker, never byte-stuffed — and reset every DC
+      // predictor per the spec
+      if (restartInterval > 0 && (b + 1) % 6 == 0) {
+        val mcu = (b + 1) / 6
+        if (mcu % restartInterval == 0 && mcu < nMcu) {
+          if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+          marker(0xd0 + rstM)
+          rstM = (rstM + 1) % 8
+          preds(0) = 0L; preds(1) = 0L; preds(2) = 0L
+        }
+      }
       b += 1
     }
     if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
@@ -539,6 +569,7 @@ object JpegDctCodec {
     val quants = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
+    var dri = 0 // DRI restart interval in MCUs; 0 = no restarts
     var sawSof = false; var sawSos = false
     while (!sawSos) {
       if (p + 4 > n) return Invalid
@@ -646,6 +677,9 @@ object JpegDctCodec {
           if ((bytes(so) & 0xff) != 0 || (bytes(so + 1) & 0xff) != 63 ||
               (bytes(so + 2) & 0xff) != 0) return Invalid
           sawSos = true
+        case 0xdd => // DRI: restart interval in MCUs
+          if (segLen != 4) return Invalid
+          dri = u16(body)
         case mm if mm >= 0xe0 && mm <= 0xef => () // APPn: skipped
         case 0xfe => () // COM: skipped
         case _ => return Invalid // anything else changes pixel meaning
@@ -754,6 +788,26 @@ object JpegDctCodec {
       s
     }
 
+    // DRI restart boundary after every `dri` complete MCUs (never after
+    // the last): pad bits are discarded to the byte boundary, the RSTm
+    // marker must carry the next modulo-8 index (a skipped or reordered
+    // restart is a visible corruption, not a resync guess), and every DC
+    // predictor resets per the spec. Returns false on a bad boundary.
+    var rstM = 0
+    var mcusDone = 0L
+    def restartBoundary(moreRemain: Boolean): Boolean = {
+      mcusDone += 1
+      if (dri > 0 && mcusDone % dri == 0 && moreRemain) {
+        bitCnt = 0
+        if (pos + 2 > n || (bytes(pos) & 0xff) != 0xff ||
+            (bytes(pos + 1) & 0xff) != (0xd0 + rstM)) return false
+        pos += 2
+        rstM = (rstM + 1) % 8
+        preds(0) = 0L; preds(1) = 0L; preds(2) = 0L
+      }
+      true
+    }
+
     var sumY = 0L; var sumCb = 0L; var sumCr = 0L
     var nBlocks = 0L
     if (nf == 1) {
@@ -767,6 +821,9 @@ object JpegDctCodec {
           val rec = decodeBlock(0)
           if (rec == null) return Invalid
           sumY += inImageSum(rec, bx * 8, by * 8, w, h)
+          // non-interleaved single component: the MCU is one block
+          if (!restartBoundary(by.toLong * bw + bx + 1 < nBlocks))
+            return Invalid
           bx += 1
         }
         by += 1
@@ -797,6 +854,9 @@ object JpegDctCodec {
           val cr = decodeBlock(2)
           if (cr == null) return Invalid
           sumCr += inImageSum(cr, mc * 8, mr * 8, cw, ch)
+          if (!restartBoundary(
+              mr.toLong * mcuCols + mc + 1 < mcuCols.toLong * mcuRows))
+            return Invalid
           mc += 1
         }
         mr += 1
@@ -883,12 +943,15 @@ case class JpegDctEncode(child: Expression, width: Int)
     copy(child = newChild)
 }
 
-/** `graft_jpeg420_encode(bytes)`: block-sequential YCbCr payload →
-  * 3-component 4:2:0 baseline SOF0 JPEG (null when no full 384-byte MCU
-  * fits). See [[JpegDctCodec.encode420]].
+/** `graft_jpeg420_encode(bytes, restartInterval)`: block-sequential YCbCr
+  * payload → 3-component 4:2:0 baseline SOF0 JPEG (null when no full
+  * 384-byte MCU fits); a positive restart interval writes DRI + RSTn
+  * markers. See [[JpegDctCodec.encode420]].
   */
-case class Jpeg420Encode(child: Expression)
+case class Jpeg420Encode(child: Expression, restartInterval: Int)
     extends UnaryExpression with CodegenFallback {
+  require(restartInterval >= 0 && restartInterval <= 65535,
+    "restart interval must fit the u16 DRI field")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -899,7 +962,7 @@ case class Jpeg420Encode(child: Expression)
       s"graft_jpeg420_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    JpegDctCodec.encode420(input.asInstanceOf[Array[Byte]])
+    JpegDctCodec.encode420(input.asInstanceOf[Array[Byte]], restartInterval)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -958,12 +1021,16 @@ object JpegDctNativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpegdct_decode", exprs => JpegDctDecode(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jpeg420_encode", exprs => Jpeg420Encode(exprs.head), "built-in")
+      "graft_jpeg420_encode",
+      exprs => Jpeg420Encode(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 
-  def jpeg420Encode(spark: SparkSession, bytes: Column): Column = {
+  def jpeg420Encode(spark: SparkSession, bytes: Column,
+      restartInterval: Int = 0): Column = {
     register(spark)
-    call_function("graft_jpeg420_encode", bytes)
+    call_function("graft_jpeg420_encode", bytes,
+      org.apache.spark.sql.functions.lit(restartInterval))
   }
 
   def jpegDctEncode(spark: SparkSession, bytes: Column, width: Int): Column = {

@@ -227,6 +227,39 @@ class JpegDctCodecSpec extends SparkSpec {
     assert(JpegDctCodec.encode420(new Array[Byte](4096 * 384)) === null)
   }
 
+  test("DRI restart markers: byte-aligned RSTn cycle, predictors reset, sums unchanged") {
+    val rng = new scala.util.Random(11)
+    val payload = Array.fill(384 * 5)((rng.nextInt(256)).toByte)
+    val plain = JpegDctCodec.encode420(payload)
+    val restarted = JpegDctCodec.encode420(payload, 2)
+    // the restart stream really carries DRI and cycling RSTn markers
+    def hasMarker(bs: Array[Byte], m: Int): Boolean =
+      bs.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == m)
+    assert(hasMarker(restarted, 0xdd), "DRI segment missing")
+    assert(hasMarker(restarted, 0xd0) && hasMarker(restarted, 0xd1),
+      "restart markers missing (5 MCUs at interval 2 need RST0 and RST1)")
+    assert(!hasMarker(plain, 0xd0), "plain stream must carry no restarts")
+    // restarts change the stream, never the samples: both decode to the
+    // exact replay sums — this also proves the decoder RESETS its DC
+    // predictors (without the reset, every post-restart DC would shift)
+    val (sy, scb, scr) = replay420(payload)
+    for (enc <- Seq(plain, restarted)) {
+      val d = JpegDctCodec.decode(enc)
+      assert(d.valid)
+      assert((d.sumV, d.sumCb, d.sumCr) === ((sy, scb, scr)))
+    }
+    // a restart marker with the WRONG modulo index is a visible
+    // corruption, never a resync guess
+    val rst0 = restarted.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
+    assert(rst0 > 0)
+    val wrongIdx = restarted.clone(); wrongIdx(rst0 + 1) = 0xd3.toByte
+    assert(!JpegDctCodec.decode(wrongIdx).valid)
+    // an interval longer than the MCU count writes no markers and decodes
+    val sparse = JpegDctCodec.encode420(payload, 100)
+    assert(!hasMarker(sparse, 0xd0))
+    assert(JpegDctCodec.decode(sparse).valid)
+  }
+
   test("engine round trip on real documents matches the block replay") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
