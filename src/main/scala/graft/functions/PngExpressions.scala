@@ -225,9 +225,16 @@ object PngCodec {
       if (!ok || !inf.finished() || got != rawLen) return Invalid
       // every IDAT byte must have been consumed: once the zlib trailer
       // completes, leftover bytes in the current part (getRemaining) or
-      // whole unconsumed later parts are appended garbage INSIDE the IDAT
-      // framing — invalid, same stance as post-IEND trailing bytes
-      if (inf.getRemaining > 0 || part < idatParts.length) return Invalid
+      // unconsumed NON-EMPTY later parts are appended garbage INSIDE the
+      // IDAT framing — invalid, same stance as post-IEND trailing bytes.
+      // Trailing ZERO-length IDAT chunks carry no bytes and are legal
+      // anywhere in the chain per the PNG spec (real encoders emit them),
+      // so they are not garbage.
+      if (inf.getRemaining > 0) return Invalid
+      while (part < idatParts.length) {
+        if (idatParts(part)._2 != 0) return Invalid
+        part += 1
+      }
     } catch {
       case _: java.util.zip.DataFormatException => return Invalid
     } finally inf.end()

@@ -161,11 +161,23 @@ class PngCodecSpec extends SparkSpec {
       chunk("IEND", Array.empty[Byte])
     assert(!PngCodec.decode(padded).valid,
       "trailing bytes inside the last IDAT must invalidate the stream")
-    // a whole extra IDAT chunk after the stream completed is equally dead
+    // a whole extra NON-EMPTY IDAT chunk after the stream completed is
+    // equally dead
     val extraChunk = sig ++ ihdr ++ chunk("IDAT", idat) ++
       chunk("IDAT", Array[Byte](9)) ++ chunk("IEND", Array.empty[Byte])
     assert(!PngCodec.decode(extraChunk).valid,
       "an unconsumed later IDAT part must invalidate the stream")
+    // ...but a ZERO-length IDAT chunk carries no bytes and is legal
+    // anywhere in the chain per the PNG spec: trailing empty chunks (and
+    // empty chunks mid-chain) must decode, not false-invalidate
+    val emptyTail = sig ++ ihdr ++ chunk("IDAT", idat) ++
+      chunk("IDAT", Array.empty[Byte]) ++ chunk("IEND", Array.empty[Byte])
+    assert(PngCodec.decode(emptyTail).valid,
+      "a trailing zero-length IDAT chunk is conformant and must decode")
+    val emptyMid = sig ++ ihdr ++ chunk("IDAT", Array.empty[Byte]) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+    assert(PngCodec.decode(emptyMid).valid,
+      "a leading zero-length IDAT chunk is conformant and must decode")
   }
 
   test("reject paths: CRC, forged IHDR, truncation, unsupported, garbage") {
