@@ -97,6 +97,13 @@ class BenchCountersSpec extends SparkSpec {
     assert(ByteDrift.flagged(
       prev + ("q4_small" -> (762890L, 762890L)),
       prev + ("q4_small" -> (823270L, 823270L))).map(_._1) === Seq("q4_small"))
+    // the delta floor is CONDITIONAL on the small-total noise band: a
+    // sub-32-KiB absolute movement on a ~300 KiB stream is a real 10%
+    // relative change (partial-agg emit noise doesn't reach that size),
+    // so it must flag even though the delta alone sits under the floor
+    assert(ByteDrift.flagged(
+      prev + ("q5_mid" -> (150000L, 150000L)),
+      prev + ("q5_mid" -> (165000L, 165000L))).map(_._1) === Seq("q5_mid"))
     // -1 sentinels (metrics missing) compare nothing
     assert(ByteDrift.flagged(prev,
       prev.updated("q3_missing", (99999999L, 0L))).isEmpty)
