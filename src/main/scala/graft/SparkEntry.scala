@@ -2356,6 +2356,75 @@ object SparkEntry {
           col("sum_y"), col("sum_cb"), col("sum_cr"),
           col("mean_y_milli"), col("n_blocks"))
     },
+    // YCbCr 4:2:2 baseline JPEG decode stats (E236): the scanner/
+    // broadcast sampling shape — luma 2x1, chroma 1x1, four blocks per
+    // MCU (Y0 Y1 Cb Cr). Same generalized per-component Hi x Vi MCU walk
+    // in the decoder, same parametrized block-position oracle replay
+    // (b mod 4 routes the quant table).
+    "q277_jpeg422_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.jpeg420Stats(
+        graft.ext.Multimodal.encodeJpeg422(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)))
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("n_components"),
+          col("sum_y"), col("sum_cb"), col("sum_cr"),
+          col("mean_y_milli"), col("n_blocks"))
+    },
+    // YCbCr 4:4:4 baseline JPEG decode stats (E236): the screenshot/
+    // high-quality shape — all components 1x1, three blocks per MCU
+    // (Y Cb Cr), no subsampling at all (chroma planes are full size).
+    "q278_jpeg444_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.jpeg420Stats(
+        graft.ext.Multimodal.encodeJpeg444(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)))
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("n_components"),
+          col("sum_y"), col("sum_cb"), col("sum_cr"),
+          col("mean_y_milli"), col("n_blocks"))
+    },
+    // JPEG metadata surface (E238): JFIF APP0 density + Exif APP1
+    // orientation parsed natively (TIFF IFD0 walk, both byte orders).
+    // The fixtures derive metadata deterministically from the payload's
+    // first bytes, so the oracle reads the EXPECTED values straight off
+    // the raw payload while the engine must parse them back out of the
+    // stream it encoded — a round-trip proof of the APPn machinery.
+    "q280_jpeg_metadata" -> { (s, dir) =>
+      graft.ext.Multimodal.jpegMetadata(
+        graft.ext.Multimodal.encodeJpegDctMeta(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 8)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("exif_orientation"),
+          col("jfif_units"), col("jfif_xdensity"), col("jfif_ydensity"),
+          col("n_pixels"))
+    },
+    // PROGRESSIVE (SOF2) JPEG decode stats (E237): the web-crawl stream
+    // shape — six scans (DC first/refine, two AC spectral bands
+    // first/refine) with EOBRUN coding and successive-approximation
+    // correction bits, decoded through a buffered coefficient plane.
+    // Scan structure changes the STREAM, never the coefficients, so the
+    // oracle is q272's integer-pipeline replay VERBATIM — hash-equality
+    // proves the progressive entropy machinery bijective end to end.
+    "q279_jpegprog_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.jpegDctStats(
+        graft.ext.Multimodal.encodeJpegProgressive(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 8)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("n_blocks"))
+    },
     // Y4M container walk over the WHOLE corpus (E224's scale twin):
     // identical semantics to q266 with no doc_id cap — per-asset native
     // frame walk, cost linear in pixel mass, for ScaleBench's measured
@@ -2397,6 +2466,20 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("width"),
           col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
           col("sum_b"), col("mean_luma_milli"))
+    },
+    // Whole-corpus DCT-JPEG decode scale twin (E231's measurement): q272
+    // with no doc cap — one native entropy-decode + IDCT pass per asset,
+    // cost linear in byte mass, the q274 pattern on the newest codec.
+    "q281_jpegdct_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.jpegDctStats(
+        graft.ext.Multimodal.encodeJpegDct(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          width = 8)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("n_blocks"))
     },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
@@ -2965,20 +3048,87 @@ object SparkEntry {
        |       FROM rb GROUP BY 1)""".stripMargin
   }
 
-  /** DuckDB replay of the q275/q276 YCbCr 4:2:0 integer pipeline —
-    * shared verbatim: DRI restart markers change the STREAM, never the
-    * reconstructed samples, so both queries must hash-match this one
-    * replay.
+  /** DuckDB replay of the grayscale (width-8) DCT integer pipeline,
+    * shared verbatim by q272 (baseline SOF0) and q279 (progressive SOF2):
+    * scan structure changes the STREAM, never the quantized coefficients,
+    * so both decodes must hash-match this one replay straight from the
+    * raw payload bytes. q281 (the whole-corpus scale twin) drops the doc
+    * cap via `where`.
     */
-  private def jpeg420OracleSql: String =
+  private def jpegGrayOracleSql: String =
+    jpegGrayOracleSqlFor("WHERE doc_id < 140")
+
+  private def jpegGrayOracleSqlFor(where: String): String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents $where),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 64 AS nb
+         |      FROM src WHERE octet_length(p) // 64 >= 1
+         |        AND octet_length(p) < 524288),
+         |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * 64)) AS i FROM g),
+         |sp AS (SELECT asset_id, nb, i // 64 AS b, (i % 64) // 8 AS y, i % 8 AS x,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           - 128 AS v
+         |       FROM px),
+         |ct AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.basisSqlRows})
+         |       AS t(u, x, c)),
+         |qt AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.quantSqlRows})
+         |       AS t(u, v, q)),
+         |t1 AS (SELECT asset_id, nb, b, ct.u AS u, sp.y AS y,
+         |              SUM(sp.v * ct.c) AS t
+         |       FROM sp JOIN ct ON ct.x = sp.x GROUP BY 1, 2, 3, 4, 5),
+         |t2 AS (SELECT asset_id, nb, b, t1.u AS u, ct.u AS vv,
+         |              SUM(t1.t * ct.c) AS t
+         |       FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4, 5),
+         |qc AS (SELECT asset_id, nb, b, t2.u AS u, t2.vv AS vv, qt.q AS q,
+         |         (t2.t + qt.q*549755813888
+         |          - (((t2.t + qt.q*549755813888) % (qt.q*1099511627776)
+         |              + qt.q*1099511627776) % (qt.q*1099511627776)))
+         |           // (qt.q*1099511627776) AS qc
+         |       FROM t2 JOIN qt ON qt.u = t2.u AND qt.v = t2.vv),
+         |dq AS (SELECT asset_id, nb, b, u, vv, qc * q AS d FROM qc),
+         |p1 AS (SELECT asset_id, nb, b, ct.x AS x, dq.vv AS vv,
+         |              SUM(ct.c * dq.d) AS t
+         |       FROM dq JOIN ct ON ct.u = dq.u GROUP BY 1, 2, 3, 4, 5),
+         |p2 AS (SELECT asset_id, nb, b, p1.x AS x, ct.x AS y,
+         |              SUM(p1.t * ct.c) AS t
+         |       FROM p1 JOIN ct ON ct.u = p1.vv GROUP BY 1, 2, 3, 4, 5),
+         |rec AS (SELECT asset_id, nb,
+         |          LEAST(GREATEST(
+         |            (t + 549755813888
+         |             - (((t + 549755813888) % 1099511627776
+         |                 + 1099511627776) % 1099511627776)) // 1099511627776
+         |            + 128, 0), 255) AS r
+         |        FROM p2)
+         |SELECT asset_id, TRUE AS is_valid, CAST(8 AS BIGINT) AS width,
+         |       CAST(nb * 8 AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(r) AS BIGINT) AS sum_v,
+         |       CAST(SUM(r) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+         |       CAST(nb AS BIGINT) AS n_blocks
+         |FROM rec GROUP BY asset_id, nb""".stripMargin
+
+  /** DuckDB replay of the YCbCr integer pipeline for any block-sequential
+    * sampling shape — parametrized on blocks-per-MCU (`bpm`), the number
+    * of luma blocks per MCU, and the fixed fixture geometry: 4:2:0 is
+    * (6, 4, 16, 16), 4:2:2 (4, 2, 16, 8), 4:4:4 (3, 1, 8, 8). q275 and
+    * q276 share the (6, 4, ...) instance verbatim: DRI restart markers
+    * change the STREAM, never the reconstructed samples, so both must
+    * hash-match one replay. `maxLen` mirrors the engine-side u16-height
+    * encode bound.
+    */
+  private def jpegYccOracleSql(bpm: Int, lumaBlocks: Int, width: Int,
+      mcuHeight: Int, maxLen: Long): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
          |             FROM documents WHERE doc_id < 140),
-         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 384 AS nb
-         |      FROM src WHERE octet_length(p) // 384 >= 1),
-         |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * 384)) AS i FROM g),
+         |g AS (SELECT asset_id, hex(p) AS h,
+         |        octet_length(p) // ${64 * bpm} AS nb
+         |      FROM src WHERE octet_length(p) // ${64 * bpm} >= 1
+         |        AND octet_length(p) < $maxLen),
+         |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * ${64 * bpm})) AS i
+         |       FROM g),
          |sp AS (SELECT asset_id, nb, i // 64 AS b, (i % 64) // 8 AS y, i % 8 AS x,
-         |         CASE WHEN (i // 64) % 6 < 4 THEN 0
-         |              WHEN (i // 64) % 6 = 4 THEN 1 ELSE 2 END AS ch,
+         |         CASE WHEN (i // 64) % $bpm < $lumaBlocks THEN 0
+         |              WHEN (i // 64) % $bpm = $lumaBlocks THEN 1 ELSE 2 END AS ch,
          |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
          |           - 128 AS v
          |       FROM px),
@@ -3013,8 +3163,8 @@ object SparkEntry {
          |                 + 1099511627776) % 1099511627776)) // 1099511627776
          |            + 128, 0), 255) AS r
          |        FROM p2)
-         |SELECT asset_id, TRUE AS is_valid, CAST(16 AS BIGINT) AS width,
-         |       CAST(nb * 16 AS BIGINT) AS height,
+         |SELECT asset_id, TRUE AS is_valid, CAST($width AS BIGINT) AS width,
+         |       CAST(nb * $mcuHeight AS BIGINT) AS height,
          |       CAST(SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_pixels,
          |       CAST(3 AS BIGINT) AS n_components,
@@ -3027,7 +3177,7 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN ch = 0 THEN r ELSE 0 END) * 1000
          |            // SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS mean_y_milli,
-         |       CAST(nb * 6 AS BIGINT) AS n_blocks
+         |       CAST(nb * $bpm AS BIGINT) AS n_blocks
          |FROM rec GROUP BY asset_id, nb""".stripMargin
 
   /** DuckDB replay of the q263/q269 128-bit multi-orientation fingerprint
@@ -4164,53 +4314,34 @@ object SparkEntry {
     // byte 64b + 8y + x. Floor-based half-up division uses the dkFloorDiv
     // pattern (DuckDB // truncates; subtract the sign-safe mod first).
     // Basis/quant constants come from JpegDctCodec — one source of truth.
-    "q272_jpegdct_stats" ->
-      s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-         |             FROM documents WHERE doc_id < 140),
-         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 64 AS nb
-         |      FROM src WHERE octet_length(p) // 64 >= 1),
-         |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * 64)) AS i FROM g),
-         |sp AS (SELECT asset_id, nb, i // 64 AS b, (i % 64) // 8 AS y, i % 8 AS x,
-         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
-         |           - 128 AS v
-         |       FROM px),
-         |ct AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.basisSqlRows})
-         |       AS t(u, x, c)),
-         |qt AS (SELECT * FROM (VALUES ${graft.functions.JpegDctCodec.quantSqlRows})
-         |       AS t(u, v, q)),
-         |t1 AS (SELECT asset_id, nb, b, ct.u AS u, sp.y AS y,
-         |              SUM(sp.v * ct.c) AS t
-         |       FROM sp JOIN ct ON ct.x = sp.x GROUP BY 1, 2, 3, 4, 5),
-         |t2 AS (SELECT asset_id, nb, b, t1.u AS u, ct.u AS vv,
-         |              SUM(t1.t * ct.c) AS t
-         |       FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4, 5),
-         |qc AS (SELECT asset_id, nb, b, t2.u AS u, t2.vv AS vv, qt.q AS q,
-         |         (t2.t + qt.q*549755813888
-         |          - (((t2.t + qt.q*549755813888) % (qt.q*1099511627776)
-         |              + qt.q*1099511627776) % (qt.q*1099511627776)))
-         |           // (qt.q*1099511627776) AS qc
-         |       FROM t2 JOIN qt ON qt.u = t2.u AND qt.v = t2.vv),
-         |dq AS (SELECT asset_id, nb, b, u, vv, qc * q AS d FROM qc),
-         |p1 AS (SELECT asset_id, nb, b, ct.x AS x, dq.vv AS vv,
-         |              SUM(ct.c * dq.d) AS t
-         |       FROM dq JOIN ct ON ct.u = dq.u GROUP BY 1, 2, 3, 4, 5),
-         |p2 AS (SELECT asset_id, nb, b, p1.x AS x, ct.x AS y,
-         |              SUM(p1.t * ct.c) AS t
-         |       FROM p1 JOIN ct ON ct.u = p1.vv GROUP BY 1, 2, 3, 4, 5),
-         |rec AS (SELECT asset_id, nb,
-         |          LEAST(GREATEST(
-         |            (t + 549755813888
-         |             - (((t + 549755813888) % 1099511627776
-         |                 + 1099511627776) % 1099511627776)) // 1099511627776
-         |            + 128, 0), 255) AS r
-         |        FROM p2)
-         |SELECT asset_id, TRUE AS is_valid, CAST(8 AS BIGINT) AS width,
-         |       CAST(nb * 8 AS BIGINT) AS height,
-         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
-         |       CAST(SUM(r) AS BIGINT) AS sum_v,
-         |       CAST(SUM(r) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
-         |       CAST(nb AS BIGINT) AS n_blocks
-         |FROM rec GROUP BY asset_id, nb""".stripMargin,
+    "q272_jpegdct_stats" -> jpegGrayOracleSql,
+    // q279: PROGRESSIVE (SOF2) encoding reorders the coefficient STREAM
+    // across six scans (spectral selection + successive approximation)
+    // but codes the SAME quantized coefficients, so the decoded samples
+    // — and this replay — are q272's verbatim: hash-equality proves the
+    // whole progressive scan machinery (EOBRUN, refinement correction
+    // bits, point transforms) is bijective on the coefficient plane
+    "q279_jpegprog_stats" -> jpegGrayOracleSql,
+    // the whole-corpus DCT scale twin replays the same pipeline, no cap
+    "q281_jpegdct_scale" -> jpegGrayOracleSqlFor(""),
+    // q280's oracle derives the EXPECTED metadata from the payload's
+    // first bytes (the encoder's deterministic rule) — the engine had to
+    // parse the same values back out of the APP0/APP1 segments it wrote
+    "q280_jpeg_metadata" ->
+      """SELECT doc_id AS asset_id, TRUE AS is_valid,
+        |       1 + CAST(('0x'||substr(hex(CAST(text AS BLOB)), 1, 2)) AS BIGINT) % 8
+        |         AS exif_orientation,
+        |       CAST(('0x'||substr(hex(CAST(text AS BLOB)), 3, 2)) AS BIGINT) % 3
+        |         AS jfif_units,
+        |       1 + CAST(('0x'||substr(hex(CAST(text AS BLOB)), 5, 2)) AS BIGINT)
+        |         AS jfif_xdensity,
+        |       1 + CAST(('0x'||substr(hex(CAST(text AS BLOB)), 7, 2)) AS BIGINT)
+        |         AS jfif_ydensity,
+        |       CAST(64 * (octet_length(CAST(text AS BLOB)) // 64) AS BIGINT)
+        |         AS n_pixels
+        |FROM documents
+        |WHERE doc_id < 140 AND octet_length(CAST(text AS BLOB)) // 64 >= 1
+        |  AND octet_length(CAST(text AS BLOB)) < 524288""".stripMargin,
     "q270_y4m_scale" ->
       s"""WITH ${y4mOracleCtes("TRUE")}
          |SELECT asset_id, TRUE AS is_valid, CAST(fr AS BIGINT) AS frame_idx,
@@ -4221,9 +4352,13 @@ object SparkEntry {
     // quant-table routing — the block-sequential MCU layout means block b
     // is luma iff b mod 6 < 4 (Cb at 4, Cr at 5), so no spatial
     // arithmetic is needed; per-component sums aggregate by that route
-    "q275_jpeg420_stats" -> jpeg420OracleSql,
+    "q275_jpeg420_stats" -> jpegYccOracleSql(6, 4, 16, 16, 4096L * 384),
     // restarts change the stream, not the samples: the SAME replay
-    "q276_jpeg420_restart_stats" -> jpeg420OracleSql,
+    "q276_jpeg420_restart_stats" -> jpegYccOracleSql(6, 4, 16, 16, 4096L * 384),
+    // the 4:2:2 / 4:4:4 shapes reuse the SAME parametrized replay — only
+    // the blocks-per-MCU routing and fixture geometry differ
+    "q277_jpeg422_stats" -> jpegYccOracleSql(4, 2, 16, 8, 8192L * 256),
+    "q278_jpeg444_stats" -> jpegYccOracleSql(3, 1, 8, 8, 8192L * 192),
     // the scale twins replay their parents' oracles with no doc cap
     "q273_audio_neardup_scale" ->
       s"""WITH ${audioFp128OracleCtes(

@@ -753,7 +753,14 @@ object Multimodal {
     require(width >= 8 && width % 8 == 0, "width must be a multiple of 8")
     val spark = assets.sparkSession
     assets
-      .filter(octet_length(col("bytes")) >= 8 * width)
+      // both drop rules mirror the codec's null conditions exactly, on the
+      // cheap input length: no full block row (lower), or a height past
+      // the u16 SOF field — 8·⌊len/(8·width)⌋ ≤ 65535 ⇔ len < 8192·8·width
+      // (upper). Without the upper filter an oversize payload would
+      // survive with NULL bytes and decode to is_valid = NULL while the
+      // oracle computes full stats — a latent engine/oracle mismatch.
+      .filter(octet_length(col("bytes")) >= 8 * width &&
+        octet_length(col("bytes")) < 8192L * 8 * width)
       .withColumn("bytes",
         graft.functions.JpegDctNativeFunctions.jpegDctEncode(spark,
           col("bytes"), width))
@@ -770,10 +777,100 @@ object Multimodal {
   def encodeJpeg420(assets: DataFrame, restartInterval: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     assets
-      .filter(octet_length(col("bytes")) >= 384)
+      // lower/upper bounds mirror encode420's null rules on the cheap
+      // input length: no full MCU, or 16·⌊len/384⌋ > 65535 ⇔ len ≥ 4096·384
+      .filter(octet_length(col("bytes")) >= 384 &&
+        octet_length(col("bytes")) < 4096L * 384)
       .withColumn("bytes",
         graft.functions.JpegDctNativeFunctions.jpeg420Encode(spark,
           col("bytes"), restartInterval))
+  }
+
+  /** Encode each asset's payload as a 3-component YCbCr 4:2:2 baseline
+    * SOF0 JPEG (luma 2x1, chroma 1x1) — the scanner/broadcast shape.
+    * Each 256-byte slice is one MCU's four blocks (Y0 Y1 Cb Cr); geometry
+    * 16 x 8·⌊len/256⌋. Bounds mirror [[graft.functions.JpegDctCodec
+    * .encodeYcc]]'s null rules: no full MCU, or 8·⌊len/256⌋ > 65535.
+    */
+  def encodeJpeg422(assets: DataFrame, restartInterval: Int = 0): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 256 &&
+        octet_length(col("bytes")) < 8192L * 256)
+      .withColumn("bytes",
+        graft.functions.JpegDctNativeFunctions.jpegYccEncode(spark,
+          col("bytes"), 2, 1, restartInterval))
+  }
+
+  /** Encode each asset's payload as a 3-component YCbCr 4:4:4 baseline
+    * SOF0 JPEG (all components 1x1) — the screenshot/high-quality shape.
+    * Each 192-byte slice is one MCU's three blocks (Y Cb Cr); geometry
+    * 8 x 8·⌊len/192⌋. Bounds mirror the codec's null rules.
+    */
+  def encodeJpeg444(assets: DataFrame, restartInterval: Int = 0): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 192 &&
+        octet_length(col("bytes")) < 8192L * 192)
+      .withColumn("bytes",
+        graft.functions.JpegDctNativeFunctions.jpegYccEncode(spark,
+          col("bytes"), 1, 1, restartInterval))
+  }
+
+  /** Encode each asset's payload as a PROGRESSIVE (SOF2) grayscale JPEG
+    * (E237) — the web-crawl stream shape — with the SAME fixture rule and
+    * quantized coefficients as [[encodeJpegDct]]: six scans exercising
+    * spectral selection AND successive approximation (DC first/refine,
+    * two AC bands first/refine, EOBRUN coding across blocks). Scan order
+    * changes the stream, never the samples, so the q272 coefficient-
+    * replay oracle carries over verbatim.
+    */
+  def encodeJpegProgressive(assets: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 8 && width % 8 == 0, "width must be a multiple of 8")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 8 * width &&
+        octet_length(col("bytes")) < 8192L * 8 * width)
+      .withColumn("bytes",
+        graft.functions.JpegDctNativeFunctions.jpegProgEncode(spark,
+          col("bytes"), width))
+  }
+
+  /** [[encodeJpegDct]] with a JFIF APP0 density header and an Exif APP1
+    * orientation record (E238) — metadata derived deterministically from
+    * the payload's first bytes so the oracle reads expected values off
+    * the raw payload while the engine must parse the stream's TIFF IFD.
+    */
+  def encodeJpegDctMeta(assets: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 8 && width % 8 == 0, "width must be a multiple of 8")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 8 * width &&
+        octet_length(col("bytes")) < 8192L * 8 * width)
+      .withColumn("bytes",
+        graft.functions.JpegDctNativeFunctions.jpegMetaEncode(spark,
+          col("bytes"), width))
+  }
+
+  /** JPEG metadata surface (E238): JFIF density (units/X/Y) and Exif
+    * orientation parsed natively from the APP0/APP1 segments — the
+    * image-lake profiler columns (orientation matters before any
+    * perceptual-hash use on camera files). Null when the stream carries
+    * no such segment; a segment that DECLARES JFIF/Exif but is malformed
+    * invalidates the asset (strict, like every other codec path).
+    */
+  def jpegMetadata(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.JpegDctNativeFunctions.jpegDctDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.exif_orientation").as("exif_orientation"),
+        col("q.jfif_units").as("jfif_units"),
+        col("q.jfif_xdensity").as("jfif_xdensity"),
+        col("q.jfif_ydensity").as("jfif_ydensity"),
+        col("q.n_pixels").as("n_pixels"))
   }
 
   /** Decode YCbCr 4:2:0 baseline JPEG assets natively (E234): the same

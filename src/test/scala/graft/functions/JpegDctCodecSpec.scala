@@ -142,6 +142,39 @@ class JpegDctCodecSpec extends SparkSpec {
     assert(JpegDctCodec.decode(withApp).valid)
   }
 
+  test("spec-illegal AC size category (SSSS > 10) from a custom DHT is rejected") {
+    // hand-built minimal stream: all-1s quant table, custom 1-bit Huffman
+    // tables (DC: code 0 -> category 0; AC: code 0 -> the symbol under
+    // test, code 1 -> EOB), one 8x8 block whose entropy bits are
+    // [0][0][<size> ones][1][pad 1s] = 3F FF(stuffed 00) for BOTH sizes —
+    // only the DHT symbol byte differs between the legal and illegal runs
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      b(0xff, marker, ((body.length + 2) >> 8) & 0xff,
+        (body.length + 2) & 0xff) ++ body
+    def stream(acSym: Int): Array[Byte] = {
+      val dqt = seg(0xdb, (0x00 +: Seq.fill(64)(1)).map(_.toByte).toArray)
+      val dhtDc = seg(0xc4,
+        ((0x00 +: (1 +: Seq.fill(15)(0))) :+ 0x00).map(_.toByte).toArray)
+      val dhtAc = seg(0xc4,
+        (((0x10 +: (2 +: Seq.fill(15)(0))) :+ acSym) :+ 0x00)
+          .map(_.toByte).toArray)
+      val sof = seg(0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0).map(_.toByte).toArray)
+      val sos = seg(0xda, Seq(1, 1, 0x00, 0, 63, 0).map(_.toByte).toArray)
+      b(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++ sos ++
+        b(0x3f, 0xff, 0x00) ++ b(0xff, 0xd9)
+    }
+    // the SAME entropy bytes through SSSS = 10 decode: the stream shape,
+    // custom tables, and bit accounting are all well-formed...
+    assert(JpegDctCodec.decode(stream(0x0a)).valid,
+      "the SSSS=10 twin must decode — it proves the fixture is well-formed")
+    // ...so rejecting SSSS = 12 isolates the strictness rule: T.81
+    // Table F.1 defines baseline AC categories only up to 10, and with
+    // quant 1 the 4095 coefficient would pass the dequant bound and
+    // silently decode to numbers without the explicit check
+    assert(!JpegDctCodec.decode(stream(0x0c)).valid,
+      "baseline AC SSSS 11-15 is spec-illegal and must be a visible finding")
+  }
+
   test("encode drop rules: sub-block-row payloads null; u16 height guarded") {
     assert(JpegDctCodec.encode(new Array[Byte](63), 8) === null)
     assert(JpegDctCodec.encode(new Array[Byte](64), 8) !== null)
@@ -149,22 +182,29 @@ class JpegDctCodecSpec extends SparkSpec {
     assert(JpegDctCodec.encode(new Array[Byte](8192 * 64), 8) === null)
   }
 
-  /** The 4:2:0 replay: per 384-byte MCU slice, six blocks routed to the
-    * luma/chroma quant tables by position; returns (sumY, sumCb, sumCr).
+  /** The block-sequential YCbCr replay for any sampling shape: per
+    * 64·bpm-byte MCU slice, blocks routed to the luma/chroma quant tables
+    * by position (b mod bpm < nLuma); returns (sumY, sumCb, sumCr).
     */
-  private def replay420(payload: Array[Byte]): (Long, Long, Long) = {
-    val nb = payload.length / 384
+  private def replayYcc(payload: Array[Byte], bpm: Int, nLuma: Int):
+      (Long, Long, Long) = {
+    val nb = payload.length / (64 * bpm)
     var sy = 0L; var scb = 0L; var scr = 0L
-    for (b <- 0 until 6 * nb) {
-      val q = if (b % 6 < 4) JpegDctCodec.Quant else JpegDctCodec.QuantChroma
+    for (b <- 0 until bpm * nb) {
+      val q = if (b % bpm < nLuma) JpegDctCodec.Quant
+        else JpegDctCodec.QuantChroma
       val s = Array.tabulate(64)(i => payload(b * 64 + i) & 0xff)
       val rec = JpegDctCodec.dequantizeInverseWith(
         JpegDctCodec.forwardQuantizeWith(s, q), q)
       val sum = rec.map(_.toLong).sum
-      if (b % 6 < 4) sy += sum else if (b % 6 == 4) scb += sum else scr += sum
+      if (b % bpm < nLuma) sy += sum
+      else if (b % bpm == nLuma) scb += sum else scr += sum
     }
     (sy, scb, scr)
   }
+
+  private def replay420(payload: Array[Byte]): (Long, Long, Long) =
+    replayYcc(payload, 6, 4)
 
   test("4:2:0: flat-gray MCUs round-trip exactly with three components") {
     // all samples 128: every coefficient is zero in all three components,
@@ -200,7 +240,7 @@ class JpegDctCodecSpec extends SparkSpec {
     assert(g.valid && g.nComponents === 1L && g.sumCb === -1L)
   }
 
-  test("4:2:0 reject paths: other subsampling shapes, missing chroma table") {
+  test("4:2:0 reject paths: illegal sampling, geometry lies, missing chroma table") {
     val good = JpegDctCodec.encode420(Array.tabulate(384)(i => (i * 5).toByte))
     assert(JpegDctCodec.decode(good).valid)
     def indexOfMarker(m: Int): Int = {
@@ -209,10 +249,33 @@ class JpegDctCodecSpec extends SparkSpec {
       i
     }
     val sof = indexOfMarker(0xc0)
-    // 4:2:2 (H=2, V=1) luma sampling is rejected, never misframed
+    // sampling factors outside {1, 2} are rejected at the header
+    val h3 = good.clone(); h3(sof + 2 + 2 + 7) = 0x31
+    assert(!JpegDctCodec.decode(h3).valid)
+    val v4 = good.clone(); v4(sof + 2 + 2 + 7) = 0x24
+    assert(!JpegDctCodec.decode(v4).valid)
+    // sum of Hi·Vi over 10 (T.81 B.2.3) is rejected: all-2x2 sums to 12
+    val dense = good.clone()
+    dense(sof + 2 + 2 + 10) = 0x22; dense(sof + 2 + 2 + 13) = 0x22
+    assert(!JpegDctCodec.decode(dense).valid)
+    // rewriting a LEGAL sampling header (luma 2x2 -> 2x1) produces a
+    // DIFFERENT stream — no decoder can tell a "lie" from truth, because
+    // the header defines the framing. The guarantee is consistency: if
+    // the entropy data happens to parse under the new header (it does
+    // here — Huffman streams have no per-block sync), the decode is
+    // framed EXACTLY per that header (2 MCUs x 4 blocks at 16x16), never
+    // a mix of old and new geometry, and never a crash
     val s422 = good.clone(); s422(sof + 2 + 2 + 7) = 0x21
-    assert(!JpegDctCodec.decode(s422).valid)
-    // chroma claiming 2x2 sampling is rejected too
+    val d422 = JpegDctCodec.decode(s422)
+    if (d422.valid) {
+      assert((d422.width, d422.height, d422.nBlocks) === ((16L, 16L, 8L)),
+        "a reparsed stream must follow the declared header's framing")
+      assert(d422.sumV !== JpegDctCodec.decode(good).sumV,
+        "the reframed stream is a different image, not the original")
+    }
+    // chroma claiming 2x2 against this stream (9 blocks/MCU, a legal
+    // header) demands more entropy data than the stream holds plus the
+    // exact-EOI tail: this one fails on the data, visibly
     val badChroma = good.clone(); badChroma(sof + 2 + 2 + 10) = 0x22
     assert(!JpegDctCodec.decode(badChroma).valid)
     // chroma component pointing at a quant table the stream never defined
@@ -225,6 +288,58 @@ class JpegDctCodecSpec extends SparkSpec {
     assert(JpegDctCodec.encode420(new Array[Byte](383)) === null)
     assert(JpegDctCodec.encode420(new Array[Byte](384)) !== null)
     assert(JpegDctCodec.encode420(new Array[Byte](4096 * 384)) === null)
+  }
+
+  test("4:2:2: two-Y MCUs round-trip; geometry and per-component sums exact") {
+    // flat 128 first (hand-derivable zero coefficients), then random
+    val flat = Array.fill(2 * 256)(128.toByte)
+    val df = JpegDctCodec.decode(JpegDctCodec.encode422(flat))
+    assert(df.valid)
+    assert((df.width, df.height, df.nPixels, df.nBlocks, df.nComponents) ===
+      ((16L, 16L, 256L, 8L, 3L)))
+    assert(df.sumV === 256L * 128 && df.sumCb === 128L * 128 &&
+      df.sumCr === 128L * 128)
+    val rng = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val payload = Array.fill(256 * (1 + trial))((rng.nextInt(256)).toByte)
+      val enc = JpegDctCodec.encode422(payload)
+      assert(enc !== null)
+      val d = JpegDctCodec.decode(enc)
+      assert(d.valid, s"trial $trial must decode")
+      val (sy, scb, scr) = replayYcc(payload, 4, 2)
+      assert((d.sumV, d.sumCb, d.sumCr) === ((sy, scb, scr)),
+        s"trial $trial: 4:2:2 per-component sums drifted")
+      assert(d.width === 16L && d.height === 8L * (1 + trial))
+    }
+    // restarts work through the generalized MCU walk too
+    val payload = Array.fill(256 * 5)((rng.nextInt(256)).toByte)
+    val restarted = JpegDctCodec.encode422(payload, 2)
+    val d = JpegDctCodec.decode(restarted)
+    assert(d.valid)
+    assert((d.sumV, d.sumCb, d.sumCr) === replayYcc(payload, 4, 2))
+    // drop rules: no full 256-byte MCU, u16 height bound (8·nMcu ≤ 65535)
+    assert(JpegDctCodec.encode422(new Array[Byte](255)) === null)
+    assert(JpegDctCodec.encode422(new Array[Byte](8192 * 256)) === null)
+  }
+
+  test("4:4:4: full-resolution chroma MCUs round-trip exactly") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val payload = Array.fill(192 * (2 + trial))((rng.nextInt(256)).toByte)
+      val enc = JpegDctCodec.encode444(payload)
+      assert(enc !== null)
+      val d = JpegDctCodec.decode(enc)
+      assert(d.valid, s"trial $trial must decode")
+      val (sy, scb, scr) = replayYcc(payload, 3, 1)
+      assert((d.sumV, d.sumCb, d.sumCr) === ((sy, scb, scr)),
+        s"trial $trial: 4:4:4 per-component sums drifted")
+      // no subsampling: chroma planes are full size, one block each per
+      // 8x8 MCU — n_pixels counts the luma plane
+      assert(d.width === 8L && d.height === 8L * (2 + trial))
+      assert(d.nBlocks === 3L * (2 + trial))
+    }
+    assert(JpegDctCodec.encode444(new Array[Byte](191)) === null)
+    assert(JpegDctCodec.encode444(new Array[Byte](8192 * 192)) === null)
   }
 
   test("DRI restart markers: byte-aligned RSTn cycle, predictors reset, sums unchanged") {
@@ -258,6 +373,54 @@ class JpegDctCodecSpec extends SparkSpec {
     val sparse = JpegDctCodec.encode420(payload, 100)
     assert(!hasMarker(sparse, 0xd0))
     assert(JpegDctCodec.decode(sparse).valid)
+  }
+
+  test("JFIF/Exif metadata: round-trip, both byte orders, strict when declared") {
+    val payload = Array.tabulate(128)(i => (i * 13 + 5).toByte)
+    val enc = JpegDctCodec.encodeWithMeta(payload, 8)
+    val d = JpegDctCodec.decode(enc)
+    assert(d.valid)
+    // the encoder's deterministic payload-derived metadata, parsed back
+    // out of the APP0 header and the APP1 TIFF IFD0 walk
+    assert(d.exifOrientation === 1L + ((payload(0) & 0xff) % 8))
+    assert(d.jfifUnits === ((payload(1) & 0xff) % 3).toLong)
+    assert(d.jfifXDensity === (1L + (payload(2) & 0xff)))
+    assert(d.jfifYDensity === (1L + (payload(3) & 0xff)))
+    // metadata changes the stream, never the samples
+    val plain = JpegDctCodec.decode(JpegDctCodec.encode(payload, 8))
+    assert(d.sumV === plain.sumV)
+    // plain streams carry no metadata: the absent sentinel
+    assert(plain.exifOrientation === -1L && plain.jfifUnits === -1L)
+    // little-endian ("II") TIFF parses too — hand-built APP1
+    val app1le = Array[Int](0xff, 0xe1, 0, 34, 'E', 'x', 'i', 'f', 0, 0,
+      'I', 'I', 42, 0, 8, 0, 0, 0,
+      1, 0,
+      0x12, 0x01, 3, 0, 1, 0, 0, 0,
+      6, 0, 0, 0,
+      0, 0, 0, 0).map(_.toByte)
+    val base = JpegDctCodec.encode(payload, 8)
+    val le = base.take(2) ++ app1le ++ base.drop(2)
+    val dle = JpegDctCodec.decode(le)
+    assert(dle.valid && dle.exifOrientation === 6L)
+    // a segment DECLARING JFIF but too short to hold the header is a
+    // visible finding, never silently skipped
+    val shortJfif =
+      Array[Int](0xff, 0xe0, 0, 9, 'J', 'F', 'I', 'F', 0, 1, 2).map(_.toByte)
+    assert(!JpegDctCodec.decode(base.take(2) ++ shortJfif ++ base.drop(2)).valid)
+    // orientation outside 1..8 is corrupt per the Exif spec
+    val badO = le.clone(); badO(30) = 9
+    assert(!JpegDctCodec.decode(badO).valid)
+    // truncated declared-Exif TIFF (header shorter than 8 bytes)
+    val shortExif = Array[Int](0xff, 0xe1, 0, 12, 'E', 'x', 'i', 'f', 0, 0,
+      'M', 'M', 0, 42).map(_.toByte)
+    assert(!JpegDctCodec.decode(base.take(2) ++ shortExif ++ base.drop(2)).valid)
+    // unknown APPn segments are still skipped, not rejected
+    val app9 = Array[Int](0xff, 0xe9, 0, 4, 0x55, 0xaa).map(_.toByte)
+    assert(JpegDctCodec.decode(base.take(2) ++ app9 ++ base.drop(2)).valid)
+    // non-JFIF APP0 (JFXX) and non-Exif APP1 (XMP-ish) are skipped
+    val jfxx = Array[Int](0xff, 0xe0, 0, 8, 'J', 'F', 'X', 'X', 0, 16)
+      .map(_.toByte)
+    assert(JpegDctCodec.decode(base.take(2) ++ jfxx ++ base.drop(2)).valid)
   }
 
   test("engine round trip on real documents matches the block replay") {
