@@ -288,7 +288,7 @@ object Main {
           "[--mask-contamination BENCH_DATA_DIR] [--tokenizer-economics] " +
           "[--dup-kcore K] [--shared-runs] [--image-near-dups TAU] " +
           "[--qoi-economics] [--scene-cuts THRESHOLD_MILLI] [--png-stats] " +
-          "[--jpeg-stats]")
+          "[--jpeg-stats] [--stream-hourly OUTDIR] [--state-store hdfs|rocksdb]")
       sys.exit(2)
     }
     val spark = GraftSession.local()
@@ -662,6 +662,38 @@ object Main {
               .repartition(col("asset_id")).localCheckpoint())
           .orderBy(col("asset_id"))
           .show(30, truncate = false)
+      }
+      // end-to-end streaming demo: the exactly-once parquet path
+      // (checkpointed offsets + _spark_metadata commit log) over the
+      // watermarked hourly aggregation, with the state-store provider
+      // selectable — `--state-store rocksdb` runs the 100 TB state path
+      // (disk-backed state, bounded executor heap) instead of the default
+      // HDFS-backed in-heap store. The provider pins into the query's
+      // checkpoint at start, which is why it is a flag on THIS run, not
+      // session config (see streaming/StateBackend).
+      opt("--stream-hourly").foreach { outBase =>
+        val provider = opt("--state-store").getOrElse("hdfs") match {
+          case "rocksdb" => graft.streaming.StateBackend.RocksDb
+          case "hdfs" =>
+            "org.apache.spark.sql.execution.streaming.state." +
+              "HDFSBackedStateStoreProvider"
+          case other =>
+            throw new IllegalArgumentException(
+              s"--state-store must be hdfs or rocksdb, got $other")
+        }
+        println(s"streaming hourly aggregation -> $outBase/out " +
+          s"(state store: ${provider.split('.').last}):")
+        graft.streaming.StateBackend.using(spark, provider) {
+          val q = graft.streaming.EventStream.writeToParquet(
+            graft.streaming.EventStream.hourlyAggStream(
+              graft.streaming.EventStream.readEvents(spark, dir)),
+            s"$outBase/out", s"$outBase/checkpoint")
+          q.processAllAvailable()
+          q.stop()
+        }
+        val outDf = spark.read.parquet(s"$outBase/out")
+        println(s"rows written: ${outDf.count()}")
+        outDf.orderBy(col("hour"), col("event_type")).show(10, truncate = false)
       }
     }
   }

@@ -75,7 +75,10 @@ object ScaleBench {
         "documented driver (block-salted for task balance)"),
     ("q274_png_scale", 1.35, 1.35,
       "byte mass: one native chunk-walk + inflate + unfilter pass per " +
-        "asset, no pair stage"))
+        "asset, no pair stage"),
+    ("q281_jpegdct_scale", 1.35, 1.35,
+      "byte mass: one native DCT entropy-decode + fixed-point-IDCT pass " +
+        "per asset (O(64) block state), no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)

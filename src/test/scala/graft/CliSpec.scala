@@ -166,4 +166,35 @@ class CliSpec extends SparkSpec {
       "decode columns missing")
     assert(out.contains("true"), "no asset decoded as valid")
   }
+
+  test("--stream-hourly runs the exactly-once path on BOTH state stores") {
+    // the RocksDB run is the 100 TB state path (disk-backed state store)
+    // promoted to the CLI; both providers must produce the identical
+    // hourly aggregation — the provider changes WHERE state lives, not
+    // what it holds
+    def rows(out: String): Long =
+      "rows written: (\\d+)".r.findFirstMatchIn(out).map(_.group(1).toLong)
+        .getOrElse(-1L)
+    val tmpR = java.nio.file.Files.createTempDirectory("cli_stream_rocks")
+    val outR = runCli("--stream-hourly", tmpR.toString,
+      "--state-store", "rocksdb")
+    assert(outR.contains("state store: RocksDBStateStoreProvider"),
+      "the RocksDB provider must be routed and announced")
+    assert(rows(outR) > 0, s"no rows written under rocksdb:\n$outR")
+    val tmpH = java.nio.file.Files.createTempDirectory("cli_stream_hdfs")
+    val outH = runCli("--stream-hourly", tmpH.toString)
+    assert(outH.contains("state store: HDFSBackedStateStoreProvider"))
+    assert(rows(outH) === rows(outR),
+      "both providers must aggregate to the same row count")
+    // and the session provider is restored after the scoped run
+    assert(spark.conf.getOption(
+      graft.streaming.StateBackend.ProviderKey).isEmpty ||
+      !spark.conf.get(graft.streaming.StateBackend.ProviderKey)
+        .contains("RocksDB"))
+    // an unknown provider is a usage error, not a silent default
+    val tmpX = java.nio.file.Files.createTempDirectory("cli_stream_bad")
+    intercept[IllegalArgumentException] {
+      runCli("--stream-hourly", tmpX.toString, "--state-store", "memory")
+    }
+  }
 }
