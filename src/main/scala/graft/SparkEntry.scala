@@ -2481,6 +2481,26 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"),
           col("mean_v_milli"), col("n_blocks"))
     },
+    // MJPEG-in-AVI container demux + per-frame decode (E240): the first
+    // VIDEO CONTAINER with real per-frame entropy decoding — strict RIFF
+    // walk (avih/strh/strf cross-checks, idx1 replayed against the real
+    // chunk offsets), every 00dc chunk decoded by the full baseline-JPEG
+    // path. The oracle is q272's block replay truncated to whole 128-byte
+    // frames: per-frame Huffman framing is a bijective wrapper that
+    // cancels under decode∘encode, so container stats equal raw-payload
+    // block arithmetic.
+    "q282_mjpeg_avi_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.mjpegAviStats(
+        graft.ext.Multimodal.encodeMjpegAvi(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 8, frameBytes = 128)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("width"), col("frame_height"), col("n_pixels"),
+          col("sum_v"), col("mean_v_milli"), col("n_blocks"))
+    },
     // Rank-fusion quality score (E95): quality × langid-margin × token
     // count fused by exact global RANK() computed from value counts — the
     // window sorts distinct fixed-point values, never the corpus rows.
@@ -3059,10 +3079,50 @@ object SparkEntry {
     jpegGrayOracleSqlFor("WHERE doc_id < 140")
 
   private def jpegGrayOracleSqlFor(where: String): String =
+    jpegGrayReplayCtes(where, "octet_length(p) // 64",
+      "octet_length(p) // 64 >= 1") +
+      s"""
+         |SELECT asset_id, TRUE AS is_valid, CAST(8 AS BIGINT) AS width,
+         |       CAST(nb * 8 AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(r) AS BIGINT) AS sum_v,
+         |       CAST(SUM(r) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+         |       CAST(nb AS BIGINT) AS n_blocks
+         |FROM rec GROUP BY asset_id, nb""".stripMargin
+
+  /** MJPEG-AVI replay (q282): frames are payload-sequential 128-byte
+    * slices (two 8x8 blocks each), and per-frame JPEG framing (Huffman +
+    * per-frame DC prediction) is a bijective wrapper that cancels under
+    * decode∘encode — so the whole-container stats are the q272 block
+    * replay with the block count truncated to WHOLE FRAMES:
+    * nb = 2·⌊len/128⌋, never ⌊len/64⌋. The container walk itself
+    * (RIFF framing, idx1 verification) is pinned by AviCodecSpec.
+    */
+  private def mjpegAviOracleSql: String =
+    jpegGrayReplayCtes("WHERE doc_id < 140",
+      "2 * (octet_length(p) // 128)", "octet_length(p) // 128 >= 1") +
+      s"""
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nb // 2 AS BIGINT) AS n_frames,
+         |       CAST(8 AS BIGINT) AS width,
+         |       CAST(16 AS BIGINT) AS frame_height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(r) AS BIGINT) AS sum_v,
+         |       CAST(SUM(r) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+         |       CAST(nb AS BIGINT) AS n_blocks
+         |FROM rec GROUP BY asset_id, nb""".stripMargin
+
+  /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
+    * IDCT per 8x8 block straight from payload bytes), parametrized on
+    * the block-count expression so single-JPEG (⌊len/64⌋ blocks) and
+    * MJPEG-AVI (whole 2-block frames only) replays stay one source.
+    */
+  private def jpegGrayReplayCtes(
+      where: String, nbExpr: String, minBlocks: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
          |             FROM documents $where),
-         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 64 AS nb
-         |      FROM src WHERE octet_length(p) // 64 >= 1
+         |g AS (SELECT asset_id, hex(p) AS h, $nbExpr AS nb
+         |      FROM src WHERE $minBlocks
          |        AND octet_length(p) < 524288),
          |px AS (SELECT asset_id, nb, h, unnest(range(0, nb * 64)) AS i FROM g),
          |sp AS (SELECT asset_id, nb, i // 64 AS b, (i % 64) // 8 AS y, i % 8 AS x,
@@ -3098,14 +3158,7 @@ object SparkEntry {
          |             - (((t + 549755813888) % 1099511627776
          |                 + 1099511627776) % 1099511627776)) // 1099511627776
          |            + 128, 0), 255) AS r
-         |        FROM p2)
-         |SELECT asset_id, TRUE AS is_valid, CAST(8 AS BIGINT) AS width,
-         |       CAST(nb * 8 AS BIGINT) AS height,
-         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
-         |       CAST(SUM(r) AS BIGINT) AS sum_v,
-         |       CAST(SUM(r) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
-         |       CAST(nb AS BIGINT) AS n_blocks
-         |FROM rec GROUP BY asset_id, nb""".stripMargin
+         |        FROM p2)""".stripMargin
 
   /** DuckDB replay of the YCbCr integer pipeline for any block-sequential
     * sampling shape — parametrized on blocks-per-MCU (`bpm`), the number
@@ -4324,6 +4377,10 @@ object SparkEntry {
     "q279_jpegprog_stats" -> jpegGrayOracleSql,
     // the whole-corpus DCT scale twin replays the same pipeline, no cap
     "q281_jpegdct_scale" -> jpegGrayOracleSqlFor(""),
+    // q282: the same block replay truncated to whole 2-block frames —
+    // per-frame JPEG framing cancels under decode∘encode, so MJPEG-AVI
+    // container stats are raw-payload block arithmetic (see mjpegAviOracleSql)
+    "q282_mjpeg_avi_stats" -> mjpegAviOracleSql,
     // q280's oracle derives the EXPECTED metadata from the payload's
     // first bytes (the encoder's deterministic rule) — the engine had to
     // parse the same values back out of the APP0/APP1 segments it wrote

@@ -836,6 +836,54 @@ object Multimodal {
           col("bytes"), width))
   }
 
+  /** Encode each asset's payload as an MJPEG AVI container (E240): each
+    * consecutive `frameBytes` slice becomes one grayscale baseline-JPEG
+    * frame (whole frames only — the [[encodeJpegDct]] whole-block
+    * discipline one level up; assets shorter than one frame are
+    * dropped). The container is the public AVI RIFF layout with an idx1
+    * index; see [[graft.functions.AviCodec]].
+    */
+  def encodeMjpegAvi(assets: DataFrame, width: Int = 8,
+      frameBytes: Int = 128): DataFrame = {
+    require(width >= 8 && width % 8 == 0, "width must be a multiple of 8")
+    require(frameBytes >= 8 * width && frameBytes % (8 * width) == 0,
+      "frameBytes must hold whole block rows")
+    val spark = assets.sparkSession
+    assets
+      // lower bound mirrors the codec's null rule (no full frame); the
+      // upper bound keeps the fixture inside the q272 oracle's byte cap
+      .filter(octet_length(col("bytes")) >= frameBytes &&
+        octet_length(col("bytes")) < 524288)
+      .withColumn("bytes",
+        graft.functions.AviNativeFunctions.aviMjpegEncode(spark,
+          col("bytes"), width, frameBytes))
+  }
+
+  /** Demux + decode MJPEG-AVI assets natively (E240): strict RIFF walk
+    * (header/stream/index cross-verified against the actual chunk bytes)
+    * with every frame entropy-decoded by the full baseline-JPEG path —
+    * reporting the container frame count, frame geometry, and exact
+    * whole-video sample sums. Any framing, index, or frame-shape
+    * violation reports `is_valid = false` with null stats.
+    *
+    * Scale: one native-expression pass per asset, O(64) block state plus
+    * running sums — linear in container byte mass, the [[jpegDctStats]]
+    * shape.
+    */
+  def mjpegAviStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.AviNativeFunctions.aviMjpegDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_frames").as("n_frames"), col("q.width").as("width"),
+        col("q.frame_height").as("frame_height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_v").as("sum_v"),
+        col("q.mean_v_milli").as("mean_v_milli"),
+        col("q.n_blocks").as("n_blocks"))
+  }
+
   /** [[encodeJpegDct]] with a JFIF APP0 density header and an Exif APP1
     * orientation record (E238) — metadata derived deterministically from
     * the payload's first bytes so the oracle reads expected values off
