@@ -76,6 +76,9 @@ object ScaleBench {
     ("q274_png_scale", 1.35, 1.35,
       "byte mass: one native chunk-walk + inflate + unfilter pass per " +
         "asset, no pair stage"),
+    ("q284_mjpeg_scale", 1.35, 1.35,
+      "container byte mass: one RIFF walk + per-frame entropy decode " +
+        "per asset, no pair stage"),
     ("q281_jpegdct_scale", 1.35, 1.35,
       "byte mass: one native DCT entropy-decode + fixed-point-IDCT pass " +
         "per asset (O(64) block state), no pair stage"))

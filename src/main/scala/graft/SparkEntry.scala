@@ -2388,6 +2388,23 @@ object SparkEntry {
           col("sum_y"), col("sum_cb"), col("sum_cr"),
           col("mean_y_milli"), col("n_blocks"))
     },
+    // YCbCr 4:1:1 baseline JPEG decode stats (E242): the DV-camera shape
+    // — luma 4x1, the first fixture with a sampling factor ABOVE 2, six
+    // blocks per MCU (Y0..Y3 Cb Cr). Same generalized per-component
+    // Hi x Vi MCU walk (factors now accepted to T.81's real 1..4 bound
+    // with sum(Hi·Vi) <= 10), same parametrized oracle replay.
+    "q283_jpeg411_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.jpeg420Stats(
+        graft.ext.Multimodal.encodeJpeg411(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)))
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("n_components"),
+          col("sum_y"), col("sum_cb"), col("sum_cr"),
+          col("mean_y_milli"), col("n_blocks"))
+    },
     // JPEG metadata surface (E238): JFIF APP0 density + Exif APP1
     // orientation parsed natively (TIFF IFD0 walk, both byte orders).
     // The fixtures derive metadata deterministically from the payload's
@@ -2494,6 +2511,21 @@ object SparkEntry {
         graft.ext.Multimodal.encodeMjpegAvi(
           graft.ext.Multimodal.documentsAsAssets(
             Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 8, frameBytes = 128)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("width"), col("frame_height"), col("n_pixels"),
+          col("sum_v"), col("mean_v_milli"), col("n_blocks"))
+    },
+    // Whole-corpus MJPEG-AVI decode scale twin (E240's measurement): q282
+    // with no doc cap — one native container walk + per-frame entropy
+    // decode per asset, cost linear in byte mass, the q281 pattern on the
+    // newest (container) codec layer.
+    "q284_mjpeg_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.mjpegAviStats(
+        graft.ext.Multimodal.encodeMjpegAvi(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
           width = 8, frameBytes = 128)
           .repartition(col("asset_id"))
           .localCheckpoint())
@@ -3098,8 +3130,10 @@ object SparkEntry {
     * nb = 2·⌊len/128⌋, never ⌊len/64⌋. The container walk itself
     * (RIFF framing, idx1 verification) is pinned by AviCodecSpec.
     */
-  private def mjpegAviOracleSql: String =
-    jpegGrayReplayCtes("WHERE doc_id < 140",
+  private def mjpegAviOracleSql: String = mjpegAviOracleSqlFor("WHERE doc_id < 140")
+
+  private def mjpegAviOracleSqlFor(where: String): String =
+    jpegGrayReplayCtes(where,
       "2 * (octet_length(p) // 128)", "octet_length(p) // 128 >= 1") +
       s"""
          |SELECT asset_id, TRUE AS is_valid,
@@ -4381,6 +4415,7 @@ object SparkEntry {
     // per-frame JPEG framing cancels under decode∘encode, so MJPEG-AVI
     // container stats are raw-payload block arithmetic (see mjpegAviOracleSql)
     "q282_mjpeg_avi_stats" -> mjpegAviOracleSql,
+    "q284_mjpeg_scale" -> mjpegAviOracleSqlFor(""),
     // q280's oracle derives the EXPECTED metadata from the payload's
     // first bytes (the encoder's deterministic rule) — the engine had to
     // parse the same values back out of the APP0/APP1 segments it wrote
@@ -4416,6 +4451,9 @@ object SparkEntry {
     // the blocks-per-MCU routing and fixture geometry differ
     "q277_jpeg422_stats" -> jpegYccOracleSql(4, 2, 16, 8, 8192L * 256),
     "q278_jpeg444_stats" -> jpegYccOracleSql(3, 1, 8, 8, 8192L * 192),
+    // 4:1:1 (luma 4x1): six blocks per MCU like 4:2:0, but one MCU row
+    // is 32 px wide and 8 px tall — only the geometry params change
+    "q283_jpeg411_stats" -> jpegYccOracleSql(6, 4, 32, 8, 8192L * 384),
     // the scale twins replay their parents' oracles with no doc cap
     "q273_audio_neardup_scale" ->
       s"""WITH ${audioFp128OracleCtes(

@@ -802,6 +802,22 @@ object Multimodal {
           col("bytes"), 2, 1, restartInterval))
   }
 
+  /** Encode each asset's payload as a 3-component YCbCr 4:1:1 baseline
+    * SOF0 JPEG (luma 4x1, chroma 1x1) — the DV-camera shape, the first
+    * fixture with a sampling factor above 2. Each 384-byte slice is one
+    * MCU's six blocks (Y0..Y3 Cb Cr); geometry 32 x 8·⌊len/384⌋. Bounds
+    * mirror the codec's null rules: no full MCU, or 8·⌊len/384⌋ > 65535.
+    */
+  def encodeJpeg411(assets: DataFrame, restartInterval: Int = 0): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 384 &&
+        octet_length(col("bytes")) < 8192L * 384)
+      .withColumn("bytes",
+        graft.functions.JpegDctNativeFunctions.jpegYccEncode(spark,
+          col("bytes"), 4, 1, restartInterval))
+  }
+
   /** Encode each asset's payload as a 3-component YCbCr 4:4:4 baseline
     * SOF0 JPEG (all components 1x1) — the screenshot/high-quality shape.
     * Each 192-byte slice is one MCU's three blocks (Y Cb Cr); geometry

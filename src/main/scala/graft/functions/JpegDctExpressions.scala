@@ -411,9 +411,18 @@ object JpegDctCodec {
   def encode444(payload: Array[Byte], restartInterval: Int = 0): Array[Byte] =
     encodeYcc(payload, 1, 1, restartInterval)
 
+  /** YCbCr 4:1:1 (luma 4x1, chroma 1x1) — the DV-camera shape, and the
+    * first fixture exercising a sampling factor ABOVE 2: each 384-byte
+    * payload slice is one MCU's six blocks (Y0..Y3 Cb Cr), geometry
+    * 32 x 8·⌊len/384⌋.
+    */
+  def encode411(payload: Array[Byte], restartInterval: Int = 0): Array[Byte] =
+    encodeYcc(payload, 4, 1, restartInterval)
+
   /** The generalized 3-component YCbCr baseline encoder behind
-    * [[encode420]]/[[encode422]]/[[encode444]]: luma at `lumaH` x `lumaV`
-    * sampling (each in {1, 2}), chroma at 1x1. The fixture layout stays
+    * [[encode420]]/[[encode422]]/[[encode444]]/[[encode411]]: luma at
+    * `lumaH` x `lumaV` sampling (each in 1..4, blocks per MCU <= 10 per
+    * T.81 B.2.3), chroma at 1x1. The fixture layout stays
     * BLOCK-SEQUENTIAL: each 64·(lumaH·lumaV + 2)-byte payload slice is
     * one MCU's blocks in interleave order (lumaH·lumaV Y blocks, Cb, Cr),
     * each row-major — so the oracle routes the per-block replay by
@@ -424,8 +433,9 @@ object JpegDctCodec {
     */
   def encodeYcc(payload: Array[Byte], lumaH: Int, lumaV: Int,
       restartInterval: Int): Array[Byte] = {
-    require(lumaH >= 1 && lumaH <= 2 && lumaV >= 1 && lumaV <= 2,
-      "luma sampling factors must be 1 or 2")
+    require(lumaH >= 1 && lumaH <= 4 && lumaV >= 1 && lumaV <= 4 &&
+      lumaH * lumaV + 2 <= 10,
+      "luma sampling factors must be 1..4 with <= 10 blocks per MCU (T.81 B.2.3)")
     require(restartInterval >= 0 && restartInterval <= 65535,
       "restart interval must fit the u16 DRI field")
     val nLuma = lumaH * lumaV
@@ -1335,8 +1345,9 @@ object JpegDctCodec {
             while (ci < 3) {
               val hv = bytes(body + 7 + 3 * ci) & 0xff
               compH(ci) = hv >> 4; compV(ci) = hv & 0x0f
-              if (compH(ci) < 1 || compH(ci) > 2 ||
-                  compV(ci) < 1 || compV(ci) > 2) return Invalid
+              // T.81 B.2.3: each factor in 1..4 (sum bound checked below)
+              if (compH(ci) < 1 || compH(ci) > 4 ||
+                  compV(ci) < 1 || compV(ci) > 4) return Invalid
               sumHV += compH(ci) * compV(ci)
               qTq(ci) = bytes(body + 8 + 3 * ci) & 0xff
               if (qTq(ci) > 3) return Invalid
@@ -1688,8 +1699,9 @@ case class JpegMetaEncode(child: Expression, width: Int)
 case class JpegYccEncode(child: Expression, lumaH: Int, lumaV: Int,
     restartInterval: Int)
     extends UnaryExpression with CodegenFallback {
-  require(lumaH >= 1 && lumaH <= 2 && lumaV >= 1 && lumaV <= 2,
-    "luma sampling factors must be 1 or 2")
+  require(lumaH >= 1 && lumaH <= 4 && lumaV >= 1 && lumaV <= 4 &&
+    lumaH * lumaV + 2 <= 10,
+    "luma sampling factors must be 1..4 with <= 10 blocks per MCU")
   require(restartInterval >= 0 && restartInterval <= 65535,
     "restart interval must fit the u16 DRI field")
 

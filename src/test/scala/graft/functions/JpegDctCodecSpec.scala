@@ -249,11 +249,15 @@ class JpegDctCodecSpec extends SparkSpec {
       i
     }
     val sof = indexOfMarker(0xc0)
-    // sampling factors outside {1, 2} are rejected at the header
-    val h3 = good.clone(); h3(sof + 2 + 2 + 7) = 0x31
-    assert(!JpegDctCodec.decode(h3).valid)
-    val v4 = good.clone(); v4(sof + 2 + 2 + 7) = 0x24
-    assert(!JpegDctCodec.decode(v4).valid)
+    // sampling factors outside T.81's 1..4 are rejected at the header
+    // (3 and 4 are LEGAL per-factor since the 1..4 widening — a mutation
+    // to one of those reparses under the new framing like s422 below)
+    val h5 = good.clone(); h5(sof + 2 + 2 + 7) = 0x51
+    assert(!JpegDctCodec.decode(h5).valid)
+    val v5 = good.clone(); v5(sof + 2 + 2 + 7) = 0x15
+    assert(!JpegDctCodec.decode(v5).valid)
+    val h0 = good.clone(); h0(sof + 2 + 2 + 7) = 0x01
+    assert(!JpegDctCodec.decode(h0).valid)
     // sum of Hi·Vi over 10 (T.81 B.2.3) is rejected: all-2x2 sums to 12
     val dense = good.clone()
     dense(sof + 2 + 2 + 10) = 0x22; dense(sof + 2 + 2 + 13) = 0x22
@@ -340,6 +344,41 @@ class JpegDctCodecSpec extends SparkSpec {
     }
     assert(JpegDctCodec.encode444(new Array[Byte](191)) === null)
     assert(JpegDctCodec.encode444(new Array[Byte](8192 * 192)) === null)
+  }
+
+  test("4:1:1: luma factor 4 MCUs round-trip; factors above 4 still rejected") {
+    // the DV-camera shape — first fixture with a sampling factor above 2:
+    // one MCU = 4 Y blocks in a row + Cb + Cr, frame 32 px wide
+    val rng = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val payload = Array.fill(384 * (1 + trial))((rng.nextInt(256)).toByte)
+      val enc = JpegDctCodec.encode411(payload)
+      assert(enc !== null)
+      val d = JpegDctCodec.decode(enc)
+      assert(d.valid, s"trial $trial must decode")
+      val (sy, scb, scr) = replayYcc(payload, 6, 4)
+      assert((d.sumV, d.sumCb, d.sumCr) === ((sy, scb, scr)),
+        s"trial $trial: 4:1:1 per-component sums drifted")
+      assert(d.width === 32L && d.height === 8L * (1 + trial))
+      assert(d.nBlocks === 6L * (1 + trial))
+      // chroma planes are quarter-width: ceil(32/4) = 8 px per MCU row
+      assert(d.nPixels === 32L * 8 * (1 + trial))
+    }
+    // restarts through the factor-4 walk
+    val payload = Array.fill(384 * 5)((rng.nextInt(256)).toByte)
+    val restarted = JpegDctCodec.encode411(payload, 2)
+    val d = JpegDctCodec.decode(restarted)
+    assert(d.valid)
+    assert((d.sumV, d.sumCb, d.sumCr) === replayYcc(payload, 6, 4))
+    // T.81 B.2.3 blocks-per-MCU bound: 4x2 luma (8+1+1 = 10) is the
+    // encoder's legal ceiling; 3x3 luma (9+1+1 = 11) must be refused
+    assert(JpegDctCodec.encodeYcc(payload, 4, 2, 0) !== null)
+    intercept[IllegalArgumentException] {
+      JpegDctCodec.encodeYcc(payload, 3, 3, 0)
+    }
+    // drop rules: no full 384-byte MCU, u16 height bound (8·nMcu ≤ 65535)
+    assert(JpegDctCodec.encode411(new Array[Byte](383)) === null)
+    assert(JpegDctCodec.encode411(new Array[Byte](8192 * 384)) === null)
   }
 
   test("DRI restart markers: byte-aligned RSTn cycle, predictors reset, sums unchanged") {

@@ -112,11 +112,25 @@ def scan():
     return files, hits
 
 
+def infer_round():
+    """The round being BUILT: one past the newest judged artifact. Makes a
+    standalone run stamp the same round the committed artifact carries, so
+    the two are byte-comparable (a bare run used to stamp null).
+    """
+    rounds = [int(m.group(1)) for p in ROOT.glob("CORRECTNESS_r*.json")
+              if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", p.name))]
+    return max(rounds) + 1 if rounds else None
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--round", type=int, default=None,
+                    help="override the round stamp (default: inferred as "
+                         "newest CORRECTNESS_r<N>.json + 1)")
     ap.add_argument("--out", default=None, help="write JSON here (default stdout)")
     args = ap.parse_args()
+    if args.round is None:
+        args.round = infer_round()
     files, hits = scan()
     try:
         commit = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
