@@ -2518,6 +2518,24 @@ object SparkEntry {
           col("width"), col("frame_height"), col("n_pixels"),
           col("sum_v"), col("mean_v_milli"), col("n_blocks"))
     },
+    // A+V AVI demux (E243): the real-world container shape — MJPEG video
+    // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
+    // alternating per frame, both streams' headers and idx1 entries
+    // verified). The fixture reuses each frame's 128 payload bytes as
+    // its 64 audio samples, so the oracle reads the signed sample sums
+    // straight off the truncated payload next to the video block replay.
+    "q285_avi_av_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.aviAvStats(
+        graft.ext.Multimodal.encodeAviAv(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 8, frameBytes = 128)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("width"), col("frame_height"), col("n_pixels"),
+          col("sum_v"), col("n_samples"), col("sum_s"), col("n_blocks"))
+    },
     // Whole-corpus MJPEG-AVI decode scale twin (E240's measurement): q282
     // with no doc cap — one native container walk + per-frame entropy
     // decode per asset, cost linear in byte mass, the q281 pattern on the
@@ -3145,6 +3163,39 @@ object SparkEntry {
          |       CAST(SUM(r) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
          |       CAST(nb AS BIGINT) AS n_blocks
          |FROM rec GROUP BY asset_id, nb""".stripMargin
+
+  /** A+V AVI replay (q285): the q282 video replay joined with the audio
+    * sums read straight off the same truncated payload — the fixture
+    * reuses each 128-byte frame slice as that frame's 64 PCM16LE
+    * samples, so sample i is the little-endian pair at bytes (2i, 2i+1)
+    * and the signed conversion is the house u >= 32768 ? u - 65536 rule.
+    */
+  private def aviAvOracleSql: String =
+    jpegGrayReplayCtes("WHERE doc_id < 140",
+      "2 * (octet_length(p) // 128)", "octet_length(p) // 128 >= 1") +
+      s""",
+         |sm AS (SELECT asset_id,
+         |         CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+         |         + 256 * CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2))
+         |                       AS BIGINT) AS u
+         |       FROM (SELECT asset_id, h, unnest(range(0, nb * 32)) AS i
+         |             FROM g)),
+         |au AS (SELECT asset_id,
+         |         SUM(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS sum_s,
+         |         COUNT(*) AS n_samples
+         |       FROM sm GROUP BY 1),
+         |vid AS (SELECT asset_id, nb, COUNT(*) AS n_pixels, SUM(r) AS sum_v
+         |        FROM rec GROUP BY 1, 2)
+         |SELECT vid.asset_id AS asset_id, TRUE AS is_valid,
+         |       CAST(nb // 2 AS BIGINT) AS n_frames,
+         |       CAST(8 AS BIGINT) AS width,
+         |       CAST(16 AS BIGINT) AS frame_height,
+         |       CAST(n_pixels AS BIGINT) AS n_pixels,
+         |       CAST(sum_v AS BIGINT) AS sum_v,
+         |       CAST(au.n_samples AS BIGINT) AS n_samples,
+         |       CAST(au.sum_s AS BIGINT) AS sum_s,
+         |       CAST(nb AS BIGINT) AS n_blocks
+         |FROM vid JOIN au ON au.asset_id = vid.asset_id""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -4416,6 +4467,7 @@ object SparkEntry {
     // container stats are raw-payload block arithmetic (see mjpegAviOracleSql)
     "q282_mjpeg_avi_stats" -> mjpegAviOracleSql,
     "q284_mjpeg_scale" -> mjpegAviOracleSqlFor(""),
+    "q285_avi_av_stats" -> aviAvOracleSql,
     // q280's oracle derives the EXPECTED metadata from the payload's
     // first bytes (the encoder's deterministic rule) — the engine had to
     // parse the same values back out of the APP0/APP1 segments it wrote

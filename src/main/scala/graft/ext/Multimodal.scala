@@ -900,6 +900,49 @@ object Multimodal {
         col("q.n_blocks").as("n_blocks"))
   }
 
+  /** The A+V container shape (E243): [[encodeMjpegAvi]] plus a second
+    * interleaved mono PCM16 'auds' stream whose per-frame '01wb' chunk
+    * carries the SAME payload slice as that frame's video (64 samples per
+    * 128-byte frame) — so the oracle reads the audio sums straight off
+    * the truncated payload while the engine must demux them back out of
+    * the interleave.
+    */
+  def encodeAviAv(assets: DataFrame, width: Int = 8,
+      frameBytes: Int = 128): DataFrame = {
+    require(width >= 8 && width % 8 == 0, "width must be a multiple of 8")
+    require(frameBytes >= 8 * width && frameBytes % (8 * width) == 0 &&
+      frameBytes % 2 == 0,
+      "frameBytes must hold whole block rows and whole 16-bit samples")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= frameBytes &&
+        octet_length(col("bytes")) < 524288)
+      .withColumn("bytes",
+        graft.functions.AviNativeFunctions.aviAvEncode(spark,
+          col("bytes"), width, frameBytes))
+  }
+
+  /** Demux + decode A+V AVI assets natively (E243): [[mjpegAviStats]]'s
+    * strict walk extended to the two-stream interleave — the audio
+    * stream header (mono PCM16, rate/size/length cross-consistent), the
+    * per-frame '00dc'/'01wb' alternation, and both streams' idx1 entries
+    * are all verified; output adds the exact signed sample sum and count
+    * next to the video stats.
+    */
+  def aviAvStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.AviNativeFunctions.aviAvDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_frames").as("n_frames"), col("q.width").as("width"),
+        col("q.frame_height").as("frame_height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_v").as("sum_v"),
+        col("q.n_samples").as("n_samples"), col("q.sum_s").as("sum_s"),
+        col("q.n_blocks").as("n_blocks"))
+  }
+
   /** [[encodeJpegDct]] with a JFIF APP0 density header and an Exif APP1
     * orientation record (E238) — metadata derived deterministically from
     * the payload's first bytes so the oracle reads expected values off
