@@ -179,6 +179,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AVI containers round-trip for arbitrary payloads, widths, and frame sizes") {
+    import graft.functions.{AviCodec, JpegDctCodec}
+    val caseGen = for {
+      width <- Gen.oneOf(8, 16, 24)
+      rows <- Gen.choose(1, 3) // block rows per frame
+      nBytes <- Gen.choose(0, 5000)
+      bytes <- Gen.listOfN(nBytes, Gen.choose(-128, 127).map(_.toByte))
+      audio <- Gen.oneOf(true, false)
+    } yield (width, 8 * width * rows, bytes.toArray, audio)
+    samples(caseGen, 30).foreach { case (width, frameBytes, payload, audio) =>
+      val nFrames = payload.length / frameBytes
+      val avi =
+        if (audio) AviCodec.encodeAviAv(payload, width, frameBytes)
+        else AviCodec.encodeMjpegAvi(payload, width, frameBytes)
+      if (nFrames < 1) assert(avi === null, "sub-frame payloads must drop")
+      else {
+        val d = if (audio) AviCodec.decodeAviAv(avi)
+          else AviCodec.decodeMjpegAvi(avi)
+        assert(d.valid, s"w=$width fb=$frameBytes n=${payload.length}")
+        assert(d.nFrames === nFrames.toLong)
+        assert((d.width, d.frameHeight) === ((width.toLong, (frameBytes / width).toLong)))
+        // whole-frame truncation: stats equal the per-block pipeline
+        // replay over the first nFrames·frameBytes bytes. Each frame is
+        // a ROW-MAJOR image of the given width, so blocks gather strided
+        // samples (contiguous 64-byte slices only at width 8)
+        var expect = 0L
+        val rowsPerFrame = frameBytes / width
+        for {
+          f <- 0 until nFrames
+          by <- 0 until rowsPerFrame / 8
+          bx <- 0 until width / 8
+        } {
+          val base = f * frameBytes
+          val s = Array.tabulate(64)(i =>
+            payload(base + (by * 8 + i / 8) * width + bx * 8 + i % 8) & 0xff)
+          expect += JpegDctCodec.dequantizeInverse(
+            JpegDctCodec.forwardQuantize(s)).map(_.toLong).sum
+        }
+        assert(d.sumV === expect, s"w=$width fb=$frameBytes video sum")
+        if (audio) {
+          var sS = 0L
+          for (i <- 0 until nFrames * frameBytes / 2) {
+            val u = (payload(2 * i) & 0xff) | ((payload(2 * i + 1) & 0xff) << 8)
+            sS += (if (u >= 32768) u - 65536 else u)
+          }
+          assert(d.nSamples === nFrames.toLong * frameBytes / 2)
+          assert(d.sumS === sS, s"w=$width fb=$frameBytes audio sum")
+        }
+      }
+    }
+  }
+
   test("rollingMadAnomalies matches a direct median/MAD computation on random series") {
     import spark.implicits._
     def bruteMedian2(xs: Seq[Long]): Long = {
