@@ -68,4 +68,59 @@ object TwsCounts {
         new TypeCountProcessor, TimeMode.None, OutputMode.Update)
       .toDF()
   }
+
+  /** [[TypeCountProcessor]] with STATE BOOTSTRAP: before the first batch,
+    * each key's rows from a batch-computed initial frame seed the
+    * MapState — the production migration path (cut a new streaming query
+    * over from a batch-maintained table WITHOUT reprocessing history).
+    * handleInitialState is invoked once per initial-state row's key on
+    * the first micro-batch; input rows then accumulate on top.
+    */
+  class SeededTypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, String), TypeCountOut, (Long, String, Long)] {
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(
+        user: Long, row: (Long, String, Long), timers: TimerValues): Unit =
+      counts.updateValue(row._2, row._3)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, String)],
+        timers: TimerValues): Iterator[TypeCountOut] = {
+      val batch = rows.foldLeft(Map.empty[String, Long]) {
+        case (m, (_, t)) => m.updated(t, m.getOrElse(t, 0L) + 1)
+      }
+      val out = batch.toSeq.sortBy(_._1).map { case (t, add) =>
+        val nv = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + add
+        counts.updateValue(t, nv)
+        TypeCountOut(user, t, nv)
+      }
+      out.iterator
+    }
+  }
+
+  /** [[typeCountsTws]] seeded from a batch frame of
+    * (user_id, event_type, n) totals — the state-bootstrap shape.
+    */
+  def typeCountsTwsSeeded(spark: SparkSession, events: DataFrame,
+      initial: DataFrame): DataFrame = {
+    import spark.implicits._
+    val init = initial
+      .select($"user_id", $"event_type", $"n")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+    events
+      .select($"user_id", $"event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState[TypeCountOut, (Long, String, Long)](
+        new SeededTypeCountProcessor, TimeMode.None, OutputMode.Update, init)
+      .toDF()
+  }
 }

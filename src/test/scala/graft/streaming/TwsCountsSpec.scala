@@ -55,4 +55,39 @@ class TwsCountsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("initial-state bootstrap: seeded totals accumulate on top of the batch table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateBackend.using(spark, StateBackend.RocksDb) {
+      // the batch-maintained table the streaming query cuts over from
+      val initial = Seq((1L, "click", 10L), (1L, "view", 5L),
+        (3L, "purchase", 2L)).toDF("user_id", "event_type", "n")
+      val source = MemoryStream[(Long, String)]
+      val df = source.toDF().toDF("user_id", "event_type")
+      val q = TwsCounts.typeCountsTwsSeeded(spark, df, initial).writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_seeded").start()
+      try {
+        source.addData((1L, "click"), (2L, "view"), (1L, "search"))
+        q.processAllAvailable()
+        val got = spark.table("tws_seeded").collect()
+          .map(r => (r.getAs[Long]("userId"), r.getAs[String]("eventType")) ->
+            r.getAs[Long]("n")).toMap
+        // seeded key accumulates ON TOP of the bootstrap value; unseeded
+        // keys start at zero; untouched seeded keys (1/view, 3/purchase)
+        // emit nothing this batch but their state persists
+        assert(got === Map((1L, "click") -> 11L, (2L, "view") -> 1L,
+          (1L, "search") -> 1L))
+        source.addData((3L, "purchase"))
+        q.processAllAvailable()
+        val got2 = spark.table("tws_seeded").collect()
+          .map(r => (r.getAs[Long]("userId"), r.getAs[String]("eventType")) ->
+            r.getAs[Long]("n")).toMap
+        assert(got2((3L, "purchase")) === 3L,
+          "a seeded key first touched in batch 2 must still see its bootstrap")
+      } finally q.stop()
+    }
+  }
 }
