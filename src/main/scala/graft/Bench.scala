@@ -82,13 +82,17 @@ object ByteDrift {
     * so the partial-row count — and with it a few KiB of shuffle bytes —
     * depends on what ran before in the shared JVM; observed: q08's
     * 152 KiB shuffle swinging ±12 KiB run-to-run with identical rows,
-    * records, and plan). The delta floor applies ONLY while both totals
-    * sit inside the small-query noise band (`smallTotalCap`): on a
-    * multi-hundred-KiB stream a 32 KiB movement is a real relative
-    * change, not partial-agg emit noise, and must stay visible to the
+    * records, and plan). The delta floor and its small-query band
+    * (`smallTotalCap`) apply PER EXCHANGE SIDE: the emit noise is a
+    * per-side mechanism, and the gate's compared total sums read+write,
+    * which double-counts a symmetric exchange (q08's "152 KiB" shuffle
+    * is a 330 KiB read+write total — the round-12 lesson: the first
+    * summed-total band missed its own calibration case). On a stream
+    * whose SIDES run multi-hundred-KiB, a 32 KiB per-side movement is a
+    * real relative change, not emit noise, and must stay visible to the
     * relative test. A genuine plan change (an extra exchange, a lost
-    * pushdown) moves bytes proportionally to the stream, far past
-    * both floors. Queries present on only one side are NOT drift
+    * pushdown) moves bytes proportionally to the stream, far past both
+    * floors. Queries present on only one side are NOT drift
     * (added/removed queries are visible in n_queries); -1 sentinels
     * (metrics missing) compare nothing.
     */
@@ -101,8 +105,9 @@ object ByteDrift {
         val (c, p) = (cr + cw, pr + pw)
         if (cr < 0 || cw < 0 || pr < 0 || pw < 0) None
         else if (c <= absFloor && p <= absFloor) None
-        else if (math.abs(c - p) <= deltaFloor &&
-          c <= smallTotalCap && p <= smallTotalCap) None
+        else if (math.abs(cr - pr) <= deltaFloor &&
+          math.abs(cw - pw) <= deltaFloor &&
+          math.max(math.max(cr, cw), math.max(pr, pw)) <= smallTotalCap) None
         else {
           val ratio = (c.toDouble + 1) / (p.toDouble + 1)
           if (ratio > 1 + relTol || ratio < 1 / (1 + relTol))

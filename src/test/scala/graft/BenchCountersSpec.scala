@@ -86,24 +86,27 @@ class BenchCountersSpec extends SparkSpec {
     // starts shuffling)
     assert(ByteDrift.flagged(prev,
       prev.updated("q2_map", (300000L, 300000L))).map(_._1) === Seq("q2_map"))
-    // sub-deltaFloor absolute movement on a just-above-floor query:
+    // sub-deltaFloor PER-SIDE movement inside the per-side noise band:
     // quiet — partial aggregates emit early under memory pressure, so a
-    // ~150 KiB shuffle legitimately swings a few KiB run-to-run with an
-    // identical plan (the observed q08 case: 152578 -> 164654)
+    // ~150 KiB-per-side shuffle legitimately swings a few KiB run-to-run
+    // with an identical plan. These are the REAL observed q08 numbers
+    // (symmetric exchange: read == write, so the summed total is 330 KiB
+    // — the first summed-total band missed exactly this, its own
+    // calibration case)
     assert(ByteDrift.flagged(
-      prev + ("q4_small" -> (76289L, 76289L)),
-      prev + ("q4_small" -> (82327L, 82327L))).isEmpty)
+      prev + ("q4_small" -> (152564L, 152564L)),
+      prev + ("q4_small" -> (164654L, 164654L))).isEmpty)
     // the same RELATIVE drift past the delta floor still flags
     assert(ByteDrift.flagged(
       prev + ("q4_small" -> (762890L, 762890L)),
       prev + ("q4_small" -> (823270L, 823270L))).map(_._1) === Seq("q4_small"))
-    // the delta floor is CONDITIONAL on the small-total noise band: a
-    // sub-32-KiB absolute movement on a ~300 KiB stream is a real 10%
-    // relative change (partial-agg emit noise doesn't reach that size),
-    // so it must flag even though the delta alone sits under the floor
+    // the delta floor is CONDITIONAL on the per-side noise band: a
+    // sub-32-KiB-per-side movement whose sides sit past 256 KiB is a
+    // real relative change (partial-agg emit noise doesn't reach that
+    // size), so it must flag even though the deltas sit under the floor
     assert(ByteDrift.flagged(
-      prev + ("q5_mid" -> (150000L, 150000L)),
-      prev + ("q5_mid" -> (165000L, 165000L))).map(_._1) === Seq("q5_mid"))
+      prev + ("q5_mid" -> (300000L, 300000L)),
+      prev + ("q5_mid" -> (330000L, 330000L))).map(_._1) === Seq("q5_mid"))
     // -1 sentinels (metrics missing) compare nothing
     assert(ByteDrift.flagged(prev,
       prev.updated("q3_missing", (99999999L, 0L))).isEmpty)
