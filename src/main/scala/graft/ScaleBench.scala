@@ -76,6 +76,9 @@ object ScaleBench {
     ("q274_png_scale", 1.35, 1.35,
       "byte mass: one native chunk-walk + inflate + unfilter pass per " +
         "asset, no pair stage"),
+    ("q287_gif_scale", 1.35, 1.35,
+      "byte mass: one native LZW pass per asset, O(4096) dictionary " +
+        "state, no pair stage"),
     ("q284_mjpeg_scale", 1.35, 1.35,
       "container byte mass: one RIFF walk + per-frame entropy decode " +
         "per asset, no pair stage"),

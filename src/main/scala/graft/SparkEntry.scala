@@ -2518,6 +2518,68 @@ object SparkEntry {
           col("width"), col("frame_height"), col("n_pixels"),
           col("sum_v"), col("mean_v_milli"), col("n_blocks"))
     },
+    // WARC demux (E246): the container web crawls actually ship in —
+    // plain concatenated records, strict header grammar. The oracle
+    // reads record counts / content totals / block byte-sums straight
+    // off the whole-record-truncated payload.
+    "q288_warc_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.warcStats(
+        graft.ext.Multimodal.encodeWarc(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          recordBytes = 256)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_records"),
+          col("n_responses"), col("content_bytes"), col("sum_payload"))
+    },
+    // WARC per-record-gzip (E246): the Common Crawl wire shape — gzip
+    // members walked with CRC32+ISIZE verification, one record per
+    // member. Compression changes the wire, never the records, so q289
+    // hash-matches q288's oracle VERBATIM (the q275/q276 discipline).
+    "q289_warcgz_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.warcStats(
+        graft.ext.Multimodal.encodeWarc(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          recordBytes = 256, gz = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        gz = true)
+        .select(col("asset_id"), col("is_valid"), col("n_records"),
+          col("n_responses"), col("content_bytes"), col("sum_payload"))
+    },
+    // GIF decode stats (E245): the LZW entropy family in-engine —
+    // variable-width codes packed LSB-first, CLEAR/EOI control codes,
+    // KwKwK reconstruction, sub-block framing, palette read-back. GIF is
+    // lossless on the index stream, so the oracle computes every sum
+    // straight from raw payload bytes (the q260 pixel-identity
+    // discipline) while the engine must really LZW-decode.
+    "q286_gif_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.gifStats(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_idx"), col("sum_r"),
+          col("sum_g"), col("sum_b"), col("mean_idx_milli"))
+    },
+    // Whole-corpus GIF decode scale twin (E245's measurement): q286 with
+    // no doc cap — one native LZW pass per asset, byte-linear.
+    "q287_gif_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.gifStats(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          width = 40)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_idx"), col("sum_r"),
+          col("sum_g"), col("sum_b"), col("mean_idx_milli"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -3196,6 +3258,56 @@ object SparkEntry {
          |       CAST(au.sum_s AS BIGINT) AS sum_s,
          |       CAST(nb AS BIGINT) AS n_blocks
          |FROM vid JOIN au ON au.asset_id = vid.asset_id""".stripMargin
+
+  /** WARC replay (q288 plain, q289 record-gzip — one oracle, compression
+    * never changes the records): fixtures slice the payload into whole
+    * 256-byte response records, so counts and sums read straight off
+    * the truncated raw bytes.
+    */
+  private def warcOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 256 AS nr
+         |      FROM src WHERE octet_length(p) // 256 >= 1),
+         |bv AS (SELECT asset_id, nr,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, nr, h,
+         |               unnest(range(0, nr * 256)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nr AS BIGINT) AS n_records,
+         |       CAST(nr AS BIGINT) AS n_responses,
+         |       CAST(nr * 256 AS BIGINT) AS content_bytes,
+         |       CAST(SUM(v) AS BIGINT) AS sum_payload
+         |FROM bv GROUP BY asset_id, nr""".stripMargin
+
+  /** GIF replay (q286/q287): GIF is LOSSLESS on the index stream, so on
+    * engine-encoded fixtures decode∘encode is the identity on payload
+    * bytes and every stat reads straight off them (the q260 discipline).
+    * The palette is index-derived — entry v = (v, (3v+85) mod 256,
+    * (7v+21) mod 256), one rule in [[graft.functions.GifCodec]] — so the
+    * channel sums are per-byte arithmetic; whole 40-byte rows only.
+    */
+  private def gifOracleSqlFor(where: String): String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents $where),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+         |      FROM src WHERE octet_length(p) // 40 >= 1
+         |        AND octet_length(p) < 2621440),
+         |bv AS (SELECT asset_id, hgt,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, hgt, h,
+         |               unnest(range(0, hgt * 40)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+         |       CAST(hgt AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_idx,
+         |       CAST(SUM(v) AS BIGINT) AS sum_r,
+         |       CAST(SUM((3*v+85) % 256) AS BIGINT) AS sum_g,
+         |       CAST(SUM((7*v+21) % 256) AS BIGINT) AS sum_b,
+         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_idx_milli
+         |FROM bv GROUP BY asset_id, hgt""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -4468,6 +4580,12 @@ object SparkEntry {
     "q282_mjpeg_avi_stats" -> mjpegAviOracleSql,
     "q284_mjpeg_scale" -> mjpegAviOracleSqlFor(""),
     "q285_avi_av_stats" -> aviAvOracleSql,
+    "q286_gif_stats" -> gifOracleSqlFor("WHERE doc_id < 140"),
+    "q287_gif_scale" -> gifOracleSqlFor(""),
+    // q288/q289 share one oracle verbatim: per-record gzip changes the
+    // wire, never the records
+    "q288_warc_stats" -> warcOracleSql,
+    "q289_warcgz_stats" -> warcOracleSql,
     // q280's oracle derives the EXPECTED metadata from the payload's
     // first bytes (the encoder's deterministic rule) — the engine had to
     // parse the same values back out of the APP0/APP1 segments it wrote

@@ -852,6 +852,84 @@ object Multimodal {
           col("bytes"), width))
   }
 
+  /** Encode each asset's payload as a WARC web archive (E246) of
+    * ⌊len/recordBytes⌋ response records (whole records only; assets
+    * shorter than one record are dropped) — plain concatenated records,
+    * or the Common Crawl per-record-gzip wire shape when `gz`.
+    */
+  def encodeWarc(assets: DataFrame, recordBytes: Int = 256,
+      gz: Boolean = false): DataFrame = {
+    require(recordBytes >= 1, "recordBytes must be positive")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= recordBytes)
+      .withColumn("bytes",
+        graft.functions.WarcNativeFunctions.warcEncode(spark,
+          col("bytes"), recordBytes, gz))
+  }
+
+  /** Demux WARC archives natively (E246): strict record grammar (the
+    * four mandatory headers exactly once, Content-Length verified
+    * against the bytes present, exact terminators), unknown headers
+    * skipped as spec-legal; the gz flavour walks gzip members with
+    * CRC32 + ISIZE verification and requires one record per member (the
+    * splittable-archive contract). Compression changes the wire, never
+    * the records — both flavours must report identical stats.
+    */
+  def warcStats(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.WarcNativeFunctions.warcDecode(spark,
+          col("bytes"), gz).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_records").as("n_records"),
+        col("q.n_responses").as("n_responses"),
+        col("q.content_bytes").as("content_bytes"),
+        col("q.sum_payload").as("sum_payload"))
+  }
+
+  /** Encode each asset's payload bytes as the color indices of a GIF89a
+    * image (E245) of the given column width (height = ⌊len/width⌋ whole
+    * rows; assets shorter than one row are dropped) — real LZW entropy
+    * coding, variable-width codes packed LSB-first, 256-entry global
+    * color table derived from the index (see [[graft.functions.GifCodec]]).
+    */
+  def encodeGif(assets: DataFrame, width: Int = 40): DataFrame = {
+    require(width >= 1 && width <= 65535, "width must fit the u16 field")
+    val spark = assets.sparkSession
+    assets
+      // lower bound mirrors the codec's null rule (no full row); upper
+      // bound mirrors the u16 height cap, both on the cheap input length
+      .filter(octet_length(col("bytes")) >= width &&
+        octet_length(col("bytes")) < 65536L * width)
+      .withColumn("bytes",
+        graft.functions.GifNativeFunctions.gifEncode(spark, col("bytes"), width))
+  }
+
+  /** Decode GIF assets natively (E245): strict header/descriptor parse,
+    * global-color-table read-back, full LZW decode (CLEAR/EOI, KwKwK,
+    * variable code widths, sub-block framing), spec-legal extension
+    * blocks skipped — reporting exact index and palette-resolved channel
+    * sums. GIF is lossless on indices, so on engine-encoded fixtures the
+    * oracle computes every sum straight from raw payload bytes.
+    *
+    * Scale: one native pass per asset, O(4096) dictionary state, pixels
+    * never buffered — the codec-walk shape.
+    */
+  def gifStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.GifNativeFunctions.gifDecode(spark, col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_idx").as("sum_idx"),
+        col("q.sum_r").as("sum_r"), col("q.sum_g").as("sum_g"),
+        col("q.sum_b").as("sum_b"),
+        col("q.mean_idx_milli").as("mean_idx_milli"))
+  }
+
   /** Encode each asset's payload as an MJPEG AVI container (E240): each
     * consecutive `frameBytes` slice becomes one grayscale baseline-JPEG
     * frame (whole frames only — the [[encodeJpegDct]] whole-block

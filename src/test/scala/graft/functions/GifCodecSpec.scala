@@ -1,0 +1,145 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** GIF codec conformance (E245, the public GIF89a spec). The q286 oracle
+  * pins the arithmetic (lossless identity, so sums read off raw payload
+  * bytes in DuckDB); this spec pins what the oracle cannot see — the LZW
+  * layer round-tripping exactly (variable code widths through every bump
+  * boundary, CLEAR on table-full, KwKwK reconstruction, sub-block
+  * framing) and every reject path.
+  */
+class GifCodecSpec extends SparkSpec {
+
+  private def fixture(n: Int, seed: Int): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)((rng.nextInt(256) - 128).toByte)
+  }
+
+  private def expected(payload: Array[Byte], width: Int):
+      (Long, Long, Long, Long) = {
+    val usable = (payload.length / width) * width
+    var si = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    for (i <- 0 until usable) {
+      val v = payload(i) & 0xff
+      si += v
+      sr += GifCodec.paletteR(v)
+      sg += GifCodec.paletteG(v)
+      sb += GifCodec.paletteB(v)
+    }
+    (si, sr, sg, sb)
+  }
+
+  test("random payloads round-trip through every code-width boundary") {
+    // 30 KB of random bytes drives the dictionary through the 9->10->
+    // 11->12-bit bumps AND the table-full CLEAR/reset path
+    for (seed <- 1 to 3) {
+      val payload = fixture(30000, seed)
+      val gif = GifCodec.encodeGif(payload, 40)
+      assert(gif !== null)
+      val d = GifCodec.decodeGif(gif)
+      assert(d.valid, s"seed $seed must decode")
+      assert((d.width, d.height) === ((40L, 750L)))
+      assert(d.nPixels === 30000L)
+      val (si, sr, sg, sb) = expected(payload, 40)
+      assert((d.sumIdx, d.sumR, d.sumG, d.sumB) === ((si, sr, sg, sb)),
+        s"seed $seed: LZW layer must be lossless on the index stream")
+    }
+  }
+
+  test("run-heavy payloads exercise KwKwK reconstruction") {
+    // all-equal bytes produce the code == next-free-entry case
+    // immediately and repeatedly; ab-alternation adds the 2-cycle form
+    val flat = Array.fill(4000)(7.toByte)
+    val d1 = GifCodec.decodeGif(GifCodec.encodeGif(flat, 40))
+    assert(d1.valid && d1.sumIdx === 4000L * 7)
+    val abab = Array.tabulate(4001)(i => (if (i % 2 == 0) 65 else 66).toByte)
+    val d2 = GifCodec.decodeGif(GifCodec.encodeGif(abab, 40))
+    val (si, _, _, _) = expected(abab, 40)
+    assert(d2.valid && d2.sumIdx === si)
+    assert(d2.nPixels === 4000L) // whole rows: the 4001st byte truncates
+  }
+
+  test("spec-legal extension blocks are skipped; real stats unchanged") {
+    val payload = fixture(2000, 5)
+    val gif = GifCodec.encodeGif(payload, 40)
+    val clean = GifCodec.decodeGif(gif)
+    // splice a Graphic Control Extension before the image descriptor
+    // (0x2C); GIF has no global size field, so nothing else changes
+    val desc = gif.indexWhere(b => (b & 0xff) == 0x2c, 13 + 768)
+    val gce = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = gif.take(desc) ++ gce ++ gif.drop(desc)
+    val d = GifCodec.decodeGif(spliced)
+    assert(d.valid, "a GCE extension must be skipped, not rejected")
+    assert((d.sumIdx, d.sumR) === ((clean.sumIdx, clean.sumR)))
+    // a TRUNCATED extension chain is still a visible finding
+    assert(!GifCodec.decodeGif(gif.take(desc) ++ gce.take(3)).valid)
+  }
+
+  test("reject paths: truncation, garbage, header lies, framing violations") {
+    val payload = fixture(1200, 9)
+    val gif = GifCodec.encodeGif(payload, 40)
+    assert(GifCodec.decodeGif(gif).valid)
+    // truncation anywhere dies visibly
+    assert(!GifCodec.decodeGif(gif.dropRight(1)).valid) // no trailer
+    assert(!GifCodec.decodeGif(gif.dropRight(2)).valid) // no terminator
+    assert(!GifCodec.decodeGif(gif.take(100)).valid)    // mid-palette
+    // trailing garbage after the trailer
+    assert(!GifCodec.decodeGif(gif :+ 0.toByte).valid)
+    // header magic
+    val badMagic = gif.clone(); badMagic(3) = '7'; badMagic(4) = '7'
+    assert(!GifCodec.decodeGif(badMagic).valid)
+    // screen height disagreeing with the image descriptor
+    val badH = gif.clone(); badH(8) = (badH(8) + 1).toByte
+    assert(!GifCodec.decodeGif(badH).valid)
+    // a non-256-color LZW minimum code size is outside the fixture
+    // contract (descriptor is at a fixed offset: no extensions emitted)
+    val minCodeAt = 13 + 768 + 10
+    assert((gif(minCodeAt) & 0xff) === 8)
+    val badMin = gif.clone(); badMin(minCodeAt) = 7
+    assert(!GifCodec.decodeGif(badMin).valid)
+    // sub-block terminator arriving before EOI: keep the first data
+    // sub-block only, then terminate — the decoder must see missing EOI
+    val firstLen = gif(minCodeAt + 1) & 0xff
+    val cut = gif.slice(0, minCodeAt + 2 + math.min(firstLen, 8)) ++
+      Array[Byte](0, 0x3b)
+    // (shorten the declared sub-block too so framing is self-consistent)
+    cut(minCodeAt + 1) = math.min(firstLen, 8).toByte
+    assert(!GifCodec.decodeGif(cut).valid,
+      "a terminated stream with no EOI must be a visible finding")
+  }
+
+  test("forged-geometry bound: a 2^24-pixel cap, never an allocation") {
+    // encode drop rules first
+    assert(GifCodec.encodeGif(new Array[Byte](39), 40) === null)
+    assert(GifCodec.encodeGif(new Array[Byte](65536 * 40), 40) === null)
+    // a forged header declaring 4096 x 4096 = 16.7M pixels (> 2^24) is
+    // rejected at the descriptor, before any LZW work
+    val gif = GifCodec.encodeGif(fixture(400, 11), 40)
+    def putU16(at: Int, v: Int): Unit = {
+      gif(at) = (v & 0xff).toByte; gif(at + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putU16(6, 4096); putU16(8, 4096)       // screen descriptor
+    putU16(13 + 768 + 5, 4096); putU16(13 + 768 + 7, 4096) // image descriptor
+    assert(!GifCodec.decodeGif(gif).valid)
+  }
+
+  test("engine surface: Multimodal.encodeGif / gifStats on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val out = graft.ext.Multimodal.gifStats(
+      graft.ext.Multimodal.encodeGif(
+        graft.ext.Multimodal.documentsAsAssets(docs), width = 40))
+      .collect()
+    assert(out.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_valid"))
+      val payload = texts(r.getAs[Long]("asset_id")).getBytes("UTF-8")
+      val (si, sr, sg, sb) = expected(payload, 40)
+      assert((r.getAs[Long]("sum_idx"), r.getAs[Long]("sum_r"),
+        r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b")) === ((si, sr, sg, sb)))
+    }
+  }
+}
