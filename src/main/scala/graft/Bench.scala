@@ -90,7 +90,11 @@ object ByteDrift {
     * summed-total band missed its own calibration case). On a stream
     * whose SIDES run multi-hundred-KiB, a 32 KiB per-side movement is a
     * real relative change, not emit noise, and must stay visible to the
-    * relative test. A genuine plan change (an extra exchange, a lost
+    * relative test; and because the per-side mechanism rarely fires
+    * maximally on both sides at once, the COMBINED |Δread|+|Δwrite| is
+    * additionally bounded at 1.5x the per-side floor, keeping the quiet
+    * band calibrated to one-sided emit noise rather than letting an
+    * asymmetric exchange drift 2x deltaFloor unflagged. A genuine plan change (an extra exchange, a lost
     * pushdown) moves bytes proportionally to the stream, far past both
     * floors. Queries present on only one side are NOT drift
     * (added/removed queries are visible in n_queries); -1 sentinels
@@ -107,6 +111,10 @@ object ByteDrift {
         else if (c <= absFloor && p <= absFloor) None
         else if (math.abs(cr - pr) <= deltaFloor &&
           math.abs(cw - pw) <= deltaFloor &&
+          // emit noise is per-side but rarely maximal on BOTH sides at
+          // once: bound the combined movement at 1.5x the per-side floor
+          // so an asymmetric exchange can't quietly drift 2x deltaFloor
+          math.abs(cr - pr) + math.abs(cw - pw) <= deltaFloor * 3 / 2 &&
           math.max(math.max(cr, cw), math.max(pr, pw)) <= smallTotalCap) None
         else {
           val ratio = (c.toDouble + 1) / (p.toDouble + 1)

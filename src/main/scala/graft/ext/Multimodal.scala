@@ -895,16 +895,24 @@ object Multimodal {
     * coding, variable-width codes packed LSB-first, 256-entry global
     * color table derived from the index (see [[graft.functions.GifCodec]]).
     */
-  def encodeGif(assets: DataFrame, width: Int = 40): DataFrame = {
+  def encodeGif(assets: DataFrame, width: Int = 40, palBits: Int = 8,
+      interlaced: Boolean = false, frameHeight: Int = 0): DataFrame = {
     require(width >= 1 && width <= 65535, "width must fit the u16 field")
+    require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
     val spark = assets.sparkSession
+    // lower bound mirrors the codec's null rule (no full row / frame);
+    // upper bound mirrors the u16 height cap (single image) or the total
+    // 2^24-pixel cap (animation), both on the cheap input length
+    val minLen = if (frameHeight > 0) width.toLong * frameHeight else width.toLong
+    val maxLen =
+      if (frameHeight > 0) graft.functions.GifCodec.MaxPixels.toLong + 1
+      else 65536L * width
     assets
-      // lower bound mirrors the codec's null rule (no full row); upper
-      // bound mirrors the u16 height cap, both on the cheap input length
-      .filter(octet_length(col("bytes")) >= width &&
-        octet_length(col("bytes")) < 65536L * width)
+      .filter(octet_length(col("bytes")) >= minLen &&
+        octet_length(col("bytes")) < maxLen)
       .withColumn("bytes",
-        graft.functions.GifNativeFunctions.gifEncode(spark, col("bytes"), width))
+        graft.functions.GifNativeFunctions.gifEncode(spark, col("bytes"),
+          width, palBits, interlaced, frameHeight))
   }
 
   /** Decode GIF assets natively (E245): strict header/descriptor parse,
@@ -927,7 +935,10 @@ object Multimodal {
         col("q.n_pixels").as("n_pixels"), col("q.sum_idx").as("sum_idx"),
         col("q.sum_r").as("sum_r"), col("q.sum_g").as("sum_g"),
         col("q.sum_b").as("sum_b"),
-        col("q.mean_idx_milli").as("mean_idx_milli"))
+        col("q.mean_idx_milli").as("mean_idx_milli"),
+        col("q.n_frames").as("n_frames"),
+        col("q.sum_delay").as("sum_delay"),
+        col("q.sum_rowv").as("sum_rowv"))
   }
 
   /** Encode each asset's payload as an MJPEG AVI container (E240): each

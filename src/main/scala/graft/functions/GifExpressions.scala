@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
-/** Native GIF codec (E245) — the LZW entropy family, in-engine. GIF is
-  * the third real entropy coder the engine decodes without a codec
+/** Native GIF codec (E245/E247–E249) — the LZW entropy family, in-engine.
+  * GIF is the third real entropy coder the engine decodes without a codec
   * library (after DEFLATE-via-JDK in PNG and native Huffman in JPEG):
   * variable-width LZW codes packed LSB-FIRST (opposite bit order to
   * JPEG), a dictionary that grows by one string per code up to 4096
@@ -17,14 +17,17 @@ import org.apache.spark.sql.types._
   * (code == next-free-entry) reconstruction case, all inside GIF's
   * length-prefixed data sub-block framing.
   *
-  * Stream shape (the public GIF89a specification):
+  * Stream shape (the public GIF89a specification), now covering the
+  * real-world file shapes:
   * {{{
   * "GIF89a"  logical screen descriptor (w, h, packed, bg, aspect)
-  * global color table (256 x RGB)
-  * [extension blocks: 0x21 label, length-prefixed sub-blocks]*  (skipped)
-  * image descriptor (0x2C, left, top, w, h, packed)
-  * LZW minimum code size byte
-  * data sub-blocks (each <= 255 bytes, 0x00 terminator)
+  * global color table (2^palBits x RGB, palBits in 1..8)
+  * [extension blocks: 0x21 label, length-prefixed sub-blocks]*
+  * ( [GCE 0x21 0xF9 with a frame delay]?           — animation
+  *   image descriptor (0x2C, left, top, w, h, packed[interlace bit])
+  *   LZW minimum code size byte (max(2, palBits) — small palettes!)
+  *   data sub-blocks (each <= 255 bytes, 0x00 terminator) )+
+  * [extension blocks]*                             — trailing comments
   * trailer 0x3B
   * }}}
   *
@@ -34,17 +37,27 @@ import org.apache.spark.sql.types._
   * from its index — entry i = (i, (3i+85) mod 256, (7i+21) mod 256) —
   * so the DuckDB oracle computes the exact per-channel sums straight
   * from the raw payload bytes while the engine must LZW-decode the
-  * indices AND read the palette back out of the stream it wrote.
+  * indices AND read the palette back out of the stream it wrote. For
+  * small palettes the fixture index is `byte mod 2^palBits` — still
+  * per-byte SQL arithmetic. Interlace is proved by an ORDER-SENSITIVE
+  * stat: `sum_rowv` = Σ (global output row × index), which only matches
+  * the raw-payload value when the decoder really maps the four interlace
+  * passes back to their screen rows (sums alone are order-free and could
+  * not tell). Animation reuses the same stat with rows stacked across
+  * frames, plus the GCE delay total.
   *
   * STRICTNESS: out-of-range codes, a KwKwK code with no prior string, a
   * pixel count that disagrees with the descriptor, missing EOI, data
-  * past EOI, unconsumed sub-blocks, a missing trailer, or trailing
-  * garbage all report `is_valid = false`. Extension blocks (GCE,
-  * comment, application — real files carry them) are skipped as
-  * spec-legal, the JUNK/zero-IDAT tolerance precedent. Forged-header
-  * allocation bound: pixels are never buffered (running palette sums,
-  * O(4096) dictionary state), emission stops the moment it would exceed
-  * the declared w·h, and w·h is capped at 2^24 — so a forged 65535 x
+  * past EOI, unconsumed sub-blocks, a missing trailer, trailing garbage,
+  * an LZW minimum code size outside 2..8, or frames that disagree with
+  * the screen descriptor all report `is_valid = false`. Extension blocks
+  * (comment, application — real files carry them) are skipped as
+  * spec-legal wherever GIF89a permits them, INCLUDING between the last
+  * frame and the trailer; Graphic Control Extensions are parsed for
+  * their frame delays. Forged-header allocation bound: pixels are never
+  * buffered (running palette sums, O(4096) dictionary state), emission
+  * stops the moment it would exceed the declared geometry, and the total
+  * pixel count across frames is capped at 2^24 — so a forged 65535 x
   * 65535 descriptor can neither allocate nor spin.
   *
   * Scale: one native-expression pass per asset, O(4096) state — the
@@ -61,46 +74,85 @@ object GifCodec {
   def paletteB(i: Int): Int = (7 * i + 21) & 0xff
 
   /** Declared-geometry cap: decode never buffers pixels, but emission
-    * work is proportional to w·h — 16M pixels bounds a forged header's
-    * spin without excluding any real fixture.
+    * work is proportional to the total pixel count — 16M pixels bounds a
+    * forged header's spin without excluding any real fixture.
     */
   val MaxPixels = 1 << 24
 
-  /** Encode payload bytes as the indices of a width-column GIF89a
-    * (height = ⌊len/width⌋ whole rows; null when no full row fits or
-    * height overflows the u16 field). 256-entry global color table per
-    * the fixture palette rule; standard LZW with CLEAR at start and on
-    * table-full.
+  /** GIF89a interlace pass order: rows 0,8,16,… then 4,12,… then
+    * 2,6,10,… then 1,3,5,…. Returns the actual screen row for each
+    * SEQUENTIAL row position in the data stream.
     */
-  def encodeGif(payload: Array[Byte], width: Int): Array[Byte] = {
+  def interlaceRows(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var s = 0
+    var r = 0
+    while (r < h) { out(s) = r; s += 1; r += 8 }
+    r = 4
+    while (r < h) { out(s) = r; s += 1; r += 8 }
+    r = 2
+    while (r < h) { out(s) = r; s += 1; r += 4 }
+    r = 1
+    while (r < h) { out(s) = r; s += 1; r += 2 }
+    out
+  }
+
+  /** Encode payload bytes as the indices of a width-column GIF89a.
+    *
+    *  - `palBits` (1..8): global color table of 2^palBits entries per the
+    *    fixture palette rule; pixel index = payload byte mod 2^palBits;
+    *    LZW minimum code size = max(2, palBits) per the spec floor.
+    *  - `interlaced`: rows are emitted in the four-pass interlace order
+    *    and the descriptor's interlace flag is set.
+    *  - `frameHeight` > 0: an ANIMATED GIF of ⌊len/(width·frameHeight)⌋
+    *    whole frames (null when no full frame fits), each preceded by a
+    *    Graphic Control Extension carrying delay 4+(f mod 3) cs, after a
+    *    NETSCAPE2.0 looping application extension. frameHeight == 0: a
+    *    single image of ⌊len/width⌋ whole rows (null when no full row
+    *    fits or the height overflows the u16 field).
+    */
+  def encodeGif(payload: Array[Byte], width: Int, palBits: Int = 8,
+      interlaced: Boolean = false, frameHeight: Int = 0): Array[Byte] = {
     require(width >= 1 && width <= 65535, "width must fit the u16 field")
-    val h = payload.length / width
-    if (h < 1 || h > 65535) return null
-    val n = width * h
-    val out = new java.io.ByteArrayOutputStream(n / 2 + 1024)
+    require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
+    require(frameHeight >= 0 && frameHeight <= 65535,
+      "frameHeight must fit the u16 field")
+    val animated = frameHeight > 0
+    val fh = if (animated) frameHeight else payload.length / width
+    if (fh < 1 || fh > 65535) return null
+    val frameBytes = width * fh
+    val nFrames = if (animated) payload.length / frameBytes else 1
+    if (nFrames < 1) return null
+    if (nFrames.toLong * frameBytes > MaxPixels) return null
+    val palSize = 1 << palBits
+    val palMask = palSize - 1
+    val minCode = math.max(2, palBits)
+
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 1024)
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     "GIF89a".foreach(c => out.write(c.toInt))
-    u16(width); u16(h)
-    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
-    out.write(0)    // background color index
-    out.write(0)    // pixel aspect ratio
+    u16(width); u16(fh)
+    out.write(0xf0 | (palBits - 1)) // GCT present, 8-bit color res, 2^palBits
+    out.write(0)                    // background color index
+    out.write(0)                    // pixel aspect ratio
     var i = 0
-    while (i < 256) {
+    while (i < palSize) {
       out.write(paletteR(i)); out.write(paletteG(i)); out.write(paletteB(i))
       i += 1
     }
-    out.write(0x2c) // image descriptor
-    u16(0); u16(0); u16(width); u16(h)
-    out.write(0x00) // no local color table, not interlaced
-    out.write(8)    // LZW minimum code size
+    if (animated) {
+      // NETSCAPE2.0 looping application extension (the real-world marker)
+      out.write(0x21); out.write(0xff); out.write(11)
+      "NETSCAPE2.0".foreach(c => out.write(c.toInt))
+      out.write(3); out.write(1); u16(0) // sub-block: loop forever
+      out.write(0)                       // chain terminator
+    }
 
-    // ---- LZW encode, codes packed LSB-first ----
-    val Clear = 256
-    val Eoi = 257
-    // dictionary: (prefix code, next byte) -> code, open-addressed table
+    // ---- LZW state, parametric in the minimum code size ----
+    val Clear = 1 << minCode
+    val Eoi = Clear + 1
     val dictKey = new Array[Long](1 << 13)
     val dictVal = new Array[Int](1 << 13)
-    java.util.Arrays.fill(dictKey, -1L)
     def dictFind(prefix: Int, b: Int): Int = {
       val key = (prefix.toLong << 8) | b
       var slot = ((key * 2654435761L) >>> 40).toInt & ((1 << 13) - 1)
@@ -117,67 +169,101 @@ object GifCodec {
       dictKey(slot) = key
       dictVal(slot) = code
     }
-    val lzw = new java.io.ByteArrayOutputStream(n / 2 + 64)
-    var acc = 0L
-    var nbits = 0
-    var codeWidth = 9
-    var nextCode = 258
-    def putCode(c: Int): Unit = {
-      acc |= c.toLong << nbits
-      nbits += codeWidth
-      while (nbits >= 8) {
-        lzw.write((acc & 0xff).toInt)
-        acc >>>= 8
-        nbits -= 8
+
+    val rowOrder = if (interlaced) interlaceRows(fh) else null
+
+    var f = 0
+    while (f < nFrames) {
+      if (animated) {
+        // GCE: 4-byte block — packed (no disposal), delay cs, transparent
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0); u16(4 + f % 3); out.write(0)
+        out.write(0)
       }
-    }
-    def resetDict(): Unit = {
+      out.write(0x2c) // image descriptor
+      u16(0); u16(0); u16(width); u16(fh)
+      out.write(if (interlaced) 0x40 else 0x00) // no LCT; interlace flag
+      out.write(minCode)
+
+      // frame pixel at sequential position j: interlace reorders rows
+      val base = f * frameBytes
+      def px(j: Int): Int = {
+        val idx =
+          if (rowOrder == null) base + j
+          else base + rowOrder(j / width) * width + j % width
+        payload(idx) & palMask
+      }
+
       java.util.Arrays.fill(dictKey, -1L)
-      nextCode = 258
-      codeWidth = 9
-    }
-    putCode(Clear)
-    var cur = payload(0) & 0xff
-    i = 1
-    while (i < n) {
-      val b = payload(i) & 0xff
-      val hit = dictFind(cur, b)
-      if (hit >= 0) cur = hit
-      else {
-        putCode(cur)
-        dictPut(cur, b, nextCode)
-        nextCode += 1
-        // GIF code-width rule: width grows when the NEXT code to assign
-        // would not fit the current width
-        if (nextCode == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
-        if (nextCode == 4096) { putCode(Clear); resetDict() }
-        cur = b
+      val lzw = new java.io.ByteArrayOutputStream(frameBytes / 2 + 64)
+      var acc = 0L
+      var nbits = 0
+      var codeWidth = minCode + 1
+      var nextCode = Clear + 2
+      def putCode(c: Int): Unit = {
+        acc |= c.toLong << nbits
+        nbits += codeWidth
+        while (nbits >= 8) {
+          lzw.write((acc & 0xff).toInt)
+          acc >>>= 8
+          nbits -= 8
+        }
       }
-      i += 1
+      def resetDict(): Unit = {
+        java.util.Arrays.fill(dictKey, -1L)
+        nextCode = Clear + 2
+        codeWidth = minCode + 1
+      }
+      putCode(Clear)
+      var cur = px(0)
+      i = 1
+      while (i < frameBytes) {
+        val b = px(i)
+        val hit = dictFind(cur, b)
+        if (hit >= 0) cur = hit
+        else {
+          putCode(cur)
+          dictPut(cur, b, nextCode)
+          nextCode += 1
+          // GIF code-width rule: width grows when the NEXT code to assign
+          // would not fit the current width
+          if (nextCode == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
+          if (nextCode == 4096) { putCode(Clear); resetDict() }
+          cur = b
+        }
+        i += 1
+      }
+      putCode(cur)
+      putCode(Eoi)
+      if (nbits > 0) lzw.write((acc & 0xff).toInt) // zero-padded final byte
+      // chunk into <= 255-byte sub-blocks
+      val bytes = lzw.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val len = math.min(255, bytes.length - off)
+        out.write(len)
+        out.write(bytes, off, len)
+        off += len
+      }
+      out.write(0x00) // block terminator
+      f += 1
     }
-    putCode(cur)
-    putCode(Eoi)
-    if (nbits > 0) lzw.write((acc & 0xff).toInt) // zero-padded final byte
-    // chunk into <= 255-byte sub-blocks
-    val bytes = lzw.toByteArray
-    var off = 0
-    while (off < bytes.length) {
-      val len = math.min(255, bytes.length - off)
-      out.write(len)
-      out.write(bytes, off, len)
-      off += len
-    }
-    out.write(0x00) // block terminator
     out.write(0x3b) // trailer
     out.toByteArray
   }
 
-  /** Per-asset decode result; -1 stats when invalid. */
+  /** Per-asset decode result; -1 stats when invalid. `height` is the
+    * per-frame height; `nPixels` totals across frames; `sumRowV` weights
+    * each index by its GLOBAL output row (frames stacked), the
+    * order-sensitive stat that proves deinterlacing and frame order;
+    * `sumDelay` totals the Graphic Control Extension delays (cs).
+    */
   final case class Decoded(valid: Boolean, width: Long, height: Long,
       nPixels: Long, sumIdx: Long, sumR: Long, sumG: Long, sumB: Long,
-      meanIdxMilli: Long)
+      meanIdxMilli: Long, nFrames: Long, sumDelay: Long, sumRowV: Long)
 
-  private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1, -1)
+  private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1)
 
   def decodeGif(bytes: Array[Byte]): Decoded = {
     val n = bytes.length
@@ -204,158 +290,208 @@ object GifCodec {
       p += 3
       i += 1
     }
+    if (sw < 1 || sh < 1) return Invalid
+    val framePix = sw.toLong * sh
+    if (framePix > MaxPixels) return Invalid // forged-geometry spin bound
 
-    // skip spec-legal extension blocks (0x21 label, sub-block chain)
-    while (p < n && (bytes(p) & 0xff) == 0x21) {
-      p += 2 // introducer + label
-      var len = if (p < n) bytes(p) & 0xff else -1
-      while (len > 0) {
-        p += 1 + len
-        len = if (p < n) bytes(p) & 0xff else -1
-      }
-      if (len < 0) return Invalid // truncated extension chain
-      p += 1 // the zero terminator
-    }
-
-    if (p >= n || (bytes(p) & 0xff) != 0x2c) return Invalid // image descriptor
-    if (p + 10 > n) return Invalid
-    if (u16(p + 1) != 0 || u16(p + 3) != 0) return Invalid // no offsets
-    val w = u16(p + 5)
-    val h = u16(p + 7)
-    if (w < 1 || h < 1 || w != sw || h != sh) return Invalid
-    val nPix = w.toLong * h
-    if (nPix > MaxPixels) return Invalid // forged-geometry spin bound
-    val ipacked = bytes(p + 9) & 0xff
-    if ((ipacked & 0xc0) != 0) return Invalid // no LCT, no interlace
-    p += 10
-    if (p >= n) return Invalid
-    val minCode = bytes(p) & 0xff
-    if (minCode != 8) return Invalid // 256-color streams only
-    p += 1
-
-    // ---- LZW decode over the sub-block chain, LSB-first ----
-    val Clear = 256
-    val Eoi = 257
-    val prefix = new Array[Int](4096)
-    val suffix = new Array[Int](4096)
-    val firstB = new Array[Int](4096)
-    i = 0
-    while (i < 256) {
-      prefix(i) = -1; suffix(i) = i; firstB(i) = i
-      i += 1
-    }
-    var nextCode = 258
-    var codeWidth = 9
-    var acc = 0L
-    var nbits = 0
-    var blockLeft = 0 // bytes remaining in the current sub-block
-    var ended = false // saw EOI
-    def nextCodeBits(): Int = {
-      while (nbits < codeWidth) {
-        if (blockLeft == 0) {
-          if (p >= n) return -1
-          blockLeft = bytes(p) & 0xff
-          p += 1
-          if (blockLeft == 0) return -1 // terminator before EOI
-        }
-        if (p >= n) return -1
-        acc |= (bytes(p) & 0xffL) << nbits
-        nbits += 8
-        p += 1
-        blockLeft -= 1
-      }
-      val c = (acc & ((1L << codeWidth) - 1)).toInt
-      acc >>>= codeWidth
-      nbits -= codeWidth
-      c
-    }
     var sumIdx = 0L
     var sumR = 0L
     var sumG = 0L
     var sumB = 0L
-    var emitted = 0L
+    var sumRowV = 0L
+    var sumDelay = 0L
+    var nFrames = 0L
+    var totalEmitted = 0L
+    var rowOrder: Array[Int] = null // cached per (h, interlaced) — frames match
+    var rowOrderInterlaced = false
+
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val firstB = new Array[Int](4096)
     val stack = new Array[Int](4097)
-    def emitString(code: Int): Boolean = {
-      var top = 0
-      var c = code
-      while (c >= 0) { stack(top) = suffix(c); top += 1; c = prefix(c) }
-      if (emitted + top > nPix) return false // more pixels than declared
-      emitted += top
-      while (top > 0) {
-        top -= 1
-        val v = stack(top)
-        if (v >= gctSize) return false // index outside the palette
-        sumIdx += v
-        sumR += palR(v)
-        sumG += palG(v)
-        sumB += palB(v)
-      }
-      true
-    }
-    var prev = -1
-    while (!ended) {
-      val c = nextCodeBits()
-      if (c < 0) return Invalid
-      if (c == Clear) {
-        nextCode = 258
-        codeWidth = 9
-        prev = -1
-      } else if (c == Eoi) {
-        ended = true
-      } else if (c < nextCode && c < 4096 && (c < 256 || c >= 258)) {
-        if (prev == -1) {
-          if (c >= 256) return Invalid // first code must be a root
-          if (!emitString(c)) return Invalid
+
+    // ---- main block walk: extensions / frames, then the trailer ----
+    var sawTrailer = false
+    while (!sawTrailer) {
+      if (p >= n) return Invalid
+      val intro = bytes(p) & 0xff
+      if (intro == 0x3b) { // trailer
+        p += 1
+        sawTrailer = true
+      } else if (intro == 0x21) {
+        // extension: GCE delays are parsed, everything else skipped as
+        // spec-legal (GIF89a permits extensions anywhere before the
+        // trailer, including AFTER the last frame)
+        if (p + 1 >= n) return Invalid
+        val label = bytes(p + 1) & 0xff
+        if (label == 0xf9) {
+          // Graphic Control Extension: fixed 4-byte block
+          if (p + 7 >= n) return Invalid
+          if ((bytes(p + 2) & 0xff) != 4) return Invalid
+          sumDelay += u16(p + 4)
+          if ((bytes(p + 7) & 0xff) != 0) return Invalid // terminator
+          p += 8
         } else {
-          if (!emitString(c)) return Invalid
-          if (nextCode < 4096) {
+          p += 2 // introducer + label
+          var len = if (p < n) bytes(p) & 0xff else -1
+          while (len > 0) {
+            p += 1 + len
+            len = if (p < n) bytes(p) & 0xff else -1
+          }
+          if (len < 0) return Invalid // truncated extension chain
+          p += 1 // the zero terminator
+        }
+      } else if (intro == 0x2c) {
+        // ---- image descriptor + one LZW-coded frame ----
+        if (p + 10 > n) return Invalid
+        if (u16(p + 1) != 0 || u16(p + 3) != 0) return Invalid // no offsets
+        val w = u16(p + 5)
+        val h = u16(p + 7)
+        // every frame must fill the logical screen (the fixture contract)
+        if (w != sw || h != sh) return Invalid
+        if (totalEmitted + framePix > MaxPixels) return Invalid
+        val ipacked = bytes(p + 9) & 0xff
+        if ((ipacked & 0x80) != 0) return Invalid // no local color table
+        val interlaced = (ipacked & 0x40) != 0
+        if (rowOrder == null || rowOrderInterlaced != interlaced) {
+          rowOrder = if (interlaced) interlaceRows(h)
+          else Array.tabulate(h)(identity)
+          rowOrderInterlaced = interlaced
+        }
+        p += 10
+        if (p >= n) return Invalid
+        val minCode = bytes(p) & 0xff
+        // T.81 analog of the SSSS bound: the spec floor is 2, the 256-
+        // color ceiling is 8 — anything outside is a forged stream
+        if (minCode < 2 || minCode > 8) return Invalid
+        p += 1
+
+        // ---- LZW decode over the sub-block chain, LSB-first ----
+        val Clear = 1 << minCode
+        val Eoi = Clear + 1
+        i = 0
+        while (i < Clear) {
+          prefix(i) = -1; suffix(i) = i; firstB(i) = i
+          i += 1
+        }
+        var nextCode = Clear + 2
+        var codeWidth = minCode + 1
+        var acc = 0L
+        var nbits = 0
+        var blockLeft = 0 // bytes remaining in the current sub-block
+        var ended = false // saw EOI
+        def nextCodeBits(): Int = {
+          while (nbits < codeWidth) {
+            if (blockLeft == 0) {
+              if (p >= n) return -1
+              blockLeft = bytes(p) & 0xff
+              p += 1
+              if (blockLeft == 0) return -1 // terminator before EOI
+            }
+            if (p >= n) return -1
+            acc |= (bytes(p) & 0xffL) << nbits
+            nbits += 8
+            p += 1
+            blockLeft -= 1
+          }
+          val c = (acc & ((1L << codeWidth) - 1)).toInt
+          acc >>>= codeWidth
+          nbits -= codeWidth
+          c
+        }
+        var emitted = 0L
+        val frameRowBase = nFrames * h
+        def emitString(code: Int): Boolean = {
+          var top = 0
+          var c = code
+          while (c >= 0) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+          if (emitted + top > framePix) return false // more than declared
+          while (top > 0) {
+            top -= 1
+            val v = stack(top)
+            if (v >= gctSize) return false // index outside the palette
+            sumIdx += v
+            sumR += palR(v)
+            sumG += palG(v)
+            sumB += palB(v)
+            // the order-sensitive stat: global output row x index — the
+            // interlace map is what makes this match the raw payload
+            sumRowV += (frameRowBase + rowOrder((emitted / w).toInt)) * v
+            emitted += 1
+          }
+          true
+        }
+        var prev = -1
+        while (!ended) {
+          val c = nextCodeBits()
+          if (c < 0) return Invalid
+          if (c == Clear) {
+            nextCode = Clear + 2
+            codeWidth = minCode + 1
+            prev = -1
+          } else if (c == Eoi) {
+            ended = true
+          } else if (c < nextCode && c < 4096 &&
+            (c < Clear || c >= Clear + 2)) {
+            if (prev == -1) {
+              if (c >= Clear) return Invalid // first code must be a root
+              if (!emitString(c)) return Invalid
+            } else {
+              if (!emitString(c)) return Invalid
+              if (nextCode < 4096) {
+                prefix(nextCode) = prev
+                suffix(nextCode) = firstB(c)
+                firstB(nextCode) = firstB(prev)
+                nextCode += 1
+                // DECODER bump rule is one entry EARLIER than the encoder's
+                // (nextCode == cap, not cap + 1): the decoder learns each
+                // entry one code later than the encoder defined it, so this
+                // offset is what keeps the read width aligned with the width
+                // the encoder used for the very next code
+                if (nextCode == (1 << codeWidth) && codeWidth < 12)
+                  codeWidth += 1
+              }
+            }
+            prev = c
+          } else if (c == nextCode && prev != -1 && nextCode < 4096) {
+            // KwKwK: the code being defined right now — string = prev + its
+            // own first byte
             prefix(nextCode) = prev
-            suffix(nextCode) = firstB(c)
+            suffix(nextCode) = firstB(prev)
             firstB(nextCode) = firstB(prev)
             nextCode += 1
-            // DECODER bump rule is one entry EARLIER than the encoder's
-            // (nextCode == cap, not cap + 1): the decoder learns each
-            // entry one code later than the encoder defined it, so this
-            // offset is what keeps the read width aligned with the width
-            // the encoder used for the very next code
-            if (nextCode == (1 << codeWidth) && codeWidth < 12)
-              codeWidth += 1
-          }
+            if (!emitString(nextCode - 1)) return Invalid
+            if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            prev = nextCode - 1
+          } else return Invalid // out-of-range code or KwKwK with no prior
         }
-        prev = c
-      } else if (c == nextCode && prev != -1 && nextCode < 4096) {
-        // KwKwK: the code being defined right now — string = prev + its
-        // own first byte
-        prefix(nextCode) = prev
-        suffix(nextCode) = firstB(prev)
-        firstB(nextCode) = firstB(prev)
-        nextCode += 1
-        if (!emitString(nextCode - 1)) return Invalid
-        if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
-        prev = nextCode - 1
-      } else return Invalid // out-of-range code or KwKwK with no prior
+        if (emitted != framePix) return Invalid // every declared pixel
+        // pad bits in the final byte are discarded; the sub-block chain
+        // must be fully consumed and terminated
+        if (blockLeft != 0) return Invalid // unconsumed bytes after EOI
+        if (p >= n || (bytes(p) & 0xff) != 0x00) return Invalid // terminator
+        p += 1
+        totalEmitted += emitted
+        nFrames += 1
+      } else return Invalid // unknown block introducer
     }
-    if (emitted != nPix) return Invalid // every declared pixel decoded
-    // pad bits in the final byte are discarded; the sub-block chain must
-    // be fully consumed and terminated
-    if (blockLeft != 0) return Invalid // unconsumed bytes after EOI
-    if (p >= n || (bytes(p) & 0xff) != 0x00) return Invalid // terminator
-    p += 1
-    if (p >= n || (bytes(p) & 0xff) != 0x3b) return Invalid // trailer
-    p += 1
     if (p != n) return Invalid // trailing garbage
+    if (nFrames < 1) return Invalid
 
-    Decoded(valid = true, w, h, nPix, sumIdx, sumR, sumG, sumB,
-      sumIdx * 1000 / nPix)
+    Decoded(valid = true, sw, sh, totalEmitted, sumIdx, sumR, sumG, sumB,
+      sumIdx * 1000 / totalEmitted, nFrames, sumDelay, sumRowV)
   }
 }
 
-/** `graft_gif_encode(bytes, width)`: payload indices → GIF89a stream
-  * (null when no full row fits). See [[GifCodec.encodeGif]].
+/** `graft_gif_encode(bytes, width[, palBits, interlaced, frameHeight])`:
+  * payload indices → GIF89a stream (null when no full row/frame fits).
+  * See [[GifCodec.encodeGif]].
   */
-case class GifEncode(child: Expression, width: Int)
+case class GifEncode(child: Expression, width: Int, palBits: Int = 8,
+    interlaced: Boolean = false, frameHeight: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1 && width <= 65535, "width must fit the u16 field")
+  require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -366,15 +502,17 @@ case class GifEncode(child: Expression, width: Int)
       s"graft_gif_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    GifCodec.encodeGif(input.asInstanceOf[Array[Byte]], width)
+    GifCodec.encodeGif(input.asInstanceOf[Array[Byte]], width, palBits,
+      interlaced, frameHeight)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** `graft_gif_decode(bytes)`: strict GIF parse + LZW decode → per-asset
-  * stats struct (indices and palette-resolved channel sums). Invalid,
-  * truncated, or forged streams report `is_valid = false`.
+  * stats struct (indices, palette-resolved channel sums, the
+  * order-sensitive row-weighted sum, frame count, GCE delay total).
+  * Invalid, truncated, or forged streams report `is_valid = false`.
   */
 case class GifDecode(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -388,7 +526,10 @@ case class GifDecode(child: Expression)
     StructField("sum_r", LongType, nullable = true),
     StructField("sum_g", LongType, nullable = true),
     StructField("sum_b", LongType, nullable = true),
-    StructField("mean_idx_milli", LongType, nullable = true)))
+    StructField("mean_idx_milli", LongType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("sum_delay", LongType, nullable = true),
+    StructField("sum_rowv", LongType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -399,8 +540,9 @@ case class GifDecode(child: Expression)
     val d = GifCodec.decodeGif(input.asInstanceOf[Array[Byte]])
     if (d.valid)
       InternalRow(true, d.width, d.height, d.nPixels, d.sumIdx, d.sumR,
-        d.sumG, d.sumB, d.meanIdxMilli)
-    else InternalRow(false, null, null, null, null, null, null, null, null)
+        d.sumG, d.sumB, d.meanIdxMilli, d.nFrames, d.sumDelay, d.sumRowV)
+    else InternalRow(false, null, null, null, null, null, null, null, null,
+      null, null, null)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -409,20 +551,33 @@ case class GifDecode(child: Expression)
 
 object GifNativeFunctions {
 
-  /** Register `graft_gif_encode` / `graft_gif_decode` (idempotent). */
+  /** Register `graft_gif_encode` / `graft_gif_decode` (idempotent). The
+    * encode accepts 2 or 5 args (the 5-arg form adds palBits /
+    * interlaced / frameHeight for the small-palette, interlaced, and
+    * animated shapes).
+    */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_encode",
       exprs => GifEncode(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        exprs(1).eval().asInstanceOf[Int],
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 8,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false,
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Int] else 0),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_decode", exprs => GifDecode(exprs.head), "built-in")
   }
 
-  def gifEncode(spark: SparkSession, bytes: Column, width: Int): Column = {
+  def gifEncode(spark: SparkSession, bytes: Column, width: Int,
+      palBits: Int = 8, interlaced: Boolean = false,
+      frameHeight: Int = 0): Column = {
     register(spark)
     call_function("graft_gif_encode", bytes,
-      org.apache.spark.sql.functions.lit(width))
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(palBits),
+      org.apache.spark.sql.functions.lit(interlaced),
+      org.apache.spark.sql.functions.lit(frameHeight))
   }
 
   def gifDecode(spark: SparkSession, bytes: Column): Column = {

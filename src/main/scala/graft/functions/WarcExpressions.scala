@@ -30,10 +30,12 @@ import org.apache.spark.sql.types._
   * disagrees with the bytes present, a missing record terminator,
   * trailing garbage, a gzip member whose CRC/ISIZE lies, or a member
   * holding more or less than one record all report `is_valid = false`.
-  * Zip-bomb bound: per-member inflated output is capped at DEFLATE's
-  * own 1032:1 maximum expansion (+64 KiB slack), so a forged member
-  * cannot allocate beyond what its compressed size could honestly
-  * encode.
+  * Header separator follows the ISO 28500 grammar `field-name ":" *WS
+  * field-value` — the space after the colon is optional. Zip-bomb
+  * bound: per-member inflated output is capped incrementally at
+  * DEFLATE's own 1032:1 maximum expansion of the bytes the member has
+  * consumed so far (+64 KiB slack), so a forged member cannot allocate
+  * beyond what its own compressed size could honestly encode.
   *
   * ORACLE: fixtures slice the payload into fixed `recordBytes` blocks
   * (whole records only), so record counts, content byte totals, and the
@@ -167,10 +169,14 @@ object WarcCodec {
       if (l == null) return -1
       if (l.isEmpty) done = true
       else {
-        val sep = l.indexOf(": ")
+        // ISO 28500 grammar: field-name ":" *WS field-value — the space
+        // after the colon is OPTIONAL ("Name:value" is conformant), and
+        // a field-name is a token (no whitespace inside it)
+        val sep = l.indexOf(':')
         if (sep <= 0) return -1
         val name = l.substring(0, sep)
-        val value = l.substring(sep + 2)
+        if (name.exists(c => c == ' ' || c == '\t')) return -1
+        val value = l.substring(sep + 1).dropWhile(c => c == ' ' || c == '\t')
         name match {
           // each mandatory header exactly once
           case "WARC-Type" =>
@@ -241,9 +247,6 @@ object WarcCodec {
       val dataOff = p + 10
       val inf = new java.util.zip.Inflater(true) // raw deflate
       inf.setInput(bytes, dataOff, n - dataOff)
-      // zip-bomb bound: DEFLATE's own maximum expansion is 1032:1, so a
-      // member's honest output can never exceed that of its input
-      val cap = (n - dataOff).toLong * 1032 + 65536
       val out = new java.io.ByteArrayOutputStream(8192)
       val buf = new Array[Byte](8192)
       // read getRemaining BEFORE end() frees the native state (after
@@ -254,7 +257,12 @@ object WarcCodec {
           val k = inf.inflate(buf)
           if (k == 0 && !inf.finished()) return Invalid // truncated member
           out.write(buf, 0, k)
-          if (out.size() > cap) return Invalid
+          // zip-bomb bound, tracked INCREMENTALLY against the bytes this
+          // member has actually consumed so far (inf.getBytesRead):
+          // DEFLATE's maximum expansion is 1032:1, so output beyond
+          // 1032x the consumed input (+64 KiB flush slack) is a forgery
+          // regardless of how many bytes the rest of the archive holds
+          if (out.size() > inf.getBytesRead * 1032L + 65536L) return Invalid
         }
         remaining = inf.getRemaining
       } catch {

@@ -92,12 +92,15 @@ class GifCodecSpec extends SparkSpec {
     // screen height disagreeing with the image descriptor
     val badH = gif.clone(); badH(8) = (badH(8) + 1).toByte
     assert(!GifCodec.decodeGif(badH).valid)
-    // a non-256-color LZW minimum code size is outside the fixture
-    // contract (descriptor is at a fixed offset: no extensions emitted)
+    // LZW minimum code size outside the spec range 2..8 (the GIF89a
+    // floor is 2; 256 colors cap it at 8) — descriptor is at a fixed
+    // offset: no extensions emitted
     val minCodeAt = 13 + 768 + 10
     assert((gif(minCodeAt) & 0xff) === 8)
-    val badMin = gif.clone(); badMin(minCodeAt) = 7
+    val badMin = gif.clone(); badMin(minCodeAt) = 1
     assert(!GifCodec.decodeGif(badMin).valid)
+    val badMin2 = gif.clone(); badMin2(minCodeAt) = 9
+    assert(!GifCodec.decodeGif(badMin2).valid)
     // sub-block terminator arriving before EOI: keep the first data
     // sub-block only, then terminate — the decoder must see missing EOI
     val firstLen = gif(minCodeAt + 1) & 0xff
@@ -122,6 +125,110 @@ class GifCodecSpec extends SparkSpec {
     putU16(6, 4096); putU16(8, 4096)       // screen descriptor
     putU16(13 + 768 + 5, 4096); putU16(13 + 768 + 7, 4096) // image descriptor
     assert(!GifCodec.decodeGif(gif).valid)
+  }
+
+  private def expectedFull(payload: Array[Byte], width: Int, mask: Int,
+      usable: Int): (Long, Long, Long, Long, Long) = {
+    var si = 0L; var sr = 0L; var sg = 0L; var sb = 0L; var srv = 0L
+    for (i <- 0 until usable) {
+      val v = (payload(i) & 0xff) & mask
+      si += v
+      sr += GifCodec.paletteR(v)
+      sg += GifCodec.paletteG(v)
+      sb += GifCodec.paletteB(v)
+      srv += (i / width).toLong * v
+    }
+    (si, sr, sg, sb, srv)
+  }
+
+  test("small palettes: LZW minimum code sizes 2..8 all round-trip") {
+    // palBits 1..8 covers min code sizes 2 (the spec floor, 2- and
+    // 4-color palettes) through 8 — the real-world small-GIF shapes
+    for (palBits <- 1 to 8) {
+      val payload = fixture(6000, 20 + palBits)
+      val gif = GifCodec.encodeGif(payload, 40, palBits = palBits)
+      assert(gif !== null)
+      // the wire really carries the small code size and the small GCT
+      assert((gif(10) & 0x07) === palBits - 1)
+      assert((gif(13 + 3 * (1 << palBits) + 10) & 0xff) ===
+        math.max(2, palBits))
+      val d = GifCodec.decodeGif(gif)
+      assert(d.valid, s"palBits $palBits must decode")
+      val (si, sr, sg, sb, srv) =
+        expectedFull(payload, 40, (1 << palBits) - 1, 6000)
+      assert((d.sumIdx, d.sumR, d.sumG, d.sumB, d.sumRowV) ===
+        ((si, sr, sg, sb, srv)), s"palBits $palBits lossless identity")
+    }
+  }
+
+  test("interlaced frames deinterlace to the true screen rows") {
+    val payload = fixture(4000, 31)
+    val gif = GifCodec.encodeGif(payload, 40, interlaced = true)
+    assert((gif(13 + 768 + 9) & 0x40) !== 0, "interlace flag on the wire")
+    val d = GifCodec.decodeGif(gif)
+    assert(d.valid)
+    val plain = GifCodec.decodeGif(GifCodec.encodeGif(payload, 40))
+    // order-free sums agree with the sequential encode...
+    assert((d.sumIdx, d.sumR, d.sumG, d.sumB) ===
+      ((plain.sumIdx, plain.sumR, plain.sumG, plain.sumB)))
+    // ...and the ORDER-SENSITIVE row-weighted sum equals the raw-payload
+    // value, which only happens when the four-pass map is applied: the
+    // stream order is a row permutation, so a decoder that ignored the
+    // flag would weight rows wrongly
+    val (_, _, _, _, srv) = expectedFull(payload, 40, 255, 4000)
+    assert(d.sumRowV === srv, "deinterlacing must restore screen rows")
+    assert(plain.sumRowV === srv)
+    // sanity: the permutation is non-trivial on this geometry (a wrong
+    // decoder WOULD differ) — weight rows by stream position instead
+    var wrong = 0L
+    val order = GifCodec.interlaceRows(100)
+    for (i <- 0 until 4000) {
+      val seq = i / 40
+      wrong += seq.toLong * ((payload(order(seq) * 40 + i % 40) & 0xff))
+    }
+    assert(wrong !== srv, "fixture must distinguish interlace from sequential")
+  }
+
+  test("animated GIFs: frame fan-out, GCE delays, stacked row weighting") {
+    val payload = fixture(7 * 40 * 5 + 13, 37) // 7 whole 40x5 frames
+    val gif = GifCodec.encodeGif(payload, 40, frameHeight = 5)
+    assert(gif !== null)
+    val d = GifCodec.decodeGif(gif)
+    assert(d.valid)
+    assert(d.nFrames === 7L)
+    assert((d.width, d.height) === ((40L, 5L)))
+    assert(d.nPixels === 1400L)
+    // GCE delays: frame f carries 4 + f%3 centiseconds
+    assert(d.sumDelay === (0 until 7).map(f => 4L + f % 3).sum)
+    val (si, sr, sg, sb, srv) = expectedFull(payload, 40, 255, 1400)
+    assert((d.sumIdx, d.sumR, d.sumG, d.sumB) === ((si, sr, sg, sb)))
+    // global rows stack across frames: frame f row r = f*5 + r
+    assert(d.sumRowV === srv, "frame order must be preserved")
+    // interlaced animation composes
+    val d2 = GifCodec.decodeGif(
+      GifCodec.encodeGif(payload, 40, interlaced = true, frameHeight = 5))
+    assert(d2.valid && d2.sumRowV === srv && d2.nFrames === 7L)
+    // whole frames only
+    assert(GifCodec.encodeGif(new Array[Byte](40 * 5 - 1), 40,
+      frameHeight = 5) === null)
+  }
+
+  test("trailing extension blocks before the trailer are spec-legal") {
+    val payload = fixture(1600, 41)
+    val gif = GifCodec.encodeGif(payload, 40)
+    val clean = GifCodec.decodeGif(gif)
+    assert(clean.valid)
+    // GIF89a permits comment/application extensions anywhere before the
+    // trailer — splice a comment extension AFTER the image data
+    val comment = Array[Byte](0x21, 0xfe.toByte, 5, 'g', 'r', 'a', 'f', 't', 0)
+    val spliced = gif.dropRight(1) ++ comment ++ Array[Byte](0x3b)
+    val d = GifCodec.decodeGif(spliced)
+    assert(d.valid, "a trailing comment extension must be skipped")
+    assert((d.sumIdx, d.sumRowV) === ((clean.sumIdx, clean.sumRowV)))
+    // a TRUNCATED trailing chain is still a visible finding
+    assert(!GifCodec.decodeGif(gif.dropRight(1) ++ comment.take(4)).valid)
+    // and garbage after the trailer still rejects
+    assert(!GifCodec.decodeGif(spliced :+ 0.toByte).valid)
   }
 
   test("engine surface: Multimodal.encodeGif / gifStats on real documents") {

@@ -71,6 +71,29 @@ class WarcCodecSpec extends SparkSpec {
     assert(d.sumPayload === "hello".getBytes("US-ASCII").map(_.toLong).sum)
   }
 
+  test("ISO 28500 separator: the space after the colon is optional") {
+    // grammar is `field-name ":" *WS field-value` — "Name:value" with no
+    // space and "Name:\tvalue" with a tab are both conformant
+    val rec = ("WARC/1.0\r\n" +
+      "WARC-Type:response\r\n" +
+      "WARC-Record-ID:\t<urn:x:1>\r\n" +
+      "WARC-Date:2026-01-01T00:00:00Z\r\n" +
+      "Content-Length:   5\r\n" +
+      "\r\nhello\r\n\r\n").getBytes("US-ASCII")
+    val d = WarcCodec.decodeWarc(rec)
+    assert(d.valid, "no-space separators are conformant")
+    assert(d.nRecords === 1L && d.contentBytes === 5L)
+    // but whitespace INSIDE a field-name is not a token (extra header so
+    // the reject is FOR the bad name, not a missing mandatory)
+    assert(!WarcCodec.decodeWarc(new String(rec, "US-ASCII").replace(
+      "WARC-Type:response\r\n",
+      "WARC-Type:response\r\nX Header: z\r\n").getBytes("US-ASCII")).valid)
+    // and an empty field-name still rejects
+    assert(!WarcCodec.decodeWarc(new String(rec, "US-ASCII").replace(
+      "WARC-Type:response\r\n",
+      "WARC-Type:response\r\n: z\r\n").getBytes("US-ASCII")).valid)
+  }
+
   test("plain reject paths: grammar violations are visible findings") {
     def rec(head: String, body: String = "hello", term: String = "\r\n\r\n") =
       (head + body + term).getBytes("US-ASCII")
