@@ -84,7 +84,10 @@ object ScaleBench {
         "per asset, no pair stage"),
     ("q281_jpegdct_scale", 1.35, 1.35,
       "byte mass: one native DCT entropy-decode + fixed-point-IDCT pass " +
-        "per asset (O(64) block state), no pair stage"))
+        "per asset (O(64) block state), no pair stage"),
+    ("q293_warc_scale", 1.35, 1.35,
+      "archive byte mass: one record-grammar walk per archive, O(record) " +
+        "state, no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)

@@ -2549,6 +2549,69 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_records"),
           col("n_responses"), col("content_bytes"), col("sum_payload"))
     },
+    // WARC HTTP layer (E250): the block of a crawl response record is an
+    // RFC 9112 HTTP message — status line, headers, body — and the body
+    // is the document a training pipeline wants. Stats split every
+    // request/response block (Content-Length verified) and pair
+    // request→response via WARC-Concurrent-To; the oracle reads counts
+    // and body sums off raw payload slices (status 200/404 alternates on
+    // the slice index by the fixture rule, so n_200 is slice arithmetic).
+    "q290_warc_http_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.warcHttpStats(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          bodyBytes = 256)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_records"),
+          col("n_requests"), col("n_responses"), col("n_200"),
+          col("body_bytes"), col("sum_body"), col("n_paired"))
+    },
+    // WARC HTTP over the record-gzip wire (E250): compression changes
+    // the wire, never the records — q291 hash-matches q290's oracle
+    // VERBATIM (the q288/q289 discipline one layer up the stack).
+    "q291_warc_httpgz_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.warcHttpStats(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          bodyBytes = 256, gz = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        gz = true)
+        .select(col("asset_id"), col("is_valid"), col("n_records"),
+          col("n_requests"), col("n_responses"), col("n_200"),
+          col("body_bytes"), col("sum_body"), col("n_paired"))
+    },
+    // WARC body EXTRACTION fan-out (E250): one row per response record —
+    // the crawl-to-documents explode every pipeline runs first. The
+    // engine walks the container, inflates nothing (plain wire), parses
+    // the HTTP head, and hands back the body; the oracle rebuilds every
+    // per-record stat from the corresponding raw payload slice.
+    "q292_warc_http_records" -> { (s, dir) =>
+      graft.ext.Multimodal.warcHttpRecords(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          bodyBytes = 256)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("rec_idx"), col("status"),
+          col("body_len"), col("body_sum"))
+    },
+    // Whole-corpus WARC demux scale twin (E246's measurement): q288 with
+    // no doc cap — one native record walk per archive, byte-linear.
+    "q293_warc_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.warcStats(
+        graft.ext.Multimodal.encodeWarc(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          recordBytes = 256)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_records"),
+          col("n_responses"), col("content_bytes"), col("sum_payload"))
+    },
     // GIF decode stats (E245): the LZW entropy family in-engine —
     // variable-width codes packed LSB-first, CLEAR/EOI control codes,
     // KwKwK reconstruction, sub-block framing, palette read-back. GIF is
@@ -2579,6 +2642,56 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("width"),
           col("height"), col("n_pixels"), col("sum_idx"), col("sum_r"),
           col("sum_g"), col("sum_b"), col("mean_idx_milli"))
+    },
+    // Small-palette GIF (E247): LZW minimum code size 4 over a 16-entry
+    // global color table — the real-world small-GIF shape the 256-color
+    // walk can't represent (codes start at 5 bits; index = byte mod 16
+    // keeps the oracle per-byte arithmetic).
+    "q294_gif_pal4" -> { (s, dir) =>
+      graft.ext.Multimodal.gifStats(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, palBits = 4)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_idx"), col("sum_r"),
+          col("sum_g"), col("sum_b"), col("mean_idx_milli"))
+    },
+    // Interlaced GIF (E248): the four-pass row ordering. The proof is
+    // ORDER-SENSITIVE: sum_rowv weights each index by its OUTPUT screen
+    // row, which only matches the raw-payload value when the decoder
+    // really maps pass order back to screen rows (plain sums are
+    // order-free and could not tell).
+    "q295_gif_interlaced" -> { (s, dir) =>
+      graft.ext.Multimodal.gifStats(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, interlaced = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_idx"), col("sum_b"),
+          col("mean_idx_milli"), col("sum_rowv"))
+    },
+    // Animated GIF (E249): the dominant real-world GIF — one image
+    // descriptor per frame, each preceded by a Graphic Control Extension
+    // whose delays the decoder parses (4 + f mod 3 cs by the fixture
+    // rule, so the delay total is frame arithmetic); sum_rowv stacks
+    // rows across frames, proving frame ORDER as well as content.
+    "q296_gif_anim" -> { (s, dir) =>
+      graft.ext.Multimodal.gifStats(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, frameHeight = 5)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("width"), col("height"), col("n_pixels"), col("sum_idx"),
+          col("sum_rowv"), col("sum_delay"))
     },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
@@ -3264,9 +3377,11 @@ object SparkEntry {
     * 256-byte response records, so counts and sums read straight off
     * the truncated raw bytes.
     */
-  private def warcOracleSql: String =
+  private def warcOracleSql: String = warcOracleSqlFor("WHERE doc_id < 140")
+
+  private def warcOracleSqlFor(where: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-         |             FROM documents WHERE doc_id < 140),
+         |             FROM documents $where),
          |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 256 AS nr
          |      FROM src WHERE octet_length(p) // 256 >= 1),
          |bv AS (SELECT asset_id, nr,
@@ -3280,6 +3395,54 @@ object SparkEntry {
          |       CAST(nr * 256 AS BIGINT) AS content_bytes,
          |       CAST(SUM(v) AS BIGINT) AS sum_payload
          |FROM bv GROUP BY asset_id, nr""".stripMargin
+
+  /** WARC HTTP replay (q290 plain, q291 record-gzip — one oracle): the
+    * fixture emits one request+response pair per whole 256-byte body
+    * slice, so every archive stat is slice arithmetic — n_records =
+    * 2·nr, n_200 = nr − nr DIV 4 (the fixture 404s every fourth slice),
+    * body totals read off the truncated raw payload, and every request
+    * pairs (its WARC-Concurrent-To names a present response).
+    */
+  private def warcHttpOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 256 AS nr
+         |      FROM src WHERE octet_length(p) // 256 >= 1),
+         |bv AS (SELECT asset_id, nr,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, nr, h,
+         |               unnest(range(0, nr * 256)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nr * 2 AS BIGINT) AS n_records,
+         |       CAST(nr AS BIGINT) AS n_requests,
+         |       CAST(nr AS BIGINT) AS n_responses,
+         |       CAST(nr - nr // 4 AS BIGINT) AS n_200,
+         |       CAST(nr * 256 AS BIGINT) AS body_bytes,
+         |       CAST(SUM(v) AS BIGINT) AS sum_body,
+         |       CAST(nr AS BIGINT) AS n_paired
+         |FROM bv GROUP BY asset_id, nr""".stripMargin
+
+  /** WARC body-extraction replay (q292): one oracle row per response
+    * record — status from the fixture's slice-index rule, body stats
+    * from the corresponding raw 256-byte payload slice.
+    */
+  private def warcHttpRecordsOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 256 AS nr
+         |      FROM src WHERE octet_length(p) // 256 >= 1),
+         |bv AS (SELECT asset_id, i // 256 AS rec_idx,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, h,
+         |               unnest(range(0, nr * 256)) AS i FROM g))
+         |SELECT asset_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+         |       CAST(CASE WHEN rec_idx % 4 = 3 THEN 404 ELSE 200 END
+         |            AS BIGINT) AS status,
+         |       CAST(256 AS BIGINT) AS body_len,
+         |       CAST(SUM(v) AS BIGINT) AS body_sum
+         |FROM bv GROUP BY asset_id, rec_idx""".stripMargin
 
   /** GIF replay (q286/q287): GIF is LOSSLESS on the index stream, so on
     * engine-encoded fixtures decode∘encode is the identity on payload
@@ -3308,6 +3471,83 @@ object SparkEntry {
          |       CAST(SUM((7*v+21) % 256) AS BIGINT) AS sum_b,
          |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_idx_milli
          |FROM bv GROUP BY asset_id, hgt""".stripMargin
+
+  /** Small-palette GIF replay (q294): identical discipline to
+    * [[gifOracleSqlFor]] with index = byte mod 16 (palBits 4) — the
+    * engine must really decode 5-bit-start LZW and read back the
+    * 16-entry table; the oracle stays per-byte arithmetic.
+    */
+  private def gifPal4OracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+         |      FROM src WHERE octet_length(p) // 40 >= 1
+         |        AND octet_length(p) < 2621440),
+         |bv AS (SELECT asset_id, hgt,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           % 16 AS v
+         |       FROM (SELECT asset_id, hgt, h,
+         |               unnest(range(0, hgt * 40)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+         |       CAST(hgt AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_idx,
+         |       CAST(SUM(v) AS BIGINT) AS sum_r,
+         |       CAST(SUM((3*v+85) % 256) AS BIGINT) AS sum_g,
+         |       CAST(SUM((7*v+21) % 256) AS BIGINT) AS sum_b,
+         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_idx_milli
+         |FROM bv GROUP BY asset_id, hgt""".stripMargin
+
+  /** Interlaced GIF replay (q295): the order-sensitive row-weighted sum
+    * (row = i DIV width on the raw payload) pins the deinterlace — pass
+    * order is a row permutation, so a decoder ignoring the flag weights
+    * rows wrongly and misses the hash.
+    */
+  private def gifInterlacedOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+         |      FROM src WHERE octet_length(p) // 40 >= 1
+         |        AND octet_length(p) < 2621440),
+         |bv AS (SELECT asset_id, hgt, i // 40 AS r,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, hgt, h,
+         |               unnest(range(0, hgt * 40)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+         |       CAST(hgt AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_idx,
+         |       CAST(SUM((7*v+21) % 256) AS BIGINT) AS sum_b,
+         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_idx_milli,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv
+         |FROM bv GROUP BY asset_id, hgt""".stripMargin
+
+  /** Animated GIF replay (q296): whole 40x5 frames; the GCE delay total
+    * is frame arithmetic (frame f carries 4 + f mod 3 cs, so the sum is
+    * 4·nf + ⌊(nf+1)/3⌋ + 2·⌊nf/3⌋), and sum_rowv stacks rows across
+    * frames (row = i DIV 40 on the raw payload), pinning frame order.
+    */
+  private def gifAnimOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 200 AS nf
+         |      FROM src WHERE octet_length(p) // 200 >= 1),
+         |bv AS (SELECT asset_id, nf, i // 40 AS r,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, nf, h,
+         |               unnest(range(0, nf * 200)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nf AS BIGINT) AS n_frames,
+         |       CAST(40 AS BIGINT) AS width,
+         |       CAST(5 AS BIGINT) AS height,
+         |       CAST(nf * 200 AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_idx,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
+         |       CAST(4 * nf + (nf + 1) // 3 + 2 * (nf // 3) AS BIGINT)
+         |         AS sum_delay
+         |FROM bv GROUP BY asset_id, nf""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -4582,6 +4822,16 @@ object SparkEntry {
     "q285_avi_av_stats" -> aviAvOracleSql,
     "q286_gif_stats" -> gifOracleSqlFor("WHERE doc_id < 140"),
     "q287_gif_scale" -> gifOracleSqlFor(""),
+    "q294_gif_pal4" -> gifPal4OracleSql,
+    "q295_gif_interlaced" -> gifInterlacedOracleSql,
+    "q296_gif_anim" -> gifAnimOracleSql,
+    // q290/q291 share one oracle verbatim (plain vs record-gzip wire);
+    // q292 is the per-record body-extraction fan-out; q293 is q288's
+    // whole-corpus scale twin
+    "q290_warc_http_stats" -> warcHttpOracleSql,
+    "q291_warc_httpgz_stats" -> warcHttpOracleSql,
+    "q292_warc_http_records" -> warcHttpRecordsOracleSql,
+    "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the
     // wire, never the records
     "q288_warc_stats" -> warcOracleSql,

@@ -889,6 +889,62 @@ object Multimodal {
         col("q.sum_payload").as("sum_payload"))
   }
 
+  /** Encode each asset's payload as a CRAWL-SHAPED WARC (E250): for each
+    * whole `bodyBytes` slice a request record and its response record
+    * (linked by WARC-Concurrent-To), whose blocks are real RFC 9112 HTTP
+    * messages — the response body IS the payload slice. Plain or
+    * per-record-gzip wire shape; assets shorter than one body slice are
+    * dropped.
+    */
+  def encodeWarcHttp(assets: DataFrame, bodyBytes: Int = 256,
+      gz: Boolean = false): DataFrame = {
+    require(bodyBytes >= 1, "bodyBytes must be positive")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= bodyBytes)
+      .withColumn("bytes",
+        graft.functions.WarcNativeFunctions.warcHttpEncode(spark,
+          col("bytes"), bodyBytes, gz))
+  }
+
+  /** Parse the HTTP layer of a crawl-shaped WARC (E250): every
+    * request/response block split per RFC 9112 (status line, header
+    * fields, body; Content-Length verified against the bytes present),
+    * plus request→response pairing via WARC-Concurrent-To — the first
+    * parse every real crawl consumer runs. One native pass per archive.
+    */
+  def warcHttpStats(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.WarcNativeFunctions.warcHttpStats(spark,
+          col("bytes"), gz).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_records").as("n_records"),
+        col("q.n_requests").as("n_requests"),
+        col("q.n_responses").as("n_responses"),
+        col("q.n_200").as("n_200"),
+        col("q.body_bytes").as("body_bytes"),
+        col("q.sum_body").as("sum_body"),
+        col("q.n_paired").as("n_paired"))
+  }
+
+  /** EXTRACT the HTTP response bodies from a crawl-shaped WARC (E250):
+    * one output row per response record in archive order, carrying the
+    * status, the extracted body bytes, and the body stats. This is the
+    * crawl-to-documents fan-out a training pipeline runs first.
+    */
+  def warcHttpRecords(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        explode(graft.functions.WarcNativeFunctions.warcHttpRecords(spark,
+          col("bytes"), gz)).as("r"))
+      .select(col("asset_id"), col("r.rec_idx").as("rec_idx"),
+        col("r.status").as("status"), col("r.body_len").as("body_len"),
+        col("r.body_sum").as("body_sum"), col("r.body").as("body"))
+  }
+
   /** Encode each asset's payload bytes as the color indices of a GIF89a
     * image (E245) of the given column width (height = ⌊len/width⌋ whole
     * rows; assets shorter than one row are dropped) — real LZW entropy

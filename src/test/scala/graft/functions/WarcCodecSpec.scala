@@ -154,6 +154,83 @@ class WarcCodecSpec extends SparkSpec {
     assert(!WarcCodec.decodeWarc(gz).valid)
   }
 
+  test("HTTP layer: crawl-shaped archives round-trip, both wire shapes") {
+    val payload = fixture(9 * 256 + 77, 11) // 9 slices: 2 of them 404
+    for (gz <- Seq(false, true)) {
+      val warc = WarcCodec.encodeWarcHttp(payload, 256, gz)
+      assert(warc !== null)
+      val (d, recs) = WarcCodec.decodeWarcHttp(warc, gz, collect = true)
+      assert(d.valid, s"gz=$gz")
+      assert(d.nRecords === 18L) // request + response per slice
+      assert(d.nRequests === 9L && d.nResponses === 9L)
+      assert(d.n200 === 7L) // slices 3 and 7 are the fixture 404s
+      assert(d.bodyBytes === 9L * 256)
+      assert(d.sumBody === byteSum(payload, 9 * 256))
+      assert(d.nPaired === 9L, "every request's Concurrent-To resolves")
+      // the EXTRACTION contract: response bodies concatenated in archive
+      // order ARE the truncated payload
+      assert(recs.map(_.recIdx) === (0L until 9L))
+      assert(recs.map(_.status) ===
+        (0 until 9).map(i => WarcCodec.fixtureStatus(i).toLong))
+      val joined = recs.flatMap(_.body).toArray
+      assert(java.util.Arrays.equals(joined, payload.take(9 * 256)),
+        "extracted bodies must reassemble the document bytes")
+    }
+    // no full body slice
+    assert(WarcCodec.encodeWarcHttp(fixture(255, 12), 256, gz = false) === null)
+  }
+
+  test("HTTP reject paths: status lines, header splits, body truncation") {
+    val payload = fixture(2 * 256, 13)
+    val warc = WarcCodec.encodeWarcHttp(payload, 256, gz = false)
+    val text = new String(warc, "ISO-8859-1")
+    def mutate(from: String, to: String): Boolean = {
+      assert(text.contains(from), s"fixture must contain: $from")
+      // keep WARC Content-Length consistent: only same-length edits
+      assert(from.length == to.length, "test edits must preserve lengths")
+      WarcCodec.decodeWarcHttp(
+        text.replace(from, to).getBytes("ISO-8859-1"), gz = false,
+        collect = false)._1.valid
+    }
+    assert(WarcCodec.decodeWarcHttp(warc, false, false)._1.valid)
+    // malformed status line: bad version, non-numeric code, missing SP
+    assert(!mutate("HTTP/1.1 200 OK", "HTTP/2.1 200 OK"))
+    assert(!mutate("HTTP/1.1 200 OK", "HTTP/1.1 2o0 OK"))
+    assert(!mutate("HTTP/1.1 200 OK", "HTTP/1.1  200OK"))
+    // out-of-range status
+    assert(!mutate("HTTP/1.1 200 OK", "HTTP/1.1 000 OK"))
+    // header name with embedded whitespace is not a token
+    assert(!mutate("Content-Type: text/plain", "Content Type: text/plain"))
+    // HTTP Content-Length lying about the body (bigger AND smaller)
+    assert(!mutate("Content-Length: 256", "Content-Length: 257"))
+    assert(!mutate("Content-Length: 256", "Content-Length: 255"))
+    // request line violations
+    assert(!mutate("GET /doc/0 HTTP/1.1", "GET /doc/0 HTTP/1.9"))
+    assert(!mutate("GET /doc/0 HTTP/1.1", "get /doc/0 HTTP/1.1"))
+    // a response block that isn't HTTP at all
+    assert(!mutate("HTTP/1.1 200 OK\r\n", "XTTP/1.1 200 OK\r\n"))
+  }
+
+  test("HTTP pairing: dangling Concurrent-To and duplicate ids are visible") {
+    val payload = fixture(3 * 256, 14)
+    val warc = WarcCodec.encodeWarcHttp(payload, 256, gz = false)
+    val text = new String(warc, "ISO-8859-1")
+    // point one request at a response that is NOT in the archive (same
+    // length, different id) — the request parses but no longer pairs
+    val dangling = text.replace(
+      "WARC-Concurrent-To: <urn:graft:record-1>",
+      "WARC-Concurrent-To: <urn:graft:recorx-1>")
+    val (d, _) = WarcCodec.decodeWarcHttp(
+      dangling.getBytes("ISO-8859-1"), gz = false, collect = false)
+    assert(d.valid)
+    assert(d.nRequests === 3L && d.nPaired === 2L,
+      "a dangling link is unpaired, not invalid")
+    // duplicate response record-ids break pairing integrity: visible
+    val dup = text.replace("<urn:graft:record-2>", "<urn:graft:record-0>")
+    assert(!WarcCodec.decodeWarcHttp(
+      dup.getBytes("ISO-8859-1"), gz = false, collect = false)._1.valid)
+  }
+
   test("engine surface: Multimodal.encodeWarc / warcStats both shapes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
