@@ -2693,6 +2693,39 @@ object SparkEntry {
           col("width"), col("height"), col("n_pixels"), col("sum_idx"),
           col("sum_rowv"), col("sum_delay"))
     },
+    // TIFF decode (E252): the scanner-archive format — classic TIFF 6.0
+    // IFD walk (ascending-tag audit, full baseline-grayscale required
+    // set, external value areas), uncompressed strips, little-endian.
+    // Lossless, so every stat reads off raw payload bytes; sum_rowv pins
+    // strip ORDER, not just content.
+    "q297_tiff_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
+    },
+    // TIFF over the OTHER wire (E252): big-endian ("MM") byte order AND
+    // PackBits compression restarted at every row — q298 hash-matches
+    // q297's oracle VERBATIM (byte order and compression change the
+    // wire, never the pixels; the q288/q289 discipline).
+    "q298_tiff_packbits" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, bigEndian = true, packBits = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -3548,6 +3581,30 @@ object SparkEntry {
          |       CAST(4 * nf + (nf + 1) // 3 + 2 * (nf // 3) AS BIGINT)
          |         AS sum_delay
          |FROM bv GROUP BY asset_id, nf""".stripMargin
+
+  /** TIFF replay (q297 uncompressed little-endian, q298 PackBits
+    * big-endian — ONE oracle, the wire never changes the pixels): whole
+    * 40-byte rows, strips of 4 rows, sum_rowv = Σ (i DIV 40)·v.
+    */
+  private def tiffOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+    |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+         |      FROM src WHERE octet_length(p) // 40 >= 1
+         |        AND octet_length(p) <= 16777216),
+         |bv AS (SELECT asset_id, hgt, i // 40 AS r,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, hgt, h,
+         |               unnest(range(0, hgt * 40)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+         |       CAST(hgt AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_v,
+         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
+         |       CAST((hgt + 3) // 4 AS BIGINT) AS n_strips
+         |FROM bv GROUP BY asset_id, hgt""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -4822,6 +4879,10 @@ object SparkEntry {
     "q285_avi_av_stats" -> aviAvOracleSql,
     "q286_gif_stats" -> gifOracleSqlFor("WHERE doc_id < 140"),
     "q287_gif_scale" -> gifOracleSqlFor(""),
+    // q297/q298 share one oracle verbatim: byte order + compression
+    // change the wire, never the pixels
+    "q297_tiff_stats" -> tiffOracleSql,
+    "q298_tiff_packbits" -> tiffOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,
     "q295_gif_interlaced" -> gifInterlacedOracleSql,
     "q296_gif_anim" -> gifAnimOracleSql,

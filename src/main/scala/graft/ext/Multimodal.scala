@@ -997,6 +997,49 @@ object Multimodal {
         col("q.sum_rowv").as("sum_rowv"))
   }
 
+  /** Encode each asset's payload as an 8-bit grayscale classic TIFF
+    * (E252) of the given column width (height = ⌊len/width⌋ whole rows;
+    * assets shorter than one row are dropped) — either byte order,
+    * uncompressed or PackBits strips; see [[graft.functions.TiffCodec]].
+    */
+  def encodeTiff(assets: DataFrame, width: Int = 40,
+      bigEndian: Boolean = false, packBits: Boolean = false): DataFrame = {
+    require(width >= 1, "width must be positive")
+    val spark = assets.sparkSession
+    assets
+      // lower bound mirrors the codec's null rule (no full row); upper
+      // bound mirrors the 2^24-pixel cap, both on the cheap input length
+      .filter(octet_length(col("bytes")) >= width &&
+        octet_length(col("bytes")) <=
+          graft.functions.TiffCodec.MaxPixels.toLong)
+      .withColumn("bytes",
+        graft.functions.TiffNativeFunctions.tiffEncode(spark, col("bytes"),
+          width, bigEndian, packBits))
+  }
+
+  /** Decode TIFF assets natively (E252): strict header + IFD walk (both
+    * byte orders, ascending-tag audit, the full baseline-grayscale
+    * required-tag set), strip assembly with per-row PackBits restart —
+    * reporting exact pixel sums plus the order-sensitive row-weighted
+    * sum that pins strip order. Lossless, so on engine-encoded fixtures
+    * the oracle reads every stat off raw payload bytes, and the
+    * PackBits / big-endian wire hash-matches the uncompressed oracle
+    * verbatim.
+    */
+  def tiffStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.TiffNativeFunctions.tiffDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_v").as("sum_v"),
+        col("q.mean_v_milli").as("mean_v_milli"),
+        col("q.sum_rowv").as("sum_rowv"),
+        col("q.n_strips").as("n_strips"))
+  }
+
   /** Encode each asset's payload as an MJPEG AVI container (E240): each
     * consecutive `frameBytes` slice becomes one grayscale baseline-JPEG
     * frame (whole frames only — the [[encodeJpegDct]] whole-block

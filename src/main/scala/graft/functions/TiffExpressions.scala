@@ -1,0 +1,509 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native TIFF codec (E252) — the scanner-archive format. Classic TIFF
+  * 6.0 (the public Adobe specification): a 8-byte header in EITHER byte
+  * order ("II" little-endian / "MM" big-endian), an Image File
+  * Directory of 12-byte entries SORTED ASCENDING BY TAG, external value
+  * areas for values wider than the 4-byte inline slot (strip arrays,
+  * RATIONAL resolutions), and pixel data in strips of `RowsPerStrip`
+  * rows, either uncompressed or PackBits-compressed (Compression 32773,
+  * the run-length scheme restarted AT EVERY ROW per the spec).
+  *
+  * The IFD-walk machinery mirrors the Exif TIFF walk the engine already
+  * runs inside JPEG APP1 segments ([[JpegDctCodec]]) — here it is the
+  * whole container, with the full baseline-grayscale required-tag set.
+  *
+  * ORACLE (the q260 pixel-identity discipline): both compressions are
+  * lossless, so on engine-encoded fixtures decode∘encode is the
+  * identity on payload bytes — every stat reads straight off the raw
+  * payload in DuckDB, and the PackBits/big-endian query hash-matches
+  * the uncompressed/little-endian oracle VERBATIM (compression and byte
+  * order change the wire, never the pixels). `sum_rowv` (index weighted
+  * by output row) is the order-sensitive stat that pins strip ORDER and
+  * the per-row PackBits restart, not just content.
+  *
+  * STRICTNESS: a wrong magic/version, an unsorted or truncated IFD, a
+  * missing or mistyped required baseline tag (ImageWidth, ImageLength,
+  * BitsPerSample=8, Compression ∈ {1, 32773}, Photometric ∈ {0,1},
+  * StripOffsets, SamplesPerPixel=1, RowsPerStrip, StripByteCounts,
+  * XResolution, YResolution, ResolutionUnit), a strip count that
+  * disagrees with ⌈height/RowsPerStrip⌉, out-of-bounds strip spans, a
+  * PackBits stream that over- or under-fills its strip or dies mid-run,
+  * or trailing IFDs (multi-page is out of the fixture contract) all
+  * report `is_valid = false`. Forged-geometry bound: width·height is
+  * capped at 2^24 and strips decode straight into running sums — pixels
+  * are never buffered beyond one strip's declared size.
+  *
+  * Scale: one native-expression pass per asset, O(row) state — the
+  * codec-walk shape.
+  */
+object TiffCodec {
+
+  /** Declared-geometry cap (the GIF/PNG discipline). */
+  val MaxPixels = 1 << 24
+
+  private val RowsPerStrip = 4
+
+  /** Encode payload bytes as an 8-bit grayscale classic TIFF of the
+    * given column width (height = ⌊len/width⌋ whole rows; null when no
+    * full row fits or the geometry exceeds the pixel cap), in either
+    * byte order, uncompressed or PackBits (restarted per row).
+    */
+  def encodeTiff(payload: Array[Byte], width: Int, bigEndian: Boolean,
+      packBits: Boolean): Array[Byte] = {
+    require(width >= 1, "width must be positive")
+    val h = payload.length / width
+    if (h < 1) return null
+    if (width.toLong * h > MaxPixels) return null
+    val nStrips = (h + RowsPerStrip - 1) / RowsPerStrip
+
+    // ---- strip data (PackBits restarts at every row per the spec) ----
+    val strips = new Array[Array[Byte]](nStrips)
+    var s = 0
+    while (s < nStrips) {
+      val rows = math.min(RowsPerStrip, h - s * RowsPerStrip)
+      if (!packBits) {
+        strips(s) = java.util.Arrays.copyOfRange(payload,
+          s * RowsPerStrip * width, (s * RowsPerStrip + rows) * width)
+      } else {
+        val out = new java.io.ByteArrayOutputStream(rows * width + 16)
+        var r = 0
+        while (r < rows) {
+          val off = (s * RowsPerStrip + r) * width
+          packRow(payload, off, width, out)
+          r += 1
+        }
+        strips(s) = out.toByteArray
+      }
+      s += 1
+    }
+
+    // ---- assemble: header, strip data, IFD, external value areas ----
+    val out = new java.io.ByteArrayOutputStream(payload.length + 512)
+    def u16(v: Int): Unit =
+      if (bigEndian) { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def u32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+        out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      } else {
+        out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+        out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+      }
+    val stripBytes = strips.map(_.length)
+    val dataStart = 8L
+    val ifdOff = dataStart + stripBytes.sum
+    out.write(if (bigEndian) 'M' else 'I')
+    out.write(if (bigEndian) 'M' else 'I')
+    u16(42)
+    u32(ifdOff)
+    strips.foreach(out.write)
+
+    // entry helpers: TYPE 3 = SHORT, 4 = LONG, 5 = RATIONAL
+    val nEntries = 12
+    // external areas follow the IFD (entries + count + next pointer)
+    var extOff = ifdOff + 2 + nEntries * 12 + 4
+    val ext = new java.io.ByteArrayOutputStream(64)
+    def extU32(v: Long): Unit = {
+      if (bigEndian) {
+        ext.write(((v >>> 24) & 0xff).toInt); ext.write(((v >>> 16) & 0xff).toInt)
+        ext.write(((v >>> 8) & 0xff).toInt); ext.write((v & 0xff).toInt)
+      } else {
+        ext.write((v & 0xff).toInt); ext.write(((v >>> 8) & 0xff).toInt)
+        ext.write(((v >>> 16) & 0xff).toInt); ext.write(((v >>> 24) & 0xff).toInt)
+      }
+    }
+    u16(nEntries)
+    def entryShort(tag: Int, value: Int): Unit = {
+      u16(tag); u16(3); u32(1)
+      // a SHORT value sits in the FIRST two bytes of the 4-byte slot
+      // (left-justified in the file's byte order)
+      u16(value); u16(0)
+    }
+    def entryLong(tag: Int, value: Long): Unit = {
+      u16(tag); u16(4); u32(1); u32(value)
+    }
+    def entryLongArray(tag: Int, values: Array[Long]): Unit = {
+      u16(tag); u16(4); u32(values.length.toLong)
+      if (values.length == 1) u32(values(0))
+      else {
+        u32(extOff)
+        values.foreach(extU32)
+        extOff += 4L * values.length
+      }
+    }
+    def entryRational(tag: Int, num: Long, den: Long): Unit = {
+      u16(tag); u16(5); u32(1); u32(extOff)
+      extU32(num); extU32(den)
+      extOff += 8
+    }
+    var acc = dataStart
+    val offsets = stripBytes.map { b => val o = acc; acc += b; o }
+    // IFD entries in ascending tag order (the spec requirement)
+    entryLong(256, width.toLong)                  // ImageWidth
+    entryLong(257, h.toLong)                      // ImageLength
+    entryShort(258, 8)                            // BitsPerSample
+    entryShort(259, if (packBits) 32773 else 1)   // Compression
+    entryShort(262, 1)                            // Photometric: BlackIsZero
+    entryLongArray(273, offsets)                  // StripOffsets
+    entryShort(277, 1)                            // SamplesPerPixel
+    entryLong(278, RowsPerStrip.toLong)           // RowsPerStrip
+    entryLongArray(279, stripBytes.map(_.toLong)) // StripByteCounts
+    entryRational(282, 72, 1)                     // XResolution
+    entryRational(283, 72, 1)                     // YResolution
+    entryShort(296, 2)                            // ResolutionUnit: inch
+    u32(0)                                        // no next IFD
+    out.write(ext.toByteArray)
+    out.toByteArray
+  }
+
+  /** PackBits-encode ONE row: replicate runs of >= 3, literals
+    * otherwise (deterministic, so the wire is reproducible).
+    */
+  private def packRow(payload: Array[Byte], off: Int, len: Int,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    var i = 0
+    while (i < len) {
+      // measure the run at i
+      var run = 1
+      while (i + run < len && run < 128 &&
+        payload(off + i + run) == payload(off + i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run) // -(run-1) as unsigned
+        out.write(payload(off + i))
+        i += run
+      } else {
+        // literal until the next >=3 run (or end), max 128
+        var j = i + 1
+        var lit = 1
+        while (j < len && lit < 128) {
+          var r = 1
+          while (j + r < len && r < 3 && payload(off + j + r) == payload(off + j))
+            r += 1
+          if (r >= 3) j = len // stop: a run starts here
+          else { j += 1; lit += 1 }
+        }
+        out.write(lit - 1)
+        out.write(payload, off + i, lit)
+        i += lit
+      }
+    }
+  }
+
+  /** Per-asset decode result; -1 stats when invalid. */
+  final case class Decoded(valid: Boolean, width: Long, height: Long,
+      nPixels: Long, sumV: Long, meanVMilli: Long, sumRowV: Long,
+      nStrips: Long)
+
+  private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1)
+
+  def decodeTiff(bytes: Array[Byte]): Decoded = {
+    val n = bytes.length
+    if (n < 8) return Invalid
+    val big =
+      if (bytes(0) == 'M' && bytes(1) == 'M') true
+      else if (bytes(0) == 'I' && bytes(1) == 'I') false
+      else return Invalid
+    def u16(o: Int): Int =
+      if (o + 2 > n) -1
+      else if (big) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      if (o + 4 > n) -1L
+      else if (big)
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      else
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (u16(2) != 42) return Invalid
+    val ifdOff = u32(4)
+    if (ifdOff < 8 || ifdOff + 2 > n) return Invalid
+    val nEntries = u16(ifdOff.toInt)
+    if (nEntries < 1 || nEntries > 4096) return Invalid // forged-IFD bound
+    val entriesOff = ifdOff.toInt + 2
+    if (entriesOff + nEntries * 12 + 4 > n) return Invalid
+
+    // walk entries: ascending tag order is a spec requirement
+    var width = -1L
+    var height = -1L
+    var bits = -1L
+    var compression = -1L
+    var photometric = -1L
+    var spp = -1L
+    var rps = -1L
+    var resUnit = -1L
+    var xresOk = false
+    var yresOk = false
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    var prevTag = -1
+    var e = 0
+    while (e < nEntries) {
+      val o = entriesOff + e * 12
+      val tag = u16(o)
+      if (tag <= prevTag) return Invalid // unsorted or duplicate tag
+      prevTag = tag
+      val typ = u16(o + 2)
+      val count = u32(o + 4)
+      if (count < 1 || count > (1 << 20)) return Invalid
+      // a scalar SHORT/LONG reads from the inline slot; arrays and
+      // RATIONALs live at an external offset that must stay in bounds
+      def typeSize: Int = typ match {
+        case 3 => 2
+        case 4 => 4
+        case 5 => 8
+        case _ => -1
+      }
+      def scalar: Long =
+        if (count != 1) -1
+        else if (typ == 3) u16(o + 8).toLong
+        else if (typ == 4) u32(o + 8)
+        else -1
+      def longArray: Array[Long] = {
+        if (typeSize < 0) return null
+        val total = count * typeSize
+        val at =
+          if (total <= 4) (o + 8).toLong
+          else {
+            val ext = u32(o + 8)
+            if (ext < 8 || ext + total > n) return null
+            ext
+          }
+        if (at + total > n) return null
+        val out = new Array[Long](count.toInt)
+        var i = 0
+        while (i < count) {
+          out(i) =
+            if (typ == 3) u16((at + 2L * i).toInt).toLong
+            else u32((at + 4L * i).toInt)
+          i += 1
+        }
+        out
+      }
+      def rationalOk: Boolean = {
+        if (typ != 5 || count != 1) return false
+        val ext = u32(o + 8)
+        if (ext < 8 || ext + 8 > n) return false
+        u32(ext.toInt + 4) != 0 // a zero denominator is a forged file
+      }
+      tag match {
+        case 256 =>
+          if (typ != 3 && typ != 4) return Invalid
+          width = scalar
+        case 257 =>
+          if (typ != 3 && typ != 4) return Invalid
+          height = scalar
+        case 258 =>
+          if (typ != 3) return Invalid
+          bits = scalar
+        case 259 =>
+          if (typ != 3) return Invalid
+          compression = scalar
+        case 262 =>
+          if (typ != 3) return Invalid
+          photometric = scalar
+        case 273 =>
+          if (typ != 3 && typ != 4) return Invalid
+          stripOffsets = longArray
+          if (stripOffsets == null) return Invalid
+        case 277 =>
+          if (typ != 3) return Invalid
+          spp = scalar
+        case 278 =>
+          if (typ != 3 && typ != 4) return Invalid
+          rps = scalar
+        case 279 =>
+          if (typ != 3 && typ != 4) return Invalid
+          stripCounts = longArray
+          if (stripCounts == null) return Invalid
+        case 282 =>
+          if (!rationalOk) return Invalid
+          xresOk = true
+        case 283 =>
+          if (!rationalOk) return Invalid
+          yresOk = true
+        case 296 =>
+          if (typ != 3) return Invalid
+          resUnit = scalar
+        case _ => () // unknown tags are spec-legal, skipped
+      }
+      e += 1
+    }
+    if (u32(entriesOff + nEntries * 12) != 0) return Invalid // single page
+    // required-tag audit (baseline grayscale)
+    if (width < 1 || height < 1 || bits != 8 || spp != 1) return Invalid
+    if (compression != 1 && compression != 32773) return Invalid
+    if (photometric != 0 && photometric != 1) return Invalid
+    if (rps < 1 || !xresOk || !yresOk) return Invalid
+    if (resUnit != 1 && resUnit != 2 && resUnit != 3) return Invalid
+    if (stripOffsets == null || stripCounts == null) return Invalid
+    if (width * height > MaxPixels) return Invalid
+    val nStrips = ((height + rps - 1) / rps).toInt
+    if (stripOffsets.length != nStrips ||
+      stripCounts.length != nStrips) return Invalid
+
+    // ---- strip decode straight into running sums ----
+    var sumV = 0L
+    var sumRowV = 0L
+    var row = 0L
+    val w = width.toInt
+    var s = 0
+    while (s < nStrips) {
+      val rows = math.min(rps, height - s * rps)
+      val expect = rows * width
+      val off = stripOffsets(s)
+      val len = stripCounts(s)
+      if (off < 8 || len < 0 || off + len > n) return Invalid
+      if (compression == 1) {
+        if (len != expect) return Invalid
+        var i = 0L
+        while (i < len) {
+          val v = bytes((off + i).toInt) & 0xff
+          sumV += v
+          sumRowV += (row + i / w) * v
+          i += 1
+        }
+      } else {
+        // PackBits: literal header 0..127 = n+1 bytes follow; replicate
+        // header 129..255 = next byte repeats 257-h times; 128 is a noop
+        var p = off
+        val end = off + len
+        var emitted = 0L
+        while (p < end) {
+          val hByte = bytes(p.toInt) & 0xff
+          p += 1
+          if (hByte == 128) () // noop per the spec
+          else if (hByte < 128) {
+            val cnt = hByte + 1
+            if (p + cnt > end || emitted + cnt > expect) return Invalid
+            var i = 0
+            while (i < cnt) {
+              val v = bytes((p + i).toInt) & 0xff
+              sumV += v
+              sumRowV += (row + emitted / w) * v
+              emitted += 1
+              i += 1
+            }
+            p += cnt
+          } else {
+            val cnt = 257 - hByte
+            if (p >= end || emitted + cnt > expect) return Invalid
+            val v = bytes(p.toInt) & 0xff
+            p += 1
+            var i = 0
+            while (i < cnt) {
+              sumRowV += (row + emitted / w) * v
+              emitted += 1
+              i += 1
+            }
+            sumV += cnt.toLong * v
+          }
+        }
+        if (emitted != expect) return Invalid // strip under/overfill
+      }
+      row += rows
+      s += 1
+    }
+
+    val nPix = width * height
+    Decoded(valid = true, width, height, nPix, sumV, sumV * 1000 / nPix,
+      sumRowV, nStrips.toLong)
+  }
+}
+
+/** `graft_tiff_encode(bytes, width, bigEndian, packBits)`: payload →
+  * classic TIFF stream (null when no full row fits).
+  */
+case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
+    packBits: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 1, "width must be positive")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tiff_encode expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TiffCodec.encodeTiff(input.asInstanceOf[Array[Byte]], width, bigEndian,
+      packBits)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_tiff_decode(bytes)`: strict IFD walk + strip decode →
+  * per-asset stats struct. Invalid, truncated, or forged streams report
+  * `is_valid = false`.
+  */
+case class TiffDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_valid", BooleanType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("n_pixels", LongType, nullable = true),
+    StructField("sum_v", LongType, nullable = true),
+    StructField("mean_v_milli", LongType, nullable = true),
+    StructField("sum_rowv", LongType, nullable = true),
+    StructField("n_strips", LongType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tiff_decode expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = TiffCodec.decodeTiff(input.asInstanceOf[Array[Byte]])
+    if (d.valid)
+      InternalRow(true, d.width, d.height, d.nPixels, d.sumV, d.meanVMilli,
+        d.sumRowV, d.nStrips)
+    else InternalRow(false, null, null, null, null, null, null, null)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TiffNativeFunctions {
+
+  /** Register `graft_tiff_encode` / `graft_tiff_decode` (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tiff_encode",
+      exprs => TiffEncode(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Boolean],
+        exprs(3).eval().asInstanceOf[Boolean]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tiff_decode", exprs => TiffDecode(exprs.head), "built-in")
+  }
+
+  def tiffEncode(spark: SparkSession, bytes: Column, width: Int,
+      bigEndian: Boolean, packBits: Boolean): Column = {
+    register(spark)
+    call_function("graft_tiff_encode", bytes,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(bigEndian),
+      org.apache.spark.sql.functions.lit(packBits))
+  }
+
+  def tiffDecode(spark: SparkSession, bytes: Column): Column = {
+    register(spark)
+    call_function("graft_tiff_decode", bytes)
+  }
+}

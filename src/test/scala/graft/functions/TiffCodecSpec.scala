@@ -1,0 +1,163 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** TIFF codec conformance (E252, the public TIFF 6.0 specification).
+  * The q297/q298 oracle pins the arithmetic (lossless identity, so sums
+  * read off raw payload bytes in DuckDB); this spec pins what the
+  * oracle cannot see — both byte orders on the wire, the IFD grammar
+  * (ascending tags, required baseline set, external value areas), the
+  * per-row PackBits restart, and every reject path.
+  */
+class TiffCodecSpec extends SparkSpec {
+
+  private def fixture(n: Int, seed: Int): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)((rng.nextInt(256) - 128).toByte)
+  }
+
+  private def expected(payload: Array[Byte], width: Int):
+      (Long, Long) = {
+    val usable = (payload.length / width) * width
+    var sv = 0L; var srv = 0L
+    for (i <- 0 until usable) {
+      val v = payload(i) & 0xff
+      sv += v
+      srv += (i / width).toLong * v
+    }
+    (sv, srv)
+  }
+
+  test("all four wires (II/MM x none/PackBits) are one lossless identity") {
+    val payload = fixture(40 * 37 + 21, 1) // 37 rows: 10 strips, last 1 row
+    val (sv, srv) = expected(payload, 40)
+    for (big <- Seq(false, true); pb <- Seq(false, true)) {
+      val tiff = TiffCodec.encodeTiff(payload, 40, big, pb)
+      assert(tiff !== null)
+      // the wire really differs: magic bytes and compression tag
+      assert((tiff(0).toChar, tiff(1).toChar) ===
+        (if (big) ('M', 'M') else ('I', 'I')))
+      val d = TiffCodec.decodeTiff(tiff)
+      assert(d.valid, s"big=$big packBits=$pb")
+      assert((d.width, d.height, d.nStrips) === ((40L, 37L, 10L)))
+      assert(d.nPixels === 1480L)
+      assert((d.sumV, d.sumRowV) === ((sv, srv)),
+        s"big=$big packBits=$pb: strip assembly must be the identity")
+    }
+    // no full row: encode drops
+    assert(TiffCodec.encodeTiff(fixture(39, 2), 40, false, false) === null)
+  }
+
+  test("run-heavy rows exercise PackBits replicate/literal boundaries") {
+    // constant rows (max replicate runs), alternating bytes (all
+    // literals), and 128+ byte runs crossing the 128 replicate cap
+    val flat = Array.fill(40 * 8)(9.toByte)
+    val d1 = TiffCodec.decodeTiff(TiffCodec.encodeTiff(flat, 40, false, true))
+    assert(d1.valid && d1.sumV === 40L * 8 * 9)
+    val ab = Array.tabulate(40 * 8)(i => (if (i % 2 == 0) 3 else 250).toByte)
+    val (sv, srv) = expected(ab, 40)
+    val d2 = TiffCodec.decodeTiff(TiffCodec.encodeTiff(ab, 40, true, true))
+    assert(d2.valid && d2.sumV === sv && d2.sumRowV === srv)
+    // a 200-wide row forces a replicate run longer than the 128 cap
+    val wide = Array.fill(200 * 4)(77.toByte)
+    val d3 = TiffCodec.decodeTiff(TiffCodec.encodeTiff(wide, 200, false, true))
+    assert(d3.valid && d3.sumV === 200L * 4 * 77)
+  }
+
+  test("PackBits is restarted at every row (the spec rule)") {
+    // rows end mid-run: byte 39 == byte 40 == byte 41 — a cross-row
+    // encoder would fuse them into one replicate run; the wire must not
+    val payload = Array.fill(40 * 4)(5.toByte)
+    val tiff = TiffCodec.encodeTiff(payload, 40, false, true)
+    // strip 0 holds all 4 rows: each row is exactly one 2-byte
+    // replicate (header 257-40=217, value), so the strip is 8 bytes
+    val d = TiffCodec.decodeTiff(tiff)
+    assert(d.valid && d.nStrips === 1L)
+    // locate the strip: it starts right after the 8-byte header
+    assert((tiff(8) & 0xff) === 217 && (tiff(9) & 0xff) === 5)
+    assert((tiff(10) & 0xff) === 217 && (tiff(11) & 0xff) === 5)
+    assert((tiff(12) & 0xff) === 217 && (tiff(13) & 0xff) === 5)
+    assert((tiff(14) & 0xff) === 217 && (tiff(15) & 0xff) === 5)
+  }
+
+  test("reject paths: header, IFD grammar, strip lies, forged geometry") {
+    val payload = fixture(40 * 9, 3)
+    val tiff = TiffCodec.encodeTiff(payload, 40, false, false)
+    assert(TiffCodec.decodeTiff(tiff).valid)
+    // magic / version / truncation
+    val badMagic = tiff.clone(); badMagic(0) = 'X'
+    assert(!TiffCodec.decodeTiff(badMagic).valid)
+    val badVer = tiff.clone(); badVer(2) = 43
+    assert(!TiffCodec.decodeTiff(badVer).valid)
+    assert(!TiffCodec.decodeTiff(tiff.take(7)).valid)
+    assert(!TiffCodec.decodeTiff(tiff.dropRight(1)).valid) // truncated ext
+    // the IFD sits after the 8-byte header + 360 strip bytes
+    val ifdAt = 8 + 40 * 9
+    assert(((tiff(ifdAt) & 0xff) | ((tiff(ifdAt + 1) & 0xff) << 8)) === 12)
+    // swap the first two entries: tags no longer ascend
+    val swapped = tiff.clone()
+    for (i <- 0 until 12) {
+      swapped(ifdAt + 2 + i) = tiff(ifdAt + 2 + 12 + i)
+      swapped(ifdAt + 2 + 12 + i) = tiff(ifdAt + 2 + i)
+    }
+    assert(!TiffCodec.decodeTiff(swapped).valid, "unsorted IFD must reject")
+    // retag ImageWidth (256) to an unknown tag: a required tag goes
+    // missing (entry 0 tag low byte 0x00 0x01 little-endian)
+    val noWidth = tiff.clone(); noWidth(ifdAt + 2) = 0x99.toByte
+    assert(!TiffCodec.decodeTiff(noWidth).valid)
+    // BitsPerSample != 8 (entry 2 value slot)
+    val bad16 = tiff.clone(); bad16(ifdAt + 2 + 2 * 12 + 8) = 16
+    assert(!TiffCodec.decodeTiff(bad16).valid)
+    // lying ImageLength: more rows than the strips hold (entry 1)
+    val tall = tiff.clone(); tall(ifdAt + 2 + 12 + 8) = 10
+    assert(!TiffCodec.decodeTiff(tall).valid)
+    // forged geometry: 65535 x 65535 overflows the pixel cap before
+    // any strip work (ImageWidth entry 0, ImageLength entry 1)
+    val huge = tiff.clone()
+    for (k <- Seq(ifdAt + 2 + 8, ifdAt + 2 + 12 + 8)) {
+      huge(k) = 0xff.toByte; huge(k + 1) = 0xff.toByte
+      huge(k + 2) = 0; huge(k + 3) = 0
+    }
+    assert(!TiffCodec.decodeTiff(huge).valid)
+    // a second IFD (multi-page) is outside the fixture contract
+    val nextAt = ifdAt + 2 + 12 * 12
+    val paged = tiff.clone(); paged(nextAt) = 1
+    assert(!TiffCodec.decodeTiff(paged).valid)
+  }
+
+  test("PackBits strip under/overfill and truncated runs are visible") {
+    val payload = fixture(40 * 4, 5)
+    val tiff = TiffCodec.encodeTiff(payload, 40, false, true)
+    assert(TiffCodec.decodeTiff(tiff).valid)
+    // the single strip starts at 8; its StripByteCounts entry (tag 279,
+    // entry index 8) declares its length — shrink the declared count so
+    // the stream ends mid-row (underfill)
+    val ifdAt = tiff.length - (2 + 12 * 12 + 4 + 2 * 8)
+    val cntSlot = ifdAt + 2 + 8 * 12 + 8
+    val short = tiff.clone()
+    val declared = (short(cntSlot) & 0xff) | ((short(cntSlot + 1) & 0xff) << 8)
+    short(cntSlot) = ((declared - 1) & 0xff).toByte
+    short(cntSlot + 1) = (((declared - 1) >> 8) & 0xff).toByte
+    assert(!TiffCodec.decodeTiff(short).valid, "underfilled strip rejects")
+  }
+
+  test("engine surface: Multimodal.encodeTiff / tiffStats on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val out = graft.ext.Multimodal.tiffStats(
+      graft.ext.Multimodal.encodeTiff(
+        graft.ext.Multimodal.documentsAsAssets(docs),
+        width = 40, bigEndian = true, packBits = true))
+      .collect()
+    assert(out.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_valid"))
+      val payload = texts(r.getAs[Long]("asset_id")).getBytes("UTF-8")
+      val (sv, srv) = expected(payload, 40)
+      assert((r.getAs[Long]("sum_v"), r.getAs[Long]("sum_rowv")) ===
+        ((sv, srv)))
+    }
+  }
+}
