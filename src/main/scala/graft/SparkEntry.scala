@@ -2693,6 +2693,22 @@ object SparkEntry {
           col("width"), col("height"), col("n_pixels"), col("sum_idx"),
           col("sum_rowv"), col("sum_delay"))
     },
+    // FLAC decode (E253): lossless compressed audio, the FOURTH entropy
+    // family in-engine (Rice coding). The decoder Rice-decodes every
+    // residual, reconstructs the fixed predictors, verifies per-frame
+    // CRC-8/CRC-16 AND the STREAMINFO MD5 of the reconstructed PCM —
+    // the stream's own lossless-identity proof — while the oracle reads
+    // the sample sums straight off the payload's LE 16-bit pairs.
+    "q299_flac_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.flacStats(
+        graft.ext.Multimodal.encodeFlac(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)))
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
+    },
     // TIFF decode (E252): the scanner-archive format — classic TIFF 6.0
     // IFD walk (ascending-tag audit, full baseline-grayscale required
     // set, external value areas), uncompressed strips, little-endian.
@@ -3605,6 +3621,34 @@ object SparkEntry {
          |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
          |       CAST((hgt + 3) // 4 AS BIGINT) AS n_strips
          |FROM bv GROUP BY asset_id, hgt""".stripMargin
+
+  /** FLAC replay (q299): the PCM is the payload's little-endian 16-bit
+    * pairs (whole samples only), so sample i is the pair at bytes
+    * (2i, 2i+1) with the house u >= 32768 ? u - 65536 signed rule;
+    * frames are ⌈ns/576⌉ and sum_is weights samples by global index.
+    */
+  private def flacOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 2 AS ns
+         |      FROM src WHERE octet_length(p) // 2 >= 1
+         |        AND octet_length(p) <= 33554432),
+         |sm AS (SELECT asset_id, ns, i,
+         |         CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+         |         + 256 * CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2))
+         |                       AS BIGINT) AS u
+         |       FROM (SELECT asset_id, ns, h, unnest(range(0, ns)) AS i
+         |             FROM g)),
+         |sg AS (SELECT asset_id, ns, i,
+         |         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |       FROM sm)
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST((ns + 575) // 576 AS BIGINT) AS n_frames,
+         |       CAST(ns AS BIGINT) AS n_samples,
+         |       CAST(SUM(s) AS BIGINT) AS sum_s,
+         |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+         |       CAST(SUM(i * s) AS BIGINT) AS sum_is
+         |FROM sg GROUP BY asset_id, ns""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -4881,6 +4925,7 @@ object SparkEntry {
     "q287_gif_scale" -> gifOracleSqlFor(""),
     // q297/q298 share one oracle verbatim: byte order + compression
     // change the wire, never the pixels
+    "q299_flac_stats" -> flacOracleSql,
     "q297_tiff_stats" -> tiffOracleSql,
     "q298_tiff_packbits" -> tiffOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,

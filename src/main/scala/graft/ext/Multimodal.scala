@@ -997,6 +997,40 @@ object Multimodal {
         col("q.sum_rowv").as("sum_rowv"))
   }
 
+  /** Encode each asset's payload (as little-endian 16-bit mono PCM) into
+    * a FLAC stream (E253): CONSTANT/FIXED/VERBATIM subframes chosen by
+    * exact bit cost, Rice-coded residuals, per-frame CRC-8/CRC-16, and
+    * the STREAMINFO MD5 of the unencoded audio. Assets shorter than one
+    * sample are dropped.
+    */
+  def encodeFlac(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 2 &&
+        octet_length(col("bytes")) <= 33554432L)
+      .withColumn("bytes",
+        graft.functions.FlacNativeFunctions.flacEncode(spark, col("bytes")))
+  }
+
+  /** Decode FLAC assets natively (E253): full frame-header verification
+    * (sync, codes, UTF-8 frame numbers, CRC-8), Rice residual decode,
+    * fixed-predictor reconstruction, CRC-16 per frame, and the
+    * STREAMINFO MD5 identity over the reconstructed PCM — the stream's
+    * own proof that the decode is lossless. sum_is (index-weighted
+    * sample sum) is the order-sensitive stat.
+    */
+  def flacStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.FlacNativeFunctions.flacDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_frames").as("n_frames"),
+        col("q.n_samples").as("n_samples"), col("q.sum_s").as("sum_s"),
+        col("q.sum_abs").as("sum_abs"), col("q.sum_is").as("sum_is"))
+  }
+
   /** Encode each asset's payload as an 8-bit grayscale classic TIFF
     * (E252) of the given column width (height = ⌊len/width⌋ whole rows;
     * assets shorter than one row are dropped) — either byte order,
