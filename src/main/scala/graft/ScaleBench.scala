@@ -87,7 +87,13 @@ object ScaleBench {
         "per asset (O(64) block state), no pair stage"),
     ("q293_warc_scale", 1.35, 1.35,
       "archive byte mass: one record-grammar walk per archive, O(record) " +
-        "state, no pair stage"))
+        "state, no pair stage"),
+    ("q300_tiff_scale", 1.35, 1.35,
+      "byte mass: one IFD walk + strip decode per asset, O(row) state, " +
+        "no pair stage"),
+    ("q301_flac_scale", 1.35, 1.35,
+      "sample mass: one Rice-decode + fixed-predictor + MD5 pass per " +
+        "asset, O(blockSize) state, no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)

@@ -2742,6 +2742,31 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"),
           col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
     },
+    // Whole-corpus TIFF decode scale twin (E252's measurement): q297
+    // with no doc cap — one IFD walk + strip pass per asset, byte-linear.
+    "q300_tiff_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          width = 40)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
+    },
+    // Whole-corpus FLAC decode scale twin (E253's measurement): q299
+    // with no doc cap — one Rice-decode + MD5 pass per asset,
+    // byte-linear with O(blockSize) state.
+    "q301_flac_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.flacStats(
+        graft.ext.Multimodal.encodeFlac(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)))
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -3602,9 +3627,11 @@ object SparkEntry {
     * big-endian — ONE oracle, the wire never changes the pixels): whole
     * 40-byte rows, strips of 4 rows, sum_rowv = Σ (i DIV 40)·v.
     */
-  private def tiffOracleSql: String =
+  private def tiffOracleSql: String = tiffOracleSqlFor("WHERE doc_id < 140")
+
+  private def tiffOracleSqlFor(where: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-         |             FROM documents WHERE doc_id < 140),
+         |             FROM documents $where),
     |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
          |      FROM src WHERE octet_length(p) // 40 >= 1
          |        AND octet_length(p) <= 16777216),
@@ -3627,9 +3654,11 @@ object SparkEntry {
     * (2i, 2i+1) with the house u >= 32768 ? u - 65536 signed rule;
     * frames are ⌈ns/576⌉ and sum_is weights samples by global index.
     */
-  private def flacOracleSql: String =
+  private def flacOracleSql: String = flacOracleSqlFor("WHERE doc_id < 140")
+
+  private def flacOracleSqlFor(where: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-         |             FROM documents WHERE doc_id < 140),
+         |             FROM documents $where),
          |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 2 AS ns
          |      FROM src WHERE octet_length(p) // 2 >= 1
          |        AND octet_length(p) <= 33554432),
@@ -4926,6 +4955,8 @@ object SparkEntry {
     // q297/q298 share one oracle verbatim: byte order + compression
     // change the wire, never the pixels
     "q299_flac_stats" -> flacOracleSql,
+    "q300_tiff_scale" -> tiffOracleSqlFor(""),
+    "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,
     "q298_tiff_packbits" -> tiffOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,
