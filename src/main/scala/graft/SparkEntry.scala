@@ -2709,6 +2709,23 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_frames"),
           col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
     },
+    // FLAC with LPC subframes (E256): the encoder fits order-8 LPC by
+    // autocorrelation + Levinson-Durbin (error-feedback quantization)
+    // and lets it compete on exact bit cost; the decoder reconstructs
+    // through the quantized-coefficient predictor with the 64-bit
+    // accumulator. Lossless, so q302 hash-matches q299's oracle
+    // VERBATIM — the subframe family changes the wire, never the PCM.
+    "q302_flac_lpc" -> { (s, dir) =>
+      graft.ext.Multimodal.flacStats(
+        graft.ext.Multimodal.encodeFlac(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          lpcOrder = 8)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
+    },
     // TIFF decode (E252): the scanner-archive format — classic TIFF 6.0
     // IFD walk (ascending-tag audit, full baseline-grayscale required
     // set, external value areas), uncompressed strips, little-endian.
@@ -4955,6 +4972,9 @@ object SparkEntry {
     // q297/q298 share one oracle verbatim: byte order + compression
     // change the wire, never the pixels
     "q299_flac_stats" -> flacOracleSql,
+    // q302 shares q299's oracle verbatim: the LPC-vs-fixed subframe
+    // choice changes the wire, never the PCM
+    "q302_flac_lpc" -> flacOracleSql,
     "q300_tiff_scale" -> tiffOracleSqlFor(""),
     "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,

@@ -998,18 +998,20 @@ object Multimodal {
   }
 
   /** Encode each asset's payload (as little-endian 16-bit mono PCM) into
-    * a FLAC stream (E253): CONSTANT/FIXED/VERBATIM subframes chosen by
+    * a FLAC stream (E253): CONSTANT/FIXED/VERBATIM — and, when
+    * `lpcOrder` > 0, Levinson-Durbin-fitted LPC — subframes chosen by
     * exact bit cost, Rice-coded residuals, per-frame CRC-8/CRC-16, and
     * the STREAMINFO MD5 of the unencoded audio. Assets shorter than one
     * sample are dropped.
     */
-  def encodeFlac(assets: DataFrame): DataFrame = {
+  def encodeFlac(assets: DataFrame, lpcOrder: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= 2 &&
         octet_length(col("bytes")) <= 33554432L)
       .withColumn("bytes",
-        graft.functions.FlacNativeFunctions.flacEncode(spark, col("bytes")))
+        graft.functions.FlacNativeFunctions.flacEncode(spark, col("bytes"),
+          lpcOrder))
   }
 
   /** Decode FLAC assets natively (E253): full frame-header verification

@@ -32,13 +32,16 @@ import org.apache.spark.sql.types._
   * signature — a lying codec path cannot produce a valid archive.
   *
   * SUPPORTED on decode: 16-bit samples, 1..8 independent channels,
-  * CONSTANT / VERBATIM / FIXED 0..4 subframes, all Rice partition
-  * orders, both Rice methods, escape codes, wasted bits, all block-size
-  * and sample-rate codes. NOT decoded (visible `is_valid = false`, the
-  * honest fence): LPC subframes and the stereo-decorrelation channel
-  * assignments (left/side, right/side, mid/side) — the SURVEY fence
-  * list names them; everything the engine's own encoder emits plus the
-  * common fixed-predictor shapes decode natively.
+  * CONSTANT / VERBATIM / FIXED 0..4 / LPC 1..32 subframes (quantized
+  * coefficients, 64-bit prediction accumulator, negative-shift and
+  * reserved-precision rejects), all Rice partition orders, both Rice
+  * methods, escape codes, wasted bits, all block-size and sample-rate
+  * codes. The encoder fits LPC by autocorrelation + Levinson-Durbin
+  * with error-feedback quantization and lets it COMPETE on exact bit
+  * cost with the constant/fixed/verbatim choices. NOT decoded (visible
+  * `is_valid = false`, the honest fence): the stereo-decorrelation
+  * channel assignments (left/side, right/side, mid/side) — the SURVEY
+  * fence list names them.
   *
   * ORACLE: the fixture's PCM is the payload's little-endian 16-bit
   * pairs (mono), so sample sums — including the order-sensitive
@@ -175,10 +178,96 @@ object FlacCodec {
     c
   }
 
-  /** Encode payload bytes (little-endian 16-bit mono PCM, whole samples
-    * only) as a FLAC stream; null when no full sample fits.
+  /** Quantized LPC model for one block: coefficients in `prec`-bit
+    * signed ints, prediction = (Σ coef·history) >> shift.
     */
-  def encodeFlac(payload: Array[Byte]): Array[Byte] = {
+  private final case class QlpModel(coefs: Array[Int], prec: Int, shift: Int)
+
+  /** Fit an LPC model of the given order by autocorrelation +
+    * Levinson-Durbin, then quantize to 15-bit coefficients. Returns
+    * null when the block is degenerate (no energy / unstable).
+    */
+  private def fitLpc(x: Array[Int], from: Int, to: Int,
+      order: Int): QlpModel = {
+    val n = to - from
+    if (n <= order) return null
+    val r = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var s = 0.0
+      var i = from + lag
+      while (i < to) { s += x(i).toDouble * x(i - lag); i += 1 }
+      r(lag) = s
+      lag += 1
+    }
+    if (r(0) <= 0.0) return null // silence: CONSTANT handles it
+    // Levinson-Durbin recursion
+    val a = new Array[Double](order + 1)
+    var err = r(0)
+    var m = 1
+    while (m <= order) {
+      var acc = r(m)
+      var j = 1
+      while (j < m) { acc -= a(j) * r(m - j); j += 1 }
+      val k = acc / err
+      val prev = java.util.Arrays.copyOf(a, order + 1)
+      a(m) = k
+      j = 1
+      while (j < m) { a(j) = prev(j) - k * prev(m - j); j += 1 }
+      err *= (1 - k * k)
+      if (err <= 0.0) return null // numerically unstable fit
+      m += 1
+    }
+    // quantize to prec-bit signed ints with error feedback
+    val prec = 15
+    var cmax = 0.0
+    m = 1
+    while (m <= order) { cmax = math.max(cmax, math.abs(a(m))); m += 1 }
+    if (cmax <= 0.0) return null
+    var shift = prec - 1 - (math.getExponent(cmax) + 1)
+    // the wire field is 5 bits SIGNED with negative reserved, so the
+    // usable range is 0..15 — clamping only costs coefficient precision
+    if (shift > 15) shift = 15
+    if (shift < 0) return null // coefficients too large to quantize
+    val q = new Array[Int](order)
+    var e = 0.0
+    val lim = (1 << (prec - 1)) - 1
+    m = 0
+    while (m < order) {
+      e += a(m + 1) * (1L << shift)
+      var v = math.rint(e).toInt
+      if (v > lim) v = lim
+      if (v < -(lim + 1)) v = -(lim + 1)
+      e -= v
+      q(m) = v
+      m += 1
+    }
+    QlpModel(q, prec, shift)
+  }
+
+  /** LPC residuals of the model over `x[from,to)` (warmup excluded). */
+  private def lpcResiduals(x: Array[Int], from: Int, to: Int,
+      mdl: QlpModel): Array[Int] = {
+    val order = mdl.coefs.length
+    val out = new Array[Int](to - from - order)
+    var i = from + order
+    while (i < to) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += mdl.coefs(j).toLong * x(i - 1 - j); j += 1 }
+      out(i - from - order) = x(i) - (acc >> mdl.shift).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Encode payload bytes (little-endian 16-bit mono PCM, whole samples
+    * only) as a FLAC stream; null when no full sample fits. When
+    * `lpcOrder` > 0, an LPC subframe of that order competes (by exact
+    * bit cost) with the constant/fixed/verbatim choices.
+    */
+  def encodeFlac(payload: Array[Byte], lpcOrder: Int = 0): Array[Byte] = {
+    require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
     val n = payload.length / 2
     if (n < 1) return null
     if (n > (1 << 24)) return null // fixture bound, mirrors the pixel cap
@@ -235,6 +324,30 @@ object FlacCodec {
         w2.put(0, 1); w2.put(0, 6); w2.put(0, 1) // CONSTANT, no wasted bits
         w2.put(x(start).toLong & 0xffff, 16)
       } else {
+        def bestParamOf(res: Array[Int]): (Int, Long) = {
+          var bp = 0
+          var bc = Long.MaxValue
+          var p = 0
+          while (p <= 14) {
+            val c = riceCost(res, p)
+            if (c < bc) { bc = c; bp = p }
+            p += 1
+          }
+          (bp, bc)
+        }
+        def emitRice(res: Array[Int], param: Int): Unit = {
+          w2.put(0, 2) // coding method 0: 4-bit Rice parameters
+          w2.put(0, 4) // partition order 0
+          w2.put(param.toLong, 4)
+          var j = 0
+          while (j < res.length) {
+            val u = zigzag(res(j))
+            w2.putUnary((u >>> param).toInt)
+            var b = param - 1
+            while (b >= 0) { w2.putBit(((u >>> b) & 1).toInt); b -= 1 }
+            j += 1
+          }
+        }
         // best fixed order + Rice parameter by exact bit cost
         var bestOrder = -1
         var bestParam = 0
@@ -242,15 +355,42 @@ object FlacCodec {
         var o = 0
         while (o <= 4 && o < bs) {
           val res = fixedResiduals(x, start, start + bs, o)
-          var p = 0
-          while (p <= 14) {
-            val c = 16L * o + 2 + 4 + 4 + riceCost(res, p)
-            if (c < bestCost) { bestCost = c; bestOrder = o; bestParam = p }
-            p += 1
-          }
+          val (p, rc) = bestParamOf(res)
+          val c = 16L * o + 10 + rc
+          if (c < bestCost) { bestCost = c; bestOrder = o; bestParam = p }
           o += 1
         }
-        if (bestOrder < 0) {
+        // the LPC candidate competes on the same exact-bit scale
+        var lpcModel: QlpModel = null
+        var lpcParam = 0
+        if (lpcOrder > 0 && lpcOrder < bs) {
+          val mdl = fitLpc(x, start, start + bs, lpcOrder)
+          if (mdl != null) {
+            val res = lpcResiduals(x, start, start + bs, mdl)
+            val (p, rc) = bestParamOf(res)
+            val c = 16L * lpcOrder + 4 + 5 + mdl.prec.toLong * lpcOrder +
+              10 + rc
+            if (c < bestCost) { bestCost = c; lpcModel = mdl; lpcParam = p }
+          }
+        }
+        if (lpcModel != null) {
+          val order = lpcModel.coefs.length
+          w2.put(0, 1); w2.put(32 | (order - 1), 6); w2.put(0, 1) // LPC
+          i = start
+          while (i < start + order) { // warmup
+            w2.put(x(i).toLong & 0xffff, 16)
+            i += 1
+          }
+          w2.put((lpcModel.prec - 1).toLong, 4)
+          w2.put(lpcModel.shift.toLong, 5) // non-negative by construction
+          var j = 0
+          while (j < order) {
+            w2.put(lpcModel.coefs(j).toLong & ((1L << lpcModel.prec) - 1),
+              lpcModel.prec)
+            j += 1
+          }
+          emitRice(lpcResiduals(x, start, start + bs, lpcModel), lpcParam)
+        } else if (bestOrder < 0) {
           w2.put(0, 1); w2.put(1, 6); w2.put(0, 1) // VERBATIM
           i = start
           while (i < start + bs) {
@@ -264,18 +404,7 @@ object FlacCodec {
             w2.put(x(i).toLong & 0xffff, 16)
             i += 1
           }
-          val res = fixedResiduals(x, start, start + bs, bestOrder)
-          w2.put(0, 2) // coding method 0: 4-bit Rice parameters
-          w2.put(0, 4) // partition order 0
-          w2.put(bestParam.toLong, 4)
-          var j = 0
-          while (j < res.length) {
-            val u = zigzag(res(j))
-            w2.putUnary((u >>> bestParam).toInt)
-            var b = bestParam - 1
-            while (b >= 0) { w2.putBit(((u >>> b) & 1).toInt); b -= 1 }
-            j += 1
-          }
+          emitRice(fixedResiduals(x, start, start + bs, bestOrder), bestParam)
         }
       }
       w2.align()
@@ -494,13 +623,33 @@ object FlacCodec {
             i += 1
           }
           if (r.fail) return Invalid
-        } else if (typ >= 8 && typ <= 12) { // FIXED, order = typ - 8
-          val order = typ - 8
+        } else if ((typ >= 8 && typ <= 12) || typ >= 32) {
+          // FIXED (order = typ - 8) or LPC (order = typ - 32 + 1)
+          val isLpc = typ >= 32
+          val order = if (isLpc) typ - 31 else typ - 8
           if (order >= bs) return Invalid
           var i = 0
           while (i < order) {
             x(i) = signed(r.read(ebps), ebps)
             i += 1
+          }
+          // LPC model: precision, shift, quantized coefficients
+          var qlpCoefs: Array[Int] = null
+          var qlpShift = 0
+          if (isLpc) {
+            val precM1 = r.read(4).toInt
+            if (r.fail || precM1 == 15) return Invalid // 0b1111 reserved
+            val prec = precM1 + 1
+            val shiftRaw = signed(r.read(5), 5)
+            if (r.fail || shiftRaw < 0) return Invalid // negative: reserved
+            qlpShift = shiftRaw
+            qlpCoefs = new Array[Int](order)
+            var j = 0
+            while (j < order) {
+              qlpCoefs(j) = signed(r.read(prec), prec)
+              j += 1
+            }
+            if (r.fail) return Invalid
           }
           // residual: coding method, partition order, Rice partitions
           val method = r.read(2).toInt
@@ -545,20 +694,33 @@ object FlacCodec {
             part += 1
           }
           if (r.fail) return Invalid
-          // reconstruct through the fixed predictor
+          // reconstruct through the predictor
           i = order
-          while (i < bs) {
-            x(i) = order match {
-              case 0 => x(i)
-              case 1 => x(i) + x(i - 1)
-              case 2 => x(i) + 2 * x(i - 1) - x(i - 2)
-              case 3 => x(i) + 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3)
-              case _ =>
-                x(i) + 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
+          if (isLpc) {
+            while (i < bs) {
+              var acc = 0L // 64-bit accumulator per the spec's headroom note
+              var j = 0
+              while (j < order) {
+                acc += qlpCoefs(j).toLong * x(i - 1 - j)
+                j += 1
+              }
+              x(i) = x(i) + (acc >> qlpShift).toInt
+              i += 1
             }
-            i += 1
+          } else {
+            while (i < bs) {
+              x(i) = order match {
+                case 0 => x(i)
+                case 1 => x(i) + x(i - 1)
+                case 2 => x(i) + 2 * x(i - 1) - x(i - 2)
+                case 3 => x(i) + 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3)
+                case _ =>
+                  x(i) + 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
+              }
+              i += 1
+            }
           }
-        } else return Invalid // LPC (1xxxxx) fenced; reserved types reject
+        } else return Invalid // reserved subframe types reject
         if (wasted > 0) {
           var i = 0
           while (i < bs) { x(i) = x(i) << wasted; i += 1 }
@@ -604,11 +766,13 @@ object FlacCodec {
   }
 }
 
-/** `graft_flac_encode(bytes)`: payload (LE 16-bit mono PCM) → FLAC
-  * stream (null when no full sample fits).
+/** `graft_flac_encode(bytes[, lpcOrder])`: payload (LE 16-bit mono PCM)
+  * → FLAC stream (null when no full sample fits). lpcOrder > 0 lets an
+  * LPC subframe of that order compete by exact bit cost.
   */
-case class FlacEncode(child: Expression)
+case class FlacEncode(child: Expression, lpcOrder: Int = 0)
     extends UnaryExpression with CodegenFallback {
+  require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -619,7 +783,7 @@ case class FlacEncode(child: Expression)
       s"graft_flac_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]])
+    FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]], lpcOrder)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -661,14 +825,19 @@ object FlacNativeFunctions {
   /** Register `graft_flac_encode` / `graft_flac_decode` (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_flac_encode", exprs => FlacEncode(exprs.head), "built-in")
+      "graft_flac_encode",
+      exprs => FlacEncode(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 0),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_flac_decode", exprs => FlacDecode(exprs.head), "built-in")
   }
 
-  def flacEncode(spark: SparkSession, bytes: Column): Column = {
+  def flacEncode(spark: SparkSession, bytes: Column,
+      lpcOrder: Int = 0): Column = {
     register(spark)
-    call_function("graft_flac_encode", bytes)
+    call_function("graft_flac_encode", bytes,
+      org.apache.spark.sql.functions.lit(lpcOrder))
   }
 
   def flacDecode(spark: SparkSession, bytes: Column): Column = {

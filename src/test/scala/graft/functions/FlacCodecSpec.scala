@@ -192,6 +192,142 @@ class FlacCodecSpec extends SparkSpec {
     assert(!FlacCodec.decodeFlac(badPad).valid)
   }
 
+  test("LPC subframes: Levinson-Durbin encode round-trips and compresses") {
+    // a HIGH-FREQUENCY resonance is where LPC beats the fixed
+    // predictors decisively: differencing AMPLIFIES a sine at ω=2.1
+    // (|1-e^{-iω}| > 1), while order-2+ LPC models it exactly
+    // (x[i] ≈ 2cos(ω)x[i-1] - x[i-2]), leaving only the noise floor.
+    // The MD5 identity proves losslessness either way; the SIZE win
+    // proves LPC subframes were really chosen.
+    val n = 4 * 576
+    val rng = new scala.util.Random(17)
+    val pcm = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val v = (8000 * math.sin(2.1 * i) + rng.nextInt(7) - 3).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fixedOnly = FlacCodec.encodeFlac(pcm)
+    val withLpc = FlacCodec.encodeFlac(pcm, lpcOrder = 8)
+    val (ss, sa, si) = expected(pcm)
+    for ((stream, tag) <- Seq((fixedOnly, "fixed"), (withLpc, "lpc"))) {
+      val d = FlacCodec.decodeFlac(stream)
+      assert(d.valid, tag)
+      assert((d.sumS, d.sumAbs, d.sumIs) === ((ss, sa, si)), tag)
+    }
+    assert(withLpc.length < fixedOnly.length,
+      s"LPC must win on a correlated signal (lpc=${withLpc.length} vs " +
+        s"fixed=${fixedOnly.length}) — otherwise the subframes never ran")
+    // full-range noise with lpcOrder set still round-trips (LPC loses
+    // the cost race there; the chooser must not force it)
+    val noise = fixture(576 * 2, 23)
+    val dN = FlacCodec.decodeFlac(FlacCodec.encodeFlac(noise, lpcOrder = 8))
+    val (ns2, na2, ni2) = expected(noise)
+    assert(dN.valid && (dN.sumS, dN.sumAbs, dN.sumIs) === ((ns2, na2, ni2)))
+  }
+
+  test("LPC decode-only guards: a hand-built frame, negative shift, prec 15") {
+    // hand-build: blockSize 8, mono 16-bit, LPC order 2, precision 4
+    // (precM1=3), shift 2, coefs (5, -3) — residuals mirror the spec
+    // formula pred = (5*x[i-1] - 3*x[i-2]) >> 2 (arithmetic, on the sum)
+    val xs = Array(40, 44, 43, 38, 30, 25, 28, 37)
+    val coefs = Array(5, -3)
+    def pred(i: Int): Int = ((coefs(0) * xs(i - 1) + coefs(1) * xs(i - 2)) >> 2)
+    val res = (2 until 8).map(i => xs(i) - pred(i)).toArray
+    val bw = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nb = 0
+    def putBits(bs: Array[Int]): Unit = bs.foreach { b =>
+      acc = (acc << 1) | b; nb += 1
+      if (nb == 8) { bw.write(acc); acc = 0; nb = 0 }
+    }
+    def putByte(v: Int): Unit = putBits(Array.tabulate(8)(i => (v >> (7 - i)) & 1))
+    def putVal(v: Int, bits: Int): Unit =
+      putBits(Array.tabulate(bits)(b => (v >> (bits - 1 - b)) & 1))
+    "fLaC".foreach(c => putByte(c.toInt))
+    putByte(0x80); putByte(0); putByte(0); putByte(34)
+    putVal(16, 16); putVal(16, 16) // min/max block 16 (floor) — but bs=8?
+    putVal(0, 24); putVal(0, 24)
+    putVal(8000, 20)
+    putVal(0, 3); putVal(15, 5)
+    putVal(0, 32); putVal(8, 4) // total samples = 8 (36 bits)
+    val pcm = new Array[Byte](16)
+    for (i <- 0 until 8) {
+      pcm(2 * i) = (xs(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+    }
+    java.security.MessageDigest.getInstance("MD5").digest(pcm)
+      .foreach(b => putByte(b & 0xff))
+    assert(nb === 0)
+    val headLen = bw.size()
+    // frame: sync, bsCode 0110 (8-bit follows: 7), sr 0, mono 16-bit
+    putByte(0xff); putByte(0xf8); putByte(0x60); putByte(0x08)
+    putByte(0x00); putByte(7)
+    val soFar = bw.toByteArray
+    putByte(FlacCodec.crc8(soFar, headLen, soFar.length))
+    // subframe: pad 0, type 100001 (LPC order 2), no wasted bits
+    putBits(Array(0, 1,0,0,0,0,1, 0))
+    putVal(xs(0), 16); putVal(xs(1), 16) // warmup
+    putVal(3, 4)                          // precision - 1
+    putVal(2, 5)                          // shift
+    putVal(coefs(0) & 0xf, 4); putVal(coefs(1) & 0xf, 4)
+    putVal(0, 2); putVal(0, 4)            // Rice method 0, partition order 0
+    putVal(3, 4)                          // Rice param 3
+    res.foreach { rv =>
+      val u = (rv << 1) ^ (rv >> 31)
+      putBits(Array.fill(u >> 3)(0) :+ 1)
+      putVal(u & 7, 3)
+    }
+    while (nb != 0) putBits(Array(0))
+    val frame = bw.toByteArray
+    val c16 = FlacCodec.crc16(frame, headLen, frame.length)
+    putByte((c16 >> 8) & 0xff); putByte(c16 & 0xff)
+    val stream = bw.toByteArray
+    val d = FlacCodec.decodeFlac(stream)
+    assert(d.valid, "hand-built LPC frame must decode")
+    assert(d.nSamples === 8L && d.sumS === xs.sum.toLong)
+    // the same frame with a NEGATIVE shift (0b11110 = -2) is reserved:
+    // the shift field is the 5 bits after the 4-bit precision, which
+    // sit right after the two 16-bit warmups — flip via re-build
+    def rebuild(shiftBits: Int, precM1: Int): Array[Byte] = {
+      val b2 = new java.io.ByteArrayOutputStream()
+      var a2 = 0; var n2 = 0
+      def pb(bs: Array[Int]): Unit = bs.foreach { b =>
+        a2 = (a2 << 1) | b; n2 += 1
+        if (n2 == 8) { b2.write(a2); a2 = 0; n2 = 0 }
+      }
+      def pByte(v: Int): Unit = pb(Array.tabulate(8)(i => (v >> (7 - i)) & 1))
+      def pVal(v: Int, bits: Int): Unit =
+        pb(Array.tabulate(bits)(b => (v >> (bits - 1 - b)) & 1))
+      val head = stream.take(headLen) // metadata identical
+      head.foreach(b => pByte(b & 0xff))
+      pByte(0xff); pByte(0xf8); pByte(0x60); pByte(0x08)
+      pByte(0x00); pByte(7)
+      val sf = b2.toByteArray
+      pByte(FlacCodec.crc8(sf, headLen, sf.length))
+      pb(Array(0, 1,0,0,0,0,1, 0))
+      pVal(xs(0), 16); pVal(xs(1), 16)
+      pVal(precM1, 4)
+      pVal(shiftBits & 0x1f, 5)
+      pVal(coefs(0) & 0xf, 4); pVal(coefs(1) & 0xf, 4)
+      pVal(0, 2); pVal(0, 4); pVal(3, 4)
+      res.foreach { rv =>
+        val u = (rv << 1) ^ (rv >> 31)
+        pb(Array.fill(u >> 3)(0) :+ 1)
+        pVal(u & 7, 3)
+      }
+      while (n2 != 0) pb(Array(0))
+      val fr = b2.toByteArray
+      val cc = FlacCodec.crc16(fr, headLen, fr.length)
+      pByte((cc >> 8) & 0xff); pByte(cc & 0xff)
+      b2.toByteArray
+    }
+    assert(FlacCodec.decodeFlac(rebuild(2, 3)).valid, "rebuild sanity")
+    assert(!FlacCodec.decodeFlac(rebuild(-2, 3)).valid,
+      "negative LPC shift is reserved and must reject")
+    assert(!FlacCodec.decodeFlac(rebuild(2, 15)).valid,
+      "precision code 0b1111 is reserved and must reject")
+  }
+
   test("engine surface: Multimodal.encodeFlac / flacStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
