@@ -2584,6 +2584,23 @@ object SparkEntry {
           col("n_requests"), col("n_responses"), col("n_200"),
           col("body_bytes"), col("sum_body"), col("n_paired"))
     },
+    // WARC HTTP over CHUNKED transfer coding (E257): response bodies on
+    // the RFC 9112 §7.1 wire — hex size lines, per-chunk CRLF framing,
+    // the 0-size terminator with an empty trailer section — dechunked
+    // by the decoder. Chunking changes the wire, never the documents:
+    // q303 hash-matches q290's oracle VERBATIM.
+    "q303_warc_chunked" -> { (s, dir) =>
+      graft.ext.Multimodal.warcHttpStats(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          bodyBytes = 256, chunked = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_records"),
+          col("n_requests"), col("n_responses"), col("n_200"),
+          col("body_bytes"), col("sum_body"), col("n_paired"))
+    },
     // WARC body EXTRACTION fan-out (E250): one row per response record —
     // the crawl-to-documents explode every pipeline runs first. The
     // engine walks the container, inflates nothing (plain wire), parses
@@ -4987,6 +5004,9 @@ object SparkEntry {
     // whole-corpus scale twin
     "q290_warc_http_stats" -> warcHttpOracleSql,
     "q291_warc_httpgz_stats" -> warcHttpOracleSql,
+    // q303: chunked transfer coding changes the wire, never the
+    // documents — same oracle verbatim
+    "q303_warc_chunked" -> warcHttpOracleSql,
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the

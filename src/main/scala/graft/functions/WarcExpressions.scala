@@ -159,7 +159,7 @@ object WarcCodec {
     * per-record-gzip wire shape. Null when no full body slice fits.
     */
   def encodeWarcHttp(payload: Array[Byte], bodyBytes: Int,
-      gz: Boolean): Array[Byte] = {
+      gz: Boolean, chunked: Boolean = false): Array[Byte] = {
     require(bodyBytes >= 1, "bodyBytes must be positive")
     val nRec = payload.length / bodyBytes
     if (nRec < 1) return null
@@ -175,15 +175,36 @@ object WarcCodec {
         s"WARC-Concurrent-To: <urn:graft:record-$i>\r\n", reqMsg)
       val status = fixtureStatus(i)
       val reason = if (status == 200) "OK" else "Not Found"
-      val head = (s"HTTP/1.1 $status $reason\r\n" +
-        "Content-Type: text/plain\r\n" +
-        s"Content-Length: $bodyBytes\r\n" +
-        "\r\n").getBytes("US-ASCII")
       val body = java.util.Arrays.copyOfRange(
         payload, i * bodyBytes, (i + 1) * bodyBytes)
-      val msg = new Array[Byte](head.length + body.length)
+      val framing =
+        if (chunked) "Transfer-Encoding: chunked\r\n"
+        else s"Content-Length: $bodyBytes\r\n"
+      val head = (s"HTTP/1.1 $status $reason\r\n" +
+        "Content-Type: text/plain\r\n" +
+        framing +
+        "\r\n").getBytes("US-ASCII")
+      val wire =
+        if (!chunked) body
+        else {
+          // RFC 9112 §7.1: hex size line, data, CRLF per chunk; a
+          // 0-size chunk + empty trailer section terminates. 100-byte
+          // chunks make the multi-chunk path the normal case.
+          val cb = new java.io.ByteArrayOutputStream(body.length + 64)
+          var off = 0
+          while (off < body.length) {
+            val len = math.min(100, body.length - off)
+            cb.write(f"$len%x\r\n".getBytes("US-ASCII"))
+            cb.write(body, off, len)
+            cb.write('\r'); cb.write('\n')
+            off += len
+          }
+          cb.write("0\r\n\r\n".getBytes("US-ASCII"))
+          cb.toByteArray
+        }
+      val msg = new Array[Byte](head.length + wire.length)
       System.arraycopy(head, 0, msg, 0, head.length)
-      System.arraycopy(body, 0, msg, head.length, body.length)
+      System.arraycopy(wire, 0, msg, head.length, wire.length)
       val resp = record("response", s"urn:graft:record-$i", i,
         "application/http;msgtype=response", "", msg)
       if (gz) { writeGzMember(out, req); writeGzMember(out, resp) }
@@ -191,6 +212,40 @@ object WarcCodec {
       i += 1
     }
     out.toByteArray
+  }
+
+  /** Decode an RFC 9112 §7.1 chunked body inside `[off, end)`: hex size
+    * lines (no chunk extensions — strict), exact chunk data + CRLF, a
+    * 0-size terminator with an EMPTY trailer section, and the span
+    * consumed exactly. Returns the dechunked bytes or null.
+    */
+  private def dechunk(bytes: Array[Byte], off: Int, end: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, end - off))
+    var p = off
+    while (true) {
+      // hex size line
+      val s = p
+      while (p + 1 < end && !(bytes(p) == '\r' && bytes(p + 1) == '\n')) p += 1
+      if (p + 1 >= end) return null
+      val line = new String(bytes, s, p - s, "US-ASCII")
+      p += 2
+      if (line.isEmpty || line.length > 7 ||
+        !line.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F'))) return null
+      val size = Integer.parseInt(line, 16)
+      if (size == 0) {
+        // empty trailer section: exactly CRLF, and the body ends here
+        if (p + 2 > end || bytes(p) != '\r' || bytes(p + 1) != '\n') return null
+        if (p + 2 != end) return null // trailing bytes after the terminator
+        return out.toByteArray
+      }
+      if (p + size + 2 > end) return null // chunk data + CRLF must fit
+      out.write(bytes, p, size)
+      p += size
+      if (bytes(p) != '\r' || bytes(p + 1) != '\n') return null
+      p += 2
+    }
+    null // unreachable
   }
 
   /** Per-asset decode result; -1 stats when invalid. */
@@ -402,6 +457,7 @@ object WarcCodec {
   private final class HttpView {
     var status = -1
     var contentLength = -1L
+    var chunked = false
   }
 
   /** Parse an RFC 9112 message head (status/request line + header
@@ -460,6 +516,12 @@ object WarcCodec {
           if (value.isEmpty || !value.forall(_.isDigit) ||
             value.length > 12) return -1
           hv.contentLength = value.toLong
+        } else if (name.equalsIgnoreCase("Transfer-Encoding")) {
+          if (hv.chunked) return -1 // duplicate TE: smuggling
+          // the fixture contract (and the overwhelming real case) is the
+          // single "chunked" coding; coding lists are out of scope
+          if (!value.equalsIgnoreCase("chunked")) return -1
+          hv.chunked = true
         }
       }
     }
@@ -513,27 +575,39 @@ object WarcCodec {
           val bodyOff =
             parseHttpHead(view.buf, view.blockOff, blockEnd, response = true, hv)
           if (bodyOff < 0) return false
-          val bLen = blockEnd - bodyOff
-          // an HTTP Content-Length that lies about the body is a
-          // truncated or smuggled message, not a document
-          if (hv.contentLength >= 0 && hv.contentLength != bLen) return false
+          // Content-Length AND Transfer-Encoding together is the RFC's
+          // canonical request-smuggling vector — a visible finding
+          if (hv.chunked && hv.contentLength >= 0) return false
+          val body: Array[Byte] =
+            if (hv.chunked) {
+              val d = dechunk(view.buf, bodyOff, blockEnd)
+              if (d == null) return false
+              d
+            } else {
+              // an HTTP Content-Length that lies about the body is a
+              // truncated or smuggled message, not a document
+              if (hv.contentLength >= 0 &&
+                hv.contentLength != blockEnd - bodyOff) return false
+              java.util.Arrays.copyOfRange(view.buf, bodyOff, blockEnd)
+            }
           var s = 0L
-          var i = bodyOff
-          while (i < blockEnd) { s += view.buf(i) & 0xff; i += 1 }
+          var i = 0
+          while (i < body.length) { s += body(i) & 0xff; i += 1 }
           if (hv.status == 200) n200 += 1
-          bodyBytes += bLen
+          bodyBytes += body.length
           sumBody += s
-          if (out != null) {
-            out += HttpRecord(respIdx, hv.status, bLen, s,
-              java.util.Arrays.copyOfRange(view.buf, bodyOff, blockEnd))
-          }
+          if (out != null)
+            out += HttpRecord(respIdx, hv.status, body.length, s, body)
           respIdx += 1
         case "request" =>
           val hv = new HttpView
           val bodyOff = parseHttpHead(view.buf, view.blockOff, blockEnd,
             response = false, hv)
           if (bodyOff < 0) return false
-          if (hv.contentLength >= 0 &&
+          if (hv.chunked && hv.contentLength >= 0) return false
+          if (hv.chunked) {
+            if (dechunk(view.buf, bodyOff, blockEnd) == null) return false
+          } else if (hv.contentLength >= 0 &&
             hv.contentLength != blockEnd - bodyOff) return false
           nRequests += 1
           requestLinks ::= view.concurrentTo
@@ -630,7 +704,8 @@ case class WarcDecode(child: Expression, gz: Boolean)
   * WARC of request+response record pairs whose blocks are real RFC 9112
   * HTTP messages (null when no full body slice fits).
   */
-case class WarcHttpEncode(child: Expression, bodyBytes: Int, gz: Boolean)
+case class WarcHttpEncode(child: Expression, bodyBytes: Int, gz: Boolean,
+    chunked: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(bodyBytes >= 1, "bodyBytes must be positive")
 
@@ -643,7 +718,8 @@ case class WarcHttpEncode(child: Expression, bodyBytes: Int, gz: Boolean)
       s"graft_warc_http_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    WarcCodec.encodeWarcHttp(input.asInstanceOf[Array[Byte]], bodyBytes, gz)
+    WarcCodec.encodeWarcHttp(input.asInstanceOf[Array[Byte]], bodyBytes, gz,
+      chunked)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -736,7 +812,9 @@ object WarcNativeFunctions {
       "graft_warc_http_encode",
       exprs => WarcHttpEncode(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+        exprs(2).eval().asInstanceOf[Boolean],
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
+        else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_warc_http_stats",
       exprs => WarcHttpStats(exprs.head,
@@ -762,11 +840,12 @@ object WarcNativeFunctions {
   }
 
   def warcHttpEncode(spark: SparkSession, bytes: Column, bodyBytes: Int,
-      gz: Boolean): Column = {
+      gz: Boolean, chunked: Boolean = false): Column = {
     register(spark)
     call_function("graft_warc_http_encode", bytes,
       org.apache.spark.sql.functions.lit(bodyBytes),
-      org.apache.spark.sql.functions.lit(gz))
+      org.apache.spark.sql.functions.lit(gz),
+      org.apache.spark.sql.functions.lit(chunked))
   }
 
   def warcHttpStats(spark: SparkSession, bytes: Column, gz: Boolean): Column = {

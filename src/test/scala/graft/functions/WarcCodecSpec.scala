@@ -231,6 +231,59 @@ class WarcCodecSpec extends SparkSpec {
       dup.getBytes("ISO-8859-1"), gz = false, collect = false)._1.valid)
   }
 
+  test("chunked transfer coding: dechunked stats equal the plain wire") {
+    val payload = fixture(5 * 256 + 19, 15)
+    val plain = WarcCodec.decodeWarcHttp(
+      WarcCodec.encodeWarcHttp(payload, 256, gz = false), gz = false,
+      collect = true)
+    for (gz <- Seq(false, true)) {
+      val warc = WarcCodec.encodeWarcHttp(payload, 256, gz, chunked = true)
+      // the wire really is chunked (multi-chunk: 100+100+56 per body)
+      if (!gz) {
+        val text = new String(warc, "ISO-8859-1")
+        assert(text.contains("Transfer-Encoding: chunked"))
+        assert(text.contains("64\r\n")) // 0x64 = 100-byte chunk size line
+        assert(!text.contains("Content-Length: 256"))
+      }
+      val (d, recs) = WarcCodec.decodeWarcHttp(warc, gz, collect = true)
+      assert(d.valid, s"gz=$gz")
+      assert(d === plain._1, "chunking changes the wire, never the stats")
+      // dechunked bodies reassemble the document bytes
+      val joined = recs.flatMap(_.body).toArray
+      assert(java.util.Arrays.equals(joined, payload.take(5 * 256)))
+    }
+  }
+
+  test("chunked reject paths: smuggling, bad sizes, framing violations") {
+    val payload = fixture(2 * 256, 16)
+    val warc = WarcCodec.encodeWarcHttp(payload, 256, gz = false,
+      chunked = true)
+    val text = new String(warc, "ISO-8859-1")
+    assert(WarcCodec.decodeWarcHttp(warc, false, false)._1.valid)
+    def mutate(from: String, to: String): Boolean = {
+      assert(text.contains(from) && from.length == to.length)
+      WarcCodec.decodeWarcHttp(
+        text.replace(from, to).getBytes("ISO-8859-1"), gz = false,
+        collect = false)._1.valid
+    }
+    // CL + TE together: the RFC's canonical smuggling vector (pad the
+    // TE header into a same-length CL header... lengths differ, so
+    // instead corrupt the terminator/size lines, same-length edits)
+    // non-hex chunk size line
+    assert(!mutate("64\r\n", "6g\r\n"))
+    // a chunk size that overruns the block
+    assert(!mutate("64\r\n", "ff\r\n"))
+    // 0-size terminator must end the body exactly: break the final CRLF
+    assert(!mutate("0\r\n\r\n", "0\r\n\r\r"))
+    // Transfer-Encoding value must be the single "chunked" coding
+    assert(!mutate("Transfer-Encoding: chunked",
+      "Transfer-Encoding: chunkex"))
+    // CL + TE together is the RFC's canonical smuggling vector: turn
+    // the HTTP Content-Type header into a Content-Length of the same
+    // length, so the block now carries BOTH framings
+    assert(!mutate("Content-Type: text/plain", "Content-Length: 00000256"))
+  }
+
   test("engine surface: Multimodal.encodeWarc / warcStats both shapes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
