@@ -2801,6 +2801,22 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_frames"),
           col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
     },
+    // TIFF over the THIRD wire (E258): LZW compression (tag 5) — the
+    // TIFF-variant LZW with MSB-first codes and the EARLY width change,
+    // restarted at every strip. q304 hash-matches the q297/q298 oracle
+    // VERBATIM (three compressions, one pixel identity).
+    "q304_tiff_lzw" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, lzw = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -4996,6 +5012,7 @@ object SparkEntry {
     "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,
     "q298_tiff_packbits" -> tiffOracleSql,
+    "q304_tiff_lzw" -> tiffOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,
     "q295_gif_interlaced" -> gifInterlacedOracleSql,
     "q296_gif_anim" -> gifAnimOracleSql,

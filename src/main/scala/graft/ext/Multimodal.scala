@@ -1039,7 +1039,8 @@ object Multimodal {
     * uncompressed or PackBits strips; see [[graft.functions.TiffCodec]].
     */
   def encodeTiff(assets: DataFrame, width: Int = 40,
-      bigEndian: Boolean = false, packBits: Boolean = false): DataFrame = {
+      bigEndian: Boolean = false, packBits: Boolean = false,
+      lzw: Boolean = false): DataFrame = {
     require(width >= 1, "width must be positive")
     val spark = assets.sparkSession
     assets
@@ -1050,7 +1051,7 @@ object Multimodal {
           graft.functions.TiffCodec.MaxPixels.toLong)
       .withColumn("bytes",
         graft.functions.TiffNativeFunctions.tiffEncode(spark, col("bytes"),
-          width, bigEndian, packBits))
+          width, bigEndian, packBits, lzw))
   }
 
   /** Decode TIFF assets natively (E252): strict header + IFD walk (both

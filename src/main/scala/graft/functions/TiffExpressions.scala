@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * Directory of 12-byte entries SORTED ASCENDING BY TAG, external value
   * areas for values wider than the 4-byte inline slot (strip arrays,
   * RATIONAL resolutions), and pixel data in strips of `RowsPerStrip`
-  * rows, either uncompressed or PackBits-compressed (Compression 32773,
-  * the run-length scheme restarted AT EVERY ROW per the spec).
+  * rows: uncompressed, PackBits-compressed (Compression 32773, the
+  * run-length scheme restarted AT EVERY ROW per the spec), or
+  * LZW-compressed (Compression 5, §13: the TIFF LZW variant — codes
+  * packed MSB-FIRST, opposite bit order to GIF, with the EARLY
+  * code-width change — restarted at every STRIP).
   *
   * The IFD-walk machinery mirrors the Exif TIFF walk the engine already
   * runs inside JPEG APP1 segments ([[JpegDctCodec]]) — here it is the
@@ -32,11 +35,13 @@ import org.apache.spark.sql.types._
   *
   * STRICTNESS: a wrong magic/version, an unsorted or truncated IFD, a
   * missing or mistyped required baseline tag (ImageWidth, ImageLength,
-  * BitsPerSample=8, Compression ∈ {1, 32773}, Photometric ∈ {0,1},
+  * BitsPerSample=8, Compression ∈ {1, 5, 32773}, Photometric ∈ {0,1},
   * StripOffsets, SamplesPerPixel=1, RowsPerStrip, StripByteCounts,
   * XResolution, YResolution, ResolutionUnit), a strip count that
   * disagrees with ⌈height/RowsPerStrip⌉, out-of-bounds strip spans, a
-  * PackBits stream that over- or under-fills its strip or dies mid-run,
+  * PackBits or LZW stream that over- or under-fills its strip or dies
+  * mid-run, a declared LZW strip length the code stream does not
+  * consume exactly,
   * or trailing IFDs (multi-page is out of the fixture contract) all
   * report `is_valid = false`. Forged-geometry bound: width·height is
   * capped at 2^24 and strips decode straight into running sums — pixels
@@ -58,19 +63,23 @@ object TiffCodec {
     * byte order, uncompressed or PackBits (restarted per row).
     */
   def encodeTiff(payload: Array[Byte], width: Int, bigEndian: Boolean,
-      packBits: Boolean): Array[Byte] = {
+      packBits: Boolean, lzw: Boolean = false): Array[Byte] = {
     require(width >= 1, "width must be positive")
+    require(!(packBits && lzw), "choose one compression")
     val h = payload.length / width
     if (h < 1) return null
     if (width.toLong * h > MaxPixels) return null
     val nStrips = (h + RowsPerStrip - 1) / RowsPerStrip
 
-    // ---- strip data (PackBits restarts at every row per the spec) ----
+    // ---- strip data (PackBits restarts at every ROW, LZW at every
+    // STRIP, per the spec) ----
     val strips = new Array[Array[Byte]](nStrips)
     var s = 0
     while (s < nStrips) {
       val rows = math.min(RowsPerStrip, h - s * RowsPerStrip)
-      if (!packBits) {
+      if (lzw) {
+        strips(s) = lzwEncode(payload, s * RowsPerStrip * width, rows * width)
+      } else if (!packBits) {
         strips(s) = java.util.Arrays.copyOfRange(payload,
           s * RowsPerStrip * width, (s * RowsPerStrip + rows) * width)
       } else {
@@ -152,7 +161,8 @@ object TiffCodec {
     entryLong(256, width.toLong)                  // ImageWidth
     entryLong(257, h.toLong)                      // ImageLength
     entryShort(258, 8)                            // BitsPerSample
-    entryShort(259, if (packBits) 32773 else 1)   // Compression
+    entryShort(259,                               // Compression
+      if (lzw) 5 else if (packBits) 32773 else 1)
     entryShort(262, 1)                            // Photometric: BlackIsZero
     entryLongArray(273, offsets)                  // StripOffsets
     entryShort(277, 1)                            // SamplesPerPixel
@@ -197,6 +207,77 @@ object TiffCodec {
         i += lit
       }
     }
+  }
+
+  /** TIFF-variant LZW encode of ONE strip (TIFF 6.0 §13): codes packed
+    * MSB-FIRST (the opposite bit order to GIF), ClearCode 256 / EOI 257,
+    * and the EARLY code-width change — the width grows one code SOONER
+    * than GIF's rule (at 2^w - 1 instead of 2^w on the decoder side),
+    * with the table cleared at 4094 for the same reason.
+    */
+  private def lzwEncode(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val dictKey = new Array[Long](1 << 13)
+    val dictVal = new Array[Int](1 << 13)
+    java.util.Arrays.fill(dictKey, -1L)
+    def dictFind(prefix: Int, b: Int): Int = {
+      val key = (prefix.toLong << 8) | b
+      var slot = ((key * 2654435761L) >>> 40).toInt & ((1 << 13) - 1)
+      while (dictKey(slot) != -1L) {
+        if (dictKey(slot) == key) return dictVal(slot)
+        slot = (slot + 1) & ((1 << 13) - 1)
+      }
+      -1
+    }
+    def dictPut(prefix: Int, b: Int, code: Int): Unit = {
+      val key = (prefix.toLong << 8) | b
+      var slot = ((key * 2654435761L) >>> 40).toInt & ((1 << 13) - 1)
+      while (dictKey(slot) != -1L) slot = (slot + 1) & ((1 << 13) - 1)
+      dictKey(slot) = key
+      dictVal(slot) = code
+    }
+    val out = new java.io.ByteArrayOutputStream(len / 2 + 64)
+    var acc = 0L
+    var nbits = 0
+    var codeWidth = 9
+    var nextCode = 258
+    def putCode(c: Int): Unit = {
+      acc = (acc << codeWidth) | c
+      nbits += codeWidth
+      while (nbits >= 8) {
+        out.write(((acc >>> (nbits - 8)) & 0xff).toInt)
+        nbits -= 8
+      }
+    }
+    def resetDict(): Unit = {
+      java.util.Arrays.fill(dictKey, -1L)
+      nextCode = 258
+      codeWidth = 9
+    }
+    putCode(Clear)
+    var cur = data(off) & 0xff
+    var i = 1
+    while (i < len) {
+      val b = data(off + i) & 0xff
+      val hit = dictFind(cur, b)
+      if (hit >= 0) cur = hit
+      else {
+        putCode(cur)
+        dictPut(cur, b, nextCode)
+        nextCode += 1
+        // TIFF early change: the width grows when the NEXT code to
+        // assign is 2^w (one sooner than GIF's 2^w + 1)
+        if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        if (nextCode == 4094) { putCode(Clear); resetDict() }
+        cur = b
+      }
+      i += 1
+    }
+    putCode(cur)
+    putCode(Eoi)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
   }
 
   /** Per-asset decode result; -1 stats when invalid. */
@@ -342,7 +423,8 @@ object TiffCodec {
     if (u32(entriesOff + nEntries * 12) != 0) return Invalid // single page
     // required-tag audit (baseline grayscale)
     if (width < 1 || height < 1 || bits != 8 || spp != 1) return Invalid
-    if (compression != 1 && compression != 32773) return Invalid
+    if (compression != 1 && compression != 5 && compression != 32773)
+      return Invalid
     if (photometric != 0 && photometric != 1) return Invalid
     if (rps < 1 || !xresOk || !yresOk) return Invalid
     if (resUnit != 1 && resUnit != 2 && resUnit != 3) return Invalid
@@ -373,6 +455,97 @@ object TiffCodec {
           sumRowV += (row + i / w) * v
           i += 1
         }
+      } else if (compression == 5) {
+        // ---- TIFF-variant LZW (§13): MSB-first codes, EARLY width
+        // change (one code sooner than GIF), Clear 256 / EOI 257 ----
+        val Clear = 256
+        val Eoi = 257
+        val prefix = new Array[Int](4096)
+        val suffix = new Array[Int](4096)
+        val firstB = new Array[Int](4096)
+        var i = 0
+        while (i < 256) {
+          prefix(i) = -1; suffix(i) = i; firstB(i) = i
+          i += 1
+        }
+        var nextCode = 258
+        var codeWidth = 9
+        var acc = 0L
+        var nbits = 0
+        var p = off
+        val end = off + len
+        var emitted = 0L
+        var ended = false
+        val stack = new Array[Int](4097)
+        def nextCodeBits(): Int = {
+          while (nbits < codeWidth) {
+            if (p >= end) return -1
+            acc = (acc << 8) | (bytes(p.toInt) & 0xffL)
+            nbits += 8
+            p += 1
+          }
+          val c = ((acc >>> (nbits - codeWidth)) &
+            ((1L << codeWidth) - 1)).toInt
+          nbits -= codeWidth
+          c
+        }
+        def emitString(code: Int): Boolean = {
+          var top = 0
+          var c = code
+          while (c >= 0) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+          if (emitted + top > expect) return false
+          while (top > 0) {
+            top -= 1
+            val v = stack(top)
+            sumV += v
+            sumRowV += (row + emitted / w) * v
+            emitted += 1
+          }
+          true
+        }
+        var prev = -1
+        while (!ended) {
+          val c = nextCodeBits()
+          if (c < 0) return Invalid
+          if (c == Clear) {
+            nextCode = 258
+            codeWidth = 9
+            prev = -1
+          } else if (c == Eoi) {
+            ended = true
+          } else if (c < nextCode && c < 4096 && c != 256 && c != 257) {
+            if (prev == -1) {
+              if (c >= 256) return Invalid // first code must be a root
+              if (!emitString(c)) return Invalid
+            } else {
+              if (!emitString(c)) return Invalid
+              if (nextCode < 4096) {
+                prefix(nextCode) = prev
+                suffix(nextCode) = firstB(c)
+                firstB(nextCode) = firstB(prev)
+                nextCode += 1
+                // EARLY change: the decoder learns entries one code
+                // later than the encoder, so its bump lands at 2^w - 1
+                if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12)
+                  codeWidth += 1
+              }
+            }
+            prev = c
+          } else if (c == nextCode && prev != -1 && nextCode < 4096) {
+            prefix(nextCode) = prev
+            suffix(nextCode) = firstB(prev)
+            firstB(nextCode) = firstB(prev)
+            nextCode += 1
+            if (!emitString(nextCode - 1)) return Invalid
+            if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12)
+              codeWidth += 1
+            prev = nextCode - 1
+          } else return Invalid
+        }
+        if (emitted != expect) return Invalid
+        // the declared strip length must cover exactly the bits read
+        // (the final partial byte is zero-padded by the encoder)
+        if (p != end) return Invalid
       } else {
         // PackBits: literal header 0..127 = n+1 bytes follow; replicate
         // header 129..255 = next byte repeats 257-h times; 128 is a noop
@@ -421,11 +594,11 @@ object TiffCodec {
   }
 }
 
-/** `graft_tiff_encode(bytes, width, bigEndian, packBits)`: payload →
-  * classic TIFF stream (null when no full row fits).
+/** `graft_tiff_encode(bytes, width, bigEndian, packBits[, lzw])`:
+  * payload → classic TIFF stream (null when no full row fits).
   */
 case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
-    packBits: Boolean)
+    packBits: Boolean, lzw: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -439,7 +612,7 @@ case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TiffCodec.encodeTiff(input.asInstanceOf[Array[Byte]], width, bigEndian,
-      packBits)
+      packBits, lzw)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -488,18 +661,22 @@ object TiffNativeFunctions {
       exprs => TiffEncode(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean],
-        exprs(3).eval().asInstanceOf[Boolean]), "built-in")
+        exprs(3).eval().asInstanceOf[Boolean],
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
+        else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tiff_decode", exprs => TiffDecode(exprs.head), "built-in")
   }
 
   def tiffEncode(spark: SparkSession, bytes: Column, width: Int,
-      bigEndian: Boolean, packBits: Boolean): Column = {
+      bigEndian: Boolean, packBits: Boolean,
+      lzw: Boolean = false): Column = {
     register(spark)
     call_function("graft_tiff_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(bigEndian),
-      org.apache.spark.sql.functions.lit(packBits))
+      org.apache.spark.sql.functions.lit(packBits),
+      org.apache.spark.sql.functions.lit(lzw))
   }
 
   def tiffDecode(spark: SparkSession, bytes: Column): Column = {

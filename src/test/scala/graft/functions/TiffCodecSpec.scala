@@ -141,6 +141,41 @@ class TiffCodecSpec extends SparkSpec {
     assert(!TiffCodec.decodeTiff(short).valid, "underfilled strip rejects")
   }
 
+  test("LZW strips (compression 5): MSB-first early-change round-trips") {
+    // LZW restarts per STRIP (4 rows), so only a WIDE image gives a
+    // strip enough bytes (4 x 2000 = 8000) to drive the dictionary
+    // through the 9->10->11->12-bit EARLY width bumps and the 4094
+    // clear; random bytes add ~1 entry per byte
+    for ((payload, tag) <- Seq(
+      (fixture(2000 * 16, 7), "random"),
+      (Array.fill(2000 * 16)(42.toByte), "flat"),
+      (Array.tabulate(2000 * 16)(i => (i % 251).toByte), "cycling"))) {
+      val (sv, srv) = expected(payload, 2000)
+      for (big <- Seq(false, true)) {
+        val tiff = TiffCodec.encodeTiff(payload, 2000, big, packBits = false,
+          lzw = true)
+        val d = TiffCodec.decodeTiff(tiff)
+        assert(d.valid, s"$tag big=$big")
+        assert((d.sumV, d.sumRowV) === ((sv, srv)),
+          s"$tag big=$big: LZW strips must be the lossless identity")
+      }
+    }
+    // the wire really differs from GIF's LZW: first byte of the first
+    // strip is the Clear code MSB-first (256 in 9 bits -> 0x80 0x4x),
+    // where GIF would emit 0x00 0x01 LSB-first
+    val t = TiffCodec.encodeTiff(fixture(40 * 4, 8), 40, false, false, true)
+    assert((t(8) & 0xff) === 0x80, "MSB-first Clear code on the wire")
+    // truncated LZW strip and lying byte counts are visible findings
+    val good = TiffCodec.encodeTiff(fixture(40 * 4, 9), 40, false, false, true)
+    assert(TiffCodec.decodeTiff(good).valid)
+    // shrink the single strip's StripByteCounts (inline LONG, entry 8)
+    val ifdAt = good.length - (2 + 12 * 12 + 4 + 2 * 8)
+    val cntSlot = ifdAt + 2 + 8 * 12 + 8
+    val short = good.clone()
+    short(cntSlot) = ((short(cntSlot) & 0xff) - 1).toByte
+    assert(!TiffCodec.decodeTiff(short).valid, "truncated LZW strip rejects")
+  }
+
   test("engine surface: Multimodal.encodeTiff / tiffStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
