@@ -2743,6 +2743,24 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_frames"),
           col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
     },
+    // STEREO FLAC with decorrelation (E259): the payload's LE16 pairs
+    // alternate (left, right); every frame costs all four channel
+    // assignments exactly (independent, left/side, right/side, mid/side
+    // — the side channel at 17 bits) and writes the cheapest; the
+    // decoder undoes the transform and re-derives the MD5. The oracle
+    // reads the interleaved sample sums off raw payload bytes — the
+    // assignment changes the wire, never the PCM.
+    "q305_flac_stereo" -> { (s, dir) =>
+      graft.ext.Multimodal.flacStats(
+        graft.ext.Multimodal.encodeFlac(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          lpcOrder = 8, stereo = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
+    },
     // TIFF decode (E252): the scanner-archive format — classic TIFF 6.0
     // IFD walk (ascending-tag audit, full baseline-grayscale required
     // set, external value areas), uncompressed strips, little-endian.
@@ -3728,6 +3746,34 @@ object SparkEntry {
          |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
          |       CAST(SUM(i * s) AS BIGINT) AS sum_is
          |FROM sg GROUP BY asset_id, ns""".stripMargin
+
+  /** STEREO FLAC replay (q305): whole (L, R) pairs only — the PCM is
+    * the payload's LE16 stream truncated to 4-byte groups, frames count
+    * PAIRS, and the interleaved index weights sum_is exactly like the
+    * mono replay over the truncated stream.
+    */
+  private def flacStereoOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 4 AS np
+         |      FROM src WHERE octet_length(p) // 4 >= 1
+         |        AND octet_length(p) <= 33554432),
+         |sm AS (SELECT asset_id, np, i,
+         |         CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+         |         + 256 * CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2))
+         |                       AS BIGINT) AS u
+         |       FROM (SELECT asset_id, np, h, unnest(range(0, 2 * np)) AS i
+         |             FROM g)),
+         |sg AS (SELECT asset_id, np, i,
+         |         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |       FROM sm)
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST((np + 575) // 576 AS BIGINT) AS n_frames,
+         |       CAST(2 * np AS BIGINT) AS n_samples,
+         |       CAST(SUM(s) AS BIGINT) AS sum_s,
+         |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+         |       CAST(SUM(i * s) AS BIGINT) AS sum_is
+         |FROM sg GROUP BY asset_id, np""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -5008,6 +5054,7 @@ object SparkEntry {
     // q302 shares q299's oracle verbatim: the LPC-vs-fixed subframe
     // choice changes the wire, never the PCM
     "q302_flac_lpc" -> flacOracleSql,
+    "q305_flac_stereo" -> flacStereoOracleSql,
     "q300_tiff_scale" -> tiffOracleSqlFor(""),
     "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,

@@ -1004,14 +1004,15 @@ object Multimodal {
     * the STREAMINFO MD5 of the unencoded audio. Assets shorter than one
     * sample are dropped.
     */
-  def encodeFlac(assets: DataFrame, lpcOrder: Int = 0): DataFrame = {
+  def encodeFlac(assets: DataFrame, lpcOrder: Int = 0,
+      stereo: Boolean = false): DataFrame = {
     val spark = assets.sparkSession
     assets
-      .filter(octet_length(col("bytes")) >= 2 &&
+      .filter(octet_length(col("bytes")) >= (if (stereo) 4L else 2L) &&
         octet_length(col("bytes")) <= 33554432L)
       .withColumn("bytes",
         graft.functions.FlacNativeFunctions.flacEncode(spark, col("bytes"),
-          lpcOrder))
+          lpcOrder, stereo))
   }
 
   /** Decode FLAC assets natively (E253): full frame-header verification

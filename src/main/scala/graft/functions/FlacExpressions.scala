@@ -36,12 +36,14 @@ import org.apache.spark.sql.types._
   * coefficients, 64-bit prediction accumulator, negative-shift and
   * reserved-precision rejects), all Rice partition orders, both Rice
   * methods, escape codes, wasted bits, all block-size and sample-rate
-  * codes. The encoder fits LPC by autocorrelation + Levinson-Durbin
-  * with error-feedback quantization and lets it COMPETE on exact bit
-  * cost with the constant/fixed/verbatim choices. NOT decoded (visible
-  * `is_valid = false`, the honest fence): the stereo-decorrelation
-  * channel assignments (left/side, right/side, mid/side) — the SURVEY
-  * fence list names them.
+  * codes, AND the stereo-decorrelation channel assignments (left/side,
+  * right/side, mid/side — the difference channel at bps+1 bits, undone
+  * after subframe decode). The encoder fits LPC by autocorrelation +
+  * Levinson-Durbin with error-feedback quantization and lets it COMPETE
+  * on exact bit cost with the constant/fixed/verbatim choices; the
+  * stereo encoder costs all four channel assignments per frame. The one
+  * remaining reject-by-design: the variable blocking strategy (visible
+  * `is_valid = false`; fixtures are fixed-blocking).
   *
   * ORACLE: the fixture's PCM is the payload's little-endian 16-bit
   * pairs (mono), so sample sums — including the order-sensitive
@@ -123,6 +125,15 @@ object FlacCodec {
     def align(): Unit = while (nb != 0) putBit(0)
     def isAligned: Boolean = nb == 0
     def toByteArray: Array[Byte] = { require(nb == 0); out.toByteArray }
+    /** Exact bit count so far — the stereo chooser's cost scale. */
+    def bitLength: Long = out.size().toLong * 8 + nb
+    /** Replay this writer's bits into another (bit-exact append). */
+    def appendTo(o: BitWriter): Unit = {
+      val bytes = out.toByteArray
+      var i = 0
+      while (i < bytes.length) { o.put(bytes(i) & 0xffL, 8); i += 1 }
+      if (nb > 0) o.put((cur & ((1 << nb) - 1)).toLong, nb)
+    }
   }
 
   /** UTF-8-style coded number (the frame-number coding). */
@@ -261,6 +272,112 @@ object FlacCodec {
     out
   }
 
+  /** Build ONE subframe (header bit + type + body) for `x[from,from+bs)`
+    * at `ebps` bits per sample: CONSTANT when flat, otherwise the
+    * cheapest of FIXED 0..4 / LPC (when `lpcOrder` > 0) / VERBATIM by
+    * exact bit cost. Returned as a standalone bit buffer so the stereo
+    * chooser can COST candidate channel assignments before committing.
+    */
+  private def buildSubframe(x: Array[Int], from: Int, bs: Int, ebps: Int,
+      lpcOrder: Int): BitWriter = {
+    val w2 = new BitWriter
+    val mask = (1L << ebps) - 1
+    var allEqual = true
+    var i = from + 1
+    while (i < from + bs && allEqual) {
+      if (x(i) != x(from)) allEqual = false
+      i += 1
+    }
+    if (allEqual) {
+      w2.put(0, 1); w2.put(0, 6); w2.put(0, 1) // CONSTANT, no wasted bits
+      w2.put(x(from).toLong & mask, ebps)
+      return w2
+    }
+    def bestParamOf(res: Array[Int]): (Int, Long) = {
+      var bp = 0
+      var bc = Long.MaxValue
+      var p = 0
+      while (p <= 14) {
+        val c = riceCost(res, p)
+        if (c < bc) { bc = c; bp = p }
+        p += 1
+      }
+      (bp, bc)
+    }
+    def emitRice(res: Array[Int], param: Int): Unit = {
+      w2.put(0, 2) // coding method 0: 4-bit Rice parameters
+      w2.put(0, 4) // partition order 0
+      w2.put(param.toLong, 4)
+      var j = 0
+      while (j < res.length) {
+        val u = zigzag(res(j))
+        w2.putUnary((u >>> param).toInt)
+        var b = param - 1
+        while (b >= 0) { w2.putBit(((u >>> b) & 1).toInt); b -= 1 }
+        j += 1
+      }
+    }
+    // best fixed order + Rice parameter by exact bit cost
+    var bestOrder = -1
+    var bestParam = 0
+    var bestCost = ebps.toLong * bs // the verbatim bar
+    var o = 0
+    while (o <= 4 && o < bs) {
+      val res = fixedResiduals(x, from, from + bs, o)
+      val (p, rc) = bestParamOf(res)
+      val c = ebps.toLong * o + 10 + rc
+      if (c < bestCost) { bestCost = c; bestOrder = o; bestParam = p }
+      o += 1
+    }
+    // the LPC candidate competes on the same exact-bit scale
+    var lpcModel: QlpModel = null
+    var lpcParam = 0
+    if (lpcOrder > 0 && lpcOrder < bs) {
+      val mdl = fitLpc(x, from, from + bs, lpcOrder)
+      if (mdl != null) {
+        val res = lpcResiduals(x, from, from + bs, mdl)
+        val (p, rc) = bestParamOf(res)
+        val c = ebps.toLong * lpcOrder + 4 + 5 + mdl.prec.toLong * lpcOrder +
+          10 + rc
+        if (c < bestCost) { bestCost = c; lpcModel = mdl; lpcParam = p }
+      }
+    }
+    if (lpcModel != null) {
+      val order = lpcModel.coefs.length
+      w2.put(0, 1); w2.put(32 | (order - 1), 6); w2.put(0, 1) // LPC
+      i = from
+      while (i < from + order) { // warmup
+        w2.put(x(i).toLong & mask, ebps)
+        i += 1
+      }
+      w2.put((lpcModel.prec - 1).toLong, 4)
+      w2.put(lpcModel.shift.toLong, 5) // non-negative by construction
+      var j = 0
+      while (j < order) {
+        w2.put(lpcModel.coefs(j).toLong & ((1L << lpcModel.prec) - 1),
+          lpcModel.prec)
+        j += 1
+      }
+      emitRice(lpcResiduals(x, from, from + bs, lpcModel), lpcParam)
+    } else if (bestOrder < 0) {
+      w2.put(0, 1); w2.put(1, 6); w2.put(0, 1) // VERBATIM
+      i = from
+      while (i < from + bs) {
+        w2.put(x(i).toLong & mask, ebps)
+        i += 1
+      }
+    } else {
+      w2.put(0, 1); w2.put(8 | bestOrder, 6); w2.put(0, 1) // FIXED
+      i = from
+      while (i < from + bestOrder) { // warmup
+        w2.put(x(i).toLong & mask, ebps)
+        i += 1
+      }
+      emitRice(fixedResiduals(x, from, from + bs, bestOrder), bestParam)
+    }
+    w2
+  }
+
   /** Encode payload bytes (little-endian 16-bit mono PCM, whole samples
     * only) as a FLAC stream; null when no full sample fits. When
     * `lpcOrder` > 0, an LPC subframe of that order competes (by exact
@@ -313,100 +430,98 @@ object FlacCodec {
       headBytes.foreach(b => w2.put(b & 0xffL, 8))
       w2.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
 
-      // ---- choose the subframe: constant / fixed 0..4 / verbatim ----
-      var allEqual = true
-      i = start + 1
-      while (i < start + bs && allEqual) {
-        if (x(i) != x(start)) allEqual = false
+      buildSubframe(x, start, bs, 16, lpcOrder).appendTo(w2)
+      w2.align()
+      val frameBytes = w2.toByteArray
+      out.write(frameBytes)
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write((c16 >>> 8) & 0xff); out.write(c16 & 0xff)
+      start += bs
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Encode payload bytes as STEREO FLAC: consecutive LE 16-bit pairs
+    * alternate (left, right) — whole pairs only; null when no full pair
+    * fits. Every frame COSTS all four channel assignments exactly —
+    * independent, left/side, right/side, mid/side (the side channel at
+    * 17 bits per the spec) — and writes the cheapest, so correlated
+    * channels really take the decorrelated wire.
+    */
+  def encodeFlacStereo(payload: Array[Byte], lpcOrder: Int = 0): Array[Byte] = {
+    require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
+    val nPairs = payload.length / 4
+    if (nPairs < 1) return null
+    if (nPairs > (1 << 23)) return null
+    val left = new Array[Int](nPairs)
+    val right = new Array[Int](nPairs)
+    var i = 0
+    while (i < nPairs) {
+      left(i) = ((payload(4 * i) & 0xff) |
+        (payload(4 * i + 1) << 8)).toShort.toInt
+      right(i) = ((payload(4 * i + 2) & 0xff) |
+        (payload(4 * i + 3) << 8)).toShort.toInt
+      i += 1
+    }
+
+    val out = new java.io.ByteArrayOutputStream(payload.length + 1024)
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new BitWriter
+    si.put(BlockSize, 16)
+    si.put(BlockSize, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(8000, 20)
+    si.put(1, 3)              // channels - 1 = 1
+    si.put(15, 5)             // bits per sample - 1
+    si.put(nPairs.toLong, 36) // total INTER-CHANNEL samples
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(payload, 0, 4 * nPairs))
+    md5.foreach(b => si.put(b & 0xffL, 8))
+    out.write(si.toByteArray)
+
+    var f = 0
+    var start = 0
+    while (start < nPairs) {
+      val bs = math.min(BlockSize, nPairs - start)
+      // frame-local decorrelated channels
+      val side = new Array[Int](bs)
+      val mid = new Array[Int](bs)
+      i = 0
+      while (i < bs) {
+        side(i) = left(start + i) - right(start + i)
+        mid(i) = (left(start + i) + right(start + i)) >> 1
         i += 1
       }
-      if (allEqual) {
-        w2.put(0, 1); w2.put(0, 6); w2.put(0, 1) // CONSTANT, no wasted bits
-        w2.put(x(start).toLong & 0xffff, 16)
-      } else {
-        def bestParamOf(res: Array[Int]): (Int, Long) = {
-          var bp = 0
-          var bc = Long.MaxValue
-          var p = 0
-          while (p <= 14) {
-            val c = riceCost(res, p)
-            if (c < bc) { bc = c; bp = p }
-            p += 1
-          }
-          (bp, bc)
-        }
-        def emitRice(res: Array[Int], param: Int): Unit = {
-          w2.put(0, 2) // coding method 0: 4-bit Rice parameters
-          w2.put(0, 4) // partition order 0
-          w2.put(param.toLong, 4)
-          var j = 0
-          while (j < res.length) {
-            val u = zigzag(res(j))
-            w2.putUnary((u >>> param).toInt)
-            var b = param - 1
-            while (b >= 0) { w2.putBit(((u >>> b) & 1).toInt); b -= 1 }
-            j += 1
-          }
-        }
-        // best fixed order + Rice parameter by exact bit cost
-        var bestOrder = -1
-        var bestParam = 0
-        var bestCost = 16L * bs // the verbatim bar
-        var o = 0
-        while (o <= 4 && o < bs) {
-          val res = fixedResiduals(x, start, start + bs, o)
-          val (p, rc) = bestParamOf(res)
-          val c = 16L * o + 10 + rc
-          if (c < bestCost) { bestCost = c; bestOrder = o; bestParam = p }
-          o += 1
-        }
-        // the LPC candidate competes on the same exact-bit scale
-        var lpcModel: QlpModel = null
-        var lpcParam = 0
-        if (lpcOrder > 0 && lpcOrder < bs) {
-          val mdl = fitLpc(x, start, start + bs, lpcOrder)
-          if (mdl != null) {
-            val res = lpcResiduals(x, start, start + bs, mdl)
-            val (p, rc) = bestParamOf(res)
-            val c = 16L * lpcOrder + 4 + 5 + mdl.prec.toLong * lpcOrder +
-              10 + rc
-            if (c < bestCost) { bestCost = c; lpcModel = mdl; lpcParam = p }
-          }
-        }
-        if (lpcModel != null) {
-          val order = lpcModel.coefs.length
-          w2.put(0, 1); w2.put(32 | (order - 1), 6); w2.put(0, 1) // LPC
-          i = start
-          while (i < start + order) { // warmup
-            w2.put(x(i).toLong & 0xffff, 16)
-            i += 1
-          }
-          w2.put((lpcModel.prec - 1).toLong, 4)
-          w2.put(lpcModel.shift.toLong, 5) // non-negative by construction
-          var j = 0
-          while (j < order) {
-            w2.put(lpcModel.coefs(j).toLong & ((1L << lpcModel.prec) - 1),
-              lpcModel.prec)
-            j += 1
-          }
-          emitRice(lpcResiduals(x, start, start + bs, lpcModel), lpcParam)
-        } else if (bestOrder < 0) {
-          w2.put(0, 1); w2.put(1, 6); w2.put(0, 1) // VERBATIM
-          i = start
-          while (i < start + bs) {
-            w2.put(x(i).toLong & 0xffff, 16)
-            i += 1
-          }
-        } else {
-          w2.put(0, 1); w2.put(8 | bestOrder, 6); w2.put(0, 1) // FIXED
-          i = start
-          while (i < start + bestOrder) { // warmup
-            w2.put(x(i).toLong & 0xffff, 16)
-            i += 1
-          }
-          emitRice(fixedResiduals(x, start, start + bs, bestOrder), bestParam)
-        }
+      val subL = buildSubframe(left, start, bs, 16, lpcOrder)
+      val subR = buildSubframe(right, start, bs, 16, lpcOrder)
+      val subS = buildSubframe(side, 0, bs, 17, lpcOrder)
+      val subM = buildSubframe(mid, 0, bs, 16, lpcOrder)
+      // four assignments, one exact cost scale
+      val candidates = Seq(
+        (0x1, subL, subR), // independent stereo
+        (0x8, subL, subS), // left/side
+        (0x9, subS, subR), // side/right
+        (0xa, subM, subS)) // mid/side
+      val (chanCode, first, second) = candidates.minBy {
+        case (_, a, b) => a.bitLength + b.bitLength
       }
+
+      val w = new BitWriter
+      w.put(0xff, 8)
+      w.put(0xf8, 8)
+      w.put(0x70, 8)
+      w.put((chanCode << 4) | 0x08, 8) // assignment + 16-bit + reserved
+      putUtf8(w, f.toLong)
+      w.put((bs - 1).toLong, 16)
+      val headBytes = w.toByteArray
+      val w2 = new BitWriter
+      headBytes.foreach(b => w2.put(b & 0xffL, 8))
+      w2.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
+      first.appendTo(w2)
+      second.appendTo(w2)
       w2.align()
       val frameBytes = w2.toByteArray
       out.write(frameBytes)
@@ -562,8 +677,16 @@ object FlacCodec {
       val chanCode = b3 >>> 4
       val ssCode = (b3 >>> 1) & 7
       if ((b3 & 1) != 0) return Invalid // reserved
-      if (chanCode >= 8) return Invalid // stereo decorrelation: fenced
-      if (chanCode + 1 != channels) return Invalid
+      if (chanCode > 10) return Invalid // reserved assignments
+      val decor = chanCode >= 8 // left/side, right/side, mid/side
+      if (decor && channels != 2) return Invalid
+      if (!decor && chanCode + 1 != channels) return Invalid
+      // the DIFFERENCE channel carries one extra bit per the spec
+      val sideCh = chanCode match {
+        case 8 | 10 => 1
+        case 9 => 0
+        case _ => -1
+      }
       if (ssCode != 4 && ssCode != 0) return Invalid // 16-bit only
       val fno = readUtf8(r)
       if (fno != nFrames) return Invalid // strictly sequential
@@ -606,7 +729,7 @@ object FlacCodec {
           wasted = u + 1
         }
         if (r.fail) return Invalid
-        val ebps = bps - wasted
+        val ebps = bps + (if (ch == sideCh) 1 else 0) - wasted
         if (ebps < 1) return Invalid
         val x = frame(ch)
         def signed(v: Long, bits: Int): Int =
@@ -725,7 +848,33 @@ object FlacCodec {
           var i = 0
           while (i < bs) { x(i) = x(i) << wasted; i += 1 }
         }
-        // a 16-bit stream must stay in 16-bit range after reconstruction
+        ch += 1
+      }
+      // ---- undo stereo decorrelation (the subframes carried the
+      // transformed channels; L/R come back here) ----
+      if (decor) {
+        val x0 = frame(0)
+        val x1 = frame(1)
+        var i = 0
+        chanCode match {
+          case 8 => // left/side: right = left - side
+            while (i < bs) { x1(i) = x0(i) - x1(i); i += 1 }
+          case 9 => // side/right: left = right + side
+            while (i < bs) { x0(i) = x1(i) + x0(i); i += 1 }
+          case _ => // mid/side: mid carries the floor, side the parity
+            while (i < bs) {
+              val m2 = (x0(i) << 1) | (x1(i) & 1)
+              x0(i) = (m2 + x1(i)) >> 1
+              x1(i) = (m2 - x1(i)) >> 1
+              i += 1
+            }
+        }
+      }
+      // a 16-bit stream must stay in 16-bit range after reconstruction
+      // (checked on the FINAL channels, after any decorrelation undo)
+      ch = 0
+      while (ch < channels) {
+        val x = frame(ch)
         var i3 = 0
         while (i3 < bs) {
           if (x(i3) < -32768 || x(i3) > 32767) return Invalid
@@ -746,7 +895,9 @@ object FlacCodec {
           val s = frame(ch)(i)
           sumS += s
           sumAbs += math.abs(s)
-          sumIs += (sampleIdx + i) * s.toLong
+          // global INTERLEAVED index — for stereo this is the position
+          // in the LE16 stream the oracle reads off raw payload bytes
+          sumIs += ((sampleIdx + i) * channels + ch) * s.toLong
           pcmBuf(2 * ch) = (s & 0xff).toByte
           pcmBuf(2 * ch + 1) = ((s >> 8) & 0xff).toByte
           ch += 1
@@ -766,11 +917,14 @@ object FlacCodec {
   }
 }
 
-/** `graft_flac_encode(bytes[, lpcOrder])`: payload (LE 16-bit mono PCM)
-  * → FLAC stream (null when no full sample fits). lpcOrder > 0 lets an
-  * LPC subframe of that order compete by exact bit cost.
+/** `graft_flac_encode(bytes[, lpcOrder, stereo])`: payload (LE 16-bit
+  * PCM — mono samples, or interleaved L/R pairs when `stereo`) → FLAC
+  * stream (null when no full sample/pair fits). lpcOrder > 0 lets an
+  * LPC subframe of that order compete by exact bit cost; stereo costs
+  * all four channel assignments per frame.
   */
-case class FlacEncode(child: Expression, lpcOrder: Int = 0)
+case class FlacEncode(child: Expression, lpcOrder: Int = 0,
+    stereo: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
 
@@ -783,7 +937,9 @@ case class FlacEncode(child: Expression, lpcOrder: Int = 0)
       s"graft_flac_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]], lpcOrder)
+    if (stereo)
+      FlacCodec.encodeFlacStereo(input.asInstanceOf[Array[Byte]], lpcOrder)
+    else FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]], lpcOrder)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -827,17 +983,20 @@ object FlacNativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_flac_encode",
       exprs => FlacEncode(exprs.head,
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 0),
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 0,
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean]
+        else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_flac_decode", exprs => FlacDecode(exprs.head), "built-in")
   }
 
   def flacEncode(spark: SparkSession, bytes: Column,
-      lpcOrder: Int = 0): Column = {
+      lpcOrder: Int = 0, stereo: Boolean = false): Column = {
     register(spark)
     call_function("graft_flac_encode", bytes,
-      org.apache.spark.sql.functions.lit(lpcOrder))
+      org.apache.spark.sql.functions.lit(lpcOrder),
+      org.apache.spark.sql.functions.lit(stereo))
   }
 
   def flacDecode(spark: SparkSession, bytes: Column): Column = {

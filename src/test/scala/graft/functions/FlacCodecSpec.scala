@@ -328,6 +328,62 @@ class FlacCodecSpec extends SparkSpec {
       "precision code 0b1111 is reserved and must reject")
   }
 
+  test("stereo decorrelation: all four channel assignments, one identity") {
+    // payload = interleaved LE16 (L, R) pairs; length a multiple of 4 so
+    // the interleaved-index expectation matches the mono helper exactly
+    def stats(payload: Array[Byte], lpc: Int = 0): FlacCodec.Decoded = {
+      val flac = FlacCodec.encodeFlacStereo(payload, lpc)
+      assert(flac !== null)
+      FlacCodec.decodeFlac(flac)
+    }
+    def chanCodeOfFirstFrame(flac: Array[Byte]): Int = (flac(45) & 0xff) >>> 4
+    // independent random channels: side would cost MORE (17-bit noise),
+    // so the chooser must stay independent (assignment 1)
+    val noise = fixture(4 * 600, 31)
+    val dN = stats(noise)
+    assert(dN.valid)
+    assert(dN.nSamples === 1200L)
+    val (ss, sa, si) = expected(noise)
+    assert((dN.sumS, dN.sumAbs, dN.sumIs) === ((ss, sa, si)),
+      "interleaved stats must read like the raw LE16 stream")
+    assert(chanCodeOfFirstFrame(FlacCodec.encodeFlacStereo(noise)) === 1,
+      "independent noise must NOT take a decorrelated assignment")
+    // identical channels: side == 0 everywhere, so a decorrelated
+    // assignment (constant side subframe) must win the cost race
+    val mono = fixture(2 * 600, 33)
+    val dup = new Array[Byte](4 * 600)
+    for (i <- 0 until 600) {
+      dup(4 * i) = mono(2 * i); dup(4 * i + 1) = mono(2 * i + 1)
+      dup(4 * i + 2) = mono(2 * i); dup(4 * i + 3) = mono(2 * i + 1)
+    }
+    val flacDup = FlacCodec.encodeFlacStereo(dup)
+    assert(chanCodeOfFirstFrame(flacDup) >= 8,
+      "identical channels must take a decorrelated wire")
+    val dD = FlacCodec.decodeFlac(flacDup)
+    val (ds, da, di) = expected(dup)
+    assert(dD.valid && (dD.sumS, dD.sumAbs, dD.sumIs) === ((ds, da, di)),
+      "decorrelation must undo exactly (the MD5 gate would also object)")
+    // correlated-but-not-identical channels (R = L + small noise):
+    // side is near-silent -> left/side or mid/side wins; identity holds
+    val rng = new scala.util.Random(35)
+    val corr = new Array[Byte](4 * 600)
+    for (i <- 0 until 600) {
+      val l = (4000 * math.sin(i / 11.0)).toInt
+      val r = l + rng.nextInt(9) - 4
+      corr(4 * i) = (l & 0xff).toByte
+      corr(4 * i + 1) = ((l >> 8) & 0xff).toByte
+      corr(4 * i + 2) = (r & 0xff).toByte
+      corr(4 * i + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val flacCorr = FlacCodec.encodeFlacStereo(corr, lpcOrder = 8)
+    assert(chanCodeOfFirstFrame(flacCorr) >= 8)
+    val dC = FlacCodec.decodeFlac(flacCorr)
+    val (cs, ca, ci) = expected(corr)
+    assert(dC.valid && (dC.sumS, dC.sumAbs, dC.sumIs) === ((cs, ca, ci)))
+    // whole pairs only
+    assert(FlacCodec.encodeFlacStereo(fixture(3, 36)) === null)
+  }
+
   test("engine surface: Multimodal.encodeFlac / flacStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
