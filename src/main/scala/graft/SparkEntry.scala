@@ -2835,6 +2835,23 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"),
           col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
     },
+    // Animated GIF with LOCAL color tables and NO global table (E260):
+    // the dominant real animated-GIF shape. Each frame carries its own
+    // palette under a frame-dependent rule, so the channel sums only
+    // match when the decoder reads EVERY frame's table (a GCT fallback
+    // would miss all of them — there is no GCT to fall back to).
+    "q306_gif_lct" -> { (s, dir) =>
+      graft.ext.Multimodal.gifStats(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, frameHeight = 5, localPalettes = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_pixels"), col("sum_idx"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("sum_rowv"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -3774,6 +3791,32 @@ object SparkEntry {
          |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
          |       CAST(SUM(i * s) AS BIGINT) AS sum_is
          |FROM sg GROUP BY asset_id, np""".stripMargin
+
+  /** Animated-GIF-with-LCT replay (q306): whole 40x5 frames; each
+    * frame's LOCAL palette follows the frame-shifted rule (R = v+17f,
+    * G = 3v+85+29f, B = 7v+21+41f, all mod 256 with f = i DIV 200), so
+    * the channel sums are still per-byte arithmetic — but only a
+    * decoder that reads every frame's table reproduces them.
+    */
+  private def gifLctOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 200 AS nf
+         |      FROM src WHERE octet_length(p) // 200 >= 1),
+         |bv AS (SELECT asset_id, nf, i // 40 AS r, i // 200 AS f,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, nf, h,
+         |               unnest(range(0, nf * 200)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nf AS BIGINT) AS n_frames,
+         |       CAST(nf * 200 AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_idx,
+         |       CAST(SUM((v + 17*f) % 256) AS BIGINT) AS sum_r,
+         |       CAST(SUM((3*v + 85 + 29*f) % 256) AS BIGINT) AS sum_g,
+         |       CAST(SUM((7*v + 21 + 41*f) % 256) AS BIGINT) AS sum_b,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv
+         |FROM bv GROUP BY asset_id, nf""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -5063,6 +5106,7 @@ object SparkEntry {
     "q294_gif_pal4" -> gifPal4OracleSql,
     "q295_gif_interlaced" -> gifInterlacedOracleSql,
     "q296_gif_anim" -> gifAnimOracleSql,
+    "q306_gif_lct" -> gifLctOracleSql,
     // q290/q291 share one oracle verbatim (plain vs record-gzip wire);
     // q292 is the per-record body-extraction fan-out; q293 is q288's
     // whole-corpus scale twin

@@ -952,7 +952,8 @@ object Multimodal {
     * color table derived from the index (see [[graft.functions.GifCodec]]).
     */
   def encodeGif(assets: DataFrame, width: Int = 40, palBits: Int = 8,
-      interlaced: Boolean = false, frameHeight: Int = 0): DataFrame = {
+      interlaced: Boolean = false, frameHeight: Int = 0,
+      localPalettes: Boolean = false): DataFrame = {
     require(width >= 1 && width <= 65535, "width must fit the u16 field")
     require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
     val spark = assets.sparkSession
@@ -968,7 +969,7 @@ object Multimodal {
         octet_length(col("bytes")) < maxLen)
       .withColumn("bytes",
         graft.functions.GifNativeFunctions.gifEncode(spark, col("bytes"),
-          width, palBits, interlaced, frameHeight))
+          width, palBits, interlaced, frameHeight, localPalettes))
   }
 
   /** Decode GIF assets natively (E245): strict header/descriptor parse,

@@ -73,6 +73,15 @@ object GifCodec {
   def paletteG(i: Int): Int = (3 * i + 85) & 0xff
   def paletteB(i: Int): Int = (7 * i + 21) & 0xff
 
+  /** LOCAL color table rule for frame f: the global rule shifted by a
+    * frame-dependent offset — per-frame tables genuinely DIFFER, so a
+    * decoder that ignored the LCT (or fell back to a GCT) would miss
+    * every channel sum. lct*(i, 0) equals the global rule.
+    */
+  def lctR(i: Int, f: Int): Int = (i + 17 * f) & 0xff
+  def lctG(i: Int, f: Int): Int = (3 * i + 85 + 29 * f) & 0xff
+  def lctB(i: Int, f: Int): Int = (7 * i + 21 + 41 * f) & 0xff
+
   /** Declared-geometry cap: decode never buffers pixels, but emission
     * work is proportional to the total pixel count — 16M pixels bounds a
     * forged header's spin without excluding any real fixture.
@@ -112,7 +121,8 @@ object GifCodec {
     *    fits or the height overflows the u16 field).
     */
   def encodeGif(payload: Array[Byte], width: Int, palBits: Int = 8,
-      interlaced: Boolean = false, frameHeight: Int = 0): Array[Byte] = {
+      interlaced: Boolean = false, frameHeight: Int = 0,
+      localPalettes: Boolean = false): Array[Byte] = {
     require(width >= 1 && width <= 65535, "width must fit the u16 field")
     require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
     require(frameHeight >= 0 && frameHeight <= 65535,
@@ -132,13 +142,17 @@ object GifCodec {
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     "GIF89a".foreach(c => out.write(c.toInt))
     u16(width); u16(fh)
-    out.write(0xf0 | (palBits - 1)) // GCT present, 8-bit color res, 2^palBits
+    // with local palettes the GCT is OMITTED entirely (the real-file
+    // shape: many animated GIFs carry only per-frame tables)
+    out.write((if (localPalettes) 0x70 else 0xf0) | (palBits - 1))
     out.write(0)                    // background color index
     out.write(0)                    // pixel aspect ratio
     var i = 0
-    while (i < palSize) {
-      out.write(paletteR(i)); out.write(paletteG(i)); out.write(paletteB(i))
-      i += 1
+    if (!localPalettes) {
+      while (i < palSize) {
+        out.write(paletteR(i)); out.write(paletteG(i)); out.write(paletteB(i))
+        i += 1
+      }
     }
     if (animated) {
       // NETSCAPE2.0 looping application extension (the real-world marker)
@@ -182,7 +196,16 @@ object GifCodec {
       }
       out.write(0x2c) // image descriptor
       u16(0); u16(0); u16(width); u16(fh)
-      out.write(if (interlaced) 0x40 else 0x00) // no LCT; interlace flag
+      out.write((if (localPalettes) 0x80 else 0x00) |
+        (if (interlaced) 0x40 else 0x00) |
+        (if (localPalettes) palBits - 1 else 0))
+      if (localPalettes) {
+        i = 0
+        while (i < palSize) {
+          out.write(lctR(i, f)); out.write(lctG(i, f)); out.write(lctB(i, f))
+          i += 1
+        }
+      }
       out.write(minCode)
 
       // frame pixel at sequential position j: interlace reorders rows
@@ -275,8 +298,10 @@ object GifCodec {
     val sw = u16(6)
     val sh = u16(8)
     val packed = bytes(10) & 0xff
-    if ((packed & 0x80) == 0) return Invalid // fixtures always carry a GCT
-    val gctSize = 2 << (packed & 0x07)
+    // the GCT is OPTIONAL (real animated files often carry only local
+    // tables); a frame without an LCT then has no palette and rejects
+    val hasGct = (packed & 0x80) != 0
+    val gctSize = if (hasGct) 2 << (packed & 0x07) else 0
     var p = 13
     if (p + 3 * gctSize > n) return Invalid
     val palR = new Array[Int](gctSize)
@@ -351,7 +376,6 @@ object GifCodec {
         if (w != sw || h != sh) return Invalid
         if (totalEmitted + framePix > MaxPixels) return Invalid
         val ipacked = bytes(p + 9) & 0xff
-        if ((ipacked & 0x80) != 0) return Invalid // no local color table
         val interlaced = (ipacked & 0x40) != 0
         if (rowOrder == null || rowOrderInterlaced != interlaced) {
           rowOrder = if (interlaced) interlaceRows(h)
@@ -359,6 +383,27 @@ object GifCodec {
           rowOrderInterlaced = interlaced
         }
         p += 10
+        // LOCAL color table: overrides the GCT for THIS frame only
+        var fPalR = palR
+        var fPalG = palG
+        var fPalB = palB
+        var fPalSize = gctSize
+        if ((ipacked & 0x80) != 0) {
+          val lctSize = 2 << (ipacked & 0x07)
+          if (p + 3 * lctSize > n) return Invalid // truncated LCT
+          fPalR = new Array[Int](lctSize)
+          fPalG = new Array[Int](lctSize)
+          fPalB = new Array[Int](lctSize)
+          i = 0
+          while (i < lctSize) {
+            fPalR(i) = bytes(p) & 0xff
+            fPalG(i) = bytes(p + 1) & 0xff
+            fPalB(i) = bytes(p + 2) & 0xff
+            p += 3
+            i += 1
+          }
+          fPalSize = lctSize
+        } else if (!hasGct) return Invalid // no palette for this frame
         if (p >= n) return Invalid
         val minCode = bytes(p) & 0xff
         // T.81 analog of the SSSS bound: the spec floor is 2, the 256-
@@ -409,11 +454,11 @@ object GifCodec {
           while (top > 0) {
             top -= 1
             val v = stack(top)
-            if (v >= gctSize) return false // index outside the palette
+            if (v >= fPalSize) return false // index outside the palette
             sumIdx += v
-            sumR += palR(v)
-            sumG += palG(v)
-            sumB += palB(v)
+            sumR += fPalR(v)
+            sumG += fPalG(v)
+            sumB += fPalB(v)
             // the order-sensitive stat: global output row x index — the
             // interlace map is what makes this match the raw payload
             sumRowV += (frameRowBase + rowOrder((emitted / w).toInt)) * v
@@ -488,7 +533,8 @@ object GifCodec {
   * See [[GifCodec.encodeGif]].
   */
 case class GifEncode(child: Expression, width: Int, palBits: Int = 8,
-    interlaced: Boolean = false, frameHeight: Int = 0)
+    interlaced: Boolean = false, frameHeight: Int = 0,
+    localPalettes: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1 && width <= 65535, "width must fit the u16 field")
   require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
@@ -503,7 +549,7 @@ case class GifEncode(child: Expression, width: Int, palBits: Int = 8,
 
   override def nullSafeEval(input: Any): Any =
     GifCodec.encodeGif(input.asInstanceOf[Array[Byte]], width, palBits,
-      interlaced, frameHeight)
+      interlaced, frameHeight, localPalettes)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -563,7 +609,9 @@ object GifNativeFunctions {
         exprs(1).eval().asInstanceOf[Int],
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 8,
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false,
-        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Int] else 0),
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Int] else 0,
+        if (exprs.length > 5) exprs(5).eval().asInstanceOf[Boolean]
+        else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_decode", exprs => GifDecode(exprs.head), "built-in")
@@ -571,13 +619,14 @@ object GifNativeFunctions {
 
   def gifEncode(spark: SparkSession, bytes: Column, width: Int,
       palBits: Int = 8, interlaced: Boolean = false,
-      frameHeight: Int = 0): Column = {
+      frameHeight: Int = 0, localPalettes: Boolean = false): Column = {
     register(spark)
     call_function("graft_gif_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(palBits),
       org.apache.spark.sql.functions.lit(interlaced),
-      org.apache.spark.sql.functions.lit(frameHeight))
+      org.apache.spark.sql.functions.lit(frameHeight),
+      org.apache.spark.sql.functions.lit(localPalettes))
   }
 
   def gifDecode(spark: SparkSession, bytes: Column): Column = {

@@ -213,6 +213,44 @@ class GifCodecSpec extends SparkSpec {
       frameHeight = 5) === null)
   }
 
+  test("local color tables override per frame; missing GCT is spec-legal") {
+    val payload = fixture(6 * 40 * 5 + 7, 43) // 6 whole 40x5 frames
+    val gif = GifCodec.encodeGif(payload, 40, frameHeight = 5,
+      localPalettes = true)
+    assert(gif !== null)
+    // the wire really has NO global table and an LCT flag per frame
+    assert((gif(10) & 0x80) === 0, "no GCT on the wire")
+    val d = GifCodec.decodeGif(gif)
+    assert(d.valid)
+    assert(d.nFrames === 6L)
+    var si = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    for (i <- 0 until 1200) {
+      val v = payload(i) & 0xff
+      val f = i / 200
+      si += v
+      sr += GifCodec.lctR(v, f)
+      sg += GifCodec.lctG(v, f)
+      sb += GifCodec.lctB(v, f)
+    }
+    assert(d.sumIdx === si)
+    assert((d.sumR, d.sumG, d.sumB) === ((sr, sg, sb)),
+      "per-frame palettes genuinely differ — only real LCT reads match")
+    // frame 0's LCT equals the global rule, later frames diverge
+    assert(GifCodec.lctR(9, 0) === GifCodec.paletteR(9))
+    assert(GifCodec.lctR(9, 1) !== GifCodec.paletteR(9))
+    // a frame with NEITHER an LCT nor a GCT has no palette: clear the
+    // first frame's LCT flag (descriptor follows the 13-byte header +
+    // NETSCAPE ext (19) + GCE (8); packed byte is descriptor + 9)
+    val descAt = 13 + 19 + 8
+    assert((gif(descAt) & 0xff) === 0x2c, "descriptor offset sanity")
+    val noPal = gif.clone()
+    noPal(descAt + 9) = (noPal(descAt + 9) & 0x7f).toByte
+    assert(!GifCodec.decodeGif(noPal).valid,
+      "a frame with no palette at all is a visible finding")
+    // truncating inside the first LCT is a visible finding
+    assert(!GifCodec.decodeGif(gif.take(descAt + 10 + 100)).valid)
+  }
+
   test("trailing extension blocks before the trailer are spec-legal") {
     val payload = fixture(1600, 41)
     val gif = GifCodec.encodeGif(payload, 40)
