@@ -2852,6 +2852,23 @@ object SparkEntry {
           col("n_pixels"), col("sum_idx"), col("sum_r"), col("sum_g"),
           col("sum_b"), col("sum_rowv"))
     },
+    // MULTI-PAGE TIFF (E261): the scanner-archive shape — one IFD per
+    // page chained through the next pointers, every page with its own
+    // strips and external value areas. sum_rowv stacks rows across
+    // pages, pinning page ORDER; the per-page geometry audit and the
+    // cumulative pixel cap ride the same chain walk.
+    "q307_tiff_multipage" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, packBits = true, pageHeight = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"), col("sum_rowv"),
+          col("n_strips"), col("n_pages"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -3817,6 +3834,30 @@ object SparkEntry {
          |       CAST(SUM((7*v + 21 + 41*f) % 256) AS BIGINT) AS sum_b,
          |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv
          |FROM bv GROUP BY asset_id, nf""".stripMargin
+
+  /** Multi-page TIFF replay (q307): whole 40x6 pages (PackBits wire),
+    * 2 strips per page, rows stacked across pages (global row =
+    * i DIV 40 on the raw payload).
+    */
+  private def tiffMultipageOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 240 AS np
+         |      FROM src WHERE octet_length(p) // 240 >= 1
+         |        AND octet_length(p) <= 16777216),
+         |bv AS (SELECT asset_id, np, i // 40 AS r,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, np, h,
+         |               unnest(range(0, np * 240)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+         |       CAST(6 AS BIGINT) AS height,
+         |       CAST(np * 240 AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_v,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
+         |       CAST(np * 2 AS BIGINT) AS n_strips,
+         |       CAST(np AS BIGINT) AS n_pages
+         |FROM bv GROUP BY asset_id, np""".stripMargin
 
   /** The shared gray-pipeline CTE chain (FDCT → quantize → dequantize →
     * IDCT per 8x8 block straight from payload bytes), parametrized on
@@ -5103,6 +5144,7 @@ object SparkEntry {
     "q297_tiff_stats" -> tiffOracleSql,
     "q298_tiff_packbits" -> tiffOracleSql,
     "q304_tiff_lzw" -> tiffOracleSql,
+    "q307_tiff_multipage" -> tiffMultipageOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,
     "q295_gif_interlaced" -> gifInterlacedOracleSql,
     "q296_gif_anim" -> gifAnimOracleSql,

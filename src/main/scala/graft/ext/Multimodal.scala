@@ -1042,18 +1042,19 @@ object Multimodal {
     */
   def encodeTiff(assets: DataFrame, width: Int = 40,
       bigEndian: Boolean = false, packBits: Boolean = false,
-      lzw: Boolean = false): DataFrame = {
+      lzw: Boolean = false, pageHeight: Int = 0): DataFrame = {
     require(width >= 1, "width must be positive")
     val spark = assets.sparkSession
     assets
       // lower bound mirrors the codec's null rule (no full row); upper
       // bound mirrors the 2^24-pixel cap, both on the cheap input length
-      .filter(octet_length(col("bytes")) >= width &&
+      .filter(octet_length(col("bytes")) >=
+          (if (pageHeight > 0) width.toLong * pageHeight else width.toLong) &&
         octet_length(col("bytes")) <=
           graft.functions.TiffCodec.MaxPixels.toLong)
       .withColumn("bytes",
         graft.functions.TiffNativeFunctions.tiffEncode(spark, col("bytes"),
-          width, bigEndian, packBits, lzw))
+          width, bigEndian, packBits, lzw, pageHeight))
   }
 
   /** Decode TIFF assets natively (E252): strict header + IFD walk (both
@@ -1076,7 +1077,8 @@ object Multimodal {
         col("q.n_pixels").as("n_pixels"), col("q.sum_v").as("sum_v"),
         col("q.mean_v_milli").as("mean_v_milli"),
         col("q.sum_rowv").as("sum_rowv"),
-        col("q.n_strips").as("n_strips"))
+        col("q.n_strips").as("n_strips"),
+        col("q.n_pages").as("n_pages"))
   }
 
   /** Encode each asset's payload as an MJPEG AVI container (E240): each

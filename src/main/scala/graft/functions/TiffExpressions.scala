@@ -42,7 +42,8 @@ import org.apache.spark.sql.types._
   * PackBits or LZW stream that over- or under-fills its strip or dies
   * mid-run, a declared LZW strip length the code stream does not
   * consume exactly,
-  * or trailing IFDs (multi-page is out of the fixture contract) all
+  * a forged IFD chain (next pointers into garbage, > 4096 pages, pages
+  * with mismatched geometry) all
   * report `is_valid = false`. Forged-geometry bound: width·height is
   * capped at 2^24 and strips decode straight into running sums — pixels
   * are never buffered beyond one strip's declared size.
@@ -58,45 +59,80 @@ object TiffCodec {
   private val RowsPerStrip = 4
 
   /** Encode payload bytes as an 8-bit grayscale classic TIFF of the
-    * given column width (height = ⌊len/width⌋ whole rows; null when no
-    * full row fits or the geometry exceeds the pixel cap), in either
-    * byte order, uncompressed or PackBits (restarted per row).
+    * given column width, in either byte order, uncompressed / PackBits
+    * (restarted per row) / LZW (restarted per strip). `pageHeight` == 0
+    * gives one page of ⌊len/width⌋ whole rows; `pageHeight` > 0 gives a
+    * MULTI-PAGE archive of ⌊len/(width·pageHeight)⌋ whole pages chained
+    * through the IFD next pointers (the scanner-archive shape). Null
+    * when no full row/page fits or the geometry exceeds the pixel cap.
     */
   def encodeTiff(payload: Array[Byte], width: Int, bigEndian: Boolean,
-      packBits: Boolean, lzw: Boolean = false): Array[Byte] = {
+      packBits: Boolean, lzw: Boolean = false,
+      pageHeight: Int = 0): Array[Byte] = {
     require(width >= 1, "width must be positive")
     require(!(packBits && lzw), "choose one compression")
-    val h = payload.length / width
+    require(pageHeight >= 0, "pageHeight must be non-negative")
+    val paged = pageHeight > 0
+    val h = if (paged) pageHeight else payload.length / width
     if (h < 1) return null
-    if (width.toLong * h > MaxPixels) return null
+    val pageBytes = width * h
+    val nPages = if (paged) payload.length / pageBytes else 1
+    if (nPages < 1) return null
+    if (nPages.toLong * pageBytes > MaxPixels) return null
     val nStrips = (h + RowsPerStrip - 1) / RowsPerStrip
 
-    // ---- strip data (PackBits restarts at every ROW, LZW at every
-    // STRIP, per the spec) ----
-    val strips = new Array[Array[Byte]](nStrips)
-    var s = 0
-    while (s < nStrips) {
-      val rows = math.min(RowsPerStrip, h - s * RowsPerStrip)
-      if (lzw) {
-        strips(s) = lzwEncode(payload, s * RowsPerStrip * width, rows * width)
-      } else if (!packBits) {
-        strips(s) = java.util.Arrays.copyOfRange(payload,
-          s * RowsPerStrip * width, (s * RowsPerStrip + rows) * width)
-      } else {
-        val out = new java.io.ByteArrayOutputStream(rows * width + 16)
-        var r = 0
-        while (r < rows) {
-          val off = (s * RowsPerStrip + r) * width
-          packRow(payload, off, width, out)
-          r += 1
+    // ---- strip data per page (PackBits restarts at every ROW, LZW at
+    // every STRIP, per the spec) ----
+    val pages = new Array[Array[Array[Byte]]](nPages)
+    var pg = 0
+    while (pg < nPages) {
+      val strips = new Array[Array[Byte]](nStrips)
+      val base = pg * pageBytes
+      var s = 0
+      while (s < nStrips) {
+        val rows = math.min(RowsPerStrip, h - s * RowsPerStrip)
+        if (lzw) {
+          strips(s) =
+            lzwEncode(payload, base + s * RowsPerStrip * width, rows * width)
+        } else if (!packBits) {
+          strips(s) = java.util.Arrays.copyOfRange(payload,
+            base + s * RowsPerStrip * width,
+            base + (s * RowsPerStrip + rows) * width)
+        } else {
+          val out = new java.io.ByteArrayOutputStream(rows * width + 16)
+          var r = 0
+          while (r < rows) {
+            packRow(payload, base + (s * RowsPerStrip + r) * width, width, out)
+            r += 1
+          }
+          strips(s) = out.toByteArray
         }
-        strips(s) = out.toByteArray
+        s += 1
       }
-      s += 1
+      pages(pg) = strips
+      pg += 1
     }
 
-    // ---- assemble: header, strip data, IFD, external value areas ----
-    val out = new java.io.ByteArrayOutputStream(payload.length + 512)
+    // ---- layout: header, then per page [strips][IFD][ext areas],
+    // IFDs chained through their next pointers ----
+    val nEntries = 12
+    val ifdSize = 2 + nEntries * 12 + 4
+    // external areas per page: strip arrays only when external (> 1
+    // strip), plus the two RATIONAL resolutions
+    val extSize = (if (nStrips > 1) 8 * nStrips else 0) + 16
+    val stripsStart = new Array[Long](nPages)
+    val ifdAt = new Array[Long](nPages)
+    var off = 8L
+    pg = 0
+    while (pg < nPages) {
+      stripsStart(pg) = off
+      off += pages(pg).map(_.length.toLong).sum
+      ifdAt(pg) = off
+      off += ifdSize + extSize
+      pg += 1
+    }
+
+    val out = new java.io.ByteArrayOutputStream(payload.length + 512 * nPages)
     def u16(v: Int): Unit =
       if (bigEndian) { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
       else { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
@@ -108,71 +144,72 @@ object TiffCodec {
         out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
         out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
       }
-    val stripBytes = strips.map(_.length)
-    val dataStart = 8L
-    val ifdOff = dataStart + stripBytes.sum
     out.write(if (bigEndian) 'M' else 'I')
     out.write(if (bigEndian) 'M' else 'I')
     u16(42)
-    u32(ifdOff)
-    strips.foreach(out.write)
+    u32(ifdAt(0))
 
-    // entry helpers: TYPE 3 = SHORT, 4 = LONG, 5 = RATIONAL
-    val nEntries = 12
-    // external areas follow the IFD (entries + count + next pointer)
-    var extOff = ifdOff + 2 + nEntries * 12 + 4
-    val ext = new java.io.ByteArrayOutputStream(64)
-    def extU32(v: Long): Unit = {
-      if (bigEndian) {
-        ext.write(((v >>> 24) & 0xff).toInt); ext.write(((v >>> 16) & 0xff).toInt)
-        ext.write(((v >>> 8) & 0xff).toInt); ext.write((v & 0xff).toInt)
-      } else {
-        ext.write((v & 0xff).toInt); ext.write(((v >>> 8) & 0xff).toInt)
-        ext.write(((v >>> 16) & 0xff).toInt); ext.write(((v >>> 24) & 0xff).toInt)
+    pg = 0
+    while (pg < nPages) {
+      val strips = pages(pg)
+      strips.foreach(out.write)
+      val stripBytes = strips.map(_.length)
+      // external areas follow this page's IFD
+      var extOff = ifdAt(pg) + ifdSize
+      val ext = new java.io.ByteArrayOutputStream(64)
+      def extU32(v: Long): Unit = {
+        if (bigEndian) {
+          ext.write(((v >>> 24) & 0xff).toInt); ext.write(((v >>> 16) & 0xff).toInt)
+          ext.write(((v >>> 8) & 0xff).toInt); ext.write((v & 0xff).toInt)
+        } else {
+          ext.write((v & 0xff).toInt); ext.write(((v >>> 8) & 0xff).toInt)
+          ext.write(((v >>> 16) & 0xff).toInt); ext.write(((v >>> 24) & 0xff).toInt)
+        }
       }
-    }
-    u16(nEntries)
-    def entryShort(tag: Int, value: Int): Unit = {
-      u16(tag); u16(3); u32(1)
-      // a SHORT value sits in the FIRST two bytes of the 4-byte slot
-      // (left-justified in the file's byte order)
-      u16(value); u16(0)
-    }
-    def entryLong(tag: Int, value: Long): Unit = {
-      u16(tag); u16(4); u32(1); u32(value)
-    }
-    def entryLongArray(tag: Int, values: Array[Long]): Unit = {
-      u16(tag); u16(4); u32(values.length.toLong)
-      if (values.length == 1) u32(values(0))
-      else {
-        u32(extOff)
-        values.foreach(extU32)
-        extOff += 4L * values.length
+      u16(nEntries)
+      def entryShort(tag: Int, value: Int): Unit = {
+        u16(tag); u16(3); u32(1)
+        // a SHORT value sits in the FIRST two bytes of the 4-byte slot
+        // (left-justified in the file's byte order)
+        u16(value); u16(0)
       }
+      def entryLong(tag: Int, value: Long): Unit = {
+        u16(tag); u16(4); u32(1); u32(value)
+      }
+      def entryLongArray(tag: Int, values: Array[Long]): Unit = {
+        u16(tag); u16(4); u32(values.length.toLong)
+        if (values.length == 1) u32(values(0))
+        else {
+          u32(extOff)
+          values.foreach(extU32)
+          extOff += 4L * values.length
+        }
+      }
+      def entryRational(tag: Int, num: Long, den: Long): Unit = {
+        u16(tag); u16(5); u32(1); u32(extOff)
+        extU32(num); extU32(den)
+        extOff += 8
+      }
+      var acc = stripsStart(pg)
+      val offsets = stripBytes.map { b => val o = acc; acc += b; o }
+      // IFD entries in ascending tag order (the spec requirement)
+      entryLong(256, width.toLong)                  // ImageWidth
+      entryLong(257, h.toLong)                      // ImageLength
+      entryShort(258, 8)                            // BitsPerSample
+      entryShort(259,                               // Compression
+        if (lzw) 5 else if (packBits) 32773 else 1)
+      entryShort(262, 1)                            // Photometric: BlackIsZero
+      entryLongArray(273, offsets)                  // StripOffsets
+      entryShort(277, 1)                            // SamplesPerPixel
+      entryLong(278, RowsPerStrip.toLong)           // RowsPerStrip
+      entryLongArray(279, stripBytes.map(_.toLong)) // StripByteCounts
+      entryRational(282, 72, 1)                     // XResolution
+      entryRational(283, 72, 1)                     // YResolution
+      entryShort(296, 2)                            // ResolutionUnit: inch
+      u32(if (pg + 1 < nPages) ifdAt(pg + 1) else 0L) // the chain pointer
+      out.write(ext.toByteArray)
+      pg += 1
     }
-    def entryRational(tag: Int, num: Long, den: Long): Unit = {
-      u16(tag); u16(5); u32(1); u32(extOff)
-      extU32(num); extU32(den)
-      extOff += 8
-    }
-    var acc = dataStart
-    val offsets = stripBytes.map { b => val o = acc; acc += b; o }
-    // IFD entries in ascending tag order (the spec requirement)
-    entryLong(256, width.toLong)                  // ImageWidth
-    entryLong(257, h.toLong)                      // ImageLength
-    entryShort(258, 8)                            // BitsPerSample
-    entryShort(259,                               // Compression
-      if (lzw) 5 else if (packBits) 32773 else 1)
-    entryShort(262, 1)                            // Photometric: BlackIsZero
-    entryLongArray(273, offsets)                  // StripOffsets
-    entryShort(277, 1)                            // SamplesPerPixel
-    entryLong(278, RowsPerStrip.toLong)           // RowsPerStrip
-    entryLongArray(279, stripBytes.map(_.toLong)) // StripByteCounts
-    entryRational(282, 72, 1)                     // XResolution
-    entryRational(283, 72, 1)                     // YResolution
-    entryShort(296, 2)                            // ResolutionUnit: inch
-    u32(0)                                        // no next IFD
-    out.write(ext.toByteArray)
     out.toByteArray
   }
 
@@ -283,9 +320,10 @@ object TiffCodec {
   /** Per-asset decode result; -1 stats when invalid. */
   final case class Decoded(valid: Boolean, width: Long, height: Long,
       nPixels: Long, sumV: Long, meanVMilli: Long, sumRowV: Long,
-      nStrips: Long)
+      nStrips: Long, nPages: Long)
 
-  private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1)
+  private val Invalid =
+    Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1, -1)
 
   def decodeTiff(bytes: Array[Byte]): Decoded = {
     val n = bytes.length
@@ -307,7 +345,19 @@ object TiffCodec {
         (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
           ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     if (u16(2) != 42) return Invalid
-    val ifdOff = u32(4)
+    var ifdOff = u32(4)
+    // ---- the IFD CHAIN: one page per IFD, next pointers walked until
+    // zero (multi-page is the scanner-archive norm) ----
+    var pageW = -1L
+    var pageH = -1L
+    var totPixels = 0L
+    var totStrips = 0L
+    var nPages = 0L
+    var sumV = 0L
+    var sumRowV = 0L
+    var row = 0L // global output row, pages stacked
+    while (ifdOff != 0) {
+    if (nPages >= 4096) return Invalid // forged-chain bound
     if (ifdOff < 8 || ifdOff + 2 > n) return Invalid
     val nEntries = u16(ifdOff.toInt)
     if (nEntries < 1 || nEntries > 4096) return Invalid // forged-IFD bound
@@ -420,7 +470,8 @@ object TiffCodec {
       }
       e += 1
     }
-    if (u32(entriesOff + nEntries * 12) != 0) return Invalid // single page
+    val nextIfd = u32(entriesOff + nEntries * 12)
+    if (nextIfd < 0) return Invalid
     // required-tag audit (baseline grayscale)
     if (width < 1 || height < 1 || bits != 8 || spp != 1) return Invalid
     if (compression != 1 && compression != 5 && compression != 32773)
@@ -429,15 +480,16 @@ object TiffCodec {
     if (rps < 1 || !xresOk || !yresOk) return Invalid
     if (resUnit != 1 && resUnit != 2 && resUnit != 3) return Invalid
     if (stripOffsets == null || stripCounts == null) return Invalid
-    if (width * height > MaxPixels) return Invalid
+    // every page of an archive shares one geometry (the scanner
+    // discipline, and what keeps the stats schema meaningful)
+    if (nPages == 0) { pageW = width; pageH = height }
+    else if (width != pageW || height != pageH) return Invalid
+    if (totPixels + width * height > MaxPixels) return Invalid // cumulative
     val nStrips = ((height + rps - 1) / rps).toInt
     if (stripOffsets.length != nStrips ||
       stripCounts.length != nStrips) return Invalid
 
     // ---- strip decode straight into running sums ----
-    var sumV = 0L
-    var sumRowV = 0L
-    var row = 0L
     val w = width.toInt
     var s = 0
     while (s < nStrips) {
@@ -587,10 +639,15 @@ object TiffCodec {
       row += rows
       s += 1
     }
+    totPixels += width * height
+    totStrips += nStrips
+    nPages += 1
+    ifdOff = nextIfd
+    } // end IFD chain
+    if (nPages < 1) return Invalid
 
-    val nPix = width * height
-    Decoded(valid = true, width, height, nPix, sumV, sumV * 1000 / nPix,
-      sumRowV, nStrips.toLong)
+    Decoded(valid = true, pageW, pageH, totPixels, sumV,
+      sumV * 1000 / totPixels, sumRowV, totStrips, nPages)
   }
 }
 
@@ -598,7 +655,7 @@ object TiffCodec {
   * payload → classic TIFF stream (null when no full row fits).
   */
 case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
-    packBits: Boolean, lzw: Boolean = false)
+    packBits: Boolean, lzw: Boolean = false, pageHeight: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -612,7 +669,7 @@ case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TiffCodec.encodeTiff(input.asInstanceOf[Array[Byte]], width, bigEndian,
-      packBits, lzw)
+      packBits, lzw, pageHeight)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -633,7 +690,8 @@ case class TiffDecode(child: Expression)
     StructField("sum_v", LongType, nullable = true),
     StructField("mean_v_milli", LongType, nullable = true),
     StructField("sum_rowv", LongType, nullable = true),
-    StructField("n_strips", LongType, nullable = true)))
+    StructField("n_strips", LongType, nullable = true),
+    StructField("n_pages", LongType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -644,8 +702,8 @@ case class TiffDecode(child: Expression)
     val d = TiffCodec.decodeTiff(input.asInstanceOf[Array[Byte]])
     if (d.valid)
       InternalRow(true, d.width, d.height, d.nPixels, d.sumV, d.meanVMilli,
-        d.sumRowV, d.nStrips)
-    else InternalRow(false, null, null, null, null, null, null, null)
+        d.sumRowV, d.nStrips, d.nPages)
+    else InternalRow(false, null, null, null, null, null, null, null, null)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -663,20 +721,23 @@ object TiffNativeFunctions {
         exprs(2).eval().asInstanceOf[Boolean],
         exprs(3).eval().asInstanceOf[Boolean],
         if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
-        else false), "built-in")
+        else false,
+        if (exprs.length > 5) exprs(5).eval().asInstanceOf[Int] else 0),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tiff_decode", exprs => TiffDecode(exprs.head), "built-in")
   }
 
   def tiffEncode(spark: SparkSession, bytes: Column, width: Int,
       bigEndian: Boolean, packBits: Boolean,
-      lzw: Boolean = false): Column = {
+      lzw: Boolean = false, pageHeight: Int = 0): Column = {
     register(spark)
     call_function("graft_tiff_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(bigEndian),
       org.apache.spark.sql.functions.lit(packBits),
-      org.apache.spark.sql.functions.lit(lzw))
+      org.apache.spark.sql.functions.lit(lzw),
+      org.apache.spark.sql.functions.lit(pageHeight))
   }
 
   def tiffDecode(spark: SparkSession, bytes: Column): Column = {

@@ -119,7 +119,7 @@ class TiffCodecSpec extends SparkSpec {
       huge(k + 2) = 0; huge(k + 3) = 0
     }
     assert(!TiffCodec.decodeTiff(huge).valid)
-    // a second IFD (multi-page) is outside the fixture contract
+    // a next-IFD pointer below the header span is a forged chain
     val nextAt = ifdAt + 2 + 12 * 12
     val paged = tiff.clone(); paged(nextAt) = 1
     assert(!TiffCodec.decodeTiff(paged).valid)
@@ -174,6 +174,50 @@ class TiffCodecSpec extends SparkSpec {
     val short = good.clone()
     short(cntSlot) = ((short(cntSlot) & 0xff) - 1).toByte
     assert(!TiffCodec.decodeTiff(short).valid, "truncated LZW strip rejects")
+  }
+
+  test("multi-page archives: the IFD chain walks, page order is pinned") {
+    val payload = fixture(5 * 40 * 6 + 31, 21) // 5 whole 40x6 pages
+    val (sv, srv) = expected(payload, 40)
+    // (expected() counts whole ROWS; trim to whole PAGES by hand)
+    var sv5 = 0L; var srv5 = 0L
+    for (i <- 0 until 1200) {
+      val v = payload(i) & 0xff
+      sv5 += v; srv5 += (i / 40).toLong * v
+    }
+    for (big <- Seq(false, true); comp <- Seq("none", "packbits", "lzw")) {
+      val tiff = TiffCodec.encodeTiff(payload, 40, big,
+        packBits = comp == "packbits", lzw = comp == "lzw", pageHeight = 6)
+      assert(tiff !== null)
+      val d = TiffCodec.decodeTiff(tiff)
+      assert(d.valid, s"big=$big comp=$comp")
+      assert(d.nPages === 5L)
+      assert((d.width, d.height) === ((40L, 6L)))
+      assert(d.nPixels === 1200L)
+      assert(d.nStrips === 10L) // 2 strips per 6-row page
+      assert((d.sumV, d.sumRowV) === ((sv5, srv5)),
+        s"big=$big comp=$comp: pages must stack in chain order")
+    }
+    // whole pages only
+    assert(TiffCodec.encodeTiff(new Array[Byte](239), 40,
+      bigEndian = false, packBits = false, pageHeight = 6) === null)
+    // single-page files still decode as one page (back-compat)
+    val one = TiffCodec.decodeTiff(
+      TiffCodec.encodeTiff(payload, 40, false, false))
+    assert(one.valid && one.nPages === 1L && (one.sumV, one.sumRowV) ===
+      ((sv, srv)))
+    // a cyclic / forged chain cannot spin: pages are capped, and a next
+    // pointer into garbage is a visible finding — point page 0's next
+    // pointer at the file HEADER (valid offset, invalid IFD)
+    val tiff = TiffCodec.encodeTiff(payload, 40, false, false, pageHeight = 6)
+    val firstIfd = 8 + 240 // page 0: 240 uncompressed strip bytes
+    assert(((tiff(firstIfd) & 0xff) | ((tiff(firstIfd + 1) & 0xff) << 8)) === 12)
+    val nextAt = firstIfd + 2 + 12 * 12
+    val loop = tiff.clone()
+    loop(nextAt) = 8; loop(nextAt + 1) = 0
+    loop(nextAt + 2) = 0; loop(nextAt + 3) = 0
+    assert(!TiffCodec.decodeTiff(loop).valid,
+      "a forged next pointer must reject, not spin")
   }
 
   test("engine surface: Multimodal.encodeTiff / tiffStats on real documents") {
