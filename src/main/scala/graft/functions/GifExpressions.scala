@@ -223,6 +223,7 @@ object GifCodec {
       var nbits = 0
       var codeWidth = minCode + 1
       var nextCode = Clear + 2
+      var codesOut = 0
       def putCode(c: Int): Unit = {
         acc |= c.toLong << nbits
         nbits += codeWidth
@@ -232,10 +233,24 @@ object GifCodec {
           nbits -= 8
         }
       }
+      // the code-width rule counts CODES WRITTEN, not dictionary entries:
+      // the two coincide mid-stream (every data code defines an entry),
+      // but the FINAL data code defines none while the decoder still
+      // learns one from it — an entry-based encoder then writes EOI one
+      // width behind a decoder that just crossed a power of two (hit in
+      // the wild by the property suite at palBits=1: small code spaces
+      // cross boundaries every few codes)
+      def putData(c: Int): Unit = {
+        putCode(c)
+        codesOut += 1
+        if (Clear + 2 + codesOut == (1 << codeWidth) + 1 && codeWidth < 12)
+          codeWidth += 1
+      }
       def resetDict(): Unit = {
         java.util.Arrays.fill(dictKey, -1L)
         nextCode = Clear + 2
         codeWidth = minCode + 1
+        codesOut = 0
       }
       putCode(Clear)
       var cur = px(0)
@@ -245,18 +260,15 @@ object GifCodec {
         val hit = dictFind(cur, b)
         if (hit >= 0) cur = hit
         else {
-          putCode(cur)
+          putData(cur)
           dictPut(cur, b, nextCode)
           nextCode += 1
-          // GIF code-width rule: width grows when the NEXT code to assign
-          // would not fit the current width
-          if (nextCode == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
           if (nextCode == 4096) { putCode(Clear); resetDict() }
           cur = b
         }
         i += 1
       }
-      putCode(cur)
+      putData(cur)
       putCode(Eoi)
       if (nbits > 0) lzw.write((acc & 0xff).toInt) // zero-padded final byte
       // chunk into <= 255-byte sub-blocks
@@ -421,6 +433,17 @@ object GifCodec {
         }
         var nextCode = Clear + 2
         var codeWidth = minCode + 1
+        var codesRead = 0
+        // width bumps count CODES READ (the encoder's mirror): after
+        // reading data code number k, the width grows when
+        // Clear + 2 + k crosses the current power of two — identical to
+        // the entry-based rule mid-stream, and correct on the final
+        // code, where the decoder defines an entry the encoder did not
+        def countCode(): Unit = {
+          codesRead += 1
+          if (Clear + 2 + codesRead == (1 << codeWidth) + 1 && codeWidth < 12)
+            codeWidth += 1
+        }
         var acc = 0L
         var nbits = 0
         var blockLeft = 0 // bytes remaining in the current sub-block
@@ -473,6 +496,7 @@ object GifCodec {
           if (c == Clear) {
             nextCode = Clear + 2
             codeWidth = minCode + 1
+            codesRead = 0
             prev = -1
           } else if (c == Eoi) {
             ended = true
@@ -488,15 +512,9 @@ object GifCodec {
                 suffix(nextCode) = firstB(c)
                 firstB(nextCode) = firstB(prev)
                 nextCode += 1
-                // DECODER bump rule is one entry EARLIER than the encoder's
-                // (nextCode == cap, not cap + 1): the decoder learns each
-                // entry one code later than the encoder defined it, so this
-                // offset is what keeps the read width aligned with the width
-                // the encoder used for the very next code
-                if (nextCode == (1 << codeWidth) && codeWidth < 12)
-                  codeWidth += 1
               }
             }
+            countCode()
             prev = c
           } else if (c == nextCode && prev != -1 && nextCode < 4096) {
             // KwKwK: the code being defined right now — string = prev + its
@@ -506,7 +524,7 @@ object GifCodec {
             firstB(nextCode) = firstB(prev)
             nextCode += 1
             if (!emitString(nextCode - 1)) return Invalid
-            if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            countCode()
             prev = nextCode - 1
           } else return Invalid // out-of-range code or KwKwK with no prior
         }

@@ -279,6 +279,7 @@ object TiffCodec {
     var nbits = 0
     var codeWidth = 9
     var nextCode = 258
+    var codesOut = 0
     def putCode(c: Int): Unit = {
       acc = (acc << codeWidth) | c
       nbits += codeWidth
@@ -287,10 +288,21 @@ object TiffCodec {
         nbits -= 8
       }
     }
+    // width bumps count CODES WRITTEN, not entries (the GIF lesson one
+    // variant over): the final data code defines no entry on this side
+    // but the decoder learns one from it, so an entry-based rule writes
+    // EOI one width behind a decoder that just crossed a power of two.
+    // TIFF early change: the width grows one code SOONER than GIF.
+    def putData(c: Int): Unit = {
+      putCode(c)
+      codesOut += 1
+      if (258 + codesOut == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+    }
     def resetDict(): Unit = {
       java.util.Arrays.fill(dictKey, -1L)
       nextCode = 258
       codeWidth = 9
+      codesOut = 0
     }
     putCode(Clear)
     var cur = data(off) & 0xff
@@ -300,18 +312,15 @@ object TiffCodec {
       val hit = dictFind(cur, b)
       if (hit >= 0) cur = hit
       else {
-        putCode(cur)
+        putData(cur)
         dictPut(cur, b, nextCode)
         nextCode += 1
-        // TIFF early change: the width grows when the NEXT code to
-        // assign is 2^w (one sooner than GIF's 2^w + 1)
-        if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
         if (nextCode == 4094) { putCode(Clear); resetDict() }
         cur = b
       }
       i += 1
     }
-    putCode(cur)
+    putData(cur)
     putCode(Eoi)
     if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
     out.toByteArray
@@ -522,6 +531,13 @@ object TiffCodec {
         }
         var nextCode = 258
         var codeWidth = 9
+        var codesRead = 0
+        // the encoder's mirror: count codes read, early-change threshold
+        def countCode(): Unit = {
+          codesRead += 1
+          if (258 + codesRead == (1 << codeWidth) && codeWidth < 12)
+            codeWidth += 1
+        }
         var acc = 0L
         var nbits = 0
         var p = off
@@ -562,6 +578,7 @@ object TiffCodec {
           if (c == Clear) {
             nextCode = 258
             codeWidth = 9
+            codesRead = 0
             prev = -1
           } else if (c == Eoi) {
             ended = true
@@ -576,12 +593,9 @@ object TiffCodec {
                 suffix(nextCode) = firstB(c)
                 firstB(nextCode) = firstB(prev)
                 nextCode += 1
-                // EARLY change: the decoder learns entries one code
-                // later than the encoder, so its bump lands at 2^w - 1
-                if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12)
-                  codeWidth += 1
               }
             }
+            countCode()
             prev = c
           } else if (c == nextCode && prev != -1 && nextCode < 4096) {
             prefix(nextCode) = prev
@@ -589,8 +603,7 @@ object TiffCodec {
             firstB(nextCode) = firstB(prev)
             nextCode += 1
             if (!emitString(nextCode - 1)) return Invalid
-            if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12)
-              codeWidth += 1
+            countCode()
             prev = nextCode - 1
           } else return Invalid
         }

@@ -231,6 +231,130 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GIF streams round-trip across palettes, interlace, animation, LCTs") {
+    import graft.functions.GifCodec
+    val caseGen = for {
+      width <- Gen.oneOf(8, 40, 100)
+      palBits <- Gen.choose(1, 8)
+      interlaced <- Gen.oneOf(true, false)
+      frameH <- Gen.oneOf(0, 3, 7)
+      lct <- Gen.oneOf(true, false)
+      nBytes <- Gen.choose(0, 4000)
+      bytes <- Gen.listOfN(nBytes, Gen.choose(-128, 127).map(_.toByte))
+    } yield (width, palBits, interlaced, frameH, lct, bytes.toArray)
+    samples(caseGen, 40).foreach {
+      case (width, palBits, interlaced, frameH, lct, payload) =>
+        val gif = GifCodec.encodeGif(payload, width, palBits, interlaced,
+          frameH, lct)
+        val unit = if (frameH > 0) width * frameH else width
+        val frames =
+          if (frameH > 0) payload.length / (width * frameH) else 1
+        val usable =
+          if (frameH > 0) frames * width * frameH
+          else (payload.length / width) * width
+        val tag = s"w=$width pb=$palBits il=$interlaced fh=$frameH lct=$lct " +
+          s"n=${payload.length}"
+        if (payload.length < unit) assert(gif === null, tag)
+        else {
+          val d = GifCodec.decodeGif(gif)
+          assert(d.valid, tag)
+          assert(d.nPixels === usable.toLong, tag)
+          assert(d.nFrames === frames.toLong, tag)
+          val mask = (1 << palBits) - 1
+          var si = 0L; var sr = 0L; var sg = 0L; var sb = 0L; var srv = 0L
+          val perFrame = if (frameH > 0) width * frameH else usable
+          for (i <- 0 until usable) {
+            val v = (payload(i) & 0xff) & mask
+            val f = if (lct) i / perFrame else 0
+            si += v
+            sr += (if (lct) GifCodec.lctR(v, f) else GifCodec.paletteR(v))
+            sg += (if (lct) GifCodec.lctG(v, f) else GifCodec.paletteG(v))
+            sb += (if (lct) GifCodec.lctB(v, f) else GifCodec.paletteB(v))
+            srv += (i / width).toLong * v
+          }
+          assert((d.sumIdx, d.sumR, d.sumG, d.sumB, d.sumRowV) ===
+            ((si, sr, sg, sb, srv)), tag)
+        }
+    }
+  }
+
+  test("TIFF archives round-trip across byte orders, compressions, pages") {
+    import graft.functions.TiffCodec
+    val caseGen = for {
+      width <- Gen.oneOf(8, 40, 200)
+      big <- Gen.oneOf(true, false)
+      comp <- Gen.oneOf("none", "packbits", "lzw")
+      pageH <- Gen.oneOf(0, 3, 6)
+      nBytes <- Gen.choose(0, 5000)
+      bytes <- Gen.listOfN(nBytes, Gen.choose(-128, 127).map(_.toByte))
+    } yield (width, big, comp, pageH, bytes.toArray)
+    samples(caseGen, 40).foreach { case (width, big, comp, pageH, payload) =>
+      val tiff = TiffCodec.encodeTiff(payload, width, big,
+        packBits = comp == "packbits", lzw = comp == "lzw", pageHeight = pageH)
+      val unit = if (pageH > 0) width * pageH else width
+      val tag = s"w=$width big=$big comp=$comp ph=$pageH n=${payload.length}"
+      if (payload.length < unit) assert(tiff === null, tag)
+      else {
+        val d = TiffCodec.decodeTiff(tiff)
+        assert(d.valid, tag)
+        val pages = if (pageH > 0) payload.length / unit else 1
+        val h = if (pageH > 0) pageH else payload.length / width
+        val usable = if (pageH > 0) pages * unit else h * width
+        assert(d.nPages === pages.toLong, tag)
+        assert((d.width, d.height, d.nPixels) ===
+          ((width.toLong, h.toLong, usable.toLong)), tag)
+        var sv = 0L; var srv = 0L
+        for (i <- 0 until usable) {
+          val v = payload(i) & 0xff
+          sv += v
+          srv += (i / width).toLong * v
+        }
+        assert((d.sumV, d.sumRowV) === ((sv, srv)), tag)
+      }
+    }
+  }
+
+  test("FLAC streams round-trip across mono/stereo and LPC orders") {
+    import graft.functions.FlacCodec
+    val caseGen = for {
+      stereo <- Gen.oneOf(true, false)
+      lpc <- Gen.oneOf(0, 2, 8)
+      // mix random noise with smooth ramps so every subframe family
+      // (constant/fixed/LPC/verbatim) gets chosen somewhere
+      smooth <- Gen.oneOf(true, false)
+      nBytes <- Gen.choose(0, 6000)
+      bytes <- Gen.listOfN(nBytes, Gen.choose(-128, 127).map(_.toByte))
+    } yield (stereo, lpc, smooth, bytes.toArray)
+    samples(caseGen, 30).foreach { case (stereo, lpc, smooth, raw) =>
+      val payload =
+        if (!smooth) raw
+        else Array.tabulate(raw.length) { i =>
+          val v = (3000 * math.sin(i / 9.0)).toInt
+          (if (i % 2 == 0) v & 0xff else (v >> 8) & 0xff).toByte
+        }
+      val flac =
+        if (stereo) FlacCodec.encodeFlacStereo(payload, lpc)
+        else FlacCodec.encodeFlac(payload, lpc)
+      val unit = if (stereo) 4 else 2
+      val nSamples =
+        if (stereo) 2 * (payload.length / 4) else payload.length / 2
+      val tag = s"st=$stereo lpc=$lpc sm=$smooth n=${payload.length}"
+      if (payload.length < unit) assert(flac === null, tag)
+      else {
+        val d = FlacCodec.decodeFlac(flac)
+        assert(d.valid, tag + " (MD5 identity would catch any lossy path)")
+        assert(d.nSamples === nSamples.toLong, tag)
+        var ss = 0L; var sa = 0L; var si = 0L
+        for (j <- 0 until nSamples) {
+          val s = ((payload(2 * j) & 0xff) |
+            (payload(2 * j + 1) << 8)).toShort.toInt
+          ss += s; sa += math.abs(s); si += j.toLong * s
+        }
+        assert((d.sumS, d.sumAbs, d.sumIs) === ((ss, sa, si)), tag)
+      }
+    }
+  }
+
   test("rollingMadAnomalies matches a direct median/MAD computation on random series") {
     import spark.implicits._
     def bruteMedian2(xs: Seq[Long]): Long = {
