@@ -2869,6 +2869,24 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"), col("sum_rowv"),
           col("n_strips"), col("n_pages"))
     },
+    // TIFF with the PREDICTOR-2 wire (E262): horizontal differencing
+    // (tag 317 = 2) ahead of the LZW pass — the dominant real-world
+    // LZW-TIFF shape (nearly every scanner archive sets it). The decoder
+    // undoes the per-row differencing with one add per pixel inside the
+    // strip walk; q308 hash-matches the q297/q298/q304 oracle VERBATIM
+    // (four wires, one pixel identity).
+    "q308_tiff_predictor2" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, lzw = true, predictor2 = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -3708,7 +3726,8 @@ object SparkEntry {
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
          |             FROM documents WHERE doc_id < 140),
          |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 200 AS nf
-         |      FROM src WHERE octet_length(p) // 200 >= 1),
+         |      FROM src WHERE octet_length(p) // 200 >= 1
+         |        AND octet_length(p) <= 16777216),
          |bv AS (SELECT asset_id, nf, i // 40 AS r,
          |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
          |           AS v
@@ -3819,7 +3838,8 @@ object SparkEntry {
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
          |             FROM documents WHERE doc_id < 140),
          |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 200 AS nf
-         |      FROM src WHERE octet_length(p) // 200 >= 1),
+         |      FROM src WHERE octet_length(p) // 200 >= 1
+         |        AND octet_length(p) <= 16777216),
          |bv AS (SELECT asset_id, nf, i // 40 AS r, i // 200 AS f,
          |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
          |           AS v
@@ -5144,6 +5164,9 @@ object SparkEntry {
     "q297_tiff_stats" -> tiffOracleSql,
     "q298_tiff_packbits" -> tiffOracleSql,
     "q304_tiff_lzw" -> tiffOracleSql,
+    // q308: the Predictor-2 wire differences rows ahead of LZW and the
+    // decoder undoes it — four wires, one pixel identity, one oracle
+    "q308_tiff_predictor2" -> tiffOracleSql,
     "q307_tiff_multipage" -> tiffMultipageOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,
     "q295_gif_interlaced" -> gifInterlacedOracleSql,

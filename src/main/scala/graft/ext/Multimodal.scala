@@ -1042,7 +1042,8 @@ object Multimodal {
     */
   def encodeTiff(assets: DataFrame, width: Int = 40,
       bigEndian: Boolean = false, packBits: Boolean = false,
-      lzw: Boolean = false, pageHeight: Int = 0): DataFrame = {
+      lzw: Boolean = false, pageHeight: Int = 0,
+      predictor2: Boolean = false): DataFrame = {
     require(width >= 1, "width must be positive")
     val spark = assets.sparkSession
     assets
@@ -1054,7 +1055,7 @@ object Multimodal {
           graft.functions.TiffCodec.MaxPixels.toLong)
       .withColumn("bytes",
         graft.functions.TiffNativeFunctions.tiffEncode(spark, col("bytes"),
-          width, bigEndian, packBits, lzw, pageHeight))
+          width, bigEndian, packBits, lzw, pageHeight, predictor2))
   }
 
   /** Decode TIFF assets natively (E252): strict header + IFD walk (both

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * run-length scheme restarted AT EVERY ROW per the spec), or
   * LZW-compressed (Compression 5, §13: the TIFF LZW variant — codes
   * packed MSB-FIRST, opposite bit order to GIF, with the EARLY
-  * code-width change — restarted at every STRIP).
+  * code-width change — restarted at every STRIP), optionally behind the
+  * §14 horizontal-differencing Predictor (tag 317 = 2, the dominant
+  * real-world LZW-TIFF wire: each row's pixels are deltas from their
+  * left neighbor, undone with one add per pixel in the strip walk).
   *
   * The IFD-walk machinery mirrors the Exif TIFF walk the engine already
   * runs inside JPEG APP1 segments ([[JpegDctCodec]]) — here it is the
@@ -43,7 +46,10 @@ import org.apache.spark.sql.types._
   * mid-run, a declared LZW strip length the code stream does not
   * consume exactly,
   * a forged IFD chain (next pointers into garbage, > 4096 pages, pages
-  * with mismatched geometry) all
+  * with mismatched geometry), a Predictor (tag 317) other than 1 or 2,
+  * Predictor 2 outside the LZW path, or a FillOrder (tag 266) other
+  * than 1 (bit-reversed strips are unimplemented — reject visibly,
+  * never misdecode) all
   * report `is_valid = false`. Forged-geometry bound: width·height is
   * capped at 2^24 and strips decode straight into running sums — pixels
   * are never buffered beyond one strip's declared size.
@@ -68,18 +74,42 @@ object TiffCodec {
     */
   def encodeTiff(payload: Array[Byte], width: Int, bigEndian: Boolean,
       packBits: Boolean, lzw: Boolean = false,
-      pageHeight: Int = 0): Array[Byte] = {
+      pageHeight: Int = 0, predictor2: Boolean = false): Array[Byte] = {
     require(width >= 1, "width must be positive")
     require(!(packBits && lzw), "choose one compression")
     require(pageHeight >= 0, "pageHeight must be non-negative")
+    require(!predictor2 || lzw, "Predictor 2 rides the LZW path (spec 14)")
     val paged = pageHeight > 0
     val h = if (paged) pageHeight else payload.length / width
     if (h < 1) return null
+    // geometry cap BEFORE the Int multiply: an extreme width x pageHeight
+    // must return the documented null, not wrap to a zero divisor
+    if (width.toLong * h > MaxPixels) return null
     val pageBytes = width * h
     val nPages = if (paged) payload.length / pageBytes else 1
     if (nPages < 1) return null
     if (nPages.toLong * pageBytes > MaxPixels) return null
     val nStrips = (h + RowsPerStrip - 1) / RowsPerStrip
+
+    // ---- Predictor 2 (TIFF 6.0 spec 14, horizontal differencing): each
+    // row's pixels become deltas from their left neighbor BEFORE the LZW
+    // pass — the dominant real-world LZW-TIFF wire. Rows are
+    // width-aligned spans of the payload, pages stacked, so one global
+    // width-periodic walk differences every row of every page. ----
+    val src =
+      if (!predictor2) payload
+      else {
+        val used = nPages * pageBytes
+        val d = new Array[Byte](used)
+        var i = 0
+        while (i < used) {
+          d(i) =
+            if (i % width == 0) payload(i)
+            else ((payload(i) - payload(i - 1)) & 0xff).toByte
+          i += 1
+        }
+        d
+      }
 
     // ---- strip data per page (PackBits restarts at every ROW, LZW at
     // every STRIP, per the spec) ----
@@ -93,7 +123,7 @@ object TiffCodec {
         val rows = math.min(RowsPerStrip, h - s * RowsPerStrip)
         if (lzw) {
           strips(s) =
-            lzwEncode(payload, base + s * RowsPerStrip * width, rows * width)
+            lzwEncode(src, base + s * RowsPerStrip * width, rows * width)
         } else if (!packBits) {
           strips(s) = java.util.Arrays.copyOfRange(payload,
             base + s * RowsPerStrip * width,
@@ -115,7 +145,7 @@ object TiffCodec {
 
     // ---- layout: header, then per page [strips][IFD][ext areas],
     // IFDs chained through their next pointers ----
-    val nEntries = 12
+    val nEntries = if (predictor2) 13 else 12
     val ifdSize = 2 + nEntries * 12 + 4
     // external areas per page: strip arrays only when external (> 1
     // strip), plus the two RATIONAL resolutions
@@ -206,6 +236,7 @@ object TiffCodec {
       entryRational(282, 72, 1)                     // XResolution
       entryRational(283, 72, 1)                     // YResolution
       entryShort(296, 2)                            // ResolutionUnit: inch
+      if (predictor2) entryShort(317, 2)            // Predictor: horizontal
       u32(if (pg + 1 < nPages) ifdAt(pg + 1) else 0L) // the chain pointer
       out.write(ext.toByteArray)
       pg += 1
@@ -382,6 +413,7 @@ object TiffCodec {
     var spp = -1L
     var rps = -1L
     var resUnit = -1L
+    var predictor = -1L
     var xresOk = false
     var yresOk = false
     var stripOffsets: Array[Long] = null
@@ -452,6 +484,11 @@ object TiffCodec {
         case 262 =>
           if (typ != 3) return Invalid
           photometric = scalar
+        case 266 =>
+          // FillOrder 2 (bit-reversed strips) is unimplemented: a skip
+          // here would usually die on an invalid code but is NOT
+          // guaranteed to — reject visibly, never misdecode
+          if (typ != 3 || scalar != 1) return Invalid
         case 273 =>
           if (typ != 3 && typ != 4) return Invalid
           stripOffsets = longArray
@@ -475,6 +512,9 @@ object TiffCodec {
         case 296 =>
           if (typ != 3) return Invalid
           resUnit = scalar
+        case 317 =>
+          if (typ != 3) return Invalid
+          predictor = scalar
         case _ => () // unknown tags are spec-legal, skipped
       }
       e += 1
@@ -488,11 +528,21 @@ object TiffCodec {
     if (photometric != 0 && photometric != 1) return Invalid
     if (rps < 1 || !xresOk || !yresOk) return Invalid
     if (resUnit != 1 && resUnit != 2 && resUnit != 3) return Invalid
+    // Predictor (tag 317): 1 = none, 2 = horizontal differencing — the
+    // dominant real LZW-TIFF wire (spec 14 defines it on the LZW path);
+    // anything else, or 2 outside LZW, rejects visibly
+    if (predictor != -1 && predictor != 1 && predictor != 2) return Invalid
+    if (predictor == 2 && compression != 5) return Invalid
+    val pred2 = predictor == 2
     if (stripOffsets == null || stripCounts == null) return Invalid
     // every page of an archive shares one geometry (the scanner
     // discipline, and what keeps the stats schema meaningful)
     if (nPages == 0) { pageW = width; pageH = height }
     else if (width != pageW || height != pageH) return Invalid
+    // bound each u32 dimension BEFORE the multiply — unvalidated tag
+    // values up to 2^32-1 could overflow the Long product and slip past
+    // the cumulative cap
+    if (width > MaxPixels || height > MaxPixels) return Invalid
     if (totPixels + width * height > MaxPixels) return Invalid // cumulative
     val nStrips = ((height + rps - 1) / rps).toInt
     if (stripOffsets.length != nStrips ||
@@ -544,6 +594,10 @@ object TiffCodec {
         val end = off + len
         var emitted = 0L
         var ended = false
+        // Predictor-2 undo state: the running left-neighbor value,
+        // reset at every row start (column 0). Strips hold whole rows,
+        // so the per-strip variable is fresh exactly when it must be.
+        var predAcc = 0
         val stack = new Array[Int](4097)
         def nextCodeBits(): Int = {
           while (nbits < codeWidth) {
@@ -564,7 +618,12 @@ object TiffCodec {
           if (emitted + top > expect) return false
           while (top > 0) {
             top -= 1
-            val v = stack(top)
+            var v = stack(top)
+            if (pred2) {
+              // horizontal differencing undo: one add per pixel, mod 256
+              predAcc = if (emitted % w == 0) v else (predAcc + v) & 0xff
+              v = predAcc
+            }
             sumV += v
             sumRowV += (row + emitted / w) * v
             emitted += 1
@@ -668,7 +727,8 @@ object TiffCodec {
   * payload → classic TIFF stream (null when no full row fits).
   */
 case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
-    packBits: Boolean, lzw: Boolean = false, pageHeight: Int = 0)
+    packBits: Boolean, lzw: Boolean = false, pageHeight: Int = 0,
+    predictor2: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -682,7 +742,7 @@ case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TiffCodec.encodeTiff(input.asInstanceOf[Array[Byte]], width, bigEndian,
-      packBits, lzw, pageHeight)
+      packBits, lzw, pageHeight, predictor2)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -735,7 +795,9 @@ object TiffNativeFunctions {
         exprs(3).eval().asInstanceOf[Boolean],
         if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
         else false,
-        if (exprs.length > 5) exprs(5).eval().asInstanceOf[Int] else 0),
+        if (exprs.length > 5) exprs(5).eval().asInstanceOf[Int] else 0,
+        if (exprs.length > 6) exprs(6).eval().asInstanceOf[Boolean]
+        else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tiff_decode", exprs => TiffDecode(exprs.head), "built-in")
@@ -743,14 +805,16 @@ object TiffNativeFunctions {
 
   def tiffEncode(spark: SparkSession, bytes: Column, width: Int,
       bigEndian: Boolean, packBits: Boolean,
-      lzw: Boolean = false, pageHeight: Int = 0): Column = {
+      lzw: Boolean = false, pageHeight: Int = 0,
+      predictor2: Boolean = false): Column = {
     register(spark)
     call_function("graft_tiff_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(bigEndian),
       org.apache.spark.sql.functions.lit(packBits),
       org.apache.spark.sql.functions.lit(lzw),
-      org.apache.spark.sql.functions.lit(pageHeight))
+      org.apache.spark.sql.functions.lit(pageHeight),
+      org.apache.spark.sql.functions.lit(predictor2))
   }
 
   def tiffDecode(spark: SparkSession, bytes: Column): Column = {

@@ -220,6 +220,93 @@ class TiffCodecSpec extends SparkSpec {
       "a forged next pointer must reject, not spin")
   }
 
+  test("Predictor 2 (tag 317): differencing is really undone, per row") {
+    val payload = fixture(40 * 9 + 13, 31) // 9 whole rows, 3 strips
+    val (sv, srv) = expected(payload, 40)
+    for (big <- Seq(false, true)) {
+      val tiff = TiffCodec.encodeTiff(payload, 40, big, packBits = false,
+        lzw = true, predictor2 = true)
+      assert(tiff !== null)
+      val d = TiffCodec.decodeTiff(tiff)
+      assert(d.valid, s"big=$big")
+      assert((d.sumV, d.sumRowV) === ((sv, srv)),
+        s"big=$big: the differencing undo must restore the pixels")
+    }
+    // the wire REALLY differs from the plain-LZW wire (rows are deltas)
+    val plain = TiffCodec.encodeTiff(payload, 40, false, packBits = false,
+      lzw = true)
+    val pred = TiffCodec.encodeTiff(payload, 40, false, packBits = false,
+      lzw = true, predictor2 = true)
+    assert(!java.util.Arrays.equals(plain, pred))
+    // the IFD declares 13 entries, the last being Predictor (317) = 2
+    def u16le(b: Array[Byte], o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32le(b: Array[Byte], o: Int) =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val ifdAt = u32le(pred, 4)
+    assert(u16le(pred, ifdAt) === 13)
+    val predSlot = ifdAt + 2 + 12 * 12
+    assert(u16le(pred, predSlot) === 317 && u16le(pred, predSlot + 8) === 2)
+    // flip the tag to Predictor = 1: still a VALID file, but now the
+    // deltas are the pixels — the sums must move (the undo is not a noop)
+    val asNone = pred.clone(); asNone(predSlot + 8) = 1
+    val dN = TiffCodec.decodeTiff(asNone)
+    assert(dN.valid && dN.sumV != sv,
+      "predictor 1 on a differenced wire decodes the deltas themselves")
+    // Predictor 3 (floating-point) is not baseline: visible reject
+    val p3 = pred.clone(); p3(predSlot + 8) = 3
+    assert(!TiffCodec.decodeTiff(p3).valid)
+    // Predictor 2 outside the LZW path (spec 14 ties it to LZW): reject
+    val compSlot = ifdAt + 2 + 3 * 12
+    assert(u16le(pred, compSlot) === 259 && u16le(pred, compSlot + 8) === 5)
+    val uncomp = pred.clone(); uncomp(compSlot + 8) = 1
+    assert(!TiffCodec.decodeTiff(uncomp).valid)
+    // multi-page + predictor: differencing restarts per row on every page
+    val paged = TiffCodec.encodeTiff(payload, 40, bigEndian = true,
+      packBits = false, lzw = true, pageHeight = 3, predictor2 = true)
+    val dP = TiffCodec.decodeTiff(paged)
+    assert(dP.valid && dP.nPages === 3L && (dP.sumV, dP.sumRowV) === ((sv, srv)))
+  }
+
+  /** Hand-rolled minimal little-endian TIFF: single uncompressed strip,
+    * 13 ascending entries INCLUDING FillOrder (266) — the shape the
+    * encoder never emits, needed to pin the 266 accept/reject split.
+    */
+  private def tiffWithFillOrder(payload: Array[Byte], width: Int,
+      fillOrder: Int): Array[Byte] = {
+    val h = payload.length / width
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    out.write('I'); out.write('I'); u16(42)
+    val stripLen = width * h
+    val ifdAt = 8 + stripLen
+    u32(ifdAt)
+    out.write(payload, 0, stripLen)
+    val extAt = ifdAt + 2 + 13 * 12 + 4
+    u16(13)
+    def sh(tag: Int, v: Int): Unit = { u16(tag); u16(3); u32(1); u16(v); u16(0) }
+    def lg(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+    def rat(tag: Int, at: Int): Unit = { u16(tag); u16(5); u32(1); u32(at) }
+    lg(256, width); lg(257, h); sh(258, 8); sh(259, 1); sh(262, 1)
+    sh(266, fillOrder)
+    lg(273, 8); sh(277, 1); lg(278, h); lg(279, stripLen)
+    rat(282, extAt); rat(283, extAt + 8); sh(296, 2)
+    u32(0) // no next IFD
+    u32(72); u32(1); u32(72); u32(1)
+    out.toByteArray
+  }
+
+  test("FillOrder (tag 266): 1 is the accepted default, 2 rejects visibly") {
+    val payload = fixture(40 * 6, 33)
+    val (sv, srv) = expected(payload, 40)
+    val ok = TiffCodec.decodeTiff(tiffWithFillOrder(payload, 40, 1))
+    assert(ok.valid && (ok.sumV, ok.sumRowV) === ((sv, srv)),
+      "FillOrder 1 is spec-default and must decode")
+    // bit-reversed strips are unimplemented: reject, never misdecode
+    assert(!TiffCodec.decodeTiff(tiffWithFillOrder(payload, 40, 2)).valid)
+  }
+
   test("engine surface: Multimodal.encodeTiff / tiffStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
