@@ -2617,6 +2617,27 @@ object SparkEntry {
         .select(col("asset_id"), col("rec_idx"), col("status"),
           col("body_len"), col("body_sum"))
     },
+    // MIXED-PROTOCOL crawl (E263): ISO 28500 allows response records
+    // captured from non-HTTP protocols (DNS, FTP, ...) — every fifth
+    // slice here is an application/octet-stream response. The RFC 9112
+    // parse is gated on Content-Type: application/http, so the opaque
+    // records count in n_records/n_responses but contribute nothing to
+    // the HTTP stats and NEVER invalidate the archive (the
+    // strict-false-invalid class a real mixed crawl would otherwise hit).
+    // 32-byte slices so the fixture documents really produce opaque
+    // records (slice 4 needs at least 160 payload bytes).
+    "q309_warc_mixed" -> { (s, dir) =>
+      graft.ext.Multimodal.warcHttpStats(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          bodyBytes = 32, mixed = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_records"),
+          col("n_requests"), col("n_responses"), col("n_200"),
+          col("body_bytes"), col("sum_body"), col("n_paired"))
+    },
     // Whole-corpus WARC demux scale twin (E246's measurement): q288 with
     // no doc cap — one native record walk per archive, byte-linear.
     "q293_warc_scale" -> { (s, dir) =>
@@ -3616,6 +3637,42 @@ object SparkEntry {
          |       CAST(SUM(v) AS BIGINT) AS sum_body,
          |       CAST(nr AS BIGINT) AS n_paired
          |FROM bv GROUP BY asset_id, nr""".stripMargin
+
+  /** MIXED-PROTOCOL crawl replay (q309): every fifth 32-byte slice is a
+    * non-HTTP (octet-stream) response record the decoder must keep
+    * OPAQUE — so the HTTP stats drop exactly those slices while the
+    * record counts keep them: n_records = 2·nr − nr DIV 5, n_200 counts
+    * slices with j mod 5 ≠ 4 AND j mod 4 ≠ 3, and sum_body sums only
+    * the bytes of HTTP slices. All slice arithmetic off the raw payload.
+    */
+  private def warcMixedOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 32 AS nr
+         |      FROM src WHERE octet_length(p) // 32 >= 1),
+         |bv AS (SELECT asset_id, nr, i // 32 AS si,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, nr, h,
+         |               unnest(range(0, nr * 32)) AS i FROM g)),
+         |hs AS (SELECT asset_id, nr,
+         |         SUM(CASE WHEN si % 5 <> 4 THEN v ELSE 0 END) AS sb
+         |       FROM bv GROUP BY asset_id, nr),
+         |st AS (SELECT asset_id,
+         |         SUM(CASE WHEN j % 5 <> 4 AND j % 4 <> 3 THEN 1 ELSE 0 END)
+         |           AS n200
+         |       FROM (SELECT asset_id, unnest(range(0, nr)) AS j FROM g)
+         |       GROUP BY asset_id)
+         |SELECT g.asset_id AS asset_id, TRUE AS is_valid,
+         |       CAST(2 * g.nr - g.nr // 5 AS BIGINT) AS n_records,
+         |       CAST(g.nr - g.nr // 5 AS BIGINT) AS n_requests,
+         |       CAST(g.nr AS BIGINT) AS n_responses,
+         |       CAST(st.n200 AS BIGINT) AS n_200,
+         |       CAST((g.nr - g.nr // 5) * 32 AS BIGINT) AS body_bytes,
+         |       CAST(hs.sb AS BIGINT) AS sum_body,
+         |       CAST(g.nr - g.nr // 5 AS BIGINT) AS n_paired
+         |FROM g JOIN hs ON hs.asset_id = g.asset_id
+         |       JOIN st ON st.asset_id = g.asset_id""".stripMargin
 
   /** WARC body-extraction replay (q292): one oracle row per response
     * record — status from the fixture's slice-index rule, body stats
@@ -5180,6 +5237,9 @@ object SparkEntry {
     // q303: chunked transfer coding changes the wire, never the
     // documents — same oracle verbatim
     "q303_warc_chunked" -> warcHttpOracleSql,
+    // q309: the mixed-protocol crawl — opaque non-HTTP responses count
+    // as records, never as HTTP stats, never as findings
+    "q309_warc_mixed" -> warcMixedOracleSql,
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the

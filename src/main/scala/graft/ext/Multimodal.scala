@@ -897,14 +897,15 @@ object Multimodal {
     * dropped.
     */
   def encodeWarcHttp(assets: DataFrame, bodyBytes: Int = 256,
-      gz: Boolean = false, chunked: Boolean = false): DataFrame = {
+      gz: Boolean = false, chunked: Boolean = false,
+      mixed: Boolean = false): DataFrame = {
     require(bodyBytes >= 1, "bodyBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= bodyBytes)
       .withColumn("bytes",
         graft.functions.WarcNativeFunctions.warcHttpEncode(spark,
-          col("bytes"), bodyBytes, gz, chunked))
+          col("bytes"), bodyBytes, gz, chunked, mixed))
   }
 
   /** Parse the HTTP layer of a crawl-shaped WARC (E250): every

@@ -156,16 +156,34 @@ object WarcCodec {
     * RFC 9112 HTTP message — status line (200, or 404 on every fourth
     * slice), Content-Type/Content-Length headers, then the slice as the
     * body; the request block is the matching GET message. Plain or
-    * per-record-gzip wire shape. Null when no full body slice fits.
+    * per-record-gzip wire shape. When `mixed`, every fifth slice
+    * (i mod 5 == 4) becomes instead ONE non-HTTP response record
+    * (Content-Type application/octet-stream, raw slice as block) — the
+    * mixed-protocol crawl shape ISO 28500 permits. Null when no full
+    * body slice fits.
     */
   def encodeWarcHttp(payload: Array[Byte], bodyBytes: Int,
-      gz: Boolean, chunked: Boolean = false): Array[Byte] = {
+      gz: Boolean, chunked: Boolean = false,
+      mixed: Boolean = false): Array[Byte] = {
     require(bodyBytes >= 1, "bodyBytes must be positive")
     val nRec = payload.length / bodyBytes
     if (nRec < 1) return null
     val out = new java.io.ByteArrayOutputStream(payload.length + nRec * 512)
     var i = 0
     while (i < nRec) {
+      if (mixed && i % 5 == 4) {
+        // MIXED-PROTOCOL crawl shape: every fifth slice is a response
+        // record captured from a NON-HTTP protocol (ISO 28500 allows
+        // response records for DNS, FTP, ...) — its block is the raw
+        // capture, its Content-Type is not application/http, and a
+        // conformant consumer must keep it opaque, not invalidate it
+        val body = java.util.Arrays.copyOfRange(
+          payload, i * bodyBytes, (i + 1) * bodyBytes)
+        val resp = record("response", s"urn:graft:record-$i", i,
+          "application/octet-stream", "", body)
+        if (gz) writeGzMember(out, resp) else out.write(resp)
+        i += 1
+      } else {
       val reqMsg = (s"GET /doc/$i HTTP/1.1\r\n" +
         "Host: example.com\r\n" +
         "Accept: text/plain\r\n" +
@@ -210,6 +228,7 @@ object WarcCodec {
       if (gz) { writeGzMember(out, req); writeGzMember(out, resp) }
       else { out.write(req); out.write(resp) }
       i += 1
+      }
     }
     out.toByteArray
   }
@@ -270,6 +289,7 @@ object WarcCodec {
     var buf: Array[Byte] = null
     var warcType: String = null
     var recordId: String = null
+    var contentType: String = null
     var concurrentTo: List[String] = Nil
     var blockOff: Int = 0
     var blockLen: Int = 0
@@ -296,6 +316,7 @@ object WarcCodec {
     var warcType: String = null
     var recordId: String = null
     var date: String = null
+    var contentType: String = null
     var contentLen = -1L
     var concurrentTo: List[String] = Nil
     var done = false
@@ -333,6 +354,11 @@ object WarcCodec {
             // spec-legal to repeat; each value is a bracketed uri
             if (!(value.startsWith("<") && value.endsWith(">"))) return -1
             concurrentTo ::= value
+          case "Content-Type" =>
+            // optional per ISO 28500, but at most once — it decides
+            // whether a response block gets the RFC 9112 parse
+            if (contentType != null) return -1
+            contentType = value
           case _ => () // unknown headers are spec-legal, skipped
         }
       }
@@ -355,6 +381,7 @@ object WarcCodec {
       view.buf = bytes
       view.warcType = warcType
       view.recordId = recordId
+      view.contentType = contentType
       view.concurrentTo = concurrentTo
       view.blockOff = blockEnd - contentLen.toInt
       view.blockLen = contentLen.toInt
@@ -528,6 +555,30 @@ object WarcCodec {
     p
   }
 
+  /** Split a WARC Content-Type header into (media type, msgtype param),
+    * both lowercased; (null, null) when absent. The media type decides
+    * whether a record block gets the RFC 9112 parse at all — ISO 28500
+    * allows response records for non-HTTP protocols (DNS, FTP, ...),
+    * which must stay opaque, not false-invalidate the archive.
+    */
+  private def contentTypeParts(ct: String): (String, String) = {
+    if (ct == null) return (null, null)
+    val semi = ct.indexOf(';')
+    val media = (if (semi < 0) ct else ct.substring(0, semi)).trim.toLowerCase
+    var msg: String = null
+    if (semi >= 0) ct.substring(semi + 1).split(";").foreach { p =>
+      val eq = p.indexOf('=')
+      if (eq > 0) {
+        val k = p.substring(0, eq).trim.toLowerCase
+        var v = p.substring(eq + 1).trim
+        if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+          v = v.substring(1, v.length - 1)
+        if (k == "msgtype") msg = v.toLowerCase
+      }
+    }
+    (media, msg)
+  }
+
   /** One extracted response document (the fan-out row). */
   final case class HttpRecord(recIdx: Long, status: Long, bodyLen: Long,
       bodySum: Long, body: Array[Byte])
@@ -569,8 +620,16 @@ object WarcCodec {
       if (view.warcType == "response" && !responseIds.add(view.recordId))
         return false
       val blockEnd = view.blockOff + view.blockLen
+      // the RFC 9112 parse is gated on the record's Content-Type (ISO
+      // 28500): only application/http blocks are HTTP messages; response
+      // records captured from other protocols stay opaque — counted in
+      // n_records/n_responses, never parsed, never invalidating. A
+      // msgtype parameter that CONTRADICTS the WARC-Type is a forgery.
+      val (media, msgtype) = contentTypeParts(view.contentType)
+      val isHttp = media == "application/http"
       view.warcType match {
-        case "response" =>
+        case "response" if isHttp =>
+          if (msgtype != null && msgtype != "response") return false
           val hv = new HttpView
           val bodyOff =
             parseHttpHead(view.buf, view.blockOff, blockEnd, response = true, hv)
@@ -600,18 +659,23 @@ object WarcCodec {
             out += HttpRecord(respIdx, hv.status, body.length, s, body)
           respIdx += 1
         case "request" =>
-          val hv = new HttpView
-          val bodyOff = parseHttpHead(view.buf, view.blockOff, blockEnd,
-            response = false, hv)
-          if (bodyOff < 0) return false
-          if (hv.chunked && hv.contentLength >= 0) return false
-          if (hv.chunked) {
-            if (dechunk(view.buf, bodyOff, blockEnd) == null) return false
-          } else if (hv.contentLength >= 0 &&
-            hv.contentLength != blockEnd - bodyOff) return false
+          if (isHttp) {
+            if (msgtype != null && msgtype != "request") return false
+            val hv = new HttpView
+            val bodyOff = parseHttpHead(view.buf, view.blockOff, blockEnd,
+              response = false, hv)
+            if (bodyOff < 0) return false
+            if (hv.chunked && hv.contentLength >= 0) return false
+            if (hv.chunked) {
+              if (dechunk(view.buf, bodyOff, blockEnd) == null) return false
+            } else if (hv.contentLength >= 0 &&
+              hv.contentLength != blockEnd - bodyOff) return false
+          }
+          // request COUNT and Concurrent-To pairing are WARC-level
+          // facts, protocol-independent
           nRequests += 1
           requestLinks ::= view.concurrentTo
-        case _ => () // warcinfo/metadata blocks stay opaque
+        case _ => () // warcinfo/metadata and non-HTTP responses stay opaque
       }
       true
     }
@@ -705,7 +769,7 @@ case class WarcDecode(child: Expression, gz: Boolean)
   * HTTP messages (null when no full body slice fits).
   */
 case class WarcHttpEncode(child: Expression, bodyBytes: Int, gz: Boolean,
-    chunked: Boolean = false)
+    chunked: Boolean = false, mixed: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(bodyBytes >= 1, "bodyBytes must be positive")
 
@@ -719,7 +783,7 @@ case class WarcHttpEncode(child: Expression, bodyBytes: Int, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     WarcCodec.encodeWarcHttp(input.asInstanceOf[Array[Byte]], bodyBytes, gz,
-      chunked)
+      chunked, mixed)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -814,6 +878,8 @@ object WarcNativeFunctions {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean],
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_warc_http_stats",
@@ -840,12 +906,14 @@ object WarcNativeFunctions {
   }
 
   def warcHttpEncode(spark: SparkSession, bytes: Column, bodyBytes: Int,
-      gz: Boolean, chunked: Boolean = false): Column = {
+      gz: Boolean, chunked: Boolean = false,
+      mixed: Boolean = false): Column = {
     register(spark)
     call_function("graft_warc_http_encode", bytes,
       org.apache.spark.sql.functions.lit(bodyBytes),
       org.apache.spark.sql.functions.lit(gz),
-      org.apache.spark.sql.functions.lit(chunked))
+      org.apache.spark.sql.functions.lit(chunked),
+      org.apache.spark.sql.functions.lit(mixed))
   }
 
   def warcHttpStats(spark: SparkSession, bytes: Column, gz: Boolean): Column = {

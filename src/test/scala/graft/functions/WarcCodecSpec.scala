@@ -284,6 +284,59 @@ class WarcCodecSpec extends SparkSpec {
     assert(!mutate("Content-Type: text/plain", "Content-Length: 00000256"))
   }
 
+  test("Content-Type gates the HTTP parse: non-HTTP responses stay opaque") {
+    // the mixed shape: slices 4 and 9 are octet-stream response records
+    // captured from another protocol — a conformant consumer keeps them
+    // opaque (counted, never parsed, never invalidating)
+    val payload = fixture(10 * 32, 16)
+    def sliceSum(i: Int): Long =
+      (i * 32 until (i + 1) * 32).map(payload(_) & 0xff).map(_.toLong).sum
+    for (gz <- Seq(false, true)) {
+      val warc = WarcCodec.encodeWarcHttp(payload, 32, gz, mixed = true)
+      val (d, recs) = WarcCodec.decodeWarcHttp(warc, gz, collect = true)
+      assert(d.valid, s"gz=$gz: a mixed crawl must not false-invalidate")
+      assert(d.nRecords === 18L) // 2 per HTTP slice + 1 per opaque slice
+      assert(d.nRequests === 8L && d.nResponses === 10L)
+      // HTTP 200s: i in 0..9 minus opaque {4, 9} minus fixture 404s {3, 7}
+      assert(d.n200 === 6L)
+      assert(d.bodyBytes === 8L * 32, "opaque blocks are not HTTP bodies")
+      assert(d.sumBody ===
+        (0 until 10).filter(_ % 5 != 4).map(sliceSum).sum)
+      assert(d.nPaired === 8L)
+      // the extraction fan-out carries HTTP responses only
+      assert(recs.map(_.recIdx) === (0L until 8L))
+      assert(recs.map(_.bodySum) ===
+        (0 until 10).filter(_ % 5 != 4).map(sliceSum))
+    }
+    // a response record with NO Content-Type at all is opaque-valid too
+    val bare = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:1>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Length: 5\r\n" +
+      "\r\nhello\r\n\r\n").getBytes("US-ASCII")
+    val (db, rb) = WarcCodec.decodeWarcHttp(bare, gz = false, collect = true)
+    assert(db.valid && db.nResponses === 1L && db.n200 === 0L &&
+      db.bodyBytes === 0L && rb.isEmpty)
+    // a msgtype CONTRADICTING the WARC-Type is a forgery: visible
+    val httpWarc = new String(
+      WarcCodec.encodeWarcHttp(fixture(2 * 32, 17), 32, gz = false),
+      "ISO-8859-1")
+    val forged = httpWarc.replace("msgtype=response", "msgtype=request")
+    assert(!WarcCodec.decodeWarcHttp(
+      forged.getBytes("ISO-8859-1"), gz = false, collect = false)._1.valid)
+    // a repeated Content-Type header rejects (at most once per record)
+    val dup = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:1>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: a/b\r\n" +
+      "Content-Type: a/b\r\n" +
+      "Content-Length: 5\r\n" +
+      "\r\nhello\r\n\r\n").getBytes("US-ASCII")
+    assert(!WarcCodec.decodeWarcHttp(dup, gz = false, collect = false)._1.valid)
+  }
+
   test("engine surface: Multimodal.encodeWarc / warcStats both shapes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
