@@ -2617,6 +2617,24 @@ object SparkEntry {
         .select(col("asset_id"), col("rec_idx"), col("status"),
           col("body_len"), col("body_sum"))
     },
+    // WET-style text extraction (E264): the crawl-to-corpus conversion —
+    // the q292 body fan-out filtered to HTTP 200s, each body UTF-8
+    // decoded and run through the markup-strip pipeline (E109), one
+    // text-document row per response with cleaned hash/length/token
+    // count. Composes two oracle-green operators; the oracle rebuilds
+    // each row from the corresponding raw text slice with the same
+    // regex chain (Java∩RE2-portable).
+    "q310_warc_wet" -> { (s, dir) =>
+      graft.ext.Multimodal.warcTextExtracts(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          bodyBytes = 256)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("rec_idx"), col("clean_hash"),
+          col("clean_len"), col("n_tokens"))
+    },
     // MIXED-PROTOCOL crawl (E263): ISO 28500 allows response records
     // captured from non-HTTP protocols (DNS, FTP, ...) — every fifth
     // slice here is an application/octet-stream response. The RFC 9112
@@ -3637,6 +3655,35 @@ object SparkEntry {
          |       CAST(SUM(v) AS BIGINT) AS sum_body,
          |       CAST(nr AS BIGINT) AS n_paired
          |FROM bv GROUP BY asset_id, nr""".stripMargin
+
+  /** WET-extraction replay (q310): HTTP 200 slices only (j mod 4 ≠ 3),
+    * each 256-byte body re-cleaned from the raw text slice with the
+    * exact q149 regex chain (documents are ASCII, so byte slices and
+    * char slices agree).
+    */
+  private def warcWetOracleSql: String =
+    """WITH src AS (SELECT doc_id AS asset_id, text,
+         |              octet_length(CAST(text AS BLOB)) // 256 AS nr
+         |            FROM documents WHERE doc_id < 140),
+         |sl AS (SELECT asset_id, j AS rec_idx,
+         |         substr(text, CAST(j * 256 + 1 AS BIGINT), 256) AS s
+         |       FROM (SELECT asset_id, text, unnest(range(0, nr)) AS j
+         |             FROM src WHERE nr >= 1)
+         |       WHERE j % 4 <> 3),
+         |c AS (SELECT asset_id, rec_idx, trim(regexp_replace(
+         |        replace(replace(replace(replace(replace(replace(
+         |          regexp_replace(s, '<[^>]*>', ' ', 'g'),
+         |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |        '[ \t\n\r\f]+', ' ', 'g')) AS clean
+         |      FROM sl)
+         |SELECT asset_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+         |       md5(clean) AS clean_hash,
+         |       CAST(length(clean) AS BIGINT) AS clean_len,
+         |       CAST(CASE WHEN clean = '' THEN 0
+         |            ELSE len(string_split(clean, ' ')) END AS BIGINT)
+         |         AS n_tokens
+         |FROM c""".stripMargin
 
   /** MIXED-PROTOCOL crawl replay (q309): every fifth 32-byte slice is a
     * non-HTTP (octet-stream) response record the decoder must keep
@@ -5240,6 +5287,9 @@ object SparkEntry {
     // q309: the mixed-protocol crawl — opaque non-HTTP responses count
     // as records, never as HTTP stats, never as findings
     "q309_warc_mixed" -> warcMixedOracleSql,
+    // q310: crawl-to-corpus — 200-status bodies re-cleaned from raw
+    // text slices with the q149 regex chain
+    "q310_warc_wet" -> warcWetOracleSql,
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the

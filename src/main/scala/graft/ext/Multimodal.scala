@@ -946,6 +946,28 @@ object Multimodal {
         col("r.body_sum").as("body_sum"), col("r.body").as("body"))
   }
 
+  /** WET-style text extraction (E264): the crawl-to-corpus conversion
+    * every training pipeline runs second — the [[warcHttpRecords]]
+    * fan-out filtered to HTTP 200 responses, each body decoded as UTF-8
+    * and run through the [[TextAnalysis.cleanMarkup]] pipeline (tag
+    * strip, entity decode, whitespace collapse), emitting one
+    * text-document row per response with its cleaned hash, length, and
+    * whitespace-token count. Composes two green operators; map-only
+    * after the container walk (regex chain per row, no shuffle).
+    */
+  def warcTextExtracts(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val clean = TextAnalysis.cleanMarkup(col("body").cast("string"))
+    warcHttpRecords(assets, gz)
+      .filter(col("status") === 200)
+      .select(col("asset_id"), col("rec_idx"), clean.as("text_clean"))
+      .select(col("asset_id"), col("rec_idx"),
+        md5(col("text_clean")).as("clean_hash"),
+        length(col("text_clean")).cast("long").as("clean_len"),
+        when(col("text_clean") === "", 0L)
+          .otherwise(size(split(col("text_clean"), " ")).cast("long"))
+          .as("n_tokens"))
+  }
+
   /** Encode each asset's payload bytes as the color indices of a GIF89a
     * image (E245) of the given column width (height = ⌊len/width⌋ whole
     * rows; assets shorter than one row are dropped) — real LZW entropy

@@ -884,21 +884,29 @@ object TextAnalysis {
     * Scale: map-only (regex + fixed replace chain per row, no shuffle);
     * at 100 TB this pins at CPU on the scan, which is the best case.
     */
-  def stripMarkup(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val t = col(textCol)
+  /** The markup-strip pipeline as a Column — tag removal, single-level
+    * entity decode (`&amp;` LAST), whitespace collapse, trim — shared by
+    * [[stripMarkup]] and the WET-style WARC text extraction.
+    */
+  def cleanMarkup(t: Column): Column = {
     val untagged = regexp_replace(t, tagPattern, " ")
     val decoded = replace(replace(replace(replace(replace(replace(
       untagged,
       lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
       lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
       lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    // explicit class, not \s: Java's \s includes \x0B, RE2's does not
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  def stripMarkup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
     docs.select(
       col(idCol),
-      // explicit class, not \s: Java's \s includes \x0B, RE2's does not
-      trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " ")).as("text_clean"),
+      cleanMarkup(t).as("text_clean"),
       size(regexp_extract_all(t, lit(tagPattern), lit(0))).cast("long").as("n_tags"),
       size(regexp_extract_all(t, lit(entityPattern), lit(0))).cast("long").as("n_entities"),
       length(t).cast("long").as("raw_len"))

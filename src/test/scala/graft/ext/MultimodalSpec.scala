@@ -375,4 +375,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavWindowEnergy(assets).select("asset_id").distinct()
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
+
+  test("warcTextExtracts: 200s only, markup stripped, tokens counted") {
+    import spark.implicits._
+    // 6 slices of 32 bytes: slice 3 is the fixture 404 and must be
+    // dropped; markup and entities inside a slice must be cleaned
+    val s0 = "<b>alpha</b> beta  gamma           " // 32 after take
+    val raw = (s0 + "x" * 200).take(6 * 32).getBytes("US-ASCII")
+    val assets = Seq((1L, raw)).toDF("asset_id", "bytes")
+      .withColumn("kind", lit("text"))
+      .withColumn("meta", struct(lit("s").as("source"), lit("m").as("mime")))
+    val out = Multimodal.warcTextExtracts(
+      Multimodal.encodeWarcHttp(assets, bodyBytes = 32))
+      .orderBy("rec_idx").collect()
+    assert(out.map(_.getAs[Long]("rec_idx")).toSeq === Seq(0L, 1L, 2L, 4L, 5L),
+      "the 404 slice (index 3) is not a corpus document")
+    val first = out.head
+    // slice 0 = "<b>alpha</b> beta  gamma        " cleaned =
+    // "alpha beta gamma"
+    assert(first.getAs[Long]("clean_len") === 16L)
+    assert(first.getAs[Long]("n_tokens") === 3L)
+    // an all-x slice is one token of 32 chars
+    assert(out.last.getAs[Long]("n_tokens") === 1L)
+    assert(out.last.getAs[Long]("clean_len") === 32L)
+  }
 }
