@@ -2800,6 +2800,22 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_frames"),
           col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
     },
+    // 24-BIT FLAC (E265): the high-resolution audio-lake width — the
+    // PCM is the payload's 3-byte little-endian samples, STREAMINFO
+    // declares 24 bits, the frame headers carry sample-size code 0b110,
+    // and the MD5 identity runs over the 3-byte stream. LPC competes as
+    // in q302; the oracle reads the signed 24-bit sums off raw bytes.
+    "q311_flac_24bit" -> { (s, dir) =>
+      graft.ext.Multimodal.flacStats(
+        graft.ext.Multimodal.encodeFlac(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          lpcOrder = 8, bps = 24)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
+    },
     // TIFF decode (E252): the scanner-archive format — classic TIFF 6.0
     // IFD walk (ascending-tag audit, full baseline-grayscale required
     // set, external value areas), uncompressed strips, little-endian.
@@ -3895,6 +3911,36 @@ object SparkEntry {
          |             FROM g)),
          |sg AS (SELECT asset_id, ns, i,
          |         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |       FROM sm)
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST((ns + 575) // 576 AS BIGINT) AS n_frames,
+         |       CAST(ns AS BIGINT) AS n_samples,
+         |       CAST(SUM(s) AS BIGINT) AS sum_s,
+         |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+         |       CAST(SUM(i * s) AS BIGINT) AS sum_is
+         |FROM sg GROUP BY asset_id, ns""".stripMargin
+
+  /** 24-bit FLAC replay (q311): the PCM is the payload's 3-byte
+    * little-endian samples (whole samples only), signed by the
+    * u >= 2^23 ? u − 2^24 rule; frames and the index weighting follow
+    * the 16-bit replay exactly.
+    */
+  private def flac24OracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 3 AS ns
+         |      FROM src WHERE octet_length(p) // 3 >= 1
+         |        AND octet_length(p) <= 33554432),
+         |sm AS (SELECT asset_id, ns, i,
+         |         CAST(('0x'||substr(h, CAST(6*i+1 AS BIGINT), 2)) AS BIGINT)
+         |         + 256 * CAST(('0x'||substr(h, CAST(6*i+3 AS BIGINT), 2))
+         |                       AS BIGINT)
+         |         + 65536 * CAST(('0x'||substr(h, CAST(6*i+5 AS BIGINT), 2))
+         |                         AS BIGINT) AS u
+         |       FROM (SELECT asset_id, ns, h, unnest(range(0, ns)) AS i
+         |             FROM g)),
+         |sg AS (SELECT asset_id, ns, i,
+         |         CASE WHEN u >= 8388608 THEN u - 16777216 ELSE u END AS s
          |       FROM sm)
          |SELECT asset_id, TRUE AS is_valid,
          |       CAST((ns + 575) // 576 AS BIGINT) AS n_frames,
@@ -5263,6 +5309,8 @@ object SparkEntry {
     // choice changes the wire, never the PCM
     "q302_flac_lpc" -> flacOracleSql,
     "q305_flac_stereo" -> flacStereoOracleSql,
+    // q311: 3-byte LE samples, the 24-bit audio-lake width
+    "q311_flac_24bit" -> flac24OracleSql,
     "q300_tiff_scale" -> tiffOracleSqlFor(""),
     "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,

@@ -1029,14 +1029,16 @@ object Multimodal {
     * sample are dropped.
     */
   def encodeFlac(assets: DataFrame, lpcOrder: Int = 0,
-      stereo: Boolean = false): DataFrame = {
+      stereo: Boolean = false, bps: Int = 16): DataFrame = {
+    require(bps == 16 || bps == 24, "bps must be 16 or 24")
     val spark = assets.sparkSession
+    val minLen = (if (stereo) 2L else 1L) * (bps / 8)
     assets
-      .filter(octet_length(col("bytes")) >= (if (stereo) 4L else 2L) &&
+      .filter(octet_length(col("bytes")) >= minLen &&
         octet_length(col("bytes")) <= 33554432L)
       .withColumn("bytes",
         graft.functions.FlacNativeFunctions.flacEncode(spark, col("bytes"),
-          lpcOrder, stereo))
+          lpcOrder, stereo, bps))
   }
 
   /** Decode FLAC assets natively (E253): full frame-header verification

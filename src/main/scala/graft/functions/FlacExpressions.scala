@@ -31,7 +31,8 @@ import org.apache.spark.sql.types._
   * proves decode∘encode losslessness against the stream's own
   * signature — a lying codec path cannot produce a valid archive.
   *
-  * SUPPORTED on decode: 16-bit samples, 1..8 independent channels,
+  * SUPPORTED on decode: 16- and 24-bit samples (the real audio-lake
+  * widths; 8/12/20-bit stay visible rejects), 1..8 independent channels,
   * CONSTANT / VERBATIM / FIXED 0..4 / LPC 1..32 subframes (quantized
   * coefficients, 64-bit prediction accumulator, negative-shift and
   * reserved-precision rejects), all Rice partition orders, both Rice
@@ -378,20 +379,29 @@ object FlacCodec {
     w2
   }
 
-  /** Encode payload bytes (little-endian 16-bit mono PCM, whole samples
-    * only) as a FLAC stream; null when no full sample fits. When
-    * `lpcOrder` > 0, an LPC subframe of that order competes (by exact
-    * bit cost) with the constant/fixed/verbatim choices.
+  /** Encode payload bytes (little-endian mono PCM at `bps` ∈ {16, 24}
+    * bits, whole samples only) as a FLAC stream; null when no full
+    * sample fits. When `lpcOrder` > 0, an LPC subframe of that order
+    * competes (by exact bit cost) with the constant/fixed/verbatim
+    * choices.
     */
-  def encodeFlac(payload: Array[Byte], lpcOrder: Int = 0): Array[Byte] = {
+  def encodeFlac(payload: Array[Byte], lpcOrder: Int = 0,
+      bps: Int = 16): Array[Byte] = {
     require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
-    val n = payload.length / 2
+    require(bps == 16 || bps == 24, "bps must be 16 or 24")
+    val bytesPer = bps / 8
+    val n = payload.length / bytesPer
     if (n < 1) return null
     if (n > (1 << 24)) return null // fixture bound, mirrors the pixel cap
     val x = new Array[Int](n)
     var i = 0
     while (i < n) {
-      x(i) = ((payload(2 * i) & 0xff) | (payload(2 * i + 1) << 8)).toShort.toInt
+      x(i) =
+        if (bps == 16)
+          ((payload(2 * i) & 0xff) | (payload(2 * i + 1) << 8)).toShort.toInt
+        else // 3-byte LE, sign-extended from bit 23
+          (((payload(3 * i) & 0xff) | ((payload(3 * i + 1) & 0xff) << 8) |
+            ((payload(3 * i + 2) & 0xff) << 16)) << 8) >> 8
       i += 1
     }
 
@@ -406,10 +416,10 @@ object FlacCodec {
     si.put(0, 24)         // max frame size: unknown
     si.put(8000, 20)      // sample rate
     si.put(0, 3)          // channels - 1
-    si.put(15, 5)         // bits per sample - 1
+    si.put(bps - 1L, 5)   // bits per sample - 1
     si.put(n.toLong, 36)  // total samples
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.util.Arrays.copyOfRange(payload, 0, 2 * n))
+      .digest(java.util.Arrays.copyOfRange(payload, 0, bytesPer * n))
     md5.foreach(b => si.put(b & 0xffL, 8))
     out.write(si.toByteArray)
 
@@ -422,7 +432,8 @@ object FlacCodec {
       w.put(0xf8, 8)          // sync (low 6) + reserved 0 + fixed blocking
       w.put(0x70, 8)          // block size code 0b0111 (16-bit follows) +
                               // sample rate code 0b0000 (from STREAMINFO)
-      w.put(0x08, 8)          // mono + sample size 0b100 (16 bit) + reserved
+      // mono + sample size code (0b100 = 16 bit, 0b110 = 24) + reserved
+      w.put(((if (bps == 16) 4 else 6) << 1).toLong, 8)
       putUtf8(w, f.toLong)
       w.put((bs - 1).toLong, 16)
       val headBytes = w.toByteArray // aligned here by construction
@@ -430,7 +441,7 @@ object FlacCodec {
       headBytes.foreach(b => w2.put(b & 0xffL, 8))
       w2.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
 
-      buildSubframe(x, start, bs, 16, lpcOrder).appendTo(w2)
+      buildSubframe(x, start, bs, bps, lpcOrder).appendTo(w2)
       w2.align()
       val frameBytes = w2.toByteArray
       out.write(frameBytes)
@@ -442,26 +453,33 @@ object FlacCodec {
     out.toByteArray
   }
 
-  /** Encode payload bytes as STEREO FLAC: consecutive LE 16-bit pairs
-    * alternate (left, right) — whole pairs only; null when no full pair
-    * fits. Every frame COSTS all four channel assignments exactly —
-    * independent, left/side, right/side, mid/side (the side channel at
-    * 17 bits per the spec) — and writes the cheapest, so correlated
-    * channels really take the decorrelated wire.
+  /** Encode payload bytes as STEREO FLAC: consecutive LE samples at
+    * `bps` ∈ {16, 24} bits alternate (left, right) — whole pairs only;
+    * null when no full pair fits. Every frame COSTS all four channel
+    * assignments exactly — independent, left/side, right/side, mid/side
+    * (the side channel at bps+1 bits per the spec) — and writes the
+    * cheapest, so correlated channels really take the decorrelated wire.
     */
-  def encodeFlacStereo(payload: Array[Byte], lpcOrder: Int = 0): Array[Byte] = {
+  def encodeFlacStereo(payload: Array[Byte], lpcOrder: Int = 0,
+      bps: Int = 16): Array[Byte] = {
     require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
-    val nPairs = payload.length / 4
+    require(bps == 16 || bps == 24, "bps must be 16 or 24")
+    val bytesPer = bps / 8
+    val nPairs = payload.length / (2 * bytesPer)
     if (nPairs < 1) return null
     if (nPairs > (1 << 23)) return null
     val left = new Array[Int](nPairs)
     val right = new Array[Int](nPairs)
+    def sample(o: Int): Int =
+      if (bps == 16)
+        ((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort.toInt
+      else
+        (((payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16)) << 8) >> 8
     var i = 0
     while (i < nPairs) {
-      left(i) = ((payload(4 * i) & 0xff) |
-        (payload(4 * i + 1) << 8)).toShort.toInt
-      right(i) = ((payload(4 * i + 2) & 0xff) |
-        (payload(4 * i + 3) << 8)).toShort.toInt
+      left(i) = sample(2 * bytesPer * i)
+      right(i) = sample(2 * bytesPer * i + bytesPer)
       i += 1
     }
 
@@ -475,10 +493,10 @@ object FlacCodec {
     si.put(0, 24)
     si.put(8000, 20)
     si.put(1, 3)              // channels - 1 = 1
-    si.put(15, 5)             // bits per sample - 1
+    si.put(bps - 1L, 5)       // bits per sample - 1
     si.put(nPairs.toLong, 36) // total INTER-CHANNEL samples
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.util.Arrays.copyOfRange(payload, 0, 4 * nPairs))
+      .digest(java.util.Arrays.copyOfRange(payload, 0, 2 * bytesPer * nPairs))
     md5.foreach(b => si.put(b & 0xffL, 8))
     out.write(si.toByteArray)
 
@@ -495,10 +513,10 @@ object FlacCodec {
         mid(i) = (left(start + i) + right(start + i)) >> 1
         i += 1
       }
-      val subL = buildSubframe(left, start, bs, 16, lpcOrder)
-      val subR = buildSubframe(right, start, bs, 16, lpcOrder)
-      val subS = buildSubframe(side, 0, bs, 17, lpcOrder)
-      val subM = buildSubframe(mid, 0, bs, 16, lpcOrder)
+      val subL = buildSubframe(left, start, bs, bps, lpcOrder)
+      val subR = buildSubframe(right, start, bs, bps, lpcOrder)
+      val subS = buildSubframe(side, 0, bs, bps + 1, lpcOrder)
+      val subM = buildSubframe(mid, 0, bs, bps, lpcOrder)
       // four assignments, one exact cost scale
       val candidates = Seq(
         (0x1, subL, subR), // independent stereo
@@ -513,7 +531,8 @@ object FlacCodec {
       w.put(0xff, 8)
       w.put(0xf8, 8)
       w.put(0x70, 8)
-      w.put((chanCode << 4) | 0x08, 8) // assignment + 16-bit + reserved
+      // assignment + sample size code (0b100 = 16, 0b110 = 24) + reserved
+      w.put(((chanCode << 4) | ((if (bps == 16) 4 else 6) << 1)).toLong, 8)
       putUtf8(w, f.toLong)
       w.put((bs - 1).toLong, 16)
       val headBytes = w.toByteArray
@@ -643,9 +662,14 @@ object FlacCodec {
     if (!sawStreamInfo) return Invalid
     if (minBlock < 16 || maxBlock < minBlock || maxBlock > 65535)
       return Invalid
-    if (bps != 16) return Invalid // the fixture contract (SURVEY fence)
+    // 16- and 24-bit PCM are the real audio-lake widths; anything else
+    // stays a visible reject (8/12/20-bit are rare wires, fenced)
+    if (bps != 16 && bps != 24) return Invalid
     if (channels < 1 || channels > 8) return Invalid
     if (totalSamples < 1 || totalSamples > (1L << 24)) return Invalid
+    val bytesPer = bps / 8
+    val sampleLo = -(1 << (bps - 1))
+    val sampleHi = (1 << (bps - 1)) - 1
 
     val md5 = java.security.MessageDigest.getInstance("MD5")
     var sumS = 0L
@@ -656,7 +680,7 @@ object FlacCodec {
     val frame = new Array[Array[Int]](channels)
     var ch = 0
     while (ch < channels) { frame(ch) = new Array[Int](65536); ch += 1 }
-    val pcmBuf = new Array[Byte](2 * channels)
+    val pcmBuf = new Array[Byte](bytesPer * channels)
 
     val r = new BitReader(bytes)
     r.pos = p
@@ -687,7 +711,18 @@ object FlacCodec {
         case 9 => 0
         case _ => -1
       }
-      if (ssCode != 4 && ssCode != 0) return Invalid // 16-bit only
+      // the sample-size code must AGREE with STREAMINFO (0 defers to it;
+      // 3 and 7 are reserved) — a frame contradicting the stream is forged
+      val ssBits = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case _ => return Invalid
+      }
+      if (ssBits != bps) return Invalid
       val fno = readUtf8(r)
       if (fno != nFrames) return Invalid // strictly sequential
       val bs = bsCode match {
@@ -870,14 +905,14 @@ object FlacCodec {
             }
         }
       }
-      // a 16-bit stream must stay in 16-bit range after reconstruction
+      // a bps-bit stream must stay in bps-bit range after reconstruction
       // (checked on the FINAL channels, after any decorrelation undo)
       ch = 0
       while (ch < channels) {
         val x = frame(ch)
         var i3 = 0
         while (i3 < bs) {
-          if (x(i3) < -32768 || x(i3) > 32767) return Invalid
+          if (x(i3) < sampleLo || x(i3) > sampleHi) return Invalid
           i3 += 1
         }
         ch += 1
@@ -898,11 +933,13 @@ object FlacCodec {
           // global INTERLEAVED index — for stereo this is the position
           // in the LE16 stream the oracle reads off raw payload bytes
           sumIs += ((sampleIdx + i) * channels + ch) * s.toLong
-          pcmBuf(2 * ch) = (s & 0xff).toByte
-          pcmBuf(2 * ch + 1) = ((s >> 8) & 0xff).toByte
+          pcmBuf(bytesPer * ch) = (s & 0xff).toByte
+          pcmBuf(bytesPer * ch + 1) = ((s >> 8) & 0xff).toByte
+          if (bytesPer == 3)
+            pcmBuf(bytesPer * ch + 2) = ((s >> 16) & 0xff).toByte
           ch += 1
         }
-        md5.update(pcmBuf, 0, 2 * channels)
+        md5.update(pcmBuf, 0, bytesPer * channels)
         i += 1
       }
       sampleIdx += bs
@@ -917,16 +954,17 @@ object FlacCodec {
   }
 }
 
-/** `graft_flac_encode(bytes[, lpcOrder, stereo])`: payload (LE 16-bit
-  * PCM — mono samples, or interleaved L/R pairs when `stereo`) → FLAC
-  * stream (null when no full sample/pair fits). lpcOrder > 0 lets an
-  * LPC subframe of that order compete by exact bit cost; stereo costs
-  * all four channel assignments per frame.
+/** `graft_flac_encode(bytes[, lpcOrder, stereo, bps])`: payload (LE PCM
+  * at 16 or 24 bits — mono samples, or interleaved L/R pairs when
+  * `stereo`) → FLAC stream (null when no full sample/pair fits).
+  * lpcOrder > 0 lets an LPC subframe of that order compete by exact bit
+  * cost; stereo costs all four channel assignments per frame.
   */
 case class FlacEncode(child: Expression, lpcOrder: Int = 0,
-    stereo: Boolean = false)
+    stereo: Boolean = false, bps: Int = 16)
     extends UnaryExpression with CodegenFallback {
   require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
+  require(bps == 16 || bps == 24, "bps must be 16 or 24")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -938,8 +976,8 @@ case class FlacEncode(child: Expression, lpcOrder: Int = 0,
 
   override def nullSafeEval(input: Any): Any =
     if (stereo)
-      FlacCodec.encodeFlacStereo(input.asInstanceOf[Array[Byte]], lpcOrder)
-    else FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]], lpcOrder)
+      FlacCodec.encodeFlacStereo(input.asInstanceOf[Array[Byte]], lpcOrder, bps)
+    else FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]], lpcOrder, bps)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -985,18 +1023,20 @@ object FlacNativeFunctions {
       exprs => FlacEncode(exprs.head,
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 0,
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean]
-        else false),
+        else false,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 16),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_flac_decode", exprs => FlacDecode(exprs.head), "built-in")
   }
 
   def flacEncode(spark: SparkSession, bytes: Column,
-      lpcOrder: Int = 0, stereo: Boolean = false): Column = {
+      lpcOrder: Int = 0, stereo: Boolean = false, bps: Int = 16): Column = {
     register(spark)
     call_function("graft_flac_encode", bytes,
       org.apache.spark.sql.functions.lit(lpcOrder),
-      org.apache.spark.sql.functions.lit(stereo))
+      org.apache.spark.sql.functions.lit(stereo),
+      org.apache.spark.sql.functions.lit(bps))
   }
 
   def flacDecode(spark: SparkSession, bytes: Column): Column = {

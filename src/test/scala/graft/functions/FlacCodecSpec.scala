@@ -384,6 +384,62 @@ class FlacCodecSpec extends SparkSpec {
     assert(FlacCodec.encodeFlacStereo(fixture(3, 36)) === null)
   }
 
+  test("24-bit samples: mono and stereo round-trip, MD5 over 3-byte LE") {
+    def expected24(payload: Array[Byte]): (Long, Long, Long) = {
+      val n = payload.length / 3
+      var ss = 0L; var sa = 0L; var si = 0L
+      for (i <- 0 until n) {
+        val s = (((payload(3 * i) & 0xff) | ((payload(3 * i + 1) & 0xff) << 8) |
+          ((payload(3 * i + 2) & 0xff) << 16)) << 8) >> 8
+        ss += s; sa += math.abs(s); si += i.toLong * s
+      }
+      (ss, sa, si)
+    }
+    // mono: fixed-only and LPC-competing wires, one identity
+    val payload = fixture(3 * 576 * 3 + 100, 41) // 3 full frames + tail
+    val (ss, sa, si) = expected24(payload)
+    for (lpc <- Seq(0, 8)) {
+      val flac = FlacCodec.encodeFlac(payload, lpcOrder = lpc, bps = 24)
+      assert(flac !== null)
+      val d = FlacCodec.decodeFlac(flac)
+      assert(d.valid, s"lpc=$lpc: 24-bit mono must decode")
+      assert(d.nSamples === (payload.length / 3).toLong)
+      assert((d.sumS, d.sumAbs, d.sumIs) === ((ss, sa, si)),
+        s"lpc=$lpc: 24-bit decode must be the lossless identity")
+    }
+    // the wire really declares 24 bits: STREAMINFO bps-1 = 23 and the
+    // frame sample-size code is 0b110 (byte 3 of the first frame header)
+    val flac = FlacCodec.encodeFlac(payload, bps = 24)
+    val frame0 = 4 + 4 + 34
+    assert((flac(frame0 + 3) & 0x0e) >> 1 === 6)
+    // a 20-bit STREAMINFO claim is a visible reject: bps-1 spans data
+    // bits 103..107 = absolute byte 20 b0 + byte 21 high nibble, so
+    // 23 (1 0111) -> 19 (1 0011) clears byte 21's 0x40
+    val bad20 = flac.clone(); bad20(21) = (bad20(21) & ~0x40).toByte
+    assert(!FlacCodec.decodeFlac(bad20).valid, "bps 20 stays fenced")
+    // a frame contradicting STREAMINFO on sample size is forged: flip
+    // the first frame's ss code from 0b110 (24) to 0b100 (16) and fix
+    // nothing else — the CRC-8 catches it; fixing the CRC would then
+    // hit the ssBits != bps audit (exercised via a hand-built header)
+    val forged = flac.clone()
+    forged(frame0 + 3) = (forged(frame0 + 3) & ~0x0e | (4 << 1)).toByte
+    assert(!FlacCodec.decodeFlac(forged).valid)
+    // stereo 24-bit: decorrelation at a 25-bit side channel
+    val pairs = fixture(6 * 576 * 2 + 200, 42)
+    def interleavedExpected24(p: Array[Byte]): (Long, Long, Long) = {
+      val np = p.length / 6
+      expected24(java.util.Arrays.copyOfRange(p, 0, np * 6))
+    }
+    val (s2, a2, i2) = interleavedExpected24(pairs)
+    val st = FlacCodec.encodeFlacStereo(pairs, lpcOrder = 8, bps = 24)
+    assert(st !== null)
+    val d2 = FlacCodec.decodeFlac(st)
+    assert(d2.valid, "24-bit stereo must decode")
+    assert(d2.nSamples === (pairs.length / 6 * 2).toLong)
+    assert((d2.sumS, d2.sumAbs, d2.sumIs) === ((s2, a2, i2)),
+      "24-bit stereo decorrelation must be the lossless identity")
+  }
+
   test("engine surface: Multimodal.encodeFlac / flacStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
