@@ -2749,6 +2749,23 @@ object SparkEntry {
           col("width"), col("height"), col("n_pixels"), col("sum_idx"),
           col("sum_rowv"), col("sum_delay"))
     },
+    // PARTIAL-FRAME animated GIF (E266): the dominant real animated-GIF
+    // wire — each frame a sub-screen update at nonzero (left, top)
+    // offsets inside a 48x8 screen, GCE disposal 1. The order-sensitive
+    // stats weight by SCREEN row and column, so only a decoder that
+    // really applies the per-frame offsets reproduces them.
+    "q312_gif_partial" -> { (s, dir) =>
+      graft.ext.Multimodal.gifStats(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, frameHeight = 5, partialFrames = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("width"), col("height"), col("n_pixels"), col("sum_idx"),
+          col("sum_rowv"), col("sum_colv"), col("sum_delay"))
+    },
     // FLAC decode (E253): lossless compressed audio, the FOURTH entropy
     // family in-engine (Rice coding). The decoder Rice-decodes every
     // residual, reconstructs the fixed predictors, verifies per-frame
@@ -3860,6 +3877,36 @@ object SparkEntry {
          |       CAST(nf * 200 AS BIGINT) AS n_pixels,
          |       CAST(SUM(v) AS BIGINT) AS sum_idx,
          |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
+         |       CAST(4 * nf + (nf + 1) // 3 + 2 * (nf // 3) AS BIGINT)
+         |         AS sum_delay
+         |FROM bv GROUP BY asset_id, nf""".stripMargin
+
+  /** Partial-frame animated-GIF replay (q312): whole 40x5 frames placed
+    * at ((f mod 3)·4, f mod 4) inside a 48x8 screen — the screen-row and
+    * screen-column weights are pure slice arithmetic on the raw payload
+    * (f = i DIV 200), and only an offset-applying decoder matches them.
+    */
+  private def gifPartialOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 200 AS nf
+         |      FROM src WHERE octet_length(p) // 200 >= 1
+         |        AND octet_length(p) <= 16777216),
+         |bv AS (SELECT asset_id, nf,
+         |         (i // 200) * 8 + (i // 200) % 4 + (i % 200) // 40 AS r,
+         |         ((i // 200) % 3) * 4 + (i % 200) % 40 AS c,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, nf, h,
+         |               unnest(range(0, nf * 200)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nf AS BIGINT) AS n_frames,
+         |       CAST(48 AS BIGINT) AS width,
+         |       CAST(8 AS BIGINT) AS height,
+         |       CAST(nf * 200 AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_idx,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
+         |       CAST(SUM(c * v) AS BIGINT) AS sum_colv,
          |       CAST(4 * nf + (nf + 1) // 3 + 2 * (nf // 3) AS BIGINT)
          |         AS sum_delay
          |FROM bv GROUP BY asset_id, nf""".stripMargin
@@ -5322,6 +5369,9 @@ object SparkEntry {
     "q307_tiff_multipage" -> tiffMultipageOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,
     "q295_gif_interlaced" -> gifInterlacedOracleSql,
+    // q312: sub-screen frames at nonzero offsets — screen-row/column
+    // weighted sums pin the placement
+    "q312_gif_partial" -> gifPartialOracleSql,
     "q296_gif_anim" -> gifAnimOracleSql,
     "q306_gif_lct" -> gifLctOracleSql,
     // q290/q291 share one oracle verbatim (plain vs record-gzip wire);

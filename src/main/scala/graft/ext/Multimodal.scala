@@ -976,7 +976,8 @@ object Multimodal {
     */
   def encodeGif(assets: DataFrame, width: Int = 40, palBits: Int = 8,
       interlaced: Boolean = false, frameHeight: Int = 0,
-      localPalettes: Boolean = false): DataFrame = {
+      localPalettes: Boolean = false,
+      partialFrames: Boolean = false): DataFrame = {
     require(width >= 1 && width <= 65535, "width must fit the u16 field")
     require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
     val spark = assets.sparkSession
@@ -992,7 +993,8 @@ object Multimodal {
         octet_length(col("bytes")) < maxLen)
       .withColumn("bytes",
         graft.functions.GifNativeFunctions.gifEncode(spark, col("bytes"),
-          width, palBits, interlaced, frameHeight, localPalettes))
+          width, palBits, interlaced, frameHeight, localPalettes,
+          partialFrames))
   }
 
   /** Decode GIF assets natively (E245): strict header/descriptor parse,
@@ -1018,7 +1020,8 @@ object Multimodal {
         col("q.mean_idx_milli").as("mean_idx_milli"),
         col("q.n_frames").as("n_frames"),
         col("q.sum_delay").as("sum_delay"),
-        col("q.sum_rowv").as("sum_rowv"))
+        col("q.sum_rowv").as("sum_rowv"),
+        col("q.sum_colv").as("sum_colv"))
   }
 
   /** Encode each asset's payload (as little-endian 16-bit mono PCM) into

@@ -49,8 +49,14 @@ import org.apache.spark.sql.types._
   * STRICTNESS: out-of-range codes, a KwKwK code with no prior string, a
   * pixel count that disagrees with the descriptor, missing EOI, data
   * past EOI, unconsumed sub-blocks, a missing trailer, trailing garbage,
-  * an LZW minimum code size outside 2..8, or frames that disagree with
-  * the screen descriptor all report `is_valid = false`. Extension blocks
+  * an LZW minimum code size outside 2..8, a frame whose placement
+  * (left, top, w, h) leaves the logical screen, or a GCE with a
+  * reserved disposal method (4..7) all report `is_valid = false`.
+  * PARTIAL frames — nonzero offsets, sub-screen geometry, the dominant
+  * real animated-GIF shape — are accepted and bounds-checked; the
+  * order-sensitive stats then weight by SCREEN row (top + deinterlaced
+  * local row, screens stacked across frames) and screen column (the
+  * `sum_colv` twin that pins left offsets). Extension blocks
   * (comment, application — real files carry them) are skipped as
   * spec-legal wherever GIF89a permits them, INCLUDING between the last
   * frame and the trailer; Graphic Control Extensions are parsed for
@@ -119,14 +125,22 @@ object GifCodec {
     *    NETSCAPE2.0 looping application extension. frameHeight == 0: a
     *    single image of ⌊len/width⌋ whole rows (null when no full row
     *    fits or the height overflows the u16 field).
+    *  - `partialFrames`: each animation frame is a SUB-SCREEN update at
+    *    offsets ((f mod 3)·4, f mod 4) inside a (width+8) x
+    *    (frameHeight+3) screen, GCE disposal 1 — the real-file shape.
     */
   def encodeGif(payload: Array[Byte], width: Int, palBits: Int = 8,
       interlaced: Boolean = false, frameHeight: Int = 0,
-      localPalettes: Boolean = false): Array[Byte] = {
+      localPalettes: Boolean = false,
+      partialFrames: Boolean = false): Array[Byte] = {
     require(width >= 1 && width <= 65535, "width must fit the u16 field")
     require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
     require(frameHeight >= 0 && frameHeight <= 65535,
       "frameHeight must fit the u16 field")
+    require(!partialFrames || frameHeight > 0,
+      "partial frames are an animation shape")
+    require(!(partialFrames && interlaced),
+      "one fixture axis at a time: partial frames are emitted sequential")
     val animated = frameHeight > 0
     val fh = if (animated) frameHeight else payload.length / width
     if (fh < 1 || fh > 65535) return null
@@ -138,10 +152,18 @@ object GifCodec {
     val palMask = palSize - 1
     val minCode = math.max(2, palBits)
 
+    // partial-frame screens leave room for the fixture offsets: frame f
+    // sits at (left, top) = ((f mod 3)·4, f mod 4) inside a screen 8
+    // columns wider and 3 rows taller than the frame — the dominant
+    // real animated-GIF shape (sub-screen updates at nonzero offsets)
+    val screenW = if (partialFrames) width + 8 else width
+    val screenH = if (partialFrames) fh + 3 else fh
+    if (screenW > 65535 || screenH > 65535) return null
+
     val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 1024)
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     "GIF89a".foreach(c => out.write(c.toInt))
-    u16(width); u16(fh)
+    u16(screenW); u16(screenH)
     // with local palettes the GCT is OMITTED entirely (the real-file
     // shape: many animated GIFs carry only per-frame tables)
     out.write((if (localPalettes) 0x70 else 0xf0) | (palBits - 1))
@@ -189,13 +211,16 @@ object GifCodec {
     var f = 0
     while (f < nFrames) {
       if (animated) {
-        // GCE: 4-byte block — packed (no disposal), delay cs, transparent
+        // GCE: 4-byte block — packed (disposal 1 "do not dispose" on the
+        // partial-frame wire, the real-file norm), delay cs, transparent
         out.write(0x21); out.write(0xf9); out.write(4)
-        out.write(0); u16(4 + f % 3); out.write(0)
+        out.write(if (partialFrames) 0x04 else 0); u16(4 + f % 3); out.write(0)
         out.write(0)
       }
       out.write(0x2c) // image descriptor
-      u16(0); u16(0); u16(width); u16(fh)
+      if (partialFrames) { u16((f % 3) * 4); u16(f % 4) }
+      else { u16(0); u16(0) }
+      u16(width); u16(fh)
       out.write((if (localPalettes) 0x80 else 0x00) |
         (if (interlaced) 0x40 else 0x00) |
         (if (localPalettes) palBits - 1 else 0))
@@ -295,10 +320,11 @@ object GifCodec {
     */
   final case class Decoded(valid: Boolean, width: Long, height: Long,
       nPixels: Long, sumIdx: Long, sumR: Long, sumG: Long, sumB: Long,
-      meanIdxMilli: Long, nFrames: Long, sumDelay: Long, sumRowV: Long)
+      meanIdxMilli: Long, nFrames: Long, sumDelay: Long, sumRowV: Long,
+      sumColV: Long)
 
   private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1,
-    -1, -1, -1, -1)
+    -1, -1, -1, -1, -1)
 
   def decodeGif(bytes: Array[Byte]): Decoded = {
     val n = bytes.length
@@ -328,14 +354,14 @@ object GifCodec {
       i += 1
     }
     if (sw < 1 || sh < 1) return Invalid
-    val framePix = sw.toLong * sh
-    if (framePix > MaxPixels) return Invalid // forged-geometry spin bound
+    if (sw.toLong * sh > MaxPixels) return Invalid // forged-geometry bound
 
     var sumIdx = 0L
     var sumR = 0L
     var sumG = 0L
     var sumB = 0L
     var sumRowV = 0L
+    var sumColV = 0L
     var sumDelay = 0L
     var nFrames = 0L
     var totalEmitted = 0L
@@ -362,9 +388,13 @@ object GifCodec {
         if (p + 1 >= n) return Invalid
         val label = bytes(p + 1) & 0xff
         if (label == 0xf9) {
-          // Graphic Control Extension: fixed 4-byte block
+          // Graphic Control Extension: fixed 4-byte block. The packed
+          // field's disposal method (bits 2..4) steers compositing:
+          // 0..3 are defined (unspecified / keep / background / previous),
+          // 4..7 reserved — a reserved value is a forged stream
           if (p + 7 >= n) return Invalid
           if ((bytes(p + 2) & 0xff) != 4) return Invalid
+          if ((((bytes(p + 3) & 0xff) >> 2) & 7) > 3) return Invalid
           sumDelay += u16(p + 4)
           if ((bytes(p + 7) & 0xff) != 0) return Invalid // terminator
           p += 8
@@ -381,15 +411,21 @@ object GifCodec {
       } else if (intro == 0x2c) {
         // ---- image descriptor + one LZW-coded frame ----
         if (p + 10 > n) return Invalid
-        if (u16(p + 1) != 0 || u16(p + 3) != 0) return Invalid // no offsets
+        // real animated GIFs overwhelmingly ship PARTIAL-frame updates:
+        // nonzero (left, top) and sub-screen w x h are accepted, but the
+        // placement must stay inside the logical screen
+        val left = u16(p + 1)
+        val top = u16(p + 3)
         val w = u16(p + 5)
         val h = u16(p + 7)
-        // every frame must fill the logical screen (the fixture contract)
-        if (w != sw || h != sh) return Invalid
+        if (w < 1 || h < 1) return Invalid
+        if (left + w > sw || top + h > sh) return Invalid // out of screen
+        val framePix = w.toLong * h
         if (totalEmitted + framePix > MaxPixels) return Invalid
         val ipacked = bytes(p + 9) & 0xff
         val interlaced = (ipacked & 0x40) != 0
-        if (rowOrder == null || rowOrderInterlaced != interlaced) {
+        if (rowOrder == null || rowOrder.length != h ||
+          rowOrderInterlaced != interlaced) {
           rowOrder = if (interlaced) interlaceRows(h)
           else Array.tabulate(h)(identity)
           rowOrderInterlaced = interlaced
@@ -468,23 +504,27 @@ object GifCodec {
           c
         }
         var emitted = 0L
-        val frameRowBase = nFrames * h
+        // the global row stacks SCREENS, not frames: a partial frame's
+        // pixel lands at screen row top + deinterlaced local row
+        val frameRowBase = nFrames * sh + top
         def emitString(code: Int): Boolean = {
-          var top = 0
+          var sp = 0
           var c = code
-          while (c >= 0) { stack(top) = suffix(c); top += 1; c = prefix(c) }
-          if (emitted + top > framePix) return false // more than declared
-          while (top > 0) {
-            top -= 1
-            val v = stack(top)
+          while (c >= 0) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          if (emitted + sp > framePix) return false // more than declared
+          while (sp > 0) {
+            sp -= 1
+            val v = stack(sp)
             if (v >= fPalSize) return false // index outside the palette
             sumIdx += v
             sumR += fPalR(v)
             sumG += fPalG(v)
             sumB += fPalB(v)
-            // the order-sensitive stat: global output row x index — the
-            // interlace map is what makes this match the raw payload
+            // the order-sensitive stats: global output row x index pins
+            // deinterlace + frame order + the TOP offset; screen column
+            // x index pins the LEFT offset
             sumRowV += (frameRowBase + rowOrder((emitted / w).toInt)) * v
+            sumColV += (left + emitted % w) * v
             emitted += 1
           }
           true
@@ -542,7 +582,7 @@ object GifCodec {
     if (nFrames < 1) return Invalid
 
     Decoded(valid = true, sw, sh, totalEmitted, sumIdx, sumR, sumG, sumB,
-      sumIdx * 1000 / totalEmitted, nFrames, sumDelay, sumRowV)
+      sumIdx * 1000 / totalEmitted, nFrames, sumDelay, sumRowV, sumColV)
   }
 }
 
@@ -552,7 +592,7 @@ object GifCodec {
   */
 case class GifEncode(child: Expression, width: Int, palBits: Int = 8,
     interlaced: Boolean = false, frameHeight: Int = 0,
-    localPalettes: Boolean = false)
+    localPalettes: Boolean = false, partialFrames: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1 && width <= 65535, "width must fit the u16 field")
   require(palBits >= 1 && palBits <= 8, "palBits must be in 1..8")
@@ -567,7 +607,7 @@ case class GifEncode(child: Expression, width: Int, palBits: Int = 8,
 
   override def nullSafeEval(input: Any): Any =
     GifCodec.encodeGif(input.asInstanceOf[Array[Byte]], width, palBits,
-      interlaced, frameHeight, localPalettes)
+      interlaced, frameHeight, localPalettes, partialFrames)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -593,7 +633,8 @@ case class GifDecode(child: Expression)
     StructField("mean_idx_milli", LongType, nullable = true),
     StructField("n_frames", LongType, nullable = true),
     StructField("sum_delay", LongType, nullable = true),
-    StructField("sum_rowv", LongType, nullable = true)))
+    StructField("sum_rowv", LongType, nullable = true),
+    StructField("sum_colv", LongType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -604,9 +645,10 @@ case class GifDecode(child: Expression)
     val d = GifCodec.decodeGif(input.asInstanceOf[Array[Byte]])
     if (d.valid)
       InternalRow(true, d.width, d.height, d.nPixels, d.sumIdx, d.sumR,
-        d.sumG, d.sumB, d.meanIdxMilli, d.nFrames, d.sumDelay, d.sumRowV)
+        d.sumG, d.sumB, d.meanIdxMilli, d.nFrames, d.sumDelay, d.sumRowV,
+        d.sumColV)
     else InternalRow(false, null, null, null, null, null, null, null, null,
-      null, null, null)
+      null, null, null, null)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -629,6 +671,8 @@ object GifNativeFunctions {
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false,
         if (exprs.length > 4) exprs(4).eval().asInstanceOf[Int] else 0,
         if (exprs.length > 5) exprs(5).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 6) exprs(6).eval().asInstanceOf[Boolean]
         else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -637,14 +681,16 @@ object GifNativeFunctions {
 
   def gifEncode(spark: SparkSession, bytes: Column, width: Int,
       palBits: Int = 8, interlaced: Boolean = false,
-      frameHeight: Int = 0, localPalettes: Boolean = false): Column = {
+      frameHeight: Int = 0, localPalettes: Boolean = false,
+      partialFrames: Boolean = false): Column = {
     register(spark)
     call_function("graft_gif_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(palBits),
       org.apache.spark.sql.functions.lit(interlaced),
       org.apache.spark.sql.functions.lit(frameHeight),
-      org.apache.spark.sql.functions.lit(localPalettes))
+      org.apache.spark.sql.functions.lit(localPalettes),
+      org.apache.spark.sql.functions.lit(partialFrames))
   }
 
   def gifDecode(spark: SparkSession, bytes: Column): Column = {

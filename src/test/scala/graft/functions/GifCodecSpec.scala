@@ -89,9 +89,14 @@ class GifCodecSpec extends SparkSpec {
     // header magic
     val badMagic = gif.clone(); badMagic(3) = '7'; badMagic(4) = '7'
     assert(!GifCodec.decodeGif(badMagic).valid)
-    // screen height disagreeing with the image descriptor
-    val badH = gif.clone(); badH(8) = (badH(8) + 1).toByte
-    assert(!GifCodec.decodeGif(badH).valid)
+    // a frame OVERFLOWING the screen rejects; a screen TALLER than the
+    // frame is the (now accepted) partial-placement shape
+    val badH = gif.clone(); badH(8) = (badH(8) - 1).toByte
+    assert(!GifCodec.decodeGif(badH).valid,
+      "a frame larger than the screen is a forged stream")
+    val tallScreen = gif.clone(); tallScreen(8) = (tallScreen(8) + 1).toByte
+    assert(GifCodec.decodeGif(tallScreen).valid,
+      "sub-screen placement is spec-legal (the partial-frame relaxation)")
     // LZW minimum code size outside the spec range 2..8 (the GIF89a
     // floor is 2; 256 colors cap it at 8) — descriptor is at a fixed
     // offset: no extensions emitted
@@ -249,6 +254,50 @@ class GifCodecSpec extends SparkSpec {
       "a frame with no palette at all is a visible finding")
     // truncating inside the first LCT is a visible finding
     assert(!GifCodec.decodeGif(gif.take(descAt + 10 + 100)).valid)
+  }
+
+  test("partial frames: offsets applied, out-of-screen and reserved disposal reject") {
+    val nf = 5
+    val payload = fixture(nf * 200 + 37, 51) // 5 whole 40x5 frames
+    var si = 0L; var srv = 0L; var scv = 0L
+    for (i <- 0 until nf * 200) {
+      val v = payload(i) & 0xff
+      val f = i / 200
+      si += v
+      srv += (f * 8 + f % 4 + (i % 200) / 40).toLong * v
+      scv += ((f % 3) * 4 + (i % 200) % 40).toLong * v
+    }
+    val gif = GifCodec.encodeGif(payload, 40, frameHeight = 5,
+      partialFrames = true)
+    assert(gif !== null)
+    // the wire really declares a LARGER screen than the frames
+    def u16(o: Int) = (gif(o) & 0xff) | ((gif(o + 1) & 0xff) << 8)
+    assert((u16(6), u16(8)) === ((48, 8)))
+    val d = GifCodec.decodeGif(gif)
+    assert(d.valid)
+    assert((d.width, d.height, d.nFrames) === ((48L, 8L, nf.toLong)))
+    assert(d.nPixels === nf * 200L)
+    assert((d.sumIdx, d.sumRowV, d.sumColV) === ((si, srv, scv)),
+      "screen-row and screen-column weights pin the per-frame offsets")
+    // frame 1 sits at (4, 1): its descriptor follows frame 0's data.
+    // Locate descriptors by walking introducers on the wire
+    def descriptorOffsets: Seq[Int] =
+      gif.indices.filter(o => (gif(o) & 0xff) == 0x2c &&
+        // a real descriptor: w x h matches 40x5 at the expected slots
+        o + 9 < gif.length && u16(o + 5) == 40 && u16(o + 7) == 5)
+    val desc1 = descriptorOffsets(1)
+    assert((u16(desc1 + 1), u16(desc1 + 3)) === ((4, 1)))
+    // out-of-screen placement: left 45 + w 40 > screen 48 rejects
+    val oob = gif.clone()
+    oob(desc1 + 1) = 45
+    assert(!GifCodec.decodeGif(oob).valid, "placement must stay in screen")
+    // reserved GCE disposal (4): visible reject — first GCE packed byte
+    val gce = gif.indices.find(o => (gif(o) & 0xff) == 0x21 &&
+      o + 1 < gif.length && (gif(o + 1) & 0xff) == 0xf9).get
+    assert((gif(gce + 3) & 0xff) === 0x04, "fixture writes disposal 1")
+    val badDisp = gif.clone()
+    badDisp(gce + 3) = 0x10 // disposal 4: reserved
+    assert(!GifCodec.decodeGif(badDisp).valid)
   }
 
   test("trailing extension blocks before the trailer are spec-legal") {
