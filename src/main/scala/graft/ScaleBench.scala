@@ -93,7 +93,11 @@ object ScaleBench {
         "no pair stage"),
     ("q301_flac_scale", 1.35, 1.35,
       "sample mass: one Rice-decode + fixed-predictor + MD5 pass per " +
-        "asset, O(blockSize) state, no pair stage"))
+        "asset, O(blockSize) state, no pair stage"),
+    ("q313_wet_scale", 1.35, 1.35,
+      "archive byte mass: one record walk + HTTP parse per archive, " +
+        "then one regex clean per 200-response row — map-only both " +
+        "sides of the explode, no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)

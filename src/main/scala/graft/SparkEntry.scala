@@ -2635,6 +2635,19 @@ object SparkEntry {
         .select(col("asset_id"), col("rec_idx"), col("clean_hash"),
           col("clean_len"), col("n_tokens"))
     },
+    // Whole-corpus WET-extraction scale twin (E264's measurement): q310
+    // with no doc cap — one container walk + HTTP parse + regex chain
+    // per response row, byte-linear with no pair stage.
+    "q313_wet_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.warcTextExtracts(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          bodyBytes = 256)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("rec_idx"), col("clean_hash"),
+          col("clean_len"), col("n_tokens"))
+    },
     // MIXED-PROTOCOL crawl (E263): ISO 28500 allows response records
     // captured from non-HTTP protocols (DNS, FTP, ...) — every fifth
     // slice here is an application/octet-stream response. The RFC 9112
@@ -3694,10 +3707,13 @@ object SparkEntry {
     * exact q149 regex chain (documents are ASCII, so byte slices and
     * char slices agree).
     */
-  private def warcWetOracleSql: String =
-    """WITH src AS (SELECT doc_id AS asset_id, text,
+  private def warcWetOracleSql: String = warcWetOracleSqlFor(
+    "WHERE doc_id < 140")
+
+  private def warcWetOracleSqlFor(where: String): String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, text,
          |              octet_length(CAST(text AS BLOB)) // 256 AS nr
-         |            FROM documents WHERE doc_id < 140),
+         |            FROM documents $where),
          |sl AS (SELECT asset_id, j AS rec_idx,
          |         substr(text, CAST(j * 256 + 1 AS BIGINT), 256) AS s
          |       FROM (SELECT asset_id, text, unnest(range(0, nr)) AS j
@@ -3708,7 +3724,7 @@ object SparkEntry {
          |          regexp_replace(s, '<[^>]*>', ' ', 'g'),
          |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-         |        '[ \t\n\r\f]+', ' ', 'g')) AS clean
+         |        '[ \\t\\n\\r\\f]+', ' ', 'g')) AS clean
          |      FROM sl)
          |SELECT asset_id, CAST(rec_idx AS BIGINT) AS rec_idx,
          |       md5(clean) AS clean_hash,
@@ -5386,8 +5402,10 @@ object SparkEntry {
     // as records, never as HTTP stats, never as findings
     "q309_warc_mixed" -> warcMixedOracleSql,
     // q310: crawl-to-corpus — 200-status bodies re-cleaned from raw
-    // text slices with the q149 regex chain
+    // text slices with the q149 regex chain; q313 is its whole-corpus
+    // scale twin
     "q310_warc_wet" -> warcWetOracleSql,
+    "q313_wet_scale" -> warcWetOracleSqlFor(""),
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the
