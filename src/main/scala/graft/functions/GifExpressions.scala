@@ -139,8 +139,6 @@ object GifCodec {
       "frameHeight must fit the u16 field")
     require(!partialFrames || frameHeight > 0,
       "partial frames are an animation shape")
-    require(!(partialFrames && interlaced),
-      "one fixture axis at a time: partial frames are emitted sequential")
     val animated = frameHeight > 0
     val fh = if (animated) frameHeight else payload.length / width
     if (fh < 1 || fh > 65535) return null

@@ -298,6 +298,17 @@ class GifCodecSpec extends SparkSpec {
     val badDisp = gif.clone()
     badDisp(gce + 3) = 0x10 // disposal 4: reserved
     assert(!GifCodec.decodeGif(badDisp).valid)
+    // the axes COMPOSE: interlaced sub-screen frames deinterlace back to
+    // top + TRUE local row, so the screen-anchored sums equal the
+    // sequential wire's — the roundtrip identity, now with offsets
+    val il = GifCodec.encodeGif(payload, 40, interlaced = true,
+      frameHeight = 5, partialFrames = true)
+    assert(!java.util.Arrays.equals(il, gif),
+      "the interlaced wire really differs")
+    val dIl = GifCodec.decodeGif(il)
+    assert(dIl.valid)
+    assert((dIl.sumIdx, dIl.sumRowV, dIl.sumColV) === ((si, srv, scv)),
+      "interlace map and frame offsets must compose to the identity")
   }
 
   test("trailing extension blocks before the trailer are spec-legal") {
