@@ -2846,6 +2846,23 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_frames"),
           col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
     },
+    // VARIABLE-BLOCKING FLAC (E268): the spec's second blocking
+    // strategy, the last in-format fence removed — frames alternate
+    // 576/384 samples, the strategy bit is set, and each header carries
+    // the frame's starting SAMPLE number instead of its index. The PCM
+    // is unchanged, so every stat except n_frames matches q299's
+    // arithmetic; n_frames follows the alternation rule on ns.
+    "q314_flac_varblock" -> { (s, dir) =>
+      graft.ext.Multimodal.flacStats(
+        graft.ext.Multimodal.encodeFlac(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          lpcOrder = 8, varBlock = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
+    },
     // TIFF decode (E252): the scanner-archive format — classic TIFF 6.0
     // IFD walk (ascending-tag audit, full baseline-grayscale required
     // set, external value areas), uncompressed strips, little-endian.
@@ -3977,6 +3994,36 @@ object SparkEntry {
          |       FROM sm)
          |SELECT asset_id, TRUE AS is_valid,
          |       CAST((ns + 575) // 576 AS BIGINT) AS n_frames,
+         |       CAST(ns AS BIGINT) AS n_samples,
+         |       CAST(SUM(s) AS BIGINT) AS sum_s,
+         |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+         |       CAST(SUM(i * s) AS BIGINT) AS sum_is
+         |FROM sg GROUP BY asset_id, ns""".stripMargin
+
+  /** Variable-blocking FLAC replay (q314): same LE16 PCM arithmetic as
+    * q299, but frames alternate 576/384 samples — each 960-sample pair
+    * is two frames, and a nonzero remainder is one frame when it fits
+    * the leading 576-block, two otherwise.
+    */
+  private def flacVarBlockOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 2 AS ns
+         |      FROM src WHERE octet_length(p) // 2 >= 1
+         |        AND octet_length(p) <= 33554432),
+         |sm AS (SELECT asset_id, ns, i,
+         |         CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+         |         + 256 * CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2))
+         |                       AS BIGINT) AS u
+         |       FROM (SELECT asset_id, ns, h, unnest(range(0, ns)) AS i
+         |             FROM g)),
+         |sg AS (SELECT asset_id, ns, i,
+         |         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |       FROM sm)
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(2 * (ns // 960) + CASE WHEN ns % 960 = 0 THEN 0
+         |            WHEN ns % 960 <= 576 THEN 1 ELSE 2 END AS BIGINT)
+         |         AS n_frames,
          |       CAST(ns AS BIGINT) AS n_samples,
          |       CAST(SUM(s) AS BIGINT) AS sum_s,
          |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
@@ -5374,6 +5421,9 @@ object SparkEntry {
     "q305_flac_stereo" -> flacStereoOracleSql,
     // q311: 3-byte LE samples, the 24-bit audio-lake width
     "q311_flac_24bit" -> flac24OracleSql,
+    // q314: the variable blocking strategy — same PCM, alternation
+    // frame arithmetic
+    "q314_flac_varblock" -> flacVarBlockOracleSql,
     "q300_tiff_scale" -> tiffOracleSqlFor(""),
     "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,

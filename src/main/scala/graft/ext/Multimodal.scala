@@ -1032,7 +1032,8 @@ object Multimodal {
     * sample are dropped.
     */
   def encodeFlac(assets: DataFrame, lpcOrder: Int = 0,
-      stereo: Boolean = false, bps: Int = 16): DataFrame = {
+      stereo: Boolean = false, bps: Int = 16,
+      varBlock: Boolean = false): DataFrame = {
     require(bps == 16 || bps == 24, "bps must be 16 or 24")
     val spark = assets.sparkSession
     val minLen = (if (stereo) 2L else 1L) * (bps / 8)
@@ -1041,7 +1042,7 @@ object Multimodal {
         octet_length(col("bytes")) <= 33554432L)
       .withColumn("bytes",
         graft.functions.FlacNativeFunctions.flacEncode(spark, col("bytes"),
-          lpcOrder, stereo, bps))
+          lpcOrder, stereo, bps, varBlock))
   }
 
   /** Decode FLAC assets natively (E253): full frame-header verification

@@ -42,9 +42,10 @@ import org.apache.spark.sql.types._
   * after subframe decode). The encoder fits LPC by autocorrelation +
   * Levinson-Durbin with error-feedback quantization and lets it COMPETE
   * on exact bit cost with the constant/fixed/verbatim choices; the
-  * stereo encoder costs all four channel assignments per frame. The one
-  * remaining reject-by-design: the variable blocking strategy (visible
-  * `is_valid = false`; fixtures are fixed-blocking).
+  * stereo encoder costs all four channel assignments per frame. BOTH
+  * blocking strategies decode (the last in-format fence, removed):
+  * fixed blocking with frame numbers, and variable blocking with
+  * starting-sample numbers — a stream mixing the two rejects.
   *
   * ORACLE: the fixture's PCM is the payload's little-endian 16-bit
   * pairs (mono), so sample sums — including the order-sensitive
@@ -386,7 +387,7 @@ object FlacCodec {
     * choices.
     */
   def encodeFlac(payload: Array[Byte], lpcOrder: Int = 0,
-      bps: Int = 16): Array[Byte] = {
+      bps: Int = 16, varBlock: Boolean = false): Array[Byte] = {
     require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
     require(bps == 16 || bps == 24, "bps must be 16 or 24")
     val bytesPer = bps / 8
@@ -410,8 +411,10 @@ object FlacCodec {
     // STREAMINFO: last-metadata flag set, type 0, length 34
     out.write(0x80); out.write(0); out.write(0); out.write(34)
     val si = new BitWriter
-    si.put(BlockSize, 16) // min block size
-    si.put(BlockSize, 16) // max block size
+    // variable blocking alternates 576/384-sample blocks (the fixture
+    // rule), so STREAMINFO's block-size bounds genuinely differ
+    si.put(if (varBlock) 384 else BlockSize, 16) // min block size
+    si.put(BlockSize, 16)                        // max block size
     si.put(0, 24)         // min frame size: unknown
     si.put(0, 24)         // max frame size: unknown
     si.put(8000, 20)      // sample rate
@@ -426,15 +429,21 @@ object FlacCodec {
     var f = 0
     var start = 0
     while (start < n) {
-      val bs = math.min(BlockSize, n - start)
+      // variable blocking: even frames 576 samples, odd frames 384 —
+      // the header then carries the starting SAMPLE number, not the
+      // frame number (the spec's two blocking strategies)
+      val nominal =
+        if (!varBlock) BlockSize else if (f % 2 == 0) BlockSize else 384
+      val bs = math.min(nominal, n - start)
       val w = new BitWriter
       w.put(0xff, 8)          // sync (high 8)
-      w.put(0xf8, 8)          // sync (low 6) + reserved 0 + fixed blocking
+      w.put(if (varBlock) 0xf9 else 0xf8, 8) // sync low 6 + reserved 0 +
+                                             // blocking strategy bit
       w.put(0x70, 8)          // block size code 0b0111 (16-bit follows) +
                               // sample rate code 0b0000 (from STREAMINFO)
       // mono + sample size code (0b100 = 16 bit, 0b110 = 24) + reserved
       w.put(((if (bps == 16) 4 else 6) << 1).toLong, 8)
-      putUtf8(w, f.toLong)
+      putUtf8(w, if (varBlock) start.toLong else f.toLong)
       w.put((bs - 1).toLong, 16)
       val headBytes = w.toByteArray // aligned here by construction
       val w2 = new BitWriter
@@ -684,6 +693,7 @@ object FlacCodec {
 
     val r = new BitReader(bytes)
     r.pos = p
+    var strategy = -1 // 0 = fixed, 1 = variable; one strategy per stream
     while (r.pos < n) {
       val frameStart = r.pos
       if (!r.bitAligned) return Invalid
@@ -692,7 +702,12 @@ object FlacCodec {
       val b1 = r.read(8).toInt
       if (r.fail || b0 != 0xff || (b1 & 0xfc) != 0xf8) return Invalid
       if ((b1 & 0x02) != 0) return Invalid // reserved bit
-      if ((b1 & 0x01) != 0) return Invalid // variable blocking: fenced
+      // blocking strategy (the spec's last bit): 0 = fixed block size
+      // with FRAME numbers, 1 = variable block size with starting
+      // SAMPLE numbers; a stream must not mix the two
+      val varb = b1 & 0x01
+      if (strategy == -1) strategy = varb
+      else if (strategy != varb) return Invalid
       val b2 = r.read(8).toInt
       val b3 = r.read(8).toInt
       if (r.fail) return Invalid
@@ -724,7 +739,9 @@ object FlacCodec {
       }
       if (ssBits != bps) return Invalid
       val fno = readUtf8(r)
-      if (fno != nFrames) return Invalid // strictly sequential
+      // strictly sequential under either strategy: the coded number is
+      // the frame index (fixed) or the frame's starting sample (variable)
+      if (fno != (if (strategy == 1) sampleIdx else nFrames)) return Invalid
       val bs = bsCode match {
         case 0 => return Invalid // reserved
         case 1 => 192
@@ -961,10 +978,11 @@ object FlacCodec {
   * cost; stereo costs all four channel assignments per frame.
   */
 case class FlacEncode(child: Expression, lpcOrder: Int = 0,
-    stereo: Boolean = false, bps: Int = 16)
+    stereo: Boolean = false, bps: Int = 16, varBlock: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(lpcOrder >= 0 && lpcOrder <= 32, "lpcOrder must be in 0..32")
   require(bps == 16 || bps == 24, "bps must be 16 or 24")
+  require(!(stereo && varBlock), "one fixture axis at a time")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -977,7 +995,8 @@ case class FlacEncode(child: Expression, lpcOrder: Int = 0,
   override def nullSafeEval(input: Any): Any =
     if (stereo)
       FlacCodec.encodeFlacStereo(input.asInstanceOf[Array[Byte]], lpcOrder, bps)
-    else FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]], lpcOrder, bps)
+    else FlacCodec.encodeFlac(input.asInstanceOf[Array[Byte]], lpcOrder, bps,
+      varBlock)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1024,19 +1043,23 @@ object FlacNativeFunctions {
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 0,
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean]
         else false,
-        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 16),
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 16,
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
+        else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_flac_decode", exprs => FlacDecode(exprs.head), "built-in")
   }
 
   def flacEncode(spark: SparkSession, bytes: Column,
-      lpcOrder: Int = 0, stereo: Boolean = false, bps: Int = 16): Column = {
+      lpcOrder: Int = 0, stereo: Boolean = false, bps: Int = 16,
+      varBlock: Boolean = false): Column = {
     register(spark)
     call_function("graft_flac_encode", bytes,
       org.apache.spark.sql.functions.lit(lpcOrder),
       org.apache.spark.sql.functions.lit(stereo),
-      org.apache.spark.sql.functions.lit(bps))
+      org.apache.spark.sql.functions.lit(bps),
+      org.apache.spark.sql.functions.lit(varBlock))
   }
 
   def flacDecode(spark: SparkSession, bytes: Column): Column = {

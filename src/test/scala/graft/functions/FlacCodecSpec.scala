@@ -440,6 +440,40 @@ class FlacCodecSpec extends SparkSpec {
       "24-bit stereo decorrelation must be the lossless identity")
   }
 
+  test("variable blocking: 576/384 alternation, sample-numbered headers") {
+    // ns = 2620: two full (576, 384) pairs, then a 700-sample remainder
+    // that splits 576 + 124 — six frames of three different sizes
+    val payload = fixture((960 * 2 + 700) * 2, 61)
+    val (ss, sa, si) = expected(payload)
+    for (lpc <- Seq(0, 8)) {
+      val flac = FlacCodec.encodeFlac(payload, lpcOrder = lpc,
+        varBlock = true)
+      assert(flac !== null)
+      val d = FlacCodec.decodeFlac(flac)
+      assert(d.valid, s"lpc=$lpc: variable blocking must decode")
+      assert(d.nFrames === 6L)
+      assert((d.sumS, d.sumAbs, d.sumIs) === ((ss, sa, si)),
+        s"lpc=$lpc: the strategy changes the wire, never the PCM")
+    }
+    // the wire really sets the strategy bit and the differing bounds
+    val flac = FlacCodec.encodeFlac(payload, varBlock = true)
+    val frame0 = 4 + 4 + 34
+    assert((flac(frame0 + 1) & 0x01) === 1, "blocking strategy bit on")
+    assert(((flac(8) & 0xff) << 8 | (flac(9) & 0xff)) === 384, "min block")
+    assert(((flac(10) & 0xff) << 8 | (flac(11) & 0xff)) === 576, "max block")
+    // a fixed-blocking stream still decodes with frame numbers (the
+    // strategies coexist across streams, never within one)
+    assert(FlacCodec.decodeFlac(FlacCodec.encodeFlac(payload)).valid)
+    // flipping ONE frame's strategy bit mid-stream is caught (the CRC-8
+    // covers the header byte, and the one-strategy audit backs it up)
+    val mixed = flac.clone()
+    // find the SECOND frame sync: scan past frame 0 for 0xff 0xf9
+    val second = (frame0 + 2 until flac.length - 1).find(o =>
+      (flac(o) & 0xff) == 0xff && (flac(o + 1) & 0xff) == 0xf9).get
+    mixed(second + 1) = 0xf8.toByte
+    assert(!FlacCodec.decodeFlac(mixed).valid)
+  }
+
   test("engine surface: Multimodal.encodeFlac / flacStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
