@@ -2635,6 +2635,53 @@ object SparkEntry {
         .select(col("asset_id"), col("rec_idx"), col("clean_hash"),
           col("clean_len"), col("n_tokens"))
     },
+    // TAR shard demux (E269): the WebDataset packaging shape — USTAR
+    // headers with the spec's own checksum audit, strict octal grammar,
+    // zero data padding, the two-zero-block end marker. The oracle
+    // reads member counts and byte sums off raw payload slices; sum_iv
+    // weights by member index, pinning member ORDER.
+    "q315_tar_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
+    // TAR over the .tar.gz wire (E269): one gzip member over the whole
+    // shard (CRC32 + ISIZE verified, incremental zip-bomb bound) —
+    // q316 hash-matches q315's oracle VERBATIM (compression changes the
+    // wire, never the members).
+    "q316_tar_gz" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, gz = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        gz = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
+    // TAR member EXTRACTION fan-out (E269): one row per member in shard
+    // order — the shard-to-samples explode a WebDataset-style pipeline
+    // runs first. Member names follow the fixture's doc%05d.txt rule,
+    // so the oracle rebuilds them with printf.
+    "q317_tar_members" -> { (s, dir) =>
+      graft.ext.Multimodal.tarMembers(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("member_idx"), col("name"),
+          col("size"), col("member_sum"))
+    },
     // Whole-corpus WET-extraction scale twin (E264's measurement): q310
     // with no doc cap — one container walk + HTTP parse + regex chain
     // per response row, byte-linear with no pair stage.
@@ -3718,6 +3765,47 @@ object SparkEntry {
          |       CAST(SUM(v) AS BIGINT) AS sum_body,
          |       CAST(nr AS BIGINT) AS n_paired
          |FROM bv GROUP BY asset_id, nr""".stripMargin
+
+  /** TAR shard replay (q315 plain, q316 .tar.gz — one oracle): whole
+    * 100-byte members off the raw payload; sum_iv weights each byte by
+    * its member index (i DIV 100), pinning member order.
+    */
+  private def tarOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 100 AS nm
+         |      FROM src WHERE octet_length(p) // 100 >= 1),
+         |bv AS (SELECT asset_id, nm, i // 100 AS m,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, nm, h,
+         |               unnest(range(0, nm * 100)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nm AS BIGINT) AS n_members,
+         |       CAST(nm * 100 AS BIGINT) AS content_bytes,
+         |       CAST(SUM(v) AS BIGINT) AS sum_payload,
+         |       CAST(SUM(m * v) AS BIGINT) AS sum_iv
+         |FROM bv GROUP BY asset_id, nm""".stripMargin
+
+  /** TAR member-extraction replay (q317): one oracle row per member —
+    * the fixture name rule doc%05d.txt rebuilt with printf, per-member
+    * byte sums off the corresponding raw 100-byte slice.
+    */
+  private def tarMembersOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 100 AS nm
+         |      FROM src WHERE octet_length(p) // 100 >= 1),
+         |bv AS (SELECT asset_id, i // 100 AS member_idx,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, h,
+         |               unnest(range(0, nm * 100)) AS i FROM g))
+         |SELECT asset_id, CAST(member_idx AS BIGINT) AS member_idx,
+         |       printf('doc%05d.txt', member_idx) AS name,
+         |       CAST(100 AS BIGINT) AS size,
+         |       CAST(SUM(v) AS BIGINT) AS member_sum
+         |FROM bv GROUP BY asset_id, member_idx""".stripMargin
 
   /** WET-extraction replay (q310): HTTP 200 slices only (j mod 4 ≠ 3),
     * each 256-byte body re-cleaned from the raw text slice with the
@@ -5456,6 +5544,11 @@ object SparkEntry {
     // scale twin
     "q310_warc_wet" -> warcWetOracleSql,
     "q313_wet_scale" -> warcWetOracleSqlFor(""),
+    // q315/q316 share one oracle verbatim (plain vs .tar.gz wire);
+    // q317 is the shard-to-samples member fan-out
+    "q315_tar_stats" -> tarOracleSql,
+    "q316_tar_gz" -> tarOracleSql,
+    "q317_tar_members" -> tarMembersOracleSql,
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the

@@ -968,6 +968,57 @@ object Multimodal {
           .as("n_tokens"))
   }
 
+  /** Encode each asset's payload as a USTAR shard (E269) of
+    * ⌊len/memberBytes⌋ regular-file members (whole members only; assets
+    * shorter than one member are dropped) — plain, or the `.tar.gz`
+    * wire (one gzip member over the whole archive) when `gz`. The
+    * WebDataset packaging shape.
+    */
+  def encodeTar(assets: DataFrame, memberBytes: Int = 256,
+      gz: Boolean = false): DataFrame = {
+    require(memberBytes >= 1, "memberBytes must be positive")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= memberBytes)
+      .withColumn("bytes",
+        graft.functions.TarNativeFunctions.tarEncode(spark,
+          col("bytes"), memberBytes, gz))
+  }
+
+  /** Demux USTAR shards natively (E269): header checksum audit, strict
+    * octal grammar, regular-file typeflag, zero data padding, the
+    * two-zero-block end marker, exact EOF — and the gzip wrapper's
+    * CRC32/ISIZE when wrapped. One native pass per shard; the gz wire
+    * must report IDENTICAL stats to the plain wire.
+    */
+  def tarStats(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.TarNativeFunctions.tarDecode(spark,
+          col("bytes"), gz).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_members").as("n_members"),
+        col("q.content_bytes").as("content_bytes"),
+        col("q.sum_payload").as("sum_payload"),
+        col("q.sum_iv").as("sum_iv"))
+  }
+
+  /** EXTRACT the members of a USTAR shard (E269): one row per member in
+    * shard order — the shard-to-samples fan-out a WebDataset-style
+    * training pipeline runs first.
+    */
+  def tarMembers(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        explode(graft.functions.TarNativeFunctions.tarMembers(spark,
+          col("bytes"), gz)).as("m"))
+      .select(col("asset_id"), col("m.member_idx").as("member_idx"),
+        col("m.name").as("name"), col("m.size").as("size"),
+        col("m.member_sum").as("member_sum"), col("m.bytes").as("bytes"))
+  }
+
   /** Encode each asset's payload bytes as the color indices of a GIF89a
     * image (E245) of the given column width (height = ⌊len/width⌋ whole
     * rows; assets shorter than one row are dropped) — real LZW entropy

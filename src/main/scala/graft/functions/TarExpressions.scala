@@ -1,0 +1,429 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native TAR shard codec (E269) — the container training corpora are
+  * actually packaged in: WebDataset-style shards are plain USTAR
+  * archives (POSIX.1-1988 / pax ustar layout), optionally gzip'd whole
+  * (`.tar.gz`). Wire shape:
+  *
+  * {{{
+  * member*: 512-byte header — name[100], mode/uid/gid (octal, NUL/space
+  *          terminated), size[12] (octal), mtime[12], chksum[8] (octal
+  *          sum of the header with the chksum field read as spaces),
+  *          typeflag ('0' = regular file), linkname[100],
+  *          magic "ustar\0" + version "00", uname/gname/devmajor/
+  *          devminor/prefix, zero padding
+  *          data: size bytes + zero padding to the 512 boundary
+  * end:     two all-zero 512-byte blocks, then exact EOF
+  * }}}
+  *
+  * The `.tar.gz` wire is ONE gzip member over the whole archive
+  * (header + raw DEFLATE + CRC32/ISIZE trailers), inflated with the
+  * incremental zip-bomb bound the WARC layer established.
+  *
+  * ORACLE (the two-wires-one-oracle discipline): fixtures slice the
+  * payload into fixed `memberBytes` members (whole members only), so
+  * member counts, byte totals, and the ORDER-SENSITIVE member-weighted
+  * sum all read straight off the truncated raw payload in DuckDB — and
+  * the gzip wire must produce IDENTICAL stats to the plain wire.
+  *
+  * STRICTNESS: a header checksum that disagrees (the field tar gives us
+  * for exactly this), a malformed octal field, a missing/wrong ustar
+  * magic, a typeflag other than regular-file '0', nonzero data padding,
+  * a truncated member, a missing end-of-archive marker, bytes after it,
+  * or a gzip wrapper whose CRC32/ISIZE lie all report
+  * `is_valid = false`.
+  *
+  * Scale: one native pass per shard, O(1) state beyond the current
+  * header — the codec-walk shape. At 100 TB this is the demux that
+  * turns a bucket of .tar shards into per-sample rows WITHOUT a
+  * filesystem: shard-per-task, members streamed.
+  */
+object TarCodec {
+
+  private val Block = 512
+
+  /** Bound on a forged size field: members larger than the archive
+    * cannot be honest, and 2^31 would overflow downstream Ints.
+    */
+  private val MaxMember = 1L << 30
+
+  // ---- octal field helpers (NUL- or space-terminated per ustar) ----
+
+  private def putOctal(h: Array[Byte], off: Int, width: Int, v: Long): Unit = {
+    // width-1 octal digits, NUL terminator (the GNU/ustar norm)
+    var i = width - 2
+    var x = v
+    while (i >= 0) {
+      h(off + i) = ('0' + (x & 7)).toByte
+      x >>= 3
+      i -= 1
+    }
+    h(off + width - 1) = 0
+  }
+
+  private def readOctal(bytes: Array[Byte], off: Int, width: Int): Long = {
+    var i = off
+    val end = off + width
+    // leading spaces are tolerated (historic tars pad left)
+    while (i < end && bytes(i) == ' ') i += 1
+    if (i == end) return -1
+    var v = 0L
+    var digits = 0
+    while (i < end && bytes(i) != 0 && bytes(i) != ' ') {
+      val c = bytes(i)
+      if (c < '0' || c > '7') return -1
+      v = (v << 3) | (c - '0')
+      if (v > (1L << 40)) return -1
+      digits += 1
+      i += 1
+    }
+    // the rest must be NUL/space padding only
+    while (i < end) {
+      if (bytes(i) != 0 && bytes(i) != ' ') return -1
+      i += 1
+    }
+    if (digits == 0) -1 else v
+  }
+
+  /** Header checksum: unsigned byte sum with the chksum field (148..155)
+    * read as ASCII spaces — the spec's own integrity rule.
+    */
+  private def headerChecksum(bytes: Array[Byte], off: Int): Int = {
+    var s = 0
+    var i = 0
+    while (i < Block) {
+      s += (if (i >= 148 && i < 156) ' ' else bytes(off + i) & 0xff)
+      i += 1
+    }
+    s
+  }
+
+  /** Encode the payload as a USTAR shard of ⌊len/memberBytes⌋ regular
+    * files `doc%05d.txt` (whole members only; null when no full member
+    * fits). `gz` wraps the whole archive in one gzip member — the
+    * `.tar.gz` wire.
+    */
+  def encodeTar(payload: Array[Byte], memberBytes: Int,
+      gz: Boolean = false): Array[Byte] = {
+    require(memberBytes >= 1, "memberBytes must be positive")
+    val nm = payload.length / memberBytes
+    if (nm < 1) return null
+    val padded = ((memberBytes + Block - 1) / Block) * Block
+    val out = new java.io.ByteArrayOutputStream(
+      nm * (Block + padded) + 2 * Block)
+    var i = 0
+    while (i < nm) {
+      val h = new Array[Byte](Block)
+      val name = f"doc$i%05d.txt".getBytes("US-ASCII")
+      System.arraycopy(name, 0, h, 0, name.length)
+      putOctal(h, 100, 8, 420)          // mode 0644
+      putOctal(h, 108, 8, 0)            // uid
+      putOctal(h, 116, 8, 0)            // gid
+      putOctal(h, 124, 12, memberBytes.toLong)
+      putOctal(h, 136, 12, 0)           // mtime: deterministic
+      h(156) = '0'                      // typeflag: regular file
+      "ustar".getBytes("US-ASCII").copyToArray(h, 257) // magic + NUL at 262
+      h(263) = '0'; h(264) = '0'        // version "00"
+      // chksum: 6 octal digits, NUL, space (the historic layout)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = headerChecksum(h, 0)
+      var k = 5
+      var x = sum
+      while (k >= 0) { h(148 + k) = ('0' + (x & 7)).toByte; x >>= 3; k -= 1 }
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(payload, i * memberBytes, memberBytes)
+      var pad = padded - memberBytes
+      while (pad > 0) { out.write(0); pad -= 1 }
+      i += 1
+    }
+    var z = 0
+    while (z < 2 * Block) { out.write(0); z += 1 }
+    val tar = out.toByteArray
+    if (!gz) return tar
+
+    // ---- the .tar.gz wire: ONE gzip member over the whole archive ----
+    val g = new java.io.ByteArrayOutputStream(tar.length / 2 + 64)
+    g.write(0x1f); g.write(0x8b); g.write(8); g.write(0)
+    g.write(0); g.write(0); g.write(0); g.write(0) // MTIME 0
+    g.write(0); g.write(255)
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(tar)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) g.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32
+    crc.update(tar)
+    def u32(v: Long): Unit = {
+      g.write((v & 0xff).toInt); g.write(((v >>> 8) & 0xff).toInt)
+      g.write(((v >>> 16) & 0xff).toInt); g.write(((v >>> 24) & 0xff).toInt)
+    }
+    u32(crc.getValue)
+    u32(tar.length.toLong & 0xffffffffL)
+    g.toByteArray
+  }
+
+  /** One extracted member (the fan-out row). */
+  final case class Member(idx: Long, name: String, size: Long, sumV: Long,
+      bytes: Array[Byte])
+
+  /** Per-shard decode result; -1 stats when invalid. `sumIv` weights
+    * each member's byte sum by the member index — the order-sensitive
+    * stat that pins member ORDER.
+    */
+  final case class Decoded(valid: Boolean, nMembers: Long,
+      contentBytes: Long, sumPayload: Long, sumIv: Long)
+
+  private val Invalid = Decoded(valid = false, -1, -1, -1, -1)
+
+  /** Inflate a whole-stream gzip wrapper (one member, exact EOF) with
+    * the incremental 1032:1 zip-bomb bound; null when malformed.
+    */
+  private def gunzipWhole(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length
+    if (n < 18) return null
+    if ((bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return null
+    if ((bytes(2) & 0xff) != 8 || (bytes(3) & 0xff) != 0) return null
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(bytes, 10, n - 10)
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var remaining = -1
+    try {
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && !inf.finished()) return null
+        out.write(buf, 0, k)
+        if (out.size() > inf.getBytesRead * 1032L + 65536L) return null
+      }
+      remaining = inf.getRemaining
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    val raw = out.toByteArray
+    val trailer = 10 + (n - 10) - remaining
+    if (trailer + 8 != n) return null // exactly one member, exact EOF
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val crc = new java.util.zip.CRC32
+    crc.update(raw)
+    if (u32(trailer) != crc.getValue) return null
+    if (u32(trailer + 4) != (raw.length.toLong & 0xffffffffL)) return null
+    raw
+  }
+
+  def decodeTar(bytes0: Array[Byte], gz: Boolean,
+      collect: Boolean = false): (Decoded, Seq[Member]) = {
+    def invalid = (Invalid, Nil)
+    val bytes = if (gz) gunzipWhole(bytes0) else bytes0
+    if (bytes == null) return invalid
+    val n = bytes.length
+    if (n < 3 * Block || n % Block != 0) return invalid
+    val out = if (collect)
+      scala.collection.mutable.ArrayBuffer.empty[Member] else null
+    var nMembers = 0L
+    var contentBytes = 0L
+    var sumPayload = 0L
+    var sumIv = 0L
+    var p = 0
+
+    def isZeroBlock(off: Int): Boolean = {
+      var i = off
+      while (i < off + Block) {
+        if (bytes(i) != 0) return false
+        i += 1
+      }
+      true
+    }
+
+    var ended = false
+    while (!ended) {
+      if (p + Block > n) return invalid
+      if (isZeroBlock(p)) {
+        // end-of-archive: a SECOND zero block, then exact EOF
+        if (p + 2 * Block != n || !isZeroBlock(p + Block)) return invalid
+        p += 2 * Block
+        ended = true
+      } else {
+        // ---- one ustar header ----
+        if (bytes(p + 257) != 'u' || bytes(p + 258) != 's' ||
+          bytes(p + 259) != 't' || bytes(p + 260) != 'a' ||
+          bytes(p + 261) != 'r' || bytes(p + 262) != 0) return invalid
+        val declared = readOctal(bytes, p + 148, 8)
+        if (declared < 0 || declared != headerChecksum(bytes, p))
+          return invalid // the header's own integrity rule
+        if (bytes(p + 156) != '0') return invalid // regular files only
+        val size = readOctal(bytes, p + 124, 12)
+        if (size < 0 || size > MaxMember) return invalid
+        if (readOctal(bytes, p + 100, 8) < 0) return invalid  // mode
+        if (readOctal(bytes, p + 136, 12) < 0) return invalid // mtime
+        var nameEnd = p
+        while (nameEnd < p + 100 && bytes(nameEnd) != 0) nameEnd += 1
+        if (nameEnd == p) return invalid // empty name
+        val name = new String(bytes, p, nameEnd - p, "US-ASCII")
+        p += Block
+        val padded = ((size + Block - 1) / Block * Block).toInt
+        if (p + padded > n) return invalid // truncated member
+        var s = 0L
+        var i = 0
+        while (i < size) { s += bytes(p + i) & 0xff; i += 1 }
+        // data padding to the block boundary must be zeros
+        i = size.toInt
+        while (i < padded) {
+          if (bytes(p + i) != 0) return invalid
+          i += 1
+        }
+        sumPayload += s
+        sumIv += nMembers * s
+        contentBytes += size
+        if (out != null)
+          out += Member(nMembers, name, size, s,
+            java.util.Arrays.copyOfRange(bytes, p, p + size.toInt))
+        nMembers += 1
+        p += padded
+      }
+    }
+    if (nMembers < 1) return invalid
+    (Decoded(valid = true, nMembers, contentBytes, sumPayload, sumIv),
+      if (out == null) Nil else out.toSeq)
+  }
+}
+
+/** `graft_tar_encode(bytes, memberBytes, gz)`: payload → USTAR shard of
+  * ⌊len/memberBytes⌋ regular-file members, plain or whole-stream-gzip'd
+  * (null when no full member fits).
+  */
+case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(memberBytes >= 1, "memberBytes must be positive")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tar_encode expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_tar_decode(bytes, gz)`: strict USTAR walk (checksum audit,
+  * octal grammar, end-of-archive marker, gzip CRC when wrapped) →
+  * per-shard stats struct.
+  */
+case class TarDecode(child: Expression, gz: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_valid", BooleanType, nullable = false),
+    StructField("n_members", LongType, nullable = true),
+    StructField("content_bytes", LongType, nullable = true),
+    StructField("sum_payload", LongType, nullable = true),
+    StructField("sum_iv", LongType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tar_decode expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val (d, _) = TarCodec.decodeTar(input.asInstanceOf[Array[Byte]], gz)
+    if (d.valid)
+      InternalRow(true, d.nMembers, d.contentBytes, d.sumPayload, d.sumIv)
+    else InternalRow(false, null, null, null, null)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_tar_members(bytes, gz)`: the member-EXTRACTION operator — one
+  * element per member in shard order (index, name, size, byte sum,
+  * bytes). Null when the shard is invalid.
+  */
+case class TarMembers(child: Expression, gz: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("member_idx", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("member_sum", LongType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tar_members expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val (d, members) =
+      TarCodec.decodeTar(input.asInstanceOf[Array[Byte]], gz, collect = true)
+    if (!d.valid) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      members.map(m => InternalRow(m.idx,
+        org.apache.spark.unsafe.types.UTF8String.fromString(m.name),
+        m.size, m.sumV, m.bytes)).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TarNativeFunctions {
+
+  /** Register the tar codec functions (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tar_encode",
+      exprs => TarEncode(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tar_decode",
+      exprs => TarDecode(exprs.head,
+        exprs(1).eval().asInstanceOf[Boolean]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tar_members",
+      exprs => TarMembers(exprs.head,
+        exprs(1).eval().asInstanceOf[Boolean]), "built-in")
+  }
+
+  def tarEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
+      gz: Boolean): Column = {
+    register(spark)
+    call_function("graft_tar_encode", bytes,
+      org.apache.spark.sql.functions.lit(memberBytes),
+      org.apache.spark.sql.functions.lit(gz))
+  }
+
+  def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean): Column = {
+    register(spark)
+    call_function("graft_tar_decode", bytes,
+      org.apache.spark.sql.functions.lit(gz))
+  }
+
+  def tarMembers(spark: SparkSession, bytes: Column, gz: Boolean): Column = {
+    register(spark)
+    call_function("graft_tar_members", bytes,
+      org.apache.spark.sql.functions.lit(gz))
+  }
+}

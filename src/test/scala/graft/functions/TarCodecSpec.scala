@@ -1,0 +1,125 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** TAR shard codec conformance (E269, the POSIX ustar layout): the
+  * q315/q316 oracle pins the member arithmetic; this spec pins what the
+  * oracle cannot see — the header checksum audit, the octal grammar,
+  * the end-of-archive marker, the zero-padding rule, extraction
+  * reassembly, and every reject path on both wires.
+  */
+class TarCodecSpec extends SparkSpec {
+
+  private def fixture(n: Int, seed: Int): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)((rng.nextInt(256) - 128).toByte)
+  }
+
+  private def sliceSum(p: Array[Byte], i: Int, w: Int): Long =
+    (i * w until (i + 1) * w).map(p(_) & 0xff).map(_.toLong).sum
+
+  test("both wires (plain / .tar.gz) are one member identity") {
+    val payload = fixture(7 * 100 + 55, 71) // 7 whole members
+    val expSum = (0 until 700).map(payload(_) & 0xff).map(_.toLong).sum
+    val expIv = (0 until 7).map(i => i.toLong * sliceSum(payload, i, 100)).sum
+    for (gz <- Seq(false, true)) {
+      val tar = TarCodec.encodeTar(payload, 100, gz)
+      assert(tar !== null)
+      val (d, members) = TarCodec.decodeTar(tar, gz, collect = true)
+      assert(d.valid, s"gz=$gz")
+      assert(d.nMembers === 7L)
+      assert(d.contentBytes === 700L)
+      assert((d.sumPayload, d.sumIv) === ((expSum, expIv)),
+        s"gz=$gz: member walk must be the identity, in order")
+      // extraction: names follow the fixture rule, bytes reassemble
+      assert(members.map(_.name) === (0 until 7).map(i => f"doc$i%05d.txt"))
+      assert(java.util.Arrays.equals(
+        members.flatMap(_.bytes).toArray, payload.take(700)),
+        "extracted members must reassemble the document bytes")
+    }
+    // the gz wire is really smaller on compressible data and really gzip
+    val text = Array.fill(2000)('a'.toByte)
+    val gzTar = TarCodec.encodeTar(text, 100, gz = true)
+    assert((gzTar(0) & 0xff) === 0x1f && (gzTar(1) & 0xff) === 0x8b)
+    assert(gzTar.length < TarCodec.encodeTar(text, 100).length)
+    // no full member fits
+    assert(TarCodec.encodeTar(fixture(99, 72), 100) === null)
+  }
+
+  test("header strictness: checksum, octal grammar, typeflag, magic") {
+    val payload = fixture(3 * 100, 73)
+    val tar = TarCodec.encodeTar(payload, 100)
+    assert(TarCodec.decodeTar(tar, gz = false)._1.valid)
+    // flip one name byte: the checksum catches it (the spec's own rule)
+    val renamed = tar.clone(); renamed(0) = 'X'
+    assert(!TarCodec.decodeTar(renamed, gz = false)._1.valid,
+      "a header edit without a checksum fix is a visible finding")
+    // a non-octal digit in the size field
+    val badSize = tar.clone(); badSize(124) = '9'
+    assert(!TarCodec.decodeTar(badSize, gz = false)._1.valid)
+    // a directory member (typeflag '5'): not a sample, reject visibly.
+    // keep the checksum CONSISTENT so the typeflag audit itself fires
+    val dir = tar.clone()
+    dir(156) = '5'
+    // checksum delta: '5' - '0' = 5; recompute the 6-digit octal field
+    val sum = (0 until 512).map(i =>
+      if (i >= 148 && i < 156) ' '.toInt else dir(i) & 0xff).sum
+    var x = sum
+    for (k <- 5 to 0 by -1) { dir(148 + k) = ('0' + (x & 7)).toByte; x >>= 3 }
+    assert(!TarCodec.decodeTar(dir, gz = false)._1.valid,
+      "non-regular members reject visibly, never misparse")
+    // broken magic
+    val badMagic = tar.clone(); badMagic(257) = 'X'
+    assert(!TarCodec.decodeTar(badMagic, gz = false)._1.valid)
+  }
+
+  test("framing strictness: padding, end marker, truncation, gz lies") {
+    val payload = fixture(2 * 100, 74)
+    val tar = TarCodec.encodeTar(payload, 100)
+    // nonzero data padding (bytes 100..511 of the first member's data)
+    val dirty = tar.clone(); dirty(512 + 100) = 1
+    assert(!TarCodec.decodeTar(dirty, gz = false)._1.valid)
+    // a missing end-of-archive marker
+    assert(!TarCodec.decodeTar(tar.dropRight(512), gz = false)._1.valid)
+    assert(!TarCodec.decodeTar(tar.dropRight(1024), gz = false)._1.valid)
+    // trailing bytes after the marker
+    assert(!TarCodec.decodeTar(tar ++ new Array[Byte](512),
+      gz = false)._1.valid)
+    // truncation mid-member
+    assert(!TarCodec.decodeTar(tar.take(700), gz = false)._1.valid)
+    // gz wire: a lying CRC32 is a visible finding
+    val gzTar = TarCodec.encodeTar(payload, 100, gz = true)
+    assert(TarCodec.decodeTar(gzTar, gz = true)._1.valid)
+    val badCrc = gzTar.clone()
+    badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 1).toByte
+    assert(!TarCodec.decodeTar(badCrc, gz = true)._1.valid)
+    // and a second concatenated gzip member is NOT a .tar.gz
+    assert(!TarCodec.decodeTar(gzTar ++ gzTar, gz = true)._1.valid)
+  }
+
+  test("engine surface: Multimodal.encodeTar / tarStats / tarMembers") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 30)
+    val assets = graft.ext.Multimodal.documentsAsAssets(docs)
+    for (gz <- Seq(false, true)) {
+      val out = graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(assets, memberBytes = 100, gz = gz),
+        gz = gz).collect()
+      assert(out.nonEmpty)
+      out.foreach(r => assert(r.getAs[Boolean]("is_valid")))
+    }
+    val members = graft.ext.Multimodal.tarMembers(
+      graft.ext.Multimodal.encodeTar(assets, memberBytes = 100))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    members.collect().foreach { r =>
+      val payload = texts(r.getAs[Long]("asset_id"))
+      val i = r.getAs[Long]("member_idx").toInt
+      assert(r.getAs[String]("name") === f"doc$i%05d.txt")
+      assert(r.getAs[Long]("member_sum") ===
+        (i * 100 until (i + 1) * 100).map(payload(_) & 0xff)
+          .map(_.toLong).sum)
+    }
+  }
+}
