@@ -2682,6 +2682,37 @@ object SparkEntry {
         .select(col("asset_id"), col("member_idx"), col("name"),
           col("size"), col("member_sum"))
     },
+    // ZIP archive demux, STORED members (E270): central-directory walk
+    // with local-header agreement, exact member tiling to the directory
+    // offset, and per-member CRC-32 verification. Same 100-byte member
+    // arithmetic as the TAR shards, so q318 hash-matches the q315/q316
+    // oracle VERBATIM — four wires (tar, tar.gz, zip, zip-deflate), one
+    // member identity.
+    "q318_zip_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.zipStats(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
+    // ZIP with per-member DEFLATE (E270): method 8, inflation bounded
+    // by the directory's declared sizes and verified against its
+    // CRC-32s — compression changes the wire, never the members.
+    "q319_zip_deflate" -> { (s, dir) =>
+      graft.ext.Multimodal.zipStats(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, deflate = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // Whole-corpus WET-extraction scale twin (E264's measurement): q310
     // with no doc cap — one container walk + HTTP parse + regex chain
     // per response row, byte-linear with no pair stage.
@@ -5549,6 +5580,10 @@ object SparkEntry {
     "q315_tar_stats" -> tarOracleSql,
     "q316_tar_gz" -> tarOracleSql,
     "q317_tar_members" -> tarMembersOracleSql,
+    // q318/q319: ZIP stored + deflate — the same 100-byte member
+    // arithmetic, so four wires share ONE oracle verbatim
+    "q318_zip_stats" -> tarOracleSql,
+    "q319_zip_deflate" -> tarOracleSql,
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the

@@ -1019,6 +1019,39 @@ object Multimodal {
         col("m.member_sum").as("member_sum"), col("m.bytes").as("bytes"))
   }
 
+  /** Encode each asset's payload as a ZIP archive (E270) of
+    * ⌊len/memberBytes⌋ members (whole members only; assets shorter than
+    * one member are dropped) — stored, or per-member DEFLATE.
+    */
+  def encodeZip(assets: DataFrame, memberBytes: Int = 100,
+      deflate: Boolean = false): DataFrame = {
+    require(memberBytes >= 1, "memberBytes must be positive")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= memberBytes)
+      .withColumn("bytes",
+        graft.functions.ZipNativeFunctions.zipEncode(spark,
+          col("bytes"), memberBytes, deflate))
+  }
+
+  /** Demux ZIP archives natively (E270): central-directory walk with
+    * local-header agreement, exact member tiling, per-member CRC-32 and
+    * size verification, DEFLATE inflation bounded by the declared
+    * sizes. The stored and deflate wires must report IDENTICAL stats.
+    */
+  def zipStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.ZipNativeFunctions.zipDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_members").as("n_members"),
+        col("q.content_bytes").as("content_bytes"),
+        col("q.sum_payload").as("sum_payload"),
+        col("q.sum_iv").as("sum_iv"))
+  }
+
   /** Encode each asset's payload bytes as the color indices of a GIF89a
     * image (E245) of the given column width (height = ⌊len/width⌋ whole
     * rows; assets shorter than one row are dropped) — real LZW entropy

@@ -1,0 +1,124 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** ZIP codec conformance (E270, the public PKWARE APPNOTE layout): the
+  * q318/q319 oracle pins the member arithmetic; this spec pins the
+  * directory discipline — local/central agreement, exact member tiling,
+  * CRC-32 verification on both methods, and every reject path.
+  */
+class ZipCodecSpec extends SparkSpec {
+
+  private def fixture(n: Int, seed: Int): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)((rng.nextInt(256) - 128).toByte)
+  }
+
+  test("stored and deflate wires are one member identity") {
+    val payload = fixture(6 * 100 + 41, 81) // 6 whole members
+    val expSum = (0 until 600).map(payload(_) & 0xff).map(_.toLong).sum
+    val expIv = (0 until 6).map { i =>
+      i.toLong * (i * 100 until (i + 1) * 100)
+        .map(payload(_) & 0xff).map(_.toLong).sum
+    }.sum
+    for (deflate <- Seq(false, true)) {
+      val zip = ZipCodec.encodeZip(payload, 100, deflate)
+      assert(zip !== null)
+      val (d, members) = ZipCodec.decodeZip(zip, collect = true)
+      assert(d.valid, s"deflate=$deflate")
+      assert(d.nMembers === 6L)
+      assert(d.contentBytes === 600L)
+      assert((d.sumPayload, d.sumIv) === ((expSum, expIv)),
+        s"deflate=$deflate: the directory walk must be the identity")
+      assert(members.map(_.name) === (0 until 6).map(i => f"doc$i%05d.txt"))
+      assert(java.util.Arrays.equals(
+        members.flatMap(_.bytes).toArray, payload.take(600)),
+        "extracted members must reassemble the document bytes")
+    }
+    // the deflate wire is really smaller on compressible members
+    val text = Array.fill(1200)('z'.toByte)
+    assert(ZipCodec.encodeZip(text, 100, deflate = true).length <
+      ZipCodec.encodeZip(text, 100, deflate = false).length)
+    // no full member fits
+    assert(ZipCodec.encodeZip(fixture(99, 82), 100) === null)
+  }
+
+  test("directory discipline: agreement, tiling, CRC, EOCD bounds") {
+    val payload = fixture(3 * 100, 83)
+    val zip = ZipCodec.encodeZip(payload, 100, deflate = false)
+    assert(ZipCodec.decodeZip(zip)._1.valid)
+    def u32at(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    val eocd = zip.length - 22
+    assert(u32at(zip, eocd) === 0x06054b50L)
+    val cdOffset = u32at(zip, eocd + 16).toInt
+    // a flipped data byte breaks the member's CRC-32 (stored: sizes
+    // still agree, only the hash catches it)
+    val corrupt = zip.clone(); corrupt(30 + 12 + 50) =
+      (corrupt(30 + 12 + 50) ^ 1).toByte
+    assert(!ZipCodec.decodeZip(corrupt)._1.valid, "CRC-32 must be verified")
+    // central CRC edited to match nothing: local/central disagreement
+    val disagree = zip.clone()
+    disagree(cdOffset + 16) = (disagree(cdOffset + 16) ^ 1).toByte
+    assert(!ZipCodec.decodeZip(disagree)._1.valid,
+      "a central entry must agree with its local header")
+    // EOCD count lies
+    val badCount = zip.clone(); badCount(eocd + 8) = 2
+    assert(!ZipCodec.decodeZip(badCount)._1.valid)
+    // a local-header offset pointing PAST its true place (a gap a
+    // smuggled byte range would hide in) — entry 1's offset field
+    val entrySize = 46 + 12 // fixed central part + "docNNNNN.txt"
+    val offSlot = cdOffset + entrySize + 42
+    val gap = zip.clone()
+    gap(offSlot) = (gap(offSlot) & 0xff | 1).toByte
+    assert(!ZipCodec.decodeZip(gap)._1.valid,
+      "members must tile [0, cdOffset) exactly in directory order")
+    // truncation anywhere dies visibly
+    assert(!ZipCodec.decodeZip(zip.dropRight(1))._1.valid)
+    assert(!ZipCodec.decodeZip(zip.take(40))._1.valid)
+    // trailing bytes after the EOCD
+    assert(!ZipCodec.decodeZip(zip :+ 0.toByte)._1.valid)
+    // an encrypted/descriptor flag is out of scope: visible reject
+    // (flags live at local +6 and central +8; set BOTH so they agree —
+    // the flag audit itself must fire, not the agreement audit)
+    val flagged = zip.clone()
+    flagged(6) = 1; flagged(cdOffset + 8) = 1
+    assert(!ZipCodec.decodeZip(flagged)._1.valid)
+  }
+
+  test("deflate strictness: declared sizes bound the inflation") {
+    val payload = fixture(2 * 100, 84)
+    val zip = ZipCodec.encodeZip(payload, 100, deflate = true)
+    assert(ZipCodec.decodeZip(zip)._1.valid)
+    def u16at(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    // shrink member 0's compSize in BOTH headers: the stream no longer
+    // consumes exactly the declared bytes
+    val eocd = zip.length - 22
+    val cdOffset = ((zip(eocd + 16) & 0xff) | ((zip(eocd + 17) & 0xff) << 8) |
+      ((zip(eocd + 18) & 0xff) << 16)).toInt
+    val short = zip.clone()
+    val comp0 = u16at(zip, 18)
+    short(18) = ((comp0 - 1) & 0xff).toByte
+    short(19) = (((comp0 - 1) >> 8) & 0xff).toByte
+    short(cdOffset + 20) = short(18)
+    short(cdOffset + 21) = short(19)
+    assert(!ZipCodec.decodeZip(short)._1.valid,
+      "a lying compressed size is a visible finding")
+  }
+
+  test("engine surface: Multimodal.encodeZip / zipStats on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 30)
+    val assets = graft.ext.Multimodal.documentsAsAssets(docs)
+    for (deflate <- Seq(false, true)) {
+      val out = graft.ext.Multimodal.zipStats(
+        graft.ext.Multimodal.encodeZip(assets, memberBytes = 100,
+          deflate = deflate)).collect()
+      assert(out.nonEmpty)
+      out.foreach(r => assert(r.getAs[Boolean]("is_valid")))
+    }
+  }
+}
