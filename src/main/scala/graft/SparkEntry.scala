@@ -3067,6 +3067,23 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"),
           col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
     },
+    // TIFF with the FILLORDER-2 wire (E271): tag 266 = 2 — every byte
+    // of the LZW bit stream arrives bit-reversed (the fax-heritage
+    // wire). The decoder un-reverses through a 256-entry table before
+    // the code walk; q320 hash-matches the q297/q298/q304/q308 oracle
+    // VERBATIM (five wires, one pixel identity).
+    "q320_tiff_fillorder2" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, lzw = true, fillOrder2 = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
+    },
     // A+V AVI demux (E243): the real-world container shape — MJPEG video
     // plus an interleaved mono-PCM16 audio stream ('00dc'/'01wb'
     // alternating per frame, both streams' headers and idx1 entries
@@ -5551,6 +5568,9 @@ object SparkEntry {
     // q308: the Predictor-2 wire differences rows ahead of LZW and the
     // decoder undoes it — four wires, one pixel identity, one oracle
     "q308_tiff_predictor2" -> tiffOracleSql,
+    // q320: bit-reversed LZW bytes (FillOrder 2) — the fifth TIFF wire
+    // on the same pixel identity
+    "q320_tiff_fillorder2" -> tiffOracleSql,
     "q307_tiff_multipage" -> tiffMultipageOracleSql,
     "q294_gif_pal4" -> gifPal4OracleSql,
     "q295_gif_interlaced" -> gifInterlacedOracleSql,

@@ -1156,7 +1156,7 @@ object Multimodal {
   def encodeTiff(assets: DataFrame, width: Int = 40,
       bigEndian: Boolean = false, packBits: Boolean = false,
       lzw: Boolean = false, pageHeight: Int = 0,
-      predictor2: Boolean = false): DataFrame = {
+      predictor2: Boolean = false, fillOrder2: Boolean = false): DataFrame = {
     require(width >= 1, "width must be positive")
     val spark = assets.sparkSession
     assets
@@ -1168,7 +1168,8 @@ object Multimodal {
           graft.functions.TiffCodec.MaxPixels.toLong)
       .withColumn("bytes",
         graft.functions.TiffNativeFunctions.tiffEncode(spark, col("bytes"),
-          width, bigEndian, packBits, lzw, pageHeight, predictor2))
+          width, bigEndian, packBits, lzw, pageHeight, predictor2,
+          fillOrder2))
   }
 
   /** Decode TIFF assets natively (E252): strict header + IFD walk (both

@@ -47,10 +47,11 @@ import org.apache.spark.sql.types._
   * consume exactly,
   * a forged IFD chain (next pointers into garbage, > 4096 pages, pages
   * with mismatched geometry), a Predictor (tag 317) other than 1 or 2,
-  * Predictor 2 outside the LZW path, or a FillOrder (tag 266) other
-  * than 1 (bit-reversed strips are unimplemented — reject visibly,
-  * never misdecode) all
-  * report `is_valid = false`. Forged-geometry bound: width·height is
+  * Predictor 2 outside the LZW path, a FillOrder (tag 266) outside
+  * {1, 2}, or FillOrder 2 off the LZW wire (it only changes a BIT
+  * stream) all
+  * report `is_valid = false`. FillOrder 2 itself DECODES: each LZW
+  * byte is un-reversed through a 256-entry table before the code walk. Forged-geometry bound: width·height is
   * capped at 2^24 and strips decode straight into running sums — pixels
   * are never buffered beyond one strip's declared size.
   *
@@ -61,6 +62,18 @@ object TiffCodec {
 
   /** Declared-geometry cap (the GIF/PNG discipline). */
   val MaxPixels = 1 << 24
+
+  /** 256-entry bit-reversal table — the FillOrder 2 undo (tag 266 = 2:
+    * bits within each byte of a bit stream arrive reversed, the
+    * fax-heritage wire).
+    */
+  private val BitReverse: Array[Int] = Array.tabulate(256) { b =>
+    var v = b
+    var r = 0
+    var i = 0
+    while (i < 8) { r = (r << 1) | (v & 1); v >>= 1; i += 1 }
+    r
+  }
 
   private val RowsPerStrip = 4
 
@@ -74,11 +87,14 @@ object TiffCodec {
     */
   def encodeTiff(payload: Array[Byte], width: Int, bigEndian: Boolean,
       packBits: Boolean, lzw: Boolean = false,
-      pageHeight: Int = 0, predictor2: Boolean = false): Array[Byte] = {
+      pageHeight: Int = 0, predictor2: Boolean = false,
+      fillOrder2: Boolean = false): Array[Byte] = {
     require(width >= 1, "width must be positive")
     require(!(packBits && lzw), "choose one compression")
     require(pageHeight >= 0, "pageHeight must be non-negative")
     require(!predictor2 || lzw, "Predictor 2 rides the LZW path (spec 14)")
+    require(!fillOrder2 || lzw,
+      "FillOrder 2 only changes a BIT stream — the LZW wire")
     val paged = pageHeight > 0
     val h = if (paged) pageHeight else payload.length / width
     if (h < 1) return null
@@ -122,8 +138,18 @@ object TiffCodec {
       while (s < nStrips) {
         val rows = math.min(RowsPerStrip, h - s * RowsPerStrip)
         if (lzw) {
-          strips(s) =
+          val enc =
             lzwEncode(src, base + s * RowsPerStrip * width, rows * width)
+          if (fillOrder2) {
+            // FillOrder 2 (tag 266): bits within every byte of the
+            // compressed stream are reversed — the fax-heritage wire
+            var k = 0
+            while (k < enc.length) {
+              enc(k) = BitReverse(enc(k) & 0xff).toByte
+              k += 1
+            }
+          }
+          strips(s) = enc
         } else if (!packBits) {
           strips(s) = java.util.Arrays.copyOfRange(payload,
             base + s * RowsPerStrip * width,
@@ -145,7 +171,7 @@ object TiffCodec {
 
     // ---- layout: header, then per page [strips][IFD][ext areas],
     // IFDs chained through their next pointers ----
-    val nEntries = if (predictor2) 13 else 12
+    val nEntries = 12 + (if (predictor2) 1 else 0) + (if (fillOrder2) 1 else 0)
     val ifdSize = 2 + nEntries * 12 + 4
     // external areas per page: strip arrays only when external (> 1
     // strip), plus the two RATIONAL resolutions
@@ -229,6 +255,7 @@ object TiffCodec {
       entryShort(259,                               // Compression
         if (lzw) 5 else if (packBits) 32773 else 1)
       entryShort(262, 1)                            // Photometric: BlackIsZero
+      if (fillOrder2) entryShort(266, 2)            // FillOrder: reversed
       entryLongArray(273, offsets)                  // StripOffsets
       entryShort(277, 1)                            // SamplesPerPixel
       entryLong(278, RowsPerStrip.toLong)           // RowsPerStrip
@@ -414,6 +441,7 @@ object TiffCodec {
     var rps = -1L
     var resUnit = -1L
     var predictor = -1L
+    var fillOrder = -1L
     var xresOk = false
     var yresOk = false
     var stripOffsets: Array[Long] = null
@@ -485,10 +513,8 @@ object TiffCodec {
           if (typ != 3) return Invalid
           photometric = scalar
         case 266 =>
-          // FillOrder 2 (bit-reversed strips) is unimplemented: a skip
-          // here would usually die on an invalid code but is NOT
-          // guaranteed to — reject visibly, never misdecode
-          if (typ != 3 || scalar != 1) return Invalid
+          if (typ != 3) return Invalid
+          fillOrder = scalar // audited after the walk
         case 273 =>
           if (typ != 3 && typ != 4) return Invalid
           stripOffsets = longArray
@@ -534,6 +560,13 @@ object TiffCodec {
     if (predictor != -1 && predictor != 1 && predictor != 2) return Invalid
     if (predictor == 2 && compression != 5) return Invalid
     val pred2 = predictor == 2
+    // FillOrder (tag 266): 1 = MSB-first (default), 2 = bit-reversed
+    // bytes — only meaningful on a BIT stream, so it is accepted (and
+    // undone via the reverse table) on the LZW wire and rejected
+    // elsewhere; other values are forged
+    if (fillOrder != -1 && fillOrder != 1 && fillOrder != 2) return Invalid
+    if (fillOrder == 2 && compression != 5) return Invalid
+    val rev2 = fillOrder == 2
     if (stripOffsets == null || stripCounts == null) return Invalid
     // every page of an archive shares one geometry (the scanner
     // discipline, and what keeps the stats schema meaningful)
@@ -602,7 +635,8 @@ object TiffCodec {
         def nextCodeBits(): Int = {
           while (nbits < codeWidth) {
             if (p >= end) return -1
-            acc = (acc << 8) | (bytes(p.toInt) & 0xffL)
+            val b = bytes(p.toInt) & 0xff
+            acc = (acc << 8) | (if (rev2) BitReverse(b) else b).toLong
             nbits += 8
             p += 1
           }
@@ -728,7 +762,7 @@ object TiffCodec {
   */
 case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
     packBits: Boolean, lzw: Boolean = false, pageHeight: Int = 0,
-    predictor2: Boolean = false)
+    predictor2: Boolean = false, fillOrder2: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -742,7 +776,7 @@ case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TiffCodec.encodeTiff(input.asInstanceOf[Array[Byte]], width, bigEndian,
-      packBits, lzw, pageHeight, predictor2)
+      packBits, lzw, pageHeight, predictor2, fillOrder2)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -797,6 +831,8 @@ object TiffNativeFunctions {
         else false,
         if (exprs.length > 5) exprs(5).eval().asInstanceOf[Int] else 0,
         if (exprs.length > 6) exprs(6).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 7) exprs(7).eval().asInstanceOf[Boolean]
         else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -806,7 +842,7 @@ object TiffNativeFunctions {
   def tiffEncode(spark: SparkSession, bytes: Column, width: Int,
       bigEndian: Boolean, packBits: Boolean,
       lzw: Boolean = false, pageHeight: Int = 0,
-      predictor2: Boolean = false): Column = {
+      predictor2: Boolean = false, fillOrder2: Boolean = false): Column = {
     register(spark)
     call_function("graft_tiff_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
@@ -814,7 +850,8 @@ object TiffNativeFunctions {
       org.apache.spark.sql.functions.lit(packBits),
       org.apache.spark.sql.functions.lit(lzw),
       org.apache.spark.sql.functions.lit(pageHeight),
-      org.apache.spark.sql.functions.lit(predictor2))
+      org.apache.spark.sql.functions.lit(predictor2),
+      org.apache.spark.sql.functions.lit(fillOrder2))
   }
 
   def tiffDecode(spark: SparkSession, bytes: Column): Column = {

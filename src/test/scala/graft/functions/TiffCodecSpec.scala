@@ -297,14 +297,40 @@ class TiffCodecSpec extends SparkSpec {
     out.toByteArray
   }
 
-  test("FillOrder (tag 266): 1 is the accepted default, 2 rejects visibly") {
+  test("FillOrder (tag 266): 1 default, 2 un-reversed on LZW, else reject") {
     val payload = fixture(40 * 6, 33)
     val (sv, srv) = expected(payload, 40)
     val ok = TiffCodec.decodeTiff(tiffWithFillOrder(payload, 40, 1))
     assert(ok.valid && (ok.sumV, ok.sumRowV) === ((sv, srv)),
       "FillOrder 1 is spec-default and must decode")
-    // bit-reversed strips are unimplemented: reject, never misdecode
+    // FillOrder 2 only changes a BIT stream: on an uncompressed wire it
+    // is a forged combination, rejected visibly
     assert(!TiffCodec.decodeTiff(tiffWithFillOrder(payload, 40, 2)).valid)
+    // FillOrder 3 is not a thing
+    assert(!TiffCodec.decodeTiff(tiffWithFillOrder(payload, 40, 3)).valid)
+    // on the LZW wire, FillOrder 2 DECODES: every compressed byte is
+    // bit-reversed on disk and un-reversed through the table
+    val p2 = fixture(40 * 9 + 7, 34)
+    val (sv2, srv2) = expected(p2, 40)
+    for (big <- Seq(false, true)) {
+      val rev = TiffCodec.encodeTiff(p2, 40, big, packBits = false,
+        lzw = true, fillOrder2 = true)
+      assert(rev !== null)
+      val plain = TiffCodec.encodeTiff(p2, 40, big, packBits = false,
+        lzw = true)
+      assert(!java.util.Arrays.equals(rev, plain),
+        "the reversed wire really differs")
+      val d = TiffCodec.decodeTiff(rev)
+      assert(d.valid, s"big=$big")
+      assert((d.sumV, d.sumRowV) === ((sv2, srv2)),
+        s"big=$big: bit reversal must be undone exactly")
+    }
+    // FillOrder 2 composes with Predictor 2 on one wire (14-entry IFD)
+    val both = TiffCodec.encodeTiff(p2, 40, bigEndian = false,
+      packBits = false, lzw = true, predictor2 = true, fillOrder2 = true)
+    val dB = TiffCodec.decodeTiff(both)
+    assert(dB.valid && (dB.sumV, dB.sumRowV) === ((sv2, srv2)),
+      "FillOrder and Predictor undo in the right order")
   }
 
   test("engine surface: Multimodal.encodeTiff / tiffStats on real documents") {
