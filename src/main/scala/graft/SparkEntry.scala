@@ -2924,6 +2924,24 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_frames"),
           col("n_samples"), col("sum_s"), col("sum_abs"), col("sum_is"))
     },
+    // GIF frame COMPOSITING (E272): the partial-frame stack rendered
+    // the way a viewer renders it — disposal-aware, last write wins per
+    // SCREEN cell, background cells stay unpainted. The oracle replays
+    // the placement rule per cell: the latest covering frame supplies
+    // the pixel, so only a decoder that really composites (not just
+    // sums frames) reproduces the final-screen stats.
+    "q321_gif_composite" -> { (s, dir) =>
+      graft.ext.Multimodal.gifComposite(
+        graft.ext.Multimodal.encodeGif(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, frameHeight = 5, partialFrames = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_frames"),
+          col("n_painted"), col("sum_fidx"), col("sum_frowv"),
+          col("sum_fr"), col("sum_fg"), col("sum_fb"))
+    },
     // VARIABLE-BLOCKING FLAC (E268): the spec's second blocking
     // strategy, the last in-format fence removed — frames alternate
     // 576/384 samples, the strategy bit is set, and each header carries
@@ -4079,6 +4097,43 @@ object SparkEntry {
          |       CAST(4 * nf + (nf + 1) // 3 + 2 * (nf // 3) AS BIGINT)
          |         AS sum_delay
          |FROM bv GROUP BY asset_id, nf""".stripMargin
+
+  /** GIF compositing replay (q321): the final 48x8 screen under
+    * last-write-wins — for each cell the LATEST covering frame (the
+    * fixture places frame f at ((f mod 3)·4, f mod 4)) supplies the
+    * pixel; uncovered cells stay background. Pure placement arithmetic
+    * per cell off the raw payload.
+    */
+  private def gifCompositeOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 200 AS nf
+         |      FROM src WHERE octet_length(p) // 200 >= 1
+         |        AND octet_length(p) <= 16777216),
+         |cells AS (SELECT asset_id, nf, h, j // 48 AS r, j % 48 AS c
+         |          FROM (SELECT asset_id, nf, h, unnest(range(0, 384)) AS j
+         |                FROM g)),
+         |cov AS (SELECT asset_id, nf, h, r, c, MAX(f) AS fstar
+         |        FROM (SELECT asset_id, nf, h, r, c,
+         |                unnest(range(0, nf)) AS f FROM cells) t
+         |        WHERE (f % 4) <= r AND r < (f % 4) + 5
+         |          AND (f % 3) * 4 <= c AND c < (f % 3) * 4 + 40
+         |        GROUP BY asset_id, nf, h, r, c),
+         |px AS (SELECT asset_id, nf, r, c,
+         |         CAST(('0x'||substr(h,
+         |           CAST(2 * (fstar * 200 + (r - fstar % 4) * 40
+         |                + (c - (fstar % 3) * 4)) + 1 AS BIGINT), 2))
+         |           AS BIGINT) AS v
+         |       FROM cov)
+         |SELECT asset_id, TRUE AS is_valid,
+         |       CAST(nf AS BIGINT) AS n_frames,
+         |       CAST(COUNT(*) AS BIGINT) AS n_painted,
+         |       CAST(SUM(v) AS BIGINT) AS sum_fidx,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_frowv,
+         |       CAST(SUM(v) AS BIGINT) AS sum_fr,
+         |       CAST(SUM((3*v+85) % 256) AS BIGINT) AS sum_fg,
+         |       CAST(SUM((7*v+21) % 256) AS BIGINT) AS sum_fb
+         |FROM px GROUP BY asset_id, nf""".stripMargin
 
   /** TIFF replay (q297 uncompressed little-endian, q298 PackBits
     * big-endian — ONE oracle, the wire never changes the pixels): whole
@@ -5577,6 +5632,9 @@ object SparkEntry {
     // q312: sub-screen frames at nonzero offsets — screen-row/column
     // weighted sums pin the placement
     "q312_gif_partial" -> gifPartialOracleSql,
+    // q321: disposal-aware compositing — per-cell last-covering-frame
+    // replay of the final screen
+    "q321_gif_composite" -> gifCompositeOracleSql,
     "q296_gif_anim" -> gifAnimOracleSql,
     "q306_gif_lct" -> gifLctOracleSql,
     // q290/q291 share one oracle verbatim (plain vs record-gzip wire);

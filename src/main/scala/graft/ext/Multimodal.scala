@@ -1108,6 +1108,28 @@ object Multimodal {
         col("q.sum_colv").as("sum_colv"))
   }
 
+  /** COMPOSITE animated GIFs (E272): the frame stack rendered as a
+    * viewer renders it — last write wins per screen cell, disposal 2
+    * restores its rect to background, disposal 3 restores the pre-draw
+    * content, transparent pixels leave the underlying cell, and each
+    * cell keeps the palette of the frame that painted it. Reports the
+    * FINAL screen's stats. One buffer-backed native pass per asset.
+    */
+  def gifComposite(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.GifNativeFunctions.gifComposite(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_frames").as("n_frames"),
+        col("q.n_painted").as("n_painted"),
+        col("q.sum_fidx").as("sum_fidx"),
+        col("q.sum_frowv").as("sum_frowv"),
+        col("q.sum_fr").as("sum_fr"), col("q.sum_fg").as("sum_fg"),
+        col("q.sum_fb").as("sum_fb"))
+  }
+
   /** Encode each asset's payload (as little-endian 16-bit mono PCM) into
     * a FLAC stream (E253): CONSTANT/FIXED/VERBATIM — and, when
     * `lpcOrder` > 0, Levinson-Durbin-fitted LPC — subframes chosen by

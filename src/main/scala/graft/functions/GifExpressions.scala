@@ -319,12 +319,23 @@ object GifCodec {
   final case class Decoded(valid: Boolean, width: Long, height: Long,
       nPixels: Long, sumIdx: Long, sumR: Long, sumG: Long, sumB: Long,
       meanIdxMilli: Long, nFrames: Long, sumDelay: Long, sumRowV: Long,
-      sumColV: Long)
+      sumColV: Long,
+      // compositing stats (decodeGif(composite = true) only; -1 otherwise):
+      // the FINAL SCREEN after the last frame, disposals applied between
+      // frames, transparency skipped, per-cell palette provenance kept
+      nPainted: Long = -1, sumFIdx: Long = -1, sumFRowV: Long = -1,
+      sumFR: Long = -1, sumFG: Long = -1, sumFB: Long = -1)
 
   private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1,
     -1, -1, -1, -1, -1)
 
-  def decodeGif(bytes: Array[Byte]): Decoded = {
+  /** Compositing needs a real screen buffer (8 bytes per cell), so its
+    * geometry bound is tighter than the streaming decoder's 2^24: 4M
+    * cells = 32 MB per task, far above any real animated GIF.
+    */
+  val MaxCompositePixels = 1 << 22
+
+  def decodeGif(bytes: Array[Byte], composite: Boolean = false): Decoded = {
     val n = bytes.length
     if (n < 13) return Invalid
     // header: accept both published versions
@@ -353,6 +364,60 @@ object GifCodec {
     }
     if (sw < 1 || sh < 1) return Invalid
     if (sw.toLong * sh > MaxPixels) return Invalid // forged-geometry bound
+    if (composite && sw.toLong * sh > MaxCompositePixels)
+      return Invalid // the buffer-backed op has the tighter bound
+    // compositing state: per-cell painted index (-1 = background) and
+    // the PAINT-TIME resolved color (frames may carry different LCTs)
+    val screenIdx = if (composite) {
+      val a = new Array[Int](sw * sh)
+      java.util.Arrays.fill(a, -1)
+      a
+    } else null
+    val screenRgb = if (composite) new Array[Int](sw * sh) else null
+    // the GCE preceding a frame steers it: disposal method and the
+    // transparent index (painting SKIPS transparent pixels)
+    var pendingDisposal = 0
+    var pendingTransparent = -1
+    // the PREVIOUS frame's disposal is applied when the next frame (or
+    // the trailer) arrives; disposal 3 needs the pre-draw rect saved
+    var prevDisposal = 0
+    var prevLeft = 0
+    var prevTop = 0
+    var prevW = 0
+    var prevH = 0
+    var prevSaved: Array[Int] = null
+    var prevSavedRgb: Array[Int] = null
+    def applyPrevDisposal(): Unit = {
+      if (screenIdx == null || prevW == 0) return
+      if (prevDisposal == 2) {
+        // restore to background: the rect becomes unpainted
+        var r = 0
+        while (r < prevH) {
+          var c = 0
+          while (c < prevW) {
+            screenIdx((prevTop + r) * sw + (prevLeft + c)) = -1
+            c += 1
+          }
+          r += 1
+        }
+      } else if (prevDisposal == 3 && prevSaved != null) {
+        // restore to previous: put the pre-draw rect content back
+        var r = 0
+        while (r < prevH) {
+          var c = 0
+          while (c < prevW) {
+            val cell = (prevTop + r) * sw + (prevLeft + c)
+            screenIdx(cell) = prevSaved(r * prevW + c)
+            screenRgb(cell) = prevSavedRgb(r * prevW + c)
+            c += 1
+          }
+          r += 1
+        }
+      }
+      prevW = 0
+      prevSaved = null
+      prevSavedRgb = null
+    }
 
     var sumIdx = 0L
     var sumR = 0L
@@ -392,7 +457,11 @@ object GifCodec {
           // 4..7 reserved — a reserved value is a forged stream
           if (p + 7 >= n) return Invalid
           if ((bytes(p + 2) & 0xff) != 4) return Invalid
-          if ((((bytes(p + 3) & 0xff) >> 2) & 7) > 3) return Invalid
+          val gcePacked = bytes(p + 3) & 0xff
+          if (((gcePacked >> 2) & 7) > 3) return Invalid
+          pendingDisposal = (gcePacked >> 2) & 7
+          pendingTransparent =
+            if ((gcePacked & 1) != 0) bytes(p + 6) & 0xff else -1
           sumDelay += u16(p + 4)
           if ((bytes(p + 7) & 0xff) != 0) return Invalid // terminator
           p += 8
@@ -420,6 +489,32 @@ object GifCodec {
         if (left + w > sw || top + h > sh) return Invalid // out of screen
         val framePix = w.toLong * h
         if (totalEmitted + framePix > MaxPixels) return Invalid
+        // the GCE ahead of this frame steers its compositing
+        val frameDisposal = pendingDisposal
+        val frameTransparent = pendingTransparent
+        pendingDisposal = 0
+        pendingTransparent = -1
+        var curSaved: Array[Int] = null
+        var curSavedRgb: Array[Int] = null
+        if (composite) {
+          applyPrevDisposal()
+          if (frameDisposal == 3) {
+            // restore-to-previous needs the pre-draw rect content
+            curSaved = new Array[Int](w * h)
+            curSavedRgb = new Array[Int](w * h)
+            var r = 0
+            while (r < h) {
+              var c = 0
+              while (c < w) {
+                val cell = (top + r) * sw + (left + c)
+                curSaved(r * w + c) = screenIdx(cell)
+                curSavedRgb(r * w + c) = screenRgb(cell)
+                c += 1
+              }
+              r += 1
+            }
+          }
+        }
         val ipacked = bytes(p + 9) & 0xff
         val interlaced = (ipacked & 0x40) != 0
         if (rowOrder == null || rowOrder.length != h ||
@@ -523,6 +618,15 @@ object GifCodec {
             // x index pins the LEFT offset
             sumRowV += (frameRowBase + rowOrder((emitted / w).toInt)) * v
             sumColV += (left + emitted % w) * v
+            // compositing: paint (screen row, screen col) with the
+            // PAINT-TIME palette; transparent pixels leave the cell
+            if (screenIdx != null && v != frameTransparent) {
+              val cell = (top + rowOrder((emitted / w).toInt)) * sw +
+                (left + (emitted % w).toInt)
+              screenIdx(cell) = v
+              screenRgb(cell) =
+                (fPalR(v) << 16) | (fPalG(v) << 8) | fPalB(v)
+            }
             emitted += 1
           }
           true
@@ -574,13 +678,53 @@ object GifCodec {
         p += 1
         totalEmitted += emitted
         nFrames += 1
+        if (composite) {
+          // this frame's disposal fires when the NEXT frame (never the
+          // trailer — the final displayed state keeps the last frame)
+          // arrives
+          prevDisposal = frameDisposal
+          prevLeft = left
+          prevTop = top
+          prevW = w
+          prevH = h
+          prevSaved = curSaved
+          prevSavedRgb = curSavedRgb
+        }
       } else return Invalid // unknown block introducer
     }
     if (p != n) return Invalid // trailing garbage
     if (nFrames < 1) return Invalid
 
+    // final-screen stats: the display after the last frame (its own
+    // disposal NOT applied — nothing follows it)
+    var nPainted = -1L
+    var sumFIdx = -1L
+    var sumFRowV = -1L
+    var sumFR = -1L
+    var sumFG = -1L
+    var sumFB = -1L
+    if (composite) {
+      nPainted = 0; sumFIdx = 0; sumFRowV = 0; sumFR = 0; sumFG = 0
+      sumFB = 0
+      var cell = 0
+      while (cell < sw * sh) {
+        val v = screenIdx(cell)
+        if (v >= 0) {
+          nPainted += 1
+          sumFIdx += v
+          sumFRowV += (cell / sw).toLong * v
+          val rgb = screenRgb(cell)
+          sumFR += (rgb >> 16) & 0xff
+          sumFG += (rgb >> 8) & 0xff
+          sumFB += rgb & 0xff
+        }
+        cell += 1
+      }
+    }
+
     Decoded(valid = true, sw, sh, totalEmitted, sumIdx, sumR, sumG, sumB,
-      sumIdx * 1000 / totalEmitted, nFrames, sumDelay, sumRowV, sumColV)
+      sumIdx * 1000 / totalEmitted, nFrames, sumDelay, sumRowV, sumColV,
+      nPainted, sumFIdx, sumFRowV, sumFR, sumFG, sumFB)
   }
 }
 
@@ -653,6 +797,47 @@ case class GifDecode(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_gif_composite(bytes)`: full decode + DISPOSAL-AWARE screen
+  * compositing — the frame stack rendered the way a viewer renders it:
+  * last write wins per cell, disposal 2 restores its rect to
+  * background, disposal 3 restores the pre-draw content, transparent
+  * pixels leave the underlying cell, and each cell keeps the palette of
+  * the frame that painted it. Reports the FINAL screen's stats next to
+  * the frame count. Needs a real screen buffer, so its geometry bound
+  * is [[GifCodec.MaxCompositePixels]] (tighter than the streaming
+  * decoder's).
+  */
+case class GifComposite(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_valid", BooleanType, nullable = false),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("n_painted", LongType, nullable = true),
+    StructField("sum_fidx", LongType, nullable = true),
+    StructField("sum_frowv", LongType, nullable = true),
+    StructField("sum_fr", LongType, nullable = true),
+    StructField("sum_fg", LongType, nullable = true),
+    StructField("sum_fb", LongType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_gif_composite expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = GifCodec.decodeGif(input.asInstanceOf[Array[Byte]],
+      composite = true)
+    if (d.valid)
+      InternalRow(true, d.nFrames, d.nPainted, d.sumFIdx, d.sumFRowV,
+        d.sumFR, d.sumFG, d.sumFB)
+    else InternalRow(false, null, null, null, null, null, null, null)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GifNativeFunctions {
 
   /** Register `graft_gif_encode` / `graft_gif_decode` (idempotent). The
@@ -675,6 +860,8 @@ object GifNativeFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_decode", exprs => GifDecode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gif_composite", exprs => GifComposite(exprs.head), "built-in")
   }
 
   def gifEncode(spark: SparkSession, bytes: Column, width: Int,
@@ -694,5 +881,10 @@ object GifNativeFunctions {
   def gifDecode(spark: SparkSession, bytes: Column): Column = {
     register(spark)
     call_function("graft_gif_decode", bytes)
+  }
+
+  def gifComposite(spark: SparkSession, bytes: Column): Column = {
+    register(spark)
+    call_function("graft_gif_composite", bytes)
   }
 }

@@ -311,6 +311,101 @@ class GifCodecSpec extends SparkSpec {
       "interlace map and frame offsets must compose to the identity")
   }
 
+  test("compositing: last write wins, disposal 2/3 restore, transparency") {
+    // the partial-frame fixture (disposal 1): compute the final screen
+    // by replaying placement in Scala and compare
+    val nf = 6
+    val payload = fixture(nf * 200, 91)
+    val gif = GifCodec.encodeGif(payload, 40, frameHeight = 5,
+      partialFrames = true)
+    val screen = Array.fill(8, 48)(-1)
+    for (f <- 0 until nf; r <- 0 until 5; c <- 0 until 40)
+      screen(f % 4 + r)((f % 3) * 4 + c) = payload(f * 200 + r * 40 + c) & 0xff
+    var np = 0L; var sf = 0L; var sfr = 0L
+    for (r <- 0 until 8; c <- 0 until 48; if screen(r)(c) >= 0) {
+      np += 1; sf += screen(r)(c); sfr += r.toLong * screen(r)(c)
+    }
+    val d = GifCodec.decodeGif(gif, composite = true)
+    assert(d.valid)
+    assert((d.nPainted, d.sumFIdx, d.sumFRowV) === ((np, sf, sfr)),
+      "last-write-wins compositing must match the placement replay")
+    // the streaming decode is unchanged by the flag
+    val plain = GifCodec.decodeGif(gif)
+    assert((plain.sumIdx, plain.sumRowV) === ((d.sumIdx, d.sumRowV)))
+    assert(plain.nPainted === -1L, "no buffer work without the flag")
+
+    // disposal 2 (restore to background): patch frame 0's GCE — its
+    // rect must vanish from the final screen wherever frame 1 did not
+    // repaint it. GCEs are not checksummed, so wire patches are exact.
+    val twoFrames = fixture(2 * 200, 92)
+    val g2 = GifCodec.encodeGif(twoFrames, 40, frameHeight = 5,
+      partialFrames = true)
+    val gce0 = g2.indices.find(o => (g2(o) & 0xff) == 0x21 &&
+      (g2(o + 1) & 0xff) == 0xf9).get
+    val disp2 = g2.clone()
+    disp2(gce0 + 3) = 0x08 // disposal 2, no transparency
+    val d2 = GifCodec.decodeGif(disp2, composite = true)
+    assert(d2.valid)
+    // frame 0 at (0,0), frame 1 at (4,1): only frame 1's rect survives
+    var np2 = 0L; var sf2 = 0L
+    for (r <- 0 until 5; c <- 0 until 40) {
+      np2 += 1; sf2 += twoFrames(200 + r * 40 + c) & 0xff
+    }
+    assert((d2.nPainted, d2.sumFIdx) === ((np2, sf2)),
+      "disposal 2 must clear the disposed rect to background")
+
+    // disposal 3 (restore to previous): frame 1 disposes to previous —
+    // but nothing follows it, so the final screen keeps frame 1 (the
+    // last frame's disposal never fires). Patch frame 0 instead on a
+    // THREE-frame file: frame 1 disposes-to-previous, so frame 0's
+    // content returns beneath frame 2.
+    val three = fixture(3 * 200, 93)
+    val g3 = GifCodec.encodeGif(three, 40, frameHeight = 5,
+      partialFrames = true)
+    val gces = g3.indices.filter(o => (g3(o) & 0xff) == 0x21 &&
+      o + 1 < g3.length && (g3(o + 1) & 0xff) == 0xf9)
+    val disp3 = g3.clone()
+    disp3(gces(1) + 3) = 0x0c // frame 1: disposal 3
+    val d3 = GifCodec.decodeGif(disp3, composite = true)
+    assert(d3.valid)
+    // replay: draw f0, save-under f1, draw f1, restore (f1 vanishes),
+    // draw f2 — final = f0 then f2, last write wins
+    val scr3 = Array.fill(8, 48)(-1)
+    for (f <- Seq(0, 2); r <- 0 until 5; c <- 0 until 40)
+      scr3(f % 4 + r)((f % 3) * 4 + c) = three(f * 200 + r * 40 + c) & 0xff
+    var np3 = 0L; var sf3 = 0L
+    for (r <- 0 until 8; c <- 0 until 48; if scr3(r)(c) >= 0) {
+      np3 += 1; sf3 += scr3(r)(c)
+    }
+    assert((d3.nPainted, d3.sumFIdx) === ((np3, sf3)),
+      "disposal 3 must restore the pre-draw content")
+
+    // transparency: mark index t transparent on frame 1 of the 2-frame
+    // file — its pixels with that index leave frame 0's cells showing
+    val t = twoFrames(200) & 0xff // frame 1's first pixel index
+    val trans = g2.clone()
+    val gce1 = g2.indices.filter(o => (g2(o) & 0xff) == 0x21 &&
+      o + 1 < g2.length && (g2(o + 1) & 0xff) == 0xf9)(1)
+    trans(gce1 + 3) = 0x05 // disposal 1 + transparent flag
+    trans(gce1 + 6) = t.toByte
+    val dT = GifCodec.decodeGif(trans, composite = true)
+    assert(dT.valid)
+    // replay: draw f0; draw f1 skipping pixels == t
+    val scrT = Array.fill(8, 48)(-1)
+    for (r <- 0 until 5; c <- 0 until 40)
+      scrT(r)(c) = twoFrames(r * 40 + c) & 0xff
+    for (r <- 0 until 5; c <- 0 until 40) {
+      val v = twoFrames(200 + r * 40 + c) & 0xff
+      if (v != t) scrT(1 + r)(4 + c) = v
+    }
+    var npT = 0L; var sfT = 0L
+    for (r <- 0 until 8; c <- 0 until 48; if scrT(r)(c) >= 0) {
+      npT += 1; sfT += scrT(r)(c)
+    }
+    assert((dT.nPainted, dT.sumFIdx) === ((npT, sfT)),
+      "transparent pixels must leave the underlying cell")
+  }
+
   test("trailing extension blocks before the trailer are spec-legal") {
     val payload = fixture(1600, 41)
     val gif = GifCodec.encodeGif(payload, 40)
