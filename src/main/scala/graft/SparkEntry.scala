@@ -2682,6 +2682,22 @@ object SparkEntry {
         .select(col("asset_id"), col("member_idx"), col("name"),
           col("size"), col("member_sum"))
     },
+    // WebDataset-style shard INGEST (E273): the q317 member fan-out
+    // composed with the text pipeline — the shard-to-training-samples
+    // conversion a WebDataset loader performs, over the .tar.gz wire
+    // (demux + inflate + extract + normalize + tokenize in ONE pass).
+    "q322_tar_ingest" -> { (s, dir) =>
+      graft.ext.Multimodal.tarTextIngest(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, gz = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        gz = true)
+        .select(col("asset_id"), col("member_idx"), col("name"),
+          col("clean_hash"), col("clean_len"), col("n_tokens"))
+    },
     // ZIP archive demux, STORED members (E270): central-directory walk
     // with local-header agreement, exact member tiling to the directory
     // offset, and per-member CRC-32 verification. Same 100-byte member
@@ -3872,6 +3888,34 @@ object SparkEntry {
          |       CAST(100 AS BIGINT) AS size,
          |       CAST(SUM(v) AS BIGINT) AS member_sum
          |FROM bv GROUP BY asset_id, member_idx""".stripMargin
+
+  /** WebDataset-ingest replay (q322): every 100-byte member re-cleaned
+    * from the raw text slice with the q149 regex chain (ASCII corpus:
+    * byte slices == char slices), names by the doc%05d.txt rule.
+    */
+  private def tarIngestOracleSql: String =
+    """WITH src AS (SELECT doc_id AS asset_id, text,
+         |              octet_length(CAST(text AS BLOB)) // 100 AS nm
+         |            FROM documents WHERE doc_id < 140),
+         |sl AS (SELECT asset_id, j AS member_idx,
+         |         substr(text, CAST(j * 100 + 1 AS BIGINT), 100) AS s
+         |       FROM (SELECT asset_id, text, unnest(range(0, nm)) AS j
+         |             FROM src WHERE nm >= 1)),
+         |c AS (SELECT asset_id, member_idx, trim(regexp_replace(
+         |        replace(replace(replace(replace(replace(replace(
+         |          regexp_replace(s, '<[^>]*>', ' ', 'g'),
+         |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |        '[ \t\n\r\f]+', ' ', 'g')) AS clean
+         |      FROM sl)
+         |SELECT asset_id, CAST(member_idx AS BIGINT) AS member_idx,
+         |       printf('doc%05d.txt', member_idx) AS name,
+         |       md5(clean) AS clean_hash,
+         |       CAST(length(clean) AS BIGINT) AS clean_len,
+         |       CAST(CASE WHEN clean = '' THEN 0
+         |            ELSE len(string_split(clean, ' ')) END AS BIGINT)
+         |         AS n_tokens
+         |FROM c""".stripMargin
 
   /** WET-extraction replay (q310): HTTP 200 slices only (j mod 4 ≠ 3),
     * each 256-byte body re-cleaned from the raw text slice with the
@@ -5662,6 +5706,9 @@ object SparkEntry {
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,
     "q319_zip_deflate" -> tarOracleSql,
+    // q322: shard-to-samples ingest — members re-cleaned from raw text
+    // slices with the q149 regex chain
+    "q322_tar_ingest" -> tarIngestOracleSql,
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the

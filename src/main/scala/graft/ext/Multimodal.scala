@@ -1019,6 +1019,26 @@ object Multimodal {
         col("m.member_sum").as("member_sum"), col("m.bytes").as("bytes"))
   }
 
+  /** WebDataset-style shard INGEST (E273): the tar-member fan-out
+    * composed with the text pipeline — each member's bytes decoded as
+    * UTF-8 and run through [[TextAnalysis.cleanMarkup]], one sample row
+    * per member with its cleaned hash, length, and whitespace-token
+    * count. This is the shard-to-training-samples conversion a
+    * WebDataset loader performs; map-only on both sides of the explode.
+    */
+  def tarTextIngest(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val clean = TextAnalysis.cleanMarkup(col("bytes").cast("string"))
+    tarMembers(assets, gz)
+      .select(col("asset_id"), col("member_idx"), col("name"),
+        clean.as("text_clean"))
+      .select(col("asset_id"), col("member_idx"), col("name"),
+        md5(col("text_clean")).as("clean_hash"),
+        length(col("text_clean")).cast("long").as("clean_len"),
+        when(col("text_clean") === "", 0L)
+          .otherwise(size(split(col("text_clean"), " ")).cast("long"))
+          .as("n_tokens"))
+  }
+
   /** Encode each asset's payload as a ZIP archive (E270) of
     * ⌊len/memberBytes⌋ members (whole members only; assets shorter than
     * one member are dropped) — stored, or per-member DEFLATE.

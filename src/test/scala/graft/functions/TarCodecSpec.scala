@@ -97,6 +97,29 @@ class TarCodecSpec extends SparkSpec {
     assert(!TarCodec.decodeTar(gzTar ++ gzTar, gz = true)._1.valid)
   }
 
+  test("tarTextIngest: shard members become cleaned, tokenized samples") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one member with markup + entities, one plain; whitespace pads to
+    // the 100-byte member size and must collapse away
+    val m0 = "<p>alpha&amp;beta</p> gamma" + " " * 73
+    val m1 = "plain words here" + " " * 84
+    val assets = Seq((1L, (m0 + m1).getBytes("US-ASCII")))
+      .toDF("asset_id", "bytes")
+      .withColumn("kind", lit("text"))
+      .withColumn("meta", struct(lit("s").as("source"), lit("m").as("mime")))
+    val out = graft.ext.Multimodal.tarTextIngest(
+      graft.ext.Multimodal.encodeTar(assets, memberBytes = 100, gz = true),
+      gz = true)
+      .orderBy("member_idx").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("name") === "doc00000.txt")
+    // "<p>alpha&amp;beta</p> gamma" -> "alpha&beta gamma" (16 chars)
+    assert(out(0).getAs[Long]("clean_len") === 16L)
+    assert(out(0).getAs[Long]("n_tokens") === 2L)
+    assert(out(1).getAs[Long]("n_tokens") === 3L)
+  }
+
   test("engine surface: Multimodal.encodeTar / tarStats / tarMembers") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001)
