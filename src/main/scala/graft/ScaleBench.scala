@@ -97,7 +97,11 @@ object ScaleBench {
     ("q313_wet_scale", 1.35, 1.35,
       "archive byte mass: one record walk + HTTP parse per archive, " +
         "then one regex clean per 200-response row — map-only both " +
-        "sides of the explode, no pair stage"))
+        "sides of the explode, no pair stage"),
+    ("q323_tar_scale", 1.35, 1.35,
+      "shard byte mass: one whole-stream inflate + ustar header walk " +
+        "per shard, O(1) state beyond the current header, no pair " +
+        "stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)

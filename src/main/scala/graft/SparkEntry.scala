@@ -2682,6 +2682,20 @@ object SparkEntry {
         .select(col("asset_id"), col("member_idx"), col("name"),
           col("size"), col("member_sum"))
     },
+    // Whole-corpus tar.gz shard demux scale twin (E269's measurement):
+    // q316 with no doc cap — one inflate + header walk per shard,
+    // byte-linear with O(1) state beyond the current header.
+    "q323_tar_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          memberBytes = 100, gz = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        gz = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // WebDataset-style shard INGEST (E273): the q317 member fan-out
     // composed with the text pipeline — the shard-to-training-samples
     // conversion a WebDataset loader performs, over the .tar.gz wire
@@ -3852,9 +3866,11 @@ object SparkEntry {
     * 100-byte members off the raw payload; sum_iv weights each byte by
     * its member index (i DIV 100), pinning member order.
     */
-  private def tarOracleSql: String =
+  private def tarOracleSql: String = tarOracleSqlFor("WHERE doc_id < 140")
+
+  private def tarOracleSqlFor(where: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
-         |             FROM documents WHERE doc_id < 140),
+         |             FROM documents $where),
          |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 100 AS nm
          |      FROM src WHERE octet_length(p) // 100 >= 1),
          |bv AS (SELECT asset_id, nm, i // 100 AS m,
@@ -5701,6 +5717,8 @@ object SparkEntry {
     // q317 is the shard-to-samples member fan-out
     "q315_tar_stats" -> tarOracleSql,
     "q316_tar_gz" -> tarOracleSql,
+    // q323: q316's whole-corpus scale twin
+    "q323_tar_scale" -> tarOracleSqlFor(""),
     "q317_tar_members" -> tarMembersOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
