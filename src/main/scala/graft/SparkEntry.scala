@@ -2743,6 +2743,23 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // PAX extended headers (E274): every member preceded by a
+    // POSIX.1-2001 'x' header whose path record overrides the 100-byte
+    // name field with a 104-char name — the reason real shards carry
+    // pax. Member stats are unchanged (pax members are metadata, not
+    // samples); only a decoder that really applies the override
+    // reproduces the names.
+    "q324_tar_pax" -> { (s, dir) =>
+      graft.ext.Multimodal.tarMembers(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, pax = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("member_idx"), col("name"),
+          col("size"), col("member_sum"))
+    },
     // Whole-corpus WET-extraction scale twin (E264's measurement): q310
     // with no doc cap — one container walk + HTTP parse + regex chain
     // per response row, byte-linear with no pair stage.
@@ -3901,6 +3918,27 @@ object SparkEntry {
          |               unnest(range(0, nm * 100)) AS i FROM g))
          |SELECT asset_id, CAST(member_idx AS BIGINT) AS member_idx,
          |       printf('doc%05d.txt', member_idx) AS name,
+         |       CAST(100 AS BIGINT) AS size,
+         |       CAST(SUM(v) AS BIGINT) AS member_sum
+         |FROM bv GROUP BY asset_id, member_idx""".stripMargin
+
+  /** Pax-shard replay (q324): q317's member arithmetic with the LONG
+    * names the pax path records carry (104 chars, past the 100-byte
+    * header field) — rebuilt with repeat + printf.
+    */
+  private def tarPaxOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 100 AS nm
+         |      FROM src WHERE octet_length(p) // 100 >= 1),
+         |bv AS (SELECT asset_id, i // 100 AS member_idx,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, h,
+         |               unnest(range(0, nm * 100)) AS i FROM g))
+         |SELECT asset_id, CAST(member_idx AS BIGINT) AS member_idx,
+         |       'samples/' || repeat('d', 87) ||
+         |         printf('%05d', member_idx) || '.txt' AS name,
          |       CAST(100 AS BIGINT) AS size,
          |       CAST(SUM(v) AS BIGINT) AS member_sum
          |FROM bv GROUP BY asset_id, member_idx""".stripMargin
@@ -5720,6 +5758,9 @@ object SparkEntry {
     // q323: q316's whole-corpus scale twin
     "q323_tar_scale" -> tarOracleSqlFor(""),
     "q317_tar_members" -> tarMembersOracleSql,
+    // q324: pax path overrides — the 104-char names only an
+    // override-applying decoder reproduces
+    "q324_tar_pax" -> tarPaxOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,

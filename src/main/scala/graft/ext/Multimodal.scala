@@ -975,14 +975,14 @@ object Multimodal {
     * WebDataset packaging shape.
     */
   def encodeTar(assets: DataFrame, memberBytes: Int = 256,
-      gz: Boolean = false): DataFrame = {
+      gz: Boolean = false, pax: Boolean = false): DataFrame = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= memberBytes)
       .withColumn("bytes",
         graft.functions.TarNativeFunctions.tarEncode(spark,
-          col("bytes"), memberBytes, gz))
+          col("bytes"), memberBytes, gz, pax))
   }
 
   /** Demux USTAR shards natively (E269): header checksum audit, strict

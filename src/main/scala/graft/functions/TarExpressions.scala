@@ -34,10 +34,20 @@ import org.apache.spark.sql.types._
   * sum all read straight off the truncated raw payload in DuckDB — and
   * the gzip wire must produce IDENTICAL stats to the plain wire.
   *
+  * pax EXTENDED HEADERS (POSIX.1-2001, typeflag 'x') are parsed: strict
+  * `LEN key=value\n` records (LEN counting its own digits, the record
+  * chain consuming the declared size exactly) whose `path`/`size`
+  * keywords OVERRIDE the next member's 100-byte name field and octal
+  * size — the reason real shards carry them (names past 100 bytes,
+  * sizes past 8 GiB).
+  *
   * STRICTNESS: a header checksum that disagrees (the field tar gives us
   * for exactly this), a malformed octal field, a missing/wrong ustar
-  * magic, a typeflag other than regular-file '0', nonzero data padding,
-  * a truncated member, a missing end-of-archive marker, bytes after it,
+  * magic, a typeflag other than regular-file '0' / pax 'x' (global 'g'
+  * is a named reject), nonzero data padding,
+  * a truncated member, a malformed pax record chain, two pax headers in
+  * a row, a pax header with no following member,
+  * a missing end-of-archive marker, bytes after it,
   * or a gzip wrapper whose CRC32/ISIZE lie all report
   * `is_valid = false`.
   *
@@ -106,13 +116,58 @@ object TarCodec {
     s
   }
 
+  /** One 512-byte ustar header (checksum computed last, per the spec's
+    * field-as-spaces rule).
+    */
+  private def mkHeader(name: String, size: Long, typeflag: Byte):
+      Array[Byte] = {
+    val h = new Array[Byte](Block)
+    val nb = name.getBytes("US-ASCII")
+    require(nb.length <= 100, "header name field is 100 bytes")
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    putOctal(h, 100, 8, 420)          // mode 0644
+    putOctal(h, 108, 8, 0)            // uid
+    putOctal(h, 116, 8, 0)            // gid
+    putOctal(h, 124, 12, size)
+    putOctal(h, 136, 12, 0)           // mtime: deterministic
+    h(156) = typeflag
+    "ustar".getBytes("US-ASCII").copyToArray(h, 257) // magic + NUL at 262
+    h(263) = '0'; h(264) = '0'        // version "00"
+    // chksum: 6 octal digits, NUL, space (the historic layout)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = headerChecksum(h, 0)
+    var k = 5
+    var x = sum
+    while (k >= 0) { h(148 + k) = ('0' + (x & 7)).toByte; x >>= 3; k -= 1 }
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
+  /** One pax extended-header record `LEN key=value\n`, LEN counting its
+    * own digits (the POSIX.1-2001 self-referential length).
+    */
+  private def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n".getBytes("US-ASCII")
+    var len = body.length + 1 // at least one length digit
+    while (len.toString.length + body.length != len)
+      len = len.toString.length + body.length
+    (len.toString.getBytes("US-ASCII") ++ body)
+  }
+
+  /** The pax fixture's LONG member name (104 chars — past the 100-byte
+    * header field, the reason real shards carry pax headers).
+    */
+  def paxName(i: Long): String = f"samples/${"d" * 87}$i%05d.txt"
+
   /** Encode the payload as a USTAR shard of ⌊len/memberBytes⌋ regular
     * files `doc%05d.txt` (whole members only; null when no full member
     * fits). `gz` wraps the whole archive in one gzip member — the
-    * `.tar.gz` wire.
+    * `.tar.gz` wire. `pax` precedes every member with a POSIX.1-2001
+    * extended header overriding its path to [[paxName]] — a name too
+    * long for the 100-byte field.
     */
   def encodeTar(payload: Array[Byte], memberBytes: Int,
-      gz: Boolean = false): Array[Byte] = {
+      gz: Boolean = false, pax: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
@@ -121,25 +176,14 @@ object TarCodec {
       nm * (Block + padded) + 2 * Block)
     var i = 0
     while (i < nm) {
-      val h = new Array[Byte](Block)
-      val name = f"doc$i%05d.txt".getBytes("US-ASCII")
-      System.arraycopy(name, 0, h, 0, name.length)
-      putOctal(h, 100, 8, 420)          // mode 0644
-      putOctal(h, 108, 8, 0)            // uid
-      putOctal(h, 116, 8, 0)            // gid
-      putOctal(h, 124, 12, memberBytes.toLong)
-      putOctal(h, 136, 12, 0)           // mtime: deterministic
-      h(156) = '0'                      // typeflag: regular file
-      "ustar".getBytes("US-ASCII").copyToArray(h, 257) // magic + NUL at 262
-      h(263) = '0'; h(264) = '0'        // version "00"
-      // chksum: 6 octal digits, NUL, space (the historic layout)
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      val sum = headerChecksum(h, 0)
-      var k = 5
-      var x = sum
-      while (k >= 0) { h(148 + k) = ('0' + (x & 7)).toByte; x >>= 3; k -= 1 }
-      h(154) = 0; h(155) = ' '
-      out.write(h)
+      if (pax) {
+        val rec = paxRecord("path", paxName(i.toLong))
+        out.write(mkHeader(f"PaxHeaders/doc$i%05d", rec.length.toLong, 'x'))
+        out.write(rec)
+        var pad = ((rec.length + Block - 1) / Block) * Block - rec.length
+        while (pad > 0) { out.write(0); pad -= 1 }
+      }
+      out.write(mkHeader(f"doc$i%05d.txt", memberBytes.toLong, '0'))
       out.write(payload, i * memberBytes, memberBytes)
       var pad = padded - memberBytes
       while (pad > 0) { out.write(0); pad -= 1 }
@@ -237,6 +281,9 @@ object TarCodec {
     var sumPayload = 0L
     var sumIv = 0L
     var p = 0
+    // pax (POSIX.1-2001) overrides pending for the NEXT member
+    var pendingPath: String = null
+    var pendingSize = -1L
 
     def isZeroBlock(off: Int): Boolean = {
       var i = off
@@ -251,7 +298,9 @@ object TarCodec {
     while (!ended) {
       if (p + Block > n) return invalid
       if (isZeroBlock(p)) {
-        // end-of-archive: a SECOND zero block, then exact EOF
+        // end-of-archive: a SECOND zero block, then exact EOF — and a
+        // pax header with no following member is a dangling override
+        if (pendingPath != null || pendingSize >= 0) return invalid
         if (p + 2 * Block != n || !isZeroBlock(p + Block)) return invalid
         p += 2 * Block
         ended = true
@@ -263,15 +312,75 @@ object TarCodec {
         val declared = readOctal(bytes, p + 148, 8)
         if (declared < 0 || declared != headerChecksum(bytes, p))
           return invalid // the header's own integrity rule
-        if (bytes(p + 156) != '0') return invalid // regular files only
-        val size = readOctal(bytes, p + 124, 12)
-        if (size < 0 || size > MaxMember) return invalid
+        val typeflag = bytes(p + 156)
+        if (typeflag == 'x') {
+          // ---- POSIX.1-2001 extended header: `LEN key=value\n`
+          // records (LEN counts its own digits) overriding the NEXT
+          // member. Two pax headers in a row are a malformed chain. ----
+          if (pendingPath != null || pendingSize >= 0) return invalid
+          val xSize = readOctal(bytes, p + 124, 12)
+          if (xSize < 1 || xSize > (1 << 20)) return invalid
+          val xPadded = ((xSize + Block - 1) / Block * Block).toInt
+          if (p + Block + xPadded > n) return invalid
+          var q = p + Block
+          val qEnd = p + Block + xSize.toInt
+          while (q < qEnd) {
+            var r = q
+            var recLen = 0
+            while (r < qEnd && bytes(r) != ' ') {
+              val c = bytes(r)
+              if (c < '0' || c > '9') return invalid
+              recLen = recLen * 10 + (c - '0')
+              if (recLen > (1 << 20)) return invalid
+              r += 1
+            }
+            if (r >= qEnd || recLen < 1) return invalid
+            if (q + recLen > qEnd) return invalid
+            if (bytes(q + recLen - 1) != '\n') return invalid
+            val kv = new String(bytes, r + 1, q + recLen - 1 - (r + 1),
+              "US-ASCII")
+            val eq = kv.indexOf('=')
+            if (eq <= 0) return invalid
+            kv.substring(0, eq) match {
+              case "path" =>
+                if (kv.length == eq + 1) return invalid // empty path
+                pendingPath = kv.substring(eq + 1)
+              case "size" =>
+                val v = kv.substring(eq + 1)
+                if (v.isEmpty || !v.forall(_.isDigit) || v.length > 12)
+                  return invalid
+                pendingSize = v.toLong
+                if (pendingSize > MaxMember) return invalid
+              case _ => () // unknown keywords are spec-legal, skipped
+            }
+            q += recLen
+          }
+          // pax data padding to the block boundary must be zeros
+          var z2 = qEnd
+          while (z2 < p + Block + xPadded) {
+            if (bytes(z2) != 0) return invalid
+            z2 += 1
+          }
+          p += Block + xPadded
+          // the overrides apply to the very next header
+        } else {
+        if (typeflag == 'g') return invalid // global pax: out of scope
+        if (typeflag != '0') return invalid // regular files only
+        val headerSize = readOctal(bytes, p + 124, 12)
+        if (headerSize < 0 || headerSize > MaxMember) return invalid
+        // pax overrides beat the 100-byte header fields (they exist
+        // for exactly the values the fields cannot hold)
+        val size = if (pendingSize >= 0) pendingSize else headerSize
         if (readOctal(bytes, p + 100, 8) < 0) return invalid  // mode
         if (readOctal(bytes, p + 136, 12) < 0) return invalid // mtime
         var nameEnd = p
         while (nameEnd < p + 100 && bytes(nameEnd) != 0) nameEnd += 1
         if (nameEnd == p) return invalid // empty name
-        val name = new String(bytes, p, nameEnd - p, "US-ASCII")
+        val name =
+          if (pendingPath != null) pendingPath
+          else new String(bytes, p, nameEnd - p, "US-ASCII")
+        pendingPath = null
+        pendingSize = -1L
         p += Block
         val padded = ((size + Block - 1) / Block * Block).toInt
         if (p + padded > n) return invalid // truncated member
@@ -292,6 +401,7 @@ object TarCodec {
             java.util.Arrays.copyOfRange(bytes, p, p + size.toInt))
         nMembers += 1
         p += padded
+        } // end regular member
       }
     }
     if (nMembers < 1) return invalid
@@ -304,7 +414,8 @@ object TarCodec {
   * ⌊len/memberBytes⌋ regular-file members, plain or whole-stream-gzip'd
   * (null when no full member fits).
   */
-case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean)
+case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
+    pax: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -317,7 +428,7 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean)
       s"graft_tar_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz)
+    TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz, pax)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -396,7 +507,9 @@ object TarNativeFunctions {
       "graft_tar_encode",
       exprs => TarEncode(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+        exprs(2).eval().asInstanceOf[Boolean],
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
+        else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_decode",
       exprs => TarDecode(exprs.head,
@@ -408,11 +521,12 @@ object TarNativeFunctions {
   }
 
   def tarEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
-      gz: Boolean): Column = {
+      gz: Boolean, pax: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
-      org.apache.spark.sql.functions.lit(gz))
+      org.apache.spark.sql.functions.lit(gz),
+      org.apache.spark.sql.functions.lit(pax))
   }
 
   def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean): Column = {

@@ -97,6 +97,57 @@ class TarCodecSpec extends SparkSpec {
     assert(!TarCodec.decodeTar(gzTar ++ gzTar, gz = true)._1.valid)
   }
 
+  test("pax extended headers: path overrides apply, malformed chains reject") {
+    val payload = fixture(3 * 100 + 17, 75)
+    val tar = TarCodec.encodeTar(payload, 100, pax = true)
+    assert(tar !== null)
+    for (gz <- Seq(false, true)) {
+      val wire = TarCodec.encodeTar(payload, 100, gz = gz, pax = true)
+      val (d, members) = TarCodec.decodeTar(wire, gz, collect = true)
+      assert(d.valid, s"gz=$gz")
+      // pax members are metadata: counts and sums equal the plain shard
+      assert(d.nMembers === 3L && d.contentBytes === 300L)
+      // the 104-char names only an override-applying decoder sees
+      assert(members.map(_.name) ===
+        (0 until 3).map(i => TarCodec.paxName(i.toLong)))
+      assert(members.head.name.length === 104)
+      assert(java.util.Arrays.equals(
+        members.flatMap(_.bytes).toArray, payload.take(300)))
+    }
+    // a size override: hand-patch the first pax record from path to a
+    // size key... simpler: craft a pax record with size via the public
+    // encoder is not exposed — instead verify the REJECT paths on wire
+    // patches. Two pax in a row: duplicate the first pax member (header
+    // + one 512 data block)
+    val paxSpan = 1024 // 512 header + 512 padded record
+    val dup = tar.take(paxSpan) ++ tar
+    assert(!TarCodec.decodeTar(dup, gz = false)._1.valid,
+      "two pax headers in a row are a malformed chain")
+    // a pax header with no following member: keep ONLY the first pax
+    // then the end marker
+    val dangling = tar.take(paxSpan) ++ new Array[Byte](1024)
+    assert(!TarCodec.decodeTar(dangling, gz = false)._1.valid,
+      "a dangling pax override is a visible finding")
+    // a corrupted record length (first record starts at offset 512)
+    val badLen = tar.clone(); badLen(512) = 'x'
+    assert(!TarCodec.decodeTar(badLen, gz = false)._1.valid)
+    // record shorter than declared: newline no longer at LEN-1
+    val badNl = tar.clone()
+    // find the record's newline and flip it
+    val nl = (512 until 1024).find(tar(_) == '\n').get
+    badNl(nl) = '_'
+    assert(!TarCodec.decodeTar(badNl, gz = false)._1.valid)
+    // a global pax header ('g') is a named reject: patch typeflag and
+    // fix the checksum so the typeflag audit itself fires
+    val glob = tar.clone()
+    glob(156) = 'g'
+    val sum = (0 until 512).map(i =>
+      if (i >= 148 && i < 156) ' '.toInt else glob(i) & 0xff).sum
+    var x = sum
+    for (k <- 5 to 0 by -1) { glob(148 + k) = ('0' + (x & 7)).toByte; x >>= 3 }
+    assert(!TarCodec.decodeTar(glob, gz = false)._1.valid)
+  }
+
   test("tarTextIngest: shard members become cleaned, tokenized samples") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
