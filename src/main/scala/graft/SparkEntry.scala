@@ -2743,6 +2743,37 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // ZIP64 (E275): the zip64-always wire — sentinel sizes/offsets
+    // resolved through 0x0001 extras, the EOCD diverted through the
+    // ZIP64 locator→record chain, agreement audited end-to-end. The
+    // indirection changes the wire, never the members: same oracle as
+    // q315/q316/q318/q319 VERBATIM.
+    "q325_zip64" -> { (s, dir) =>
+      graft.ext.Multimodal.zipStats(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, zip64 = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
+    // Streaming-writer ZIP (E276): flag bit 3 + DEFLATE — what a piped
+    // `zip` emits when it cannot seek (local CRC/sizes zero, the real
+    // values in signature-led descriptors after each member, audited
+    // against the central directory). Sixth wire, same member identity.
+    "q326_zip_stream" -> { (s, dir) =>
+      graft.ext.Multimodal.zipStats(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, deflate = true, descriptor = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // PAX extended headers (E274): every member preceded by a
     // POSIX.1-2001 'x' header whose path record overrides the 100-byte
     // name field with a 104-char name — the reason real shards carry
@@ -5765,6 +5796,8 @@ object SparkEntry {
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,
     "q319_zip_deflate" -> tarOracleSql,
+    "q325_zip64" -> tarOracleSql,
+    "q326_zip_stream" -> tarOracleSql,
     // q322: shard-to-samples ingest — members re-cleaned from raw text
     // slices with the q149 regex chain
     "q322_tar_ingest" -> tarIngestOracleSql,

@@ -1041,17 +1041,20 @@ object Multimodal {
 
   /** Encode each asset's payload as a ZIP archive (E270) of
     * ⌊len/memberBytes⌋ members (whole members only; assets shorter than
-    * one member are dropped) — stored, or per-member DEFLATE.
+    * one member are dropped) — stored, or per-member DEFLATE; `zip64`
+    * selects the zip64-always wire (E275), `descriptor` the
+    * streaming-writer data-descriptor wire (E276).
     */
   def encodeZip(assets: DataFrame, memberBytes: Int = 100,
-      deflate: Boolean = false): DataFrame = {
+      deflate: Boolean = false, zip64: Boolean = false,
+      descriptor: Boolean = false): DataFrame = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= memberBytes)
       .withColumn("bytes",
         graft.functions.ZipNativeFunctions.zipEncode(spark,
-          col("bytes"), memberBytes, deflate))
+          col("bytes"), memberBytes, deflate, zip64, descriptor))
   }
 
   /** Demux ZIP archives natively (E270): central-directory walk with

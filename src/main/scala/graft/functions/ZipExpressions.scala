@@ -29,8 +29,34 @@ import org.apache.spark.sql.types._
   * visible finding); each member's inflated output must consume exactly
   * compSize bytes, produce exactly uncompSize, and hash to the declared
   * CRC-32; the EOCD's counts and directory span must match what was
-  * walked, with no trailing bytes. Data descriptors (flag bit 3),
-  * encryption, zip64, and multi-disk archives reject visibly.
+  * walked, with no trailing bytes.
+  *
+  * Two spec-legal wires real writers emit are decoded, not rejected:
+  *
+  *  - ZIP64 (E275): when an EOCD field carries its sentinel (0xFFFF
+  *    counts / 0xFFFFFFFF size or offset) the reader walks the ZIP64
+  *    EOCD locator → ZIP64 EOCD record chain, and per-entry sentinel
+  *    sizes/offsets resolve through the 0x0001 extra field (APPNOTE
+  *    order: uncompressed, compressed, local-header offset; the LOCAL
+  *    header must carry BOTH sizes when either is sentinel). Agreement
+  *    is audited end-to-end: non-sentinel EOCD fields must match the
+  *    ZIP64 record, the record must tile to its locator, its
+  *    extensible data sector must be empty (sizeOfRecord = 44 — a
+  *    smuggling spot otherwise), and zip64-resolved local values must
+  *    equal the central's.
+  *  - Data descriptors (E276, flag bit 3 — the streaming-writer wire):
+  *    the local header's CRC/sizes are zero and the real values follow
+  *    the member data in a signature-led 16-byte descriptor that must
+  *    AGREE with the central entry verbatim; the descriptor bytes are
+  *    part of the member tiling.
+  *
+  * Extra-field areas must TILE exactly (id/size headers walking the
+  * declared length); unknown ids are skipped — rejecting them would
+  * false-invalidate nearly every real archive (Info-ZIP emits UT/ux
+  * unconditionally) — but a 0x0001 field whose length disagrees with
+  * the entry's sentinel count rejects. Encryption, multi-disk archives,
+  * and the zip64+descriptor COMBINED wire (u64 descriptors, unreachable
+  * at fixture scale) reject visibly.
   *
   * ORACLE (two wires, one oracle): fixtures slice the payload into
   * fixed `memberBytes` members, so counts, byte totals, and the
@@ -45,6 +71,9 @@ object ZipCodec {
   private val LocalSig = 0x04034b50L
   private val CentralSig = 0x02014b50L
   private val EocdSig = 0x06054b50L
+  private val Zip64EocdSig = 0x06064b50L
+  private val Zip64LocSig = 0x07064b50L
+  private val DescSig = 0x08074b50L
 
   /** Forged-size bound: member sizes beyond this cannot be honest at
     * fixture scale and would overflow downstream Ints.
@@ -53,11 +82,19 @@ object ZipCodec {
 
   /** Encode the payload as a ZIP of ⌊len/memberBytes⌋ members
     * `doc%05d.txt` (whole members only; null when no full member fits),
-    * stored or per-member DEFLATE.
+    * stored or per-member DEFLATE. `zip64` emits the zip64-always wire
+    * (sentinel sizes/offsets + 0x0001 extras + ZIP64 EOCD chain — what
+    * `zip -fz-`-era writers produce unconditionally); `descriptor`
+    * emits the streaming-writer wire (flag bit 3, zeroed local
+    * CRC/sizes, signature-led trailing descriptors). The two are
+    * mutually exclusive (the combined u64-descriptor wire is fenced).
     */
   def encodeZip(payload: Array[Byte], memberBytes: Int,
-      deflate: Boolean = false): Array[Byte] = {
+      deflate: Boolean = false, zip64: Boolean = false,
+      descriptor: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
+    require(!(zip64 && descriptor),
+      "the zip64+descriptor combined wire is out of scope")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
     val out = new java.io.ByteArrayOutputStream(payload.length + nm * 128)
@@ -66,6 +103,9 @@ object ZipCodec {
       out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
       out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
     }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
+    val version = if (zip64) 45 else 20
+    val flags = if (descriptor) 8 else 0
     val offsets = new Array[Long](nm)
     val crcs = new Array[Long](nm)
     val compSizes = new Array[Int](nm)
@@ -93,47 +133,76 @@ object ZipCodec {
       compSizes(i) = data.length
       offsets(i) = out.size().toLong
       u32(LocalSig)
-      u16(20)                          // version needed
-      u16(0)                           // flags: none (no data descriptor)
+      u16(version)                     // version needed
+      u16(flags)                       // flags: descriptor bit only
       u16(if (deflate) 8 else 0)       // method
       u16(0); u16(0)                   // time / date: deterministic
-      u32(crcs(i))
-      u32(data.length.toLong)
-      u32(memberBytes.toLong)
+      if (descriptor) { u32(0); u32(0); u32(0) } // real values trail the data
+      else if (zip64) {
+        u32(crcs(i)); u32(0xffffffffL); u32(0xffffffffL)
+      } else {
+        u32(crcs(i)); u32(data.length.toLong); u32(memberBytes.toLong)
+      }
       u16(names(i).length)
-      u16(0)                           // extra length
+      u16(if (zip64) 20 else 0)        // extra length
       out.write(names(i))
+      if (zip64) {                     // 0x0001: BOTH sizes (APPNOTE 4.5.3)
+        u16(1); u16(16)
+        u64(memberBytes.toLong); u64(data.length.toLong)
+      }
       out.write(data)
+      if (descriptor) {                // signature-led trailing descriptor
+        u32(DescSig); u32(crcs(i))
+        u32(data.length.toLong); u32(memberBytes.toLong)
+      }
       i += 1
     }
     val cdOffset = out.size().toLong
     i = 0
     while (i < nm) {
       u32(CentralSig)
-      u16(20)                          // version made by
-      u16(20)                          // version needed
-      u16(0)                           // flags
+      u16(version)                     // version made by
+      u16(version)                     // version needed
+      u16(flags)                       // flags
       u16(if (deflate) 8 else 0)       // method
       u16(0); u16(0)                   // time / date
       u32(crcs(i))
-      u32(compSizes(i).toLong)
-      u32(memberBytes.toLong)
+      if (zip64) { u32(0xffffffffL); u32(0xffffffffL) }
+      else { u32(compSizes(i).toLong); u32(memberBytes.toLong) }
       u16(names(i).length)
-      u16(0)                           // extra
+      u16(if (zip64) 28 else 0)        // extra
       u16(0)                           // comment
       u16(0)                           // disk number start
       u16(0)                           // internal attrs
       u32(0)                           // external attrs
-      u32(offsets(i))
+      u32(if (zip64) 0xffffffffL else offsets(i))
       out.write(names(i))
+      if (zip64) {                     // 0x0001: uncomp, comp, offset
+        u16(1); u16(24)
+        u64(memberBytes.toLong); u64(compSizes(i).toLong); u64(offsets(i))
+      }
       i += 1
     }
     val cdSize = out.size().toLong - cdOffset
+    if (zip64) {
+      val eocd64Off = out.size().toLong
+      u32(Zip64EocdSig)
+      u64(44)                          // sizeOfRecord: fixed part only
+      u16(45); u16(45)                 // version made / needed
+      u32(0); u32(0)                   // disk numbers
+      u64(nm.toLong); u64(nm.toLong)   // entry counts
+      u64(cdSize)
+      u64(cdOffset)
+      u32(Zip64LocSig)                 // locator, directly after
+      u32(0)                           // disk with the EOCD64
+      u64(eocd64Off)
+      u32(1)                           // total disks
+    }
     u32(EocdSig)
     u16(0); u16(0)                     // disk numbers
-    u16(nm); u16(nm)                   // entry counts
-    u32(cdSize)
-    u32(cdOffset)
+    if (zip64) { u16(0xffff); u16(0xffff) } else { u16(nm); u16(nm) }
+    u32(if (zip64) 0xffffffffL else cdSize)
+    u32(if (zip64) 0xffffffffL else cdOffset)
     u16(0)                             // comment length
     out.toByteArray
   }
@@ -148,6 +217,39 @@ object ZipCodec {
 
   private val Invalid = Decoded(valid = false, -1, -1, -1, -1)
 
+  /** Walk an extra-field area strictly: id/size headers must TILE the
+    * declared length exactly; unknown ids are skipped (UT/ux are
+    * universal in real archives); at most one 0x0001 zip64 field, whose
+    * u64 payload is returned. Returns null on malformed tiling /
+    * duplicate zip64 fields, an empty array when no zip64 field.
+    */
+  private def extraZip64(bytes: Array[Byte], off: Int, len: Int): Array[Long] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    var p = off
+    val end = off + len
+    var z64: Array[Long] = Array.emptyLongArray
+    var seen = false
+    while (p < end) {
+      if (p + 4 > end) return null
+      val id = u16(p)
+      val sz = u16(p + 2)
+      if (p + 4 + sz > end) return null
+      if (id == 1) {
+        if (seen || sz % 8 != 0 || sz > 32) return null
+        seen = true
+        z64 = Array.tabulate(sz / 8) { k =>
+          val o = p + 4 + k * 8
+          var v = 0L
+          var j = 7
+          while (j >= 0) { v = (v << 8) | (bytes(o + j) & 0xffL); j -= 1 }
+          v
+        }
+      }
+      p += 4 + sz
+    }
+    if (p != end) null else z64
+  }
+
   def decodeZip(bytes: Array[Byte],
       collect: Boolean = false): (Decoded, Seq[Member]) = {
     def invalid = (Invalid, Nil)
@@ -157,19 +259,54 @@ object ZipCodec {
     def u32(o: Int): Long =
       (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u64(o: Int): Long = u32(o) | (u32(o + 4) << 32)
     // EOCD: comment-free archives end in exactly the 22-byte record
     // (the fixture contract — and a trailing comment would be a place
     // to smuggle bytes, so its absence is audited, not assumed)
     val eocd = n - 22
     if (u32(eocd) != EocdSig) return invalid
     if (u16(eocd + 4) != 0 || u16(eocd + 6) != 0) return invalid // disks
-    val nEntries = u16(eocd + 8)
-    if (u16(eocd + 10) != nEntries) return invalid
-    val cdSize = u32(eocd + 12)
-    val cdOffset = u32(eocd + 16)
+    val cnt16 = u16(eocd + 8)
+    if (u16(eocd + 10) != cnt16) return invalid
+    val cdSize32 = u32(eocd + 12)
+    val cdOffset32 = u32(eocd + 16)
     if (u16(eocd + 20) != 0) return invalid // comment length
-    if (nEntries < 1 || nEntries > (1 << 16) - 1) return invalid
-    if (cdOffset + cdSize != eocd) return invalid // directory tiles to EOCD
+    // ZIP64 (E275): any sentinel diverts through the locator → EOCD64
+    // chain; every non-sentinel EOCD field must AGREE with the record
+    val zip64 = cnt16 == 0xffff || cdSize32 == 0xffffffffL ||
+      cdOffset32 == 0xffffffffL
+    var nEntries = 0L
+    var cdSize = 0L
+    var cdOffset = 0L
+    var cdEnd = eocd // where the directory walk must land
+    if (!zip64) {
+      nEntries = cnt16
+      cdSize = cdSize32
+      cdOffset = cdOffset32
+      if (cdOffset + cdSize != eocd) return invalid // tiles to the EOCD
+    } else {
+      val loc = eocd - 20
+      if (loc < 0 || u32(loc) != Zip64LocSig) return invalid
+      if (u32(loc + 4) != 0) return invalid  // disk holding the EOCD64
+      val e64 = u64(loc + 8)
+      if (u32(loc + 16) != 1) return invalid // total disks
+      if (e64 < 0 || e64 + 56 != loc) return invalid // record → locator
+      val r = e64.toInt
+      if (u32(r) != Zip64EocdSig) return invalid
+      if (u64(r + 4) != 44) return invalid   // empty extensible sector
+      if (u32(r + 16) != 0 || u32(r + 20) != 0) return invalid // disks
+      nEntries = u64(r + 24)
+      if (u64(r + 32) != nEntries) return invalid
+      cdSize = u64(r + 40)
+      cdOffset = u64(r + 48)
+      if (cdSize < 0 || cdOffset < 0 || cdOffset + cdSize != e64)
+        return invalid
+      if (cnt16 != 0xffff && cnt16.toLong != nEntries) return invalid
+      if (cdSize32 != 0xffffffffL && cdSize32 != cdSize) return invalid
+      if (cdOffset32 != 0xffffffffL && cdOffset32 != cdOffset) return invalid
+      cdEnd = r
+    }
+    if (nEntries < 1 || nEntries > (1 << 20)) return invalid
 
     val out = if (collect)
       scala.collection.mutable.ArrayBuffer.empty[Member] else null
@@ -179,39 +316,76 @@ object ZipCodec {
     var sumIv = 0L
     var expectedLocal = 0L // members must tile [0, cdOffset) in order
     var p = cdOffset.toInt
-    var e = 0
+    var e = 0L
     while (e < nEntries) {
-      if (p + 46 > eocd) return invalid
+      if (p + 46 > cdEnd) return invalid
       if (u32(p) != CentralSig) return invalid
-      if (u16(p + 8) != 0) return invalid // flags: no descriptors/crypto
+      val flags = u16(p + 8)
+      if (flags != 0 && flags != 8) return invalid // descriptor bit only
       val method = u16(p + 10)
       if (method != 0 && method != 8) return invalid
       val crcDecl = u32(p + 16)
-      val compSize = u32(p + 20)
-      val uncompSize = u32(p + 24)
-      if (compSize > MaxMember || uncompSize > MaxMember) return invalid
-      if (method == 0 && compSize != uncompSize) return invalid
+      val compSize32 = u32(p + 20)
+      val uncompSize32 = u32(p + 24)
       val nameLen = u16(p + 28)
       if (nameLen < 1 || nameLen > 512) return invalid
-      if (u16(p + 30) != 0 || u16(p + 32) != 0) return invalid // extra/cmt
+      val extraLen = u16(p + 30)
+      if (u16(p + 32) != 0) return invalid // comment
       if (u16(p + 34) != 0) return invalid // disk start
-      val localOff = u32(p + 42)
-      if (p + 46 + nameLen > eocd) return invalid
+      val localOff32 = u32(p + 42)
+      if (p + 46 + nameLen + extraLen > cdEnd) return invalid
       val name = new String(bytes, p + 46, nameLen, "US-ASCII")
+      // sentinel fields resolve through the 0x0001 extra, APPNOTE order
+      val z64 = extraZip64(bytes, p + 46 + nameLen, extraLen)
+      if (z64 == null) return invalid
+      val needU = uncompSize32 == 0xffffffffL
+      val needC = compSize32 == 0xffffffffL
+      val needO = localOff32 == 0xffffffffL
+      val need = (if (needU) 1 else 0) + (if (needC) 1 else 0) +
+        (if (needO) 1 else 0)
+      if (z64.length != need) return invalid // length ≠ sentinel count
+      var zi = 0
+      val uncompSize = if (needU) { zi += 1; z64(zi - 1) } else uncompSize32
+      val compSize = if (needC) { zi += 1; z64(zi - 1) } else compSize32
+      val localOff = if (needO) { zi += 1; z64(zi - 1) } else localOff32
+      if (compSize < 0 || compSize > MaxMember) return invalid
+      if (uncompSize < 0 || uncompSize > MaxMember) return invalid
+      if (method == 0 && compSize != uncompSize) return invalid
 
       // ---- the member's local header must AGREE with the directory ----
       if (localOff != expectedLocal) return invalid // gap/overlap/reorder
       val lp = localOff.toInt
       if (lp + 30 > cdOffset) return invalid
       if (u32(lp) != LocalSig) return invalid
-      if (u16(lp + 6) != 0) return invalid // flags
+      if (u16(lp + 6) != flags) return invalid
       if (u16(lp + 8) != method) return invalid
-      if (u32(lp + 14) != crcDecl) return invalid
-      if (u32(lp + 18) != compSize) return invalid
-      if (u32(lp + 22) != uncompSize) return invalid
       val lNameLen = u16(lp + 26)
-      if (lNameLen != nameLen || u16(lp + 28) != 0) return invalid
-      val dataOff = lp + 30 + nameLen
+      val lExtraLen = u16(lp + 28)
+      if (lNameLen != nameLen) return invalid
+      if (lp + 30 + nameLen + lExtraLen > cdOffset) return invalid
+      val lz64 = extraZip64(bytes, lp + 30 + nameLen, lExtraLen)
+      if (lz64 == null) return invalid
+      if (flags == 8) {
+        // streaming wire (E276): local CRC/sizes are zero, the real
+        // values trail the data; zip64 descriptors (u64) are fenced
+        if (u32(lp + 14) != 0 || u32(lp + 18) != 0 || u32(lp + 22) != 0)
+          return invalid
+        if (lz64.nonEmpty) return invalid
+      } else {
+        if (u32(lp + 14) != crcDecl) return invalid
+        val lComp32 = u32(lp + 18)
+        val lUncomp32 = u32(lp + 22)
+        if ((lComp32 == 0xffffffffL) != (lUncomp32 == 0xffffffffL))
+          return invalid // APPNOTE 4.5.3: both sizes or neither
+        if (lUncomp32 == 0xffffffffL) {
+          if (lz64.length != 2) return invalid
+          if (lz64(0) != uncompSize || lz64(1) != compSize) return invalid
+        } else {
+          if (lz64.nonEmpty) return invalid
+          if (lComp32 != compSize || lUncomp32 != uncompSize) return invalid
+        }
+      }
+      val dataOff = lp + 30 + nameLen + lExtraLen
       if (dataOff + compSize > cdOffset) return invalid
       if (new String(bytes, lp + 30, nameLen, "US-ASCII") != name)
         return invalid
@@ -246,6 +420,18 @@ object ZipCodec {
       crc.update(raw)
       if (crc.getValue != crcDecl) return invalid
 
+      expectedLocal = dataOff + compSize
+      if (flags == 8) {
+        // the trailing descriptor must AGREE with the central entry
+        val dp = expectedLocal.toInt
+        if (dp + 16 > cdOffset) return invalid
+        if (u32(dp) != DescSig) return invalid
+        if (u32(dp + 4) != crcDecl) return invalid
+        if (u32(dp + 8) != compSize) return invalid
+        if (u32(dp + 12) != uncompSize) return invalid
+        expectedLocal += 16
+      }
+
       var s = 0L
       var i = 0
       while (i < raw.length) { s += raw(i) & 0xff; i += 1 }
@@ -254,22 +440,23 @@ object ZipCodec {
       contentBytes += uncompSize
       if (out != null) out += Member(nMembers, name, uncompSize, s, raw)
       nMembers += 1
-      expectedLocal = dataOff + compSize
-      p += 46 + nameLen
+      p += 46 + nameLen + extraLen
       e += 1
     }
-    if (p != eocd) return invalid // directory size must match its span
+    if (p != cdEnd) return invalid // directory size must match its span
     if (expectedLocal != cdOffset) return invalid // members tile exactly
     (Decoded(valid = true, nMembers, contentBytes, sumPayload, sumIv),
       if (out == null) Nil else out.toSeq)
   }
 }
 
-/** `graft_zip_encode(bytes, memberBytes, deflate)`: payload → ZIP of
-  * ⌊len/memberBytes⌋ members, stored or per-member DEFLATE (null when
-  * no full member fits).
+/** `graft_zip_encode(bytes, memberBytes, deflate, zip64, descriptor)`:
+  * payload → ZIP of ⌊len/memberBytes⌋ members, stored or per-member
+  * DEFLATE, on the plain, zip64-always, or streaming-descriptor wire
+  * (null when no full member fits).
   */
-case class ZipEncode(child: Expression, memberBytes: Int, deflate: Boolean)
+case class ZipEncode(child: Expression, memberBytes: Int, deflate: Boolean,
+    zip64: Boolean = false, descriptor: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -282,7 +469,8 @@ case class ZipEncode(child: Expression, memberBytes: Int, deflate: Boolean)
       s"graft_zip_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    ZipCodec.encodeZip(input.asInstanceOf[Array[Byte]], memberBytes, deflate)
+    ZipCodec.encodeZip(input.asInstanceOf[Array[Byte]], memberBytes, deflate,
+      zip64, descriptor)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -325,17 +513,22 @@ object ZipNativeFunctions {
       "graft_zip_encode",
       exprs => ZipEncode(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+        exprs(2).eval().asInstanceOf[Boolean],
+        exprs(3).eval().asInstanceOf[Boolean],
+        exprs(4).eval().asInstanceOf[Boolean]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_decode", exprs => ZipDecode(exprs.head), "built-in")
   }
 
   def zipEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
-      deflate: Boolean): Column = {
+      deflate: Boolean, zip64: Boolean = false,
+      descriptor: Boolean = false): Column = {
     register(spark)
     call_function("graft_zip_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
-      org.apache.spark.sql.functions.lit(deflate))
+      org.apache.spark.sql.functions.lit(deflate),
+      org.apache.spark.sql.functions.lit(zip64),
+      org.apache.spark.sql.functions.lit(descriptor))
   }
 
   def zipDecode(spark: SparkSession, bytes: Column): Column = {

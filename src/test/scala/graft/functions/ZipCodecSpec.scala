@@ -108,15 +108,118 @@ class ZipCodecSpec extends SparkSpec {
       "a lying compressed size is a visible finding")
   }
 
+  private def u32at(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def putU32(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >>> 8) & 0xff).toByte
+    b(o + 2) = ((v >>> 16) & 0xff).toByte; b(o + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  test("zip64 wire (E275): same member identity, agreement audited") {
+    val payload = fixture(3 * 100 + 17, 85)
+    val plain = ZipCodec.decodeZip(ZipCodec.encodeZip(payload, 100))._1
+    val zip = ZipCodec.encodeZip(payload, 100, zip64 = true)
+    // the indirection changes the wire, never the members
+    assert(ZipCodec.decodeZip(zip)._1 === plain.copy())
+    assert(zip.length > ZipCodec.encodeZip(payload, 100).length,
+      "the zip64 chain really is on the wire")
+    val eocd = zip.length - 22
+    val loc = eocd - 20
+    val r = loc - 56
+    assert(u32at(zip, loc) === 0x07064b50L)
+    assert(u32at(zip, r) === 0x06064b50L)
+    // locator signature flipped: the chain must be walked, not guessed
+    val badLoc = zip.clone(); badLoc(loc) = (badLoc(loc) ^ 1).toByte
+    assert(!ZipCodec.decodeZip(badLoc)._1.valid)
+    // a non-empty extensible data sector is a smuggling spot
+    val fat = zip.clone(); fat(r + 4) = 45
+    assert(!ZipCodec.decodeZip(fat)._1.valid)
+    // a NON-sentinel EOCD field must AGREE with the EOCD64 record
+    val agree = zip.clone()
+    agree(eocd + 8) = 3; agree(eocd + 9) = 0
+    agree(eocd + 10) = 3; agree(eocd + 11) = 0
+    assert(ZipCodec.decodeZip(agree)._1.valid,
+      "a real count beside zip64 sizes is spec-legal when it agrees")
+    val lie = zip.clone()
+    lie(eocd + 8) = 4; lie(eocd + 9) = 0
+    lie(eocd + 10) = 4; lie(eocd + 11) = 0
+    assert(!ZipCodec.decodeZip(lie)._1.valid)
+    // central 0x0001 whose length disagrees with the sentinel count
+    val cdOffset = (r - 3 * (46 + 12 + 28)).toLong
+    val short = zip.clone()
+    short(cdOffset.toInt + 46 + 12 + 2) = 16 // dataSize 24 → 16
+    assert(!ZipCodec.decodeZip(short)._1.valid)
+    // truncation anywhere still dies visibly
+    assert(!ZipCodec.decodeZip(zip.dropRight(1))._1.valid)
+  }
+
+  test("descriptor wire (E276): streaming writers decode, lies reject") {
+    val payload = fixture(3 * 100, 86)
+    val plain = ZipCodec.decodeZip(ZipCodec.encodeZip(payload, 100))._1
+    for (deflate <- Seq(false, true)) {
+      val zip = ZipCodec.encodeZip(payload, 100, deflate = deflate,
+        descriptor = true)
+      assert(ZipCodec.decodeZip(zip)._1 === plain.copy(),
+        s"deflate=$deflate: the descriptor wire is the same identity")
+    }
+    val zip = ZipCodec.encodeZip(payload, 100, descriptor = true)
+    // member 0: local 30+12, data 100, descriptor at 142
+    assert(u32at(zip, 142) === 0x08074b50L)
+    // local CRC/sizes really are zeroed on this wire
+    assert(u32at(zip, 14) === 0L && u32at(zip, 18) === 0L &&
+      u32at(zip, 22) === 0L)
+    // descriptor signature flipped: flag bit 3 promises a descriptor
+    val noSig = zip.clone(); noSig(142) = (noSig(142) ^ 1).toByte
+    assert(!ZipCodec.decodeZip(noSig)._1.valid)
+    // descriptor CRC disagreeing with the central entry
+    val badCrc = zip.clone(); badCrc(146) = (badCrc(146) ^ 1).toByte
+    assert(!ZipCodec.decodeZip(badCrc)._1.valid)
+    // flag bit 3 forced onto the PLAIN wire: local sizes are non-zero
+    val plainZip = ZipCodec.encodeZip(payload, 100)
+    val eocd = plainZip.length - 22
+    val cdOffset = u32at(plainZip, eocd + 16).toInt
+    val forced = plainZip.clone()
+    forced(6) = 8; forced(cdOffset + 8) = 8
+    assert(!ZipCodec.decodeZip(forced)._1.valid)
+    // the encoder fences the combined zip64+descriptor wire
+    assertThrows[IllegalArgumentException] {
+      ZipCodec.encodeZip(payload, 100, zip64 = true, descriptor = true)
+    }
+  }
+
+  test("extra areas tile strictly; unknown ids are skipped, not rejected") {
+    val payload = fixture(3 * 100, 87)
+    val zip = ZipCodec.encodeZip(payload, 100)
+    val eocd = zip.length - 22
+    val cdOffset = u32at(zip, eocd + 16).toInt
+    // splice an Info-ZIP-style UT extra (id 0x5455) into entry 0
+    val insertAt = cdOffset + 46 + 12
+    val extra = Array[Byte](0x55, 0x54, 4, 0, 1, 2, 3, 4)
+    val out = zip.take(insertAt) ++ extra ++ zip.drop(insertAt)
+    out(cdOffset + 30) = 8 // entry 0 extraLen
+    val newEocd = eocd + 8
+    putU32(out, newEocd + 12, u32at(zip, eocd + 12) + 8) // cdSize
+    assert(ZipCodec.decodeZip(out)._1.valid,
+      "a well-formed unknown extra (UT/ux) must not false-invalidate")
+    assert(ZipCodec.decodeZip(out)._1 ===
+      ZipCodec.decodeZip(zip)._1.copy())
+    // a field whose declared size overruns the area is a visible reject
+    val overrun = out.clone(); overrun(insertAt + 2) = 5
+    assert(!ZipCodec.decodeZip(overrun)._1.valid)
+  }
+
   test("engine surface: Multimodal.encodeZip / zipStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001)
       .filter(col("doc_id") < 30)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
-    for (deflate <- Seq(false, true)) {
+    for ((deflate, zip64, desc) <- Seq((false, false, false),
+        (true, false, false), (false, true, false), (true, false, true))) {
       val out = graft.ext.Multimodal.zipStats(
         graft.ext.Multimodal.encodeZip(assets, memberBytes = 100,
-          deflate = deflate)).collect()
+          deflate = deflate, zip64 = zip64, descriptor = desc)).collect()
       assert(out.nonEmpty)
       out.foreach(r => assert(r.getAs[Boolean]("is_valid")))
     }
