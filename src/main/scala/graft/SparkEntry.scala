@@ -2635,6 +2635,26 @@ object SparkEntry {
         .select(col("asset_id"), col("rec_idx"), col("clean_hash"),
           col("clean_len"), col("n_tokens"))
     },
+    // WAT-style metadata extraction (E277): the third of the
+    // WARC/WAT/WET trio — per-response envelope metadata (status, HTTP
+    // Content-Type, header count, body length) plus the HTML facts a
+    // WAT extractor pulls from the payload: <title>, outlink count, and
+    // a digest over the extracted href VALUES in document order. The
+    // html fixture wire derives every field from the raw slice, so the
+    // oracle rebuilds the page (and its link list) in SQL and must
+    // match the engine's actual regex extraction byte for byte.
+    "q327_warc_wat" -> { (s, dir) =>
+      graft.ext.Multimodal.warcWatExtracts(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          bodyBytes = 256, html = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("rec_idx"), col("status"),
+          col("content_type"), col("n_headers"), col("body_len"),
+          col("title"), col("n_links"), col("link_hash"))
+    },
     // TAR shard demux (E269): the WebDataset packaging shape — USTAR
     // headers with the spec's own checksum audit, strict octal grammar,
     // zero data padding, the two-zero-block end marker. The oracle
@@ -4033,6 +4053,45 @@ object SparkEntry {
          |            ELSE len(string_split(clean, ' ')) END AS BIGINT)
          |         AS n_tokens
          |FROM c""".stripMargin
+
+  /** WAT-extraction replay (q327): the html fixture wire derives every
+    * metadata field from the raw 256-byte slice — title `d{j}`,
+    * `(ascii(slice[0]) mod 3) + 1` outlinks `/d{j}/k{k}`, body length =
+    * the rebuilt page's length — so the oracle reconstructs the page
+    * and its link list in SQL and the engine's regex extraction must
+    * agree byte for byte (documents are ASCII: char = byte).
+    */
+  private def warcWatOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, text,
+         |              octet_length(CAST(text AS BLOB)) // 256 AS nr
+         |            FROM documents WHERE doc_id < 140),
+         |sl AS (SELECT asset_id, j AS rec_idx,
+         |         substr(text, CAST(j * 256 + 1 AS BIGINT), 256) AS s
+         |       FROM (SELECT asset_id, text, unnest(range(0, nr)) AS j
+         |             FROM src WHERE nr >= 1)),
+         |nl AS (SELECT asset_id, rec_idx, s,
+         |         ascii(substr(s, 1, 1)) % 3 + 1 AS n_links FROM sl),
+         |lk AS (SELECT asset_id, rec_idx,
+         |         string_agg(printf('/d%d/k%d', rec_idx, k), '|'
+         |           ORDER BY k) AS refs,
+         |         string_agg(printf('<a href="/d%d/k%d">x</a>', rec_idx, k),
+         |           '' ORDER BY k) AS atags
+         |       FROM (SELECT asset_id, rec_idx,
+         |               unnest(range(0, n_links)) AS k FROM nl)
+         |       GROUP BY asset_id, rec_idx)
+         |SELECT n.asset_id AS asset_id, CAST(n.rec_idx AS BIGINT) AS rec_idx,
+         |       CAST(CASE WHEN n.rec_idx % 4 = 3 THEN 404 ELSE 200 END
+         |            AS BIGINT) AS status,
+         |       'text/html' AS content_type,
+         |       CAST(2 AS BIGINT) AS n_headers,
+         |       CAST(length('<html><head><title>d' || n.rec_idx ||
+         |         '</title></head><body><p>' || n.s || '</p>' || lk.atags ||
+         |         '</body></html>') AS BIGINT) AS body_len,
+         |       printf('d%d', n.rec_idx) AS title,
+         |       CAST(n.n_links AS BIGINT) AS n_links,
+         |       md5(lk.refs) AS link_hash
+         |FROM nl n JOIN lk ON lk.asset_id = n.asset_id
+         |                 AND lk.rec_idx = n.rec_idx""".stripMargin
 
   /** MIXED-PROTOCOL crawl replay (q309): every fifth 32-byte slice is a
     * non-HTTP (octet-stream) response record the decoder must keep
@@ -5781,6 +5840,7 @@ object SparkEntry {
     // text slices with the q149 regex chain; q313 is its whole-corpus
     // scale twin
     "q310_warc_wet" -> warcWetOracleSql,
+    "q327_warc_wat" -> warcWatOracleSql,
     "q313_wet_scale" -> warcWetOracleSqlFor(""),
     // q315/q316 share one oracle verbatim (plain vs .tar.gz wire);
     // q317 is the shard-to-samples member fan-out

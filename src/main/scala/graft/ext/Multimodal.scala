@@ -898,14 +898,14 @@ object Multimodal {
     */
   def encodeWarcHttp(assets: DataFrame, bodyBytes: Int = 256,
       gz: Boolean = false, chunked: Boolean = false,
-      mixed: Boolean = false): DataFrame = {
+      mixed: Boolean = false, html: Boolean = false): DataFrame = {
     require(bodyBytes >= 1, "bodyBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= bodyBytes)
       .withColumn("bytes",
         graft.functions.WarcNativeFunctions.warcHttpEncode(spark,
-          col("bytes"), bodyBytes, gz, chunked, mixed))
+          col("bytes"), bodyBytes, gz, chunked, mixed, html))
   }
 
   /** Parse the HTTP layer of a crawl-shaped WARC (E250): every
@@ -943,7 +943,36 @@ object Multimodal {
           col("bytes"), gz)).as("r"))
       .select(col("asset_id"), col("r.rec_idx").as("rec_idx"),
         col("r.status").as("status"), col("r.body_len").as("body_len"),
-        col("r.body_sum").as("body_sum"), col("r.body").as("body"))
+        col("r.body_sum").as("body_sum"), col("r.body").as("body"),
+        col("r.content_type").as("content_type"),
+        col("r.n_headers").as("n_headers"))
+  }
+
+  /** WAT-style metadata extraction (E277): the crawl-to-metadata
+    * conversion that completes the WARC/WAT/WET trio — one row per HTTP
+    * response carrying the envelope facts a WAT record holds: status,
+    * the HTTP Content-Type, header count, body length, and the HTML
+    * facts pulled from the payload itself — the `<title>`, the outlink
+    * count, and a digest over the extracted `href` VALUES in document
+    * order (proof the links were extracted, not counted). Map-only
+    * after the container walk (two regex passes per row, no shuffle);
+    * non-HTML payloads yield an empty title and zero links rather than
+    * invalidating.
+    */
+  def warcWatExtracts(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val body = col("body").cast("string")
+    warcHttpRecords(assets, gz)
+      .select(col("asset_id"), col("rec_idx"), col("status"),
+        col("content_type"), col("n_headers"),
+        col("body_len"),
+        regexp_extract(body, "<title>([^<]*)</title>", 1).as("title"),
+        expr("regexp_extract_all(CAST(body AS STRING), " +
+          "'href=\"([^\"]*)\"', 1)").as("hrefs"))
+      .select(col("asset_id"), col("rec_idx"), col("status"),
+        col("content_type"), col("n_headers"), col("body_len"),
+        col("title"),
+        size(col("hrefs")).cast("long").as("n_links"),
+        md5(concat_ws("|", col("hrefs"))).as("link_hash"))
   }
 
   /** WET-style text extraction (E264): the crawl-to-corpus conversion

@@ -159,12 +159,16 @@ object WarcCodec {
     * per-record-gzip wire shape. When `mixed`, every fifth slice
     * (i mod 5 == 4) becomes instead ONE non-HTTP response record
     * (Content-Type application/octet-stream, raw slice as block) — the
-    * mixed-protocol crawl shape ISO 28500 permits. Null when no full
+    * mixed-protocol crawl shape ISO 28500 permits. When `html`, each
+    * response body is the slice wrapped in a deterministic HTML page
+    * (`<title>d{i}</title>`, the slice in a `<p>`, then
+    * `(slice(0) mod 3) + 1` anchors `/d{i}/k{k}`) with Content-Type
+    * text/html — the WAT-extraction fixture shape. Null when no full
     * body slice fits.
     */
   def encodeWarcHttp(payload: Array[Byte], bodyBytes: Int,
       gz: Boolean, chunked: Boolean = false,
-      mixed: Boolean = false): Array[Byte] = {
+      mixed: Boolean = false, html: Boolean = false): Array[Byte] = {
     require(bodyBytes >= 1, "bodyBytes must be positive")
     val nRec = payload.length / bodyBytes
     if (nRec < 1) return null
@@ -193,13 +197,33 @@ object WarcCodec {
         s"WARC-Concurrent-To: <urn:graft:record-$i>\r\n", reqMsg)
       val status = fixtureStatus(i)
       val reason = if (status == 200) "OK" else "Not Found"
-      val body = java.util.Arrays.copyOfRange(
+      val slice = java.util.Arrays.copyOfRange(
         payload, i * bodyBytes, (i + 1) * bodyBytes)
+      val body: Array[Byte] =
+        if (!html) slice
+        else {
+          // WAT fixture shape: title, the slice as page text, and a
+          // slice-derived number of outlinks — every metadata field a
+          // WAT extractor reads is reconstructible from the raw payload
+          val nl = (slice(0) & 0xff) % 3 + 1
+          val sb = new StringBuilder(bodyBytes + 128)
+          sb.append(s"<html><head><title>d$i</title></head><body><p>")
+          sb.append(new String(slice, "ISO-8859-1"))
+          sb.append("</p>")
+          var k = 0
+          while (k < nl) {
+            sb.append(s"""<a href="/d$i/k$k">x</a>""")
+            k += 1
+          }
+          sb.append("</body></html>")
+          sb.toString.getBytes("ISO-8859-1")
+        }
       val framing =
         if (chunked) "Transfer-Encoding: chunked\r\n"
-        else s"Content-Length: $bodyBytes\r\n"
+        else s"Content-Length: ${body.length}\r\n"
       val head = (s"HTTP/1.1 $status $reason\r\n" +
-        "Content-Type: text/plain\r\n" +
+        (if (html) "Content-Type: text/html\r\n"
+         else "Content-Type: text/plain\r\n") +
         framing +
         "\r\n").getBytes("US-ASCII")
       val wire =
@@ -485,6 +509,8 @@ object WarcCodec {
     var status = -1
     var contentLength = -1L
     var chunked = false
+    var nHeaders = 0L
+    var contentType = ""
   }
 
   /** Parse an RFC 9112 message head (status/request line + header
@@ -538,6 +564,8 @@ object WarcCodec {
         val name = l.substring(0, sep)
         if (name.exists(c => c == ' ' || c == '\t')) return -1
         val value = l.substring(sep + 1).dropWhile(c => c == ' ' || c == '\t')
+        hv.nHeaders += 1
+        if (name.equalsIgnoreCase("Content-Type")) hv.contentType = value
         if (name.equalsIgnoreCase("Content-Length")) {
           if (hv.contentLength >= 0) return -1 // duplicate CL: smuggling
           if (value.isEmpty || !value.forall(_.isDigit) ||
@@ -581,7 +609,8 @@ object WarcCodec {
 
   /** One extracted response document (the fan-out row). */
   final case class HttpRecord(recIdx: Long, status: Long, bodyLen: Long,
-      bodySum: Long, body: Array[Byte])
+      bodySum: Long, body: Array[Byte], contentType: String = "",
+      nHeaders: Long = 0L)
 
   /** Archive-level HTTP stats; -1 when invalid. */
   final case class HttpDecoded(valid: Boolean, nRecords: Long,
@@ -656,7 +685,8 @@ object WarcCodec {
           bodyBytes += body.length
           sumBody += s
           if (out != null)
-            out += HttpRecord(respIdx, hv.status, body.length, s, body)
+            out += HttpRecord(respIdx, hv.status, body.length, s, body,
+              hv.contentType, hv.nHeaders)
           respIdx += 1
         case "request" =>
           if (isHttp) {
@@ -769,7 +799,7 @@ case class WarcDecode(child: Expression, gz: Boolean)
   * HTTP messages (null when no full body slice fits).
   */
 case class WarcHttpEncode(child: Expression, bodyBytes: Int, gz: Boolean,
-    chunked: Boolean = false, mixed: Boolean = false)
+    chunked: Boolean = false, mixed: Boolean = false, html: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(bodyBytes >= 1, "bodyBytes must be positive")
 
@@ -783,7 +813,7 @@ case class WarcHttpEncode(child: Expression, bodyBytes: Int, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     WarcCodec.encodeWarcHttp(input.asInstanceOf[Array[Byte]], bodyBytes, gz,
-      chunked, mixed)
+      chunked, mixed, html)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -837,7 +867,9 @@ case class WarcHttpRecords(child: Expression, gz: Boolean)
     StructField("status", LongType, nullable = false),
     StructField("body_len", LongType, nullable = false),
     StructField("body_sum", LongType, nullable = false),
-    StructField("body", BinaryType, nullable = false))),
+    StructField("body", BinaryType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("n_headers", LongType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = true
 
@@ -852,7 +884,8 @@ case class WarcHttpRecords(child: Expression, gz: Boolean)
     if (!d.valid) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(
       recs.map(r => InternalRow(r.recIdx, r.status, r.bodyLen, r.bodySum,
-        r.body)).toArray[Any])
+        r.body, org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.contentType), r.nHeaders)).toArray[Any])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -880,6 +913,8 @@ object WarcNativeFunctions {
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 5) exprs(5).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_warc_http_stats",
@@ -907,13 +942,14 @@ object WarcNativeFunctions {
 
   def warcHttpEncode(spark: SparkSession, bytes: Column, bodyBytes: Int,
       gz: Boolean, chunked: Boolean = false,
-      mixed: Boolean = false): Column = {
+      mixed: Boolean = false, html: Boolean = false): Column = {
     register(spark)
     call_function("graft_warc_http_encode", bytes,
       org.apache.spark.sql.functions.lit(bodyBytes),
       org.apache.spark.sql.functions.lit(gz),
       org.apache.spark.sql.functions.lit(chunked),
-      org.apache.spark.sql.functions.lit(mixed))
+      org.apache.spark.sql.functions.lit(mixed),
+      org.apache.spark.sql.functions.lit(html))
   }
 
   def warcHttpStats(spark: SparkSession, bytes: Column, gz: Boolean): Column = {

@@ -337,6 +337,59 @@ class WarcCodecSpec extends SparkSpec {
     assert(!WarcCodec.decodeWarcHttp(dup, gz = false, collect = false)._1.valid)
   }
 
+  test("WAT extraction (E277): html wire metadata, title + href values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val payload = fixture(5 * 64 + 9, 13)
+    // codec level: the html wire wraps each slice deterministically
+    val warc = WarcCodec.encodeWarcHttp(payload, 64, gz = false, html = true)
+    val (d, recs) = WarcCodec.decodeWarcHttp(warc, gz = false, collect = true)
+    assert(d.valid && recs.length === 5)
+    recs.foreach { r =>
+      assert(r.contentType === "text/html")
+      assert(r.nHeaders === 2L)
+      val body = new String(r.body, "ISO-8859-1")
+      val i = r.recIdx
+      val nl = (payload((i * 64).toInt) & 0xff) % 3 + 1
+      assert(body.startsWith(s"<html><head><title>d$i</title>"))
+      assert(body.endsWith("</body></html>"))
+      assert(body.sliding(9).count(_ == "<a href=\"") === nl,
+        s"record $i must carry ${nl} slice-derived outlinks")
+    }
+    // the plain wire keeps its shape: text/plain, no links to extract
+    val plain = WarcCodec.encodeWarcHttp(payload, 64, gz = false)
+    val (_, precs) = WarcCodec.decodeWarcHttp(plain, gz = false,
+      collect = true)
+    assert(precs.forall(_.contentType === "text/plain"))
+
+    // engine surface: warcWatExtracts pulls the VALUES, not just counts
+    val assets = Seq((1L, payload)).toDF("asset_id", "bytes")
+      .withColumn("kind", lit("text"))
+      .withColumn("meta", struct(lit("s").as("source"), lit("m").as("mime")))
+    val rows = graft.ext.Multimodal.warcWatExtracts(
+      graft.ext.Multimodal.encodeWarcHttp(assets, bodyBytes = 64,
+        html = true)).orderBy("rec_idx").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("rec_idx")
+      val nl = (payload((i * 64).toInt) & 0xff) % 3 + 1
+      assert(r.getAs[String]("title") === s"d$i")
+      assert(r.getAs[Long]("n_links") === nl.toLong)
+      assert(r.getAs[String]("content_type") === "text/html")
+      assert(r.getAs[Long]("n_headers") === 2L)
+      val refs = (0 until nl).map(k => s"/d$i/k$k").mkString("|")
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(refs.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("link_hash") === exp,
+        s"record $i: the href VALUES must be extracted in document order")
+    }
+    // non-HTML payloads degrade to empty metadata, never invalidate
+    val plainRows = graft.ext.Multimodal.warcWatExtracts(
+      graft.ext.Multimodal.encodeWarcHttp(assets, bodyBytes = 64)).collect()
+    assert(plainRows.forall(r => r.getAs[Long]("n_links") === 0L &&
+      r.getAs[String]("title") === ""))
+  }
+
   test("engine surface: Multimodal.encodeWarc / warcStats both shapes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
