@@ -101,7 +101,11 @@ object ScaleBench {
     ("q323_tar_scale", 1.35, 1.35,
       "shard byte mass: one whole-stream inflate + ustar header walk " +
         "per shard, O(1) state beyond the current header, no pair " +
-        "stage"))
+        "stage"),
+    ("q328_wat_scale", 1.35, 1.35,
+      "archive byte mass: one record walk + HTTP parse per archive, " +
+        "then two regex extractions per response row — map-only both " +
+        "sides of the explode, no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)

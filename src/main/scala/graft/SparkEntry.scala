@@ -2824,6 +2824,20 @@ object SparkEntry {
         .select(col("asset_id"), col("rec_idx"), col("clean_hash"),
           col("clean_len"), col("n_tokens"))
     },
+    // Whole-corpus WAT-extraction scale twin (E277's measurement): q327
+    // with no doc cap — one container walk + HTTP parse + two regex
+    // passes per response row, byte-linear with no pair stage.
+    "q328_wat_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.warcWatExtracts(
+        graft.ext.Multimodal.encodeWarcHttp(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          bodyBytes = 256, html = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("rec_idx"), col("status"),
+          col("content_type"), col("n_headers"), col("body_len"),
+          col("title"), col("n_links"), col("link_hash"))
+    },
     // MIXED-PROTOCOL crawl (E263): ISO 28500 allows response records
     // captured from non-HTTP protocols (DNS, FTP, ...) — every fifth
     // slice here is an application/octet-stream response. The RFC 9112
@@ -4061,10 +4075,13 @@ object SparkEntry {
     * and its link list in SQL and the engine's regex extraction must
     * agree byte for byte (documents are ASCII: char = byte).
     */
-  private def warcWatOracleSql: String =
+  private def warcWatOracleSql: String = warcWatOracleSqlFor(
+    "WHERE doc_id < 140")
+
+  private def warcWatOracleSqlFor(where: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, text,
          |              octet_length(CAST(text AS BLOB)) // 256 AS nr
-         |            FROM documents WHERE doc_id < 140),
+         |            FROM documents $where),
          |sl AS (SELECT asset_id, j AS rec_idx,
          |         substr(text, CAST(j * 256 + 1 AS BIGINT), 256) AS s
          |       FROM (SELECT asset_id, text, unnest(range(0, nr)) AS j
@@ -5842,6 +5859,7 @@ object SparkEntry {
     "q310_warc_wet" -> warcWetOracleSql,
     "q327_warc_wat" -> warcWatOracleSql,
     "q313_wet_scale" -> warcWetOracleSqlFor(""),
+    "q328_wat_scale" -> warcWatOracleSqlFor(""),
     // q315/q316 share one oracle verbatim (plain vs .tar.gz wire);
     // q317 is the shard-to-samples member fan-out
     "q315_tar_stats" -> tarOracleSql,
