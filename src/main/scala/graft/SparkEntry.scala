@@ -2794,6 +2794,23 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // Shard member INDEX (E279): the WebDataset .idx shape — the seek
+    // table a random-access loader builds once per shard (member name,
+    // size, data offset in the decompressed stream; NO member bytes).
+    // On the pax wire every member is preceded by a metadata block pair
+    // the offsets must step over: only a decoder that really walks the
+    // pax chain lands on k*2048 + 1536.
+    "q329_tar_index" -> { (s, dir) =>
+      graft.ext.Multimodal.tarIndex(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, pax = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("member_idx"), col("name"),
+          col("size"), col("data_offset"))
+    },
     // PAX extended headers (E274): every member preceded by a
     // POSIX.1-2001 'x' header whose path record overrides the 100-byte
     // name field with a 104-char name — the reason real shards carry
@@ -4007,6 +4024,24 @@ object SparkEntry {
          |       CAST(100 AS BIGINT) AS size,
          |       CAST(SUM(v) AS BIGINT) AS member_sum
          |FROM bv GROUP BY asset_id, member_idx""".stripMargin
+
+  /** Shard-index replay (q329): pure layout arithmetic on the pax wire —
+    * per member one pax header block + one padded pax data block + one
+    * member header + one padded data block (all 512), so member k's
+    * data sits at k·2048 + 1536; names by the pax override rule. Only a
+    * decoder that really steps the pax chain reproduces the offsets.
+    */
+  private def tarIndexOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, octet_length(p) // 100 AS nm
+         |      FROM src WHERE octet_length(p) // 100 >= 1)
+         |SELECT asset_id, CAST(j AS BIGINT) AS member_idx,
+         |       'samples/' || repeat('d', 87) ||
+         |         printf('%05d', j) || '.txt' AS name,
+         |       CAST(100 AS BIGINT) AS size,
+         |       CAST(j * 2048 + 1536 AS BIGINT) AS data_offset
+         |FROM (SELECT asset_id, unnest(range(0, nm)) AS j FROM g)""".stripMargin
 
   /** WebDataset-ingest replay (q322): every 100-byte member re-cleaned
     * from the raw text slice with the q149 regex chain (ASCII corpus:
@@ -5870,6 +5905,7 @@ object SparkEntry {
     // q324: pax path overrides — the 104-char names only an
     // override-applying decoder reproduces
     "q324_tar_pax" -> tarPaxOracleSql,
+    "q329_tar_index" -> tarIndexOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,

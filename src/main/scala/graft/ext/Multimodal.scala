@@ -1045,7 +1045,26 @@ object Multimodal {
           col("bytes"), gz)).as("m"))
       .select(col("asset_id"), col("m.member_idx").as("member_idx"),
         col("m.name").as("name"), col("m.size").as("size"),
-        col("m.member_sum").as("member_sum"), col("m.bytes").as("bytes"))
+        col("m.member_sum").as("member_sum"), col("m.bytes").as("bytes"),
+        col("m.data_offset").as("data_offset"))
+  }
+
+  /** Shard member INDEX (E279): the WebDataset `.idx` shape — one
+    * metadata row per member (name, size, byte offset of the member's
+    * data in the decompressed stream) and NO member bytes, the seek
+    * table a random-access shard loader builds once and reuses every
+    * epoch. The offsets come from the decoder's own walk (pax metadata
+    * blocks and padding skipped correctly), not arithmetic guesses.
+    */
+  def tarIndex(assets: DataFrame, gz: Boolean = false): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        explode(graft.functions.TarNativeFunctions.tarMembers(spark,
+          col("bytes"), gz)).as("m"))
+      .select(col("asset_id"), col("m.member_idx").as("member_idx"),
+        col("m.name").as("name"), col("m.size").as("size"),
+        col("m.data_offset").as("data_offset"))
   }
 
   /** WebDataset-style shard INGEST (E273): the tar-member fan-out

@@ -217,9 +217,12 @@ object TarCodec {
     g.toByteArray
   }
 
-  /** One extracted member (the fan-out row). */
+  /** One extracted member (the fan-out row). `dataOff` is the byte
+    * offset of the member's DATA within the (decompressed) shard stream
+    * — what a random-access loader seeks to.
+    */
   final case class Member(idx: Long, name: String, size: Long, sumV: Long,
-      bytes: Array[Byte])
+      bytes: Array[Byte], dataOff: Long = -1L)
 
   /** Per-shard decode result; -1 stats when invalid. `sumIv` weights
     * each member's byte sum by the member index — the order-sensitive
@@ -398,7 +401,7 @@ object TarCodec {
         contentBytes += size
         if (out != null)
           out += Member(nMembers, name, size, s,
-            java.util.Arrays.copyOfRange(bytes, p, p + size.toInt))
+            java.util.Arrays.copyOfRange(bytes, p, p + size.toInt), p.toLong)
         nMembers += 1
         p += padded
         } // end regular member
@@ -476,7 +479,8 @@ case class TarMembers(child: Expression, gz: Boolean)
     StructField("name", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
     StructField("member_sum", LongType, nullable = false),
-    StructField("bytes", BinaryType, nullable = false))),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("data_offset", LongType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = true
 
@@ -492,7 +496,7 @@ case class TarMembers(child: Expression, gz: Boolean)
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(
       members.map(m => InternalRow(m.idx,
         org.apache.spark.unsafe.types.UTF8String.fromString(m.name),
-        m.size, m.sumV, m.bytes)).toArray[Any])
+        m.size, m.sumV, m.bytes, m.dataOff)).toArray[Any])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

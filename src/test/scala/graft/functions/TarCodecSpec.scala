@@ -171,6 +171,37 @@ class TarCodecSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_tokens") === 3L)
   }
 
+  test("member index (E279): data offsets are real seek positions") {
+    val payload = fixture(5 * 100 + 31, 77)
+    // plain wire: header + padded data per member -> data at k*1024 + 512
+    val tar = TarCodec.encodeTar(payload, 100)
+    val (_, members) = TarCodec.decodeTar(tar, gz = false, collect = true)
+    assert(members.map(_.dataOff) === (0 until 5).map(k => k * 1024L + 512L))
+    // the offsets are REAL: seeking into the raw shard at (offset, size)
+    // reads exactly the member bytes the decoder extracted
+    members.foreach { m =>
+      val seek = java.util.Arrays.copyOfRange(tar, m.dataOff.toInt,
+        (m.dataOff + m.size).toInt)
+      assert(java.util.Arrays.equals(seek, m.bytes),
+        s"member ${m.idx}: the index must be a usable seek table")
+    }
+    // pax wire: each member preceded by a pax header + padded pax data
+    // block pair -> the walk must land on k*2048 + 1536
+    val pax = TarCodec.encodeTar(payload, 100, pax = true)
+    val (_, pm) = TarCodec.decodeTar(pax, gz = false, collect = true)
+    assert(pm.map(_.dataOff) === (0 until 5).map(k => k * 2048L + 1536L))
+    pm.foreach { m =>
+      val seek = java.util.Arrays.copyOfRange(pax, m.dataOff.toInt,
+        (m.dataOff + m.size).toInt)
+      assert(java.util.Arrays.equals(seek, m.bytes))
+    }
+    // gz wire: offsets address the DECOMPRESSED stream — identical to
+    // the plain wire's (same archive under the wrapper)
+    val gzTar = TarCodec.encodeTar(payload, 100, gz = true)
+    val (_, gm) = TarCodec.decodeTar(gzTar, gz = true, collect = true)
+    assert(gm.map(_.dataOff) === members.map(_.dataOff))
+  }
+
   test("engine surface: Multimodal.encodeTar / tarStats / tarMembers") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001)
