@@ -2763,6 +2763,24 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // ZIP member EXTRACTION + seek table (E280): one row per member in
+    // directory order with the data span (offset, comp size, method)
+    // alongside the inflated bytes — the central directory used as the
+    // random-access index it is. Stored wire, so the oracle pins the
+    // offsets by pure layout arithmetic (k*142 + 42) and the sums off
+    // raw slices.
+    "q330_zip_members" -> { (s, dir) =>
+      graft.ext.Multimodal.zipMembers(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("member_idx"), col("name"),
+          col("size"), col("member_sum"), col("data_offset"),
+          col("comp_size"), col("method"))
+    },
     // ZIP64 (E275): the zip64-always wire — sentinel sizes/offsets
     // resolved through 0x0001 extras, the EOCD diverted through the
     // ZIP64 locator→record chain, agreement audited end-to-end. The
@@ -4023,6 +4041,31 @@ object SparkEntry {
          |         printf('%05d', member_idx) || '.txt' AS name,
          |       CAST(100 AS BIGINT) AS size,
          |       CAST(SUM(v) AS BIGINT) AS member_sum
+         |FROM bv GROUP BY asset_id, member_idx""".stripMargin
+
+  /** ZIP member-extraction replay (q330): the stored wire's layout is
+    * pure arithmetic — local header k at k·142 (30 fixed + 12 name +
+    * 100 data), so member k's data spans [k·142 + 42, +100); sums off
+    * the raw slices, names by the doc%05d.txt rule. The span columns
+    * pin the directory's offsets as REAL seek positions.
+    */
+  private def zipMembersOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 100 AS nm
+         |      FROM src WHERE octet_length(p) // 100 >= 1),
+         |bv AS (SELECT asset_id, i // 100 AS member_idx,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, h,
+         |               unnest(range(0, nm * 100)) AS i FROM g))
+         |SELECT asset_id, CAST(member_idx AS BIGINT) AS member_idx,
+         |       printf('doc%05d.txt', member_idx) AS name,
+         |       CAST(100 AS BIGINT) AS size,
+         |       CAST(SUM(v) AS BIGINT) AS member_sum,
+         |       CAST(member_idx * 142 + 42 AS BIGINT) AS data_offset,
+         |       CAST(100 AS BIGINT) AS comp_size,
+         |       CAST(0 AS INTEGER) AS method
          |FROM bv GROUP BY asset_id, member_idx""".stripMargin
 
   /** Shard-index replay (q329): pure layout arithmetic on the pax wire —
@@ -5912,6 +5955,7 @@ object SparkEntry {
     "q319_zip_deflate" -> tarOracleSql,
     "q325_zip64" -> tarOracleSql,
     "q326_zip_stream" -> tarOracleSql,
+    "q330_zip_members" -> zipMembersOracleSql,
     // q322: shard-to-samples ingest — members re-cleaned from raw text
     // slices with the q149 regex chain
     "q322_tar_ingest" -> tarIngestOracleSql,

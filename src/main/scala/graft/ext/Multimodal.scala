@@ -1123,6 +1123,26 @@ object Multimodal {
         col("q.sum_iv").as("sum_iv"))
   }
 
+  /** EXTRACT the members of a ZIP archive (E280): one row per member in
+    * directory order, carrying the data span (offset, compressed size,
+    * method) alongside the inflated bytes — ZIP's central directory IS
+    * a random-access index, and the span columns are the seek-table
+    * entries a loader uses to read ONE member from a large archive
+    * without streaming the rest.
+    */
+  def zipMembers(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        explode(graft.functions.ZipNativeFunctions.zipMembers(spark,
+          col("bytes"))).as("m"))
+      .select(col("asset_id"), col("m.member_idx").as("member_idx"),
+        col("m.name").as("name"), col("m.size").as("size"),
+        col("m.member_sum").as("member_sum"), col("m.bytes").as("bytes"),
+        col("m.data_offset").as("data_offset"),
+        col("m.comp_size").as("comp_size"), col("m.method").as("method"))
+  }
+
   /** Encode each asset's payload bytes as the color indices of a GIF89a
     * image (E245) of the given column width (height = ⌊len/width⌋ whole
     * rows; assets shorter than one row are dropped) — real LZW entropy

@@ -207,9 +207,14 @@ object ZipCodec {
     out.toByteArray
   }
 
-  /** One extracted member (the fan-out row). */
+  /** One extracted member (the fan-out row). `dataOff`/`compSize` are
+    * the member data's byte span in the archive (what a random-access
+    * reader seeks to — the central directory is ZIP's built-in index);
+    * `method` is 0 (stored) or 8 (deflate).
+    */
   final case class Member(idx: Long, name: String, size: Long, sumV: Long,
-      bytes: Array[Byte])
+      bytes: Array[Byte], dataOff: Long = -1L, compSize: Long = -1L,
+      method: Int = 0)
 
   /** Per-archive decode result; -1 stats when invalid. */
   final case class Decoded(valid: Boolean, nMembers: Long,
@@ -438,7 +443,8 @@ object ZipCodec {
       sumPayload += s
       sumIv += nMembers * s
       contentBytes += uncompSize
-      if (out != null) out += Member(nMembers, name, uncompSize, s, raw)
+      if (out != null) out += Member(nMembers, name, uncompSize, s, raw,
+        dataOff.toLong, compSize, method)
       nMembers += 1
       p += 46 + nameLen + extraLen
       e += 1
@@ -505,6 +511,48 @@ case class ZipDecode(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_zip_members(bytes)`: the member-EXTRACTION operator — one
+  * element per member in directory order (index, name, size, byte sum,
+  * bytes, data span, method). The span columns make the row a usable
+  * seek-table entry: ZIP's central directory IS a random-access index,
+  * and exposing it is how a loader reads one member from a 10 GiB
+  * archive without streaming the rest. Null when the archive is invalid.
+  */
+case class ZipMembers(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("member_idx", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("member_sum", LongType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("data_offset", LongType, nullable = false),
+    StructField("comp_size", LongType, nullable = false),
+    StructField("method", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zip_members expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val (d, members) =
+      ZipCodec.decodeZip(input.asInstanceOf[Array[Byte]], collect = true)
+    if (!d.valid) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      members.map(m => InternalRow(m.idx,
+        org.apache.spark.unsafe.types.UTF8String.fromString(m.name),
+        m.size, m.sumV, m.bytes, m.dataOff, m.compSize,
+        m.method)).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ZipNativeFunctions {
 
   /** Register the zip codec functions (idempotent). */
@@ -518,6 +566,13 @@ object ZipNativeFunctions {
         exprs(4).eval().asInstanceOf[Boolean]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_decode", exprs => ZipDecode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zip_members", exprs => ZipMembers(exprs.head), "built-in")
+  }
+
+  def zipMembers(spark: SparkSession, bytes: Column): Column = {
+    register(spark)
+    call_function("graft_zip_members", bytes)
   }
 
   def zipEncode(spark: SparkSession, bytes: Column, memberBytes: Int,

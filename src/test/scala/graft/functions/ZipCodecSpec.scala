@@ -189,6 +189,36 @@ class ZipCodecSpec extends SparkSpec {
     }
   }
 
+  test("member seek table (E280): data spans are real random-access reads") {
+    val payload = fixture(4 * 100 + 7, 88)
+    // stored wire: seeking [data_offset, +comp_size) IS the member
+    val zip = ZipCodec.encodeZip(payload, 100)
+    val (_, ms) = ZipCodec.decodeZip(zip, collect = true)
+    assert(ms.map(_.dataOff) === (0 until 4).map(k => k * 142L + 42L))
+    assert(ms.forall(m => m.compSize === 100L && m.method === 0))
+    ms.foreach { m =>
+      val seek = java.util.Arrays.copyOfRange(zip, m.dataOff.toInt,
+        (m.dataOff + m.compSize).toInt)
+      assert(java.util.Arrays.equals(seek, m.bytes),
+        s"member ${m.idx}: the directory must be a usable seek table")
+    }
+    // deflate wire: inflating ONLY the seeked span yields the member —
+    // the read path a loader takes into a large archive
+    val dz = ZipCodec.encodeZip(payload, 100, deflate = true)
+    val (_, dms) = ZipCodec.decodeZip(dz, collect = true)
+    dms.foreach { m =>
+      assert(m.method === 8)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(dz, m.dataOff.toInt, m.compSize.toInt)
+      val buf = new Array[Byte](m.size.toInt)
+      var got = 0
+      while (got < buf.length) got += inf.inflate(buf, got, buf.length - got)
+      inf.end()
+      assert(java.util.Arrays.equals(buf, m.bytes),
+        s"member ${m.idx}: the deflate span must inflate to the member")
+    }
+  }
+
   test("extra areas tile strictly; unknown ids are skipped, not rejected") {
     val payload = fixture(3 * 100, 87)
     val zip = ZipCodec.encodeZip(payload, 100)
