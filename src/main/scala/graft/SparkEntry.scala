@@ -2251,6 +2251,55 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
           col("sum_b"), col("mean_luma_milli"))
     },
+    // PALETTE PNG (E281): color type 3 — the dominant small-image wire.
+    // Pixels are PLTE indices; the decoder resolves each through the
+    // palette (OOB indices reject), so only a real palette lookup
+    // reproduces the three independent channel maps (i, 255-i, 7i mod
+    // 256) the oracle replays in SQL.
+    "q331_png_palette" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 40, colorType = 3)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"), col("sum_rowv"))
+    },
+    // GRAYSCALE PNG (E281): color type 0 — one byte per pixel, r=g=b;
+    // row/col-weighted sums pin pixel placement.
+    "q332_png_gray" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 40, colorType = 0)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"),
+          col("mean_luma_milli"), col("sum_rowv"), col("sum_colv"))
+    },
+    // ADAM7-INTERLACED PNG (E282): the seven-pass wire real encoders
+    // emit for progressive rendering. Channel sums match q268's oracle
+    // (same pixels); the row/col-weighted sums are the DEINTERLACING
+    // placement proof — a decoder that mis-places any pass matches the
+    // plain sums but not these.
+    "q333_png_adam7" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 6, interlaced = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
+          col("sum_colv"), col("interlaced"))
+    },
     // Fingerprint band join over the WHOLE corpus (E221/E230's scale
     // twin): identical semantics to q263 but with no doc_id cap, so
     // ScaleBench can fit its growth exponent on replicated corpora. The
@@ -5824,6 +5873,70 @@ object SparkEntry {
         |       CAST(SUM(bl) AS BIGINT) AS sum_b,
         |       CAST(SUM(299*rd + 587*gr + 114*bl) // COUNT(*) AS BIGINT)
         |         AS mean_luma_milli
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // palette replay (q331): pixels are indices; the three channel maps
+    // (i, 255-i, 7i mod 256) replay in SQL, and the row-weighted sum
+    // collapses to y*(255 + (7v mod 256)) because r+g = 255 by the rule
+    "q331_png_palette" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 40 AS y,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT) AS v
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 40)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+        |       CAST(SUM((7 * v) % 256) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*v + 587*(255 - v) + 114*((7*v) % 256))
+        |            // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * (255 + (7*v) % 256)) AS BIGINT) AS sum_rowv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    "q332_png_gray" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 40 AS y, i % 40 AS x,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT) AS v
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 40)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(1000 * v) // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * 3 * v) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * 3 * v) AS BIGINT) AS sum_colv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // Adam7 replay (q333): channel sums are q268's; the row/col-weighted
+    // sums read pixel (x, y) straight off the RASTER payload — the
+    // deinterlaced identity a mis-placed pass cannot fake
+    "q333_png_adam7" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 18 AS hgt
+        |      FROM src WHERE octet_length(p) // 18 >= 1),
+        |px AS (SELECT asset_id, hgt, h, unnest(range(0, hgt * 6)) AS i FROM g),
+        |c AS (SELECT asset_id, hgt, i // 6 AS y, i % 6 AS x,
+        |        CAST(('0x'||substr(h, CAST(6*i+1 AS BIGINT), 2)) AS BIGINT) AS rd,
+        |        CAST(('0x'||substr(h, CAST(6*i+3 AS BIGINT), 2)) AS BIGINT) AS gr,
+        |        CAST(('0x'||substr(h, CAST(6*i+5 AS BIGINT), 2)) AS BIGINT) AS bl
+        |      FROM px)
+        |SELECT asset_id, TRUE AS is_valid, CAST(6 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(rd) AS BIGINT) AS sum_r, CAST(SUM(gr) AS BIGINT) AS sum_g,
+        |       CAST(SUM(bl) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*rd + 587*gr + 114*bl) // COUNT(*) AS BIGINT)
+        |         AS mean_luma_milli,
+        |       CAST(SUM(y * (rd + gr + bl)) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * (rd + gr + bl)) AS BIGINT) AS sum_colv,
+        |       CAST(1 AS BIGINT) AS interlaced
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
     // the scale twins replay their parents' oracles with no doc cap
     "q269_dhash_scale" ->

@@ -639,24 +639,31 @@ object Multimodal {
     * unfilter path. One native expression per asset; the drop condition
     * is checked on the cheap input length (the [[encodeQoi]] discipline).
     */
-  def encodePng(assets: DataFrame, width: Int = 6): DataFrame = {
+  def encodePng(assets: DataFrame, width: Int = 6, colorType: Int = 2,
+      interlaced: Boolean = false): DataFrame = {
     require(width >= 1, "width must be positive")
+    val bpp = if (colorType == 2) 3 else 1
     val spark = assets.sparkSession
     assets
-      .filter(octet_length(col("bytes")) >= 3 * width)
+      .filter(octet_length(col("bytes")) >= bpp * width)
       .withColumn("bytes",
-        graft.functions.PngNativeFunctions.pngEncode(spark, col("bytes"), width))
+        graft.functions.PngNativeFunctions.pngEncode(spark, col("bytes"),
+          width, colorType, interlaced))
   }
 
   /** Decode PNG assets natively (E226): CRC-verified chunk walk, IDAT
     * inflate via the JDK's Inflater, per-row unfilter, and the same exact
     * channel sums + fixed-point mean luma as [[bmpStats]]/[[qoiStats]],
     * plus the container diagnostics only a real decoder can see
-    * (color type, IDAT chunk count and compressed byte total). Corrupt,
-    * forged, truncated, or unsupported-feature streams (palette, 16-bit,
-    * interlaced) report is_valid = false with null stats; the inflate is
+    * (color type, IDAT chunk count and compressed byte total). Gray (0),
+    * truecolor (2/6), and palette (3, PLTE-resolved with out-of-bounds
+    * indices rejected) decode on the plain and Adam7-interlaced wires;
+    * 16-bit and gray+alpha streams — and corrupt, forged, or truncated
+    * ones — report is_valid = false with null stats; the inflate is
     * bounded by DEFLATE's maximum expansion of the bytes actually
     * present, so a forged IHDR cannot blow up memory (see PngCodec).
+    * The row/col-weighted channel sums pin PIXEL PLACEMENT — the
+    * deinterlacing proof (see `sumRowV` in PngCodec.Decoded).
     *
     * Scale: one native-expression pass per asset, O(stride) state, no
     * explode — the [[qoiStats]] shape exactly.
@@ -673,7 +680,10 @@ object Multimodal {
         col("q.mean_luma_milli").as("mean_luma_milli"),
         col("q.color_type").as("color_type"),
         col("q.n_idat_chunks").as("n_idat_chunks"),
-        col("q.idat_bytes").as("idat_bytes"))
+        col("q.idat_bytes").as("idat_bytes"),
+        col("q.sum_rowv").as("sum_rowv"),
+        col("q.sum_colv").as("sum_colv"),
+        col("q.interlaced").as("interlaced"))
   }
 
   // ------------------------------------------------------------------

@@ -48,45 +48,91 @@ object PngCodec {
     c.getValue
   }
 
-  /** Encode `h = len/(3*width)` rows of raw RGB triplets (the first
-    * `3*width*h` payload bytes) as an 8-bit color-type-2 PNG. Row filter
-    * types CYCLE `y mod 5` (None, Sub, Up, Average, Paeth) so a decode of
-    * any fixture with ≥5 rows exercises every unfilter path — the same
-    * self-verifying-oracle discipline as the QOI encoder's greedy op mix.
-    * Returns null when the payload is shorter than one row.
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The palette fixture rule (color type 3): entry i resolves to
+    * `(i, 255 - i, (7·i) mod 256)` — three independent, SQL-replayable
+    * channel maps, the GIF global-color-table discipline.
     */
-  def encode(payload: Array[Byte], width: Int): Array[Byte] = {
-    val h = payload.length / (3 * width)
+  @inline def palR(i: Int): Int = i
+  @inline def palG(i: Int): Int = 255 - i
+  @inline def palB(i: Int): Int = (7 * i) % 256
+
+  /** Encode the payload as an 8-bit PNG of the given `colorType`:
+    * 2 (truecolor — payload is raw RGB triplets, `h = len/(3·width)`),
+    * 3 (palette — payload bytes are indices into the 256-entry fixture
+    * PLTE, `h = len/width`), or 0 (grayscale — payload bytes are the
+    * samples, `h = len/width`). Row filter types CYCLE `y mod 5`
+    * (None, Sub, Up, Average, Paeth) so a decode of any fixture with ≥5
+    * rows exercises every unfilter path — the same self-verifying-oracle
+    * discipline as the QOI encoder's greedy op mix. `interlaced` writes
+    * the Adam7 pass sequence (empty passes omitted entirely, per spec);
+    * the filter cycle then runs per PASS row. Returns null when the
+    * payload is shorter than one row.
+    */
+  def encode(payload: Array[Byte], width: Int, colorType: Int = 2,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(colorType == 0 || colorType == 2 || colorType == 3,
+      s"unsupported fixture color type $colorType")
+    val bpp = if (colorType == 2) 3 else 1
+    val h = payload.length / (bpp * width)
     if (h < 1) return null
-    val stride = 3 * width
-    // filtered scanlines: 1 filter byte + stride filtered bytes per row
-    val raw = new Array[Byte](h * (1 + stride))
-    var y = 0
-    while (y < h) {
-      val ft = y % 5
-      raw(y * (1 + stride)) = ft.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = payload(y * stride + x) & 0xff
-        val a = if (x >= 3) payload(y * stride + x - 3) & 0xff else 0
-        val b = if (y >= 1) payload((y - 1) * stride + x) & 0xff else 0
-        val c = if (x >= 3 && y >= 1) payload((y - 1) * stride + x - 3) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => paeth(a, b, c)
+    // sample accessor in IMAGE raster order (payload is always raster)
+    @inline def sample(x: Int, y: Int, ch: Int): Int =
+      payload((y * width + x) * bpp + ch) & 0xff
+
+    val raw = new java.io.ByteArrayOutputStream(h * (1 + bpp * width) + 64)
+    // filter + emit one rectangular pixel selection (a full image, or
+    // one Adam7 pass); prev-row state is local to the selection, exactly
+    // as the spec treats each pass as an independent sub-image
+    def emitRows(xs: Array[Int], ys: Array[Int]): Unit = {
+      val sb = bpp * xs.length
+      val prev = new Array[Int](sb)
+      val cur = new Array[Int](sb)
+      var r = 0
+      while (r < ys.length) {
+        val ft = r % 5
+        raw.write(ft)
+        var i = 0
+        while (i < sb) {
+          cur(i) = sample(xs(i / bpp), ys(r), i % bpp)
+          i += 1
         }
-        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
-        x += 1
+        i = 0
+        while (i < sb) {
+          val a = if (i >= bpp) cur(i - bpp) else 0
+          val b = if (r >= 1) prev(i) else 0
+          val c = if (i >= bpp && r >= 1) prev(i - bpp) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          raw.write((cur(i) - pred) & 0xff)
+          i += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, sb)
+        r += 1
       }
-      y += 1
+    }
+    if (!interlaced) {
+      emitRows(Array.tabulate(width)(identity), Array.tabulate(h)(identity))
+    } else {
+      Adam7.foreach { case (x0, y0, dx, dy) =>
+        val xs = (x0 until width by dx).toArray
+        val ys = (y0 until h by dy).toArray
+        if (xs.nonEmpty && ys.nonEmpty) emitRows(xs, ys)
+      }
     }
     val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw)
+    deflater.setInput(raw.toByteArray)
     deflater.finish()
-    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val zout = new java.io.ByteArrayOutputStream(raw.size() / 2 + 64)
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) {
       val n = deflater.deflate(buf)
@@ -108,7 +154,19 @@ object PngCodec {
       out.write(be32(crc32(body, 0, body.length)), 0, 4)
     }
     chunk("IHDR", be32(width.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, 2, 0, 0, 0)) // depth 8, RGB, deflate, adaptive, none
+      Array[Byte](8, colorType.toByte, 0, 0,
+        if (interlaced) 1 else 0))
+    if (colorType == 3) {
+      val plte = new Array[Byte](256 * 3)
+      var i = 0
+      while (i < 256) {
+        plte(3 * i) = palR(i).toByte
+        plte(3 * i + 1) = palG(i).toByte
+        plte(3 * i + 2) = palB(i).toByte
+        i += 1
+      }
+      chunk("PLTE", plte)
+    }
     chunk("IDAT", idat)
     chunk("IEND", Array.empty[Byte])
     out.toByteArray
@@ -116,11 +174,16 @@ object PngCodec {
 
   /** Decoded per-asset report (O(1) aggregation memory — a 100-megapixel
     * asset never materializes its pixels). Negative fields when invalid.
+    * `sumRowV`/`sumColV` weight each pixel's channel sum (r+g+b) by its
+    * GLOBAL row/column — the placement proof that pins Adam7
+    * deinterlacing (a decoder that mis-places a pass matches the plain
+    * sums but not these).
     */
   final case class Decoded(
       valid: Boolean, width: Long, height: Long, nPixels: Long,
       sumR: Long, sumG: Long, sumB: Long, meanLumaMilli: Long,
-      colorType: Long, nIdatChunks: Long, idatBytes: Long)
+      colorType: Long, nIdatChunks: Long, idatBytes: Long,
+      sumRowV: Long = -1, sumColV: Long = -1, interlaced: Long = -1)
 
   private val Invalid = Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1,
     -1, -1, -1)
@@ -136,9 +199,10 @@ object PngCodec {
 
     // ---- chunk walk: CRC-verified framing; IHDR first, IEND last ----
     var p = 8
-    var w = -1L; var h = -1L; var colorType = -1L
+    var w = -1L; var h = -1L; var colorType = -1L; var ilace = 0
     var idatLen = 0L; var nIdat = 0L; var seenIend = false
     var sawIhdr = false; var idatDone = false
+    var plteOff = -1; var plteCount = 0
     val idatParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     while (p < n && !seenIend) {
       if (p + 12 > n) return Invalid
@@ -155,13 +219,15 @@ object PngCodec {
         colorType = (bytes(p + 17) & 0xffL)
         val comp = bytes(p + 18) & 0xff
         val filt = bytes(p + 19) & 0xff
-        val ilace = bytes(p + 20) & 0xff
-        // 8-bit truecolor only (RGB / RGBA), deflate, adaptive filters,
-        // no interlace — palette/gray/16-bit/Adam7 report is_valid=false
-        // (visible, never misdecoded)
+        ilace = bytes(p + 20) & 0xff
+        // 8-bit gray (0), truecolor (2), palette (3), RGBA (6); deflate,
+        // adaptive filters, interlace 0 or Adam7 (1) — 16-bit and
+        // gray+alpha (4) report is_valid=false (visible, never misdecoded)
         if (w < 1 || h < 1 || depth != 8 ||
-            (colorType != 2L && colorType != 6L) ||
-            comp != 0 || filt != 0 || ilace != 0) return Invalid
+            (colorType != 0L && colorType != 2L && colorType != 3L &&
+              colorType != 6L) ||
+            comp != 0 || filt != 0 || (ilace != 0 && ilace != 1))
+          return Invalid
       } else typ match {
         case "IDAT" =>
           if (idatDone) return Invalid // IDAT chunks must be consecutive
@@ -170,23 +236,49 @@ object PngCodec {
         case "IEND" =>
           if (l != 0 || nIdat < 1) return Invalid
           seenIend = true
+        case "PLTE" =>
+          // only one PLTE is legal; for color type 3 it is REQUIRED and
+          // must precede IDAT (it defines pixel meaning); for 2/6 it is
+          // the suggested palette (ordering still spec-bound); for gray
+          // it is forbidden
+          if (plteOff >= 0 || nIdat > 0) return Invalid
+          if (colorType == 0L) return Invalid
+          if (l < 3 || l > 768 || l % 3 != 0) return Invalid
+          plteOff = p + 8; plteCount = l / 3
         case _ =>
           if (nIdat > 0) idatDone = true
-          // ancillary chunks (bit 5 of the first type byte set) and a
-          // suggested-palette PLTE are skipped; any OTHER critical chunk
-          // would change pixel meaning we don't implement — reject
-          if ((bytes(p + 4) & 0x20) == 0 && typ != "PLTE") return Invalid
+          // ancillary chunks (bit 5 of the first type byte set) are
+          // skipped; any OTHER critical chunk would change pixel
+          // meaning we don't implement — reject
+          if ((bytes(p + 4) & 0x20) == 0) return Invalid
       }
       p += 12 + l
     }
     if (!seenIend || p != n) return Invalid // trailing garbage is invalid
+    if (colorType == 3L && plteOff < 0) return Invalid // palette required
 
     // ---- inflate, bounded by what DEFLATE could possibly expand to ----
-    val bpp = if (colorType == 2L) 3L else 4L
+    val bpp = colorType match {
+      case 0L | 3L => 1L
+      case 2L => 3L
+      case _ => 4L
+    }
+    // overflow-safe geometry guard BEFORE any multiply: the Adam7 raw
+    // stream is at most h·(stride + 2) (same pixels, ≤ ~1.875·h filter
+    // bytes), so this one division bounds both layouts
     val stride = 1L + bpp * w
+    if (h > (Int.MaxValue.toLong - 8) / (stride + 2)) return Invalid
+    // raw (filtered) stream length: one filter byte per scanline; under
+    // Adam7 each nonempty pass is its own run of scanlines
+    val rawLen: Long =
+      if (ilace == 0) h * stride
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0L
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0L
+        if (pw > 0 && ph > 0) ph * (1L + bpp * pw) else 0L
+      }.sum
     val budget = idatLen * 1032L + 64L // DEFLATE max expansion of real bytes
-    if (h > budget / stride) return Invalid // forged IHDR: don't allocate
-    val rawLen = h * stride
+    if (rawLen > budget) return Invalid // forged IHDR: don't allocate
     if (rawLen > Int.MaxValue - 8) return Invalid
     // one spare byte beyond the claimed size: the final inflate call needs
     // output space to consume the stream trailer (zlib makes no progress
@@ -239,54 +331,97 @@ object PngCodec {
       case _: java.util.zip.DataFormatException => return Invalid
     } finally inf.end()
 
-    // ---- unfilter + aggregate in one pass (previous row kept, O(stride)) --
-    val sb = (bpp * w).toInt // scanline bytes after the filter byte
-    val prev = new Array[Int](sb)
-    val cur = new Array[Int](sb)
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var lum = 0L
+    // ---- unfilter + aggregate per SELECTION (the whole image, or one
+    // Adam7 pass — each pass is an independent sub-image per spec, with
+    // its own prev-row state), O(selection stride) memory. Pixels are
+    // aggregated at their GLOBAL (x, y), which is what makes the
+    // row/col-weighted sums a deinterlacing placement proof. The 2^26
+    // pixel cap bounds those weighted sums away from Long overflow —
+    // a documented geometry bound (the E272 discipline), not a silent one.
+    if (h > (1L << 26) / w) return Invalid
     val bppI = bpp.toInt
-    var y = 0L
-    while (y < h) {
-      val base = (y * stride).toInt
-      val ft = raw(base) & 0xff
-      if (ft > 4) return Invalid
-      var x = 0
-      while (x < sb) {
-        val f = raw(base + 1 + x) & 0xff
-        val a = if (x >= bppI) cur(x - bppI) else 0
-        val b = prev(x)
-        val c = if (x >= bppI) prev(x - bppI) else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case _ => paeth(a, b, c)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var lum = 0L
+    var sumRowV = 0L; var sumColV = 0L
+    var rp = 0 // read position in the raw (filtered) stream
+    var bad = false
+    def walkPass(x0: Int, dx: Int, pw: Int, y0: Int, dy: Int, ph: Int): Unit = {
+      if (bad || pw < 1 || ph < 1) return
+      val sb = bppI * pw
+      val prev = new Array[Int](sb)
+      val cur = new Array[Int](sb)
+      var r = 0
+      while (r < ph && !bad) {
+        val ft = raw(rp) & 0xff
+        rp += 1
+        if (ft > 4) { bad = true; return }
+        var x = 0
+        while (x < sb) {
+          val f = raw(rp + x) & 0xff
+          val a = if (x >= bppI) cur(x - bppI) else 0
+          val b = prev(x)
+          val c = if (x >= bppI) prev(x - bppI) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case _ => paeth(a, b, c)
+          }
+          cur(x) = (f + pred) & 0xff
+          x += 1
         }
-        cur(x) = (f + pred) & 0xff
-        x += 1
+        rp += sb
+        val gy = (y0 + r.toLong * dy)
+        var px = 0
+        while (px < pw && !bad) {
+          var rr = 0; var gg = 0; var bb = 0
+          if (colorType == 0L) {
+            val v = cur(px); rr = v; gg = v; bb = v
+          } else if (colorType == 3L) {
+            val idx = cur(px)
+            if (idx >= plteCount) { bad = true } // OOB index: forged pixel
+            else {
+              rr = bytes(plteOff + 3 * idx) & 0xff
+              gg = bytes(plteOff + 3 * idx + 1) & 0xff
+              bb = bytes(plteOff + 3 * idx + 2) & 0xff
+            }
+          } else {
+            rr = cur(px * bppI); gg = cur(px * bppI + 1)
+            bb = cur(px * bppI + 2)
+          }
+          if (!bad) {
+            sumR += rr; sumG += gg; sumB += bb
+            lum += 299L * rr + 587L * gg + 114L * bb
+            val v = (rr + gg + bb).toLong
+            sumRowV += gy * v
+            sumColV += (x0 + px.toLong * dx) * v
+            px += 1
+          }
+        }
+        System.arraycopy(cur, 0, prev, 0, sb)
+        r += 1
       }
-      var px = 0
-      while (px < w) {
-        val r = cur(px * bppI); val g = cur(px * bppI + 1)
-        val bl = cur(px * bppI + 2)
-        sumR += r; sumG += g; sumB += bl
-        lum += 299L * r + 587L * g + 114L * bl
-        px += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, sb)
-      y += 1
     }
+    if (ilace == 0) walkPass(0, 1, w.toInt, 0, 1, h.toInt)
+    else Adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) ((w - x0 + dx - 1) / dx).toInt else 0
+      val ph = if (h > y0) ((h - y0 + dy - 1) / dy).toInt else 0
+      walkPass(x0, dx, pw, y0, dy, ph)
+    }
+    if (bad || rp.toLong != rawLen) return Invalid
     val npx = w * h
     Decoded(valid = true, w, h, npx, sumR, sumG, sumB, lum / npx,
-      colorType, nIdat, idatLen)
+      colorType, nIdat, idatLen, sumRowV, sumColV, ilace.toLong)
   }
 }
 
-/** `graft_png_encode(bytes, width)`: payload RGB triplets → PNG stream
-  * (null when shorter than one pixel row). Width is a literal.
+/** `graft_png_encode(bytes, width, colorType, interlaced)`: payload
+  * samples → PNG stream (null when shorter than one pixel row). Width,
+  * color type (0 gray / 2 RGB / 3 palette), and the Adam7 flag are
+  * literals.
   */
-case class PngEncode(child: Expression, width: Int)
+case class PngEncode(child: Expression, width: Int, colorType: Int = 2,
+    interlaced: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -299,7 +434,8 @@ case class PngEncode(child: Expression, width: Int)
       s"graft_png_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    PngCodec.encode(input.asInstanceOf[Array[Byte]], width)
+    PngCodec.encode(input.asInstanceOf[Array[Byte]], width, colorType,
+      interlaced)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -324,7 +460,10 @@ case class PngDecode(child: Expression)
     StructField("mean_luma_milli", LongType, nullable = true),
     StructField("color_type", LongType, nullable = true),
     StructField("n_idat_chunks", LongType, nullable = true),
-    StructField("idat_bytes", LongType, nullable = true)))
+    StructField("idat_bytes", LongType, nullable = true),
+    StructField("sum_rowv", LongType, nullable = true),
+    StructField("sum_colv", LongType, nullable = true),
+    StructField("interlaced", LongType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -335,10 +474,11 @@ case class PngDecode(child: Expression)
     val d = PngCodec.decode(input.asInstanceOf[Array[Byte]])
     if (d.valid)
       InternalRow(true, d.width, d.height, d.nPixels, d.sumR, d.sumG,
-        d.sumB, d.meanLumaMilli, d.colorType, d.nIdatChunks, d.idatBytes)
+        d.sumB, d.meanLumaMilli, d.colorType, d.nIdatChunks, d.idatBytes,
+        d.sumRowV, d.sumColV, d.interlaced)
     else
       InternalRow(false, null, null, null, null, null, null, null,
-        null, null, null)
+        null, null, null, null, null, null)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -354,15 +494,21 @@ object PngNativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_png_encode",
       exprs => PngEncode(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        exprs(1).eval().asInstanceOf[Int],
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 2,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
+        else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_png_decode", exprs => PngDecode(exprs.head), "built-in")
   }
 
-  def pngEncode(spark: SparkSession, bytes: Column, width: Int): Column = {
+  def pngEncode(spark: SparkSession, bytes: Column, width: Int,
+      colorType: Int = 2, interlaced: Boolean = false): Column = {
     register(spark)
     call_function("graft_png_encode", bytes,
-      org.apache.spark.sql.functions.lit(width))
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(colorType),
+      org.apache.spark.sql.functions.lit(interlaced))
   }
 
   def pngDecode(spark: SparkSession, bytes: Column): Column = {

@@ -224,6 +224,105 @@ class PngCodecSpec extends SparkSpec {
     assert(!PngCodec.decode(withCritical).valid)
   }
 
+  test("palette and gray color types resolve per spec (E281)") {
+    val plte = new Array[Byte](768)
+    for (i <- 0 until 256) {
+      plte(3 * i) = PngCodec.palR(i).toByte
+      plte(3 * i + 1) = PngCodec.palG(i).toByte
+      plte(3 * i + 2) = PngCodec.palB(i).toByte
+    }
+    // hand-built 4x2 palette image, filter 0 rows — independent of encode
+    val idx = Array(3, 250, 12, 40, 7, 99, 200, 1)
+    val scan = Array[Byte](0, idx(0).toByte, idx(1).toByte, idx(2).toByte,
+      idx(3).toByte, 0, idx(4).toByte, idx(5).toByte, idx(6).toByte,
+      idx(7).toByte)
+    val d = PngCodec.decode(pngOf(4, 2, 3, scan, Seq(chunk("PLTE", plte))))
+    assert(d.valid && d.colorType === 3L)
+    assert(d.sumR === idx.map(PngCodec.palR(_).toLong).sum)
+    assert(d.sumG === idx.map(PngCodec.palG(_).toLong).sum)
+    assert(d.sumB === idx.map(PngCodec.palB(_).toLong).sum,
+      "palette pixels must resolve through the PLTE, not pass through")
+    // an index past the palette is a forged pixel — visible reject
+    val small3 = chunk("PLTE", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    assert(!PngCodec.decode(
+      pngOf(2, 1, 3, Array[Byte](0, 0, 3), Seq(small3))).valid)
+    // ...while the same wire with in-bounds indices decodes (sub-256
+    // palettes are spec-legal)
+    val okSmall = PngCodec.decode(
+      pngOf(2, 1, 3, Array[Byte](0, 0, 2), Seq(small3)))
+    assert(okSmall.valid && okSmall.sumR === 1L + 7L)
+    // PLTE is REQUIRED for color type 3 and FORBIDDEN for grayscale
+    assert(!PngCodec.decode(pngOf(2, 1, 3, Array[Byte](0, 0, 1))).valid)
+    assert(!PngCodec.decode(
+      pngOf(2, 1, 0, Array[Byte](0, 5, 9), Seq(chunk("PLTE", plte)))).valid)
+    // PLTE after IDAT is out of order (it defines pixel meaning)
+    val late = sig ++
+      chunk("IHDR", be32(2) ++ be32(1) ++ Array[Byte](8, 3, 0, 0, 0)) ++
+      {
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(Array[Byte](0, 0, 1)); defl.finish()
+        val o = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        while (!defl.finished()) o.write(b, 0, defl.deflate(b))
+        defl.end()
+        chunk("IDAT", o.toByteArray)
+      } ++ chunk("PLTE", plte) ++ chunk("IEND", Array.empty[Byte])
+    assert(!PngCodec.decode(late).valid)
+    // grayscale: one byte per pixel, r = g = b
+    val g = PngCodec.decode(pngOf(2, 1, 0, Array[Byte](0, 5, 9)))
+    assert(g.valid && g.colorType === 0L)
+    assert((g.sumR, g.sumG, g.sumB) === ((14L, 14L, 14L)))
+    assert(g.sumColV === 3L * 9L, "col weighting pins placement")
+    // encoder surface round-trips both types
+    val pay = (0 until 200).map(i => ((i * 37) % 256).toByte).toArray
+    val pd = PngCodec.decode(PngCodec.encode(pay, 40, colorType = 3))
+    assert(pd.valid &&
+      pd.sumR === pay.map(b => PngCodec.palR(b & 0xff).toLong).sum)
+    val gd = PngCodec.decode(PngCodec.encode(pay, 40, colorType = 0))
+    assert(gd.valid && gd.sumR === pay.map(b => (b & 0xff).toLong).sum)
+  }
+
+  test("Adam7 deinterlacing is the placement identity (E282)") {
+    val rng = new scala.util.Random(91)
+    val payload = Array.fill(3 * 6 * 23)((rng.nextInt(256) - 128).toByte)
+    val plain = PngCodec.decode(PngCodec.encode(payload, 6))
+    val ilaced = PngCodec.decode(
+      PngCodec.encode(payload, 6, colorType = 2, interlaced = true))
+    assert(ilaced.valid && ilaced.interlaced === 1L)
+    // the seven passes must recompose to the SAME image — sums AND the
+    // row/col-weighted placement stats (a mis-placed pass matches the
+    // former but not the latter)
+    assert((ilaced.width, ilaced.height, ilaced.nPixels) ===
+      ((plain.width, plain.height, plain.nPixels)))
+    assert((ilaced.sumR, ilaced.sumG, ilaced.sumB) ===
+      ((plain.sumR, plain.sumG, plain.sumB)))
+    assert(ilaced.meanLumaMilli === plain.meanLumaMilli)
+    assert((ilaced.sumRowV, ilaced.sumColV) ===
+      ((plain.sumRowV, plain.sumColV)),
+      "deinterlacing must place every pass pixel at its global (x, y)")
+    // palette composes with Adam7 on one wire
+    val idxPay = Array.fill(5 * 9)((rng.nextInt(256) - 128).toByte)
+    val pp = PngCodec.decode(PngCodec.encode(idxPay, 5, colorType = 3))
+    val pi = PngCodec.decode(
+      PngCodec.encode(idxPay, 5, colorType = 3, interlaced = true))
+    assert(pi.valid && (pi.sumRowV, pi.sumColV, pi.sumR) ===
+      ((pp.sumRowV, pp.sumColV, pp.sumR)))
+    // degenerate geometries: most passes EMPTY (omitted entirely per
+    // spec, not emitted as zero-size scanlines)
+    for ((w, h) <- Seq((1, 1), (2, 2), (1, 5), (8, 1))) {
+      val tiny = Array.fill(3 * w * h)((rng.nextInt(256) - 128).toByte)
+      val t = PngCodec.decode(
+        PngCodec.encode(tiny, w, colorType = 2, interlaced = true))
+      val tp = PngCodec.decode(PngCodec.encode(tiny, w))
+      assert(t.valid && t.nPixels === (w * h).toLong, s"($w, $h)")
+      assert((t.sumR, t.sumRowV, t.sumColV) ===
+        ((tp.sumR, tp.sumRowV, tp.sumColV)), s"($w, $h)")
+    }
+    // a truncated interlaced stream (one pass short) is visible
+    assert(!PngCodec.decode(PngCodec.encode(payload, 6, 2, true)
+      .dropRight(13)).valid)
+  }
+
   test("engine round trip on real documents matches raw-payload channel sums") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
