@@ -2068,6 +2068,35 @@ object SparkEntry {
           .repartition(col("asset_id"))
           .localCheckpoint())
     },
+    // G.711 mu-law (E283): WAVE format 7, one companded byte per sample,
+    // expanded to linear PCM by the public ITU-T segment formula (the
+    // telephony-lake wire). The oracle replays the exact expansion —
+    // complement, power-of-two segment table, bias 132 — per raw byte.
+    "q334_wav_ulaw" -> { (s, dir) =>
+      graft.ext.Multimodal.g711Stats(
+        graft.ext.Multimodal.encodeWav(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          fmt = 7)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("law"), col("n_samples"),
+          col("sum_s"), col("sum_abs"))
+    },
+    // G.711 A-law (E283): WAVE format 6 — xor 0x55, segment CASE, sign
+    // bit SET means positive; the format FIELD drives which expansion
+    // runs (one surface, both laws, like a real reader).
+    "q335_wav_alaw" -> { (s, dir) =>
+      graft.ext.Multimodal.g711Stats(
+        graft.ext.Multimodal.encodeWav(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          fmt = 6)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("law"), col("n_samples"),
+          col("sum_s"), col("sum_abs"))
+    },
     // Windowed PCM energy THROUGH the container (E213): q238's per-sample
     // decode walk driven by the parsed data-chunk offset.
     "q254_wav_energy" -> { (s, dir) =>
@@ -7032,6 +7061,59 @@ object SparkEntry {
         |       CAST(SUM(floor(diff*diff*1048576)) AS BIGINT) AS err_fp,
         |       CAST(MAX(floor(abs(diff)*1048576)) AS BIGINT) AS max_abs_err_fp
         |FROM e GROUP BY 1""".stripMargin,
+    // G.711 replays (q334/q335): the ITU-T expansion formulas verbatim
+    // over the raw payload bytes (truncated to the even data length the
+    // encoder writes) — shifts as power-of-two CASE tables, ~x as 255-x
+    "q334_wav_ulaw" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 150),
+        |g AS (SELECT asset_id, hex(p) AS h,
+        |        (octet_length(p) // 2) * 2 AS dl
+        |      FROM src WHERE octet_length(p) >= 2),
+        |b AS (SELECT asset_id,
+        |        255 - CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2))
+        |                   AS BIGINT) AS c
+        |      FROM (SELECT asset_id, h, unnest(range(0, dl)) AS i FROM g)),
+        |m AS (SELECT asset_id, c,
+        |        CASE ((c // 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2
+        |          WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32
+        |          WHEN 6 THEN 64 ELSE 128 END AS mul
+        |      FROM b),
+        |s AS (SELECT asset_id,
+        |        CASE WHEN c >= 128 THEN 132 - ((c % 16) * 8 + 132) * mul
+        |             ELSE ((c % 16) * 8 + 132) * mul - 132 END AS s
+        |      FROM m)
+        |SELECT asset_id, CAST(7 AS BIGINT) AS law,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(s) AS BIGINT) AS sum_s,
+        |       CAST(SUM(abs(s)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY asset_id""".stripMargin,
+    "q335_wav_alaw" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 150),
+        |g AS (SELECT asset_id, hex(p) AS h,
+        |        (octet_length(p) // 2) * 2 AS dl
+        |      FROM src WHERE octet_length(p) >= 2),
+        |b AS (SELECT asset_id,
+        |        xor(CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2))
+        |                 AS BIGINT), 85) AS a
+        |      FROM (SELECT asset_id, h, unnest(range(0, dl)) AS i FROM g)),
+        |t AS (SELECT asset_id, a,
+        |        CASE ((a // 16) % 8) WHEN 0 THEN (a % 16) * 16 + 8
+        |          WHEN 1 THEN (a % 16) * 16 + 264
+        |          ELSE ((a % 16) * 16 + 264) *
+        |            (CASE ((a // 16) % 8) WHEN 2 THEN 2 WHEN 3 THEN 4
+        |             WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32
+        |             ELSE 64 END) END AS mag
+        |      FROM b),
+        |s AS (SELECT asset_id,
+        |        CASE WHEN a // 128 = 1 THEN mag ELSE -mag END AS s
+        |      FROM t)
+        |SELECT asset_id, CAST(6 AS BIGINT) AS law,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(s) AS BIGINT) AS sum_s,
+        |       CAST(SUM(abs(s)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY asset_id""".stripMargin,
     "q253_wav_stats" ->
       s"""WITH ${wavOracleCtes(150)}
          |SELECT asset_id, ok AS is_valid,

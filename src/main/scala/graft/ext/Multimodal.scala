@@ -1849,8 +1849,15 @@ object Multimodal {
     * dropped (no sample to carry). One codegen'd projection, no UDF.
     */
   def encodeWav(
-      assets: DataFrame, channels: Int = 1, sampleRate: Int = 8000): DataFrame = {
+      assets: DataFrame, channels: Int = 1, sampleRate: Int = 8000,
+      fmt: Int = 1): DataFrame = {
     require(channels >= 1 && sampleRate >= 1, "bad wav params")
+    require(fmt == 1 || fmt == 6 || fmt == 7,
+      "fmt must be 1 (PCM16), 6 (A-law), or 7 (mu-law)")
+    // G.711 wires carry one byte per sample; PCM16 carries two. The
+    // payload is the data chunk verbatim (for 6/7 the bytes ARE the
+    // companded samples — the decode side does the real expansion).
+    val bytesPer = if (fmt == 1) 2 else 1
     val dlen = expr("(octet_length(bytes) div 2) * 2").cast("long")
     val hx = concat(
       lit("52494646"),                                  // "RIFF"
@@ -1858,12 +1865,12 @@ object Multimodal {
       lit("57415645"),                                  // "WAVE"
       lit("666D7420"),                                  // "fmt "
       le32(lit(16L)),                                   // fmt chunk size
-      le16(lit(1L)),                                    // audio format = PCM
+      le16(lit(fmt.toLong)),                            // audio format
       le16(lit(channels.toLong)),                       // channels
       le32(lit(sampleRate.toLong)),                     // sample rate
-      le32(lit(sampleRate.toLong * channels * 2)),      // byte rate
-      le16(lit(channels.toLong * 2)),                   // block align
-      le16(lit(16L)),                                   // bits per sample
+      le32(lit(sampleRate.toLong * channels * bytesPer)), // byte rate
+      le16(lit(channels.toLong * bytesPer)),            // block align
+      le16(lit(8L * bytesPer)),                         // bits per sample
       lit("64617461"),                                  // "data"
       le32(dlen),                                       // data size
       expr("substring(hex(bytes), 1, cast(2 * ((octet_length(bytes) div 2) * 2) as int))"))
@@ -1913,10 +1920,73 @@ object Multimodal {
       .withColumn("data_len",
         when(col("data_off").isNotNull, expr(u32c("data_off - 4"))))
       .withColumn("is_valid",
-        col("n") >= 44L && col("magic_ok") && col("audio_fmt") === 1L &&
-          col("bits") === 16L && col("channels") >= 1L &&
+        col("n") >= 44L && col("magic_ok") &&
+          ((col("audio_fmt") === 1L && col("bits") === 16L) ||
+            // G.711 (E283): format 6 = A-law, 7 = mu-law, 8-bit samples
+            ((col("audio_fmt") === 6L || col("audio_fmt") === 7L) &&
+              col("bits") === 8L)) &&
+          col("channels") >= 1L &&
           col("sample_rate") >= 1L && col("data_off").isNotNull &&
           col("n") >= col("data_off") + col("data_len"))
+  }
+
+  /** G.711 expansion stats (E283) — the telephony wire (WAVE formats 6
+    * A-law / 7 µ-law, one companded byte per sample) decoded to linear
+    * PCM by the PUBLIC ITU-T G.711 segment formulas and aggregated per
+    * asset. The FORMAT FIELD drives the expansion (one surface, both
+    * laws — what a real reader does); every step is integer CASE
+    * arithmetic (codegen'd, no UDF, and exactly replayable in oracle
+    * SQL — shifts become power-of-two multiply tables, ~x becomes
+    * 255 − x). PCM16 assets surface here as is_valid with law 1 and no
+    * sample rows; truncated data chunks are already invalid upstream.
+    *
+    * Scale: same shape as [[wavWindowEnergy]] — one container parse per
+    * asset, one explode of sample indices, map-side-combined aggregate.
+    */
+  def g711Stats(assets: DataFrame): DataFrame = {
+    val u = conv(
+      hex(expr("substring(bytes, cast(data_off + i + 1 as int), 1)")), 16, 10)
+      .cast("long")
+    wavHeader(assets)
+      .filter(col("is_valid") && col("audio_fmt").isin(6L, 7L))
+      .select(col("asset_id"), col("bytes"), col("audio_fmt"),
+        col("data_off"), col("data_len"))
+      // container walk / sample walk boundary (the q241/Janino lesson)
+      .localCheckpoint()
+      .filter(col("data_len") >= 1L)
+      .select(col("asset_id"), col("bytes"), col("audio_fmt"),
+        col("data_off"),
+        explode(expr("sequence(0L, data_len - 1)")).as("i"))
+      .withColumn("__u", u)
+      // mu-law, per the reference ulaw2linear: complement (255 - u),
+      // magnitude ((mant·8) + 132) · 2^exp, bias 132, sign from bit 7 of
+      // the complemented byte; shifts are power-of-two CASE tables so
+      // the same arithmetic replays verbatim in oracle SQL
+      .withColumn("__c", lit(255L) - col("__u"))
+      .withColumn("__m7", expr(
+        "CASE ((__c div 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+          "WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 " +
+          "WHEN 6 THEN 64 ELSE 128 END"))
+      // A-law, per the reference alaw2linear: xor 0x55, segment CASE,
+      // sign bit SET means positive
+      .withColumn("__a", expr("CAST(CAST(__u AS INT) ^ 85 AS BIGINT)"))
+      .withColumn("__t6", expr(
+        "CASE ((__a div 16) % 8) WHEN 0 THEN (__a % 16) * 16 + 8 " +
+          "WHEN 1 THEN (__a % 16) * 16 + 264 " +
+          "ELSE ((__a % 16) * 16 + 264) * " +
+          "(CASE ((__a div 16) % 8) WHEN 2 THEN 2 WHEN 3 THEN 4 " +
+          "WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 ELSE 64 END) END"))
+      .withColumn("s", expr(
+        "CASE WHEN audio_fmt = 7 THEN " +
+          "(CASE WHEN __c >= 128 THEN 132 - ((__c % 16) * 8 + 132) * __m7 " +
+          "ELSE ((__c % 16) * 8 + 132) * __m7 - 132 END) " +
+          "ELSE (CASE WHEN __a div 128 = 1 THEN __t6 ELSE -__t6 END) END"))
+      .groupBy(col("asset_id"), col("audio_fmt").as("law"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("s")).as("sum_s"),
+        sum(abs(col("s"))).as("sum_abs"))
+      .select(col("asset_id"), col("law"), col("n_samples"),
+        col("sum_s"), col("sum_abs"))
   }
 
   /** Decode WAV containers natively (E213): RIFF magic + "fmt " parse,
@@ -1934,9 +2004,11 @@ object Multimodal {
       col("asset_id"), col("is_valid"),
       when(col("is_valid"), col("channels")).as("channels"),
       when(col("is_valid"), col("sample_rate")).as("sample_rate"),
-      when(col("is_valid"), expr("data_len div (channels * 2)")).as("n_frames"),
       when(col("is_valid"),
-        expr("((data_len div (channels * 2)) * 1000) div sample_rate"))
+        expr("data_len div (channels * (bits div 8))")).as("n_frames"),
+      when(col("is_valid"),
+        expr("((data_len div (channels * (bits div 8))) * 1000) " +
+          "div sample_rate"))
         .as("duration_ms"))
 
   /** Windowed Σv² energy over a WAV's located data chunk (E213) — the

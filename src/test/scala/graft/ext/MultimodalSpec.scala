@@ -376,6 +376,54 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("G.711 expansion (E283): reference vectors and full-table sums") {
+    import spark.implicits._
+    // reference implementations straight from the public ITU-T G.711 /
+    // CCITT formulas — independent of the engine's SQL arithmetic
+    def ulaw2linear(b0: Int): Int = {
+      val c = ~b0 & 0xff
+      val t = (((c & 0x0f) << 3) + 0x84) << ((c & 0x70) >> 4)
+      if ((c & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    def alaw2linear(b0: Int): Int = {
+      val a = b0 ^ 0x55
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0x0f) << 4
+      if (seg == 0) t += 8
+      else if (seg == 1) t += 0x108
+      else t = (t + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) t else -t
+    }
+    // the canonical extreme vectors
+    assert(ulaw2linear(0x00) === -32124 && ulaw2linear(0x80) === 32124)
+    assert(ulaw2linear(0xff) === 0 && ulaw2linear(0x7f) === 0)
+    assert(alaw2linear(0x2a) === -32256 && alaw2linear(0xaa) === 32256)
+    assert(alaw2linear(0x55) === -8 && alaw2linear(0xd5) === 8)
+    // every byte value once: the engine's CASE arithmetic must match the
+    // reference over the FULL companded domain, not just spot values
+    val all = Array.tabulate(256)(_.toByte)
+    val assets = Seq((1L, all)).toDF("asset_id", "bytes")
+      .withColumn("kind", org.apache.spark.sql.functions.lit("audio"))
+    for ((fmt, ref) <- Seq((7, ulaw2linear _), (6, alaw2linear _))) {
+      val r = Multimodal.g711Stats(
+        Multimodal.encodeWav(assets, fmt = fmt)).collect().head
+      assert(r.getAs[Long]("law") === fmt.toLong)
+      assert(r.getAs[Long]("n_samples") === 256L)
+      assert(r.getAs[Long]("sum_s") ===
+        (0 until 256).map(ref(_).toLong).sum, s"fmt=$fmt signed sum")
+      assert(r.getAs[Long]("sum_abs") ===
+        (0 until 256).map(b0 => math.abs(ref(b0)).toLong).sum,
+        s"fmt=$fmt magnitude sum")
+    }
+    // PCM16 containers don't reach the G.711 surface; G.711 containers
+    // are valid WAVs (format field drives the split)
+    assert(Multimodal.g711Stats(Multimodal.encodeWav(assets)).count() === 0L)
+    val v = Multimodal.wavStats(
+      Multimodal.encodeWav(assets, fmt = 7)).collect().head
+    assert(v.getAs[Boolean]("is_valid"),
+      "a mu-law WAV must not false-invalidate the container surface")
+  }
+
   test("warcTextExtracts: 200s only, markup stripped, tokens counted") {
     import spark.implicits._
     // 6 slices of 32 bytes: slice 3 is the fixture 404 and must be
