@@ -3201,6 +3201,24 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"),
           col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
     },
+    // TILED TIFF (E284): the big-image layout (GeoTIFF / scanner walls)
+    // — 16x16 tiles on the LZW + Predictor 2 wire, edge tiles PADDED to
+    // full size (decoded, never counted), the predictor reset per TILE
+    // row. The pixel stats and the row-weighted placement sum match the
+    // strip wires' values; n_strips counts tiles (3 across x ceil(h/16)
+    // down), pinning the grid walk.
+    "q336_tiff_tiled" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 40, lzw = true, predictor2 = true, tiled = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
+    },
     // TIFF over the OTHER wire (E252): big-endian ("MM") byte order AND
     // PackBits compression restarted at every row — q298 hash-matches
     // q297's oracle VERBATIM (byte order and compression change the
@@ -4501,6 +4519,31 @@ object SparkEntry {
     * 40-byte rows, strips of 4 rows, sum_rowv = Σ (i DIV 40)·v.
     */
   private def tiffOracleSql: String = tiffOracleSqlFor("WHERE doc_id < 140")
+
+  /** Tiled-TIFF replay (q336): identical pixel arithmetic to the strip
+    * oracle — tiling changes the wire layout, never the pixels — except
+    * n_strips, which counts the 16×16 tile grid (⌈40/16⌉ across ×
+    * ⌈h/16⌉ down). The padded edge tiles contribute nothing.
+    */
+  private def tiffTiledOracleSql: String =
+    s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+         |             FROM documents WHERE doc_id < 140),
+         |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+         |      FROM src WHERE octet_length(p) // 40 >= 1
+         |        AND octet_length(p) <= 16777216),
+         |bv AS (SELECT asset_id, hgt, i // 40 AS r,
+         |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+         |           AS v
+         |       FROM (SELECT asset_id, hgt, h,
+         |               unnest(range(0, hgt * 40)) AS i FROM g))
+         |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+         |       CAST(hgt AS BIGINT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |       CAST(SUM(v) AS BIGINT) AS sum_v,
+         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+         |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
+         |       CAST(3 * ((hgt + 15) // 16) AS BIGINT) AS n_strips
+         |FROM bv GROUP BY asset_id, hgt""".stripMargin
 
   private def tiffOracleSqlFor(where: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
@@ -6044,6 +6087,7 @@ object SparkEntry {
     "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,
     "q298_tiff_packbits" -> tiffOracleSql,
+    "q336_tiff_tiled" -> tiffTiledOracleSql,
     "q304_tiff_lzw" -> tiffOracleSql,
     // q308: the Predictor-2 wire differences rows ahead of LZW and the
     // decoder undoes it — four wires, one pixel identity, one oracle

@@ -1279,7 +1279,8 @@ object Multimodal {
   def encodeTiff(assets: DataFrame, width: Int = 40,
       bigEndian: Boolean = false, packBits: Boolean = false,
       lzw: Boolean = false, pageHeight: Int = 0,
-      predictor2: Boolean = false, fillOrder2: Boolean = false): DataFrame = {
+      predictor2: Boolean = false, fillOrder2: Boolean = false,
+      tiled: Boolean = false): DataFrame = {
     require(width >= 1, "width must be positive")
     val spark = assets.sparkSession
     assets
@@ -1292,7 +1293,7 @@ object Multimodal {
       .withColumn("bytes",
         graft.functions.TiffNativeFunctions.tiffEncode(spark, col("bytes"),
           width, bigEndian, packBits, lzw, pageHeight, predictor2,
-          fillOrder2))
+          fillOrder2, tiled))
   }
 
   /** Decode TIFF assets natively (E252): strict header + IFD walk (both

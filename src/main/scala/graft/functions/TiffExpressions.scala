@@ -85,16 +85,21 @@ object TiffCodec {
     * through the IFD next pointers (the scanner-archive shape). Null
     * when no full row/page fits or the geometry exceeds the pixel cap.
     */
+  /** Fixture tile geometry (E284): the spec's minimum legal tile. */
+  val TileW = 16
+  val TileH = 16
+
   def encodeTiff(payload: Array[Byte], width: Int, bigEndian: Boolean,
       packBits: Boolean, lzw: Boolean = false,
       pageHeight: Int = 0, predictor2: Boolean = false,
-      fillOrder2: Boolean = false): Array[Byte] = {
+      fillOrder2: Boolean = false, tiled: Boolean = false): Array[Byte] = {
     require(width >= 1, "width must be positive")
     require(!(packBits && lzw), "choose one compression")
     require(pageHeight >= 0, "pageHeight must be non-negative")
     require(!predictor2 || lzw, "Predictor 2 rides the LZW path (spec 14)")
     require(!fillOrder2 || lzw,
       "FillOrder 2 only changes a BIT stream — the LZW wire")
+    require(!(tiled && packBits), "the tiled fixture wires are raw or LZW")
     val paged = pageHeight > 0
     val h = if (paged) pageHeight else payload.length / width
     if (h < 1) return null
@@ -127,11 +132,71 @@ object TiffCodec {
         d
       }
 
+    // tile grid (E284): padded tw×tl rectangles, tiles across then down
+    val tAcross = (width + TileW - 1) / TileW
+    val tDown = (h + TileH - 1) / TileH
+    val nChunks = if (tiled) tAcross * tDown else nStrips
+
     // ---- strip data per page (PackBits restarts at every ROW, LZW at
     // every STRIP, per the spec) ----
     val pages = new Array[Array[Array[Byte]]](nPages)
     var pg = 0
     while (pg < nPages) {
+      if (tiled) {
+        // each tile is built PADDED (edge overhang zero-filled — its
+        // content is spec-irrelevant), predictor-differenced per TILE
+        // row, and LZW'd per tile
+        val base = pg * pageBytes
+        val tiles = new Array[Array[Byte]](nChunks)
+        var t = 0
+        while (t < nChunks) {
+          val ty = t / tAcross
+          val tx = t % tAcross
+          val buf = new Array[Byte](TileW * TileH)
+          var r = 0
+          while (r < TileH) {
+            val gy = ty * TileH + r
+            var c = 0
+            while (c < TileW) {
+              val gx = tx * TileW + c
+              buf(r * TileW + c) =
+                if (gx < width && gy < h) payload(base + gy * width + gx)
+                else 0
+              c += 1
+            }
+            r += 1
+          }
+          val d =
+            if (!predictor2) buf
+            else {
+              val o = new Array[Byte](buf.length)
+              var i = 0
+              while (i < buf.length) {
+                o(i) =
+                  if (i % TileW == 0) buf(i)
+                  else ((buf(i) - buf(i - 1)) & 0xff).toByte
+                i += 1
+              }
+              o
+            }
+          tiles(t) =
+            if (!lzw) d
+            else {
+              val enc = lzwEncode(d, 0, d.length)
+              if (fillOrder2) {
+                var k = 0
+                while (k < enc.length) {
+                  enc(k) = BitReverse(enc(k) & 0xff).toByte
+                  k += 1
+                }
+              }
+              enc
+            }
+          t += 1
+        }
+        pages(pg) = tiles
+        pg += 1
+      } else {
       val strips = new Array[Array[Byte]](nStrips)
       val base = pg * pageBytes
       var s = 0
@@ -167,15 +232,17 @@ object TiffCodec {
       }
       pages(pg) = strips
       pg += 1
+      }
     }
 
-    // ---- layout: header, then per page [strips][IFD][ext areas],
+    // ---- layout: header, then per page [chunks][IFD][ext areas],
     // IFDs chained through their next pointers ----
-    val nEntries = 12 + (if (predictor2) 1 else 0) + (if (fillOrder2) 1 else 0)
+    val nEntries = (if (tiled) 13 else 12) +
+      (if (predictor2) 1 else 0) + (if (fillOrder2) 1 else 0)
     val ifdSize = 2 + nEntries * 12 + 4
-    // external areas per page: strip arrays only when external (> 1
-    // strip), plus the two RATIONAL resolutions
-    val extSize = (if (nStrips > 1) 8 * nStrips else 0) + 16
+    // external areas per page: chunk arrays only when external (> 1
+    // chunk), plus the two RATIONAL resolutions
+    val extSize = (if (nChunks > 1) 8 * nChunks else 0) + 16
     val stripsStart = new Array[Long](nPages)
     val ifdAt = new Array[Long](nPages)
     var off = 8L
@@ -256,14 +323,22 @@ object TiffCodec {
         if (lzw) 5 else if (packBits) 32773 else 1)
       entryShort(262, 1)                            // Photometric: BlackIsZero
       if (fillOrder2) entryShort(266, 2)            // FillOrder: reversed
-      entryLongArray(273, offsets)                  // StripOffsets
+      if (!tiled) entryLongArray(273, offsets)      // StripOffsets
       entryShort(277, 1)                            // SamplesPerPixel
-      entryLong(278, RowsPerStrip.toLong)           // RowsPerStrip
-      entryLongArray(279, stripBytes.map(_.toLong)) // StripByteCounts
+      if (!tiled) {
+        entryLong(278, RowsPerStrip.toLong)         // RowsPerStrip
+        entryLongArray(279, stripBytes.map(_.toLong)) // StripByteCounts
+      }
       entryRational(282, 72, 1)                     // XResolution
       entryRational(283, 72, 1)                     // YResolution
       entryShort(296, 2)                            // ResolutionUnit: inch
       if (predictor2) entryShort(317, 2)            // Predictor: horizontal
+      if (tiled) {
+        entryLong(322, TileW.toLong)                // TileWidth
+        entryLong(323, TileH.toLong)                // TileLength
+        entryLongArray(324, offsets)                // TileOffsets
+        entryLongArray(325, stripBytes.map(_.toLong)) // TileByteCounts
+      }
       u32(if (pg + 1 < nPages) ifdAt(pg + 1) else 0L) // the chain pointer
       out.write(ext.toByteArray)
       pg += 1
@@ -446,6 +521,10 @@ object TiffCodec {
     var yresOk = false
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
+    var tileW = -1L
+    var tileL = -1L
+    var tileOffsets: Array[Long] = null
+    var tileCounts: Array[Long] = null
     var prevTag = -1
     var e = 0
     while (e < nEntries) {
@@ -541,6 +620,20 @@ object TiffCodec {
         case 317 =>
           if (typ != 3) return Invalid
           predictor = scalar
+        case 322 => // TileWidth (E284)
+          if (typ != 3 && typ != 4) return Invalid
+          tileW = scalar
+        case 323 => // TileLength
+          if (typ != 3 && typ != 4) return Invalid
+          tileL = scalar
+        case 324 => // TileOffsets
+          if (typ != 3 && typ != 4) return Invalid
+          tileOffsets = longArray
+          if (tileOffsets == null) return Invalid
+        case 325 => // TileByteCounts
+          if (typ != 3 && typ != 4) return Invalid
+          tileCounts = longArray
+          if (tileCounts == null) return Invalid
         case _ => () // unknown tags are spec-legal, skipped
       }
       e += 1
@@ -552,8 +645,25 @@ object TiffCodec {
     if (compression != 1 && compression != 5 && compression != 32773)
       return Invalid
     if (photometric != 0 && photometric != 1) return Invalid
-    if (rps < 1 || !xresOk || !yresOk) return Invalid
+    if (!xresOk || !yresOk) return Invalid
     if (resUnit != 1 && resUnit != 2 && resUnit != 3) return Invalid
+    // layout family (TIFF 6.0 §15): STRIPS (273/278/279) or TILES
+    // (322-325), exactly one — a file carrying both is forged, and a
+    // partial tile set is malformed, not "strips by default"
+    val tiled = tileW != -1L || tileL != -1L || tileOffsets != null ||
+      tileCounts != null
+    if (tiled) {
+      if (tileW == -1L || tileL == -1L || tileOffsets == null ||
+        tileCounts == null) return Invalid
+      if (stripOffsets != null || stripCounts != null || rps != -1L)
+        return Invalid
+      // tile dims must be multiples of 16 (the spec's own rule)
+      if (tileW < 16 || tileL < 16 || tileW % 16 != 0 || tileL % 16 != 0)
+        return Invalid
+      if (tileW > MaxPixels || tileL > MaxPixels) return Invalid
+    } else {
+      if (rps < 1) return Invalid
+    }
     // Predictor (tag 317): 1 = none, 2 = horizontal differencing — the
     // dominant real LZW-TIFF wire (spec 14 defines it on the LZW path);
     // anything else, or 2 outside LZW, rejects visibly
@@ -567,7 +677,8 @@ object TiffCodec {
     if (fillOrder != -1 && fillOrder != 1 && fillOrder != 2) return Invalid
     if (fillOrder == 2 && compression != 5) return Invalid
     val rev2 = fillOrder == 2
-    if (stripOffsets == null || stripCounts == null) return Invalid
+    if (!tiled && (stripOffsets == null || stripCounts == null))
+      return Invalid
     // every page of an archive shares one geometry (the scanner
     // discipline, and what keeps the stats schema meaningful)
     if (nPages == 0) { pageW = width; pageH = height }
@@ -577,26 +688,61 @@ object TiffCodec {
     // the cumulative cap
     if (width > MaxPixels || height > MaxPixels) return Invalid
     if (totPixels + width * height > MaxPixels) return Invalid // cumulative
-    val nStrips = ((height + rps - 1) / rps).toInt
-    if (stripOffsets.length != nStrips ||
-      stripCounts.length != nStrips) return Invalid
+    val tAcross = if (tiled) (width + tileW - 1) / tileW else 0L
+    val tDown = if (tiled) (height + tileL - 1) / tileL else 0L
+    // a tile is decoded PADDED (tw·tl pixels even at the edges), so the
+    // per-chunk pixel budget needs its own cumulative cap
+    if (tiled && tAcross * tDown * tileW * tileL > MaxPixels.toLong * 2)
+      return Invalid
+    val nStrips =
+      if (tiled) (tAcross * tDown).toInt
+      else ((height + rps - 1) / rps).toInt
+    val chunkOffsets = if (tiled) tileOffsets else stripOffsets
+    val chunkCounts = if (tiled) tileCounts else stripCounts
+    if (chunkOffsets.length != nStrips ||
+      chunkCounts.length != nStrips) return Invalid
 
-    // ---- strip decode straight into running sums ----
-    val w = width.toInt
+    // ---- chunk decode (strips, or E284 tiles) into running sums: each
+    // chunk is a cW-wide rectangle at page-local (cX, cLy); tile-edge
+    // padding pixels are decoded (the wire carries them) but land
+    // outside (width, height) and are never counted ----
     var s = 0
     while (s < nStrips) {
-      val rows = math.min(rps, height - s * rps)
-      val expect = rows * width
-      val off = stripOffsets(s)
-      val len = stripCounts(s)
+      var cW = 0L
+      var cLy = 0L
+      var cX = 0L
+      var expect = 0L
+      if (tiled) {
+        val ty = s / tAcross.toInt
+        val tx = s % tAcross.toInt
+        cW = tileW
+        cLy = ty * tileL
+        cX = tx * tileW
+        expect = tileW * tileL
+      } else {
+        val rows = math.min(rps, height - s * rps)
+        cW = width
+        cLy = s * rps
+        expect = rows * width
+      }
+      var emitted = 0L
+      @inline def accPx(v: Int): Unit = {
+        val gx = cX + emitted % cW
+        val ly = cLy + emitted / cW
+        if (gx < width && ly < height) {
+          sumV += v
+          sumRowV += (row + ly) * v
+        }
+        emitted += 1
+      }
+      val off = chunkOffsets(s)
+      val len = chunkCounts(s)
       if (off < 8 || len < 0 || off + len > n) return Invalid
       if (compression == 1) {
         if (len != expect) return Invalid
         var i = 0L
         while (i < len) {
-          val v = bytes((off + i).toInt) & 0xff
-          sumV += v
-          sumRowV += (row + i / w) * v
+          accPx(bytes((off + i).toInt) & 0xff)
           i += 1
         }
       } else if (compression == 5) {
@@ -625,11 +771,10 @@ object TiffCodec {
         var nbits = 0
         var p = off
         val end = off + len
-        var emitted = 0L
         var ended = false
         // Predictor-2 undo state: the running left-neighbor value,
-        // reset at every row start (column 0). Strips hold whole rows,
-        // so the per-strip variable is fresh exactly when it must be.
+        // reset at every row start (column 0 of the CHUNK — a strip row
+        // spans the image, a tile row spans the tile, both per spec).
         var predAcc = 0
         val stack = new Array[Int](4097)
         def nextCodeBits(): Int = {
@@ -655,12 +800,10 @@ object TiffCodec {
             var v = stack(top)
             if (pred2) {
               // horizontal differencing undo: one add per pixel, mod 256
-              predAcc = if (emitted % w == 0) v else (predAcc + v) & 0xff
+              predAcc = if (emitted % cW == 0) v else (predAcc + v) & 0xff
               v = predAcc
             }
-            sumV += v
-            sumRowV += (row + emitted / w) * v
-            emitted += 1
+            accPx(v)
           }
           true
         }
@@ -709,7 +852,6 @@ object TiffCodec {
         // header 129..255 = next byte repeats 257-h times; 128 is a noop
         var p = off
         val end = off + len
-        var emitted = 0L
         while (p < end) {
           val hByte = bytes(p.toInt) & 0xff
           p += 1
@@ -719,10 +861,7 @@ object TiffCodec {
             if (p + cnt > end || emitted + cnt > expect) return Invalid
             var i = 0
             while (i < cnt) {
-              val v = bytes((p + i).toInt) & 0xff
-              sumV += v
-              sumRowV += (row + emitted / w) * v
-              emitted += 1
+              accPx(bytes((p + i).toInt) & 0xff)
               i += 1
             }
             p += cnt
@@ -733,18 +872,16 @@ object TiffCodec {
             p += 1
             var i = 0
             while (i < cnt) {
-              sumRowV += (row + emitted / w) * v
-              emitted += 1
+              accPx(v)
               i += 1
             }
-            sumV += cnt.toLong * v
           }
         }
-        if (emitted != expect) return Invalid // strip under/overfill
+        if (emitted != expect) return Invalid // chunk under/overfill
       }
-      row += rows
       s += 1
     }
+    row += height
     totPixels += width * height
     totStrips += nStrips
     nPages += 1
@@ -762,7 +899,8 @@ object TiffCodec {
   */
 case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
     packBits: Boolean, lzw: Boolean = false, pageHeight: Int = 0,
-    predictor2: Boolean = false, fillOrder2: Boolean = false)
+    predictor2: Boolean = false, fillOrder2: Boolean = false,
+    tiled: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -776,7 +914,7 @@ case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TiffCodec.encodeTiff(input.asInstanceOf[Array[Byte]], width, bigEndian,
-      packBits, lzw, pageHeight, predictor2, fillOrder2)
+      packBits, lzw, pageHeight, predictor2, fillOrder2, tiled)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -833,6 +971,8 @@ object TiffNativeFunctions {
         if (exprs.length > 6) exprs(6).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 7) exprs(7).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 8) exprs(8).eval().asInstanceOf[Boolean]
         else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -842,7 +982,8 @@ object TiffNativeFunctions {
   def tiffEncode(spark: SparkSession, bytes: Column, width: Int,
       bigEndian: Boolean, packBits: Boolean,
       lzw: Boolean = false, pageHeight: Int = 0,
-      predictor2: Boolean = false, fillOrder2: Boolean = false): Column = {
+      predictor2: Boolean = false, fillOrder2: Boolean = false,
+      tiled: Boolean = false): Column = {
     register(spark)
     call_function("graft_tiff_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
@@ -851,7 +992,8 @@ object TiffNativeFunctions {
       org.apache.spark.sql.functions.lit(lzw),
       org.apache.spark.sql.functions.lit(pageHeight),
       org.apache.spark.sql.functions.lit(predictor2),
-      org.apache.spark.sql.functions.lit(fillOrder2))
+      org.apache.spark.sql.functions.lit(fillOrder2),
+      org.apache.spark.sql.functions.lit(tiled))
   }
 
   def tiffDecode(spark: SparkSession, bytes: Column): Column = {

@@ -297,6 +297,72 @@ class TiffCodecSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("tiled layout (E284): padded 16x16 grid is the strip identity") {
+    // width 40, 37 rows: 3 tiles across (last 8 cols padded), 3 down
+    // (last 5 rows padded) — the edge-overhang case everywhere
+    val payload = fixture(40 * 37 + 21, 9)
+    val (sv, srv) = expected(payload, 40)
+    for ((lzw, pred) <- Seq((false, false), (true, false), (true, true));
+        big <- Seq(false, true)) {
+      val tiff = TiffCodec.encodeTiff(payload, 40, big, packBits = false,
+        lzw = lzw, predictor2 = pred, tiled = true)
+      assert(tiff !== null)
+      val d = TiffCodec.decodeTiff(tiff)
+      assert(d.valid, s"lzw=$lzw pred=$pred big=$big")
+      assert((d.width, d.height, d.nPixels) === ((40L, 37L, 1480L)))
+      assert(d.nStrips === 9L, "n_strips counts the 3x3 tile grid")
+      assert((d.sumV, d.sumRowV) === ((sv, srv)),
+        s"lzw=$lzw pred=$pred big=$big: padded edge tiles must decode " +
+          "but never count, and the predictor must reset per TILE row")
+    }
+    // geometry where one tile is almost all padding: 20 wide, 5 rows
+    val tiny = fixture(100, 10)
+    val (tsv, tsrv) = expected(tiny, 20)
+    val td = TiffCodec.decodeTiff(
+      TiffCodec.encodeTiff(tiny, 20, bigEndian = false, packBits = false,
+        tiled = true))
+    assert(td.valid && td.nStrips === 2L && td.nPixels === 100L)
+    assert((td.sumV, td.sumRowV) === ((tsv, tsrv)))
+    // a TileLength that is not a multiple of 16 is a spec violation —
+    // patch the 323 entry's value (LE wire: tag bytes 0x43 0x01, type 4)
+    val wire = TiffCodec.encodeTiff(payload, 40, bigEndian = false,
+      packBits = false, tiled = true)
+    var at = -1
+    var i = 8
+    while (at < 0 && i + 12 <= wire.length) {
+      if ((wire(i) & 0xff) == 0x43 && (wire(i + 1) & 0xff) == 0x01 &&
+        (wire(i + 2) & 0xff) == 4 && (wire(i + 3) & 0xff) == 0) at = i
+      i += 1
+    }
+    assert(at > 0, "TileLength entry must be on the wire")
+    val badTl = wire.clone()
+    badTl(at + 8) = 20 // 16 -> 20
+    assert(!TiffCodec.decodeTiff(badTl).valid,
+      "tile dims must be multiples of 16 per the spec")
+    // a PARTIAL tile family must not fall back to strips: rename the
+    // LAST tile tag (325 TileByteCounts) to an unknown tag — the order
+    // stays ascending, so the reject is the family audit, nothing else
+    val no325 = wire.clone()
+    var at325 = -1
+    i = 8
+    while (at325 < 0 && i + 12 <= no325.length) {
+      if ((no325(i) & 0xff) == 0x45 && (no325(i + 1) & 0xff) == 0x01 &&
+        (no325(i + 2) & 0xff) == 4) at325 = i
+      i += 1
+    }
+    assert(at325 > 0)
+    no325(at325) = 0x50 // tag 325 -> 336 (unknown, still ascending)
+    assert(!TiffCodec.decodeTiff(no325).valid,
+      "a partial tile tag set is malformed, not strips-by-default")
+    // truncation dies visibly on the tiled wire too
+    assert(!TiffCodec.decodeTiff(wire.dropRight(3)).valid)
+    // multi-page tiled archives chain like strip pages
+    val paged = TiffCodec.encodeTiff(fixture(40 * 32 * 3 + 5, 11), 40,
+      bigEndian = false, packBits = false, pageHeight = 32, tiled = true)
+    val pd = TiffCodec.decodeTiff(paged)
+    assert(pd.valid && pd.nPages === 3L && pd.nStrips === 18L)
+  }
+
   test("FillOrder (tag 266): 1 default, 2 un-reversed on LZW, else reject") {
     val payload = fixture(40 * 6, 33)
     val (sv, srv) = expected(payload, 40)
