@@ -2329,6 +2329,36 @@ object SparkEntry {
           col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
           col("sum_colv"), col("interlaced"))
     },
+    // 16-BIT GRAYSCALE PNG (E285): the science/photography width —
+    // big-endian sample pairs, filters on the 2-byte stride per spec.
+    // The oracle reads each sample as 256*hi + lo off the raw payload.
+    "q338_png_gray16" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 20, colorType = 0, depth = 16)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"),
+          col("mean_luma_milli"), col("sum_rowv"), col("sum_colv"))
+    },
+    // GRAY+ALPHA PNG (E285): color type 4 — the gray sample carries the
+    // stats, alpha is coverage (the RGBA stance); filters on the
+    // 2-byte stride.
+    "q339_png_graya" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 20, colorType = 4)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"),
+          col("mean_luma_milli"), col("sum_rowv"), col("sum_colv"))
+    },
     // Fingerprint band join over the WHOLE corpus (E221/E230's scale
     // twin): identical semantics to q263 but with no doc_id cap, so
     // ScaleBench can fit its growth exponent on replicated corpora. The
@@ -2858,6 +2888,20 @@ object SparkEntry {
         .select(col("asset_id"), col("member_idx"), col("name"),
           col("size"), col("member_sum"), col("data_offset"),
           col("comp_size"), col("method"))
+    },
+    // ZIP shard INGEST (E280's composition): the q330 member fan-out
+    // composed with the text pipeline on the DEFLATE wire — the zip
+    // twin of q322, same samples (q322's oracle arithmetic, zip names).
+    "q337_zip_ingest" -> { (s, dir) =>
+      graft.ext.Multimodal.zipTextIngest(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, deflate = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("member_idx"), col("name"),
+          col("clean_hash"), col("clean_len"), col("n_tokens"))
     },
     // ZIP64 (E275): the zip64-always wire — sentinel sizes/offsets
     // resolved through 0x0001 extras, the EOCD diverted through the
@@ -5985,6 +6029,48 @@ object SparkEntry {
         |       CAST(SUM(y * 3 * v) AS BIGINT) AS sum_rowv,
         |       CAST(SUM(x * 3 * v) AS BIGINT) AS sum_colv
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // 16-bit gray replay (q338): sample i = 256·b[2i] + b[2i+1]
+    // (big-endian pairs), 20 samples per row
+    "q338_png_gray16" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 20 AS y, i % 20 AS x,
+        |        256 * CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2))
+        |                   AS BIGINT)
+        |        + CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2))
+        |               AS BIGINT) AS u
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 20)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(20 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(u) AS BIGINT) AS sum_r,
+        |       CAST(SUM(1000 * u) // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * 3 * u) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * 3 * u) AS BIGINT) AS sum_colv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // gray+alpha replay (q339): the gray byte is the EVEN byte of each
+    // (gray, alpha) pair; alpha never reaches the stats
+    "q339_png_graya" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 20 AS y, i % 20 AS x,
+        |        CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2)) AS BIGINT)
+        |          AS u
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 20)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(20 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(u) AS BIGINT) AS sum_r,
+        |       CAST(SUM(1000 * u) // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * 3 * u) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * 3 * u) AS BIGINT) AS sum_colv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
     // Adam7 replay (q333): channel sums are q268's; the row/col-weighted
     // sums read pixel (x, y) straight off the RASTER payload — the
     // deinterlaced identity a mis-placed pass cannot fake
@@ -6145,6 +6231,7 @@ object SparkEntry {
     // q322: shard-to-samples ingest — members re-cleaned from raw text
     // slices with the q149 regex chain
     "q322_tar_ingest" -> tarIngestOracleSql,
+    "q337_zip_ingest" -> tarIngestOracleSql,
     "q292_warc_http_records" -> warcHttpRecordsOracleSql,
     "q293_warc_scale" -> warcOracleSqlFor(""),
     // q288/q289 share one oracle verbatim: per-record gzip changes the

@@ -640,15 +640,18 @@ object Multimodal {
     * is checked on the cheap input length (the [[encodeQoi]] discipline).
     */
   def encodePng(assets: DataFrame, width: Int = 6, colorType: Int = 2,
-      interlaced: Boolean = false): DataFrame = {
+      interlaced: Boolean = false, depth: Int = 8): DataFrame = {
     require(width >= 1, "width must be positive")
-    val bpp = if (colorType == 2) 3 else 1
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case _ => 2
+    }
+    val bpp = channels * (depth / 8)
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= bpp * width)
       .withColumn("bytes",
         graft.functions.PngNativeFunctions.pngEncode(spark, col("bytes"),
-          width, colorType, interlaced))
+          width, colorType, interlaced, depth))
   }
 
   /** Decode PNG assets natively (E226): CRC-verified chunk walk, IDAT
@@ -1151,6 +1154,25 @@ object Multimodal {
         col("m.member_sum").as("member_sum"), col("m.bytes").as("bytes"),
         col("m.data_offset").as("data_offset"),
         col("m.comp_size").as("comp_size"), col("m.method").as("method"))
+  }
+
+  /** ZIP shard INGEST (E280's composition): the [[zipMembers]] fan-out
+    * composed with the text pipeline — demux + inflate + extract +
+    * markup-strip + tokenize in ONE pass over the zip wire, one sample
+    * row per member. The zip twin of [[tarTextIngest]] (dataset dumps
+    * ship as zip at least as often as tar).
+    */
+  def zipTextIngest(assets: DataFrame): DataFrame = {
+    val clean = TextAnalysis.cleanMarkup(col("bytes").cast("string"))
+    zipMembers(assets)
+      .select(col("asset_id"), col("member_idx"), col("name"),
+        clean.as("text_clean"))
+      .select(col("asset_id"), col("member_idx"), col("name"),
+        md5(col("text_clean")).as("clean_hash"),
+        length(col("text_clean")).cast("long").as("clean_len"),
+        when(col("text_clean") === "", 0L)
+          .otherwise(size(split(col("text_clean"), " ")).cast("long"))
+          .as("n_tokens"))
   }
 
   /** Encode each asset's payload bytes as the color indices of a GIF89a

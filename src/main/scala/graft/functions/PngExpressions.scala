@@ -61,23 +61,36 @@ object PngCodec {
   @inline def palG(i: Int): Int = 255 - i
   @inline def palB(i: Int): Int = (7 * i) % 256
 
-  /** Encode the payload as an 8-bit PNG of the given `colorType`:
+  /** Encode the payload as a PNG of the given `colorType` and `depth`:
     * 2 (truecolor — payload is raw RGB triplets, `h = len/(3·width)`),
     * 3 (palette — payload bytes are indices into the 256-entry fixture
-    * PLTE, `h = len/width`), or 0 (grayscale — payload bytes are the
-    * samples, `h = len/width`). Row filter types CYCLE `y mod 5`
+    * PLTE, `h = len/width`), 0 (grayscale — payload bytes are the
+    * samples, `h = len/width`; at depth 16 they are BIG-ENDIAN sample
+    * pairs, `h = len/(2·width)`), or 4 (gray+alpha — interleaved
+    * (gray, alpha) byte pairs). Row filter types CYCLE `y mod 5`
     * (None, Sub, Up, Average, Paeth) so a decode of any fixture with ≥5
     * rows exercises every unfilter path — the same self-verifying-oracle
-    * discipline as the QOI encoder's greedy op mix. `interlaced` writes
+    * discipline as the QOI encoder's greedy op mix; per spec the
+    * filters operate on BYTES with the byte-per-pixel stride, which is
+    * what makes one emitRows serve every depth. `interlaced` writes
     * the Adam7 pass sequence (empty passes omitted entirely, per spec);
     * the filter cycle then runs per PASS row. Returns null when the
     * payload is shorter than one row.
     */
   def encode(payload: Array[Byte], width: Int, colorType: Int = 2,
-      interlaced: Boolean = false): Array[Byte] = {
-    require(colorType == 0 || colorType == 2 || colorType == 3,
-      s"unsupported fixture color type $colorType")
-    val bpp = if (colorType == 2) 3 else 1
+      interlaced: Boolean = false, depth: Int = 8): Array[Byte] = {
+    require(colorType == 0 || colorType == 2 || colorType == 3 ||
+      colorType == 4, s"unsupported fixture color type $colorType")
+    require(depth == 8 || depth == 16, "depth must be 8 or 16")
+    require(depth == 8 || colorType == 0 || colorType == 2,
+      "16-bit fixtures cover gray and truecolor (palette cannot be 16)")
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case _ => 2
+    }
+    val bpp = channels * (depth / 8) // filter stride = BYTES per pixel
     val h = payload.length / (bpp * width)
     if (h < 1) return null
     // sample accessor in IMAGE raster order (payload is always raster)
@@ -154,7 +167,7 @@ object PngCodec {
       out.write(be32(crc32(body, 0, body.length)), 0, 4)
     }
     chunk("IHDR", be32(width.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0,
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0,
         if (interlaced) 1 else 0))
     if (colorType == 3) {
       val plte = new Array[Byte](256 * 3)
@@ -200,6 +213,7 @@ object PngCodec {
     // ---- chunk walk: CRC-verified framing; IHDR first, IEND last ----
     var p = 8
     var w = -1L; var h = -1L; var colorType = -1L; var ilace = 0
+    var depth = 8
     var idatLen = 0L; var nIdat = 0L; var seenIend = false
     var sawIhdr = false; var idatDone = false
     var plteOff = -1; var plteCount = 0
@@ -215,17 +229,23 @@ object PngCodec {
         if (typ != "IHDR" || l != 13) return Invalid
         sawIhdr = true
         w = be32(p + 8); h = be32(p + 12)
-        val depth = bytes(p + 16) & 0xff
+        depth = bytes(p + 16) & 0xff
         colorType = (bytes(p + 17) & 0xffL)
         val comp = bytes(p + 18) & 0xff
         val filt = bytes(p + 19) & 0xff
         ilace = bytes(p + 20) & 0xff
-        // 8-bit gray (0), truecolor (2), palette (3), RGBA (6); deflate,
-        // adaptive filters, interlace 0 or Adam7 (1) — 16-bit and
-        // gray+alpha (4) report is_valid=false (visible, never misdecoded)
-        if (w < 1 || h < 1 || depth != 8 ||
-            (colorType != 0L && colorType != 2L && colorType != 3L &&
-              colorType != 6L) ||
+        // 8-bit gray (0), truecolor (2), palette (3), gray+alpha (4),
+        // RGBA (6) plus 16-BIT gray/truecolor (E285 — the
+        // science/photography widths); deflate, adaptive filters,
+        // interlace 0 or Adam7 (1) — sub-byte depths and 16-bit
+        // palette/alpha report is_valid=false (visible, never misdecoded)
+        val typeOk =
+          if (depth == 8)
+            colorType == 0L || colorType == 2L || colorType == 3L ||
+              colorType == 4L || colorType == 6L
+          else if (depth == 16) colorType == 0L || colorType == 2L
+          else false
+        if (w < 1 || h < 1 || !typeOk ||
             comp != 0 || filt != 0 || (ilace != 0 && ilace != 1))
           return Invalid
       } else typ match {
@@ -242,7 +262,7 @@ object PngCodec {
           // the suggested palette (ordering still spec-bound); for gray
           // it is forbidden
           if (plteOff >= 0 || nIdat > 0) return Invalid
-          if (colorType == 0L) return Invalid
+          if (colorType == 0L || colorType == 4L) return Invalid // gray
           if (l < 3 || l > 768 || l % 3 != 0) return Invalid
           plteOff = p + 8; plteCount = l / 3
         case _ =>
@@ -258,11 +278,13 @@ object PngCodec {
     if (colorType == 3L && plteOff < 0) return Invalid // palette required
 
     // ---- inflate, bounded by what DEFLATE could possibly expand to ----
-    val bpp = colorType match {
+    // bpp = BYTES per pixel (the spec's filter stride)
+    val bpp = (colorType match {
       case 0L | 3L => 1L
       case 2L => 3L
+      case 4L => 2L
       case _ => 4L
-    }
+    }) * (depth / 8)
     // overflow-safe geometry guard BEFORE any multiply: the Adam7 raw
     // stream is at most h·(stride + 2) (same pixels, ≤ ~1.875·h filter
     // bytes), so this one division bounds both layouts
@@ -336,9 +358,10 @@ object PngCodec {
     // its own prev-row state), O(selection stride) memory. Pixels are
     // aggregated at their GLOBAL (x, y), which is what makes the
     // row/col-weighted sums a deinterlacing placement proof. The 2^26
-    // pixel cap bounds those weighted sums away from Long overflow —
-    // a documented geometry bound (the E272 discipline), not a silent one.
-    if (h > (1L << 26) / w) return Invalid
+    // pixel cap (2^22 at depth 16 — channel sums are 256× larger) bounds
+    // those weighted sums away from Long overflow — a documented
+    // geometry bound (the E272 discipline), not a silent one.
+    if (h > (if (depth == 16) 1L << 22 else 1L << 26) / w) return Invalid
     val bppI = bpp.toInt
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var lum = 0L
     var sumRowV = 0L; var sumColV = 0L
@@ -375,8 +398,22 @@ object PngCodec {
         var px = 0
         while (px < pw && !bad) {
           var rr = 0; var gg = 0; var bb = 0
-          if (colorType == 0L) {
+          if (depth == 16) {
+            // big-endian 16-bit samples (network order per the spec)
+            if (colorType == 0L) {
+              val v = (cur(px * 2) << 8) | cur(px * 2 + 1)
+              rr = v; gg = v; bb = v
+            } else {
+              rr = (cur(px * 6) << 8) | cur(px * 6 + 1)
+              gg = (cur(px * 6 + 2) << 8) | cur(px * 6 + 3)
+              bb = (cur(px * 6 + 4) << 8) | cur(px * 6 + 5)
+            }
+          } else if (colorType == 0L) {
             val v = cur(px); rr = v; gg = v; bb = v
+          } else if (colorType == 4L) {
+            // gray+alpha: the gray sample carries the stats (alpha is
+            // coverage, not color — the RGBA stance)
+            val v = cur(px * 2); rr = v; gg = v; bb = v
           } else if (colorType == 3L) {
             val idx = cur(px)
             if (idx >= plteCount) { bad = true } // OOB index: forged pixel
@@ -421,7 +458,7 @@ object PngCodec {
   * literals.
   */
 case class PngEncode(child: Expression, width: Int, colorType: Int = 2,
-    interlaced: Boolean = false)
+    interlaced: Boolean = false, depth: Int = 8)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -435,7 +472,7 @@ case class PngEncode(child: Expression, width: Int, colorType: Int = 2,
 
   override def nullSafeEval(input: Any): Any =
     PngCodec.encode(input.asInstanceOf[Array[Byte]], width, colorType,
-      interlaced)
+      interlaced, depth)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -497,18 +534,22 @@ object PngNativeFunctions {
         exprs(1).eval().asInstanceOf[Int],
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 2,
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
-        else false), "built-in")
+        else false,
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Int]
+        else 8), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_png_decode", exprs => PngDecode(exprs.head), "built-in")
   }
 
   def pngEncode(spark: SparkSession, bytes: Column, width: Int,
-      colorType: Int = 2, interlaced: Boolean = false): Column = {
+      colorType: Int = 2, interlaced: Boolean = false,
+      depth: Int = 8): Column = {
     register(spark)
     call_function("graft_png_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(colorType),
-      org.apache.spark.sql.functions.lit(interlaced))
+      org.apache.spark.sql.functions.lit(interlaced),
+      org.apache.spark.sql.functions.lit(depth))
   }
 
   def pngDecode(spark: SparkSession, bytes: Column): Column = {

@@ -323,6 +323,61 @@ class PngCodecSpec extends SparkSpec {
       .dropRight(13)).valid)
   }
 
+  test("16-bit and gray+alpha wires (E285): BE samples, alpha is coverage") {
+    val rng = new scala.util.Random(92)
+    // gray16: big-endian pairs; sums are over 0..65535 sample VALUES
+    val g16 = Array.fill(2 * 20 * 9)((rng.nextInt(256) - 128).toByte)
+    val d = PngCodec.decode(PngCodec.encode(g16, 20, colorType = 0,
+      depth = 16))
+    assert(d.valid && (d.width, d.height) === ((20L, 9L)))
+    val samples = (0 until 20 * 9).map(i =>
+      ((g16(2 * i) & 0xff) << 8 | (g16(2 * i + 1) & 0xff)).toLong)
+    assert(d.sumR === samples.sum && d.sumG === samples.sum)
+    assert(d.sumRowV ===
+      samples.zipWithIndex.map { case (v, i) => (i / 20) * 3 * v }.sum,
+      "16-bit placement weights ride the decoded VALUES")
+    // rgb16: three BE pairs per pixel
+    val rgb16 = Array.fill(6 * 4 * 7)((rng.nextInt(256) - 128).toByte)
+    val r16 = PngCodec.decode(PngCodec.encode(rgb16, 4, colorType = 2,
+      depth = 16))
+    def ch16(o: Int) = (0 until 4 * 7).map(i =>
+      ((rgb16(6 * i + 2 * o) & 0xff) << 8 |
+        (rgb16(6 * i + 2 * o + 1) & 0xff)).toLong).sum
+    assert(r16.valid && (r16.sumR, r16.sumG, r16.sumB) ===
+      ((ch16(0), ch16(1), ch16(2))))
+    // 16-bit composes with Adam7: the placement identity again
+    val i16 = PngCodec.decode(PngCodec.encode(g16, 20, colorType = 0,
+      interlaced = true, depth = 16))
+    assert(i16.valid && (i16.sumR, i16.sumRowV, i16.sumColV) ===
+      ((d.sumR, d.sumRowV, d.sumColV)))
+    // gray+alpha: the gray sample carries the stats; flipping every
+    // ALPHA byte must not move a single sum
+    val ga = Array.fill(2 * 20 * 6)((rng.nextInt(256) - 128).toByte)
+    val gaFlipped = ga.clone()
+    for (i <- gaFlipped.indices if i % 2 == 1)
+      gaFlipped(i) = (gaFlipped(i) ^ 0xff).toByte
+    val a1 = PngCodec.decode(PngCodec.encode(ga, 20, colorType = 4))
+    val a2 = PngCodec.decode(PngCodec.encode(gaFlipped, 20, colorType = 4))
+    assert(a1.valid && a2.valid)
+    assert((a1.sumR, a1.sumRowV, a1.sumColV) ===
+      ((a2.sumR, a2.sumRowV, a2.sumColV)),
+      "alpha is coverage, not color — it must never reach the stats")
+    assert(a1.sumR === (0 until 20 * 6).map(i => (ga(2 * i) & 0xff).toLong).sum)
+    // 16-bit palette cannot exist (spec); 16-bit gray+alpha stays fenced
+    val deep3 = sig ++ chunk("IHDR",
+      be32(2) ++ be32(1) ++ Array[Byte](16, 3, 0, 0, 0)) ++
+      chunk("IDAT", Array[Byte](1)) ++ chunk("IEND", Array.empty[Byte])
+    assert(!PngCodec.decode(deep3).valid)
+    val deep4 = sig ++ chunk("IHDR",
+      be32(2) ++ be32(1) ++ Array[Byte](16, 4, 0, 0, 0)) ++
+      chunk("IDAT", Array[Byte](1)) ++ chunk("IEND", Array.empty[Byte])
+    assert(!PngCodec.decode(deep4).valid)
+    // PLTE on a gray+alpha image is forbidden (gray family rule)
+    assert(!PngCodec.decode(pngOf(2, 1, 4,
+      Array[Byte](0, 5, 9, 7, 3),
+      Seq(chunk("PLTE", Array[Byte](1, 2, 3))))).valid)
+  }
+
   test("engine round trip on real documents matches raw-payload channel sums") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
