@@ -2951,6 +2951,23 @@ object SparkEntry {
         .select(col("asset_id"), col("member_idx"), col("name"),
           col("size"), col("data_offset"))
     },
+    // BGZF wire (E286): the RANDOM-ACCESS gzip (the SAM/htslib blocked
+    // format) — the tar shard split into <=512-byte gzip members whose
+    // BC subfields declare hop distances, ending in the mandatory empty
+    // EOF block. Compression changes the wire, never the members: same
+    // oracle as q315/q316 VERBATIM.
+    "q340_tar_bgzf" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, bgzf = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        bgzf = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // PAX extended headers (E274): every member preceded by a
     // POSIX.1-2001 'x' header whose path record overrides the 100-byte
     // name field with a 104-char name — the reason real shards carry
@@ -6221,6 +6238,7 @@ object SparkEntry {
     // override-applying decoder reproduces
     "q324_tar_pax" -> tarPaxOracleSql,
     "q329_tar_index" -> tarIndexOracleSql,
+    "q340_tar_bgzf" -> tarOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,

@@ -1017,14 +1017,15 @@ object Multimodal {
     * WebDataset packaging shape.
     */
   def encodeTar(assets: DataFrame, memberBytes: Int = 256,
-      gz: Boolean = false, pax: Boolean = false): DataFrame = {
+      gz: Boolean = false, pax: Boolean = false,
+      bgzf: Boolean = false): DataFrame = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= memberBytes)
       .withColumn("bytes",
         graft.functions.TarNativeFunctions.tarEncode(spark,
-          col("bytes"), memberBytes, gz, pax))
+          col("bytes"), memberBytes, gz, pax, bgzf))
   }
 
   /** Demux USTAR shards natively (E269): header checksum audit, strict
@@ -1033,12 +1034,13 @@ object Multimodal {
     * CRC32/ISIZE when wrapped. One native pass per shard; the gz wire
     * must report IDENTICAL stats to the plain wire.
     */
-  def tarStats(assets: DataFrame, gz: Boolean = false): DataFrame = {
+  def tarStats(assets: DataFrame, gz: Boolean = false,
+      bgzf: Boolean = false): DataFrame = {
     val spark = assets.sparkSession
     assets
       .select(col("asset_id"),
         graft.functions.TarNativeFunctions.tarDecode(spark,
-          col("bytes"), gz).as("q"))
+          col("bytes"), gz, bgzf).as("q"))
       .select(col("asset_id"), col("q.is_valid").as("is_valid"),
         col("q.n_members").as("n_members"),
         col("q.content_bytes").as("content_bytes"),

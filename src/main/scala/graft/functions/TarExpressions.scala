@@ -166,9 +166,141 @@ object TarCodec {
     * extended header overriding its path to [[paxName]] — a name too
     * long for the 100-byte field.
     */
+  /** BGZF block payload bound — fixture-small (the spec caps it at
+    * 2^16) so multi-block streams are the norm on test corpora.
+    */
+  val BgzfBlock = 512
+
+  /** Wrap bytes as a BGZF stream (E286, the public SAM/htslib BGZF
+    * specification) — the RANDOM-ACCESS gzip: each ≤[[BgzfBlock]] slice
+    * becomes its own spec-conformant gzip member whose FEXTRA `BC`
+    * subfield declares the member's TOTAL compressed size (BSIZE−1), so
+    * a reader HOPS member to member without inflating anything, and a
+    * (block offset, within-block offset) pair is a stable virtual seek
+    * address. The stream ends with the mandatory EMPTY block — the EOF
+    * marker that makes truncation a visible finding rather than a
+    * silently short file.
+    */
+  def bgzfWrap(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 256)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    def block(off: Int, len: Int): Unit = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(data, off, len)
+      d.finish()
+      val body = new java.io.ByteArrayOutputStream(len / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) body.write(buf, 0, d.deflate(buf))
+      d.end()
+      val bsize = 18 + body.size() + 8 // header+extra, data, trailer
+      out.write(0x1f); out.write(0x8b); out.write(8); out.write(4) // FEXTRA
+      u32(0)                       // MTIME
+      out.write(0); out.write(255) // XFL / OS
+      u16(6)                       // XLEN
+      out.write('B'); out.write('C'); u16(2); u16(bsize - 1)
+      body.writeTo(out)
+      val crc = new java.util.zip.CRC32
+      crc.update(data, off, len)
+      u32(crc.getValue)
+      u32(len.toLong)
+    }
+    var off = 0
+    while (off < data.length) {
+      val len = math.min(BgzfBlock, data.length - off)
+      block(off, len)
+      off += len
+    }
+    block(0, 0) // the EOF marker
+    out.toByteArray
+  }
+
+  /** Inflate a BGZF stream strictly: every member must carry exactly
+    * the FEXTRA flag with a well-tiled extra area holding ONE `BC`
+    * subfield whose BSIZE spans the member exactly; per-member CRC32 +
+    * ISIZE verified; ISIZE capped at the spec's 2^16; the mandatory
+    * empty EOF block must be LAST (a missing marker is a truncated
+    * stream, a block after it is appended garbage). Null when malformed.
+    */
+  private def bgzfInflate(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, n * 2))
+    var p = 0
+    var sawEof = false
+    while (p < n) {
+      if (sawEof) return null // blocks after the EOF marker
+      if (p + 18 + 8 > n) return null
+      if ((bytes(p) & 0xff) != 0x1f || (bytes(p + 1) & 0xff) != 0x8b)
+        return null
+      if ((bytes(p + 2) & 0xff) != 8 || (bytes(p + 3) & 0xff) != 4)
+        return null // deflate + FEXTRA, nothing else
+      val xlen = u16(p + 10)
+      if (p + 12 + xlen + 8 > n) return null
+      // the extra area must TILE; exactly one BC subfield
+      var q = p + 12
+      val xend = p + 12 + xlen
+      var bsize = -1
+      while (q < xend) {
+        if (q + 4 > xend) return null
+        val slen = u16(q + 2)
+        if (q + 4 + slen > xend) return null
+        if ((bytes(q) & 0xff) == 'B' && (bytes(q + 1) & 0xff) == 'C') {
+          if (bsize >= 0 || slen != 2) return null
+          bsize = u16(q + 4) + 1
+        }
+        q += 4 + slen
+      }
+      if (q != xend || bsize < 0) return null
+      if (p + bsize > n) return null
+      val dataOff = p + 12 + xlen
+      val dataLen = bsize - (12 + xlen) - 8
+      if (dataLen < 0) return null
+      val isize = u32(p + bsize - 4)
+      if (isize > 65536) return null // the spec's own block cap
+      val raw = new Array[Byte](isize.toInt)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, dataOff, dataLen)
+      try {
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val k = inf.inflate(raw, got, raw.length - got)
+          if (k == 0 && !inf.finished() && inf.needsInput()) return null
+          got += k
+        }
+        if (got != raw.length) return null
+        if (!inf.finished()) {
+          // the stream must END here: one zero-output probe
+          val probe = new Array[Byte](1)
+          if (inf.inflate(probe) != 0 || !inf.finished()) return null
+        }
+        if (inf.getRemaining != 0) return null // data area consumed exactly
+      } catch {
+        case _: java.util.zip.DataFormatException => return null
+      } finally inf.end()
+      val crc = new java.util.zip.CRC32
+      crc.update(raw)
+      if (crc.getValue != u32(p + bsize - 8)) return null
+      if (isize == 0) sawEof = true
+      else out.write(raw)
+      p += bsize
+    }
+    if (!sawEof) return null // truncated: the EOF marker is mandatory
+    out.toByteArray
+  }
+
   def encodeTar(payload: Array[Byte], memberBytes: Int,
-      gz: Boolean = false, pax: Boolean = false): Array[Byte] = {
+      gz: Boolean = false, pax: Boolean = false,
+      bgzf: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
+    require(!(gz && bgzf), "choose one compressed wire")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
     val padded = ((memberBytes + Block - 1) / Block) * Block
@@ -192,6 +324,7 @@ object TarCodec {
     var z = 0
     while (z < 2 * Block) { out.write(0); z += 1 }
     val tar = out.toByteArray
+    if (bgzf) return bgzfWrap(tar)
     if (!gz) return tar
 
     // ---- the .tar.gz wire: ONE gzip member over the whole archive ----
@@ -271,9 +404,12 @@ object TarCodec {
   }
 
   def decodeTar(bytes0: Array[Byte], gz: Boolean,
-      collect: Boolean = false): (Decoded, Seq[Member]) = {
+      collect: Boolean = false,
+      bgzf: Boolean = false): (Decoded, Seq[Member]) = {
     def invalid = (Invalid, Nil)
-    val bytes = if (gz) gunzipWhole(bytes0) else bytes0
+    val bytes =
+      if (bgzf) bgzfInflate(bytes0)
+      else if (gz) gunzipWhole(bytes0) else bytes0
     if (bytes == null) return invalid
     val n = bytes.length
     if (n < 3 * Block || n % Block != 0) return invalid
@@ -418,7 +554,7 @@ object TarCodec {
   * (null when no full member fits).
   */
 case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
-    pax: Boolean = false)
+    pax: Boolean = false, bgzf: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -431,7 +567,8 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
       s"graft_tar_encode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz, pax)
+    TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz, pax,
+      bgzf)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -441,7 +578,8 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
   * octal grammar, end-of-archive marker, gzip CRC when wrapped) →
   * per-shard stats struct.
   */
-case class TarDecode(child: Expression, gz: Boolean)
+case class TarDecode(child: Expression, gz: Boolean,
+    bgzf: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
@@ -457,7 +595,8 @@ case class TarDecode(child: Expression, gz: Boolean)
       s"graft_tar_decode expects binary, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any = {
-    val (d, _) = TarCodec.decodeTar(input.asInstanceOf[Array[Byte]], gz)
+    val (d, _) = TarCodec.decodeTar(input.asInstanceOf[Array[Byte]], gz,
+      bgzf = bgzf)
     if (d.valid)
       InternalRow(true, d.nMembers, d.contentBytes, d.sumPayload, d.sumIv)
     else InternalRow(false, null, null, null, null)
@@ -513,11 +652,15 @@ object TarNativeFunctions {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean],
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_decode",
       exprs => TarDecode(exprs.head,
-        exprs(1).eval().asInstanceOf[Boolean]), "built-in")
+        exprs(1).eval().asInstanceOf[Boolean],
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean]
+        else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_members",
       exprs => TarMembers(exprs.head,
@@ -525,18 +668,21 @@ object TarNativeFunctions {
   }
 
   def tarEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
-      gz: Boolean, pax: Boolean = false): Column = {
+      gz: Boolean, pax: Boolean = false, bgzf: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
       org.apache.spark.sql.functions.lit(gz),
-      org.apache.spark.sql.functions.lit(pax))
+      org.apache.spark.sql.functions.lit(pax),
+      org.apache.spark.sql.functions.lit(bgzf))
   }
 
-  def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean): Column = {
+  def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean,
+      bgzf: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_decode", bytes,
-      org.apache.spark.sql.functions.lit(gz))
+      org.apache.spark.sql.functions.lit(gz),
+      org.apache.spark.sql.functions.lit(bgzf))
   }
 
   def tarMembers(spark: SparkSession, bytes: Column, gz: Boolean): Column = {

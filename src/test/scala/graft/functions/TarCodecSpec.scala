@@ -202,6 +202,62 @@ class TarCodecSpec extends SparkSpec {
     assert(gm.map(_.dataOff) === members.map(_.dataOff))
   }
 
+  test("BGZF wire (E286): hop-addressable blocks, EOF marker mandatory") {
+    val payload = fixture(7 * 100 + 13, 79) // tar = 8192 B -> 16 blocks
+    val plain = TarCodec.decodeTar(TarCodec.encodeTar(payload, 100),
+      gz = false)._1
+    val wire = TarCodec.encodeTar(payload, 100, bgzf = true)
+    val d = TarCodec.decodeTar(wire, gz = false, bgzf = true)._1
+    assert(d.valid && d === plain.copy(),
+      "the BGZF wire must report identical member stats")
+    def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    // the hop walk: BC subfields chain through every block WITHOUT
+    // inflating — the property that makes BGZF a seekable wire
+    var p = 0
+    var hops = 0
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (p < wire.length) {
+      assert((wire(p) & 0xff) === 0x1f && (wire(p + 3) & 0xff) === 4)
+      offsets += p
+      p += u16(wire, p + 16) + 1 // BSIZE - 1 at the BC subfield value
+      hops += 1
+    }
+    assert(p === wire.length)
+    assert(hops === 17, "16 data blocks of 512 + the empty EOF marker")
+    // RANDOM ACCESS: inflate ONLY block 2 and compare to the tar slice
+    val tar = TarCodec.encodeTar(payload, 100)
+    val b2 = offsets(2)
+    val xlen = u16(wire, b2 + 10)
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(wire, b2 + 12 + xlen,
+      u16(wire, b2 + 16) + 1 - 12 - xlen - 8)
+    val got = new Array[Byte](512)
+    var k = 0
+    while (k < 512) k += inf.inflate(got, k, 512 - k)
+    inf.end()
+    assert(java.util.Arrays.equals(got,
+      java.util.Arrays.copyOfRange(tar, 2 * 512, 3 * 512)),
+      "a block must inflate alone — no upstream state, true seek")
+    // the EOF marker is MANDATORY: dropping the final (empty) block is
+    // the classic truncated-BGZF failure and must be visible
+    val lastLen = wire.length - offsets.last
+    assert(!TarCodec.decodeTar(wire.dropRight(lastLen), gz = false,
+      bgzf = true)._1.valid)
+    // a block AFTER the EOF marker is appended garbage
+    val extra = wire ++ java.util.Arrays.copyOfRange(wire,
+      offsets.last, wire.length)
+    assert(!TarCodec.decodeTar(extra, gz = false, bgzf = true)._1.valid)
+    // a lying BC hop distance is a visible finding
+    val lie = wire.clone()
+    lie(16) = ((lie(16) ^ 1) & 0xff).toByte
+    assert(!TarCodec.decodeTar(lie, gz = false, bgzf = true)._1.valid)
+    // a flipped data byte breaks the block CRC32
+    val bad = wire.clone()
+    bad(20) = ((bad(20) ^ 1) & 0xff).toByte
+    assert(!TarCodec.decodeTar(bad, gz = false, bgzf = true)._1.valid)
+  }
+
   test("engine surface: Multimodal.encodeTar / tarStats / tarMembers") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001)
