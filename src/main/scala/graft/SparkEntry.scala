@@ -2329,6 +2329,24 @@ object SparkEntry {
           col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
           col("sum_colv"), col("interlaced"))
     },
+    // RLE8 BMP (E287): the compressed BMP wire (variable-length, so a
+    // native walk where the uncompressed surface is SQL arithmetic) —
+    // encoded + absolute modes, EOL/EOB escapes, bottom-up rows. The
+    // oracle replays the palette rule off raw payload bytes; the
+    // row-weighted sum in IMAGE coordinates proves the vertical flip.
+    "q341_bmp_rle8" -> { (s, dir) =>
+      graft.ext.Multimodal.bmpRle8Stats(
+        graft.ext.Multimodal.encodeBmpRle8(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 40)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
+          col("sum_colv"))
+    },
     // 16-BIT GRAYSCALE PNG (E285): the science/photography width —
     // big-endian sample pairs, filters on the 2-byte stride per spec.
     // The oracle reads each sample as 256*hi + lo off the raw payload.
@@ -6045,6 +6063,29 @@ object SparkEntry {
         |       CAST(SUM(1000 * v) // COUNT(*) AS BIGINT) AS mean_luma_milli,
         |       CAST(SUM(y * 3 * v) AS BIGINT) AS sum_rowv,
         |       CAST(SUM(x * 3 * v) AS BIGINT) AS sum_colv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // RLE8 BMP replay (q341): the q331 palette arithmetic plus the
+    // column twin — the wire is compressed and bottom-up, the stats
+    // are top-down raster facts
+    "q341_bmp_rle8" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 40 AS y, i % 40 AS x,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT) AS v
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 40)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+        |       CAST(SUM((7 * v) % 256) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*v + 587*(255 - v) + 114*((7*v) % 256))
+        |            // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * (255 + (7*v) % 256)) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * (255 + (7*v) % 256)) AS BIGINT) AS sum_colv
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
     // 16-bit gray replay (q338): sample i = 256·b[2i] + b[2i+1]
     // (big-endian pairs), 20 samples per row

@@ -1158,6 +1158,44 @@ object Multimodal {
         col("m.comp_size").as("comp_size"), col("m.method").as("method"))
   }
 
+  /** Encode each asset's payload bytes as a bottom-up RLE8 BMP (E287)
+    * of the given column width (`h = ⌊len/width⌋` whole rows; shorter
+    * assets are dropped) — the compressed BMP wire with the 256-entry
+    * fixture palette.
+    */
+  def encodeBmpRle8(assets: DataFrame, width: Int = 40): DataFrame = {
+    require(width >= 1, "width must be positive")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= width &&
+        octet_length(col("bytes")) <=
+          graft.functions.BmpRleCodec.MaxPixels.toLong)
+      .withColumn("bytes",
+        graft.functions.BmpRleNativeFunctions.bmpRle8Encode(spark,
+          col("bytes"), width))
+  }
+
+  /** Decode RLE8 BMP assets natively (E287): strict header + palette +
+    * RLE walk (encoded/absolute modes, EOL/EOB escapes, the delta
+    * escape a visible reject), palette-resolved channel sums plus
+    * row/col-weighted placement sums in IMAGE coordinates — the
+    * bottom-up flip proof.
+    */
+  def bmpRle8Stats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.BmpRleNativeFunctions.bmpRle8Decode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_r").as("sum_r"),
+        col("q.sum_g").as("sum_g"), col("q.sum_b").as("sum_b"),
+        col("q.mean_luma_milli").as("mean_luma_milli"),
+        col("q.sum_rowv").as("sum_rowv"),
+        col("q.sum_colv").as("sum_colv"))
+  }
+
   /** ZIP shard INGEST (E280's composition): the [[zipMembers]] fan-out
     * composed with the text pipeline — demux + inflate + extract +
     * markup-strip + tokenize in ONE pass over the zip wire, one sample

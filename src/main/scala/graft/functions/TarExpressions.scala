@@ -291,6 +291,10 @@ object TarCodec {
       if (isize == 0) sawEof = true
       else out.write(raw)
       p += bsize
+      // cumulative zip-bomb bound (the gunzipWhole discipline): honest
+      // DEFLATE cannot exceed 1032:1, so neither can a chain of blocks —
+      // a forged wire must not buy unbounded output with tiny members
+      if (out.size() > p.toLong * 1032L + 65536L) return null
     }
     if (!sawEof) return null // truncated: the EOF marker is mandatory
     out.toByteArray
