@@ -2952,6 +2952,23 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // Combined zip64-STREAMING wire (E289): flag bit 3 + zip64 together
+    // — sentinel local sizes, placeholder-zero 0x0001 extras, and u64
+    // trailing descriptors keyed on the extra's presence (APPNOTE
+    // 4.3.9.2). The last fenced ZIP shape, removed: seventh wire over
+    // the same member identity, same oracle VERBATIM.
+    "q343_zip64_stream" -> { (s, dir) =>
+      graft.ext.Multimodal.zipStats(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, deflate = true, zip64 = true,
+          descriptor = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // Shard member INDEX (E279): the WebDataset .idx shape — the seek
     // table a random-access loader builds once per shard (member name,
     // size, data offset in the decompressed stream; NO member bytes).
@@ -2983,6 +3000,24 @@ object SparkEntry {
           .repartition(col("asset_id"))
           .localCheckpoint(),
         bgzf = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
+    // Multi-member gzip wire (E288): RFC 1952 §2.2 makes a gzip FILE a
+    // SERIES of members — what `pigz -i` and a plain `cat a.gz b.gz`
+    // emit. The shard is chunked into 1024-byte slices, each its own
+    // complete gzip member (header + raw DEFLATE + CRC32/ISIZE); the
+    // old one-member contract was a strict-false-invalid on real
+    // parallel-compressor output. Fifth tar wire, same oracle VERBATIM.
+    "q342_tar_mgz" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, mgz = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        gz = true)
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
@@ -6280,12 +6315,16 @@ object SparkEntry {
     "q324_tar_pax" -> tarPaxOracleSql,
     "q329_tar_index" -> tarIndexOracleSql,
     "q340_tar_bgzf" -> tarOracleSql,
+    // q342: the multi-member (pigz-style) gzip series — fifth tar wire
+    "q342_tar_mgz" -> tarOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,
     "q319_zip_deflate" -> tarOracleSql,
     "q325_zip64" -> tarOracleSql,
     "q326_zip_stream" -> tarOracleSql,
+    // q343: zip64+descriptor combined — the seventh wire, one identity
+    "q343_zip64_stream" -> tarOracleSql,
     "q330_zip_members" -> zipMembersOracleSql,
     // q322: shard-to-samples ingest — members re-cleaned from raw text
     // slices with the q149 regex chain

@@ -1018,14 +1018,14 @@ object Multimodal {
     */
   def encodeTar(assets: DataFrame, memberBytes: Int = 256,
       gz: Boolean = false, pax: Boolean = false,
-      bgzf: Boolean = false): DataFrame = {
+      bgzf: Boolean = false, mgz: Boolean = false): DataFrame = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= memberBytes)
       .withColumn("bytes",
         graft.functions.TarNativeFunctions.tarEncode(spark,
-          col("bytes"), memberBytes, gz, pax, bgzf))
+          col("bytes"), memberBytes, gz, pax, bgzf, mgz))
   }
 
   /** Demux USTAR shards natively (E269): header checksum audit, strict

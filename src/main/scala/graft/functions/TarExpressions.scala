@@ -300,11 +300,18 @@ object TarCodec {
     out.toByteArray
   }
 
+  /** Chunk size for the multi-member (pigz-style, E288) gzip wire:
+    * each chunk becomes its own complete gzip member, so fixture shards
+    * exercise real member chains.
+    */
+  val MgzChunk = 1024
+
   def encodeTar(payload: Array[Byte], memberBytes: Int,
       gz: Boolean = false, pax: Boolean = false,
-      bgzf: Boolean = false): Array[Byte] = {
+      bgzf: Boolean = false, mgz: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
-    require(!(gz && bgzf), "choose one compressed wire")
+    require(Seq(gz, bgzf, mgz).count(identity) <= 1,
+      "choose one compressed wire")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
     val padded = ((memberBytes + Block - 1) / Block) * Block
@@ -329,6 +336,36 @@ object TarCodec {
     while (z < 2 * Block) { out.write(0); z += 1 }
     val tar = out.toByteArray
     if (bgzf) return bgzfWrap(tar)
+    if (mgz) {
+      // ---- the multi-member wire (E288): what `pigz -i` or a plain
+      // `cat part1.gz part2.gz` produces — each MgzChunk slice is its
+      // own complete gzip member (header, raw DEFLATE, CRC32 + ISIZE)
+      val g = new java.io.ByteArrayOutputStream(tar.length / 2 + 256)
+      def u32m(v: Long): Unit = {
+        g.write((v & 0xff).toInt); g.write(((v >>> 8) & 0xff).toInt)
+        g.write(((v >>> 16) & 0xff).toInt); g.write(((v >>> 24) & 0xff).toInt)
+      }
+      var off = 0
+      while (off < tar.length) {
+        val len = math.min(MgzChunk, tar.length - off)
+        g.write(0x1f); g.write(0x8b); g.write(8); g.write(0)
+        g.write(0); g.write(0); g.write(0); g.write(0) // MTIME 0
+        g.write(0); g.write(255)
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(tar, off, len)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) g.write(buf, 0, d.deflate(buf))
+        d.end()
+        val crc = new java.util.zip.CRC32
+        crc.update(tar, off, len)
+        u32m(crc.getValue)
+        u32m(len.toLong)
+        off += len
+      }
+      return g.toByteArray
+    }
     if (!gz) return tar
 
     // ---- the .tar.gz wire: ONE gzip member over the whole archive ----
@@ -370,41 +407,60 @@ object TarCodec {
 
   private val Invalid = Decoded(valid = false, -1, -1, -1, -1)
 
-  /** Inflate a whole-stream gzip wrapper (one member, exact EOF) with
-    * the incremental 1032:1 zip-bomb bound; null when malformed.
+  /** Inflate a gzip stream with the incremental 1032:1 zip-bomb bound;
+    * null when malformed. Per RFC 1952 §2.2 a gzip FILE is a SERIES of
+    * members (`pigz -i`, `bgzip`, and a plain `cat a.gz b.gz` all emit
+    * multi-member streams — E288), so the walk accepts ANY member count
+    * ≥ 1 and concatenates their output; each member is still strictly
+    * framed (magic, deflate method, no flag bits, its own CRC32 + ISIZE
+    * trailer) and the stream must end exactly at a member boundary.
     */
   private def gunzipWhole(bytes: Array[Byte]): Array[Byte] = {
     val n = bytes.length
-    if (n < 18) return null
-    if ((bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return null
-    if ((bytes(2) & 0xff) != 8 || (bytes(3) & 0xff) != 0) return null
-    val inf = new java.util.zip.Inflater(true)
-    inf.setInput(bytes, 10, n - 10)
-    val out = new java.io.ByteArrayOutputStream(8192)
-    val buf = new Array[Byte](8192)
-    var remaining = -1
-    try {
-      while (!inf.finished()) {
-        val k = inf.inflate(buf)
-        if (k == 0 && !inf.finished()) return null
-        out.write(buf, 0, k)
-        if (out.size() > inf.getBytesRead * 1032L + 65536L) return null
-      }
-      remaining = inf.getRemaining
-    } catch {
-      case _: java.util.zip.DataFormatException => return null
-    } finally inf.end()
-    val raw = out.toByteArray
-    val trailer = 10 + (n - 10) - remaining
-    if (trailer + 8 != n) return null // exactly one member, exact EOF
-    def u32(o: Int): Long =
+    def u32at(o: Int): Long =
       (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-    val crc = new java.util.zip.CRC32
-    crc.update(raw)
-    if (u32(trailer) != crc.getValue) return null
-    if (u32(trailer + 4) != (raw.length.toLong & 0xffffffffL)) return null
-    raw
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var p = 0
+    var members = 0
+    while (p < n) {
+      if (p + 18 > n) return null
+      if ((bytes(p) & 0xff) != 0x1f || (bytes(p + 1) & 0xff) != 0x8b)
+        return null
+      if ((bytes(p + 2) & 0xff) != 8 || (bytes(p + 3) & 0xff) != 0)
+        return null
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, p + 10, n - (p + 10))
+      val crc = new java.util.zip.CRC32
+      var msize = 0L
+      var trailer = -1
+      try {
+        while (!inf.finished()) {
+          val k = inf.inflate(buf)
+          if (k == 0 && !inf.finished()) return null
+          crc.update(buf, 0, k)
+          msize += k
+          out.write(buf, 0, k)
+          // cumulative bound over the whole series: honest DEFLATE
+          // cannot exceed 1032:1, so neither can a chain of members
+          if (out.size() > (p + 10 + inf.getBytesRead) * 1032L + 65536L)
+            return null
+        }
+        // member end from getBytesRead BEFORE end() (the E246 API trap
+        // was getRemaining AFTER end())
+        trailer = p + 10 + inf.getBytesRead.toInt
+      } catch {
+        case _: java.util.zip.DataFormatException => return null
+      } finally inf.end()
+      if (trailer + 8 > n) return null
+      if (u32at(trailer) != crc.getValue) return null
+      if (u32at(trailer + 4) != (msize & 0xffffffffL)) return null
+      p = trailer + 8
+      members += 1
+    }
+    if (members < 1) return null
+    out.toByteArray
   }
 
   def decodeTar(bytes0: Array[Byte], gz: Boolean,
@@ -558,7 +614,7 @@ object TarCodec {
   * (null when no full member fits).
   */
 case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
-    pax: Boolean = false, bgzf: Boolean = false)
+    pax: Boolean = false, bgzf: Boolean = false, mgz: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -572,7 +628,7 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz, pax,
-      bgzf)
+      bgzf, mgz)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -658,6 +714,8 @@ object TarNativeFunctions {
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 5) exprs(5).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_decode",
@@ -672,13 +730,15 @@ object TarNativeFunctions {
   }
 
   def tarEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
-      gz: Boolean, pax: Boolean = false, bgzf: Boolean = false): Column = {
+      gz: Boolean, pax: Boolean = false, bgzf: Boolean = false,
+      mgz: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
       org.apache.spark.sql.functions.lit(gz),
       org.apache.spark.sql.functions.lit(pax),
-      org.apache.spark.sql.functions.lit(bgzf))
+      org.apache.spark.sql.functions.lit(bgzf),
+      org.apache.spark.sql.functions.lit(mgz))
   }
 
   def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean,

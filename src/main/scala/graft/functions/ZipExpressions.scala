@@ -54,9 +54,11 @@ import org.apache.spark.sql.types._
   * declared length); unknown ids are skipped — rejecting them would
   * false-invalidate nearly every real archive (Info-ZIP emits UT/ux
   * unconditionally) — but a 0x0001 field whose length disagrees with
-  * the entry's sentinel count rejects. Encryption, multi-disk archives,
-  * and the zip64+descriptor COMBINED wire (u64 descriptors, unreachable
-  * at fixture scale) reject visibly.
+  * the entry's sentinel count rejects. Encryption and multi-disk
+  * archives reject visibly. The zip64+descriptor COMBINED wire (E289 —
+  * sentinel local sizes, placeholder-zero 0x0001 extras, u64
+  * descriptors keyed on the extra's presence per APPNOTE 4.3.9.2, the
+  * shape zip64-streaming writers emit) decodes, completing the family.
   *
   * ORACLE (two wires, one oracle): fixtures slice the payload into
   * fixed `memberBytes` members, so counts, byte totals, and the
@@ -86,15 +88,14 @@ object ZipCodec {
     * (sentinel sizes/offsets + 0x0001 extras + ZIP64 EOCD chain — what
     * `zip -fz-`-era writers produce unconditionally); `descriptor`
     * emits the streaming-writer wire (flag bit 3, zeroed local
-    * CRC/sizes, signature-led trailing descriptors). The two are
-    * mutually exclusive (the combined u64-descriptor wire is fenced).
+    * CRC/sizes, signature-led trailing descriptors). BOTH together
+    * emit the combined zip64-streaming wire (E289): sentinel local
+    * sizes, placeholder-zero extras, u64 descriptors.
     */
   def encodeZip(payload: Array[Byte], memberBytes: Int,
       deflate: Boolean = false, zip64: Boolean = false,
       descriptor: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
-    require(!(zip64 && descriptor),
-      "the zip64+descriptor combined wire is out of scope")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
     val out = new java.io.ByteArrayOutputStream(payload.length + nm * 128)
@@ -137,7 +138,12 @@ object ZipCodec {
       u16(flags)                       // flags: descriptor bit only
       u16(if (deflate) 8 else 0)       // method
       u16(0); u16(0)                   // time / date: deterministic
-      if (descriptor) { u32(0); u32(0); u32(0) } // real values trail the data
+      if (descriptor && zip64) {
+        // combined zip64-streaming wire (E289): CRC unknown, sizes
+        // sentinel — the local 0x0001 extra (placeholder zeros) is what
+        // keys the u64 descriptor per APPNOTE 4.5.3/4.3.9.2
+        u32(0); u32(0xffffffffL); u32(0xffffffffL)
+      } else if (descriptor) { u32(0); u32(0); u32(0) } // values trail the data
       else if (zip64) {
         u32(crcs(i)); u32(0xffffffffL); u32(0xffffffffL)
       } else {
@@ -148,12 +154,14 @@ object ZipCodec {
       out.write(names(i))
       if (zip64) {                     // 0x0001: BOTH sizes (APPNOTE 4.5.3)
         u16(1); u16(16)
-        u64(memberBytes.toLong); u64(data.length.toLong)
+        if (descriptor) { u64(0); u64(0) } // streaming: sizes unknown yet
+        else { u64(memberBytes.toLong); u64(data.length.toLong) }
       }
       out.write(data)
       if (descriptor) {                // signature-led trailing descriptor
         u32(DescSig); u32(crcs(i))
-        u32(data.length.toLong); u32(memberBytes.toLong)
+        if (zip64) { u64(data.length.toLong); u64(memberBytes.toLong) }
+        else { u32(data.length.toLong); u32(memberBytes.toLong) }
       }
       i += 1
     }
@@ -370,12 +378,24 @@ object ZipCodec {
       if (lp + 30 + nameLen + lExtraLen > cdOffset) return invalid
       val lz64 = extraZip64(bytes, lp + 30 + nameLen, lExtraLen)
       if (lz64 == null) return invalid
+      var wideDesc = false
       if (flags == 8) {
         // streaming wire (E276): local CRC/sizes are zero, the real
-        // values trail the data; zip64 descriptors (u64) are fenced
-        if (u32(lp + 14) != 0 || u32(lp + 18) != 0 || u32(lp + 22) != 0)
-          return invalid
-        if (lz64.nonEmpty) return invalid
+        // values trail the data. A local 0x0001 extra present makes it
+        // the COMBINED zip64-streaming wire (E289): sentinel sizes,
+        // placeholder-zero extra values (a streaming writer cannot know
+        // them yet), and u64 descriptor sizes — APPNOTE 4.3.9.2 keys
+        // the descriptor width on exactly this field's presence.
+        if (u32(lp + 14) != 0) return invalid
+        if (lz64.isEmpty) {
+          if (u32(lp + 18) != 0 || u32(lp + 22) != 0) return invalid
+        } else {
+          if (lz64.length != 2) return invalid
+          if (u32(lp + 18) != 0xffffffffL || u32(lp + 22) != 0xffffffffL)
+            return invalid
+          if (lz64(0) != 0 || lz64(1) != 0) return invalid
+          wideDesc = true
+        }
       } else {
         if (u32(lp + 14) != crcDecl) return invalid
         val lComp32 = u32(lp + 18)
@@ -429,12 +449,21 @@ object ZipCodec {
       if (flags == 8) {
         // the trailing descriptor must AGREE with the central entry
         val dp = expectedLocal.toInt
-        if (dp + 16 > cdOffset) return invalid
-        if (u32(dp) != DescSig) return invalid
-        if (u32(dp + 4) != crcDecl) return invalid
-        if (u32(dp + 8) != compSize) return invalid
-        if (u32(dp + 12) != uncompSize) return invalid
-        expectedLocal += 16
+        if (wideDesc) {
+          if (dp + 24 > cdOffset) return invalid
+          if (u32(dp) != DescSig) return invalid
+          if (u32(dp + 4) != crcDecl) return invalid
+          if (u64(dp + 8) != compSize) return invalid
+          if (u64(dp + 16) != uncompSize) return invalid
+          expectedLocal += 24
+        } else {
+          if (dp + 16 > cdOffset) return invalid
+          if (u32(dp) != DescSig) return invalid
+          if (u32(dp + 4) != crcDecl) return invalid
+          if (u32(dp + 8) != compSize) return invalid
+          if (u32(dp + 12) != uncompSize) return invalid
+          expectedLocal += 16
+        }
       }
 
       var s = 0L

@@ -93,8 +93,65 @@ class TarCodecSpec extends SparkSpec {
     val badCrc = gzTar.clone()
     badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 1).toByte
     assert(!TarCodec.decodeTar(badCrc, gz = true)._1.valid)
-    // and a second concatenated gzip member is NOT a .tar.gz
+    // a whole second archive concatenated IS a legal gzip series now
+    // (E288) — but its payload is tar-invalid: bytes after the first
+    // end-of-archive marker. The reject moved from the gzip layer to
+    // the tar walk; it stays visible either way.
     assert(!TarCodec.decodeTar(gzTar ++ gzTar, gz = true)._1.valid)
+  }
+
+  test("multi-member gzip wire (E288): pigz/cat-style series decode") {
+    def gzMember(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+      val g = new java.io.ByteArrayOutputStream(len / 2 + 64)
+      g.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+        0xff.toByte), 0, 10)
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(data, off, len)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) g.write(buf, 0, d.deflate(buf))
+      d.end()
+      val crc = new java.util.zip.CRC32
+      crc.update(data, off, len)
+      def u32(v: Long): Unit = (0 until 4).foreach(i =>
+        g.write(((v >>> (8 * i)) & 0xff).toInt))
+      u32(crc.getValue)
+      u32(len.toLong)
+      g.toByteArray
+    }
+    val payload = fixture(7 * 100 + 13, 83) // tar = 8192 B
+    val plain = TarCodec.decodeTar(TarCodec.encodeTar(payload, 100),
+      gz = false)._1
+    // the encoder's mgz wire: 1024-byte chunks, one member each
+    val wire = TarCodec.encodeTar(payload, 100, mgz = true)
+    val d = TarCodec.decodeTar(wire, gz = true)._1
+    assert(d.valid && d === plain,
+      "the member series changes the wire, never the shard stats")
+    // the wire really is MULTI-member: a second magic exists past the
+    // first (single-member gzip has exactly one)
+    assert((1 until wire.length - 1).exists(i =>
+      (wire(i) & 0xff) == 0x1f && (wire(i + 1) & 0xff) == 0x8b))
+    // `cat a.gz b.gz`: two hand-split members reassemble the archive
+    val tar = TarCodec.encodeTar(payload, 100)
+    val cat = gzMember(tar, 0, 4096) ++ gzMember(tar, 4096, tar.length - 4096)
+    val dc = TarCodec.decodeTar(cat, gz = true)._1
+    assert(dc.valid && dc === plain,
+      "concatenated gzip parts are a spec-legal series per RFC 1952")
+    // an EMPTY member mid-series is legal (bgzip's EOF-marker shape)
+    val withEmpty = gzMember(tar, 0, 4096) ++
+      gzMember(Array.emptyByteArray, 0, 0) ++
+      gzMember(tar, 4096, tar.length - 4096)
+    assert(TarCodec.decodeTar(withEmpty, gz = true)._1 === plain)
+    // a lying CRC in the SECOND member is a visible finding
+    val part1 = gzMember(tar, 0, 4096)
+    val badCat = cat.clone()
+    badCat(part1.length + part1.length / 2) =
+      (badCat(part1.length + part1.length / 2) ^ 1).toByte
+    assert(!TarCodec.decodeTar(badCat, gz = true)._1.valid)
+    // trailing garbage after the last member must not parse as a header
+    assert(!TarCodec.decodeTar(cat ++ Array[Byte](1, 2, 3),
+      gz = true)._1.valid)
   }
 
   test("pax extended headers: path overrides apply, malformed chains reject") {

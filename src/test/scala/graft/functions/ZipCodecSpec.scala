@@ -183,10 +183,42 @@ class ZipCodecSpec extends SparkSpec {
     val forced = plainZip.clone()
     forced(6) = 8; forced(cdOffset + 8) = 8
     assert(!ZipCodec.decodeZip(forced)._1.valid)
-    // the encoder fences the combined zip64+descriptor wire
-    assertThrows[IllegalArgumentException] {
-      ZipCodec.encodeZip(payload, 100, zip64 = true, descriptor = true)
+  }
+
+  test("combined zip64+descriptor wire (E289): u64 descriptors decode") {
+    val payload = fixture(3 * 100 + 7, 87)
+    val plain = ZipCodec.decodeZip(ZipCodec.encodeZip(payload, 100))._1
+    for (deflate <- Seq(false, true)) {
+      val zip = ZipCodec.encodeZip(payload, 100, deflate = deflate,
+        zip64 = true, descriptor = true)
+      assert(ZipCodec.decodeZip(zip)._1 === plain.copy(),
+        s"deflate=$deflate: the combined wire is the same member identity")
     }
+    val zip = ZipCodec.encodeZip(payload, 100, zip64 = true,
+      descriptor = true)
+    // member 0: local 30 + name 12 + extra 20, data 100 -> descriptor
+    // at 162, and it is the WIDE 24-byte shape (u64 sizes)
+    assert(u32at(zip, 162) === 0x08074b50L)
+    assert(u32at(zip, 14) === 0L, "streaming: local CRC unknown")
+    assert(u32at(zip, 18) === 0xffffffffL && u32at(zip, 22) === 0xffffffffL,
+      "local sizes are zip64 sentinels on the combined wire")
+    // the local 0x0001 extra (id+len at 42..45, value at 46..61)
+    // carries PLACEHOLDER zeros — real values would contradict streaming
+    assert(u32at(zip, 42) === (1L | (16L << 16)))
+    assert((46 until 62).forall(zip(_) == 0))
+    // u64 descriptor sizes: comp at +8 (100, stored), uncomp at +16
+    assert(u32at(zip, 162 + 8) === 100L && u32at(zip, 162 + 12) === 0L)
+    assert(u32at(zip, 162 + 16) === 100L && u32at(zip, 162 + 20) === 0L)
+    // a lying u64 descriptor size is a visible finding
+    val badSize = zip.clone(); badSize(162 + 9) = 1
+    assert(!ZipCodec.decodeZip(badSize)._1.valid)
+    // a NARROW (16-byte) descriptor under a local zip64 extra desyncs
+    // the member tiling — the next local header is not where the
+    // directory says it is
+    val narrow = zip.take(162 + 8) ++
+      zip.slice(162 + 8, 162 + 12) ++ zip.slice(162 + 16, 162 + 20) ++
+      zip.drop(162 + 24)
+    assert(!ZipCodec.decodeZip(narrow)._1.valid)
   }
 
   test("member seek table (E280): data spans are real random-access reads") {
@@ -246,7 +278,8 @@ class ZipCodecSpec extends SparkSpec {
       .filter(col("doc_id") < 30)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
     for ((deflate, zip64, desc) <- Seq((false, false, false),
-        (true, false, false), (false, true, false), (true, false, true))) {
+        (true, false, false), (false, true, false), (true, false, true),
+        (true, true, true))) {
       val out = graft.ext.Multimodal.zipStats(
         graft.ext.Multimodal.encodeZip(assets, memberBytes = 100,
           deflate = deflate, zip64 = zip64, descriptor = desc)).collect()
