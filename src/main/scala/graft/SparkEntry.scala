@@ -2347,6 +2347,39 @@ object SparkEntry {
           col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
           col("sum_colv"))
     },
+    // PACKED 4-BIT PALETTE PNG (E290): the tiny-palette wire (icons,
+    // screenshots, fax-era scans) — two pixels per byte, MSB-first,
+    // a 16-entry PLTE (the spec's 2^depth cap), filters on the packed
+    // bytes. Pixel i's index is payload byte i mod 16, so the oracle
+    // replays the palette maps off raw bytes; sum_colv pins the
+    // BIT-ORDER (an LSB-first decoder swaps column weights).
+    "q344_png_pal4" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 40, colorType = 3, depth = 4)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
+          col("sum_colv"))
+    },
+    // BILEVEL (1-BIT) PNG (E290): the scanned-document wire — eight
+    // pixels per byte. Pixel i = payload byte i mod 2.
+    "q345_png_gray1" -> { (s, dir) =>
+      graft.ext.Multimodal.pngStats(
+        graft.ext.Multimodal.encodePng(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 40, colorType = 0, depth = 1)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"),
+          col("mean_luma_milli"), col("sum_rowv"), col("sum_colv"))
+    },
     // 16-BIT GRAYSCALE PNG (E285): the science/photography width —
     // big-endian sample pairs, filters on the 2-byte stride per spec.
     // The oracle reads each sample as 256*hi + lo off the raw payload.
@@ -6081,6 +6114,48 @@ object SparkEntry {
         |       CAST(SUM(299*v + 587*(255 - v) + 114*((7*v) % 256))
         |            // COUNT(*) AS BIGINT) AS mean_luma_milli,
         |       CAST(SUM(y * (255 + (7*v) % 256)) AS BIGINT) AS sum_rowv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // 4-bit palette replay (q344): index = b mod 16, palette maps as
+    // q331 (for i < 16, (7i) mod 256 = 7i); x/y off the raster index
+    "q344_png_pal4" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 40 AS y, i % 40 AS x,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+        |          % 16 AS v
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 40)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+        |       CAST(SUM(7 * v) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*v + 587*(255 - v) + 114*7*v)
+        |            // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * (255 + 7*v)) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * (255 + 7*v)) AS BIGINT) AS sum_colv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // bilevel replay (q345): pixel = b mod 2, r = g = b = v
+    "q345_png_gray1" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 40 AS y, i % 40 AS x,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+        |          % 2 AS v
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 40)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(1000 * v) // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * 3 * v) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * 3 * v) AS BIGINT) AS sum_colv
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
     "q332_png_gray" ->
       """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p

@@ -645,7 +645,8 @@ object Multimodal {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case _ => 2
     }
-    val bpp = channels * (depth / 8)
+    // sub-byte wires (E290) consume one payload byte per pixel
+    val bpp = math.max(1, channels * (depth / 8))
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= bpp * width)
@@ -659,10 +660,11 @@ object Multimodal {
     * channel sums + fixed-point mean luma as [[bmpStats]]/[[qoiStats]],
     * plus the container diagnostics only a real decoder can see
     * (color type, IDAT chunk count and compressed byte total). Gray (0),
-    * truecolor (2/6), and palette (3, PLTE-resolved with out-of-bounds
-    * indices rejected) decode on the plain and Adam7-interlaced wires;
-    * 16-bit and gray+alpha streams — and corrupt, forged, or truncated
-    * ones — report is_valid = false with null stats; the inflate is
+    * truecolor (2/6), palette (3, PLTE-resolved with out-of-bounds
+    * indices rejected), gray+alpha (4), 16-bit gray/truecolor, and the
+    * packed sub-byte depths 1/2/4 (E290) decode on the plain and
+    * Adam7-interlaced wires; corrupt, forged, or truncated streams
+    * report is_valid = false with null stats; the inflate is
     * bounded by DEFLATE's maximum expansion of the bytes actually
     * present, so a forged IHDR cannot blow up memory (see PngCodec).
     * The row/col-weighted channel sums pin PIXEL PLACEMENT — the

@@ -66,8 +66,9 @@ object PngCodec {
     * 3 (palette — payload bytes are indices into the 256-entry fixture
     * PLTE, `h = len/width`), 0 (grayscale — payload bytes are the
     * samples, `h = len/width`; at depth 16 they are BIG-ENDIAN sample
-    * pairs, `h = len/(2·width)`), or 4 (gray+alpha — interleaved
-    * (gray, alpha) byte pairs). Row filter types CYCLE `y mod 5`
+    * pairs, `h = len/(2·width)`; at depths 1/2/4 the LOW bits of one
+    * payload byte per pixel, packed MSB-first on the wire), or 4
+    * (gray+alpha — interleaved (gray, alpha) byte pairs). Row filter types CYCLE `y mod 5`
     * (None, Sub, Up, Average, Paeth) so a decode of any fixture with ≥5
     * rows exercises every unfilter path — the same self-verifying-oracle
     * discipline as the QOI encoder's greedy op mix; per spec the
@@ -81,8 +82,12 @@ object PngCodec {
       interlaced: Boolean = false, depth: Int = 8): Array[Byte] = {
     require(colorType == 0 || colorType == 2 || colorType == 3 ||
       colorType == 4, s"unsupported fixture color type $colorType")
-    require(depth == 8 || depth == 16, "depth must be 8 or 16")
-    require(depth == 8 || colorType == 0 || colorType == 2,
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8 ||
+      depth == 16, "depth must be a spec depth")
+    require(depth == 8 || depth == 16 || colorType == 0 || colorType == 3,
+      "sub-byte depths are gray/palette wires per the spec")
+    require(depth == 8 || colorType == 0 || colorType == 2 ||
+      (depth < 8 && colorType == 3),
       "16-bit fixtures cover gray and truecolor (palette cannot be 16)")
     val channels = colorType match {
       case 0 => 1
@@ -90,19 +95,24 @@ object PngCodec {
       case 3 => 1
       case _ => 2
     }
-    val bpp = channels * (depth / 8) // filter stride = BYTES per pixel
-    val h = payload.length / (bpp * width)
+    // filter stride = BYTES per pixel, rounded up to 1 per the spec
+    // (sub-byte pixels pack MSB-first and filter on whole bytes)
+    val bpp = math.max(1, channels * (depth / 8))
+    // sub-byte wires consume one payload byte per pixel (low bits)
+    val inBpp = if (depth < 8) 1 else bpp
+    val h = payload.length / (inBpp * width)
     if (h < 1) return null
     // sample accessor in IMAGE raster order (payload is always raster)
     @inline def sample(x: Int, y: Int, ch: Int): Int =
-      payload((y * width + x) * bpp + ch) & 0xff
+      payload((y * width + x) * inBpp + ch) & 0xff
 
     val raw = new java.io.ByteArrayOutputStream(h * (1 + bpp * width) + 64)
     // filter + emit one rectangular pixel selection (a full image, or
     // one Adam7 pass); prev-row state is local to the selection, exactly
     // as the spec treats each pass as an independent sub-image
     def emitRows(xs: Array[Int], ys: Array[Int]): Unit = {
-      val sb = bpp * xs.length
+      val sb = if (depth < 8) (xs.length * depth + 7) / 8
+        else bpp * xs.length
       val prev = new Array[Int](sb)
       val cur = new Array[Int](sb)
       var r = 0
@@ -110,9 +120,22 @@ object PngCodec {
         val ft = r % 5
         raw.write(ft)
         var i = 0
-        while (i < sb) {
-          cur(i) = sample(xs(i / bpp), ys(r), i % bpp)
-          i += 1
+        if (depth < 8) {
+          // pack the selection's samples MSB-first (spec §7.2); unused
+          // low bits of a partial final byte stay zero
+          while (i < sb) { cur(i) = 0; i += 1 }
+          var q = 0
+          while (q < xs.length) {
+            val v = sample(xs(q), ys(r), 0) & ((1 << depth) - 1)
+            val bit = q * depth
+            cur(bit >> 3) |= v << (8 - depth - (bit & 7))
+            q += 1
+          }
+        } else {
+          while (i < sb) {
+            cur(i) = sample(xs(i / bpp), ys(r), i % bpp)
+            i += 1
+          }
         }
         i = 0
         while (i < sb) {
@@ -170,9 +193,12 @@ object PngCodec {
       Array[Byte](depth.toByte, colorType.toByte, 0, 0,
         if (interlaced) 1 else 0))
     if (colorType == 3) {
-      val plte = new Array[Byte](256 * 3)
+      // the spec caps PLTE at 2^depth entries — sub-byte wires carry
+      // exactly the addressable palette
+      val pn = if (depth < 8) 1 << depth else 256
+      val plte = new Array[Byte](pn * 3)
       var i = 0
-      while (i < 256) {
+      while (i < pn) {
         plte(3 * i) = palR(i).toByte
         plte(3 * i + 1) = palG(i).toByte
         plte(3 * i + 2) = palB(i).toByte
@@ -235,15 +261,18 @@ object PngCodec {
         val filt = bytes(p + 19) & 0xff
         ilace = bytes(p + 20) & 0xff
         // 8-bit gray (0), truecolor (2), palette (3), gray+alpha (4),
-        // RGBA (6) plus 16-BIT gray/truecolor (E285 — the
-        // science/photography widths); deflate, adaptive filters,
-        // interlace 0 or Adam7 (1) — sub-byte depths and 16-bit
-        // palette/alpha report is_valid=false (visible, never misdecoded)
+        // RGBA (6), 16-BIT gray/truecolor (E285), and the PACKED
+        // sub-byte depths 1/2/4 for gray and palette (E290 — the
+        // bilevel-scan and tiny-palette wires); deflate, adaptive
+        // filters, interlace 0 or Adam7 (1) — 16-bit palette/alpha
+        // report is_valid=false (visible, never misdecoded)
         val typeOk =
           if (depth == 8)
             colorType == 0L || colorType == 2L || colorType == 3L ||
               colorType == 4L || colorType == 6L
           else if (depth == 16) colorType == 0L || colorType == 2L
+          else if (depth == 1 || depth == 2 || depth == 4)
+            colorType == 0L || colorType == 3L // E290: packed wires
           else false
         if (w < 1 || h < 1 || !typeOk ||
             comp != 0 || filt != 0 || (ilace != 0 && ilace != 1))
@@ -276,19 +305,27 @@ object PngCodec {
     }
     if (!seenIend || p != n) return Invalid // trailing garbage is invalid
     if (colorType == 3L && plteOff < 0) return Invalid // palette required
+    // the spec bounds PLTE by the bit depth: a 17-entry palette on a
+    // 4-bit wire declares entries no pixel can address — forged
+    if (colorType == 3L && depth < 8 && plteCount > (1 << depth))
+      return Invalid
 
     // ---- inflate, bounded by what DEFLATE could possibly expand to ----
-    // bpp = BYTES per pixel (the spec's filter stride)
-    val bpp = (colorType match {
+    // bpp = BYTES per pixel (the spec's filter stride, rounded up to 1
+    // for the packed sub-byte wires)
+    val bpp = math.max(1L, (colorType match {
       case 0L | 3L => 1L
       case 2L => 3L
       case 4L => 2L
       case _ => 4L
-    }) * (depth / 8)
+    }) * (depth / 8))
+    // scanline DATA bytes for pw pixels (sub-byte pixels pack MSB-first)
+    def scanBytes(pw: Long): Long =
+      if (depth < 8) (pw * depth + 7) / 8 else bpp * pw
     // overflow-safe geometry guard BEFORE any multiply: the Adam7 raw
     // stream is at most h·(stride + 2) (same pixels, ≤ ~1.875·h filter
     // bytes), so this one division bounds both layouts
-    val stride = 1L + bpp * w
+    val stride = 1L + scanBytes(w)
     if (h > (Int.MaxValue.toLong - 8) / (stride + 2)) return Invalid
     // raw (filtered) stream length: one filter byte per scanline; under
     // Adam7 each nonempty pass is its own run of scanlines
@@ -297,7 +334,7 @@ object PngCodec {
       else Adam7.map { case (x0, y0, dx, dy) =>
         val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0L
         val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0L
-        if (pw > 0 && ph > 0) ph * (1L + bpp * pw) else 0L
+        if (pw > 0 && ph > 0) ph * (1L + scanBytes(pw)) else 0L
       }.sum
     val budget = idatLen * 1032L + 64L // DEFLATE max expansion of real bytes
     if (rawLen > budget) return Invalid // forged IHDR: don't allocate
@@ -369,7 +406,7 @@ object PngCodec {
     var bad = false
     def walkPass(x0: Int, dx: Int, pw: Int, y0: Int, dy: Int, ph: Int): Unit = {
       if (bad || pw < 1 || ph < 1) return
-      val sb = bppI * pw
+      val sb = scanBytes(pw.toLong).toInt
       val prev = new Array[Int](sb)
       val cur = new Array[Int](sb)
       var r = 0
@@ -398,7 +435,22 @@ object PngCodec {
         var px = 0
         while (px < pw && !bad) {
           var rr = 0; var gg = 0; var bb = 0
-          if (depth == 16) {
+          if (depth < 8) {
+            // packed sample, MSB-first (spec §7.2); padding bits in a
+            // partial final byte never reach a pixel
+            val bit = px * depth
+            val v = (cur(bit >> 3) >>> (8 - depth - (bit & 7))) &
+              ((1 << depth) - 1)
+            if (colorType == 0L) { rr = v; gg = v; bb = v }
+            else {
+              if (v >= plteCount) bad = true // OOB index: forged pixel
+              else {
+                rr = bytes(plteOff + 3 * v) & 0xff
+                gg = bytes(plteOff + 3 * v + 1) & 0xff
+                bb = bytes(plteOff + 3 * v + 2) & 0xff
+              }
+            }
+          } else if (depth == 16) {
             // big-endian 16-bit samples (network order per the spec)
             if (colorType == 0L) {
               val v = (cur(px * 2) << 8) | cur(px * 2 + 1)

@@ -378,6 +378,82 @@ class PngCodecSpec extends SparkSpec {
       Seq(chunk("PLTE", Array[Byte](1, 2, 3))))).valid)
   }
 
+  test("packed sub-byte depths decode MSB-first (E290)") {
+    // hand-built wires, independent of the encoder, pin the BIT order
+    def pngD(w: Int, h: Int, colorType: Int, depth: Int,
+        scanlines: Array[Byte], extra: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(scanlines); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      sig ++
+        chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+          Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)) ++
+        extra.flatten ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    // depth 4 gray, width 3: row 0xAB 0xC0 -> pixels 10, 11, 12 — the
+    // padding nibble never reaches a pixel
+    val d4 = PngCodec.decode(pngD(3, 1, 0, 4,
+      Array[Byte](0, 0xAB.toByte, 0xC0.toByte)))
+    assert(d4.valid && d4.sumR === 33L)
+    assert(d4.sumColV === 3L * (0 * 10 + 1 * 11 + 2 * 12))
+    // depth 1 gray, width 10: 0b11000101, 0b11(pad 0) -> six set bits
+    val d1 = PngCodec.decode(pngD(10, 1, 0, 1,
+      Array[Byte](0, 0xC5.toByte, 0xC0.toByte)))
+    assert(d1.valid && d1.sumR === 6L)
+    assert(d1.sumColV === 3L * (0 + 1 + 5 + 7 + 8 + 9))
+    // depth 2 palette: pixels (3, 1, 0, 2) pack to 0b11_01_00_10
+    val plte4 = chunk("PLTE",
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    val d2 = PngCodec.decode(pngD(4, 1, 3, 2,
+      Array[Byte](0, 0xD2.toByte), Seq(plte4)))
+    assert(d2.valid && d2.sumR === (10L + 4L + 1L + 7L),
+      "packed indices must resolve through the PLTE, MSB-first")
+    // pixel 3 on a THREE-entry palette is a forged pixel
+    val plte3 = chunk("PLTE", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    assert(!PngCodec.decode(pngD(4, 1, 3, 2,
+      Array[Byte](0, 0xD2.toByte), Seq(plte3))).valid)
+    // a palette LARGER than 2^depth declares unaddressable entries
+    val plte5 = chunk("PLTE", Array.fill[Byte](15)(1))
+    assert(!PngCodec.decode(pngD(4, 1, 3, 2,
+      Array[Byte](0, 0x12), Seq(plte5))).valid)
+    // sub-byte RGB stays impossible (type 2 requires depth >= 8)
+    assert(!PngCodec.decode(pngD(3, 1, 2, 4,
+      Array[Byte](0, 0xAB.toByte, 0xC0.toByte))).valid)
+    // encoder round trip across depths x color types x interlace; the
+    // filter cycle runs on the PACKED bytes (bpp = 1) per spec §9.2
+    val rng = new scala.util.Random(29)
+    val payload = Array.fill(13 * 7)((rng.nextInt(256) - 128).toByte)
+    for (depth <- Seq(1, 2, 4); ct <- Seq(0, 3); il <- Seq(false, true)) {
+      val png = PngCodec.encode(payload, 13, ct, il, depth)
+      assert(png !== null)
+      val d = PngCodec.decode(png)
+      assert(d.valid, s"depth=$depth ct=$ct il=$il")
+      val mask = (1 << depth) - 1
+      val vs = payload.map(_ & 0xff).map(_ & mask)
+      if (ct == 0) {
+        assert(d.sumR === vs.map(_.toLong).sum, s"depth=$depth il=$il")
+        assert(d.sumG === d.sumR && d.sumB === d.sumR)
+      } else {
+        assert(d.sumR === vs.map(i => PngCodec.palR(i).toLong).sum)
+        assert(d.sumG === vs.map(i => PngCodec.palG(i).toLong).sum)
+        assert(d.sumB === vs.map(i => PngCodec.palB(i).toLong).sum,
+          s"depth=$depth il=$il")
+      }
+      if (il) {
+        // placement: Adam7 must match the plain wire's weighted sums
+        val dp = PngCodec.decode(PngCodec.encode(payload, 13, ct,
+          interlaced = false, depth))
+        assert(d.sumRowV === dp.sumRowV && d.sumColV === dp.sumColV,
+          s"depth=$depth ct=$ct: sub-byte packing must compose with Adam7")
+      }
+    }
+  }
+
   test("engine round trip on real documents matches raw-payload channel sums") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val assets = graft.ext.Multimodal.documentsAsAssets(docs)
