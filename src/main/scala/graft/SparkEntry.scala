@@ -2347,6 +2347,23 @@ object SparkEntry {
           col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
           col("sum_colv"))
     },
+    // RLE4 BMP (E291): the 16-color RLE wire — encoded runs ALTERNATE
+    // the value byte's nibbles (the dithering mode RLE8 lacks),
+    // absolute runs pack nibbles high-first with required-zero pads.
+    // Pixel index = payload byte mod 16; same flip-proof weighting.
+    "q346_bmp_rle4" -> { (s, dir) =>
+      graft.ext.Multimodal.bmpRle4Stats(
+        graft.ext.Multimodal.encodeBmpRle4(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 40)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
+          col("sum_colv"))
+    },
     // PACKED 4-BIT PALETTE PNG (E290): the tiny-palette wire (icons,
     // screenshots, fax-era scans) — two pixels per byte, MSB-first,
     // a 16-entry PLTE (the spec's 2^depth cap), filters on the packed
@@ -6196,6 +6213,29 @@ object SparkEntry {
         |            // COUNT(*) AS BIGINT) AS mean_luma_milli,
         |       CAST(SUM(y * (255 + (7*v) % 256)) AS BIGINT) AS sum_rowv,
         |       CAST(SUM(x * (255 + (7*v) % 256)) AS BIGINT) AS sum_colv
+        |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // RLE4 replay (q346): index = b mod 16 — q344's arithmetic over
+    // the compressed bottom-up wire
+    "q346_bmp_rle4" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 40 AS hgt
+        |      FROM src WHERE octet_length(p) // 40 >= 1),
+        |c AS (SELECT asset_id, hgt, i // 40 AS y, i % 40 AS x,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+        |          % 16 AS v
+        |      FROM (SELECT asset_id, hgt, h,
+        |              unnest(range(0, hgt * 40)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid, CAST(40 AS BIGINT) AS width,
+        |       CAST(hgt AS BIGINT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+        |       CAST(SUM(7 * v) AS BIGINT) AS sum_b,
+        |       CAST(SUM(299*v + 587*(255 - v) + 114*7*v)
+        |            // COUNT(*) AS BIGINT) AS mean_luma_milli,
+        |       CAST(SUM(y * (255 + 7*v)) AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(x * (255 + 7*v)) AS BIGINT) AS sum_colv
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
     // 16-bit gray replay (q338): sample i = 256·b[2i] + b[2i+1]
     // (big-endian pairs), 20 samples per row

@@ -1198,6 +1198,42 @@ object Multimodal {
         col("q.sum_colv").as("sum_colv"))
   }
 
+  /** Encode each asset's payload bytes (index = byte mod 16) as a
+    * bottom-up RLE4 BMP (E291) — the 16-color compressed BMP wire with
+    * alternating-nibble encoded runs.
+    */
+  def encodeBmpRle4(assets: DataFrame, width: Int = 40): DataFrame = {
+    require(width >= 1, "width must be positive")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= width &&
+        octet_length(col("bytes")) <=
+          graft.functions.BmpRleCodec.MaxPixels.toLong)
+      .withColumn("bytes",
+        graft.functions.BmpRleNativeFunctions.bmpRle4Encode(spark,
+          col("bytes"), width))
+  }
+
+  /** Decode RLE4 BMP assets natively (E291): the RLE8 walk's strictness
+    * over the nibble-packed wire — alternating encoded runs, high-first
+    * absolute nibbles with required-zero padding, image-coordinate
+    * weighting proving the bottom-up flip.
+    */
+  def bmpRle4Stats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.BmpRleNativeFunctions.bmpRle4Decode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.width").as("width"), col("q.height").as("height"),
+        col("q.n_pixels").as("n_pixels"), col("q.sum_r").as("sum_r"),
+        col("q.sum_g").as("sum_g"), col("q.sum_b").as("sum_b"),
+        col("q.mean_luma_milli").as("mean_luma_milli"),
+        col("q.sum_rowv").as("sum_rowv"),
+        col("q.sum_colv").as("sum_colv"))
+  }
+
   /** ZIP shard INGEST (E280's composition): the [[zipMembers]] fan-out
     * composed with the text pipeline — demux + inflate + extract +
     * markup-strip + tokenize in ONE pass over the zip wire, one sample
