@@ -3365,6 +3365,41 @@ object SparkEntry {
           col("height"), col("n_pixels"), col("sum_v"),
           col("mean_v_milli"), col("sum_rowv"), col("n_strips"))
     },
+    // RGB TIFF (E292): baseline color — Photometric 2, SamplesPerPixel
+    // 3, BitsPerSample [8,8,8] in an external value area, chunky
+    // RGBRGB rows (PlanarConfiguration 2 rejects visibly). Payload
+    // bytes are the triplets; channel sums split by i mod 3.
+    "q347_tiff_rgb" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 20, rgb = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+    },
+    // RGB TIFF over LZW + per-CHANNEL Predictor 2 on the big-endian
+    // wire (E292): differencing runs with the 3-sample stride per spec
+    // 14. Same oracle as q347 VERBATIM — the wire changes, the samples
+    // never do.
+    "q348_tiff_rgb_pred" -> { (s, dir) =>
+      graft.ext.Multimodal.tiffStats(
+        graft.ext.Multimodal.encodeTiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          width = 20, bigEndian = true, lzw = true, predictor2 = true,
+          rgb = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"),
+          col("mean_v_milli"), col("sum_rowv"), col("n_strips"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+    },
     // TILED TIFF (E284): the big-image layout (GeoTIFF / scanner walls)
     // — 16x16 tiles on the LZW + Predictor 2 wire, edge tiles PADDED to
     // full size (decoded, never counted), the predictor reset per TILE
@@ -4708,6 +4743,35 @@ object SparkEntry {
          |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
          |       CAST(3 * ((hgt + 15) // 16) AS BIGINT) AS n_strips
          |FROM bv GROUP BY asset_id, hgt""".stripMargin
+
+  /** RGB TIFF replay (q347 raw/II, q348 LZW+Predictor2/MM — one
+    * oracle): pixels are payload RGB triplets (rows span 60 bytes),
+    * channel c is byte i with i mod 3 = c, and the mean is per SAMPLE.
+    * The compression, byte order, and per-channel predictor change the
+    * wire, never the samples.
+    */
+  private def tiffRgbOracleSql: String =
+    """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+      |             FROM documents WHERE doc_id < 140),
+      |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 60 AS hgt
+      |      FROM src WHERE octet_length(p) // 60 >= 1
+      |        AND octet_length(p) <= 16777216),
+      |bv AS (SELECT asset_id, hgt, i // 60 AS r, i % 3 AS ch,
+      |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+      |           AS v
+      |       FROM (SELECT asset_id, hgt, h,
+      |               unnest(range(0, hgt * 60)) AS i FROM g))
+      |SELECT asset_id, TRUE AS is_valid, CAST(20 AS BIGINT) AS width,
+      |       CAST(hgt AS BIGINT) AS height,
+      |       CAST(COUNT(*) // 3 AS BIGINT) AS n_pixels,
+      |       CAST(SUM(v) AS BIGINT) AS sum_v,
+      |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_v_milli,
+      |       CAST(SUM(r * v) AS BIGINT) AS sum_rowv,
+      |       CAST((hgt + 3) // 4 AS BIGINT) AS n_strips,
+      |       CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+      |       CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+      |       CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+      |FROM bv GROUP BY asset_id, hgt""".stripMargin
 
   private def tiffOracleSqlFor(where: String): String =
     s"""WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
@@ -6380,6 +6444,9 @@ object SparkEntry {
     "q300_tiff_scale" -> tiffOracleSqlFor(""),
     "q301_flac_scale" -> flacOracleSqlFor(""),
     "q297_tiff_stats" -> tiffOracleSql,
+    // q347/q348: RGB — raw/II and LZW+predictor/MM share one oracle
+    "q347_tiff_rgb" -> tiffRgbOracleSql,
+    "q348_tiff_rgb_pred" -> tiffRgbOracleSql,
     "q298_tiff_packbits" -> tiffOracleSql,
     "q336_tiff_tiled" -> tiffTiledOracleSql,
     "q304_tiff_lzw" -> tiffOracleSql,

@@ -1380,20 +1380,22 @@ object Multimodal {
       bigEndian: Boolean = false, packBits: Boolean = false,
       lzw: Boolean = false, pageHeight: Int = 0,
       predictor2: Boolean = false, fillOrder2: Boolean = false,
-      tiled: Boolean = false): DataFrame = {
+      tiled: Boolean = false, rgb: Boolean = false): DataFrame = {
     require(width >= 1, "width must be positive")
+    // E292: RGB rows span width*3 payload bytes
+    val rowBytes = width.toLong * (if (rgb) 3 else 1)
     val spark = assets.sparkSession
     assets
       // lower bound mirrors the codec's null rule (no full row); upper
       // bound mirrors the 2^24-pixel cap, both on the cheap input length
       .filter(octet_length(col("bytes")) >=
-          (if (pageHeight > 0) width.toLong * pageHeight else width.toLong) &&
+          (if (pageHeight > 0) rowBytes * pageHeight else rowBytes) &&
         octet_length(col("bytes")) <=
           graft.functions.TiffCodec.MaxPixels.toLong)
       .withColumn("bytes",
         graft.functions.TiffNativeFunctions.tiffEncode(spark, col("bytes"),
           width, bigEndian, packBits, lzw, pageHeight, predictor2,
-          fillOrder2, tiled))
+          fillOrder2, tiled, rgb))
   }
 
   /** Decode TIFF assets natively (E252): strict header + IFD walk (both
@@ -1417,7 +1419,9 @@ object Multimodal {
         col("q.mean_v_milli").as("mean_v_milli"),
         col("q.sum_rowv").as("sum_rowv"),
         col("q.n_strips").as("n_strips"),
-        col("q.n_pages").as("n_pages"))
+        col("q.n_pages").as("n_pages"),
+        col("q.sum_r").as("sum_r"), col("q.sum_g").as("sum_g"),
+        col("q.sum_b").as("sum_b"))
   }
 
   /** Encode each asset's payload as an MJPEG AVI container (E240): each

@@ -92,7 +92,8 @@ object TiffCodec {
   def encodeTiff(payload: Array[Byte], width: Int, bigEndian: Boolean,
       packBits: Boolean, lzw: Boolean = false,
       pageHeight: Int = 0, predictor2: Boolean = false,
-      fillOrder2: Boolean = false, tiled: Boolean = false): Array[Byte] = {
+      fillOrder2: Boolean = false, tiled: Boolean = false,
+      rgb: Boolean = false): Array[Byte] = {
     require(width >= 1, "width must be positive")
     require(!(packBits && lzw), "choose one compression")
     require(pageHeight >= 0, "pageHeight must be non-negative")
@@ -100,16 +101,20 @@ object TiffCodec {
     require(!fillOrder2 || lzw,
       "FillOrder 2 only changes a BIT stream — the LZW wire")
     require(!(tiled && packBits), "the tiled fixture wires are raw or LZW")
+    // E292: chunky RGB — the payload is an RGBRGB... raster, rows span
+    // width·3 bytes, and all row/strip/tile arithmetic runs on SAMPLES
+    val spp = if (rgb) 3 else 1
+    val rowBytes = width * spp
     val paged = pageHeight > 0
-    val h = if (paged) pageHeight else payload.length / width
+    val h = if (paged) pageHeight else payload.length / rowBytes
     if (h < 1) return null
     // geometry cap BEFORE the Int multiply: an extreme width x pageHeight
     // must return the documented null, not wrap to a zero divisor
     if (width.toLong * h > MaxPixels) return null
-    val pageBytes = width * h
+    val pageBytes = rowBytes * h
     val nPages = if (paged) payload.length / pageBytes else 1
     if (nPages < 1) return null
-    if (nPages.toLong * pageBytes > MaxPixels) return null
+    if (nPages.toLong * width * h > MaxPixels) return null
     val nStrips = (h + RowsPerStrip - 1) / RowsPerStrip
 
     // ---- Predictor 2 (TIFF 6.0 spec 14, horizontal differencing): each
@@ -120,13 +125,15 @@ object TiffCodec {
     val src =
       if (!predictor2) payload
       else {
+        // differencing is PER CHANNEL with the spp stride (spec 14):
+        // each sample deltas against the same channel one pixel left
         val used = nPages * pageBytes
         val d = new Array[Byte](used)
         var i = 0
         while (i < used) {
           d(i) =
-            if (i % width == 0) payload(i)
-            else ((payload(i) - payload(i - 1)) & 0xff).toByte
+            if (i % rowBytes < spp) payload(i)
+            else ((payload(i) - payload(i - spp)) & 0xff).toByte
           i += 1
         }
         d
@@ -152,15 +159,17 @@ object TiffCodec {
         while (t < nChunks) {
           val ty = t / tAcross
           val tx = t % tAcross
-          val buf = new Array[Byte](TileW * TileH)
+          val tRow = TileW * spp
+          val buf = new Array[Byte](tRow * TileH)
           var r = 0
           while (r < TileH) {
             val gy = ty * TileH + r
             var c = 0
-            while (c < TileW) {
-              val gx = tx * TileW + c
-              buf(r * TileW + c) =
-                if (gx < width && gy < h) payload(base + gy * width + gx)
+            while (c < tRow) {
+              val gx = tx * TileW + c / spp
+              buf(r * tRow + c) =
+                if (gx < width && gy < h)
+                  payload(base + gy * rowBytes + gx * spp + c % spp)
                 else 0
               c += 1
             }
@@ -173,8 +182,8 @@ object TiffCodec {
               var i = 0
               while (i < buf.length) {
                 o(i) =
-                  if (i % TileW == 0) buf(i)
-                  else ((buf(i) - buf(i - 1)) & 0xff).toByte
+                  if (i % tRow < spp) buf(i)
+                  else ((buf(i) - buf(i - spp)) & 0xff).toByte
                 i += 1
               }
               o
@@ -204,7 +213,8 @@ object TiffCodec {
         val rows = math.min(RowsPerStrip, h - s * RowsPerStrip)
         if (lzw) {
           val enc =
-            lzwEncode(src, base + s * RowsPerStrip * width, rows * width)
+            lzwEncode(src, base + s * RowsPerStrip * rowBytes,
+              rows * rowBytes)
           if (fillOrder2) {
             // FillOrder 2 (tag 266): bits within every byte of the
             // compressed stream are reversed — the fax-heritage wire
@@ -217,13 +227,14 @@ object TiffCodec {
           strips(s) = enc
         } else if (!packBits) {
           strips(s) = java.util.Arrays.copyOfRange(payload,
-            base + s * RowsPerStrip * width,
-            base + (s * RowsPerStrip + rows) * width)
+            base + s * RowsPerStrip * rowBytes,
+            base + (s * RowsPerStrip + rows) * rowBytes)
         } else {
-          val out = new java.io.ByteArrayOutputStream(rows * width + 16)
+          val out = new java.io.ByteArrayOutputStream(rows * rowBytes + 16)
           var r = 0
           while (r < rows) {
-            packRow(payload, base + (s * RowsPerStrip + r) * width, width, out)
+            packRow(payload, base + (s * RowsPerStrip + r) * rowBytes,
+              rowBytes, out)
             r += 1
           }
           strips(s) = out.toByteArray
@@ -242,7 +253,8 @@ object TiffCodec {
     val ifdSize = 2 + nEntries * 12 + 4
     // external areas per page: chunk arrays only when external (> 1
     // chunk), plus the two RATIONAL resolutions
-    val extSize = (if (nChunks > 1) 8 * nChunks else 0) + 16
+    val extSize = (if (nChunks > 1) 8 * nChunks else 0) + 16 +
+      (if (rgb) 6 else 0)
     val stripsStart = new Array[Long](nPages)
     val ifdAt = new Array[Long](nPages)
     var off = 8L
@@ -313,18 +325,28 @@ object TiffCodec {
         extU32(num); extU32(den)
         extOff += 8
       }
+      def entryShortArray3(tag: Int, value: Int): Unit = {
+        // three SHORTs (6 bytes) never fit the inline slot -> external
+        u16(tag); u16(3); u32(3); u32(extOff)
+        def extU16(v: Int): Unit =
+          if (bigEndian) { ext.write((v >>> 8) & 0xff); ext.write(v & 0xff) }
+          else { ext.write(v & 0xff); ext.write((v >>> 8) & 0xff) }
+        extU16(value); extU16(value); extU16(value)
+        extOff += 6
+      }
       var acc = stripsStart(pg)
       val offsets = stripBytes.map { b => val o = acc; acc += b; o }
       // IFD entries in ascending tag order (the spec requirement)
       entryLong(256, width.toLong)                  // ImageWidth
       entryLong(257, h.toLong)                      // ImageLength
-      entryShort(258, 8)                            // BitsPerSample
+      if (rgb) entryShortArray3(258, 8)             // BitsPerSample [8,8,8]
+      else entryShort(258, 8)                       // BitsPerSample
       entryShort(259,                               // Compression
         if (lzw) 5 else if (packBits) 32773 else 1)
-      entryShort(262, 1)                            // Photometric: BlackIsZero
+      entryShort(262, if (rgb) 2 else 1)            // Photometric
       if (fillOrder2) entryShort(266, 2)            // FillOrder: reversed
       if (!tiled) entryLongArray(273, offsets)      // StripOffsets
-      entryShort(277, 1)                            // SamplesPerPixel
+      entryShort(277, spp)                          // SamplesPerPixel
       if (!tiled) {
         entryLong(278, RowsPerStrip.toLong)         // RowsPerStrip
         entryLongArray(279, stripBytes.map(_.toLong)) // StripByteCounts
@@ -459,10 +481,15 @@ object TiffCodec {
     out.toByteArray
   }
 
-  /** Per-asset decode result; -1 stats when invalid. */
+  /** Per-asset decode result; -1 stats when invalid. `sumV` totals all
+    * SAMPLES (== the pixel sum at spp 1); `meanVMilli` is per sample;
+    * `sumR`/`sumG`/`sumB` split by channel (all equal to `sumV` on
+    * grayscale wires, the PNG r = g = b convention).
+    */
   final case class Decoded(valid: Boolean, width: Long, height: Long,
       nPixels: Long, sumV: Long, meanVMilli: Long, sumRowV: Long,
-      nStrips: Long, nPages: Long)
+      nStrips: Long, nPages: Long, sumR: Long = -1, sumG: Long = -1,
+      sumB: Long = -1)
 
   private val Invalid =
     Decoded(valid = false, -1, -1, -1, -1, -1, -1, -1, -1)
@@ -492,10 +519,15 @@ object TiffCodec {
     // zero (multi-page is the scanner-archive norm) ----
     var pageW = -1L
     var pageH = -1L
+    var pageSpp = -1L
     var totPixels = 0L
+    var totSamples = 0L
     var totStrips = 0L
     var nPages = 0L
     var sumV = 0L
+    var sumR = 0L
+    var sumG = 0L
+    var sumB = 0L
     var sumRowV = 0L
     var row = 0L // global output row, pages stacked
     while (ifdOff != 0) {
@@ -510,6 +542,8 @@ object TiffCodec {
     var width = -1L
     var height = -1L
     var bits = -1L
+    var bitsCount = -1L
+    var planar = -1L
     var compression = -1L
     var photometric = -1L
     var spp = -1L
@@ -583,8 +617,14 @@ object TiffCodec {
           if (typ != 3 && typ != 4) return Invalid
           height = scalar
         case 258 =>
+          // BitsPerSample holds ONE short per sample (RGB carries the
+          // [8,8,8] triple in an external value area)
           if (typ != 3) return Invalid
-          bits = scalar
+          val ba = longArray
+          if (ba == null) return Invalid
+          bitsCount = ba.length.toLong
+          if (ba.exists(_ != ba(0))) return Invalid // mixed depths: forged
+          bits = ba(0)
         case 259 =>
           if (typ != 3) return Invalid
           compression = scalar
@@ -614,6 +654,11 @@ object TiffCodec {
         case 283 =>
           if (!rationalOk) return Invalid
           yresOk = true
+        case 284 =>
+          // PlanarConfiguration: 1 = chunky (RGBRGB..., the baseline
+          // default); 2 = planar is a visible reject, never a misdecode
+          if (typ != 3) return Invalid
+          planar = scalar
         case 296 =>
           if (typ != 3) return Invalid
           resUnit = scalar
@@ -640,11 +685,17 @@ object TiffCodec {
     }
     val nextIfd = u32(entriesOff + nEntries * 12)
     if (nextIfd < 0) return Invalid
-    // required-tag audit (baseline grayscale)
-    if (width < 1 || height < 1 || bits != 8 || spp != 1) return Invalid
+    // required-tag audit (baseline grayscale, or E292 baseline RGB:
+    // Photometric 2 + SamplesPerPixel 3 + BitsPerSample [8,8,8] chunky)
+    if (width < 1 || height < 1 || bits != 8) return Invalid
+    if (spp != 1 && spp != 3) return Invalid
+    if (bitsCount != spp) return Invalid // one depth per sample, exactly
+    if (planar != -1L && planar != 1L) return Invalid // chunky only
     if (compression != 1 && compression != 5 && compression != 32773)
       return Invalid
-    if (photometric != 0 && photometric != 1) return Invalid
+    if (photometric != 0 && photometric != 1 && photometric != 2)
+      return Invalid
+    if ((photometric == 2) != (spp == 3)) return Invalid // RGB iff 3 samples
     if (!xresOk || !yresOk) return Invalid
     if (resUnit != 1 && resUnit != 2 && resUnit != 3) return Invalid
     // layout family (TIFF 6.0 §15): STRIPS (273/278/279) or TILES
@@ -681,8 +732,9 @@ object TiffCodec {
       return Invalid
     // every page of an archive shares one geometry (the scanner
     // discipline, and what keeps the stats schema meaningful)
-    if (nPages == 0) { pageW = width; pageH = height }
-    else if (width != pageW || height != pageH) return Invalid
+    if (nPages == 0) { pageW = width; pageH = height; pageSpp = spp }
+    else if (width != pageW || height != pageH || spp != pageSpp)
+      return Invalid
     // bound each u32 dimension BEFORE the multiply — unvalidated tag
     // values up to 2^32-1 could overflow the Long product and slip past
     // the cumulative cap
@@ -718,20 +770,28 @@ object TiffCodec {
         cW = tileW
         cLy = ty * tileL
         cX = tx * tileW
-        expect = tileW * tileL
+        expect = tileW * tileL * spp
       } else {
         val rows = math.min(rps, height - s * rps)
         cW = width
         cLy = s * rps
-        expect = rows * width
+        expect = rows * width * spp
       }
-      var emitted = 0L
+      var emitted = 0L // SAMPLES emitted (== pixels when spp = 1)
       @inline def accPx(v: Int): Unit = {
-        val gx = cX + emitted % cW
-        val ly = cLy + emitted / cW
+        val pxIdx = emitted / spp
+        val ch = (emitted - pxIdx * spp).toInt // chunky: RGBRGB...
+        val gx = cX + pxIdx % cW
+        val ly = cLy + pxIdx / cW
         if (gx < width && ly < height) {
           sumV += v
           sumRowV += (row + ly) * v
+          if (spp == 1) { sumR += v; sumG += v; sumB += v } // r = g = b
+          else ch match {
+            case 0 => sumR += v
+            case 1 => sumG += v
+            case _ => sumB += v
+          }
         }
         emitted += 1
       }
@@ -772,10 +832,11 @@ object TiffCodec {
         var p = off
         val end = off + len
         var ended = false
-        // Predictor-2 undo state: the running left-neighbor value,
-        // reset at every row start (column 0 of the CHUNK — a strip row
-        // spans the image, a tile row spans the tile, both per spec).
-        var predAcc = 0
+        // Predictor-2 undo state: the running left-neighbor value PER
+        // CHANNEL (spec 14: differencing is per sample with the spp
+        // stride), reset at every row start (column 0 of the CHUNK — a
+        // strip row spans the image, a tile row spans the tile).
+        val predAccs = new Array[Int](spp.toInt)
         val stack = new Array[Int](4097)
         def nextCodeBits(): Int = {
           while (nbits < codeWidth) {
@@ -799,9 +860,13 @@ object TiffCodec {
             top -= 1
             var v = stack(top)
             if (pred2) {
-              // horizontal differencing undo: one add per pixel, mod 256
-              predAcc = if (emitted % cW == 0) v else (predAcc + v) & 0xff
-              v = predAcc
+              // horizontal differencing undo: one add per sample, mod
+              // 256, against the SAME CHANNEL of the previous pixel
+              val inRow = emitted % (cW * spp)
+              val ch = (emitted % spp).toInt
+              predAccs(ch) =
+                if (inRow < spp) v else (predAccs(ch) + v) & 0xff
+              v = predAccs(ch)
             }
             accPx(v)
           }
@@ -883,6 +948,7 @@ object TiffCodec {
     }
     row += height
     totPixels += width * height
+    totSamples += width * height * spp
     totStrips += nStrips
     nPages += 1
     ifdOff = nextIfd
@@ -890,7 +956,8 @@ object TiffCodec {
     if (nPages < 1) return Invalid
 
     Decoded(valid = true, pageW, pageH, totPixels, sumV,
-      sumV * 1000 / totPixels, sumRowV, totStrips, nPages)
+      sumV * 1000 / totSamples, sumRowV, totStrips, nPages,
+      sumR, sumG, sumB)
   }
 }
 
@@ -900,7 +967,7 @@ object TiffCodec {
 case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
     packBits: Boolean, lzw: Boolean = false, pageHeight: Int = 0,
     predictor2: Boolean = false, fillOrder2: Boolean = false,
-    tiled: Boolean = false)
+    tiled: Boolean = false, rgb: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(width >= 1, "width must be positive")
 
@@ -914,7 +981,7 @@ case class TiffEncode(child: Expression, width: Int, bigEndian: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TiffCodec.encodeTiff(input.asInstanceOf[Array[Byte]], width, bigEndian,
-      packBits, lzw, pageHeight, predictor2, fillOrder2, tiled)
+      packBits, lzw, pageHeight, predictor2, fillOrder2, tiled, rgb)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -936,7 +1003,10 @@ case class TiffDecode(child: Expression)
     StructField("mean_v_milli", LongType, nullable = true),
     StructField("sum_rowv", LongType, nullable = true),
     StructField("n_strips", LongType, nullable = true),
-    StructField("n_pages", LongType, nullable = true)))
+    StructField("n_pages", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -947,8 +1017,9 @@ case class TiffDecode(child: Expression)
     val d = TiffCodec.decodeTiff(input.asInstanceOf[Array[Byte]])
     if (d.valid)
       InternalRow(true, d.width, d.height, d.nPixels, d.sumV, d.meanVMilli,
-        d.sumRowV, d.nStrips, d.nPages)
-    else InternalRow(false, null, null, null, null, null, null, null, null)
+        d.sumRowV, d.nStrips, d.nPages, d.sumR, d.sumG, d.sumB)
+    else InternalRow(false, null, null, null, null, null, null, null, null,
+      null, null, null)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -973,6 +1044,8 @@ object TiffNativeFunctions {
         if (exprs.length > 7) exprs(7).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 8) exprs(8).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 9) exprs(9).eval().asInstanceOf[Boolean]
         else false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -983,7 +1056,7 @@ object TiffNativeFunctions {
       bigEndian: Boolean, packBits: Boolean,
       lzw: Boolean = false, pageHeight: Int = 0,
       predictor2: Boolean = false, fillOrder2: Boolean = false,
-      tiled: Boolean = false): Column = {
+      tiled: Boolean = false, rgb: Boolean = false): Column = {
     register(spark)
     call_function("graft_tiff_encode", bytes,
       org.apache.spark.sql.functions.lit(width),
@@ -993,7 +1066,8 @@ object TiffNativeFunctions {
       org.apache.spark.sql.functions.lit(pageHeight),
       org.apache.spark.sql.functions.lit(predictor2),
       org.apache.spark.sql.functions.lit(fillOrder2),
-      org.apache.spark.sql.functions.lit(tiled))
+      org.apache.spark.sql.functions.lit(tiled),
+      org.apache.spark.sql.functions.lit(rgb))
   }
 
   def tiffDecode(spark: SparkSession, bytes: Column): Column = {

@@ -399,6 +399,96 @@ class TiffCodecSpec extends SparkSpec {
       "FillOrder and Predictor undo in the right order")
   }
 
+  test("RGB (E292): chunky samples, per-channel predictor, channel sums") {
+    def u16le(b: Array[Byte], o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32le(b: Array[Byte], o: Int) =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val payload = fixture(20 * 3 * 7 + 11, 37) // 7 whole RGB rows at w=20
+    val used = 20 * 3 * 7
+    def chSum(c: Int) = (0 until used).filter(_ % 3 == c)
+      .map(payload(_) & 0xff).map(_.toLong).sum
+    val sv = (0 until used).map(payload(_) & 0xff).map(_.toLong).sum
+    val srv = (0 until used).map(i => (i / 60).toLong * (payload(i) & 0xff)).sum
+    for (big <- Seq(false, true);
+         (pb, lz) <- Seq((false, false), (true, false), (false, true))) {
+      val tiff = TiffCodec.encodeTiff(payload, 20, big, packBits = pb,
+        lzw = lz, rgb = true)
+      assert(tiff !== null)
+      val d = TiffCodec.decodeTiff(tiff)
+      assert(d.valid, s"big=$big pb=$pb lz=$lz")
+      assert((d.width, d.height, d.nPixels) === ((20L, 7L, 140L)))
+      assert(d.sumV === sv && d.sumRowV === srv, s"big=$big pb=$pb lz=$lz")
+      assert((d.sumR, d.sumG, d.sumB) === ((chSum(0), chSum(1), chSum(2))),
+        s"big=$big pb=$pb lz=$lz: channel sums split RGBRGB, not planes")
+      assert(d.meanVMilli === sv * 1000 / (140 * 3), "mean is per SAMPLE")
+    }
+    // per-CHANNEL predictor stride, pinned at the WIRE level: stride-3
+    // differencing of P equals stride-1 differencing of its per-row
+    // channel-CUMSUM twin, so the rgb+pred strip bytes must be
+    // byte-identical to a grayscale(width*3)+pred wire over the twin —
+    // a symmetric encoder/decoder stride bug cannot pass this
+    val rgbPred = TiffCodec.encodeTiff(payload, 20, bigEndian = false,
+      packBits = false, lzw = true, predictor2 = true, rgb = true)
+    val dP = TiffCodec.decodeTiff(rgbPred)
+    assert(dP.valid && dP.sumV === sv &&
+      (dP.sumR, dP.sumG, dP.sumB) === ((chSum(0), chSum(1), chSum(2))))
+    val twin = new Array[Byte](used)
+    for (i <- 0 until used) {
+      val d3 =
+        if (i % 60 < 3) payload(i) & 0xff
+        else (payload(i) - payload(i - 3)) & 0xff
+      twin(i) =
+        (if (i % 60 == 0) d3 else ((twin(i - 1) & 0xff) + d3) & 0xff).toByte
+    }
+    val grayTwin = TiffCodec.encodeTiff(twin, 60, bigEndian = false,
+      packBits = false, lzw = true, predictor2 = true)
+    val sEnd = u32le(grayTwin, 4)
+    assert(u32le(rgbPred, 4) === sEnd, "same strip section length")
+    assert(java.util.Arrays.equals(rgbPred.slice(8, sEnd),
+      grayTwin.slice(8, sEnd)),
+      "stride-3 differencing must equal stride-1 on the cumsum twin")
+    // header-contradiction rejects on the raw wire (12 ascending entries)
+    val raw = TiffCodec.encodeTiff(payload, 20, bigEndian = false,
+      packBits = false, rgb = true)
+    val ifdAt = u32le(raw, 4)
+    val photoSlot = ifdAt + 2 + 4 * 12
+    assert(u16le(raw, photoSlot) === 262 && u16le(raw, photoSlot + 8) === 2)
+    val asGray = raw.clone(); asGray(photoSlot + 8) = 1
+    assert(!TiffCodec.decodeTiff(asGray).valid,
+      "photometric 1 with 3 samples is forged")
+    val sppSlot = ifdAt + 2 + 6 * 12
+    assert(u16le(raw, sppSlot) === 277 && u16le(raw, sppSlot + 8) === 3)
+    val spp1 = raw.clone(); spp1(sppSlot + 8) = 1
+    assert(!TiffCodec.decodeTiff(spp1).valid,
+      "SPP 1 against a [8,8,8] BitsPerSample is forged")
+    // mixed per-sample depths are forged: patch the external [8,8,8]
+    val bitsSlot = ifdAt + 2 + 2 * 12
+    assert(u16le(raw, bitsSlot) === 258 && u32le(raw, bitsSlot + 4) === 3)
+    val bitsExt = u32le(raw, bitsSlot + 8)
+    val mixed = raw.clone(); mixed(bitsExt) = 16
+    assert(!TiffCodec.decodeTiff(mixed).valid)
+    // PlanarConfiguration 2 (planar) is a visible reject, never a
+    // misdecode: repurpose the ResolutionUnit slot (296 -> 284 keeps
+    // the ascending order; its SHORT value is already 2)
+    val planar = raw.clone()
+    val ruSlot = ifdAt + 2 + 11 * 12
+    assert(u16le(raw, ruSlot) === 296 && u16le(raw, ruSlot + 8) === 2)
+    planar(ruSlot) = 28; planar(ruSlot + 1) = 1 // 284 little-endian
+    assert(!TiffCodec.decodeTiff(planar).valid)
+    // RGB composes with tiles and multi-page (the unified chunk walk)
+    val tiled = TiffCodec.decodeTiff(TiffCodec.encodeTiff(payload, 20,
+      bigEndian = false, packBits = false, lzw = true, tiled = true,
+      rgb = true))
+    assert(tiled.valid && tiled.sumV === sv &&
+      (tiled.sumR, tiled.sumG, tiled.sumB) ===
+        ((chSum(0), chSum(1), chSum(2))))
+    val paged = TiffCodec.decodeTiff(TiffCodec.encodeTiff(payload, 20,
+      bigEndian = true, packBits = false, lzw = true, pageHeight = 3,
+      predictor2 = true, rgb = true))
+    assert(paged.valid && paged.nPages === 2L)
+  }
+
   test("engine surface: Multimodal.encodeTiff / tiffStats on real documents") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
