@@ -2072,6 +2072,21 @@ object SparkEntry {
     // expanded to linear PCM by the public ITU-T segment formula (the
     // telephony-lake wire). The oracle replays the exact expansion —
     // complement, power-of-two segment table, bias 132 — per raw byte.
+    // STEREO WAV (E293): 2-channel interleaved PCM16 — per-channel
+    // sums off whole block-aligned frames; sum_if pins the interleave
+    // order (an L/R swap or frame misalignment is hash-visible).
+    "q349_wav_stereo" -> { (s, dir) =>
+      graft.ext.Multimodal.wavChannelStats(
+        graft.ext.Multimodal.encodeWav(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          channels = 2)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("n_frames"), col("sum_l"),
+          col("sum_r"), col("sum_abs_l"), col("sum_abs_r"),
+          col("sum_if"))
+    },
     "q334_wav_ulaw" -> { (s, dir) =>
       graft.ext.Multimodal.g711Stats(
         graft.ext.Multimodal.encodeWav(
@@ -7475,6 +7490,35 @@ object SparkEntry {
     // G.711 replays (q334/q335): the ITU-T expansion formulas verbatim
     // over the raw payload bytes (truncated to the even data length the
     // encoder writes) — shifts as power-of-two CASE tables, ~x as 255-x
+    // q349: stereo frames off raw payload — left = LE16 at byte 4f,
+    // right at 4f+2, whole block-aligned frames only
+    "q349_wav_stereo" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 150),
+        |g AS (SELECT asset_id, hex(p) AS h,
+        |        ((octet_length(p) // 2) * 2) // 4 AS nf
+        |      FROM src WHERE octet_length(p) >= 2
+        |        AND ((octet_length(p) // 2) * 2) // 4 >= 1),
+        |fr AS (SELECT asset_id, nf, f,
+        |        CAST(('0x'||substr(h, CAST(8*f+1 AS BIGINT), 2)) AS BIGINT)
+        |        + 256 * CAST(('0x'||substr(h, CAST(8*f+3 AS BIGINT), 2))
+        |                     AS BIGINT) AS ul,
+        |        CAST(('0x'||substr(h, CAST(8*f+5 AS BIGINT), 2)) AS BIGINT)
+        |        + 256 * CAST(('0x'||substr(h, CAST(8*f+7 AS BIGINT), 2))
+        |                     AS BIGINT) AS ur
+        |      FROM (SELECT asset_id, nf, h, unnest(range(0, nf)) AS f
+        |            FROM g)),
+        |sg AS (SELECT asset_id, nf, f,
+        |        CASE WHEN ul >= 32768 THEN ul - 65536 ELSE ul END AS l,
+        |        CASE WHEN ur >= 32768 THEN ur - 65536 ELSE ur END AS r
+        |      FROM fr)
+        |SELECT asset_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(SUM(l) AS BIGINT) AS sum_l,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r,
+        |       CAST(SUM(abs(l)) AS BIGINT) AS sum_abs_l,
+        |       CAST(SUM(abs(r)) AS BIGINT) AS sum_abs_r,
+        |       CAST(SUM(f * (l + r)) AS BIGINT) AS sum_if
+        |FROM sg GROUP BY asset_id, nf""".stripMargin,
     "q334_wav_ulaw" ->
       """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
         |             FROM documents WHERE doc_id < 150),

@@ -2094,6 +2094,47 @@ object Multimodal {
         col("sum_s"), col("sum_abs"))
   }
 
+  /** STEREO WAV channel split (E293) — the most common real audio wire
+    * is 2-channel interleaved PCM16, and every mono surface so far
+    * would silently mix the channels: this one walks whole FRAMES
+    * (block-align pairs), reads left/right as separate little-endian
+    * samples, and reports per-channel sums plus the frame-weighted
+    * total that pins interleave ORDER (an L/R swap flips sum_l/sum_r;
+    * a frame misalignment moves sum_if). Trailing bytes short of a
+    * whole frame are ignored, per the block-align contract.
+    *
+    * Scale: the [[g711Stats]] shape — one header parse per asset, one
+    * frame-index explode, map-side-combined aggregate, all codegen'd.
+    */
+  def wavChannelStats(assets: DataFrame): DataFrame = {
+    def s16(off: String) = {
+      val hx = s"hex(substring(bytes, cast(($off) + 1 as int), 2))"
+      val u = s"CAST(conv(substr($hx, 3, 2) || substr($hx, 1, 2), 16, 10)" +
+        s" AS BIGINT)"
+      s"CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END"
+    }
+    wavHeader(assets)
+      .filter(col("is_valid") && col("audio_fmt") === 1L &&
+        col("channels") === 2L)
+      .select(col("asset_id"), col("bytes"), col("data_off"),
+        expr("data_len div 4").as("n_frames"))
+      // container walk / sample walk boundary (the q241/Janino lesson)
+      .localCheckpoint()
+      .filter(col("n_frames") >= 1L)
+      .select(col("asset_id"), col("bytes"), col("data_off"),
+        col("n_frames"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("f"))
+      .withColumn("l", expr(s16("data_off + 4 * f")))
+      .withColumn("r", expr(s16("data_off + 4 * f + 2")))
+      .groupBy(col("asset_id"), col("n_frames"))
+      .agg(sum(col("l")).as("sum_l"), sum(col("r")).as("sum_r"),
+        sum(abs(col("l"))).as("sum_abs_l"),
+        sum(abs(col("r"))).as("sum_abs_r"),
+        sum(col("f") * (col("l") + col("r"))).as("sum_if"))
+      .select(col("asset_id"), col("n_frames"), col("sum_l"),
+        col("sum_r"), col("sum_abs_l"), col("sum_abs_r"), col("sum_if"))
+  }
+
   /** Decode WAV containers natively (E213): RIFF magic + "fmt " parse,
     * data-chunk location (canonical or one-aux-chunk-skip), and per-asset
     * audio facts — channels, sample rate, exact frame count (data bytes ÷

@@ -355,6 +355,34 @@ class MultimodalSpec extends SparkSpec {
     assert(viaWav.head._4 === 1000L * 1000 + 2000L * 2000 + 3L * 3 + 1L)
   }
 
+  test("stereo channel split (E293): interleave order is pinned") {
+    import spark.implicits._
+    // frames (L, R): (1000, -2000), (3, -1) — distinct per channel so
+    // an L/R swap or frame misalignment cannot cancel
+    val pcm = leBytes(1000, 2) ++ leBytes(-2000 & 0xFFFF, 2) ++
+      leBytes(3, 2) ++ leBytes(0xFFFF, 2)
+    val assets = Seq((7L, buildWav(pcm, channels = 2, rate = 16000)))
+      .toDF("asset_id", "bytes")
+    val r = Multimodal.wavChannelStats(assets).collect().head
+    assert(r.getAs[Long]("n_frames") === 2L)
+    assert(r.getAs[Long]("sum_l") === 1003L)
+    assert(r.getAs[Long]("sum_r") === -2001L)
+    assert(r.getAs[Long]("sum_abs_l") === 1003L)
+    assert(r.getAs[Long]("sum_abs_r") === 2001L)
+    // frame weight: 0*(1000-2000) + 1*(3-1) = 2
+    assert(r.getAs[Long]("sum_if") === 2L)
+    // a trailing half-frame (2 stray bytes) is ignored per block align
+    val ragged = Seq((8L, buildWav(pcm ++ leBytes(500, 2), channels = 2,
+      rate = 16000))).toDF("asset_id", "bytes")
+    val rr = Multimodal.wavChannelStats(ragged).collect().head
+    assert(rr.getAs[Long]("n_frames") === 2L &&
+      rr.getAs[Long]("sum_l") === 1003L)
+    // mono containers do not surface here (no channel split to report)
+    val mono = Seq((9L, buildWav(pcm, channels = 1, rate = 8000)))
+      .toDF("asset_id", "bytes")
+    assert(Multimodal.wavChannelStats(mono).count() === 0L)
+  }
+
   test("WAV malformed containers report is_valid=false with null fields") {
     import spark.implicits._
     val good = buildWav(leBytes(5, 2))
