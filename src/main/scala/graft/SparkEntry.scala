@@ -2072,6 +2072,37 @@ object SparkEntry {
     // expanded to linear PCM by the public ITU-T segment formula (the
     // telephony-lake wire). The oracle replays the exact expansion —
     // complement, power-of-two segment table, bias 132 — per raw byte.
+    // AIFF (E294): the SECOND audio container family — big-endian EA
+    // IFF 85 (FORM/COMM/SSND), the 80-bit extended sample rate decoded
+    // by exact integer bit arithmetic, and BIG-endian samples: the same
+    // payload bytes mean different samples than in WAV, which is what
+    // the oracle replays.
+    "q350_aiff_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.aiffStats(
+        graft.ext.Multimodal.encodeAiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          channels = 1)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_channels"),
+          col("sample_rate"), col("n_frames"), col("sum_s"),
+          col("sum_abs"), col("sum_if"), col("sum_l"), col("sum_r"))
+    },
+    // Stereo AIFF (E294): interleaved big-endian frames, channel sums
+    // split, frame weighting pinning the interleave order.
+    "q351_aiff_stereo" -> { (s, dir) =>
+      graft.ext.Multimodal.aiffStats(
+        graft.ext.Multimodal.encodeAiff(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          channels = 2)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_channels"),
+          col("sample_rate"), col("n_frames"), col("sum_s"),
+          col("sum_abs"), col("sum_if"), col("sum_l"), col("sum_r"))
+    },
     // STEREO WAV (E293): 2-channel interleaved PCM16 — per-channel
     // sums off whole block-aligned frames; sum_if pins the interleave
     // order (an L/R swap or frame misalignment is hash-visible).
@@ -7490,6 +7521,62 @@ object SparkEntry {
     // G.711 replays (q334/q335): the ITU-T expansion formulas verbatim
     // over the raw payload bytes (truncated to the even data length the
     // encoder writes) — shifts as power-of-two CASE tables, ~x as 255-x
+    // q350: AIFF mono replay — samples are BIG-endian 16-bit pairs
+    // (256·b[2i] + b[2i+1], signed), the family split from WAV's LE
+    "q350_aiff_stats" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 150),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 2 AS ns
+        |      FROM src WHERE octet_length(p) // 2 >= 1),
+        |sm AS (SELECT asset_id, ns, i,
+        |        256 * CAST(('0x'||substr(h, CAST(4*i+1 AS BIGINT), 2))
+        |                   AS BIGINT)
+        |        + CAST(('0x'||substr(h, CAST(4*i+3 AS BIGINT), 2))
+        |               AS BIGINT) AS u
+        |      FROM (SELECT asset_id, ns, h, unnest(range(0, ns)) AS i
+        |            FROM g)),
+        |sg AS (SELECT asset_id, ns, i,
+        |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        |      FROM sm)
+        |SELECT asset_id, TRUE AS is_valid, CAST(1 AS BIGINT) AS n_channels,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(ns AS BIGINT) AS n_frames,
+        |       CAST(SUM(s) AS BIGINT) AS sum_s,
+        |       CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |       CAST(SUM(i * s) AS BIGINT) AS sum_if,
+        |       CAST(SUM(s) AS BIGINT) AS sum_l,
+        |       CAST(0 AS BIGINT) AS sum_r
+        |FROM sg GROUP BY asset_id, ns""".stripMargin,
+    // q351: stereo AIFF — BE16 left at byte 4f, right at 4f+2
+    "q351_aiff_stereo" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 150),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 4 AS nf
+        |      FROM src WHERE octet_length(p) // 4 >= 1),
+        |fr AS (SELECT asset_id, nf, f,
+        |        256 * CAST(('0x'||substr(h, CAST(8*f+1 AS BIGINT), 2))
+        |                   AS BIGINT)
+        |        + CAST(('0x'||substr(h, CAST(8*f+3 AS BIGINT), 2))
+        |               AS BIGINT) AS ul,
+        |        256 * CAST(('0x'||substr(h, CAST(8*f+5 AS BIGINT), 2))
+        |                   AS BIGINT)
+        |        + CAST(('0x'||substr(h, CAST(8*f+7 AS BIGINT), 2))
+        |               AS BIGINT) AS ur
+        |      FROM (SELECT asset_id, nf, h, unnest(range(0, nf)) AS f
+        |            FROM g)),
+        |sg AS (SELECT asset_id, nf, f,
+        |        CASE WHEN ul >= 32768 THEN ul - 65536 ELSE ul END AS l,
+        |        CASE WHEN ur >= 32768 THEN ur - 65536 ELSE ur END AS r
+        |      FROM fr)
+        |SELECT asset_id, TRUE AS is_valid, CAST(2 AS BIGINT) AS n_channels,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(SUM(l + r) AS BIGINT) AS sum_s,
+        |       CAST(SUM(abs(l) + abs(r)) AS BIGINT) AS sum_abs,
+        |       CAST(SUM(f * (l + r)) AS BIGINT) AS sum_if,
+        |       CAST(SUM(l) AS BIGINT) AS sum_l,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r
+        |FROM sg GROUP BY asset_id, nf""".stripMargin,
     // q349: stereo frames off raw payload — left = LE16 at byte 4f,
     // right at 4f+2, whole block-aligned frames only
     "q349_wav_stereo" ->

@@ -2094,6 +2094,40 @@ object Multimodal {
         col("sum_s"), col("sum_abs"))
   }
 
+  /** Encode each asset's payload as a big-endian PCM16 AIFF (E294) —
+    * whole frames only; assets shorter than one frame are dropped.
+    */
+  def encodeAiff(assets: DataFrame, channels: Int = 1): DataFrame = {
+    require(channels == 1 || channels == 2, "channels must be 1 or 2")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= 2 * channels)
+      .withColumn("bytes",
+        graft.functions.AiffNativeFunctions.aiffEncode(spark,
+          col("bytes"), channels))
+  }
+
+  /** Decode AIFF assets natively (E294): the big-endian container
+    * family — strict FORM/COMM/SSND walk, the 80-bit extended
+    * sample-rate decode, unknown chunks skipped per EA IFF 85, and
+    * BIG-endian sample sums (the same payload bytes mean different
+    * samples than in WAV — the point of the family split, and what the
+    * oracle replays).
+    */
+  def aiffStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.AiffNativeFunctions.aiffDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_channels").as("n_channels"),
+        col("q.sample_rate").as("sample_rate"),
+        col("q.n_frames").as("n_frames"), col("q.sum_s").as("sum_s"),
+        col("q.sum_abs").as("sum_abs"), col("q.sum_if").as("sum_if"),
+        col("q.sum_l").as("sum_l"), col("q.sum_r").as("sum_r"))
+  }
+
   /** STEREO WAV channel split (E293) — the most common real audio wire
     * is 2-channel interleaved PCM16, and every mono surface so far
     * would silently mix the channels: this one walks whole FRAMES
