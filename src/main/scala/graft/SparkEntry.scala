@@ -3099,6 +3099,23 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // Snappy wire (E295): the .tar.sz shape — the SIXTH compression
+    // family implemented in-engine (google/snappy block + framing
+    // formats from the public spec documents: LZ77 tags with overlap
+    // replay, masked CRC-32C chunks). Compression changes the wire,
+    // never the members: same oracle VERBATIM.
+    "q352_tar_snappy" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, snap = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        snap = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // Multi-member gzip wire (E288): RFC 1952 §2.2 makes a gzip FILE a
     // SERIES of members — what `pigz -i` and a plain `cat a.gz b.gz`
     // emit. The shard is chunked into 1024-byte slices, each its own
@@ -6545,6 +6562,8 @@ object SparkEntry {
     "q340_tar_bgzf" -> tarOracleSql,
     // q342: the multi-member (pigz-style) gzip series — fifth tar wire
     "q342_tar_mgz" -> tarOracleSql,
+    // q352: the snappy-framed wire — sixth tar wire, one identity
+    "q352_tar_snappy" -> tarOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,

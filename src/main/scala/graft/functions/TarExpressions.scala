@@ -308,9 +308,10 @@ object TarCodec {
 
   def encodeTar(payload: Array[Byte], memberBytes: Int,
       gz: Boolean = false, pax: Boolean = false,
-      bgzf: Boolean = false, mgz: Boolean = false): Array[Byte] = {
+      bgzf: Boolean = false, mgz: Boolean = false,
+      snap: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
-    require(Seq(gz, bgzf, mgz).count(identity) <= 1,
+    require(Seq(gz, bgzf, mgz, snap).count(identity) <= 1,
       "choose one compressed wire")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
@@ -335,6 +336,7 @@ object TarCodec {
     var z = 0
     while (z < 2 * Block) { out.write(0); z += 1 }
     val tar = out.toByteArray
+    if (snap) return SnappyCodec.frame(tar) // the .tar.sz wire (E295)
     if (bgzf) return bgzfWrap(tar)
     if (mgz) {
       // ---- the multi-member wire (E288): what `pigz -i` or a plain
@@ -465,10 +467,11 @@ object TarCodec {
 
   def decodeTar(bytes0: Array[Byte], gz: Boolean,
       collect: Boolean = false,
-      bgzf: Boolean = false): (Decoded, Seq[Member]) = {
+      bgzf: Boolean = false, snap: Boolean = false): (Decoded, Seq[Member]) = {
     def invalid = (Invalid, Nil)
     val bytes =
-      if (bgzf) bgzfInflate(bytes0)
+      if (snap) SnappyCodec.unframe(bytes0)
+      else if (bgzf) bgzfInflate(bytes0)
       else if (gz) gunzipWhole(bytes0) else bytes0
     if (bytes == null) return invalid
     val n = bytes.length
@@ -614,7 +617,8 @@ object TarCodec {
   * (null when no full member fits).
   */
 case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
-    pax: Boolean = false, bgzf: Boolean = false, mgz: Boolean = false)
+    pax: Boolean = false, bgzf: Boolean = false, mgz: Boolean = false,
+    snap: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -628,7 +632,7 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz, pax,
-      bgzf, mgz)
+      bgzf, mgz, snap)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -639,7 +643,7 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
   * per-shard stats struct.
   */
 case class TarDecode(child: Expression, gz: Boolean,
-    bgzf: Boolean = false)
+    bgzf: Boolean = false, snap: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
@@ -656,7 +660,7 @@ case class TarDecode(child: Expression, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any = {
     val (d, _) = TarCodec.decodeTar(input.asInstanceOf[Array[Byte]], gz,
-      bgzf = bgzf)
+      bgzf = bgzf, snap = snap)
     if (d.valid)
       InternalRow(true, d.nMembers, d.contentBytes, d.sumPayload, d.sumIv)
     else InternalRow(false, null, null, null, null)
@@ -716,12 +720,16 @@ object TarNativeFunctions {
         if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 5) exprs(5).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 6) exprs(6).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_decode",
       exprs => TarDecode(exprs.head,
         exprs(1).eval().asInstanceOf[Boolean],
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_members",
@@ -731,22 +739,24 @@ object TarNativeFunctions {
 
   def tarEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
       gz: Boolean, pax: Boolean = false, bgzf: Boolean = false,
-      mgz: Boolean = false): Column = {
+      mgz: Boolean = false, snap: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
       org.apache.spark.sql.functions.lit(gz),
       org.apache.spark.sql.functions.lit(pax),
       org.apache.spark.sql.functions.lit(bgzf),
-      org.apache.spark.sql.functions.lit(mgz))
+      org.apache.spark.sql.functions.lit(mgz),
+      org.apache.spark.sql.functions.lit(snap))
   }
 
   def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean,
-      bgzf: Boolean = false): Column = {
+      bgzf: Boolean = false, snap: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_decode", bytes,
       org.apache.spark.sql.functions.lit(gz),
-      org.apache.spark.sql.functions.lit(bgzf))
+      org.apache.spark.sql.functions.lit(bgzf),
+      org.apache.spark.sql.functions.lit(snap))
   }
 
   def tarMembers(spark: SparkSession, bytes: Column, gz: Boolean): Column = {
