@@ -3099,6 +3099,22 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // LZ4 wire (E296): the .tar.lz4 shape — the SEVENTH compression
+    // family (block token grammar + frame format with xxHash32
+    // checksums and linked-block windowing, from the public spec
+    // documents). Same oracle VERBATIM.
+    "q353_tar_lz4" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, lz4 = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        lz4 = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // Snappy wire (E295): the .tar.sz shape — the SIXTH compression
     // family implemented in-engine (google/snappy block + framing
     // formats from the public spec documents: LZ77 tags with overlap
@@ -6564,6 +6580,8 @@ object SparkEntry {
     "q342_tar_mgz" -> tarOracleSql,
     // q352: the snappy-framed wire — sixth tar wire, one identity
     "q352_tar_snappy" -> tarOracleSql,
+    // q353: the lz4-framed wire — seventh tar wire, one identity
+    "q353_tar_lz4" -> tarOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,

@@ -1021,14 +1021,14 @@ object Multimodal {
   def encodeTar(assets: DataFrame, memberBytes: Int = 256,
       gz: Boolean = false, pax: Boolean = false,
       bgzf: Boolean = false, mgz: Boolean = false,
-      snap: Boolean = false): DataFrame = {
+      snap: Boolean = false, lz4: Boolean = false): DataFrame = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= memberBytes)
       .withColumn("bytes",
         graft.functions.TarNativeFunctions.tarEncode(spark,
-          col("bytes"), memberBytes, gz, pax, bgzf, mgz, snap))
+          col("bytes"), memberBytes, gz, pax, bgzf, mgz, snap, lz4))
   }
 
   /** Demux USTAR shards natively (E269): header checksum audit, strict
@@ -1038,12 +1038,13 @@ object Multimodal {
     * must report IDENTICAL stats to the plain wire.
     */
   def tarStats(assets: DataFrame, gz: Boolean = false,
-      bgzf: Boolean = false, snap: Boolean = false): DataFrame = {
+      bgzf: Boolean = false, snap: Boolean = false,
+      lz4: Boolean = false): DataFrame = {
     val spark = assets.sparkSession
     assets
       .select(col("asset_id"),
         graft.functions.TarNativeFunctions.tarDecode(spark,
-          col("bytes"), gz, bgzf, snap).as("q"))
+          col("bytes"), gz, bgzf, snap, lz4).as("q"))
       .select(col("asset_id"), col("q.is_valid").as("is_valid"),
         col("q.n_members").as("n_members"),
         col("q.content_bytes").as("content_bytes"),

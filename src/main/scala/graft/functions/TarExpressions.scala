@@ -309,9 +309,9 @@ object TarCodec {
   def encodeTar(payload: Array[Byte], memberBytes: Int,
       gz: Boolean = false, pax: Boolean = false,
       bgzf: Boolean = false, mgz: Boolean = false,
-      snap: Boolean = false): Array[Byte] = {
+      snap: Boolean = false, lz4: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
-    require(Seq(gz, bgzf, mgz, snap).count(identity) <= 1,
+    require(Seq(gz, bgzf, mgz, snap, lz4).count(identity) <= 1,
       "choose one compressed wire")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
@@ -337,6 +337,7 @@ object TarCodec {
     while (z < 2 * Block) { out.write(0); z += 1 }
     val tar = out.toByteArray
     if (snap) return SnappyCodec.frame(tar) // the .tar.sz wire (E295)
+    if (lz4) return Lz4Codec.frame(tar)     // the .tar.lz4 wire (E296)
     if (bgzf) return bgzfWrap(tar)
     if (mgz) {
       // ---- the multi-member wire (E288): what `pigz -i` or a plain
@@ -467,10 +468,12 @@ object TarCodec {
 
   def decodeTar(bytes0: Array[Byte], gz: Boolean,
       collect: Boolean = false,
-      bgzf: Boolean = false, snap: Boolean = false): (Decoded, Seq[Member]) = {
+      bgzf: Boolean = false, snap: Boolean = false,
+      lz4: Boolean = false): (Decoded, Seq[Member]) = {
     def invalid = (Invalid, Nil)
     val bytes =
-      if (snap) SnappyCodec.unframe(bytes0)
+      if (lz4) Lz4Codec.unframe(bytes0)
+      else if (snap) SnappyCodec.unframe(bytes0)
       else if (bgzf) bgzfInflate(bytes0)
       else if (gz) gunzipWhole(bytes0) else bytes0
     if (bytes == null) return invalid
@@ -618,7 +621,7 @@ object TarCodec {
   */
 case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
     pax: Boolean = false, bgzf: Boolean = false, mgz: Boolean = false,
-    snap: Boolean = false)
+    snap: Boolean = false, lz4: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -632,7 +635,7 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz, pax,
-      bgzf, mgz, snap)
+      bgzf, mgz, snap, lz4)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -643,7 +646,7 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
   * per-shard stats struct.
   */
 case class TarDecode(child: Expression, gz: Boolean,
-    bgzf: Boolean = false, snap: Boolean = false)
+    bgzf: Boolean = false, snap: Boolean = false, lz4: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
@@ -660,7 +663,7 @@ case class TarDecode(child: Expression, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any = {
     val (d, _) = TarCodec.decodeTar(input.asInstanceOf[Array[Byte]], gz,
-      bgzf = bgzf, snap = snap)
+      bgzf = bgzf, snap = snap, lz4 = lz4)
     if (d.valid)
       InternalRow(true, d.nMembers, d.contentBytes, d.sumPayload, d.sumIv)
     else InternalRow(false, null, null, null, null)
@@ -722,6 +725,8 @@ object TarNativeFunctions {
         if (exprs.length > 5) exprs(5).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 6) exprs(6).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 7) exprs(7).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_decode",
@@ -730,6 +735,8 @@ object TarNativeFunctions {
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_members",
@@ -739,7 +746,8 @@ object TarNativeFunctions {
 
   def tarEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
       gz: Boolean, pax: Boolean = false, bgzf: Boolean = false,
-      mgz: Boolean = false, snap: Boolean = false): Column = {
+      mgz: Boolean = false, snap: Boolean = false,
+      lz4: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
@@ -747,16 +755,19 @@ object TarNativeFunctions {
       org.apache.spark.sql.functions.lit(pax),
       org.apache.spark.sql.functions.lit(bgzf),
       org.apache.spark.sql.functions.lit(mgz),
-      org.apache.spark.sql.functions.lit(snap))
+      org.apache.spark.sql.functions.lit(snap),
+      org.apache.spark.sql.functions.lit(lz4))
   }
 
   def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean,
-      bgzf: Boolean = false, snap: Boolean = false): Column = {
+      bgzf: Boolean = false, snap: Boolean = false,
+      lz4: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_decode", bytes,
       org.apache.spark.sql.functions.lit(gz),
       org.apache.spark.sql.functions.lit(bgzf),
-      org.apache.spark.sql.functions.lit(snap))
+      org.apache.spark.sql.functions.lit(snap),
+      org.apache.spark.sql.functions.lit(lz4))
   }
 
   def tarMembers(spark: SparkSession, bytes: Column, gz: Boolean): Column = {
