@@ -2393,6 +2393,24 @@ object SparkEntry {
           col("sum_b"), col("mean_luma_milli"), col("sum_rowv"),
           col("sum_colv"))
     },
+    // ICO container (E297): the favicon wire — PNG and classic-DIB
+    // members in one directory, dispatched per member and audited for
+    // exact tiling and entry-vs-content geometry; stacked-screen row
+    // weighting pins member order AND the DIB flip; the AND mask is
+    // counted coverage that never reaches the channel sums.
+    "q354_ico_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.icoStats(
+        graft.ext.Multimodal.encodeIco(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 130)),
+          width = 8)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("is_valid"), col("n_images"),
+          col("n_png"), col("n_dib"), col("n_pixels"), col("sum_r"),
+          col("sum_g"), col("sum_b"), col("sum_rowv"),
+          col("n_transparent"))
+    },
     // RLE4 BMP (E291): the 16-color RLE wire — encoded runs ALTERNATE
     // the value byte's nibbles (the dithering mode RLE8 lacks),
     // absolute runs pack nibbles high-first with required-zero pads.
@@ -6357,6 +6375,32 @@ object SparkEntry {
         |       CAST(SUM(y * (255 + (7*v) % 256)) AS BIGINT) AS sum_rowv,
         |       CAST(SUM(x * (255 + (7*v) % 256)) AS BIGINT) AS sum_colv
         |FROM c GROUP BY asset_id, hgt""".stripMargin,
+    // ICO replay (q354): 8x8 members of 64 payload bytes each, PNG on
+    // even k / DIB on odd k — same palette rule, rows stacked at 8k+y,
+    // transparency = the DIB members' LSBs
+    "q354_ico_stats" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 130),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 64 AS nm
+        |      FROM src WHERE octet_length(p) // 64 >= 1),
+        |c AS (SELECT asset_id, nm, i, i // 64 AS k,
+        |        CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+        |          AS v
+        |      FROM (SELECT asset_id, nm, h,
+        |              unnest(range(0, nm * 64)) AS i FROM g))
+        |SELECT asset_id, TRUE AS is_valid,
+        |       CAST(nm AS BIGINT) AS n_images,
+        |       CAST((nm + 1) // 2 AS BIGINT) AS n_png,
+        |       CAST(nm // 2 AS BIGINT) AS n_dib,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(255 - v) AS BIGINT) AS sum_g,
+        |       CAST(SUM((7*v) % 256) AS BIGINT) AS sum_b,
+        |       CAST(SUM((8*k + (i % 64) // 8) * (255 + (7*v) % 256))
+        |            AS BIGINT) AS sum_rowv,
+        |       CAST(SUM(CASE WHEN k % 2 = 1 THEN v % 2 ELSE 0 END)
+        |            AS BIGINT) AS n_transparent
+        |FROM c GROUP BY asset_id, nm""".stripMargin,
     // RLE4 replay (q346): index = b mod 16 — q344's arithmetic over
     // the compressed bottom-up wire
     "q346_bmp_rle4" ->

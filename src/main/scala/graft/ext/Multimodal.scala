@@ -2096,6 +2096,43 @@ object Multimodal {
         col("sum_s"), col("sum_abs"))
   }
 
+  /** Encode each asset's payload as an ICO (E297) of square
+    * `width`×`width` members — PNG and classic-DIB alternating, the
+    * favicon container's two real member shapes.
+    */
+  def encodeIco(assets: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 4, "width must fit the fixture grid")
+    val spark = assets.sparkSession
+    assets
+      .filter(octet_length(col("bytes")) >= width * width &&
+        octet_length(col("bytes")) <=
+          graft.functions.IcoCodec.MaxPixels.toLong)
+      .withColumn("bytes",
+        graft.functions.IcoNativeFunctions.icoEncode(spark,
+          col("bytes"), width))
+  }
+
+  /** Decode ICO assets natively (E297): the cross-format container —
+    * strict directory walk with exact member tiling, per-member
+    * dispatch to the full PNG decoder or the classic doubled-height
+    * DIB walk, entry-vs-content geometry audits, stacked-screen row
+    * weighting (member order + the DIB flip), and the AND mask counted
+    * as coverage that never reaches the channel sums.
+    */
+  def icoStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    assets
+      .select(col("asset_id"),
+        graft.functions.IcoNativeFunctions.icoDecode(spark,
+          col("bytes")).as("q"))
+      .select(col("asset_id"), col("q.is_valid").as("is_valid"),
+        col("q.n_images").as("n_images"), col("q.n_png").as("n_png"),
+        col("q.n_dib").as("n_dib"), col("q.n_pixels").as("n_pixels"),
+        col("q.sum_r").as("sum_r"), col("q.sum_g").as("sum_g"),
+        col("q.sum_b").as("sum_b"), col("q.sum_rowv").as("sum_rowv"),
+        col("q.n_transparent").as("n_transparent"))
+  }
+
   /** Encode each asset's payload as a big-endian PCM16 AIFF (E294) —
     * whole frames only; assets shorter than one frame are dropped.
     */
