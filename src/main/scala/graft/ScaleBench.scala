@@ -105,7 +105,11 @@ object ScaleBench {
     ("q328_wat_scale", 1.35, 1.35,
       "archive byte mass: one record walk + HTTP parse per archive, " +
         "then two regex extractions per response row — map-only both " +
-        "sides of the explode, no pair stage"))
+        "sides of the explode, no pair stage"),
+    ("q355_lz4_scale", 1.35, 1.35,
+      "shard byte mass: one from-scratch LZ4 frame walk (sequence " +
+        "decode + 64 KiB window) + ustar header walk per shard, " +
+        "O(window) state, no pair stage"))
 
   private val uniformScales = Seq(1, 2, 4, 8)
   private val dupheavyScales = Seq(1, 2, 4)

@@ -2956,6 +2956,21 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // LZ4 scale twin (E296's measurement): the whole-corpus .tar.lz4
+    // demux — the from-scratch block decoder and frame walk must be
+    // byte-linear (a quadratic bug in the history-window copy or the
+    // sequence walk would surface as a super-linear exponent).
+    "q355_lz4_scale" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(Tables.documents(s, dir)),
+          memberBytes = 100, lz4 = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        lz4 = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // WebDataset-style shard INGEST (E273): the q317 member fan-out
     // composed with the text pipeline — the shard-to-training-samples
     // conversion a WebDataset loader performs, over the .tar.gz wire
@@ -6614,6 +6629,8 @@ object SparkEntry {
     "q316_tar_gz" -> tarOracleSql,
     // q323: q316's whole-corpus scale twin
     "q323_tar_scale" -> tarOracleSqlFor(""),
+    // q355: the lz4 wire's whole-corpus twin
+    "q355_lz4_scale" -> tarOracleSqlFor(""),
     "q317_tar_members" -> tarMembersOracleSql,
     // q324: pax path overrides — the 104-char names only an
     // override-applying decoder reproduces
