@@ -2072,6 +2072,23 @@ object SparkEntry {
     // expanded to linear PCM by the public ITU-T segment formula (the
     // telephony-lake wire). The oracle replays the exact expansion —
     // complement, power-of-two segment table, bias 132 — per raw byte.
+    // WAVE_FORMAT_EXTENSIBLE (E298): the modern PCM header (0xFFFE,
+    // 40-byte fmt chunk, cbSize 22, the PCM GUID) — the shape real
+    // writers emit for multichannel audio; the old parse would have
+    // false-invalidated it. The header changes, the samples never do:
+    // same oracle as q349 VERBATIM.
+    "q356_wav_extensible" -> { (s, dir) =>
+      graft.ext.Multimodal.wavChannelStats(
+        graft.ext.Multimodal.encodeWav(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 150)),
+          channels = 2, extensible = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("n_frames"), col("sum_l"),
+          col("sum_r"), col("sum_abs_l"), col("sum_abs_r"),
+          col("sum_if"))
+    },
     // AIFF (E294): the SECOND audio container family — big-endian EA
     // IFF 85 (FORM/COMM/SSND), the 80-bit extended sample rate decoded
     // by exact integer bit arithmetic, and BIG-endian samples: the same
@@ -7678,6 +7695,34 @@ object SparkEntry {
     // q349: stereo frames off raw payload — left = LE16 at byte 4f,
     // right at 4f+2, whole block-aligned frames only
     "q349_wav_stereo" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 150),
+        |g AS (SELECT asset_id, hex(p) AS h,
+        |        ((octet_length(p) // 2) * 2) // 4 AS nf
+        |      FROM src WHERE octet_length(p) >= 2
+        |        AND ((octet_length(p) // 2) * 2) // 4 >= 1),
+        |fr AS (SELECT asset_id, nf, f,
+        |        CAST(('0x'||substr(h, CAST(8*f+1 AS BIGINT), 2)) AS BIGINT)
+        |        + 256 * CAST(('0x'||substr(h, CAST(8*f+3 AS BIGINT), 2))
+        |                     AS BIGINT) AS ul,
+        |        CAST(('0x'||substr(h, CAST(8*f+5 AS BIGINT), 2)) AS BIGINT)
+        |        + 256 * CAST(('0x'||substr(h, CAST(8*f+7 AS BIGINT), 2))
+        |                     AS BIGINT) AS ur
+        |      FROM (SELECT asset_id, nf, h, unnest(range(0, nf)) AS f
+        |            FROM g)),
+        |sg AS (SELECT asset_id, nf, f,
+        |        CASE WHEN ul >= 32768 THEN ul - 65536 ELSE ul END AS l,
+        |        CASE WHEN ur >= 32768 THEN ur - 65536 ELSE ur END AS r
+        |      FROM fr)
+        |SELECT asset_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(SUM(l) AS BIGINT) AS sum_l,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r,
+        |       CAST(SUM(abs(l)) AS BIGINT) AS sum_abs_l,
+        |       CAST(SUM(abs(r)) AS BIGINT) AS sum_abs_r,
+        |       CAST(SUM(f * (l + r)) AS BIGINT) AS sum_if
+        |FROM sg GROUP BY asset_id, nf""".stripMargin,
+    // q356: extensible header — q349's oracle verbatim
+    "q356_wav_extensible" ->
       """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
         |             FROM documents WHERE doc_id < 150),
         |g AS (SELECT asset_id, hex(p) AS h,

@@ -1957,27 +1957,38 @@ object Multimodal {
     */
   def encodeWav(
       assets: DataFrame, channels: Int = 1, sampleRate: Int = 8000,
-      fmt: Int = 1): DataFrame = {
+      fmt: Int = 1, extensible: Boolean = false): DataFrame = {
     require(channels >= 1 && sampleRate >= 1, "bad wav params")
     require(fmt == 1 || fmt == 6 || fmt == 7,
       "fmt must be 1 (PCM16), 6 (A-law), or 7 (mu-law)")
+    require(!extensible || fmt == 1,
+      "the extensible fixture wraps PCM16 (GUID subformat 1)")
     // G.711 wires carry one byte per sample; PCM16 carries two. The
     // payload is the data chunk verbatim (for 6/7 the bytes ARE the
     // companded samples — the decode side does the real expansion).
     val bytesPer = if (fmt == 1) 2 else 1
+    val fmtSize = if (extensible) 40L else 16L
     val dlen = expr("(octet_length(bytes) div 2) * 2").cast("long")
     val hx = concat(
       lit("52494646"),                                  // "RIFF"
-      le32(lit(36L) + dlen),                            // riff chunk size
+      le32(lit(20L + fmtSize) + dlen),                  // riff chunk size
       lit("57415645"),                                  // "WAVE"
       lit("666D7420"),                                  // "fmt "
-      le32(lit(16L)),                                   // fmt chunk size
-      le16(lit(fmt.toLong)),                            // audio format
+      le32(lit(fmtSize)),                               // fmt chunk size
+      le16(lit(if (extensible) 0xFFFEL else fmt.toLong)), // audio format
       le16(lit(channels.toLong)),                       // channels
       le32(lit(sampleRate.toLong)),                     // sample rate
       le32(lit(sampleRate.toLong * channels * bytesPer)), // byte rate
       le16(lit(channels.toLong * bytesPer)),            // block align
       le16(lit(8L * bytesPer)),                         // bits per sample
+      if (extensible) concat(
+        // WAVE_FORMAT_EXTENSIBLE (E298): cbSize 22, valid bits,
+        // channel mask, and the public KSDATAFORMAT_SUBTYPE_PCM GUID
+        le16(lit(22L)),                                 // cbSize
+        le16(lit(16L)),                                 // valid bits
+        le32(lit(if (channels == 2) 3L else 4L)),       // channel mask
+        lit("0100000000001000800000AA00389B71"))        // PCM GUID
+      else lit(""),
       lit("64617461"),                                  // "data"
       le32(dlen),                                       // data size
       expr("substring(hex(bytes), 1, cast(2 * ((octet_length(bytes) div 2) * 2) as int))"))
@@ -2014,7 +2025,10 @@ object Multimodal {
           s"${tag("12")} = '666D7420'").as("magic_ok"),
         expr(u32c("16")).as("fmt_size"), expr(u16c("20")).as("audio_fmt"),
         expr(u16c("22")).as("channels"), expr(u32c("24")).as("sample_rate"),
-        expr(u16c("34")).as("bits"))
+        expr(u16c("34")).as("bits"),
+        // WAVE_FORMAT_EXTENSIBLE (E298): cbSize at 36, the GUID's
+        // leading format code at 44 — only read when fmt_size = 40
+        expr(u16c("36")).as("cb_size"), expr(u16c("44")).as("sub_fmt"))
       // data chunk: canonical position right after fmt, or one aux chunk
       // later; chunk sizes pad to even length per RIFF
       .withColumn("__c1", expr("20 + ((fmt_size + 1) div 2) * 2"))
@@ -2031,7 +2045,17 @@ object Multimodal {
           ((col("audio_fmt") === 1L && col("bits") === 16L) ||
             // G.711 (E283): format 6 = A-law, 7 = mu-law, 8-bit samples
             ((col("audio_fmt") === 6L || col("audio_fmt") === 7L) &&
-              col("bits") === 8L)) &&
+              col("bits") === 8L) ||
+            // WAVE_FORMAT_EXTENSIBLE (E298): the modern header real
+            // writers emit for multichannel/high-res PCM — fmt 0xFFFE
+            // with a 40-byte fmt chunk, cbSize 22, and the PCM GUID's
+            // leading code; rejecting it false-invalidates real lakes
+            (col("audio_fmt") === 65534L && col("bits") === 16L &&
+              col("fmt_size") === 40L &&
+              // cb/sub reads land past EOF on short canonical files —
+              // coalesce so a missing extension is FALSE, never null
+              coalesce(col("cb_size") === 22L, lit(false)) &&
+              coalesce(col("sub_fmt") === 1L, lit(false)))) &&
           col("channels") >= 1L &&
           col("sample_rate") >= 1L && col("data_off").isNotNull &&
           col("n") >= col("data_off") + col("data_len"))
@@ -2187,7 +2211,8 @@ object Multimodal {
       s"CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END"
     }
     wavHeader(assets)
-      .filter(col("is_valid") && col("audio_fmt") === 1L &&
+      .filter(col("is_valid") &&
+        (col("audio_fmt") === 1L || col("audio_fmt") === 65534L) &&
         col("channels") === 2L)
       .select(col("asset_id"), col("bytes"), col("data_off"),
         expr("data_len div 4").as("n_frames"))

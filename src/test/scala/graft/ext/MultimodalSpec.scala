@@ -383,6 +383,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavChannelStats(mono).count() === 0L)
   }
 
+  test("WAVE_FORMAT_EXTENSIBLE (E298): the modern PCM header decodes") {
+    import spark.implicits._
+    val payload = leBytes(1000, 2) ++ leBytes(-2000 & 0xFFFF, 2) ++
+      leBytes(3, 2) ++ leBytes(0xFFFF, 2)
+    val assets = Seq((1L, payload)).toDF("asset_id", "bytes")
+    val ext = Multimodal.encodeWav(assets, channels = 2,
+      extensible = true)
+    val wire = ext.collect().head.getAs[Array[Byte]]("bytes")
+    // the header really is the 0xFFFE shape with a 40-byte fmt chunk
+    assert((wire(20) & 0xff) === 0xFE && (wire(21) & 0xff) === 0xFF)
+    assert((wire(16) & 0xff) === 40)
+    val st = Multimodal.wavStats(ext).collect().head
+    assert(st.getAs[Boolean]("is_valid"), "0xFFFE PCM must not reject")
+    assert(st.getAs[Long]("channels") === 2L &&
+      st.getAs[Long]("n_frames") === 2L)
+    // the channel split sees the same samples as the plain header —
+    // the header changes, the samples never do
+    val plain = Multimodal.wavChannelStats(
+      Multimodal.encodeWav(assets, channels = 2)).collect().head
+    val viaExt = Multimodal.wavChannelStats(ext).collect().head
+    assert((viaExt.getAs[Long]("sum_l"), viaExt.getAs[Long]("sum_r")) ===
+      ((plain.getAs[Long]("sum_l"), plain.getAs[Long]("sum_r"))))
+    // a non-PCM GUID code is a visible reject (we expand no codecs
+    // behind the extensible header)
+    val alien = wire.clone(); alien(44) = 2
+    val bad = Multimodal.wavStats(Seq((2L, alien))
+      .toDF("asset_id", "bytes")).collect().head
+    assert(!bad.getAs[Boolean]("is_valid"))
+  }
+
   test("WAV malformed containers report is_valid=false with null fields") {
     import spark.implicits._
     val good = buildWav(leBytes(5, 2))
