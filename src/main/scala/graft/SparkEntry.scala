@@ -3149,6 +3149,23 @@ object SparkEntry {
         .select(col("asset_id"), col("is_valid"), col("n_members"),
           col("content_bytes"), col("sum_payload"), col("sum_iv"))
     },
+    // RFC 1952 header fields (E299): the gzip wire with the FULL
+    // optional-field set the real `gzip` tool emits (FEXTRA + FNAME +
+    // FCOMMENT + FHCRC, header CRC verified) — FLG = 0-only was a
+    // strict-false-invalid on the most common gzip shape. Same oracle
+    // VERBATIM.
+    "q357_tar_gzname" -> { (s, dir) =>
+      graft.ext.Multimodal.tarStats(
+        graft.ext.Multimodal.encodeTar(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, gzHdr = true)
+          .repartition(col("asset_id"))
+          .localCheckpoint(),
+        gz = true)
+        .select(col("asset_id"), col("is_valid"), col("n_members"),
+          col("content_bytes"), col("sum_payload"), col("sum_iv"))
+    },
     // LZ4 wire (E296): the .tar.lz4 shape — the SEVENTH compression
     // family (block token grammar + frame format with xxHash32
     // checksums and linked-block windowing, from the public spec
@@ -6660,6 +6677,8 @@ object SparkEntry {
     "q352_tar_snappy" -> tarOracleSql,
     // q353: the lz4-framed wire — seventh tar wire, one identity
     "q353_tar_lz4" -> tarOracleSql,
+    // q357: full-header gzip — metadata changes the wire, not the shard
+    "q357_tar_gzname" -> tarOracleSql,
     // q318/q319: ZIP stored + deflate — the same 100-byte member
     // arithmetic, so four wires share ONE oracle verbatim
     "q318_zip_stats" -> tarOracleSql,

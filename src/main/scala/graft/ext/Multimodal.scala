@@ -1021,14 +1021,16 @@ object Multimodal {
   def encodeTar(assets: DataFrame, memberBytes: Int = 256,
       gz: Boolean = false, pax: Boolean = false,
       bgzf: Boolean = false, mgz: Boolean = false,
-      snap: Boolean = false, lz4: Boolean = false): DataFrame = {
+      snap: Boolean = false, lz4: Boolean = false,
+      gzHdr: Boolean = false): DataFrame = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= memberBytes)
       .withColumn("bytes",
         graft.functions.TarNativeFunctions.tarEncode(spark,
-          col("bytes"), memberBytes, gz, pax, bgzf, mgz, snap, lz4))
+          col("bytes"), memberBytes, gz, pax, bgzf, mgz, snap, lz4,
+          gzHdr))
   }
 
   /** Demux USTAR shards natively (E269): header checksum audit, strict

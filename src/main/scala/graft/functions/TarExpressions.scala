@@ -309,9 +309,10 @@ object TarCodec {
   def encodeTar(payload: Array[Byte], memberBytes: Int,
       gz: Boolean = false, pax: Boolean = false,
       bgzf: Boolean = false, mgz: Boolean = false,
-      snap: Boolean = false, lz4: Boolean = false): Array[Byte] = {
+      snap: Boolean = false, lz4: Boolean = false,
+      gzHdr: Boolean = false): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
-    require(Seq(gz, bgzf, mgz, snap, lz4).count(identity) <= 1,
+    require(Seq(gz || gzHdr, bgzf, mgz, snap, lz4).count(identity) <= 1,
       "choose one compressed wire")
     val nm = payload.length / memberBytes
     if (nm < 1) return null
@@ -369,13 +370,28 @@ object TarCodec {
       }
       return g.toByteArray
     }
-    if (!gz) return tar
+    if (!gz && !gzHdr) return tar
 
-    // ---- the .tar.gz wire: ONE gzip member over the whole archive ----
+    // ---- the .tar.gz wire: ONE gzip member over the whole archive;
+    // gzHdr (E299) carries the FULL RFC 1952 optional-field set the
+    // real `gzip` tool emits: FEXTRA + FNAME + FCOMMENT + FHCRC ----
     val g = new java.io.ByteArrayOutputStream(tar.length / 2 + 64)
-    g.write(0x1f); g.write(0x8b); g.write(8); g.write(0)
+    g.write(0x1f); g.write(0x8b); g.write(8)
+    g.write(if (gzHdr) 2 | 4 | 8 | 16 else 0)
     g.write(0); g.write(0); g.write(0); g.write(0) // MTIME 0
-    g.write(0); g.write(255)
+    g.write(0); g.write(if (gzHdr) 3 else 255)     // OS: unix, like gzip
+    if (gzHdr) {
+      g.write(6); g.write(0)                       // XLEN = 6
+      g.write('G'); g.write('R'); g.write(2); g.write(0) // one subfield
+      g.write(42); g.write(7)
+      "shard.tar".foreach(c => g.write(c)); g.write(0)   // FNAME
+      "graft".foreach(c => g.write(c)); g.write(0)       // FCOMMENT
+      val hdr = g.toByteArray
+      val hcrc = new java.util.zip.CRC32
+      hcrc.update(hdr)
+      g.write((hcrc.getValue & 0xff).toInt)              // FHCRC
+      g.write(((hcrc.getValue >>> 8) & 0xff).toInt)
+    }
     val d = new java.util.zip.Deflater(
       java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
     d.setInput(tar)
@@ -431,10 +447,43 @@ object TarCodec {
       if (p + 18 > n) return null
       if ((bytes(p) & 0xff) != 0x1f || (bytes(p + 1) & 0xff) != 0x8b)
         return null
-      if ((bytes(p + 2) & 0xff) != 8 || (bytes(p + 3) & 0xff) != 0)
-        return null
+      if ((bytes(p + 2) & 0xff) != 8) return null
+      // RFC 1952 optional header fields (E299): `gzip file` writes
+      // FNAME by default, so FLG = 0-only was a strict-false-invalid
+      // on the most common wire. FTEXT is a hint; FEXTRA tiles by its
+      // declared length; FNAME/FCOMMENT are NUL-terminated; FHCRC is
+      // the low 16 bits of the header's own CRC32 — verified, so a
+      // corrupted header is visible before any inflation. Reserved
+      // bits 5..7 reject per the spec.
+      val flg = bytes(p + 3) & 0xff
+      if ((flg & 0xe0) != 0) return null
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (q + 2 > n) return null
+        val xlen = (bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8)
+        q += 2 + xlen
+        if (q > n) return null
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (q < n && bytes(q) != 0) q += 1
+        if (q >= n) return null
+        q += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (q < n && bytes(q) != 0) q += 1
+        if (q >= n) return null
+        q += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: CRC16 of the header bytes so far
+        if (q + 2 > n) return null
+        val hcrc = new java.util.zip.CRC32
+        hcrc.update(bytes, p, q - p)
+        if ((hcrc.getValue & 0xffffL) !=
+          ((bytes(q) & 0xffL) | ((bytes(q + 1) & 0xffL) << 8))) return null
+        q += 2
+      }
       val inf = new java.util.zip.Inflater(true)
-      inf.setInput(bytes, p + 10, n - (p + 10))
+      inf.setInput(bytes, q, n - q)
       val crc = new java.util.zip.CRC32
       var msize = 0L
       var trailer = -1
@@ -447,12 +496,12 @@ object TarCodec {
           out.write(buf, 0, k)
           // cumulative bound over the whole series: honest DEFLATE
           // cannot exceed 1032:1, so neither can a chain of members
-          if (out.size() > (p + 10 + inf.getBytesRead) * 1032L + 65536L)
+          if (out.size() > (q + inf.getBytesRead) * 1032L + 65536L)
             return null
         }
         // member end from getBytesRead BEFORE end() (the E246 API trap
         // was getRemaining AFTER end())
-        trailer = p + 10 + inf.getBytesRead.toInt
+        trailer = q + inf.getBytesRead.toInt
       } catch {
         case _: java.util.zip.DataFormatException => return null
       } finally inf.end()
@@ -621,7 +670,7 @@ object TarCodec {
   */
 case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
     pax: Boolean = false, bgzf: Boolean = false, mgz: Boolean = false,
-    snap: Boolean = false, lz4: Boolean = false)
+    snap: Boolean = false, lz4: Boolean = false, gzHdr: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -635,7 +684,7 @@ case class TarEncode(child: Expression, memberBytes: Int, gz: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     TarCodec.encodeTar(input.asInstanceOf[Array[Byte]], memberBytes, gz, pax,
-      bgzf, mgz, snap, lz4)
+      bgzf, mgz, snap, lz4, gzHdr)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -727,6 +776,8 @@ object TarNativeFunctions {
         if (exprs.length > 6) exprs(6).eval().asInstanceOf[Boolean]
         else false,
         if (exprs.length > 7) exprs(7).eval().asInstanceOf[Boolean]
+        else false,
+        if (exprs.length > 8) exprs(8).eval().asInstanceOf[Boolean]
         else false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_decode",
@@ -747,7 +798,7 @@ object TarNativeFunctions {
   def tarEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
       gz: Boolean, pax: Boolean = false, bgzf: Boolean = false,
       mgz: Boolean = false, snap: Boolean = false,
-      lz4: Boolean = false): Column = {
+      lz4: Boolean = false, gzHdr: Boolean = false): Column = {
     register(spark)
     call_function("graft_tar_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
@@ -756,7 +807,8 @@ object TarNativeFunctions {
       org.apache.spark.sql.functions.lit(bgzf),
       org.apache.spark.sql.functions.lit(mgz),
       org.apache.spark.sql.functions.lit(snap),
-      org.apache.spark.sql.functions.lit(lz4))
+      org.apache.spark.sql.functions.lit(lz4),
+      org.apache.spark.sql.functions.lit(gzHdr))
   }
 
   def tarDecode(spark: SparkSession, bytes: Column, gz: Boolean,

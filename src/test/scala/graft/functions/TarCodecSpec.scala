@@ -154,6 +154,30 @@ class TarCodecSpec extends SparkSpec {
       gz = true)._1.valid)
   }
 
+  test("RFC 1952 header fields (E299): FNAME-carrying gzip decodes") {
+    val payload = fixture(5 * 100 + 9, 85)
+    val plain = TarCodec.decodeTar(TarCodec.encodeTar(payload, 100),
+      gz = false)._1
+    // the gzHdr wire carries FEXTRA + FNAME + FCOMMENT + FHCRC — the
+    // field set the real `gzip` tool emits (FNAME by default)
+    val wire = TarCodec.encodeTar(payload, 100, gzHdr = true)
+    assert((wire(3) & 0xff) === (2 | 4 | 8 | 16))
+    val d = TarCodec.decodeTar(wire, gz = true)._1
+    assert(d.valid && d === plain,
+      "header metadata changes the wire, never the shard")
+    // the FNAME really is on the wire (NUL-terminated at offset 18)
+    assert(new String(wire, 18, 9, "US-ASCII") === "shard.tar")
+    // a corrupted header byte is caught by FHCRC before any inflation
+    val badName = wire.clone(); badName(18) = 'X'
+    assert(!TarCodec.decodeTar(badName, gz = true)._1.valid)
+    // reserved FLG bits (5..7) reject per the spec
+    val rsv = wire.clone(); rsv(3) = (rsv(3) | 0x20).toByte
+    assert(!TarCodec.decodeTar(rsv, gz = true)._1.valid)
+    // a truncated FNAME (no NUL before EOF) is malformed
+    val cut = wire.take(24)
+    assert(!TarCodec.decodeTar(cut, gz = true)._1.valid)
+  }
+
   test("pax extended headers: path overrides apply, malformed chains reject") {
     val payload = fixture(3 * 100 + 17, 75)
     val tar = TarCodec.encodeTar(payload, 100, pax = true)
