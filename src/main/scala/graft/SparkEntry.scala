@@ -3053,6 +3053,23 @@ object SparkEntry {
           col("size"), col("member_sum"), col("data_offset"),
           col("comp_size"), col("method"))
     },
+    // UTF-8 member names (E300): flag bit 11 — what every modern zip
+    // tool sets for non-ASCII names; rejecting it was a strict-false-
+    // invalid on international archives. The oracle rebuilds the
+    // Cyrillic names AND the offsets their 26-BYTE UTF-8 encodings
+    // produce (k*156 + 56) — only a real UTF-8 name walk matches both.
+    "q358_zip_utf8" -> { (s, dir) =>
+      graft.ext.Multimodal.zipMembers(
+        graft.ext.Multimodal.encodeZip(
+          graft.ext.Multimodal.documentsAsAssets(
+            Tables.documents(s, dir).filter(col("doc_id") < 140)),
+          memberBytes = 100, namePrefix = "документ-")
+          .repartition(col("asset_id"))
+          .localCheckpoint())
+        .select(col("asset_id"), col("member_idx"), col("name"),
+          col("size"), col("member_sum"), col("data_offset"),
+          col("comp_size"), col("method"))
+    },
     // ZIP shard INGEST (E280's composition): the q330 member fan-out
     // composed with the text pipeline on the DEFLATE wire — the zip
     // twin of q322, same samples (q322's oracle arithmetic, zip names).
@@ -6688,6 +6705,25 @@ object SparkEntry {
     // q343: zip64+descriptor combined — the seventh wire, one identity
     "q343_zip64_stream" -> tarOracleSql,
     "q330_zip_members" -> zipMembersOracleSql,
+    // q358: UTF-8 names — 26-byte encodings shift every offset
+    "q358_zip_utf8" ->
+      """WITH src AS (SELECT doc_id AS asset_id, CAST(text AS BLOB) AS p
+        |             FROM documents WHERE doc_id < 140),
+        |g AS (SELECT asset_id, hex(p) AS h, octet_length(p) // 100 AS nm
+        |      FROM src WHERE octet_length(p) // 100 >= 1),
+        |bv AS (SELECT asset_id, i // 100 AS member_idx,
+        |         CAST(('0x'||substr(h, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+        |           AS v
+        |       FROM (SELECT asset_id, h,
+        |               unnest(range(0, nm * 100)) AS i FROM g))
+        |SELECT asset_id, CAST(member_idx AS BIGINT) AS member_idx,
+        |       'документ-' || printf('%05d', member_idx) || '.txt' AS name,
+        |       CAST(100 AS BIGINT) AS size,
+        |       CAST(SUM(v) AS BIGINT) AS member_sum,
+        |       CAST(member_idx * 156 + 56 AS BIGINT) AS data_offset,
+        |       CAST(100 AS BIGINT) AS comp_size,
+        |       CAST(0 AS INTEGER) AS method
+        |FROM bv GROUP BY asset_id, member_idx""".stripMargin,
     // q322: shard-to-samples ingest — members re-cleaned from raw text
     // slices with the q149 regex chain
     "q322_tar_ingest" -> tarIngestOracleSql,

@@ -1116,14 +1116,16 @@ object Multimodal {
     */
   def encodeZip(assets: DataFrame, memberBytes: Int = 100,
       deflate: Boolean = false, zip64: Boolean = false,
-      descriptor: Boolean = false): DataFrame = {
+      descriptor: Boolean = false,
+      namePrefix: String = "doc"): DataFrame = {
     require(memberBytes >= 1, "memberBytes must be positive")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= memberBytes)
       .withColumn("bytes",
         graft.functions.ZipNativeFunctions.zipEncode(spark,
-          col("bytes"), memberBytes, deflate, zip64, descriptor))
+          col("bytes"), memberBytes, deflate, zip64, descriptor,
+          namePrefix))
   }
 
   /** Demux ZIP archives natively (E270): central-directory walk with

@@ -94,8 +94,12 @@ object ZipCodec {
     */
   def encodeZip(payload: Array[Byte], memberBytes: Int,
       deflate: Boolean = false, zip64: Boolean = false,
-      descriptor: Boolean = false): Array[Byte] = {
+      descriptor: Boolean = false,
+      namePrefix: String = "doc"): Array[Byte] = {
     require(memberBytes >= 1, "memberBytes must be positive")
+    // E300: a non-ASCII prefix turns on the language-encoding flag
+    // (bit 11) and UTF-8 names — what every modern zip tool writes
+    val utf8Names = namePrefix.exists(_ > 127)
     val nm = payload.length / memberBytes
     if (nm < 1) return null
     val out = new java.io.ByteArrayOutputStream(payload.length + nm * 128)
@@ -106,11 +110,12 @@ object ZipCodec {
     }
     def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
     val version = if (zip64) 45 else 20
-    val flags = if (descriptor) 8 else 0
+    val flags = (if (descriptor) 8 else 0) | (if (utf8Names) 0x800 else 0)
     val offsets = new Array[Long](nm)
     val crcs = new Array[Long](nm)
     val compSizes = new Array[Int](nm)
-    val names = Array.tabulate(nm)(i => f"doc$i%05d.txt".getBytes("US-ASCII"))
+    val names = Array.tabulate(nm)(i =>
+      f"$namePrefix$i%05d.txt".getBytes("UTF-8"))
     var i = 0
     while (i < nm) {
       val crc = new java.util.zip.CRC32
@@ -334,7 +339,11 @@ object ZipCodec {
       if (p + 46 > cdEnd) return invalid
       if (u32(p) != CentralSig) return invalid
       val flags = u16(p + 8)
-      if (flags != 0 && flags != 8) return invalid // descriptor bit only
+      // descriptor (bit 3) and UTF-8 names (bit 11, E300 — what every
+      // modern zip tool sets for non-ASCII names; rejecting it was a
+      // strict-false-invalid) are the accepted bits; anything else
+      // (crypto, patched data, ...) stays a visible reject
+      if ((flags & ~0x808) != 0) return invalid
       val method = u16(p + 10)
       if (method != 0 && method != 8) return invalid
       val crcDecl = u32(p + 16)
@@ -347,7 +356,8 @@ object ZipCodec {
       if (u16(p + 34) != 0) return invalid // disk start
       val localOff32 = u32(p + 42)
       if (p + 46 + nameLen + extraLen > cdEnd) return invalid
-      val name = new String(bytes, p + 46, nameLen, "US-ASCII")
+      val charset = if ((flags & 0x800) != 0) "UTF-8" else "US-ASCII"
+      val name = new String(bytes, p + 46, nameLen, charset)
       // sentinel fields resolve through the 0x0001 extra, APPNOTE order
       val z64 = extraZip64(bytes, p + 46 + nameLen, extraLen)
       if (z64 == null) return invalid
@@ -379,7 +389,7 @@ object ZipCodec {
       val lz64 = extraZip64(bytes, lp + 30 + nameLen, lExtraLen)
       if (lz64 == null) return invalid
       var wideDesc = false
-      if (flags == 8) {
+      if ((flags & 8) != 0) {
         // streaming wire (E276): local CRC/sizes are zero, the real
         // values trail the data. A local 0x0001 extra present makes it
         // the COMBINED zip64-streaming wire (E289): sentinel sizes,
@@ -412,7 +422,7 @@ object ZipCodec {
       }
       val dataOff = lp + 30 + nameLen + lExtraLen
       if (dataOff + compSize > cdOffset) return invalid
-      if (new String(bytes, lp + 30, nameLen, "US-ASCII") != name)
+      if (new String(bytes, lp + 30, nameLen, charset) != name)
         return invalid
 
       // ---- decompress + verify the declared CRC-32 and sizes ----
@@ -446,7 +456,7 @@ object ZipCodec {
       if (crc.getValue != crcDecl) return invalid
 
       expectedLocal = dataOff + compSize
-      if (flags == 8) {
+      if ((flags & 8) != 0) {
         // the trailing descriptor must AGREE with the central entry
         val dp = expectedLocal.toInt
         if (wideDesc) {
@@ -491,7 +501,8 @@ object ZipCodec {
   * (null when no full member fits).
   */
 case class ZipEncode(child: Expression, memberBytes: Int, deflate: Boolean,
-    zip64: Boolean = false, descriptor: Boolean = false)
+    zip64: Boolean = false, descriptor: Boolean = false,
+    namePrefix: String = "doc")
     extends UnaryExpression with CodegenFallback {
   require(memberBytes >= 1, "memberBytes must be positive")
 
@@ -505,7 +516,7 @@ case class ZipEncode(child: Expression, memberBytes: Int, deflate: Boolean,
 
   override def nullSafeEval(input: Any): Any =
     ZipCodec.encodeZip(input.asInstanceOf[Array[Byte]], memberBytes, deflate,
-      zip64, descriptor)
+      zip64, descriptor, namePrefix)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -592,7 +603,11 @@ object ZipNativeFunctions {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean],
         exprs(3).eval().asInstanceOf[Boolean],
-        exprs(4).eval().asInstanceOf[Boolean]), "built-in")
+        exprs(4).eval().asInstanceOf[Boolean],
+        if (exprs.length > 5)
+          exprs(5).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString
+        else "doc"), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_decode", exprs => ZipDecode(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -606,13 +621,14 @@ object ZipNativeFunctions {
 
   def zipEncode(spark: SparkSession, bytes: Column, memberBytes: Int,
       deflate: Boolean, zip64: Boolean = false,
-      descriptor: Boolean = false): Column = {
+      descriptor: Boolean = false, namePrefix: String = "doc"): Column = {
     register(spark)
     call_function("graft_zip_encode", bytes,
       org.apache.spark.sql.functions.lit(memberBytes),
       org.apache.spark.sql.functions.lit(deflate),
       org.apache.spark.sql.functions.lit(zip64),
-      org.apache.spark.sql.functions.lit(descriptor))
+      org.apache.spark.sql.functions.lit(descriptor),
+      org.apache.spark.sql.functions.lit(namePrefix))
   }
 
   def zipDecode(spark: SparkSession, bytes: Column): Column = {

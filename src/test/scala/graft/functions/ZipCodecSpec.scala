@@ -221,6 +221,36 @@ class ZipCodecSpec extends SparkSpec {
     assert(!ZipCodec.decodeZip(narrow)._1.valid)
   }
 
+  test("UTF-8 names (E300): flag bit 11 decodes, other bits still reject") {
+    val payload = fixture(3 * 100, 88)
+    val plain = ZipCodec.decodeZip(ZipCodec.encodeZip(payload, 100))._1
+    // a non-ASCII prefix turns on the language-encoding flag; the
+    // member identity is unchanged (names are metadata)
+    val zip = ZipCodec.encodeZip(payload, 100, namePrefix = "документ-")
+    val (d, members) = ZipCodec.decodeZip(zip, collect = true)
+    assert(d.valid && d === plain.copy())
+    assert(members.map(_.name) ===
+      (0 until 3).map(i => f"документ-$i%05d.txt"),
+      "bit-11 names must decode as UTF-8, not mojibake")
+    // the flag really is set in BOTH header copies
+    def u16at(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    assert((u16at(zip, 6) & 0x800) === 0x800)
+    // UTF-8 composes with the streaming-descriptor wire (bits 3 + 11)
+    val both = ZipCodec.encodeZip(payload, 100, deflate = true,
+      descriptor = true, namePrefix = "папка-")
+    assert(ZipCodec.decodeZip(both)._1 === plain.copy())
+    // any OTHER flag bit (crypto bit 0) stays a visible reject: patch
+    // both the central and local copies so the flag audit itself fires
+    val eocd = zip.length - 22
+    val cdOff = ((zip(eocd + 16) & 0xff) | ((zip(eocd + 17) & 0xff) << 8) |
+      ((zip(eocd + 18) & 0xff) << 16)).toInt
+    val crypt = zip.clone()
+    crypt(6) = (crypt(6) | 1).toByte
+    crypt(cdOff + 8) = (crypt(cdOff + 8) | 1).toByte
+    assert(!ZipCodec.decodeZip(crypt)._1.valid)
+  }
+
   test("member seek table (E280): data spans are real random-access reads") {
     val payload = fixture(4 * 100 + 7, 88)
     // stored wire: seeking [data_offset, +comp_size) IS the member
