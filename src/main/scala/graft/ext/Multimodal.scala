@@ -1172,7 +1172,7 @@ object Multimodal {
     * fixture palette.
     */
   def encodeBmpRle8(assets: DataFrame, width: Int = 40): DataFrame = {
-    require(width >= 1, "width must be positive")
+    require(width >= 1 && width <= 0xffff, "width must fit the header")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= width &&
@@ -1209,7 +1209,7 @@ object Multimodal {
     * alternating-nibble encoded runs.
     */
   def encodeBmpRle4(assets: DataFrame, width: Int = 40): DataFrame = {
-    require(width >= 1, "width must be positive")
+    require(width >= 1 && width <= 0xffff, "width must fit the header")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= width &&
@@ -2129,7 +2129,10 @@ object Multimodal {
     * favicon container's two real member shapes.
     */
   def encodeIco(assets: DataFrame, width: Int = 8): DataFrame = {
-    require(width >= 4, "width must fit the fixture grid")
+    // mirror the codec's own require, or a legal-looking width fails
+    // per row inside the executor instead of here
+    require(width >= 4 && width <= 255 && width % 4 == 0,
+      "width must be 4-aligned and fit the u8 entry field")
     val spark = assets.sparkSession
     assets
       .filter(octet_length(col("bytes")) >= width * width &&

@@ -259,9 +259,7 @@ object Lz4Codec {
       } else {
         u32le(take | 0x80000000) // stored: the high-bit rule
         out.write(data, off, take)
-        if (blockSums)
-          u32le(xxh32(java.util.Arrays.copyOfRange(data, off, off + take),
-            0, take))
+        if (blockSums) u32le(xxh32(data, off, take))
       }
       off += take
     }
@@ -286,11 +284,14 @@ object Lz4Codec {
       if (p + 4 > n) return null
       val magic = u32(p)
       if ((magic & 0xfffffff0) == 0x184D2A50) {
-        // skippable frame: u32le size, then opaque bytes
+        // skippable frame: u32le size, then opaque bytes. The size is
+        // an UNSIGNED u32 — compare in Long, or a crafted 0x7ffffff9
+        // wraps the Int sum negative, slips the bound, and indexes
+        // past the array (a crash where the contract is null)
         if (p + 8 > n) return null
-        val sz = u32(p + 4)
-        if (sz < 0 || p + 8 + sz > n) return null
-        p += 8 + sz
+        val sz = u32(p + 4) & 0xffffffffL
+        if (p + 8 + sz > n) return null
+        p = (p + 8 + sz).toInt
       } else if (magic == FrameMagic) {
         if (sawFrame) return null // one data frame per stream
         sawFrame = true

@@ -41,31 +41,13 @@ object SnappyCodec {
   /** Spec cap: an uncompressed chunk carries at most 65536 bytes. */
   val MaxChunkUncompressed = 65536
 
-  // ---- CRC-32C (Castagnoli, reflected 0x82F63B78), per RFC 3720 ----
-  private val CrcTable: Array[Int] = {
-    val t = new Array[Int](256)
-    var i = 0
-    while (i < 256) {
-      var c = i
-      var k = 0
-      while (k < 8) {
-        c = if ((c & 1) != 0) 0x82F63B78 ^ (c >>> 1) else c >>> 1
-        k += 1
-      }
-      t(i) = c
-      i += 1
-    }
-    t
-  }
-
+  // ---- CRC-32C (Castagnoli) via the JDK's intrinsified CRC32C —
+  // the checksum-class convention the gzip/zip wires already use; the
+  // spec vector (0xE3069283) stays pinned in SnappyCodecSpec ----
   def crc32c(bytes: Array[Byte], off: Int, len: Int): Int = {
-    var c = 0xffffffff
-    var i = off
-    while (i < off + len) {
-      c = CrcTable((c ^ bytes(i)) & 0xff) ^ (c >>> 8)
-      i += 1
-    }
-    ~c
+    val c = new java.util.zip.CRC32C
+    c.update(bytes, off, len)
+    c.getValue.toInt
   }
 
   /** The framing spec's CRC mask (defends against CRCs of CRCs). */
@@ -115,7 +97,7 @@ object SnappyCodec {
       val hh = h4(p)
       val cand = table(hh)
       table(hh) = p
-      if (cand >= off && cand < p &&
+      if (cand >= off && cand < p && p - cand <= 65535 &&
         data(cand) == data(p) && data(cand + 1) == data(p + 1) &&
         data(cand + 2) == data(p + 2) && data(cand + 3) == data(p + 3)) {
         // flush pending literal, then extend the match
@@ -181,13 +163,14 @@ object SnappyCodec {
           if (lm1 >= 60) {
             val extra = lm1 - 59 // 1..4 bytes of length follow
             if (p + extra > end) return null
-            lm1 = 0
-            var i = 0
+            var lm1L = 0L // widen: 4 bytes can encode 2^32-1, and
+            var i = 0     // lm1+1 at Int.MaxValue wraps past the guards
             while (i < extra) {
-              lm1 |= (bytes(p + i) & 0xff) << (8 * i)
+              lm1L |= (bytes(p + i) & 0xffL) << (8 * i)
               i += 1
             }
-            if (lm1 < 0) return null
+            if (lm1L >= maxLen) return null // cannot fit the declaration
+            lm1 = lm1L.toInt
             p += extra
           }
           val n2 = lm1 + 1

@@ -97,6 +97,12 @@ class Lz4CodecSpec extends SparkSpec {
     assert(Lz4Codec.unframe(hcLie) === null)
     // a truncated stream (no EndMark) is visible
     assert(Lz4Codec.unframe(framed.dropRight(5)) === null)
+    // a skippable-frame size near Int.MaxValue must be a NULL, not an
+    // Int-sum wrap into a negative index (crash-instead-of-null
+    // regression: the u32 size is unsigned, compared in Long now)
+    val hugeSkip = Array[Byte](0x50, 0x2A, 0x4D, 0x18,
+      0xf9.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++ framed
+    assert(Lz4Codec.unframe(hugeSkip) === null)
     // reserved FLG bits reject (patch FLG and fix HC so the reserved
     // check itself fires)
     val rsv = framed.clone()

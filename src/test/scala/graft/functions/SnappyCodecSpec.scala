@@ -48,6 +48,10 @@ class SnappyCodecSpec extends SparkSpec {
     assert(dec(2, 2 << 2, 'a', 'b', 'c') === null)   // declares 2, makes 3
     // declared length beyond the cap rejects BEFORE allocation
     assert(dec(0xff, 0xff, 0xff, 0x7f) === null)
+    // a 4-byte literal length of Int.MaxValue must be a NULL, not an
+    // arithmetic wrap past the bounds checks (crash-instead-of-null
+    // regression: lm1+1 overflowed before the guards)
+    assert(dec(5, 63 << 2, 0xff, 0xff, 0xff, 0x7f, 'x') === null)
   }
 
   test("block round trip: runs become copies, random data survives") {
