@@ -21,16 +21,37 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
+    def noopOnce(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     mode match {
       case "explain" =>
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
         println(s"rows=${df.count()}")
+      case "plan" => // plan only, no execution
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      case "noop" =>
+        // bench-methodology timing: noop sink (full materialization, no
+        // count-pruning), min of 3 after one warm pass — matches Bench
+        noopOnce()
+        val ts = Seq.fill(3)(noopOnce())
+        println(f"noop_min=${ts.min}%.3f noop_all=${ts.map(t => f"$t%.3f").mkString(",")}")
       case "time" =>
         df.count() // warm
         val t0 = System.nanoTime()
         val n = df.count()
         println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
+      case "noopfinal" =>
+        // adaptive executed plan AFTER a full noop materialization (no
+        // count-pruning) — what the bench actually runs
+        val ndf = SparkEntry.queries(name)(spark, sfDir)
+        ndf.write.format("noop").mode("overwrite").save()
+        println(ndf.queryExecution.executedPlan.toString)
       case "final" =>
         // the ADAPTIVE plan after execution — shows ReusedExchange /
         // runtime join strategy changes that static explain can't

@@ -40,13 +40,19 @@ object FunctionalDeps {
       maxPairs: Int = 15): DataFrame = {
     require(candidates.size >= 2, "need at least two candidate columns")
     val pairs = candidates.combinations(2).toSeq.take(maxPairs)
-    val colAggs = candidates.map(c => countDistinct(struct(col(c))).as(s"__d_$c"))
+    // one independent two-phase aggregate per distinct count (see
+    // CompositeKeys — the k-way Expand form duplicates every scan row
+    // through one wide aggregate; the split branches are column-pruned,
+    // map-side-combined, and scheduled in parallel), crossJoined back into
+    // the same single wide row
+    val colAggs = candidates.map(c =>
+      df.agg(countDistinct(struct(col(c))).as(s"__d_$c")))
     val pairAggs = pairs.map { case Seq(a, b) =>
-      countDistinct(struct(col(a), col(b))).as(s"__d_${a}__$b")
+      df.agg(countDistinct(struct(col(a), col(b))).as(s"__d_${a}__$b"))
     }
-    val aggs = (colAggs ++ pairAggs) :+ count(lit(1)).as("__n")
+    val aggs = (colAggs ++ pairAggs) :+ df.agg(count(lit(1)).as("__n"))
     val directed = pairs.flatMap { case Seq(a, b) => Seq((a, b), (b, a)) }
-    df.agg(aggs.head, aggs.tail: _*)
+    aggs.reduce(_ crossJoin _)
       .select(explode(array(directed.map { case (det, dep) =>
         // the pair agg is keyed by the UNORDERED pair's candidate order
         val (pa, pb) = if (candidates.indexOf(det) < candidates.indexOf(dep))

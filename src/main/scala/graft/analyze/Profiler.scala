@@ -30,17 +30,31 @@ object Profiler {
     */
   private[graft] def profileWideAgg(
       df: DataFrame, columns: Seq[String], approxRsd: Option[Double]): DataFrame = {
-    val aggs = columns.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        approxRsd.map(r => approx_count_distinct(col(c), r))
-          .getOrElse(countDistinct(col(c))).as(s"${c}__distinct"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        max(col(c)).cast("double").as(s"${c}__max"),
-        sum(col(c).cast(DecimalType(18, 4))).cast("double").as(s"${c}__sum"))
+    def regularAggs(c: String) = Seq(
+      count(col(c)).as(s"${c}__n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      sum(col(c).cast(DecimalType(18, 4))).cast("double").as(s"${c}__sum"))
+    approxRsd match {
+      case Some(r) =>
+        // HLL sketches are plain partial aggregates — everything stays ONE
+        // combine-friendly pass
+        val aggs = columns.flatMap(c =>
+          regularAggs(c) :+ approx_count_distinct(col(c), r).as(s"${c}__distinct"))
+        df.agg(aggs.head, aggs.tail: _*)
+      case None =>
+        // k exact COUNT(DISTINCT) in one agg would compile to an Expand
+        // duplicating every scan row k+1 times through one wide hash
+        // aggregate; split each into its own narrow column-pruned
+        // two-phase branch (independent stages, map-side partials) and
+        // crossJoin the single-row results back into the same wide row
+        val regular = columns.flatMap(regularAggs)
+        val base = df.agg(regular.head, regular.tail: _*)
+        columns.foldLeft(base) { (acc, c) =>
+          acc.crossJoin(df.agg(countDistinct(col(c)).as(s"${c}__distinct")))
+        }
     }
-    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Unpivot the pinned wide row into one output row per column. */

@@ -256,6 +256,11 @@ object DataTester {
         .where(col("v").isNotNull)
         .groupBy("t", "c", "v").agg(count(lit(1)).as("cnt"))
     }.reduce(_ unionByName _)
+      // four consumers (a-side, b-side, each read twice more for totals and
+      // the overlap join) — pin the per-column frequency tables so the
+      // table scans + stack aggregation run once (guide §2.4); the pinned
+      // frame is frequency-table-sized (distinct values), not data-sized
+      .localCheckpoint()
 
     // 2. route frequency rows to the edges that use them
     val aSide = stacked.join(

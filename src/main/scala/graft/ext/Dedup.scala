@@ -422,32 +422,39 @@ object Dedup {
     // undirected edges, both directions
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("canonical_id", col("id"))
+    // Round 1 folded into initialization: with identity labels the loop
+    // body reduces to least(own id, min neighbour id) — computing that
+    // directly as the starting label set saves one full join+checkpoint
+    // round (the result is exactly what the old identity-init round 1
+    // produced, so the fixpoint is unchanged).
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("canonical_id"))
+      .localCheckpoint(true)
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "v_id"), col("v") === col("v_id"))
+      // ONE label lookup serves both the neighbour-min and the pointer
+      // jump (the label of my current label): key each reference by the
+      // node whose label is wanted — (u ← v) from the edges, (id ←
+      // canonical_id) from the labels themselves — and resolve the union
+      // through a single join + min aggregate. The old shape ran two
+      // separate joins plus two assembly joins per round; min over the
+      // merged reference set is the same least(own, nbr_min, jump).
+      val refs = edges
+        .union(labels.select(col("id").as("u"), col("canonical_id").as("v")))
+      val resolved = refs
+        .join(labels.select(col("id").as("v_id"), col("canonical_id").as("cl")),
+          col("v") === col("v_id"))
         .groupBy(col("u").as("id"))
-        .agg(min("canonical_id").as("nbr_min"))
-      // pointer jump: the label of my current label (labels only ever
-      // shrink toward the component min, and every label is itself a
-      // component member, so hopping through it is reachability-safe)
-      val labelOfLabel = labels
-        .join(
-          labels.select(col("id").as("l_id"), col("canonical_id").as("jump")),
-          col("canonical_id") === col("l_id"))
-        .select(col("id"), col("jump"))
+        .agg(min(col("cl")).as("nbr_min"))
+      // `prev` rides along into the checkpoint so the per-round change
+      // count is a filter over the pinned rows, not another join
       val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .join(labelOfLabel, Seq("id"), "left")
-        .select(col("id"),
-          least(
-            col("canonical_id"),
-            coalesce(col("nbr_min"), col("canonical_id")),
-            coalesce(col("jump"), col("canonical_id")))
-            .as("canonical_id"))
+        .join(resolved, Seq("id"), "left")
+        .select(col("id"), col("canonical_id").as("prev"),
+          least(col("canonical_id"),
+            coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
       // truncate lineage each round (the classic iterative-algorithm trap:
       // an unbroken chain of N self-joins re-executes from the source every
       // round and the plan grows without bound); localCheckpoint keeps the
@@ -455,9 +462,8 @@ object Dedup {
       val pinned = next.localCheckpoint(true)
       // one count per round: rows whose label still shrinks
       val changed = pinned
-        .join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
         .filter(col("canonical_id") < col("prev")).limit(1).count()
-      labels = pinned
+      labels = pinned.select("id", "canonical_id")
       converged = changed == 0
       i += 1
     }

@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
 object ExactMath {
 
   /** a div b (floor division) for non-negative integral columns, exact for
-    * |a| < 10³², codegen-friendly (mod + subtract + decimal divide).
+    * |a| < 10³² when the caller passes decimal inputs (long inputs stay in
+    * primitive long arithmetic — `a − pmod(a, b)` is an exact multiple of
+    * b, and SQL `div` (IntegralDivide) truncates, which on an integral
+    * quotient IS the floor). The previous form cast every operand to
+    * decimal(38,0) and divided in BigDecimal — ~50× the per-row cost of a
+    * primitive divide on the long-typed hot paths (bucketing, fixed-point
+    * ratios); `div` keeps decimals exact too, so wide callers are
+    * unchanged.
     */
   def floorDiv(a: Column, b: Column): Column =
-    ((a.cast("decimal(38,0)") - pmod(a, b).cast("decimal(38,0)")) /
-      b.cast("decimal(38,0)")).cast("long")
+    call_function("div", a - pmod(a, b), b)
 }

@@ -199,13 +199,32 @@ object FuzzyJoin {
         graft.functions.TextNativeFunctions.shingles(
           docs.sparkSession, lower(col(textCol)), shingleK)
       else array_distinct(split(lower(col(textCol)), " "))
-    val toks = docs.select(col(idCol).as("id"), explode(elems).as("tok"))
+    // One parallel, pinned shingle-array table (guide §2.4 — remove
+    // repeated work): repartition the docs by id BEFORE the expensive
+    // shingle pass so tokenization runs on every core instead of serially
+    // inside the single-split parquet scan stage, and localCheckpoint the
+    // arrays — the downstream consumers (df counts, rarity ranking, the
+    // two verify probes) would otherwise each re-run the shingle subtree.
+    // n (the doc's DISTINCT element count) is the array size: both element
+    // spaces are distinct arrays (array_distinct / the native shingle
+    // expression), so size(es) equals the per-id exploded row count the
+    // old count-over-window computed — this also removes that second
+    // window pass and the two trailing size joins.
+    val arrays = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"), elems.as("es"))
+      .select(col("id"), size(col("es")).as("n"), col("es"))
+      .localCheckpoint()
+    val toks = arrays.select(col("id"), col("n"), explode(col("es")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, Seq("tok"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
-    // prefix length n − ⌈t·n⌉ + 1, ceil as (tNum·n + tDen − 1) div tDen
+    // prefix length n − ⌈t·n⌉ + 1, ceil as (tNum·n + tDen − 1) div tDen.
+    // The candidate self-join consumes this on both sides and re-runs the
+    // df join + rarity window twice — measured, pinning it too costs MORE
+    // wall than it saves: the two copies run as independent stages in
+    // parallel off the pinned arrays, while an eager checkpoint is a
+    // serial barrier in front of them.
     val prefix = ranked.filter(col("pos") <=
       col("n") - ExactMath.floorDiv(col("n") * tNum + (tDen - 1), lit(tDen)) + 1L)
     // Two sound prunes AT the prefix join, before the distinct and the
@@ -224,21 +243,30 @@ object FuzzyJoin {
     val posBound =
       least(col("a.pos"), col("b.pos")) +
         least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
+    // set sizes ride along on the candidate pairs (n is functionally
+    // dependent on id, so the distinct and the groupBy keep identical
+    // groups) — the old plan re-derived them with a groupBy over toks plus
+    // TWO extra joins after the intersection count
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("a.n") * tNum <= col("b.n") * tDen &&
           col("b.n") * tNum <= col("a.n") * tDen &&
           posBound * (tNum + tDen) >= lit(tNum) * (col("a.n") + col("b.n")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .distinct()
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    // Verify on the pinned ARRAYS: |A∩B| per candidate is one native
+    // array_intersect over the two distinct element arrays — the previous
+    // token-explode form pushed |cand|·|doc| joined rows through two joins
+    // and a wide groupBy; this joins |cand| rows twice and aggregates
+    // nothing (identical counts: the arrays are distinct, so
+    // size(array_intersect) IS the common-token count).
     val inter = cand
-      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(arrays.select(col("id").as("id_a"), col("es").as("es_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("es").as("es_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("es_a"), col("es_b"))).cast("long").as("inter"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .filter(col("inter") * tDen >= lit(tNum) * (col("n_a") + col("n_b") - col("inter")))
       .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),

@@ -20,38 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object CoOccurrence {
 
-  /** Deduplicated (basket, item) rows restricted to baskets of at most
-    * `maxBasketSize` distinct items — the shared prep of [[pairs]] and
-    * [[rules]].
+  /** One sorted distinct-item array per basket, restricted to baskets of at
+    * most `maxBasketSize` distinct items — the shared prep of [[pairs]] and
+    * [[rules]]. ONE basket-keyed aggregation replaces the previous
+    * distinct + count-over-window + self-join shape (guide §2.4): the
+    * collect_set dedups (basket, item) rows map-side, the size filter is
+    * the old window predicate, and pair enumeration becomes in-row
+    * generation over the sorted array instead of a basket-keyed equi-join.
+    * The single-task hot-basket hazard is unchanged from the window form
+    * (a window over one giant basket partition materialized the same rows
+    * on one task); `maxBasketSize` remains the guard that drops them.
     */
   private def sizedItems(
       df: DataFrame, basketCol: String, itemCol: String,
-      maxBasketSize: Int): DataFrame = {
-    val items = df
-      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      maxBasketSize: Int): DataFrame =
+    df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .filter(col("item").isNotNull && col("basket").isNotNull)
-      .distinct()
-    items
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("basket")))
-      .filter(col("bsize") <= maxBasketSize)
-  }
+      .groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .filter(size(col("items")) <= maxBasketSize)
+
+  /** All in-basket unordered pairs (item_a < item_b — the arrays are sorted
+    * ascending, so "strictly after item_a in the array" IS the old
+    * `item_a < item_b` predicate), one row per (basket, pair).
+    */
+  private def basketPairs(sized: DataFrame): DataFrame =
+    sized
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("items"), col("i") + lit(2),
+          greatest(size(col("items")) - col("i") - 1, lit(0)))).as("item_b"))
 
   /** (item_a, item_b, support) for pairs with support ≥ `minSupport`,
     * over baskets of at most `maxBasketSize` distinct items.
     */
   def pairs(
       df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long = 2L, maxBasketSize: Int = 1000): DataFrame = {
-    val sized = sizedItems(df, basketCol, itemCol, maxBasketSize)
-    val l = sized.select(col("basket"), col("item").as("item_a"))
-    val r = sized.select(col("basket"), col("item").as("item_b"))
-    l.join(r, Seq("basket"))
-      .filter(col("item_a") < col("item_b"))
+      minSupport: Long = 2L, maxBasketSize: Int = 1000): DataFrame =
+    basketPairs(sizedItems(df, basketCol, itemCol, maxBasketSize))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-  }
 
   /** Directed association rules (E195): both orientations of every
     * [[pairs]] itemset, scored with exact fixed-point confidence and lift
@@ -74,12 +83,15 @@ object CoOccurrence {
     // ONE sizedItems derivation serves the pair join, the item supports,
     // and the basket total — re-calling pairs() would repeat the
     // corpus-scale distinct + basket-size window a second time
+    // sized is one row per kept basket, so the basket total is a plain
+    // count and item supports explode the (deduplicated) arrays — the old
+    // countDistinct and per-row scans are gone with the self-join
     val sized = sizedItems(df, basketCol, itemCol, maxBasketSize)
-    val itemCounts = sized.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val nB = sized.agg(countDistinct(col("basket")).cast("long").as("n_baskets"))
-    val p = sized.select(col("basket"), col("item").as("item_a"))
-      .join(sized.select(col("basket"), col("item").as("item_b")), Seq("basket"))
-      .filter(col("item_a") < col("item_b"))
+      .localCheckpoint()
+    val itemCounts = sized.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nB = sized.agg(count(lit(1)).cast("long").as("n_baskets"))
+    val p = basketPairs(sized)
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

@@ -289,7 +289,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "CV2 must come from moments, not a self-join")
   }
 
-  test("profile routes: exact pays the multi-distinct Expand, approx rides HLL++ without it") {
+  test("profile routes: exact splits distinct branches (no Expand), approx rides HLL++") {
     import graft.analyze.Profiler
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
@@ -297,7 +297,14 @@ class PlanSpec extends SparkSpec {
     // LocalTableScan), so the plan under test is the shared wide aggregate
     val pExact = Profiler.profileWideAgg(li, cols, None)
       .queryExecution.explainString(FormattedMode)
-    assert(pExact.contains("Expand"), "exact route should take the multi-distinct Expand")
+    // exact distincts are split into per-column two-phase branches — the
+    // single-agg form compiled to a row-duplicating multi-distinct Expand
+    assert(!pExact.contains("Expand"),
+      "exact route must not pay the multi-distinct Expand")
+    assert(pExact.contains("BroadcastNestedLoopJoin"),
+      "single-row branch assembly must be broadcast")
+    assert(pExact.contains("partial_count(distinct"),
+      "exact distinct branches must partial-aggregate map-side")
     val pApprox = Profiler.profileWideAgg(li, cols, Some(0.023))
       .queryExecution.explainString(FormattedMode)
     assert(!pApprox.contains("Expand"),

@@ -44,13 +44,20 @@ class FunctionalDepsSpec extends SparkSpec {
     assert(ab.getAs[Long]("n_rows") === 3L)
   }
 
-  test("one aggregate pass: a single Expand + no join in the plan") {
+  test("split distinct branches: no Expand, map-side partials, broadcast assembly") {
     import spark.implicits._
     val df = Seq((1L, 2L, 3L), (4L, 5L, 6L)).toDF("x", "y", "z")
     val plan = FunctionalDeps.discover(df, "t", Seq("x", "y", "z"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Expand"))
-    assert(!plan.toLowerCase.contains("join"))
+    // each COUNT(DISTINCT …) is its own narrow two-phase aggregate — the
+    // old single-agg form compiled to an Expand duplicating every scan row
+    // (k cols + p pairs + 1) times through one wide hash aggregate
+    assert(!plan.contains("Expand"),
+      "distinct counts must not ride a row-duplicating Expand")
+    assert(plan.contains("partial_count"), "branches must combine map-side")
+    // assembly of the single-row branches is broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
   }
 
   test("approxDeps: exact g3 violation counts, perfect FD at zero") {
