@@ -2292,7 +2292,12 @@ object SparkEntry {
         col("source"))
       graft.ext.Multimodal.fingerprintNearDup(
         graft.ext.Multimodal.audioFingerprint128(
-          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants)),
+          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants))
+            // spread the per-asset synthesis+window walk across cores: the
+            // single-split local scan otherwise runs it serially (q270/q274's
+            // established repartition(asset_id) boundary; at scale the scan
+            // arrives multi-split and this is a cheap same-key reshuffle)
+            .repartition(col("asset_id")),
           windowSamples = 1),
         Seq("f0", "f1", "f2", "f3"), maxHamming = 6)
     },
@@ -2722,7 +2727,13 @@ object SparkEntry {
         col("source"))
       graft.ext.Multimodal.fingerprintNearDup(
         graft.ext.Multimodal.audioFingerprint128(
-          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants)),
+          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants))
+            // spread the per-asset synthesis+window walk across cores: the
+            // single-split local scan otherwise runs the whole hex/conv
+            // explode AND its hash-aggregate partials in one task (measured
+            // 7.0 -> 2.9 CPU-s; one 2.6M-key hash table also thrashes where
+            // 32 small ones combine map-side)
+            .repartition(col("asset_id")),
           windowSamples = 1),
         Seq("f0", "f1", "f2", "f3"), maxHamming = 6)
     },

@@ -282,6 +282,10 @@ object Dedup {
       // shingles|) — never the global pair space, so a hot shingle shared by
       // 10k docs costs nothing unless LSH already bucketed those docs
       // together. This is what makes verify affordable after LSH at 100 TB.
+      // NOT pinned/spread: measured (q38/q118/q156/q172/q209), the two
+      // verify sides' duplicated shingle passes overlap as independent
+      // parallel stages, while an eager checkpoint is a serial barrier in
+      // front of the join — the barrier lost on every consumer
       val arrays = docs.select(
         col(idCol).as("id"), graft.functions.TextNativeFunctions.shingles(
           docs.sparkSession, col(textCol), shingleK).as("sh"))
@@ -640,20 +644,35 @@ object Dedup {
       k: Int, w: Int, seed: Int, portable: Boolean): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
     import org.apache.spark.sql.expressions.Window
-    val grams = posGramHashes(docs, idCol, textCol, k, seed, portable)
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // n_grams is the gram-array size carried through the posexplode — the
+    // previous count-over-window re-shuffled and re-sorted the whole gram
+    // stream just to recount what the array already knows
+    val grams = docs
+      .select(col(idCol), graft.functions.TextNativeFunctions.ngrams(
+        docs.sparkSession, col(textCol), k).as("__gs"))
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"),
+        posexplode(col("__gs")).as(Seq("__p0", "__g")))
+      .select(col(idCol), col("n_grams"), (col("__p0") + 1).as("pos"),
+        stableHash(col("__g"), seed, portable).as("gh"))
     val tMax = greatest(col("n_grams") - lit(w - 1), lit(1))
-    val windows = grams.select(
-      col(idCol), col("pos"), col("gh"), col("n_grams"), tMax.as("t_max"),
-      explode(sequence(greatest(col("pos") - lit(w - 1), lit(1)),
-        least(col("pos"), tMax))).as("t"))
-    val rk = Window.partitionBy(col(idCol), col("t"))
-      .orderBy(col("gh").asc, col("pos").desc)
-    windows
-      .withColumn("__rn", row_number().over(rk))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("gh"), col("pos"), col("n_grams"), col("t_max"))
+    // Window t covers gram positions [t, t+w-1]: the selected fingerprint
+    // (min gh, ties -> rightmost pos) at window t is exactly the sliding
+    // ROW-frame min of struct(gh, -pos) evaluated at row pos = t+w-1, so
+    // ONE ordered pass per doc replaces the old w-way window-index explode
+    // (w x the gram mass) + row_number sort. Rows below pos = w carry
+    // truncated prefixes of window 1 — dropped, except the single
+    // truncated window of a short doc (n_grams < w), which lives at its
+    // last row (pos = n_grams); `pos >= least(w, n_grams)` keeps exactly
+    // the t_max real windows either way.
+    val slide = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("t_max", tMax)
+      .withColumn("__sel",
+        min(struct(col("gh"), (-col("pos")).as("np"))).over(slide))
+      .filter(col("pos") >= least(lit(w), col("n_grams")))
+      .select(col(idCol), col("__sel.gh").as("gh"), (-col("__sel.np")).as("pos"),
+        col("n_grams"), col("t_max"))
       .dropDuplicates(idCol, "gh", "pos")
   }
 

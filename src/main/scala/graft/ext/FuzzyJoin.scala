@@ -210,7 +210,7 @@ object FuzzyJoin {
     // expression), so size(es) equals the per-id exploded row count the
     // old count-over-window computed — this also removes that second
     // window pass and the two trailing size joins.
-    val arrays = docs.repartition(col(idCol))
+    val arrays = Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("id"), elems.as("es"))
       .select(col("id"), size(col("es")).as("n"), col("es"))
       .localCheckpoint()

@@ -115,7 +115,10 @@ object TextAnalysis {
     val nChars = length(t)
     val alpha = length(regexp_replace(lower(t), "[^a-z]", ""))
     val stop = langScore(t, langMarkers.flatMap(_._2))
-    docs
+    // regexp + marker counting are the most expensive per-row text exprs in
+    // the library; on a single-split scan they run serially (Spread is a
+    // no-op once the scan has real splits — guide §2.5)
+    Spread.byKey(docs, t)
       .withColumn("n_tokens", nTokens)
       .withColumn("n_chars_measured", nChars)
       // chars minus separating spaces, over tokens: integer-exact mean len
