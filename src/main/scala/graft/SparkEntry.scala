@@ -2727,13 +2727,11 @@ object SparkEntry {
         col("source"))
       graft.ext.Multimodal.fingerprintNearDup(
         graft.ext.Multimodal.audioFingerprint128(
-          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants))
-            // spread the per-asset synthesis+window walk across cores: the
-            // single-split local scan otherwise runs the whole hex/conv
-            // explode AND its hash-aggregate partials in one task (measured
-            // 7.0 -> 2.9 CPU-s; one 2.6M-key hash table also thrashes where
-            // 32 small ones combine map-side)
-            .repartition(col("asset_id")),
+          // NOT spread: measured at this corpus size (20k assets) the text
+          // reshuffle + extra stage barrier cost MORE wall than the serial
+          // hex/conv pass (3.17 -> 3.97 s with the spread despite CPU
+          // dropping 7.0 -> 2.9) — the opposite of q265's 400-asset case
+          graft.ext.Multimodal.documentsAsAssets(docs.unionByName(variants)),
           windowSamples = 1),
         Seq("f0", "f1", "f2", "f3"), maxHamming = 6)
     },
